@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory with the engine's performance posture.
+  *
+  * Scale rationale (SURVEY.md §4.2): everything here is config-level and
+  * holds on a real cluster — AQE re-plans shuffles at runtime (coalesce,
+  * skew-join split, broadcast demotion), whole-stage codegen stays on,
+  * and the parquet vectorized reader is the scan path. Local testing uses
+  * `local[N]` with `spark.sql.shuffle.partitions` sized to the machine,
+  * NOT the 200 default (which would fragment 6k-row test partitions into
+  * confetti while simultaneously under-partitioning a 100 TB shuffle —
+  * at cluster scale AQE's advisory partition size takes over).
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // dims (region..part) are tiny at every SF; let Catalyst broadcast
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Session for local runs/tests. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = builder(s"local[$cores]", math.max(cores, 4)).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
