@@ -26,6 +26,9 @@ object GraftSession {
       // dims (region..part) are tiny at every SF; let Catalyst broadcast
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read as long (Tables.events
+      // converts to micros, matching DuckDB's own ns→µs truncation)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Session for local runs/tests. */

@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** Every query module in the engine, in SURVEY §2B order. */
   val modules: Seq[QueryModule] = Seq(
-    AggQueries
+    AggQueries,
+    JoinQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-earlier) join — the order-book-enrichment operator the
+  * reference's feed implies (match each event to the latest snapshot at or
+  * before it; cf. /root/reference/README.md:45-51 snapshot protocol).
+  *
+  * Spark has no built-in as-of join (SURVEY.md §2B "Joins"). Rather than a
+  * custom SparkPlan, this composes built-ins with the union + running-last
+  * pattern:
+  *
+  *   1. tag right rows side=0, left rows side=1, null-pad each other's
+  *      payload columns;
+  *   2. union → single shuffle on the key, sort by (time, side) within
+  *      partitions;
+  *   3. `last(<right col>, ignoreNulls=true)` over rows UNBOUNDED
+  *      PRECEDING..CURRENT ROW carries the latest right payload forward;
+  *   4. keep side=1 rows.
+  *
+  * Scale rationale: ONE shuffle of |L|+|R| rows keyed by the join key and a
+  * per-partition sort — never a row-explosion like the naive
+  * `L JOIN R ON l.t >= r.t` + argmax (which is |L|×|R| per key before
+  * filtering). Skewed keys are handled by AQE the same as any window.
+  * Ties (left.time == right.time): right sorts first, so an exact-timestamp
+  * match IS taken — standard backward as-of (`t_right <= t_left`).
+  */
+object AsOfJoin {
+
+  /** Backward as-of join. Output = all left columns + `carry` columns from
+    * `right` (renamed via the map: rightCol -> outputName), null when no
+    * earlier right row exists for the key.
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      carry: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carryIn = carry.keys.toSeq
+
+    // Null-padded union layout: keys ++ __t ++ leftPayload ++ carried
+    val leftPayload = leftCols.filterNot(keys.contains)
+    val lSide = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
+        leftPayload.map(col) ++
+        carryIn.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rSide = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        carryIn.map(c => col(c).as(s"__r_$c")): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = lSide.unionByName(rSide)
+      .select(
+        (keys.map(col) ++ Seq(col("__t"), col("__side")) ++ leftPayload.map(col) ++
+          carryIn.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__r_$c"))): _*)
+
+    carried
+      .filter(col("__side") === 1)
+      .select(
+        (keys.map(col) ++ leftPayload.map(col) ++ Seq(col("__t").as(leftTime)) ++
+          carry.toSeq.map { case (in, out) => col(s"__r_$in").as(out) })
+          .distinct: _*)
+      // restore left column order, appended carry columns last
+      .select((leftCols.map(col) ++ carry.values.toSeq.map(col)): _*)
+  }
+}

@@ -34,11 +34,157 @@ object AggQueries extends QueryModule {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Distinct aggregates (count/sum DISTINCT) — planned as two-stage
+    * aggregation by Catalyst (expand + partial), no driver involvement. */
+  def q02DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        round(sum_distinct(col("o_totalprice")), 2).as("sum_distinct_price"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("o_orderpriority")
+
+  /** Statistical aggregates (Welford-style single-pass in both engines). */
+  def q03StatsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(var_pop(col("l_quantity")), 4).as("varp_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covs_qty_price"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covp_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP with grouping indicator (Expand → partial/final agg). */
+  def q04Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("gid"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** CUBE over two order dimensions. */
+  def q05Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("sum_total"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Pivot: wide conditional aggregation; Catalyst rewrites to a single
+    * agg with one branch per pivot value — no per-value scan. */
+  def q06Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2))
+      .orderBy("l_returnflag")
+
+  /** collect_set → sorted array (deterministic; collect_list order is not). */
+  def q07CollectSet(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        size(sort_array(collect_set(col("o_orderpriority")))).as("n_priorities"))
+      .orderBy("o_orderstatus")
+
+  /** Approximate aggregates (HLL++ / quantile sketch) — by construction
+    * engine-specific, so no SQL oracle: driver records rows-only. The
+    * scalatest suite bounds the error vs exact values instead. */
+  def q08Approx(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median_qty"))
+      .orderBy("l_returnflag")
+
+  /** Exact interpolated percentiles (SortAggregate path). */
+  def q09Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+      .orderBy("l_linestatus")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> (q01PricingSummary _)
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_distinct_agg" -> (q02DistinctAgg _),
+    "q03_stats_agg" -> (q03StatsAgg _),
+    "q04_rollup" -> (q04Rollup _),
+    "q05_cube" -> (q05Cube _),
+    "q06_pivot" -> (q06Pivot _),
+    "q07_collect_set" -> (q07CollectSet _),
+    "q08_approx" -> (q08Approx _),
+    "q09_percentile" -> (q09Percentile _)
   )
 
   override val oracles: Map[String, String] = Map(
+    "q02_distinct_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  round(sum(DISTINCT o_totalprice), 2) AS sum_distinct_price,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q03_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(var_pop(l_quantity), 4) AS varp_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covs_qty_price,
+        |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q04_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q05_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "q06_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q07_collect_set" ->
+      """SELECT o_orderstatus,
+        |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+        |  CAST(len(list(DISTINCT o_orderpriority)) AS INTEGER) AS n_priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q09_percentile" ->
+      """SELECT l_linestatus,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,254 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2B "Joins"): every join type, plus the as-of
+  * join helper. Physical-strategy posture for 100 TB:
+  *  - dimension tables (region 5 rows … part 200k rows at sf1000) are
+  *    explicitly `broadcast()` — no shuffle of the fact table for them;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once;
+  *    AQE handles skew splitting;
+  *  - the theta join is a within-group nested loop on a *dimension*
+  *    (part ⋈ part by brand) — never on a fact table;
+  *  - as-of join is one shuffle + window, not an interval product
+  *    (see AsOfJoin scaladoc).
+  */
+object JoinQueries extends QueryModule {
+
+  /** TPC-H Q3-style: fact ⋈ fact ⋈ broadcast(dim), filtered both sides. */
+  def q10JoinShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
+  /** TPC-H Q5-style: 6-way join, region-filtered, broadcast dim chain. */
+  def q11JoinNationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name").isin("ASIA", "EUROPE"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** LEFT OUTER join preserving unmatched left rows (null-counting). */
+  def q12JoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "P")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct(col("c_custkey")).as("n_cust"),
+        count(col("o_orderkey")).as("n_pending_orders"),
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_unmatched_rows"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** RIGHT OUTER join (unsold parts per brand). */
+  def q13JoinRight(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 45)
+    val p = Tables.part(spark, dir)
+    li.join(p, col("l_partkey") === col("p_partkey"), "right")
+      .groupBy("p_brand")
+      .agg(
+        countDistinct(col("p_partkey")).as("n_parts"),
+        countDistinct(when(col("l_orderkey").isNull, col("p_partkey"))).as("n_unsold"),
+        round(sum(coalesce(col("l_quantity"), lit(0.0))), 2).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  /** FULL OUTER join of two pre-aggregated sides (null-preserving both ways). */
+  def q14JoinFull(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    cust.withColumnRenamed("nationkey", "c_nk")
+      .join(supp.withColumnRenamed("nationkey", "s_nk"),
+        col("c_nk") === col("s_nk"), "full")
+      .select(
+        coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** LEFT SEMI: orders having ≥1 big lineitem (EXISTS). */
+  def q15JoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val big = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 48)
+    o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** LEFT ANTI: orders with no returned ('R') lineitem (NOT EXISTS). */
+  def q16JoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val returned = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** CROSS join (dimension × tiny distinct set — BroadcastNestedLoop). */
+  def q17JoinCross(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val st = Tables.orders(spark, dir).select("o_orderstatus").distinct()
+    r.crossJoin(st)
+      .select(col("r_name"), col("o_orderstatus"))
+      .orderBy("r_name", "o_orderstatus")
+  }
+
+  /** Theta (non-equi) join: same-brand part pairs with strictly increasing
+    * size. Dimension-only nested loop; at scale this stays broadcastable. */
+  def q18JoinTheta(spark: SparkSession, dir: String): DataFrame = {
+    val p1 = Tables.part(spark, dir).select(
+      col("p_brand").as("brand"), col("p_partkey").as("k1"), col("p_size").as("sz1"))
+    val p2 = Tables.part(spark, dir).select(
+      col("p_brand").as("brand2"), col("p_partkey").as("k2"), col("p_size").as("sz2"))
+    p1.join(p2, col("brand") === col("brand2") && col("sz1") < col("sz2"))
+      .groupBy(col("brand").as("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sz2") - col("sz1")).cast("long").as("sum_gap"))
+      .orderBy("p_brand")
+  }
+
+  /** As-of join: each event enriched with the user's latest signup at or
+    * before it (AsOfJoin.backward — union + running-last, single shuffle). */
+  def q19JoinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type")
+    val signups = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_event_id"))
+    AsOfJoin.backward(
+      e, signups,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      carry = Map("signup_event_id" -> "signup_event_id"))
+      .orderBy("event_id")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_join_shipping" -> (q10JoinShipping _),
+    "q11_join_nation_revenue" -> (q11JoinNationRevenue _),
+    "q12_join_left" -> (q12JoinLeft _),
+    "q13_join_right" -> (q13JoinRight _),
+    "q14_join_full" -> (q14JoinFull _),
+    "q15_join_semi" -> (q15JoinSemi _),
+    "q16_join_anti" -> (q16JoinAnti _),
+    "q17_join_cross" -> (q17JoinCross _),
+    "q18_join_theta" -> (q18JoinTheta _),
+    "q19_join_asof" -> (q19JoinAsof _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q10_join_shipping" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate > TIMESTAMP '1996-06-30'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY c_mktsegment, o_orderpriority
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    "q11_join_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q12_join_left" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_custkey) AS n_cust,
+        |  count(o_orderkey) AS n_pending_orders,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_rows
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q13_join_right" ->
+      """SELECT p_brand,
+        |  count(DISTINCT p_partkey) AS n_parts,
+        |  count(DISTINCT CASE WHEN l_orderkey IS NULL THEN p_partkey END) AS n_unsold,
+        |  round(sum(coalesce(l_quantity, 0.0)), 2) AS sum_qty
+        |FROM (SELECT * FROM lineitem WHERE l_quantity >= 45) li
+        |RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q14_join_full" ->
+      """SELECT coalesce(c_nk, s_nk) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust,
+        |  coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS c_nk, CAST(count(*) AS BIGINT) AS n_cust
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS s_nk, CAST(count(*) AS BIGINT) AS n_supp
+        |      FROM supplier GROUP BY s_nationkey) s
+        |  ON c_nk = s_nk
+        |ORDER BY nationkey""".stripMargin,
+    "q15_join_semi" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_total
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q16_join_anti" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q17_join_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "q18_join_theta" ->
+      """SELECT p1.p_brand,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(p2.p_size - p1.p_size) AS BIGINT) AS sum_gap
+        |FROM part p1 JOIN part p2
+        |  ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+        |GROUP BY p1.p_brand ORDER BY p1.p_brand""".stripMargin,
+    "q19_join_asof" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type,
+        |  s.signup_event_id
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id AS su, ts AS sts, event_id AS signup_event_id
+        |                FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.su AND e.ts >= s.sts
+        |ORDER BY e.event_id""".stripMargin
+  )
+}
