@@ -28,7 +28,7 @@ def canon(rows, cols):
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return f"{round(v, 6):.6f}"
+            return f"{round(v, 6) + 0.0:.6f}"
         if isinstance(v, bytes):
             return v.hex()
         if isinstance(v, list):

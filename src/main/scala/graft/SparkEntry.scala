@@ -7,7 +7,8 @@ import graft.queries._
   *
   * All operator queries live in `graft.queries.*` modules; this object
   * just concatenates them. Duplicate keys across modules are a bug —
-  * guarded by an assertion in the test suite.
+  * guarded by the `require` in `queries` (and `AllQueriesSpec` runs every
+  * entry end-to-end on sf0.001).
   */
 object SparkEntry {
 
@@ -22,8 +23,13 @@ object SparkEntry {
     AggQueries.q01PricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_.queries)
+    require(all.map(_._1).distinct.size == all.size,
+      s"duplicate query keys across modules: " +
+        all.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }.mkString(", "))
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

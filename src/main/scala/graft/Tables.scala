@@ -34,7 +34,11 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // Integer division: `/` on columns is double division, and 2024-epoch
+      // nanosecond longs (~1.7e18) exceed double's 53-bit mantissa — ~12% of
+      // rows would truncate to a different microsecond than DuckDB's exact
+      // ns→µs integer truncation.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -43,8 +43,11 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val carryIn = carry.keys.toSeq
 
-    // Null-padded union layout: keys ++ __t ++ leftPayload ++ carried
-    val leftPayload = leftCols.filterNot(keys.contains)
+    // Null-padded union layout: keys ++ __t ++ leftPayload ++ carried.
+    // leftTime is carried as __t (NOT duplicated in the payload — keeping
+    // it there would make the final projection emit two identically-named
+    // time columns and fail analysis with AMBIGUOUS_REFERENCE).
+    val leftPayload = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
     val lSide = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
@@ -56,9 +59,16 @@ object AsOfJoin {
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         carryIn.map(c => col(c).as(s"__r_$c")): _*)
 
+    // Deterministic tiebreak: among right rows sharing (key, __t), order by
+    // the carried values themselves so `last` always picks the same row
+    // (the max carry tuple) regardless of partitioning. Left rows have null
+    // carry payloads and side=1, so they sort after right rows at equal __t
+    // — an exact-timestamp right match is still taken.
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(
+        Seq(col("__t").asc, col("__side").asc) ++
+          carryIn.map(c => col(s"__r_$c").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = lSide.unionByName(rSide)
@@ -70,8 +80,7 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(
         (keys.map(col) ++ leftPayload.map(col) ++ Seq(col("__t").as(leftTime)) ++
-          carry.toSeq.map { case (in, out) => col(s"__r_$in").as(out) })
-          .distinct: _*)
+          carry.toSeq.map { case (in, out) => col(s"__r_$in").as(out) }): _*)
       // restore left column order, appended carry columns last
       .select((leftCols.map(col) ++ carry.values.toSeq.map(col)): _*)
   }

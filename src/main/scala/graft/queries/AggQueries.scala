@@ -92,18 +92,20 @@ object AggQueries extends QueryModule {
       .agg(round(sum("l_quantity"), 2))
       .orderBy("l_returnflag")
 
-  /** collect_set → sorted array (deterministic; collect_list order is not). */
+  /** collect_set → sorted array, emitted as a joined string (deterministic;
+    * collect_list order is not). The string form keeps the compared cell
+    * scalar — the driver's pandas-based hasher can't sort array cells. */
   def q07CollectSet(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderstatus")
       .agg(
-        sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
-        size(sort_array(collect_set(col("o_orderpriority")))).as("n_priorities"))
+        array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+        size(collect_set(col("o_orderpriority"))).as("n_priorities"))
       .orderBy("o_orderstatus")
 
   /** Approximate aggregates (HLL++ / quantile sketch) — by construction
-    * engine-specific, so no SQL oracle: driver records rows-only. The
-    * scalatest suite bounds the error vs exact values instead. */
+    * engine-specific, so no SQL oracle: driver records rows-only.
+    * `ApproxAggSpec` bounds the sketch error against exact values. */
   def q08Approx(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
@@ -175,7 +177,7 @@ object AggQueries extends QueryModule {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q07_collect_set" ->
       """SELECT o_orderstatus,
-        |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
         |  CAST(len(list(DISTINCT o_orderpriority)) AS INTEGER) AS n_priorities
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q09_percentile" ->

@@ -108,10 +108,17 @@ object JoinQueries extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
-  /** LEFT ANTI: orders with no returned ('R') lineitem (NOT EXISTS). */
+  /** LEFT ANTI: orders with no returned ('R') lineitem (NOT EXISTS).
+    * The build side is projected to `distinct l_orderkey` BEFORE the join:
+    * an anti join only needs key existence, so shrinking ~25% of lineitem
+    * to its distinct keys makes the build side broadcastable at any SF
+    * (BroadcastHashJoin, no shuffle of orders) instead of sort-merge
+    * joining the full filtered fact table. */
   def q16JoinAnti(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val returned = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey").distinct()
     o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
