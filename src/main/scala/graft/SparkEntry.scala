@@ -15,7 +15,10 @@ object SparkEntry {
   /** Every query module in the engine, in SURVEY §2B order. */
   val modules: Seq[QueryModule] = Seq(
     AggQueries,
-    JoinQueries
+    JoinQueries,
+    WindowQueries,
+    SetOpsQueries,
+    ScalarQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

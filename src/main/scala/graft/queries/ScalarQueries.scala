@@ -1,0 +1,298 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-expression surface (SURVEY.md §2B "Projection / filter /
+  * scalar"): one query per function family — string, date/time, math,
+  * array (incl. higher-order lambdas), map/struct, JSON over
+  * `events.props` (the reference's payload model is JSON events,
+  * /root/reference/README.md:36-52), hash, and conditional/cast.
+  *
+  * Scale notes: everything here is a narrow per-row projection —
+  * whole-stage-codegen'd, shuffle-free until the (small-key) final agg
+  * or sort. No UDFs: every function is a Catalyst built-in, so null
+  * handling and codegen come free (SURVEY §4.2 "functions, not UDFs").
+  *
+  * Oracle-parity notes baked into each query:
+  *  - DuckDB `regexp_replace` replaces the FIRST match unless the 'g'
+  *    flag is given; Spark always replaces all → oracle uses 'g';
+  *  - DuckDB ranking/length/instr fns return BIGINT where Spark emits
+  *    INT → casts pin the common type on both sides;
+  *  - DuckDB CAST(double AS INT) rounds, Spark truncates → oracle uses
+  *    trunc() before casting.
+  */
+object ScalarQueries extends QueryModule {
+
+  /** String functions over customer names (row-level, keyed output). */
+  def q32StringFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 300)
+      .select(
+        col("c_custkey"),
+        length(col("c_name")).as("name_len"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(substring(col("c_name"), 1, 8)).as("prefix8"),
+        concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("seg_tag"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("seg_trim"),
+        instr(col("c_name"), "#").cast("int").as("hash_pos"),
+        repeat(lit("ab"), 3).as("rep"))
+      .orderBy("c_custkey")
+
+  /** Date/time functions over order dates. */
+  def q33DatetimeFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("days_to_eoy"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        last_day(col("o_orderdate")).as("month_end"))
+      .orderBy("o_orderkey")
+
+  /** Math functions, row-level over lineitem measures. */
+  def q34MathFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 400)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_quantity") - 25), 2).as("abs_dev"),
+        ceil(col("l_extendedprice") / 1000).as("price_k_ceil"),
+        floor(col("l_extendedprice") / 1000).as("price_k_floor"),
+        round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+        round(exp(col("l_discount")), 4).as("disc_exp"),
+        round(log(col("l_extendedprice")), 4).as("price_ln"),
+        round(log(10.0, col("l_extendedprice")), 4).as("price_log10"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+        signum(col("l_quantity") - 25).cast("int").as("qty_sign"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        round(greatest(col("l_quantity"), col("l_discount") * 100), 2).as("gr"),
+        round(least(col("l_quantity"), col("l_tax") * 100), 2).as("ls"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Array functions incl. higher-order lambdas (transform/filter/
+    * exists/forall/aggregate) over a per-group collected array. All
+    * array-typed intermediates reduce to scalar output columns (the
+    * driver's hasher requires scalar cells). */
+  def q35ArrayFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(sort_array(collect_set(col("l_quantity"))).as("arr"))
+      .select(
+        col("l_returnflag"),
+        size(col("arr")).as("n"),
+        element_at(col("arr"), 1).as("first_qty"),
+        array_max(col("arr")).as("max_qty"),
+        array_min(col("arr")).as("min_qty"),
+        round(expr("aggregate(arr, 0D, (a, x) -> a + x)"), 2).as("total"),
+        round(expr("aggregate(transform(arr, x -> x * 2), 0D, (a, x) -> a + x)"), 2).as("total_x2"),
+        size(expr("filter(arr, x -> x > 25)")).as("n_over25"),
+        round(expr("aggregate(slice(arr, 1, 3), 0D, (a, x) -> a + x)"), 2).as("top3_sum"),
+        expr("exists(arr, x -> x > 49)").as("has_49plus"),
+        expr("forall(arr, x -> x > 0)").as("all_positive"),
+        array_contains(col("arr"), 1.0).as("has_one"))
+      .orderBy("l_returnflag")
+
+  /** Map + struct functions. Map-typed intermediates are reduced to
+    * scalars via element_at; the oracle states the expected VALUES
+    * directly (map identities), which is the point: prove the engine's
+    * map/struct round-trip computes the right thing. */
+  def q36MapStructFns(spark: SparkSession, dir: String): DataFrame = {
+    val m = map_from_arrays(
+      array(lit("nk"), lit("rk")),
+      array(col("n_nationkey").cast("long"), col("n_regionkey").cast("long")))
+    val m2 = map_concat(m, map(lit("x"), lit(7L)))
+    val s = struct(col("n_name").as("nm"), col("n_regionkey").as("rk"))
+    Tables.nation(spark, dir)
+      .select(
+        col("n_nationkey"),
+        element_at(m, "rk").as("rk_val"),
+        element_at(m2, "x").as("x_val"),
+        element_at(map_from_entries(map_entries(m)), "nk").as("nk_roundtrip"),
+        element_at(expr(
+          "transform_values(map('nk', CAST(n_nationkey AS BIGINT)), (k, v) -> v * 10)"),
+          "nk").as("nk_x10"),
+        array_join(sort_array(map_keys(m2)), ",").as("keys_sorted"),
+        size(map_values(m2)).as("n_vals"),
+        s.getField("nm").as("struct_name"),
+        s.withField("z", lit(1L)).getField("z").as("z_val"))
+      .orderBy("n_nationkey")
+  }
+
+  /** JSON functions over events.props (shape {"k": 87} per FIXTURES.md)
+    * — from_json with an explicit schema plus get_json_object path
+    * extraction, aggregated per event type. */
+  def q37JsonFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"),
+        get_json_object(col("props"), "$.k").as("k_str"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("k"), 4).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        sum(when(col("k") > 50, 1).otherwise(0)).as("n_k_gt50"),
+        max("k_str").as("max_k_str"))
+      .orderBy("event_type")
+
+  /** Hash functions (md5 / sha2-256 are cross-engine checkable; xxhash64
+    * and crc32 are Spark-specific and covered by HashFnsSpec instead). */
+  def q38HashFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(
+        col("n_nationkey"),
+        md5(col("n_name")).as("name_md5"),
+        sha2(col("n_name"), 256).as("name_sha256"),
+        substring(md5(concat(col("n_name"), lit("|salt"))), 1, 8).as("salted_prefix"),
+        length(md5(col("n_name"))).as("md5_len"))
+      .orderBy("n_nationkey")
+
+  /** Conditionals (CASE/coalesce/nullif) and casts, incl. the
+    * double→int truncation semantics difference (oracle uses trunc). */
+  def q39ConditionalCast(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("bucket"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_nulled"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_filled"),
+        col("o_totalprice").cast("int").as("price_int"),
+        col("o_totalprice").cast("string").as("price_str"),
+        (col("o_totalprice") > 100000).as("is_big"),
+        col("o_custkey").cast("double").as("cust_dbl"))
+      .orderBy("o_orderkey")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_string_fns" -> (q32StringFns _),
+    "q33_datetime_fns" -> (q33DatetimeFns _),
+    "q34_math_fns" -> (q34MathFns _),
+    "q35_array_fns" -> (q35ArrayFns _),
+    "q36_map_struct_fns" -> (q36MapStructFns _),
+    "q37_json_fns" -> (q37JsonFns _),
+    "q38_hash_fns" -> (q38HashFns _),
+    "q39_conditional_cast" -> (q39ConditionalCast _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q32_string_fns" ->
+      """SELECT c_custkey,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(substring(c_name, 1, 8)) AS prefix8,
+        |  concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_tag,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |  coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
+        |  reverse(c_mktsegment) AS seg_rev,
+        |  trim('  ' || c_mktsegment || '  ') AS seg_trim,
+        |  CAST(instr(c_name, '#') AS INTEGER) AS hash_pos,
+        |  repeat('ab', 3) AS rep
+        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin,
+    "q33_datetime_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_to_eoy,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
+    "q34_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(l_quantity - 25), 2) AS abs_dev,
+        |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+        |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
+        |  round(exp(l_discount), 4) AS disc_exp,
+        |  round(ln(l_extendedprice), 4) AS price_ln,
+        |  round(log10(l_extendedprice), 4) AS price_log10,
+        |  round(pow(l_quantity, 2), 2) AS qty_sq,
+        |  CAST(sign(l_quantity - 25) AS INTEGER) AS qty_sign,
+        |  mod(l_orderkey, 7) AS key_mod7,
+        |  round(greatest(l_quantity, l_discount * 100), 2) AS gr,
+        |  round(least(l_quantity, l_tax * 100), 2) AS ls
+        |FROM lineitem WHERE l_orderkey <= 400 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q35_array_fns" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, list_sort(list(DISTINCT l_quantity)) AS arr
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag,
+        |  CAST(len(arr) AS INTEGER) AS n,
+        |  arr[1] AS first_qty,
+        |  list_aggregate(arr, 'max') AS max_qty,
+        |  list_aggregate(arr, 'min') AS min_qty,
+        |  round(list_aggregate(arr, 'sum'), 2) AS total,
+        |  round(list_aggregate(list_transform(arr, x -> x * 2), 'sum'), 2) AS total_x2,
+        |  CAST(len(list_filter(arr, x -> x > 25)) AS INTEGER) AS n_over25,
+        |  round(list_aggregate(arr[1:3], 'sum'), 2) AS top3_sum,
+        |  len(list_filter(arr, x -> x > 49)) > 0 AS has_49plus,
+        |  len(list_filter(arr, x -> NOT (x > 0))) = 0 AS all_positive,
+        |  list_contains(arr, 1.0) AS has_one
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+    "q36_map_struct_fns" ->
+      """SELECT n_nationkey,
+        |  CAST(n_regionkey AS BIGINT) AS rk_val,
+        |  CAST(7 AS BIGINT) AS x_val,
+        |  CAST(n_nationkey AS BIGINT) AS nk_roundtrip,
+        |  CAST(n_nationkey * 10 AS BIGINT) AS nk_x10,
+        |  'nk,rk,x' AS keys_sorted,
+        |  CAST(3 AS INTEGER) AS n_vals,
+        |  n_name AS struct_name,
+        |  CAST(1 AS BIGINT) AS z_val
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q37_json_fns" ->
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  round(avg(k), 4) AS avg_k,
+        |  min(k) AS min_k,
+        |  max(k) AS max_k,
+        |  CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt50,
+        |  max(k_str) AS max_k_str
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |    json_extract_string(props, '$.k') AS k_str
+        |  FROM events
+        |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q38_hash_fns" ->
+      """SELECT n_nationkey,
+        |  md5(n_name) AS name_md5,
+        |  sha256(n_name) AS name_sha256,
+        |  substring(md5(n_name || '|salt'), 1, 8) AS salted_prefix,
+        |  CAST(length(md5(n_name)) AS INTEGER) AS md5_len
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q39_conditional_cast" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 50000 THEN 'low'
+        |       WHEN o_totalprice < 150000 THEN 'mid'
+        |       ELSE 'high' END AS bucket,
+        |  nullif(o_orderstatus, 'O') AS status_nulled,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_filled,
+        |  CAST(trunc(o_totalprice) AS INTEGER) AS price_int,
+        |  CAST(o_totalprice AS VARCHAR) AS price_str,
+        |  o_totalprice > 100000 AS is_big,
+        |  CAST(o_custkey AS DOUBLE) AS cust_dbl
+        |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin
+  )
+}

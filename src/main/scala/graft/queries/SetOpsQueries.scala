@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sort / limit / top-k / set-op / dedup / sample / explode surface
+  * (SURVEY.md §2B "Sort / limit / top-k / set ops / dedup").
+  *
+  * Scale notes:
+  *  - top-k goes through `orderBy().limit(k)` which Catalyst plans as
+  *    `TakeOrderedAndProjectExec` — per-partition heaps + a k-row merge
+  *    on the driver, NEVER a global sort (asserted in PlanShapeSpec);
+  *  - set ops are hash aggregations / joins on the compared columns,
+  *    one shuffle each, map-side partial where applicable;
+  *  - the sample is a deterministic md5-prefix filter (both engines
+  *    compute md5 identically), which pushes down as a cheap scan-side
+  *    predicate — no rand(), so the oracle can reproduce it;
+  *  - explode is a Generate node feeding a partial-agg — the word-count
+  *    shuffle moves (word, partial_count), not exploded rows.
+  */
+object SetOpsQueries extends QueryModule {
+
+  /** UNION ALL of two branch selections (unionByName), then re-aggregated.
+    * Branch tags make multiset semantics visible to the oracle. */
+  def q25Union(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"), lit("urgent").as("src"))
+    // Different column ORDER on purpose: unionByName resolves by name,
+    // where positional union would mis-zip (src, o_orderkey).
+    val fin = o.filter(col("o_orderstatus") === "F")
+      .select(lit("finished").as("src"), col("o_orderkey"), col("o_totalprice"))
+    urgent.unionByName(fin)
+      .groupBy("src")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("n_distinct"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("src")
+  }
+
+  /** INTERSECT / EXCEPT, distinct and multiset (_ALL) variants, over the
+    * customer-key sets of two order-status slices; emitted as one
+    * (op, n) row each so all four variants land in a single query. */
+  def q26IntersectExcept(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val fKeys = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val oKeys = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    counted("except", fKeys.except(oKeys))
+      .unionByName(counted("except_all", fKeys.exceptAll(oKeys)))
+      .unionByName(counted("intersect", fKeys.intersect(oKeys)))
+      .unionByName(counted("intersect_all", fKeys.intersectAll(oKeys)))
+      .orderBy("op")
+  }
+
+  /** Dedup on a column subset via dropDuplicates — projection first, so
+    * the surviving row is fully determined (no arbitrary-survivor
+    * nondeterminism) and the result equals SELECT DISTINCT. */
+  def q27Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select("lang", "source")
+      .dropDuplicates(Seq("lang", "source"))
+      .orderBy("lang", "source")
+
+  /** Top-k: orderBy().limit(k) → TakeOrderedAndProjectExec (per-partition
+    * heap of k, merge of k×partitions rows — no global sort; this is the
+    * production shape for "top 15 of 100 TB"). Tiebreak on o_orderkey
+    * pins the row set. */
+  def q28Topk(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(15)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+
+  /** LIMIT with OFFSET (rows 6..15 of the global order). */
+  def q29LimitOffset(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(5)
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+
+  /** Deterministic ~1/8 sample: md5(key) hex-prefix filter. Unlike
+    * sample()/rand(), both engines agree bit-for-bit, so the sample IS
+    * oracle-checkable; the predicate is scan-side and shuffle-free. */
+  def q30SampleMd5(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+
+  /** explode(split(text)) → word count → top-20: the Generate (UDTF
+    * shape) row. Partial aggregation means the shuffle carries (word,
+    * count) pairs, not the exploded token stream. */
+  def q31ExplodeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(20)
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_union" -> (q25Union _),
+    "q26_intersect_except" -> (q26IntersectExcept _),
+    "q27_distinct" -> (q27Distinct _),
+    "q28_topk" -> (q28Topk _),
+    "q29_limit_offset" -> (q29LimitOffset _),
+    "q30_sample_md5" -> (q30SampleMd5 _),
+    "q31_explode_words" -> (q31ExplodeWords _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q25_union" ->
+      """SELECT src, count(*) AS n, count(DISTINCT o_orderkey) AS n_distinct,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, 'urgent' AS src FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'finished' AS src FROM orders
+        |  WHERE o_orderstatus = 'F'
+        |) GROUP BY src ORDER BY src""".stripMargin,
+    "q26_intersect_except" ->
+      """SELECT 'except' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+        |UNION ALL
+        |SELECT 'except_all', count(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        |  EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+        |UNION ALL
+        |SELECT 'intersect', count(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+        |UNION ALL
+        |SELECT 'intersect_all', count(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        |  INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+        |ORDER BY op""".stripMargin,
+    "q27_distinct" ->
+      """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""".stripMargin,
+    "q28_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""".stripMargin,
+    "q29_limit_offset" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10 OFFSET 5""".stripMargin,
+    "q30_sample_md5" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q31_explode_words" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2B "Window functions"): ranking,
+  * analytic (lag/lead/first/nth_value), aggregates over row/range frames,
+  * and the grouped top-k pattern.
+  *
+  * Scale notes: every window here is `partitionBy(key).orderBy(...)` —
+  * ONE shuffle on the partition key, then a per-partition sort; Spark's
+  * WindowExec streams frames without materializing the whole partition
+  * for the running/rows frames used here. Partition keys are high-
+  * cardinality (custkey, orderkey), so partitions stay small at any SF —
+  * no single-partition `Window.orderBy()` (the classic driver-sized-sort
+  * anti-pattern) appears anywhere. Grouped top-k uses window + filter
+  * (rn<=k) which prunes before any downstream shuffle.
+  *
+  * Every ranking column is cast to int on the Spark side and INTEGER in
+  * the oracle (DuckDB emits BIGINT for ranking fns) so schemas align.
+  */
+object WindowQueries extends QueryModule {
+
+  /** Ranking family over customers within nation. Deterministic order:
+    * acctbal DESC with custkey tiebreak (acctbal collisions possible). */
+  def q20WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("prk"),
+        round(cume_dist().over(w), 4).as("cd"))
+      .filter(col("rn") <= 5)
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** Analytic family: lag/lead/first/nth_value over each customer's order
+    * history. Default frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW) is
+    * SQL-standard in both engines, so nth_value agrees row-by-row. */
+  def q21WindowAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(lead("o_totalprice", 1).over(w), 2).as("next_price"),
+        round(first("o_totalprice").over(w), 2).as("first_price"),
+        round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Aggregates over explicit frames: running sum (rows unbounded..current),
+    * moving average (rows 2 preceding..current), range frame keyed on a
+    * numeric column, and a forward-looking count. */
+  def q22WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val run = byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = byDate.rowsBetween(-2, Window.currentRow)
+    val fwd = byDate.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rng = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").asc)
+      .rangeBetween(-100, 0)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(run), 2).as("run_sum"),
+        // moving SUM not AVG: 2-decimal doubles sum exactly, while /3 can
+        // land on a round-half boundary where engine bit patterns differ
+        round(sum("o_totalprice").over(mov), 2).as("mov_sum3"),
+        count(lit(1)).over(fwd).as("n_remaining"),
+        round(sum("o_totalprice").over(rng), 2).as("rng_sum"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Grouped top-k: top-3 orders by price within each priority class —
+    * the window+filter(rn<=k) pattern SURVEY §2B names for grouped top-k.
+    * At scale: the filter prunes to 3×|groups| rows right after the
+    * window, before the final order. */
+  def q23WindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Window aggregate without ORDER BY (whole-partition frame): each line
+    * item's share of its order's total — ratio-to-report. */
+  def q24WindowShare(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        count(lit(1)).over(w).as("n_lines"),
+        round(col("l_extendedprice") / sum("l_extendedprice").over(w), 4).as("price_share"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_window_rank" -> (q20WindowRank _),
+    "q21_window_analytic" -> (q21WindowAnalytic _),
+    "q22_window_frames" -> (q22WindowFrames _),
+    "q23_window_topk" -> (q23WindowTopk _),
+    "q24_window_share" -> (q24WindowShare _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q20_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    round(c_acctbal, 2) AS acctbal,
+        |    CAST(row_number() OVER w AS INTEGER) AS rn,
+        |    CAST(rank() OVER w AS INTEGER) AS rk,
+        |    CAST(dense_rank() OVER w AS INTEGER) AS drk,
+        |    CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |    round(percent_rank() OVER w, 4) AS prk,
+        |    round(cume_dist() OVER w, 4) AS cd
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |) WHERE rn <= 5 ORDER BY c_nationkey, rn""".stripMargin,
+    "q21_window_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice, 2) AS price,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  round(first_value(o_totalprice) OVER w, 2) AS first_price,
+        |  round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q22_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_sum3,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_remaining,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS rng_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q23_window_topk" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    round(o_totalprice, 2) AS price,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q24_window_share" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  count(*) OVER (PARTITION BY l_orderkey) AS n_lines,
+        |  round(l_extendedprice / sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 4) AS price_share
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}
