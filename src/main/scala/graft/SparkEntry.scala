@@ -38,4 +38,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
+
+  /** Queries deliberately WITHOUT a SQL oracle (driver records rows-only).
+    * Each one must carry its own correctness evidence in src/test instead:
+    * q08's sketches are bounded against exact values by ApproxAggSpec.
+    * AllQueriesSpec fails if any other query ships oracle-less.
+    */
+  val rowsOnlyQueries: Set[String] = Set("q08_approx")
 }

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The hard gate Verify.scala relies on: every declared query must run
+  * end-to-end on sf0.001 without throwing and produce at least one row.
+  * Verify itself exits 0 on per-query failure (so the driver can still
+  * compare the queries that did dump); THIS suite is what fails the build
+  * when any query crashes — the round-1 q19 failure mode (a query that
+  * crashed at runtime yet shipped) cannot recur while this passes.
+  */
+class AllQueriesSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  test("every query key has an oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Rows-only entries must be the documented non-SQL-expressible ones.
+    assert(noOracle.subsetOf(SparkEntry.rowsOnlyQueries),
+      s"queries missing an oracle and not declared rows-only: ${noOracle.toSeq.sorted.mkString(", ")}")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and returns rows on sf0.001") {
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.{AggQueries, JoinQueries, SetOpsQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB posture claims made in query
+  * scaladocs, checked against what Catalyst actually planned:
+  *  - top-k must be TakeOrderedAndProject (per-partition heaps), never a
+  *    global sort;
+  *  - the anti join's distinct-projected build side must broadcast;
+  *  - the pricing-summary filter must be pushed into the parquet scan and
+  *    its aggregate must have a map-side partial.
+  *
+  * Plans are inspected AFTER execution so AQE's runtime re-planning
+  * (broadcast promotion, partition coalescing) is what gets asserted,
+  * same as production.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  /** Final physical plan string, post-AQE (materializes the query). */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // force execution so AdaptiveSparkPlan is final
+    val executed = df.queryExecution.executedPlan
+    val resolved = executed.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(executed)
+    resolved.toString
+  }
+
+  test("q28 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = finalPlan(SetOpsQueries.q28Topk(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("q16 anti join broadcasts the distinct-projected build side") {
+    val plan = finalPlan(JoinQueries.q16JoinAnti(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan was:\n$plan")
+  }
+
+  test("q01 pushes the shipdate filter to the parquet scan with partial agg") {
+    val df = AggQueries.q01PricingSummary(spark, dir)
+    val plan = finalPlan(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), s"plan was:\n$plan")
+    // partial + final hash aggregation (map-side combine before shuffle)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"plan was:\n$plan")
+  }
+
+  test("q10 joins the dimension by broadcast, not shuffle") {
+    val plan = finalPlan(JoinQueries.q10JoinShipping(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+  }
+}
