@@ -18,7 +18,10 @@ object SparkEntry {
     JoinQueries,
     WindowQueries,
     SetOpsQueries,
-    ScalarQueries
+    ScalarQueries,
+    DedupQueries,
+    SimilarityQueries,
+    TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

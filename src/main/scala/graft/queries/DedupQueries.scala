@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data deduplication surface (SURVEY.md §2B "LLM-pipeline
+  * extensions"): exact content dedup, MinHash/LSH near-dup, n-gram
+  * Jaccard, and SimHash near-dup — the reference moves opaque document
+  * streams (`/root/reference/src/main.cpp:48-50`); a training pipeline
+  * built on that stream needs these four as first-class operators.
+  *
+  * Scale notes (the 100 TB contract of every query here):
+  *  - NOTHING in the candidate-generation path is all-pairs. MinHash goes
+  *    shingle → signature (per-row, array-local, no shuffle) → band
+  *    buckets (`groupBy`-shaped self-equi-join on the band key) → exact
+  *    verify only inside buckets. SimHash candidates use pigeonhole
+  *    banding over the 62-bit signature (11 bands; any pair within
+  *    hamming ≤ 10 MUST agree exactly on ≥ 1 band — complete, not
+  *    approximate), again an equi-join. The DuckDB oracles for both ARE
+  *    all-pairs — at sf0.01's 500 docs that's the ground truth the
+  *    banded plans must reproduce.
+  *  - signature computation is pure `transform`/`aggregate` higher-order
+  *    expressions over the shingle array: per-row, codegen-friendly, no
+  *    UDF, no state — it scales linearly with a parquet scan.
+  *  - exact dedup is one hash-`groupBy` (partial+final agg), the shape
+  *    that survives 100 TB; the window-per-hash alternative would sort.
+  */
+object DedupQueries extends QueryModule {
+
+  /** Distinct 3-word shingles of `text`, as a SQL expression both DuckDB
+    * and Spark compute identically: words split on single space, shingle
+    * i = words[i..i+2] joined by space, i = 0 .. n-3.
+    */
+  private val shinglesExpr: Column = expr(
+    """array_distinct(transform(
+      |  sequence(0, size(split(text, ' ')) - 3),
+      |  i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))""".stripMargin)
+
+  /** Shared DuckDB CTE: doc_id + distinct 3-word shingle list. */
+  private val oracleShingles: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                        FOR i IN range(1, len(ws) - 1)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin
+
+  /** q40: exact content dedup — `sha2(text, 256)` → hash-groupBy keeping
+    * the min-doc_id survivor → survivors per source. One shuffle on the
+    * content hash with map-side partial aggregation; at 100 TB the hash
+    * (32 bytes) shuffles, never the text.
+    */
+  def q40DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", sha2(col("text"), 256))
+      .groupBy("h")
+      .agg(
+        min_by(col("source"), col("doc_id")).as("survivor_source"),
+        count(lit(1)).as("n_copies"))
+      .groupBy(col("survivor_source").as("source"))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum("n_copies").as("n_docs"),
+        sum(when(col("n_copies") > 1, col("n_copies") - 1).otherwise(lit(0L))).as("n_dropped"))
+      .orderBy("source")
+
+  /** q41: MinHash/LSH near-dup join. Pipeline:
+    *  1. shingle (array-local);
+    *  2. 128-entry MinHash signature: sig[i] = min over shingles of
+    *     `xxhash64(shingle, i)` — the seed rides as a second hashed
+    *     column, so this is 128 independent hash families in one
+    *     codegen'd nested-`transform`;
+    *  3. 32 bands × 4 rows: band key = xxhash64(band slice); candidate
+    *     pairs = self-equi-join on (band, key). P[miss | J=0.9] =
+    *     (1-0.9⁴)³² ≈ 1e-15, so the banded plan reproduces the
+    *     all-pairs oracle;
+    *  4. exact-Jaccard verify INSIDE buckets only, threshold 0.8.
+    */
+  def q41MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shinglesExpr.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bands = docs
+      .withColumn("sig", expr(
+        "transform(sequence(0, 127), i -> array_min(transform(sh, s -> xxhash64(s, i))))"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
+        .as(Seq("band", "bkey")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+      .withColumn("jac", round(
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_j"))), 6))
+      .filter(col("jac") >= 0.8)
+      .select("i", "j", "jac")
+      .orderBy("i", "j")
+  }
+
+  /** q42: character-trigram (n-gram) Jaccard, aggregated per source over
+    * within-source pairs. Pair generation is bucketed by `source` (the
+    * blocking key) — an equi-join, not a cross join; the per-source
+    * aggregate keeps the output bounded at any scale.
+    */
+  def q42NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      expr("array_distinct(transform(sequence(1, char_length(text) - 2), i -> substr(text, i, 3)))")
+        .as("g"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"),
+        (size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
+          size(array_union(col("a.g"), col("b.g")))).as("jac"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg("jac"), 5).as("avg_jac"),
+        round(max("jac"), 6).as("max_jac"))
+      .orderBy("source")
+  }
+
+  /** q43: SimHash near-dup. 62-bit frequency-sign signature over the
+    * distinct 3-word shingles (md5-derived per-shingle bits, so the
+    * oracle can mirror it bit-exactly); candidates via pigeonhole
+    * banding: 11 bands over 62 bits ⇒ every pair with hamming ≤ 10
+    * agrees exactly on some band (⌈10/11⌉ rounds down to 0 differing
+    * bits in at least one band) — the candidate join is COMPLETE for the
+    * threshold, not probabilistic. Verify = `bit_count(sig XOR sig)`.
+    *
+    * Signature is computed entirely array-locally: shingles → (h1, h2)
+    * 32-bit halves of md5 → per-bit sign sums → packed bigint, all in
+    * nested higher-order expressions (one projection, no shuffle).
+    */
+  def q43Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigExpr = expr(
+      """aggregate(
+        |  sequence(0, 61),
+        |  cast(0 as bigint),
+        |  (acc, bb) -> acc + if(
+        |    aggregate(hs, 0,
+        |      (a2, h) -> a2 + if((if(bb < 31, shiftright(h.h1, bb), shiftright(h.h2, bb - 31)) & 1) = 1, 1, -1)) > 0,
+        |    shiftleft(cast(1 as bigint), bb), cast(0 as bigint)))""".stripMargin)
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shinglesExpr.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", expr(
+        """transform(sh, s -> named_struct(
+          |  'h1', cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint),
+          |  'h2', cast(conv(substr(md5(s), 9, 8), 16, 10) as bigint)))""".stripMargin))
+      .select(col("doc_id"), sigExpr.as("sig"))
+    // 11 pigeonhole bands: 7 bands of 6 bits + 4 bands of 5 bits = 62.
+    val bands = sigs.select(col("doc_id"), col("sig"), posexplode(expr(
+      """transform(sequence(0, 10), k ->
+        |  if(k < 7, shiftright(sig, k * 6) & 63,
+        |            shiftright(sig, 42 + (k - 7) * 5) & 31))""".stripMargin))
+      .as(Seq("band", "bval")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        expr("bit_count(a.sig ^ b.sig)").cast("int").as("ham"))
+      .distinct()
+      .filter(col("ham") <= 10)
+      .orderBy("i", "j")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact" -> (q40DedupExact _),
+    "q41_minhash_lsh" -> (q41MinhashLsh _),
+    "q42_ngram_jaccard" -> (q42NgramJaccard _),
+    "q43_simhash" -> (q43Simhash _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """WITH g AS (
+        |  SELECT min_by(source, doc_id) AS survivor_source, count(*) AS n_copies
+        |  FROM documents GROUP BY sha256(text))
+        |SELECT survivor_source AS source,
+        |       count(*)::BIGINT AS n_unique,
+        |       sum(n_copies)::BIGINT AS n_docs,
+        |       sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END)::BIGINT AS n_dropped
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q41_minhash_lsh" ->
+      s"""WITH $oracleShingles,
+        |p AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j,
+        |         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT i, j, jac FROM p WHERE jac >= 0.8 ORDER BY i, j""".stripMargin,
+    "q42_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |         list_distinct([substr(text, i, 3) FOR i IN range(1, length(text) - 1)]) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.source AS source,
+        |         len(list_intersect(a.g, b.g))::DOUBLE /
+        |           len(list_distinct(list_concat(a.g, b.g))) AS jac
+        |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, count(*)::BIGINT AS n_pairs,
+        |       round(avg(jac), 5) AS avg_jac, round(max(jac), 6) AS max_jac
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "q43_simhash" ->
+      s"""WITH $oracleShingles,
+        |h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s.sh2), 1, 8))::BIGINT AS h1,
+        |                 ('0x' || substr(md5(s.sh2), 9, 8))::BIGINT AS h2
+        |  FROM (SELECT doc_id, unnest(sh) AS sh2 FROM sh) s),
+        |b AS (
+        |  SELECT doc_id, bb.bb AS bb,
+        |         CASE WHEN bb.bb < 31 THEN (h1 >> bb.bb) & 1 ELSE (h2 >> (bb.bb - 31)) & 1 END AS bt
+        |  FROM h CROSS JOIN (SELECT unnest(range(62)) AS bb) bb),
+        |s AS (SELECT doc_id, bb, sum(CASE WHEN bt = 1 THEN 1 ELSE -1 END) AS sgn
+        |      FROM b GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN 1::BIGINT << bb ELSE 0 END)::BIGINT AS sig
+        |        FROM s GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, bit_count(xor(a.sig, b.sig))::INT AS ham
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |SELECT i, j, ham FROM p WHERE ham <= 10 ORDER BY i, j""".stripMargin
+  )
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{CentroidAggregator, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2B
+  * "LLM-pipeline extensions": cosine top-k, grouped ANN, nearest-neighbor
+  * pairs, centroid UDAF). All vector math is `VectorOps` — codegen'd
+  * higher-order expressions over `ArrayType(FloatType)`, no UDFs.
+  *
+  * Scale notes:
+  *  - q44/q45 (query-vector scans) are the 100 TB-correct ANN baseline: a
+  *    single pass over embeddings with a per-row dot product, topped by
+  *    `TakeOrderedAndProject` (q44) or a per-label window (q45). One scan,
+  *    one bounded shuffle — brute force is linear and embarrassingly
+  *    parallel; an IVF/LSH index only changes the scan fraction.
+  *  - q46 (all-pairs NN) broadcasts ONE side: at bench scale that's exact;
+  *    at 100 TB the same plan runs with the broadcast side replaced by an
+  *    LSH/IVF-bucketed equi-join (the q41/q43 banding shape) — the
+  *    per-pair verify is unchanged. Norms are precomputed per row, never
+  *    per pair.
+  */
+object SimilarityQueries extends QueryModule {
+
+  /** One-row DataFrame holding the query vector (vec_id 0) — joined via
+    * broadcast, NOT collected: the lookup stays in the plan, so the same
+    * code works when the "query" is itself a table of vectors.
+    */
+  private def queryVec(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+
+  /** q44: brute-force cosine top-k against a query vector.
+    * scan → per-row cosine → orderBy().limit(10) = TakeOrderedAndProject
+    * (per-partition heaps, k·partitions driver merge — never a global
+    * sort).
+    */
+  def q44CosineTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+
+  /** q45: grouped ANN — top-3 per label against the query vector, via a
+    * per-label ranking window (one shuffle on `label`, per-partition
+    * sort, early filter).
+    */
+  def q45AnnGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("label").orderBy(col("cos").desc, col("vec_id").asc)
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("label", "rnk", "vec_id", "cos")
+      .orderBy("label", "rnk")
+  }
+
+  /** q46: exact nearest neighbor for EVERY vector (embedding-cosine
+    * near-dup building block). Broadcast self-join with precomputed
+    * norms; argmax per row via `min_by`-style window. The aggregation is
+    * a per-i top-1 — `row_number` + filter, so only the winning row
+    * survives the window's partial sort.
+    */
+  def q46NnPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val pairs = e.as("a")
+      .join(broadcast(e.select(col("vec_id").as("nn_id"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))),
+        col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        round(VectorOps.cosinePrenormed(col("embedding"), col("emb_b"),
+          col("nrm"), col("nrm_b")), 6).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id").asc)
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "nn_id", "cos")
+      .orderBy("vec_id")
+  }
+
+  /** q47: per-label centroid via the typed `Aggregator` UDAF (§2B custom
+    * typed UDAF row) — partial/final agg shuffles one (sums, count)
+    * buffer per label per partition. First four dims are emitted as
+    * scalars for the oracle.
+    */
+  def q47Centroid(spark: SparkSession, dir: String): DataFrame = {
+    val centroid = udaf(new CentroidAggregator)
+    Tables.embeddings(spark, dir)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), centroid(col("embedding")).as("c"))
+      .select(col("label"), col("n"),
+        round(col("c")(0), 6).as("c0"), round(col("c")(1), 6).as("c1"),
+        round(col("c")(2), 6).as("c2"), round(col("c")(3), 6).as("c3"))
+      .orderBy("label")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_cosine_topk" -> (q44CosineTopk _),
+    "q45_ann_grouped" -> (q45AnnGrouped _),
+    "q46_nn_pairs" -> (q46NnPairs _),
+    "q47_centroid" -> (q47Centroid _)
+  )
+
+  private val oracleCos =
+    "list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[])"
+
+  override val oracles: Map[String, String] = Map(
+    "q44_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT a.vec_id, a.label, round($oracleCos, 6) AS cos
+        |FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
+        |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
+    "q45_ann_grouped" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT a.vec_id, a.label, round($oracleCos, 6) AS cos
+        |  FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id ASC) AS rnk FROM c)
+        |SELECT label, rnk, vec_id, cos FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
+    "q46_nn_pairs" ->
+      """WITH p AS (
+        |  SELECT a.vec_id, b.vec_id AS nn_id,
+        |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rnk FROM p)
+        |SELECT vec_id, nn_id, cos FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    "q47_centroid" ->
+      """SELECT label, count(*)::BIGINT AS n,
+        |       round(avg(embedding[1]::DOUBLE), 6) AS c0,
+        |       round(avg(embedding[2]::DOUBLE), 6) AS c1,
+        |       round(avg(embedding[3]::DOUBLE), 6) AS c2,
+        |       round(avg(embedding[4]::DOUBLE), 6) AS c3
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
+}

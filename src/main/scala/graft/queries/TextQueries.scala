@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + multimodal-column surface over `documents` (SURVEY.md
+  * §2B "LLM-pipeline extensions"): language-ID scoring, quality metrics,
+  * token counting, winnowing fingerprints, and binary/metadata multimodal
+  * plumbing. Every per-document computation here is array-local
+  * (higher-order expressions over the split word array) — a projection
+  * over the scan, no shuffle until the final small aggregation, which is
+  * exactly the shape that survives 100 TB.
+  *
+  * The deterministic heuristics (marker-word language profiles, the
+  * quality-score weights) are part of the query definition: the DuckDB
+  * oracle computes the identical formula, so the gate checks the whole
+  * pipeline bit-for-bit. On this synthetic fixture the `lang` column is
+  * not actually predictable from text (all langs share one vocabulary) —
+  * the confusion-matrix OUTPUT is the point, not accuracy.
+  */
+object TextQueries extends QueryModule {
+
+  private val langs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Marker-word profile per language — disjoint 4-word sets from the
+    * fixture vocabulary; score = number of token occurrences.
+    */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "und", "batch", "window"),
+    "en" -> Seq("the", "a", "key", "value"),
+    "es" -> Seq("el", "la", "table", "row"),
+    "fr" -> Seq("le", "et", "join", "merge"),
+    "zh" -> Seq("ni", "hao", "stream", "vector"))
+
+  private def scoreCol(lang: String): Column = {
+    val set = profiles(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(split(text, ' '), w -> w IN ($set)))")
+  }
+
+  private def scoreSql(lang: String): String = {
+    val set = profiles(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), w -> w IN ($set)))"
+  }
+
+  /** q48: n-gram-profile language ID → confusion matrix (actual lang ×
+    * predicted lang × count). Argmax with a fixed lang-priority tiebreak,
+    * expressed as a when-chain so both engines evaluate identically.
+    */
+  def q48LangId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = langs.foldLeft(Tables.documents(spark, dir)) {
+      (df, l) => df.withColumn(s"s_$l", scoreCol(l))
+    }
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val geAll = langs.filter(_ > l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(geAll, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** q49: document quality scoring — length, vocabulary diversity,
+    * stopword ratio, average word length, combined into a weighted score;
+    * aggregated per lang.
+    */
+  def q49Quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("avg_wlen",
+        (length(col("text")) - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("vocab_ratio",
+        size(array_distinct(col("ws"))).cast("double") / col("n_words"))
+      .withColumn("stop_ratio",
+        expr("size(filter(ws, w -> w IN ('the', 'a')))").cast("double") / col("n_words"))
+      .withColumn("quality",
+        col("vocab_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.2)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_words"), 4).as("avg_words"),
+        round(avg("avg_wlen"), 4).as("avg_word_len"),
+        round(avg("vocab_ratio"), 4).as("avg_vocab_ratio"),
+        round(avg("stop_ratio"), 4).as("avg_stop_ratio"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("lang")
+
+  /** q50: token counting — whitespace tokens, regex word/number/symbol
+    * tokens, and a BPE-ish subword estimate (⌈len/4⌉ chunks per word),
+    * aggregated per source.
+    */
+  def q50Tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws_tokens", size(split(col("text"), " ")))
+      .withColumn("re_tokens", size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))))
+      .withColumn("subwords",
+        expr("aggregate(split(text, ' '), 0, (acc, w) -> acc + cast(ceil(char_length(w) / 4.0) as int))"))
+      .groupBy("source")
+      .agg(
+        sum("ws_tokens").as("sum_ws_tokens"),
+        sum("re_tokens").as("sum_re_tokens"),
+        sum("subwords").as("sum_subwords"),
+        round(avg("ws_tokens"), 4).as("avg_ws_tokens"))
+      .orderBy("source")
+
+  /** q51: winnowing document fingerprints — rolling md5-derived hashes of
+    * 5-word windows, minimum per 4-hash sliding window, distinct mins =
+    * the fingerprint set (Schleimer et al. winnowing, the standard
+    * near-dup/plagiarism sketch). Emitted per doc: fingerprint count +
+    * min fingerprint. All array-local.
+    */
+  def q51Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hs", expr(
+        """transform(sequence(0, size(split(text, ' ')) - 5),
+          |  i -> cast(conv(substr(md5(concat_ws(' ',
+          |         split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2],
+          |         split(text, ' ')[i+3], split(text, ' ')[i+4])), 1, 15), 16, 10) as bigint))""".stripMargin))
+      .filter(size(col("hs")) >= 4)
+      .withColumn("fps", expr(
+        "array_distinct(transform(sequence(0, size(hs) - 4), j -> array_min(slice(hs, j + 1, 4))))"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"), array_min(col("fps")).as("min_fp"))
+      .orderBy("doc_id")
+
+  /** q52: multimodal column plumbing — text re-encoded as an opaque
+    * binary payload with a typed metadata struct (the image/audio shape:
+    * blob + sidecar), then content-addressed (md5) and size-profiled per
+    * lang. The binary decode/feature-extract path with a stubbed codec
+    * lives in `MediaPipelineSpec` (`graft.operators.MediaPipeline`) —
+    * this query keeps the oracle-checkable end: bytes, hashes, metadata
+    * projection.
+    */
+  def q52Multimodal(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        encode(col("text"), "UTF-8").as("blob"),
+        struct(col("lang").as("l"), col("n_chars").as("nc")).as("meta"))
+      .select(col("doc_id"),
+        col("meta.l").as("lang"),
+        octet_length(col("blob")).as("n_bytes"),
+        substring(md5(col("blob")), 1, 8).as("content_id"),
+        col("meta.nc").as("n_chars"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum("n_bytes").as("sum_bytes"),
+        sum("n_chars").as("sum_chars"),
+        min("content_id").as("min_content_id"))
+      .orderBy("lang")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_lang_id" -> (q48LangId _),
+    "q49_quality" -> (q49Quality _),
+    "q50_tokens" -> (q50Tokens _),
+    "q51_fingerprint" -> (q51Fingerprint _),
+    "q52_multimodal" -> (q52Multimodal _)
+  )
+
+  private def predSql: String = {
+    val scores = langs.map(l => s"${scoreSql(l)} AS s_$l").mkString(",\n         ")
+    val chain = langs.init.map { l =>
+      val conds = langs.filter(_ > l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""WITH s AS (
+       |  SELECT lang, $scores
+       |  FROM documents),
+       |p AS (SELECT lang, CASE $chain ELSE '${langs.last}' END AS pred_lang FROM s)""".stripMargin
+  }
+
+  override val oracles: Map[String, String] = Map(
+    "q48_lang_id" ->
+      s"""$predSql
+        |SELECT lang, pred_lang, count(*)::BIGINT AS n
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q49_quality" ->
+      """WITH m AS (
+        |  SELECT lang, len(ws) AS n_words,
+        |         (length(text) - (len(ws) - 1))::DOUBLE / len(ws) AS avg_wlen,
+        |         len(list_distinct(ws))::DOUBLE / len(ws) AS vocab_ratio,
+        |         len(list_filter(ws, w -> w IN ('the', 'a')))::DOUBLE / len(ws) AS stop_ratio
+        |  FROM (SELECT lang, text, string_split(text, ' ') AS ws FROM documents)),
+        |q AS (
+        |  SELECT *, vocab_ratio * 0.5 + (1.0 - stop_ratio) * 0.3 +
+        |         least(n_words::DOUBLE / 100.0, 1.0) * 0.2 AS quality
+        |  FROM m)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       round(avg(n_words), 4) AS avg_words,
+        |       round(avg(avg_wlen), 4) AS avg_word_len,
+        |       round(avg(vocab_ratio), 4) AS avg_vocab_ratio,
+        |       round(avg(stop_ratio), 4) AS avg_stop_ratio,
+        |       round(avg(quality), 4) AS avg_quality
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+    "q50_tokens" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         len(string_split(text, ' ')) AS ws_tokens,
+        |         len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+        |         list_sum([ceil(length(w) / 4.0)::INT FOR w IN string_split(text, ' ')]) AS subwords
+        |  FROM documents)
+        |SELECT source, sum(ws_tokens)::BIGINT AS sum_ws_tokens,
+        |       sum(re_tokens)::BIGINT AS sum_re_tokens,
+        |       sum(subwords)::BIGINT AS sum_subwords,
+        |       round(avg(ws_tokens), 4) AS avg_ws_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q51_fingerprint" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         [('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15))::BIGINT
+        |          FOR i IN range(1, len(ws) - 3)] AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_distinct([list_min(hs[j:j+3]) FOR j IN range(1, len(hs) - 2)]) AS fps
+        |  FROM h WHERE len(hs) >= 4)
+        |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q52_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, encode(text) AS blob, n_chars
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_media,
+        |       sum(octet_length(blob))::BIGINT AS sum_bytes,
+        |       sum(n_chars)::BIGINT AS sum_chars,
+        |       min(substr(md5(blob::VARCHAR), 1, 8)) AS min_content_id
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

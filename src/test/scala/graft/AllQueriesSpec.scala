@@ -15,9 +15,13 @@ class AllQueriesSpec extends AnyFunSuite {
 
   test("every query key has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Rows-only entries must be the documented non-SQL-expressible ones.
-    assert(noOracle.subsetOf(SparkEntry.rowsOnlyQueries),
-      s"queries missing an oracle and not declared rows-only: ${noOracle.toSeq.sorted.mkString(", ")}")
+    // EXACT equality both ways: a query missing an oracle must be
+    // declared, and a declared rows-only entry must actually exist and
+    // actually lack an oracle (stale entries erode the invariant).
+    assert(noOracle == SparkEntry.rowsOnlyQueries,
+      s"oracle-less queries ${noOracle.toSeq.sorted.mkString(", ")} != declared rows-only ${SparkEntry.rowsOnlyQueries.toSeq.sorted.mkString(", ")}")
+    assert(SparkEntry.rowsOnlyQueries.subsetOf(SparkEntry.queries.keySet),
+      "rowsOnlyQueries names a query that does not exist")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -50,16 +50,34 @@ class HashFnsSpec extends AnyFunSuite {
     assert(a.values.toSet.size == inputs.size, "xxhash64 collided on tiny input set")
   }
 
+  test("xxhash64 and hash match pinned goldens (on-disk key stability)") {
+    // Pinned from Spark 4.1.2 — these values become part of the engine's
+    // persisted contract the moment a bucketing/dedup key is written with
+    // them; a Spark upgrade that shifts any of these must be caught here.
+    val goldens = Map(
+      "" -> (-7444071767201028348L, 142593372),
+      "abc" -> (1423657621850124518L, 1322437556),
+      "graft" -> (-4815631219266125053L, -1930494102))
+    val got = goldens.keys.toSeq.toDF("s")
+      .select($"s", xxhash64($"s").as("xx"), hash($"s").as("m3"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    goldens.foreach { case (s, expected) =>
+      assert(got(s) == expected, s"golden mismatch for '$s'")
+    }
+  }
+
   test("hash (murmur3) and xxhash64 agree between codegen and constant folding") {
-    // The column path runs whole-stage-codegen'd hash expressions; the
-    // literal path is constant-folded (interpreted eval) by the optimizer.
-    // Divergence would mean hash-derived keys (buckets, dedup ids) depend
-    // on which execution path produced them.
-    val r = Seq("graft").toDF("s")
-      .select(hash($"s").as("m3"), xxhash64($"s").as("xx"))
-      .collect()(0)
+    // The column path must come from a real parquet scan: a LocalRelation
+    // would be constant-folded by ConvertToLocalRelation, making both
+    // sides interpreted eval. Divergence would mean hash-derived keys
+    // (buckets, dedup ids) depend on which execution path produced them.
+    val doc0 = Tables.documents(spark, SparkTestSession.sf0001)
+      .filter($"doc_id" === 0)
+    val r = doc0.select(hash($"text").as("m3"), xxhash64($"text").as("xx")).collect()(0)
     val (m3, xx) = (r.getInt(0), r.getLong(1))
-    val lit = spark.sql("SELECT hash('graft') AS m3, xxhash64('graft') AS xx").collect()(0)
+    val text = doc0.select($"text").collect()(0).getString(0)
+    assert(!text.contains("'"), "fixture text must be quotable as a SQL literal")
+    val lit = spark.sql(s"SELECT hash('$text') AS m3, xxhash64('$text') AS xx").collect()(0)
     assert(lit.getInt(0) == m3 && lit.getLong(1) == xx)
   }
 }

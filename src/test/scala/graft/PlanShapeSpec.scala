@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AggQueries, JoinQueries, SetOpsQueries}
+import graft.queries.{AggQueries, DedupQueries, JoinQueries, SetOpsQueries, SimilarityQueries}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.scalatest.funsuite.AnyFunSuite
@@ -53,5 +53,16 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q10 joins the dimension by broadcast, not shuffle") {
     val plan = finalPlan(JoinQueries.q10JoinShipping(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+  }
+
+  test("q44 cosine top-k plans as TakeOrderedAndProject over a single scan") {
+    val plan = finalPlan(SimilarityQueries.q44CosineTopk(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("q41 MinHash/LSH candidate generation is equi-join only (never all-pairs)") {
+    val plan = finalPlan(DedupQueries.q41MinhashLsh(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
   }
 }
