@@ -21,7 +21,8 @@ object SparkEntry {
     ScalarQueries,
     DedupQueries,
     SimilarityQueries,
-    TextQueries
+    TextQueries,
+    MiscQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -44,8 +45,10 @@ object SparkEntry {
 
   /** Queries deliberately WITHOUT a SQL oracle (driver records rows-only).
     * Each one must carry its own correctness evidence in src/test instead:
-    * q08's sketches are bounded against exact values by ApproxAggSpec.
-    * AllQueriesSpec fails if any other query ships oracle-less.
+    * q08's sketches are bounded against exact values by ApproxAggSpec;
+    * q57's seeded RNG sampling is engine-specific by construction and is
+    * bounded statistically by SampleSpec. AllQueriesSpec fails if any
+    * other query ships oracle-less.
     */
-  val rowsOnlyQueries: Set[String] = Set("q08_approx")
+  val rowsOnlyQueries: Set[String] = Set("q08_approx", "q57_sample_split")
 }

@@ -147,6 +147,29 @@ object JoinQueries extends QueryModule {
       .orderBy("p_brand")
   }
 
+  /** q18b: the 100 TB path for q18's theta-join aggregate. The pair count
+    * and gap sum per brand are order statistics: with sizes sorted within
+    * each brand, each row's contribution is (count, sum) of the strictly
+    * smaller sizes — a running window with a range frame ending at -1.
+    * One shuffle on brand + per-partition sort = O(n log n), versus the
+    * nested-loop O(n²/brand) pair expansion; verified against the SAME
+    * oracle as q18.
+    */
+  def q18bJoinThetaWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("p_brand").orderBy("p_size")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_size"))
+      .withColumn("cnt_less", count(lit(1)).over(w))
+      .withColumn("sum_less", coalesce(sum("p_size").over(w), lit(0L)))
+      .groupBy("p_brand")
+      .agg(
+        sum("cnt_less").as("n_pairs"),
+        sum(col("p_size") * col("cnt_less") - col("sum_less")).cast("long").as("sum_gap"))
+      .orderBy("p_brand")
+  }
+
   /** As-of join: each event enriched with the user's latest signup at or
     * before it (AsOfJoin.backward — union + running-last, single shuffle). */
   def q19JoinAsof(spark: SparkSession, dir: String): DataFrame = {
@@ -172,6 +195,7 @@ object JoinQueries extends QueryModule {
     "q16_join_anti" -> (q16JoinAnti _),
     "q17_join_cross" -> (q17JoinCross _),
     "q18_join_theta" -> (q18JoinTheta _),
+    "q18b_join_theta_window" -> (q18bJoinThetaWindow _),
     "q19_join_asof" -> (q19JoinAsof _)
   )
 
@@ -243,6 +267,15 @@ object JoinQueries extends QueryModule {
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
         |ORDER BY r_name, o_orderstatus""".stripMargin,
     "q18_join_theta" ->
+      """SELECT p1.p_brand,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(p2.p_size - p1.p_size) AS BIGINT) AS sum_gap
+        |FROM part p1 JOIN part p2
+        |  ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+        |GROUP BY p1.p_brand ORDER BY p1.p_brand""".stripMargin,
+    // Same ground truth as q18 — q18b is the O(n log n) plan for the same
+    // aggregate, so it must reproduce the nested-loop result exactly.
+    "q18b_join_theta_window" ->
       """SELECT p1.p_brand,
         |  count(*) AS n_pairs,
         |  CAST(sum(p2.p_size - p1.p_size) AS BIGINT) AS sum_gap

@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Breadth rows of SURVEY.md §2B that earlier rounds covered only
+  * partially: LIKE/RLIKE/BETWEEN/null-safe-equality filters, nulls-
+  * first/last ordering, posexplode + stack (UDTF shapes), CSV and
+  * JSON-lines scan round-trips, and `sample()`/`randomSplit` (rows-only:
+  * seeded RNG sampling is engine-specific by design — statistical
+  * evidence lives in SampleSpec).
+  */
+object MiscQueries extends QueryModule {
+
+  /** q53: filter-predicate breadth on `part`: LIKE, RLIKE, BETWEEN, IN,
+    * and null-safe `<=>` between two genuinely nullable sides. All
+    * predicates are scan-level conjuncts (pushed/codegen'd) — no shuffle
+    * until the count.
+    */
+  def q53FilterBreadth(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").like("%ol%"))
+      .filter(col("p_brand").rlike("Brand#[1-3]$"))
+      .filter(col("p_size").between(5, 40))
+      .filter(col("p_type").isin("a", "b", "c") === false)
+      .withColumn("big", when(col("p_size") > 25, col("p_brand")))
+      .withColumn("pricey", when(col("p_retailprice") > 1200.0, col("p_brand")))
+      .filter(col("big") <=> col("pricey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 2).as("sum_price"))
+      .orderBy("p_brand")
+
+  /** q54: nulls-first/last ordering made hash-visible: the row_number
+    * computed over the null-ordered sort is emitted, so the oracle
+    * compare (which canonicalizes row order away) still verifies WHERE
+    * the nulls landed. Single-partition window over a 10-row dim —
+    * documented exception to the no-global-window rule.
+    */
+  def q54SortNulls(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .withColumn("pos_bal", when(col("s_acctbal") > 0, round(col("s_acctbal"), 2)))
+    s.withColumn("rn_nf",
+        row_number().over(Window.orderBy(col("pos_bal").desc_nulls_first, col("s_suppkey"))))
+      .withColumn("rn_nl",
+        row_number().over(Window.orderBy(col("pos_bal").asc_nulls_last, col("s_suppkey"))))
+      .select("s_suppkey", "pos_bal", "rn_nf", "rn_nl")
+      .orderBy("s_suppkey")
+  }
+
+  /** q55: posexplode (UDTF shape with ordinality) over document words,
+    * plus a `stack`-built inline lookup table joined in — the two
+    * generator forms q31 didn't cover.
+    */
+  def q55PosexplodeStack(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("pos") < 8)
+    val weights = spark.range(1).select(
+      expr("stack(3, 'key', 10, 'value', 20, 'row', 30)").as(Seq("word", "weight")))
+    words.join(weights, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("pos")).as("sum_pos"),
+        sum(coalesce(col("weight"), lit(0))).as("sum_weight"))
+      .orderBy("doc_id")
+  }
+
+  /** q56: CSV and JSON-lines scan round-trips — write a deterministic
+    * slice of `orders` as CSV and of `events` as JSON-lines, read both
+    * back with explicit schemas, aggregate; the oracle computes the same
+    * aggregate straight from parquet, so a lossy round-trip (quoting,
+    * null encoding, timestamp formatting) fails the hash.
+    */
+  def q56CsvJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+    o.write.mode("overwrite").option("header", "true").csv(s"$base/orders_csv")
+    val e = Tables.events(spark, dir)
+      .filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+    e.write.mode("overwrite").json(s"$base/events_json")
+
+    val oBack = spark.read
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_date STRING")
+      .option("header", "true").csv(s"$base/orders_csv")
+      .groupBy(col("o_orderstatus").as("grp"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_val"),
+        min("o_date").as("min_key"))
+      .select(concat(lit("csv:"), col("grp")).as("grp"), col("n"), col("sum_val"), col("min_key"))
+    val eBack = spark.read
+      .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+      .json(s"$base/events_json")
+      .groupBy(col("event_type").as("grp"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"),
+        min(col("event_id")).cast("string").as("min_key"))
+      .select(concat(lit("json:"), col("grp")).as("grp"), col("n"), col("sum_val"), col("min_key"))
+    oBack.unionByName(eBack).orderBy("grp")
+  }
+
+  /** q57: sample()/randomSplit — rows-only (Spark's Bernoulli sampler is
+    * seeded but engine-specific, so no cross-engine oracle is possible by
+    * construction). Emits the piece counts + disjointness evidence;
+    * SampleSpec asserts the statistical contract.
+    */
+  def q57SampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val sampled = o.sample(withReplacement = false, fraction = 0.1, seed = 42L)
+    val Array(a, b) = o.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val total = o.select(count(lit(1)).as("n")).withColumn("piece", lit("total"))
+    val samp = sampled.select(count(lit(1)).as("n")).withColumn("piece", lit("sample_10pct"))
+    val splitA = a.select(count(lit(1)).as("n")).withColumn("piece", lit("split_70"))
+    val splitB = b.select(count(lit(1)).as("n")).withColumn("piece", lit("split_30"))
+    total.unionByName(samp).unionByName(splitA).unionByName(splitB)
+      .select("piece", "n").orderBy("piece")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_filter_breadth" -> (q53FilterBreadth _),
+    "q54_sort_nulls" -> (q54SortNulls _),
+    "q55_posexplode_stack" -> (q55PosexplodeStack _),
+    "q56_csv_json_roundtrip" -> (q56CsvJsonRoundtrip _),
+    "q57_sample_split" -> (q57SampleSplit _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q53_filter_breadth" ->
+      """WITH f AS (
+        |  SELECT *,
+        |    CASE WHEN p_size > 25 THEN p_brand END AS big,
+        |    CASE WHEN p_retailprice > 1200.0 THEN p_brand END AS pricey
+        |  FROM part
+        |  WHERE p_name LIKE '%ol%'
+        |    AND regexp_matches(p_brand, 'Brand#[1-3]$')
+        |    AND p_size BETWEEN 5 AND 40
+        |    AND NOT (p_type IN ('a', 'b', 'c')))
+        |SELECT p_brand, count(*)::BIGINT AS n, round(sum(p_retailprice), 2) AS sum_price
+        |FROM f WHERE big IS NOT DISTINCT FROM pricey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q54_sort_nulls" ->
+      """WITH s AS (
+        |  SELECT s_suppkey,
+        |         CASE WHEN s_acctbal > 0 THEN round(s_acctbal, 2) END AS pos_bal
+        |  FROM supplier)
+        |SELECT s_suppkey, pos_bal,
+        |       row_number() OVER (ORDER BY pos_bal DESC NULLS FIRST, s_suppkey)::INT AS rn_nf,
+        |       row_number() OVER (ORDER BY pos_bal ASC NULLS LAST, s_suppkey)::INT AS rn_nl
+        |FROM s ORDER BY s_suppkey""".stripMargin,
+    "q55_posexplode_stack" ->
+      """WITH w AS (
+        |  SELECT doc_id, u.p AS pos, ws[u.p + 1] AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 5) t,
+        |       unnest(range(len(ws))) AS u(p)
+        |  WHERE u.p < 8),
+        |lk AS (SELECT * FROM (VALUES ('key', 10), ('value', 20), ('row', 30)) AS v(word, weight))
+        |SELECT doc_id, count(*)::BIGINT AS n_words,
+        |       sum(pos)::BIGINT AS sum_pos,
+        |       sum(coalesce(weight, 0))::BIGINT AS sum_weight
+        |FROM w LEFT JOIN lk USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q56_csv_json_roundtrip" ->
+      """WITH o AS (
+        |  SELECT 'csv:' || o_orderstatus AS grp, count(*)::BIGINT AS n,
+        |         round(sum(o_totalprice), 2) AS sum_val,
+        |         min(strftime(o_orderdate, '%Y-%m-%d')) AS min_key
+        |  FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_orderstatus),
+        |e AS (
+        |  SELECT 'json:' || event_type AS grp, count(*)::BIGINT AS n,
+        |         round(sum(value), 2) AS sum_val,
+        |         min(event_id)::VARCHAR AS min_key
+        |  FROM events WHERE event_id % 10 = 0 GROUP BY event_type)
+        |SELECT * FROM o UNION ALL SELECT * FROM e ORDER BY grp""".stripMargin
+  )
+}
