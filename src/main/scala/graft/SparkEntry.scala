@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
+import graft.streaming.StreamingOps
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +23,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextQueries,
-    MiscQueries
+    MiscQueries,
+    StreamingOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

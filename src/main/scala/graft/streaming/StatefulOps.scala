@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event record for streaming pipelines — mirrors the `events`
+  * fixture schema (FIXTURES.md) and, shape-wise, the reference's record
+  * model: keyed, timestamped, with an opaque JSON payload
+  * (`/root/reference/src/kafka_producer.cpp:36-52`).
+  */
+case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    props: String)
+
+/** Running per-user account state: the order-book-rebuild semantic from
+  * the reference (`/root/reference/README.md:45-51` — a lossy delta
+  * stream resynchronized by periodic snapshots): `signup` events are
+  * snapshots (state := value), everything else is a delta (state +=
+  * value).
+  */
+case class UserRunning(user_id: Long, n_events: Long, balance: Double)
+
+/** Arbitrary-state streaming operators (SURVEY.md §2B "arbitrary state"
+  * row) via `mapGroupsWithState` — keyed state lives in the state store
+  * (RocksDB-backed at production scale), partitioned by the grouping
+  * key; each micro-batch touches only keys with new data.
+  */
+object StatefulOps {
+
+  /** Fold one batch of events (ordered by ts, then event_id — the
+    * iterator order inside a group is NOT guaranteed by the engine) into
+    * the running state. Snapshot-or-delta per the reference's protocol.
+    */
+  def fold(prev: UserRunning, events: Iterator[Event]): UserRunning =
+    events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foldLeft(prev) { (s, e) =>
+      val bal = if (e.event_type == "signup") e.value else s.balance + e.value
+      UserRunning(e.user_id, s.n_events + 1, bal)
+    }
+
+  /** Streaming running enrichment: emits the post-batch state of every
+    * key that received events (update output mode). The emitted
+    * `n_events` is monotonically increasing per key, so downstream (and
+    * tests) can identify the latest row without a batch-id column.
+    */
+  def runningBalance(events: Dataset[Event]): Dataset[UserRunning] = {
+    implicit val outEnc = Encoders.product[UserRunning]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(key, 0L, 0.0))
+          val next = fold(prev, it)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch reference for `runningBalance`: the same fold applied to the
+    * complete (already collected) event list per user — what the
+    * streaming query's final state must equal regardless of how the
+    * stream was chunked into micro-batches.
+    */
+  def batchReference(events: Seq[Event]): Map[Long, UserRunning] =
+    events.groupBy(_.user_id).map { case (u, es) =>
+      u -> fold(UserRunning(u, 0L, 0.0), es.iterator)
+    }
+
+  /** Output mode `runningBalance` requires. */
+  val runningBalanceOutputMode: OutputMode = OutputMode.Update()
+}

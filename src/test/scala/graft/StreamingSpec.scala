@@ -1,0 +1,223 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import graft.streaming.{Event, StatefulOps, StreamingOps, UserRunning}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming surface (SURVEY.md §2B "Streaming" rows), verified by
+  * Structured Streaming's core contract: a streaming query over a
+  * MemoryStream replay of the events fixture must equal the SAME
+  * transform applied as a batch query — regardless of micro-batch
+  * chunking. Covers tumbling/sliding/session windows, watermark
+  * late-data drops, streaming dedup, stream–static join, arbitrary keyed
+  * state (multi-batch), rate source, foreachBatch sink, and triggers.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** events fixture as typed records, in event-time order (the order the
+    * reference's single-threaded connector would deliver them,
+    * `/root/reference/src/wsclient.hpp:40-53`).
+    */
+  private lazy val allEvents: Seq[Event] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    Tables.events(spark, SparkTestSession.sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+  }
+
+  private def chunks(n: Int): Seq[Seq[Event]] = {
+    val size = math.max(1, allEvents.size / n)
+    allEvents.grouped(size).toSeq
+  }
+
+  /** Run `op` over a MemoryStream fed `chunks`, one micro-batch each, and
+    * return the memory-sink table. */
+  private def runStream(
+      op: DataFrame => DataFrame,
+      outputMode: String,
+      nChunks: Int = 3): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = op(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try {
+      chunks(nChunks).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Set[Seq[String]] =
+    df.collect().toSeq.map(_.toSeq.map(String.valueOf)).toSet
+
+  test("tumbling window agg: streaming (complete mode) equals batch") {
+    val got = runStream(StreamingOps.tumbling, "complete")
+    val want = StreamingOps.tumbling(Tables.events(spark, SparkTestSession.sf0001))
+    assert(canon(got) == canon(want))
+    assert(got.count() > 0)
+  }
+
+  test("sliding window agg: streaming (complete mode) equals batch") {
+    val got = runStream(StreamingOps.sliding, "complete")
+    val want = StreamingOps.sliding(Tables.events(spark, SparkTestSession.sf0001))
+    assert(canon(got) == canon(want))
+  }
+
+  test("session windows + watermark (append): all sessions equal batch once watermark passes") {
+    // Append mode only emits sessions the watermark has closed; a final
+    // far-future flush event closes everything real, then is excluded
+    // from the comparison (its user_id is sentinel -1).
+    val flush = Event(-1L, new Timestamp(allEvents.last.ts.getTime + 86400000L), -1L, "flush", 0.0, "{}")
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = StreamingOps.sessions(mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      chunks(3).foreach { c => mem.addData(c); q.processAllAvailable() }
+      mem.addData(Seq(flush)); q.processAllAvailable()
+      mem.addData(Seq(flush.copy(event_id = -2L,
+        ts = new Timestamp(flush.ts.getTime + 60000L)))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).filter($"user_id" =!= -1L)
+    val want = StreamingOps.sessions(Tables.events(spark, SparkTestSession.sf0001))
+    assert(canon(got) == canon(want))
+  }
+
+  test("watermark drops late data in append-mode windowed aggregation") {
+    val t0 = Timestamp.valueOf("2030-01-01 10:00:00")
+    def at(min: Int, sec: Int = 0, id: Long = 0) =
+      Event(id, new Timestamp(t0.getTime + (min * 60 + sec) * 1000L), 1L, "x", 1.0, "{}")
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = mem.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"n")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1: two rows in the 10:00 window, plus 10:21 → watermark 10:11
+      mem.addData(Seq(at(0, 0, 1), at(1, 0, 2), at(21, 0, 3)))
+      q.processAllAvailable()
+      // batch 2: a LATE row for the (closed) 10:00 window — must be
+      // dropped; plus 10:40 to advance the watermark further.
+      mem.addData(Seq(at(2, 0, 4), at(40, 0, 5)))
+      q.processAllAvailable()
+      mem.addData(Seq(at(60, 0, 6)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(rows(t0) == 2L, s"late row leaked into closed window: $rows")
+  }
+
+  test("streaming dedup emits exactly the distinct key set") {
+    val got = runStream(StreamingOps.dedupKeys, "append")
+    val want = StreamingOps.dedupKeys(Tables.events(spark, SparkTestSession.sf0001))
+    assert(canon(got) == canon(want))
+  }
+
+  test("stream-static join equals the batch join") {
+    val cust = Tables.customer(spark, SparkTestSession.sf0001)
+    val got = runStream(StreamingOps.enrich(_, cust), "append")
+    val want = StreamingOps.enrich(
+      Tables.events(spark, SparkTestSession.sf0001), cust)
+    assert(canon(got) == canon(want))
+    assert(got.count() > 0, "enrichment joined nothing — key overlap assumption broken")
+  }
+
+  test("mapGroupsWithState running balance survives micro-batch chunking") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = StatefulOps.runningBalance(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(StatefulOps.runningBalanceOutputMode).start()
+    try {
+      chunks(4).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    // latest emitted row per key = the one with max n_events (monotonic)
+    val got = spark.table(name).groupBy("user_id")
+      .agg(max(struct($"n_events", $"balance")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.balance")
+      .collect()
+      .map(r => r.getLong(0) -> UserRunning(r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toMap
+    val want = StatefulOps.batchReference(allEvents)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, w) =>
+      val g = got(u)
+      assert(g.n_events == w.n_events, s"user $u: n ${g.n_events} != ${w.n_events}")
+      assert(math.abs(g.balance - w.balance) < 1e-9,
+        s"user $u: balance ${g.balance} != ${w.balance}")
+    }
+  }
+
+  test("rate-micro-batch source feeds a foreachBatch sink under a processing-time trigger") {
+    val seen = mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", 10)
+      .load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (df: Dataset[Row], id: Long) =>
+        seen.synchronized { seen += df.count() }
+        ()
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (seen.synchronized(seen.sum) < 20 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally q.stop()
+    assert(seen.synchronized(seen.sum) >= 20,
+      s"rate-micro-batch produced only ${seen.sum} rows")
+    assert(seen.synchronized(seen.forall(_ % 10 == 0)), "rowsPerBatch contract broken")
+  }
+
+  test("dropDuplicatesWithinWatermark catches dups inside the horizon") {
+    // All events inside one hour, horizon one day: within-watermark dedup
+    // must behave as exact dedup (state can't expire mid-stream). The
+    // long-spanning fixture would legitimately re-emit keys whose state
+    // aged out — that expiry is the operator's point, not a bug, but it
+    // makes exact-count assertions meaningless there.
+    val t0 = Timestamp.valueOf("2030-06-01 09:00:00")
+    def ev(id: Long, min: Int, user: Long, typ: String) =
+      Event(id, new Timestamp(t0.getTime + min * 60000L), user, typ, 1.0, "{}")
+    val batches = Seq(
+      Seq(ev(1, 0, 1, "a"), ev(2, 1, 1, "a"), ev(3, 2, 2, "a")),
+      Seq(ev(4, 10, 1, "a"), ev(5, 11, 2, "b")), // id 4 = cross-batch dup
+      Seq(ev(6, 20, 1, "a"), ev(7, 21, 3, "c")))
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = mem.toDF().withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.size == got.distinct.size, s"duplicate keys emitted: $got")
+    assert(got.toSet == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "c")),
+      s"unexpected key set: $got")
+  }
+}
