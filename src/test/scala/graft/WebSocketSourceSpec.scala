@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.kafkashape.KafkaShapedSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end connector tests against the in-process RFC 6455 server
+  * (SURVEY.md §5.2 item 4): subscribe-on-connect, frame→row flow with
+  * the §1.1 record schema, server-initiated drop → backoff reconnect →
+  * re-subscribe, drift-free interval messages, graceful stop, and the
+  * full reference pipeline (WS source → identity transform →
+  * kafka-shaped sink, `/root/reference/src/main.cpp:48-50`).
+  */
+class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val spark = SparkTestSession.spark
+
+  /** Poll until `cond` or deadline; streaming arrival is async. */
+  private def eventually(timeoutMs: Long = 15000)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    cond
+  }
+
+  private def wsStream(server: TestWsServer, extra: (String, String)*): DataFrame = {
+    val base = spark.readStream.format("websocket")
+      .option("url", server.url)
+      .option("key", "websocket_1")
+      .option("subscribeMessage", """{"action":"subscribe","channels":["book"]}""")
+      .option("reconnectDelayMs", "200")
+      .option("connectTimeoutMs", "2000")
+    extra.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  test("frames become (key, value, ts) rows; subscribe sent on connect") {
+    val server = new TestWsServer
+    try {
+      val name = s"ws_sink_${System.nanoTime()}"
+      val q = wsStream(server).writeStream
+        .format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(0L)).start()
+      try {
+        assert(eventually()(server.totalConnects >= 1), "client never connected")
+        assert(eventually()(server.received.size >= 1), "subscribe message never arrived")
+        assert(server.received.peek() == """{"action":"subscribe","channels":["book"]}""")
+        (1 to 5).foreach(i => server.send(s"""{"seq":$i}"""))
+        assert(eventually()(spark.table(name).count() == 5),
+          s"expected 5 rows, got ${spark.table(name).count()}")
+        val rows = spark.table(name).orderBy("value").collect()
+        assert(rows.forall(_.getString(0) == "websocket_1"), "fixed key broken")
+        assert(rows.map(_.getString(1)).toSet == (1 to 5).map(i => s"""{"seq":$i}""").toSet)
+        assert(rows.forall(_.getTimestamp(2) != null), "receipt timestamp missing")
+      } finally q.stop()
+    } finally server.close()
+  }
+
+  test("server drop triggers backoff reconnect with re-subscribe; frames resume") {
+    val server = new TestWsServer
+    try {
+      val name = s"ws_sink_${System.nanoTime()}"
+      val q = wsStream(server).writeStream
+        .format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(0L)).start()
+      try {
+        assert(eventually()(server.totalConnects >= 1), "initial connect failed")
+        server.send("before-drop")
+        assert(eventually()(spark.table(name).count() == 1))
+        server.dropConnection()
+        assert(eventually()(server.totalConnects >= 2),
+          "client did not reconnect after drop")
+        // subscribe must be re-sent INSIDE the retry loop (wsclient.hpp:144)
+        assert(eventually() {
+          server.received.toArray.count(
+            _ == """{"action":"subscribe","channels":["book"]}""") == 2
+        }, "subscribe not re-sent on reconnect")
+        server.send("after-drop")
+        assert(eventually()(spark.table(name).count() == 2),
+          "frames after reconnect never arrived")
+      } finally q.stop()
+    } finally server.close()
+  }
+
+  test("interval messages are re-sent on a fixed cadence") {
+    val server = new TestWsServer
+    try {
+      val name = s"ws_sink_${System.nanoTime()}"
+      val q = wsStream(server,
+        "intervalMessages" -> """{"action":"getBook"};{"action":"ping"}""",
+        "intervalMs" -> "200")
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(0L)).start()
+      try {
+        assert(eventually()(server.totalConnects >= 1))
+        assert(eventually() {
+          val msgs = server.received.toArray.map(_.toString)
+          msgs.count(_ == """{"action":"getBook"}""") >= 2 &&
+            msgs.count(_ == """{"action":"ping"}""") >= 2
+        }, s"interval messages not repeating: ${server.received.toArray.mkString(", ")}")
+      } finally q.stop()
+    } finally server.close()
+  }
+
+  test("reference pipeline e2e: WS source -> identity -> kafka-shaped sink") {
+    val server = new TestWsServer
+    val outDir = Files.createTempDirectory("kafka_shape_out").toString
+    val chk = Files.createTempDirectory("kafka_shape_chk").toString
+    try {
+      // the reference's whole "query": source piped to keyed sink
+      // (main.cpp:48-50)
+      val q = KafkaShapedSink.start(
+        wsStream(server).select("key", "value"),
+        outDir, chk, topic = Some("events_raw"), numPartitions = 4)
+      try {
+        assert(eventually()(server.totalConnects >= 1))
+        (1 to 8).foreach(i => server.send(s"""{"tick":$i}"""))
+        assert(eventually(20000) {
+          try spark.read.parquet(outDir).count() == 8 catch { case _: Exception => false }
+        }, "sink never materialized all frames")
+        val out = spark.read.parquet(outDir)
+        assert(out.columns.toSet == Set("key", "value", "partition", "ts", "epoch", "topic"))
+        assert(out.select("topic").distinct().collect().map(_.getString(0)).toSeq == Seq("events_raw"))
+        val parts = out.select("partition").distinct().collect().map(_.getInt(0))
+        assert(parts.forall(p => p >= 0 && p < 4), "partitioner out of range")
+        // fixed key -> default partitioner puts every record in ONE partition
+        assert(parts.length == 1, "same key must hash to the same partition")
+        assert(out.select("value").collect().map(_.getString(0)).toSet ==
+          (1 to 8).map(i => s"""{"tick":$i}""").toSet)
+      } finally q.stop()
+    } finally server.close()
+  }
+
+  test("kafka-shaped sink validates the record contract") {
+    import spark.implicits._
+    val bad = Seq((1, 2)).toDF("a", "b")
+    intercept[IllegalArgumentException](KafkaShapedSink.validate(bad, Some("t")))
+    val noTopic = Seq(("k", "v")).toDF("key", "value")
+    intercept[IllegalArgumentException](KafkaShapedSink.validate(noTopic, None))
+    KafkaShapedSink.validate(noTopic, Some("t")) // ok with fixed topic
+  }
+}
