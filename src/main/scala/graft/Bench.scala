@@ -40,10 +40,17 @@ object Bench {
     try runOnce("warmup", SparkEntry.queries("q01_pricing_summary"))
     catch { case _: Throwable => () }
 
+    // Median-of-reps for fast queries (where JIT/GC noise dominates);
+    // single-shot for slow ones (>5 s: plan cost dominates, repeating
+    // only triples wall time without changing the signal).
+    val repeatBelowSec = 5.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times =
-        try Seq.fill(reps)(runOnce(name, fn)).sorted
-        catch { case e: Throwable =>
+        try {
+          val first = runOnce(name, fn)
+          if (first > repeatBelowSec) Seq(first)
+          else (Seq(first) ++ Seq.fill(reps - 1)(runOnce(name, fn))).sorted
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name
           Seq.empty[Double]
@@ -51,6 +58,7 @@ object Bench {
       val sec =
         if (times.isEmpty) -1.0
         else times(times.size / 2) // median
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s (${times.size} reps)")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over two
+  * `ArrayType(FloatType)` columns — the §2B "scalar UDF surface" row done
+  * the preferred way (SURVEY.md §4.2: a codegen'd `Expression` beats a
+  * Scala UDF beats everything else): no serialization boundary, no
+  * boxing, a tight primitive loop inside whole-stage codegen.
+  *
+  * Semantics are IDENTICAL to `VectorOps.cosine` (same fold order, same
+  * association: dot / (sqrt(Σx²) · sqrt(Σy²)) with float→double widening
+  * per element), so it verifies against the same DuckDB oracle (q61 vs
+  * q44) and `CosineSimSpec` asserts expression == higher-order-function
+  * bit-for-bit. Mismatched lengths raise; zero vectors yield NaN (the
+  * mathematical result of 0/0 — filter upstream if undefined is
+  * unacceptable).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "cosine_sim"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim requires two ARRAY<FLOAT> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: dimension mismatch $n vs ${y.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, dot, na, nb, xv, yv) =
+        (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("dot"),
+          ctx.freshName("na"), ctx.freshName("nb"), ctx.freshName("xv"), ctx.freshName("yv"))
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: dimension mismatch " + $n + " vs " + $b.numElements());
+         |}
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xv = (double) $a.getFloat($i);
+         |  final double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Engine extensions — registers native functions into every session
+  * built with `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (GraftSession sets this), making `cosine_sim(a, b)` available to SQL
+  * and `selectExpr` with full codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSim(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_sig takes exactly 2 arguments")
+        MinHashSig(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash62"),
+      new ExpressionInfo(classOf[SimHash62].getName, "simhash62"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash62 takes exactly 1 argument")
+        SimHash62(children.head)
+      }))
+  }
+}

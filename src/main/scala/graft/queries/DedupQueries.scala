@@ -28,14 +28,28 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QueryModule {
 
-  /** Distinct 3-word shingles of `text`, as a SQL expression both DuckDB
-    * and Spark compute identically: words split on single space, shingle
-    * i = words[i..i+2] joined by space, i = 0 .. n-3.
+  /** doc_id + distinct 3-word shingles, as both engines compute them:
+    * words split on single space, shingle i = words[i..i+2] joined by
+    * space, i = 0 .. n-3.
+    *
+    * Two performance constraints learned by profiling at sf0.1:
+    *  - the split MUST be materialized as its own column before the
+    *    shingle lambda — an inlined `split(text)[i]` re-splits the whole
+    *    text per shingle (O(words²) per document; 28 CPU-minutes on 5000
+    *    docs before the fix, interpreted higher-order eval has no CSE);
+    *  - the scan is explicitly repartitioned: the local fixture is ONE
+    *    parquet file = one input partition, and a compute-bound map
+    *    stage must be scattered (on a real cluster file splitting does
+    *    this; AQE cannot — there is no shuffle to re-plan).
     */
-  private val shinglesExpr: Column = expr(
-    """array_distinct(transform(
-      |  sequence(0, size(split(text, ' ')) - 3),
-      |  i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))""".stripMargin)
+  private[queries] def shingled(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"))
+      .filter(size(col("sh")) > 0)
+      .select("doc_id", "source", "sh")
 
   /** Shared DuckDB CTE: doc_id + distinct 3-word shingle list. */
   private val oracleShingles: String =
@@ -77,12 +91,11 @@ object DedupQueries extends QueryModule {
     *  4. exact-Jaccard verify INSIDE buckets only, threshold 0.8.
     */
   def q41MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shinglesExpr.as("sh"))
-      .filter(size(col("sh")) > 0)
+    val docs = shingled(spark, dir).select("doc_id", "sh")
     val bands = docs
-      .withColumn("sig", expr(
-        "transform(sequence(0, 127), i -> array_min(transform(sh, s -> xxhash64(s, i))))"))
+      // native MinHashSig expression: compiled two-level loop, ~40×
+      // faster than the nested-transform HOF formulation at sf0.1
+      .withColumn("sig", expr("minhash_sig(sh, 128)"))
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
         .as(Seq("band", "bkey")))
@@ -109,10 +122,12 @@ object DedupQueries extends QueryModule {
     * aggregate keeps the output bounded at any scale.
     */
   def q42NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir).select(
-      col("doc_id"), col("source"),
-      expr("array_distinct(transform(sequence(1, char_length(text) - 2), i -> substr(text, i, 3)))")
-        .as("g"))
+    val grams = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"), col("source"),
+        expr("array_distinct(transform(sequence(1, char_length(text) - 2), i -> substr(text, i, 3)))")
+          .as("g"))
     grams.as("a")
       .join(grams.as("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
@@ -140,22 +155,11 @@ object DedupQueries extends QueryModule {
     * nested higher-order expressions (one projection, no shuffle).
     */
   def q43Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigExpr = expr(
-      """aggregate(
-        |  sequence(0, 61),
-        |  cast(0 as bigint),
-        |  (acc, bb) -> acc + if(
-        |    aggregate(hs, 0,
-        |      (a2, h) -> a2 + if((if(bb < 31, shiftright(h.h1, bb), shiftright(h.h2, bb - 31)) & 1) = 1, 1, -1)) > 0,
-        |    shiftleft(cast(1 as bigint), bb), cast(0 as bigint)))""".stripMargin)
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shinglesExpr.as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", expr(
-        """transform(sh, s -> named_struct(
-          |  'h1', cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint),
-          |  'h2', cast(conv(substr(md5(s), 9, 8), 16, 10) as bigint)))""".stripMargin))
-      .select(col("doc_id"), sigExpr.as("sig"))
+    // native SimHash62 expression — bit-compatible with the md5-derived
+    // oracle formulation (SketchKernels.simhash62), but a compiled loop:
+    // the equivalent nested-aggregate HOF took 282 s at sf0.1.
+    val sigs = shingled(spark, dir)
+      .select(col("doc_id"), expr("simhash62(sh)").as("sig"))
     // 11 pigeonhole bands: 7 bands of 6 bits + 4 bands of 5 bits = 62.
     val bands = sigs.select(col("doc_id"), col("sig"), posexplode(expr(
       """transform(sequence(0, 10), k ->

@@ -72,16 +72,19 @@ object SimilarityQueries extends QueryModule {
     * survives the window's partial sort.
     */
   def q46NnPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        VectorOps.norm(col("embedding")).as("nrm"))
-    val pairs = e.as("a")
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // Pair loop runs through the NATIVE cosine_sim expression (codegen'd
+    // primitive loop; the zip_with/aggregate tree is interpreted per
+    // element — measured 10×+ slower on the n² pair volume). The probe
+    // side is repartitioned because the local fixture is one parquet
+    // file = one input partition for an n·d-heavy map stage.
+    val pairs = e
+      .repartition(spark.sparkContext.defaultParallelism)
       .join(broadcast(e.select(col("vec_id").as("nn_id"),
-        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))),
+        col("embedding").as("emb_b"))),
         col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("nn_id"),
-        round(VectorOps.cosinePrenormed(col("embedding"), col("emb_b"),
-          col("nrm"), col("nrm_b")), 6).as("cos"))
+      .selectExpr("vec_id", "nn_id",
+        "round(cosine_sim(embedding, emb_b), 6) AS cos")
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id").asc)
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
@@ -105,8 +108,23 @@ object SimilarityQueries extends QueryModule {
       .orderBy("label")
   }
 
+  /** q61: q44 re-expressed through the NATIVE `cosine_sim` Catalyst
+    * expression (graft.functions.CosineSim, registered by
+    * GraftExtensions) — one tight codegen'd loop per row instead of the
+    * zip_with/aggregate expression tree. Same semantics, same oracle as
+    * q44; CosineSimSpec asserts expression == higher-order bit-for-bit.
+    */
+  def q61CosineExprTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .selectExpr("vec_id", "label", "round(cosine_sim(embedding, qv), 6) AS cos")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_cosine_topk" -> (q44CosineTopk _),
+    "q61_cosine_expr_topk" -> (q61CosineExprTopk _),
     "q45_ann_grouped" -> (q45AnnGrouped _),
     "q46_nn_pairs" -> (q46NnPairs _),
     "q47_centroid" -> (q47Centroid _)
@@ -116,6 +134,12 @@ object SimilarityQueries extends QueryModule {
     "list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[])"
 
   override val oracles: Map[String, String] = Map(
+    // identical ground truth to q44 — the native expression must agree
+    "q61_cosine_expr_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT a.vec_id, a.label, round($oracleCos, 6) AS cos
+        |FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
+        |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
     "q44_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT a.vec_id, a.label, round($oracleCos, 6) AS cos

@@ -33,9 +33,13 @@ object TextQueries extends QueryModule {
     "fr" -> Seq("le", "et", "join", "merge"),
     "zh" -> Seq("ni", "hao", "stream", "vector"))
 
+  /** Occurrence count of the profile's markers over a PRE-SPLIT `ws`
+    * column — inlining `split(text)` here would re-split per profile
+    * per row (5× the dominant cost; see DedupQueries.shingled).
+    */
   private def scoreCol(lang: String): Column = {
     val set = profiles(lang).map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter(split(text, ' '), w -> w IN ($set)))")
+    expr(s"size(filter(ws, w -> w IN ($set)))")
   }
 
   private def scoreSql(lang: String): String = {
@@ -48,7 +52,10 @@ object TextQueries extends QueryModule {
     * expressed as a when-chain so both engines evaluate identically.
     */
   def q48LangId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = langs.foldLeft(Tables.documents(spark, dir)) {
+    val base = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("ws", split(col("text"), " "))
+    val scored = langs.foldLeft(base) {
       (df, l) => df.withColumn(s"s_$l", scoreCol(l))
     }
     val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
@@ -96,10 +103,12 @@ object TextQueries extends QueryModule {
     */
   def q50Tokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("ws_tokens", size(split(col("text"), " ")))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("ws_tokens", size(col("ws")))
       .withColumn("re_tokens", size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))))
       .withColumn("subwords",
-        expr("aggregate(split(text, ' '), 0, (acc, w) -> acc + cast(ceil(char_length(w) / 4.0) as int))"))
+        expr("aggregate(ws, 0, (acc, w) -> acc + cast(ceil(char_length(w) / 4.0) as int))"))
       .groupBy("source")
       .agg(
         sum("ws_tokens").as("sum_ws_tokens"),
@@ -116,11 +125,12 @@ object TextQueries extends QueryModule {
     */
   def q51Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("ws", split(col("text"), " "))
       .withColumn("hs", expr(
-        """transform(sequence(0, size(split(text, ' ')) - 5),
+        """transform(sequence(0, size(ws) - 5),
           |  i -> cast(conv(substr(md5(concat_ws(' ',
-          |         split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2],
-          |         split(text, ' ')[i+3], split(text, ' ')[i+4])), 1, 15), 16, 10) as bigint))""".stripMargin))
+          |         ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])), 1, 15), 16, 10) as bigint))""".stripMargin))
       .filter(size(col("hs")) >= 4)
       .withColumn("fps", expr(
         "array_distinct(transform(sequence(0, size(hs) - 4), j -> array_min(slice(hs, j + 1, 4))))"))
