@@ -102,6 +102,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("gram5_md5"),
+      new ExpressionInfo(classOf[Gram5Md5].getName, "gram5_md5"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "gram5_md5 takes exactly 1 argument")
+        Gram5Md5(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash62"),
       new ExpressionInfo(classOf[SimHash62].getName, "simhash62"),
       (children: Seq[Expression]) => {

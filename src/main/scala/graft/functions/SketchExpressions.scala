@@ -80,6 +80,37 @@ object SketchKernels {
     }
     sig
   }
+
+  /** Rolling 5-gram hashes for winnowing fingerprints, bit-compatible
+    * with the SQL/oracle formulation in TextQueries.q51: hash of gram i
+    * = first 15 hex chars of md5(words[i..i+4] joined by ' ') as a
+    * base-16 integer — i.e. the big-endian u64 of md5 bytes 0..7
+    * shifted right one nibble (always < 2⁶⁰, so never negative).
+    */
+  def gram5Md5(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val cnt = math.max(0, n - 4)
+    val out = new Array[Long](cnt)
+    val md = MessageDigest.getInstance("MD5")
+    val space = ' '.toByte
+    var i = 0
+    while (i < cnt) {
+      md.reset()
+      var j = 0
+      while (j < 5) {
+        if (j > 0) md.update(space)
+        md.update(arr.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `minhash_sig(shingles, k)` — ArrayType(StringType) → ArrayType(LongType). */
@@ -110,6 +141,29 @@ case class MinHashSig(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashSig =
     copy(left = newLeft, right = newRight)
+}
+
+/** `gram5_md5(words)` — ArrayType(StringType) → ArrayType(LongType). */
+case class Gram5Md5(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "gram5_md5"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"gram5_md5 requires ARRAY<STRING>, got ${t.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    SketchKernels.gram5Md5(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SketchKernels.gram5Md5($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Gram5Md5 =
+    copy(child = newChild)
 }
 
 /** `simhash62(shingles)` — ArrayType(StringType) → LongType. */

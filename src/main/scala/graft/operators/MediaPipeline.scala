@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed multimodal record: opaque binary payload + structured sidecar
+  * metadata — the image/audio/video column shape (SURVEY.md §2B
+  * "multimodal columns"). The payload is schema-opaque exactly like the
+  * reference's frames (`/root/reference/src/wsclient.hpp:59` hands
+  * `(const char*, size_t)` to the sink unparsed).
+  */
+case class MediaMeta(lang: String, n_chars: Long, width: Int, height: Int)
+case class MediaRecord(doc_id: Long, media_type: String, blob: Array[Byte], meta: MediaMeta)
+
+/** Decoded features per media record. `feature` is a fixed-width float
+  * vector (what an encoder model would emit), so downstream similarity
+  * search (SimilarityQueries) applies unchanged.
+  */
+case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Int,
+    checksum: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    feature: Array[Float])
+
+/** Multimodal decode / feature-extract / frame-sample plumbing.
+  *
+  * The actual codec is STUBBED (`decodeStub`): this container has no
+  * image/audio libraries, so the stub produces deterministic fake pixels
+  * from the payload bytes. Everything AROUND the stub is the real
+  * production shape and is what the tests pin down:
+  *  - typed binary + struct schema that round-trips Parquet losslessly;
+  *  - `mapPartitions` execution — the decoder is invoked once per
+  *    PARTITION with an iterator (per-batch codec/model initialization
+  *    amortized across rows, the same batching contract as an Arrow/
+  *    vectorized UDF), never per row and never on the driver;
+  *  - lazy iterators end-to-end — a partition is never materialized as
+  *    a list, so 100 GB of video in one partition streams through.
+  */
+object MediaPipeline {
+
+  /** Manufacture media records from the documents fixture: text bytes
+    * stand in for an encoded image; width/height are deterministic
+    * pseudo-dimensions derived from the id.
+    */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col("text"), "UTF-8").as("blob"),
+      struct(
+        col("lang"),
+        col("n_chars"),
+        (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(5)) * 120 + 240).cast("int").as("height")).as("meta"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder — deterministic fake in place of a real codec (no
+    * image/audio libs in this environment). A production deployment
+    * replaces ONLY this function (e.g. with a JNI codec or an Arrow UDF
+    * calling into a vision encoder); signature and call site stay.
+    */
+  private[operators] def decodeStub(blob: Array[Byte], meta: MediaMeta): Array[Float] = {
+    // "decode" = fold payload bytes into a 16-dim unit-ish embedding
+    val dim = 16
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < blob.length) {
+      acc(i % dim) += (blob(i) & 0xff) / 255.0f
+      i += 1
+    }
+    val n = math.max(1, blob.length / dim)
+    acc.map(_ / n)
+  }
+
+  /** Decode + feature-extract via mapPartitions: one decoder context per
+    * partition, streamed row-at-a-time off the iterator.
+    */
+  def decodeAndFeaturize(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition init happens HERE (codec handles, model weights);
+      // the stub needs none, but the shape is the contract
+      it.map { r =>
+        val feature = decodeStub(r.blob, r.meta)
+        var checksum = 0L
+        var i = 0
+        while (i < r.blob.length) { checksum = checksum * 31 + (r.blob(i) & 0xff); i += 1 }
+        MediaFeatures(r.doc_id, r.media_type, r.blob.length, checksum,
+          r.meta.width, r.meta.height,
+          n_frames = math.max(1, r.blob.length / 64), feature = feature)
+      }
+    }
+  }
+
+  /** Frame sampling: cut the payload into fixed-size frames and keep
+    * every `stride`-th — pure per-row array logic (a Generate-shaped op:
+    * one input row → n frame rows).
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int, stride: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val nFrames = r.blob.length / frameBytes
+      (0 until nFrames by stride).map { f =>
+        (r.doc_id, f, r.blob.slice(f * frameBytes, (f + 1) * frameBytes))
+      }
+    }.toDF("doc_id", "frame_no", "frame")
+  }
+}

@@ -127,10 +127,9 @@ object TextQueries extends QueryModule {
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("hs", expr(
-        """transform(sequence(0, size(ws) - 5),
-          |  i -> cast(conv(substr(md5(concat_ws(' ',
-          |         ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])), 1, 15), 16, 10) as bigint))""".stripMargin))
+      // native Gram5Md5 kernel — same md5-derived values as the SQL
+      // formulation the oracle uses, ~10× less interpreted-lambda cost
+      .withColumn("hs", expr("gram5_md5(ws)"))
       .filter(size(col("hs")) >= 4)
       .withColumn("fps", expr(
         "array_distinct(transform(sequence(0, size(hs) - 4), j -> array_min(slice(hs, j + 1, 4))))"))

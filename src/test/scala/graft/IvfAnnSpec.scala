@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.IvfAnn
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF-flat ANN vs the brute-force exact scan: the index partitions the
+  * data completely, probing fewer lists scans fewer candidates, and
+  * recall@10 at nprobe=8/16 meets a pinned floor (everything is
+  * deterministic — sample-init centroids, no RNG — so the floor is a
+  * regression pin, not a statistical hope).
+  */
+class IvfAnnSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private val nLists = 16
+  private lazy val emb = Tables.embeddings(spark, SparkTestSession.sf0001)
+  private lazy val built = IvfAnn.build(spark, emb, nLists)
+  private lazy val query = emb.filter(col("vec_id") === 0).select("embedding")
+
+  private def bruteTop(k: Int): Seq[Long] =
+    emb.crossJoin(broadcast(query.select(col("embedding").as("qv"))))
+      .filter(col("vec_id") =!= 0)
+      .selectExpr("vec_id", "cosine_sim(embedding, qv) AS cos")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k).collect().map(_.getLong(0)).toSeq
+
+  test("index is a complete partition of the vectors") {
+    val (index, centroids) = built
+    assert(centroids.count() == nLists)
+    assert(index.count() == emb.count(), "vectors lost or duplicated in assignment")
+    assert(index.select("vec_id").distinct().count() == emb.count())
+    val lists = index.groupBy("list_id").count().collect()
+    assert(lists.forall(_.getLong(1) > 0), "empty inverted list")
+  }
+
+  test("recall@10 improves with nprobe and hits exact at full probe") {
+    val (index, centroids) = built
+    val want = bruteTop(10).toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = IvfAnn.search(index.filter(col("vec_id") =!= 0), centroids,
+        query, k = 10, nprobe = nprobe)
+        .collect().map(_.getLong(0)).toSet
+      (got & want).size.toDouble / want.size
+    }
+    val r4 = recallAt(4); val r8 = recallAt(8); val r16 = recallAt(nLists)
+    assert(r16 == 1.0, s"full probe must be exact, got $r16")
+    assert(r8 >= r4 - 1e-9, s"recall not monotone: nprobe=4 -> $r4, nprobe=8 -> $r8")
+    assert(r8 >= 0.5, s"recall@10 with half the lists probed = $r8 — index useless")
+  }
+
+  test("probing fewer lists scans proportionally fewer candidates") {
+    val (index, centroids) = built
+    val probed = centroids
+      .crossJoin(broadcast(query.select(col("embedding").as("qv"))))
+      .selectExpr("list_id", "cosine_sim(centroid, qv) AS csim")
+      .orderBy(col("csim").desc).limit(4).select("list_id")
+    val scanned = index.join(broadcast(probed), Seq("list_id"), "left_semi").count()
+    val total = index.count()
+    assert(scanned < total * 0.6,
+      s"nprobe=4/$nLists scanned $scanned of $total — no pruning happening")
+  }
+}

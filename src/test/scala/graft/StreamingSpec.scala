@@ -190,6 +190,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.synchronized(seen.forall(_ % 10 == 0)), "rowsPerBatch contract broken")
   }
 
+  test("checkpoint restart resumes offsets and dedup state across a stop") {
+    // The reference has no recovery story (at-most-once, frames lost in
+    // the reconnect window — SURVEY §1.5); checkpointed state is the
+    // engine-side upgrade: a stopped-and-restarted query must neither
+    // re-emit old keys nor re-process committed batches.
+    val t0 = Timestamp.valueOf("2031-01-01 12:00:00")
+    def ev(id: Long, user: Long, typ: String) =
+      Event(id, new Timestamp(t0.getTime + id * 1000L), user, typ, 1.0, "{}")
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val chk = java.nio.file.Files.createTempDirectory("chk_restart").toString
+    val emitted = mutable.ArrayBuffer.empty[(Long, (Long, String))] // (runId, key)
+
+    def start(run: Long) = mem.toDF()
+      .dropDuplicates(Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+      .writeStream
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .foreachBatch { (df: Dataset[Row], _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+        emitted.synchronized { emitted ++= rows.map(run -> _) }
+        ()
+      }.start()
+
+    val q1 = start(1)
+    mem.addData(Seq(ev(1, 1, "a"), ev(2, 2, "a"), ev(3, 1, "a")))
+    q1.processAllAvailable()
+    q1.stop()
+    // data arrives while the query is down; includes a dup of (1, "a")
+    mem.addData(Seq(ev(4, 1, "a"), ev(5, 3, "b")))
+    val q2 = start(2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val run1 = emitted.synchronized(emitted.filter(_._1 == 1).map(_._2).toSet)
+    val run2 = emitted.synchronized(emitted.filter(_._1 == 2).map(_._2).toSet)
+    assert(run1 == Set((1L, "a"), (2L, "a")))
+    assert(run2 == Set((3L, "b")),
+      s"restart re-emitted committed keys or lost state: $run2")
+  }
+
   test("dropDuplicatesWithinWatermark catches dups inside the horizon") {
     // All events inside one hour, horizon one day: within-watermark dedup
     // must behave as exact dedup (state can't expire mid-stream). The
