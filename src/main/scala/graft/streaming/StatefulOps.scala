@@ -59,6 +59,29 @@ object StatefulOps {
       }
   }
 
+  /** Threshold-crossing alerts via `flatMapGroupsWithState` (the 0..n
+    * rows-per-group shape `mapGroupsWithState` can't express): emits the
+    * state exactly when a user's running balance first crosses
+    * `threshold` upward within a batch, nothing otherwise. The alert
+    * fires per BATCH-boundary observation — the streaming-native
+    * semantic (state is only observable at batch ends), which the spec's
+    * chunk-by-chunk reference mirrors.
+    */
+  def balanceAlerts(events: Dataset[Event], threshold: Double): Dataset[UserRunning] = {
+    implicit val outEnc = Encoders.product[UserRunning]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(key, 0L, 0.0))
+          val next = fold(prev, it)
+          state.update(next)
+          if (prev.balance < threshold && next.balance >= threshold) Iterator.single(next)
+          else Iterator.empty
+      }
+  }
+
   /** Batch reference for `runningBalance`: the same fold applied to the
     * complete (already collected) event list per user — what the
     * streaming query's final state must equal regardless of how the

@@ -65,4 +65,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
   }
+
+  test("q40 exact dedup is a partial+final hash aggregation with a pruned scan") {
+    val df = graft.queries.DedupQueries.q40DedupExact(spark, dir)
+    val plan = finalPlan(df)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no map-side partial aggregation:\n$plan")
+    // column pruning: the scan must not read the unused n_chars column
+    assert(!plan.contains("n_chars"), s"scan reads unused columns:\n$plan")
+  }
+
+  test("q61 native cosine_sim runs inside a WholeStageCodegen span") {
+    val df = graft.queries.SimilarityQueries.q61CosineExprTopk(spark, dir)
+    val plan = finalPlan(df)
+    assert(plan.contains("cosine_sim"), s"expression missing from plan:\n$plan")
+    // codegen'd operators print with a "*(n)" stage prefix; the project
+    // holding cosine_sim must carry one (no interpreted fallback)
+    assert(plan.linesIterator.exists(l => l.contains("cosine_sim") && l.contains("*(")),
+      s"cosine_sim projection not inside a codegen stage:\n$plan")
+  }
+
+  test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
+    val df = Tables.lineitem(spark, dir)
+      .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+    val plan = finalPlan(df)
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"partition-local sort must not shuffle again:\n$plan")
+    assert(plan.contains("Sort"), s"no sort node:\n$plan")
+  }
 }

@@ -167,6 +167,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("flatMapGroupsWithState emits threshold alerts exactly at batch-observed crossings") {
+    val threshold = 50.0
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val cs = chunks(4)
+    val q = StatefulOps.balanceAlerts(mem.toDS(), threshold)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      cs.foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: fold chunk by chunk, record the first upward crossing
+    // observed at a chunk boundary — the same observability the stream has
+    val states = mutable.Map.empty[Long, UserRunning]
+    val want = mutable.Set.empty[(Long, Long)]
+    cs.foreach { c =>
+      c.groupBy(_.user_id).foreach { case (u, es) =>
+        val prev = states.getOrElse(u, UserRunning(u, 0L, 0.0))
+        val next = StatefulOps.fold(prev, es.iterator)
+        states(u) = next
+        if (prev.balance < threshold && next.balance >= threshold)
+          want += ((u, next.n_events))
+      }
+    }
+    assert(want.nonEmpty, "fixture produced no crossings — test is vacuous")
+    assert(got == want.toSet,
+      s"alerts mismatch: missing ${want.toSet -- got}, spurious ${got -- want.toSet}")
+  }
+
   test("rate-micro-batch source feeds a foreachBatch sink under a processing-time trigger") {
     val seen = mutable.ArrayBuffer.empty[Long]
     val q = spark.readStream
