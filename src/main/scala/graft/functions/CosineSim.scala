@@ -102,6 +102,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "shingles3 takes exactly 1 argument")
+        Shingles3(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("trigram_hashes"),
+      new ExpressionInfo(classOf[TrigramHashes].getName, "trigram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "trigram_hashes takes exactly 1 argument")
+        TrigramHashes(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sorted_intersect_count takes exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("gram5_md5"),
       new ExpressionInfo(classOf[Gram5Md5].getName, "gram5_md5"),
       (children: Seq[Expression]) => {

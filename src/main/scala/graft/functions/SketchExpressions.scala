@@ -81,6 +81,70 @@ object SketchKernels {
     sig
   }
 
+  /** Distinct 3-word shingles: words[i..i+2] joined by ' ', first-
+    * occurrence order (order is irrelevant downstream — min/vote/set-
+    * cardinality consumers only). Same strings as the SQL
+    * `concat_ws(' ', ws[i], ws[i+1], ws[i+2])` formulation the oracles
+    * mirror.
+    */
+  def shingles3(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val cnt = math.max(0, n - 2)
+    val seen = new java.util.LinkedHashSet[UTF8String](cnt * 2)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < cnt) {
+      seen.add(UTF8String.concat(
+        arr.getUTF8String(i), space, arr.getUTF8String(i + 1), space, arr.getUTF8String(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Distinct character-trigram hashes of a string: the long-domain
+    * stand-in for the trigram STRING set — set algebra (intersect/union
+    * cardinalities, so Jaccard) is identical as long as xxhash64 is
+    * collision-free on the document's trigram vocabulary (a few
+    * thousand distinct trigrams vs a 2⁶⁴ space; the DuckDB oracle
+    * computes Jaccard on the actual strings, so any collision would
+    * fail the gate rather than pass silently). Character-indexed like
+    * SQL substr — charset-correct for any input.
+    */
+  def trigramHashes(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](math.max(0, n - 2))
+    var i = 0
+    while (i < n - 2) {
+      val b = str.substring(i, i + 3).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Intersection cardinality of two SORTED long arrays — two-pointer
+    * merge, zero allocation. With |A∪B| = |A|+|B|−|A∩B| this gives
+    * Jaccard without materializing the union array (the built-in
+    * array_intersect/array_union pair builds two hash sets and an
+    * output array per PAIR — GBs of garbage on an n² verify join).
+    * Inputs must be sorted ascending and duplicate-free (sort_array
+    * over a distinct-hash array).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
   /** Rolling 5-gram hashes for winnowing fingerprints, bit-compatible
     * with the SQL/oracle formulation in TextQueries.q51: hash of gram i
     * = first 15 hex chars of md5(words[i..i+4] joined by ' ') as a
@@ -140,6 +204,81 @@ case class MinHashSig(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashSig =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `shingles3(words)` — ArrayType(StringType) → ArrayType(StringType), distinct. */
+case class Shingles3(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "shingles3"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"shingles3 requires ARRAY<STRING>, got ${t.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    SketchKernels.shingles3(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SketchKernels.shingles3($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
+/** `trigram_hashes(text)` — StringType → ArrayType(LongType), distinct. */
+case class TrigramHashes(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "trigram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"trigram_hashes requires STRING, got ${t.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    SketchKernels.trigramHashes(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SketchKernels.trigramHashes($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramHashes =
+    copy(child = newChild)
+}
+
+/** `sorted_intersect_count(a, b)` — two sorted ArrayType(LongType) → LongType. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "sorted_intersect_count"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count requires two ARRAY<BIGINT> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SketchKernels.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
 }
 

@@ -42,12 +42,13 @@ object DedupQueries extends QueryModule {
     *    stage must be scattered (on a real cluster file splitting does
     *    this; AQE cannot — there is no shuffle to re-plan).
     */
-  private[queries] def shingled(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+  private[graft] def shingled(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"))
+      // native Shingles3 kernel (same strings as the SQL concat_ws
+      // formulation the oracles mirror) — the interpreted HOF version
+      // was the remaining ~3.5 s/pass floor under q41–q43 at sf0.1
+      .withColumn("sh", expr("shingles3(split(text, ' '))"))
       .filter(size(col("sh")) > 0)
       .select("doc_id", "source", "sh")
 
@@ -122,18 +123,27 @@ object DedupQueries extends QueryModule {
     * aggregate keeps the output bounded at any scale.
     */
   def q42NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // native trigram kernel: distinct trigram HASHES (long set algebra —
+    // the string-set Jaccard is identical absent xxhash64 collisions,
+    // which the string-domain oracle would catch; 8 s → 2 s at sf0.1)
     val grams = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(
-        col("doc_id"), col("source"),
-        expr("array_distinct(transform(sequence(1, char_length(text) - 2), i -> substr(text, i, 3)))")
-          .as("g"))
+      .select(col("doc_id"), col("source"),
+        expr("sort_array(trigram_hashes(text))").as("g"))
+    // build side explicitly broadcast: the per-pair verify projection
+    // then FUSES with the 32-partition probe stage (left to AQE, the
+    // array columns' size underestimate coalesced the joined pairs to
+    // ~1 partition and serialized it). Jaccard via the zero-alloc
+    // two-pointer kernel: |A∩B| / (|A|+|B|−|A∩B|) — identical value,
+    // no per-pair hash sets or union arrays.
     grams.as("a")
-      .join(grams.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .join(broadcast(grams.select(col("source").as("bsource"),
+        col("doc_id").as("bdoc"), col("g").as("gb"))),
+        col("a.source") === col("bsource") && col("a.doc_id") < col("bdoc"))
+      .withColumn("ic", expr("sorted_intersect_count(a.g, gb)"))
       .select(col("a.source").as("source"),
-        (size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
-          size(array_union(col("a.g"), col("b.g")))).as("jac"))
+        (col("ic").cast("double") /
+          (size(col("a.g")) + size(col("gb")) - col("ic"))).as("jac"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_pairs"),
