@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues}
 
 /** Typed event record for streaming pipelines — mirrors the `events`
   * fixture schema (FIXTURES.md) and, shape-wise, the reference's record
@@ -80,6 +80,41 @@ object StatefulOps {
           if (prev.balance < threshold && next.balance >= threshold) Iterator.single(next)
           else Iterator.empty
       }
+  }
+
+  /** `runningBalance` on the Spark 4 `transformWithState` API — typed
+    * state variables in a RocksDB-backed store (the production state
+    * backend; `GraftSession` tests set the provider conf). Same
+    * snapshot-or-delta semantics as the `mapGroupsWithState` version, so
+    * the spec asserts both APIs converge to the identical final state.
+    */
+  class RunningBalanceProcessor extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        inputRows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = Option(state.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      val next = fold(prev, inputRows)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** `runningBalance` via transformWithState (requires the RocksDB state
+    * store provider on the session).
+    */
+  def runningBalanceTws(events: Dataset[Event]): Dataset[UserRunning] = {
+    implicit val outEnc = Encoders.product[UserRunning]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new RunningBalanceProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Batch reference for `runningBalance`: the same fold applied to the

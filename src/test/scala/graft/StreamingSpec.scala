@@ -167,6 +167,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState (RocksDB store) matches mapGroupsWithState final state") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+      val mem = MemoryStream[Event]
+      val name = s"sink_${System.nanoTime()}"
+      val q = StatefulOps.runningBalanceTws(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        chunks(3).foreach { c => mem.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(name).groupBy("user_id")
+        .agg(max(struct($"n_events", $"balance")).as("s"))
+        .select($"user_id", $"s.n_events", $"s.balance")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val want = StatefulOps.batchReference(allEvents)
+      assert(got.keySet == want.keySet)
+      want.foreach { case (u, w) =>
+        assert(got(u)._1 == w.n_events && math.abs(got(u)._2 - w.balance) < 1e-9,
+          s"user $u: got ${got(u)}, want (${w.n_events}, ${w.balance})")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState emits threshold alerts exactly at batch-observed crossings") {
     val threshold = 50.0
     implicit val sqlCtx = spark.sqlContext
