@@ -31,6 +31,8 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as long (Tables.events
       // converts to micros, matching DuckDB's own ns→µs truncation)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table writes (co-located joins) land outside the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Session for local runs/tests. */

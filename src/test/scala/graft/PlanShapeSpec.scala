@@ -85,6 +85,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cosine_sim projection not inside a codegen stage:\n$plan")
   }
 
+  test("bucketed tables join with ZERO exchanges (co-located join)") {
+    // The 100 TB fact-fact join posture: pre-bucket both sides on the
+    // join key at write time; the join then needs no shuffle at all.
+    import org.apache.spark.sql.functions.col
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-or-not question
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      val plan = finalPlan(joined)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))

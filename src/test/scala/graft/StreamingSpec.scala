@@ -255,6 +255,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.synchronized(seen.forall(_ % 10 == 0)), "rowsPerBatch contract broken")
   }
 
+  test("console sink drains a bounded stream under Trigger.AvailableNow") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    mem.addData(chunks(1).head.take(5))
+    val q = mem.toDF().select("event_id", "event_type")
+      .writeStream.format("console").option("numRows", 2)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    assert(!q.isActive, "AvailableNow query did not self-terminate")
+    assert(q.exception.isEmpty, s"console sink failed: ${q.exception}")
+  }
+
   test("checkpoint restart resumes offsets and dedup state across a stop") {
     // The reference has no recovery story (at-most-once, frames lost in
     // the reconnect window — SURVEY §1.5); checkpointed state is the
