@@ -85,6 +85,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cosine_sim projection not inside a codegen stage:\n$plan")
   }
 
+  test("join strategy hints force MERGE and SHUFFLE_HASH physical plans") {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val merge = finalPlan(
+      o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey")))
+    assert(merge.contains("SortMergeJoin"), s"MERGE hint ignored:\n$merge")
+    val shj = finalPlan(
+      o.hint("shuffle_hash").join(l, o("o_orderkey") === l("l_orderkey")))
+    assert(shj.contains("ShuffledHashJoin"), s"SHUFFLE_HASH hint ignored:\n$shj")
+  }
+
   test("bucketed tables join with ZERO exchanges (co-located join)") {
     // The 100 TB fact-fact join posture: pre-bucket both sides on the
     // join key at write time; the join then needs no shuffle at all.
