@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.sources.kafkashape.KafkaShapedSink
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.BeforeAndAfterAll
@@ -129,6 +129,55 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(parts.length == 1, "same key must hash to the same partition")
         assert(out.select("value").collect().map(_.getString(0)).toSet ==
           (1 to 8).map(i => s"""{"tick":$i}""").toSet)
+      } finally q.stop()
+    } finally server.close()
+  }
+
+  test("analytics pipeline e2e: WS JSON frames -> parse -> windowed agg -> kafka-shaped sink") {
+    // Beyond the reference's identity transform: the engine's reason to
+    // exist — parse the opaque frames, aggregate on event time, publish
+    // keyed results. Complete mode re-emits window totals per epoch; the
+    // final epoch's rows are the totals asserted.
+    val server = new TestWsServer
+    val outDir = Files.createTempDirectory("pipe_out").toString
+    val chk = Files.createTempDirectory("pipe_chk").toString
+    try {
+      val parsed = wsStream(server)
+        .select(from_json(col("value"), lit("sym STRING, px DOUBLE, t TIMESTAMP")).as("j"))
+        .select(col("j.sym").as("sym"), col("j.px").as("px"), col("j.t").as("t"))
+        .groupBy(window(col("t"), "1 minute"), col("sym"))
+        .agg(count(lit(1)).as("n"), round(avg("px"), 4).as("avg_px"))
+        .select(col("sym").as("key"),
+          to_json(struct(col("window.start").as("w"), col("n"), col("avg_px"))).as("value"))
+      val q = parsed.writeStream
+        .option("checkpointLocation", chk)
+        .outputMode("complete")
+        .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+          batch.withColumn("epoch", lit(epochId))
+            .write.mode("append").parquet(outDir)
+          ()
+        }.start()
+      try {
+        assert(eventually()(server.totalConnects >= 1))
+        val t = "2030-03-01T10:00:"
+        server.send(s"""{"sym":"AAA","px":10.0,"t":"${t}05"}""")
+        server.send(s"""{"sym":"AAA","px":20.0,"t":"${t}30"}""")
+        server.send(s"""{"sym":"BBB","px":5.5,"t":"${t}59"}""")
+        assert(eventually(20000) {
+          try {
+            val df = spark.read.parquet(outDir)
+            val last = df.agg(max("epoch")).collect()(0).getLong(0)
+            df.filter(col("epoch") === last).count() == 2
+          } catch { case _: Exception => false }
+        }, "windowed totals never reached the sink")
+        val df = spark.read.parquet(outDir)
+        val last = df.agg(max("epoch")).collect()(0).getLong(0)
+        val rows = df.filter(col("epoch") === last)
+          .select("key", "value").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(rows("AAA").contains("\"n\":2") && rows("AAA").contains("15.0"),
+          s"AAA window wrong: ${rows("AAA")}")
+        assert(rows("BBB").contains("\"n\":1"), s"BBB window wrong: ${rows("BBB")}")
       } finally q.stop()
     } finally server.close()
   }
