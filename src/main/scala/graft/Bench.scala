@@ -40,15 +40,19 @@ object Bench {
     try runOnce("warmup", SparkEntry.queries("q01_pricing_summary"))
     catch { case _: Throwable => () }
 
-    // Median-of-reps for fast queries (where JIT/GC noise dominates);
-    // single-shot for slow ones (>5 s: plan cost dominates, repeating
-    // only triples wall time without changing the signal).
+    // Median-of-reps for fast queries (where JIT/GC noise dominates).
+    // Slow queries (>5 s) get a SECOND rep and report the MIN: the
+    // round-4 single-shot rule gave exactly the reps most likely to
+    // have trapped a GC pause n=1, so a noise spike stuck as a
+    // "regression" (q23 0.86→6.88 s with unchanged code). Noise is
+    // strictly additive, so min-of-2 is the robust estimate at half
+    // the cost of median-of-3 on the queries where reps are expensive.
     val repeatBelowSec = 5.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times =
         try {
           val first = runOnce(name, fn)
-          if (first > repeatBelowSec) Seq(first)
+          if (first > repeatBelowSec) Seq(first, runOnce(name, fn)).sorted
           else (Seq(first) ++ Seq.fill(reps - 1)(runOnce(name, fn))).sorted
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -57,6 +61,7 @@ object Bench {
         }
       val sec =
         if (times.isEmpty) -1.0
+        else if (times.size == 2) times.head // min-of-2 for slow queries
         else times(times.size / 2) // median
       System.err.println(f"[bench] $name%-28s $sec%8.2f s (${times.size} reps)")
       name -> sec

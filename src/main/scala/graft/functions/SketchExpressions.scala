@@ -48,6 +48,30 @@ object SketchKernels {
     new GenericArrayData(sig)
   }
 
+  /** k-slot MinHash signature over a (distinct) LONG array — the hashed-
+    * shingle variant used by the banded n-gram path (q42b): slot i =
+    * min over elements of xxhash64(element, seed = i). Same estimator
+    * contract as the string form (k independent hash families), one
+    * `hashLong` per (element, slot) instead of a byte-range hash.
+    */
+  def minhashLongs(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val v = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = XXH64.hashLong(v, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** 62-bit SimHash, bit-compatible with the md5-derived SQL/oracle
     * formulation in DedupQueries.q43: per shingle, h1/h2 are the first
     * and second 4 bytes of md5 (big-endian unsigned — identical to
@@ -107,17 +131,20 @@ object SketchKernels {
     * collision-free on the document's trigram vocabulary (a few
     * thousand distinct trigrams vs a 2⁶⁴ space; the DuckDB oracle
     * computes Jaccard on the actual strings, so any collision would
-    * fail the gate rather than pass silently). Character-indexed like
-    * SQL substr — charset-correct for any input.
+    * fail the gate rather than pass silently). CODE-POINT indexed like
+    * SQL substr: supplementary (non-BMP) characters count as one
+    * position, never split across UTF-16 surrogate halves — matching
+    * DuckDB's code-point `substr` on any input, not just BMP text.
     */
   def trigramHashes(s: UTF8String): ArrayData = {
     val str = s.toString
-    val n = str.length
+    val cps = str.codePoints().toArray
+    val n = cps.length
     val seen = new java.util.HashSet[Long]()
     val out = new scala.collection.mutable.ArrayBuffer[Long](math.max(0, n - 2))
     var i = 0
     while (i < n - 2) {
-      val b = str.substring(i, i + 3).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = new String(cps, i, 3).getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val h = XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
       if (seen.add(h)) out += h
       i += 1
@@ -177,30 +204,40 @@ object SketchKernels {
   }
 }
 
-/** `minhash_sig(shingles, k)` — ArrayType(StringType) → ArrayType(LongType). */
+/** `minhash_sig(shingles, k)` — ArrayType(StringType | LongType) →
+  * ArrayType(LongType). String elements hash their UTF-8 bytes; long
+  * elements (pre-hashed shingles, e.g. `trigram_hashes` output) hash the
+  * 8-byte value — both give k independent families per slot.
+  */
 case class MinHashSig(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def prettyName: String = "minhash_sig"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  private lazy val overLongs: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+      case (ArrayType(StringType | LongType, _), IntegerType) if right.foldable =>
         val k = right.eval().asInstanceOf[Int]
         if (k > 0 && k <= 4096) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(s"minhash_sig: k must be in 1..4096, got $k")
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(
-          s"minhash_sig requires (ARRAY<STRING>, literal INT), got ${l.sql} and ${r.sql}")
+          s"minhash_sig requires (ARRAY<STRING> | ARRAY<BIGINT>, literal INT), got ${l.sql} and ${r.sql}")
     }
 
   override def nullSafeEval(a: Any, k: Any): Any =
-    SketchKernels.minhash(a.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+    if (overLongs) SketchKernels.minhashLongs(a.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+    else SketchKernels.minhash(a.asInstanceOf[ArrayData], k.asInstanceOf[Int])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (overLongs) "minhashLongs" else "minhash"
     nullSafeCodeGen(ctx, ev, (a, k) =>
-      s"${ev.value} = graft.functions.SketchKernels.minhash($a, $k);")
+      s"${ev.value} = graft.functions.SketchKernels.$kernel($a, $k);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashSig =

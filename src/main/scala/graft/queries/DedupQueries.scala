@@ -118,9 +118,14 @@ object DedupQueries extends QueryModule {
   }
 
   /** q42: character-trigram (n-gram) Jaccard, aggregated per source over
-    * within-source pairs. Pair generation is bucketed by `source` (the
-    * blocking key) — an equi-join, not a cross join; the per-source
-    * aggregate keeps the output bounded at any scale.
+    * ALL within-source pairs. This is the exhaustive GROUND-TRUTH entry
+    * (the q18/q18b precedent): blocking on `source` (~5 distinct values)
+    * makes the verify O(n²/5) and the build-side broadcast is the whole
+    * trigram table — exact, and the right baseline at oracle scale, but
+    * NOT the 100 TB plan. The scale path is q42b: the same trigram sets
+    * run through MinHash banding, so candidates are an equi-join on the
+    * band key, nothing is broadcast, and per-pair work only happens
+    * inside buckets.
     */
   def q42NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // native trigram kernel: distinct trigram HASHES (long set algebra —
@@ -144,6 +149,59 @@ object DedupQueries extends QueryModule {
       .select(col("a.source").as("source"),
         (col("ic").cast("double") /
           (size(col("a.g")) + size(col("gb")) - col("ic"))).as("jac"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg("jac"), 5).as("avg_jac"),
+        round(max("jac"), 6).as("max_jac"))
+      .orderBy("source")
+  }
+
+  /** q42b: the 100 TB path for trigram near-dup — per-source NEAR-DUP
+    * pair stats (Jaccard ≥ 0.8) with banded candidate generation:
+    *
+    *  1. distinct trigram hashes per doc (one projection, the q42
+    *     kernel);
+    *  2. 128-slot MinHash signature over the hashed trigrams
+    *     (`minhash_sig` on ARRAY<BIGINT> — one codegen'd two-level
+    *     loop);
+    *  3. 32 bands × 4 rows; candidates = self-EQUI-join on
+    *     (source, band, band key). P[miss | J=0.9] ≈ 1e-15, so the
+    *     banded plan reproduces the all-pairs oracle above the 0.8
+    *     threshold (the q41 recall argument, same constants);
+    *  4. exact verify INSIDE buckets only, via the zero-alloc sorted
+    *     intersect kernel; aggregate per source.
+    *
+    * Versus q42: no broadcast of any doc-side table, no O(n²) pair
+    * enumeration — the shuffles are the band-key equi-join and two
+    * hash-joins back to the trigram arrays, all linear in candidates.
+    * PlanShapeSpec asserts no cartesian/BNLJ and no full-side broadcast
+    * hint survives in the plan.
+    */
+  def q42bNgramJaccardBanded(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        expr("sort_array(trigram_hashes(text))").as("g"))
+    val bands = grams
+      .withColumn("sig", expr("minhash_sig(g, 128)"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        "transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
+        .as(Seq("band", "bkey")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"),
+        col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(grams.select(col("doc_id").as("i"), col("g").as("gi")), "i")
+      .join(grams.select(col("doc_id").as("j"), col("g").as("gj")), "j")
+      .withColumn("ic", expr("sorted_intersect_count(gi, gj)"))
+      .withColumn("jac", col("ic").cast("double") /
+        (size(col("gi")) + size(col("gj")) - col("ic")))
+      .filter(col("jac") >= 0.8)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -191,6 +249,7 @@ object DedupQueries extends QueryModule {
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_minhash_lsh" -> (q41MinhashLsh _),
     "q42_ngram_jaccard" -> (q42NgramJaccard _),
+    "q42b_ngram_banded" -> (q42bNgramJaccardBanded _),
     "q43_simhash" -> (q43Simhash _)
   )
 
@@ -225,6 +284,21 @@ object DedupQueries extends QueryModule {
         |SELECT source, count(*)::BIGINT AS n_pairs,
         |       round(avg(jac), 5) AS avg_jac, round(max(jac), 6) AS max_jac
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    // all-pairs ground truth ABOVE the near-dup threshold — the banded
+    // plan must reproduce it exactly (recall argument in the scaladoc)
+    "q42b_ngram_banded" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |         list_distinct([substr(text, i, 3) FOR i IN range(1, length(text) - 1)]) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.source AS source,
+        |         len(list_intersect(a.g, b.g))::DOUBLE /
+        |           len(list_distinct(list_concat(a.g, b.g))) AS jac
+        |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, count(*)::BIGINT AS n_pairs,
+        |       round(avg(jac), 5) AS avg_jac, round(max(jac), 6) AS max_jac
+        |FROM p WHERE jac >= 0.8 GROUP BY source ORDER BY source""".stripMargin,
     "q43_simhash" ->
       s"""WITH $oracleShingles,
         |h AS (

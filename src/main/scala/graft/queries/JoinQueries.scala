@@ -7,8 +7,13 @@ import org.apache.spark.sql.functions._
 
 /** Join surface (SURVEY.md §2B "Joins"): every join type, plus the as-of
   * join helper. Physical-strategy posture for 100 TB:
-  *  - dimension tables (region 5 rows … part 200k rows at sf1000) are
-  *    explicitly `broadcast()` — no shuffle of the fact table for them;
+  *  - TRUE dimension tables (region 5 rows … part 200k rows at sf1000)
+  *    are explicitly `broadcast()` — no shuffle of the fact table for
+  *    them. `customer` is NOT hinted: at sf1000 it is ~150M rows
+  *    (~30 GB) and a forced broadcast would OOM executors; left to AQE
+  *    it broadcasts below the threshold (as at bench scale, where
+  *    PlanShapeSpec asserts the BroadcastHashJoin still appears) and
+  *    falls back to SMJ above it;
   *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once;
   *    AQE handles skew splitting;
   *  - the theta join is a within-group nested loop on a *dimension*
@@ -26,7 +31,8 @@ object JoinQueries extends QueryModule {
       .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     val c = Tables.customer(spark, dir)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // no broadcast hint: customer is fact-sized at sf1000 — AQE decides
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment", "o_orderpriority")
       .agg(
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
@@ -43,7 +49,8 @@ object JoinQueries extends QueryModule {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name").isin("ASIA", "EUROPE"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // no broadcast hint: customer is fact-sized at sf1000 — AQE decides
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(s),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))

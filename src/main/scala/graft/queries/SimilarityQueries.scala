@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{CentroidAggregator, VectorOps}
+import graft.operators.IvfAnn
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -70,6 +71,11 @@ object SimilarityQueries extends QueryModule {
     * norms; argmax per row via `min_by`-style window. The aggregation is
     * a per-i top-1 — `row_number` + filter, so only the winning row
     * survives the window's partial sort.
+    *
+    * This is the declared EXACT baseline (n² verify); the oracle-gated
+    * scale path is q63 — the IVF index (`operators/IvfAnn`) whose
+    * `partitionBy(list_id)` layout turns the probe into partition
+    * pruning, and whose full-probe search reproduces q44's exact answer.
     */
   def q46NnPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
@@ -122,18 +128,43 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
 
+  /** q63: IVF-ANN search through the oracle gate. Build the inverted-file
+    * index (16 coarse lists, one broadcast assignment pass — see
+    * `operators/IvfAnn`), then search at FULL probe (nprobe = nLists):
+    * every list is scanned, so the result is exactly q44's brute-force
+    * top-k and shares its oracle. The recall/scan-fraction trade at
+    * partial probe (the 100 TB operating point, where `list_id` is a
+    * parquet partition key and unprobed lists are never read) is pinned
+    * separately by `IvfAnnSpec` (recall monotone in nprobe, scan
+    * fraction measured).
+    */
+  def q63IvfFullProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+    val (index, centroids) = IvfAnn.build(spark, emb, nLists = 16)
+    IvfAnn.search(index, centroids,
+      Tables.embeddings(spark, dir).filter(col("vec_id") === 0),
+      k = 10, nprobe = 16)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_cosine_topk" -> (q44CosineTopk _),
     "q61_cosine_expr_topk" -> (q61CosineExprTopk _),
     "q45_ann_grouped" -> (q45AnnGrouped _),
     "q46_nn_pairs" -> (q46NnPairs _),
-    "q47_centroid" -> (q47Centroid _)
+    "q47_centroid" -> (q47Centroid _),
+    "q63_ivf_full_probe" -> (q63IvfFullProbe _)
   )
 
   private val oracleCos =
     "list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[])"
 
   override val oracles: Map[String, String] = Map(
+    // identical ground truth to q44 — full-probe IVF must be exact
+    "q63_ivf_full_probe" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT a.vec_id, a.label, round($oracleCos, 6) AS cos
+        |FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
+        |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
     // identical ground truth to q44 — the native expression must agree
     "q61_cosine_expr_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -51,6 +51,11 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q10 joins the dimension by broadcast, not shuffle") {
+    // customer carries NO broadcast() hint (fact-sized at sf1000 — a
+    // forced broadcast would OOM executors at scale); at bench scale AQE
+    // still promotes it to BroadcastHashJoin via the size threshold, so
+    // the physical plan is unchanged while the 100× plan degrades
+    // gracefully to SMJ instead of dying.
     val plan = finalPlan(JoinQueries.q10JoinShipping(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
   }
@@ -64,6 +69,22 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = finalPlan(DedupQueries.q41MinhashLsh(spark, dir))
     assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+  }
+
+  test("q42b banded trigram near-dup never goes all-pairs nor broadcasts the doc side") {
+    // the scale fix for q42's quadratic+broadcast shape: candidates come
+    // from a band-key equi-join, so the plan may contain no cartesian or
+    // nested-loop join; and with auto-broadcast off, no broadcast at all
+    // (q42's forced broadcast(grams) would survive this setting).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(DedupQueries.q42bNgramJaccardBanded(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"doc-side table still broadcast with auto-broadcast off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q40 exact dedup is a partial+final hash aggregation with a pruned scan") {
