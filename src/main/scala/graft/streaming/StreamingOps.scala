@@ -65,6 +65,46 @@ object StreamingOps extends QueryModule {
       events("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
 
+  /** Stream–stream join with state expiry (the last §2B row): each
+    * `purchase` matched to the same user's `click`s in the preceding
+    * 6 hours — the snapshot+delta correlation the reference's feed
+    * carries (`/root/reference/README.md:45-51` re-requests state so two
+    * event streams can be re-aligned; this is that alignment as a
+    * first-class operator).
+    *
+    * Both sides carry a 1-hour watermark and the join condition bounds
+    * `click_ts` to a closed 6-hour range before `purchase_ts`, so Spark
+    * derives a state watermark for BOTH sides: click state older than
+    * (watermark − 6 h) and purchase state older than the watermark are
+    * EVICTED — state is ~7 h of stream, not the stream itself
+    * (StreamingSpec asserts the eviction on a 30-day replay). As a batch
+    * query the watermarks are no-ops (`EliminateEventTimeWatermark`) and
+    * the same function is the oracle-gated q62.
+    *
+    * Scale: shuffles both sides on `user_id` once; state is per-key ranges
+    * in the state store (RocksDB in production). An unbounded-state join
+    * (no watermark or no time bound) refuses to run in append mode —
+    * Spark's analyzer enforces what the reference could only hope for.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 6 HOURS") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   // ---- batch entries for the driver's oracle gate ----
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -79,10 +119,14 @@ object StreamingOps extends QueryModule {
   def q60SessionWindow(spark: SparkSession, dir: String): DataFrame =
     sessions(ev(spark, dir)).orderBy("user_id", "session_start")
 
+  def q62StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    clickAttribution(ev(spark, dir)).orderBy("purchase_id", "click_id")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_window_tumbling" -> (q58WindowTumbling _),
     "q59_window_sliding" -> (q59WindowSliding _),
-    "q60_session_window" -> (q60SessionWindow _)
+    "q60_session_window" -> (q60SessionWindow _),
+    "q62_stream_stream_join" -> (q62StreamStreamJoin _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -115,6 +159,15 @@ object StreamingOps extends QueryModule {
         |  FROM g)
         |SELECT min(ts) AS session_start, user_id, count(*)::BIGINT AS n,
         |       round(sum(value), 2) AS sum_value
-        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+    // plain interval join — watermarks only bound STATE, never results
+    "q62_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |       c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 6 HOURS AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin
   )
 }

@@ -139,6 +139,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0, "enrichment joined nothing — key overlap assumption broken")
   }
 
+  test("stream-stream interval join equals the batch join over a chunked replay") {
+    // Inner stream-stream joins emit matches eagerly; feeding chunks in
+    // event-time order keeps every needed click inside the state horizon
+    // (watermark 1 h + join range 6 h), so the streaming result must be
+    // exactly the batch interval join.
+    val got = runStream(StreamingOps.clickAttribution, "append", nChunks = 4)
+    val want = StreamingOps.clickAttribution(
+      Tables.events(spark, SparkTestSession.sf0001))
+    assert(canon(got) == canon(want))
+    assert(got.count() > 0, "fixture produced no click→purchase matches — test is vacuous")
+  }
+
+  test("stream-stream join evicts expired state (bounded by watermark + range)") {
+    // 30 days of events flow through a join whose state horizon is ~7 h
+    // (1 h watermark delay + 6 h range). Without eviction the state store
+    // would hold every click and purchase (~400 rows); with it, once a
+    // far-future event advances the watermark, only the flush rows
+    // themselves may remain.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = StreamingOps.clickAttribution(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      chunks(4).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val far = allEvents.last.ts.getTime + 30L * 86400000L
+      // flush both sides' watermarks; sentinel users, a day apart so the
+      // flush rows can't join each other
+      mem.addData(Seq(
+        Event(-1L, new Timestamp(far), -1L, "click", 0.0, "{}"),
+        Event(-2L, new Timestamp(far + 86400000L), -2L, "purchase", 0.0, "{}")))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        Event(-3L, new Timestamp(far + 2 * 86400000L), -1L, "click", 0.0, "{}"),
+        Event(-4L, new Timestamp(far + 3 * 86400000L), -2L, "purchase", 0.0, "{}")))
+      q.processAllAvailable()
+      val nFed = allEvents.count(e => e.event_type == "click" || e.event_type == "purchase")
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).lastOption.map(_.numRowsTotal)
+        .getOrElse(fail("no state operator progress reported"))
+      assert(stateRows < 20,
+        s"state not evicted: $stateRows rows retained of $nFed joined-side events")
+      assert(nFed > 100, "fixture too small for the eviction claim to mean anything")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running balance survives micro-batch chunking") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = org.apache.spark.sql.Encoders.product[Event]
