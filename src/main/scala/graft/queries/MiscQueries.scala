@@ -76,7 +76,10 @@ object MiscQueries extends QueryModule {
     * null encoding, timestamp formatting) fails the hash.
     */
   def q56CsvJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"/tmp/graft_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // per-invocation unique dir: concurrent runs over the same fixture
+    // (Bench reps overlapping a test run) must not race on
+    // overwrite-then-read of a shared path
+    val base = java.nio.file.Files.createTempDirectory("graft_roundtrip_").toString
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),

@@ -10,12 +10,17 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
   * or binary), a `topic` (column or fixed option) — and materializes
   * each epoch with producer metadata:
   *
-  *  - `ts`: producer-assigned wall-clock epoch-millis captured at write
-  *    (`/root/reference/src/kafka_producer.cpp:41-42`);
+  *  - `ts`: producer-assigned wall-clock epoch-millis captured PER
+  *    RECORD at write time (`/root/reference/src/kafka_producer.cpp:41-42`
+  *    stamps each message inside `Publish`) — a non-deterministic
+  *    per-row clock expression, not a per-epoch driver constant;
   *  - `partition`: murmur-hash of the key mod `numPartitions` — the
   *    default partitioner semantics librdkafka applies when the
   *    reference leaves the partition unassigned
-  *    (`kafka_producer.cpp:47`, `PARTITION_UA`);
+  *    (`kafka_producer.cpp:47`, `PARTITION_UA`). NULL keys spread
+  *    uniformly at random across partitions (librdkafka's
+  *    unassigned-partition behavior), never pile onto the constant
+  *    hash-of-null partition;
   *  - output laid out per topic (directory per topic, like a topic log).
   *
   * The transport is parquet-on-disk rather than a broker (no Kafka
@@ -63,12 +68,24 @@ object KafkaShapedSink {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         batch
-          .withColumn("partition", pmod(hash(col("key")), lit(numPartitions)))
-          .withColumn("ts", lit(System.currentTimeMillis()))
+          .withColumn("partition",
+            when(col("key").isNull,
+              floor(rand() * numPartitions).cast("int"))
+              .otherwise(pmod(hash(col("key")), lit(numPartitions))))
+          .withColumn("ts", KafkaShapedSink.recordTimestamp())
           .withColumn("epoch", lit(epochId))
           .write.mode("append").partitionBy("topic").parquet(path)
         ()
       }
       .start()
   }
+
+  /** Producer-assigned epoch-millis, evaluated once PER RECORD on the
+    * executor at write time — `current_timestamp()` folds to one value
+    * per query and a `lit` to one per plan, so neither matches the
+    * reference's stamp-at-publish semantics; a non-deterministic UDF is
+    * re-evaluated per row by construction.
+    */
+  private val recordTimestamp =
+    udf(() => System.currentTimeMillis()).asNondeterministic()
 }

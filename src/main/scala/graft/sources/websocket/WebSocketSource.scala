@@ -35,6 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    re-sent every `intervalMs` on a fixed-rate schedule
   *    (`interval_timer.hpp:33` advances deadline by the interval, which
   *    is `scheduleAtFixedRate`'s contract);
+  *  - keepalive + idle watchdog (A7): the JDK WebSocket does NOT
+  *    auto-ping, so a half-open connection (peer dead, no FIN) would
+  *    hang silently until the TCP stack gives up. Like the reference's
+  *    beast timeout option (`wsclient.hpp:20-21,141-142`: 10 s idle,
+  *    auto-ping), a scheduled task pings every `idleTimeoutMs / 2` and
+  *    aborts the connection into the reconnect loop when no frame OR
+  *    pong has arrived within `idleTimeoutMs` (default 10 000 ms;
+  *    `0` disables);
   *  - TLS/SNI/hostname verification come from the JDK client for wss://
   *    (`wsclient.cpp:32-54` hand-rolls what `HttpClient` does natively).
   *
@@ -99,12 +107,25 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
   private val intervalMs = options.getLong("intervalMs", 10000L)
   private val reconnectDelayMs = options.getLong("reconnectDelayMs", 5000L)
   private val connectTimeoutMs = options.getLong("connectTimeoutMs", 2000L)
+  private val idleTimeoutMs = options.getLong("idleTimeoutMs", 10000L)
   private val maxBufferRows = options.getInt("maxBufferRows", 1 << 20)
 
   // (value, receipt micros) — key is constant, attached at read time.
   private val buffer = ArrayBuffer.empty[(String, Long)]
   /** frames dropped before `buffer(0)` (commit-trimmed). */
   private var trimmed = 0L
+  /** Whether the counter base has been anchored for this stream instance.
+    * Fresh queries anchor at 0 via `initialOffset`; RESTARTED queries
+    * anchor at the checkpoint-restored offset via the first
+    * `deserializeOffset` — without that rebase, Spark would compare the
+    * restored offset N against a counter restarted at 0, plan empty
+    * batches until the fresh count exceeded N, and `commit(N)` would
+    * silently drop the first N frames received after the restart.
+    * Frames lost while the query was DOWN stay lost (non-replayable
+    * source, documented §1.5 parity); frames received while UP are never
+    * dropped.
+    */
+  private var anchored = false
   @volatile private var running = true
 
   private val client = HttpClient.newHttpClient()
@@ -129,11 +150,19 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
       var timer: ScheduledExecutorService = null
       try {
         val closed = new CompletableFuture[Unit]()
+        // last frame-or-pong receipt, for the idle watchdog (A7)
+        val lastActivity = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
         val listener = new WebSocket.Listener {
           private val partial = new StringBuilder
           override def onText(ws: WebSocket, data: CharSequence, last: Boolean): CompletionStage[_] = {
+            lastActivity.set(System.nanoTime())
             partial.append(data)
             if (last) { record(partial.toString); partial.setLength(0) }
+            ws.request(1)
+            null
+          }
+          override def onPong(ws: WebSocket, message: java.nio.ByteBuffer): CompletionStage[_] = {
+            lastActivity.set(System.nanoTime())
             ws.request(1)
             null
           }
@@ -149,15 +178,33 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
         currentWs = ws
         // subscribe-on-connect, INSIDE the retry loop (wsclient.hpp:144)
         subscribeMessage.foreach(m => ws.sendText(m, true).get(connectTimeoutMs, TimeUnit.MILLISECONDS))
-        if (intervalMessages.nonEmpty) {
+        if (intervalMessages.nonEmpty || idleTimeoutMs > 0) {
           timer = timerFactory.get()
-          timer.scheduleAtFixedRate(
-            () => intervalMessages.foreach { m =>
-              // out-of-band write: fire-and-forget, log-and-continue on
-              // error (wsclient.hpp:170-182)
-              try ws.sendText(m, true) catch { case _: Throwable => }
-            },
-            intervalMs, intervalMs, TimeUnit.MILLISECONDS)
+          if (intervalMessages.nonEmpty)
+            timer.scheduleAtFixedRate(
+              () => intervalMessages.foreach { m =>
+                // out-of-band write: fire-and-forget, log-and-continue on
+                // error (wsclient.hpp:170-182)
+                try ws.sendText(m, true) catch { case _: Throwable => }
+              },
+              intervalMs, intervalMs, TimeUnit.MILLISECONDS)
+          if (idleTimeoutMs > 0) {
+            // beast-parity keepalive (wsclient.hpp:141-142): ping at half
+            // the idle budget; if neither a frame nor a pong lands within
+            // the budget, the connection is half-open — abort it into the
+            // reconnect loop instead of hanging forever.
+            val half = math.max(1L, idleTimeoutMs / 2)
+            timer.scheduleAtFixedRate(() => {
+              val idleNanos = System.nanoTime() - lastActivity.get()
+              if (idleNanos > idleTimeoutMs * 1000000L) {
+                closed.completeExceptionally(
+                  new java.io.IOException(s"websocket idle for > ${idleTimeoutMs} ms"))
+                try ws.abort() catch { case _: Throwable => }
+              } else {
+                try ws.sendPing(java.nio.ByteBuffer.allocate(0)) catch { case _: Throwable => }
+              }
+            }, half, half, TimeUnit.MILLISECONDS)
+          }
         }
         try closed.get()
         catch { case _: Exception if running => /* connection lost: fall through to backoff */ }
@@ -175,8 +222,31 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
   reader.setDaemon(true)
   reader.start()
 
-  override def initialOffset(): Offset = WsOffset(0L)
-  override def deserializeOffset(json: String): Offset = WsOffset(json.toLong)
+  /** Called only when no checkpoint exists — a fresh query anchors at 0. */
+  override def initialOffset(): Offset = buffer.synchronized {
+    anchored = true
+    WsOffset(0L)
+  }
+
+  /** On restart, the FIRST deserialized offset is the checkpoint's latest
+    * batch end (`populateStartOffsets` reads the offset log before
+    * anything else): rebase the counter there, so frames received by
+    * this fresh instance map to offsets AFTER the committed point. A
+    * replayed-but-uncommitted batch then plans empty (its frames died
+    * with the old process — non-replayable source) and everything
+    * received since construction flows from the committed offset on.
+    */
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    buffer.synchronized {
+      if (!anchored) {
+        anchored = true
+        if (n > trimmed) trimmed = n
+      }
+    }
+    WsOffset(n)
+  }
+
   override def latestOffset(): Offset =
     buffer.synchronized(WsOffset(trimmed + buffer.size))
 

@@ -92,7 +92,7 @@ final class TestWsServer {
           case 0x1 => received.add(new String(payload, UTF_8))
           case 0x8 => // close: echo and bail
             sendRaw(0x8, payload); return
-          case 0x9 => sendRaw(0xA, payload) // ping -> pong
+          case 0x9 => if (!muted) sendRaw(0xA, payload) // ping -> pong
           case _ => ()
         }
       }
@@ -111,6 +111,12 @@ final class TestWsServer {
 
   /** Push a text frame to the connected client. */
   def send(msg: String): Unit = sendRaw(0x1, msg.getBytes(UTF_8))
+
+  /** While muted the server reads frames but answers NOTHING — no pongs,
+    * no data: the half-open/unresponsive-peer scenario only a client-side
+    * idle watchdog can detect (TCP stays open, so no close/error fires).
+    */
+  @volatile var muted = false
 
   /** Sever the current connection without a close handshake — the
     * "server died" scenario that must trigger the client's backoff
