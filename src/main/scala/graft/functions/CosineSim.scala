@@ -130,6 +130,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Gram5Md5(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("word_set_count"),
+      new ExpressionInfo(classOf[WordSetCount].getName, "word_set_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "word_set_count takes exactly 2 arguments")
+        WordSetCount(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash62"),
       new ExpressionInfo(classOf[SimHash62].getName, "simhash62"),
       (children: Seq[Expression]) => {

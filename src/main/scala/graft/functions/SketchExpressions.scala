@@ -172,6 +172,22 @@ object SketchKernels {
     cnt
   }
 
+  /** Occurrence count of `set` members in `arr` — one hash-set probe per
+    * element, zero-copy over the UTF8String views. Replaces the
+    * interpreted `size(filter(ws, w -> w IN (...)))` lambda that
+    * dominated the text-profile queries (one boxed per-element closure
+    * call per word per profile).
+    */
+  def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var i = 0; var c = 0
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Rolling 5-gram hashes for winnowing fingerprints, bit-compatible
     * with the SQL/oracle formulation in TextQueries.q51: hash of gram i
     * = first 15 hex chars of md5(words[i..i+4] joined by ' ') as a
@@ -340,6 +356,55 @@ case class Gram5Md5(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Gram5Md5 =
     copy(child = newChild)
+}
+
+/** `word_set_count(words, array('w1', …))` — occurrences of the LITERAL
+  * set's members in the word array, IntegerType. The set is materialized
+  * once per expression instance (right side must be foldable) and probed
+  * per element in a compiled loop — the codegen'd replacement for the
+  * interpreted `size(filter(ws, w -> w IN (...)))` idiom.
+  */
+case class WordSetCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "word_set_count"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"word_set_count requires (ARRAY<STRING>, literal ARRAY<STRING>), got ${l.sql} and ${r.sql}")
+    }
+
+  /** Literal membership set, built once; elements copied out of the
+    * literal's backing buffer so the set owns its bytes.
+    */
+  private lazy val set: java.util.HashSet[UTF8String] = {
+    val arr = right.eval().asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[UTF8String](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) {
+      s.add(UTF8String.fromBytes(arr.getUTF8String(i).getBytes))
+      i += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.countIn(a.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.SketchKernels.countIn($a, $setRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordSetCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `simhash62(shingles)` — ArrayType(StringType) → LongType. */

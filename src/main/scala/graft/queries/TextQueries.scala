@@ -35,11 +35,15 @@ object TextQueries extends QueryModule {
 
   /** Occurrence count of the profile's markers over a PRE-SPLIT `ws`
     * column — inlining `split(text)` here would re-split per profile
-    * per row (5× the dominant cost; see DedupQueries.shingled).
+    * per row (5× the dominant cost; see DedupQueries.shingled). The
+    * count runs through the native `word_set_count` expression: the
+    * interpreted `size(filter(ws, w -> w IN (...)))` lambda was the
+    * remaining per-word boxed-closure cost across 5 profiles × every
+    * word (≈14 s of the round-4 q48 bench time).
     */
   private def scoreCol(lang: String): Column = {
     val set = profiles(lang).map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter(ws, w -> w IN ($set)))")
+    expr(s"word_set_count(ws, array($set))")
   }
 
   private def scoreSql(lang: String): String = {
@@ -83,7 +87,7 @@ object TextQueries extends QueryModule {
       .withColumn("vocab_ratio",
         size(array_distinct(col("ws"))).cast("double") / col("n_words"))
       .withColumn("stop_ratio",
-        expr("size(filter(ws, w -> w IN ('the', 'a')))").cast("double") / col("n_words"))
+        expr("word_set_count(ws, array('the', 'a'))").cast("double") / col("n_words"))
       .withColumn("quality",
         col("vocab_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3 +
           least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.2)

@@ -53,6 +53,52 @@ class MinHashSpec extends AnyFunSuite {
     }
   }
 
+  test("trigram_hashes indexes by code point: non-BMP chars are never split") {
+    // "ab😀cd" has 5 code points but 6 UTF-16 units; code-unit slicing
+    // would produce trigrams holding half a surrogate pair, diverging
+    // from DuckDB's code-point substr. Expect exactly the 3 code-point
+    // trigrams, hashed over their UTF-8 bytes.
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def h(s: String): Long = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    }
+    val got = Seq("ab😀cd").toDF("t")
+      .select(expr("trigram_hashes(t)")).collect()(0).getSeq[Long](0)
+    val want = Seq("ab😀", "b😀c", "😀cd").map(h)
+    assert(got == want, s"got $got, want $want")
+  }
+
+  test("minhash_sig over ARRAY<BIGINT> equals the per-slot min of seeded hashLong") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val vals = Seq(3L, 17L, 104729L, -9L)
+    val got = Seq(vals).toDF("g")
+      .select(expr("minhash_sig(g, 16)")).collect()(0).getSeq[Long](0)
+    val want = (0 until 16).map(i => vals.map(v => XXH64.hashLong(v, i.toLong)).min)
+    assert(got == want)
+  }
+
+  test("q42b banded trigram near-dup equals the exact all-pairs stats on sf0.001") {
+    val dir = SparkTestSession.sf0001
+    val banded = DedupQueries.q42bNgramJaccardBanded(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    // exact all-pairs reference on the SAME trigram-hash domain
+    val grams = Tables.documents(spark, dir).select($"doc_id", $"source",
+      expr("sort_array(trigram_hashes(text))").as("g"))
+    val exact = grams.as("a")
+      .join(grams.select($"source".as("bsource"), $"doc_id".as("bdoc"), $"g".as("gb")),
+        $"a.source" === $"bsource" && $"a.doc_id" < $"bdoc")
+      .withColumn("ic", expr("sorted_intersect_count(a.g, gb)"))
+      .withColumn("jac", $"ic".cast("double") / (size($"a.g") + size($"gb") - $"ic"))
+      .filter($"jac" >= 0.8)
+      .groupBy($"a.source".as("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("jac"), 5).as("avg_jac"), round(max("jac"), 6).as("max_jac"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(exact.nonEmpty, "fixture has no trigram near-dups — test is vacuous")
+    assert(banded == exact, s"banding missed/invented pairs: got $banded, want $exact")
+  }
+
   test("q41 banded LSH equals the exact all-pairs jaccard join on sf0.001") {
     val dir = SparkTestSession.sf0001
     val banded = DedupQueries.q41MinhashLsh(spark, dir)
