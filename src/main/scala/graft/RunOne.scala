@@ -14,6 +14,7 @@ object RunOne {
     }
     val names = if (args.isEmpty) Seq("q42_ngram_jaccard", "q42_ngram_jaccard") else args.toSeq
     names.foreach { n =>
+      System.gc() // isolate reps from prior-query garbage (see Bench)
       time(n)(SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save())
     }
     spark.stop()

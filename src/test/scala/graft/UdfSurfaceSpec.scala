@@ -29,4 +29,23 @@ class UdfSurfaceSpec extends AnyFunSuite {
     val r = spark.sql("SELECT len_or_zero(CAST(NULL AS STRING)) AS n").collect()(0)
     assert(r.getInt(0) == 0)
   }
+
+  test("native word_set_count equals the interpreted filter/IN formulation (scalacheck)") {
+    // the q48/q49 hot-path kernel cross-checked against Spark's own
+    // higher-order filter on generated word arrays — duplicates, empties,
+    // unicode, and set members that never occur all included
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("the", "a", "der", "und", "å", "日本", "x1", "", "key", "zz")
+    val genArr = Gen.listOfN(30, word).map(_.take(scala.util.Random.nextInt(31)))
+    val cases = Gen.listOfN(60, genArr).apply(Gen.Parameters.default, Seed(7L)).get
+    val rows = cases.toDF("ws")
+      .selectExpr(
+        "word_set_count(ws, array('the', 'a', '日本', 'absent')) AS native",
+        "size(filter(ws, w -> w IN ('the', 'a', '日本', 'absent'))) AS hof")
+      .collect()
+    assert(rows.length == 60)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"word_set_count ${r.getInt(0)} != filter/IN ${r.getInt(1)}"))
+  }
 }
