@@ -71,6 +71,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
   }
 
+  test("q42 inverted-index pair census joins only on keys — no cartesian, no doc-data broadcast") {
+    // exhaustive semantics, but the plan must still be equi-joins over
+    // fixed-width posting rows; with auto-broadcast off nothing at all
+    // broadcasts (the round-4 shape shipped the whole trigram-array
+    // table as a broadcast build side).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(DedupQueries.q42NgramJaccard(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"doc-side data still broadcast with auto-broadcast off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q42b banded trigram near-dup never goes all-pairs nor broadcasts the doc side") {
     // the scale fix for q42's quadratic+broadcast shape: candidates come
     // from a band-key equi-join, so the plan may contain no cartesian or
