@@ -105,6 +105,33 @@ object StreamingOps extends QueryModule {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** LEFT OUTER variant of [[clickAttribution]]: every purchase emits,
+    * attributed or not. In streaming this is the semantics watermarks
+    * exist for — an unmatched purchase can only be declared unmatched
+    * (null click columns) once the watermark proves no qualifying click
+    * can still arrive, so the null rows surface exactly one state-horizon
+    * late, while matches still emit eagerly. Batch: a plain left join.
+    */
+  def clickAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 6 HOURS") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   // ---- batch entries for the driver's oracle gate ----
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -122,11 +149,15 @@ object StreamingOps extends QueryModule {
   def q62StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
     clickAttribution(ev(spark, dir)).orderBy("purchase_id", "click_id")
 
+  def q64StreamStreamOuter(spark: SparkSession, dir: String): DataFrame =
+    clickAttributionOuter(ev(spark, dir)).orderBy("purchase_id", "click_id")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_window_tumbling" -> (q58WindowTumbling _),
     "q59_window_sliding" -> (q59WindowSliding _),
     "q60_session_window" -> (q60SessionWindow _),
-    "q62_stream_stream_join" -> (q62StreamStreamJoin _)
+    "q62_stream_stream_join" -> (q62StreamStreamJoin _),
+    "q64_stream_stream_outer" -> (q64StreamStreamOuter _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -166,6 +197,14 @@ object StreamingOps extends QueryModule {
         |       c.ts AS click_ts, p.ts AS purchase_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 6 HOURS AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    "q64_stream_stream_outer" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |       c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts BETWEEN p.ts - INTERVAL 6 HOURS AND p.ts
         |ORDER BY purchase_id, click_id""".stripMargin

@@ -151,6 +151,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0, "fixture produced no click→purchase matches — test is vacuous")
   }
 
+  test("stream-stream LEFT OUTER join: null rows emit after the watermark closes, total equals batch") {
+    // Matches emit eagerly; an UNMATCHED purchase can only be emitted
+    // (with null click columns) once the watermark proves no qualifying
+    // click can still arrive. Far-future flush events on both sides
+    // close every real purchase; sentinels are excluded from comparison.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = StreamingOps.clickAttributionOuter(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      chunks(4).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val far = allEvents.last.ts.getTime + 30L * 86400000L
+      (0 to 1).foreach { k =>
+        mem.addData(Seq(
+          Event(-1L - 2 * k, new Timestamp(far + 2 * k * 86400000L), -1L, "click", 0.0, "{}"),
+          Event(-2L - 2 * k, new Timestamp(far + (2 * k + 1) * 86400000L), -2L, "purchase", 0.0, "{}")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table(name).filter($"user_id" >= 0)
+    val want = StreamingOps.clickAttributionOuter(
+      Tables.events(spark, SparkTestSession.sf0001))
+    assert(canon(got) == canon(want))
+    val gotNulls = got.filter($"click_id".isNull).count()
+    val wantNulls = want.filter($"click_id".isNull).count()
+    assert(gotNulls == wantNulls && wantNulls > 0,
+      s"unmatched purchases: stream $gotNulls vs batch $wantNulls (must be > 0 to test anything)")
+  }
+
   test("stream-stream join evicts expired state (bounded by watermark + range)") {
     // 30 days of events flow through a join whose state horizon is ~7 h
     // (1 h watermark delay + 6 h range). Without eviction the state store
