@@ -49,6 +49,26 @@ class IvfAnnSpec extends AnyFunSuite {
     assert(r8 >= 0.5, s"recall@10 with half the lists probed = $r8 — index useless")
   }
 
+  test("partitionBy(list_id) layout prunes unprobed lists at the parquet scan") {
+    // the scaladoc's 100 TB claim, machine-checked: with the index laid
+    // out partitioned on list_id, an nprobe-list filter must reach the
+    // scan as PartitionFilters — the unprobed lists' files are never read.
+    val (index, _) = built
+    val base = java.nio.file.Files.createTempDirectory("ivf_part_").toString
+    index.write.mode("overwrite").partitionBy("list_id").parquet(base)
+    val onDisk = spark.read.parquet(base)
+    val probedLists = Seq(1, 2, 3, 4)
+    val df = onDisk.filter(col("list_id").isin(probedLists: _*))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"),
+      s"probe filter not applied as a partition filter:\n$plan")
+    val scannedFiles = df.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(scannedFiles.forall(f => probedLists.exists(l => f.contains(s"list_id=$l"))),
+      s"files outside the probed lists were read: $scannedFiles")
+  }
+
   test("probing fewer lists scans proportionally fewer candidates") {
     val (index, centroids) = built
     val probed = centroids

@@ -158,6 +158,39 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned-layout scan prunes statically and via dynamic partition pruning") {
+    // The 100 TB layout posture: fact tables land partitioned on their
+    // hot filter/join column; a literal filter must prune at planning
+    // time (PartitionFilters) and a selective dim join must prune at
+    // RUNTIME via DPP — unread partitions are never scanned.
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = java.nio.file.Files.createTempDirectory("li_part_").toString
+    Tables.lineitem(spark, dir)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(base)
+    val part = spark.read.parquet(base)
+
+    // static pruning: literal partition predicate reaches PartitionFilters
+    val statik = finalPlan(part.filter(col("l_returnflag") === "R")
+      .groupBy("l_linestatus").count())
+    assert(statik.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"partition predicate not pushed to the scan:\n$statik")
+
+    // dynamic pruning: the dim's surviving values are only known at
+    // RUNTIME (parquet-backed, non-foldable filter — a literal dim would
+    // constant-fold into a static filter), so the fact scan must carry a
+    // dynamicpruning subquery in PartitionFilters
+    import spark.implicits._
+    val dimPath = java.nio.file.Files.createTempDirectory("flag_dim_").toString
+    Seq(("A", 1L), ("N", 0L), ("R", 0L)).toDF("flag", "w")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("w") === 1L)
+    val joined = part.join(dim, col("l_returnflag") === col("flag"))
+      .groupBy("l_linestatus").count()
+    val plan = finalPlan(joined)
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))
