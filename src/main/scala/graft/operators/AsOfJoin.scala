@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Backward as-of join. Output = all left columns + `carry` columns from
-    * `right` (renamed via the map: rightCol -> outputName), null when no
-    * earlier right row exists for the key.
+  /** Backward as-of join (nearest right row at or BEFORE each left row).
+    * Output = all left columns + `carry` columns from `right` (renamed via
+    * the map: rightCol -> outputName), null when no earlier right row
+    * exists for the key — or none within `tolerance` (an SQL interval
+    * string, e.g. "3 days"), when given.
     */
   def backward(
       left: DataFrame,
@@ -39,48 +41,92 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      carry: Map[String, String]): DataFrame = {
+      carry: Map[String, String],
+      tolerance: Option[String] = None): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, carry, tolerance, fwd = false)
+
+  /** Forward as-of join (nearest right row at or AFTER each left row) —
+    * the pandas `merge_asof(direction="forward")` semantics; same output
+    * contract as [[backward]].
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      carry: Map[String, String],
+      tolerance: Option[String] = None): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, carry, tolerance, fwd = true)
+
+  private def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      carry: Map[String, String],
+      tolerance: Option[String],
+      fwd: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val carryIn = carry.keys.toSeq
 
-    // Null-padded union layout: keys ++ __t ++ leftPayload ++ carried.
-    // leftTime is carried as __t (NOT duplicated in the payload — keeping
-    // it there would make the final projection emit two identically-named
-    // time columns and fail analysis with AMBIGUOUS_REFERENCE).
+    // Null-padded union layout: keys ++ __t ++ leftPayload ++ carried
+    // (+ __rt, the right row's own time, so a tolerance can be applied to
+    // whatever row the running-last actually carried). leftTime rides as
+    // __t only (NOT duplicated in the payload — keeping it there would
+    // make the final projection emit two identically-named time columns
+    // and fail analysis with AMBIGUOUS_REFERENCE).
     val leftPayload = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
+    val rtType = right.schema(rightTime).dataType
     val lSide = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
         leftPayload.map(col) ++
-        carryIn.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        (carryIn.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
+          lit(null).cast(rtType).as("__rt")): _*)
     val rSide = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carryIn.map(c => col(c).as(s"__r_$c")): _*)
+        (carryIn.map(c => col(c).as(s"__r_$c")) :+ col(rightTime).as("__rt")): _*)
 
-    // Deterministic tiebreak: among right rows sharing (key, __t), order by
-    // the carried values themselves so `last` always picks the same row
-    // (the max carry tuple) regardless of partitioning. Left rows have null
-    // carry payloads and side=1, so they sort after right rows at equal __t
-    // — an exact-timestamp right match is still taken.
+    // Backward walks time ascending (running-last = latest right ≤ t);
+    // forward walks it descending (running-last = earliest right ≥ t).
+    // Ties (left.time == right.time): right sorts first either way, so an
+    // exact-timestamp match IS taken. Among right rows sharing (key, __t),
+    // the carried values themselves break the tie so `last` always picks
+    // the same row (the max carry tuple) regardless of partitioning.
+    val timeOrd = if (fwd) col("__t").desc else col("__t").asc
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(
-        Seq(col("__t").asc, col("__side").asc) ++
+        Seq(timeOrd, col("__side").asc) ++
           carryIn.map(c => col(s"__r_$c").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = lSide.unionByName(rSide)
       .select(
         (keys.map(col) ++ Seq(col("__t"), col("__side")) ++ leftPayload.map(col) ++
-          carryIn.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__r_$c"))): _*)
+          (carryIn.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__r_$c")) :+
+            last(col("__rt"), ignoreNulls = true).over(w).as("__rt"))): _*)
+
+    // Tolerance: the carried match survives only if its own time is within
+    // the interval of the left time — otherwise every carried column
+    // reverts to null (exactly merge_asof's contract).
+    val inTol: org.apache.spark.sql.Column = tolerance match {
+      case None => lit(true)
+      case Some(t) if fwd => col("__rt") <= col("__t") + expr(s"INTERVAL $t")
+      case Some(t) => col("__rt") >= col("__t") - expr(s"INTERVAL $t")
+    }
 
     carried
       .filter(col("__side") === 1)
       .select(
         (keys.map(col) ++ leftPayload.map(col) ++ Seq(col("__t").as(leftTime)) ++
-          carry.toSeq.map { case (in, out) => col(s"__r_$in").as(out) }): _*)
+          carry.toSeq.map { case (in, out) =>
+            when(inTol, col(s"__r_$in")).otherwise(lit(null)).as(out)
+          }): _*)
       // restore left column order, appended carry columns last
       .select((leftCols.map(col) ++ carry.values.toSeq.map(col)): _*)
   }

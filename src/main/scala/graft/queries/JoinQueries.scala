@@ -192,6 +192,25 @@ object JoinQueries extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** q65: FORWARD as-of with tolerance — each event matched to the user's
+    * NEXT signup within 3 days (AsOfJoin.forward: same single-shuffle
+    * union + running-last as q19, walked in descending time; the carried
+    * row's own timestamp gates the tolerance).
+    */
+  def q65JoinAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type")
+    val signups = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("next_signup_id"))
+    AsOfJoin.forward(
+      e, signups,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      carry = Map("next_signup_id" -> "next_signup_id"),
+      tolerance = Some("3 days"))
+      .orderBy("event_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_join_shipping" -> (q10JoinShipping _),
     "q11_join_nation_revenue" -> (q11JoinNationRevenue _),
@@ -203,7 +222,8 @@ object JoinQueries extends QueryModule {
     "q17_join_cross" -> (q17JoinCross _),
     "q18_join_theta" -> (q18JoinTheta _),
     "q18b_join_theta_window" -> (q18bJoinThetaWindow _),
-    "q19_join_asof" -> (q19JoinAsof _)
+    "q19_join_asof" -> (q19JoinAsof _),
+    "q65_join_asof_forward" -> (q65JoinAsofForward _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -296,6 +316,15 @@ object JoinQueries extends QueryModule {
         |ASOF LEFT JOIN (SELECT user_id AS su, ts AS sts, event_id AS signup_event_id
         |                FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.su AND e.ts >= s.sts
+        |ORDER BY e.event_id""".stripMargin,
+    // forward ASOF; tolerance applied to the matched row's own timestamp
+    "q65_join_asof_forward" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type,
+        |  CASE WHEN s.sts <= e.ts + INTERVAL 3 DAYS THEN s.next_signup_id END AS next_signup_id
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id AS su, ts AS sts, event_id AS next_signup_id
+        |                FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.su AND e.ts <= s.sts
         |ORDER BY e.event_id""".stripMargin
   )
 }
