@@ -48,7 +48,8 @@ object KafkaShapedSink {
   }
 
   /** Start the sink on a streaming frame. Records land under
-    * `$path/topic=<topic>/` as parquet with (key, value, partition, ts).
+    * `$path/topic=<topic>/epoch=<n>/` as parquet with
+    * (key, value, partition, ts).
     */
   def start(
       df: DataFrame,
@@ -67,18 +68,33 @@ object KafkaShapedSink {
       .trigger(Trigger.ProcessingTime(0L))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        batch
-          .withColumn("partition",
-            when(col("key").isNull,
-              floor(rand() * numPartitions).cast("int"))
-              .otherwise(pmod(hash(col("key")), lit(numPartitions))))
-          .withColumn("ts", KafkaShapedSink.recordTimestamp())
-          .withColumn("epoch", lit(epochId))
-          .write.mode("append").partitionBy("topic").parquet(path)
-        ()
+        writeEpoch(batch, epochId, path, numPartitions)
       }
       .start()
   }
+
+  /** One epoch's delivery, IDEMPOTENT on replay: foreachBatch re-runs the
+    * last epoch when a crash lands between the sink write and the commit
+    * log; a plain append would double-deliver it. Dynamic partition
+    * overwrite scoped to (topic, epoch) makes the retry rewrite exactly
+    * its own partition — Spark's file-sink route to the exactly-once
+    * upgrade over the reference's fire-and-forget delivery
+    * (`kafka_producer.cpp:54-56` logs-and-drops; a real Kafka transport
+    * would instead use transactional producer semantics).
+    */
+  private[graft] def writeEpoch(
+      batch: DataFrame, epochId: Long, path: String, numPartitions: Int): Unit =
+    batch
+      .withColumn("partition",
+        when(col("key").isNull,
+          floor(rand() * numPartitions).cast("int"))
+          .otherwise(pmod(hash(col("key")), lit(numPartitions))))
+      .withColumn("ts", recordTimestamp())
+      .withColumn("epoch", lit(epochId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("topic", "epoch")
+      .parquet(path)
 
   /** Producer-assigned epoch-millis, evaluated once PER RECORD on the
     * executor at write time — `current_timestamp()` folds to one value

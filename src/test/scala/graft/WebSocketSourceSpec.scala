@@ -157,8 +157,12 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val q2 = start(2)
       try {
         assert(eventually()(server.totalConnects >= 2), "run 2 never connected")
+        // let the restarted query complete a trigger first (checkpoint
+        // offsets restored, counter rebased) so the send/restore order
+        // can't race under full-suite load
+        assert(eventually()(q2.recentProgress.nonEmpty), "run 2 never triggered")
         (4 to 6).foreach(i => server.send(s"m$i"))
-        assert(eventually() {
+        assert(eventually(30000) {
           emitted.toArray.collect { case (2L, v: String) => v }.toSet == Set("m4", "m5", "m6")
         }, s"post-restart frames dropped or stalled: ${emitted.toArray.mkString(", ")}")
       } finally q2.stop()
@@ -292,6 +296,23 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ts.forall(t => t >= t0 && t <= t1),
         s"ts outside the write bracket [$t0,$t1]: ${ts.min}..${ts.max}")
     } finally q.stop()
+  }
+
+  test("sink epoch writes are idempotent: a replayed epoch never double-delivers") {
+    // foreachBatch re-runs the last epoch after a crash between sink
+    // write and commit; the per-(topic, epoch) dynamic overwrite must
+    // make that retry a no-op, while new epochs still accumulate.
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("idem_out").toString
+    val batch = (1 to 10).map(i => ("k", s"v$i", "t")).toDF("key", "value", "topic")
+    graft.sources.kafkashape.KafkaShapedSink.writeEpoch(batch, 0L, outDir, 4)
+    graft.sources.kafkashape.KafkaShapedSink.writeEpoch(batch, 0L, outDir, 4) // replay
+    assert(spark.read.parquet(outDir).count() == 10,
+      "replayed epoch double-delivered")
+    graft.sources.kafkashape.KafkaShapedSink.writeEpoch(batch, 1L, outDir, 4)
+    val all = spark.read.parquet(outDir)
+    assert(all.count() == 20, "second epoch lost or merged")
+    assert(all.select("epoch").distinct().count() == 2)
   }
 
   test("kafka-shaped sink validates the record contract") {
