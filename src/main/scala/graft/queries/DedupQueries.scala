@@ -174,6 +174,9 @@ object DedupQueries extends QueryModule {
     sizes.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .select(col("source"),
         (col("n_docs") * (col("n_docs") - 1) / lit(2)).cast("long").as("n_pairs"))
+      // a single-doc source has no pairs: the all-pairs oracle omits it,
+      // and keeping it would make avg_jac a 0/0
+      .filter(col("n_pairs") > 0)
       .join(jac, Seq("source"), "left")
       .select(col("source"), col("n_pairs"),
         round(coalesce(col("sum_jac"), lit(0.0)) / col("n_pairs"), 5).as("avg_jac"),
