@@ -272,12 +272,36 @@ object DedupQueries extends QueryModule {
       .orderBy("i", "j")
   }
 
+  /** q66: near-dup CLUSTER formation — the step after pair detection in
+    * a real dedup pipeline: q41's MinHash/LSH near-dup pairs (Jaccard ≥
+    * 0.8 on 3-word shingles) are EDGES; a corpus builder keeps one
+    * survivor per transitive CLUSTER, so the pairs are closed into
+    * connected components (`operators/ConnectedComponents`: iterative
+    * min-label propagation — one equi-join + one min-agg per round,
+    * rounds = cluster diameter, lineage checkpointed per round).
+    * Output: one row per cluster — canonical id (min doc_id), size, and
+    * the sorted member list. The DuckDB oracle computes the same
+    * closure with a recursive CTE over the identical all-pairs edge
+    * set, so the gate checks detector + closure end-to-end.
+    */
+  def q66DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = q41MinhashLsh(spark, dir)
+      .select(col("i").as("src"), col("j").as("dst"))
+    graft.operators.ConnectedComponents.run(edges)
+      .groupBy(col("component").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .orderBy("cluster_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_minhash_lsh" -> (q41MinhashLsh _),
     "q42_ngram_jaccard" -> (q42NgramJaccard _),
     "q42b_ngram_banded" -> (q42bNgramJaccardBanded _),
-    "q43_simhash" -> (q43Simhash _)
+    "q43_simhash" -> (q43Simhash _),
+    "q66_dup_clusters" -> (q66DupClusters _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -326,6 +350,29 @@ object DedupQueries extends QueryModule {
         |SELECT source, count(*)::BIGINT AS n_pairs,
         |       round(avg(jac), 5) AS avg_jac, round(max(jac), 6) AS max_jac
         |FROM p WHERE jac >= 0.8 GROUP BY source ORDER BY source""".stripMargin,
+    // same edge set as q41 (all-pairs ground truth at jac >= 0.8),
+    // closed into components with a recursive CTE: `walk` reaches every
+    // node from every node of its component, so min(reached) is the
+    // component's canonical id — identical semantics to the engine's
+    // min-label propagation fixpoint.
+    "q66_dup_clusters" ->
+      s"""WITH RECURSIVE $oracleShingles,
+        |p AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j,
+        |         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e0 AS (SELECT i, j FROM p WHERE jac >= 0.8),
+        |nodes AS (SELECT i AS n FROM e0 UNION SELECT j FROM e0),
+        |e AS (SELECT i AS s, j AS d FROM e0 UNION ALL SELECT j AS s, i AS d FROM e0),
+        |walk(n, c) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.d, w.c FROM walk w JOIN e ON e.s = w.n),
+        |comp AS (SELECT n AS doc_id, min(c) AS cluster_id FROM walk GROUP BY n)
+        |SELECT cluster_id, count(*)::BIGINT AS cluster_size,
+        |       list_sort(list(doc_id)) AS members
+        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "q43_simhash" ->
       s"""WITH $oracleShingles,
         |h AS (

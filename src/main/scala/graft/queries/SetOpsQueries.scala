@@ -104,7 +104,33 @@ object SetOpsQueries extends QueryModule {
       .orderBy(col("n").desc, col("word").asc)
       .limit(20)
 
+  /** q69: stratified sampling — the training-mix resampling op (weight
+    * each corpus slice differently when composing a training set). The
+    * per-stratum keep-rate lives in a RATES DIM (derived here from the
+    * source id: even-numbered sources keep 25% = 64/256, odd keep 75%)
+    * broadcast-joined onto the fact scan, and membership is the q30
+    * md5-prefix trick — first hash byte < per-stratum threshold — so
+    * unlike `DataFrame.sampleBy` (rand()-based) the sample is
+    * deterministic and oracle-checkable bit-for-bit. Shape at 100 TB:
+    * scan → broadcast join (rates is |strata| rows) → scan-side filter
+    * → partial+final agg; nothing shuffles the unsampled corpus.
+    */
+  def q69StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rates = docs.select("source").distinct()
+      .withColumn("threshold",
+        when(expr("cast(substring(source, 4, 10) as int) % 2 = 0"), lit(64))
+          .otherwise(lit(192)))
+    docs.join(broadcast(rates), "source")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") < col("threshold"))
+      .groupBy("source", "threshold")
+      .agg(count(lit(1)).as("n_kept"), round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_stratified_sample" -> (q69StratifiedSample _),
     "q25_union" -> (q25Union _),
     "q26_intersect_except" -> (q26IntersectExcept _),
     "q27_distinct" -> (q27Distinct _),
@@ -115,6 +141,18 @@ object SetOpsQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q69_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT DISTINCT source,
+        |         CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 64 ELSE 192 END AS threshold
+        |  FROM documents),
+        |s AS (
+        |  SELECT d.source, r.threshold, d.doc_id, d.n_chars
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 2))::INT < r.threshold)
+        |SELECT source, threshold, count(*)::BIGINT AS n_kept,
+        |       round(avg(n_chars), 4) AS avg_chars
+        |FROM s GROUP BY 1, 2 ORDER BY source""".stripMargin,
     "q25_union" ->
       """SELECT src, count(*) AS n, count(DISTINCT o_orderkey) AS n_distinct,
         |  round(sum(o_totalprice), 2) AS sum_price

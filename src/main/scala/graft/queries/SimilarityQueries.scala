@@ -146,7 +146,44 @@ object SimilarityQueries extends QueryModule {
       k = 10, nprobe = 16)
   }
 
+  /** q68: int8 embedding quantization + quantized-cosine top-k — the
+    * memory-side half of a vector-search engine (a 100 TB embedding
+    * store is 4× smaller and 4× more cache-dense in int8; IVF lists —
+    * `operators/IvfAnn` — store quantized codes and re-rank survivors
+    * in float). Per-vector SYMMETRIC quantization: scale = 127/max|x|,
+    * code = clamp(⌊x·scale + 0.5⌋, −127, 127) — all array-local
+    * projections over the scan, no shuffle, no state. Cosine is
+    * scale-invariant, so the quantized similarity is computed directly
+    * on the codes (cast back to float for the native codegen'd
+    * `cosine_sim` kernel) with no dequantization pass; the output
+    * carries the exact float cosine and the absolute quantization
+    * error per row, so the query doubles as the accuracy probe for the
+    * int8 storage path. Rounding uses ⌊x+0.5⌋, which both engines
+    * evaluate identically on doubles (banker's-rounding `round` does
+    * not match across engines).
+    */
+  def q68QuantizedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val quantize: String => String = c =>
+      s"transform($c, x -> cast(greatest(-127.0d, least(127.0d, " +
+        s"floor(cast(x as double) * 127.0d / mx_$c + 0.5d))) as float))"
+    def quantized(df: DataFrame, c: String): DataFrame = df
+      .withColumn(s"mx_$c", expr(s"array_max(transform($c, x -> abs(cast(x as double))))"))
+      .filter(col(s"mx_$c") > 0)
+      .withColumn(s"q_$c", expr(quantize(c)))
+    val base = quantized(
+      Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0), "embedding")
+    val qv = quantized(queryVec(spark, dir), "qv")
+      .select(col("qv"), col("q_qv"))
+    base.crossJoin(broadcast(qv))
+      .selectExpr("vec_id", "label",
+        "round(cosine_sim(q_embedding, q_qv), 6) AS qcos",
+        "round(abs(cosine_sim(q_embedding, q_qv) - cosine_sim(embedding, qv)), 5) AS qerr")
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_quantized_cosine" -> (q68QuantizedCosine _),
     "q44_cosine_topk" -> (q44CosineTopk _),
     "q61_cosine_expr_topk" -> (q61CosineExprTopk _),
     "q45_ann_grouped" -> (q45AnnGrouped _),
@@ -159,6 +196,31 @@ object SimilarityQueries extends QueryModule {
     "list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[])"
 
   override val oracles: Map[String, String] = Map(
+    // the quantizer (⌊x·127/max|x| + 0.5⌋, clamped) mirrored in list
+    // comprehensions; codes are small integers, so dot/norm sums are
+    // EXACT in double in any summation order — only the final
+    // divide/sqrt can differ, absorbed by round 6
+    "q68_quantized_cosine" ->
+      """WITH b AS (
+        |  SELECT vec_id, label, embedding,
+        |         list_max([abs(x::DOUBLE) FOR x IN embedding]) AS mx
+        |  FROM embeddings WHERE vec_id <> 0),
+        |bq AS (
+        |  SELECT vec_id, label, embedding,
+        |         [greatest(-127.0, least(127.0, floor(x::DOUBLE * 127.0 / mx + 0.5))) FOR x IN embedding] AS qe
+        |  FROM b WHERE mx > 0),
+        |q AS (
+        |  SELECT embedding AS qv, list_max([abs(x::DOUBLE) FOR x IN embedding]) AS mx
+        |  FROM embeddings WHERE vec_id = 0),
+        |qq AS (
+        |  SELECT qv, [greatest(-127.0, least(127.0, floor(x::DOUBLE * 127.0 / mx + 0.5))) FOR x IN qv] AS qqv
+        |  FROM q WHERE mx > 0)
+        |SELECT vec_id, label,
+        |       round(list_cosine_similarity(qe, qqv), 6) AS qcos,
+        |       round(abs(list_cosine_similarity(qe, qqv) -
+        |                 list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[])), 5) AS qerr
+        |FROM bq CROSS JOIN qq
+        |ORDER BY qcos DESC, vec_id ASC LIMIT 10""".stripMargin,
     // identical ground truth to q44 — full-probe IVF must be exact
     "q63_ivf_full_probe" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

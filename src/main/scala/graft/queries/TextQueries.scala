@@ -166,12 +166,59 @@ object TextQueries extends QueryModule {
         min("content_id").as("min_content_id"))
       .orderBy("lang")
 
+  /** q67: TF-IDF keyword extraction — top-5 characteristic terms per
+    * source, the standard corpus-profiling op (what distinguishes one
+    * slice of a training mix from the rest). Pipeline:
+    *
+    *  1. explode whitespace tokens (Generate — linear in corpus size);
+    *  2. per-(doc, term) counts and per-doc totals: two partial+final
+    *     hash aggs;
+    *  3. document frequency per term: one more hash agg (term-keyed —
+    *     at 100 TB this is the vocabulary table, millions of rows, and
+    *     it joins back on `term` as a shuffled equi-join; AQE
+    *     broadcasts it when it fits);
+    *  4. corpus size N: a 1-row aggregate broadcast via crossJoin —
+    *     never collected to the driver;
+    *  5. score(source, term) = Σ_docs tf·idf with idf = ln(N/df),
+    *     ranked per source on the ROUNDED score (ties then break on
+    *     `term`, so both engines rank identically — raw double sums
+    *     may differ in the last ulp across summation orders).
+    *
+    * Every stage is a hash agg or equi-join on a high-cardinality key;
+    * nothing is quadratic and nothing materializes per-pair state.
+    */
+  def q67TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val words = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("term"))
+    val tc = words.groupBy("doc_id", "source", "term").agg(count(lit(1)).as("cnt"))
+    val tw = words.groupBy(col("doc_id").as("twdoc")).agg(count(lit(1)).as("tw"))
+    val df = tc.groupBy(col("term").as("dfterm")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tc
+      .join(tw, col("doc_id") === col("twdoc"))
+      .join(df, col("term") === col("dfterm"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("term"),
+        (col("cnt").cast("double") / col("tw") * log(col("n") / col("df"))).as("s"))
+      .groupBy("source", "term")
+      .agg(round(sum("s"), 5).as("score"))
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("source", "rnk", "term", "score")
+      .orderBy("source", "rnk")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_lang_id" -> (q48LangId _),
     "q49_quality" -> (q49Quality _),
     "q50_tokens" -> (q50Tokens _),
     "q51_fingerprint" -> (q51Fingerprint _),
-    "q52_multimodal" -> (q52Multimodal _)
+    "q52_multimodal" -> (q52Multimodal _),
+    "q67_tfidf_keywords" -> (q67TfidfKeywords _)
   )
 
   private def predSql: String = {
@@ -187,6 +234,20 @@ object TextQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    "q67_tfidf_keywords" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tc AS (SELECT doc_id, source, term, count(*) AS cnt FROM w GROUP BY 1, 2, 3),
+        |tw AS (SELECT doc_id, count(*) AS tw FROM w GROUP BY 1),
+        |df AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |s AS (
+        |  SELECT source, term, round(sum(cnt::DOUBLE / tw * ln(n / df)), 5) AS score
+        |  FROM tc JOIN tw USING (doc_id) JOIN df USING (term) CROSS JOIN n
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rnk FROM s)
+        |SELECT source, rnk, term, score FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "q48_lang_id" ->
       s"""$predSql
         |SELECT lang, pred_lang, count(*)::BIGINT AS n

@@ -191,6 +191,52 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no dynamic partition pruning on the fact scan:\n$plan")
   }
 
+  test("q67 TF-IDF aggregates with map-side partials and joins only on keys") {
+    val plan = finalPlan(graft.queries.TextQueries.q67TfidfKeywords(spark, dir))
+    // token counts / doc totals / df are all partial+final hash aggs —
+    // the exploded token stream itself must never cross a shuffle raw
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"no map-side partial aggregation over tokens:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+  }
+
+  test("q69 stratified sample joins the rates dim by broadcast") {
+    val plan = finalPlan(SetOpsQueries.q69StratifiedSample(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"rates dim must not shuffle:\n$plan")
+  }
+
+  test("selective dim join injects a runtime bloom filter on the fact side") {
+    // The 100 TB posture for non-broadcast selective joins: Spark's
+    // runtime row-level filtering builds a bloom filter from the dim
+    // side and pushes might_contain onto the fact scan, cutting shuffle
+    // volume before the join. Thresholds are production-sized, so the
+    // tiny fixture needs them floored to demonstrate the plan shape.
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      import org.apache.spark.sql.functions.col
+      val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val plan = finalPlan(l.join(o, l("l_orderkey") === o("o_orderkey")))
+      // the injected filter prints as might_contain(<bloom subquery>)
+      // on the fact side, built by a bloom_filter_agg over the dim keys
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"no bloom filter built from the dim side:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))
