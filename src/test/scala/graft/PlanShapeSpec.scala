@@ -237,6 +237,26 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("nested struct projection prunes the scan schema to the read fields") {
+    // The multimodal layout (blob + struct sidecar, q52) only pays off
+    // at 100 TB if selecting one sidecar field reads ONLY that field —
+    // nested schema pruning must reach the parquet ReadSchema, leaving
+    // the blob and the other struct fields unread.
+    import org.apache.spark.sql.functions.{col, struct}
+    val base = java.nio.file.Files.createTempDirectory("media_").toString
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.encode(col("text"), "UTF-8").as("blob"),
+        struct(col("lang").as("l"), col("n_chars").as("nc"), col("source").as("src")).as("meta"))
+      .write.mode("overwrite").parquet(base)
+    val plan = finalPlan(
+      spark.read.parquet(base).select(col("doc_id"), col("meta.nc")))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("meta:struct<nc:bigint>"),
+      s"nested field not pruned to meta.nc:\n$plan")
+    assert(!readSchema.contains("blob"), s"scan still reads the blob column:\n$plan")
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))
