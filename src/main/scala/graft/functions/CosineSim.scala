@@ -137,6 +137,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordSetCount(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("word_multi_count"),
+      new ExpressionInfo(classOf[WordMultiCount].getName, "word_multi_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "word_multi_count takes exactly 2 arguments")
+        WordMultiCount(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("subword_est"),
+      new ExpressionInfo(classOf[SubwordEst].getName, "subword_est"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "subword_est takes exactly 1 argument")
+        SubwordEst(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash62"),
       new ExpressionInfo(classOf[SimHash62].getName, "simhash62"),
       (children: Seq[Expression]) => {

@@ -188,6 +188,45 @@ object SketchKernels {
     c
   }
 
+  /** One-pass multi-profile occurrence count: counts(k) = number of
+    * elements of `arr` present in profile k, with ONE hash probe per
+    * element regardless of profile count (the per-profile
+    * `word_set_count` column stack re-walks the array once per
+    * profile). `index` maps word → indices of the profiles containing
+    * it (a word may appear in several).
+    */
+  def countMulti(arr: ArrayData,
+      index: java.util.HashMap[UTF8String, Array[Int]], nSets: Int): ArrayData = {
+    val counts = new Array[Int](nSets)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val hits = index.get(arr.getUTF8String(i))
+      if (hits != null) {
+        var j = 0
+        while (j < hits.length) { counts(hits(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  /** BPE-ish subword estimate: Σ ⌈codePoints(w)/4⌉ — the compiled
+    * replacement for the interpreted `aggregate(ws, 0, (acc, w) -> …)`
+    * lambda (one boxed closure call per word). Code-point length
+    * matches SQL `char_length` / DuckDB `length` on any input, not
+    * just BMP text.
+    */
+  def subwordEst(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var i = 0; var acc = 0
+    while (i < n) {
+      acc += (arr.getUTF8String(i).numChars() + 3) / 4
+      i += 1
+    }
+    acc
+  }
+
   /** Rolling 5-gram hashes for winnowing fingerprints, bit-compatible
     * with the SQL/oracle formulation in TextQueries.q51: hash of gram i
     * = first 15 hex chars of md5(words[i..i+4] joined by ' ') as a
@@ -405,6 +444,86 @@ case class WordSetCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordSetCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** `word_multi_count(words, array(array('w1', …), array('v1', …), …))` —
+  * occurrence counts of EVERY literal profile in one pass over the word
+  * array, ARRAY<INT> (one slot per profile, argument order). The word →
+  * profile-indices map is materialized once per expression instance;
+  * per row each word costs one hash probe however many profiles exist —
+  * the fused replacement for a stack of `word_set_count` columns.
+  */
+case class WordMultiCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "word_multi_count"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(ArrayType(StringType, _), _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"word_multi_count requires (ARRAY<STRING>, literal ARRAY<ARRAY<STRING>>), got ${l.sql} and ${r.sql}")
+    }
+
+  /** word → indices of the profiles containing it, built once; keys
+    * copied out of the literal's backing buffer.
+    */
+  private lazy val (index, nSets) = {
+    val sets = right.eval().asInstanceOf[ArrayData]
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    var k = 0
+    while (k < sets.numElements()) {
+      val set = sets.getArray(k)
+      var i = 0
+      while (i < set.numElements()) {
+        val w = UTF8String.fromBytes(set.getUTF8String(i).getBytes)
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(k) else prev :+ k)
+        i += 1
+      }
+      k += 1
+    }
+    (m, sets.numElements())
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.countMulti(a.asInstanceOf[ArrayData], index, nSets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("profileIndex", index, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.SketchKernels.countMulti($a, $mapRef, $nSets);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordMultiCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `subword_est(words)` — ArrayType(StringType) → IntegerType. */
+case class SubwordEst(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "subword_est"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"subword_est requires ARRAY<STRING>, got ${t.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    SketchKernels.subwordEst(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SketchKernels.subwordEst($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordEst =
+    copy(child = newChild)
 }
 
 /** `simhash62(shingles)` — ArrayType(StringType) → LongType. */

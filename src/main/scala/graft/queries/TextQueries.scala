@@ -33,17 +33,19 @@ object TextQueries extends QueryModule {
     "fr" -> Seq("le", "et", "join", "merge"),
     "zh" -> Seq("ni", "hao", "stream", "vector"))
 
-  /** Occurrence count of the profile's markers over a PRE-SPLIT `ws`
-    * column — inlining `split(text)` here would re-split per profile
-    * per row (5× the dominant cost; see DedupQueries.shingled). The
-    * count runs through the native `word_set_count` expression: the
-    * interpreted `size(filter(ws, w -> w IN (...)))` lambda was the
-    * remaining per-word boxed-closure cost across 5 profiles × every
-    * word (≈14 s of the round-4 q48 bench time).
+  /** All five profile scores in ONE pass over a PRE-SPLIT `ws` column
+    * (inlining `split(text)` would re-split per profile per row; see
+    * DedupQueries.shingled) via the native `word_multi_count`
+    * expression: one hash probe per word total, vs one interpreted
+    * lambda pass per profile in round 4 (≈14 s of q48 bench time) and
+    * one compiled pass per profile in the intermediate
+    * `word_set_count` stack. Profile slot order = `langs` order.
     */
-  private def scoreCol(lang: String): Column = {
-    val set = profiles(lang).map(w => s"'$w'").mkString(", ")
-    expr(s"word_set_count(ws, array($set))")
+  private def multiScoreCol: Column = {
+    val sets = langs
+      .map(l => profiles(l).map(w => s"'$w'").mkString("array(", ", ", ")"))
+      .mkString(", ")
+    expr(s"word_multi_count(ws, array($sets))")
   }
 
   private def scoreSql(lang: String): String = {
@@ -59,8 +61,9 @@ object TextQueries extends QueryModule {
     val base = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("ws", split(col("text"), " "))
-    val scored = langs.foldLeft(base) {
-      (df, l) => df.withColumn(s"s_$l", scoreCol(l))
+      .withColumn("sc", multiScoreCol)
+    val scored = langs.zipWithIndex.foldLeft(base) {
+      (df, li) => df.withColumn(s"s_${li._1}", col("sc")(li._2))
     }
     val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
       val geAll = langs.filter(_ > l)
@@ -111,8 +114,10 @@ object TextQueries extends QueryModule {
       .withColumn("ws", split(col("text"), " "))
       .withColumn("ws_tokens", size(col("ws")))
       .withColumn("re_tokens", size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))))
-      .withColumn("subwords",
-        expr("aggregate(ws, 0, (acc, w) -> acc + cast(ceil(char_length(w) / 4.0) as int))"))
+      // native subword_est: Σ⌈codepoints/4⌉ in a compiled loop — same
+      // math as the SQL `ceil(char_length(w)/4.0)` aggregate the oracle
+      // keeps, without the per-word interpreted closure
+      .withColumn("subwords", expr("subword_est(ws)"))
       .groupBy("source")
       .agg(
         sum("ws_tokens").as("sum_ws_tokens"),
