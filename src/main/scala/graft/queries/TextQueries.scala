@@ -217,7 +217,59 @@ object TextQueries extends QueryModule {
       .orderBy("source", "rnk")
   }
 
+  /** q70: the corpus-build PIPELINE — the operators of this engine
+    * composed the way a training-data run actually chains them, as ONE
+    * oracle-gated dataflow:
+    *
+    *  1. exact dedup, survivor = min doc_id per sha2(text) (q40's
+    *     semantics, kept as rows via a per-hash ranking window — one
+    *     shuffle on the 32-byte hash);
+    *  2. quality scoring (q49's exact formula) and a 0.62 floor;
+    *  3. deterministic stratified sampling (q69's md5-byte rule:
+    *     even-numbered sources keep 25%, odd 75%);
+    *  4. token accounting over survivors (native `subword_est`),
+    *     rolled up per lang.
+    *
+    * Everything is scan-projections + two hash shuffles (dedup hash,
+    * final lang agg); nothing quadratic, nothing collected. The DuckDB
+    * oracle rebuilds the identical four stages, so the gate verifies
+    * the COMPOSITION, not just each operator alone.
+    */
+  def q70CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val survivors = docs
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val scored = survivors
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("vocab_ratio",
+        size(array_distinct(col("ws"))).cast("double") / col("n_words"))
+      .withColumn("stop_ratio",
+        expr("word_set_count(ws, array('the', 'a'))").cast("double") / col("n_words"))
+      .withColumn("quality",
+        col("vocab_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.2)
+      .filter(col("quality") >= 0.62)
+    scored
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") <
+        when(expr("cast(substring(source, 4, 10) as int) % 2 = 0"), lit(64))
+          .otherwise(lit(192)))
+      .withColumn("subwords", expr("subword_est(ws)"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("subwords").as("sum_tokens"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("lang")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_corpus_pipeline" -> (q70CorpusPipeline _),
     "q48_lang_id" -> (q48LangId _),
     "q49_quality" -> (q49Quality _),
     "q50_tokens" -> (q50Tokens _),
@@ -239,6 +291,28 @@ object TextQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    "q70_corpus_pipeline" ->
+      """WITH d AS (
+        |  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, source, ws, len(ws) AS n_words,
+        |         len(list_distinct(ws))::DOUBLE / len(ws) AS vocab_ratio,
+        |         len(list_filter(ws, w -> w IN ('the', 'a')))::DOUBLE / len(ws) AS stop_ratio
+        |  FROM (SELECT *, string_split(text, ' ') AS ws FROM d WHERE rn = 1)),
+        |q AS (
+        |  SELECT *, vocab_ratio * 0.5 + (1.0 - stop_ratio) * 0.3 +
+        |         least(n_words::DOUBLE / 100.0, 1.0) * 0.2 AS quality
+        |  FROM m),
+        |f AS (
+        |  SELECT *, list_sum([ceil(length(w) / 4.0)::INT FOR w IN ws]) AS subwords
+        |  FROM q
+        |  WHERE quality >= 0.62
+        |    AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT <
+        |        CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 64 ELSE 192 END)
+        |SELECT lang, count(*)::BIGINT AS n_docs, sum(subwords)::BIGINT AS sum_tokens,
+        |       round(avg(quality), 4) AS avg_quality
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     "q67_tfidf_keywords" ->
       """WITH w AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
