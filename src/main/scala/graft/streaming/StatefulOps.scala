@@ -82,6 +82,47 @@ object StatefulOps {
       }
   }
 
+  /** One closed idle session per user: event count + last-seen ts. */
+  case class SessionClose(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
+
+  /** Idle-session close-out via `GroupStateTimeout.EventTimeTimeout` —
+    * the state-EXPIRY shape for arbitrary keyed state (the reference's
+    * idle-watchdog semantic, `wsclient.hpp:20-21`, applied to state
+    * instead of a socket): when a user goes quiet for `gapMinutes` of
+    * event time (watermark clock, not wall clock — replays behave
+    * identically), the group fires exactly once with its closed-session
+    * summary and the state is REMOVED. Without a timeout path, keyed
+    * state only ever grows — the 100 TB failure mode of
+    * `runningBalance`-style operators; this is the bounded-state
+    * variant, and the spec proves removal by showing a returning user
+    * starts a FRESH session.
+    */
+  def sessionCloseouts(events: Dataset[Event], gapMinutes: Int): Dataset[SessionClose] = {
+    implicit val outEnc = Encoders.product[SessionClose]
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionClose, SessionClose](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[Event], state: GroupState[SessionClose]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val batch = it.toSeq
+            val prev = state.getOption.getOrElse(
+              SessionClose(key, 0L, new java.sql.Timestamp(0L)))
+            val last = batch.foldLeft(prev.last_ts) {
+              (m, e) => if (e.ts.after(m)) e.ts else m
+            }
+            state.update(SessionClose(key, prev.n_events + batch.size, last))
+            state.setTimeoutTimestamp(last.getTime + gapMinutes * 60000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** `runningBalance` on the Spark 4 `transformWithState` API — typed
     * state variables in a RocksDB-backed store (the production state
     * backend; `GraftSession` tests set the provider conf). Same

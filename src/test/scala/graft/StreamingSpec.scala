@@ -217,6 +217,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EventTimeTimeout closes idle sessions and removes their state") {
+    // user 1 goes quiet; user 2's later events advance the watermark
+    // past user 1's 10-minute gap, firing the close-out. User 1 then
+    // returns: the second close-out must count ONLY the new events —
+    // proof the timed-out state was removed, not just reported.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = StatefulOps.sessionCloseouts(mem.toDS(), gapMinutes = 10)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, offMin: Long) =
+      Event(id, new Timestamp(t0 + offMin * 60000L), user, "click", 1.0, "{}")
+    try {
+      Seq(
+        Seq(ev(1, 1, 0), ev(2, 1, 1), ev(3, 1, 1), ev(4, 2, 0)), // u1 session of 3
+        Seq(ev(5, 2, 30)),  // WM -> t0+30m at batch end
+        Seq(ev(6, 2, 31)),  // batch starts with WM past u1's gap -> close-out (3)
+        Seq(ev(7, 1, 40)),  // u1 returns: must be a FRESH session
+        Seq(ev(8, 2, 100)), // WM -> t0+100m
+        Seq(ev(9, 2, 101))  // fires u1's second close-out (1)
+      ).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val u1 = spark.table(name).filter($"user_id" === 1L)
+      .orderBy("last_ts").collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2).getTime))
+    assert(u1.toSeq == Seq(
+      (3L, t0 + 1 * 60000L),
+      (1L, t0 + 40 * 60000L)),
+      s"expected two close-outs (3 events then a fresh 1), got ${u1.toSeq}")
+  }
+
   test("mapGroupsWithState running balance survives micro-batch chunking") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = org.apache.spark.sql.Encoders.product[Event]
