@@ -211,7 +211,30 @@ object JoinQueries extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** q71: the salted skew join through the oracle gate — the same
+    * per-brand aggregate a plain lineitem⋈part equi-join computes, but
+    * executed via `operators/SaltedJoin` (skewed side salted on a
+    * row-unique column, dim side replicated ×8, join key = (key,
+    * salt)). The oracle is the UNSALTED SQL join: salting must be
+    * result-invariant, here hash-checked by the driver on top of
+    * `SaltedJoinSpec`'s row-identity test.
+    */
+  def q71SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    graft.operators.SaltedJoin.inner(l, p,
+        key = "p_partkey", saltFrom = "l_orderkey", factor = 8)
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_salted_join" -> (q71SaltedJoin _),
     "q10_join_shipping" -> (q10JoinShipping _),
     "q11_join_nation_revenue" -> (q11JoinNationRevenue _),
     "q12_join_left" -> (q12JoinLeft _),
@@ -227,6 +250,12 @@ object JoinQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the UNSALTED join: salting must be result-invariant
+    "q71_salted_join" ->
+      """SELECT p_brand, count(*)::BIGINT AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q10_join_shipping" ->
       """SELECT c_mktsegment, o_orderpriority,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
