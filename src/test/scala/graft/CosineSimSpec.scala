@@ -45,6 +45,30 @@ class CosineSimSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("int8 symmetric quantization keeps cosine within the q68 error budget on every fixture pair") {
+    // the q68 quantizer as a property over ALL n² fixture pairs (the
+    // oracle gate sees only the top-10): per-vector scale 127/max|x|,
+    // ⌊x+0.5⌋ clamp, cosine straight on the codes. For 64-dim unit-ish
+    // vectors the worst-case code rounding error is 0.5/127 per
+    // component; empirically the cosine deviation stays well under 1e-2
+    // — assert a 3e-2 ceiling so a broken quantizer (wrong scale,
+    // signed overflow, truncation instead of rounding) fails loudly
+    // while genuine rounding noise never does.
+    val quant = "transform(embedding, x -> cast(greatest(-127.0d, least(127.0d, " +
+      "floor(cast(x as double) * 127.0d / mx + 0.5d))) as float))"
+    val qd = emb
+      .withColumn("mx", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .filter($"mx" > 0)
+      .withColumn("qe", expr(quant))
+    val pairs = qd.select($"vec_id", $"embedding", $"qe")
+      .crossJoin(broadcast(qd.select($"vec_id".as("b_id"),
+        $"embedding".as("b_emb"), $"qe".as("b_qe"))))
+      .filter($"vec_id" < $"b_id")
+      .selectExpr("abs(cosine_sim(qe, b_qe) - cosine_sim(embedding, b_emb)) AS err")
+    val worst = pairs.agg(max($"err")).head.getDouble(0)
+    assert(worst < 0.03, f"quantized cosine deviates by $worst%.4f somewhere — quantizer broken")
+  }
+
   test("codegen and interpreted paths agree") {
     def run(): Seq[(Long, Double)] = {
       val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
