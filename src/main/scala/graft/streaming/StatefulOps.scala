@@ -117,7 +117,16 @@ object StatefulOps {
               (m, e) => if (e.ts.after(m)) e.ts else m
             }
             state.update(SessionClose(key, prev.n_events + batch.size, last))
-            state.setTimeoutTimestamp(last.getTime + gapMinutes * 60000L)
+            // fully-late rows never reach this function (the stateful
+            // operator's watermark predicate drops them first — spec:
+            // "drops fully-late rows"), so last+gap normally exceeds
+            // the watermark; the clamp is defense-in-depth for
+            // boundary rows (ts == watermark with a tiny gap), where
+            // setTimeoutTimestamp would otherwise throw and kill the
+            // query
+            state.setTimeoutTimestamp(math.max(
+              last.getTime + gapMinutes * 60000L,
+              state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

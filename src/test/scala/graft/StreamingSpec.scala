@@ -250,6 +250,37 @@ class StreamingSpec extends AnyFunSuite {
       s"expected two close-outs (3 events then a fresh 1), got ${u1.toSeq}")
   }
 
+  test("EventTimeTimeout drops fully-late rows at the watermark without crashing the query") {
+    // user 3's rows arrive after the watermark has moved past them:
+    // the stateful operator's watermark predicate filters them BEFORE
+    // the state function (so no state, no session, no timeout ever
+    // exists for user 3) and the query keeps running. This pins the
+    // late-data contract of the timeout operator: late rows are
+    // dropped, not resurrected into zombie sessions.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = StatefulOps.sessionCloseouts(mem.toDS(), gapMinutes = 10)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, offMin: Long) =
+      Event(id, new Timestamp(t0 + offMin * 60000L), user, "click", 1.0, "{}")
+    try {
+      Seq(
+        Seq(ev(1, 2, 100)),            // WM -> t0+100m
+        Seq(ev(2, 3, 0), ev(3, 3, 1)), // entirely late for user 3
+        Seq(ev(4, 2, 130))             // keeps the query progressing
+      ).foreach { c => mem.addData(c); q.processAllAvailable() }
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val dropped = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 2, s"late rows not dropped by the watermark (dropped=$dropped)")
+    } finally q.stop()
+    assert(spark.table(name).filter($"user_id" === 3L).count() == 0,
+      "late rows resurrected a session that must not exist")
+  }
+
   test("mapGroupsWithState running balance survives micro-batch chunking") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = org.apache.spark.sql.Encoders.product[Event]
