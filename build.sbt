@@ -29,4 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: the n²-pair dedup verifies churn enough young-gen that
   // 8g showed multi-second GC spikes in bench runs on 32 cores
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 73 queries × whole-stage-codegen classes: give the JIT code cache
+  // headroom over the 240m default so cache exhaustion can never stop
+  // compilation mid-bench. (Measured round 5: the residual 2-3×
+  // run-to-run swing on the ~1 s compute kernels persists with 512m —
+  // it is C2 compile-timing noise on short hot loops, not cache
+  // pressure; totals stay within a few percent either way.)
+  "-XX:ReservedCodeCacheSize=512m",
 )
