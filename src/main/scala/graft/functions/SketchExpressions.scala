@@ -37,11 +37,13 @@ object SketchKernels {
     var j = 0
     while (j < n) {
       val s = arr.getUTF8String(j)
-      var i = 0
-      while (i < k) {
-        val h = xx(s, i.toLong)
-        if (h < sig(i)) sig(i) = h
-        i += 1
+      if (s != null) { // null shingles are absent, not a crash
+        var i = 0
+        while (i < k) {
+          val h = xx(s, i.toLong)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
       }
       j += 1
     }
@@ -60,12 +62,14 @@ object SketchKernels {
     java.util.Arrays.fill(sig, Long.MaxValue)
     var j = 0
     while (j < n) {
-      val v = arr.getLong(j)
-      var i = 0
-      while (i < k) {
-        val h = XXH64.hashLong(v, i.toLong)
-        if (h < sig(i)) sig(i) = h
-        i += 1
+      if (!arr.isNullAt(j)) { // null elements are absent, not hash(0)
+        val v = arr.getLong(j)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashLong(v, i.toLong)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
       }
       j += 1
     }
@@ -84,8 +88,10 @@ object SketchKernels {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
+      val sj = arr.getUTF8String(j)
+      if (sj == null) { j += 1 } else { // null shingles are absent
       md.reset()
-      val d = md.digest(arr.getUTF8String(j).getBytes)
+      val d = md.digest(sj.getBytes)
       val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) | ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
       var bb = 0
@@ -95,6 +101,7 @@ object SketchKernels {
         bb += 1
       }
       j += 1
+      }
     }
     var sig = 0L
     var bb = 0
@@ -116,10 +123,14 @@ object SketchKernels {
     val cnt = math.max(0, n - 2)
     val seen = new java.util.LinkedHashSet[UTF8String](cnt * 2)
     val space = UTF8String.fromString(" ")
+    val empty = UTF8String.EMPTY_UTF8
+    def at(j: Int): UTF8String = {
+      val w = arr.getUTF8String(j)
+      if (w == null) empty else w // null words read as "" (split() never emits null; SQL callers might)
+    }
     var i = 0
     while (i < cnt) {
-      seen.add(UTF8String.concat(
-        arr.getUTF8String(i), space, arr.getUTF8String(i + 1), space, arr.getUTF8String(i + 2)))
+      seen.add(UTF8String.concat(at(i), space, at(i + 1), space, at(i + 2)))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
@@ -221,7 +232,8 @@ object SketchKernels {
     val n = arr.numElements()
     var i = 0; var acc = 0
     while (i < n) {
-      acc += (arr.getUTF8String(i).numChars() + 3) / 4
+      val w = arr.getUTF8String(i)
+      if (w != null) acc += (w.numChars() + 3) / 4 // null words count 0
       i += 1
     }
     acc
@@ -245,7 +257,8 @@ object SketchKernels {
       var j = 0
       while (j < 5) {
         if (j > 0) md.update(space)
-        md.update(arr.getUTF8String(i + j).getBytes)
+        val w = arr.getUTF8String(i + j)
+        if (w != null) md.update(w.getBytes) // null words read as ""
         j += 1
       }
       val d = md.digest()
@@ -481,7 +494,10 @@ case class WordMultiCount(left: Expression, right: Expression)
       while (i < set.numElements()) {
         val w = UTF8String.fromBytes(set.getUTF8String(i).getBytes)
         val prev = m.get(w)
-        m.put(w, if (prev == null) Array(k) else prev :+ k)
+        // set semantics per profile (matching word_set_count / IN): a
+        // word duplicated WITHIN one literal profile must count once
+        if (prev == null) m.put(w, Array(k))
+        else if (!prev.contains(k)) m.put(w, prev :+ k)
         i += 1
       }
       k += 1

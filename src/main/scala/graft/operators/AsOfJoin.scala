@@ -71,53 +71,60 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val carryIn = carry.keys.toSeq
 
-    // Null-padded union layout: keys ++ __t ++ leftPayload ++ carried
-    // (+ __rt, the right row's own time, so a tolerance can be applied to
-    // whatever row the running-last actually carried). leftTime rides as
-    // __t only (NOT duplicated in the payload — keeping it there would
-    // make the final projection emit two identically-named time columns
-    // and fail analysis with AMBIGUOUS_REFERENCE).
+    // Null-padded union layout: keys ++ __t ++ leftPayload ++ __r, where
+    // __r is ONE STRUCT holding the right row's own time plus every
+    // carried column. The struct is what the running-last carries: it is
+    // non-null for every right row even when individual carried VALUES
+    // are null, so the match is always the nearest right ROW — carrying
+    // each column independently with ignoreNulls would let a null value
+    // on the nearest row fall through to an OLDER row's value (and then
+    // pass the tolerance gate with the nearest row's time: merge_asof
+    // matches rows, not columns). leftTime rides as __t only (NOT
+    // duplicated in the payload — keeping it there would make the final
+    // projection emit two identically-named time columns and fail
+    // analysis with AMBIGUOUS_REFERENCE).
     val leftPayload = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
     val rtType = right.schema(rightTime).dataType
+    val rStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rt", rtType) +:
+        carryIn.map(c =>
+          org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val lSide = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
-        leftPayload.map(col) ++
-        (carryIn.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
-          lit(null).cast(rtType).as("__rt")): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val rSide = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (carryIn.map(c => col(c).as(s"__r_$c")) :+ col(rightTime).as("__rt")): _*)
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(rightTime).as("__rt") +: carryIn.map(c => col(c).as(c)): _*).as("__r"): _*)
 
     // Backward walks time ascending (running-last = latest right ≤ t);
     // forward walks it descending (running-last = earliest right ≥ t).
     // Ties (left.time == right.time): right sorts first either way, so an
     // exact-timestamp match IS taken. Among right rows sharing (key, __t),
-    // the carried values themselves break the tie so `last` always picks
-    // the same row (the max carry tuple) regardless of partitioning.
+    // the struct's own (lexicographic) order breaks the tie so `last`
+    // always picks the same row (the max carry tuple) regardless of
+    // partitioning.
     val timeOrd = if (fwd) col("__t").desc else col("__t").asc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(
-        Seq(timeOrd, col("__side").asc) ++
-          carryIn.map(c => col(s"__r_$c").asc): _*)
+      .orderBy(timeOrd, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = lSide.unionByName(rSide)
       .select(
-        (keys.map(col) ++ Seq(col("__t"), col("__side")) ++ leftPayload.map(col) ++
-          (carryIn.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__r_$c")) :+
-            last(col("__rt"), ignoreNulls = true).over(w).as("__rt"))): _*)
+        (keys.map(col) ++ Seq(col("__t"), col("__side")) ++ leftPayload.map(col)) :+
+          last(col("__r"), ignoreNulls = true).over(w).as("__r"): _*)
 
     // Tolerance: the carried match survives only if its own time is within
     // the interval of the left time — otherwise every carried column
     // reverts to null (exactly merge_asof's contract).
     val inTol: org.apache.spark.sql.Column = tolerance match {
       case None => lit(true)
-      case Some(t) if fwd => col("__rt") <= col("__t") + expr(s"INTERVAL $t")
-      case Some(t) => col("__rt") >= col("__t") - expr(s"INTERVAL $t")
+      case Some(t) if fwd => col("__r.__rt") <= col("__t") + expr(s"INTERVAL $t")
+      case Some(t) => col("__r.__rt") >= col("__t") - expr(s"INTERVAL $t")
     }
 
     carried
@@ -125,7 +132,7 @@ object AsOfJoin {
       .select(
         (keys.map(col) ++ leftPayload.map(col) ++ Seq(col("__t").as(leftTime)) ++
           carry.toSeq.map { case (in, out) =>
-            when(inTol, col(s"__r_$in")).otherwise(lit(null)).as(out)
+            when(inTol, col(s"__r.$in")).otherwise(lit(null)).as(out)
           }): _*)
       // restore left column order, appended carry columns last
       .select((leftCols.map(col) ++ carry.values.toSeq.map(col)): _*)

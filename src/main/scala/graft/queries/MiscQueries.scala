@@ -75,11 +75,17 @@ object MiscQueries extends QueryModule {
     * aggregate straight from parquet, so a lossy round-trip (quoting,
     * null encoding, timestamp formatting) fails the hash.
     */
+  /** Per-JVM unique roundtrip dir: unique per PROCESS so concurrent runs
+    * (Bench overlapping a test JVM) can't race on overwrite-then-read of
+    * a shared path, but reused WITHIN a process (mode=overwrite) so
+    * repeated invocations — bench reps, suite re-runs — don't leak an
+    * unbounded trail of /tmp copies of the fixture.
+    */
+  private lazy val roundtripBase: String =
+    java.nio.file.Files.createTempDirectory("graft_roundtrip_").toString
+
   def q56CsvJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    // per-invocation unique dir: concurrent runs over the same fixture
-    // (Bench reps overlapping a test run) must not race on
-    // overwrite-then-read of a shared path
-    val base = java.nio.file.Files.createTempDirectory("graft_roundtrip_").toString
+    val base = roundtripBase
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),

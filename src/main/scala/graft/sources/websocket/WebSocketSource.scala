@@ -114,18 +114,26 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
   private val buffer = ArrayBuffer.empty[(String, Long)]
   /** frames dropped before `buffer(0)` (commit-trimmed). */
   private var trimmed = 0L
-  /** Whether the counter base has been anchored for this stream instance.
-    * Fresh queries anchor at 0 via `initialOffset`; RESTARTED queries
-    * anchor at the checkpoint-restored offset via the first
-    * `deserializeOffset` — without that rebase, Spark would compare the
-    * restored offset N against a counter restarted at 0, plan empty
-    * batches until the fresh count exceeded N, and `commit(N)` would
-    * silently drop the first N frames received after the restart.
-    * Frames lost while the query was DOWN stay lost (non-replayable
-    * source, documented §1.5 parity); frames received while UP are never
-    * dropped.
+  /** Whether this stream instance has served (or exposed) data yet.
+    * Until then, EVERY `deserializeOffset` rebases the counter UPWARD to
+    * the largest checkpoint offset seen: on restart Spark hands the
+    * source the committed START first and the replayed batch's END
+    * second (`MicroBatchExecution.runBatch` deserializes committed
+    * offsets before available ones), and anchoring at the max of both
+    * makes the replayed-but-uncommitted range [start, end) map to
+    * nothing — those frames died with the old process — so the replayed
+    * batch plans EMPTY and its `commit(end)` drops 0. Anchoring at the
+    * FIRST offset (the committed start) instead would map fresh frames
+    * into the replayed range: the batch would serve however many had
+    * arrived by planning time, and commit(end) would then drop
+    * `end - start` rows from the front — discarding frames received
+    * while the query was UP that were never emitted. The window closes
+    * at the first `latestOffset`/`planInputPartitions`, after which
+    * checkpoint reads can no longer move the base. Frames lost while
+    * the query was DOWN stay lost (non-replayable source, documented
+    * §1.5 parity); frames received while UP are never dropped.
     */
-  private var anchored = false
+  private var served = false
   @volatile private var running = true
 
   private val client = HttpClient.newHttpClient()
@@ -224,35 +232,31 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
 
   /** Called only when no checkpoint exists — a fresh query anchors at 0. */
   override def initialOffset(): Offset = buffer.synchronized {
-    anchored = true
+    served = true
     WsOffset(0L)
   }
 
-  /** On restart, the FIRST deserialized offset is the checkpoint's latest
-    * batch end (`populateStartOffsets` reads the offset log before
-    * anything else): rebase the counter there, so frames received by
-    * this fresh instance map to offsets AFTER the committed point. A
-    * replayed-but-uncommitted batch then plans empty (its frames died
-    * with the old process — non-replayable source) and everything
-    * received since construction flows from the committed offset on.
+  /** On restart, rebase the counter to the LARGEST checkpoint offset
+    * deserialized before this instance first serves data (see `served`):
+    * frames received by this fresh instance then map to offsets after
+    * the checkpoint's frontier, a replayed-but-uncommitted batch plans
+    * empty, and its commit drops nothing.
     */
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong
     buffer.synchronized {
-      if (!anchored) {
-        anchored = true
-        if (n > trimmed) trimmed = n
-      }
+      if (!served && n > trimmed) trimmed = n
     }
     WsOffset(n)
   }
 
   override def latestOffset(): Offset =
-    buffer.synchronized(WsOffset(trimmed + buffer.size))
+    buffer.synchronized { served = true; WsOffset(trimmed + buffer.size) }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[WsOffset].n, end.asInstanceOf[WsOffset].n)
     val rows = buffer.synchronized {
+      served = true
       val from = math.max(0, (s - trimmed).toInt)
       val until = math.max(from, math.min(buffer.size.toLong, e - trimmed).toInt)
       buffer.slice(from, until).toArray

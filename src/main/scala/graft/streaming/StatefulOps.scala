@@ -110,13 +110,30 @@ object StatefulOps {
             state.remove()
             Iterator.single(out)
           } else {
-            val batch = it.toSeq
-            val prev = state.getOption.getOrElse(
-              SessionClose(key, 0L, new java.sql.Timestamp(0L)))
-            val last = batch.foldLeft(prev.last_ts) {
-              (m, e) => if (e.ts.after(m)) e.ts else m
+            // Sessions split on EVENT-TIME gaps inside the handler, not
+            // only via the timeout: a key with new data is invoked with
+            // hasTimedOut=false even when its idle gap already elapsed,
+            // so a returning user landing in the same micro-batch the
+            // timeout would have fired in must still close the stale
+            // session here — otherwise session boundaries would depend
+            // on how the stream was chunked into batches.
+            val gapMs = gapMinutes * 60000L
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionClose]
+            var cur = state.getOption.orNull
+            evs.foreach { e =>
+              cur match {
+                case null =>
+                  cur = SessionClose(key, 1L, e.ts)
+                case c if e.ts.getTime - c.last_ts.getTime > gapMs =>
+                  closed += c
+                  cur = SessionClose(key, 1L, e.ts)
+                case c =>
+                  cur = SessionClose(key, c.n_events + 1,
+                    if (e.ts.after(c.last_ts)) e.ts else c.last_ts)
+              }
             }
-            state.update(SessionClose(key, prev.n_events + batch.size, last))
+            state.update(cur)
             // fully-late rows never reach this function (the stateful
             // operator's watermark predicate drops them first — spec:
             // "drops fully-late rows"), so last+gap normally exceeds
@@ -125,9 +142,9 @@ object StatefulOps {
             // setTimeoutTimestamp would otherwise throw and kill the
             // query
             state.setTimeoutTimestamp(math.max(
-              last.getTime + gapMinutes * 60000L,
+              cur.last_ts.getTime + gapMs,
               state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            closed.iterator
           }
       }
   }

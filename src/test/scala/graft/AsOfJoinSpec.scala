@@ -67,6 +67,26 @@ class AsOfJoinSpec extends AnyFunSuite {
       "after-all" -> null, "keyless" -> null))
   }
 
+  test("a null value on the NEAREST right row is the match — never an older row's value") {
+    // merge_asof matches ROWS, not columns: the nearest right row at
+    // 12:00 carries v=null, and that null must be the answer for a left
+    // row at 12:30 — independently-carried columns with ignoreNulls
+    // would fall through to r10's 'x' from 08:00 (and, with a
+    // tolerance, gate it against 12:00's timestamp: wrong twice).
+    val r = Seq(
+      (1L, ts("2030-01-01 08:00:00"), Some("x")),
+      (1L, ts("2030-01-01 12:00:00"), None)
+    ).toDF("k", "rt", "v")
+    val l = Seq((1L, ts("2030-01-01 12:30:00"), "probe")).toDF("k", "t", "label")
+    val plain = run(AsOfJoin.backward(l, r, Seq("k"), "t", "rt", Map("v" -> "v")))
+    assert(plain == Map("probe" -> null),
+      s"nearest row's null was bypassed: $plain")
+    val tol = run(AsOfJoin.backward(l, r, Seq("k"), "t", "rt", Map("v" -> "v"),
+      tolerance = Some("1 hour")))
+    assert(tol == Map("probe" -> null),
+      s"out-of-tolerance value admitted through the nearest row's timestamp: $tol")
+  }
+
   test("row count is always exactly the left side (as-of never duplicates or drops)") {
     Seq(
       AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Map("v" -> "v")),

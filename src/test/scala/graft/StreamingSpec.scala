@@ -250,6 +250,39 @@ class StreamingSpec extends AnyFunSuite {
       s"expected two close-outs (3 events then a fresh 1), got ${u1.toSeq}")
   }
 
+  test("session split is event-time-driven: a return in the SAME batch still closes the stale session") {
+    // user 1's comeback (t0+40m) lands in one batch together with the
+    // events that advance the watermark past the old session's gap: no
+    // timeout fires (the key has data), so the handler itself must
+    // split on the event-time gap — emitting the old session (3 events)
+    // and starting a fresh one. Batch boundaries must not change
+    // session boundaries.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = StatefulOps.sessionCloseouts(mem.toDS(), gapMinutes = 10)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, offMin: Long) =
+      Event(id, new Timestamp(t0 + offMin * 60000L), user, "click", 1.0, "{}")
+    try {
+      Seq(
+        Seq(ev(1, 1, 0), ev(2, 1, 1), ev(3, 1, 1)),
+        Seq(ev(4, 2, 30), ev(5, 1, 40)), // gap-crossing return in ONE batch
+        Seq(ev(6, 2, 100)),
+        Seq(ev(7, 2, 101))               // watermark fires the second close-out
+      ).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val u1 = spark.table(name).filter($"user_id" === 1L)
+      .orderBy("last_ts").collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2).getTime))
+    assert(u1.toSeq == Seq(
+      (3L, t0 + 1 * 60000L),
+      (1L, t0 + 40 * 60000L)),
+      s"stale session merged across the batch boundary: ${u1.toSeq}")
+  }
+
   test("EventTimeTimeout drops fully-late rows at the watermark without crashing the query") {
     // user 3's rows arrive after the watermark has moved past them:
     // the stateful operator's watermark predicate filters them BEFORE

@@ -64,6 +64,46 @@ class UdfSurfaceSpec extends AnyFunSuite {
       s"subword_est ${r.getInt(0)} != aggregate ${r.getInt(1)}"))
   }
 
+  test("a word duplicated WITHIN one profile counts once (set semantics, like IN)") {
+    val r = spark.sql(
+      """SELECT
+        |  word_multi_count(array('a', 'b', 'a'), array(array('a', 'a', 'b'))) AS dup,
+        |  word_set_count(array('a', 'b', 'a'), array('a', 'a', 'b')) AS single
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[Int](0) == Seq(3) && r.getInt(1) == 3,
+      s"duplicate profile word inflated the count: ${r.getSeq[Int](0)} vs ${r.getInt(1)}")
+  }
+
+  test("native kernels treat null array elements as absent/empty, never crash or corrupt") {
+    // split()/trigram outputs never carry nulls, but the functions are
+    // SQL-registered — arbitrary arrays must degrade per the documented
+    // policy: sketches skip null elements; positional kernels read ''
+    val r = spark.sql(
+      """SELECT
+        |  minhash_sig(array('a', cast(null as string), 'b'), 4) AS ms_n,
+        |  minhash_sig(array('a', 'b'), 4) AS ms,
+        |  minhash_sig(array(cast(null as bigint), 5L), 4) AS ml_n,
+        |  minhash_sig(array(5L), 4) AS ml,
+        |  simhash62(array('a', cast(null as string))) AS sh_n,
+        |  simhash62(array('a')) AS sh,
+        |  subword_est(array('abcd', cast(null as string))) AS sw_n,
+        |  subword_est(array('abcd')) AS sw,
+        |  word_set_count(array('a', cast(null as string)), array('a')) AS wc,
+        |  word_multi_count(array('a', cast(null as string)), array(array('a'))) AS wm,
+        |  shingles3(array('a', cast(null as string), 'b')) AS s3_n,
+        |  shingles3(array('a', '', 'b')) AS s3,
+        |  gram5_md5(array('a', 'b', 'c', cast(null as string), 'e')) AS g5_n,
+        |  gram5_md5(array('a', 'b', 'c', '', 'e')) AS g5
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1), "string minhash: null not absent")
+    assert(r.getSeq[Long](2) == r.getSeq[Long](3), "long minhash: null not absent")
+    assert(r.getLong(4) == r.getLong(5), "simhash: null not absent")
+    assert(r.getInt(6) == r.getInt(7), "subword_est: null not zero")
+    assert(r.getInt(8) == 1 && r.getSeq[Int](9) == Seq(1), "counters crashed on null")
+    assert(r.getSeq[String](10) == r.getSeq[String](11), "shingles3: null not ''")
+    assert(r.getSeq[Long](12) == r.getSeq[Long](13), "gram5_md5: null not ''")
+  }
+
   test("native word_set_count equals the interpreted filter/IN formulation (scalacheck)") {
     // the q48/q49 hot-path kernel cross-checked against Spark's own
     // higher-order filter on generated word arrays — duplicates, empties,

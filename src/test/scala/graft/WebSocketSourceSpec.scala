@@ -169,6 +169,44 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("uncommitted-batch replay plans empty and its commit drops no fresh frames (protocol-level)") {
+    // Spark's restart sequence for a batch that was logged but never
+    // committed: runBatch deserializes the committed START first, then
+    // the replayed batch's END, then plans [start, end) and commits
+    // end. The counter must anchor at the MAX of the two — anchoring at
+    // the first (the start) would map fresh frames into the replayed
+    // range and commit(end) would drop frames that were never served.
+    import graft.sources.websocket.{WebSocketMicroBatchStream, WsInputPartition, WsOffset}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val server = new TestWsServer
+    val stream = new WebSocketMicroBatchStream(new CaseInsensitiveStringMap(
+      java.util.Map.of("url", server.url, "key", "websocket_1",
+        "reconnectDelayMs", "200", "connectTimeoutMs", "2000")))
+    try {
+      assert(eventually()(server.totalConnects >= 1), "source never connected")
+      val start = stream.deserializeOffset("90")  // committed start E_{k-1}
+      val end = stream.deserializeOffset("100")   // uncommitted replayed end E_k
+      // frames arrive while the replayed batch is in flight
+      (1 to 4).foreach(i => server.send(s"fresh-$i"))
+      assert(eventually() {
+        stream.latestOffset().asInstanceOf[WsOffset].n == 104L
+      }, "fresh frames did not land after the checkpoint frontier")
+      assert(stream.planInputPartitions(start, end).isEmpty,
+        "replayed batch must plan empty — its frames died with the old process")
+      (5 to 10).foreach(i => server.send(s"fresh-$i"))
+      assert(eventually()(stream.latestOffset().asInstanceOf[WsOffset].n == 110L))
+      stream.commit(end) // commit of the REPLAYED batch must drop nothing
+      val latest = stream.latestOffset()
+      val partitions = stream.planInputPartitions(end, latest)
+      val rows = partitions.flatMap(_.asInstanceOf[WsInputPartition].rows).map(_._1)
+      assert(rows.toSeq == (1 to 10).map(i => s"fresh-$i"),
+        s"frames received while UP were dropped: ${rows.toSeq}")
+    } finally {
+      stream.stop()
+      server.close()
+    }
+  }
+
   test("interval messages are re-sent on a fixed cadence") {
     val server = new TestWsServer
     try {
