@@ -291,7 +291,10 @@ object DedupQueries extends QueryModule {
       .groupBy(col("component").as("cluster_id"))
       .agg(
         count(lit(1)).as("cluster_size"),
-        sort_array(collect_list(col("id"))).as("members"))
+        // flattened to one comma-joined string: the correctness gate
+        // canonicalizes rows with a pandas sort, which cannot hash a
+        // top-level array cell — a scalar column carries the same info
+        array_join(sort_array(collect_list(col("id"))), ",").as("members"))
       .orderBy("cluster_id")
   }
 
@@ -371,7 +374,7 @@ object DedupQueries extends QueryModule {
         |  SELECT e.d, w.c FROM walk w JOIN e ON e.s = w.n),
         |comp AS (SELECT n AS doc_id, min(c) AS cluster_id FROM walk GROUP BY n)
         |SELECT cluster_id, count(*)::BIGINT AS cluster_size,
-        |       list_sort(list(doc_id)) AS members
+        |       array_to_string(list_sort(list(doc_id)), ',') AS members
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "q43_simhash" ->
       s"""WITH $oracleShingles,
