@@ -56,12 +56,16 @@ object StreamingOps extends QueryModule {
   def dedupKeys(events: DataFrame): DataFrame =
     events.select("user_id", "event_type").dropDuplicates(Seq("user_id", "event_type"))
 
-  /** Stream–static enrichment: events joined to the static customer dim
-    * (broadcast — the static side is planned per micro-batch).
+  /** Stream–static enrichment: events joined to the static customer dim.
+    * No broadcast hint: `customer` is a FACT table (~30 GB at sf1000) and
+    * a forced hint overrides the planner's size check — the same defect
+    * class fixed in q10/q11. The static side is re-planned per
+    * micro-batch, so the size-based broadcast decision still kicks in
+    * automatically whenever the dim actually fits.
     */
   def enrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(
-      broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      customer.select(col("c_custkey"), col("c_mktsegment")),
       events("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
 

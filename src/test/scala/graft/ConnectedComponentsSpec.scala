@@ -61,6 +61,36 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  private def runAlt(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.runAlternating(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("alternating large-star/small-star matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(80 + trial * 20) {
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)
+      }.filter { case (a, b) => a != b }
+      assert(runAlt(edges) == unionFind(edges), s"trial $trial diverged")
+    }
+  }
+
+  test("alternating keeps disjoint components and handles chains + stars") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 10L), (20L, 21L))
+    assert(runAlt(edges) == unionFind(edges))
+  }
+
+  test("chain longer than the min-label budget converges via the star fallback") {
+    // 5000-node path: diameter 4999 — min-label propagation would need
+    // 4999 rounds; with maxIter=8 the fallback must close it in
+    // O(log² n) alternating rounds.
+    val chain = (0L until 4999L).map(i => (i, i + 1))
+    val got = ConnectedComponents.run(chain.toDF("src", "dst"), maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 5000)
+    assert(got.values.toSet == Set(0L), "chain should collapse to component 0")
+  }
+
   test("keeps disjoint components apart") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
     val got = run(edges)
