@@ -46,6 +46,80 @@ object IvfAnn {
     (index, centroids)
   }
 
+  /** EXACT nearest neighbor for EVERY vector through the IVF buckets —
+    * the all-pairs-NN scale path (q46's answer without q46's full-table
+    * broadcast or its |n|² theta-join). Three stages, all equi-joins on
+    * `list_id`/`vec_id`:
+    *
+    *  1. probe: each vector verifies exactly against its `nprobe`
+    *     nearest lists (candidate volume ≈ n·nprobe/nLists of the
+    *     pair space) → per-vector provisional best.
+    *  2. prune: for every unprobed (vector, list) pair, the triangle
+    *     inequality on ANGLES bounds the best similarity the list can
+    *     possibly hold: angle(v,x) ≥ angle(v,c_j) − max_x angle(c_j,x),
+    *     so cos_sim(v,x) ≤ cos(max(0, θ_vj − r_j)). Lists whose bound
+    *     cannot beat the provisional best (minus a safety margin that
+    *     absorbs rounding ties and acos conditioning near cos ≈ 1) are
+    *     eliminated — n·nLists scalar rows, no vector data moves.
+    *  3. escape: the surviving (vector, list) pairs — empty unless a
+    *     true neighbor straddles a bucket boundary — are verified
+    *     exactly, and the union re-ranked.
+    *
+    * Exact BY CONSTRUCTION (the bound is mathematical, the margin only
+    * over-escapes), so it shares q46's oracle. At 100 TB: stage 1 is the
+    * bucketed candidate join (nLists ~ √n makes it n^1.5), stage 2 is
+    * linear, stage 3 is data-dependent small; nothing is broadcast but
+    * the nLists-row centroid table.
+    */
+  def allNnExact(index: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val theta =
+      "acos(greatest(-1.0d, least(1.0d, cast(cosine_sim(%s, centroid) as double))))"
+    // per-(vector, list) angle — n·nLists scalar rows
+    val va = index.select("vec_id", "embedding")
+      .crossJoin(broadcast(centroids))
+      .selectExpr("vec_id", "list_id AS cl", s"${theta.format("embedding")} AS th")
+    // per-list radius: max angle centroid→member over the list's own rows
+    val radii = index.join(broadcast(centroids), "list_id")
+      .selectExpr("list_id AS cl", s"${theta.format("embedding")} AS th")
+      .groupBy("cl").agg(max("th").as("r"))
+    val probeW = Window.partitionBy("vec_id").orderBy(col("th").asc, col("cl").asc)
+    val probes = va.withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nprobe)
+      .select(col("vec_id"), col("cl"))
+    val nbrs = index.select(col("vec_id").as("nn_id"),
+      col("embedding").as("emb_b"), col("list_id").as("cl"))
+    def verify(pairs: DataFrame): DataFrame =
+      pairs.join(index.select("vec_id", "embedding"), "vec_id")
+        .join(nbrs, "cl")
+        .filter(col("vec_id") =!= col("nn_id"))
+        .selectExpr("vec_id", "nn_id",
+          "round(cosine_sim(embedding, emb_b), 6) AS cos",
+          "cast(cosine_sim(embedding, emb_b) as double) AS raw")
+    // q46's oracle ranks on the ROUNDED cosine with nn_id tie-break; the
+    // prune threshold uses the winner's RAW value minus the margin, so
+    // any candidate that could round into a winning tie still escapes
+    val rankW = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id").asc)
+    val best1 = verify(probes)
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "nn_id", "cos", "raw")
+    val margin = 1e-3
+    val escapes = va.join(probes.withColumn("probed", lit(1)), Seq("vec_id", "cl"), "left")
+      .filter(col("probed").isNull)
+      .join(broadcast(radii), "cl")
+      // LEFT join: a vector alone in its probed lists has no provisional
+      // best yet — every other list must escape for it
+      .join(best1.select(col("vec_id"), col("raw").as("best_raw")), Seq("vec_id"), "left")
+      .filter(expr(s"cos(greatest(0.0d, th - r)) >= coalesce(best_raw, -2.0d) - $margin"))
+      .select("vec_id", "cl")
+    best1.select("vec_id", "nn_id", "cos")
+      .unionByName(verify(escapes).select("vec_id", "nn_id", "cos"))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "nn_id", "cos")
+      .orderBy("vec_id")
+  }
+
   /** Exact top-k within the `nprobe` most promising lists. `query` is a
     * one-row frame with an `embedding` column (kept in the plan —
     * broadcast, not collected).

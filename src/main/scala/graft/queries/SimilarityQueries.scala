@@ -98,6 +98,22 @@ object SimilarityQueries extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** q46b: the SAME all-pairs-NN answer as q46 through the IVF-bucketed
+    * scale path (`operators/IvfAnn.allNnExact`) — candidate generation
+    * is an equi-join on `list_id`, boundary cases are caught by an
+    * angular-triangle-inequality escape pass, and nothing but the
+    * 16-row centroid table is broadcast. Exact by construction, so it
+    * shares q46's oracle verbatim — the q42/q42b precedent applied to
+    * embeddings. PlanShapeSpec asserts the pair loop has no
+    * BroadcastNestedLoopJoin/CartesianProduct (q46's theta-join shape).
+    */
+  def q46bNnPairsBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val (index, centroids) = IvfAnn.build(spark, e, nLists = 16)
+    IvfAnn.allNnExact(index, centroids, nprobe = 2)
+  }
+
   /** q47: per-label centroid via the typed `Aggregator` UDAF (§2B custom
     * typed UDAF row) — partial/final agg shuffles one (sums, count)
     * buffer per label per partition. First four dims are emitted as
@@ -188,6 +204,7 @@ object SimilarityQueries extends QueryModule {
     "q61_cosine_expr_topk" -> (q61CosineExprTopk _),
     "q45_ann_grouped" -> (q45AnnGrouped _),
     "q46_nn_pairs" -> (q46NnPairs _),
+    "q46b_nn_pairs_bucketed" -> (q46bNnPairsBucketed _),
     "q47_centroid" -> (q47Centroid _),
     "q63_ivf_full_probe" -> (q63IvfFullProbe _)
   )
@@ -245,6 +262,14 @@ object SimilarityQueries extends QueryModule {
         |  FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0),
         |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id ASC) AS rnk FROM c)
         |SELECT label, rnk, vec_id, cos FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
+    // identical ground truth to q46 — the bucketed path must be exact
+    "q46b_nn_pairs_bucketed" ->
+      """WITH p AS (
+        |  SELECT a.vec_id, b.vec_id AS nn_id,
+        |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rnk FROM p)
+        |SELECT vec_id, nn_id, cos FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
     "q46_nn_pairs" ->
       """WITH p AS (
         |  SELECT a.vec_id, b.vec_id AS nn_id,

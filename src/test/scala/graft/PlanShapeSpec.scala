@@ -103,6 +103,42 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q46b bucketed all-NN never broadcasts a table-sized side") {
+    // q46's scale defect is broadcast(full embeddings table). q46b may
+    // broadcast only the nLists-row centroid/radius sides (explicit
+    // hints). With auto-broadcast off, ONLY the hinted exchanges remain
+    // — assert each materialized ≤ 64 rows, and no cartesian pair loop.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(expand)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SimilarityQueries.q46bNnPairsBucketed(spark, dir)
+      df.collect()
+      val nodes = expand(df.queryExecution.executedPlan)
+      val planStr = nodes.head.toString
+      assert(!planStr.contains("CartesianProduct"), s"plan was:\n$planStr")
+      val bcasts = nodes.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, "expected the hinted centroid broadcasts to survive")
+      bcasts.foreach { b =>
+        val rows = b.metrics("numOutputRows").value
+        assert(rows <= 64,
+          s"a broadcast side materialized $rows rows (table-sized):\n$b")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q40 exact dedup is a partial+final hash aggregation with a pruned scan") {
     val df = graft.queries.DedupQueries.q40DedupExact(spark, dir)
     val plan = finalPlan(df)
