@@ -272,6 +272,64 @@ object DedupQueries extends QueryModule {
       .orderBy("i", "j")
   }
 
+  /** Supplementary-plane (non-BMP) probe text: emoji (U+1F600,
+    * U+1F701) and CJK Extension B (U+20213, U+2A6D6) characters mixed
+    * into ordinary words. Every character here is TWO UTF-16 code units
+    * but ONE code point — a code-unit-indexed kernel would split the
+    * surrogate pairs and disagree with SQL character semantics.
+    */
+  private val nonBmpSuffix =
+    " 😀𠈓a 𪛖b🜁 x😀y"
+
+  /** q72: non-BMP text end-to-end through the native text kernels.
+    * The `trigram_hashes`/`simhash62` kernels are code-POINT indexed
+    * (matching SQL `substr` character semantics, `SketchExpressions`);
+    * the unit specs cover supplementary characters, but the standard
+    * fixtures are BMP-only — this query is the oracle-gated probe.
+    * Every document is re-run through both kernels with a suffix of
+    * emoji/CJK-Ext-B words appended; the oracle rebuilds character
+    * trigrams and the md5-derived SimHash on the SAME suffixed text in
+    * DuckDB, so a code-unit (UTF-16) indexing bug in either kernel
+    * would shift every count and signature. Per-source sums keep the
+    * output compact; `min_sig` pins an actual suffixed signature value.
+    */
+  def q72NonBmpKernels(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("t", concat(col("text"), lit(nonBmpSuffix)))
+      .withColumn("g0", expr("array_distinct(trigram_hashes(text))"))
+      .withColumn("g1", expr("array_distinct(trigram_hashes(t))"))
+      .withColumn("sig0", expr("simhash62(shingles3(split(text, ' ')))"))
+      .withColumn("sig1", expr("simhash62(shingles3(split(t, ' ')))"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("g0"))).as("tri_orig"),
+        sum(size(col("g1"))).as("tri_sfx"),
+        sum(size(array_intersect(col("g0"), col("g1")))).as("tri_common"),
+        sum(expr("cast(bit_count(sig0 ^ sig1) as bigint)")).as("sum_ham"),
+        min(col("sig1")).as("min_sig"))
+      .orderBy("source")
+
+  /** One md5-derived SimHash62 CTE chain over `src`(doc_id, sh) → `out`
+    * (doc_id, sig) — the q43 oracle formulation, parameterized so q72
+    * can run it on both the original and the suffixed shingle sets.
+    */
+  private def oracleSimhash(src: String, out: String): String =
+    s"""h_$out AS (
+       |  SELECT doc_id, ('0x' || substr(md5(x.s), 1, 8))::BIGINT AS h1,
+       |                 ('0x' || substr(md5(x.s), 9, 8))::BIGINT AS h2
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM $src) x),
+       |b_$out AS (
+       |  SELECT doc_id, bb.bb AS bb,
+       |         CASE WHEN bb.bb < 31 THEN (h1 >> bb.bb) & 1 ELSE (h2 >> (bb.bb - 31)) & 1 END AS bt
+       |  FROM h_$out CROSS JOIN (SELECT unnest(range(62)) AS bb) bb),
+       |s_$out AS (SELECT doc_id, bb, sum(CASE WHEN bt = 1 THEN 1 ELSE -1 END) AS sgn
+       |           FROM b_$out GROUP BY 1, 2),
+       |$out AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN 1::BIGINT << bb ELSE 0 END)::BIGINT AS sig
+       |         FROM s_$out GROUP BY 1)""".stripMargin
+
   /** q66: near-dup CLUSTER formation — the step after pair detection in
     * a real dedup pipeline: q41's MinHash/LSH near-dup pairs (Jaccard ≥
     * 0.8 on 3-word shingles) are EDGES; a corpus builder keeps one
@@ -304,7 +362,8 @@ object DedupQueries extends QueryModule {
     "q42_ngram_jaccard" -> (q42NgramJaccard _),
     "q42b_ngram_banded" -> (q42bNgramJaccardBanded _),
     "q43_simhash" -> (q43Simhash _),
-    "q66_dup_clusters" -> (q66DupClusters _)
+    "q66_dup_clusters" -> (q66DupClusters _),
+    "q72_nonbmp_kernels" -> (q72NonBmpKernels _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -376,6 +435,37 @@ object DedupQueries extends QueryModule {
         |SELECT cluster_id, count(*)::BIGINT AS cluster_size,
         |       array_to_string(list_sort(list(doc_id)), ',') AS members
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // same suffixed text rebuilt in DuckDB: character trigrams via
+    // substr (code-point semantics) and the md5-derived SimHash — a
+    // UTF-16 code-unit indexing bug in either kernel shifts every sum
+    "q72_nonbmp_kernels" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source, text, text || '$nonBmpSuffix' AS t
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT doc_id,
+        |         list_distinct([substr(text, i, 3) FOR i IN range(1, length(text) - 1)]) AS g0,
+        |         list_distinct([substr(t, i, 3) FOR i IN range(1, length(t) - 1)]) AS g1
+        |  FROM d),
+        |sh0 AS (
+        |  SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                                FOR i IN range(1, len(ws) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d)),
+        |sh1 AS (
+        |  SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                                FOR i IN range(1, len(ws) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM d)),
+        |${oracleSimhash("sh0", "sig0")},
+        |${oracleSimhash("sh1", "sig1")}
+        |SELECT d.source, count(*)::BIGINT AS n_docs,
+        |       sum(len(g0))::BIGINT AS tri_orig,
+        |       sum(len(g1))::BIGINT AS tri_sfx,
+        |       sum(len(list_intersect(g0, g1)))::BIGINT AS tri_common,
+        |       sum(bit_count(xor(sig0.sig, sig1.sig)))::BIGINT AS sum_ham,
+        |       min(sig1.sig)::BIGINT AS min_sig
+        |FROM d JOIN tri USING (doc_id) JOIN sig0 USING (doc_id) JOIN sig1 USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q43_simhash" ->
       s"""WITH $oracleShingles,
         |h AS (

@@ -353,6 +353,34 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.select("epoch").distinct().count() == 2)
   }
 
+  test("sink epoch replay with CHANGED content is last-writer-wins, scoped to its (topic, epoch)") {
+    // A crash between sink write and commit can replay an epoch whose
+    // upstream has since changed (e.g. a rebuilt batch after recovery).
+    // The dynamic overwrite must replace the epoch's previous delivery
+    // wholesale — no survivors from the first attempt, no duplicate
+    // epoch directories — while OTHER topics' same-numbered epochs are
+    // untouched (the overwrite is scoped to partitions present in the
+    // replayed batch).
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("replay_out").toString
+    val first = (1 to 10).map(i => ("k", s"a$i", "t")).toDF("key", "value", "topic")
+    val other = (1 to 5).map(i => ("k", s"u$i", "u")).toDF("key", "value", "topic")
+    val changed = (1 to 7).map(i => ("k2", s"b$i", "t")).toDF("key", "value", "topic")
+    graft.sources.kafkashape.KafkaShapedSink.writeEpoch(first, 0L, outDir, 4)
+    graft.sources.kafkashape.KafkaShapedSink.writeEpoch(other, 0L, outDir, 4)
+    graft.sources.kafkashape.KafkaShapedSink.writeEpoch(changed, 0L, outDir, 4)
+    val t = spark.read.parquet(outDir).filter(col("topic") === "t")
+    assert(t.count() == 7, "changed replay did not fully replace the first delivery")
+    val values = t.select("value").collect().map(_.getString(0)).toSet
+    assert(values == (1 to 7).map(i => s"b$i").toSet,
+      s"rows from the first attempt survived the replay: $values")
+    assert(spark.read.parquet(outDir).filter(col("topic") === "u").count() == 5,
+      "a replay on topic t clobbered topic u's epoch")
+    val epochDirs = new java.io.File(s"$outDir/topic=t").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(epochDirs == Seq("epoch=0"), s"duplicate epoch dirs: $epochDirs")
+  }
+
   test("kafka-shaped sink validates the record contract") {
     import spark.implicits._
     val bad = Seq((1, 2)).toDF("a", "b")
