@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation surface (SURVEY.md §2B "Aggregation"): hash agg with
@@ -125,7 +126,56 @@ object AggQueries extends QueryModule {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
       .orderBy("l_linestatus")
 
+  /** q09b: the SAME exact interpolated percentiles through a value
+    * HISTOGRAM — the 100 TB formulation. `percentile` (q09) sort-aggs
+    * every ROW per group; here the rows collapse to (group, value,
+    * count) in the partial aggregation (map-side combine — only
+    * DISTINCT values ever shuffle; l_quantity has ~50), a cumulative-
+    * count window orders each group's distinct values once, and the
+    * p·(n−1) order statistics are picked off the cumulative ranges and
+    * interpolated with `percentile`'s own lower+frac·(upper−lower)
+    * formula. Exact by construction ⇒ shares q09's oracle (q42b/q46b
+    * precedent).
+    */
+  def q09bPercentileHist(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // per-status percentile columns for one value column, via histogram
+    def pctCols(valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
+      val hist = li.groupBy(col("l_linestatus"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("l_linestatus").orderBy("v")
+      val wAll = Window.partitionBy("l_linestatus")
+      val cum = hist
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
+        .withColumn("lo", col("cum") - col("c"))
+      val aggs = ps.flatMap { case (nm, p) =>
+        // value covering 0-indexed position floor(t) / ceil(t), t = p(n-1)
+        Seq(
+          max(when(expr(s"lo <= floor($p * (n - 1)) AND floor($p * (n - 1)) < cum"),
+            col("v"))).as(s"${nm}_lo"),
+          max(when(expr(s"lo <= ceiling($p * (n - 1)) AND ceiling($p * (n - 1)) < cum"),
+            col("v"))).as(s"${nm}_hi"),
+          max(expr(s"$p * (n - 1)")).as(s"${nm}_t"))
+      }
+      val picked = cum.groupBy("l_linestatus").agg(aggs.head, aggs.tail: _*)
+      ps.foldLeft(picked) { case (df, (nm, _)) =>
+        df.withColumn(nm, round(
+          col(s"${nm}_lo") +
+            (col(s"${nm}_t") - floor(col(s"${nm}_t"))) *
+              (col(s"${nm}_hi") - col(s"${nm}_lo")), 4))
+      }.select(col("l_linestatus") +: ps.map(p => col(p._1)): _*)
+    }
+    val qty = pctCols("l_quantity",
+      Seq("p25_qty" -> 0.25, "median_qty" -> 0.5, "p90_qty" -> 0.9))
+    val price = pctCols("l_extendedprice", Seq("median_price" -> 0.5))
+    qty.join(price, "l_linestatus")
+      .select("l_linestatus", "p25_qty", "median_qty", "p90_qty", "median_price")
+      .orderBy("l_linestatus")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q09b_percentile_hist" -> (q09bPercentileHist _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_distinct_agg" -> (q02DistinctAgg _),
     "q03_stats_agg" -> (q03StatsAgg _),
@@ -180,6 +230,14 @@ object AggQueries extends QueryModule {
         |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
         |  CAST(len(list(DISTINCT o_orderpriority)) AS INTEGER) AS n_priorities
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // identical ground truth to q09 — the histogram path must be exact
+    "q09b_percentile_hist" ->
+      """SELECT l_linestatus,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q09_percentile" ->
       """SELECT l_linestatus,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
