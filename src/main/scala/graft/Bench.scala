@@ -48,7 +48,12 @@ object Bench {
     // strictly additive, so min-of-2 is the robust estimate at half
     // the cost of median-of-3 on the queries where reps are expensive.
     val repeatBelowSec = 5.0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = subset of query names (iteration aid; the driver
+    // passes none and measures everything)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var slowPath = false
       val times =
         try {

@@ -34,15 +34,21 @@ object IvfAnn {
       .orderBy("vec_id").limit(nLists)
       .select(row_number().over(Window.orderBy("vec_id")).cast("int").as("list_id"),
         col("embedding").as("centroid"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("list_id").asc)
+    // nearest centroid via lexicographic struct-max (sim desc, list_id
+    // asc) — partial-aggregates map-side, so one row per vector shuffles
+    // instead of the n·nLists assignment stream through a ranking window;
+    // label/embedding ride in the struct (never compared: -list_id is
+    // unique per vector)
     val index = emb
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .crossJoin(broadcast(centroids))
       .selectExpr("vec_id", "label", "embedding", "list_id",
         "cosine_sim(embedding, centroid) AS sim")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select("vec_id", "label", "embedding", "list_id")
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("list_id")).as("neg"),
+        col("label"), col("embedding"))).as("b"))
+      .select(col("vec_id"), col("b.label").as("label"),
+        col("b.embedding").as("embedding"), (-col("b.neg")).as("list_id"))
     (index, centroids)
   }
 
@@ -71,38 +77,56 @@ object IvfAnn {
     * linear, stage 3 is data-dependent small; nothing is broadcast but
     * the nLists-row centroid table.
     */
-  def allNnExact(index: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+  def allNnExact(index: DataFrame, centroids: DataFrame, nprobe: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    // reused frames are checkpointed so each fan-out consumer reads the
+    // materialized rows instead of re-running its subtree (`checkpoint =
+    // false` keeps full lineage for plan-shape tests)
+    def chk(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint(true) else df
+    // both inputs fan out to several consumers below (angles, radii, two
+    // verify joins, the neighbor side) — checkpoint so the assignment
+    // pass (kernel cross-join + struct-max agg) runs ONCE, not per consumer
+    val idx = chk(index)
+    val cents = chk(centroids)
     val theta =
       "acos(greatest(-1.0d, least(1.0d, cast(cosine_sim(%s, centroid) as double))))"
     // per-(vector, list) angle — n·nLists scalar rows
-    val va = index.select("vec_id", "embedding")
-      .crossJoin(broadcast(centroids))
+    val va = idx.select("vec_id", "embedding")
+      .crossJoin(broadcast(cents))
       .selectExpr("vec_id", "list_id AS cl", s"${theta.format("embedding")} AS th")
+      .transform(chk)
     // per-list radius: max angle centroid→member over the list's own rows
-    val radii = index.join(broadcast(centroids), "list_id")
+    val radii = idx.join(broadcast(cents), "list_id")
       .selectExpr("list_id AS cl", s"${theta.format("embedding")} AS th")
       .groupBy("cl").agg(max("th").as("r"))
     val probeW = Window.partitionBy("vec_id").orderBy(col("th").asc, col("cl").asc)
     val probes = va.withColumn("prnk", row_number().over(probeW))
       .filter(col("prnk") <= nprobe)
       .select(col("vec_id"), col("cl"))
-    val nbrs = index.select(col("vec_id").as("nn_id"),
+    val nbrs = idx.select(col("vec_id").as("nn_id"),
       col("embedding").as("emb_b"), col("list_id").as("cl"))
     def verify(pairs: DataFrame): DataFrame =
-      pairs.join(index.select("vec_id", "embedding"), "vec_id")
+      pairs.join(idx.select("vec_id", "embedding"), "vec_id")
         .join(nbrs, "cl")
         .filter(col("vec_id") =!= col("nn_id"))
+        // kernel evaluated ONCE per pair; the rounded ranking value is
+        // derived from it in a later projection
         .selectExpr("vec_id", "nn_id",
-          "round(cosine_sim(embedding, emb_b), 6) AS cos",
           "cast(cosine_sim(embedding, emb_b) as double) AS raw")
-    // q46's oracle ranks on the ROUNDED cosine with nn_id tie-break; the
+        .withColumn("cos", round(col("raw"), 6))
+    // q46's oracle ranks on the ROUNDED cosine with nn_id tie-break —
+    // lexicographic max over struct(cos, -nn_id) IS that ordering, and
+    // unlike a row_number window it partial-aggregates map-side: only
+    // one row per vec_id ever shuffles, never the pair stream. The
     // prune threshold uses the winner's RAW value minus the margin, so
-    // any candidate that could round into a winning tie still escapes
-    val rankW = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id").asc)
-    val best1 = verify(probes)
-      .withColumn("rnk", row_number().over(rankW))
-      .filter(col("rnk") === 1)
-      .select("vec_id", "nn_id", "cos", "raw")
+    // any candidate that could round into a winning tie still escapes.
+    def top1(pairs: DataFrame): DataFrame =
+      pairs.groupBy("vec_id")
+        .agg(max(struct(col("cos"), (-col("nn_id")).as("neg"), col("raw"))).as("b"))
+        .select(col("vec_id"), (-col("b.neg")).as("nn_id"),
+          col("b.cos").as("cos"), col("b.raw").as("raw"))
+    val best1 = // feeds both the escape filter and the final union
+      chk(top1(verify(probes)))
     val margin = 1e-3
     val escapes = va.join(probes.withColumn("probed", lit(1)), Seq("vec_id", "cl"), "left")
       .filter(col("probed").isNull)
@@ -112,10 +136,11 @@ object IvfAnn {
       .join(best1.select(col("vec_id"), col("raw").as("best_raw")), Seq("vec_id"), "left")
       .filter(expr(s"cos(greatest(0.0d, th - r)) >= coalesce(best_raw, -2.0d) - $margin"))
       .select("vec_id", "cl")
-    best1.select("vec_id", "nn_id", "cos")
-      .unionByName(verify(escapes).select("vec_id", "nn_id", "cos"))
-      .withColumn("rnk", row_number().over(rankW))
-      .filter(col("rnk") === 1)
+    top1(best1.unionByName(verify(escapes)))
+      // materialize the n-row answer BEFORE the global sort: the range
+      // partitioner's sampling pass would otherwise re-execute the whole
+      // escape-verify chain a second time
+      .transform(chk)
       .select("vec_id", "nn_id", "cos")
       .orderBy("vec_id")
   }

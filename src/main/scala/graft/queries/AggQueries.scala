@@ -135,7 +135,12 @@ object AggQueries extends QueryModule {
     * p·(n−1) order statistics are picked off the cumulative ranges and
     * interpolated with `percentile`'s own lower+frac·(upper−lower)
     * formula. Exact by construction ⇒ shares q09's oracle (q42b/q46b
-    * precedent).
+    * precedent). On l_quantity (~50 distinct values) the collapse is
+    * ~10⁴×; on near-continuous l_extendedprice it is ~parity locally —
+    * the scale win is that the per-group merge is O(distinct values)
+    * behind a partial agg, not O(rows) buffered in one percentile
+    * aggregation buffer (and for truly continuous domains at 100 TB the
+    * sketch path, q08, is the right tool).
     */
   def q09bPercentileHist(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)

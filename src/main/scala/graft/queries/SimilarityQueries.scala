@@ -106,6 +106,16 @@ object SimilarityQueries extends QueryModule {
     * shares q46's oracle verbatim — the q42/q42b precedent applied to
     * embeddings. PlanShapeSpec asserts the pair loop has no
     * BroadcastNestedLoopJoin/CartesianProduct (q46's theta-join shape).
+    *
+    * Measured honesty: the fixture's embeddings are RANDOM, so no exact
+    * method can prune — every (vector, list) pair fails the bound
+    * (28000/28000 escape at sf0.1) and q46b pays the full n² through
+    * general equi-joins, slower locally than q46's broadcast kernel.
+    * On clustered corpora (the 100 TB case — real embedding spaces are
+    * clustered, that is what makes IVF an index) the escape set
+    * collapses and the verify volume drops to ~nprobe/nLists of the
+    * pair space; meanwhile the plan never broadcasts a table-sized
+    * side, which is the property q46 lacks at scale.
     */
   def q46bNnPairsBucketed(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")

@@ -124,7 +124,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = SimilarityQueries.q46bNnPairsBucketed(spark, dir)
+      // checkpoint = false keeps the full lineage in ONE plan (the
+      // production path materializes reused stages eagerly, which would
+      // hide the upstream exchanges from this assertion)
+      val e = graft.Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val (index, centroids) = graft.operators.IvfAnn.build(spark, e, nLists = 16)
+      val df = graft.operators.IvfAnn.allNnExact(index, centroids, nprobe = 2,
+        checkpoint = false)
       df.collect()
       val nodes = expand(df.queryExecution.executedPlan)
       val planStr = nodes.head.toString
