@@ -23,6 +23,7 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextQueries,
+    PipelineQueries,
     MiscQueries,
     StreamingOps
   )
