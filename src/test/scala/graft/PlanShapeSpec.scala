@@ -146,6 +146,16 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q73 decontamination probes the corpus with a broadcast semi-join, never shuffling it") {
+    // the eval-gram side is small by construction; the corpus side must
+    // stream through a BroadcastHashJoin LeftSemi — a shuffled semi-join
+    // here would move the whole training corpus at 100 TB
+    val plan = finalPlan(graft.queries.PipelineQueries.q73Decontamination(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"plan was:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+  }
+
   test("q40 exact dedup is a partial+final hash aggregation with a pruned scan") {
     val df = graft.queries.DedupQueries.q40DedupExact(spark, dir)
     val plan = finalPlan(df)
