@@ -171,6 +171,31 @@ object TextQueries extends QueryModule {
         min("content_id").as("min_content_id"))
       .orderBy("lang")
 
+  /** q76: repetition ratio — the fraction of a document's 3-word
+    * shingles that are duplicates (1 − distinct/total), the
+    * Gopher-style intra-document repetition quality signal (Rae et al.
+    * 2021 §A1.1 uses duplicate n-gram fractions to drop
+    * boilerplate/spam). `shingles3` already returns the DISTINCT
+    * shingle set (the q41 contract), so the ratio is array-local over
+    * the scan: no shuffle but the per-source counters. Flags docs with
+    * > 20% repetition, the usual filter threshold shape.
+    */
+  def q76Repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"),
+        ((size(col("ws")) - 2).cast("double") - size(expr("shingles3(ws)")))
+          ./(size(col("ws")) - 2).as("rep"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("rep"), 5).as("avg_rep"),
+        round(max("rep"), 5).as("max_rep"),
+        sum(when(col("rep") > 0.2, 1L).otherwise(0L)).as("n_high_rep"))
+      .orderBy("source")
+
   /** q67: TF-IDF keyword extraction — top-5 characteristic terms per
     * source, the standard corpus-profiling op (what distinguishes one
     * slice of a training mix from the rest). Pipeline:
@@ -275,7 +300,8 @@ object TextQueries extends QueryModule {
     "q50_tokens" -> (q50Tokens _),
     "q51_fingerprint" -> (q51Fingerprint _),
     "q52_multimodal" -> (q52Multimodal _),
-    "q67_tfidf_keywords" -> (q67TfidfKeywords _)
+    "q67_tfidf_keywords" -> (q67TfidfKeywords _),
+    "q76_repetition" -> (q76Repetition _)
   )
 
   private def predSql: String = {
@@ -327,6 +353,23 @@ object TextQueries extends QueryModule {
         |  GROUP BY 1, 2),
         |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rnk FROM s)
         |SELECT source, rnk, term, score FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    // duplicate-shingle fraction mirrored with list_distinct over the
+    // same 3-word shingle construction the q41/q43 oracles use
+    "q76_repetition" ->
+      """WITH d AS (
+        |  SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |r AS (
+        |  SELECT source,
+        |         ((len(ws) - 2)::DOUBLE -
+        |          len(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                             FOR i IN range(1, len(ws) - 1)]))) /
+        |           (len(ws) - 2) AS rep
+        |  FROM d WHERE len(ws) >= 3)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       round(avg(rep), 5) AS avg_rep,
+        |       round(max(rep), 5) AS max_rep,
+        |       sum(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END)::BIGINT AS n_high_rep
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q48_lang_id" ->
       s"""$predSql
         |SELECT lang, pred_lang, count(*)::BIGINT AS n
