@@ -146,7 +146,10 @@ object AggQueries extends QueryModule {
     val li = Tables.lineitem(spark, dir)
     // per-status percentile columns for one value column, via histogram
     def pctCols(valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
-      val hist = li.groupBy(col("l_linestatus"), col(valueCol).as("v"))
+      // percentile (and quantile_cont) skip NULLs; the histogram must
+      // drop them too or they'd bucket as a value
+      val hist = li.filter(col(valueCol).isNotNull)
+        .groupBy(col("l_linestatus"), col(valueCol).as("v"))
         .agg(count(lit(1)).as("c"))
       val wCum = Window.partitionBy("l_linestatus").orderBy("v")
       val wAll = Window.partitionBy("l_linestatus")
