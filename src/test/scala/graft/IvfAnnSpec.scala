@@ -69,6 +69,79 @@ class IvfAnnSpec extends AnyFunSuite {
       s"files outside the probed lists were read: $scannedFiles")
   }
 
+  test("allNnExact stays exact on CLUSTERED data, where the bound actually prunes") {
+    // The oracle gate (q46b) runs on the RANDOM fixture, where every
+    // (vector, list) pair escapes — so it never exercises the pruned
+    // regime. This fixture is 8 tight, well-separated clusters
+    // (interleaved ids, so build's first-nLists centroid seeding lands
+    // one centroid per cluster): the angular bound must eliminate
+    // almost every foreign list, and the answer must STILL be exact —
+    // an over-aggressive bound would drop true neighbors here and
+    // nothing else would catch it.
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    val dim = 16; val nClusters = 8; val perCluster = 25
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs: Seq[(Long, Int, Array[Float])] =
+      (0 until nClusters * perCluster).map { i =>
+        val c = i % nClusters
+        val v = centers(c).map(x => (x + 0.02 * rnd.nextGaussian()).toFloat)
+        (i.toLong, c, v)
+      }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val (index, centroids) = IvfAnn.build(spark, df, nLists = nClusters)
+    val got = IvfAnn.allNnExact(index, centroids, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // in-memory brute force with the kernel's exact arithmetic
+    // (float -> double per element, same fold order) and the oracle's
+    // rounding + tie-break
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = vecs.map { case (id, _, v) =>
+      val best = vecs.filter(_._1 != id)
+        .map { case (j, _, w) => (j, r6(cos(v, w))) }
+        .maxBy { case (j, c) => (c, -j.toDouble) }
+      id -> best
+    }.toMap
+    assert(got == want, "bucketed all-NN diverged from brute force on clustered data")
+
+    // prove the pruned regime was actually active: replicate the bound
+    // with the same geometry and count survivors among foreign lists
+    // build seeds centroids with the first nLists vectors: centroid j
+    // IS vecs(j)
+    val assign = vecs.map { case (id, _, v) =>
+      id -> (0 until nClusters).minBy(j => -cos(v, vecs(j)._3))
+    }.toMap
+    val rad = (0 until nClusters).map { j =>
+      val members = vecs.filter(v => assign(v._1) == j)
+      j -> members.map(v => math.acos(math.max(-1, math.min(1, cos(v._3, vecs(j)._3))))).max
+    }.toMap
+    var escapes = 0; var foreign = 0
+    vecs.foreach { case (id, _, v) =>
+      val th = (0 until nClusters).map(j =>
+        j -> math.acos(math.max(-1, math.min(1, cos(v, vecs(j)._3))))).toMap
+      val probes = th.toSeq.sortBy { case (j, t) => (t, j) }.take(2).map(_._1).toSet
+      val bestProbed = vecs
+        .filter(w => w._1 != id && probes(assign(w._1)))
+        .map(w => cos(v, w._3)).maxOption.getOrElse(-2.0)
+      (0 until nClusters).filterNot(probes).foreach { j =>
+        foreign += 1
+        if (math.cos(math.max(0, th(j) - rad(j))) >= bestProbed - 1e-3) escapes += 1
+      }
+    }
+    assert(escapes < foreign / 4,
+      s"bound pruned nothing on clustered data ($escapes of $foreign foreign lists escape)")
+  }
+
   test("probing fewer lists scans proportionally fewer candidates") {
     val (index, centroids) = built
     val probed = centroids
