@@ -152,10 +152,12 @@ object AggQueries extends QueryModule {
         .groupBy(col("l_linestatus"), col(valueCol).as("v"))
         .agg(count(lit(1)).as("c"))
       val wCum = Window.partitionBy("l_linestatus").orderBy("v")
-      val wAll = Window.partitionBy("l_linestatus")
+      // group totals via a tiny agg + broadcast join — an unordered
+      // window for `n` would buffer each group's whole histogram per row
+      val totals = hist.groupBy("l_linestatus").agg(sum("c").as("n"))
       val cum = hist
         .withColumn("cum", sum("c").over(wCum))
-        .withColumn("n", sum("c").over(wAll))
+        .join(broadcast(totals), "l_linestatus")
         .withColumn("lo", col("cum") - col("c"))
       val aggs = ps.flatMap { case (nm, p) =>
         // value covering 0-indexed position floor(t) / ceil(t), t = p(n-1)
