@@ -18,11 +18,10 @@ import org.apache.spark.sql.functions._
   *    `TakeOrderedAndProject` (q44) or a per-label window (q45). One scan,
   *    one bounded shuffle — brute force is linear and embarrassingly
   *    parallel; an IVF/LSH index only changes the scan fraction.
-  *  - q46 (all-pairs NN) broadcasts ONE side: at bench scale that's exact;
-  *    at 100 TB the same plan runs with the broadcast side replaced by an
-  *    LSH/IVF-bucketed equi-join (the q41/q43 banding shape) — the
-  *    per-pair verify is unchanged. Norms are precomputed per row, never
-  *    per pair.
+  *  - q46 (all-pairs NN) broadcasts ONE side: at bench scale that's exact
+  *    and fast; the 100 TB path is q46b (`IvfAnn.allNnExact`) — the same
+  *    answer through IVF-bucketed equi-joins with a verified escape
+  *    pass, nothing table-sized broadcast.
   */
 object SimilarityQueries extends QueryModule {
 

@@ -516,4 +516,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "c")),
       s"unexpected key set: $got")
   }
+
+  test("streaming corpus ingest end-to-end: content dedup + quality floor + kafka-shaped delivery") {
+    // The reference IS a streaming ingester (ws → kafka); this is that
+    // pipeline with the corpus-build operators composed in-stream:
+    // content-hash dedup (keyed state, survives micro-batch boundaries)
+    // → quality floor → exactly-once epoch delivery through the sink.
+    // The third feed REPLAYS already-seen content under new arrival —
+    // nothing may re-deliver.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, SparkTestSession.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val outDir = java.nio.file.Files.createTempDirectory("ingest_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("ingest_chk").toString
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("h", sha2(col("text"), 256))
+      .dropDuplicates("h")
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id").cast("string").as("key"), col("text").as("value"))
+    val q = graft.sources.kafkashape.KafkaShapedSink.start(
+      stream, outDir, chk, topic = Some("corpus"), numPartitions = 4)
+    try {
+      val (c1, rest) = docs.splitAt(docs.size / 2)
+      mem.addData(c1); q.processAllAvailable()
+      mem.addData(rest); q.processAllAvailable()
+      mem.addData(c1.take(20)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).select("value").collect().map(_.getString(0))
+    val expected = docs.map(_._2).distinct.filter(_.split(" ").length >= 5)
+    assert(got.length == got.distinct.length, "duplicate content delivered")
+    assert(got.toSet == expected.toSet,
+      s"delivered ${got.length} docs, expected ${expected.length}")
+  }
 }
