@@ -145,6 +145,76 @@ object IvfAnn {
       .orderBy("vec_id")
   }
 
+  /** EXACT near-duplicate pair detection through the IVF buckets — every
+    * unordered pair (i < j) whose cosine similarity rounds (6 dp) to
+    * ≥ `minCos`, without a table-sized broadcast or an |n|² theta-join.
+    * This is the edge detector of SemDeDup-style semantic dedup
+    * (embedding-space near-dups → clusters → one survivor); the closure
+    * step is `operators/ConnectedComponents`. Two candidate families,
+    * both equi-joins:
+    *
+    *  1. within-list pairs: self-equi-join on `list_id` with i < j,
+    *     verified exactly — near-identical vectors quantize to the same
+    *     coarse list, so this is where true near-dups concentrate;
+    *  2. cross-list escapes: for each (vector, other-list) pair the
+    *     angular triangle inequality caps the best similarity the list
+    *     can hold — cos_sim(v, x) ≤ cos(max(0, θ_vj − r_j)) — and lists
+    *     whose cap cannot reach `minCos − margin` are pruned with no
+    *     vector data moving (n·nLists scalar rows). Survivors verify
+    *     exactly. A boundary-straddling pair is found from EITHER
+    *     endpoint's escape, so orientations are canonicalized to
+    *     (least, greatest) and deduplicated by a key'd aggregation.
+    *
+    * Exact BY CONSTRUCTION: the bound is mathematical and the margin
+    * only over-escapes (it absorbs the final 6-dp rounding), so q78
+    * shares the brute-force all-pairs oracle. Fixture honesty, as with
+    * `allNnExact`: RANDOM embeddings have list radii near 90°, the cap
+    * never excludes anything, and the verify volume degrades to the
+    * full pair space paid through general equi-joins — on clustered
+    * corpora (the 100 TB case) the escape set collapses and the cost is
+    * ~1/nLists of the pair space. `IvfAnnSpec` pins both regimes.
+    */
+  def nearDupPairs(index: DataFrame, centroids: DataFrame, minCos: Double,
+      checkpoint: Boolean = true): DataFrame = {
+    def chk(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint(true) else df
+    val idx = chk(index)
+    val cents = chk(centroids)
+    val theta =
+      "acos(greatest(-1.0d, least(1.0d, cast(cosine_sim(%s, centroid) as double))))"
+    val radii = idx.join(broadcast(cents), "list_id")
+      .selectExpr("list_id AS cl", s"${theta.format("embedding")} AS th")
+      .groupBy("cl").agg(max("th").as("r"))
+    val nbrs = idx.select(col("vec_id").as("nn_id"),
+      col("embedding").as("emb_b"), col("list_id").as("cl"))
+    // margin covers the 6-dp rounding of the verify value: a pair whose
+    // raw cosine rounds UP to minCos is still ≥ minCos − margin raw
+    val margin = 1e-3
+    val within = idx
+      .select(col("vec_id"), col("embedding"), col("list_id").as("cl"))
+      .join(nbrs, "cl")
+      .filter(col("vec_id") < col("nn_id"))
+    val escapes = idx.select("vec_id", "embedding", "list_id")
+      .crossJoin(broadcast(cents.select(col("list_id").as("cl"), col("centroid"))))
+      .filter(col("list_id") =!= col("cl"))
+      .select(col("vec_id"), col("cl"),
+        expr(s"${theta.format("embedding")}").as("th"))
+      .join(broadcast(radii), "cl")
+      .filter(expr(s"cos(greatest(0.0d, th - r)) >= $minCos - $margin"))
+      .select("vec_id", "cl")
+      .join(idx.select("vec_id", "embedding"), "vec_id")
+      .join(nbrs, "cl")
+      .filter(col("vec_id") =!= col("nn_id"))
+    def scored(pairs: DataFrame): DataFrame =
+      pairs.selectExpr(
+        "least(vec_id, nn_id) AS i", "greatest(vec_id, nn_id) AS j",
+        "round(cast(cosine_sim(embedding, emb_b) as double), 6) AS cos")
+        .filter(col("cos") >= minCos)
+    // a crossing pair can be generated from both endpoints; the kernel
+    // is symmetric (same fold order either way), so max == the value
+    scored(within).unionByName(scored(escapes))
+      .groupBy("i", "j").agg(max("cos").as("cos"))
+  }
+
   /** Exact top-k within the `nprobe` most promising lists. `query` is a
     * one-row frame with an `embedding` column (kept in the plan —
     * broadcast, not collected).

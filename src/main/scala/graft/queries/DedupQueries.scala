@@ -356,6 +356,35 @@ object DedupQueries extends QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** q78: SemDeDup-style SEMANTIC dedup — embedding-cosine near-dup
+    * clusters over the `embeddings` table, completing the dedup ladder
+    * (exact q40 → lexical near-dup q41/q42/q43 → semantic). Edges =
+    * every pair with cosine ≥ 0.4 (the fixture's ≈ 3σ tail — random
+    * 64-dim embeddings concentrate near 0), detected EXACTLY through
+    * the IVF buckets (`operators/IvfAnn.nearDupPairs`: within-list
+    * equi-join + angular-bound escapes, nothing table-sized broadcast —
+    * the q46b plan discipline applied to threshold pairs); closure =
+    * `operators/ConnectedComponents`; output = one row per cluster,
+    * q66's shape (members flattened to a comma-joined string for the
+    * gate's pandas canonicalizer). The DuckDB oracle recomputes the
+    * all-pairs edge set and closes it with a recursive CTE, so the gate
+    * checks detector + closure end-to-end.
+    */
+  def q78SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select("vec_id", "label", "embedding")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val (index, centroids) = graft.operators.IvfAnn.build(spark, e, nLists = 16)
+    val edges = graft.operators.IvfAnn.nearDupPairs(index, centroids, minCos = 0.4)
+      .select(col("i").as("src"), col("j").as("dst"))
+    graft.operators.ConnectedComponents.run(edges)
+      .groupBy(col("component").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        array_join(sort_array(collect_list(col("id"))), ",").as("members"))
+      .orderBy("cluster_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_minhash_lsh" -> (q41MinhashLsh _),
@@ -363,7 +392,8 @@ object DedupQueries extends QueryModule {
     "q42b_ngram_banded" -> (q42bNgramJaccardBanded _),
     "q43_simhash" -> (q43Simhash _),
     "q66_dup_clusters" -> (q66DupClusters _),
-    "q72_nonbmp_kernels" -> (q72NonBmpKernels _)
+    "q72_nonbmp_kernels" -> (q72NonBmpKernels _),
+    "q78_semantic_dedup" -> (q78SemanticDedup _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -434,6 +464,27 @@ object DedupQueries extends QueryModule {
         |comp AS (SELECT n AS doc_id, min(c) AS cluster_id FROM walk GROUP BY n)
         |SELECT cluster_id, count(*)::BIGINT AS cluster_size,
         |       array_to_string(list_sort(list(doc_id)), ',') AS members
+        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // q66's closure shape over the SEMANTIC edge set: all-pairs cosine
+    // (round 6, the q44/q46 agreement precision) thresholded at 0.4,
+    // then the identical recursive-CTE closure — the oracle is blind to
+    // the engine's IVF bucketing, so it gates the exactness claim of
+    // nearDupPairs (bound + escapes find every qualifying pair).
+    "q78_semantic_dedup" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |e0 AS (SELECT i, j FROM p WHERE cos >= 0.4),
+        |nodes AS (SELECT i AS n FROM e0 UNION SELECT j FROM e0),
+        |e AS (SELECT i AS s, j AS d FROM e0 UNION ALL SELECT j AS s, i AS d FROM e0),
+        |walk(n, c) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.d, w.c FROM walk w JOIN e ON e.s = w.n),
+        |comp AS (SELECT n AS vec_id, min(c) AS cluster_id FROM walk GROUP BY n)
+        |SELECT cluster_id, count(*)::BIGINT AS cluster_size,
+        |       array_to_string(list_sort(list(vec_id)), ',') AS members
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     // same suffixed text rebuilt in DuckDB: character trigrams via
     // substr (code-point semantics) and the md5-derived SimHash — a

@@ -207,6 +207,32 @@ object SimilarityQueries extends QueryModule {
       .limit(10)
   }
 
+  /** q77: k-means curation clustering (`operators/KMeans`) — the
+    * clustering step of cluster-balanced corpus curation: k = 8
+    * clusters, 2 Lloyd iterations, deterministic seeds (the 8 smallest
+    * vec_ids) and ROUND-6 centroid snapping between iterations, so the
+    * DuckDB oracle replays the exact trajectory (assignment argmin,
+    * per-dim means, re-assignment). Output: one row per surviving
+    * cluster — size and the first four dimensions of the members' mean
+    * under the FINAL assignment. Per iteration nothing shuffles but one
+    * (sums, count) buffer per cluster per partition; the centroid state
+    * is 8 rows.
+    */
+  def q77Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val (asg, _) = graft.operators.KMeans.fit(
+      Tables.embeddings(spark, dir), k = 8, iters = 2)
+    asg.groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("embedding")(0).cast("double")), 6).as("c0"),
+        round(avg(col("embedding")(1).cast("double")), 6).as("c1"),
+        round(avg(col("embedding")(2).cast("double")), 6).as("c2"),
+        round(avg(col("embedding")(3).cast("double")), 6).as("c3"))
+      // 8-row result: materialize before the global sort so the range
+      // partitioner's sampling pass doesn't re-run the iteration chain
+      .localCheckpoint(true)
+      .orderBy("cluster_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_quantized_cosine" -> (q68QuantizedCosine _),
     "q44_cosine_topk" -> (q44CosineTopk _),
@@ -215,7 +241,8 @@ object SimilarityQueries extends QueryModule {
     "q46_nn_pairs" -> (q46NnPairs _),
     "q46b_nn_pairs_bucketed" -> (q46bNnPairsBucketed _),
     "q47_centroid" -> (q47Centroid _),
-    "q63_ivf_full_probe" -> (q63IvfFullProbe _)
+    "q63_ivf_full_probe" -> (q63IvfFullProbe _),
+    "q77_kmeans" -> (q77Kmeans _)
   )
 
   private val oracleCos =
@@ -286,6 +313,39 @@ object SimilarityQueries extends QueryModule {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rnk FROM p)
         |SELECT vec_id, nn_id, cos FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    // the full 2-iteration Lloyd trajectory unrolled: seeds = 8 smallest
+    // ids; assignment = row_number argmin on (distance, cid); update =
+    // per-dim avg via ZIPPED unnest (value, position), ROUNDED to 6 —
+    // the same snapping the engine applies, which is what makes the
+    // second iteration's distances bit-identical across engines
+    "q77_kmeans" ->
+      """WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
+        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |d1 AS (
+        |  SELECT e.vec_id, s.cid,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_distance(e.v, s.v), s.cid) AS rn
+        |  FROM e CROSS JOIN seeds s),
+        |a1 AS (SELECT vec_id, cid FROM d1 WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cid, i, round(avg(x), 6) AS m
+        |  FROM (SELECT a1.cid, unnest(e.v) AS x, unnest(range(1, 65)) AS i
+        |        FROM a1 JOIN e USING (vec_id))
+        |  GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(m ORDER BY i) AS v FROM u1 GROUP BY cid),
+        |d2 AS (
+        |  SELECT e.vec_id, c.cid,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+        |  FROM e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, cid FROM d2 WHERE rn = 1)
+        |SELECT cid AS cluster_id, count(*)::BIGINT AS n,
+        |       round(avg(v[1]), 6) AS c0, round(avg(v[2]), 6) AS c1,
+        |       round(avg(v[3]), 6) AS c2, round(avg(v[4]), 6) AS c3
+        |FROM a2 JOIN e USING (vec_id)
+        |GROUP BY cid ORDER BY cid""".stripMargin,
     "q47_centroid" ->
       """SELECT label, count(*)::BIGINT AS n,
         |       round(avg(embedding[1]::DOUBLE), 6) AS c0,

@@ -142,6 +142,87 @@ class IvfAnnSpec extends AnyFunSuite {
       s"bound pruned nothing on clustered data ($escapes of $foreign foreign lists escape)")
   }
 
+  private def cosD(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  private def rd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("nearDupPairs == brute-force threshold pairs on the RANDOM fixture") {
+    // the q78 oracle gate at engine scale; here against an in-memory
+    // brute force, on the fixture where NOTHING prunes (random vectors,
+    // list radii near 90 deg) — completeness must survive the all-escape
+    // worst case
+    val (index, centroids) = built
+    val got = IvfAnn.nearDupPairs(index, centroids, minCos = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val want = (for {
+      (i, a) <- vecs; (j, b) <- vecs if i < j
+      c = rd6(cosD(a, b)) if c >= 0.4
+    } yield (i, j) -> c).toMap
+    assert(want.nonEmpty, "fixture produced no qualifying pairs — test is vacuous")
+    assert(got == want, "bucketed pair detection diverged from brute force")
+  }
+
+  test("nearDupPairs stays exact on CLUSTERED data where pairs straddle lists") {
+    // 8 tight clusters but 12 lists: build's first-nLists seeding gives
+    // clusters 0-3 TWO lists each, so true near-dup pairs straddle list
+    // boundaries and only the escape path can recover them; the angular
+    // bound must prune most foreign lists AND lose no pair.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16; val nClusters = 8; val perCluster = 25
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs: Seq[(Long, Int, Array[Float])] =
+      (0 until nClusters * perCluster).map { i =>
+        val c = i % nClusters
+        (i.toLong, c, centers(c).map(x => (x + 0.02 * rnd.nextGaussian()).toFloat))
+      }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val (index, centroids) = IvfAnn.build(spark, df, nLists = 12)
+    val minCos = 0.9
+    val got = IvfAnn.nearDupPairs(index, centroids, minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = (for {
+      (i, _, a) <- vecs; (j, _, b) <- vecs if i < j
+      c = rd6(cosD(a, b)) if c >= minCos
+    } yield (i, j) -> c).toMap
+    assert(got == want, "bucketed pair detection diverged from brute force")
+
+    // the straddling pairs actually exist (else the escape path is untested)
+    val listOf = index.select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val crossing = want.keys.count { case (i, j) => listOf(i) != listOf(j) }
+    assert(crossing > 0, "no qualifying pair straddles lists — fixture too easy")
+
+    // the pruned regime was active: replicate the engine's escape filter
+    // (same geometry, same margin) and count (vector, foreign list)
+    // survivors — on tight clusters the threshold bound must kill most
+    val cents = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    val radii = vecs.groupBy(v => listOf(v._1)).map { case (l, ms) =>
+      l -> ms.map(v => math.acos(math.max(-1, math.min(1, cosD(v._3, cents(l)))))).max
+    }
+    var foreign = 0; var escapes = 0
+    vecs.foreach { case (id, _, v) =>
+      val home = listOf(id)
+      cents.keys.filter(_ != home).foreach { l =>
+        foreign += 1
+        val th = math.acos(math.max(-1, math.min(1, cosD(v, cents(l)))))
+        if (math.cos(math.max(0, th - radii(l))) >= minCos - 1e-3) escapes += 1
+      }
+    }
+    assert(escapes < foreign / 4,
+      s"threshold bound pruned nothing on clustered data ($escapes of $foreign escape)")
+  }
+
   test("probing fewer lists scans proportionally fewer candidates") {
     val (index, centroids) = built
     val probed = centroids
