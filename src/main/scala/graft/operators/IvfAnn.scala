@@ -161,9 +161,13 @@ object IvfAnn {
     *     can hold — cos_sim(v, x) ≤ cos(max(0, θ_vj − r_j)) — and lists
     *     whose cap cannot reach `minCos − margin` are pruned with no
     *     vector data moving (n·nLists scalar rows). Survivors verify
-    *     exactly. A boundary-straddling pair is found from EITHER
-    *     endpoint's escape, so orientations are canonicalized to
-    *     (least, greatest) and deduplicated by a key'd aggregation.
+    *     exactly, restricted to `vec_id < nn_id`: a qualifying crossing
+    *     pair's own cosine witnesses that BOTH endpoints' bounds clear
+    *     the filter (bound ≥ raw cos ≥ minCos − margin), so the
+    *     lower-id orientation is always generated — the restriction
+    *     halves the verify volume and leaves the two candidate
+    *     families disjoint with no duplicates (each vector lives in
+    *     exactly one list), so no dedup shuffle is needed.
     *
     * Exact BY CONSTRUCTION: the bound is mathematical and the margin
     * only over-escapes (it absorbs the final 6-dp rounding), so q78
@@ -203,16 +207,15 @@ object IvfAnn {
       .select("vec_id", "cl")
       .join(idx.select("vec_id", "embedding"), "vec_id")
       .join(nbrs, "cl")
-      .filter(col("vec_id") =!= col("nn_id"))
+      .filter(col("vec_id") < col("nn_id"))
     def scored(pairs: DataFrame): DataFrame =
-      pairs.selectExpr(
-        "least(vec_id, nn_id) AS i", "greatest(vec_id, nn_id) AS j",
+      pairs.selectExpr("vec_id AS i", "nn_id AS j",
         "round(cast(cosine_sim(embedding, emb_b) as double), 6) AS cos")
         .filter(col("cos") >= minCos)
-    // a crossing pair can be generated from both endpoints; the kernel
-    // is symmetric (same fold order either way), so max == the value
+    // within (same list) and escapes (cross-list) are disjoint and each
+    // generates a pair at most once, so the union IS the answer — no
+    // dedup aggregation, nothing shuffles after the verify joins
     scored(within).unionByName(scored(escapes))
-      .groupBy("i", "j").agg(max("cos").as("cos"))
   }
 
   /** Exact top-k within the `nprobe` most promising lists. `query` is a

@@ -385,6 +385,62 @@ object DedupQueries extends QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** q80: INCREMENTAL snapshot dedup — the production shape of MinHash
+    * dedup at 100 TB: a new crawl batch is deduplicated AGAINST the
+    * existing corpus (not within itself), so only new×base candidate
+    * pairs are generated and the base side is touched through its
+    * banded index alone. Split is a deterministic md5-byte test (q69's
+    * membership idiom) so both engines carve identical sides. Pipeline:
+    *
+    *  1. shingle + 128-entry MinHash + 32×4 banding (q41's kernels);
+    *  2. candidates = new-side bands equi-joined to base-side bands on
+    *     (band, key) — the base corpus never broadcasts and never pairs
+    *     with itself; at scale the base's banded index is a precomputed
+    *     table and the daily batch probes it;
+    *  3. exact-Jaccard verify (≥ 0.8) inside candidate buckets only;
+    *  4. census per new-batch source: arrivals, near-dups of the base
+    *     (any hit), clean survivors, and the dup-id sum as a
+    *     membership fingerprint.
+    *
+    * Recall argument is q41's: P[miss | J=0.8] = (1−0.8⁴)³² ≈ 5·10⁻⁸,
+    * and the fixture's true cross-split pairs all sit at J ≥ 0.9 where
+    * the miss probability is ≈ 10⁻¹⁵ — the banded plan reproduces the
+    * oracle's all-pairs new×base ground truth.
+    */
+  def q80IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+      .withColumn("is_base",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") < 128)
+    val bands = docs
+      .withColumn("sig", expr("minhash_sig(sh, 128)"))
+      .select(col("doc_id"), col("is_base"), posexplode(expr(
+        "transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
+        .as(Seq("band", "bkey")))
+    val cand = bands.filter(!col("is_base")).as("n")
+      .join(bands.filter(col("is_base")).as("b"),
+        col("n.band") === col("b.band") && col("n.bkey") === col("b.bkey"))
+      .select(col("n.doc_id").as("new_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+    val dups = cand
+      .join(docs.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(docs.select(col("doc_id").as("base_id"), col("sh").as("sh_b")), "base_id")
+      // sizes are exact ints, so the quotient is the same double in any
+      // engine — no rounding needed before the threshold
+      .filter(size(array_intersect(col("sh_n"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_n"), col("sh_b"))) >= 0.8)
+      .select("new_id").distinct()
+    docs.filter(!col("is_base"))
+      .join(dups.withColumn("dup", lit(1)), col("doc_id") === col("new_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_new"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("dup").isNull, 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("dup").isNotNull, col("doc_id"))).as("sum_dup_ids"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_minhash_lsh" -> (q41MinhashLsh _),
@@ -393,7 +449,8 @@ object DedupQueries extends QueryModule {
     "q43_simhash" -> (q43Simhash _),
     "q66_dup_clusters" -> (q66DupClusters _),
     "q72_nonbmp_kernels" -> (q72NonBmpKernels _),
-    "q78_semantic_dedup" -> (q78SemanticDedup _)
+    "q78_semantic_dedup" -> (q78SemanticDedup _),
+    "q80_incremental_dedup" -> (q80IncrementalDedup _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -465,6 +522,30 @@ object DedupQueries extends QueryModule {
         |SELECT cluster_id, count(*)::BIGINT AS cluster_size,
         |       array_to_string(list_sort(list(doc_id)), ',') AS members
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // all-pairs new×base ground truth: same md5-byte split, same ≥3-word
+    // shingle filter as the engine's `shingled`, exact Jaccard — blind
+    // to the banding, so it gates the recall claim end-to-end
+    "q80_incremental_dedup" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT < 128 AS is_base,
+        |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                        FOR i IN range(1, len(ws) - 1)]) AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |d AS (
+        |  SELECT DISTINCT n.doc_id
+        |  FROM s n JOIN s b
+        |    ON NOT n.is_base AND b.is_base
+        |   AND len(list_intersect(n.sh, b.sh))::DOUBLE /
+        |       len(list_distinct(list_concat(n.sh, b.sh))) >= 0.8)
+        |SELECT n.source, count(*)::BIGINT AS n_new,
+        |       sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |       sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_clean,
+        |       sum(CASE WHEN d.doc_id IS NOT NULL THEN n.doc_id END)::BIGINT AS sum_dup_ids
+        |FROM s n LEFT JOIN d ON n.doc_id = d.doc_id
+        |WHERE NOT n.is_base
+        |GROUP BY n.source ORDER BY n.source""".stripMargin,
     // q66's closure shape over the SEMANTIC edge set: all-pairs cosine
     // (round 6, the q44/q46 agreement precision) thresholded at 0.4,
     // then the identical recursive-CTE closure — the oracle is blind to

@@ -233,6 +233,56 @@ object SimilarityQueries extends QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** q79: cluster-BALANCED curation sampling — the downstream step
+    * k-means exists for in a data-mix pipeline: cap every semantic
+    * cluster at the same budget so dominant clusters stop dominating
+    * the training mix. Composition of q77's deterministic k-means and
+    * q69's md5-byte membership test:
+    *
+    *  1. cluster: `KMeans.fit` (k = 8, 2 iterations, replayable
+    *     trajectory);
+    *  2. budget: per-cluster keep-rate = target/size, materialized as
+    *     an md5-byte threshold `least(256, ceil(256·target/n_total))`
+    *     — an 8-row dim, broadcast;
+    *  3. keep: a vector survives iff its md5 first byte clears its
+    *     cluster's threshold — scan-local, deterministic, no window
+    *     (a per-cid `row_number` would shuffle the whole table into k
+    *     partitions; the rate test touches nothing).
+    *
+    * Output census per cluster: size, threshold, kept count, and the
+    * kept-id sum as a membership fingerprint. The oracle replays the
+    * full trajectory AND the same byte test.
+    */
+  /** The budget-and-keep core of q79 over an assignment (vec_id, cid) —
+    * exposed so `PlanShapeSpec` can assert the shape (k-row budgets
+    * broadcast, no Window) without the checkpoint barriers hiding it.
+    */
+  private[graft] def clusterBalancedCensus(asg: DataFrame, target: Int): DataFrame = {
+    val budgets = asg.groupBy("cid")
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("thr",
+        least(lit(256), ceil(lit(256.0 * target) / col("n_total"))).cast("int"))
+    asg.join(broadcast(budgets), "cid")
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") < col("thr"))
+      .groupBy(col("cid").as("cluster_id"), col("n_total"), col("thr"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_kept"))
+  }
+
+  def q79ClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val (asg, _) = graft.operators.KMeans.fit(
+      Tables.embeddings(spark, dir), k = 8, iters = 2)
+    // fans out to the budget agg and the kept filter — materialize the
+    // assignment once instead of re-running both Lloyd iterations per
+    // consumer
+    val a = asg.select("vec_id", "cid").localCheckpoint(true)
+    clusterBalancedCensus(a, target = 8)
+      // 8-row result: materialize before the global sort so the range
+      // partitioner's sampling pass doesn't re-run the chain
+      .localCheckpoint(true)
+      .orderBy("cluster_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_quantized_cosine" -> (q68QuantizedCosine _),
     "q44_cosine_topk" -> (q44CosineTopk _),
@@ -242,8 +292,40 @@ object SimilarityQueries extends QueryModule {
     "q46b_nn_pairs_bucketed" -> (q46bNnPairsBucketed _),
     "q47_centroid" -> (q47Centroid _),
     "q63_ivf_full_probe" -> (q63IvfFullProbe _),
-    "q77_kmeans" -> (q77Kmeans _)
+    "q77_kmeans" -> (q77Kmeans _),
+    "q79_cluster_sample" -> (q79ClusterSample _)
   )
+
+  /** Shared DuckDB CTE chain: the q77/q79 k-means trajectory unrolled —
+    * seeds = 8 smallest ids; assignment = row_number argmin on
+    * (distance, cid); update = per-dim avg via ZIPPED unnest, ROUNDED
+    * to 6 (the same snapping the engine applies, which is what makes
+    * the second iteration's distances bit-identical across engines).
+    * Ends at `a2` (vec_id, cid) = the final assignment.
+    */
+  private val oracleKmeansA2: String =
+    """e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
+      |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+      |d1 AS (
+      |  SELECT e.vec_id, s.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |                            ORDER BY list_distance(e.v, s.v), s.cid) AS rn
+      |  FROM e CROSS JOIN seeds s),
+      |a1 AS (SELECT vec_id, cid FROM d1 WHERE rn = 1),
+      |u1 AS (
+      |  SELECT cid, i, round(avg(x), 6) AS m
+      |  FROM (SELECT a1.cid, unnest(e.v) AS x, unnest(range(1, 65)) AS i
+      |        FROM a1 JOIN e USING (vec_id))
+      |  GROUP BY cid, i),
+      |c1 AS (SELECT cid, list(m ORDER BY i) AS v FROM u1 GROUP BY cid),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |                            ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+      |  FROM e CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cid FROM d2 WHERE rn = 1)""".stripMargin
 
   private val oracleCos =
     "list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[])"
@@ -313,39 +395,30 @@ object SimilarityQueries extends QueryModule {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rnk FROM p)
         |SELECT vec_id, nn_id, cos FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
-    // the full 2-iteration Lloyd trajectory unrolled: seeds = 8 smallest
-    // ids; assignment = row_number argmin on (distance, cid); update =
-    // per-dim avg via ZIPPED unnest (value, position), ROUNDED to 6 —
-    // the same snapping the engine applies, which is what makes the
-    // second iteration's distances bit-identical across engines
     "q77_kmeans" ->
-      """WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
-        |seeds AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
-        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
-        |d1 AS (
-        |  SELECT e.vec_id, s.cid,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |                            ORDER BY list_distance(e.v, s.v), s.cid) AS rn
-        |  FROM e CROSS JOIN seeds s),
-        |a1 AS (SELECT vec_id, cid FROM d1 WHERE rn = 1),
-        |u1 AS (
-        |  SELECT cid, i, round(avg(x), 6) AS m
-        |  FROM (SELECT a1.cid, unnest(e.v) AS x, unnest(range(1, 65)) AS i
-        |        FROM a1 JOIN e USING (vec_id))
-        |  GROUP BY cid, i),
-        |c1 AS (SELECT cid, list(m ORDER BY i) AS v FROM u1 GROUP BY cid),
-        |d2 AS (
-        |  SELECT e.vec_id, c.cid,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |                            ORDER BY list_distance(e.v, c.v), c.cid) AS rn
-        |  FROM e CROSS JOIN c1 c),
-        |a2 AS (SELECT vec_id, cid FROM d2 WHERE rn = 1)
+      s"""WITH $oracleKmeansA2
         |SELECT cid AS cluster_id, count(*)::BIGINT AS n,
         |       round(avg(v[1]), 6) AS c0, round(avg(v[2]), 6) AS c1,
         |       round(avg(v[3]), 6) AS c2, round(avg(v[4]), 6) AS c3
         |FROM a2 JOIN e USING (vec_id)
         |GROUP BY cid ORDER BY cid""".stripMargin,
+    // the trajectory replayed, then the SAME md5-byte budget test the
+    // engine applies — thresholds, kept counts, and the kept-id sum
+    // must all reproduce
+    "q79_cluster_sample" ->
+      s"""WITH $oracleKmeansA2,
+        |b AS (
+        |  SELECT cid, count(*)::BIGINT AS n_total,
+        |         least(256, ceil(2048.0 / count(*)))::INT AS thr
+        |  FROM a2 GROUP BY cid),
+        |k AS (
+        |  SELECT a2.vec_id, a2.cid
+        |  FROM a2 JOIN b USING (cid)
+        |  WHERE ('0x' || substr(md5(a2.vec_id::VARCHAR), 1, 2))::INT < b.thr)
+        |SELECT b.cid AS cluster_id, b.n_total, b.thr,
+        |       count(*)::BIGINT AS n_kept, sum(k.vec_id)::BIGINT AS sum_kept
+        |FROM k JOIN b USING (cid)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q47_centroid" ->
       """SELECT label, count(*)::BIGINT AS n,
         |       round(avg(embedding[1]::DOUBLE), 6) AS c0,

@@ -310,6 +310,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!readSchema.contains("blob"), s"scan still reads the blob column:\n$plan")
   }
 
+  test("q80 incremental dedup: band-key equi-joins only, base side never broadcast") {
+    // the 100 TB claim: the existing corpus is touched through its
+    // banded index via shuffle equi-joins — no cartesian, no nested
+    // loop, and with auto-broadcast off nothing broadcasts at all
+    // (a forced broadcast of either side would survive the setting)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(DedupQueries.q80IncrementalDedup(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"a side still broadcast with auto-broadcast off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q79 cluster-balanced sampling broadcasts the k-row budget dim, no window") {
+    // the scan-local membership test: budgets (k rows) broadcast onto
+    // the assignment; a per-cid row_number formulation would plan a
+    // Window over k partitions — the whole table shuffled into k tasks
+    import spark.implicits._
+    val asg = (0L until 200L).map(i => (i, (i % 5).toInt + 1)).toDF("vec_id", "cid")
+    val plan = finalPlan(SimilarityQueries.clusterBalancedCensus(asg, target = 8))
+    assert(plan.contains("BroadcastHashJoin"), s"budget dim not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window shuffle:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"census aggregation has no map-side partial:\n$plan")
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))
