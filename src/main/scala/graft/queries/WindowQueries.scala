@@ -110,15 +110,69 @@ object WindowQueries extends QueryModule {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** q81: time-series GAP-FILL + forward-fill resampling — regularize
+    * the irregular event stream onto a dense (user × day) grid and
+    * carry the last observation forward across silent days (the
+    * telemetry/feature-store resampling operator):
+    *
+    *  1. observe: per (user, day) hash agg — round-6 avg value (the
+    *     only cross-partition double sum) + event count;
+    *  2. grid: distinct users × the date span; the span is a ~|days|-row
+    *     dim built from one min/max agg and broadcast — the date axis
+    *     grows with time, not data volume, so the grid is linear in
+    *     users with a constant factor;
+    *  3. fill: LEFT join grid←obs on (user, day), then
+    *     `last(v, ignoreNulls)` over (user, days so far) — one shuffle
+    *     on high-cardinality user_id, per-partition sort, streaming
+    *     frame; a user's leading gap days (before any event) stay null
+    *     by design.
+    */
+  def q81GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val obs = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(avg(col("value")), 6).as("v_avg"), count(lit(1)).as("n_obs"))
+    val days = ev
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val grid = ev.select("user_id").distinct().crossJoin(broadcast(days))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_obs"), lit(0L)).as("n_events"),
+        last(col("v_avg"), ignoreNulls = true).over(w).as("v_fill"),
+        when(col("n_obs").isNull, 1).otherwise(0).as("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_window_rank" -> (q20WindowRank _),
     "q21_window_analytic" -> (q21WindowAnalytic _),
     "q22_window_frames" -> (q22WindowFrames _),
     "q23_window_topk" -> (q23WindowTopk _),
-    "q24_window_share" -> (q24WindowShare _)
+    "q24_window_share" -> (q24WindowShare _),
+    "q81_gap_fill" -> (q81GapFill _)
   )
 
   override val oracles: Map[String, String] = Map(
+    // same grid rebuilt from the span min/max; IGNORE NULLS last_value
+    // over the running frame is the forward fill in both engines
+    "q81_gap_fill" ->
+      """WITH b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |obs AS (SELECT user_id, ts::DATE AS day, round(avg(value), 6) AS v_avg,
+        |               count(*)::BIGINT AS n
+        |        FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, d.day,
+        |       coalesce(obs.n, 0)::BIGINT AS n_events,
+        |       last_value(obs.v_avg IGNORE NULLS) OVER (
+        |         PARTITION BY u.user_id ORDER BY d.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+        |       CASE WHEN obs.n IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM u CROSS JOIN days d
+        |LEFT JOIN obs ON obs.user_id = u.user_id AND obs.day = d.day
+        |ORDER BY u.user_id, d.day""".stripMargin,
     "q20_window_rank" ->
       """SELECT * FROM (
         |  SELECT c_nationkey, c_custkey,
