@@ -130,7 +130,35 @@ object MiscQueries extends QueryModule {
       .select("piece", "n").orderBy("piece")
   }
 
+  /** q83: corpus data profiling — the first thing run against a new
+    * 100 TB drop: per-column null count, exact distinct count, and
+    * min/max (stringified so heterogeneous column types share one
+    * output schema). One branch per column, each a COLUMN-PRUNED scan
+    * (parquet reads only that column) into a partial+final agg with a
+    * single distinct — deliberately NOT one multi-distinct agg, whose
+    * Expand would amplify every row ×|columns| with all columns
+    * materialized; the union of pruned branches reads each byte once.
+    * (The approximate path for distinct counts at scale is q08's
+    * `approx_count_distinct`.)
+    */
+  def q83Profile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    cols.map { c =>
+      d.select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_repr"),
+          max(col(c)).cast("string").as("max_repr"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_repr"), col("max_repr"))
+    }.reduce(_.unionByName(_)).orderBy("col_name")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_profile" -> (q83Profile _),
     "q53_filter_breadth" -> (q53FilterBreadth _),
     "q54_sort_nulls" -> (q54SortNulls _),
     "q55_posexplode_stack" -> (q55PosexplodeStack _),
@@ -139,6 +167,16 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // one UNION ALL branch per column, stringified min/max — binary
+    // collation in both engines, so string min/max agree
+    "q83_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |       (count(*) - count($c))::BIGINT AS n_null,
+           |       count(DISTINCT $c)::BIGINT AS n_distinct,
+           |       min($c)::VARCHAR AS min_repr, max($c)::VARCHAR AS max_repr
+           |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "q53_filter_breadth" ->
       """WITH f AS (
         |  SELECT *,

@@ -293,7 +293,45 @@ object TextQueries extends QueryModule {
       .orderBy("lang")
   }
 
+  /** q82: BM25 retrieval ranking — the lexical scorer a curation
+    * pipeline uses to pull benchmark-relevant or classifier-training
+    * slices out of a corpus (q67's TF-IDF machinery, Okapi-weighted:
+    * k1 = 1.2, b = 0.75, Lucene's ln(1 + (N−df+0.5)/(df+0.5)) idf).
+    * Everything derives from exact integer statistics (tf, dl, df, N,
+    * Σdl), combined in ONE arithmetic shape mirrored token-for-token by
+    * the oracle, so the doubles agree to well under the round-6 output
+    * precision. Plan: postings are filtered to the query's terms AT the
+    * explode (the corpus-sized stream never aggregates unfiltered), the
+    * per-term df table and the 1-row corpus stats broadcast, the top-20
+    * is a TakeOrderedAndProject on (rounded score, doc_id). At 100 TB
+    * the term filter is the whole game: |postings| ≈ |docs|·|query|,
+    * linear, never the full token stream.
+    */
+  def q82Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("merge", "window", "stream")
+    val ws = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val d = ws.select(col("doc_id"), size(col("ws")).as("dl"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).cast("double").as("sumdl"))
+    val t = ws.select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val f = t.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    t.join(broadcast(f), "term")
+      .join(d, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        // identical operation order to the oracle's expression
+        "ln(1 + (n - df + 0.5D)/(df + 0.5D)) * (tf * 2.2D) / " +
+          "(tf + 1.2D * (1.0D - 0.75D + 0.75D * dl / (sumdl / n))) AS s")
+      .groupBy("doc_id").agg(round(sum(col("s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_bm25" -> (q82Bm25 _),
     "q70_corpus_pipeline" -> (q70CorpusPipeline _),
     "q48_lang_id" -> (q48LangId _),
     "q49_quality" -> (q49Quality _),
@@ -317,6 +355,23 @@ object TextQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // exact integer stats (tf, dl, df, N, Σdl) through the SAME
+    // arithmetic shape as the engine — round 6 absorbs the ln ulp
+    "q82_bm25" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id, len(ws) AS dl FROM w),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sumdl FROM d),
+        |t AS (SELECT doc_id, x AS term, count(*)::BIGINT AS tf
+        |      FROM (SELECT doc_id, unnest(ws) AS x FROM w)
+        |      WHERE x IN ('merge', 'window', 'stream') GROUP BY 1, 2),
+        |f AS (SELECT term, count(*)::DOUBLE AS df FROM t GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |         round(sum(ln(1 + (s.n - f.df + 0.5)/(f.df + 0.5)) * (t.tf * 2.2) /
+        |                   (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / (s.sumdl / s.n)))), 6) AS bm25
+        |  FROM t JOIN f USING (term) JOIN d USING (doc_id) CROSS JOIN s
+        |  GROUP BY 1)
+        |SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "q70_corpus_pipeline" ->
       """WITH d AS (
         |  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
