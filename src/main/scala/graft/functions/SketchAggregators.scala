@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable sketch aggregators (SURVEY.md §2B "custom typed UDAF" /
+  * "imperative agg (sketches)" rows). Both run as partial+final
+  * aggregations: the map side folds raw rows into a FIXED-SIZE buffer and
+  * only buffers cross the shuffle — at 100 TB the shuffle volume is
+  * O(partitions · buffer), independent of row count. That mergeability is
+  * the whole point of sketching in a distributed engine; a non-mergeable
+  * "sketch" would force a single-task stream.
+  */
+object SketchAggregators {
+
+  /** Misra–Gries heavy-hitters summary (a.k.a. frequent items; the
+    * deterministic cousin of space-saving) over a long-keyed column.
+    *
+    * Guarantees (Misra & Gries 1982; merge rule per Agarwal et al.,
+    * "Mergeable Summaries", PODS '12 — both public):
+    *  - every key with true count > n/(capacity+1) is retained;
+    *  - a reported count undercounts the true count by at most
+    *    n/(capacity+1), where n = rows folded in;
+    *  - when `capacity` ≥ the number of DISTINCT keys, no decrement ever
+    *    fires and every reported count is EXACT — that regime is what the
+    *    q86 oracle gate pins; `HeavyHitterSpec` bounds the lossy regime.
+    *
+    * The buffer is an immutable Map (encoder-friendly); the per-row
+    * update is O(log size) and the rare decrement/truncate steps are
+    * O(capacity). Counts never depend on arrival order in the exact
+    * regime, so the result is deterministic under any partitioning.
+    */
+  class HeavyHitterAggregator(capacity: Int)
+      extends Aggregator[Long, Map[Long, Long], Seq[(Long, Long)]] {
+    require(capacity > 0, "capacity must be positive")
+
+    override def zero: Map[Long, Long] = Map.empty
+
+    override def reduce(b: Map[Long, Long], key: Long): Map[Long, Long] =
+      b.get(key) match {
+        case Some(c) => b.updated(key, c + 1L)
+        case None if b.size < capacity => b.updated(key, 1L)
+        case None =>
+          // Misra–Gries step: decrement every counter, drop zeros. The
+          // arriving key is "absorbed" by the collective decrement.
+          b.iterator.collect { case (k, c) if c > 1L => (k, c - 1L) }.toMap
+      }
+
+    /** Mergeable-summaries rule: sum counters, then if over capacity
+      * subtract the (capacity+1)-th largest count from all and keep the
+      * strictly-positive survivors (ties on the cut count all survive the
+      * subtraction identically, so the merge is deterministic).
+      */
+    override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
+      val combined = b.foldLeft(a) { case (m, (k, c)) =>
+        m.updated(k, m.getOrElse(k, 0L) + c)
+      }
+      if (combined.size <= capacity) combined
+      else {
+        val cut = combined.valuesIterator.toArray.sorted(Ordering[Long].reverse)(capacity)
+        combined.iterator.collect { case (k, c) if c > cut => (k, c - cut) }.toMap
+      }
+    }
+
+    /** Descending (count, then key) — a canonical order so downstream
+      * `explode` + `limit` is deterministic without re-sorting the map.
+      */
+    override def finish(r: Map[Long, Long]): Seq[(Long, Long)] =
+      r.toSeq.sortBy { case (k, c) => (-c, k) }
+
+    override def bufferEncoder: Encoder[Map[Long, Long]] =
+      ExpressionEncoder[Map[Long, Long]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  /** Bottom-k sketch (KMV, "k minimum values" — Bar-Yossef et al. 2002):
+    * keeps the k smallest hash values seen. Union-mergeable (merge =
+    * merge the two sorted lists, keep k), so the map side folds each
+    * partition into a ≤k-element buffer and only those cross the
+    * shuffle; `(k-1)/u_(k)` estimates the distinct count of the hashed
+    * key. Deterministic: the k smallest of a set do not depend on
+    * arrival order. Input hashes must be pre-normalized to (0, 1].
+    */
+  class BottomKAggregator(k: Int)
+      extends Aggregator[Double, Seq[Double], Seq[Double]] {
+    require(k > 0, "k must be positive")
+
+    override def zero: Seq[Double] = Vector.empty
+
+    override def reduce(b: Seq[Double], u: Double): Seq[Double] =
+      if (b.contains(u)) b // KMV is over the DISTINCT hash set
+      else if (b.size < k) (b :+ u).sorted
+      else if (u < b.last) (b.init :+ u).sorted
+      else b
+
+    override def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
+      (a ++ b).distinct.sorted.take(k)
+
+    override def finish(r: Seq[Double]): Seq[Double] = r
+
+    override def bufferEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** A (value, id) pair ranked by (value DESC, id ASC) — the total order
+    * `TopKAggregator` maintains, so ties are deterministic.
+    */
+  case class ScoredId(v: Double, id: Long)
+
+  /** Bounded per-group top-k heap: keeps the k largest `ScoredId`s by
+    * (v desc, id asc). The scale story vs the `row_number` window
+    * formulation (q23): a window sorts EVERY row of every group through
+    * the shuffle; this aggregator's map side reduces each partition to
+    * ≤k rows per group before the exchange, so the shuffle carries
+    * O(groups · partitions · k) — on a 100 TB fact table with small k
+    * that is the difference between shuffling the table and shuffling a
+    * summary. Exact (not a sketch): top-k is union-mergeable.
+    */
+  class TopKAggregator(k: Int)
+      extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+    require(k > 0, "k must be positive")
+
+    private def better(a: ScoredId, b: ScoredId): Boolean =
+      a.v > b.v || (a.v == b.v && a.id < b.id)
+    private def sortK(s: Seq[ScoredId]): Seq[ScoredId] =
+      s.sortWith(better).take(k)
+
+    override def zero: Seq[ScoredId] = Vector.empty
+    override def reduce(b: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
+      if (b.size < k || better(x, b.last)) sortK(b :+ x) else b
+    override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
+      sortK(a ++ b)
+    override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
+
+    override def bufferEncoder: Encoder[Seq[ScoredId]] =
+      ExpressionEncoder[Seq[ScoredId]]()
+    override def outputEncoder: Encoder[Seq[ScoredId]] =
+      ExpressionEncoder[Seq[ScoredId]]()
+  }
+
+  /** One-pass Gram/covariance accumulator over `ArrayType(FloatType)`
+    * embeddings — the distributed half of PCA/whitening: the d×d second
+    * moment is computed in a single scan with a d(d+1)/2-sized buffer
+    * (upper triangle only), the O(d²)→O(d³) eigen step then runs on the
+    * driver over a 64×64 matrix. The embedding table itself never
+    * shuffles — only one ~17 KB buffer per partition does.
+    *
+    * Buffer layout: [0] = n, [1..d] = per-dim sums, [1+d ..] = upper
+    * triangle of Σ x·xᵀ in row-major (i ≤ j) order. `finish` returns the
+    * raw moments; callers derive Gram sums, means, and covariance
+    * (cov_ij = (S_ij − s_i·s_j/n)/(n−1)) as plain column math.
+    */
+  class GramAggregator(dim: Int)
+      extends Aggregator[Seq[Float], Array[Double], Array[Double]] {
+    require(dim > 0, "dim must be positive")
+    private val triLen = dim * (dim + 1) / 2
+    private val bufLen = 1 + dim + triLen
+
+    override def zero: Array[Double] = new Array[Double](bufLen)
+
+    override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+      require(v.length == dim, s"embedding dimension mismatch: $dim vs ${v.length}")
+      // one primitive copy up front so the O(d²) loop never boxes
+      val x = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { x(i) = v(i); i += 1 }
+      b(0) += 1d
+      var t = 1 + dim
+      i = 0
+      while (i < dim) {
+        b(1 + i) += x(i)
+        var j = i
+        while (j < dim) { b(t) += x(i) * x(j); j += 1; t += 1 }
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < bufLen) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Double]): Array[Double] = r
+
+    override def bufferEncoder: Encoder[Array[Double]] =
+      ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Array[Double]] =
+      ExpressionEncoder[Array[Double]]()
+  }
+}

@@ -184,7 +184,93 @@ object AggQueries extends QueryModule {
       .orderBy("l_linestatus")
   }
 
+  /** q86: heavy hitters through the mergeable Misra–Gries summary
+    * (`SketchAggregators.HeavyHitterAggregator`) — the streaming-fold
+    * answer to "top talkers" when an exact groupBy would shuffle one row
+    * per distinct key. The map side folds raw events into a ≤capacity
+    * counter map; only those maps cross the shuffle (O(partitions ·
+    * capacity), row-count-independent — at 100 TB that is KBs where the
+    * exact agg shuffles the key universe).
+    *
+    * Gate regime: capacity 4096 ≥ every fixture's distinct-user count
+    * (150 @ sf0.01, 1500 @ sf0.1), so Misra–Gries is EXACT and the
+    * oracle is the plain exact top-10; the lossy regime's
+    * n/(capacity+1) undercount bound is pinned by `HeavyHitterSpec`.
+    */
+  def q86HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val hh = udaf(new graft.functions.SketchAggregators.HeavyHitterAggregator(4096))
+    Tables.events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .agg(hh(col("user_id")).as("items"))
+      .select(explode(col("items")).as("kv"))
+      .select(col("kv._1").as("user_id"), col("kv._2").as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(10)
+  }
+
+  /** q90: per-source distinct-count estimation via the bottom-k (KMV)
+    * sketch (`SketchAggregators.BottomKAggregator`): hash every doc_id
+    * to a deterministic md5-uniform in (0, 1], keep the k = 8 smallest
+    * per source, estimate distinct = (k-1)/u_(k). The sketch is
+    * union-mergeable (partial buffers of ≤k doubles), which is what a
+    * 100 TB "how many uniques per slice" rollup needs — and unlike
+    * q08's HLL the estimator here is deterministic arithmetic both
+    * engines can replay, so the gate is a hash match, not a tolerance.
+    * Output carries the estimate, the exact count, and the relative
+    * error — the query doubles as the sketch's accuracy probe.
+    */
+  def q90KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val bk = udaf(new graft.functions.SketchAggregators.BottomKAggregator(k))
+    // (h+1)/2^32 with h = first 8 md5 hex digits: exact in double (the
+    // divisor is a power of two), identical in DuckDB
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0d)) / lit(4294967296.0d)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), u.as("u"), col("doc_id"))
+      .groupBy("source")
+      .agg(bk(col("u")).as("mins"),
+        countDistinct(col("doc_id")).as("exact_distinct"))
+      .select(col("source"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / element_at(col("mins"), k))
+          .as("est"),
+        col("exact_distinct"))
+      .select(col("source"), round(col("est"), 4).as("est_distinct"),
+        col("exact_distinct"),
+        round(abs(col("est") - col("exact_distinct")) / col("exact_distinct"), 4)
+          .as("rel_err"))
+      .orderBy("source")
+  }
+
+  /** q91: grouped top-k through the bounded-heap `TopKAggregator` — the
+    * aggregation-shaped alternative to q23's `row_number` window. The
+    * window form sorts EVERY group row through the shuffle; here the map
+    * side reduces each partition to ≤k rows per group (partial
+    * ObjectHashAggregate), so only O(groups·partitions·k) summary rows
+    * cross the exchange — the shape that survives a 100 TB fact table.
+    * Exact and deterministic: total order (n_chars desc, doc_id asc).
+    */
+  def q91GroupedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(3))
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"),
+        col("n_chars").cast("double").as("v"), col("doc_id").as("id"))
+      .groupBy("source")
+      // product-typed input: the udaf takes the case-class FIELDS as args
+      .agg(topk(col("v"), col("id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rn"),
+        col("kv.id").as("doc_id"), col("kv.v").cast("long").as("n_chars"))
+      .orderBy("source", "rn")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_grouped_topk" -> (q91GroupedTopk _),
+    "q86_heavy_hitters" -> (q86HeavyHitters _),
+    "q90_kmv_distinct" -> (q90KmvDistinct _),
     "q09b_percentile_hist" -> (q09bPercentileHist _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_distinct_agg" -> (q02DistinctAgg _),
@@ -198,6 +284,47 @@ object AggQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the heap aggregator must equal the plain window top-3 — exact op
+    "q91_grouped_topk" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT source, rn::BIGINT AS rn, doc_id, n_chars
+        |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+    // exact regime (capacity ≥ distinct keys): the sketch must equal
+    // the plain exact top-10 — no tolerance
+    "q86_heavy_hitters" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id ASC LIMIT 10""".stripMargin,
+    // the SAME md5-uniform hashes, bottom-8 per source, and the
+    // (k-1)/u_(k) estimator replayed in SQL — the u values are exact
+    // dyadic rationals, so every float op is bit-identical
+    "q90_kmv_distinct" ->
+      """WITH u AS (
+        |  SELECT DISTINCT source,
+        |         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1) / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, u,
+        |         row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+        |  FROM u),
+        |s AS (
+        |  SELECT source, max(u) AS uk, count(*)::BIGINT AS kk
+        |  FROM r WHERE rn <= 8 GROUP BY source),
+        |e AS (
+        |  SELECT source, count(DISTINCT doc_id)::BIGINT AS exact_distinct
+        |  FROM documents GROUP BY source),
+        |est AS (
+        |  SELECT s.source,
+        |         CASE WHEN s.kk < 8 THEN s.kk::DOUBLE ELSE 7.0 / s.uk END AS est,
+        |         e.exact_distinct
+        |  FROM s JOIN e USING (source))
+        |SELECT source, round(est, 4) AS est_distinct, exact_distinct,
+        |       round(abs(est - exact_distinct) / exact_distinct, 4) AS rel_err
+        |FROM est ORDER BY source""".stripMargin,
     "q02_distinct_agg" ->
       """SELECT o_orderpriority,
         |  count(*) AS n_orders,

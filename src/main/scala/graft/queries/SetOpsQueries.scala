@@ -129,7 +129,34 @@ object SetOpsQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q87: weighted sampling WITHOUT replacement via the
+    * Efraimidis–Spirakis exponential-jump keys (IPL 2006 — public):
+    * each document draws a deterministic md5-uniform u ∈ (0,1] and gets
+    * key = −ln(u)/w with weight w = n_chars; the k smallest keys ARE a
+    * weighted sample without replacement. Distributed shape: the key is
+    * a scan-local projection and the selection is `orderBy().limit(k)`
+    * = TakeOrderedAndProject (per-partition heaps, k·partitions driver
+    * merge) — the one-pass distributed algorithm from the paper, no
+    * shuffle of the unsampled corpus. Unlike rand()-based sampling the
+    * draw is replayable, so the oracle re-derives the identical sample;
+    * keys are reported in parts-per-million (engine and oracle share
+    * every operand bit except the ln ulp, absorbed by round 6).
+    */
+  def q87WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0d)) / lit(4294967296.0d)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (-log(u) / col("n_chars")).as("key"))
+      .orderBy(col("key").asc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("key") * 1e6, 6).as("key_ppm"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_weighted_sample" -> (q87WeightedSample _),
     "q69_stratified_sample" -> (q69StratifiedSample _),
     "q25_union" -> (q25Union _),
     "q26_intersect_except" -> (q26IntersectExcept _),
@@ -141,6 +168,16 @@ object SetOpsQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the identical md5-uniform draw and −ln(u)/w keys; selection
+    // happens on the unrounded key in both engines
+    "q87_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |         -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1) / 4294967296.0)
+        |           / n_chars AS key
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, round(key * 1e6, 6) AS key_ppm
+        |FROM k ORDER BY key ASC, doc_id ASC LIMIT 20""".stripMargin,
     "q69_stratified_sample" ->
       """WITH r AS (
         |  SELECT DISTINCT source,

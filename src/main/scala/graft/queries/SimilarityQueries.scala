@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{CentroidAggregator, VectorOps}
 import graft.operators.IvfAnn
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -283,8 +283,104 @@ object SimilarityQueries extends QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** Deterministic signed-random-projection hyperplanes for q84: 16
+    * planes × 64 dims, each component derived from md5("srp_p_i") — the
+    * same strings DuckDB hashes, so the oracle rebuilds the identical
+    * planes. Values are rationals in [-1, 1] with denominator 500.
+    */
+  private lazy val srpPlanes: Seq[Seq[Double]] = {
+    def h8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    (0 until 16).map { p =>
+      (0 until 64).map(i => ((h8(s"srp_${p}_${i}") % 1001L) - 500L) / 500.0)
+    }
+  }
+
+  /** q84: embedding near-dup via signed-random-projection LSH (hyperplane
+    * LSH, Charikar STOC '02 — the SimHash geometry applied to dense
+    * vectors): 16 deterministic hyperplanes → 16 sign bits per vector →
+    * 4 bands × 4 bits; two vectors are CANDIDATES iff they agree on all
+    * 4 bits of some band, and candidates are verified with the exact
+    * native cosine. Complements the IVF route (q78): SRP needs no
+    * training pass and its signature is a compact literal (2 bytes/vector
+    * here) that ships through any shuffle.
+    *
+    * Scale shape: the sign bits are 16 scan-local dot products against
+    * BROADCAST-SIZE literals (16×64 doubles baked into the plan); the
+    * signature table that self-joins is (vec_id, band, key) — narrow,
+    * never the vectors; the verify pass re-joins `embeddings` by key on
+    * both sides. No table-sized broadcast, no cartesian (plan-asserted).
+    * On the RANDOM fixture ~22% of pairs collide somewhere (θ≈90°,
+    * (1/2)⁴ per band × 4 bands) — real clustered corpora collide far
+    * less at the same recall for cos ≥ 0.8 pairs, which is the operating
+    * point the banding is tuned for.
+    */
+  def q84SrpLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val bits: Seq[Column] =
+      srpPlanes.map(pl =>
+        when(VectorOps.dot(col("embedding"), typedlit(pl)) > 0d, 1).otherwise(0))
+    val bandStructs = (0 until 4).map { b =>
+      val key = (0 until 4).map(j => bits(4 * b + j) * lit(1 << j)).reduce(_ + _)
+      struct(lit(b).as("band"), key.cast("long").as("key"))
+    }
+    val sig = e
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = sig.as("a")
+      .join(sig.as("b"), col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .selectExpr("va", "vb", "round(cosine_sim(ea, eb), 6) AS cos")
+      .orderBy(col("cos").desc, col("va").asc, col("vb").asc)
+      .limit(20)
+  }
+
+  /** q88: one-pass Gram + covariance of the embedding dimensions — the
+    * distributed statistics PCA/whitening starts from. A single scan
+    * folds every vector into ONE 2145-double buffer
+    * (`SketchAggregators.GramAggregator`: n, per-dim sums, upper
+    * triangle of Σx·xᵀ); partial buffers merge element-wise, so the
+    * shuffle carries ~17 KB per partition regardless of row count — at
+    * 100 TB the eigen step on the resulting 64×64 matrix is a driver
+    * no-op while the data pass stays embarrassingly parallel. Output:
+    * the upper triangle as (i, j, gram_sum, cov) rows; the oracle
+    * recomputes both moments with per-dimension sums in DuckDB.
+    */
+  def q88GramCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val gram = udaf(new graft.functions.SketchAggregators.GramAggregator(64))
+    val m = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .agg(gram(col("embedding")).as("m"))
+    val pairs = "flatten(transform(sequence(0, 63), " +
+      "i -> transform(sequence(i, 63), j -> struct(i AS i, j AS j))))"
+    m.select(col("m"), explode(expr(pairs)).as("p"))
+      .select(col("m"), col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"))
+      .withColumn("n", element_at(col("m"), 1))
+      .withColumn("si", element_at(col("m"), (col("i") + 2).cast("int")))
+      .withColumn("sj", element_at(col("m"), (col("j") + 2).cast("int")))
+      // 0-based offset of (i,j) in the row-major upper triangle is
+      // 65 + i*(129-i)/2 + (j-i); element_at is 1-based
+      .withColumn("g", element_at(col("m"),
+        (lit(66) + col("i") * (lit(129) - col("i")) / 2 + col("j") - col("i")).cast("int")))
+      .select(col("i"), col("j"), round(col("g"), 4).as("gram_sum"),
+        round((col("g") - col("si") * col("sj") / col("n")) / (col("n") - 1), 6).as("cov"))
+      .orderBy("i", "j")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_quantized_cosine" -> (q68QuantizedCosine _),
+    "q84_srp_lsh" -> (q84SrpLsh _),
+    "q88_gram_covariance" -> (q88GramCovariance _),
     "q44_cosine_topk" -> (q44CosineTopk _),
     "q61_cosine_expr_topk" -> (q61CosineExprTopk _),
     "q45_ann_grouped" -> (q45AnnGrouped _),
@@ -331,6 +427,50 @@ object SimilarityQueries extends QueryModule {
     "list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[])"
 
   override val oracles: Map[String, String] = Map(
+    // the identical md5-derived hyperplanes, sign bits, banding, and
+    // exact-cosine verify rebuilt in SQL — the banding is mirrored, not
+    // assumed, so a wrong bucket anywhere changes the candidate set
+    "q84_srp_lsh" ->
+      """WITH pl AS (
+        |  SELECT p, i,
+        |         ((('0x' || substr(md5('srp_' || p || '_' || i), 1, 8))::BIGINT % 1001) - 500) / 500.0 AS v
+        |  FROM range(0, 16) t1(p), range(0, 64) t2(i)),
+        |s AS (
+        |  SELECT e.vec_id, pl.p,
+        |         CASE WHEN sum(e.embedding[(pl.i + 1)::INT]::DOUBLE * pl.v) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM embeddings e, pl
+        |  GROUP BY e.vec_id, pl.p),
+        |sig AS (
+        |  SELECT vec_id, (p // 4)::INT AS band,
+        |         sum(bit * (1 << (p % 4)::INT))::BIGINT AS key
+        |  FROM s GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        |  FROM sig a JOIN sig b
+        |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+        |SELECT c.va, c.vb,
+        |       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos
+        |FROM cand c
+        |JOIN embeddings ea ON ea.vec_id = c.va
+        |JOIN embeddings eb ON eb.vec_id = c.vb
+        |ORDER BY cos DESC, va ASC, vb ASC LIMIT 20""".stripMargin,
+    // both moments recomputed from per-dimension sums; gram sums are
+    // O(500)-magnitude doubles, so round 4 absorbs summation-order ulp
+    "q88_gram_covariance" ->
+      """WITH n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        |s AS (
+        |  SELECT r.i AS d, sum(e.embedding[(r.i + 1)::INT]::DOUBLE) AS sd
+        |  FROM embeddings e, range(0, 64) r(i) GROUP BY 1),
+        |g AS (
+        |  SELECT r1.i AS i, r2.j AS j,
+        |         sum(e.embedding[(r1.i + 1)::INT]::DOUBLE * e.embedding[(r2.j + 1)::INT]::DOUBLE) AS g
+        |  FROM embeddings e, range(0, 64) r1(i), range(0, 64) r2(j)
+        |  WHERE r2.j >= r1.i GROUP BY 1, 2)
+        |SELECT g.i::BIGINT AS i, g.j::BIGINT AS j,
+        |       round(g.g, 4) AS gram_sum,
+        |       round((g.g - si.sd * sj.sd / n.n) / (n.n - 1), 6) AS cov
+        |FROM g JOIN s si ON si.d = g.i JOIN s sj ON sj.d = g.j CROSS JOIN n
+        |ORDER BY i, j""".stripMargin,
     // the quantizer (⌊x·127/max|x| + 0.5⌋, clamped) mirrored in list
     // comprehensions; codes are small integers, so dot/norm sums are
     // EXACT in double in any summation order — only the final

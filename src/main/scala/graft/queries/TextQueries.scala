@@ -330,7 +330,59 @@ object TextQueries extends QueryModule {
       .limit(20)
   }
 
+  /** q85: pairwise document cosine over sparse term-frequency vectors
+    * through a term-level INVERTED INDEX — the text-side analog of the
+    * embedding all-NN problem (q46/q46b), solved the way sparse
+    * similarity engines do: a pair only materializes for terms the two
+    * documents SHARE, via an equi-join of the postings list with itself.
+    * Two scale levers, both part of the declared semantics:
+    *
+    *  - a document-frequency cutoff (df ≤ 50 here = 10% of the corpus)
+    *    drops stop-terms BEFORE the join — high-df terms are exactly the
+    *    ones whose postings self-join quadratically (Σ C(df,2), the q42
+    *    lesson) while contributing least to discrimination; the TF
+    *    vectors are DEFINED over the surviving vocabulary on both sides;
+    *  - the numerator Σ tf_a·tf_b and the norm sums Σ tf² are INTEGER
+    *    arithmetic — exact in any accumulation order — so the only
+    *    float op is the final divide, and the gate needs no tolerance.
+    *
+    * Output: the 20 most similar document pairs (cos desc, ids asc).
+    * PlanShapeSpec asserts the pair path is equi-join only — no
+    * cartesian, no broadcast of the postings table.
+    */
+  def q85SparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    // df cutoff: terms appearing in more than 50 documents are
+    // stop-terms. Vocabulary-sized agg + equi-join (the q09b lesson:
+    // an unordered Window would drag every posting through a sort);
+    // AQE broadcasts the df side when the vocabulary allows.
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val kept = tf
+      .join(df.filter(col("df") <= 50), "term")
+      .select("doc_id", "term", "tf")
+    val norms = kept.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("ssq"))
+    val num = kept.as("a")
+      .join(kept.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("num"))
+    num
+      .join(norms.select(col("doc_id").as("da"), col("ssq").as("sa")), "da")
+      .join(norms.select(col("doc_id").as("db"), col("ssq").as("sb")), "db")
+      .select(col("da"), col("db"),
+        round(col("num") / sqrt(col("sa").cast("double") * col("sb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("da").asc, col("db").asc)
+      .limit(20)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_sparse_cosine" -> (q85SparseCosine _),
     "q82_bm25" -> (q82Bm25 _),
     "q70_corpus_pipeline" -> (q70CorpusPipeline _),
     "q48_lang_id" -> (q48LangId _),
@@ -355,6 +407,24 @@ object TextQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // integer numerators/norms — exact in any order; the single float
+    // divide is bit-identical across engines, so round 6 is cosmetic
+    "q85_sparse_cosine" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |dfk AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= 50),
+        |k AS (SELECT tf.* FROM tf JOIN dfk USING (term)),
+        |nrm AS (SELECT doc_id, sum(tf * tf)::BIGINT AS ssq FROM k GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, sum(a.tf * b.tf)::BIGINT AS num
+        |  FROM k a JOIN k b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.da, p.db,
+        |       round(p.num / sqrt(na.ssq::DOUBLE * nb.ssq), 6) AS cos
+        |FROM p JOIN nrm na ON na.doc_id = p.da JOIN nrm nb ON nb.doc_id = p.db
+        |ORDER BY cos DESC, da ASC, db ASC LIMIT 20""".stripMargin,
     // exact integer stats (tf, dl, df, N, Σdl) through the SAME
     // arithmetic shape as the engine — round 6 absorbs the ln ulp
     "q82_bm25" ->

@@ -145,7 +145,40 @@ object WindowQueries extends QueryModule {
       .orderBy("user_id", "day")
   }
 
+  /** q89: slowly-changing-dimension (SCD type-2) build from the event
+    * stream — the CDC pattern that turns an append-only change log into
+    * versioned dimension rows with effective-date ranges: per user,
+    * collapse consecutive equal `event_type` observations (lag), stamp
+    * each surviving change with a version number and a
+    * [valid_from, valid_to) range (lead; the current version stays
+    * open). Both windows partition on high-cardinality `user_id` — one
+    * hash shuffle, per-partition sorts, no global sort, which is the
+    * 100 TB dimension-build shape. Output: the per-user version census
+    * (count, first/last type via min_by/max_by, mean closed-version
+    * lifetime), one row per user.
+    */
+  def q89Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type")
+    val versions = ev
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+    versions
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_versions"),
+        min_by(col("event_type"), col("version")).as("first_type"),
+        max_by(col("event_type"), col("version")).as("last_type"),
+        round(avg(col("valid_to").cast("double") - col("ts").cast("double")), 4)
+          .as("avg_version_secs"))
+      .orderBy("user_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_scd2" -> (q89Scd2 _),
     "q20_window_rank" -> (q20WindowRank _),
     "q21_window_analytic" -> (q21WindowAnalytic _),
     "q22_window_frames" -> (q22WindowFrames _),
@@ -155,6 +188,26 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // ts truncated to µs on the oracle side (ts::TIMESTAMP) to match
+    // the engine's nanos→micros read; lag-collapse, version numbering,
+    // and the lead() ranges replayed with the same (ts, event_id) order
+    "q89_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |v AS (
+        |  SELECT user_id, ts, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, count(*)::BIGINT AS n_versions,
+        |       min_by(event_type, version) AS first_type,
+        |       max_by(event_type, version) AS last_type,
+        |       round(avg(epoch(valid_to) - epoch(ts)), 4) AS avg_version_secs
+        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same grid rebuilt from the span min/max; IGNORE NULLS last_value
     // over the running frame is the forward fill in both engines
     "q81_gap_fill" ->

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** One order-book update: either a SNAPSHOT RESET marker or a level
+  * delta. Mirrors the payload the reference actually moves — Bitvavo
+  * book events: periodic full-book snapshots requested out-of-band
+  * (`/root/reference/src/main.cpp:54-58`, `README.md:45-51`) healing a
+  * lossy delta stream (`/root/reference/src/wsclient.hpp:158-162`
+  * reconnect gaps). `reset = true` opens a snapshot: the book for that
+  * market is cleared, then the snapshot's own levels (and everything
+  * after) are applied as deltas. `size == 0` removes a level.
+  */
+case class BookUpdate(
+    seq: Long,
+    market: String,
+    reset: Boolean,
+    side: String, // "bid" | "ask"; ignored on reset rows
+    price: Double,
+    size: Double)
+
+/** Keyed order-book state: price level → size, per side. */
+case class Book(
+    market: String,
+    n_updates: Long,
+    bids: Map[Double, Double],
+    asks: Map[Double, Double])
+
+/** Top-of-book summary emitted per market per micro-batch. */
+case class TopOfBook(
+    market: String,
+    n_updates: Long,
+    best_bid: Double,
+    best_ask: Double,
+    bid_depth: Int,
+    ask_depth: Int)
+
+/** Order-book reconstruction — the reference's end-to-end semantic
+  * (§1.5 of SURVEY.md: lossy delta stream + periodic snapshot
+  * re-request) as a first-class stateful operator. State is the full
+  * keyed book (two price→size maps) in the state store, partitioned by
+  * market: each micro-batch touches only markets with updates, state
+  * size is bounded by live price levels (snapshots CLEAR the book, so a
+  * reconnect gap can never leave stale levels behind — that is the whole
+  * point of the snapshot protocol). Emits top-of-book per market per
+  * batch (update mode).
+  */
+object OrderBook {
+
+  /** Apply one ordered run of updates to a book. Updates inside a batch
+    * are sorted by `seq` (iterator order within a group is not
+    * guaranteed by the engine — same rule as `StatefulOps.fold`).
+    */
+  def fold(prev: Book, updates: Iterator[BookUpdate]): Book =
+    updates.toSeq.sortBy(_.seq).foldLeft(prev) { (b, u) =>
+      if (u.reset) Book(u.market, b.n_updates + 1, Map.empty, Map.empty)
+      else {
+        def upd(m: Map[Double, Double]): Map[Double, Double] =
+          if (u.size == 0.0) m - u.price else m.updated(u.price, u.size)
+        if (u.side == "bid") Book(u.market, b.n_updates + 1, upd(b.bids), b.asks)
+        else Book(u.market, b.n_updates + 1, b.bids, upd(b.asks))
+      }
+    }
+
+  def top(b: Book): TopOfBook = TopOfBook(
+    b.market, b.n_updates,
+    if (b.bids.isEmpty) Double.NaN else b.bids.keys.max,
+    if (b.asks.isEmpty) Double.NaN else b.asks.keys.min,
+    b.bids.size, b.asks.size)
+
+  /** Streaming reconstruction: update-mode top-of-book per market per
+    * batch. */
+  def topOfBook(updates: Dataset[BookUpdate]): Dataset[TopOfBook] = {
+    implicit val stateEnc = Encoders.product[Book]
+    implicit val outEnc = Encoders.product[TopOfBook]
+    updates
+      .groupByKey(_.market)(Encoders.STRING)
+      .mapGroupsWithState[Book, TopOfBook](GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BookUpdate], state: GroupState[Book]) =>
+          val prev = state.getOption.getOrElse(Book(key, 0L, Map.empty, Map.empty))
+          val next = fold(prev, it)
+          state.update(next)
+          top(next)
+      }
+  }
+
+  /** Batch reference: the same fold over the complete update list. */
+  def batchReference(updates: Seq[BookUpdate]): Map[String, TopOfBook] =
+    updates.groupBy(_.market).map { case (m, us) =>
+      m -> top(fold(Book(m, 0L, Map.empty, Map.empty), us.sortBy(_.seq).iterator))
+    }
+}

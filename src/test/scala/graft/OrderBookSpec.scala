@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.{Book, BookUpdate, OrderBook}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Order-book reconstruction (the reference's §1.5 semantic): streaming
+  * state must equal the sequential fold regardless of micro-batch
+  * chunking, and a snapshot must HEAL a simulated reconnect gap — the
+  * property the reference's periodic `getBook` re-request exists for
+  * (`/root/reference/src/main.cpp:54-58`).
+  */
+class OrderBookSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def mk(seq: Long, mkt: String, side: String, price: Double, size: Double) =
+    BookUpdate(seq, mkt, reset = false, side, price, size)
+  private def snap(seq: Long, mkt: String) =
+    BookUpdate(seq, mkt, reset = true, "", 0.0, 0.0)
+
+  /** A two-market update script: build, cross-update, snapshot resync,
+    * level removals. */
+  private val script: Seq[BookUpdate] = Seq(
+    snap(1, "BTC"), mk(2, "BTC", "bid", 99.0, 1.0), mk(3, "BTC", "ask", 101.0, 2.0),
+    mk(4, "BTC", "bid", 98.5, 3.0), mk(5, "BTC", "ask", 100.5, 1.5),
+    snap(6, "ETH"), mk(7, "ETH", "bid", 9.0, 10.0), mk(8, "ETH", "ask", 9.5, 4.0),
+    mk(9, "BTC", "bid", 99.5, 2.0), mk(10, "BTC", "ask", 100.5, 0.0), // remove ask
+    mk(11, "ETH", "bid", 9.2, 1.0), mk(12, "ETH", "bid", 9.0, 0.0),   // remove bid
+    // snapshot resync for BTC: clears everything, rebuilds two levels
+    snap(13, "BTC"), mk(14, "BTC", "bid", 97.0, 5.0), mk(15, "BTC", "ask", 103.0, 5.0),
+    mk(16, "BTC", "bid", 96.0, 1.0))
+
+  private def runChunked(updates: Seq[BookUpdate], nChunks: Int): Map[String, (Double, Double, Int, Int)] = {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[BookUpdate]
+    val mem = MemoryStream[BookUpdate]
+    val name = s"book_${System.nanoTime()}"
+    val q = OrderBook.topOfBook(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    try {
+      val size = math.max(1, updates.size / nChunks)
+      updates.grouped(size).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    // latest row per market = max n_updates (monotone per key)
+    spark.table(name).collect()
+      .groupBy(_.getString(0))
+      .map { case (m, rows) =>
+        val r = rows.maxBy(_.getLong(1))
+        m -> ((r.getDouble(2), r.getDouble(3), r.getInt(4), r.getInt(5)))
+      }
+  }
+
+  test("streaming top-of-book equals the sequential fold under any chunking") {
+    val want = OrderBook.batchReference(script).map { case (m, t) =>
+      m -> ((t.best_bid, t.best_ask, t.bid_depth, t.ask_depth))
+    }
+    for (n <- Seq(1, 3, 7)) {
+      val got = runChunked(script, n)
+      assert(got == want, s"diverged at $n chunks")
+    }
+  }
+
+  test("final book state is exactly right after the snapshot resync") {
+    val want = OrderBook.batchReference(script)
+    val btc = want("BTC")
+    // post-snapshot book: bids {97→5, 96→1}, asks {103→5}
+    assert(btc.best_bid == 97.0 && btc.best_ask == 103.0)
+    assert(btc.bid_depth == 2 && btc.ask_depth == 1)
+    val eth = want("ETH")
+    assert(eth.best_bid == 9.2 && eth.ask_depth == 1 && eth.bid_depth == 1)
+  }
+
+  test("a snapshot heals a reconnect gap: state converges despite lost deltas") {
+    // the "lossy" stream drops the deltas between seq 2..5 (a reconnect
+    // window); because a later snapshot (seq 13) rebuilds BTC from
+    // scratch, the final BTC book must equal the lossless run's
+    val lossless = OrderBook.batchReference(script)
+    val lossy = OrderBook.batchReference(script.filterNot(u =>
+      u.market == "BTC" && u.seq >= 2 && u.seq <= 5))
+    assert(lossy("BTC").best_bid == lossless("BTC").best_bid)
+    assert(lossy("BTC").best_ask == lossless("BTC").best_ask)
+    assert(lossy("BTC").bid_depth == lossless("BTC").bid_depth)
+    assert(lossy("BTC").ask_depth == lossless("BTC").ask_depth)
+    // and the same through the STREAMING path
+    val got = runChunked(script.filterNot(u =>
+      u.market == "BTC" && u.seq >= 2 && u.seq <= 5), 4)
+    assert(got("BTC") == ((97.0, 103.0, 2, 1)))
+  }
+
+  test("empty-side top-of-book reports NaN, not a crash") {
+    val t = OrderBook.top(Book("X", 1L, Map(1.0 -> 1.0), Map.empty))
+    assert(t.best_ask.isNaN && t.best_bid == 1.0)
+  }
+}

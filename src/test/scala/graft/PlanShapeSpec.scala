@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AggQueries, DedupQueries, JoinQueries, SetOpsQueries, SimilarityQueries}
+import graft.queries.{AggQueries, DedupQueries, JoinQueries, SetOpsQueries, SimilarityQueries, TextQueries}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.scalatest.funsuite.AnyFunSuite
@@ -101,6 +101,56 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastExchange"),
         s"doc-side table still broadcast with auto-broadcast off:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q84 SRP-LSH candidates come from band-key equi-joins — no cartesian, no table broadcast") {
+    // the signature self-join and both verify joins are equi-joins; with
+    // auto-broadcast off nothing at all broadcasts (the hyperplanes are
+    // literals inside projections, not a join side).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(SimilarityQueries.q84SrpLsh(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"a table side still broadcast with auto-broadcast off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q85 sparse-cosine pair generation is postings equi-joins only — no cartesian") {
+    // document pairs must materialize ONLY through the shared-term
+    // postings join; df cutoff and norms are key equi-joins too.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(TextQueries.q85SparseCosine(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"a table side still broadcast with auto-broadcast off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q86/q88/q90 sketch aggregations run as partial+final (mergeable buffers)") {
+    // ObjectHashAggregate partial/final split: the map side folds rows
+    // into sketch buffers; only buffers cross the exchange.
+    for ((name, df) <- Seq(
+        "q86" -> AggQueries.q86HeavyHitters(spark, dir),
+        "q88" -> SimilarityQueries.q88GramCovariance(spark, dir),
+        "q90" -> AggQueries.q90KmvDistinct(spark, dir),
+        "q91" -> AggQueries.q91GroupedTopk(spark, dir))) {
+      val plan = finalPlan(df)
+      assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+        s"$name: no object aggregate in plan:\n$plan")
+      assert(plan.toLowerCase.contains("partial"),
+        s"$name: no partial aggregation (map-side combine) in plan:\n$plan")
+    }
+  }
+
+  test("q87 weighted sample plans as TakeOrderedAndProject, not a global sort") {
+    val plan = finalPlan(SetOpsQueries.q87WeightedSample(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
 
   test("q46b bucketed all-NN never broadcasts a table-sized side") {
