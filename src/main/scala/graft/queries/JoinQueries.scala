@@ -246,10 +246,49 @@ object JoinQueries extends QueryModule {
     "q18_join_theta" -> (q18JoinTheta _),
     "q18b_join_theta_window" -> (q18bJoinThetaWindow _),
     "q19_join_asof" -> (q19JoinAsof _),
-    "q65_join_asof_forward" -> (q65JoinAsofForward _)
+    "q65_join_asof_forward" -> (q65JoinAsofForward _),
+    "q92_binned_range_join" -> (q92BinnedRangeJoin _)
   )
 
+  /** q92: interval join at scale — every lineitem matched to the parts
+    * whose size window [p_size−2, p_size+2] contains its quantity,
+    * through `operators/BinnedRangeJoin` (bin equi-join + post-filter)
+    * instead of the nested-loop plan a raw BETWEEN join gets. binWidth 5
+    * = the interval width, so each part lands in ≤ 2 bins; the lineitem
+    * side shuffles once on its single bin. Census per brand so the gate
+    * compares the full 10M-pair match, not a sample. PlanShapeSpec
+    * asserts the plan has no BroadcastNestedLoopJoin/CartesianProduct
+    * (the raw-theta q18 shape).
+    */
+  def q92BinnedRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    // a 10% order slice against one brand's size windows keeps the true
+    // pair count gate-sized (the interval predicate itself matches 10%
+    // of any part slice per line — an exact census over the full
+    // cross-product would be the answer's size, not the plan's fault)
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_quantity").cast("long").as("qty"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23")
+      .select(col("p_type"),
+        (col("p_size") - 2).cast("long").as("lo"),
+        (col("p_size") + 2).cast("long").as("hi"))
+    graft.operators.BinnedRangeJoin.inner(l, p, "qty", "lo", "hi", binWidth = 5)
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("qty")).as("sum_qty"))
+      .orderBy("p_type")
+  }
+
   override val oracles: Map[String, String] = Map(
+    // the raw BETWEEN join — the oracle is blind to the binning, so a
+    // bin that drops or duplicates a pair flips the census
+    "q92_binned_range_join" ->
+      """SELECT p.p_type, count(*)::BIGINT AS n_pairs, sum(l.qty)::BIGINT AS sum_qty
+        |FROM (SELECT l_quantity::BIGINT AS qty FROM lineitem WHERE l_orderkey % 10 = 0) l
+        |JOIN (SELECT p_type, (p_size - 2)::BIGINT AS lo, (p_size + 2)::BIGINT AS hi
+        |      FROM part WHERE p_brand = 'Brand#23') p
+        |  ON l.qty BETWEEN p.lo AND p.hi
+        |GROUP BY p.p_type ORDER BY p.p_type""".stripMargin,
     // the UNSALTED join: salting must be result-invariant
     "q71_salted_join" ->
       """SELECT p_brand, count(*)::BIGINT AS n,

@@ -381,7 +381,39 @@ object TextQueries extends QueryModule {
       .limit(20)
   }
 
+  /** q93: distribution drift per source — KL(source ‖ corpus) over
+    * unigram term distributions, the monitoring statistic a data-mix
+    * pipeline watches to catch a source whose content shifted (crawl
+    * rot, template takeover) before it pollutes the training mix.
+    * KL = Σ_t p(t|src)·ln(p(t|src)/p(t|corpus)); q(t) > 0 whenever
+    * p(t) > 0 because the corpus marginal contains every source term,
+    * so the sum is always finite. Shape: token-level partial+final
+    * aggs, key equi-joins on (source)/(term), and the corpus total as a
+    * one-row broadcast — nothing quadratic, nothing table-broadcast.
+    */
+  def q93KlDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val sc = tok.groupBy("source", "term")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val st = sc.groupBy("source").agg(sum("c").as("tot"))
+    val cc = sc.groupBy("term").agg(sum("c").as("cc"))
+    val ct = cc.agg(sum("cc").as("ctot"))
+    sc.join(st, "source")
+      .join(cc, "term")
+      .crossJoin(broadcast(ct))
+      .withColumn("contrib",
+        (col("c") / col("tot")) *
+          log((col("c") / col("tot")) / (col("cc") / col("ctot"))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"), round(sum("contrib"), 6).as("kl"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
     "q82_bm25" -> (q82Bm25 _),
     "q70_corpus_pipeline" -> (q70CorpusPipeline _),
@@ -407,6 +439,20 @@ object TextQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // identical counts → identical divides; ln ulp + summation-order
+    // noise (~1e-15) absorbed by round 6 on an O(0.1) statistic
+    "q93_kl_drift" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tt AS (SELECT source, term FROM t WHERE term <> ''),
+        |sc AS (SELECT source, term, count(*)::DOUBLE AS c FROM tt GROUP BY 1, 2),
+        |st AS (SELECT source, sum(c) AS tot FROM sc GROUP BY 1),
+        |cc AS (SELECT term, sum(c) AS cc FROM sc GROUP BY 1),
+        |ct AS (SELECT sum(cc) AS ctot FROM cc)
+        |SELECT sc.source, count(*)::BIGINT AS n_terms,
+        |       round(sum((sc.c / st.tot) * ln((sc.c / st.tot) / (cc.cc / ct.ctot))), 6) AS kl
+        |FROM sc JOIN st USING (source) JOIN cc USING (term) CROSS JOIN ct
+        |GROUP BY sc.source ORDER BY sc.source""".stripMargin,
     // integer numerators/norms — exact in any order; the single float
     // divide is bit-identical across engines, so round 6 is cosmetic
     "q85_sparse_cosine" ->

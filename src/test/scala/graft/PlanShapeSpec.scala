@@ -148,6 +148,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q92 binned range join plans as an equi-join — no nested loop, no cartesian") {
+    // the raw BETWEEN predicate would plan BroadcastNestedLoopJoin;
+    // binning must turn the pair generation into a hash/merge equi-join
+    // with the interval predicate as a post-filter
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(JoinQueries.q92BinnedRangeJoin(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"no equi-join in plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q87 weighted sample plans as TakeOrderedAndProject, not a global sort") {
     val plan = finalPlan(SetOpsQueries.q87WeightedSample(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
