@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.ZOrder
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: the point is what lands in parquet footers — per-file
+  * min/max boxes. The spec writes the SAME events twice (linear layout on
+  * user_id vs z-order on (user_id, value)), then measures, per file, the
+  * (user_id, value) bounding box and counts how many files a conjunctive
+  * range predicate could prune. Z-order must prune strictly more files
+  * than the linear layout on the off-axis dimension.
+  *
+  * Scale note (also in the operator scaladoc): the test-exact grid uses
+  * a global `percent_rank` window (single-partition sort — fine for a
+  * spec, wrong for 100 TB); production writes compute the same grids
+  * from `approxQuantile` boundaries, which changes nothing the spec
+  * measures.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val nFiles = 16
+
+  /** Per-output-file bounding boxes of (user_id, value), read back via
+    * input_file_name — what parquet stats would give a pruning reader.
+    */
+  private def boxes(path: String): Seq[(Long, Long, Double, Double)] =
+    spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("value").as("vlo"), max("value").as("vhi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+
+  private def prunable(bs: Seq[(Long, Long, Double, Double)],
+      u: (Long, Long), v: (Double, Double)): Int =
+    bs.count { case (ulo, uhi, vlo, vhi) =>
+      uhi < u._1 || ulo > u._2 || vhi < v._1 || vlo > v._2
+    }
+
+  test("z-order layout prunes conjunctive range boxes the linear layout cannot") {
+    val ev = Tables.events(spark, SparkTestSession.sf001)
+      .select("user_id", "value", "event_id")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+
+    ZOrder.cluster(ev, "user_id", "value", nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/z")
+    ev.repartitionByRange(nFiles, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/linear")
+
+    val zb = boxes(s"$base/z")
+    val lb = boxes(s"$base/linear")
+    assert(zb.size >= nFiles - 1 && lb.size >= nFiles - 1, "files missing")
+
+    // a predicate selective in BOTH dims: mid 1/4 of users × top values
+    val uband = (60L, 90L)
+    val vband = (200.0, 500.0)
+    val zPruned = prunable(zb, uband, vband)
+    val lPruned = prunable(lb, uband, vband)
+    // linear layout prunes on user_id only; z-order must also cut files
+    // by the value dimension
+    assert(zPruned > lPruned,
+      s"z-order pruned $zPruned/${zb.size} vs linear $lPruned/${lb.size}")
+
+    // and a value-ONLY predicate, where the linear layout is blind
+    val zOnlyV = prunable(zb, (Long.MinValue, Long.MaxValue), vband)
+    val lOnlyV = prunable(lb, (Long.MinValue, Long.MaxValue), vband)
+    assert(zOnlyV > lOnlyV,
+      s"value-only: z-order pruned $zOnlyV/${zb.size} vs linear $lOnlyV/${lb.size}")
+  }
+
+  test("interleave16 is monotone in each coordinate on a fixed other coordinate") {
+    val df = (0L until 8L).map(i => (i * 1000, 37L)).toDF("x", "y")
+      .select(ZOrder.interleave16(col("x") % 65536, col("y")).as("z"))
+    val zs = df.collect().map(_.getLong(0)).toSeq
+    assert(zs == zs.sorted, s"z not monotone in x: $zs")
+  }
+}
