@@ -87,6 +87,60 @@ class OrderBookSpec extends AnyFunSuite {
     assert(got("BTC") == ((97.0, 103.0, 2, 1)))
   }
 
+  test("end-to-end reference pipeline: WebSocket book feed -> source -> JSON parse -> stateful rebuild") {
+    // the reference's whole application (main.cpp:48-50 + README book
+    // example) run through this engine: an in-process WS server plays
+    // the exchange, frames arrive through the DataSourceV2 source, the
+    // JSON payload parses into typed updates, and the keyed state
+    // operator rebuilds the book.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val server = new TestWsServer
+    try {
+      val schema = StructType(Seq(
+        StructField("seq", LongType), StructField("market", StringType),
+        StructField("reset", BooleanType), StructField("side", StringType),
+        StructField("price", DoubleType), StructField("size", DoubleType)))
+      val updates = spark.readStream.format("websocket")
+        .option("url", server.url)
+        .option("key", "websocket_1")
+        .option("subscribeMessage", """{"action":"subscribe","channels":["book"]}""")
+        .option("reconnectDelayMs", "200")
+        .load()
+        .select(from_json(col("value"), schema).as("u"))
+        .select("u.*")
+        .as[BookUpdate](org.apache.spark.sql.Encoders.product[BookUpdate])
+      val name = s"ws_book_${System.nanoTime()}"
+      val q = OrderBook.topOfBook(updates).writeStream
+        .format("memory").queryName(name).outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+      try {
+        def deadline(ms: Long)(cond: => Boolean): Boolean = {
+          val end = System.currentTimeMillis() + ms
+          while (!cond && System.currentTimeMillis() < end) Thread.sleep(50)
+          cond
+        }
+        assert(deadline(15000)(server.totalConnects >= 1), "client never connected")
+        script.foreach { u =>
+          server.send(
+            s"""{"seq":${u.seq},"market":"${u.market}","reset":${u.reset},""" +
+              s""""side":"${u.side}","price":${u.price},"size":${u.size}}""")
+        }
+        val want = OrderBook.batchReference(script).map { case (m, t) =>
+          m -> ((t.best_bid, t.best_ask, t.bid_depth, t.ask_depth))
+        }
+        assert(deadline(20000) {
+          val rows = spark.table(name).collect()
+          val latest = rows.groupBy(_.getString(0)).map { case (m, rs) =>
+            val r = rs.maxBy(_.getLong(1))
+            m -> ((r.getDouble(2), r.getDouble(3), r.getInt(4), r.getInt(5)))
+          }
+          latest == want
+        }, s"end-to-end book never converged: ${spark.table(name).collect().toSeq}")
+      } finally q.stop()
+    } finally server.close()
+  }
+
   test("empty-side top-of-book reports NaN, not a crash") {
     val t = OrderBook.top(Book("X", 1L, Map(1.0 -> 1.0), Map.empty))
     assert(t.best_ask.isNaN && t.best_bid == 1.0)
