@@ -365,6 +365,10 @@ object TextQueries extends QueryModule {
     val kept = tf
       .join(df.filter(col("df") <= 50), "term")
       .select("doc_id", "term", "tf")
+      // fans out to the norm agg and BOTH pair-join sides: materialize
+      // the filtered postings once instead of re-tokenizing the corpus
+      // three times (the q79/q46b checkpoint-reuse pattern)
+      .localCheckpoint(true)
     val norms = kept.groupBy("doc_id")
       .agg(sum(col("tf") * col("tf")).as("ssq"))
     val num = kept.as("a")

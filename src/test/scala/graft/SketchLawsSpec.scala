@@ -1,0 +1,131 @@
+package graft
+
+import graft.functions.SketchAggregators._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic laws of the mergeable sketches, checked directly on the
+  * Aggregator methods (no Spark jobs — the engine's partial/final
+  * execution is covered by `SketchAggregatorsSpec`; these pin that ANY
+  * split of the input into partial folds merges to the same answer,
+  * which is the property distribution correctness rests on).
+  */
+class SketchLawsSpec extends AnyFunSuite {
+
+  private def cases[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(seed)).get
+
+  private def foldWith[I, B](zero: B, reduce: (B, I) => B)(xs: Seq[I]): B =
+    xs.foldLeft(zero)(reduce)
+
+  // ---- bottom-k ----------------------------------------------------
+
+  test("BottomK: any partition split merges to the brute-force bottom-k (scalacheck)") {
+    val agg = new BottomKAggregator(6)
+    val gen = for {
+      xs <- Gen.listOfN(60, Gen.chooseNum(1, 25).map(_ / 25.0)) // dups guaranteed
+      cut <- Gen.chooseNum(0, 60)
+    } yield (xs, cut)
+    cases(gen, 60, 7L).foreach { case (xs, cut) =>
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(
+        foldWith(agg.zero, agg.reduce)(a), foldWith(agg.zero, agg.reduce)(b))
+      assert(merged == xs.distinct.sorted.take(6), s"split at $cut diverged")
+      // merge is commutative
+      assert(merged == agg.merge(
+        foldWith(agg.zero, agg.reduce)(b), foldWith(agg.zero, agg.reduce)(a)))
+    }
+  }
+
+  // ---- top-k heap --------------------------------------------------
+
+  test("TopK: any partition split merges to the sorted reference with id tie-break (scalacheck)") {
+    val agg = new TopKAggregator(4)
+    val gen = for {
+      n <- Gen.chooseNum(0, 50)
+      vs <- Gen.listOfN(n, Gen.chooseNum(1, 8)) // heavy value ties
+      cut <- Gen.chooseNum(0, n)
+    } yield (vs.zipWithIndex.map { case (v, i) => ScoredId(v.toDouble, i.toLong) }, cut)
+    cases(gen, 80, 11L).foreach { case (xs, cut) =>
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(
+        foldWith(agg.zero, agg.reduce)(a), foldWith(agg.zero, agg.reduce)(b))
+      val want = xs.sortWith((p, q) => p.v > q.v || (p.v == q.v && p.id < q.id)).take(4)
+      assert(merged == want, s"split at $cut diverged: $merged vs $want")
+    }
+  }
+
+  // ---- Misra–Gries -------------------------------------------------
+
+  test("Misra-Gries: exact when capacity >= distinct, for any split (scalacheck)") {
+    val agg = new HeavyHitterAggregator(32)
+    val gen = for {
+      keys <- Gen.listOfN(120, Gen.chooseNum(0L, 19L)) // ≤20 distinct ≤ 32 cap
+      cut <- Gen.chooseNum(0, 120)
+    } yield (keys, cut)
+    cases(gen, 60, 13L).foreach { case (keys, cut) =>
+      val (a, b) = keys.splitAt(cut)
+      val merged = agg.merge(
+        foldWith(agg.zero, agg.reduce)(a), foldWith(agg.zero, agg.reduce)(b))
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(merged == exact, s"split at $cut diverged")
+    }
+  }
+
+  test("Misra-Gries: lossy-regime counts never overcount and undercount <= n/(cap+1) (scalacheck)") {
+    val cap = 8
+    val agg = new HeavyHitterAggregator(cap)
+    val gen = for {
+      keys <- Gen.listOfN(300, Gen.frequency(
+        3 -> Gen.chooseNum(0L, 2L),      // heavy keys
+        2 -> Gen.chooseNum(100L, 400L))) // long tail
+      cut <- Gen.chooseNum(0, 300)
+    } yield (keys, cut)
+    cases(gen, 60, 17L).foreach { case (keys, cut) =>
+      val (a, b) = keys.splitAt(cut)
+      val merged = agg.merge(
+        foldWith(agg.zero, agg.reduce)(a), foldWith(agg.zero, agg.reduce)(b))
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = keys.size / (cap + 1)
+      assert(merged.size <= cap)
+      merged.foreach { case (k, c) =>
+        val t = exact.getOrElse(k, 0L)
+        assert(c <= t, s"overcount: key $k reported $c true $t")
+        assert(c >= t - bound, s"undercount beyond bound: key $k reported $c true $t bound $bound")
+      }
+      // completeness: anything with true count > bound must be present
+      exact.foreach { case (k, t) =>
+        if (t > bound) assert(merged.contains(k), s"heavy key $k (count $t > $bound) dropped")
+      }
+    }
+  }
+
+  // ---- Gram --------------------------------------------------------
+
+  test("Gram: partial folds merge to the direct moments (scalacheck)") {
+    val dim = 4
+    val agg = new GramAggregator(dim)
+    val gen = for {
+      n <- Gen.chooseNum(1, 30)
+      vs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-100, 100).map(_ / 50.0f)))
+      cut <- Gen.chooseNum(0, n)
+    } yield (vs.map(_.toSeq), cut)
+    cases(gen, 40, 19L).foreach { case (vs, cut) =>
+      val (a, b) = vs.splitAt(cut)
+      val merged = agg.merge(
+        foldWith(agg.zero, agg.reduce)(a), foldWith(agg.zero, agg.reduce)(b))
+      assert(merged(0) == vs.size.toDouble)
+      var t = 1 + dim
+      for (i <- 0 until dim) {
+        val ref = vs.map(_(i).toDouble).sum
+        assert(math.abs(merged(1 + i) - ref) < 1e-9, s"sum dim $i")
+      }
+      for (i <- 0 until dim; j <- i until dim) {
+        val ref = vs.map(v => v(i).toDouble * v(j).toDouble).sum
+        assert(math.abs(merged(t) - ref) < 1e-9, s"gram ($i,$j)")
+        t += 1
+      }
+    }
+  }
+}
