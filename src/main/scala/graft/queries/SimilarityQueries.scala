@@ -332,6 +332,9 @@ object SimilarityQueries extends QueryModule {
     val sig = e
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // both self-join sides consume the signatures: materialize them
+      // once instead of recomputing 16 dot products per row per side
+      .localCheckpoint(true)
     val cand = sig.as("a")
       .join(sig.as("b"), col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.vec_id") < col("b.vec_id"))

@@ -402,6 +402,9 @@ object TextQueries extends QueryModule {
       .filter(col("term") =!= "")
     val sc = tok.groupBy("source", "term")
       .agg(count(lit(1)).cast("double").as("c"))
+      // fans out to the per-source totals, the corpus marginal, AND the
+      // final join: materialize the (source, term) counts once
+      .localCheckpoint(true)
     val st = sc.groupBy("source").agg(sum("c").as("tot"))
     val cc = sc.groupBy("term").agg(sum("c").as("cc"))
     val ct = cc.agg(sum("cc").as("ctot"))
