@@ -141,6 +141,50 @@ class OrderBookSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("book state survives a checkpoint restart mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[BookUpdate]
+    val chk = java.nio.file.Files.createTempDirectory("book_chk").toString
+    val (first, rest) = script.splitAt(8)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double, Double, Int, Int)]
+
+    // memory sink can't recover a checkpoint; foreachBatch can (the
+    // StreamingSpec restart idiom)
+    def start() = OrderBook.topOfBook(mem.toDS()).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", chk)
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[graft.streaming.TopOfBook], _: Long) =>
+          val rows = ds.collect()
+          emitted.synchronized {
+            emitted ++= rows.map(t =>
+              (t.market, t.n_updates, t.best_bid, t.best_ask, t.bid_depth, t.ask_depth))
+          }
+          ()
+      }.start()
+
+    lazy val mem = MemoryStream[BookUpdate]
+    val q1 = start()
+    try { mem.addData(first); q1.processAllAvailable() } finally q1.stop()
+    // updates arrive while the query is DOWN; the restarted query must
+    // resume from the checkpointed book state, not from scratch
+    mem.addData(rest)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val want = OrderBook.batchReference(script).map { case (m, t) =>
+      m -> ((t.best_bid, t.best_ask, t.bid_depth, t.ask_depth))
+    }
+    val latest = emitted.synchronized {
+      emitted.groupBy(_._1).map { case (m, rs) =>
+        val r = rs.maxBy(_._2)
+        m -> ((r._3, r._4, r._5, r._6))
+      }
+    }
+    assert(latest == want, s"restarted book diverged: $latest vs $want")
+  }
+
   test("empty-side top-of-book reports NaN, not a crash") {
     val t = OrderBook.top(Book("X", 1L, Map(1.0 -> 1.0), Map.empty))
     assert(t.best_ask.isNaN && t.best_bid == 1.0)
