@@ -117,6 +117,25 @@ object DedupQueries extends QueryModule {
       .orderBy("i", "j")
   }
 
+  /** q94: cross-source duplication MATRIX — the dedup analytics view a
+    * corpus owner actually reads: which source pairs share near-dup
+    * documents, and how similar. Pure composition of q41's banded
+    * detector (same candidates, same verify, nothing new shuffles but
+    * two doc_id→source equi-joins and a pair-key agg); sources are
+    * canonicalized to (least, greatest) so A→B and B→A collapse.
+    */
+  def q94SourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    q41MinhashLsh(spark, dir)
+      .join(src.select(col("doc_id").as("i"), col("source").as("sa")), "i")
+      .join(src.select(col("doc_id").as("j"), col("source").as("sb")), "j")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jac"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"), round(avg("jac"), 6).as("avg_jac"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** q42: character-trigram (n-gram) Jaccard, aggregated per source over
     * ALL within-source pairs — the exhaustive GROUND-TRUTH entry (the
     * q18/q18b precedent), computed via an INVERTED INDEX instead of a
@@ -444,6 +463,7 @@ object DedupQueries extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_minhash_lsh" -> (q41MinhashLsh _),
+    "q94_source_dup_matrix" -> (q94SourceDupMatrix _),
     "q42_ngram_jaccard" -> (q42NgramJaccard _),
     "q42b_ngram_banded" -> (q42bNgramJaccardBanded _),
     "q43_simhash" -> (q43Simhash _),
@@ -471,6 +491,22 @@ object DedupQueries extends QueryModule {
         |               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT i, j, jac FROM p WHERE jac >= 0.8 ORDER BY i, j""".stripMargin,
+    // q41's all-pairs ground truth rolled up to the source matrix
+    "q94_source_dup_matrix" ->
+      s"""WITH $oracleShingles,
+        |p AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j,
+        |         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |f AS (SELECT * FROM p WHERE jac >= 0.8)
+        |SELECT least(da.source, db.source) AS src_a,
+        |       greatest(da.source, db.source) AS src_b,
+        |       count(*)::BIGINT AS n_pairs, round(avg(f.jac), 6) AS avg_jac
+        |FROM f
+        |JOIN documents da ON da.doc_id = f.i
+        |JOIN documents db ON db.doc_id = f.j
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q42_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, source,

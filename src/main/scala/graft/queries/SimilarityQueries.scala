@@ -283,19 +283,20 @@ object SimilarityQueries extends QueryModule {
       .orderBy("cluster_id")
   }
 
-  /** Deterministic signed-random-projection hyperplanes for q84: 16
-    * planes × 64 dims, each component derived from md5("srp_p_i") — the
-    * same strings DuckDB hashes, so the oracle rebuilds the identical
-    * planes. Values are rationals in [-1, 1] with denominator 500.
+  /** Deterministic signed-random-projection hyperplanes for q84:
+    * `nPlanes` planes × 64 dims, each component derived from
+    * md5("srp_p_i") — the same strings DuckDB hashes, so the oracle
+    * rebuilds the identical planes. Values are rationals in [-1, 1]
+    * with denominator 500.
     */
-  private lazy val srpPlanes: Seq[Seq[Double]] = {
+  private def srpPlanes(nPlanes: Int): Seq[Seq[Double]] = {
     def h8(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
       val hex = d.map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 8), 16)
     }
-    (0 until 16).map { p =>
+    (0 until nPlanes).map { p =>
       (0 until 64).map(i => ((h8(s"srp_${p}_${i}") % 1001L) - 500L) / 500.0)
     }
   }
@@ -309,24 +310,34 @@ object SimilarityQueries extends QueryModule {
     * training pass and its signature is a compact literal (2 bytes/vector
     * here) that ships through any shuffle.
     *
-    * Scale shape: the sign bits are 16 scan-local dot products against
-    * BROADCAST-SIZE literals (16×64 doubles baked into the plan); the
-    * signature table that self-joins is (vec_id, band, key) — narrow,
-    * never the vectors; the verify pass re-joins `embeddings` by key on
-    * both sides. No table-sized broadcast, no cartesian (plan-asserted).
-    * On the RANDOM fixture ~22% of pairs collide somewhere (θ≈90°,
-    * (1/2)⁴ per band × 4 bands) — real clustered corpora collide far
-    * less at the same recall for cos ≥ 0.8 pairs, which is the operating
-    * point the banding is tuned for.
+    * Scale shape: the sign bits are scan-local dot products against
+    * BROADCAST-SIZE literals (nPlanes×64 doubles baked into the plan);
+    * the signature table that self-joins is (vec_id, band, key) —
+    * narrow, never the vectors; the verify pass re-joins `embeddings`
+    * by key on both sides. No table-sized broadcast, no cartesian
+    * (plan-asserted).
+    *
+    * Parameterization is the scale knob: bucket count per band is
+    * 2^bandBits, and the in-bucket verify is quadratic per bucket, so
+    * bandBits must grow with log₂(n). The fixture gate runs 16 planes
+    * as 4 bands × 4 bits (16 buckets — right for 500 vectors, where
+    * ~22% of RANDOM pairs collide somewhere: θ≈90°, (1/2)⁴ × 4 bands);
+    * a corpus-scale run uses e.g. 96 planes as 6 bands × 16 bits
+    * (65 536 buckets per band → bucket size n/65k, same plan shape,
+    * same collision probability CURVE shifted to high-cosine pairs).
     */
-  def q84SrpLsh(spark: SparkSession, dir: String): DataFrame = {
+  def q84SrpLsh(spark: SparkSession, dir: String): DataFrame =
+    srpLshPairs(spark, dir, nBands = 4, bandBits = 4)
+
+  private[graft] def srpLshPairs(
+      spark: SparkSession, dir: String, nBands: Int, bandBits: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       .repartition(spark.sparkContext.defaultParallelism)
     val bits: Seq[Column] =
-      srpPlanes.map(pl =>
+      srpPlanes(nBands * bandBits).map(pl =>
         when(VectorOps.dot(col("embedding"), typedlit(pl)) > 0d, 1).otherwise(0))
-    val bandStructs = (0 until 4).map { b =>
-      val key = (0 until 4).map(j => bits(4 * b + j) * lit(1 << j)).reduce(_ + _)
+    val bandStructs = (0 until nBands).map { b =>
+      val key = (0 until bandBits).map(j => bits(bandBits * b + j) * lit(1 << j)).reduce(_ + _)
       struct(lit(b).as("band"), key.cast("long").as("key"))
     }
     val sig = e
