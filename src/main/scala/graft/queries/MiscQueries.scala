@@ -157,7 +157,58 @@ object MiscQueries extends QueryModule {
     }.reduce(_.unionByName(_)).orderBy("col_name")
   }
 
+  /** q95: cohort retention — the product-analytics rollup over the event
+    * stream: users cohorted by first-seen day, retention = distinct
+    * active days at each day-offset from the cohort day. Two hash aggs
+    * (per-user first day; per-(user, day) activity) and one key
+    * equi-join — user-keyed throughout, no windows, no global sort
+    * until the bounded (cohort × offset) result.
+    */
+  def q95CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val active = ev.select("user_id", "day").distinct()
+    active.join(cohort, "user_id")
+      .select(col("cohort_day").cast("date").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** q96: ordered funnel — view → click → purchase, each stage STRICTLY
+    * after the previous one for the same user (the sequence constraint
+    * is what separates a funnel from three filters). Stage k = min
+    * event time later than stage k−1, via per-user aggs chained through
+    * key equi-joins; the output is the one-row funnel census plus the
+    * mean end-to-end conversion time. User-keyed joins only — the
+    * 100 TB shape (funnels over billions of events shuffle each stage
+    * once on user_id).
+    */
+  def q96Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "ts", "event_type")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"), min("t1").as("t1"))
+    // all four censuses are 1-row aggregates — no driver-side count()
+    ev.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel"),
+        round(avg(col("t3").cast("double") - col("t1").cast("double")), 4)
+          .as("avg_funnel_secs")))
+      .select("n_users", "n_view", "n_view_click", "n_full_funnel", "avg_funnel_secs")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_cohort_retention" -> (q95CohortRetention _),
+    "q96_funnel" -> (q96Funnel _),
     "q83_profile" -> (q83Profile _),
     "q53_filter_breadth" -> (q53FilterBreadth _),
     "q54_sort_nulls" -> (q54SortNulls _),
@@ -167,6 +218,34 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // ts truncated to µs (ts::TIMESTAMP) to match the engine's read
+    "q95_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT c.cohort_day::DATE AS cohort_day,
+        |       date_diff('day', c.cohort_day, a.day)::BIGINT AS day_offset,
+        |       count(*)::BIGINT AS n_active_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q96_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3, min(c.t1) AS t1
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT (SELECT count(DISTINCT user_id) FROM e)::BIGINT AS n_users,
+        |       (SELECT count(*) FROM v)::BIGINT AS n_view,
+        |       (SELECT count(*) FROM c)::BIGINT AS n_view_click,
+        |       (SELECT count(*) FROM p)::BIGINT AS n_full_funnel,
+        |       (SELECT round(avg(epoch(t3) - epoch(t1)), 4) FROM p) AS avg_funnel_secs""".stripMargin,
     // one UNION ALL branch per column, stringified min/max — binary
     // collation in both engines, so string min/max agree
     "q83_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
