@@ -206,9 +206,30 @@ object MiscQueries extends QueryModule {
       .select("n_users", "n_view", "n_view_click", "n_full_funnel", "avg_funnel_secs")
   }
 
+  /** q98: rolling 7-day active users — the sliding-window DISTINCT that
+    * plain window frames can't express (distinct isn't decomposable over
+    * frames): each calendar day joins the (user, day) activity set over
+    * the trailing week via a BETWEEN join against the tiny day dim
+    * (calendar-sized — broadcast by construction, the one join where a
+    * nested-loop build side is bounded forever), then counts distinct
+    * users per day. The activity set shuffles once on the distinct agg.
+    */
+  def q98RollingActives(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .distinct()
+    val days = active.select(col("day").as("d")).distinct()
+    active.join(broadcast(days),
+      col("day") >= col("d") - expr("INTERVAL 6 DAYS") && col("day") <= col("d"))
+      .groupBy(col("d").cast("date").as("day"))
+      .agg(countDistinct(col("user_id")).as("n_active_7d"))
+      .orderBy("day")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_cohort_retention" -> (q95CohortRetention _),
     "q96_funnel" -> (q96Funnel _),
+    "q98_rolling_actives" -> (q98RollingActives _),
     "q83_profile" -> (q83Profile _),
     "q53_filter_breadth" -> (q53FilterBreadth _),
     "q54_sort_nulls" -> (q54SortNulls _),
@@ -218,6 +239,14 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q98_rolling_actives" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP) AS day
+        |  FROM events),
+        |d AS (SELECT DISTINCT day AS d FROM a)
+        |SELECT d.d::DATE AS day, count(DISTINCT a.user_id)::BIGINT AS n_active_7d
+        |FROM a JOIN d ON a.day >= d.d - INTERVAL 6 DAY AND a.day <= d.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // ts truncated to µs (ts::TIMESTAMP) to match the engine's read
     "q95_cohort_retention" ->
       """WITH e AS (

@@ -177,7 +177,37 @@ object WindowQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** q97: batch sessionization via gaps-and-islands — the window-function
+    * formulation of what q60 does with streaming `session_window`: a new
+    * session starts where the gap to the previous event exceeds 30
+    * minutes (lag), session ids are the running sum of the start flags,
+    * and the census aggregates per user. Both windows and both aggs
+    * partition on high-cardinality user_id — one shuffle, the q89
+    * exchange-reuse shape.
+    */
+  def q97Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id")
+      .withColumn("gap_s",
+        col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double"))
+      .withColumn("new_s",
+        when(col("gap_s").isNull || col("gap_s") > 1800d, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(run))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts").cast("double")) - min(col("ts").cast("double"))).as("dur_s"))
+    sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"),
+        round(avg("dur_s"), 4).as("avg_session_secs"))
+      .orderBy("user_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_sessionize" -> (q97Sessionize _),
     "q89_scd2" -> (q89Scd2 _),
     "q20_window_rank" -> (q20WindowRank _),
     "q21_window_analytic" -> (q21WindowAnalytic _),
@@ -188,6 +218,30 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the same lag flags, running-sum session ids, and double-epoch
+    // durations; µs-truncated ts so both engines see identical gaps
+    "q97_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts,
+        |         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, sid, count(*)::BIGINT AS n_events,
+        |         max(epoch(ts)) - min(epoch(ts)) AS dur_s
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*)::BIGINT AS n_sessions,
+        |       sum(n_events)::BIGINT AS n_events,
+        |       max(n_events)::BIGINT AS max_session_events,
+        |       round(avg(dur_s), 4) AS avg_session_secs
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     // ts truncated to µs on the oracle side (ts::TIMESTAMP) to match
     // the engine's nanos→micros read; lag-collapse, version numbering,
     // and the lead() ranges replayed with the same (ts, event_id) order
