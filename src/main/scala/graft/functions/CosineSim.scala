@@ -80,6 +80,68 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product over two `ArrayType(FloatType)` columns — the
+  * per-PAIR half of cosine when norms are precomputed per SIDE: at pair
+  * volumes (q46b/q78 candidate verification) the fused `cosine_sim`
+  * kernel spends 2/3 of its FMAs recomputing norms that are invariant
+  * per row; `dot_f(a, b) / (norm_a * norm_b)` with norms carried as
+  * columns does the O(pairs·d) work with one FMA per element and is
+  * bit-identical to `cosine_sim` (same fold order, same operand values
+  * — `CosineSimSpec` asserts equality exactly).
+  */
+case class DotF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "dot_f"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"dot_f requires two ARRAY<FLOAT> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_f: dimension mismatch $n vs ${y.numElements()}")
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, dot) =
+        (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("dot"))
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_f: dimension mismatch " + $n + " vs " + $b.numElements());
+         |}
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Engine extensions — registers native functions into every session
   * built with `spark.sql.extensions=graft.functions.GraftExtensions`
   * (GraftSession sets this), making `cosine_sim(a, b)` available to SQL
@@ -93,6 +155,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim takes exactly 2 arguments")
         CosineSim(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotF].getName, "dot_f"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_f takes exactly 2 arguments")
+        DotF(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),

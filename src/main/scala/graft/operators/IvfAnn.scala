@@ -86,7 +86,9 @@ object IvfAnn {
     // both inputs fan out to several consumers below (angles, radii, two
     // verify joins, the neighbor side) — checkpoint so the assignment
     // pass (kernel cross-join + struct-max agg) runs ONCE, not per consumer
-    val idx = chk(index)
+    // norms once per row (O(n·d)); the O(pairs·d) verify kernel is then
+    // the 1-FMA `dot_f` — bit-identical to the fused `cosine_sim`
+    val idx = chk(index.withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))")))
     val cents = chk(centroids)
     val theta =
       "acos(greatest(-1.0d, least(1.0d, cast(cosine_sim(%s, centroid) as double))))"
@@ -104,15 +106,15 @@ object IvfAnn {
       .filter(col("prnk") <= nprobe)
       .select(col("vec_id"), col("cl"))
     val nbrs = idx.select(col("vec_id").as("nn_id"),
-      col("embedding").as("emb_b"), col("list_id").as("cl"))
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"), col("list_id").as("cl"))
     def verify(pairs: DataFrame): DataFrame =
-      pairs.join(idx.select("vec_id", "embedding"), "vec_id")
+      pairs.join(idx.select("vec_id", "embedding", "nrm"), "vec_id")
         .join(nbrs, "cl")
         .filter(col("vec_id") =!= col("nn_id"))
         // kernel evaluated ONCE per pair; the rounded ranking value is
         // derived from it in a later projection
         .selectExpr("vec_id", "nn_id",
-          "cast(cosine_sim(embedding, emb_b) as double) AS raw")
+          "dot_f(embedding, emb_b) / (nrm * nrm_b) AS raw")
         .withColumn("cos", round(col("raw"), 6))
     // q46's oracle ranks on the ROUNDED cosine with nn_id tie-break —
     // lexicographic max over struct(cos, -nn_id) IS that ordering, and
@@ -181,7 +183,11 @@ object IvfAnn {
   def nearDupPairs(index: DataFrame, centroids: DataFrame, minCos: Double,
       checkpoint: Boolean = true): DataFrame = {
     def chk(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint(true) else df
-    val idx = chk(index)
+    // norms are per-ROW invariants computed once here (O(n·d)); the
+    // per-PAIR kernel is then the 1-FMA `dot_f` instead of the fused
+    // 3-FMA `cosine_sim` — bit-identical (same fold order, same
+    // operands), ~2× on the O(pairs·d) verify stage that dominates
+    val idx = chk(index.withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))")))
     val cents = chk(centroids)
     val theta =
       "acos(greatest(-1.0d, least(1.0d, cast(cosine_sim(%s, centroid) as double))))"
@@ -189,12 +195,12 @@ object IvfAnn {
       .selectExpr("list_id AS cl", s"${theta.format("embedding")} AS th")
       .groupBy("cl").agg(max("th").as("r"))
     val nbrs = idx.select(col("vec_id").as("nn_id"),
-      col("embedding").as("emb_b"), col("list_id").as("cl"))
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"), col("list_id").as("cl"))
     // margin covers the 6-dp rounding of the verify value: a pair whose
     // raw cosine rounds UP to minCos is still ≥ minCos − margin raw
     val margin = 1e-3
     val within = idx
-      .select(col("vec_id"), col("embedding"), col("list_id").as("cl"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id").as("cl"))
       .join(nbrs, "cl")
       .filter(col("vec_id") < col("nn_id"))
     val escapes = idx.select("vec_id", "embedding", "list_id")
@@ -205,12 +211,12 @@ object IvfAnn {
       .join(broadcast(radii), "cl")
       .filter(expr(s"cos(greatest(0.0d, th - r)) >= $minCos - $margin"))
       .select("vec_id", "cl")
-      .join(idx.select("vec_id", "embedding"), "vec_id")
+      .join(idx.select("vec_id", "embedding", "nrm"), "vec_id")
       .join(nbrs, "cl")
       .filter(col("vec_id") < col("nn_id"))
     def scored(pairs: DataFrame): DataFrame =
       pairs.selectExpr("vec_id AS i", "nn_id AS j",
-        "round(cast(cosine_sim(embedding, emb_b) as double), 6) AS cos")
+        "round(dot_f(embedding, emb_b) / (nrm * nrm_b), 6) AS cos")
         .filter(col("cos") >= minCos)
     // within (same list) and escapes (cross-list) are disjoint and each
     // generates a pair at most once, so the union IS the answer — no

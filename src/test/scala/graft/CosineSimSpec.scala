@@ -69,6 +69,23 @@ class CosineSimSpec extends AnyFunSuite {
     assert(worst < 0.03, f"quantized cosine deviates by $worst%.4f somewhere — quantizer broken")
   }
 
+  test("prenormed dot_f reproduces cosine_sim bit-for-bit (the IvfAnn pair-kernel identity)") {
+    // dot_f(a,b) / (sqrt(dot_f(a,a)) * sqrt(dot_f(b,b))) must equal the
+    // fused kernel EXACTLY — same fold order, same operand values — or
+    // the q46b/q78 prenormed verify stage would diverge from the oracle
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val rows = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .selectExpr("vec_id",
+        "cosine_sim(embedding, qv) AS fused",
+        "dot_f(embedding, qv) / (sqrt(dot_f(embedding, embedding)) * sqrt(dot_f(qv, qv))) AS pre")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"vec ${r.getLong(0)}: fused ${r.getDouble(1)} != prenormed ${r.getDouble(2)}")
+    }
+  }
+
   test("codegen and interpreted paths agree") {
     def run(): Seq[(Long, Double)] = {
       val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
