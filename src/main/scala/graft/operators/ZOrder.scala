@@ -44,9 +44,9 @@ object ZOrder {
     val g1 = (percent_rank().over(Window.orderBy(col(c1))) * 65535).cast("long")
     val g2 = (percent_rank().over(Window.orderBy(col(c2))) * 65535).cast("long")
     // NOTE: the global-window rank is the exact formulation for tests /
-    // moderate data; a 100 TB write computes the two grids from
-    // approxQuantile boundaries (no global sort) — same layout, same
-    // skipping, no single-partition window. See ZOrderSpec scale note.
+    // moderate data; `clusterAtScale` below is the 100 TB write path —
+    // same layout, same skipping, grids from approxQuantile boundaries,
+    // no single-partition window.
     df.withColumn("_g1", g1).withColumn("_g2", g2)
       .withColumn("zval", interleave16(col("_g1"), col("_g2")))
       .drop("_g1", "_g2")
@@ -59,4 +59,31 @@ object ZOrder {
     withZValue(df, c1, c2)
       .repartitionByRange(numFiles, col("zval"))
       .sortWithinPartitions("zval")
+
+  /** The PRODUCTION formulation: grid coordinates from `approxQuantile`
+    * boundaries instead of a global rank window — no single-partition
+    * sort anywhere; the only driver action is the two GK-sketch quantile
+    * passes (O(boundaries) result, the standard write-side pattern).
+    * 8-bit grids (256 × 256 cells) are plenty for FILE-level min/max
+    * boxes: resolution only needs to exceed the file count.
+    */
+  def clusterAtScale(
+      df: DataFrame, c1: String, c2: String, numFiles: Int,
+      gridBits: Int = 8): DataFrame = {
+    require(gridBits >= 1 && gridBits <= 16, "gridBits must be in [1, 16]")
+    val cells = 1 << gridBits
+    val probs = (1 until cells).map(_.toDouble / cells).toArray
+    def bounds(c: String): Array[Double] =
+      df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
+    // grid index = number of boundaries ≤ x: a codegen'd filter over a
+    // literal boundary array (≤255 comparisons/row at the default grid)
+    def gridded(c: String, bs: Array[Double]): Column = {
+      val arr = bs.mkString("array(", "D,", "D)")
+      expr(s"size(filter($arr, b -> b <= cast($c as double)))").cast("long")
+    }
+    val (b1, b2) = (bounds(c1), bounds(c2))
+    df.withColumn("zval", interleave16(gridded(c1, b1), gridded(c2, b2)))
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+  }
 }

@@ -12,11 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * range predicate could prune. Z-order must prune strictly more files
   * than the linear layout on the off-axis dimension.
   *
-  * Scale note (also in the operator scaladoc): the test-exact grid uses
-  * a global `percent_rank` window (single-partition sort — fine for a
-  * spec, wrong for 100 TB); production writes compute the same grids
-  * from `approxQuantile` boundaries, which changes nothing the spec
-  * measures.
+  * Both formulations are covered: the test-exact `percent_rank` grid
+  * (single-partition sort — fine for a spec) and `clusterAtScale`, the
+  * production path whose grids come from `approxQuantile` boundaries
+  * with no global window; both must beat the linear layout.
   */
 class ZOrderSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -72,6 +71,25 @@ class ZOrderSpec extends AnyFunSuite {
     val lOnlyV = prunable(lb, (Long.MinValue, Long.MaxValue), vband)
     assert(zOnlyV > lOnlyV,
       s"value-only: z-order pruned $zOnlyV/${zb.size} vs linear $lOnlyV/${lb.size}")
+  }
+
+  test("the approxQuantile production path prunes like the exact-rank path") {
+    val ev = Tables.events(spark, SparkTestSession.sf001)
+      .select("user_id", "value", "event_id")
+    val base = java.nio.file.Files.createTempDirectory("zorder_scale").toString
+    ZOrder.clusterAtScale(ev, "user_id", "value", nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/z")
+    ev.repartitionByRange(nFiles, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/linear")
+    val zb = boxes(s"$base/z")
+    val lb = boxes(s"$base/linear")
+    val vband = (200.0, 500.0)
+    assert(prunable(zb, (60L, 90L), vband) > prunable(lb, (60L, 90L), vband),
+      "quantile-grid z-order lost the conjunctive pruning edge")
+    assert(prunable(zb, (Long.MinValue, Long.MaxValue), vband) >
+      prunable(lb, (Long.MinValue, Long.MaxValue), vband),
+      "quantile-grid z-order lost the off-axis pruning edge")
   }
 
   test("interleave16 is monotone in each coordinate on a fixed other coordinate") {
