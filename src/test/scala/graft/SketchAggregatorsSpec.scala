@@ -77,6 +77,32 @@ class SketchAggregatorsSpec extends AnyFunSuite {
       s"KMV estimate $est implausible for 10k distinct")
   }
 
+  // ---- sketches under STREAMING aggregation ------------------------
+
+  test("Misra-Gries folds across micro-batches in a streaming aggregation (exact regime)") {
+    // the state store carries the sketch buffer between batches — the
+    // shape a 100 TB feed rollup needs (bounded state per group, raw
+    // rows never retained). Exact regime, so streaming == batch == truth.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val data = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k))
+    val hh = udaf(new HeavyHitterAggregator(64))
+    val mem = MemoryStream[Long]
+    val name = s"hh_stream_${System.nanoTime()}"
+    val q = mem.toDF().toDF("k")
+      .agg(hh($"k").as("items"))
+      .select(explode($"items").as("kv"))
+      .select($"kv._1".as("k"), $"kv._2".as("c"))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      data.grouped(137).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      val got = spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (1L to 40L).map(k => k -> k).toMap,
+        s"streaming sketch diverged: $got")
+    } finally q.stop()
+  }
+
   // ---- grouped top-k heap ------------------------------------------
 
   test("TopKAggregator equals the sorted reference, ties broken by id, under any partitioning") {
