@@ -381,6 +381,39 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(epochDirs == Seq("epoch=0"), s"duplicate epoch dirs: $epochDirs")
   }
 
+  test("kafka-shaped SOURCE streams the sink's topic log back: round trip + incremental epochs + topic pruning") {
+    // the §2B "Kafka source" row in shape: the sink's parquet-per-topic
+    // log read back as a stream with the Kafka record model — new epoch
+    // directories are discovered per micro-batch (consumer-position
+    // analog: the file-source seen-files log), per-topic reads prune by
+    // the topic= partition directory.
+    import spark.implicits._
+    import graft.sources.kafkashape.KafkaShapedSource
+    val outDir = Files.createTempDirectory("kss_log").toString
+    // two epochs for topic "a", one for topic "b"
+    def batch(vals: Seq[(String, String)], topic: String) =
+      vals.toDF("key", "value").withColumn("topic", lit(topic))
+    KafkaShapedSink.writeEpoch(batch(Seq("k1" -> "a0", "k2" -> "a1"), "a"), 0L, outDir, 4)
+    KafkaShapedSink.writeEpoch(batch(Seq("k9" -> "b0"), "b"), 0L, outDir, 4)
+
+    val name = s"kss_read_${System.nanoTime()}"
+    val q = KafkaShapedSource.readTopic(spark, outDir, "a")
+      .select("key", "value", "topic", "epoch")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got1 = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(got1 == Set(("k1", "a0", "a", 0L), ("k2", "a1", "a", 0L)),
+        s"round trip diverged: $got1 (topic pruning must exclude b)")
+      // a NEW epoch lands while the source is running — incremental pickup
+      KafkaShapedSink.writeEpoch(batch(Seq("k3" -> "a2"), "a"), 1L, outDir, 4)
+      q.processAllAvailable()
+      val got2 = spark.table(name).collect().map(_.getString(1)).toSet
+      assert(got2 == Set("a0", "a1", "a2"), s"incremental epoch not discovered: $got2")
+    } finally q.stop()
+  }
+
   test("kafka-shaped sink validates the record contract") {
     import spark.implicits._
     val bad = Seq((1, 2)).toDF("a", "b")
