@@ -149,47 +149,77 @@ object SketchAggregators {
     * driver over a 64×64 matrix. The embedding table itself never
     * shuffles — only one ~17 KB buffer per partition does.
     *
-    * Buffer layout: [0] = n, [1..d] = per-dim sums, [1+d ..] = upper
-    * triangle of Σ x·xᵀ in row-major (i ≤ j) order. `finish` returns the
-    * raw moments; callers derive Gram sums, means, and covariance
-    * (cov_ij = (S_ij − s_i·s_j/n)/(n−1)) as plain column math.
+    * The accumulation runs on an INTEGER grid, not raw doubles: each
+    * float is snapped to q = ⌊x·2^quantBits + 0.5⌋ (a long) and the
+    * moments are exact integer sums of q and q·q. Integer addition is
+    * associative and commutative, so the result is bit-identical under
+    * ANY partitioning/merge order — raw double sums are not (Spark's
+    * partial/merge order vs a reference engine's differ by ulp, and no
+    * amount of output rounding absorbs an order-dependent sum that
+    * lands on a rounding boundary). `finish` de-scales by 2^quantBits
+    * (resp. 2^2·quantBits), an exact power-of-two division for any
+    * magnitude below 2^53.
+    *
+    * quantBits is the precision/cardinality knob: with |x| ≤ 1 the
+    * per-pair products are ≤ 2^2·quantBits, so the long accumulator is
+    * exact up to n = 2^(63−2·quantBits) rows per group (quantBits 20 →
+    * 8.4M rows at 2^-21 absolute precision; a 100 TB run drops to e.g.
+    * quantBits 14 → 34B rows at 2^-15). Overflow is a conscious trade
+    * against grid resolution, not a silent failure mode of the design.
+    *
+    * Buffer layout: [0] = n, [1..d] = per-dim Σq, [1+d ..] = upper
+    * triangle of Σ q·qᵀ in row-major (i ≤ j) order. `finish` returns
+    * the de-scaled moments; callers derive Gram sums, means, and
+    * covariance (cov_ij = (S_ij − s_i·s_j/n)/(n−1)) as plain column
+    * math.
     */
-  class GramAggregator(dim: Int)
-      extends Aggregator[Seq[Float], Array[Double], Array[Double]] {
+  class GramAggregator(dim: Int, quantBits: Int = 20)
+      extends Aggregator[Seq[Float], Array[Long], Array[Double]] {
     require(dim > 0, "dim must be positive")
+    require(quantBits > 0 && quantBits < 31, "quantBits must be in (0, 31)")
     private val triLen = dim * (dim + 1) / 2
     private val bufLen = 1 + dim + triLen
+    private val scale = (1L << quantBits).toDouble
 
-    override def zero: Array[Double] = new Array[Double](bufLen)
+    override def zero: Array[Long] = new Array[Long](bufLen)
 
-    override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+    override def reduce(b: Array[Long], v: Seq[Float]): Array[Long] = {
       require(v.length == dim, s"embedding dimension mismatch: $dim vs ${v.length}")
-      // one primitive copy up front so the O(d²) loop never boxes
-      val x = new Array[Double](dim)
+      // snap to the grid once up front so the O(d²) loop never boxes;
+      // floor(x·s + 0.5) rather than round() so the oracle can mirror
+      // the identical half-up rule in any engine
+      val q = new Array[Long](dim)
       var i = 0
-      while (i < dim) { x(i) = v(i); i += 1 }
-      b(0) += 1d
+      while (i < dim) { q(i) = math.floor(v(i).toDouble * scale + 0.5).toLong; i += 1 }
+      b(0) += 1L
       var t = 1 + dim
       i = 0
       while (i < dim) {
-        b(1 + i) += x(i)
+        b(1 + i) += q(i)
         var j = i
-        while (j < dim) { b(t) += x(i) * x(j); j += 1; t += 1 }
+        while (j < dim) { b(t) += q(i) * q(j); j += 1; t += 1 }
         i += 1
       }
       b
     }
 
-    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0
       while (i < bufLen) { a(i) += b(i); i += 1 }
       a
     }
 
-    override def finish(r: Array[Double]): Array[Double] = r
+    override def finish(r: Array[Long]): Array[Double] = {
+      val out = new Array[Double](bufLen)
+      out(0) = r(0).toDouble
+      var i = 1
+      while (i <= dim) { out(i) = r(i) / scale; i += 1 }
+      while (i < bufLen) { out(i) = r(i) / (scale * scale); i += 1 }
+      out
+    }
 
-    override def bufferEncoder: Encoder[Array[Double]] =
-      ExpressionEncoder[Array[Double]]()
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Array[Double]] =
       ExpressionEncoder[Array[Double]]()
   }

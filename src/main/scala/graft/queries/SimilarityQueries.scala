@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *    `TakeOrderedAndProject` (q44) or a per-label window (q45). One scan,
   *    one bounded shuffle — brute force is linear and embarrassingly
   *    parallel; an IVF/LSH index only changes the scan fraction.
-  *  - q46 (all-pairs NN) broadcasts ONE side: at bench scale that's exact
-  *    and fast; the 100 TB path is q46b (`IvfAnn.allNnExact`) — the same
-  *    answer through IVF-bucketed equi-joins with a verified escape
-  *    pass, nothing table-sized broadcast.
+  *  - q46/q46b (all-pairs NN) BOTH run the bucketed exact plan
+  *    (`IvfAnn.allNnExact`, 8- vs 16-list geometry) — candidate
+  *    equi-joins plus a verified escape pass, nothing table-sized
+  *    broadcast. The brute n² broadcast kernel survives only as the
+  *    oracle-defining reference (`nnPairsBrute`), not as an entry.
   */
 object SimilarityQueries extends QueryModule {
 
@@ -66,23 +67,36 @@ object SimilarityQueries extends QueryModule {
   }
 
   /** q46: exact nearest neighbor for EVERY vector (embedding-cosine
-    * near-dup building block). Broadcast self-join with precomputed
-    * norms; argmax per row via `min_by`-style window. The aggregation is
-    * a per-i top-1 — `row_number` + filter, so only the winning row
-    * survives the window's partial sort.
-    *
-    * This is the declared EXACT baseline (n² verify); the oracle-gated
-    * scale path is q63 — the IVF index (`operators/IvfAnn`) whose
-    * `partitionBy(list_id)` layout turns the probe into partition
-    * pruning, and whose full-probe search reproduces q44's exact answer.
+    * near-dup building block). The SEMANTICS are the brute n² argmax —
+    * that is what the oracle SQL states — but the ENTRY runs the
+    * IVF-bucketed exact plan (`operators/IvfAnn.allNnExact`, exact by
+    * the angular triangle inequality, `IvfAnnSpec` pins == brute on
+    * clustered data): candidate generation is an equi-join on
+    * `list_id` and nothing but the nLists-row centroid table is ever
+    * broadcast. The earlier entry broadcast the ENTIRE embeddings
+    * table as the pair-loop build side — fast at bench scale, dead at
+    * 100 TB (the one plan shape this library bans; see
+    * `nnPairsBrute`). q46 runs an 8-list geometry and q46b a 16-list
+    * one, so the same oracle gates two different index layouts of the
+    * same exact algorithm.
     */
   def q46NnPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val (index, centroids) = IvfAnn.build(spark, e, nLists = 8)
+    IvfAnn.allNnExact(index, centroids, nprobe = 2)
+  }
+
+  /** The brute-force n² formulation of q46 — kept as the
+    * oracle-defining reference semantics and for small-fixture spec
+    * equality checks (`IvfAnnSpec`), NOT in the entry set: the
+    * broadcast build side is the whole table, which caps the operator
+    * at driver/executor memory and makes it the canonical 100 TB
+    * scale-killer. The native `cosine_sim` kernel and rounded-rank
+    * tie-break match `IvfAnn.allNnExact` bit-for-bit.
+    */
+  private[graft] def nnPairsBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    // Pair loop runs through the NATIVE cosine_sim expression (codegen'd
-    // primitive loop; the zip_with/aggregate tree is interpreted per
-    // element — measured 10×+ slower on the n² pair volume). The probe
-    // side is repartitioned because the local fixture is one parquet
-    // file = one input partition for an n·d-heavy map stage.
     val pairs = e
       .repartition(spark.sparkContext.defaultParallelism)
       .join(broadcast(e.select(col("vec_id").as("nn_id"),
@@ -109,7 +123,7 @@ object SimilarityQueries extends QueryModule {
     * Measured honesty: the fixture's embeddings are RANDOM, so no exact
     * method can prune — every (vector, list) pair fails the bound
     * (28000/28000 escape at sf0.1) and q46b pays the full n² through
-    * general equi-joins, slower locally than q46's broadcast kernel.
+    * general equi-joins, slower locally than the brute broadcast kernel.
     * On clustered corpora (the 100 TB case — real embedding spaces are
     * clustered, that is what makes IVF an index) the escape set
     * collapses and the verify volume drops to ~nprobe/nLists of the
@@ -286,10 +300,15 @@ object SimilarityQueries extends QueryModule {
   /** Deterministic signed-random-projection hyperplanes for q84:
     * `nPlanes` planes × 64 dims, each component derived from
     * md5("srp_p_i") — the same strings DuckDB hashes, so the oracle
-    * rebuilds the identical planes. Values are rationals in [-1, 1]
-    * with denominator 500.
+    * rebuilds the identical planes. Components are kept as the raw
+    * INTEGERS in [-500, 500] (the plane is mathematically k/500, but
+    * sign(Σ x·k/500) = sign(Σ x·k), so the scale divides out): the sign
+    * bit is then the sign of an exact integer dot, bit-stable under any
+    * summation order in any engine — a float dot's sign flips on a
+    * near-zero projection depending on association order, which is the
+    * q88 failure class.
     */
-  private def srpPlanes(nPlanes: Int): Seq[Seq[Double]] = {
+  private def srpPlanes(nPlanes: Int): Seq[Seq[Long]] = {
     def h8(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
@@ -297,7 +316,7 @@ object SimilarityQueries extends QueryModule {
       java.lang.Long.parseLong(hex.substring(0, 8), 16)
     }
     (0 until nPlanes).map { p =>
-      (0 until 64).map(i => ((h8(s"srp_${p}_${i}") % 1001L) - 500L) / 500.0)
+      (0 until 64).map(i => (h8(s"srp_${p}_${i}") % 1001L) - 500L)
     }
   }
 
@@ -310,8 +329,10 @@ object SimilarityQueries extends QueryModule {
     * training pass and its signature is a compact literal (2 bytes/vector
     * here) that ships through any shuffle.
     *
-    * Scale shape: the sign bits are scan-local dot products against
-    * BROADCAST-SIZE literals (nPlanes×64 doubles baked into the plan);
+    * Scale shape: the sign bits are scan-local integer dot products
+    * against BROADCAST-SIZE literals (nPlanes×64 longs baked into the
+    * plan; the embedding snaps to the ⌊x·2^20 + 0.5⌋ grid first, so
+    * the sign is order-invariant and cross-engine bit-stable);
     * the signature table that self-joins is (vec_id, band, key) —
     * narrow, never the vectors; the verify pass re-joins `embeddings`
     * by key on both sides. No table-sized broadcast, no cartesian
@@ -331,11 +352,21 @@ object SimilarityQueries extends QueryModule {
 
   private[graft] def srpLshPairs(
       spark: SparkSession, dir: String, nBands: Int, bandBits: Int): DataFrame = {
+    // the sign bits are computed on an INTEGER grid end to end: the
+    // embedding snaps to q = ⌊x·2^20 + 0.5⌋ (the q88/q68 idiom) and the
+    // plane components are already integers, so Σ q·k is an exact long
+    // sum (|q| ≤ 2^21, |k| ≤ 500, 64 terms → < 2^37) whose sign cannot
+    // depend on summation order — the oracle's arbitrary-order sum(...)
+    // lands on the identical integer, so the buckets match by
+    // construction, not by float luck
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("qe", transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)).cast("long")))
     val bits: Seq[Column] =
       srpPlanes(nBands * bandBits).map(pl =>
-        when(VectorOps.dot(col("embedding"), typedlit(pl)) > 0d, 1).otherwise(0))
+        when(aggregate(zip_with(col("qe"), typedlit(pl), (q, k) => q * k),
+          lit(0L), (acc, v) => acc + v) > 0L, 1).otherwise(0))
     val bandStructs = (0 until nBands).map { b =>
       val key = (0 until bandBits).map(j => bits(bandBits * b + j) * lit(1 << j)).reduce(_ + _)
       struct(lit(b).as("band"), key.cast("long").as("key"))
@@ -361,14 +392,19 @@ object SimilarityQueries extends QueryModule {
 
   /** q88: one-pass Gram + covariance of the embedding dimensions — the
     * distributed statistics PCA/whitening starts from. A single scan
-    * folds every vector into ONE 2145-double buffer
+    * folds every vector into ONE 2145-long buffer
     * (`SketchAggregators.GramAggregator`: n, per-dim sums, upper
-    * triangle of Σx·xᵀ); partial buffers merge element-wise, so the
-    * shuffle carries ~17 KB per partition regardless of row count — at
-    * 100 TB the eigen step on the resulting 64×64 matrix is a driver
-    * no-op while the data pass stays embarrassingly parallel. Output:
-    * the upper triangle as (i, j, gram_sum, cov) rows; the oracle
-    * recomputes both moments with per-dimension sums in DuckDB.
+    * triangle of Σx·xᵀ on a 2^20 integer grid); partial buffers merge
+    * element-wise, so the shuffle carries ~17 KB per partition
+    * regardless of row count — at 100 TB the eigen step on the
+    * resulting 64×64 matrix is a driver no-op while the data pass stays
+    * embarrassingly parallel. The integer grid makes the moments
+    * bit-identical under any partitioning AND across engines: the
+    * oracle snaps each float with the same ⌊x·2^20 + 0.5⌋ rule, sums
+    * exact integers, and de-scales by the same powers of two, so every
+    * downstream double op (exactly-rounded IEEE mul/div on identical
+    * operands) agrees bit-for-bit. Output: the upper triangle as
+    * (i, j, gram_sum, cov) rows.
     */
   def q88GramCovariance(spark: SparkSession, dir: String): DataFrame = {
     val gram = udaf(new graft.functions.SketchAggregators.GramAggregator(64))
@@ -443,15 +479,19 @@ object SimilarityQueries extends QueryModule {
   override val oracles: Map[String, String] = Map(
     // the identical md5-derived hyperplanes, sign bits, banding, and
     // exact-cosine verify rebuilt in SQL — the banding is mirrored, not
-    // assumed, so a wrong bucket anywhere changes the candidate set
+    // assumed, so a wrong bucket anywhere changes the candidate set.
+    // Sign bits come from the engine's integer grid (⌊x·2^20 + 0.5⌋ ×
+    // integer plane components): the dot is an exact BIGINT sum, so its
+    // sign is identical in any summation order — no float-luck buckets
     "q84_srp_lsh" ->
       """WITH pl AS (
         |  SELECT p, i,
-        |         ((('0x' || substr(md5('srp_' || p || '_' || i), 1, 8))::BIGINT % 1001) - 500) / 500.0 AS v
+        |         (('0x' || substr(md5('srp_' || p || '_' || i), 1, 8))::BIGINT % 1001) - 500 AS k
         |  FROM range(0, 16) t1(p), range(0, 64) t2(i)),
         |s AS (
         |  SELECT e.vec_id, pl.p,
-        |         CASE WHEN sum(e.embedding[(pl.i + 1)::INT]::DOUBLE * pl.v) > 0 THEN 1 ELSE 0 END AS bit
+        |         CASE WHEN sum(floor(e.embedding[(pl.i + 1)::INT]::DOUBLE * 1048576 + 0.5)::BIGINT * pl.k) > 0
+        |              THEN 1 ELSE 0 END AS bit
         |  FROM embeddings e, pl
         |  GROUP BY e.vec_id, pl.p),
         |sig AS (
@@ -468,18 +508,22 @@ object SimilarityQueries extends QueryModule {
         |JOIN embeddings ea ON ea.vec_id = c.va
         |JOIN embeddings eb ON eb.vec_id = c.vb
         |ORDER BY cos DESC, va ASC, vb ASC LIMIT 20""".stripMargin,
-    // both moments recomputed from per-dimension sums; gram sums are
-    // O(500)-magnitude doubles, so round 4 absorbs summation-order ulp
+    // the engine's ⌊x·2^20 + 0.5⌋ integer grid mirrored exactly: both
+    // moments are EXACT BIGINT sums (order-invariant by construction),
+    // de-scaled by the same powers of two — every later double op is
+    // exactly-rounded IEEE arithmetic on identical operands, so the
+    // match is bit-for-bit, not tolerance-based
     "q88_gram_covariance" ->
-      """WITH n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
-        |s AS (
-        |  SELECT r.i AS d, sum(e.embedding[(r.i + 1)::INT]::DOUBLE) AS sd
-        |  FROM embeddings e, range(0, 64) r(i) GROUP BY 1),
+      """WITH q AS (
+        |  SELECT e.vec_id, r.i AS d,
+        |         floor(e.embedding[(r.i + 1)::INT]::DOUBLE * 1048576 + 0.5)::BIGINT AS qx
+        |  FROM embeddings e, range(0, 64) r(i)),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        |s AS (SELECT d, sum(qx) / 1048576.0 AS sd FROM q GROUP BY 1),
         |g AS (
-        |  SELECT r1.i AS i, r2.j AS j,
-        |         sum(e.embedding[(r1.i + 1)::INT]::DOUBLE * e.embedding[(r2.j + 1)::INT]::DOUBLE) AS g
-        |  FROM embeddings e, range(0, 64) r1(i), range(0, 64) r2(j)
-        |  WHERE r2.j >= r1.i GROUP BY 1, 2)
+        |  SELECT a.d AS i, b.d AS j, sum(a.qx * b.qx) / 1099511627776.0 AS g
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.d >= a.d
+        |  GROUP BY 1, 2)
         |SELECT g.i::BIGINT AS i, g.j::BIGINT AS j,
         |       round(g.g, 4) AS gram_sum,
         |       round((g.g - si.sd * sj.sd / n.n) / (n.n - 1), 6) AS cov

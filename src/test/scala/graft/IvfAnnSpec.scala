@@ -142,6 +142,18 @@ class IvfAnnSpec extends AnyFunSuite {
       s"bound pruned nothing on clustered data ($escapes of $foreign foreign lists escape)")
   }
 
+  test("q46 entry (bucketed, 8 lists) == the brute n² formulation it replaced") {
+    // the entry-set swap that evicted the full-table broadcast: the
+    // bucketed plan must answer the brute oracle semantics row-for-row
+    // on the spec fixture (the driver gate repeats this vs DuckDB)
+    import graft.queries.SimilarityQueries
+    val got = SimilarityQueries.q46NnPairs(spark, SparkTestSession.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = SimilarityQueries.nnPairsBrute(spark, SparkTestSession.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, "bucketed q46 entry diverged from the brute formulation")
+  }
+
   private def cosD(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {

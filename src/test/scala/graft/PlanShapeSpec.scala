@@ -168,48 +168,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
 
-  test("q46b bucketed all-NN never broadcasts a table-sized side") {
-    // q46's scale defect is broadcast(full embeddings table). q46b may
-    // broadcast only the nLists-row centroid/radius sides (explicit
-    // hints). With auto-broadcast off, ONLY the hinted exchanges remain
-    // — assert each materialized ≤ 64 rows, and no cartesian pair loop.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.QueryStageExec
-    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    def expand(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case r: ReusedExchangeExec => Seq(r.child)
-        case _ => p.children
+  // Both q46 entries (8-list and 16-list geometry) run IvfAnn.allNnExact;
+  // neither may broadcast anything beyond the nLists-row centroid/radius
+  // sides (explicit hints). With auto-broadcast off, ONLY the hinted
+  // exchanges remain — assert each materialized ≤ 64 rows, and no
+  // cartesian pair loop. The brute broadcast(full table) formulation
+  // survives only as SimilarityQueries.nnPairsBrute, outside the entry set.
+  for (lists <- Seq(8, 16))
+    test(s"bucketed all-NN ($lists lists) never broadcasts a table-sized side") {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def expand(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case _ => p.children
+        }
+        p +: kids.flatMap(expand)
       }
-      p +: kids.flatMap(expand)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // checkpoint = false keeps the full lineage in ONE plan (the
+        // production path materializes reused stages eagerly, which would
+        // hide the upstream exchanges from this assertion)
+        val e = graft.Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val (index, centroids) = graft.operators.IvfAnn.build(spark, e, nLists = lists)
+        val df = graft.operators.IvfAnn.allNnExact(index, centroids, nprobe = 2,
+          checkpoint = false)
+        df.collect()
+        val nodes = expand(df.queryExecution.executedPlan)
+        val planStr = nodes.head.toString
+        assert(!planStr.contains("CartesianProduct"), s"plan was:\n$planStr")
+        val bcasts = nodes.collect { case b: BroadcastExchangeExec => b }
+        assert(bcasts.nonEmpty, "expected the hinted centroid broadcasts to survive")
+        bcasts.foreach { b =>
+          val rows = b.metrics("numOutputRows").value
+          assert(rows <= 64,
+            s"a broadcast side materialized $rows rows (table-sized):\n$b")
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      // checkpoint = false keeps the full lineage in ONE plan (the
-      // production path materializes reused stages eagerly, which would
-      // hide the upstream exchanges from this assertion)
-      val e = graft.Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
-      val (index, centroids) = graft.operators.IvfAnn.build(spark, e, nLists = 16)
-      val df = graft.operators.IvfAnn.allNnExact(index, centroids, nprobe = 2,
-        checkpoint = false)
-      df.collect()
-      val nodes = expand(df.queryExecution.executedPlan)
-      val planStr = nodes.head.toString
-      assert(!planStr.contains("CartesianProduct"), s"plan was:\n$planStr")
-      val bcasts = nodes.collect { case b: BroadcastExchangeExec => b }
-      assert(bcasts.nonEmpty, "expected the hinted centroid broadcasts to survive")
-      bcasts.foreach { b =>
-        val rows = b.metrics("numOutputRows").value
-        assert(rows <= 64,
-          s"a broadcast side materialized $rows rows (table-sized):\n$b")
-      }
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-  }
 
   test("q73 decontamination probes the corpus with a broadcast semi-join, never shuffling it") {
     // the eval-gram side is small by construction; the corpus side must

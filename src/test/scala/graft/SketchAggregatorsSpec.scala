@@ -130,18 +130,27 @@ class SketchAggregatorsSpec extends AnyFunSuite {
     val gram = udaf(new GramAggregator(dim))
     val m = spark.createDataset(vecs.map(_.toSeq)).repartition(4).toDF("v")
       .agg(gram($"v").as("m")).collect()(0).getSeq[Double](0)
+    // the reference applies the aggregator's own ⌊x·2^20 + 0.5⌋ grid, so
+    // equality is EXACT — integer sums are order-invariant, which is the
+    // property the grid exists to provide (raw double sums would need a
+    // tolerance here and still diverge cross-engine)
+    def q(x: Float): Long = math.floor(x.toDouble * 1048576.0 + 0.5).toLong
     assert(m(0) == 40.0, "count slot")
-    // sums
     for (i <- 0 until dim) {
-      val ref = vecs.map(_(i).toDouble).sum
-      assert(math.abs(m(1 + i) - ref) < 1e-9, s"sum dim $i")
+      val ref = vecs.map(v => q(v(i))).sum / 1048576.0
+      assert(m(1 + i) == ref, s"sum dim $i")
     }
     // upper triangle of sum x x^T, row-major
     var t = 1 + dim
     for (i <- 0 until dim; j <- i until dim) {
-      val ref = vecs.map(v => v(i).toDouble * v(j).toDouble).sum
-      assert(math.abs(m(t) - ref) < 1e-9, s"gram ($i,$j)")
+      val ref = vecs.map(v => q(v(i)) * q(v(j))).sum / (1048576.0 * 1048576.0)
+      assert(m(t) == ref, s"gram ($i,$j)")
       t += 1
+    }
+    // the grid is still a faithful estimate of the raw moments
+    for (i <- 0 until dim) {
+      val raw = vecs.map(_(i).toDouble).sum
+      assert(math.abs(m(1 + i) - raw) < 1e-4, s"grid drift dim $i")
     }
   }
 

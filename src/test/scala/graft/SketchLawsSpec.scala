@@ -111,19 +111,23 @@ class SketchLawsSpec extends AnyFunSuite {
       vs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-100, 100).map(_ / 50.0f)))
       cut <- Gen.chooseNum(0, n)
     } yield (vs.map(_.toSeq), cut)
+    // reference on the aggregator's own integer grid — split-anywhere
+    // merges must be EXACTLY the direct fold, the order-invariance the
+    // grid buys (double accumulation would only match to a tolerance)
+    def q(x: Float): Long = math.floor(x.toDouble * 1048576.0 + 0.5).toLong
     cases(gen, 40, 19L).foreach { case (vs, cut) =>
       val (a, b) = vs.splitAt(cut)
-      val merged = agg.merge(
-        foldWith(agg.zero, agg.reduce)(a), foldWith(agg.zero, agg.reduce)(b))
+      val merged = agg.finish(agg.merge(
+        foldWith(agg.zero, agg.reduce)(a), foldWith(agg.zero, agg.reduce)(b)))
       assert(merged(0) == vs.size.toDouble)
       var t = 1 + dim
       for (i <- 0 until dim) {
-        val ref = vs.map(_(i).toDouble).sum
-        assert(math.abs(merged(1 + i) - ref) < 1e-9, s"sum dim $i")
+        val ref = vs.map(v => q(v(i))).sum / 1048576.0
+        assert(merged(1 + i) == ref, s"sum dim $i")
       }
       for (i <- 0 until dim; j <- i until dim) {
-        val ref = vs.map(v => v(i).toDouble * v(j).toDouble).sum
-        assert(math.abs(merged(t) - ref) < 1e-9, s"gram ($i,$j)")
+        val ref = vs.map(v => q(v(i)) * q(v(j))).sum / (1048576.0 * 1048576.0)
+        assert(merged(t) == ref, s"gram ($i,$j)")
         t += 1
       }
     }
