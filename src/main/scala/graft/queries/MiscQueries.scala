@@ -130,6 +130,46 @@ object MiscQueries extends QueryModule {
       .select("piece", "n").orderBy("piece")
   }
 
+  /** The q99 SQL TEXT — one string, executed verbatim by BOTH engines
+    * (Spark via `spark.sql` over temp views, DuckDB via the oracle over
+    * the same parquet tables), so the gate proves the SQL surface
+    * itself, not a DataFrame re-statement of it. Three subquery shapes
+    * in one statement, each forcing a distinct Catalyst decorrelation
+    * rewrite (SURVEY §4.2):
+    *  - correlated EXISTS   → left-semi equi-join,
+    *  - NOT IN              → null-aware left-anti join,
+    *  - correlated scalar   → aggregate + left-outer equi-join.
+    * Outputs are pure counts, so cross-engine determinism is trivial.
+    */
+  private val sqlSubqueryText: String =
+    """SELECT o.o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_returnflag = 'R')
+      |  AND o.o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+      |                           WHERE l_quantity >= 49)
+      |  AND (SELECT count(*) FROM lineitem l2
+      |       WHERE l2.l_orderkey = o.o_orderkey) >= 4
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
+  /** q99: the SQL-text subquery surface, oracle-gated. A real user's
+    * first query after the DataFrame API is SQL with subqueries; this
+    * gate runs `sqlSubqueryText` through the full parse → analyze →
+    * decorrelate → optimize pipeline. Scale shape: all three rewrites
+    * land as hash equi-joins on `o_orderkey`/`l_orderkey` (PlanShapeSpec
+    * asserts no BroadcastNestedLoopJoin/CartesianProduct survives
+    * decorrelation), so the plan is three shuffles on the same key —
+    * AQE coalesces, nothing quadratic, nothing table-sized broadcast
+    * beyond what auto-broadcast elects.
+    */
+  def q99SqlSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(sqlSubqueryText)
+  }
+
   /** q83: corpus data profiling — the first thing run against a new
     * 100 TB drop: per-column null count, exact distinct count, and
     * min/max (stringified so heterogeneous column types share one
@@ -235,10 +275,14 @@ object MiscQueries extends QueryModule {
     "q54_sort_nulls" -> (q54SortNulls _),
     "q55_posexplode_stack" -> (q55PosexplodeStack _),
     "q56_csv_json_roundtrip" -> (q56CsvJsonRoundtrip _),
-    "q57_sample_split" -> (q57SampleSplit _)
+    "q57_sample_split" -> (q57SampleSplit _),
+    "q99_sql_subqueries" -> (q99SqlSubqueries _)
   )
 
   override val oracles: Map[String, String] = Map(
+    // the IDENTICAL text the engine executes — DuckDB reparses the same
+    // EXISTS / NOT IN / correlated-scalar statement over the same tables
+    "q99_sql_subqueries" -> sqlSubqueryText,
     "q98_rolling_actives" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP) AS day

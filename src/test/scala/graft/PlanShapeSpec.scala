@@ -214,6 +214,18 @@ class PlanShapeSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
 
+  test("q99 SQL subqueries decorrelate to equi-joins — no nested-loop shapes survive") {
+    // EXISTS → LeftSemi, NOT IN → null-aware LeftAnti, correlated scalar
+    // → aggregate + outer equi-join; a decorrelation failure would leave
+    // a BroadcastNestedLoopJoin or CartesianProduct re-executing the
+    // subquery per outer row — the shape that cannot run at 100 TB
+    val plan = finalPlan(graft.queries.MiscQueries.q99SqlSubqueries(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+    assert(plan.contains("LeftSemi"), s"EXISTS did not become a semi-join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT IN did not become an anti-join:\n$plan")
+  }
+
   test("q73 decontamination probes the corpus with a broadcast semi-join, never shuffling it") {
     // the eval-gram side is small by construction; the corpus side must
     // stream through a BroadcastHashJoin LeftSemi — a shuffled semi-join
