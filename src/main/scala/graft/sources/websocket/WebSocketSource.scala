@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -96,7 +96,7 @@ case class WsOffset(n: Long) extends Offset {
 }
 
 class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val url = Option(options.get("url")).getOrElse(
     throw new IllegalArgumentException("websocket source requires option 'url'"))
@@ -109,6 +109,7 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
   private val connectTimeoutMs = options.getLong("connectTimeoutMs", 2000L)
   private val idleTimeoutMs = options.getLong("idleTimeoutMs", 10000L)
   private val maxBufferRows = options.getInt("maxBufferRows", 1 << 20)
+  private val maxRowsPerTrigger = options.getLong("maxRowsPerTrigger", 0L)
 
   // (value, receipt micros) — key is constant, attached at read time.
   private val buffer = ArrayBuffer.empty[(String, Long)]
@@ -252,6 +253,34 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def latestOffset(): Offset =
     buffer.synchronized { served = true; WsOffset(trimmed + buffer.size) }
+
+  /** Admission control (A6/§4.1 restart story): a reconnect burst or a
+    * slow consumer otherwise turns the whole backlog into ONE giant
+    * micro-batch — the batch that OOMs after an outage. With
+    * `maxRowsPerTrigger` set, the engine calls this bounded form and
+    * the backlog drains as a sequence of bounded batches instead; left
+    * unset, all available frames are admitted (the prior behavior).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerTrigger > 0) ReadLimit.maxRows(maxRowsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    buffer.synchronized {
+      served = true
+      val avail = trimmed + buffer.size
+      // a rebased start can sit below `trimmed`; admit from the frontier
+      val from = math.max(start.asInstanceOf[WsOffset].n, trimmed)
+      val end = limit match {
+        case m: ReadMaxRows => math.min(avail, from + m.maxRows())
+        case _ => avail
+      }
+      WsOffset(end)
+    }
+
+  /** Metrics-only frontier: what is available, not what is admitted. */
+  override def reportLatestOffset(): Offset =
+    buffer.synchronized(WsOffset(trimmed + buffer.size))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[WsOffset].n, end.asInstanceOf[WsOffset].n)

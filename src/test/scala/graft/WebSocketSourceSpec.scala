@@ -414,6 +414,65 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("maxRowsPerTrigger drains a frame backlog as bounded micro-batches, counts preserved") {
+    // the 100 TB restart story: after a stall, the buffered backlog must
+    // NOT replay as one giant batch. With the admission-control bound
+    // set, every planned batch admits <= the cap and the frames still
+    // arrive exactly once.
+    val server = new TestWsServer
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val q = wsStream(server, "maxRowsPerTrigger" -> "10")
+        .writeStream
+        .foreachBatch { (df: Dataset[Row], _: Long) =>
+          val n = df.count()
+          sizes.synchronized { sizes += n }
+          ()
+        }
+        // slow cadence so the send loop below outruns the trigger and a
+        // real multi-batch backlog accumulates
+        .trigger(Trigger.ProcessingTime(500L)).start()
+      try {
+        assert(eventually()(server.totalConnects >= 1), "client never connected")
+        (1 to 60).foreach(i => server.send(s"""{"seq":$i}"""))
+        assert(eventually(30000)(sizes.synchronized(sizes.sum) == 60L),
+          s"backlog did not drain losslessly: got ${sizes.synchronized(sizes.sum)} of 60")
+        val snap = sizes.synchronized(sizes.toList)
+        assert(snap.forall(_ <= 10L), s"a batch exceeded the admission bound: $snap")
+        assert(snap.count(_ > 0) >= 6, s"60 rows at cap 10 must take >= 6 batches: $snap")
+      } finally q.stop()
+    } finally server.close()
+  }
+
+  test("kafka-shaped source maxFilesPerTrigger drains an epoch backlog in bounded batches") {
+    // restart-with-backlog: many epochs landed while the consumer was
+    // down; the bounded read must replay them across several
+    // micro-batches (seen-files log advances per batch), not one.
+    import spark.implicits._
+    import graft.sources.kafkashape.KafkaShapedSource
+    val outDir = Files.createTempDirectory("kss_bounded").toString
+    def batch(vals: Seq[(String, String)], topic: String) =
+      vals.toDF("key", "value").withColumn("topic", lit(topic))
+    (0 until 6).foreach(e =>
+      KafkaShapedSink.writeEpoch(batch(Seq(s"k$e" -> s"v$e"), "a"), e.toLong, outDir, 1))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = KafkaShapedSource.readTopic(spark, outDir, "a", maxFilesPerTrigger = 1)
+      .writeStream
+      .foreachBatch { (df: Dataset[Row], _: Long) =>
+        val n = df.count()
+        sizes.synchronized { sizes += n }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val snap = sizes.synchronized(sizes.toList)
+      assert(snap.sum == 6L, s"epoch backlog lost rows: $snap")
+      assert(snap.forall(_ <= 1L), s"a batch admitted more than one file's rows: $snap")
+      assert(snap.count(_ > 0) >= 6, s"backlog must drain across >= 6 batches: $snap")
+    } finally q.stop()
+  }
+
   test("kafka-shaped sink validates the record contract") {
     import spark.implicits._
     val bad = Seq((1, 2)).toDF("a", "b")
