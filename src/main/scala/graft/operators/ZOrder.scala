@@ -73,14 +73,28 @@ object ZOrder {
     require(gridBits >= 1 && gridBits <= 16, "gridBits must be in [1, 16]")
     val cells = 1 << gridBits
     val probs = (1 until cells).map(_.toDouble / cells).toArray
+    // backtick-quote per Spark's convention (doubling embedded ticks) so
+    // any legal column name resolves — names with dots, spaces, or
+    // backticks must not break the write path
+    def qcol(c: String): Column = col("`" + c.replace("`", "``") + "`")
+    // project + rename BEFORE the quantile pass: approxQuantile parses
+    // its name argument as an attribute path, which chokes on names
+    // containing backticks/dots — a plain alias sidesteps parsing
     def bounds(c: String): Array[Double] =
-      df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
-    // grid index = number of boundaries ≤ x: a codegen'd filter over a
-    // literal boundary array (≤255 comparisons/row at the default grid)
-    def gridded(c: String, bs: Array[Double]): Column = {
-      val arr = bs.mkString("array(", "D,", "D)")
-      expr(s"size(filter($arr, b -> b <= cast($c as double)))").cast("long")
-    }
+      df.select(qcol(c).cast("double").as("_zq"))
+        .stat.approxQuantile("_zq", probs, 0.001).distinct.sorted
+    // grid index = number of boundaries ≤ x, built as COLUMNS (typedlit
+    // boundary array + higher-order filter — ≤255 codegen'd comparisons
+    // per row at the default grid), never spliced SQL text: a string
+    // formulation breaks on quotable names and on the empty boundary
+    // array an all-null/empty column yields from approxQuantile. With no
+    // boundaries every row lands in cell 0 (one cell is the only honest
+    // grid for a constant/empty domain); null values fail the predicate
+    // and likewise land in cell 0.
+    def gridded(c: String, bs: Array[Double]): Column =
+      if (bs.isEmpty) lit(0L)
+      else size(filter(typedlit(bs.toSeq),
+        b => b <= qcol(c).cast("double"))).cast("long")
     val (b1, b2) = (bounds(c1), bounds(c2))
     df.withColumn("zval", interleave16(gridded(c1, b1), gridded(c2, b2)))
       .repartitionByRange(numFiles, col("zval"))

@@ -20,12 +20,24 @@ case class BookUpdate(
     price: Double,
     size: Double)
 
-/** Keyed order-book state: price level → size, per side. */
+/** Keyed order-book state: price level → size, per side. `max_seq` is
+  * the highest applied sequence number — the cross-batch reorder guard:
+  * intra-batch order is restored by the sort in `fold`, but a delta
+  * arriving in a LATER micro-batch with a LOWER seq (transport replay,
+  * source restart) would otherwise apply old-on-new and corrupt a level.
+  */
 case class Book(
     market: String,
     n_updates: Long,
     bids: Map[Double, Double],
-    asks: Map[Double, Double])
+    asks: Map[Double, Double],
+    max_seq: Long)
+
+object Book {
+  /** Empty book; `max_seq` below any real sequence number. */
+  def empty(market: String): Book =
+    Book(market, 0L, Map.empty, Map.empty, Long.MinValue)
+}
 
 /** Top-of-book summary emitted per market per micro-batch. */
 case class TopOfBook(
@@ -50,16 +62,24 @@ object OrderBook {
 
   /** Apply one ordered run of updates to a book. Updates inside a batch
     * are sorted by `seq` (iterator order within a group is not
-    * guaranteed by the engine — same rule as `StatefulOps.fold`).
+    * guaranteed by the engine — same rule as `StatefulOps.fold`);
+    * ACROSS batches, any update at or below the book's `max_seq` is a
+    * duplicate or a transport reorder and is DROPPED — a level delta is
+    * an absolute size, so applying an old one over newer state would
+    * corrupt the level (the Bitvavo protocol says resync on a sequence
+    * violation; here the periodic snapshot re-request IS that resync,
+    * and it heals any level a dropped stale delta would have created —
+    * spec-pinned).
     */
   def fold(prev: Book, updates: Iterator[BookUpdate]): Book =
     updates.toSeq.sortBy(_.seq).foldLeft(prev) { (b, u) =>
-      if (u.reset) Book(u.market, b.n_updates + 1, Map.empty, Map.empty)
+      if (u.seq <= b.max_seq) b // stale or duplicate: never apply old-on-new
+      else if (u.reset) Book(u.market, b.n_updates + 1, Map.empty, Map.empty, u.seq)
       else {
         def upd(m: Map[Double, Double]): Map[Double, Double] =
           if (u.size == 0.0) m - u.price else m.updated(u.price, u.size)
-        if (u.side == "bid") Book(u.market, b.n_updates + 1, upd(b.bids), b.asks)
-        else Book(u.market, b.n_updates + 1, b.bids, upd(b.asks))
+        if (u.side == "bid") Book(u.market, b.n_updates + 1, upd(b.bids), b.asks, u.seq)
+        else Book(u.market, b.n_updates + 1, b.bids, upd(b.asks), u.seq)
       }
     }
 
@@ -78,7 +98,7 @@ object OrderBook {
       .groupByKey(_.market)(Encoders.STRING)
       .mapGroupsWithState[Book, TopOfBook](GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[BookUpdate], state: GroupState[Book]) =>
-          val prev = state.getOption.getOrElse(Book(key, 0L, Map.empty, Map.empty))
+          val prev = state.getOption.getOrElse(Book.empty(key))
           val next = fold(prev, it)
           state.update(next)
           top(next)
@@ -88,6 +108,6 @@ object OrderBook {
   /** Batch reference: the same fold over the complete update list. */
   def batchReference(updates: Seq[BookUpdate]): Map[String, TopOfBook] =
     updates.groupBy(_.market).map { case (m, us) =>
-      m -> top(fold(Book(m, 0L, Map.empty, Map.empty), us.sortBy(_.seq).iterator))
+      m -> top(fold(Book.empty(m), us.sortBy(_.seq).iterator))
     }
 }

@@ -186,7 +186,46 @@ class OrderBookSpec extends AnyFunSuite {
   }
 
   test("empty-side top-of-book reports NaN, not a crash") {
-    val t = OrderBook.top(Book("X", 1L, Map(1.0 -> 1.0), Map.empty))
+    val t = OrderBook.top(Book("X", 1L, Map(1.0 -> 1.0), Map.empty, 1L))
     assert(t.best_ask.isNaN && t.best_bid == 1.0)
+  }
+
+  test("a cross-batch out-of-order delta is dropped, and a snapshot converges to the lossless book") {
+    // transport replay: seq 4 (an absolute-size delta for bid 98.5)
+    // arrives one micro-batch AFTER seq 5 was applied. Applying it
+    // old-on-new would resurrect/corrupt the level; the max_seq guard
+    // must drop it, and the later snapshot (seq 13) must converge the
+    // book to the lossless in-order run — the §1.5 resync contract.
+    val inOrder = script.filter(_.market == "BTC")
+    val (before, rest) = inOrder.partition(_.seq <= 5)
+    val replayed = before.find(_.seq == 4).get
+    // batch 1: seq 1,2,3,5 — batch 2: stale seq 4 + a fresh update —
+    // batch 3: the rest (snapshot 13 included)
+    val b1 = before.filterNot(_.seq == 4)
+    val b2 = Seq(replayed, mk(9, "BTC", "bid", 99.5, 2.0))
+    val b3 = rest.filterNot(_.seq == 9)
+
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[BookUpdate]
+    val mem = MemoryStream[BookUpdate]
+    val name = s"book_ooo_${System.nanoTime()}"
+    val q = OrderBook.topOfBook(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    val got =
+      try {
+        Seq(b1, b2, b3).foreach { c => mem.addData(c); q.processAllAvailable() }
+        val r = spark.table(name).collect().maxBy(_.getLong(1))
+        (r.getDouble(2), r.getDouble(3), r.getInt(4), r.getInt(5))
+      } finally q.stop()
+    val want = OrderBook.batchReference(inOrder)("BTC")
+    assert(got == ((want.best_bid, want.best_ask, want.bid_depth, want.ask_depth)),
+      s"out-of-order replay did not converge: $got")
+
+    // and WITHOUT an intervening snapshot the stale delta still never
+    // applies old-on-new: direct fold check — seq 4 would set bid
+    // 98.5 -> 3.0; after seq 5 is applied it must be a no-op
+    val healthy = OrderBook.fold(Book.empty("BTC"), b1.iterator)
+    val afterStale = OrderBook.fold(healthy, Iterator(replayed))
+    assert(afterStale == healthy, "stale delta mutated newer state")
   }
 }

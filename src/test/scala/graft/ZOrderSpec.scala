@@ -103,4 +103,31 @@ class ZOrderSpec extends AnyFunSuite {
     val zs = df.collect().map(_.getLong(0)).toSeq
     assert(zs == zs.sorted, s"z not monotone in x: $zs")
   }
+
+  test("clusterAtScale survives degenerate columns: all-null, constant, and empty input") {
+    // approxQuantile yields an empty (all-null) or single-value
+    // (constant) boundary set — the write path must degrade to a
+    // one-cell grid on that axis, never emit malformed plans
+    val nulls = Seq.tabulate(50)(i => (i.toLong, Option.empty[Double]))
+      .toDF("user_id", "value")
+    val outN = ZOrder.clusterAtScale(nulls, "user_id", "value", 4).collect()
+    assert(outN.length == 50, "rows lost on an all-null axis")
+    val const = Seq.tabulate(50)(i => (i.toLong, 7.0)).toDF("user_id", "value")
+    assert(ZOrder.clusterAtScale(const, "user_id", "value", 4).count() == 50)
+    val empty = Seq.empty[(Long, Double)].toDF("user_id", "value")
+    assert(ZOrder.clusterAtScale(empty, "user_id", "value", 4).count() == 0)
+  }
+
+  test("clusterAtScale handles quotable column names (spaces, dots, backticks)") {
+    // the declared 100 TB write path must not be breakable by a legal
+    // column name — boundary literals are Columns, names are
+    // backtick-quoted with embedded ticks doubled
+    val df = Seq.tabulate(60)(i => (i.toLong, i * 1.5))
+      .toDF("user id", "va`l.ue")
+    val out = ZOrder.clusterAtScale(df, "user id", "va`l.ue", 4)
+    assert(out.count() == 60)
+    assert(out.columns.contains("zval"))
+    // grid actually varies (not the degenerate one-cell fallback)
+    assert(out.select("zval").distinct().count() > 1)
+  }
 }
