@@ -10,8 +10,13 @@ import java.nio.file.{Files, Paths}
   * per-query numbers swung 3× between identical runs):
   *  - one UNTIMED warmup pass of the flagship query primes the JVM, the
   *    parquet footer caches, and the codegen compiler;
-  *  - each query then runs 3 times and reports the MEDIAN, so a single
-  *    GC pause or JIT recompile can't masquerade as a plan regression.
+  *  - each query then runs 3 times (2 when the first rep shows it is
+  *    slow) and reports the MIN. Noise on a warm single-node run —
+  *    GC pauses, C2 recompiles, scheduler contention — is strictly
+  *    ADDITIVE, so the minimum is the consistent estimator of plan
+  *    cost; the round-8 audit showed medians still swinging 2–5× on
+  *    C2-sensitive queries across byte-identical rounds, which is
+  *    exactly the false alarm the committed artifact must not raise.
   *
   * Failures are loud: a crashing query reports a negative time and the
   * process exits nonzero, so a regression can never hide inside a
@@ -40,13 +45,13 @@ object Bench {
     try runOnce("warmup", SparkEntry.queries("q01_pricing_summary"))
     catch { case _: Throwable => () }
 
-    // Median-of-reps for fast queries (where JIT/GC noise dominates).
-    // Slow queries (>5 s) get a SECOND rep and report the MIN: the
-    // round-4 single-shot rule gave exactly the reps most likely to
-    // have trapped a GC pause n=1, so a noise spike stuck as a
-    // "regression" (q23 0.86→6.88 s with unchanged code). Noise is
-    // strictly additive, so min-of-2 is the robust estimate at half
-    // the cost of median-of-3 on the queries where reps are expensive.
+    // Min-of-reps everywhere. Slow queries (>5 s) get ONE extra rep
+    // (min-of-2 at half the cost of 3 reps where reps are expensive);
+    // fast queries keep 3 reps. History: round-4's single-shot slow
+    // path trapped a GC pause as a fake 8× regression (q23), and
+    // round-8's median-of-3 fast path still let C2-recompile spikes
+    // swing committed numbers 2–5× on unchanged plans (q13, q47, q72).
+    // Additive noise means min, not median, is the stable statistic.
     val repeatBelowSec = 5.0
     // optional args = subset of query names (iteration aid; the driver
     // passes none and measures everything)
@@ -66,13 +71,7 @@ object Bench {
           failed ::= name
           Seq.empty[Double]
         }
-      val sec =
-        if (times.isEmpty) -1.0
-        // min-of-2 ONLY for the slow path — a fast query run under
-        // SPARK_GRAFT_BENCH_REPS=2 must still report its median (= the
-        // documented methodology), not an optimistic minimum
-        else if (slowPath) times.head
-        else times(times.size / 2) // median
+      val sec = if (times.isEmpty) -1.0 else times.head // min (times sorted)
       System.err.println(f"[bench] $name%-28s $sec%8.2f s (${times.size} reps)")
       name -> sec
     }
