@@ -78,7 +78,22 @@ object IvfAnn {
     * the nLists-row centroid table.
     */
   def allNnExact(index: DataFrame, centroids: DataFrame, nprobe: Int,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true): DataFrame =
+    allNnRun(index, centroids, nprobe, checkpoint).result
+
+  /** The stage frames of one `allNnExact` run, exposed so the prune
+    * payoff is MEASURABLE instead of asserted in prose: `foreign` is
+    * every unprobed (vector, list) pair the bound gets to veto,
+    * `escapes` the survivors that must verify exactly. escapes/foreign
+    * is the escape fraction — ~1.0 on random fixtures (nothing can
+    * prune 90° list radii), collapsing on clustered corpora
+    * (`IvfAnnSpec` pins both numbers through these frames).
+    */
+  private[graft] final case class AllNnRun(
+      probes: DataFrame, foreign: DataFrame, escapes: DataFrame, result: DataFrame)
+
+  private[graft] def allNnRun(index: DataFrame, centroids: DataFrame, nprobe: Int,
+      checkpoint: Boolean = true): AllNnRun = {
     // reused frames are checkpointed so each fan-out consumer reads the
     // materialized rows instead of re-running its subtree (`checkpoint =
     // false` keeps full lineage for plan-shape tests)
@@ -130,21 +145,23 @@ object IvfAnn {
     val best1 = // feeds both the escape filter and the final union
       chk(top1(verify(probes)))
     val margin = 1e-3
-    val escapes = va.join(probes.withColumn("probed", lit(1)), Seq("vec_id", "cl"), "left")
+    val foreign = va.join(probes.withColumn("probed", lit(1)), Seq("vec_id", "cl"), "left")
       .filter(col("probed").isNull)
+    val escapes = foreign
       .join(broadcast(radii), "cl")
       // LEFT join: a vector alone in its probed lists has no provisional
       // best yet — every other list must escape for it
       .join(best1.select(col("vec_id"), col("raw").as("best_raw")), Seq("vec_id"), "left")
       .filter(expr(s"cos(greatest(0.0d, th - r)) >= coalesce(best_raw, -2.0d) - $margin"))
       .select("vec_id", "cl")
-    top1(best1.unionByName(verify(escapes)))
+    val result = top1(best1.unionByName(verify(escapes)))
       // materialize the n-row answer BEFORE the global sort: the range
       // partitioner's sampling pass would otherwise re-execute the whole
       // escape-verify chain a second time
       .transform(chk)
       .select("vec_id", "nn_id", "cos")
       .orderBy("vec_id")
+    AllNnRun(probes, foreign.select("vec_id", "cl"), escapes, result)
   }
 
   /** EXACT near-duplicate pair detection through the IVF buckets — every

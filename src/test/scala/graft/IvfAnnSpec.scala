@@ -142,6 +142,34 @@ class IvfAnnSpec extends AnyFunSuite {
       s"bound pruned nothing on clustered data ($escapes of $foreign foreign lists escape)")
   }
 
+  test("escape fraction MEASURED through the engine frames: ~1.0 random, collapsed clustered") {
+    // the prune payoff as a number, not a comment: on the RANDOM fixture
+    // list radii sit near 90 deg and the angular bound can veto almost
+    // nothing; on the clustered fixture it must veto almost everything.
+    // Both fractions come from the engine's own stage frames.
+    def fraction(emb: org.apache.spark.sql.DataFrame, lists: Int): Double = {
+      val (index, centroids) = IvfAnn.build(spark, emb, lists)
+      val run = IvfAnn.allNnRun(index, centroids, nprobe = 2)
+      run.result.count() // drive the run so best1 exists
+      val f = run.foreign.count()
+      assert(f > 0, "no foreign (vector, list) pairs to measure")
+      run.escapes.count().toDouble / f
+    }
+    val random = fraction(emb, nLists)
+    assert(random > 0.9, s"random fixture should be near-unprunable, got $random")
+
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    val dim = 16; val nClusters = 8; val perCluster = 25
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val clustered = (0 until nClusters * perCluster).map { i =>
+      val c = i % nClusters
+      (i.toLong, c, centers(c).map(x => (x + 0.02 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val tight = fraction(clustered, nClusters)
+    assert(tight < 0.25, s"clustered fixture should prune >75% of foreign lists, got $tight")
+  }
+
   test("q46 entry (bucketed, 8 lists) == the brute n² formulation it replaced") {
     // the entry-set swap that evicted the full-table broadcast: the
     // bucketed plan must answer the brute oracle semantics row-for-row
