@@ -142,6 +142,51 @@ object SketchAggregators {
       ExpressionEncoder[Seq[ScoredId]]()
   }
 
+  /** Mergeable bitmap — the accumulation half of a Bloom filter (Bloom,
+    * CACM 1970). Input rows are BIT POSITIONS in [0, numBits); the
+    * buffer is the packed long[] bitmap and merge is bitwise OR, so the
+    * result is order- and partitioning-invariant by construction. The
+    * HASHING deliberately lives outside the aggregator, in column space
+    * (`xxhash64(gram, i) pmod numBits` on both the build and the probe
+    * side), so the membership test is the same codegen'd expression
+    * that built the bits — no Scala/SQL hash-function duality to keep
+    * in sync.
+    *
+    * Scale role (q73b): when a reference set is too big to broadcast
+    * RAW, its bitmap still broadcasts at numBits/8 bytes with
+    * (1 − e^(−kn/m))^k false-positive rate; the big-side stream is
+    * prefiltered scan-locally and only candidates (true hits + FPs)
+    * ever reach an exchange. Exactness is restored downstream by an
+    * equi-join verify against the real set — the filter only shrinks
+    * the join input, never the answer.
+    */
+  class BitSetAggregator(numBits: Int)
+      extends Aggregator[Int, Array[Long], Array[Long]] {
+    require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+    private val words = numBits / 64
+
+    override def zero: Array[Long] = new Array[Long](words)
+
+    override def reduce(b: Array[Long], p: Int): Array[Long] = {
+      require(p >= 0 && p < numBits, s"bit position $p outside [0, $numBits)")
+      b(p >>> 6) |= 1L << (p & 63)
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < words) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
   /** One-pass Gram/covariance accumulator over `ArrayType(FloatType)`
     * embeddings — the distributed half of PCA/whitening: the d×d second
     * moment is computed in a single scan with a d(d+1)/2-sized buffer

@@ -60,6 +60,75 @@ object PipelineQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q73b: the SAME decontamination answer for the regime q73's
+    * broadcast assumption breaks — an eval/reference set too big to
+    * broadcast RAW (contamination against another multi-TB corpus
+    * snapshot, not a megabyte benchmark suite). Three stages:
+    *
+    *  1. build: eval gram hashes fold into ONE Bloom bitmap
+    *     (`SketchAggregators.BitSetAggregator`, OR-mergeable long[]
+    *     words — numBits/8 bytes regardless of gram count; bit
+    *     positions are `xxhash64(g, i) pmod numBits` computed in
+    *     column space);
+    *  2. prefilter: the corpus gram stream tests the broadcast bitmap
+    *     SCAN-LOCALLY (`forall` over the same k positions — the
+    *     identical codegen'd expression that built the bits), so only
+    *     candidates (true hits + FPs at (1−e^(−kn/m))^k) ever reach an
+    *     exchange;
+    *  3. verify: a plain equi-semi-join of the survivors against the
+    *     real eval grams removes the false positives — the bloom only
+    *     shrinks the join input, never the answer, so q73b shares
+    *     q73's exact oracle verbatim.
+    *
+    * Knobs: numBits (bitmap size vs FP rate) and k (hashes). At the
+    * fixture gate 2^20 bits ≈ 128 KB holds ~3k eval grams at k=5 for a
+    * ~1e-9 FP rate; a 10B-gram reference set at 2^36 bits is an 8 GB
+    * torrent-broadcast vs an unbroadcastable multi-100 GB raw set.
+    */
+  def q73bDecontaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val nBits = 1 << 20
+    val k = 5
+    // bit positions of gram `g` — the ONE expression both sides share
+    val posExpr =
+      s"transform(sequence(0, ${k - 1}), i -> cast(pmod(xxhash64(g, i), ${nBits}L) as int))"
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 5)
+      .withColumn("hs", expr("gram5_md5(ws)"))
+      .select("doc_id", "source", "hs")
+    val evalGrams = docs.filter(col("doc_id") % 23 === 0)
+      .select(explode(col("hs")).as("g")).distinct()
+      // feeds both the bitmap build and the exact verify join
+      .localCheckpoint(true)
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val bitset = udaf(new graft.functions.SketchAggregators.BitSetAggregator(nBits))
+    val bf = evalGrams
+      .select(explode(expr(posExpr)).as("p"))
+      .agg(bitset(col("p")).as("bf"))
+    val member =
+      s"forall($posExpr, p -> " +
+        "(shiftrightunsigned(element_at(bf, shiftright(p, 6) + 1), p % 64) & 1) = 1)"
+    val candidates = train
+      .select(col("doc_id"), col("source"), explode(col("hs")).as("g"))
+      .crossJoin(broadcast(bf)) // ONE row: the bitmap
+      .filter(expr(member))
+      .select("doc_id", "source", "g")
+    // exact verify — NO broadcast hint: survivors and eval grams meet in
+    // a shuffled semi-join sized by the candidate set, not the corpus
+    val contaminated = candidates
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select("doc_id", "source").distinct()
+    val perSrc = train.groupBy("source").agg(count(lit(1)).as("n_train"))
+    val perSrcCont = contaminated.groupBy("source")
+      .agg(count(lit(1)).as("n_contaminated"))
+    perSrc.join(perSrcCont, Seq("source"), "left")
+      .select(col("source"), col("n_train"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (col("n_train") - coalesce(col("n_contaminated"), lit(0L))).as("n_clean"))
+      .orderBy("source")
+  }
+
   /** q74: sequence packing — documents laid end-to-end per source in
     * doc_id order and cut into fixed-size token context windows; a document
     * belongs to the chunk its FIRST token lands in (greedy
@@ -132,33 +201,41 @@ object PipelineQueries extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_decontamination" -> (q73Decontamination _),
+    "q73b_decontamination_bloom" -> (q73bDecontaminationBloom _),
     "q74_sequence_packing" -> (q74SequencePacking _),
     "q75_pii_scrub" -> (q75PiiScrub _)
   )
 
+  /** Shared by q73 and q73b: the bloom prefilter is exactness-
+    * transparent (the verify join removes every false positive), so
+    * both formulations answer the same ground truth.
+    */
+  private val oracleDecontamination: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |         [('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15))::BIGINT
+      |          FOR i IN range(1, len(ws) - 3)] AS hs
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 5),
+      |e AS (SELECT DISTINCT unnest(hs) AS g FROM h WHERE doc_id % 23 = 0),
+      |tr AS (SELECT doc_id, source, hs FROM h WHERE doc_id % 23 <> 0),
+      |cont AS (
+      |  SELECT DISTINCT t.doc_id, t.source
+      |  FROM (SELECT doc_id, source, unnest(hs) AS g FROM tr) t
+      |  JOIN e ON t.g = e.g),
+      |a AS (SELECT source, count(*)::BIGINT AS n_train FROM tr GROUP BY source),
+      |c AS (SELECT source, count(*)::BIGINT AS n_contaminated FROM cont GROUP BY source)
+      |SELECT a.source, a.n_train,
+      |       coalesce(c.n_contaminated, 0)::BIGINT AS n_contaminated,
+      |       (a.n_train - coalesce(c.n_contaminated, 0))::BIGINT AS n_clean
+      |FROM a LEFT JOIN c USING (source)
+      |ORDER BY a.source""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     // same md5-prefix gram hashes as the engine (q51's oracle
     // formulation) — the decontamination join is mirrored exactly
-    "q73_decontamination" ->
-      """WITH h AS (
-        |  SELECT doc_id, source,
-        |         [('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15))::BIGINT
-        |          FOR i IN range(1, len(ws) - 3)] AS hs
-        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
-        |  WHERE len(ws) >= 5),
-        |e AS (SELECT DISTINCT unnest(hs) AS g FROM h WHERE doc_id % 23 = 0),
-        |tr AS (SELECT doc_id, source, hs FROM h WHERE doc_id % 23 <> 0),
-        |cont AS (
-        |  SELECT DISTINCT t.doc_id, t.source
-        |  FROM (SELECT doc_id, source, unnest(hs) AS g FROM tr) t
-        |  JOIN e ON t.g = e.g),
-        |a AS (SELECT source, count(*)::BIGINT AS n_train FROM tr GROUP BY source),
-        |c AS (SELECT source, count(*)::BIGINT AS n_contaminated FROM cont GROUP BY source)
-        |SELECT a.source, a.n_train,
-        |       coalesce(c.n_contaminated, 0)::BIGINT AS n_contaminated,
-        |       (a.n_train - coalesce(c.n_contaminated, 0))::BIGINT AS n_clean
-        |FROM a LEFT JOIN c USING (source)
-        |ORDER BY a.source""".stripMargin,
+    "q73_decontamination" -> oracleDecontamination,
+    "q73b_decontamination_bloom" -> oracleDecontamination,
     "q74_sequence_packing" ->
       """WITH d AS (
         |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok

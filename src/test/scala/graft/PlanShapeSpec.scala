@@ -226,6 +226,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"NOT IN did not become an anti-join:\n$plan")
   }
 
+  test("q73b bloom decontamination broadcasts ONLY the one-row bitmap") {
+    // the eval-scale variant: with auto-broadcast off, the only
+    // broadcast exchange left is the explicit bloom-bitmap row — the
+    // eval gram set itself must never broadcast (that is the regime
+    // q73b exists for), and the corpus gram stream is prefiltered
+    // scan-locally before any exchange
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(expand)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.PipelineQueries.q73bDecontaminationBloom(spark, dir)
+      df.collect()
+      val nodes = expand(df.queryExecution.executedPlan)
+      val bcasts = nodes.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, "expected the bloom-bitmap broadcast")
+      bcasts.foreach { b =>
+        val rows = b.metrics("numOutputRows").value
+        assert(rows <= 1, s"a broadcast side materialized $rows rows:\n$b")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q73 decontamination probes the corpus with a broadcast semi-join, never shuffling it") {
     // the eval-gram side is small by construction; the corpus side must
     // stream through a BroadcastHashJoin LeftSemi — a shuffled semi-join

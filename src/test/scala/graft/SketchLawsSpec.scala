@@ -101,6 +101,31 @@ class SketchLawsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- BitSet (bloom accumulation) ---------------------------------
+
+  test("BitSet: split-anywhere merges equal the direct fold; membership is exact") {
+    val nBits = 1024
+    val agg = new graft.functions.SketchAggregators.BitSetAggregator(nBits)
+    val gen = for {
+      n <- Gen.chooseNum(0, 200)
+      ps <- Gen.listOfN(n, Gen.chooseNum(0, nBits - 1))
+      cut <- Gen.chooseNum(0, n)
+    } yield (ps, cut)
+    def bit(w: Array[Long], p: Int): Boolean = ((w(p >>> 6) >>> (p & 63)) & 1L) == 1L
+    cases(gen, 40, 23L).foreach { case (ps, cut) =>
+      val (a, b) = ps.splitAt(cut)
+      val merged = agg.merge(
+        foldWith(agg.zero, agg.reduce)(a), foldWith(agg.zero, agg.reduce)(b))
+      val direct = foldWith(agg.zero, agg.reduce)(ps)
+      assert(merged.toSeq == direct.toSeq, "merge diverged from direct fold")
+      // every inserted position set; nothing else is
+      val want = ps.toSet
+      (0 until nBits).foreach { p =>
+        assert(bit(merged, p) == want(p), s"bit $p wrong")
+      }
+    }
+  }
+
   // ---- Gram --------------------------------------------------------
 
   test("Gram: partial folds merge to the direct moments (scalacheck)") {
