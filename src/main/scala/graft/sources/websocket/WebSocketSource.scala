@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -96,7 +96,8 @@ case class WsOffset(n: Long) extends Offset {
 }
 
 class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val url = Option(options.get("url")).getOrElse(
     throw new IllegalArgumentException("websocket source requires option 'url'"))
@@ -268,19 +269,36 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     buffer.synchronized {
       served = true
-      val avail = trimmed + buffer.size
+      val received = trimmed + buffer.size
+      // AvailableNow pins the frontier at prepare time (drain-then-stop)
+      val avail =
+        if (availableNowTarget >= 0) math.min(received, availableNowTarget)
+        else received
       // a rebased start can sit below `trimmed`; admit from the frontier
       val from = math.max(start.asInstanceOf[WsOffset].n, trimmed)
       val end = limit match {
         case m: ReadMaxRows => math.min(avail, from + m.maxRows())
         case _ => avail
       }
-      WsOffset(end)
+      WsOffset(math.max(from, end))
     }
 
   /** Metrics-only frontier: what is available, not what is admitted. */
   override def reportLatestOffset(): Offset =
     buffer.synchronized(WsOffset(trimmed + buffer.size))
+
+  /** `Trigger.AvailableNow` on a live, non-replayable feed means "drain
+    * what has been received, then stop": the frontier is pinned HERE,
+    * at query start, and `latestOffset` never admits past it — frames
+    * that land mid-drain stay buffered for the next run (they are not
+    * lost, just not part of THIS run's contract). Composes with
+    * `maxRowsPerTrigger`: the pinned backlog still drains as bounded
+    * micro-batches.
+    */
+  @volatile private var availableNowTarget: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit = buffer.synchronized {
+    availableNowTarget = trimmed + buffer.size
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[WsOffset].n, end.asInstanceOf[WsOffset].n)

@@ -25,6 +25,14 @@ case class BookUpdate(
   * intra-batch order is restored by the sort in `fold`, but a delta
   * arriving in a LATER micro-batch with a LOWER seq (transport replay,
   * source restart) would otherwise apply old-on-new and corrupt a level.
+  *
+  * State-schema note: adding `max_seq` widened the state product — a
+  * checkpoint written by the pre-`max_seq` build does NOT restore into
+  * this schema (Spark's state store validates compatibility at query
+  * start and fails loudly rather than corrupting). The operational
+  * upgrade path for a lossy-delta book is the protocol's own: start a
+  * fresh checkpoint and let the first snapshot rebuild state — books
+  * self-heal by construction, so nothing durable is lost.
   */
 case class Book(
     market: String,

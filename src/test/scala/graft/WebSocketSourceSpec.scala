@@ -414,6 +414,53 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("AvailableNow pins the frontier at prepare: drain-then-stop, later frames not admitted (protocol-level)") {
+    // a live socket is non-replayable, so Trigger.AvailableNow means
+    // "serve what had arrived when the run started, then stop". Frames
+    // landing mid-drain must NOT extend this run's work — they wait,
+    // buffered, for the next run.
+    import graft.sources.websocket.{WebSocketMicroBatchStream, WsOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val server = new TestWsServer
+    val stream = new WebSocketMicroBatchStream(new CaseInsensitiveStringMap(
+      java.util.Map.of("url", server.url, "key", "websocket_1",
+        "reconnectDelayMs", "200", "connectTimeoutMs", "2000",
+        "maxRowsPerTrigger", "2")))
+    try {
+      assert(eventually()(server.totalConnects >= 1), "source never connected")
+      val start = stream.initialOffset()
+      (1 to 5).foreach(i => server.send(s"pre-$i"))
+      assert(eventually()(
+        stream.reportLatestOffset().asInstanceOf[WsOffset].n == 5L),
+        "pre-frames did not buffer")
+      stream.prepareForTriggerAvailableNow()
+      (6 to 9).foreach(i => server.send(s"post-$i"))
+      assert(eventually()(
+        stream.reportLatestOffset().asInstanceOf[WsOffset].n == 9L),
+        "post-frames did not buffer")
+      // bounded drain loop, exactly as MicroBatchExecution would run it:
+      // each batch admits <= 2 rows and the frontier never passes 5
+      var cur = start
+      var batches = 0
+      var exhausted = false
+      while (!exhausted && batches < 10) {
+        val end = stream.latestOffset(cur, stream.getDefaultReadLimit)
+        val (s, e) = (cur.asInstanceOf[WsOffset].n, end.asInstanceOf[WsOffset].n)
+        assert(e - s <= 2, s"batch admitted ${e - s} > cap")
+        assert(e <= 5, s"frontier passed the pinned target: $e")
+        if (e == s) exhausted = true
+        else { batches += 1; stream.commit(end); cur = end }
+      }
+      assert(exhausted && cur.asInstanceOf[WsOffset].n == 5L,
+        s"drain should stop exactly at the pinned frontier, got $cur after $batches batches")
+      assert(batches == 3, s"5 rows at cap 2 should take 3 batches, took $batches")
+    } finally {
+      stream.stop()
+      server.close()
+    }
+  }
+
   test("maxRowsPerTrigger drains a frame backlog as bounded micro-batches, counts preserved") {
     // the 100 TB restart story: after a stall, the buffered backlog must
     // NOT replay as one giant batch. With the admission-control bound
