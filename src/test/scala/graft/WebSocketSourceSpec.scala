@@ -520,6 +520,44 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("kafka-shaped source checkpoint-resumes a bounded drain exactly once") {
+    // the 100 TB restart contract end-to-end: a bounded (1 file/batch)
+    // run drains the backlog to completion under Trigger.AvailableNow;
+    // epochs landing AFTER it are the ONLY thing a checkpoint restart
+    // delivers — nothing re-delivered, nothing lost.
+    import spark.implicits._
+    import graft.sources.kafkashape.KafkaShapedSource
+    val outDir = Files.createTempDirectory("kss_resume").toString
+    val ckpt = Files.createTempDirectory("kss_resume_ck").toString
+    def batch(vals: Seq[(String, String)], topic: String) =
+      vals.toDF("key", "value").withColumn("topic", lit(topic))
+    (0 until 6).foreach(e =>
+      KafkaShapedSink.writeEpoch(batch(Seq(s"k$e" -> s"v$e"), "a"), e.toLong, outDir, 1))
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[String]
+    def run(): Unit = {
+      val q = KafkaShapedSource.readTopic(spark, outDir, "a", maxFilesPerTrigger = 1)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[Row], _: Long) =>
+          val vs = df.select("value").collect().map(_.getString(0))
+          delivered.synchronized { delivered ++= vs }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    run()
+    assert(delivered.synchronized(delivered.sorted.toList) ==
+      (0 until 6).map(i => s"v$i").toList, s"first drain wrong: $delivered")
+    (6 until 8).foreach(e =>
+      KafkaShapedSink.writeEpoch(batch(Seq(s"k$e" -> s"v$e"), "a"), e.toLong, outDir, 1))
+    run()
+    assert(delivered.synchronized(delivered.sorted.toList) ==
+      (0 until 8).map(i => s"v$i").toList,
+      s"restart re-delivered or lost epochs: ${delivered.sorted}")
+  }
+
   test("kafka-shaped sink validates the record contract") {
     import spark.implicits._
     val bad = Seq((1, 2)).toDF("a", "b")
