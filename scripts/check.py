@@ -28,7 +28,11 @@ def canon(rows, cols):
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return f"{round(v, 6) + 0.0:.6f}"
+            # NO signed-zero normalization here: the driver's hash is
+            # sign-sensitive, so the mimic must distinguish -0.0 from
+            # +0.0 too (a `+ 0.0` here masked q88's one-bit red row for
+            # two rounds). Oracles normalize with `round(...) + 0.0`.
+            return f"{round(v, 6):.6f}"
         if isinstance(v, bytes):
             return v.hex()
         if isinstance(v, list):

@@ -339,9 +339,9 @@ object AggQueries extends QueryModule {
         |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
         |  round(var_samp(l_quantity), 4) AS var_qty,
         |  round(var_pop(l_quantity), 4) AS varp_qty,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covs_qty_price,
-        |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qty_price
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS covs_qty_price,
+        |  round(covar_pop(l_quantity, l_extendedprice), 2) + 0.0 AS covp_qty_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q04_rollup" ->
       """SELECT l_returnflag, l_linestatus,

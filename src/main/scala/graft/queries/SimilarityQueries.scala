@@ -503,7 +503,7 @@ object SimilarityQueries extends QueryModule {
         |  FROM sig a JOIN sig b
         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
         |SELECT c.va, c.vb,
-        |       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos
+        |       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) + 0.0 AS cos
         |FROM cand c
         |JOIN embeddings ea ON ea.vec_id = c.va
         |JOIN embeddings eb ON eb.vec_id = c.vb
@@ -525,8 +525,8 @@ object SimilarityQueries extends QueryModule {
         |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.d >= a.d
         |  GROUP BY 1, 2)
         |SELECT g.i::BIGINT AS i, g.j::BIGINT AS j,
-        |       round(g.g, 4) AS gram_sum,
-        |       round((g.g - si.sd * sj.sd / n.n) / (n.n - 1), 6) AS cov
+        |       round(g.g, 4) + 0.0 AS gram_sum,
+        |       round((g.g - si.sd * sj.sd / n.n) / (n.n - 1), 6) + 0.0 AS cov
         |FROM g JOIN s si ON si.d = g.i JOIN s sj ON sj.d = g.j CROSS JOIN n
         |ORDER BY i, j""".stripMargin,
     // the quantizer (⌊x·127/max|x| + 0.5⌋, clamped) mirrored in list
@@ -549,7 +549,7 @@ object SimilarityQueries extends QueryModule {
         |  SELECT qv, [greatest(-127.0, least(127.0, floor(x::DOUBLE * 127.0 / mx + 0.5))) FOR x IN qv] AS qqv
         |  FROM q WHERE mx > 0)
         |SELECT vec_id, label,
-        |       round(list_cosine_similarity(qe, qqv), 6) AS qcos,
+        |       round(list_cosine_similarity(qe, qqv), 6) + 0.0 AS qcos,
         |       round(abs(list_cosine_similarity(qe, qqv) -
         |                 list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[])), 5) AS qerr
         |FROM bq CROSS JOIN qq
@@ -557,24 +557,24 @@ object SimilarityQueries extends QueryModule {
     // identical ground truth to q44 — full-probe IVF must be exact
     "q63_ivf_full_probe" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-        |SELECT a.vec_id, a.label, round($oracleCos, 6) AS cos
+        |SELECT a.vec_id, a.label, round($oracleCos, 6) + 0.0 AS cos
         |FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
         |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
     // identical ground truth to q44 — the native expression must agree
     "q61_cosine_expr_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-        |SELECT a.vec_id, a.label, round($oracleCos, 6) AS cos
+        |SELECT a.vec_id, a.label, round($oracleCos, 6) + 0.0 AS cos
         |FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
         |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
     "q44_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-        |SELECT a.vec_id, a.label, round($oracleCos, 6) AS cos
+        |SELECT a.vec_id, a.label, round($oracleCos, 6) + 0.0 AS cos
         |FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
         |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
     "q45_ann_grouped" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |c AS (
-        |  SELECT a.vec_id, a.label, round($oracleCos, 6) AS cos
+        |  SELECT a.vec_id, a.label, round($oracleCos, 6) + 0.0 AS cos
         |  FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0),
         |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id ASC) AS rnk FROM c)
         |SELECT label, rnk, vec_id, cos FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
@@ -582,22 +582,22 @@ object SimilarityQueries extends QueryModule {
     "q46b_nn_pairs_bucketed" ->
       """WITH p AS (
         |  SELECT a.vec_id, b.vec_id AS nn_id,
-        |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) + 0.0 AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rnk FROM p)
         |SELECT vec_id, nn_id, cos FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
     "q46_nn_pairs" ->
       """WITH p AS (
         |  SELECT a.vec_id, b.vec_id AS nn_id,
-        |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) + 0.0 AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rnk FROM p)
         |SELECT vec_id, nn_id, cos FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
     "q77_kmeans" ->
       s"""WITH $oracleKmeansA2
         |SELECT cid AS cluster_id, count(*)::BIGINT AS n,
-        |       round(avg(v[1]), 6) AS c0, round(avg(v[2]), 6) AS c1,
-        |       round(avg(v[3]), 6) AS c2, round(avg(v[4]), 6) AS c3
+        |       round(avg(v[1]), 6) + 0.0 AS c0, round(avg(v[2]), 6) + 0.0 AS c1,
+        |       round(avg(v[3]), 6) + 0.0 AS c2, round(avg(v[4]), 6) + 0.0 AS c3
         |FROM a2 JOIN e USING (vec_id)
         |GROUP BY cid ORDER BY cid""".stripMargin,
     // the trajectory replayed, then the SAME md5-byte budget test the
@@ -619,10 +619,10 @@ object SimilarityQueries extends QueryModule {
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q47_centroid" ->
       """SELECT label, count(*)::BIGINT AS n,
-        |       round(avg(embedding[1]::DOUBLE), 6) AS c0,
-        |       round(avg(embedding[2]::DOUBLE), 6) AS c1,
-        |       round(avg(embedding[3]::DOUBLE), 6) AS c2,
-        |       round(avg(embedding[4]::DOUBLE), 6) AS c3
+        |       round(avg(embedding[1]::DOUBLE), 6) + 0.0 AS c0,
+        |       round(avg(embedding[2]::DOUBLE), 6) + 0.0 AS c1,
+        |       round(avg(embedding[3]::DOUBLE), 6) + 0.0 AS c2,
+        |       round(avg(embedding[4]::DOUBLE), 6) + 0.0 AS c3
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
   )
 }

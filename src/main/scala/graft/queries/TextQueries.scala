@@ -457,7 +457,7 @@ object TextQueries extends QueryModule {
         |cc AS (SELECT term, sum(c) AS cc FROM sc GROUP BY 1),
         |ct AS (SELECT sum(cc) AS ctot FROM cc)
         |SELECT sc.source, count(*)::BIGINT AS n_terms,
-        |       round(sum((sc.c / st.tot) * ln((sc.c / st.tot) / (cc.cc / ct.ctot))), 6) AS kl
+        |       round(sum((sc.c / st.tot) * ln((sc.c / st.tot) / (cc.cc / ct.ctot))), 6) + 0.0 AS kl
         |FROM sc JOIN st USING (source) JOIN cc USING (term) CROSS JOIN ct
         |GROUP BY sc.source ORDER BY sc.source""".stripMargin,
     // integer numerators/norms — exact in any order; the single float

@@ -247,7 +247,20 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong
     buffer.synchronized {
-      if (!served && n > trimmed) trimmed = n
+      if (!served && n > trimmed) {
+        trimmed = n
+        // On a RESTARTED AvailableNow run Spark pins the drain target
+        // (prepareForTriggerAvailableNow, during logicalPlan init)
+        // BEFORE it reads the checkpoint back through this method, so
+        // the target was computed against the un-rebased counter
+        // (trimmed = 0) and now sits BELOW the rebased frontier —
+        // every batch would plan empty and the run would drain
+        // nothing. Re-raise it to the rebased frontier so the restart
+        // honors the same contract as a fresh start: drain what this
+        // instance has received by query start, then stop.
+        if (availableNowTarget >= 0)
+          availableNowTarget = math.max(availableNowTarget, trimmed + buffer.size)
+      }
     }
     WsOffset(n)
   }

@@ -71,18 +71,29 @@ object OrderBook {
   /** Apply one ordered run of updates to a book. Updates inside a batch
     * are sorted by `seq` (iterator order within a group is not
     * guaranteed by the engine — same rule as `StatefulOps.fold`);
-    * ACROSS batches, any update at or below the book's `max_seq` is a
+    * ACROSS batches, any DELTA at or below the book's `max_seq` is a
     * duplicate or a transport reorder and is DROPPED — a level delta is
     * an absolute size, so applying an old one over newer state would
     * corrupt the level (the Bitvavo protocol says resync on a sequence
     * violation; here the periodic snapshot re-request IS that resync,
     * and it heals any level a dropped stale delta would have created —
-    * spec-pinned).
+    * spec-pinned). A RESET row BYPASSES the stale guard: a snapshot is
+    * authoritative full state, and if the upstream feed restarts its
+    * sequence numbering (seq regresses), the guard would otherwise
+    * discard the very snapshot that re-syncs the book and wedge it
+    * permanently — every later low-seq delta would be stale too. The
+    * reset re-anchors `max_seq = u.seq`, which also makes an EXACT
+    * transport replay of a whole snapshot (reset + its level rows)
+    * idempotent: the replayed reset rolls the anchor back to its own
+    * seq, so the snapshot's levels re-apply cleanly. (Within one batch
+    * the seq-sort still assumes one numbering epoch; a regression that
+    * collides with old-epoch deltas inside the SAME micro-batch
+    * converges at the next snapshot — the protocol's own guarantee.)
     */
   def fold(prev: Book, updates: Iterator[BookUpdate]): Book =
     updates.toSeq.sortBy(_.seq).foldLeft(prev) { (b, u) =>
-      if (u.seq <= b.max_seq) b // stale or duplicate: never apply old-on-new
-      else if (u.reset) Book(u.market, b.n_updates + 1, Map.empty, Map.empty, u.seq)
+      if (u.reset) Book(u.market, b.n_updates + 1, Map.empty, Map.empty, u.seq)
+      else if (u.seq <= b.max_seq) b // stale or duplicate: never apply old-on-new
       else {
         def upd(m: Map[Double, Double]): Map[Double, Double] =
           if (u.size == 0.0) m - u.price else m.updated(u.price, u.size)

@@ -228,4 +228,39 @@ class OrderBookSpec extends AnyFunSuite {
     val afterStale = OrderBook.fold(healthy, Iterator(replayed))
     assert(afterStale == healthy, "stale delta mutated newer state")
   }
+
+  test("a reset snapshot bypasses the stale guard: a feed that restarts its sequence numbering re-syncs") {
+    // ADVICE round-9: if the upstream feed restarts (seq regresses to a
+    // new epoch), the max_seq guard must NOT discard the authoritative
+    // snapshot — otherwise the book wedges permanently, since every
+    // later new-epoch delta is also <= the old max_seq.
+    val oldEpoch = Seq(snap(100, "BTC"),
+      mk(101, "BTC", "bid", 99.0, 1.0), mk(102, "BTC", "ask", 101.0, 2.0))
+    val newEpoch = Seq(snap(5, "BTC"),
+      mk(6, "BTC", "bid", 42.0, 7.0), mk(7, "BTC", "ask", 43.0, 8.0))
+    val b1 = OrderBook.fold(Book.empty("BTC"), oldEpoch.iterator)
+    assert(b1.max_seq == 102L)
+    // new epoch arrives in a LATER micro-batch: snapshot re-anchors
+    val b2 = OrderBook.fold(b1, newEpoch.iterator)
+    assert(b2.max_seq == 7L, s"snapshot did not re-anchor max_seq: ${b2.max_seq}")
+    assert(b2.bids == Map(42.0 -> 7.0) && b2.asks == Map(43.0 -> 8.0),
+      s"book did not re-sync from the new-epoch snapshot: $b2")
+    // the delta guard still holds against the NEW anchor: a replayed
+    // new-epoch delta (seq <= 7) is dropped
+    val b3 = OrderBook.fold(b2, Iterator(mk(6, "BTC", "bid", 42.0, 999.0)))
+    assert(b3.bids == b2.bids && b3.asks == b2.asks,
+      s"stale new-epoch delta mutated the re-synced book: $b3")
+  }
+
+  test("an exact transport replay of a whole snapshot (reset + levels) is idempotent") {
+    // the reset rolls max_seq back to its own seq, so the replayed
+    // snapshot's level rows re-apply cleanly instead of being
+    // stale-dropped into an empty book.
+    val snapshot = Seq(snap(10, "ETH"),
+      mk(11, "ETH", "bid", 9.0, 10.0), mk(12, "ETH", "ask", 9.5, 4.0))
+    val once = OrderBook.fold(Book.empty("ETH"), snapshot.iterator)
+    val twice = OrderBook.fold(once, snapshot.iterator)
+    assert(twice.bids == once.bids && twice.asks == once.asks && twice.max_seq == once.max_seq,
+      s"replayed snapshot corrupted the book: $twice vs $once")
+  }
 }

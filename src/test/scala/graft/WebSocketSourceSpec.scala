@@ -461,6 +461,66 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AvailableNow RESTART from a checkpoint drains the fresh backlog (protocol-level)") {
+    // ADVICE round-9 (medium): on a restarted AvailableNow run Spark
+    // calls prepareForTriggerAvailableNow during logicalPlan init,
+    // BEFORE populateStartOffsets reads the checkpoint back through
+    // deserializeOffset. The target is therefore computed against the
+    // un-rebased counter (trimmed = 0); the rebase then lifts the
+    // frontier past it, and without re-raising the target every batch
+    // plans empty — the run silently drains nothing. This test replays
+    // that exact call order.
+    import graft.sources.websocket.{WebSocketMicroBatchStream, WsInputPartition, WsOffset}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val server = new TestWsServer
+    val stream = new WebSocketMicroBatchStream(new CaseInsensitiveStringMap(
+      java.util.Map.of("url", server.url, "key", "websocket_1",
+        "reconnectDelayMs", "200", "connectTimeoutMs", "2000",
+        "maxRowsPerTrigger", "2")))
+    try {
+      assert(eventually()(server.totalConnects >= 1), "source never connected")
+      // 1. Spark pins the drain target FIRST — the fresh instance has
+      //    no checkpoint knowledge yet (verified order, spark-sql 4.1:
+      //    logicalPlan init precedes populateStartOffsets)
+      stream.prepareForTriggerAvailableNow()
+      // 2. the feed delivers while the query is still initializing
+      (1 to 5).foreach(i => server.send(s"fresh-$i"))
+      assert(eventually()(
+        stream.reportLatestOffset().asInstanceOf[WsOffset].n == 5L),
+        "fresh frames did not buffer")
+      // 3. THEN the committed offset is read back: rebase AND re-pin
+      val start = stream.deserializeOffset("10")
+      // frames landing after the pin are the NEXT run's work
+      server.send("late")
+      // 4. the bounded drain loop, as MicroBatchExecution runs it
+      var cur: org.apache.spark.sql.connector.read.streaming.Offset = start
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      var batches = 0
+      var exhausted = false
+      while (!exhausted && batches < 10) {
+        val end = stream.latestOffset(cur, stream.getDefaultReadLimit)
+        val (s, e) = (cur.asInstanceOf[WsOffset].n, end.asInstanceOf[WsOffset].n)
+        assert(e - s <= 2, s"batch admitted ${e - s} > cap")
+        if (e == s) exhausted = true
+        else {
+          stream.planInputPartitions(cur, end).foreach {
+            case p: WsInputPartition => got ++= p.rows.map(_._1)
+          }
+          batches += 1; stream.commit(end); cur = end
+        }
+      }
+      assert(exhausted, "drain never reached a fixed point")
+      assert(got.toSeq == (1 to 5).map(i => s"fresh-$i"),
+        s"restarted AvailableNow run must drain exactly the fresh backlog, got $got")
+      assert(batches == 3, s"5 rows at cap 2 should take 3 batches, took $batches")
+      assert(cur.asInstanceOf[WsOffset].n == 15L,
+        s"frontier must rebase past the checkpoint and stop at the re-pinned target, got $cur")
+    } finally {
+      stream.stop()
+      server.close()
+    }
+  }
+
   test("maxRowsPerTrigger drains a frame backlog as bounded micro-batches, counts preserved") {
     // the 100 TB restart story: after a stall, the buffered backlog must
     // NOT replay as one giant batch. With the admission-control bound
