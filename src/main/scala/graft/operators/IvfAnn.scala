@@ -52,6 +52,31 @@ object IvfAnn {
     (index, centroids)
   }
 
+  /** Session-scoped memo of built indexes, keyed by (session, dir,
+    * nLists). Several entries consume the SAME index geometry (q46b's
+    * all-NN, q78's near-dup pairs, q63's full-probe search all run 16
+    * lists over the same table); at 100 TB the shared artifact is the
+    * `partitionBy(list_id)` parquet layout written ONCE and scanned by
+    * every consumer — this memo is the local-session materialization of
+    * exactly that: the assignment pass (scan + kernel cross-join +
+    * struct-max shuffle) and the per-row norm pass run once, and every
+    * later consumer reads the checkpointed blocks. The returned index
+    * carries `nrm` precomputed; `allNnRun`/`nearDupPairs` detect it and
+    * skip their own norm+checkpoint stage.
+    */
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), (DataFrame, DataFrame)]()
+  def buildShared(spark: SparkSession, dir: String, nLists: Int): (DataFrame, DataFrame) =
+    shared.computeIfAbsent((System.identityHashCode(spark), dir, nLists), _ => {
+      val emb = graft.Tables.embeddings(spark, dir)
+        .select("vec_id", "label", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val (index, centroids) = build(spark, emb, nLists)
+      (index.withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
+        .localCheckpoint(true),
+        centroids.localCheckpoint(true))
+    })
+
   /** EXACT nearest neighbor for EVERY vector through the IVF buckets —
     * the all-pairs-NN scale path (q46's answer without q46's full-table
     * broadcast or its |n|² theta-join). Three stages, all equi-joins on

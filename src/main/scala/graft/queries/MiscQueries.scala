@@ -157,17 +157,57 @@ object MiscQueries extends QueryModule {
   /** q99: the SQL-text subquery surface, oracle-gated. A real user's
     * first query after the DataFrame API is SQL with subqueries; this
     * gate runs `sqlSubqueryText` through the full parse → analyze →
-    * decorrelate → optimize pipeline. Scale shape: all three rewrites
-    * land as hash equi-joins on `o_orderkey`/`l_orderkey` (PlanShapeSpec
-    * asserts no BroadcastNestedLoopJoin/CartesianProduct survives
-    * decorrelation), so the plan is three shuffles on the same key —
-    * AQE coalesces, nothing quadratic, nothing table-sized broadcast
-    * beyond what auto-broadcast elects.
+    * decorrelate → optimize pipeline. Scale shape, honestly stated
+    * (ADVICE round-9): EXISTS and the correlated scalar land as hash
+    * equi-joins on `o_orderkey`/`l_orderkey` — shuffle-safe at any
+    * scale. NOT IN does NOT: because parquet declares `l_orderkey`
+    * nullable, Catalyst must preserve three-valued NOT IN semantics and
+    * rewrites it to a NULL-AWARE left-anti join, which Spark executes
+    * ONLY as a broadcast (and falls back to BroadcastNestedLoopJoin
+    * when the filtered subquery side exceeds the broadcast threshold).
+    * At fixture scale the small subquery auto-broadcasts, so
+    * PlanShapeSpec passes — but that is threshold luck, not a
+    * shuffle-safe shape. NOT IN over a possibly-null key is therefore
+    * the SEMANTICS gate only; the declared 100 TB path for "not
+    * matched" is `q99bSqlNotExists` below, whose plain LeftAnti
+    * shuffles (plan-asserted with auto-broadcast disabled — the
+    * null-aware form cannot pass that test).
     */
   def q99SqlSubqueries(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("orders")
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     spark.sql(sqlSubqueryText)
+  }
+
+  /** The q99b SQL TEXT — `sqlSubqueryText` with the NOT IN branch
+    * re-expressed as NOT EXISTS. On data whose `l_orderkey` is never
+    * NULL the two are row-identical (same oracle result), but NOT
+    * EXISTS carries no three-valued-logic obligation, so Catalyst
+    * decorrelates it to a PLAIN left-anti hash join that can shuffle —
+    * the rewrite a user must apply to run "not matched" against a
+    * fact-sized subquery on a 1000-executor cluster.
+    */
+  private val sqlNotExistsText: String =
+    """SELECT o.o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_returnflag = 'R')
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = o.o_orderkey
+      |                    AND l3.l_quantity >= 49)
+      |  AND (SELECT count(*) FROM lineitem l2
+      |       WHERE l2.l_orderkey = o.o_orderkey) >= 4
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
+  /** q99b: the scale path for q99's "not matched" branch — identical
+    * result on never-null keys, shuffle-safe plan (see q99 scaladoc).
+    */
+  def q99bSqlNotExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(sqlNotExistsText)
   }
 
   /** q83: corpus data profiling — the first thing run against a new
@@ -276,13 +316,16 @@ object MiscQueries extends QueryModule {
     "q55_posexplode_stack" -> (q55PosexplodeStack _),
     "q56_csv_json_roundtrip" -> (q56CsvJsonRoundtrip _),
     "q57_sample_split" -> (q57SampleSplit _),
-    "q99_sql_subqueries" -> (q99SqlSubqueries _)
+    "q99_sql_subqueries" -> (q99SqlSubqueries _),
+    "q99b_sql_not_exists" -> (q99bSqlNotExists _)
   )
 
   override val oracles: Map[String, String] = Map(
     // the IDENTICAL text the engine executes — DuckDB reparses the same
     // EXISTS / NOT IN / correlated-scalar statement over the same tables
     "q99_sql_subqueries" -> sqlSubqueryText,
+    // the scale-path variant: same text both engines, NOT EXISTS branch
+    "q99b_sql_not_exists" -> sqlNotExistsText,
     "q98_rolling_actives" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP) AS day

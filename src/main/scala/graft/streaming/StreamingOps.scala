@@ -156,7 +156,54 @@ object StreamingOps extends QueryModule {
   def q64StreamStreamOuter(spark: SparkSession, dir: String): DataFrame =
     clickAttributionOuter(ev(spark, dir)).orderBy("purchase_id", "click_id")
 
+  /** q100: the streaming SQL entry point, driver-gated end-to-end the
+    * way q99 gates batch subqueries. The events table is read as a
+    * STREAM (file source), watermarked, exposed as a temp view, and the
+    * aggregation is pure SQL TEXT — `session_window(ts, '5 minutes')`
+    * through `spark.sql` — drained to completion with
+    * `Trigger.AvailableNow` in APPEND mode. Append + watermark is the
+    * real streaming contract: a session row may only emit once the
+    * watermark (max event time − 0 s delay) proves the session closed,
+    * so sessions still open at end-of-stream (last event within the
+    * 5-minute gap of the global max ts) are NOT emitted — the oracle
+    * mirrors exactly that finalization rule, making this a gate on
+    * watermark semantics, not just batch equivalence. Scale: the
+    * session agg shuffles on user_id and merges per-key ranges in the
+    * state store; AvailableNow drains any backlog as bounded batches —
+    * both 1000-executor shapes.
+    */
+  def q100SqlSessionStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    // the fixture table is one parquet FILE in a read-only dir: address
+    // it as a glob (file source requirement) with the dir as basePath,
+    // using the RAW footer schema (ts = TIMESTAMP(NANOS) read as long
+    // via nanosAsLong, exactly like the batch path in Tables.events)
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream =
+      if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    stream.withWatermark("ts", "0 seconds")
+      .createOrReplaceTempView("events_stream")
+    val agg = spark.sql(
+      """SELECT session_window(ts, '5 minutes') AS w, user_id,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events_stream
+        |GROUP BY session_window(ts, '5 minutes'), user_id""".stripMargin)
+    val name = s"q100_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg
+      .select(col("w").getField("start").as("session_start"), col("user_id"),
+        col("n"), col("sum_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "session_start")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_sql_session_stream" -> (q100SqlSessionStream _),
     "q58_window_tumbling" -> (q58WindowTumbling _),
     "q59_window_sliding" -> (q59WindowSliding _),
     "q60_session_window" -> (q60SessionWindow _),
@@ -165,6 +212,29 @@ object StreamingOps extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q60's gaps-and-islands sessionization PLUS the append-mode
+    // watermark finalization rule: only sessions whose close
+    // (last event + gap) is at or before the final watermark
+    // (max event time, 0 s delay) have been emitted by the drain
+    "q100_sql_session_stream" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value)
+        |                   >= INTERVAL 5 MINUTES THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        |x AS (
+        |  SELECT min(ts) AS session_start, max(ts) AS session_last, user_id,
+        |         count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT session_start, user_id, n, sum_value
+        |FROM x
+        |WHERE session_last + INTERVAL 5 MINUTES <= (SELECT max(ts) FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
     "q58_window_tumbling" ->
       """SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type,
         |       count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value

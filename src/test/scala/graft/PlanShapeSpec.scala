@@ -226,6 +226,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"NOT IN did not become an anti-join:\n$plan")
   }
 
+  test("q99b NOT EXISTS anti-join shuffles with auto-broadcast disabled — the NOT IN form cannot") {
+    // ADVICE round-9: NOT IN over a nullable key decorrelates to a
+    // NULL-AWARE anti join, which Spark executes only as a broadcast
+    // (BNLJ fallback past the threshold) — q99's green plan at fixture
+    // scale is auto-broadcast luck, not a shuffle-safe shape. The
+    // declared scale path is q99b's NOT EXISTS: with broadcast forced
+    // OFF it must still plan a plain LeftAnti hash/merge join and no
+    // nested-loop shape — the proof it survives a fact-sized subquery
+    // side on a real cluster.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(graft.queries.MiscQueries.q99bSqlNotExists(spark, dir))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(plan.contains("LeftAnti"), s"NOT EXISTS did not become an anti-join:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcast disabled yet a broadcast join survived:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q73b bloom decontamination broadcasts ONLY the one-row bitmap") {
     // the eval-scale variant: with auto-broadcast off, the only
     // broadcast exchange left is the explicit bloom-bitmap row — the

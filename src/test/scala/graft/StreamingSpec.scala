@@ -550,4 +550,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == expected.toSet,
       s"delivered ${got.length} docs, expected ${expected.length}")
   }
+
+  test("q100 streaming SQL session_window drains via AvailableNow, emitting exactly the watermark-closed sessions") {
+    // the SQL streaming entry point: session_window through spark.sql
+    // over a watermarked stream view, append mode. The emitted set must
+    // be precisely the sessions the final watermark (max ts, 0 s delay)
+    // proves closed — sessions whose close (last event + 5 min gap)
+    // lies beyond the global max ts stay in state, unemitted. The same
+    // rule is mirrored by the DuckDB oracle (driver gate).
+    val dir = SparkTestSession.sf0001
+    val got = StreamingOps.q100SqlSessionStream(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val ev = Tables.events(spark, dir)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val expected = ev
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .filter(col("w.end") <= lit(maxTs))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.nonEmpty, "fixture produced no closed sessions — gate is vacuous")
+    assert(got == expected,
+      s"stream emitted ${got.size} sessions, batch rule says ${expected.size}; " +
+        s"only-in-stream=${(got -- expected).take(3)}, only-in-batch=${(expected -- got).take(3)}")
+    // and the open tail is REAL: some session must be withheld
+    val all = ev.groupBy(session_window(col("ts"), "5 minutes"), col("user_id")).count().count()
+    assert(all > expected.size, "no session crossed the watermark boundary — weaken nothing, pick a later gap")
+  }
 }
