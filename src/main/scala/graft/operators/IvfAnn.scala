@@ -127,8 +127,13 @@ object IvfAnn {
     // verify joins, the neighbor side) — checkpoint so the assignment
     // pass (kernel cross-join + struct-max agg) runs ONCE, not per consumer
     // norms once per row (O(n·d)); the O(pairs·d) verify kernel is then
-    // the 1-FMA `dot_f` — bit-identical to the fused `cosine_sim`
-    val idx = chk(index.withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))")))
+    // the 1-FMA `dot_f` — bit-identical to the fused `cosine_sim`.
+    // An index from `buildShared` arrives with `nrm` attached and
+    // already materialized — reuse it as-is (re-checkpointing would
+    // copy the blocks per consumer query).
+    val idx =
+      if (index.columns.contains("nrm")) index
+      else chk(index.withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))")))
     val cents = chk(centroids)
     val theta =
       "acos(greatest(-1.0d, least(1.0d, cast(cosine_sim(%s, centroid) as double))))"
@@ -228,8 +233,11 @@ object IvfAnn {
     // norms are per-ROW invariants computed once here (O(n·d)); the
     // per-PAIR kernel is then the 1-FMA `dot_f` instead of the fused
     // 3-FMA `cosine_sim` — bit-identical (same fold order, same
-    // operands), ~2× on the O(pairs·d) verify stage that dominates
-    val idx = chk(index.withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))")))
+    // operands), ~2× on the O(pairs·d) verify stage that dominates.
+    // A `buildShared` index arrives with `nrm` attached + materialized.
+    val idx =
+      if (index.columns.contains("nrm")) index
+      else chk(index.withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))")))
     val cents = chk(centroids)
     val theta =
       "acos(greatest(-1.0d, least(1.0d, cast(cosine_sim(%s, centroid) as double))))"

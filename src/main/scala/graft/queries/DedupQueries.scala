@@ -390,10 +390,11 @@ object DedupQueries extends QueryModule {
     * checks detector + closure end-to-end.
     */
   def q78SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select("vec_id", "label", "embedding")
-      .repartition(spark.sparkContext.defaultParallelism)
-    val (index, centroids) = graft.operators.IvfAnn.build(spark, e, nLists = 16)
+    // shares the session-wide 16-list index with q46b/q63
+    // (IvfAnn.buildShared): the assignment + norm passes run once per
+    // session; locally a checkpointed frame, at 100 TB the
+    // partitionBy(list_id) layout every consumer scans
+    val (index, centroids) = graft.operators.IvfAnn.buildShared(spark, dir, nLists = 16)
     val edges = graft.operators.IvfAnn.nearDupPairs(index, centroids, minCos = 0.4)
       .select(col("i").as("src"), col("j").as("dst"))
     graft.operators.ConnectedComponents.run(edges)

@@ -81,9 +81,7 @@ object SimilarityQueries extends QueryModule {
     * same exact algorithm.
     */
   def q46NnPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
-      .repartition(spark.sparkContext.defaultParallelism)
-    val (index, centroids) = IvfAnn.build(spark, e, nLists = 8)
+    val (index, centroids) = IvfAnn.buildShared(spark, dir, nLists = 8)
     IvfAnn.allNnExact(index, centroids, nprobe = 2)
   }
 
@@ -131,9 +129,10 @@ object SimilarityQueries extends QueryModule {
     * side, which is the property q46 lacks at scale.
     */
   def q46bNnPairsBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
-      .repartition(spark.sparkContext.defaultParallelism)
-    val (index, centroids) = IvfAnn.build(spark, e, nLists = 16)
+    // the 16-list index is built once per session and shared with
+    // q78/q63 (IvfAnn.buildShared) — locally a checkpointed frame, at
+    // 100 TB the partitionBy(list_id) layout every consumer scans
+    val (index, centroids) = IvfAnn.buildShared(spark, dir, nLists = 16)
     IvfAnn.allNnExact(index, centroids, nprobe = 2)
   }
 
@@ -178,9 +177,12 @@ object SimilarityQueries extends QueryModule {
     * fraction measured).
     */
   def q63IvfFullProbe(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
-    val (index, centroids) = IvfAnn.build(spark, emb, nLists = 16)
-    IvfAnn.search(index, centroids,
+    // shares the session-wide 16-list index (built over the FULL table,
+    // so its centroid seeds differ from a query-excluded build — at
+    // FULL probe every list is scanned, so the answer is exact under
+    // any centroid geometry) and drops the query vector post-build
+    val (index, centroids) = IvfAnn.buildShared(spark, dir, nLists = 16)
+    IvfAnn.search(index.filter(col("vec_id") =!= 0), centroids,
       Tables.embeddings(spark, dir).filter(col("vec_id") === 0),
       k = 10, nprobe = 16)
   }
