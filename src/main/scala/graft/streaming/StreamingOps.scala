@@ -169,8 +169,9 @@ object StreamingOps extends QueryModule {
     * mirrors exactly that finalization rule, making this a gate on
     * watermark semantics, not just batch equivalence. Scale: the
     * session agg shuffles on user_id and merges per-key ranges in the
-    * state store; AvailableNow drains any backlog as bounded batches —
-    * both 1000-executor shapes.
+    * state store; a production drain adds `maxFilesPerTrigger` so
+    * AvailableNow takes the backlog in bounded batches (unset here —
+    * the one-file fixture is a single batch by construction).
     */
   def q100SqlSessionStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
