@@ -274,4 +274,24 @@ class IvfAnnSpec extends AnyFunSuite {
     assert(scanned < total * 0.6,
       s"nprobe=4/$nLists scanned $scanned of $total — no pruning happening")
   }
+
+  test("buildShared memoizes per (session, dir, nLists), pre-attaches norms, and stays exact") {
+    val dir = SparkTestSession.sf0001
+    val (i1, c1) = IvfAnn.buildShared(spark, dir, nLists = 16)
+    val (i2, c2) = IvfAnn.buildShared(spark, dir, nLists = 16)
+    // the SAME materialized frames come back — the assignment + norm
+    // passes ran once for every consumer in the session
+    assert((i1 eq i2) && (c1 eq c2), "repeat buildShared did not return the memoized frames")
+    assert(i1.columns.contains("nrm"), "shared index must carry precomputed norms")
+    val (i3, _) = IvfAnn.buildShared(spark, dir, nLists = 8)
+    assert(!(i3 eq i1), "different geometry must not share an index")
+    // a shared-index run equals a fresh, un-memoized build end-to-end
+    val fresh = {
+      val (fi, fc) = IvfAnn.build(spark,
+        emb.select("vec_id", "label", "embedding"), 16)
+      IvfAnn.allNnExact(fi, fc, nprobe = 2).collect().toSeq
+    }
+    val shared = IvfAnn.allNnExact(i1, c1, nprobe = 2).collect().toSeq
+    assert(shared == fresh, "shared-index all-NN diverged from a fresh build")
+  }
 }

@@ -577,4 +577,58 @@ class StreamingSpec extends AnyFunSuite {
     val all = ev.groupBy(session_window(col("ts"), "5 minutes"), col("user_id")).count().count()
     assert(all > expected.size, "no session crossed the watermark boundary — weaken nothing, pick a later gap")
   }
+
+  test("streaming SQL session_window across batches: each session emits exactly once, late rows drop") {
+    // multi-batch emission timing for the q100 contract: a session may
+    // only emit once the watermark passes its close; it must emit
+    // EXACTLY once (state evicted), and a row older than the watermark
+    // must not resurrect or duplicate it. Emission lands in the no-data
+    // flush batch after the watermark advances, so expectations are
+    // polled, not asserted at the trigger boundary.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val t0 = 1700000000000L // fixed epoch millis
+    def ev(id: Long, offsetSec: Long) =
+      Event(id, new Timestamp(t0 + offsetSec * 1000), 1L, "click", 1.0, "{}")
+    val mem = MemoryStream[Event]
+    mem.toDF().withWatermark("ts", "0 seconds")
+      .createOrReplaceTempView("events_stream_mb")
+    val agg = spark.sql(
+      """SELECT session_window(ts, '5 minutes') AS w, user_id, count(*) AS n
+        |FROM events_stream_mb
+        |GROUP BY session_window(ts, '5 minutes'), user_id""".stripMargin)
+    val name = s"q100_mb_${System.nanoTime()}"
+    val q = agg.select(col("w.start").as("session_start"), col("user_id"), col("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    def emitted(): Seq[(Long, Long)] =
+      spark.table(name).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(2))).toSeq.sorted
+    def poll(want: Seq[(Long, Long)], what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 20000
+      while (emitted() != want && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(emitted() == want, s"$what: got ${emitted()}, want $want")
+    }
+    try {
+      // batch 1: one open session (two events 60 s apart) — nothing may
+      // emit: the watermark (max ts) has not passed start + gap
+      mem.addData(ev(1, 0), ev(2, 60)); q.processAllAvailable()
+      assert(emitted().isEmpty, s"open session emitted early: ${emitted()}")
+      // batch 2: an event 20 min out pushes the watermark past the
+      // first session's close → it emits, exactly once, n=2
+      mem.addData(ev(3, 1200)); q.processAllAvailable()
+      poll(Seq((t0, 2L)), "first session did not finalize")
+      // batch 3: a LATE row inside the first session's range (2 min,
+      // far below the watermark) must be dropped — no duplicate, no
+      // resurrection, no count change
+      mem.addData(ev(4, 120)); q.processAllAvailable()
+      Thread.sleep(500) // give a wrong implementation time to mis-emit
+      assert(emitted() == Seq((t0, 2L)), s"late row mutated output: ${emitted()}")
+      // batch 4: 40 min out closes the second session (n=1 — the late
+      // row was dropped, not merged)
+      mem.addData(ev(5, 2400)); q.processAllAvailable()
+      poll(Seq((t0, 2L), (t0 + 1200000, 1L)), "second session did not finalize")
+    } finally q.stop()
+  }
 }
