@@ -210,6 +210,42 @@ object MiscQueries extends QueryModule {
     spark.sql(sqlNotExistsText)
   }
 
+  /** q101: the SQL-text PIVOT clause — q06's reshape through the parser
+    * path a SQL user actually types. The rounding sits OUTSIDE the
+    * pivot (Spark's PIVOT aggregate must be a plain aggregate call);
+    * the oracle is the standard conditional-aggregation rewrite, which
+    * is also the plan Catalyst lowers PIVOT to — one hash agg, no extra
+    * shuffle vs GROUP BY, scale-equivalent to q06.
+    */
+  def q101SqlPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, round(F, 2) AS F, round(O, 2) AS O
+        |FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+        |PIVOT (sum(l_quantity) FOR l_linestatus IN ('F', 'O'))
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** The q102 SQL TEXT — executed verbatim by BOTH engines (the q99
+    * same-text discipline): explicit GROUPING SETS, the general form
+    * behind q04's rollup and q05's cube. Scale: Catalyst's Expand emits
+    * one row per set per input row into a single partial+final hash
+    * agg — the amplification factor is |sets|, a constant chosen in the
+    * query, never data-dependent.
+    */
+  private val sqlGroupingSetsText: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q102: explicit GROUPING SETS through one SQL text (see above). */
+  def q102SqlGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(sqlGroupingSetsText)
+  }
+
   /** q83: corpus data profiling — the first thing run against a new
     * 100 TB drop: per-column null count, exact distinct count, and
     * min/max (stringified so heterogeneous column types share one
@@ -317,7 +353,9 @@ object MiscQueries extends QueryModule {
     "q56_csv_json_roundtrip" -> (q56CsvJsonRoundtrip _),
     "q57_sample_split" -> (q57SampleSplit _),
     "q99_sql_subqueries" -> (q99SqlSubqueries _),
-    "q99b_sql_not_exists" -> (q99bSqlNotExists _)
+    "q99b_sql_not_exists" -> (q99bSqlNotExists _),
+    "q101_sql_pivot" -> (q101SqlPivot _),
+    "q102_sql_grouping_sets" -> (q102SqlGroupingSets _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -326,6 +364,14 @@ object MiscQueries extends QueryModule {
     "q99_sql_subqueries" -> sqlSubqueryText,
     // the scale-path variant: same text both engines, NOT EXISTS branch
     "q99b_sql_not_exists" -> sqlNotExistsText,
+    // PIVOT lowered to the conditional-agg rewrite DuckDB states directly
+    "q101_sql_pivot" ->
+      """SELECT l_returnflag,
+        |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+        |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the IDENTICAL text — DuckDB parses the same GROUPING SETS statement
+    "q102_sql_grouping_sets" -> sqlGroupingSetsText,
     "q98_rolling_actives" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP) AS day
