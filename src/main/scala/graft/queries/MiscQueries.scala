@@ -212,10 +212,12 @@ object MiscQueries extends QueryModule {
 
   /** q101: the SQL-text PIVOT clause — q06's reshape through the parser
     * path a SQL user actually types. The rounding sits OUTSIDE the
-    * pivot (Spark's PIVOT aggregate must be a plain aggregate call);
-    * the oracle is the standard conditional-aggregation rewrite, which
-    * is also the plan Catalyst lowers PIVOT to — one hash agg, no extra
-    * shuffle vs GROUP BY, scale-equivalent to q06.
+    * pivot (Spark's PIVOT aggregate must be a plain aggregate call).
+    * Catalyst lowers PIVOT to a TWO-level aggregation — group by
+    * (row key, pivot key) with map-side partials, then pivot-to-columns
+    * over the row key — two key-hash shuffles, no Expand, no join; the
+    * DuckDB oracle states the single-pass conditional-agg equivalent.
+    * Plan pinned in PlanShapeSpec; scale-equivalent to q06.
     */
   def q101SqlPivot(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")

@@ -247,6 +247,23 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q101 PIVOT lowers to two-level hash aggs; q102 GROUPING SETS to one Expand — no joins") {
+    // the scaladoc claims, machine-checked: the SQL reshape clauses stay
+    // pure aggregation pipelines — a decorrelation-style failure would
+    // surface as a join or a per-value subplan
+    val p1 = finalPlan(graft.queries.MiscQueries.q101SqlPivot(spark, dir))
+    assert(!p1.contains("Expand"), s"PIVOT should not Expand:\n$p1")
+    assert(!p1.contains("Join"), s"PIVOT planned a join:\n$p1")
+    assert("HashAggregate".r.findAllIn(p1).size >= 2,
+      s"PIVOT lost its partial aggs:\n$p1")
+    val p2 = finalPlan(graft.queries.MiscQueries.q102SqlGroupingSets(spark, dir))
+    assert("Expand".r.findAllIn(p2).size == 1,
+      s"GROUPING SETS should have exactly one Expand:\n$p2")
+    assert(!p2.contains("Join"), s"GROUPING SETS planned a join:\n$p2")
+    assert("HashAggregate".r.findAllIn(p2).size >= 2,
+      s"GROUPING SETS lost its partial aggs:\n$p2")
+  }
+
   test("q73b bloom decontamination broadcasts ONLY the one-row bitmap") {
     // the eval-scale variant: with auto-broadcast off, the only
     // broadcast exchange left is the explicit bloom-bitmap row — the
