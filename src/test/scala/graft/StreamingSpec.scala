@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.Files
 import java.sql.Timestamp
 
 import scala.collection.mutable
@@ -630,5 +631,61 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(ev(5, 2400)); q.processAllAvailable()
       poll(Seq((t0, 2L), (t0 + 1200000, 1L)), "second session did not finalize")
     } finally q.stop()
+  }
+
+  test("bounded AvailableNow drain over time-ordered files equals the one-batch result") {
+    // the 100 TB restart story for the streaming SQL path: a backlog of
+    // TIME-ORDERED files (the layout an event log actually has) drained
+    // with maxFilesPerTrigger=1 must produce the same watermark-closed
+    // session set as an unbounded one-batch drain — bounding the batch
+    // size must not change answers when input files respect event-time
+    // order. (A time-DISORDERED backlog would differ: rows below the
+    // advanced watermark drop — which is why the layout condition is
+    // part of the claim, not an implementation detail.)
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val t0 = 1700000000000L
+    def ev(id: Long, offsetSec: Long, user: Long) =
+      Event(id, new Timestamp(t0 + offsetSec * 1000), user, "click", 1.0, "{}")
+    // three time-ordered chunks: sessions in A and B close before the
+    // global max ts (C's single event); C's own session stays open
+    val chunks = Seq(
+      (0 to 5).map(i => ev(i.toLong, i * 30L, 1L)),          // A: 0–2.5 min
+      (0 to 2).map(i => ev(10L + i, 1200 + i * 60L, 2L)),    // B: 20–22 min
+      Seq(ev(20L, 2400L, 3L)))                               // C: 40 min
+    val dir = Files.createTempDirectory("q100_bounded").toFile
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val tmp = Files.createTempDirectory(s"q100_chunk$i").toString
+      spark.createDataset(c).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"chunk$i%02d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      // the file source drains oldest-first: make event-time order and
+      // modification-time order agree, as a log shipper would
+      dest.setLastModified(t0 + i * 60000L)
+    }
+    val schema = spark.read.parquet(dir.toString).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withWatermark("ts", "0 seconds")
+      .createOrReplaceTempView("events_stream_files")
+    val agg = spark.sql(
+      """SELECT session_window(ts, '5 minutes') AS w, user_id, count(*) AS n
+        |FROM events_stream_files
+        |GROUP BY session_window(ts, '5 minutes'), user_id""".stripMargin)
+    val name = s"q100_bounded_${System.nanoTime()}"
+    val q = agg.select(col("w.start").as("session_start"), col("user_id"), col("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2))).toSet
+    // the one-batch rule: sessions whose close (last ts + gap) <= max ts
+    val want = Set((t0, 1L, 6L), (t0 + 1200000, 2L, 3L)) // C's session open
+    assert(got == want, s"bounded drain diverged from the one-batch rule: $got vs $want")
+    // and the drain was genuinely bounded: three input files → >= 3 batches
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3, s"expected >= 3 bounded batches, saw $dataBatches")
   }
 }
