@@ -26,6 +26,16 @@ case class MediaFeatures(
     n_frames: Int,
     feature: Array[Float])
 
+/** One resized single-channel plane (row-major `pixels`, out_w × out_h). */
+case class ResizedMedia(
+    doc_id: Long,
+    media_type: String,
+    src_w: Int,
+    src_h: Int,
+    out_w: Int,
+    out_h: Int,
+    pixels: Array[Float])
+
 /** Multimodal decode / feature-extract / frame-sample plumbing.
   *
   * The actual codec is STUBBED (`decodeStub`): this container has no
@@ -96,6 +106,68 @@ object MediaPipeline {
         MediaFeatures(r.doc_id, r.media_type, r.blob.length, checksum,
           r.meta.width, r.meta.height,
           n_frames = math.max(1, r.blob.length / 64), feature = feature)
+      }
+    }
+  }
+
+  /** STUB pixel decode — the W×H single-channel plane a real codec
+    * would emit, manufactured deterministically from the payload bytes
+    * (same replace-only contract as `decodeStub`).
+    */
+  private[operators] def pixelStub(blob: Array[Byte], w: Int, h: Int): Array[Float] = {
+    val out = new Array[Float](w * h)
+    if (blob.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = (blob(i % blob.length) & 0xff) / 255.0f
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Resize: center-aligned BILINEAR resample of the decoded plane to
+    * (outW, outH) — the kernel itself is the real production math (the
+    * exact weights any image resize applies per channel; constants are
+    * preserved exactly and affine ramps interpolate exactly, which the
+    * spec pins), only the plane behind it is the stub. Array-local: one
+    * row in, one row out, no shuffle, `mapPartitions` so a real codec's
+    * per-partition init amortizes — at 100 TB this runs at scan speed
+    * next to the decode, never as a separate pass over the data.
+    */
+  def resize(ds: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    require(outW > 0 && outH > 0, s"bad output dims ${outW}x$outH")
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val w = r.meta.width
+        val h = r.meta.height
+        val src = pixelStub(r.blob, w, h)
+        val out = new Array[Float](outW * outH)
+        // interpolate in DOUBLE, emit float: the double residual of
+        // c·(1−w) + c·w (~1e-17) vanishes below float precision, so
+        // constants and affine ramps come back bit-exact in the float
+        // output — pure-float accumulation wobbles by 1 ulp
+        var y = 0
+        while (y < outH) {
+          val fy = (y + 0.5) * h / outH - 0.5
+          val y0 = math.max(0, math.min(h - 1, math.floor(fy).toInt))
+          val y1 = math.min(h - 1, y0 + 1)
+          val wy = math.max(0.0, math.min(1.0, fy - y0))
+          var x = 0
+          while (x < outW) {
+            val fx = (x + 0.5) * w / outW - 0.5
+            val x0 = math.max(0, math.min(w - 1, math.floor(fx).toInt))
+            val x1 = math.min(w - 1, x0 + 1)
+            val wx = math.max(0.0, math.min(1.0, fx - x0))
+            val top = src(y0 * w + x0) * (1 - wx) + src(y0 * w + x1) * wx
+            val bot = src(y1 * w + x0) * (1 - wx) + src(y1 * w + x1) * wx
+            out(y * outW + x) = (top * (1 - wy) + bot * wy).toFloat
+            x += 1
+          }
+          y += 1
+        }
+        ResizedMedia(r.doc_id, r.media_type, w, h, outW, outH, out)
       }
     }
   }

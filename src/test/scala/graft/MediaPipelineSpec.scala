@@ -56,4 +56,55 @@ class MediaPipelineSpec extends AnyFunSuite {
         s"frame $f bytes corrupted")
     }
   }
+
+  test("bilinear resize: exact on constants and affine ramps, right dims, identity at same size") {
+    import graft.operators.MediaMeta
+    // a constant plane must resize to exactly that constant (bilinear
+    // weights sum to 1), and a horizontal linear ramp must interpolate
+    // EXACTLY at the center-aligned sample points — the two algebraic
+    // identities that pin the kernel's weights and alignment
+    def rec(id: Long, blob: Array[Byte], w: Int, h: Int) =
+      MediaRecord(id, "image", blob, MediaMeta("en", blob.length.toLong, w, h))
+    // constant plane: every byte the same value
+    val const = spark.createDataset(Seq(rec(1L, Array.fill[Byte](64)(100.toByte), 8, 8)))
+    val rc = MediaPipeline.resize(const, 3, 5).collect()(0)
+    assert(rc.out_w == 3 && rc.out_h == 5 && rc.pixels.length == 15)
+    val expectedConst = (100 & 0xff) / 255.0f
+    assert(rc.pixels.forall(_ == expectedConst),
+      s"constant plane not preserved: ${rc.pixels.toSeq.distinct}")
+    // horizontal ramp p(x) = x/255 on a 16x4 plane (bytes 0..15 repeat
+    // row-major, so pixel value depends only on x)
+    val rampBytes = Array.tabulate[Byte](64)(i => (i % 16).toByte)
+    val ramp = spark.createDataset(Seq(rec(2L, rampBytes, 16, 4)))
+    val rr = MediaPipeline.resize(ramp, 8, 4).collect()(0)
+    // center-aligned: out x samples src at fx = (x + .5) * 2 - .5
+    (0 until 8).foreach { x =>
+      val fx = (x + 0.5) * 16 / 8 - 0.5
+      val x0 = math.max(0, math.min(15, math.floor(fx).toInt))
+      val x1 = math.min(15, x0 + 1)
+      val wx = math.max(0.0, math.min(1.0, fx - x0))
+      val want = ((x0 / 255.0f) * (1 - wx) + (x1 / 255.0f) * wx).toFloat
+      (0 until 4).foreach { y =>
+        assert(rr.pixels(y * 8 + x) == want,
+          s"ramp mis-interpolated at ($x,$y): ${rr.pixels(y * 8 + x)} vs $want")
+      }
+    }
+    // identity: same-size resize is the unmodified plane (fx lands
+    // exactly on source centers, so the ramp values come back verbatim)
+    val id = MediaPipeline.resize(ramp, 16, 4).collect()(0)
+    (0 until 16).foreach { x =>
+      (0 until 4).foreach { y =>
+        assert(id.pixels(y * 16 + x) == x / 255.0f,
+          s"identity resize changed ($x,$y): ${id.pixels(y * 16 + x)}")
+      }
+    }
+    // and the fixture flows through distributed with the declared dims
+    val sampled = MediaPipeline.resize(media, 32, 24)
+    val rows = sampled.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.out_w == 32 && r.out_h == 24 && r.pixels.length == 32 * 24)
+      assert(r.pixels.forall(p => p >= 0.0f && p <= 1.0f), "pixel out of range")
+    }
+  }
 }
