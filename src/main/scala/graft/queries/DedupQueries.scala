@@ -256,6 +256,79 @@ object DedupQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q42c: EXACT near-dup pairs (Jaccard ≥ 4/5) via prefix filtering —
+    * the DETERMINISTIC sub-quadratic sibling of q42/q42b. q42b's banded
+    * recall is probabilistic (P[miss] ≈ 1e-15); this plan is exact by
+    * construction (prefix-filter completeness theorem: Chaudhuri/Ganti/
+    * Kaushik, ICDE 2006; PPJoin, Xiao et al., WWW 2008) and distributes
+    * the way Vernica/Carey/Li parallelize it (SIGMOD 2010):
+    *
+    *  1. per-doc sorted distinct trigram hashes + set size (array-local);
+    *  2. global token order = (document frequency asc, gram) — rare
+    *     grams first, so prefixes index the least-shared tokens;
+    *  3. PREFIX postings only: the first |x| − ⌈t·|x|⌉ + 1 grams of each
+    *     doc under that order. Any pair with J ≥ t shares ≥ 1 prefix
+    *     token, so the (source, gram) equi-join over prefixes alone
+    *     generates a COMPLETE candidate set — df-ordering makes it near
+    *     the theoretical minimum, and Σ_g∈prefix C(df_g, 2) ≪ q42's
+    *     Σ_g C(df_g, 2) because high-df grams never enter prefixes;
+    *  4. size bound 4·sa ≤ 5·sb ∧ 4·sb ≤ 5·sa rides the join as a
+    *     residual (J ≥ t forces sizes within factor t);
+    *  5. exact verify on candidates via the sorted intersect kernel.
+    *
+    * ALL threshold arithmetic is integer (t = 4/5): prefix length
+    * |x| − ⌈4·|x|/5⌉ + 1 with integer ceil and the final test
+    * 5·ic ≥ 4·(sa+sb−ic). Float `0.8·|x|` would round 4.0 up to
+    * 4.000000000000001 at |x|=5, shorten the prefix, and silently drop
+    * true pairs — exactness here is load-bearing, so no float touches a
+    * completeness bound (the float `jac` below is output-only).
+    *
+    * 100 TB: two linear shuffles (df attach, per-doc rank window) + the
+    * prefix-postings equi-join + two hash joins back to the gram arrays.
+    * Skewed common grams cost nothing: a gram in half the corpus has
+    * df ≈ n/2 and appears in NO prefix (only a doc made almost entirely
+    * of globally-common grams prefixes one, and the size bound prunes
+    * its bucket). Emits the pair LIST (source, i, j, jac) — a stronger
+    * gate than q42b's per-source aggregate: the oracle must agree on
+    * pair identity, not just counts.
+    */
+  def q42cJaccardPrefixExact(spark: SparkSession, dir: String): DataFrame = {
+    val t5 = 4 // threshold = t5/5
+    val grams = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        expr("sort_array(trigram_hashes(text))").as("g"))
+      .withColumn("sz", size(col("g")))
+    val postings = grams.select(col("doc_id"), col("source"), col("sz"),
+      explode(col("g")).as("gram"))
+    val df = postings.groupBy("gram").agg(count(lit(1)).as("df"))
+    val ranked = postings.join(df, "gram")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))))
+    // integer ceil: ⌈t5·sz/5⌉ = (t5·sz + 4) div 5
+    val prefix = ranked.filter(
+      col("rnk") <= col("sz") - expr(s"(sz * $t5 + 4) div 5") + 1)
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * t5 <= col("b.sz") * 5 &&
+          col("b.sz") * t5 <= col("a.sz") * 5)
+      .select(col("a.source").as("source"),
+        col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(grams.select(col("doc_id").as("i"), col("g").as("gi"), col("sz").as("sa")), "i")
+      .join(grams.select(col("doc_id").as("j"), col("g").as("gj"), col("sz").as("sb")), "j")
+      .withColumn("ic", expr("sorted_intersect_count(gi, gj)"))
+      .filter(col("ic") * 5 >= (col("sa") + col("sb") - col("ic")) * t5)
+      .select(col("source"), col("i"), col("j"),
+        round(col("ic").cast("double") / (col("sa") + col("sb") - col("ic")), 6)
+          .as("jac"))
+      .orderBy("source", "i", "j")
+  }
+
   /** q43: SimHash near-dup. 62-bit frequency-sign signature over the
     * distinct 3-word shingles (md5-derived per-shingle bits, so the
     * oracle can mirror it bit-exactly); candidates via pigeonhole
@@ -467,6 +540,7 @@ object DedupQueries extends QueryModule {
     "q94_source_dup_matrix" -> (q94SourceDupMatrix _),
     "q42_ngram_jaccard" -> (q42NgramJaccard _),
     "q42b_ngram_banded" -> (q42bNgramJaccardBanded _),
+    "q42c_jaccard_prefix" -> (q42cJaccardPrefixExact _),
     "q43_simhash" -> (q43Simhash _),
     "q66_dup_clusters" -> (q66DupClusters _),
     "q72_nonbmp_kernels" -> (q72NonBmpKernels _),
@@ -536,6 +610,23 @@ object DedupQueries extends QueryModule {
         |SELECT source, count(*)::BIGINT AS n_pairs,
         |       round(avg(jac), 5) AS avg_jac, round(max(jac), 6) AS max_jac
         |FROM p WHERE jac >= 0.8 GROUP BY source ORDER BY source""".stripMargin,
+    // all-pairs ground truth as a PAIR LIST at the same threshold — the
+    // prefix-filtered plan must reproduce pair identity exactly. The
+    // threshold test is integer on both sides (5·|A∩B| ≥ 4·|A∪B|) so no
+    // float participates in membership, only in the output column.
+    "q42c_jaccard_prefix" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |         list_distinct([substr(text, i, 3) FOR i IN range(1, length(text) - 1)]) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.source AS source, a.doc_id AS i, b.doc_id AS j,
+        |         len(list_intersect(a.g, b.g))::BIGINT AS ic,
+        |         len(a.g)::BIGINT AS sa, len(b.g)::BIGINT AS sb
+        |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, i, j, round(ic::DOUBLE / (sa + sb - ic), 6) AS jac
+        |FROM p WHERE ic * 5 >= (sa + sb - ic) * 4
+        |ORDER BY source, i, j""".stripMargin,
     // same edge set as q41 (all-pairs ground truth at jac >= 0.8),
     // closed into components with a recursive CTE: `walk` reaches every
     // node from every node of its component, so min(reached) is the

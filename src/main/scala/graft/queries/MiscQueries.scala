@@ -248,6 +248,30 @@ object MiscQueries extends QueryModule {
     spark.sql(sqlGroupingSetsText)
   }
 
+  /** q103: the SQL-text UNPIVOT clause — the inverse reshape of q101,
+    * completing the parser-surface trio (PIVOT / GROUPING SETS /
+    * UNPIVOT). Wide per-flag measure columns melt back to
+    * (metric, value) rows. Catalyst lowers UNPIVOT to an Expand —
+    * |metrics| output rows per input row, a constant chosen in the
+    * query — over the already-aggregated 3-row frame: the expansion
+    * runs AFTER the partial+final agg, so at 100 TB the reshape costs
+    * nothing on top of the aggregation that feeds it. The DuckDB
+    * oracle states the UNION-ALL-of-projections equivalent (same
+    * rows; UNPIVOT text differs across dialects).
+    */
+  def q103SqlUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, metric, round(val, 2) AS val
+        |FROM (SELECT l_returnflag,
+        |             sum(l_quantity) AS qty,
+        |             sum(l_extendedprice) AS price,
+        |             sum(l_discount) AS disc
+        |      FROM lineitem GROUP BY l_returnflag)
+        |UNPIVOT (val FOR metric IN (qty, price, disc))
+        |ORDER BY l_returnflag, metric""".stripMargin)
+  }
+
   /** q83: corpus data profiling — the first thing run against a new
     * 100 TB drop: per-column null count, exact distinct count, and
     * min/max (stringified so heterogeneous column types share one
@@ -357,7 +381,8 @@ object MiscQueries extends QueryModule {
     "q99_sql_subqueries" -> (q99SqlSubqueries _),
     "q99b_sql_not_exists" -> (q99bSqlNotExists _),
     "q101_sql_pivot" -> (q101SqlPivot _),
-    "q102_sql_grouping_sets" -> (q102SqlGroupingSets _)
+    "q102_sql_grouping_sets" -> (q102SqlGroupingSets _),
+    "q103_sql_unpivot" -> (q103SqlUnpivot _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -374,6 +399,18 @@ object MiscQueries extends QueryModule {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // the IDENTICAL text — DuckDB parses the same GROUPING SETS statement
     "q102_sql_grouping_sets" -> sqlGroupingSetsText,
+    // UNPIVOT as the dialect-neutral UNION-ALL-of-projections rewrite
+    "q103_sql_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |                  sum(l_quantity) AS qty,
+        |                  sum(l_extendedprice) AS price,
+        |                  sum(l_discount) AS disc
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, round(val, 2) AS val FROM (
+        |  SELECT l_returnflag, 'qty' AS metric, qty AS val FROM a
+        |  UNION ALL SELECT l_returnflag, 'price', price FROM a
+        |  UNION ALL SELECT l_returnflag, 'disc', disc FROM a)
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q98_rolling_actives" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP) AS day

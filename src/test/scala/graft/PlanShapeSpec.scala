@@ -103,6 +103,22 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q42c prefix-filtered exact join is equi-joins only — no cartesian, no doc-data broadcast") {
+    // deterministic-exact sibling of q42b: candidates come from the
+    // prefix-postings (source, gram) equi-join, verification from two
+    // hash joins back to the gram arrays — never an all-pairs shape,
+    // and with auto-broadcast off nothing broadcasts at all.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(DedupQueries.q42cJaccardPrefixExact(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"doc-side table still broadcast with auto-broadcast off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q84 SRP-LSH candidates come from band-key equi-joins — no cartesian, no table broadcast") {
     // the signature self-join and both verify joins are equi-joins; with
     // auto-broadcast off nothing at all broadcasts (the hyperplanes are
@@ -247,7 +263,7 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("q101 PIVOT lowers to two-level hash aggs; q102 GROUPING SETS to one Expand — no joins") {
+  test("q101 PIVOT / q102 GROUPING SETS / q103 UNPIVOT lower to agg pipelines — no joins") {
     // the scaladoc claims, machine-checked: the SQL reshape clauses stay
     // pure aggregation pipelines — a decorrelation-style failure would
     // surface as a join or a per-value subplan
@@ -262,6 +278,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p2.contains("Join"), s"GROUPING SETS planned a join:\n$p2")
     assert("HashAggregate".r.findAllIn(p2).size >= 2,
       s"GROUPING SETS lost its partial aggs:\n$p2")
+    // UNPIVOT: one Expand, but AFTER the aggregation — the ×|metrics|
+    // amplification applies to the 3-row aggregate, never the scan
+    val p3 = finalPlan(graft.queries.MiscQueries.q103SqlUnpivot(spark, dir))
+    assert("Expand".r.findAllIn(p3).size == 1,
+      s"UNPIVOT should have exactly one Expand:\n$p3")
+    assert(!p3.contains("Join"), s"UNPIVOT planned a join:\n$p3")
+    assert("HashAggregate".r.findAllIn(p3).size >= 2,
+      s"UNPIVOT lost the partial aggs feeding it:\n$p3")
   }
 
   test("q73b bloom decontamination broadcasts ONLY the one-row bitmap") {
