@@ -157,6 +157,37 @@ object PipelineQueries extends QueryModule {
       .orderBy("source", "chunk_id")
   }
 
+  /** q104: sliding-window chunking — the SPLITTING counterpart of q74's
+    * packing: each document cut into overlapping fixed-size token
+    * windows (window 32, stride 24 → 8-token overlap; the operator is
+    * size-agnostic — 32/24 keeps multiple boundaries inside every
+    * fixture doc where a 2048/1536 production setting would leave the
+    * gate in chunk 0). Chunk c covers tokens [c·S, c·S+W); starts run
+    * while c·S < n, so every token lands in ≥ 1 chunk and trailing
+    * chunks may be short — the convention that loses no text. Each
+    * chunk row carries an md5-prefix content hash, so the oracle gates
+    * the exact chunk TEXT, not just counts.
+    *
+    * 100 TB: pure per-row Generate (sequence + explode + slice) — the
+    * whole operator is scan-local with zero shuffles; the ×⌈n/S⌉ row
+    * amplification is the operator's OUTPUT (the training examples),
+    * not plan overhead, and it pipelines straight into a sink write.
+    */
+  def q104Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val w = 32; val s = 24
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tok"))
+      .withColumn("n", size(col("tok")))
+      .select(col("doc_id"), col("source"), col("tok"),
+        explode(expr(s"sequence(0, (n - 1) div $s)")).as("chunk_id"))
+      .withColumn("ck", expr(s"slice(tok, chunk_id * $s + 1, $w)"))
+      .select(col("doc_id"), col("source"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("ck")).cast("long").as("n_tok"),
+        expr("cast(conv(substring(md5(array_join(ck, ' ')), 1, 15), 16, 10) as bigint)")
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Synthetic PII tail appended to every document so the scrub paths
     * are exercised with non-zero counts on any fixture (both engines
     * see the same text, so organic matches also agree).
@@ -203,6 +234,7 @@ object PipelineQueries extends QueryModule {
     "q73_decontamination" -> (q73Decontamination _),
     "q73b_decontamination_bloom" -> (q73bDecontaminationBloom _),
     "q74_sequence_packing" -> (q74SequencePacking _),
+    "q104_chunking" -> (q104Chunking _),
     "q75_pii_scrub" -> (q75PiiScrub _)
   )
 
@@ -236,6 +268,21 @@ object PipelineQueries extends QueryModule {
     // formulation) — the decontamination join is mirrored exactly
     "q73_decontamination" -> oracleDecontamination,
     "q73b_decontamination_bloom" -> oracleDecontamination,
+    // chunk content gated through the same md5-prefix idiom; DuckDB
+    // list slice a:b is 1-based inclusive = Spark slice(start, length),
+    // both clipped at the array end
+    "q104_chunking" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok FROM documents),
+        |u AS (SELECT doc_id, source, tok,
+        |             unnest(range((len(tok) - 1) // 24 + 1)) AS chunk_id
+        |      FROM t),
+        |c AS (SELECT doc_id, source, chunk_id,
+        |             tok[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS ck
+        |      FROM u)
+        |SELECT doc_id, source, chunk_id::BIGINT AS chunk_id,
+        |       len(ck)::BIGINT AS n_tok,
+        |       ('0x' || substr(md5(array_to_string(ck, ' ')), 1, 15))::BIGINT AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q74_sequence_packing" ->
       """WITH d AS (
         |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok

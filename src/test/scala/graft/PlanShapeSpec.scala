@@ -288,6 +288,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"UNPIVOT lost the partial aggs feeding it:\n$p3")
   }
 
+  test("q104 chunking is a scan-local Generate — no joins, no aggregation") {
+    // the operator's whole cost is the explode amplification (the
+    // output itself); the only exchange is the output ordering's range
+    // partition, never a key shuffle
+    val plan = finalPlan(graft.queries.PipelineQueries.q104Chunking(spark, dir))
+    assert(plan.contains("Generate"), s"chunking lost its explode:\n$plan")
+    assert(!plan.contains("Join"), s"chunking planned a join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"chunking planned an agg:\n$plan")
+  }
+
   test("q73b bloom decontamination broadcasts ONLY the one-row bitmap") {
     // the eval-scale variant: with auto-broadcast off, the only
     // broadcast exchange left is the explicit bloom-bitmap row — the
