@@ -429,7 +429,92 @@ object SimilarityQueries extends QueryModule {
       .orderBy("i", "j")
   }
 
+  /** q105: kNN label transfer through IVF cells — the weak-supervision
+    * op an auto-labeling pipeline runs: a 25%% md5-split "unlabeled" set
+    * takes the majority label of its 3 nearest labeled neighbors WITHIN
+    * its IVF cell (nprobe = 1, the production ANN approximation — a
+    * query never pairs outside its own list). This is the repo's first
+    * GATED approximate operator: rather than an exact op whose index is
+    * an invisible accelerant (q46/q78), here the approximation itself is
+    * part of the declared semantics, so the oracle replays the index
+    * build — seeding, assignment, candidate set, ranking, vote — and
+    * any divergence anywhere flips the hash.
+    *
+    * Cross-engine exactness by construction (no float luck): embeddings
+    * snap to the ⌊x·2²⁰ + 0.5⌋ integer grid (the q88/q84 idiom), so
+    * dots and norms are exact BIGINTs, order-invariant under any
+    * partitioning; every ranking score is then a SINGLE chain of
+    * exactly-rounded IEEE ops on identical integers
+    * (`qdot / (√qn_a · √qn_b)`) — bit-identical in both engines with no
+    * accumulation-order exposure, which mere `round(,6)` cannot promise
+    * (q88's three red rounds). Ties break on ids: assignment by
+    * (score desc, list_id asc), kNN by (cos desc, packed id asc), vote
+    * by (count desc, label asc).
+    *
+    * 100 TB: the assignment is one scan × a 16-row broadcast with a
+    * map-side struct-max partial agg (one row per vector shuffles); the
+    * kNN join is a plain equi-join on `list_id` (pair volume n²/nLists,
+    * n^1.5 at nLists ~ √n); the neighbor label rides PACKED into the
+    * heap id (vec_id·16 + label), so the top-k needs no second join
+    * back to the base table; the candidate stream never sorts — the
+    * bounded `TopKAggregator` heap reduces each partition to ≤ k rows
+    * per query map-side (q91's shape). `localCheckpoint` materializes
+    * the assignment once for both join sides (at 100 TB: the
+    * `partitionBy(list_id)` layout written once).
+    */
+  def q105KnnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val nLists = 16
+    val grid = "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0 + 0.5) as bigint))"
+    val en = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), expr(grid).as("qe"))
+      .withColumn("qn", expr("aggregate(qe, cast(0 as bigint), (s, x) -> s + x * x)"))
+    val cents = en.orderBy("vec_id").limit(nLists)
+      .select(row_number().over(Window.orderBy("vec_id")).cast("int").as("list_id"),
+        col("qe").as("ce"), col("qn").as("cn"))
+    val assigned = en
+      .repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(cents))
+      .withColumn("qdot",
+        expr("aggregate(zip_with(qe, ce, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("score", col("qdot").cast("double") / sqrt(col("cn").cast("double")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("score"), (-col("list_id")).as("neg"),
+        col("label"), col("qe"), col("qn"))).as("b"))
+      .select(col("vec_id"), col("b.label").as("label"), col("b.qe").as("qe"),
+        col("b.qn").as("qn"), (-col("b.neg")).as("list_id"))
+      .localCheckpoint(true)
+    val isQ = conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
+      .cast("int") < 64
+    val q = assigned.filter(isQ)
+      .select(col("list_id"), col("vec_id").as("q_id"),
+        col("label").as("q_label"), col("qe").as("q_qe"), col("qn").as("q_qn"))
+    val b = assigned.filter(!isQ)
+      .select(col("list_id"), (col("vec_id") * 16 + col("label")).as("b_key"),
+        col("qe").as("b_qe"), col("qn").as("b_qn"))
+    val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(3))
+    q.join(b, "list_id")
+      .withColumn("qdot",
+        expr("aggregate(zip_with(q_qe, b_qe, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("cos", col("qdot").cast("double") /
+        (sqrt(col("q_qn").cast("double")) * sqrt(col("b_qn").cast("double"))))
+      .groupBy("q_id", "q_label")
+      .agg(topk(col("cos"), col("b_key")).as("top"))
+      .select(col("q_id"), col("q_label"), explode(col("top")).as("kv"))
+      .select(col("q_id"), col("q_label"),
+        pmod(col("kv.id"), lit(16L)).cast("int").as("b_label"))
+      .groupBy("q_id", "q_label", "b_label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("q_id", "q_label")
+      .agg(max(struct(col("cnt"), (-col("b_label")).as("neg"))).as("w"),
+        sum("cnt").cast("long").as("n_nbrs"))
+      .select(col("q_id").as("vec_id"), col("q_label").cast("long").as("label"),
+        (-col("w.neg")).cast("long").as("pred"), col("w.cnt").as("n_votes"),
+        col("n_nbrs"))
+      .orderBy("vec_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_knn_label" -> (q105KnnLabel _),
     "q68_quantized_cosine" -> (q68QuantizedCosine _),
     "q84_srp_lsh" -> (q84SrpLsh _),
     "q88_gram_covariance" -> (q88GramCovariance _),
@@ -479,6 +564,47 @@ object SimilarityQueries extends QueryModule {
     "list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[])"
 
   override val oracles: Map[String, String] = Map(
+    // the WHOLE approximate pipeline replayed: integer-grid snap, exact
+    // BIGINT dots/norms, the single-chain double scores (bit-identical
+    // by IEEE exact rounding on identical operands — no accumulation
+    // order anywhere), seeding by smallest ids, assignment / kNN / vote
+    // tie-breaks mirrored term for term
+    "q105_knn_label" ->
+      """WITH en AS (
+        |  SELECT vec_id, label,
+        |         [floor(x::DOUBLE * 1048576 + 0.5)::BIGINT FOR x IN embedding] AS qe
+        |  FROM embeddings),
+        |en2 AS (SELECT vec_id, label, qe,
+        |               list_sum([x * x FOR x IN qe])::BIGINT AS qn FROM en),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id)::INT AS list_id, qe AS ce, qn AS cn
+        |      FROM (SELECT * FROM en2 ORDER BY vec_id LIMIT 16) s),
+        |a AS (
+        |  SELECT e.vec_id, e.label, e.qe, e.qn, c.list_id,
+        |         list_sum([e.qe[i] * c.ce[i] FOR i IN range(1, 65)])::BIGINT AS qdot, c.cn
+        |  FROM en2 e CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, label, qe, qn, list_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY qdot::DOUBLE / sqrt(cn::DOUBLE) DESC, list_id ASC) AS rn FROM a)
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label, b.vec_id * 16 + b.label AS b_key,
+        |         list_sum([q.qe[i] * b.qe[i] FOR i IN range(1, 65)])::BIGINT AS qdot,
+        |         q.qn AS q_qn, b.qn AS b_qn
+        |  FROM asg q JOIN asg b ON q.list_id = b.list_id
+        |  WHERE (CAST(('0x' || substr(md5(q.vec_id::VARCHAR), 1, 2)) AS INT)) < 64
+        |    AND (CAST(('0x' || substr(md5(b.vec_id::VARCHAR), 1, 2)) AS INT)) >= 64),
+        |s AS (SELECT q_id, q_label, b_key,
+        |             qdot::DOUBLE / (sqrt(q_qn::DOUBLE) * sqrt(b_qn::DOUBLE)) AS cos FROM p),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, b_key ASC) AS rn FROM s),
+        |t AS (SELECT q_id, q_label, (b_key % 16)::INT AS b_label FROM r WHERE rn <= 3),
+        |v AS (SELECT q_id, q_label, b_label, count(*)::BIGINT AS cnt FROM t GROUP BY 1, 2, 3),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, b_label ASC) AS rn2,
+        |             sum(cnt) OVER (PARTITION BY q_id) AS n_nbrs
+        |      FROM v)
+        |SELECT q_id AS vec_id, q_label::BIGINT AS label, b_label::BIGINT AS pred,
+        |       cnt AS n_votes, n_nbrs::BIGINT AS n_nbrs
+        |FROM w WHERE rn2 = 1 ORDER BY vec_id""".stripMargin,
     // the identical md5-derived hyperplanes, sign bits, banding, and
     // exact-cosine verify rebuilt in SQL — the banding is mirrored, not
     // assumed, so a wrong bucket anywhere changes the candidate set.

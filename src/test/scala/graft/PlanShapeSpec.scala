@@ -298,6 +298,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), s"chunking planned an agg:\n$plan")
   }
 
+  test("q105 cell-local kNN is an equi-join + bounded heap — no cartesian, no table broadcast, no window sort") {
+    // the kNN candidates come from the list_id equi-join of the
+    // checkpointed assignment (the only broadcast in the whole query is
+    // the 16-row centroid table, and it lives BEFORE the checkpoint);
+    // the per-query top-3 is the ObjectHashAggregate heap (map-side
+    // partial), never a ranking window's global per-group sort
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(SimilarityQueries.q105KnnLabel(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"assignment table still broadcast with auto-broadcast off:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"top-3 heap lost its ObjectHashAggregate partial:\n$plan")
+      assert(!plan.contains("Window"),
+        s"kNN ranking regressed to a window sort:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q73b bloom decontamination broadcasts ONLY the one-row bitmap") {
     // the eval-scale variant: with auto-broadcast off, the only
     // broadcast exchange left is the explicit bloom-bitmap row — the
