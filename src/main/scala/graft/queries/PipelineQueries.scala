@@ -188,6 +188,38 @@ object PipelineQueries extends QueryModule {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** q107: token-budget curation — each source keeps documents in a
+    * deterministic md5-priority order until its cumulative token count
+    * would pass the budget (800 at fixture scale; the knob a data-mix
+    * recipe sets per source, cf. q69's rate-based sibling — this is the
+    * ABSOLUTE-budget form mixes are actually specified in). Tokens are
+    * q74's whitespace count; priority is the md5 of the doc id with a
+    * doc_id tie-break, so the kept set is a deterministic prefix
+    * (n_tok ≥ 1 makes the cumulative sum strictly increasing — the
+    * budget filter IS a prefix filter). Output: per-source kept-census
+    * with a membership-pinning id sum (the q79 idiom).
+    *
+    * 100 TB: one scan; the only shuffle is the per-source window
+    * partitioning (same shape as q74's packing — a source's docs sort
+    * within its partition; skewed mega-sources would salt into
+    * sub-budgets), then a partial+final hash agg over the survivors.
+    */
+  def q107TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 800L
+    val w = Window.partitionBy("source").orderBy(col("prio").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("prio"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .filter(col("cum") <= budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("tok_kept"),
+        sum("doc_id").as("sum_kept_ids"), max("cum").as("last_cum"))
+      .orderBy("source")
+  }
+
   /** Synthetic PII tail appended to every document so the scrub paths
     * are exercised with non-zero counts on any fixture (both engines
     * see the same text, so organic matches also agree).
@@ -235,6 +267,7 @@ object PipelineQueries extends QueryModule {
     "q73b_decontamination_bloom" -> (q73bDecontaminationBloom _),
     "q74_sequence_packing" -> (q74SequencePacking _),
     "q104_chunking" -> (q104Chunking _),
+    "q107_token_budget" -> (q107TokenBudget _),
     "q75_pii_scrub" -> (q75PiiScrub _)
   )
 
@@ -271,6 +304,18 @@ object PipelineQueries extends QueryModule {
     // chunk content gated through the same md5-prefix idiom; DuckDB
     // list slice a:b is 1-based inclusive = Spark slice(start, length),
     // both clipped at the array end
+    // integer tokens, integer cumulative sums, integer census — the
+    // only cross-engine surface is the identical md5 priority
+    "q107_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok,
+        |         CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) AS prio
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source
+        |                                 ORDER BY prio ASC, doc_id ASC) AS cum FROM d)
+        |SELECT source, count(*)::BIGINT AS n_kept, sum(n_tok)::BIGINT AS tok_kept,
+        |       sum(doc_id)::BIGINT AS sum_kept_ids, max(cum)::BIGINT AS last_cum
+        |FROM c WHERE cum <= 800 GROUP BY source ORDER BY source""".stripMargin,
     "q104_chunking" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok FROM documents),
         |u AS (SELECT doc_id, source, tok,

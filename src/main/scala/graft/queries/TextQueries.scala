@@ -419,7 +419,75 @@ object TextQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q106: vocabulary build — the top-V corpus terms by frequency with
+    * exact coverage shares, the statistic a tokenizer-training pass
+    * (word-level vocab, BPE seed alphabet sizing) reads first: how much
+    * of the token stream does a V-entry vocab cover? V = 100 keeps every
+    * rank inside the fixture gate.
+    *
+    * Determinism: counts are exact longs; the coverage columns divide
+    * CUMULATIVE INTEGER counts by the integer total — one exactly-rounded
+    * double op each, never a float prefix-sum — so both engines agree
+    * bit-for-bit. The top-V cutoff and the rank order share the total
+    * order (cnt desc, term asc); term ties compare as binary UTF-8 in
+    * both engines.
+    *
+    * 100 TB: token counts are one partial+final hash agg; the top-V is
+    * `orderBy().limit(V)` = TakeOrderedAndProject (per-partition heaps,
+    * V·partitions driver merge — never a global sort); the ranking
+    * window then runs over V rows on one task (bounded by construction,
+    * the centroid-seeding precedent), and the one-row total joins by
+    * broadcast.
+    */
+  def q106VocabBuild(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = 100
+    val counts = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").cast("long").as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    counts.orderBy(col("cnt").desc, col("term").asc).limit(v)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("cnt").over(w))
+      .select(col("rank"), col("term"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"),
+        round(col("cum").cast("double") / col("total"), 6).as("cum_share"))
+      .orderBy("rank")
+  }
+
+  /** q108: the multimodal RESIZE kernel through the driver gate — until
+    * now the bilinear resample was spec-pinned only; here the oracle
+    * replays the ENTIRE path in SQL: the doc→media manufacture
+    * (type/width/height formulas), the stub plane (payload byte at
+    * `(y·w+x) mod len`, over 255 as a FLOAT — the `(b/255.0)::FLOAT`
+    * double-rounding route is verified exact against Java float
+    * division for all 256 byte values), the center-aligned source
+    * coordinates, the clamped taps, and the double-blend-then-float
+    * emit, op for op in the engine's evaluation order. A 2×2 output
+    * keeps all four corners' tap/clamp arithmetic in play.
+    *
+    * 100 TB: array-local `mapPartitions` next to the decode (one row
+    * in, four pixel rows out) — no shuffle, no agg; the explode IS the
+    * output.
+    */
+  def q108MediaResize(spark: SparkSession, dir: String): DataFrame = {
+    val ds = graft.operators.MediaPipeline.fromDocuments(spark, Tables.documents(spark, dir))
+    graft.operators.MediaPipeline.resize(ds, 2, 2).toDF()
+      .select(col("doc_id"), col("media_type"),
+        col("src_w").cast("long").as("src_w"), col("src_h").cast("long").as("src_h"),
+        posexplode(col("pixels")))
+      .select(col("doc_id"), col("media_type"), col("src_w"), col("src_h"),
+        col("pos").cast("long").as("idx"), col("col").cast("double").as("px"))
+      .orderBy("doc_id", "idx")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_media_resize" -> (q108MediaResize _),
+    "q106_vocab_build" -> (q106VocabBuild _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
     "q82_bm25" -> (q82Bm25 _),
@@ -446,6 +514,65 @@ object TextQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // the full media manufacture + stub plane + bilinear kernel replayed
+    // in the engine's op order; ASCII text makes byte i = ascii(char i),
+    // and (b::DOUBLE/255.0)::FLOAT == Java float b/255f for all 256 b
+    // (enumerated); every weight here is an exact double (dims are
+    // multiples of 4), so the blend chain is exactly-rounded IEEE ops on
+    // identical operands in both engines
+    "q108_media_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |         text, len(text)::BIGINT AS blen,
+        |         ((doc_id % 8) * 160 + 320)::BIGINT AS w,
+        |         ((doc_id % 5) * 120 + 240)::BIGINT AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT d.*, y.y, x.x,
+        |         (y.y + 0.5) * d.h / 2 - 0.5 AS fy,
+        |         (x.x + 0.5) * d.w / 2 - 0.5 AS fx
+        |  FROM d, range(0, 2) y(y), range(0, 2) x(x)),
+        |i AS (
+        |  SELECT *,
+        |         greatest(0, least(h - 1, floor(fy)::BIGINT)) AS y0,
+        |         greatest(0, least(w - 1, floor(fx)::BIGINT)) AS x0
+        |  FROM g),
+        |j AS (
+        |  SELECT *, least(h - 1, y0 + 1) AS y1, least(w - 1, x0 + 1) AS x1,
+        |         greatest(0.0, least(1.0, fy - y0)) AS wy,
+        |         greatest(0.0, least(1.0, fx - x0)) AS wx
+        |  FROM i),
+        |s AS (
+        |  SELECT doc_id, media_type, w, h, y, x, wy, wx,
+        |    (ascii(substr(text, ((y0 * w + x0) % blen + 1)::INT, 1))::DOUBLE / 255.0)::FLOAT::DOUBLE AS s00,
+        |    (ascii(substr(text, ((y0 * w + x1) % blen + 1)::INT, 1))::DOUBLE / 255.0)::FLOAT::DOUBLE AS s01,
+        |    (ascii(substr(text, ((y1 * w + x0) % blen + 1)::INT, 1))::DOUBLE / 255.0)::FLOAT::DOUBLE AS s10,
+        |    (ascii(substr(text, ((y1 * w + x1) % blen + 1)::INT, 1))::DOUBLE / 255.0)::FLOAT::DOUBLE AS s11
+        |  FROM j)
+        |SELECT doc_id, media_type, w AS src_w, h AS src_h,
+        |       (y * 2 + x)::BIGINT AS idx,
+        |       CAST(CAST((s00 * (1 - wx) + s01 * wx) * (1 - wy) +
+        |                 (s10 * (1 - wx) + s11 * wx) * wy AS FLOAT) AS DOUBLE) AS px
+        |FROM s ORDER BY doc_id, idx""".stripMargin,
+    // exact integer counts and cumulative counts; each share is ONE
+    // double divide on identical integers — bit-identical, no prefix-sum
+    // float exposure
+    "q106_vocab_build" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tt AS (SELECT term FROM t WHERE term <> ''),
+        |c AS (SELECT term, count(*)::BIGINT AS cnt FROM tt GROUP BY 1),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term ASC LIMIT 100),
+        |r AS (SELECT term, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+        |        sum(cnt) OVER (ORDER BY cnt DESC, term ASC) AS cum
+        |      FROM top)
+        |SELECT rank::BIGINT AS rank, term, cnt,
+        |       round(cnt::DOUBLE / total, 6) AS share,
+        |       round(cum::DOUBLE / total, 6) AS cum_share
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
     // identical counts → identical divides; ln ulp + summation-order
     // noise (~1e-15) absorbed by round 6 on an O(0.1) statistic
     "q93_kl_drift" ->

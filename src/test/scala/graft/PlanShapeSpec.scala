@@ -298,6 +298,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), s"chunking planned an agg:\n$plan")
   }
 
+  test("q106 vocab build tops with per-partition heaps and keeps the count agg partial") {
+    // the full-vocab ranking must be TakeOrderedAndProject (V·partitions
+    // heap rows to the driver merge), never a global sort of the term
+    // counts; the window that ranks/cumulates afterwards sees only the
+    // V=100 surviving rows
+    val plan = finalPlan(TextQueries.q106VocabBuild(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"term counts lost their map-side partial:\n$plan")
+  }
+
   test("q105 cell-local kNN is an equi-join + bounded heap — no cartesian, no table broadcast, no window sort") {
     // the kNN candidates come from the list_id equi-join of the
     // checkpointed assignment (the only broadcast in the whole query is
