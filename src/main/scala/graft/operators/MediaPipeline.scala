@@ -117,10 +117,19 @@ object MediaPipeline {
   private[operators] def pixelStub(blob: Array[Byte], w: Int, h: Int): Array[Float] = {
     val out = new Array[Float](w * h)
     if (blob.nonEmpty) {
+      // pixel i = byte(i mod len)/255f — fill one period, then tile it
+      // by doubling arraycopy (every copy starts at a multiple of the
+      // period, so out(i) = lut(i mod len) is preserved exactly); a
+      // megapixel plane fills at memcpy speed instead of a per-pixel
+      // integer modulo
+      val seed = math.min(blob.length, out.length)
       var i = 0
-      while (i < out.length) {
-        out(i) = (blob(i % blob.length) & 0xff) / 255.0f
-        i += 1
+      while (i < seed) { out(i) = (blob(i) & 0xff) / 255.0f; i += 1 }
+      var filled = seed
+      while (filled < out.length) {
+        val n = math.min(filled, out.length - filled)
+        System.arraycopy(out, 0, out, filled, n)
+        filled += n
       }
     }
     out

@@ -309,6 +309,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"term counts lost their map-side partial:\n$plan")
   }
 
+  test("q107 token budget shuffles once — the per-source window partitioning feeds the census agg") {
+    // the window hash-partitions by source and the survivor census
+    // groups by the same key, so the agg reuses that partitioning: ONE
+    // hash exchange in the whole plan (the trailing range exchange is
+    // the output ordering)
+    val plan = finalPlan(graft.queries.PipelineQueries.q107TokenBudget(spark, dir))
+    assert(!plan.contains("Join"), s"token budget planned a join:\n$plan")
+    assert(plan.contains("Window"), s"prefix filter lost its window:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, found $hashExchanges:\n$plan")
+  }
+
+  test("q108 media resize is scan-local — no key shuffle, no join, no agg") {
+    // mapPartitions kernel + posexplode: the only exchange is the output
+    // ordering's range partition
+    val plan = finalPlan(TextQueries.q108MediaResize(spark, dir))
+    assert(!plan.contains("Join"), s"resize planned a join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"resize planned an agg:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"resize shuffled on a key:\n$plan")
+    assert(plan.contains("MapPartitions"), s"resize lost its mapPartitions:\n$plan")
+  }
+
   test("q105 cell-local kNN is an equi-join + bounded heap — no cartesian, no table broadcast, no window sort") {
     // the kNN candidates come from the list_id equi-join of the
     // checkpointed assignment (the only broadcast in the whole query is
