@@ -210,6 +210,44 @@ object MiscQueries extends QueryModule {
     spark.sql(sqlNotExistsText)
   }
 
+  /** The q110 SQL TEXT — executed verbatim by BOTH engines: the window
+    * clause through the parser path (ranking row_number, whole-partition
+    * count, an explicit ROWS frame running sum, and 3-arg lag with a
+    * default) — the DataFrame windows q20–q24 gate the OPERATORS, this
+    * gates the SQL surface a user types. Determinism: the running sum
+    * and lag ride on INTEGER keys under a total order (price desc,
+    * orderkey asc — double comparisons on identical parquet bits, never
+    * double sums); row_number and sum cast to BIGINT because the same
+    * text must yield the same schema in both engines (Spark row_number
+    * is 32-bit, DuckDB's is 64; DuckDB's integer sum is 128).
+    */
+  private val sqlWindowText: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+      |         count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+      |         sum(o_orderkey) OVER (PARTITION BY o_custkey
+      |                               ORDER BY o_totalprice DESC, o_orderkey ASC
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_key,
+      |         lag(o_orderkey, 1, -1) OVER (PARTITION BY o_custkey
+      |                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS prev_key
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn, n_orders,
+      |       CAST(run_key AS BIGINT) AS run_key, prev_key, o_totalprice
+      |FROM r WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q110: the SQL window surface, one text both engines parse — top-2
+    * orders per customer with per-customer counts, running key sums,
+    * and predecessor keys. Scale: ONE hash shuffle on o_custkey serves
+    * all four window functions (same partition spec), then the rn
+    * filter prunes early — the standard top-k-per-group SQL shape.
+    */
+  def q110SqlWindow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(sqlWindowText)
+  }
+
   /** q101: the SQL-text PIVOT clause — q06's reshape through the parser
     * path a SQL user actually types. The rounding sits OUTSIDE the
     * pivot (Spark's PIVOT aggregate must be a plain aggregate call).
@@ -379,6 +417,7 @@ object MiscQueries extends QueryModule {
     "q56_csv_json_roundtrip" -> (q56CsvJsonRoundtrip _),
     "q57_sample_split" -> (q57SampleSplit _),
     "q99_sql_subqueries" -> (q99SqlSubqueries _),
+    "q110_sql_window" -> (q110SqlWindow _),
     "q99b_sql_not_exists" -> (q99bSqlNotExists _),
     "q101_sql_pivot" -> (q101SqlPivot _),
     "q102_sql_grouping_sets" -> (q102SqlGroupingSets _),
@@ -389,6 +428,7 @@ object MiscQueries extends QueryModule {
     // the IDENTICAL text the engine executes — DuckDB reparses the same
     // EXISTS / NOT IN / correlated-scalar statement over the same tables
     "q99_sql_subqueries" -> sqlSubqueryText,
+    "q110_sql_window" -> sqlWindowText,
     // the scale-path variant: same text both engines, NOT EXISTS branch
     "q99b_sql_not_exists" -> sqlNotExistsText,
     // PIVOT lowered to the conditional-agg rewrite DuckDB states directly

@@ -485,7 +485,43 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id", "idx")
   }
 
+  /** q109: robust per-source outlier scoring — median + MAD (median
+    * absolute deviation) over document length, the quality filter that
+    * survives the heavy-tailed corpora mean/stddev filters die on
+    * (one mega-document drags a mean; the median doesn't move). A doc
+    * is an outlier when |len − median| > 3·MAD (the standard robust
+    * z-score cut at the usual 3σ-equivalent threshold, Hampel's rule).
+    *
+    * Exact cross-engine: n_chars is integer, so the interpolated median
+    * lives on the ½ grid, deviations on the ½ grid, the MAD on the ¼
+    * grid — every value and every `dev > 3·mad` boundary comparison is
+    * exact in double (the q09 percentile↔quantile_cont mapping, composed
+    * twice). Membership pinned by the outlier id sum (q79 idiom).
+    *
+    * 100 TB: two grouped sort-aggs over (source, value) and two 20-row
+    * broadcast joins — the doc table never shuffles except per-source
+    * for the percentile agg; the q09b histogram collapse applies
+    * verbatim if values repeat heavily.
+    */
+  def q109RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val med = d.groupBy("source").agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dev = d.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_chars").cast("double") - col("med")))
+    val mad = dev.groupBy("source").agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "source")
+      .withColumn("is_out", (col("dev") > col("mad") * 3).cast("long"))
+      .groupBy("source")
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        count(lit(1)).as("n_docs"), sum("is_out").as("n_outliers"),
+        sum(when(col("is_out") === 1, col("doc_id")).otherwise(lit(0L)))
+          .as("sum_outlier_ids"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_robust_outliers" -> (q109RobustOutliers _),
     "q108_media_resize" -> (q108MediaResize _),
     "q106_vocab_build" -> (q106VocabBuild _),
     "q93_kl_drift" -> (q93KlDrift _),
@@ -514,6 +550,22 @@ object TextQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // integer lengths → ½-grid medians → ¼-grid MAD: every value and
+    // every boundary comparison exact in double on both engines
+    "q109_robust_outliers" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med FROM d GROUP BY 1),
+        |dv AS (SELECT d.doc_id, d.source, m.med,
+        |              abs(d.n_chars::DOUBLE - m.med) AS dev
+        |       FROM d JOIN m USING (source)),
+        |md AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY 1),
+        |o AS (SELECT dv.source, dv.med, md.mad, dv.doc_id,
+        |             CASE WHEN dv.dev > 3 * md.mad THEN 1 ELSE 0 END AS is_out
+        |      FROM dv JOIN md USING (source))
+        |SELECT source, min(med) AS med, min(mad) AS mad,
+        |       count(*)::BIGINT AS n_docs, sum(is_out)::BIGINT AS n_outliers,
+        |       sum(CASE WHEN is_out = 1 THEN doc_id ELSE 0 END)::BIGINT AS sum_outlier_ids
+        |FROM o GROUP BY source ORDER BY source""".stripMargin,
     // the full media manufacture + stub plane + bilinear kernel replayed
     // in the engine's op order; ASCII text makes byte i = ascii(char i),
     // and (b::DOUBLE/255.0)::FLOAT == Java float b/255f for all 256 b

@@ -309,6 +309,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"term counts lost their map-side partial:\n$plan")
   }
 
+  test("q109 robust outliers joins the 20-row med/mad dims by broadcast only") {
+    // the doc table must never sort-merge against its own tiny
+    // percentile summaries
+    val plan = finalPlan(TextQueries.q109RobustOutliers(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"summary join went SMJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+  }
+
   test("q107 token budget shuffles once — the per-source window partitioning feeds the census agg") {
     // the window hash-partitions by source and the survivor census
     // groups by the same key, so the agg reuses that partitioning: ONE
