@@ -203,8 +203,49 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("user_id", "session_start")
   }
 
+  /** q111: the tumbling-window sibling of q100 — `window(ts, '5
+    * minutes')` as SQL TEXT over a watermarked streaming view, drained
+    * with `Trigger.AvailableNow` in APPEND mode, so the two streaming
+    * window types a SQL user writes (fixed buckets here, data-driven
+    * sessions in q100) are BOTH driver-gated with their emission
+    * semantics: append mode emits a window only once the final
+    * watermark (max event time, 0 s delay) passes its END, so the
+    * bucket containing the stream's last event is withheld — the
+    * oracle applies exactly that finalization predicate to q58's batch
+    * buckets. Scale: one shuffle on (window, event_type) into the
+    * windowed-state agg, bounded state (watermark evicts closed
+    * buckets); a production backlog drains in bounded batches via
+    * `maxFilesPerTrigger` (single-file fixture = one batch).
+    */
+  def q111SqlTumblingStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream =
+      if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    stream.withWatermark("ts", "0 seconds")
+      .createOrReplaceTempView("events_stream_tumble")
+    val agg = spark.sql(
+      """SELECT window(ts, '5 minutes') AS w, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events_stream_tumble
+        |GROUP BY window(ts, '5 minutes'), event_type""".stripMargin)
+    val name = s"q111_tumble_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg
+      .select(col("w").getField("start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("w_start", "event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_sql_session_stream" -> (q100SqlSessionStream _),
+    "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q58_window_tumbling" -> (q58WindowTumbling _),
     "q59_window_sliding" -> (q59WindowSliding _),
     "q60_session_window" -> (q60SessionWindow _),
@@ -240,6 +281,18 @@ object StreamingOps extends QueryModule {
       """SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type,
         |       count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q58's buckets under the append-mode finalization rule: a bucket
+    // has emitted only if the final watermark (max event time, 0 s
+    // delay) is at or past its end
+    "q111_sql_tumbling_stream" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type, value
+        |  FROM events),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT w_start, event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM b CROSS JOIN m
+        |WHERE w_start + INTERVAL 5 MINUTES <= m.mx
+        |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
     // Sliding window = each event belongs to the two 5-min-aligned
     // 10-min windows covering it: starts b and b-5min for b = bucket(ts).
     "q59_window_sliding" ->
