@@ -113,6 +113,34 @@ object MiscQueries extends QueryModule {
     oBack.unionByName(eBack).orderBy("grp")
   }
 
+  /** q116: ORC write → read roundtrip — the third columnar format the
+    * source/sink surface speaks (parquet everywhere, CSV/JSON via q56).
+    * A lineitem slice is written with Spark's native ORC sink and read
+    * back through the ORC vectorized reader; the gate aggregates the
+    * read-back rows against the oracle's view of the ORIGINAL parquet,
+    * so any value damaged in either direction of the ORC hop flips the
+    * compare. Doubles survive bit-exactly (ORC stores IEEE bits, no
+    * text formatting — the price column is additionally pinned as exact
+    * integer cents so the gate doesn't ride on group-sum luck).
+    * Scale: ORC keeps the same pushdown/pruning story as parquet
+    * (stripe stats, column projection); the roundtrip is one map-only
+    * write + one scan into a partial+final agg.
+    */
+  def q116OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = roundtripBase
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").orc(s"$base/lineitem_orc")
+    spark.read.orc(s"$base/lineitem_orc")
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")).as("price_cents"),
+        min("l_orderkey").as("min_key"))
+      .orderBy("grp")
+  }
+
   /** q57: sample()/randomSplit — rows-only (Spark's Bernoulli sampler is
     * seeded but engine-specific, so no cross-engine oracle is possible by
     * construction). Emits the piece counts + disjointness evidence;
@@ -406,6 +434,75 @@ object MiscQueries extends QueryModule {
       .orderBy("day")
   }
 
+  /** The q112 SQL TEXT — executed verbatim by BOTH engines: a
+    * `WITH RECURSIVE` hierarchy rollup, the SQL-recursion surface Spark
+    * gained in 4.0 (SPARK-24497). The hierarchy is derived, not stored:
+    * each supplier's ancestor chain in the implicit binary trie
+    * `parent(k) = ⌊k/2⌋` (an org-chart / category-tree stand-in whose
+    * edges need no extra fixture), and the rollup sums every subtree's
+    * descendant count and balance. Determinism: the recursion carries
+    * INTEGER keys only (`floor(a / 2.0)` — exact for keys < 2^52, same
+    * text both engines; DuckDB's `/` on integers is float division and
+    * Spark's is not, so the division is forced to double in the text);
+    * balances are quantized to exact cent BIGINTs before summing
+    * (integer sums are order-invariant), and the outer sum is cast
+    * because DuckDB's BIGINT sum is HUGEINT. Scale: the recursive step
+    * is depth-synchronous — ⌈log₂ max(key)⌉ iterations (~40 at 100 TB
+    * key ranges, far under Spark's 100-level default), each a
+    * key-local map of the previous level with no shuffle; the rollup
+    * is one hash equi-join plus one partial+final agg.
+    */
+  private val sqlRecursiveText: String =
+    """WITH RECURSIVE anc(node, a) AS (
+      |  SELECT s_suppkey, s_suppkey FROM supplier
+      |  UNION ALL
+      |  SELECT node, CAST(floor(a / 2.0) AS BIGINT) FROM anc WHERE a > 1
+      |)
+      |SELECT anc.a AS node, count(*) AS n_desc,
+      |       CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+      |FROM anc JOIN supplier ON anc.node = s_suppkey
+      |GROUP BY anc.a ORDER BY 1""".stripMargin
+
+  /** q112: recursive-CTE hierarchy rollup, one text both engines parse
+    * (see `sqlRecursiveText`). Catalyst lowers the recursion to
+    * `UnionLoop`/`UnionLoopRef` feeding a hash join + two-phase agg —
+    * plan pinned in PlanShapeSpec.
+    */
+  def q112SqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    spark.sql(sqlRecursiveText)
+  }
+
+  /** The q113 SQL TEXT — executed verbatim by BOTH engines: a correlated
+    * `LATERAL` subquery with ORDER BY + LIMIT, the per-row-subquery
+    * surface (top-2 most recent orders per customer, with their
+    * totals). Determinism: the lateral's order is total
+    * (`o_orderdate DESC, o_orderkey`), and every output value is a
+    * parquet passthrough — no arithmetic, so bit-equality is free.
+    * Scale: Catalyst DECORRELATES the lateral — the physical plan is a
+    * per-custkey Window top-k plus a hash equi-join back to customer
+    * (the q110 row_number shape, reached from lateral syntax), NOT a
+    * per-customer nested-loop re-scan of orders; no
+    * BroadcastNestedLoopJoin / CartesianProduct appears (plan pinned).
+    */
+  private val sqlLateralText: String =
+    """SELECT c_custkey, c_mktsegment, o.o_orderkey, o.o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey LIMIT 2
+      |) o
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
+  /** q113: correlated LATERAL top-k-per-group, one text both engines
+    * parse (see `sqlLateralText`).
+    */
+  def q113SqlLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(sqlLateralText)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_cohort_retention" -> (q95CohortRetention _),
     "q96_funnel" -> (q96Funnel _),
@@ -415,13 +512,16 @@ object MiscQueries extends QueryModule {
     "q54_sort_nulls" -> (q54SortNulls _),
     "q55_posexplode_stack" -> (q55PosexplodeStack _),
     "q56_csv_json_roundtrip" -> (q56CsvJsonRoundtrip _),
+    "q116_orc_roundtrip" -> (q116OrcRoundtrip _),
     "q57_sample_split" -> (q57SampleSplit _),
     "q99_sql_subqueries" -> (q99SqlSubqueries _),
     "q110_sql_window" -> (q110SqlWindow _),
     "q99b_sql_not_exists" -> (q99bSqlNotExists _),
     "q101_sql_pivot" -> (q101SqlPivot _),
     "q102_sql_grouping_sets" -> (q102SqlGroupingSets _),
-    "q103_sql_unpivot" -> (q103SqlUnpivot _)
+    "q103_sql_unpivot" -> (q103SqlUnpivot _),
+    "q112_sql_recursive" -> (q112SqlRecursive _),
+    "q113_sql_lateral" -> (q113SqlLateral _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -429,6 +529,9 @@ object MiscQueries extends QueryModule {
     // EXISTS / NOT IN / correlated-scalar statement over the same tables
     "q99_sql_subqueries" -> sqlSubqueryText,
     "q110_sql_window" -> sqlWindowText,
+    // the IDENTICAL recursive-CTE / LATERAL texts — DuckDB reparses them
+    "q112_sql_recursive" -> sqlRecursiveText,
+    "q113_sql_lateral" -> sqlLateralText,
     // the scale-path variant: same text both engines, NOT EXISTS branch
     "q99b_sql_not_exists" -> sqlNotExistsText,
     // PIVOT lowered to the conditional-agg rewrite DuckDB states directly
@@ -531,6 +634,15 @@ object MiscQueries extends QueryModule {
         |       sum(coalesce(weight, 0))::BIGINT AS sum_weight
         |FROM w LEFT JOIN lk USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the oracle never sees the ORC hop — it aggregates the ORIGINAL
+    // parquet, so the compare certifies the roundtrip is lossless
+    "q116_orc_roundtrip" ->
+      """SELECT l_returnflag AS grp, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+        |       min(l_orderkey) AS min_key
+        |FROM lineitem WHERE l_orderkey % 10 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q56_csv_json_roundtrip" ->
       """WITH o AS (
         |  SELECT 'csv:' || o_orderstatus AS grp, count(*)::BIGINT AS n,

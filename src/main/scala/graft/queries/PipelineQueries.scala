@@ -262,7 +262,38 @@ object PipelineQueries extends QueryModule {
         min("scrub_id").as("min_scrub_id"))
       .orderBy("source")
 
+  /** q117: temperature-scaled source mixture weights — the reweighting
+    * step a multi-source training mix runs after curation (the α=½
+    * sampling-temperature rule of multilingual pretraining: raising
+    * token shares to a power < 1 up-samples small sources without
+    * letting any giant source dominate; cf. q107's absolute budgets —
+    * this is the RELATIVE form). Per-source token totals are exact
+    * longs; the τ=½ scaling is ⌊√tokens⌋ — an INTEGER again (sqrt is
+    * correctly-rounded IEEE on an exactly-converted long, floor of it
+    * identical in any engine), so the normalizing total is an exact
+    * integer sum and each weight is ONE exactly-rounded division —
+    * bit-identical with no rounding step (the q105 single-chain idiom).
+    *
+    * Scale: one scan into a per-source partial+final agg (sources ≪
+    * rows), then a 1-row broadcast for the totals — nothing here grows
+    * with corpus size except the first scan.
+    */
+  def q117MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      .withColumn("w_num", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val tot = per.agg(sum("tokens").as("tot_tokens"), sum("w_num").as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("weight", col("w_num").cast("double") / col("tot_w").cast("double"))
+      .withColumn("raw_share", col("tokens").cast("double") / col("tot_tokens").cast("double"))
+      .select("source", "n_docs", "tokens", "w_num", "weight", "raw_share")
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_mixture_weights" -> (q117MixtureWeights _),
     "q73_decontamination" -> (q73Decontamination _),
     "q73b_decontamination_bloom" -> (q73bDecontaminationBloom _),
     "q74_sequence_packing" -> (q74SequencePacking _),
@@ -304,6 +335,19 @@ object PipelineQueries extends QueryModule {
     // chunk content gated through the same md5-prefix idiom; DuckDB
     // list slice a:b is 1-based inclusive = Spark slice(start, length),
     // both clipped at the array end
+    // exact integer tokens → ⌊√tokens⌋ integer numerators → one
+    // division per weight: bit-identical with no rounding step
+    "q117_mixture_weights" ->
+      """WITH d AS (
+        |  SELECT source, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+        |p AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS tokens
+        |      FROM d GROUP BY 1),
+        |w AS (SELECT *, CAST(floor(sqrt(tokens::DOUBLE)) AS BIGINT) AS w_num FROM p),
+        |t AS (SELECT sum(tokens)::BIGINT AS tot_tokens, sum(w_num)::BIGINT AS tot_w FROM w)
+        |SELECT source, n_docs, tokens, w_num,
+        |       w_num::DOUBLE / tot_w::DOUBLE AS weight,
+        |       tokens::DOUBLE / tot_tokens::DOUBLE AS raw_share
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
     // integer tokens, integer cumulative sums, integer census — the
     // only cross-engine surface is the identical md5 priority
     "q107_token_budget" ->

@@ -392,6 +392,42 @@ object SimilarityQueries extends QueryModule {
       .limit(20)
   }
 
+  /** q114: random-projection dimensionality reduction (the
+    * Johnson–Lindenstrauss sketch): every 64-dim embedding is projected
+    * onto the 16 deterministic `srpPlanes` directions — the DENSE
+    * counterpart of q84, which keeps only the sign bit of the same
+    * projection. The reduced vectors preserve pairwise distances within
+    * the JL distortion bound while cutting downstream similarity-scan
+    * cost 4×; the projection matrix is derived from md5 strings, so the
+    * oracle rebuilds it exactly (no shipped state).
+    *
+    * Determinism (the q105 integer-grid + single-chain idiom): the
+    * embedding snaps to the ⌊x·2^20 + 0.5⌋ grid, plane components are
+    * integers in [-500, 500], so each coordinate is an EXACT long
+    * (|Σ q·k| < 2^37 — order-invariant); the real-scale coordinate is
+    * ONE exactly-rounded division by the constant 2^20·500, bit-stable
+    * cross-engine with no accumulation-order exposure.
+    *
+    * Scale: map-only — the 16×64 plane matrix is a plan literal, each
+    * row's projection is scan-local arithmetic; no shuffle at all
+    * until the gate's cosmetic ORDER BY. At 100 TB this is the shape
+    * you want: zero exchanges, whole-stage codegen end to end.
+    */
+  def q114RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .withColumn("qe", transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)).cast("long")))
+    val dims: Seq[Column] = srpPlanes(16).zipWithIndex.map { case (pl, j) =>
+      struct(lit(j.toLong).as("dim"),
+        aggregate(zip_with(col("qe"), typedlit(pl), (q, k) => q * k),
+          lit(0L), (acc, v) => acc + v).as("proj"))
+    }
+    e.select(col("vec_id"), explode(array(dims: _*)).as("dp"))
+      .select(col("vec_id"), col("dp.dim").as("dim"), col("dp.proj").as("proj"))
+      .withColumn("y", col("proj").cast("double") / lit(524288000.0))
+      .orderBy("vec_id", "dim")
+  }
+
   /** q88: one-pass Gram + covariance of the embedding dimensions — the
     * distributed statistics PCA/whitening starts from. A single scan
     * folds every vector into ONE 2145-long buffer
@@ -517,6 +553,7 @@ object SimilarityQueries extends QueryModule {
     "q105_knn_label" -> (q105KnnLabel _),
     "q68_quantized_cosine" -> (q68QuantizedCosine _),
     "q84_srp_lsh" -> (q84SrpLsh _),
+    "q114_random_projection" -> (q114RandomProjection _),
     "q88_gram_covariance" -> (q88GramCovariance _),
     "q44_cosine_topk" -> (q44CosineTopk _),
     "q61_cosine_expr_topk" -> (q61CosineExprTopk _),
@@ -636,6 +673,21 @@ object SimilarityQueries extends QueryModule {
         |JOIN embeddings ea ON ea.vec_id = c.va
         |JOIN embeddings eb ON eb.vec_id = c.vb
         |ORDER BY cos DESC, va ASC, vb ASC LIMIT 20""".stripMargin,
+    // q84's plane derivation reused; each coordinate is the exact
+    // integer dot (order-invariant), de-scaled by ONE division — the
+    // single-chain construction is what makes `y` bit-identical
+    "q114_random_projection" ->
+      """WITH pl AS (
+        |  SELECT p, i,
+        |         (('0x' || substr(md5('srp_' || p || '_' || i), 1, 8))::BIGINT % 1001) - 500 AS k
+        |  FROM range(0, 16) t1(p), range(0, 64) t2(i)),
+        |pr AS (
+        |  SELECT e.vec_id, pl.p::BIGINT AS dim,
+        |         sum(floor(e.embedding[(pl.i + 1)::INT]::DOUBLE * 1048576 + 0.5)::BIGINT * pl.k)::BIGINT AS proj
+        |  FROM embeddings e, pl
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, dim, proj, proj::DOUBLE / 524288000.0 AS y
+        |FROM pr ORDER BY vec_id, dim""".stripMargin,
     // the engine's ⌊x·2^20 + 0.5⌋ integer grid mirrored exactly: both
     // moments are EXACT BIGINT sums (order-invariant by construction),
     // de-scaled by the same powers of two — every later double op is

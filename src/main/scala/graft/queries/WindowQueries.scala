@@ -206,6 +206,36 @@ object WindowQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** q115: truncated exponentially-weighted moving average per user —
+    * the streaming-feature smoother (EWMA with decay ½, horizon 8): for
+    * each event, ewma_i = Σ_{k=0..7} value_{i−k} / 2^(k+1), zero-padded
+    * before the partition start. A full-history EWMA is a sequential
+    * recurrence (y_i = y_{i−1}/2 + x_i/2) no engine parallelizes and no
+    * float replay reproduces; TRUNCATING the horizon turns it into a
+    * bounded window read — and with DYADIC weights on the ⌊x·2^20+0.5⌋
+    * integer grid it is EXACT: the numerator Σ q_k·2^(7−k) is an exact
+    * long (< 2^39), and the final value is that integer divided by 2^28
+    * — a dyadic rational a double holds exactly, so the result is
+    * bit-identical in any engine, any order, no rounding step at all.
+    *
+    * Scale: ONE shuffle on user_id, per-partition sort, streaming
+    * bounded frame (8 lags share one window spec) — the q110 shape with
+    * a constant-width frame; nothing grows with history length.
+    */
+  def q115Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val q = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("qv", floor(col("value") * lit(1048576.0) + lit(0.5)).cast("long"))
+    val num = (col("qv") * lit(128L)) +: (1 until 8).map(k =>
+      lag(col("qv"), k, 0L).over(w) * lit(1L << (7 - k)))
+    val numSum = num.reduce(_ + _)
+    q.withColumn("ewma_num", numSum)
+      .withColumn("ewma", col("ewma_num").cast("double") / lit(268435456.0))
+      .select("event_id", "user_id", "value", "ewma_num", "ewma")
+      .orderBy("event_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_sessionize" -> (q97Sessionize _),
     "q89_scd2" -> (q89Scd2 _),
@@ -214,10 +244,28 @@ object WindowQueries extends QueryModule {
     "q22_window_frames" -> (q22WindowFrames _),
     "q23_window_topk" -> (q23WindowTopk _),
     "q24_window_share" -> (q24WindowShare _),
-    "q81_gap_fill" -> (q81GapFill _)
+    "q81_gap_fill" -> (q81GapFill _),
+    "q115_ewma" -> (q115Ewma _)
   )
 
   override val oracles: Map[String, String] = Map(
+    // the identical dyadic-weight chain: exact integer numerator under
+    // the same (ts µs-truncated, event_id) order, ONE division by 2^28
+    "q115_ewma" ->
+      """WITH q AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, value,
+        |         CAST(floor(value * 1048576 + 0.5) AS BIGINT) AS qv
+        |  FROM events),
+        |n AS (
+        |  SELECT event_id, user_id, value,
+        |         qv * 128 + lag(qv, 1, 0) OVER w * 64 +
+        |         lag(qv, 2, 0) OVER w * 32 + lag(qv, 3, 0) OVER w * 16 +
+        |         lag(qv, 4, 0) OVER w * 8 + lag(qv, 5, 0) OVER w * 4 +
+        |         lag(qv, 6, 0) OVER w * 2 + lag(qv, 7, 0) OVER w AS ewma_num
+        |  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, value, CAST(ewma_num AS BIGINT) AS ewma_num,
+        |       ewma_num::DOUBLE / 268435456.0 AS ewma
+        |FROM n ORDER BY event_id""".stripMargin,
     // the same lag flags, running-sum session ids, and double-epoch
     // durations; µs-truncated ts so both engines see identical gaps
     "q97_sessionize" ->

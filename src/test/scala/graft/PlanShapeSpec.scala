@@ -590,6 +590,55 @@ class PlanShapeSpec extends AnyFunSuite {
       s"census aggregation has no map-side partial:\n$plan")
   }
 
+  test("q112 recursive CTE lowers to UnionLoop + hash join + partial aggs") {
+    val plan = finalPlan(graft.queries.MiscQueries.q112SqlRecursive(spark, dir))
+    assert(plan.contains("UnionLoop"), s"recursion did not plan as UnionLoop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"rollup lost its partial aggs:\n$plan")
+  }
+
+  test("q113 LATERAL decorrelates to a Window top-k + equi-join, not a nested loop") {
+    // the scaladoc claim, machine-checked: a correlated LATERAL with
+    // ORDER BY + LIMIT must reach the q110 row_number shape (Window +
+    // hash equi-join), never a per-outer-row re-scan (BNLJ/Cartesian)
+    val plan = finalPlan(graft.queries.MiscQueries.q113SqlLateral(spark, dir))
+    assert(plan.contains("Window"), s"no Window — lateral not decorrelated:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+  }
+
+  test("q114 random projection is map-only — no shuffle before the cosmetic sort") {
+    val plan = finalPlan(SimilarityQueries.q114RandomProjection(spark, dir))
+    assert(!plan.contains("HashAggregate"), s"projection should not aggregate:\n$plan")
+    assert(!plan.contains("Join"), s"projection should not join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"only the final ORDER BY may shuffle:\n$plan")
+  }
+
+  test("q115 EWMA runs all eight lags through one window shuffle") {
+    val plan = finalPlan(graft.queries.WindowQueries.q115Ewma(spark, dir))
+    assert("Window".r.findAllIn(plan).size == 1,
+      s"the lag chain must share one Window:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      s"expected only the user_id hash + final sort exchanges:\n$plan")
+  }
+
+  test("q116 ORC read-back aggregates with map-side partials and no join") {
+    val plan = finalPlan(graft.queries.MiscQueries.q116OrcRoundtrip(spark, dir))
+    assert(!plan.contains("Join"), s"roundtrip census should not join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"ORC census lost its partial aggs:\n$plan")
+  }
+
+  test("q117 mixture weights: per-source partial aggs, only the 1-row total attaches") {
+    val plan = finalPlan(graft.queries.PipelineQueries.q117MixtureWeights(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"source census lost its partial aggs:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"totals must broadcast, not SMJ:\n$plan")
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))
