@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -139,6 +139,40 @@ object MiscQueries extends QueryModule {
         sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")).as("price_cents"),
         min("l_orderkey").as("min_key"))
       .orderBy("grp")
+  }
+
+  /** q118: order-invariant table fingerprints — the operational
+    * equality check a 100 TB migration/backfill/replication run needs:
+    * "are these two copies the same table?" answered WITHOUT a
+    * row-by-row compare. Each row canonicalizes to a '|'-joined string
+    * of integer-rendered fields (doubles as exact cents — never
+    * engine-formatted floats), hashes through md5 to a 60-bit int, and
+    * the table fingerprint is the BIT_XOR of all row hashes: XOR is
+    * commutative/associative (order- and partitioning-invariant by
+    * algebra, not by sort) and cannot overflow — any single changed,
+    * missing, or duplicated-odd-times row flips the fingerprint.
+    * Here the gate fingerprints three tables; comparing engine output
+    * to the DuckDB oracle IS the cross-system certification run.
+    * Scale: one scan per table into a partial+final 1-row agg — the
+    * cheapest possible full-table pass, no shuffle beyond the
+    * 8-byte-per-partition merge.
+    */
+  def q118TableFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    def cents(c: Column): Column =
+      floor(c * lit(100.0) + lit(0.5)).cast("long").cast("string")
+    def fp(tbl: String, df: DataFrame, canon: Column): DataFrame =
+      df.select(conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("fp"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("fp"))
+    val c = fp("customer", Tables.customer(spark, dir),
+      concat_ws("|", col("c_custkey").cast("string"), col("c_mktsegment"),
+        cents(col("c_acctbal"))))
+    val o = fp("orders", Tables.orders(spark, dir),
+      concat_ws("|", col("o_orderkey").cast("string"), col("o_orderstatus"),
+        cents(col("o_totalprice"))))
+    val d = fp("documents", Tables.documents(spark, dir),
+      concat_ws("|", col("doc_id").cast("string"), col("source"), md5(col("text"))))
+    c.unionByName(o).unionByName(d).orderBy("tbl")
   }
 
   /** q57: sample()/randomSplit — rows-only (Spark's Bernoulli sampler is
@@ -513,6 +547,7 @@ object MiscQueries extends QueryModule {
     "q55_posexplode_stack" -> (q55PosexplodeStack _),
     "q56_csv_json_roundtrip" -> (q56CsvJsonRoundtrip _),
     "q116_orc_roundtrip" -> (q116OrcRoundtrip _),
+    "q118_table_fingerprint" -> (q118TableFingerprint _),
     "q57_sample_split" -> (q57SampleSplit _),
     "q99_sql_subqueries" -> (q99SqlSubqueries _),
     "q110_sql_window" -> (q110SqlWindow _),
@@ -634,6 +669,23 @@ object MiscQueries extends QueryModule {
         |       sum(coalesce(weight, 0))::BIGINT AS sum_weight
         |FROM w LEFT JOIN lk USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the oracle re-derives each fingerprint from the raw parquet: the
+    // engine↔oracle hash equality IS a cross-system certification run
+    "q118_table_fingerprint" ->
+      """SELECT 'customer' AS tbl, count(*) AS n_rows,
+        |       bit_xor(('0x' || substr(md5(c_custkey::VARCHAR || '|' || c_mktsegment || '|' ||
+        |                CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)::VARCHAR), 1, 15))::BIGINT) AS fp
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders', count(*),
+        |       bit_xor(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || o_orderstatus || '|' ||
+        |                CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)::VARCHAR), 1, 15))::BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'documents', count(*),
+        |       bit_xor(('0x' || substr(md5(doc_id::VARCHAR || '|' || source || '|' || md5(text)), 1, 15))::BIGINT)
+        |FROM documents
+        |ORDER BY tbl""".stripMargin,
     // the oracle never sees the ORC hop — it aggregates the ORIGINAL
     // parquet, so the compare certifies the roundtrip is lossless
     "q116_orc_roundtrip" ->

@@ -292,8 +292,34 @@ object PipelineQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q120: deterministic hash split — train/val/test assignment by
+    * content-independent key hash (md5(doc_id) mod 100 → 80/10/10),
+    * the split rule production pipelines use instead of seeded
+    * sampling: stable across runs, engines, partitionings, and corpus
+    * growth (a doc's split never changes when OTHER docs arrive —
+    * q57's seeded `sample()` cannot promise any of that, which is why
+    * it is rows-only while this is bit-gated). Output: per-(source,
+    * split) census with token totals and the q79 membership-pinning id
+    * sum, so one misassigned document anywhere flips the gate.
+    * Scale: the split column is scan-local arithmetic (no shuffle,
+    * no state); the census is one partial+final hash agg.
+    */
+  def q120HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+        sum("doc_id").as("sum_ids"))
+      .orderBy("source", "split")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_mixture_weights" -> (q117MixtureWeights _),
+    "q120_hash_split" -> (q120HashSplit _),
     "q73_decontamination" -> (q73Decontamination _),
     "q73b_decontamination_bloom" -> (q73bDecontaminationBloom _),
     "q74_sequence_packing" -> (q74SequencePacking _),
@@ -335,6 +361,17 @@ object PipelineQueries extends QueryModule {
     // chunk content gated through the same md5-prefix idiom; DuckDB
     // list slice a:b is 1-based inclusive = Spark slice(start, length),
     // both clipped at the array end
+    // the identical md5 bucket rule — all-integer, no float surface
+    "q120_hash_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        |  FROM documents)
+        |SELECT source,
+        |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS tokens,
+        |       sum(doc_id)::BIGINT AS sum_ids
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // exact integer tokens → ⌊√tokens⌋ integer numerators → one
     // division per weight: bit-identical with no rounding step
     "q117_mixture_weights" ->

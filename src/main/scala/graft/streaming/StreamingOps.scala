@@ -136,6 +136,36 @@ object StreamingOps extends QueryModule {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** FULL OUTER variant of [[clickAttribution]] — the audit view: every
+    * purchase AND every click accounted for exactly once (unmatched
+    * purchases with null click columns, unmatched clicks with null
+    * purchase columns). In streaming, BOTH kinds of null rows can only
+    * emit once the watermark proves the other side's qualifying window
+    * is closed, so each surfaces one state-horizon late while matches
+    * emit eagerly. `user_id` is coalesced across sides so click-only
+    * rows keep their key. Batch: a plain full join.
+    */
+  def clickAttributionFull(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 6 HOURS") &&
+        col("click_ts") <= col("purchase_ts"),
+      "full_outer")
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("user_id"), col("click_user")).as("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   // ---- batch entries for the driver's oracle gate ----
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -155,6 +185,9 @@ object StreamingOps extends QueryModule {
 
   def q64StreamStreamOuter(spark: SparkSession, dir: String): DataFrame =
     clickAttributionOuter(ev(spark, dir)).orderBy("purchase_id", "click_id")
+
+  def q119StreamStreamFull(spark: SparkSession, dir: String): DataFrame =
+    clickAttributionFull(ev(spark, dir)).orderBy("purchase_id", "click_id")
 
   /** q100: the streaming SQL entry point, driver-gated end-to-end the
     * way q99 gates batch subqueries. The events table is read as a
@@ -250,7 +283,8 @@ object StreamingOps extends QueryModule {
     "q59_window_sliding" -> (q59WindowSliding _),
     "q60_session_window" -> (q60SessionWindow _),
     "q62_stream_stream_join" -> (q62StreamStreamJoin _),
-    "q64_stream_stream_outer" -> (q64StreamStreamOuter _)
+    "q64_stream_stream_outer" -> (q64StreamStreamOuter _),
+    "q119_stream_stream_full" -> (q119StreamStreamFull _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -333,6 +367,15 @@ object StreamingOps extends QueryModule {
         |       c.ts AS click_ts, p.ts AS purchase_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 6 HOURS AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    "q119_stream_stream_full" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       coalesce(p.user_id, c.user_id) AS user_id,
+        |       c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts BETWEEN p.ts - INTERVAL 6 HOURS AND p.ts
         |ORDER BY purchase_id, click_id""".stripMargin

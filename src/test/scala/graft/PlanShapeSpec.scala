@@ -639,6 +639,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"totals must broadcast, not SMJ:\n$plan")
   }
 
+  test("q118 fingerprints fold each table to one row with map-side partials") {
+    val plan = finalPlan(graft.queries.MiscQueries.q118TableFingerprint(spark, dir))
+    assert(!plan.contains("Join"), s"fingerprinting should never join:\n$plan")
+    // three tables × (partial + final) 1-row aggregation branches
+    assert("HashAggregate".r.findAllIn(plan).size >= 6,
+      s"per-table partial aggs missing:\n$plan")
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))

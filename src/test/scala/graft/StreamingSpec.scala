@@ -183,6 +183,39 @@ class StreamingSpec extends AnyFunSuite {
       s"unmatched purchases: stream $gotNulls vs batch $wantNulls (must be > 0 to test anything)")
   }
 
+  test("stream-stream FULL OUTER join: null rows on BOTH sides emit after the watermark, total equals batch") {
+    // The audit view: unmatched purchases AND unmatched clicks each
+    // surface with nulls once the watermark closes their horizon.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = StreamingOps.clickAttributionFull(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      chunks(4).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val far = allEvents.last.ts.getTime + 30L * 86400000L
+      (0 to 1).foreach { k =>
+        mem.addData(Seq(
+          Event(-1L - 2 * k, new Timestamp(far + 2 * k * 86400000L), -1L, "click", 0.0, "{}"),
+          Event(-2L - 2 * k, new Timestamp(far + (2 * k + 1) * 86400000L), -2L, "purchase", 0.0, "{}")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table(name).filter($"user_id" >= 0)
+    val want = StreamingOps.clickAttributionFull(
+      Tables.events(spark, SparkTestSession.sf0001))
+    assert(canon(got) == canon(want))
+    val gotNullClicks = got.filter($"click_id".isNull).count()
+    val gotNullPurch = got.filter($"purchase_id".isNull).count()
+    val wantNullClicks = want.filter($"click_id".isNull).count()
+    val wantNullPurch = want.filter($"purchase_id".isNull).count()
+    assert(gotNullClicks == wantNullClicks && wantNullClicks > 0,
+      s"unmatched purchases: stream $gotNullClicks vs batch $wantNullClicks (must be > 0)")
+    assert(gotNullPurch == wantNullPurch && wantNullPurch > 0,
+      s"unmatched clicks: stream $gotNullPurch vs batch $wantNullPurch (must be > 0)")
+  }
+
   test("stream-stream join evicts expired state (bounded by watermark + range)") {
     // 30 days of events flow through a join whose state horizon is ~7 h
     // (1 h watermark delay + 6 h range). Without eviction the state store
