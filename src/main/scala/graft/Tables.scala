@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet fixture tables (TESTDATA.md /
   * FIXTURES.md). Schemas are read from parquet footers — no schema is
@@ -15,8 +15,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Footer-schema read + one normalization: any TIMESTAMP_NTZ column is
+    * cast to session-local TimestampType. The driver has regenerated the
+    * fixtures across rounds with different physical timestamp encodings
+    * (TIMESTAMP(MILLIS, UTC) → TimestampType, then TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) → TimestampNTZType); the whole query surface
+    * — watermarks, `java.sql.Timestamp` encoders, oracle comparisons —
+    * was built against TimestampType. With the session timezone pinned
+    * to UTC (GraftSession) the cast reinterprets the naive wall-clock as
+    * the same UTC instant DuckDB reads from the same file, so this is a
+    * type normalization, not a value change. The cast is a projection on
+    * top of the scan — column pruning and predicate pushdown still reach
+    * the parquet reader (timestamp pushdown happens post-cast either way).
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
@@ -25,21 +43,31 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * (see GraftSession) so it arrives as LongType nanos; convert to
-    * TimestampType by truncating to micros — exactly what DuckDB does
-    * when it reads the same file, so oracle comparisons align.
+  /** `events.ts` must arrive downstream as session-local TimestampType —
+    * the streaming surface (`withWatermark`, stream–stream joins,
+    * `flatMapGroupsWithState` over `java.sql.Timestamp` encoders) rejects
+    * TIMESTAMP_NTZ outright, and the fixture's physical type has changed
+    * across driver regenerations. Normalize every footer variant here:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; sessions
+    *    set `spark.sql.legacy.parquet.nanosAsLong` (GraftSession) so it
+    *    arrives as LongType nanos → truncate to micros with INTEGER
+    *    division (`/` on columns is double division, and 2024-epoch
+    *    nanosecond longs ~1.7e18 exceed double's 53-bit mantissa — ~12%
+    *    of rows would land on a different microsecond than DuckDB's exact
+    *    ns→µs integer truncation);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ: cast to
+    *    TimestampType. The session timezone is pinned to UTC
+    *    (GraftSession), so the cast reinterprets the naive wall-clock
+    *    value as the same UTC instant — bit-for-bit the values DuckDB
+    *    sees when it reads the same naive column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      // Integer division: `/` on columns is double division, and 2024-epoch
-      // nanosecond longs (~1.7e18) exceed double's 53-bit mantissa — ~12% of
-      // rows would truncate to a different microsecond than DuckDB's exact
-      // ns→µs integer truncation.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

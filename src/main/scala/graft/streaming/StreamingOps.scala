@@ -28,6 +28,22 @@ import graft.queries.QueryModule
   */
 object StreamingOps extends QueryModule {
 
+  /** Normalize a raw-footer `ts` column to session-local TimestampType —
+    * the streaming-source twin of the dispatch in [[graft.Tables.events]]
+    * (NANOS-as-long → integer-truncate to micros; MICROS-NTZ → cast under
+    * the UTC session timezone). `withWatermark` rejects TIMESTAMP_NTZ, so
+    * a raw-schema stream MUST pass through this before watermarking.
+    */
+  private def normalizeTs(raw: org.apache.spark.sql.types.StructType,
+                          stream: DataFrame): DataFrame =
+    raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
+
   /** Tumbling 5-minute windows per event type: count + sum. */
   def tumbling(events: DataFrame): DataFrame =
     events
@@ -210,15 +226,13 @@ object StreamingOps extends QueryModule {
     import org.apache.spark.sql.streaming.Trigger
     // the fixture table is one parquet FILE in a read-only dir: address
     // it as a glob (file source requirement) with the dir as basePath,
-    // using the RAW footer schema (ts = TIMESTAMP(NANOS) read as long
-    // via nanosAsLong, exactly like the batch path in Tables.events)
+    // using the RAW footer schema, then normalize `ts` to TimestampType
+    // exactly like the batch path (Tables.events handles every footer
+    // variant the driver has generated: NANOS-as-long and MICROS-NTZ)
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     val stream0 = spark.readStream.schema(raw)
       .option("basePath", dir).parquet(s"$dir/events.parque[t]")
-    val stream =
-      if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    val stream = normalizeTs(raw, stream0)
     stream.withWatermark("ts", "0 seconds")
       .createOrReplaceTempView("events_stream")
     val agg = spark.sql(
@@ -255,10 +269,7 @@ object StreamingOps extends QueryModule {
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     val stream0 = spark.readStream.schema(raw)
       .option("basePath", dir).parquet(s"$dir/events.parque[t]")
-    val stream =
-      if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    val stream = normalizeTs(raw, stream0)
     stream.withWatermark("ts", "0 seconds")
       .createOrReplaceTempView("events_stream_tumble")
     val agg = spark.sql(
