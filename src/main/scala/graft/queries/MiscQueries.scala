@@ -537,7 +537,64 @@ object MiscQueries extends QueryModule {
     spark.sql(sqlLateralText)
   }
 
+  /** The q123 SQL TEXT — GROUP BY ALL + ORDER BY ALL, executed verbatim
+    * by both engines (the q99 same-text discipline). The DuckDB-born
+    * shorthand is now ANSI-adjacent surface users type daily; Spark
+    * added both in 3.4. Determinism: every aggregate is an exact
+    * integer-valued sum (counts; l_quantity holds small integers
+    * exactly in double) so no rounding step is needed, and ORDER BY ALL
+    * totals the order over every output column. Scale: identical plan
+    * to writing the columns out — one partial+final hash agg.
+    */
+  private val sqlGroupByAllText: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+      |       CAST(max(l_orderkey) AS BIGINT) AS max_key
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
+  /** q123: the GROUP BY ALL / ORDER BY ALL SQL shorthand, one text both
+    * engines parse (see `sqlGroupByAllText`).
+    */
+  def q123SqlGroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(sqlGroupByAllText)
+  }
+
+  /** The q124 SQL TEXT — a named WINDOW clause shared by three window
+    * functions, executed verbatim by both engines: the dedup-the-spec
+    * surface q110's inline OVER gate doesn't reach. One window spec,
+    * referenced by name, plus a frame-extending reference (DuckDB and
+    * Spark both allow `OVER w` where w carries the ORDER BY and the
+    * function adds its default frame). Determinism: integer keys under
+    * a total order; casts pin the cross-engine widths (Spark row_number
+    * is 32-bit, DuckDB 64; DuckDB integer window sums are 128-bit).
+    * Scale: ONE hash shuffle on o_custkey serves every function bound
+    * to the named spec — the reuse the clause exists to express.
+    */
+  private val sqlWindowClauseText: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         CAST(row_number() OVER w AS BIGINT) AS rn,
+      |         CAST(rank() OVER w AS BIGINT) AS rk,
+      |         CAST(sum(o_orderkey) OVER w AS BIGINT) AS run_key
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_totalprice DESC, o_orderkey ASC))
+      |SELECT o_custkey, o_orderkey, rn, rk, run_key, o_totalprice
+      |FROM r WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q124: the named WINDOW clause through one SQL text (see above). */
+  def q124SqlWindowClause(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(sqlWindowClauseText)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_sql_group_by_all" -> (q123SqlGroupByAll _),
+    "q124_sql_window_clause" -> (q124SqlWindowClause _),
     "q95_cohort_retention" -> (q95CohortRetention _),
     "q96_funnel" -> (q96Funnel _),
     "q98_rolling_actives" -> (q98RollingActives _),
@@ -564,6 +621,9 @@ object MiscQueries extends QueryModule {
     // EXISTS / NOT IN / correlated-scalar statement over the same tables
     "q99_sql_subqueries" -> sqlSubqueryText,
     "q110_sql_window" -> sqlWindowText,
+    // the IDENTICAL shorthand / named-window texts — DuckDB reparses them
+    "q123_sql_group_by_all" -> sqlGroupByAllText,
+    "q124_sql_window_clause" -> sqlWindowClauseText,
     // the IDENTICAL recursive-CTE / LATERAL texts — DuckDB reparses them
     "q112_sql_recursive" -> sqlRecursiveText,
     "q113_sql_lateral" -> sqlLateralText,

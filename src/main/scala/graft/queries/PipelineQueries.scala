@@ -317,7 +317,96 @@ object PipelineQueries extends QueryModule {
       .orderBy("source", "split")
   }
 
+  /** q121: boilerplate n-gram masking — the repeated-template filter a
+    * web-scale curation run applies before training (C4/RefinedWeb-style
+    * repeated-substring rules): a word trigram occurring in ≥ `minDf`
+    * DISTINCT documents is declared boilerplate, every document scores
+    * the fraction of its trigram POSITIONS covered by boilerplate, and
+    * documents over 20% coverage are flagged. All arithmetic is integer
+    * — positions and document frequencies are counts, and the 20% cut is
+    * the cross-multiplied `n_bp·5 > n_pos` (the q42c integer-threshold
+    * idiom; a float share would drop boundary documents). Gram keys are
+    * md5-prefix 60-bit ints (the q51/q73 cross-engine hash), computed
+    * WITH multiplicity (position-indexed `transform`, not the distinct
+    * `trigram_hashes` kernel — coverage counts positions, not types).
+    *
+    * Scale: df is one hash-shuffle on the 8-byte gram key with map-side
+    * partial distinct; the boilerplate set (df ≥ threshold) is orders of
+    * magnitude smaller than the gram stream by Zipf — it flows into a
+    * semi-join that AQE auto-broadcasts when it fits and shuffles
+    * otherwise (no forced hint: the set's size is data-dependent). The
+    * corpus side streams through scan-shaped either way; nothing is
+    * all-pairs.
+    */
+  def q121BoilerplateMask(spark: SparkSession, dir: String): DataFrame = {
+    val minDf = 5
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("gs", expr(
+        """transform(sequence(0, size(ws) - 3), i ->
+          |  cast(conv(substring(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15), 16, 10) as bigint))"""
+          .stripMargin))
+      .select(col("doc_id"), col("source"), col("gs"))
+    val pos = docs.select(col("doc_id"), explode(col("gs")).as("g"))
+    val bp = pos.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd") >= minDf)
+      .select("g")
+    val perDoc = pos.join(bp, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bp"))
+    docs.select(col("doc_id"), col("source"), size(col("gs")).cast("long").as("n_pos"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_bp", coalesce(col("n_bp"), lit(0L)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_pos").as("sum_pos"),
+        sum("n_bp").as("sum_bp"),
+        sum(when(col("n_bp") * 5 > col("n_pos"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("n_bp") * 5 > col("n_pos"), col("doc_id")).otherwise(lit(0L)))
+          .as("sum_flagged_ids"))
+      .orderBy("source")
+  }
+
+  /** q122: sequence-length bucketing — the batch-formation layout for
+    * variable-length training (pad-to-bucket): each document lands in
+    * the smallest power-of-two token bucket ≥ its length (floor 16, cap
+    * 1024), and the census prices the padding that bucket choice costs
+    * (`bucket − n_tok` per doc). Everything is integer — the bucket
+    * boundary comparison, the waste sum, the id-sum membership pin —
+    * so the gate is exact by construction. The two shares a mix
+    * designer reads (waste fraction, doc share) are single exact
+    * divisions of longs (q117 idiom, no rounding step).
+    *
+    * Scale: the bucket assignment is scan-local arithmetic (a CASE
+    * ladder over constants — no log2 float call, whose half-ulp at
+    * exact powers of two could mis-bucket); the census is one
+    * partial+final hash agg on (source, bucket). Nothing shuffles but
+    * the 8-byte group keys.
+    */
+  def q122LengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val bucket = when(nTok <= 16, 16L).when(nTok <= 32, 32L)
+      .when(nTok <= 64, 64L).when(nTok <= 128, 128L).when(nTok <= 256, 256L)
+      .when(nTok <= 512, 512L).otherwise(1024L)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), nTok.as("n_tok"), bucket.as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        (sum(col("bucket") - col("n_tok"))).as("padding_waste"),
+        sum("doc_id").as("sum_ids"))
+      .withColumn("waste_frac",
+        col("padding_waste").cast("double") / (col("bucket") * col("n_docs")).cast("double"))
+      .orderBy("source", "bucket")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_boilerplate_mask" -> (q121BoilerplateMask _),
+    "q122_length_buckets" -> (q122LengthBuckets _),
     "q117_mixture_weights" -> (q117MixtureWeights _),
     "q120_hash_split" -> (q120HashSplit _),
     "q73_decontamination" -> (q73Decontamination _),
@@ -354,6 +443,50 @@ object PipelineQueries extends QueryModule {
       |ORDER BY a.source""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // positional trigram hashes with multiplicity (list comprehension,
+    // not list_distinct), the same md5-prefix ints as the engine; the
+    // 20% cut is the identical integer cross-multiplication
+    "q121_boilerplate_mask" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         [('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT
+        |          FOR i IN range(1, len(ws) - 1)] AS gs
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3),
+        |p AS (SELECT doc_id, unnest(gs) AS g FROM h),
+        |bp AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS dfd FROM p GROUP BY g)
+        |       WHERE dfd >= 5),
+        |pb AS (SELECT p.doc_id, count(*)::BIGINT AS n_bp
+        |       FROM p JOIN bp USING (g) GROUP BY p.doc_id),
+        |per AS (
+        |  SELECT h.doc_id, h.source, len(h.gs)::BIGINT AS n_pos,
+        |         coalesce(pb.n_bp, 0)::BIGINT AS n_bp
+        |  FROM h LEFT JOIN pb ON h.doc_id = pb.doc_id)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(n_pos)::BIGINT AS sum_pos,
+        |       sum(n_bp)::BIGINT AS sum_bp,
+        |       sum(CASE WHEN n_bp * 5 > n_pos THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+        |       sum(CASE WHEN n_bp * 5 > n_pos THEN doc_id ELSE 0 END)::BIGINT AS sum_flagged_ids
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // the same CASE ladder over power-of-two constants; the one float
+    // column is a single exact division of longs (q117 idiom)
+    "q122_length_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, n_tok,
+        |         CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+        |              WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+        |              WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+        |              ELSE 1024 END::BIGINT AS bucket
+        |  FROM d)
+        |SELECT source, bucket, count(*)::BIGINT AS n_docs,
+        |       sum(n_tok)::BIGINT AS sum_tokens,
+        |       sum(bucket - n_tok)::BIGINT AS padding_waste,
+        |       sum(doc_id)::BIGINT AS sum_ids,
+        |       sum(bucket - n_tok)::DOUBLE / (bucket * count(*))::DOUBLE AS waste_frac
+        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
     // same md5-prefix gram hashes as the engine (q51's oracle
     // formulation) — the decontamination join is mirrored exactly
     "q73_decontamination" -> oracleDecontamination,

@@ -57,6 +57,25 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stubTap == materialized pixelStub for every index (lazy-tap resize is exact)") {
+    // the resize kernel reads the stub plane through stubTap instead of
+    // materializing W×H floats; this pins the equivalence for every
+    // shape class: plane longer than blob (LUT tiles), plane shorter
+    // than blob (prefix), equal, and the empty-blob zero plane
+    val blobs = Seq(
+      Array.tabulate[Byte](37)(i => (i * 7 + 3).toByte), // prime-ish period
+      Array.tabulate[Byte](256)(i => i.toByte),           // full byte range
+      Array.empty[Byte])
+    val dims = Seq((8, 8), (16, 4), (5, 3), (1, 1), (30, 2))
+    for (blob <- blobs; (w, h) <- dims) {
+      val plane = MediaPipeline.pixelStub(blob, w, h)
+      (0 until w * h).foreach { i =>
+        assert(plane(i) == MediaPipeline.stubTap(blob, i),
+          s"tap($i) diverges from plane for len=${blob.length} ${w}x$h")
+      }
+    }
+  }
+
   test("bilinear resize: exact on constants and affine ramps, right dims, identity at same size") {
     import graft.operators.MediaMeta
     // a constant plane must resize to exactly that constant (bilinear
