@@ -333,32 +333,36 @@ object PipelineQueries extends QueryModule {
     * Scale: df is one hash-shuffle on the 8-byte gram key with map-side
     * partial distinct; the boilerplate set (df ≥ threshold) is orders of
     * magnitude smaller than the gram stream by Zipf — it flows into a
-    * semi-join that AQE auto-broadcasts when it fits and shuffles
+    * marker join that AQE auto-broadcasts when it fits and shuffles
     * otherwise (no forced hint: the set's size is data-dependent). The
-    * corpus side streams through scan-shaped either way; nothing is
-    * all-pairs.
+    * corpus gram stream is evaluated exactly TWICE — once to derive the
+    * df table, once as the probe side — which is the floor for any exact
+    * df-then-filter algorithm (TF-IDF pays the same two passes; caching
+    * the positional gram stream at 100 TB would cost more than the
+    * recompute, and a window-over-g single-pass shape would put every
+    * occurrence of a hot gram in ONE window partition — the skew the
+    * partial-agg df computation exists to avoid). Both passes are
+    * scan-shaped; nothing is all-pairs and nothing repartitions the raw
+    * text (the scan's own splits carry the parallelism).
     */
   def q121BoilerplateMask(spark: SparkSession, dir: String): DataFrame = {
     val minDf = 5
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val pos = Tables.documents(spark, dir)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .withColumn("gs", expr(
         """transform(sequence(0, size(ws) - 3), i ->
           |  cast(conv(substring(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15), 16, 10) as bigint))"""
           .stripMargin))
-      .select(col("doc_id"), col("source"), col("gs"))
-    val pos = docs.select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("source"), explode(col("gs")).as("g"))
     val bp = pos.groupBy("g")
       .agg(count_distinct(col("doc_id")).as("dfd"))
       .filter(col("dfd") >= minDf)
-      .select("g")
-    val perDoc = pos.join(bp, Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_bp"))
-    docs.select(col("doc_id"), col("source"), size(col("gs")).cast("long").as("n_pos"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .withColumn("n_bp", coalesce(col("n_bp"), lit(0L)))
+      .select(col("g"), lit(1).as("is_bp"))
+    pos.join(bp, Seq("g"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("is_bp").isNotNull, 1L).otherwise(0L)).as("n_bp"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

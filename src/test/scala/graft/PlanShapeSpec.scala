@@ -647,6 +647,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-table partial aggs missing:\n$plan")
   }
 
+  test("q121 boilerplate mask: gram-key joins only — no cartesian, no table broadcast, no blind repartition") {
+    // the scaladoc's 100 TB claims, machine-checked: the boilerplate set
+    // attaches through a key join on the 8-byte gram (LeftOuter marker),
+    // never an all-pairs shape; with auto-broadcast off nothing at all
+    // broadcasts (the df table is data-dependent — a forced broadcast
+    // would survive the setting); and the raw-text scan keeps its own
+    // splits (the round-11 blind repartition is gone — no
+    // round-robin/rebalance exchange may appear).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(graft.queries.PipelineQueries.q121BoilerplateMask(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"a side still broadcast with auto-broadcast off:\n$plan")
+      assert(plan.contains("LeftOuter"), s"boilerplate marker join missing:\n$plan")
+      assert(!plan.contains("RoundRobinPartitioning"),
+        s"blind full-text repartition resurfaced:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q122 length bucketing is one scan into partial+final hash aggs — no join") {
+    val plan = finalPlan(graft.queries.PipelineQueries.q122LengthBuckets(spark, dir))
+    assert(!plan.contains("Join"), s"bucket census should never join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"bucket census lost its map-side partial:\n$plan")
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))
