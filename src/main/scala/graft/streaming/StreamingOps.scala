@@ -287,9 +287,117 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start", "event_type")
   }
 
+  /** q125: the sliding-window member of the streaming-SQL trio (q100
+    * sessions, q111 tumbling, q125 sliding) — `window(ts, '10 minutes',
+    * '5 minutes')` as SQL TEXT over a watermarked streaming view, drained
+    * with `Trigger.AvailableNow` in APPEND mode. Each event lands in the
+    * TWO 5-minute-aligned 10-minute windows covering it, and append mode
+    * emits a window only once the final watermark (max event time, 0 s
+    * delay) passes its END — so the last one-or-two covering windows of
+    * the stream are withheld; the oracle unnests each event into its two
+    * covering starts and applies exactly that finalization predicate.
+    * Scale: one shuffle on (window, event_type) with a 2× expand before
+    * the partial agg (the expand is map-side — overlap factor, not data
+    * skew); state is watermark-bounded to the open windows only.
+    */
+  def q125SqlSlidingStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream = normalizeTs(raw, stream0)
+    stream.withWatermark("ts", "0 seconds")
+      .createOrReplaceTempView("events_stream_slide")
+    val agg = spark.sql(
+      """SELECT window(ts, '10 minutes', '5 minutes') AS w, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events_stream_slide
+        |GROUP BY window(ts, '10 minutes', '5 minutes'), event_type""".stripMargin)
+    val name = s"q125_slide_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg
+      .select(col("w").getField("start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("w_start", "event_type")
+  }
+
+  /** q126: streaming dedup, driver-gated — `dropDuplicatesWithinWatermark`
+    * over a watermarked file-source stream, drained AvailableNow in APPEND
+    * mode. The key is the FULL output projection (user_id, event_type,
+    * minute-truncated ts), so whichever physical row the state store sees
+    * first, the emitted tuple is identical — that is what makes a
+    * nondeterministic-by-contract operator bit-gateable against DuckDB's
+    * DISTINCT. The fixture is one parquet file, so AvailableNow drains it
+    * as a single micro-batch and the within-watermark dedup window spans
+    * the whole input (state eviction only bites BETWEEN batches); the
+    * batch-boundary semantics themselves are exercised in StreamingSpec:
+    * cross-batch suppression inside the horizon, and re-admission of a
+    * key replayed after the watermark expired its state.
+    * Scale: dedup state partitions on the key hash exactly like the
+    * exact-dedup shuffle in q40, and the watermark bounds state to one
+    * dedup window — the unbounded-state hazard `dropDuplicates` has on
+    * streams is the thing this operator exists to fix.
+    */
+  def q126StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream = normalizeTs(raw, stream0)
+    val dedup = stream
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("ts_min"))
+      .withWatermark("ts_min", "0 seconds")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts_min")
+    val name = s"q126_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = dedup.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "event_type", "ts_min")
+  }
+
+  /** q127: stream–static enrichment, driver-gated end-to-end — the §2B
+    * stream–static join row was spec-only (batch-equivalence in
+    * `StreamingSpec`) until this entry. A watermarked event stream joins
+    * the STATIC customer dimension (the reference's enrichment shape: an
+    * unbounded feed keyed against slow reference data), then flows into
+    * a tumbling windowed census per market segment, drained AvailableNow
+    * in APPEND mode under the same watermark-finalization rule as q111 —
+    * so the gate covers the join AND the post-join event-time semantics
+    * (the watermark column must survive the join for the downstream agg
+    * to finalize). Scale: the static side is planned per micro-batch
+    * (size-based broadcast when it fits — no forced hint, same defect
+    * class as q10); the agg shuffles on (window, segment) with
+    * watermark-bounded state. Every event matches a customer in the
+    * fixture, so inner-join semantics are total and the oracle is exact.
+    */
+  def q127StreamStaticWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream = normalizeTs(raw, stream0).withWatermark("ts", "0 seconds")
+    val dim = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val agg = stream.join(dim, stream("user_id") === dim("c_custkey"))
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
+    val name = s"q127_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("w_start", "c_mktsegment")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_stream_static_window" -> (q127StreamStaticWindow _),
     "q100_sql_session_stream" -> (q100SqlSessionStream _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
+    "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
+    "q126_stream_dedup" -> (q126StreamDedup _),
     "q58_window_tumbling" -> (q58WindowTumbling _),
     "q59_window_sliding" -> (q59WindowSliding _),
     "q60_session_window" -> (q60SessionWindow _),
@@ -338,6 +446,39 @@ object StreamingOps extends QueryModule {
         |FROM b CROSS JOIN m
         |WHERE w_start + INTERVAL 5 MINUTES <= m.mx
         |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    // q59's covering-window expansion under the append-mode finalization
+    // rule: a 10-minute window has emitted only if the final watermark
+    // (max event time, 0 s delay) is at or past its END.
+    "q125_sql_sliding_stream" ->
+      """WITH x AS (
+        |  SELECT u.w_start, event_type, value
+        |  FROM (SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS b, event_type, value FROM events) e,
+        |       unnest([e.b, e.b - INTERVAL 5 MINUTES]) AS u(w_start)),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT w_start, event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM x CROSS JOIN m
+        |WHERE w_start + INTERVAL 10 MINUTES <= m.mx
+        |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    // the enrichment join replayed in batch + q111's finalization rule
+    // on the post-join buckets (only windows whose END the final
+    // watermark passed have been emitted by the drain)
+    "q127_stream_static_window" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, e.ts) AS w_start, c.c_mktsegment, e.value
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT w_start, c_mktsegment, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM b CROSS JOIN m
+        |WHERE w_start + INTERVAL 5 MINUTES <= m.mx
+        |GROUP BY w_start, c_mktsegment ORDER BY w_start, c_mktsegment""".stripMargin,
+    // single-batch AvailableNow drain ⇒ the within-watermark dedup window
+    // spans the whole input, and because the dedup key IS the output
+    // projection the surviving-row ambiguity vanishes: exact DISTINCT.
+    "q126_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |       date_trunc('minute', ts) AS ts_min
+        |FROM events
+        |ORDER BY user_id, event_type, ts_min""".stripMargin,
     // Sliding window = each event belongs to the two 5-min-aligned
     // 10-min windows covering it: starts b and b-5min for b = bucket(ts).
     "q59_window_sliding" ->

@@ -551,6 +551,37 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected key set: $got")
   }
 
+  test("dropDuplicatesWithinWatermark re-admits a key once its state expires") {
+    // the WITHIN-watermark contract, distinguished from global distinct:
+    // a key replayed AFTER the watermark passed its stored event time +
+    // delay must emit again (its dedup state was evicted at the previous
+    // batch boundary). Horizon 5 min; an unrelated event an hour later
+    // advances the watermark past the key's expiry before the replay.
+    val t0 = Timestamp.valueOf("2030-06-01 09:00:00")
+    def ev(id: Long, min: Int, user: Long, typ: String) =
+      Event(id, new Timestamp(t0.getTime + min * 60000L), user, typ, 1.0, "{}")
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val mem = MemoryStream[Event]
+    val name = s"sink_${System.nanoTime()}"
+    val q = mem.toDF().withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1: key seen (in-batch dup suppressed)
+      mem.addData(Seq(ev(1, 0, 1, "a"), ev(2, 1, 1, "a"))); q.processAllAvailable()
+      // batch 2: unrelated key advances watermark to 09:55 ≫ 09:05 expiry
+      mem.addData(Seq(ev(3, 60, 2, "b"))); q.processAllAvailable()
+      // batch 3: replay of the expired key — must emit a second time
+      mem.addData(Seq(ev(4, 61, 1, "a"))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.count(_ == (1L, "a")) == 2, s"expired key not re-admitted: $got")
+    assert(got.count(_ == (2L, "b")) == 1, s"unexpected emissions: $got")
+  }
+
   test("streaming corpus ingest end-to-end: content dedup + quality floor + kafka-shaped delivery") {
     // The reference IS a streaming ingester (ws → kafka); this is that
     // pipeline with the corpus-build operators composed in-stream:
