@@ -55,17 +55,15 @@ object Tables {
     *    nanosecond longs ~1.7e18 exceed double's 53-bit mantissa — ~12%
     *    of rows would land on a different microsecond than DuckDB's exact
     *    ns→µs integer truncation);
-    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ: cast to
-    *    TimestampType. The session timezone is pinned to UTC
-    *    (GraftSession), so the cast reinterprets the naive wall-clock
-    *    value as the same UTC instant — bit-for-bit the values DuckDB
-    *    sees when it reads the same naive column.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ: already
+    *    normalized by `load` (every NTZ column is cast to TimestampType
+    *    there, for all tables), so by the time this dispatch runs the
+    *    only variant left to handle is the NANOS-as-long one.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

@@ -27,28 +27,39 @@ object IvfAnn {
 
   /** Assign every vector to its nearest of `nLists` centroids.
     * Returns (index, centroids): index = (vec_id, label, embedding,
-    * list_id); centroids = (list_id, centroid).
+    * list_id); centroids = (list_id, centroid). If the input carries a
+    * precomputed `nrm` column (a `preppedEmb` frame), it rides through
+    * the assignment struct so downstream consumers skip their own norm
+    * pass.
     */
   def build(spark: SparkSession, emb: DataFrame, nLists: Int): (DataFrame, DataFrame) = {
     val centroids = emb
       .orderBy("vec_id").limit(nLists)
       .select(row_number().over(Window.orderBy("vec_id")).cast("int").as("list_id"),
         col("embedding").as("centroid"))
+    val hasNrm = emb.columns.contains("nrm")
+    // spread a one-file scan before the broadcast kernel cross-join; an
+    // already-materialized (checkpointed) input at full parallelism must
+    // NOT pay a second full shuffle of the vector data
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val spreadEmb = if (emb.rdd.getNumPartitions >= par) emb else emb.repartition(par)
     // nearest centroid via lexicographic struct-max (sim desc, list_id
     // asc) — partial-aggregates map-side, so one row per vector shuffles
     // instead of the n·nLists assignment stream through a ranking window;
     // label/embedding ride in the struct (never compared: -list_id is
     // unique per vector)
-    val index = emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val carried = Seq(col("label"), col("embedding")) ++
+      (if (hasNrm) Seq(col("nrm")) else Nil)
+    val index = spreadEmb
       .crossJoin(broadcast(centroids))
-      .selectExpr("vec_id", "label", "embedding", "list_id",
-        "cosine_sim(embedding, centroid) AS sim")
+      .selectExpr(Seq("vec_id", "label", "embedding", "list_id",
+        "cosine_sim(embedding, centroid) AS sim") ++
+        (if (hasNrm) Seq("nrm") else Nil): _*)
       .groupBy("vec_id")
-      .agg(max(struct(col("sim"), (-col("list_id")).as("neg"),
-        col("label"), col("embedding"))).as("b"))
-      .select(col("vec_id"), col("b.label").as("label"),
-        col("b.embedding").as("embedding"), (-col("b.neg")).as("list_id"))
+      .agg(max(struct(Seq(col("sim"), (-col("list_id")).as("neg")) ++ carried: _*)).as("b"))
+      .select(Seq(col("vec_id"), col("b.label").as("label"),
+        col("b.embedding").as("embedding"), (-col("b.neg")).as("list_id")) ++
+        (if (hasNrm) Seq(col("b.nrm").as("nrm")) else Nil): _*)
     (index, centroids)
   }
 
@@ -66,15 +77,29 @@ object IvfAnn {
     */
   private val shared =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), (DataFrame, DataFrame)]()
-  def buildShared(spark: SparkSession, dir: String, nLists: Int): (DataFrame, DataFrame) =
-    shared.computeIfAbsent((System.identityHashCode(spark), dir, nLists), _ => {
-      val emb = graft.Tables.embeddings(spark, dir)
+
+  /** Scan + per-row norm + materialization, shared across GEOMETRIES:
+    * q46's 8-list and q46b/q78/q63's 16-list indexes differ only in
+    * their centroid sets — the parquet scan, the spread repartition, and
+    * the O(n·d) `nrm` pass are identical, so they run ONCE per (session,
+    * dir) and every `buildShared` geometry reads the checkpointed blocks
+    * (at 100 TB: the normalized embedding table written once, each
+    * geometry's assignment pass a scan over it).
+    */
+  private val prepped =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def preppedEmb(spark: SparkSession, dir: String): DataFrame =
+    prepped.computeIfAbsent((System.identityHashCode(spark), dir), _ =>
+      graft.Tables.embeddings(spark, dir)
         .select("vec_id", "label", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
-      val (index, centroids) = build(spark, emb, nLists)
-      (index.withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
-        .localCheckpoint(true),
-        centroids.localCheckpoint(true))
+        .withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
+        .localCheckpoint(true))
+
+  def buildShared(spark: SparkSession, dir: String, nLists: Int): (DataFrame, DataFrame) =
+    shared.computeIfAbsent((System.identityHashCode(spark), dir, nLists), _ => {
+      val (index, centroids) = build(spark, preppedEmb(spark, dir), nLists)
+      (index.localCheckpoint(true), centroids.localCheckpoint(true))
     })
 
   /** EXACT nearest neighbor for EVERY vector through the IVF buckets —

@@ -78,7 +78,9 @@ object SimilarityQueries extends QueryModule {
     * 100 TB (the one plan shape this library bans; see
     * `nnPairsBrute`). q46 runs an 8-list geometry and q46b a 16-list
     * one, so the same oracle gates two different index layouts of the
-    * same exact algorithm.
+    * same exact algorithm; both geometries read ONE shared scan+norm
+    * prep (`IvfAnn.preppedEmb`) — only the centroid assignment pass is
+    * per-geometry.
     */
   def q46NnPairs(spark: SparkSession, dir: String): DataFrame = {
     val (index, centroids) = IvfAnn.buildShared(spark, dir, nLists = 8)

@@ -459,6 +459,53 @@ object TextQueries extends QueryModule {
       .orderBy("rank")
   }
 
+  /** q128: unigram-LM cross-entropy scoring — CCNet-style perplexity
+    * filtering, the quality signal web-scale curation runs compute
+    * against a language model (here the corpus's OWN unigram
+    * distribution — self-perplexity; production swaps in a reference-LM
+    * count table, same plan). Each document scores its mean negative
+    * log-likelihood xent(d) = −(1/n_d)·Σ_i ln(cnt(wᵢ)/total); template
+    * spam full of hot tokens scores LOW, lexically odd outliers HIGH —
+    * both tails are curation cuts. Census per source: doc/token counts,
+    * mean xent, and the argmax document via lexicographic struct-max
+    * (xent desc, doc_id desc — one row per source shuffles, never a
+    * ranking window), pinning tail membership without a threshold
+    * boundary.
+    *
+    * Determinism: counts and totals are exact integers; each per-token
+    * contribution is ln of one exactly-rounded division on identical
+    * operands, and the per-doc/per-source double sums carry ~1e-13
+    * summation-order + ln-ulp noise on O(10) statistics — absorbed by
+    * round 6 (the q93/q82 argument).
+    *
+    * Scale: the token stream is evaluated twice (count pass + probe
+    * pass — the exact two-pass floor shared with q121/TF-IDF); the
+    * vocabulary attaches via a term equi-join (AQE broadcasts when it
+    * fits), the grand total via a 1-row broadcast; two partial+final
+    * hash aggs. Nothing quadratic, nothing table-broadcast.
+    */
+  def q128UnigramXent(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val cnt = words.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum("cnt").cast("double").as("total"))
+    val perDoc = words
+      .join(cnt, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"),
+        round((sum(log(col("cnt").cast("double") / col("total"))) * -1d) /
+          count(lit(1)), 6).as("xent"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+        round(avg("xent"), 6).as("avg_xent"),
+        max(struct(col("xent"), col("doc_id"))).as("b"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("avg_xent"),
+        col("b.xent").as("max_xent"), col("b.doc_id").as("argmax_doc"))
+      .orderBy("source")
+  }
+
   /** q108: the multimodal RESIZE kernel through the driver gate — until
     * now the bilinear resample was spec-pinned only; here the oracle
     * replays the ENTIRE path in SQL: the doc→media manufacture
@@ -524,6 +571,7 @@ object TextQueries extends QueryModule {
     "q109_robust_outliers" -> (q109RobustOutliers _),
     "q108_media_resize" -> (q108MediaResize _),
     "q106_vocab_build" -> (q106VocabBuild _),
+    "q128_unigram_xent" -> (q128UnigramXent _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
     "q82_bm25" -> (q82Bm25 _),
@@ -625,6 +673,26 @@ object TextQueries extends QueryModule {
         |       round(cnt::DOUBLE / total, 6) AS share,
         |       round(cum::DOUBLE / total, 6) AS cum_share
         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    // exact counts → identical divides; per-doc/per-source ln-ulp +
+    // summation-order noise (~1e-13) absorbed by round 6 on O(10)
+    // statistics; argmax tie-break (xent desc, doc_id desc) mirrors the
+    // engine's lexicographic struct-max
+    "q128_unigram_xent" ->
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |w AS (SELECT doc_id, source, term FROM t WHERE term <> ''),
+        |c AS (SELECT term, count(*)::BIGINT AS cnt FROM w GROUP BY 1),
+        |tot AS (SELECT sum(cnt)::DOUBLE AS total FROM c),
+        |d AS (
+        |  SELECT doc_id, source, count(*)::BIGINT AS n_tok,
+        |         round(-sum(ln(cnt::DOUBLE / total)) / count(*), 6) AS xent
+        |  FROM w JOIN c USING (term) CROSS JOIN tot
+        |  GROUP BY doc_id, source),
+        |g AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS tokens,
+        |             round(avg(xent), 6) AS avg_xent FROM d GROUP BY source),
+        |mx AS (SELECT source, xent AS max_xent, doc_id AS argmax_doc FROM d
+        |       QUALIFY row_number() OVER (PARTITION BY source ORDER BY xent DESC, doc_id DESC) = 1)
+        |SELECT g.source, n_docs, tokens, avg_xent, max_xent, argmax_doc
+        |FROM g JOIN mx USING (source) ORDER BY source""".stripMargin,
     // identical counts → identical divides; ln ulp + summation-order
     // noise (~1e-15) absorbed by round 6 on an O(0.1) statistic
     "q93_kl_drift" ->
