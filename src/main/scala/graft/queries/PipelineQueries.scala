@@ -343,11 +343,24 @@ object PipelineQueries extends QueryModule {
     * occurrence of a hot gram in ONE window partition — the skew the
     * partial-agg df computation exists to avoid). Both passes are
     * scan-shaped; nothing is all-pairs and nothing repartitions the raw
-    * text (the scan's own splits carry the parallelism).
+    * text when the scan already carries the parallelism — the spread is
+    * GATED on the scan's split count (a one-file fixture fans out to
+    * the session's cores; a 100 TB scan with thousands of splits pays
+    * no full-corpus exchange — `boilerplateMask` over a pre-spread
+    * input is plan-asserted round-robin-free).
     */
   def q121BoilerplateMask(spark: SparkSession, dir: String): DataFrame = {
-    val minDf = 5
-    val pos = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions >= par) docs else docs.repartition(par)
+    boilerplateMask(spread, minDf = 5)
+  }
+
+  /** q121's dataflow over an already-spread document frame (doc_id,
+    * source, text) — see [[q121BoilerplateMask]] for semantics. */
+  private[graft] def boilerplateMask(docsIn: DataFrame, minDf: Int): DataFrame = {
+    val pos = docsIn
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .withColumn("gs", expr(

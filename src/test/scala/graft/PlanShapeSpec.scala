@@ -652,13 +652,18 @@ class PlanShapeSpec extends AnyFunSuite {
     // attaches through a key join on the 8-byte gram (LeftOuter marker),
     // never an all-pairs shape; with auto-broadcast off nothing at all
     // broadcasts (the df table is data-dependent — a forced broadcast
-    // would survive the setting); and the raw-text scan keeps its own
-    // splits (the round-11 blind repartition is gone — no
-    // round-robin/rebalance exchange may appear).
+    // would survive the setting); and a scan that ALREADY carries the
+    // parallelism pays no full-text exchange (the spread is gated on
+    // split count — probing the core over a pre-spread input must plan
+    // zero round-robin exchanges; the round-11 blind repartition would
+    // resurface here).
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val plan = finalPlan(graft.queries.PipelineQueries.q121BoilerplateMask(spark, dir))
+      val preSpread = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, org.apache.spark.sql.functions.col("doc_id"))
+      val plan = finalPlan(
+        graft.queries.PipelineQueries.boilerplateMask(preSpread, minDf = 5))
       assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
       assert(!plan.contains("BroadcastExchange"),
@@ -674,6 +679,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"bucket census should never join:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"bucket census lost its map-side partial:\n$plan")
+  }
+
+  test("q128 unigram xent: term equi-joins only — no cartesian, no table broadcast") {
+    // the vocabulary attaches by a term equi-join and the grand total by
+    // a 1-row broadcast; with auto-broadcast off the only broadcast left
+    // must be that single-row total (the token stream itself may never
+    // be a broadcast build side), and no all-pairs shape may appear
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(TextQueries.q128UnigramXent(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).size >= 4,
+        s"count/census aggs lost their map-side partials:\n$plan")
+      // the forced broadcast(tot) is one row; nothing else may broadcast
+      assert("BroadcastExchange".r.findAllIn(plan).size <= 1,
+        s"a table side broadcast with auto-broadcast off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
