@@ -392,8 +392,47 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start", "c_mktsegment")
   }
 
+  /** q129: ARBITRARY keyed state through the driver gate — the §2B
+    * "arbitrary state" row was spec-only (MemoryStream equivalence in
+    * `StreamingSpec`) until this entry. `StatefulOps.sessionCloseouts`
+    * (flatMapGroupsWithState, EventTimeTimeout, state REMOVAL on fire)
+    * runs over the watermarked file-source stream and drains
+    * AvailableNow: sessions split on event-time gaps > 5 min inside the
+    * handler, a superseded session emits in the data batch, and each
+    * user's final session emits from the TIMEOUT path in the no-data
+    * finalization batch iff the final watermark (max event time, 0 s
+    * delay) reached `last_ts + gap`. Supersession implies
+    * `last_ts + gap < next event's ts ≤ max ts`, so the emitted set
+    * collapses to one predicate the oracle states directly:
+    * `last_ts + gap ≤ max(ts)` over strict-gap (>) sessions — the
+    * handler-vs-session_window boundary difference (q100 splits at
+    * gap ≥, the handler at gap >) is part of what the gate pins.
+    * (Timeout-fire strictness vs the watermark only matters when some
+    * session has `last_ts + gap == max(ts)` EXACTLY; verified absent
+    * from the fixture at every SF, so the oracle's ≤ is exact under
+    * either convention.)
+    * Scale: state partitions on user_id, one key exchange; the timeout
+    * path is what keeps keyed state BOUNDED (the q100-adjacent 100 TB
+    * failure mode of grow-only state).
+    */
+  def q129StatefulSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val events = normalizeTs(raw, stream0).as[Event]
+    val closed = StatefulOps.sessionCloseouts(events, gapMinutes = 5)
+    val name = s"q129_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = closed.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "last_ts")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_stream_static_window" -> (q127StreamStaticWindow _),
+    "q129_stateful_sessions" -> (q129StatefulSessions _),
     "q100_sql_session_stream" -> (q100SqlSessionStream _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
@@ -459,6 +498,28 @@ object StreamingOps extends QueryModule {
         |FROM x CROSS JOIN m
         |WHERE w_start + INTERVAL 10 MINUTES <= m.mx
         |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    // strict-gap (>) gaps-and-islands + the timeout finalization
+    // predicate (a session emits iff the final watermark reached
+    // last_ts + gap; supersession implies it, so one WHERE covers both
+    // emission paths)
+    "q129_stateful_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL 5 MINUTES THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        |x AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_events, max(ts) AS last_ts
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT user_id, n_events, last_ts
+        |FROM x
+        |WHERE last_ts + INTERVAL 5 MINUTES <= (SELECT max(ts) FROM events)
+        |ORDER BY user_id, last_ts""".stripMargin,
     // the enrichment join replayed in batch + q111's finalization rule
     // on the post-join buckets (only windows whose END the final
     // watermark passed have been emitted by the drain)
