@@ -430,9 +430,45 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("user_id", "last_ts")
   }
 
+  /** q130: `mapGroupsWithState` running enrichment through the driver
+    * gate — the snapshot-or-delta state rebuild the reference's feed
+    * protocol implies (`README.md:45-51`: lossy deltas resynchronized by
+    * periodic snapshots), q129's sibling for the one-row-per-key state
+    * shape. `StatefulOps.runningBalance` folds each user's events in
+    * (ts, event_id) order — `signup` is a snapshot (state := value),
+    * everything else a delta (state += value) — and UPDATE mode emits
+    * the post-batch state per touched key; the single-batch AvailableNow
+    * drain makes that one final row per user. The oracle replays the
+    * fold in SQL: balance = value(last signup) + Σ later non-signup
+    * values (no signup ⇒ plain sum); the engine folds sequentially and
+    * DuckDB sums set-wise — same operand set, ulp-order noise absorbed
+    * by round 2 (bitsweep-checked on the gate fixture). Scale: state
+    * partitions on user_id, one key exchange, state is one 24-byte row
+    * per user (bounded by keyspace, the grow-only caveat documented at
+    * [[StatefulOps.runningBalance]] — q129's timeout path is the
+    * bounded-state variant).
+    */
+  def q130RunningBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val events = normalizeTs(raw, stream0).as[Event]
+    val running = StatefulOps.runningBalance(events)
+    val name = s"q130_balance_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = running.toDF()
+      .select(col("user_id"), col("n_events"), round(col("balance"), 2).as("balance"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_stream_static_window" -> (q127StreamStaticWindow _),
     "q129_stateful_sessions" -> (q129StatefulSessions _),
+    "q130_running_balance" -> (q130RunningBalance _),
     "q100_sql_session_stream" -> (q100SqlSessionStream _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
@@ -498,6 +534,25 @@ object StreamingOps extends QueryModule {
         |FROM x CROSS JOIN m
         |WHERE w_start + INTERVAL 10 MINUTES <= m.mx
         |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    // the snapshot-or-delta fold replayed set-wise: balance =
+    // value(last signup) + later non-signup deltas (no signup ⇒ plain
+    // sum); sequential-fold vs set-sum ulp noise absorbed by round 2
+    "q130_running_balance" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |ls AS (SELECT user_id, max(rn) AS srn FROM o WHERE event_type = 'signup' GROUP BY user_id),
+        |b AS (
+        |  SELECT o.user_id, count(*)::BIGINT AS n_events,
+        |         sum(CASE WHEN ls.srn IS NULL AND o.event_type <> 'signup' THEN o.value
+        |                  WHEN o.rn = ls.srn THEN o.value
+        |                  WHEN o.rn > ls.srn AND o.event_type <> 'signup' THEN o.value
+        |                  ELSE 0 END) AS balance
+        |  FROM o LEFT JOIN ls USING (user_id)
+        |  GROUP BY o.user_id)
+        |SELECT user_id, n_events, round(balance, 2) + 0.0 AS balance
+        |FROM b ORDER BY user_id""".stripMargin,
     // strict-gap (>) gaps-and-islands + the timeout finalization
     // predicate (a session emits iff the final watermark reached
     // last_ts + gap; supersession implies it, so one WHERE covers both
