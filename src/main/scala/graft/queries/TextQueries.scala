@@ -532,6 +532,26 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id", "idx")
   }
 
+  /** q131: multimodal frame sampling through the driver gate — the last
+    * MediaPipeline op (decode q52, resize q108, frame-sample here)
+    * without one. `sampleFrames` cuts each payload into fixed 32-byte
+    * frames and keeps every 4th — the keyframe-subsample shape a video
+    * curation pass runs before featurizing — emitted as RAW BINARY
+    * rows, so the gate hashes the actual frame bytes, not a summary.
+    * The oracle rebuilds the manufactured blob and slices characters:
+    * char-slice == byte-slice because the documents fixture is pure
+    * ASCII (verified `octet_length(encode(text)) == length(text)` for
+    * every row at every SF; non-ASCII byte kernels are gated separately
+    * by q72). Scale: one flatMap Generate — scan-shaped, zero shuffles
+    * before the gate's cosmetic sort, output ∝ payload bytes / stride.
+    */
+  def q131FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val ds = graft.operators.MediaPipeline.fromDocuments(spark, Tables.documents(spark, dir))
+    graft.operators.MediaPipeline.sampleFrames(ds, frameBytes = 32, stride = 4)
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"), col("frame"))
+      .orderBy("doc_id", "frame_no")
+  }
+
   /** q109: robust per-source outlier scoring — median + MAD (median
     * absolute deviation) over document length, the quality filter that
     * survives the heavy-tailed corpora mean/stddev filters die on
@@ -572,6 +592,7 @@ object TextQueries extends QueryModule {
     "q108_media_resize" -> (q108MediaResize _),
     "q106_vocab_build" -> (q106VocabBuild _),
     "q128_unigram_xent" -> (q128UnigramXent _),
+    "q131_frame_sample" -> (q131FrameSample _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
     "q82_bm25" -> (q82Bm25 _),
@@ -673,6 +694,15 @@ object TextQueries extends QueryModule {
         |       round(cnt::DOUBLE / total, 6) AS share,
         |       round(cum::DOUBLE / total, 6) AS cum_share
         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    // the manufactured blob re-sliced by CHARACTER — equal to the
+    // engine's byte slice on the verified-ASCII corpus; frames compare
+    // as raw bytes
+    "q131_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text FROM documents),
+        |f AS (SELECT doc_id, u.f::BIGINT AS frame_no,
+        |             encode(substring(text, (u.f*32 + 1)::BIGINT, 32::BIGINT)) AS frame
+        |      FROM m, unnest(range(0, length(text)//32, 4)) AS u(f))
+        |SELECT doc_id, frame_no, frame FROM f ORDER BY doc_id, frame_no""".stripMargin,
     // exact counts → identical divides; per-doc/per-source ln-ulp +
     // summation-order noise (~1e-13) absorbed by round 6 on O(10)
     // statistics; argmax tie-break (xent desc, doc_id desc) mirrors the
