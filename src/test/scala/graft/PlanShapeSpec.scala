@@ -699,6 +699,14 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q131 frame sampling is scan-shaped — no join, no agg, only the cosmetic-sort exchange") {
+    val plan = finalPlan(TextQueries.q131FrameSample(spark, dir))
+    assert(!plan.contains("Join"), s"frame sampling should never join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"frame sampling should not aggregate:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"only the final ORDER BY may shuffle:\n$plan")
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))
