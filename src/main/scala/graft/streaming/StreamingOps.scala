@@ -465,10 +465,44 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("user_id")
   }
 
+  /** q132: threshold-crossing alerts through the driver gate — the
+    * third and last `StatefulOps` operator (q129 timeout close-outs,
+    * q130 update-mode snapshots, and here `balanceAlerts`' 0..n-rows
+    * APPEND emission, the monitoring shape a feed pipeline hangs off
+    * the reference's stream). The alert contract is batch-boundary
+    * observation (prev.balance < t ≤ next.balance); on the single-batch
+    * AvailableNow drain prev is the 0-initialized state, so the emitted
+    * set is exactly the users whose FINAL folded balance clears the
+    * threshold — one WHERE over q130's fold oracle. The threshold sits
+    * ≥ 0.12 from every user's balance at every SF (DuckDB-verified), 11
+    * orders above fold-vs-set-sum ulp noise, so membership is unflippable;
+    * the chunked multi-batch crossing semantics are spec-pinned in
+    * `StreamingSpec` against a batch-by-batch reference. Scale: q130's
+    * plan — one user_id key exchange, 24-byte state rows, emission
+    * bounded by the crossing count.
+    */
+  def q132BalanceAlerts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val events = normalizeTs(raw, stream0).as[Event]
+    val alerts = StatefulOps.balanceAlerts(events, threshold = 500.0)
+    val name = s"q132_alerts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = alerts.toDF()
+      .select(col("user_id"), col("n_events"), round(col("balance"), 2).as("balance"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_stream_static_window" -> (q127StreamStaticWindow _),
     "q129_stateful_sessions" -> (q129StatefulSessions _),
     "q130_running_balance" -> (q130RunningBalance _),
+    "q132_balance_alerts" -> (q132BalanceAlerts _),
     "q100_sql_session_stream" -> (q100SqlSessionStream _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
@@ -534,6 +568,24 @@ object StreamingOps extends QueryModule {
         |FROM x CROSS JOIN m
         |WHERE w_start + INTERVAL 10 MINUTES <= m.mx
         |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    // q130's fold oracle + the threshold WHERE: on a single-batch drain
+    // the crossing test collapses to final-balance >= t (prev = 0 state)
+    "q132_balance_alerts" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |ls AS (SELECT user_id, max(rn) AS srn FROM o WHERE event_type = 'signup' GROUP BY user_id),
+        |b AS (
+        |  SELECT o.user_id, count(*)::BIGINT AS n_events,
+        |         sum(CASE WHEN ls.srn IS NULL AND o.event_type <> 'signup' THEN o.value
+        |                  WHEN o.rn = ls.srn THEN o.value
+        |                  WHEN o.rn > ls.srn AND o.event_type <> 'signup' THEN o.value
+        |                  ELSE 0 END) AS balance
+        |  FROM o LEFT JOIN ls USING (user_id)
+        |  GROUP BY o.user_id)
+        |SELECT user_id, n_events, round(balance, 2) + 0.0 AS balance
+        |FROM b WHERE balance >= 500 ORDER BY user_id""".stripMargin,
     // the snapshot-or-delta fold replayed set-wise: balance =
     // value(last signup) + later non-signup deltas (no signup ⇒ plain
     // sum); sequential-fold vs set-sum ulp noise absorbed by round 2
