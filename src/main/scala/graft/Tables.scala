@@ -69,4 +69,41 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Split-count-GATED fan-out (the q121 treatment, shared): repartition
+    * only when the input plans fewer partitions than the session's
+    * parallelism. A one-file fixture scan fans out to the cores; a
+    * 100 TB scan with thousands of splits pays NO full exchange
+    * (plan-asserted in `PlanShapeSpec`: the q73/q75/q121 cores over a
+    * pre-spread input produce zero round-robin exchanges). Caveat: the
+    * probe (`df.rdd.getNumPartitions`) physically plans the lineage on
+    * each call and under AQE coalescing can report a different count
+    * than the SQL scan's splits — so callers pass the BARE table scan
+    * (scan-only plans have no exchanges for AQE to coalesce), and the
+    * table-scan probes below memoize the count per (session, dir).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
+  /** Memoized split count of a fixture table scan — the probe forces a
+    * physical plan of the scan, so pay it once per (session, dir, table)
+    * rather than once per query build (q73/q73b/q75/q121 all gate on it).
+    */
+  private val scanSplits =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), Integer]()
+
+  /** [[documents]] spread through the split-count gate with the probe
+    * memoized. The four full-text pipeline queries (decontamination ×2,
+    * PII scrub, boilerplate mask) start here.
+    */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame = {
+    val df = documents(spark, dir)
+    val n: Int = scanSplits.computeIfAbsent(
+      (System.identityHashCode(spark), dir, "documents"),
+      _ => df.rdd.getNumPartitions)
+    if (n >= spark.sparkContext.defaultParallelism) df
+    else df.repartition(spark.sparkContext.defaultParallelism)
+  }
 }

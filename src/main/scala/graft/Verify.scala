@@ -16,9 +16,23 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // The driver's pandas canonicalization sorts column VALUES and
+        // crashes on raw bytes (`unhashable type: 'bytearray'`) — but
+        // the local check.py hex-normalizes them, so a BinaryType entry
+        // ships green locally and red at the driver (round-12 q131).
+        // Reject it HERE so the local sweep fails first; emit
+        // `hex(col)` instead (injective — the gate still certifies the
+        // exact bytes).
+        val bin = df.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.BinaryType => f.name
+        }
+        if (bin.nonEmpty) throw new IllegalStateException(
+          s"raw BinaryType column(s) ${bin.mkString(", ")} break the driver's " +
+            "pandas gate — emit hex(col) instead")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -40,9 +40,9 @@ object IvfAnn {
     val hasNrm = emb.columns.contains("nrm")
     // spread a one-file scan before the broadcast kernel cross-join; an
     // already-materialized (checkpointed) input at full parallelism must
-    // NOT pay a second full shuffle of the vector data
-    val par = emb.sparkSession.sparkContext.defaultParallelism
-    val spreadEmb = if (emb.rdd.getNumPartitions >= par) emb else emb.repartition(par)
+    // NOT pay a second full shuffle of the vector data (split-count
+    // gate, shared with the text pipelines — Tables.spread)
+    val spreadEmb = graft.Tables.spread(emb)
     // nearest centroid via lexicographic struct-max (sim desc, list_id
     // asc) — partial-aggregates map-side, so one row per vector shuffles
     // instead of the n·nLists assignment stream through a ranking window;
@@ -90,9 +90,9 @@ object IvfAnn {
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
   private def preppedEmb(spark: SparkSession, dir: String): DataFrame =
     prepped.computeIfAbsent((System.identityHashCode(spark), dir), _ =>
-      graft.Tables.embeddings(spark, dir)
-        .select("vec_id", "label", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
+      graft.Tables.spread(
+        graft.Tables.embeddings(spark, dir)
+          .select("vec_id", "label", "embedding"))
         .withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
         .localCheckpoint(true))
 

@@ -32,11 +32,17 @@ object PipelineQueries extends QueryModule {
     * through the native `gram5_md5` kernel (60-bit md5-prefix hashes,
     * the q51 primitive), so the join key is fixed-width; the oracle
     * rebuilds the SAME hashes in DuckDB (q51's formulation), making the
-    * gate exact — no collision caveat.
+    * gate exact — no collision caveat. Fan-out is split-count-gated
+    * ([[Tables.documentsSpread]]): a pre-spread input plans zero
+    * round-robin exchanges (plan-asserted).
     */
-  def q73Decontamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+  def q73Decontamination(spark: SparkSession, dir: String): DataFrame =
+    decontamination(Tables.documentsSpread(spark, dir))
+
+  /** q73's dataflow over an already-spread document frame — see
+    * [[q73Decontamination]] for semantics. */
+  private[graft] def decontamination(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 5)
       .withColumn("hs", expr("gram5_md5(ws)"))
@@ -91,8 +97,7 @@ object PipelineQueries extends QueryModule {
     // bit positions of gram `g` — the ONE expression both sides share
     val posExpr =
       s"transform(sequence(0, ${k - 1}), i -> cast(pmod(xxhash64(g, i), ${nBits}L) as int))"
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val docs = Tables.documentsSpread(spark, dir)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 5)
       .withColumn("hs", expr("gram5_md5(ws)"))
@@ -237,11 +242,17 @@ object PipelineQueries extends QueryModule {
     * placeholders match nothing). `min_scrub_id` pins the exact
     * post-replacement text through md5, so a wrong replacement anywhere
     * in any document flips the gate. Patterns stay in the regex subset
-    * Java and RE2 evaluate identically (classes, +, ?, {m,}).
+    * Java and RE2 evaluate identically (classes, +, ?, {m,}). Fan-out
+    * is split-count-gated ([[Tables.documentsSpread]]): a pre-spread
+    * input plans zero round-robin exchanges (plan-asserted).
     */
   def q75PiiScrub(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    piiScrub(Tables.documentsSpread(spark, dir))
+
+  /** q75's dataflow over an already-spread document frame — see
+    * [[q75PiiScrub]] for semantics. */
+  private[graft] def piiScrub(docsIn: DataFrame): DataFrame =
+    docsIn
       .withColumn("t", concat(col("text"), lit(piiSuffix)))
       .select(col("source"),
         regexp_count(col("t"), lit(emailRe)).cast("long").as("n_email"),
@@ -349,13 +360,8 @@ object PipelineQueries extends QueryModule {
     * no full-corpus exchange — `boilerplateMask` over a pre-spread
     * input is plan-asserted round-robin-free).
     */
-  def q121BoilerplateMask(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val par = spark.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions >= par) docs else docs.repartition(par)
-    boilerplateMask(spread, minDf = 5)
-  }
+  def q121BoilerplateMask(spark: SparkSession, dir: String): DataFrame =
+    boilerplateMask(Tables.documentsSpread(spark, dir), minDf = 5)
 
   /** q121's dataflow over an already-spread document frame (doc_id,
     * source, text) — see [[q121BoilerplateMask]] for semantics. */

@@ -536,8 +536,12 @@ object TextQueries extends QueryModule {
     * MediaPipeline op (decode q52, resize q108, frame-sample here)
     * without one. `sampleFrames` cuts each payload into fixed 32-byte
     * frames and keeps every 4th — the keyframe-subsample shape a video
-    * curation pass runs before featurizing — emitted as RAW BINARY
-    * rows, so the gate hashes the actual frame bytes, not a summary.
+    * curation pass runs before featurizing — emitted as HEX-encoded
+    * frame bytes. Hex is injective, so the gate still certifies the
+    * exact bytes; the encoding exists because the gate's pandas
+    * canonicalization sorts column values and raw bytearrays are
+    * unhashable there (round-12 red row) — StringType sorts fine, and
+    * Spark's `hex` and DuckDB's `hex` both emit uppercase.
     * The oracle rebuilds the manufactured blob and slices characters:
     * char-slice == byte-slice because the documents fixture is pure
     * ASCII (verified `octet_length(encode(text)) == length(text)` for
@@ -548,7 +552,8 @@ object TextQueries extends QueryModule {
   def q131FrameSample(spark: SparkSession, dir: String): DataFrame = {
     val ds = graft.operators.MediaPipeline.fromDocuments(spark, Tables.documents(spark, dir))
     graft.operators.MediaPipeline.sampleFrames(ds, frameBytes = 32, stride = 4)
-      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"), col("frame"))
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        hex(col("frame")).as("frame"))
       .orderBy("doc_id", "frame_no")
   }
 
@@ -696,11 +701,11 @@ object TextQueries extends QueryModule {
         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
     // the manufactured blob re-sliced by CHARACTER — equal to the
     // engine's byte slice on the verified-ASCII corpus; frames compare
-    // as raw bytes
+    // hex-encoded (injective; both engines' hex() is uppercase)
     "q131_frame_sample" ->
       """WITH m AS (SELECT doc_id, text FROM documents),
         |f AS (SELECT doc_id, u.f::BIGINT AS frame_no,
-        |             encode(substring(text, (u.f*32 + 1)::BIGINT, 32::BIGINT)) AS frame
+        |             hex(encode(substring(text, (u.f*32 + 1)::BIGINT, 32::BIGINT))) AS frame
         |      FROM m, unnest(range(0, length(text)//32, 4)) AS u(f))
         |SELECT doc_id, frame_no, frame FROM f ORDER BY doc_id, frame_no""".stripMargin,
     // exact counts → identical divides; per-doc/per-source ln-ulp +

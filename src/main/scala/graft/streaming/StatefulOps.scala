@@ -173,6 +173,78 @@ object StatefulOps {
     }
   }
 
+  /** `sessionCloseouts` on the Spark 4 `transformWithState` API — the
+    * TIMER surface (`registerTimer`/`handleExpiredTimer`, event-time
+    * mode) as the new-API equivalent of `EventTimeTimeout`: the
+    * reference's idle-watchdog semantic (`wsclient.hpp:20-21`) expressed
+    * as explicit per-key timers instead of the old implicit timeout
+    * slot. Same session algebra as [[sessionCloseouts]] (strict-gap
+    * split inside the handler, timer fire emits + CLEARS state), so the
+    * spec asserts row-for-row parity between the two APIs under the
+    * same chunking.
+    */
+  class SessionCloseoutProcessor(gapMinutes: Int)
+      extends StatefulProcessor[Long, Event, SessionClose] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SessionClose] = _
+    private val gapMs = gapMinutes * 60000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionClose]("session",
+        Encoders.product[SessionClose], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        inputRows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionClose] = {
+      val evs = inputRows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = scala.collection.mutable.ListBuffer.empty[SessionClose]
+      var cur = Option(state.get()).orNull
+      evs.foreach { e =>
+        cur match {
+          case null =>
+            cur = SessionClose(key, 1L, e.ts)
+          case c if e.ts.getTime - c.last_ts.getTime > gapMs =>
+            closed += c
+            cur = SessionClose(key, 1L, e.ts)
+          case c =>
+            cur = SessionClose(key, c.n_events + 1,
+              if (e.ts.after(c.last_ts)) e.ts else c.last_ts)
+        }
+      }
+      state.update(cur)
+      // re-arm: the old API's setTimeoutTimestamp REPLACES the slot;
+      // explicit timers accumulate, so drop the stale ones first
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      // same defense-in-depth clamp as sessionCloseouts: boundary rows
+      // (ts == watermark, tiny gap) must not register an already-expired
+      // timer
+      getHandle.registerTimer(math.max(
+        cur.last_ts.getTime + gapMs, timerValues.getCurrentWatermarkInMs() + 1))
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionClose] = {
+      val out = Option(state.get())
+      state.clear()
+      out.iterator
+    }
+  }
+
+  /** `sessionCloseouts` via transformWithState event-time timers
+    * (requires the RocksDB state store provider on the session).
+    */
+  def sessionCloseoutsTws(events: Dataset[Event], gapMinutes: Int): Dataset[SessionClose] = {
+    implicit val outEnc = Encoders.product[SessionClose]
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionCloseoutProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** `runningBalance` via transformWithState (requires the RocksDB state
     * store provider on the session).
     */

@@ -44,6 +44,26 @@ object StreamingOps extends QueryModule {
       case _ => stream
     }
 
+  /** Guard for the single-batch oracles (q126/q130/q132): their
+    * finalization predicates are exact ONLY when AvailableNow drains the
+    * fixture as ONE data micro-batch — q130's update mode would emit
+    * multiple rows per user across batches, q132's prev=0 collapse
+    * breaks, q126's dedup window would no longer span the whole input.
+    * That holds because the fixture is one parquet file under the file
+    * source's default read limits, but nothing asserted it at run time;
+    * fail LOUDLY here so a multi-file fixture or a Spark read-limit
+    * default change surfaces as an error, not a silent oracle mismatch.
+    * (The no-data watermark-finalization batch has numInputRows == 0
+    * and is excluded by construction.)
+    */
+  private def assertSingleDataBatch(
+      q: org.apache.spark.sql.streaming.StreamingQuery, name: String): Unit = {
+    val n = q.recentProgress.count(_.numInputRows > 0)
+    if (n != 1) throw new IllegalStateException(
+      s"$name drained in $n data micro-batches; its oracle is exact only for 1 " +
+        "(multi-file fixture, or changed file-source read limits?)")
+  }
+
   /** Tumbling 5-minute windows per event type: count + sum. */
   def tumbling(events: DataFrame): DataFrame =
     events
@@ -355,6 +375,7 @@ object StreamingOps extends QueryModule {
     val q = dedup.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    assertSingleDataBatch(q, "q126")
     spark.table(name).orderBy("user_id", "event_type", "ts_min")
   }
 
@@ -462,7 +483,48 @@ object StreamingOps extends QueryModule {
       .writeStream.format("memory").queryName(name)
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    assertSingleDataBatch(q, "q130")
     spark.table(name).orderBy("user_id")
+  }
+
+  /** q130b: the SAME running-balance fold through Spark 4's
+    * `transformWithState` — driver-gating the NEW arbitrary-state API
+    * (q130 gates `mapGroupsWithState`; this gates the
+    * `StatefulProcessor` path on its required RocksDB state store) at
+    * zero extra oracle cost: `StatefulOps.fold` is shared by both
+    * operators, so q130's oracle applies verbatim and any divergence
+    * between the two state backends/APIs flips exactly one of the two
+    * rows. The provider conf is set scoped to this query and restored
+    * (it is read at stream start; Verify/Bench build queries serially,
+    * so the scoped set cannot leak into another starting stream).
+    * Scale: identical to q130 — one user_id key exchange, one 24-byte
+    * state row per user, now in the production state backend.
+    */
+  def q130bRunningBalanceTws(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val raw = spark.read.parquet(s"$dir/events.parquet").schema
+      val stream0 = spark.readStream.schema(raw)
+        .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+      implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+      val events = normalizeTs(raw, stream0).as[Event]
+      val running = StatefulOps.runningBalanceTws(events)
+      val name = s"q130b_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = running.toDF()
+        .select(col("user_id"), col("n_events"), round(col("balance"), 2).as("balance"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assertSingleDataBatch(q, "q130b")
+      spark.table(name).orderBy("user_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** q132: threshold-crossing alerts through the driver gate — the
@@ -495,6 +557,7 @@ object StreamingOps extends QueryModule {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    assertSingleDataBatch(q, "q132")
     spark.table(name).orderBy("user_id")
   }
 
@@ -502,6 +565,7 @@ object StreamingOps extends QueryModule {
     "q127_stream_static_window" -> (q127StreamStaticWindow _),
     "q129_stateful_sessions" -> (q129StatefulSessions _),
     "q130_running_balance" -> (q130RunningBalance _),
+    "q130b_running_balance_tws" -> (q130bRunningBalanceTws _),
     "q132_balance_alerts" -> (q132BalanceAlerts _),
     "q100_sql_session_stream" -> (q100SqlSessionStream _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
@@ -514,6 +578,28 @@ object StreamingOps extends QueryModule {
     "q64_stream_stream_outer" -> (q64StreamStreamOuter _),
     "q119_stream_stream_full" -> (q119StreamStreamFull _)
   )
+
+  /** q130's fold replayed in SQL — shared verbatim by q130b (same fold,
+    * different state API/backend): balance = value(last signup) + Σ
+    * later non-signup values; no signup ⇒ plain sum. round 2 + `+ 0.0`
+    * absorb fold-vs-set-sum ulp order and signed zero.
+    */
+  private val q130OracleSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |ls AS (SELECT user_id, max(rn) AS srn FROM o WHERE event_type = 'signup' GROUP BY user_id),
+      |b AS (
+      |  SELECT o.user_id, count(*)::BIGINT AS n_events,
+      |         sum(CASE WHEN ls.srn IS NULL AND o.event_type <> 'signup' THEN o.value
+      |                  WHEN o.rn = ls.srn THEN o.value
+      |                  WHEN o.rn > ls.srn AND o.event_type <> 'signup' THEN o.value
+      |                  ELSE 0 END) AS balance
+      |  FROM o LEFT JOIN ls USING (user_id)
+      |  GROUP BY o.user_id)
+      |SELECT user_id, n_events, round(balance, 2) + 0.0 AS balance
+      |FROM b ORDER BY user_id""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     // q60's gaps-and-islands sessionization PLUS the append-mode
@@ -589,22 +675,10 @@ object StreamingOps extends QueryModule {
     // the snapshot-or-delta fold replayed set-wise: balance =
     // value(last signup) + later non-signup deltas (no signup ⇒ plain
     // sum); sequential-fold vs set-sum ulp noise absorbed by round 2
-    "q130_running_balance" ->
-      """WITH o AS (
-        |  SELECT user_id, event_type, value,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events),
-        |ls AS (SELECT user_id, max(rn) AS srn FROM o WHERE event_type = 'signup' GROUP BY user_id),
-        |b AS (
-        |  SELECT o.user_id, count(*)::BIGINT AS n_events,
-        |         sum(CASE WHEN ls.srn IS NULL AND o.event_type <> 'signup' THEN o.value
-        |                  WHEN o.rn = ls.srn THEN o.value
-        |                  WHEN o.rn > ls.srn AND o.event_type <> 'signup' THEN o.value
-        |                  ELSE 0 END) AS balance
-        |  FROM o LEFT JOIN ls USING (user_id)
-        |  GROUP BY o.user_id)
-        |SELECT user_id, n_events, round(balance, 2) + 0.0 AS balance
-        |FROM b ORDER BY user_id""".stripMargin,
+    "q130_running_balance" -> q130OracleSql,
+    // the SAME fold on the transformWithState/RocksDB path — one oracle,
+    // two APIs; a backend divergence flips exactly one row
+    "q130b_running_balance_tws" -> q130OracleSql,
     // strict-gap (>) gaps-and-islands + the timeout finalization
     // predicate (a session emits iff the final watermark reached
     // last_ts + gap; supersession implies it, so one WHERE covers both

@@ -24,6 +24,20 @@ class AllQueriesSpec extends AnyFunSuite {
       "rowsOnlyQueries names a query that does not exist")
   }
 
+  test("no query emits raw BinaryType — the driver's pandas gate can't sort bytes") {
+    // Round-12 q131: raw binary output passed the hex-normalizing local
+    // check yet crashed the driver's canonicalization (`unhashable
+    // type: 'bytearray'`). Schema-only check (no execution); Verify
+    // enforces the same invariant at dump time.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, dir).schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.BinaryType => s"$name.${f.name}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"BinaryType output column(s) ${offenders.mkString(", ")} — emit hex(col) instead")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows on sf0.001") {
       val n = fn(spark, dir).count()

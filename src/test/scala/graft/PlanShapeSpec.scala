@@ -674,6 +674,34 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q73 decontamination core over a pre-spread input plans zero round-robin exchanges") {
+    // the Tables.documentsSpread gate, machine-checked from the other
+    // side: a scan that already carries the parallelism (here: an input
+    // hash-partitioned upstream) must pay NO blind full-text exchange —
+    // the round-12 verdict's surviving `.repartition(par)` would
+    // resurface as RoundRobinPartitioning.
+    val preSpread = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, org.apache.spark.sql.functions.col("doc_id"))
+    val plan = finalPlan(graft.queries.PipelineQueries.decontamination(preSpread))
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"blind full-text repartition resurfaced:\n$plan")
+    assert(plan.contains("LeftSemi"), s"eval-gram semi-join missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+  }
+
+  test("q75 PII scrub core over a pre-spread input plans zero round-robin exchanges") {
+    val preSpread = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, org.apache.spark.sql.functions.col("doc_id"))
+    val plan = finalPlan(graft.queries.PipelineQueries.piiScrub(preSpread))
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"blind full-text repartition resurfaced:\n$plan")
+    assert(!plan.contains("Join"), s"PII scrub should never join:\n$plan")
+    // min(scrub_id) is a string agg → Spark may pick SortAggregate; what
+    // matters is the map-side partial, not the agg flavor
+    assert(plan.contains("partial_sum"),
+      s"per-source counters lost their map-side partial:\n$plan")
+  }
+
   test("q122 length bucketing is one scan into partial+final hash aggs — no join") {
     val plan = finalPlan(graft.queries.PipelineQueries.q122LengthBuckets(spark, dir))
     assert(!plan.contains("Join"), s"bucket census should never join:\n$plan")

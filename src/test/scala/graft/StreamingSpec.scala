@@ -35,6 +35,37 @@ class StreamingSpec extends AnyFunSuite {
       .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
   }
 
+  test("q129 fixture precondition: no session closes exactly at the final watermark") {
+    // q129's oracle writes the timeout-finalization predicate as
+    // `last_ts + gap <= max(ts)` while the engine's EventTimeTimeout
+    // fire may be strict — the two conventions agree iff NO session has
+    // last_ts + gap == max(ts) EXACTLY. That precondition was pinned by
+    // out-of-band fixture sweeps only (ADVICE r12); machine-check it
+    // here on both the spec and the driver-gate fixtures so a
+    // regenerated fixture flips a test, not the gate.
+    Seq(SparkTestSession.sf0001, SparkTestSession.sf001).foreach { dir =>
+      Tables.events(spark, dir).createOrReplaceTempView("ev_q129pre")
+      val n = spark.sql(
+        """WITH g AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |                   > INTERVAL 5 MINUTES THEN 1 ELSE 0 END AS brk
+          |  FROM ev_q129pre),
+          |s AS (
+          |  SELECT user_id, ts,
+          |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |                        ROWS UNBOUNDED PRECEDING) AS sess
+          |  FROM g),
+          |x AS (SELECT max(ts) AS last_ts FROM s GROUP BY user_id, sess)
+          |SELECT count(*) AS n FROM x
+          |WHERE last_ts + INTERVAL 5 MINUTES = (SELECT max(ts) FROM ev_q129pre)"""
+          .stripMargin).head().getLong(0)
+      assert(n == 0L,
+        s"$dir: $n session(s) close exactly at the final watermark — " +
+          "q129's <= oracle no longer matches a strict timeout fire")
+    }
+  }
+
   private def chunks(n: Int): Seq[Seq[Event]] = {
     val size = math.max(1, allEvents.size / n)
     allEvents.grouped(size).toSeq
@@ -401,6 +432,61 @@ class StreamingSpec extends AnyFunSuite {
         assert(got(u)._1 == w.n_events && math.abs(got(u)._2 - w.balance) < 1e-9,
           s"user $u: got ${got(u)}, want (${w.n_events}, ${w.balance})")
       }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState event-time timers close sessions in parity with EventTimeTimeout") {
+    // The timer surface of the Spark 4 API (registerTimer /
+    // handleExpiredTimer) is the new-API idle watchdog; this pins it
+    // row-for-row against the old EventTimeTimeout operator under the
+    // SAME chunking, on a scenario that exercises every path: timeout
+    // fire + state clear (u1's first close-out), a return AFTER the fire
+    // (fresh session), and a same-batch gap-crossing return (handler
+    // split, no timer involved).
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1700000000000L
+      def ev(id: Long, user: Long, offMin: Long) =
+        Event(id, new Timestamp(t0 + offMin * 60000L), user, "click", 1.0, "{}")
+      val scenario = Seq(
+        Seq(ev(1, 1, 0), ev(2, 1, 1), ev(3, 1, 1), ev(4, 2, 0)),
+        Seq(ev(5, 2, 30)),                // WM -> t0+30m at batch end
+        Seq(ev(6, 2, 31)),                // timer fires u1's close-out (3)
+        Seq(ev(7, 1, 40), ev(8, 1, 55)),  // fresh session + same-batch gap split
+        Seq(ev(9, 2, 100)),
+        Seq(ev(10, 2, 101))               // fires u1's last close-out
+      )
+      def run(f: Dataset[Event] => Dataset[StatefulOps.SessionClose]): Seq[(Long, Long, Long)] = {
+        implicit val sqlCtx = spark.sqlContext
+        implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+        val mem = MemoryStream[Event]
+        val name = s"sink_${System.nanoTime()}"
+        val q = f(mem.toDS()).toDF()
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          scenario.foreach { c => mem.addData(c); q.processAllAvailable() }
+        } finally q.stop()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+          .toSeq.sorted
+      }
+      val old = run(StatefulOps.sessionCloseouts(_, gapMinutes = 10))
+      val tws = run(StatefulOps.sessionCloseoutsTws(_, gapMinutes = 10))
+      assert(old == Seq(
+        (1L, 3L, t0 + 1 * 60000L),   // u1 first session, closed by timer
+        (1L, 1L, t0 + 40 * 60000L),  // u1 fresh session, closed by handler split
+        (1L, 1L, t0 + 55 * 60000L),  // u1 last session, closed by final timer
+        (2L, 1L, t0 + 0 * 60000L),   // u2 opener, closed by handler split
+        (2L, 2L, t0 + 31 * 60000L)   // u2 mid session, closed by handler split
+      ).sorted, s"old-API baseline drifted: $old")
+      assert(tws == old, s"timer path diverged from EventTimeTimeout: tws=$tws old=$old")
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
