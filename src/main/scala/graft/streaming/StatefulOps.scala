@@ -245,6 +245,135 @@ object StatefulOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Last-k event values per user, newest first. */
+  case class RecentValues(user_id: Long, vals: Seq[Double])
+
+  /** ListState on `transformWithState` — the VARIABLE-SIZE state shape
+    * (a bounded recent-events buffer per key, the "last N ticks" window
+    * a feed consumer keeps; ref analog: the reference's subscriber
+    * holds only the latest book, `README.md:45-51` — here the retained
+    * tail is explicit state). The buffer is truncated to k on EVERY
+    * batch, so state is bounded by construction (k rows per key), and
+    * the (ts desc, event_id desc) total order makes the kept set and
+    * its order deterministic under any chunking.
+    */
+  class RecentValuesProcessor(k: Int) extends StatefulProcessor[Long, Event, RecentValues] {
+    @transient private var state: org.apache.spark.sql.streaming.ListState[Event] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getListState[Event]("recent",
+        Encoders.product[Event], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        inputRows: Iterator[Event],
+        timerValues: TimerValues): Iterator[RecentValues] = {
+      val merged = (state.get() ++ inputRows).toArray
+        .sortBy(e => (-e.ts.getTime, -e.event_id)).take(k)
+      state.put(merged)
+      Iterator.single(RecentValues(key, merged.map(_.value).toSeq))
+    }
+  }
+
+  /** `RecentValuesProcessor` as a streaming operator (requires the
+    * RocksDB state store provider on the session). Update mode: one
+    * post-batch row per touched key.
+    */
+  def recentValuesTws(events: Dataset[Event], k: Int): Dataset[RecentValues] = {
+    implicit val outEnc = Encoders.product[RecentValues]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new RecentValuesProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-user per-event-type running count. */
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** MapState on `transformWithState` — the KEYED-SUB-STATE shape (a
+    * per-user counter map over event types; the reference analog is the
+    * per-side price→size book map of §1.5, a map per stream key). Each
+    * batch bumps only the touched sub-keys — at scale a point lookup +
+    * write per event against RocksDB, never a full-map rewrite (the
+    * reason MapState exists over a ValueState[Map]).
+    */
+  class TypeCountsProcessor extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var state: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        inputRows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      inputRows.foreach { e =>
+        val cur = if (state.containsKey(e.event_type)) state.getValue(e.event_type) else 0L
+        state.updateValue(e.event_type, cur + 1L)
+      }
+      // emit the full post-batch map (update-mode snapshot of this key)
+      state.iterator().map { case (et, n) => TypeCount(key, et, n) }.toArray.iterator
+    }
+  }
+
+  /** `TypeCountsProcessor` as a streaming operator (requires the RocksDB
+    * state store provider on the session).
+    */
+  def typeCountsTws(events: Dataset[Event]): Dataset[TypeCount] = {
+    implicit val outEnc = Encoders.product[TypeCount]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** `runningBalance` with INITIAL STATE on `transformWithState` — the
+    * reference's snapshot-bootstrap directly (`README.md:45-51`: resync
+    * from a periodic snapshot, then apply deltas): the first batch seeds
+    * each key's state from a snapshot Dataset via `handleInitialState`,
+    * and the same fold applies deltas on top. The spec proves the
+    * bootstrapped stream equals the batch fold STARTED from the
+    * snapshot, per key, under chunking.
+    */
+  class RunningBalanceProcessorWithInit
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, Event, UserRunning, UserRunning] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(
+        key: Long,
+        initialState: UserRunning,
+        timerValues: TimerValues): Unit =
+      state.update(initialState)
+
+    override def handleInputRows(
+        key: Long,
+        inputRows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = Option(state.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      val next = fold(prev, inputRows)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** `runningBalanceTws` bootstrapped from a snapshot Dataset (requires
+    * the RocksDB state store provider on the session).
+    */
+  def runningBalanceTwsFrom(
+      events: Dataset[Event], snapshot: Dataset[UserRunning]): Dataset[UserRunning] = {
+    implicit val outEnc = Encoders.product[UserRunning]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new RunningBalanceProcessorWithInit,
+        TimeMode.None(), OutputMode.Update(),
+        snapshot.groupByKey(_.user_id)(Encoders.scalaLong))
+  }
+
   /** `runningBalance` via transformWithState (requires the RocksDB state
     * store provider on the session).
     */

@@ -44,6 +44,42 @@ object StreamingOps extends QueryModule {
       case _ => stream
     }
 
+  /** Run a gate drain with `spark.sql.shuffle.partitions` scoped down.
+    * The stateful-stage partition count is pinned into each query's
+    * (fresh, private) checkpoint at start, and every drained operator
+    * here is partition-count-invariant by construction (the
+    * chunking-invariance specs hold at any partitioning) — so this is
+    * purely the fixture-scale constant: a 6k-row gate drain cannot
+    * amortize 32 state-store instances × 2 micro-batches × several
+    * stateful operators, and ~20 s of the sf0.1 sweep was exactly that
+    * setup/commit overhead. At 100 TB the same queries run with the
+    * deployment's real shuffle sizing — this scope only exists because
+    * the drain IS the gate, not the workload. Restored in a finally, so
+    * batch queries in the same session never see it.
+    */
+  private def withDrainPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Scope the RocksDB state store provider (required by
+    * `transformWithState`) to one drain and restore after. The provider
+    * conf is read at stream start; Verify/Bench build queries serially,
+    * so the scoped set cannot leak into another starting stream.
+    */
+  private def withRocksDbProvider[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Guard for the single-batch oracles (q126/q130/q132): their
     * finalization predicates are exact ONLY when AvailableNow drains the
     * fixture as ONE data micro-batch — q130's update mode would emit
@@ -242,7 +278,7 @@ object StreamingOps extends QueryModule {
     * AvailableNow takes the backlog in bounded batches (unset here —
     * the one-file fixture is a single batch by construction).
     */
-  def q100SqlSessionStream(spark: SparkSession, dir: String): DataFrame = {
+  def q100SqlSessionStream(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     // the fixture table is one parquet FILE in a read-only dir: address
     // it as a glob (file source requirement) with the dir as basePath,
@@ -284,7 +320,7 @@ object StreamingOps extends QueryModule {
     * buckets); a production backlog drains in bounded batches via
     * `maxFilesPerTrigger` (single-file fixture = one batch).
     */
-  def q111SqlTumblingStream(spark: SparkSession, dir: String): DataFrame = {
+  def q111SqlTumblingStream(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     val stream0 = spark.readStream.schema(raw)
@@ -320,7 +356,7 @@ object StreamingOps extends QueryModule {
     * the partial agg (the expand is map-side — overlap factor, not data
     * skew); state is watermark-bounded to the open windows only.
     */
-  def q125SqlSlidingStream(spark: SparkSession, dir: String): DataFrame = {
+  def q125SqlSlidingStream(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     val stream0 = spark.readStream.schema(raw)
@@ -360,7 +396,7 @@ object StreamingOps extends QueryModule {
     * dedup window — the unbounded-state hazard `dropDuplicates` has on
     * streams is the thing this operator exists to fix.
     */
-  def q126StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def q126StreamDedup(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     val stream0 = spark.readStream.schema(raw)
@@ -394,7 +430,7 @@ object StreamingOps extends QueryModule {
     * watermark-bounded state. Every event matches a customer in the
     * fixture, so inner-join semantics are total and the oracle is exact.
     */
-  def q127StreamStaticWindow(spark: SparkSession, dir: String): DataFrame = {
+  def q127StreamStaticWindow(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     val stream0 = spark.readStream.schema(raw)
@@ -436,7 +472,7 @@ object StreamingOps extends QueryModule {
     * path is what keeps keyed state BOUNDED (the q100-adjacent 100 TB
     * failure mode of grow-only state).
     */
-  def q129StatefulSessions(spark: SparkSession, dir: String): DataFrame = {
+  def q129StatefulSessions(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     val stream0 = spark.readStream.schema(raw)
@@ -469,7 +505,7 @@ object StreamingOps extends QueryModule {
     * [[StatefulOps.runningBalance]] — q129's timeout path is the
     * bounded-state variant).
     */
-  def q130RunningBalance(spark: SparkSession, dir: String): DataFrame = {
+  def q130RunningBalance(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     val stream0 = spark.readStream.schema(raw)
@@ -500,13 +536,9 @@ object StreamingOps extends QueryModule {
     * Scale: identical to q130 — one user_id key exchange, one 24-byte
     * state row per user, now in the production state backend.
     */
-  def q130bRunningBalanceTws(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+  def q130bRunningBalanceTws(spark: SparkSession, dir: String): DataFrame =
+    withDrainPartitions(spark) { withRocksDbProvider(spark) {
+      import org.apache.spark.sql.streaming.Trigger
       val raw = spark.read.parquet(s"$dir/events.parquet").schema
       val stream0 = spark.readStream.schema(raw)
         .option("basePath", dir).parquet(s"$dir/events.parque[t]")
@@ -521,11 +553,72 @@ object StreamingOps extends QueryModule {
       q.awaitTermination()
       assertSingleDataBatch(q, "q130b")
       spark.table(name).orderBy("user_id")
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
-    }
-  }
+    }}
+
+  /** q133: `ListState` on `transformWithState` through the driver gate —
+    * the variable-size state shape ([[StatefulOps.RecentValuesProcessor]]:
+    * a per-user last-3-values buffer, truncated every batch so state is
+    * k rows per key by construction). Update mode emits one post-batch
+    * row per touched key; the single-batch drain (asserted) makes that
+    * each user's final buffer. The (ts desc, event_id desc) total order
+    * makes the kept set and its order deterministic, and the values are
+    * COPIED doubles (never summed), so the gate is bit-exact. The array
+    * is unpacked to three nullable columns (`get`, 0-based, null past
+    * the end) because the gate canonicalization compares scalars —
+    * users with <3 events yield the same NULLs as the oracle's CASE
+    * pivot. Scale: one user_id key exchange; k·keys state rows.
+    */
+  def q133RecentValuesTws(spark: SparkSession, dir: String): DataFrame =
+    withDrainPartitions(spark) { withRocksDbProvider(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      val raw = spark.read.parquet(s"$dir/events.parquet").schema
+      val stream0 = spark.readStream.schema(raw)
+        .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+      implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+      val events = normalizeTs(raw, stream0).as[Event]
+      val recent = StatefulOps.recentValuesTws(events, k = 3)
+      val name = s"q133_recent_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = recent.toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assertSingleDataBatch(q, "q133")
+      spark.table(name)
+        .select(col("user_id"),
+          get(col("vals"), lit(0)).as("v1"),
+          get(col("vals"), lit(1)).as("v2"),
+          get(col("vals"), lit(2)).as("v3"))
+        .orderBy("user_id")
+    }}
+
+  /** q134: `MapState` on `transformWithState` through the driver gate —
+    * the keyed-sub-state shape ([[StatefulOps.TypeCountsProcessor]]: a
+    * per-user event-type→count map, point-incremented per event). The
+    * post-batch map snapshot per touched key, on the asserted
+    * single-batch drain, is exactly the (user, type) census — integer
+    * counts, bit-exact. Completes the `transformWithState` state-
+    * variable surface through the driver: ValueState (q130b), ListState
+    * (q133), MapState (here); timers are spec-pinned against the old
+    * API. Scale: one user_id key exchange; map entries are point
+    * lookups/writes in RocksDB, never a full-map rewrite.
+    */
+  def q134TypeCountsTws(spark: SparkSession, dir: String): DataFrame =
+    withDrainPartitions(spark) { withRocksDbProvider(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      val raw = spark.read.parquet(s"$dir/events.parquet").schema
+      val stream0 = spark.readStream.schema(raw)
+        .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+      implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+      val events = normalizeTs(raw, stream0).as[Event]
+      val counts = StatefulOps.typeCountsTws(events)
+      val name = s"q134_typec_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = counts.toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assertSingleDataBatch(q, "q134")
+      spark.table(name).orderBy("user_id", "event_type")
+    }}
 
   /** q132: threshold-crossing alerts through the driver gate — the
     * third and last `StatefulOps` operator (q129 timeout close-outs,
@@ -543,7 +636,7 @@ object StreamingOps extends QueryModule {
     * plan — one user_id key exchange, 24-byte state rows, emission
     * bounded by the crossing count.
     */
-  def q132BalanceAlerts(spark: SparkSession, dir: String): DataFrame = {
+  def q132BalanceAlerts(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
     val stream0 = spark.readStream.schema(raw)
@@ -567,6 +660,8 @@ object StreamingOps extends QueryModule {
     "q130_running_balance" -> (q130RunningBalance _),
     "q130b_running_balance_tws" -> (q130bRunningBalanceTws _),
     "q132_balance_alerts" -> (q132BalanceAlerts _),
+    "q133_recent_values_tws" -> (q133RecentValuesTws _),
+    "q134_type_counts_tws" -> (q134TypeCountsTws _),
     "q100_sql_session_stream" -> (q100SqlSessionStream _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
@@ -679,6 +774,22 @@ object StreamingOps extends QueryModule {
     // the SAME fold on the transformWithState/RocksDB path — one oracle,
     // two APIs; a backend divergence flips exactly one row
     "q130b_running_balance_tws" -> q130OracleSql,
+    // last-3 values per user (ts desc, event_id desc), pivoted to
+    // nullable scalars; raw copied doubles — bit-exact
+    "q133_recent_values_tws" ->
+      """WITH o AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id,
+        |       max(CASE WHEN rn = 1 THEN value END) AS v1,
+        |       max(CASE WHEN rn = 2 THEN value END) AS v2,
+        |       max(CASE WHEN rn = 3 THEN value END) AS v3
+        |FROM o WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the MapState census is a plain (user, type) count
+    "q134_type_counts_tws" ->
+      """SELECT user_id, event_type, count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // strict-gap (>) gaps-and-islands + the timeout finalization
     // predicate (a session emits iff the final watermark reached
     // last_ts + gap; supersession implies it, so one WHERE covers both

@@ -495,6 +495,116 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState initial state bootstraps the fold from a snapshot") {
+    // The reference's snapshot-resync (README.md:45-51) on the new API:
+    // state seeded from a snapshot Dataset via handleInitialState, then
+    // deltas folded on top across batches. Final state per key must
+    // equal the batch fold STARTED from the snapshot — including a
+    // snapshot-only key that never receives stream events (its state
+    // must not leak into the output: update mode emits only touched
+    // keys) and a stream-only key (fold from zero).
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+      implicit val runEnc = org.apache.spark.sql.Encoders.product[UserRunning]
+      val users = allEvents.map(_.user_id).distinct.sorted
+      val seeded = users.take(users.size / 2) // half the keys start from a snapshot
+      val snapshot = seeded.map(u => UserRunning(u, 7L, 100.0 + u)) :+
+        UserRunning(999999L, 3L, 42.0) // snapshot-only key, no stream events
+      val mem = MemoryStream[Event]
+      val name = s"sink_${System.nanoTime()}"
+      val q = StatefulOps.runningBalanceTwsFrom(mem.toDS(), spark.createDataset(snapshot))
+        .toDF().writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        chunks(3).foreach { c => mem.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(name).groupBy("user_id")
+        .agg(max(struct($"n_events", $"balance")).as("s"))
+        .select($"user_id", $"s.n_events", $"s.balance")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val init = snapshot.map(s => s.user_id -> s).toMap
+      val want = allEvents.groupBy(_.user_id).map { case (u, es) =>
+        val w = StatefulOps.fold(
+          init.getOrElse(u, UserRunning(u, 0L, 0.0)), es.iterator)
+        u -> ((w.n_events, w.balance))
+      }
+      assert(got.keySet == want.keySet,
+        s"emitted keys diverged (snapshot-only key leaked, or a stream key missing): " +
+          s"extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+      want.foreach { case (u, w) =>
+        assert(got(u)._1 == w._1 && math.abs(got(u)._2 - w._2) < 1e-9,
+          s"user $u: got ${got(u)}, want $w")
+      }
+    }
+  }
+
+  test("transformWithState MapState census matches the batch count under chunking") {
+    // q134's processor across MULTIPLE batches: per-(user,type) counts
+    // are monotonic, so the latest emitted row per pair (max n) must
+    // equal the batch GROUP BY — point-incremented MapState accumulates
+    // correctly across batches.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+      val mem = MemoryStream[Event]
+      val name = s"sink_${System.nanoTime()}"
+      val q = StatefulOps.typeCountsTws(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        chunks(4).foreach { c => mem.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(name).groupBy("user_id", "event_type")
+        .agg(max("n").as("n")).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = allEvents.groupBy(e => (e.user_id, e.event_type))
+        .map { case (k, es) => k -> es.size.toLong }
+      assert(got == want, s"MapState census diverged from batch count")
+    }
+  }
+
+  test("transformWithState ListState emits the last-k prefix buffer at every batch") {
+    // q133's processor across MULTIPLE batches: after each chunk, every
+    // touched user must emit the last-3 values of its PREFIX stream (all
+    // chunks so far) — the buffer merges new rows with retained state
+    // and truncates to k, so the emitted multiset is fully determined by
+    // the chunking. Verifies retention + truncation, not just the final
+    // state.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+      val mem = MemoryStream[Event]
+      val name = s"sink_${System.nanoTime()}"
+      val cs = chunks(4)
+      val q = StatefulOps.recentValuesTws(mem.toDS(), k = 3).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        cs.foreach { c => mem.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = cs.indices.flatMap { i =>
+        val prefix = cs.take(i + 1).flatten
+        cs(i).map(_.user_id).distinct.map { u =>
+          (u, prefix.filter(_.user_id == u)
+            .sortBy(e => (-e.ts.getTime, -e.event_id)).take(3).map(_.value).toList)
+        }
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == want, s"ListState prefix buffers diverged:\n got=$got\nwant=$want")
+    }
+  }
+
   test("flatMapGroupsWithState emits threshold alerts exactly at batch-observed crossings") {
     val threshold = 50.0
     implicit val sqlCtx = spark.sqlContext
