@@ -24,6 +24,7 @@ object SparkEntry {
     SimilarityQueries,
     TextQueries,
     PipelineQueries,
+    LakehouseQueries,
     MiscQueries,
     StreamingOps
   )

@@ -534,7 +534,62 @@ object DedupQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q135: SUB-DOCUMENT segment dedup — the RefinedWeb/Dolma "paragraph
+    * dedup" pass: split every document into fixed-span word segments,
+    * keep only the globally FIRST occurrence of each distinct segment
+    * (ordered by (doc_id, seg_idx)), and reassemble each document from
+    * its surviving segments in order. Documents whose every segment was
+    * seen earlier collapse to '' (and are counted), exactly like a
+    * paragraph-deduped web page that loses all its boilerplate.
+    * Segment span = 3 words because the fixture's 31-word vocabulary
+    * makes 3-grams collide at a realistic rate (9216 → 7460 distinct at
+    * sf0.01) — span length is the operator's granularity knob
+    * (paragraphs/lines in a real corpus).
+    *
+    * Scale shape (100 TB): segmentation is scan-local (one split + one
+    * `transform`/`slice` per row — no shuffle, no per-segment re-split);
+    * the keep-first decision shuffles (doc_id, seg_idx, seg) once on the
+    * segment key for the `row_number` window; reassembly is one
+    * partial+final agg on doc_id; the totals join arrives hash-
+    * partitioned on the same key. At 100 TB the window exchange would
+    * carry xxhash64(seg) + an in-bucket verify instead of raw text —
+    * same plan shape, narrower wire format.
+    */
+  def q135SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val L = 3
+    val docs = Tables.documentsSpread(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      // size(ws) >= 1 always (split of non-empty text), so the sequence
+      // upper bound is >= 0 and never produces a descending range
+      .withColumn("segarr", expr(
+        s"transform(sequence(0, cast(ceil(size(ws) / $L.0) as int) - 1), " +
+          s"i -> array_join(slice(ws, i * $L + 1, $L), ' '))"))
+    val segs = docs.select(col("doc_id"),
+      posexplode(col("segarr")).as(Seq("seg_idx", "seg")))
+    val kept = segs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("seg").orderBy("doc_id", "seg_idx")))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        // ordered reassembly without an ordered string_agg: sort the
+        // (seg_idx, seg) structs (lexicographic = seg_idx first) and join
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(seg_idx, seg))), s -> s.seg)"),
+          " ").as("dedup_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), size(col("segarr")).cast("long").as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_segment_dedup" -> (q135SegmentDedup _),
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_minhash_lsh" -> (q41MinhashLsh _),
     "q94_source_dup_matrix" -> (q94SourceDupMatrix _),
@@ -549,6 +604,26 @@ object DedupQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q135_segment_dedup" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |         array_to_string(w[(i*3+1):(i*3+3)], ' ') AS seg
+        |  FROM ws, UNNEST(range(CAST(ceil(len(w) / 3.0) AS INT))) AS t(i)),
+        |keep AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs),
+        |kept AS (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text,
+        |         count(*) AS n_kept
+        |  FROM keep WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(k.dedup_text, '') AS dedup_text,
+        |       t.n_segs, coalesce(k.n_kept, 0) AS n_kept
+        |FROM tot t LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q40_dedup_exact" ->
       """WITH g AS (
         |  SELECT min_by(source, doc_id) AS survivor_source, count(*) AS n_copies

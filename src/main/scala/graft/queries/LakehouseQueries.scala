@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{ChangeCapture, ZOrder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-maintenance surface: CDC merge/diff (`operators/
+  * ChangeCapture`) and multi-dimensional layout clustering
+  * (`operators/ZOrder`) — the operations that keep a 100 TB corpus
+  * LIVE. The reference emits an endless keyed stream
+  * (`/root/reference/src/kafka_producer.cpp:36-57`); the materialized
+  * consumer of that stream upserts each refresh (q136), recovers change
+  * sets between snapshots for incremental downstream recompute (q137),
+  * and rewrites cold data z-clustered so conjunctive range scans skip
+  * files (q138).
+  *
+  * Fixture framing: `orders` < 1997-01-01 is the "base snapshot";
+  * later orders are the insert stream; deterministic md5-slices of the
+  * base are the update/delete sets (the same engine-identical md5-prefix
+  * device q30/q80 use — no RNG crosses the engine boundary).
+  */
+object LakehouseQueries extends QueryModule {
+
+  private val cutoff = "1997-01-01"
+
+  /** Base snapshot: (o_orderkey, o_totalprice) before the cutoff. */
+  private def baseSnap(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("date"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** First md5 hex digit of the key — the deterministic op selector. */
+  private def slot(k: org.apache.spark.sql.Column) =
+    substring(md5(k.cast("string")), 1, 1)
+
+  /** Change set: inserts = all post-cutoff orders; updates = base keys
+    * with md5 slot 0-3 (price re-rounded); deletes = slots 4-5.
+    */
+  private def changeSet(spark: SparkSession, dir: String): DataFrame = {
+    val base = baseSnap(spark, dir)
+    val ins = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(cutoff).cast("date"))
+      .select(col("o_orderkey"), col("o_totalprice"), lit("I").as("op"))
+    val upd = base.filter(slot(col("o_orderkey")).isin("0", "1", "2", "3"))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 0).as("o_totalprice"),
+        lit("U").as("op"))
+    val del = base.filter(slot(col("o_orderkey")).isin("4", "5"))
+      .select(col("o_orderkey"), col("o_totalprice"), lit("D").as("op"))
+    ins.unionAll(upd).unionAll(del)
+  }
+
+  /** q136: MERGE INTO — apply the change set to the base snapshot and
+    * emit the next snapshot row-for-row. One full-outer key join is the
+    * whole plan (`ChangeCapture.merge`); at 100 TB the change side is
+    * the small one and AQE broadcasts it.
+    */
+  def q136MergeSnapshot(spark: SparkSession, dir: String): DataFrame =
+    ChangeCapture.merge(
+      baseSnap(spark, dir), changeSet(spark, dir), "o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** q137: snapshot DIFF — recover the minimal change set between the
+    * base and the merged snapshot. Updates whose re-rounded price equals
+    * the original are correctly ABSENT (diff is minimal), which is the
+    * semantic difference from q136's applied change set.
+    */
+  def q137SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = baseSnap(spark, dir)
+    val next = ChangeCapture.merge(base, changeSet(spark, dir),
+      "o_orderkey", "o_totalprice")
+    ChangeCapture.diff(base, next, "o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** q138: z-order clustering key — the Morton interleave of the two
+    * rank-grids (`ZOrder.withZValue` exact path; `clusterAtScale` is the
+    * production write path with approx-quantile grids and no global
+    * window — layout equivalence spec-pinned in `ZOrderSpec`). The gate
+    * certifies every bit of the interleave math both engines compute
+    * from percent_rank.
+    */
+  def q138ZOrderKey(spark: SparkSession, dir: String): DataFrame =
+    ZOrder.withZValue(
+      Tables.events(spark, dir).select("event_id", "user_id", "value"),
+      "user_id", "value")
+      .select(col("event_id"), col("zval"))
+      .orderBy("event_id")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_merge_snapshot" -> (q136MergeSnapshot _),
+    "q137_snapshot_diff" -> (q137SnapshotDiff _),
+    "q138_zorder_key" -> (q138ZOrderKey _)
+  )
+
+  /** Shared oracle CTEs: base snapshot + change set + merged snapshot. */
+  private val oracleMergeCtes: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+      |  WHERE o_orderdate < DATE '1997-01-01'),
+      |chg AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS v, 'I' AS op FROM orders
+      |  WHERE o_orderdate >= DATE '1997-01-01'
+      |  UNION ALL
+      |  SELECT k, round(v, 0), 'U' FROM base
+      |  WHERE substring(md5(CAST(k AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+      |  UNION ALL
+      |  SELECT k, v, 'D' FROM base
+      |  WHERE substring(md5(CAST(k AS VARCHAR)), 1, 1) IN ('4','5')),
+      |m AS (
+      |  SELECT coalesce(b.k, c.k) AS k,
+      |         CASE WHEN c.op IS NOT NULL THEN c.v ELSE b.v END AS v
+      |  FROM base b FULL OUTER JOIN chg c ON b.k = c.k
+      |  WHERE c.op IS NULL OR c.op <> 'D')""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+    "q136_merge_snapshot" -> (oracleMergeCtes +
+      """
+        |SELECT k AS o_orderkey, v AS o_totalprice FROM m ORDER BY k""".stripMargin),
+    "q137_snapshot_diff" -> (oracleMergeCtes +
+      """,
+        |d AS (
+        |  SELECT coalesce(b.k, m.k) AS k,
+        |         CASE WHEN b.k IS NULL THEN 'I'
+        |              WHEN m.k IS NULL THEN 'D'
+        |              WHEN m.v <> b.v THEN 'U' END AS op,
+        |         CASE WHEN m.k IS NULL THEN b.v ELSE m.v END AS v
+        |  FROM base b FULL OUTER JOIN m ON b.k = m.k)
+        |SELECT k AS o_orderkey, v AS o_totalprice, op FROM d
+        |WHERE op IS NOT NULL ORDER BY k""".stripMargin),
+    "q138_zorder_key" ->
+      """WITH g AS (
+        |  SELECT event_id,
+        |         CAST(floor(percent_rank() OVER (ORDER BY user_id) * 65535) AS BIGINT) AS a,
+        |         CAST(floor(percent_rank() OVER (ORDER BY value) * 65535) AS BIGINT) AS b
+        |  FROM events),
+        |s1 AS (SELECT event_id, (a|(a<<8))&16711935 AS a, (b|(b<<8))&16711935 AS b FROM g),
+        |s2 AS (SELECT event_id, (a|(a<<4))&252645135 AS a, (b|(b<<4))&252645135 AS b FROM s1),
+        |s3 AS (SELECT event_id, (a|(a<<2))&858993459 AS a, (b|(b<<2))&858993459 AS b FROM s2),
+        |s4 AS (SELECT event_id, (a|(a<<1))&1431655765 AS a, (b|(b<<1))&1431655765 AS b FROM s3)
+        |SELECT event_id, a | (b<<1) AS zval FROM s4 ORDER BY event_id""".stripMargin
+  )
+}
