@@ -379,6 +379,58 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start", "event_type")
   }
 
+  /** q139: CHAINED streaming aggregation — two stateful window
+    * aggregations in ONE streaming query (Spark's multiple-stateful-
+    * operator support): 1-minute tumbling partials per event_type
+    * re-aggregated into 5-minute totals via `window(window_time(w),
+    * '5 minutes')`, drained AvailableNow in APPEND mode. This is the
+    * pre-aggregation cascade every metrics pipeline runs (fine windows
+    * for freshness, coarse windows for cost) — and at 100 TB the whole
+    * point: the second agg consumes ~minutes-cardinality rows, not
+    * events, so the coarse rollup's shuffle is a rounding error next to
+    * the raw stream. Emission composes: a 1-minute window finalizes when
+    * the watermark (max ts, 0 s delay) reaches its end and flows to the
+    * second operator IN THE SAME batch with the same watermark, whose
+    * 5-minute window emits under the same rule — and since a finalized
+    * 5-minute window's constituent minutes all end at-or-before it, the
+    * emitted rollups are complete. The oracle is the batch cascade
+    * (per-minute partials including the per-minute round, then the
+    * 5-minute re-agg) under `w5_end <= max(ts)` — gating the chained
+    * emission rule, not just batch equivalence. n_minutes counts the
+    * surviving layer-1 rows, pinning that the chain really aggregated
+    * partials (a collapsed single-layer agg could not produce it).
+    */
+  /** The chained pipeline itself, shared by the q139 gate and the
+    * chunking-invariance spec: watermark → 1-minute partials →
+    * 5-minute rollup of the partials.
+    */
+  def chainedWindowAgg(events: DataFrame): DataFrame = {
+    val minutes = events.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 minute").as("w1"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+    minutes
+      .groupBy(window(window_time(col("w1")), "5 minutes").as("w5"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_minutes"), sum("n").as("n_events"),
+        round(sum("v"), 2).as("sum_value"))
+      .select(col("w5").getField("start").as("w_start"), col("event_type"),
+        col("n_minutes"), col("n_events"), col("sum_value"))
+  }
+
+  def q139ChainedWindowAgg(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream = normalizeTs(raw, stream0)
+    val name = s"q139_chain_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = chainedWindowAgg(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("w_start", "event_type")
+  }
+
   /** q126: streaming dedup, driver-gated — `dropDuplicatesWithinWatermark`
     * over a watermarked file-source stream, drained AvailableNow in APPEND
     * mode. The key is the FULL output projection (user_id, event_type,
@@ -665,6 +717,7 @@ object StreamingOps extends QueryModule {
     "q100_sql_session_stream" -> (q100SqlSessionStream _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
+    "q139_chained_window_agg" -> (q139ChainedWindowAgg _),
     "q126_stream_dedup" -> (q126StreamDedup _),
     "q58_window_tumbling" -> (q58WindowTumbling _),
     "q59_window_sliding" -> (q59WindowSliding _),
@@ -736,6 +789,22 @@ object StreamingOps extends QueryModule {
         |FROM b CROSS JOIN m
         |WHERE w_start + INTERVAL 5 MINUTES <= m.mx
         |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    // the batch cascade mirror of the chained stateful pipeline: exact
+    // per-minute partials (INCLUDING the per-minute 2-dp round — the
+    // rollup sums the rounded values, as the stream does), then the
+    // 5-minute re-agg, finalized under w5_end <= max(ts)
+    "q139_chained_window_agg" ->
+      """WITH w1 AS (
+        |  SELECT time_bucket(INTERVAL 1 MINUTE, ts) AS w1s, event_type,
+        |         count(*) AS n, round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT time_bucket(INTERVAL 5 MINUTES, w1s) AS w_start, event_type,
+        |       count(*)::BIGINT AS n_minutes, sum(n)::BIGINT AS n_events,
+        |       round(sum(v), 2) AS sum_value
+        |FROM w1 CROSS JOIN m
+        |WHERE time_bucket(INTERVAL 5 MINUTES, w1s) + INTERVAL 5 MINUTES <= m.mx
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q59's covering-window expansion under the append-mode finalization
     // rule: a 10-minute window has emitted only if the final watermark
     // (max event time, 0 s delay) is at or past its END.

@@ -379,6 +379,32 @@ class StreamingSpec extends AnyFunSuite {
       "late rows resurrected a session that must not exist")
   }
 
+  test("chained window aggregation is invariant to micro-batch chunking") {
+    // Two stateful operators in one query: the union of append-mode
+    // emissions over a chunked drain must equal the batch cascade under
+    // the final-watermark rule, for DIFFERENT chunkings — minute windows
+    // that finalize mid-drain (and flow to the 5-minute layer in that
+    // same batch) must compose to the same rollups as a one-shot drain.
+    val want: Set[Seq[String]] = {
+      val ev = Tables.events(spark, SparkTestSession.sf0001)
+      val mx = ev.agg(max($"ts")).head().getTimestamp(0)
+      canon(ev
+        .groupBy(window($"ts", "1 minute").as("w1"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+        .groupBy(window(col("w1.start"), "5 minutes").as("w5"), $"event_type")
+        .agg(count(lit(1)).as("n_minutes"), sum("n").as("n_events"),
+          round(sum("v"), 2).as("sum_value"))
+        .filter(col("w5.end") <= lit(mx))
+        .select(col("w5.start").as("w_start"), $"event_type",
+          $"n_minutes", $"n_events", $"sum_value"))
+    }
+    Seq(2, 5).foreach { n =>
+      val got = canon(runStream(StreamingOps.chainedWindowAgg, "append", n))
+      assert(got == want, s"chunking n=$n diverged from the batch cascade")
+    }
+    assert(want.nonEmpty)
+  }
+
   test("mapGroupsWithState running balance survives micro-batch chunking") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = org.apache.spark.sql.Encoders.product[Event]
