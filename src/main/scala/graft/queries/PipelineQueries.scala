@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.PageRank
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -427,7 +428,28 @@ object PipelineQueries extends QueryModule {
       .orderBy("source", "bucket")
   }
 
+  /** q140: PageRank centrality (`operators/PageRank`) over the
+    * customer↔supplier interaction graph — the graph-quality signal of
+    * web-corpus curation (rank sources by link centrality, keep the
+    * head), run on the fixture's natural bipartite graph: an edge per
+    * distinct (customer, supplier) trading pair from orders⨝lineitem,
+    * symmetrized so the undirected semantic holds and no node dangles.
+    * Node ids disambiguate the two partitions arithmetically (2k vs
+    * 2k+1). Five fixed iterations, 6-dp snapping per iteration — the
+    * oracle unrolls the identical trajectory as five CTEs.
+    */
+  def q140Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    PageRank.run(edges, iters = 5).orderBy("node")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_pagerank" -> (q140Pagerank _),
     "q121_boilerplate_mask" -> (q121BoilerplateMask _),
     "q122_length_buckets" -> (q122LengthBuckets _),
     "q117_mixture_weights" -> (q117MixtureWeights _),
@@ -465,7 +487,33 @@ object PipelineQueries extends QueryModule {
       |FROM a LEFT JOIN c USING (source)
       |ORDER BY a.source""".stripMargin
 
+  /** q140's trajectory unrolled — the KMeans-oracle device: each CTE is
+    * one snapped iteration, so both engines walk bit-identical rank
+    * vectors (the 6-dp round absorbs summation-order ulps per step).
+    */
+  private val oraclePagerank: String = {
+    val base =
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM n)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.node, round(0.15::DOUBLE + 0.85::DOUBLE * coalesce(s.s, 0::DOUBLE), 6) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node JOIN deg ON e.src = deg.src
+         |    GROUP BY e.dst) s USING (node))""".stripMargin
+    }.mkString
+    base + iters + "\nSELECT node, rank FROM r5 ORDER BY node"
+  }
+
   override val oracles: Map[String, String] = Map(
+    "q140_pagerank" -> oraclePagerank,
     // positional trigram hashes with multiplicity (list comprehension,
     // not list_distinct), the same md5-prefix ints as the engine; the
     // 20% cut is the identical integer cross-multiplication
