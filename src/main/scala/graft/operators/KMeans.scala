@@ -49,8 +49,10 @@ object KMeans {
   def fit(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val centroidOf = udaf(new CentroidAggregator)
-    val v = emb.select(col("vec_id"), col("embedding"))
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    // split-count-gated spread (the q121/q73 treatment): scatter the
+    // compute-bound assignment pass when the input is a one-file fixture
+    // scan, pay no exchange when the scan already carries the parallelism
+    val v = graft.Tables.spread(emb.select(col("vec_id"), col("embedding")))
     // seed centroids: exact double-widened copies of the k first vectors
     // (both engines widen float → double losslessly, so no rounding is
     // needed until the first computed update)

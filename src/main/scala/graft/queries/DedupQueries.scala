@@ -37,14 +37,15 @@ object DedupQueries extends QueryModule {
     *    shingle lambda — an inlined `split(text)[i]` re-splits the whole
     *    text per shingle (O(words²) per document; 28 CPU-minutes on 5000
     *    docs before the fix, interpreted higher-order eval has no CSE);
-    *  - the scan is explicitly repartitioned: the local fixture is ONE
-    *    parquet file = one input partition, and a compute-bound map
-    *    stage must be scattered (on a real cluster file splitting does
-    *    this; AQE cannot — there is no shuffle to re-plan).
+    *  - the scan goes through the split-count-GATED spread
+    *    (`Tables.documentsSpread`): the local fixture is ONE parquet
+    *    file = one input partition, and a compute-bound map stage must
+    *    be scattered (AQE cannot — there is no shuffle to re-plan); a
+    *    real-cluster scan already carrying the parallelism pays no
+    *    exchange.
     */
   private[graft] def shingled(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsSpread(spark, dir)
       // native Shingles3 kernel (same strings as the SQL concat_ws
       // formulation the oracles mirror) — the interpreted HOF version
       // was the remaining ~3.5 s/pass floor under q41–q43 at sf0.1
@@ -555,9 +556,16 @@ object DedupQueries extends QueryModule {
     * carry xxhash64(seg) + an in-bucket verify instead of raw text —
     * same plan shape, narrower wire format.
     */
-  def q135SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+  def q135SegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    segmentDedup(Tables.documentsSpread(spark, dir))
+
+  /** The q135 core over a caller-supplied documents frame — plan-gated in
+    * `PlanShapeSpec` (pre-spread input ⇒ zero round-robin exchanges, no
+    * cartesian, one keep-first window).
+    */
+  private[graft] def segmentDedup(documents: DataFrame): DataFrame = {
     val L = 3
-    val docs = Tables.documentsSpread(spark, dir)
+    val docs = documents
       .withColumn("ws", split(col("text"), " "))
       // size(ws) >= 1 always (split of non-empty text), so the sequence
       // upper bound is >= 0 and never produces a descending range

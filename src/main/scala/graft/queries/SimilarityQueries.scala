@@ -251,6 +251,47 @@ object SimilarityQueries extends QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** q142: PRODUCT QUANTIZATION (Jégou et al., PAMI 2011) — the
+    * compression scheme production ANN indexes (IVF-PQ) store codes in:
+    * the 64-dim embedding splits into m = 4 contiguous 16-dim
+    * subspaces, each subspace trains its own k = 8 codebook with the
+    * SAME deterministic Lloyd recipe as q77 (smallest-id seeds, 2
+    * snapped iterations — four independent replayable trajectories),
+    * and every vector is encoded as 4 code ids (2^4·3 bits standing in
+    * for 256 float bytes; real deployments use m=8..64, k=256 — the
+    * knobs scale, the dataflow doesn't change). Output gates the codes
+    * AND the reconstruction error ‖x − ĉ(x)‖² against the FINAL
+    * codebooks (what ADC search would use), so both the four
+    * trajectories and the encode step are hash-pinned.
+    *
+    * Scale shape: each subspace fit is q77's plan (scan + 8-row
+    * broadcast + partial agg per iteration) over a 16-dim SLICE — the
+    * embedding table never shuffles; encoding joins each assignment to
+    * its 8-row broadcast codebook; the 4 per-subspace code streams
+    * rejoin on vec_id (hash exchanges of 3-column rows, never raw
+    * vectors).
+    */
+  def q142PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val subs = (0 until 4).map { s =>
+      val sliced = emb.select(col("vec_id"),
+        expr(s"slice(embedding, ${s * 16 + 1}, 16)").as("embedding"))
+      val (asg, cents) = graft.operators.KMeans.fit(sliced, k = 8, iters = 2)
+      asg.join(broadcast(cents), "cid")
+        // same fold order as KMeans.assign — the oracle's comprehension
+        // sums the identical doubles left-to-right
+        .withColumn("e", expr(
+          """aggregate(zip_with(embedding, cv,
+            |            (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+            |          0.0d, (acc, z) -> acc + z)""".stripMargin))
+        .select(col("vec_id"), col("cid").as(s"c$s"), col("e").as(s"e$s"))
+    }
+    subs.reduce((a, b) => a.join(b, "vec_id"))
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        round(col("e0") + col("e1") + col("e2") + col("e3"), 6).as("err"))
+      .orderBy("vec_id")
+  }
+
   /** q79: cluster-BALANCED curation sampling — the downstream step
     * k-means exists for in a data-mix pipeline: cap every semantic
     * cluster at the same budget so dominant clusters stop dominating
@@ -565,7 +606,8 @@ object SimilarityQueries extends QueryModule {
     "q47_centroid" -> (q47Centroid _),
     "q63_ivf_full_probe" -> (q63IvfFullProbe _),
     "q77_kmeans" -> (q77Kmeans _),
-    "q79_cluster_sample" -> (q79ClusterSample _)
+    "q79_cluster_sample" -> (q79ClusterSample _),
+    "q142_pq_codes" -> (q142PqCodes _)
   )
 
   /** Shared DuckDB CTE chain: the q77/q79 k-means trajectory unrolled —
@@ -775,6 +817,51 @@ object SimilarityQueries extends QueryModule {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rnk FROM p)
         |SELECT vec_id, nn_id, cos FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    // four q77-style trajectories, one per 16-dim slice, each ending in
+    // its FINAL codebook (c2_s) and the per-vector squared error — the
+    // whole chain generated per subspace (the kmeans-oracle device ×4)
+    "q142_pq_codes" -> {
+      def sub(s: Int): String = {
+        val lo = s * 16 + 1; val hi = s * 16 + 16
+        s"""e_$s AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding[$lo:$hi]] AS v FROM embeddings),
+           |seeds_$s AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
+           |  FROM (SELECT * FROM e_$s ORDER BY vec_id LIMIT 8)),
+           |d1_$s AS (
+           |  SELECT e.vec_id, s.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |                            ORDER BY list_distance(e.v, s.v), s.cid) AS rn
+           |  FROM e_$s e CROSS JOIN seeds_$s s),
+           |a1_$s AS (SELECT vec_id, cid FROM d1_$s WHERE rn = 1),
+           |u1_$s AS (
+           |  SELECT cid, i, round(avg(x), 6) AS m
+           |  FROM (SELECT a.cid, unnest(e.v) AS x, unnest(range(1, 17)) AS i
+           |        FROM a1_$s a JOIN e_$s e USING (vec_id))
+           |  GROUP BY cid, i),
+           |c1_$s AS (SELECT cid, list(m ORDER BY i) AS v FROM u1_$s GROUP BY cid),
+           |d2_$s AS (
+           |  SELECT e.vec_id, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |                            ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+           |  FROM e_$s e CROSS JOIN c1_$s c),
+           |a2_$s AS (SELECT vec_id, cid FROM d2_$s WHERE rn = 1),
+           |u2_$s AS (
+           |  SELECT cid, i, round(avg(x), 6) AS m
+           |  FROM (SELECT a.cid, unnest(e.v) AS x, unnest(range(1, 17)) AS i
+           |        FROM a2_$s a JOIN e_$s e USING (vec_id))
+           |  GROUP BY cid, i),
+           |c2_$s AS (SELECT cid, list(m ORDER BY i) AS v FROM u2_$s GROUP BY cid),
+           |err_$s AS (
+           |  SELECT a.vec_id, a.cid,
+           |         list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i]) FOR i IN range(1, 17)]) AS e
+           |  FROM a2_$s a JOIN e_$s e USING (vec_id) JOIN c2_$s c USING (cid))""".stripMargin
+      }
+      s"""WITH ${(0 until 4).map(sub).mkString(",\n")}
+         |SELECT vec_id, err_0.cid AS c0, err_1.cid AS c1, err_2.cid AS c2, err_3.cid AS c3,
+         |       round(err_0.e + err_1.e + err_2.e + err_3.e, 6) AS err
+         |FROM err_0 JOIN err_1 USING (vec_id) JOIN err_2 USING (vec_id) JOIN err_3 USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    },
     "q77_kmeans" ->
       s"""WITH $oracleKmeansA2
         |SELECT cid AS cluster_id, count(*)::BIGINT AS n,

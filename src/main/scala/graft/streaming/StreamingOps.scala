@@ -181,6 +181,32 @@ object StreamingOps extends QueryModule {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** LEFT SEMI variant of [[clickAttribution]]: each attributed purchase
+    * emits exactly ONCE, however many qualifying clicks exist — the
+    * streaming form of EXISTS, and the shape conversion funnels actually
+    * want (no fan-out to dedup afterwards). In streaming, Spark emits
+    * the purchase on its FIRST qualifying match and drops its state; the
+    * 1-hour watermark still bounds the click buffer. Batch: a plain
+    * left-semi interval join.
+    */
+  def clickAttributionSemi(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 6 HOURS") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_semi")
+  }
+
   /** LEFT OUTER variant of [[clickAttribution]]: every purchase emits,
     * attributed or not. In streaming this is the semantics watermarks
     * exist for — an unmatched purchase can only be declared unmatched
@@ -260,6 +286,9 @@ object StreamingOps extends QueryModule {
 
   def q119StreamStreamFull(spark: SparkSession, dir: String): DataFrame =
     clickAttributionFull(ev(spark, dir)).orderBy("purchase_id", "click_id")
+
+  def q141StreamStreamSemi(spark: SparkSession, dir: String): DataFrame =
+    clickAttributionSemi(ev(spark, dir)).orderBy("purchase_id")
 
   /** q100: the streaming SQL entry point, driver-gated end-to-end the
     * way q99 gates batch subqueries. The events table is read as a
@@ -724,7 +753,8 @@ object StreamingOps extends QueryModule {
     "q60_session_window" -> (q60SessionWindow _),
     "q62_stream_stream_join" -> (q62StreamStreamJoin _),
     "q64_stream_stream_outer" -> (q64StreamStreamOuter _),
-    "q119_stream_stream_full" -> (q119StreamStreamFull _)
+    "q119_stream_stream_full" -> (q119StreamStreamFull _),
+    "q141_stream_stream_semi" -> (q141StreamStreamSemi _)
   )
 
   /** q130's fold replayed in SQL — shared verbatim by q130b (same fold,
@@ -936,6 +966,15 @@ object StreamingOps extends QueryModule {
         |  ON p.user_id = c.user_id
         | AND c.ts BETWEEN p.ts - INTERVAL 6 HOURS AND p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // the EXISTS form of q62: one row per attributed purchase
+    "q141_stream_stream_semi" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |WHERE EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.ts BETWEEN p.ts - INTERVAL 6 HOURS AND p.ts)
+        |ORDER BY purchase_id""".stripMargin,
     "q64_stream_stream_outer" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
         |       c.ts AS click_ts, p.ts AS purchase_ts

@@ -735,6 +735,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the final ORDER BY may shuffle:\n$plan")
   }
 
+  test("q135 segment dedup core: one keep-first window, no cartesian, no blind repartition") {
+    // segmentation must be scan-local (split + transform/slice in the
+    // projection, no per-segment re-split shuffle); the only wide ops
+    // are the window on the segment key and the doc_id reassembly aggs
+    val preSpread = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, org.apache.spark.sql.functions.col("doc_id"))
+    val plan = finalPlan(DedupQueries.segmentDedup(preSpread))
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"blind full-text repartition resurfaced:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 1 && plan.contains("row_number"),
+      s"keep-first window missing:\n$plan")
+  }
+
+  test("q136 merge is a single full-outer key join — no cartesian, no extra wide ops") {
+    val plan = finalPlan(graft.queries.LakehouseQueries.q136MergeSnapshot(spark, dir))
+    assert(plan.contains("FullOuter"), s"merge lost its full-outer join:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(plan).size == 1,
+      s"merge must be exactly one join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))

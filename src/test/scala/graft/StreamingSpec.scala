@@ -183,6 +183,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0, "fixture produced no click→purchase matches — test is vacuous")
   }
 
+  test("stream-stream LEFT SEMI join: one row per attributed purchase, equals batch EXISTS") {
+    // Each purchase may emit at most once no matter how many qualifying
+    // clicks arrive (the semi contract — a fan-out-then-dedup would show
+    // up here as duplicate purchase_ids across micro-batches).
+    val got = runStream(StreamingOps.clickAttributionSemi, "append", nChunks = 4)
+    val want = StreamingOps.clickAttributionSemi(
+      Tables.events(spark, SparkTestSession.sf0001))
+    assert(canon(got) == canon(want))
+    assert(got.count() == got.select("purchase_id").distinct().count(),
+      "a purchase emitted more than once — semi contract broken")
+    assert(got.count() > 0, "no attributed purchases — test is vacuous")
+  }
+
   test("stream-stream LEFT OUTER join: null rows emit after the watermark closes, total equals batch") {
     // Matches emit eagerly; an UNMATCHED purchase can only be emitted
     // (with null click columns) once the watermark proves no qualifying
