@@ -271,25 +271,77 @@ object SimilarityQueries extends QueryModule {
     * rejoin on vec_id (hash exchanges of 3-column rows, never raw
     * vectors).
     */
-  def q142PqCodes(spark: SparkSession, dir: String): DataFrame = {
+  /** The four per-subspace PQ fits shared by q142 (codes + reconstruction
+    * error) and q143 (ADC search): for subspace s, the 16-dim slice's
+    * q77-recipe k-means — (assignments a2, FINAL codebooks c2), both
+    * deterministic, replayable trajectories.
+    */
+  private def pqSubspaceFit(spark: SparkSession, dir: String): Seq[(DataFrame, DataFrame)] = {
     val emb = Tables.embeddings(spark, dir)
-    val subs = (0 until 4).map { s =>
+    (0 until 4).map { s =>
       val sliced = emb.select(col("vec_id"),
         expr(s"slice(embedding, ${s * 16 + 1}, 16)").as("embedding"))
-      val (asg, cents) = graft.operators.KMeans.fit(sliced, k = 8, iters = 2)
+      graft.operators.KMeans.fit(sliced, k = 8, iters = 2)
+    }
+  }
+
+  /** Left-to-right double fold of Σ (xᵢ − yᵢ)² over two array columns —
+    * the association order `KMeans.assign` and the oracle's list
+    * comprehension both use, so snapped inputs give bit-identical sums.
+    */
+  private def sqDist(x: String, y: String): Column = expr(
+    s"""aggregate(zip_with($x, $y,
+       |            (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+       |          0.0d, (acc, z) -> acc + z)""".stripMargin)
+
+  def q142PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val subs = pqSubspaceFit(spark, dir).zipWithIndex.map { case ((asg, cents), s) =>
       asg.join(broadcast(cents), "cid")
         // same fold order as KMeans.assign — the oracle's comprehension
         // sums the identical doubles left-to-right
-        .withColumn("e", expr(
-          """aggregate(zip_with(embedding, cv,
-            |            (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
-            |          0.0d, (acc, z) -> acc + z)""".stripMargin))
+        .withColumn("e", sqDist("embedding", "cv"))
         .select(col("vec_id"), col("cid").as(s"c$s"), col("e").as(s"e$s"))
     }
     subs.reduce((a, b) => a.join(b, "vec_id"))
       .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
         round(col("e0") + col("e1") + col("e2") + col("e3"), 6).as("err"))
       .orderBy("vec_id")
+  }
+
+  /** q143: ADC top-k SEARCH over q142's PQ codes (Jégou et al., PAMI
+    * 2011 §IV — asymmetric distance computation, the query step of a
+    * production IVF-PQ index): per subspace, the query slice's squared
+    * distance to each of the 8 FINAL centroids builds an 8-row DISTANCE
+    * TABLE; a database vector's approximate distance is then 4 table
+    * lookups summed — the vectors themselves are never touched at query
+    * time, only their 4-code rows. Top-10 by (adist, vec_id).
+    *
+    * Scale shape: this is the reason PQ exists at 100 TB — the search
+    * scans the CODES table (4 small ints/row, ~1/50th the bytes of the
+    * raw vectors) and joins each code stream to its broadcast 8-row
+    * distance table; ranking is `TakeOrderedAndProject` (per-partition
+    * heaps), never a global sort. The fit cost is q142's (amortized
+    * across queries in production); the per-query marginal plan touches
+    * no embedding bytes.
+    */
+  def q143PqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    val subs = pqSubspaceFit(spark, dir).zipWithIndex.map { case ((asg, cents), s) =>
+      val qslice = queryVec(spark, dir)
+        .select(expr(s"slice(qv, ${s * 16 + 1}, 16)").as("qv"))
+      // 8-row distance table: query slice vs the FINAL codebook (what a
+      // deployed ADC index stores), same fold order as q142's err
+      val dt = cents.crossJoin(broadcast(qslice))
+        .select(col("cid"), sqDist("qv", "cv").as("d"))
+      asg.select(col("vec_id"), col("cid"))
+        .join(broadcast(dt), "cid")
+        .select(col("vec_id"), col("cid").as(s"c$s"), col("d").as(s"d$s"))
+    }
+    subs.reduce((a, b) => a.join(b, "vec_id"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(10)
   }
 
   /** q79: cluster-BALANCED curation sampling — the downstream step
@@ -607,7 +659,8 @@ object SimilarityQueries extends QueryModule {
     "q63_ivf_full_probe" -> (q63IvfFullProbe _),
     "q77_kmeans" -> (q77Kmeans _),
     "q79_cluster_sample" -> (q79ClusterSample _),
-    "q142_pq_codes" -> (q142PqCodes _)
+    "q142_pq_codes" -> (q142PqCodes _),
+    "q143_pq_adc_search" -> (q143PqAdcSearch _)
   )
 
   /** Shared DuckDB CTE chain: the q77/q79 k-means trajectory unrolled —
@@ -643,6 +696,47 @@ object SimilarityQueries extends QueryModule {
 
   private val oracleCos =
     "list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[])"
+
+  /** The per-subspace DuckDB CTE chain shared by q142/q143: subspace s's
+    * 16-dim slice through the q77 trajectory (seeds → a1 → snapped c1 →
+    * a2 → snapped c2) plus the reconstruction error vs c2. q143's ADC
+    * replay extends it with an 8-row distance table per subspace.
+    */
+  private def pqOracleSub(s: Int): String = {
+    val lo = s * 16 + 1; val hi = s * 16 + 16
+    s"""e_$s AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding[$lo:$hi]] AS v FROM embeddings),
+       |seeds_$s AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
+       |  FROM (SELECT * FROM e_$s ORDER BY vec_id LIMIT 8)),
+       |d1_$s AS (
+       |  SELECT e.vec_id, s.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_distance(e.v, s.v), s.cid) AS rn
+       |  FROM e_$s e CROSS JOIN seeds_$s s),
+       |a1_$s AS (SELECT vec_id, cid FROM d1_$s WHERE rn = 1),
+       |u1_$s AS (
+       |  SELECT cid, i, round(avg(x), 6) AS m
+       |  FROM (SELECT a.cid, unnest(e.v) AS x, unnest(range(1, 17)) AS i
+       |        FROM a1_$s a JOIN e_$s e USING (vec_id))
+       |  GROUP BY cid, i),
+       |c1_$s AS (SELECT cid, list(m ORDER BY i) AS v FROM u1_$s GROUP BY cid),
+       |d2_$s AS (
+       |  SELECT e.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+       |  FROM e_$s e CROSS JOIN c1_$s c),
+       |a2_$s AS (SELECT vec_id, cid FROM d2_$s WHERE rn = 1),
+       |u2_$s AS (
+       |  SELECT cid, i, round(avg(x), 6) AS m
+       |  FROM (SELECT a.cid, unnest(e.v) AS x, unnest(range(1, 17)) AS i
+       |        FROM a2_$s a JOIN e_$s e USING (vec_id))
+       |  GROUP BY cid, i),
+       |c2_$s AS (SELECT cid, list(m ORDER BY i) AS v FROM u2_$s GROUP BY cid),
+       |err_$s AS (
+       |  SELECT a.vec_id, a.cid,
+       |         list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i]) FOR i IN range(1, 17)]) AS e
+       |  FROM a2_$s a JOIN e_$s e USING (vec_id) JOIN c2_$s c USING (cid))""".stripMargin
+  }
 
   override val oracles: Map[String, String] = Map(
     // the WHOLE approximate pipeline replayed: integer-grid snap, exact
@@ -821,46 +915,35 @@ object SimilarityQueries extends QueryModule {
     // its FINAL codebook (c2_s) and the per-vector squared error — the
     // whole chain generated per subspace (the kmeans-oracle device ×4)
     "q142_pq_codes" -> {
-      def sub(s: Int): String = {
-        val lo = s * 16 + 1; val hi = s * 16 + 16
-        s"""e_$s AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding[$lo:$hi]] AS v FROM embeddings),
-           |seeds_$s AS (
-           |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
-           |  FROM (SELECT * FROM e_$s ORDER BY vec_id LIMIT 8)),
-           |d1_$s AS (
-           |  SELECT e.vec_id, s.cid,
-           |         row_number() OVER (PARTITION BY e.vec_id
-           |                            ORDER BY list_distance(e.v, s.v), s.cid) AS rn
-           |  FROM e_$s e CROSS JOIN seeds_$s s),
-           |a1_$s AS (SELECT vec_id, cid FROM d1_$s WHERE rn = 1),
-           |u1_$s AS (
-           |  SELECT cid, i, round(avg(x), 6) AS m
-           |  FROM (SELECT a.cid, unnest(e.v) AS x, unnest(range(1, 17)) AS i
-           |        FROM a1_$s a JOIN e_$s e USING (vec_id))
-           |  GROUP BY cid, i),
-           |c1_$s AS (SELECT cid, list(m ORDER BY i) AS v FROM u1_$s GROUP BY cid),
-           |d2_$s AS (
-           |  SELECT e.vec_id, c.cid,
-           |         row_number() OVER (PARTITION BY e.vec_id
-           |                            ORDER BY list_distance(e.v, c.v), c.cid) AS rn
-           |  FROM e_$s e CROSS JOIN c1_$s c),
-           |a2_$s AS (SELECT vec_id, cid FROM d2_$s WHERE rn = 1),
-           |u2_$s AS (
-           |  SELECT cid, i, round(avg(x), 6) AS m
-           |  FROM (SELECT a.cid, unnest(e.v) AS x, unnest(range(1, 17)) AS i
-           |        FROM a2_$s a JOIN e_$s e USING (vec_id))
-           |  GROUP BY cid, i),
-           |c2_$s AS (SELECT cid, list(m ORDER BY i) AS v FROM u2_$s GROUP BY cid),
-           |err_$s AS (
-           |  SELECT a.vec_id, a.cid,
-           |         list_sum([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i]) FOR i IN range(1, 17)]) AS e
-           |  FROM a2_$s a JOIN e_$s e USING (vec_id) JOIN c2_$s c USING (cid))""".stripMargin
-      }
-      s"""WITH ${(0 until 4).map(sub).mkString(",\n")}
+      s"""WITH ${(0 until 4).map(pqOracleSub).mkString(",\n")}
          |SELECT vec_id, err_0.cid AS c0, err_1.cid AS c1, err_2.cid AS c2, err_3.cid AS c3,
          |       round(err_0.e + err_1.e + err_2.e + err_3.e, 6) AS err
          |FROM err_0 JOIN err_1 USING (vec_id) JOIN err_2 USING (vec_id) JOIN err_3 USING (vec_id)
          |ORDER BY vec_id""".stripMargin
+    },
+    // the four c2_s codebooks again, then the ADC replay: an 8-row
+    // distance table per subspace (query slice vs c2_s, the same
+    // left-to-right list_sum fold), 4 lookups summed per vector
+    "q143_pq_adc_search" -> {
+      def dt(s: Int): String = {
+        val lo = s * 16 + 1; val hi = s * 16 + 16
+        s"""q_$s AS (SELECT [x::DOUBLE FOR x IN embedding[$lo:$hi]] AS v
+           |         FROM embeddings WHERE vec_id = 0),
+           |dt_$s AS (
+           |  SELECT c.cid,
+           |         list_sum([(q.v[i] - c.v[i]) * (q.v[i] - c.v[i]) FOR i IN range(1, 17)]) AS d
+           |  FROM c2_$s c CROSS JOIN q_$s q)""".stripMargin
+      }
+      s"""WITH ${(0 until 4).map(pqOracleSub).mkString(",\n")},
+         |${(0 until 4).map(dt).mkString(",\n")}
+         |SELECT a0.vec_id, a0.cid AS c0, a1.cid AS c1, a2x.cid AS c2, a3.cid AS c3,
+         |       round(d0.d + d1.d + d2.d + d3.d, 6) + 0.0 AS adist
+         |FROM a2_0 a0 JOIN a2_1 a1 USING (vec_id)
+         |     JOIN a2_2 a2x USING (vec_id) JOIN a2_3 a3 USING (vec_id)
+         |     JOIN dt_0 d0 ON d0.cid = a0.cid JOIN dt_1 d1 ON d1.cid = a1.cid
+         |     JOIN dt_2 d2 ON d2.cid = a2x.cid JOIN dt_3 d3 ON d3.cid = a3.cid
+         |WHERE a0.vec_id <> 0
+         |ORDER BY adist, a0.vec_id LIMIT 10""".stripMargin
     },
     "q77_kmeans" ->
       s"""WITH $oracleKmeansA2
