@@ -596,8 +596,69 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q144: duplicated k-GRAM masking — the distributed relaxation of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": remove any substring that
+    * appears verbatim more than once in the corpus; their suffix-array
+    * pass becomes, in shuffle form, a positional k-gram stream — the
+    * shape web-scale curation pipelines actually run). Every 5-word gram
+    * is keyed and counted corpus-wide; a gram with ≥2 occurrences
+    * (intra- OR cross-document — Lee et al. count both) marks the word
+    * positions of ALL its occurrences; marked words are masked to '_'
+    * and each document reassembled in order. Differs from q135 by
+    * alignment: q135 dedups disjoint fixed spans keep-first, this masks
+    * every occurrence of any OVERLAPPING repeated window — the
+    * suffix-structure semantic.
+    *
+    * Scale shape (100 TB): gram emission is scan-local (split +
+    * transform + posexplode); the duplicate decision is one partial+
+    * final count on the gram key (map-side combine collapses each
+    * split's repeats before the wire); survivors join BACK to the gram
+    * stream on the same key — Catalyst reuses the gram-hash
+    * partitioning, and only duplicated grams (a small fraction of a
+    * real corpus) flow into the position explode; the cover set
+    * distincts on (doc_id, p) and merges with the token stream on one
+    * doc-key exchange. Nothing broadcasts the corpus; at 100 TB the
+    * gram key rides as xxhash64(gram) with an in-bucket verify — same
+    * plan, narrower wire.
+    */
+  def q144DupGramMask(spark: SparkSession, dir: String): DataFrame =
+    dupGramMask(Tables.documentsSpread(spark, dir))
+
+  /** The q144 core over a caller-supplied documents frame. */
+  private[graft] def dupGramMask(documents: DataFrame): DataFrame = {
+    val K = 5
+    val words = documents.withColumn("ws", split(col("text"), " "))
+    val toks = words.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("p", "word")))
+    val grams = words
+      .filter(size(col("ws")) >= K)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $K), " +
+          s"i -> array_join(slice(ws, i + 1, $K), ' '))"))
+        .as(Seq("gpos", "g")))
+    val dup = grams.groupBy("g")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")
+    val covered = grams.join(dup, "g")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(gpos, gpos + ${K - 1})")).as("p"))
+      .distinct()
+    toks.join(covered.withColumn("cv", lit(1)), Seq("doc_id", "p"), "left")
+      .select(col("doc_id"), col("p"),
+        when(col("cv").isNotNull, lit("_")).otherwise(col("word")).as("tok"),
+        when(col("cv").isNotNull, 1L).otherwise(0L).as("m"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("m")).as("n_masked"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(p, tok))), s -> s.tok)"),
+          " ").as("masked_text"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_segment_dedup" -> (q135SegmentDedup _),
+    "q144_dup_gram_mask" -> (q144DupGramMask _),
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_minhash_lsh" -> (q41MinhashLsh _),
     "q94_source_dup_matrix" -> (q94SourceDupMatrix _),
@@ -612,6 +673,30 @@ object DedupQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same positional gram stream: 0-based parallel-unnest token
+    // positions zip with posexplode's; '>1 total occurrences' matches
+    // the engine's count filter, cover = union of 5-position spans
+    "q144_dup_gram_mask" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(range(len(w))) AS p, unnest(w) AS word FROM ws),
+        |gr AS (
+        |  SELECT doc_id, i AS gpos, array_to_string(w[(i+1):(i+5)], ' ') AS g
+        |  FROM ws, UNNEST(range(len(w) - 5 + 1)) AS t(i)
+        |  WHERE len(w) >= 5),
+        |dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
+        |cov AS (
+        |  SELECT DISTINCT gr.doc_id, gr.gpos + t.o AS p
+        |  FROM gr JOIN dup USING (g) CROSS JOIN range(5) AS t(o)),
+        |m AS (
+        |  SELECT t.doc_id, t.p,
+        |         CASE WHEN c.p IS NOT NULL THEN '_' ELSE t.word END AS tok,
+        |         CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END AS mk
+        |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p)
+        |SELECT doc_id, count(*)::BIGINT AS n_words, sum(mk)::BIGINT AS n_masked,
+        |       string_agg(tok, ' ' ORDER BY p) AS masked_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q135_segment_dedup" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
