@@ -152,6 +152,46 @@ object ScalarQueries extends QueryModule {
         max("k_str").as("max_k_str"))
       .orderBy("event_type")
 
+  /** q145: the VARIANT semi-structured type (Spark 4's open-schema
+    * column — binary-encoded, shreddable at rest, the lakehouse answer
+    * to schemaless JSON at 100 TB): `parse_json` → typed `variant_get`
+    * paths. Each event's props parses ONCE to VARIANT; a second nested
+    * document (object + array + JSON null, built from typed columns —
+    * ints and strings only, so no float-formatting skew between
+    * engines) exercises object fields, 0-based array indexing, the
+    * missing-path → SQL NULL contract (`try_variant_get`) and the
+    * JSON-null vs missing distinction (`is_variant_null`). Unlike
+    * q37's `from_json`, no schema is declared anywhere — the paths are
+    * late-bound, which is the point of the type.
+    *
+    * Scale shape: parse + extraction are scan-local (one parse per
+    * row, projected many ways), then one partial+final agg on
+    * event_type. At rest a VARIANT column shreds frequent paths into
+    * columnar subfields, so `$.k`-style probes read like real columns
+    * instead of re-parsing text — the engine-side reason to prefer it
+    * over a string props column.
+    */
+  def q145VariantOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+        expr(
+          """parse_json(concat('{"u":', user_id,
+            |  ',"et":"', event_type,
+            |  '","arr":[', variant_get(parse_json(props), '$.k', 'string'),
+            |  ',', 2 * variant_get(parse_json(props), '$.k', 'int'),
+            |  '],"z":null}'))""".stripMargin).as("v"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        sum(expr("variant_get(v, '$.arr[1]', 'bigint')")).as("sum_arr1"),
+        sum(expr("if(try_variant_get(v, '$.nope', 'int') is null, 1, 0)"))
+          .as("n_missing"),
+        sum(expr("if(is_variant_null(variant_get(v, '$.z')), 1, 0)"))
+          .as("n_znull"))
+      .orderBy("event_type")
+
   /** Hash functions (md5 / sha2-256 are cross-engine checkable; xxhash64
     * and crc32 are Spark-specific and covered by HashFnsSpec instead). */
   def q38HashFns(spark: SparkSession, dir: String): DataFrame =
@@ -189,6 +229,7 @@ object ScalarQueries extends QueryModule {
     "q35_array_fns" -> (q35ArrayFns _),
     "q36_map_struct_fns" -> (q36MapStructFns _),
     "q37_json_fns" -> (q37JsonFns _),
+    "q145_variant" -> (q145VariantOps _),
     "q38_hash_fns" -> (q38HashFns _),
     "q39_conditional_cast" -> (q39ConditionalCast _)
   )
@@ -278,6 +319,24 @@ object ScalarQueries extends QueryModule {
         |    json_extract_string(props, '$.k') AS k_str
         |  FROM events
         |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the same nested document built from the same typed columns, probed
+    // through DuckDB's JSON paths: arr[1] = 2k, a missing path is SQL
+    // NULL on every row, and $.z is a JSON null (present, not missing)
+    "q145_variant" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |         '{"u":' || user_id || ',"et":"' || event_type ||
+        |         '","arr":[' || json_extract_string(props, '$.k') ||
+        |         ',' || 2 * CAST(json_extract_string(props, '$.k') AS INTEGER) ||
+        |         '],"z":null}' AS doc
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       sum(k)::BIGINT AS sum_k,
+        |       sum(CAST(json_extract_string(doc, '$.arr[1]') AS BIGINT))::BIGINT AS sum_arr1,
+        |       sum(CASE WHEN json_extract(doc, '$.nope') IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+        |       sum(CASE WHEN json_type(doc::JSON, '$.z') = 'NULL' THEN 1 ELSE 0 END)::BIGINT AS n_znull
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q38_hash_fns" ->
       """SELECT n_nationkey,
         |  md5(n_name) AS name_md5,
