@@ -335,6 +335,48 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("user_id", "session_start")
   }
 
+  /** q146: DYNAMIC-gap session windows, driver-gated end-to-end — the
+    * per-event gap form of `session_window` (the gap is an EXPRESSION
+    * over the row: clicks hold a session open 3 minutes, everything
+    * else 7 — how real attribution pipelines model engagement-dependent
+    * timeouts). Semantics differ from q100's fixed gap in kind, not
+    * degree: each event contributes the interval [ts, ts+gap(event))
+    * and a session is a connected component of OVERLAPPING intervals,
+    * so one long-gap event can bridge neighbors that would otherwise
+    * split. Drained with `Trigger.AvailableNow` in APPEND mode; a
+    * session emits only once the final watermark (max event time, 0 s
+    * delay) reaches its end = max(ts+gap) over members. The oracle is
+    * the interval-union sweep: per user in (ts, value) order, a new
+    * session starts exactly when ts ≥ the running max of all preceding
+    * interval ends — prior sessions can't re-trigger because a break
+    * point already cleared their ends.
+    *
+    * Scale shape: identical to q100 — one shuffle on user_id into the
+    * session-merge state store, bounded state (watermark evicts closed
+    * sessions); the gap expression is evaluated scan-side, adding no
+    * exchange.
+    */
+  def q146DynamicGapSessions(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream = normalizeTs(raw, stream0)
+    val gap = when(col("event_type") === "click", lit("3 minutes"))
+      .otherwise(lit("7 minutes"))
+    val agg = stream.withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val name = s"q146_dynsessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg
+      .select(col("w").getField("start").as("session_start"), col("user_id"),
+        col("n"), col("sum_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "session_start")
+  }
+
   /** q111: the tumbling-window sibling of q100 — `window(ts, '5
     * minutes')` as SQL TEXT over a watermarked streaming view, drained
     * with `Trigger.AvailableNow` in APPEND mode, so the two streaming
@@ -744,6 +786,7 @@ object StreamingOps extends QueryModule {
     "q133_recent_values_tws" -> (q133RecentValuesTws _),
     "q134_type_counts_tws" -> (q134TypeCountsTws _),
     "q100_sql_session_stream" -> (q100SqlSessionStream _),
+    "q146_dynamic_gap_sessions" -> (q146DynamicGapSessions _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
     "q139_chained_window_agg" -> (q139ChainedWindowAgg _),
@@ -802,6 +845,37 @@ object StreamingOps extends QueryModule {
         |SELECT session_start, user_id, n, sum_value
         |FROM x
         |WHERE session_last + INTERVAL 5 MINUTES <= (SELECT max(ts) FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
+    // the interval-union sweep: per user in (ts, value) order a session
+    // breaks exactly when ts >= the running max of all preceding
+    // interval ends (ts+gap); append-mode finalization = session end
+    // (max ts+gap over members) at or before the final watermark
+    "q146_dynamic_gap_sessions" ->
+      """WITH g0 AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN event_type = 'click' THEN INTERVAL 3 MINUTES
+        |              ELSE INTERVAL 7 MINUTES END AS gap
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, value, gap,
+        |         max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, value
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM g0),
+        |s0 AS (
+        |  SELECT *, CASE WHEN pmax IS NULL OR ts >= pmax THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ts, value, gap,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM s0),
+        |x AS (
+        |  SELECT user_id, min(ts) AS session_start, max(ts + gap) AS session_end,
+        |         count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT session_start, user_id, n, sum_value
+        |FROM x
+        |WHERE session_end <= (SELECT max(ts) FROM events)
         |ORDER BY user_id, session_start""".stripMargin,
     "q58_window_tumbling" ->
       """SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type,
