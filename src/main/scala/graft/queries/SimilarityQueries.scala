@@ -276,14 +276,22 @@ object SimilarityQueries extends QueryModule {
     * q77-recipe k-means — (assignments a2, FINAL codebooks c2), both
     * deterministic, replayable trajectories.
     */
-  private def pqSubspaceFit(spark: SparkSession, dir: String): Seq[(DataFrame, DataFrame)] = {
-    val emb = Tables.embeddings(spark, dir)
-    (0 until 4).map { s =>
-      val sliced = emb.select(col("vec_id"),
-        expr(s"slice(embedding, ${s * 16 + 1}, 16)").as("embedding"))
-      graft.operators.KMeans.fit(sliced, k = 8, iters = 2)
-    }
-  }
+  private val pqFitMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Seq[(DataFrame, DataFrame)]]()
+
+  private def pqSubspaceFit(spark: SparkSession, dir: String): Seq[(DataFrame, DataFrame)] =
+    // memoized per (session, dir) like IvfAnn.buildShared — q142, q143
+    // and q147 all consume the same four trajectories, and at 100 TB the
+    // codebooks + codes are a written-once artifact every query reads
+    pqFitMemo.computeIfAbsent((System.identityHashCode(spark), dir), _ => {
+      val emb = Tables.embeddings(spark, dir)
+      (0 until 4).map { s =>
+        val sliced = emb.select(col("vec_id"),
+          expr(s"slice(embedding, ${s * 16 + 1}, 16)").as("embedding"))
+        val (asg, cents) = graft.operators.KMeans.fit(sliced, k = 8, iters = 2)
+        (asg.localCheckpoint(true), cents.localCheckpoint(true))
+      }
+    })
 
   /** Left-to-right double fold of Σ (xᵢ − yᵢ)² over two array columns —
     * the association order `KMeans.assign` and the oracle's list
@@ -324,7 +332,16 @@ object SimilarityQueries extends QueryModule {
     * across queries in production); the per-query marginal plan touches
     * no embedding bytes.
     */
-  def q143PqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+  def q143PqAdcSearch(spark: SparkSession, dir: String): DataFrame =
+    pqAdcRows(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(10)
+
+  /** Per-vector ADC rows (vec_id, c0..c3, adist vs the vec_id-0 query)
+    * shared by q143 (flat scan) and q147 (IVF-pruned).
+    */
+  private def pqAdcRows(spark: SparkSession, dir: String): DataFrame = {
     val subs = pqSubspaceFit(spark, dir).zipWithIndex.map { case ((asg, cents), s) =>
       val qslice = queryVec(spark, dir)
         .select(expr(s"slice(qv, ${s * 16 + 1}, 16)").as("qv"))
@@ -337,9 +354,34 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id"), col("cid").as(s"c$s"), col("d").as(s"d$s"))
     }
     subs.reduce((a, b) => a.join(b, "vec_id"))
-      .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
         round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("adist"))
+  }
+
+  /** q147: the FULL production ANN index — IVF coarse pruning composed
+    * with PQ-ADC ranking (IVF-PQ, Jégou et al. PAMI 2011 §V; what FAISS
+    * deploys as `IndexIVFPQ`). The query routes through the 16-list
+    * integer-grid coarse quantizer (q105's exact-argmax device) to its
+    * ONE nearest list (nprobe = 1); only that list's members are ranked,
+    * and the ranking is q143's ADC — 4 code lookups per candidate, no
+    * embedding bytes touched. Output: top-10 of the probed list by
+    * (adist, vec_id), plus the codes.
+    *
+    * Scale shape: the two index structures compose their savings — the
+    * coarse quantizer prunes the SCAN to nprobe/nLists of the
+    * partitioned code table (parquet `partitionBy(list_id)` partition
+    * pruning at 100 TB), and PQ shrinks what's scanned to 4 small ints
+    * per row. The only non-broadcast exchanges are the build-time ones
+    * (shared, memoized); the query-time marginal plan is a pruned code
+    * scan + four 8-row broadcast joins + TakeOrderedAndProject.
+    */
+  def q147IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val asg = gridIvfAssign(spark, dir, nLists = 16)
+    val qList = asg.filter(col("vec_id") === 0).select(col("list_id"))
+    val cand = asg.join(broadcast(qList), "list_id")
+      .filter(col("vec_id") =!= 0).select("vec_id")
+    pqAdcRows(spark, dir)
+      .join(cand, "vec_id")
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(10)
   }
@@ -593,27 +635,42 @@ object SimilarityQueries extends QueryModule {
     * the assignment once for both join sides (at 100 TB: the
     * `partitionBy(list_id)` layout written once).
     */
+  private val gridIvfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Int), DataFrame]()
+
+  /** Integer-grid IVF coarse assignment (vec_id, label, qe, qn,
+    * list_id): ⌊x·2²⁰+0.5⌋ per dim makes the dot products exact BIGINTs,
+    * so the nearest-list argmax is bit-identical across engines (the
+    * q105 device). Memoized per (session, dir, nLists) — q105's kNN and
+    * q147's IVF-PQ probe consume the same assignment, the local stand-in
+    * for a `partitionBy(list_id)` index written once. The spread is
+    * split-count-gated ([[Tables.spread]]): a scan already carrying the
+    * parallelism pays no exchange before the broadcast kernel.
+    */
+  private def gridIvfAssign(spark: SparkSession, dir: String, nLists: Int): DataFrame =
+    gridIvfMemo.computeIfAbsent((System.identityHashCode(spark), dir, nLists), _ => {
+      val grid = "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0 + 0.5) as bigint))"
+      val en = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), expr(grid).as("qe"))
+        .withColumn("qn", expr("aggregate(qe, cast(0 as bigint), (s, x) -> s + x * x)"))
+      val cents = en.orderBy("vec_id").limit(nLists)
+        .select(row_number().over(Window.orderBy("vec_id")).cast("int").as("list_id"),
+          col("qe").as("ce"), col("qn").as("cn"))
+      Tables.spread(en)
+        .crossJoin(broadcast(cents))
+        .withColumn("qdot",
+          expr("aggregate(zip_with(qe, ce, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+        .withColumn("score", col("qdot").cast("double") / sqrt(col("cn").cast("double")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("score"), (-col("list_id")).as("neg"),
+          col("label"), col("qe"), col("qn"))).as("b"))
+        .select(col("vec_id"), col("b.label").as("label"), col("b.qe").as("qe"),
+          col("b.qn").as("qn"), (-col("b.neg")).as("list_id"))
+        .localCheckpoint(true)
+    })
+
   def q105KnnLabel(spark: SparkSession, dir: String): DataFrame = {
-    val nLists = 16
-    val grid = "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0 + 0.5) as bigint))"
-    val en = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), expr(grid).as("qe"))
-      .withColumn("qn", expr("aggregate(qe, cast(0 as bigint), (s, x) -> s + x * x)"))
-    val cents = en.orderBy("vec_id").limit(nLists)
-      .select(row_number().over(Window.orderBy("vec_id")).cast("int").as("list_id"),
-        col("qe").as("ce"), col("qn").as("cn"))
-    val assigned = en
-      .repartition(spark.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(cents))
-      .withColumn("qdot",
-        expr("aggregate(zip_with(qe, ce, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
-      .withColumn("score", col("qdot").cast("double") / sqrt(col("cn").cast("double")))
-      .groupBy("vec_id")
-      .agg(max(struct(col("score"), (-col("list_id")).as("neg"),
-        col("label"), col("qe"), col("qn"))).as("b"))
-      .select(col("vec_id"), col("b.label").as("label"), col("b.qe").as("qe"),
-        col("b.qn").as("qn"), (-col("b.neg")).as("list_id"))
-      .localCheckpoint(true)
+    val assigned = gridIvfAssign(spark, dir, nLists = 16)
     val isQ = conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
       .cast("int") < 64
     val q = assigned.filter(isQ)
@@ -660,7 +717,8 @@ object SimilarityQueries extends QueryModule {
     "q77_kmeans" -> (q77Kmeans _),
     "q79_cluster_sample" -> (q79ClusterSample _),
     "q142_pq_codes" -> (q142PqCodes _),
-    "q143_pq_adc_search" -> (q143PqAdcSearch _)
+    "q143_pq_adc_search" -> (q143PqAdcSearch _),
+    "q147_ivf_pq_search" -> (q147IvfPqSearch _)
   )
 
   /** Shared DuckDB CTE chain: the q77/q79 k-means trajectory unrolled —
@@ -696,6 +754,30 @@ object SimilarityQueries extends QueryModule {
 
   private val oracleCos =
     "list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[])"
+
+  /** The integer-grid IVF coarse assignment replayed in DuckDB (shared
+    * by q105/q147): ⌊x·2²⁰+0.5⌋ grid, exact BIGINT dots, nearest-list
+    * argmax by (score DESC, list_id ASC). Ends at `asg` (vec_id, label,
+    * qe, qn, list_id).
+    */
+  private val oracleGridAsg: String =
+    """en AS (
+      |  SELECT vec_id, label,
+      |         [floor(x::DOUBLE * 1048576 + 0.5)::BIGINT FOR x IN embedding] AS qe
+      |  FROM embeddings),
+      |en2 AS (SELECT vec_id, label, qe,
+      |               list_sum([x * x FOR x IN qe])::BIGINT AS qn FROM en),
+      |c AS (SELECT row_number() OVER (ORDER BY vec_id)::INT AS list_id, qe AS ce, qn AS cn
+      |      FROM (SELECT * FROM en2 ORDER BY vec_id LIMIT 16) s),
+      |a AS (
+      |  SELECT e.vec_id, e.label, e.qe, e.qn, c.list_id,
+      |         list_sum([e.qe[i] * c.ce[i] FOR i IN range(1, 65)])::BIGINT AS qdot, c.cn
+      |  FROM en2 e CROSS JOIN c),
+      |asg AS (
+      |  SELECT vec_id, label, qe, qn, list_id
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY qdot::DOUBLE / sqrt(cn::DOUBLE) DESC, list_id ASC) AS rn FROM a)
+      |  WHERE rn = 1)""".stripMargin
 
   /** The per-subspace DuckDB CTE chain shared by q142/q143: subspace s's
     * 16-dim slice through the q77 trajectory (seeds → a1 → snapped c1 →
@@ -745,23 +827,7 @@ object SimilarityQueries extends QueryModule {
     // order anywhere), seeding by smallest ids, assignment / kNN / vote
     // tie-breaks mirrored term for term
     "q105_knn_label" ->
-      """WITH en AS (
-        |  SELECT vec_id, label,
-        |         [floor(x::DOUBLE * 1048576 + 0.5)::BIGINT FOR x IN embedding] AS qe
-        |  FROM embeddings),
-        |en2 AS (SELECT vec_id, label, qe,
-        |               list_sum([x * x FOR x IN qe])::BIGINT AS qn FROM en),
-        |c AS (SELECT row_number() OVER (ORDER BY vec_id)::INT AS list_id, qe AS ce, qn AS cn
-        |      FROM (SELECT * FROM en2 ORDER BY vec_id LIMIT 16) s),
-        |a AS (
-        |  SELECT e.vec_id, e.label, e.qe, e.qn, c.list_id,
-        |         list_sum([e.qe[i] * c.ce[i] FOR i IN range(1, 65)])::BIGINT AS qdot, c.cn
-        |  FROM en2 e CROSS JOIN c),
-        |asg AS (
-        |  SELECT vec_id, label, qe, qn, list_id
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |          ORDER BY qdot::DOUBLE / sqrt(cn::DOUBLE) DESC, list_id ASC) AS rn FROM a)
-        |  WHERE rn = 1),
+      s"""WITH $oracleGridAsg,
         |p AS (
         |  SELECT q.vec_id AS q_id, q.label AS q_label, b.vec_id * 16 + b.label AS b_key,
         |         list_sum([q.qe[i] * b.qe[i] FOR i IN range(1, 65)])::BIGINT AS qdot,
@@ -920,6 +986,33 @@ object SimilarityQueries extends QueryModule {
          |       round(err_0.e + err_1.e + err_2.e + err_3.e, 6) AS err
          |FROM err_0 JOIN err_1 USING (vec_id) JOIN err_2 USING (vec_id) JOIN err_3 USING (vec_id)
          |ORDER BY vec_id""".stripMargin
+    },
+    // grid-IVF routing + the PQ/ADC replay, composed: the probed list is
+    // the query's nearest by the exact integer argmax; candidates =
+    // that list minus the query; ranking identical to q143's
+    "q147_ivf_pq_search" -> {
+      def dt(s: Int): String = {
+        val lo = s * 16 + 1; val hi = s * 16 + 16
+        s"""q_$s AS (SELECT [x::DOUBLE FOR x IN embedding[$lo:$hi]] AS v
+           |         FROM embeddings WHERE vec_id = 0),
+           |dt_$s AS (
+           |  SELECT c.cid,
+           |         list_sum([(q.v[i] - c.v[i]) * (q.v[i] - c.v[i]) FOR i IN range(1, 17)]) AS d
+           |  FROM c2_$s c CROSS JOIN q_$s q)""".stripMargin
+      }
+      s"""WITH $oracleGridAsg,
+         |${(0 until 4).map(pqOracleSub).mkString(",\n")},
+         |${(0 until 4).map(dt).mkString(",\n")},
+         |ql AS (SELECT list_id FROM asg WHERE vec_id = 0),
+         |cand AS (SELECT asg.vec_id FROM asg JOIN ql USING (list_id) WHERE asg.vec_id <> 0)
+         |SELECT a0.vec_id, a0.cid AS c0, a1.cid AS c1, a2x.cid AS c2, a3.cid AS c3,
+         |       round(d0.d + d1.d + d2.d + d3.d, 6) + 0.0 AS adist
+         |FROM a2_0 a0 JOIN a2_1 a1 USING (vec_id)
+         |     JOIN a2_2 a2x USING (vec_id) JOIN a2_3 a3 USING (vec_id)
+         |     JOIN cand USING (vec_id)
+         |     JOIN dt_0 d0 ON d0.cid = a0.cid JOIN dt_1 d1 ON d1.cid = a1.cid
+         |     JOIN dt_2 d2 ON d2.cid = a2x.cid JOIN dt_3 d3 ON d3.cid = a3.cid
+         |ORDER BY adist, a0.vec_id LIMIT 10""".stripMargin
     },
     // the four c2_s codebooks again, then the ADC replay: an 8-row
     // distance table per subspace (query slice vs c2_s, the same
