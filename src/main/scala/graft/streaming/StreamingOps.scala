@@ -362,19 +362,29 @@ object StreamingOps extends QueryModule {
     val stream0 = spark.readStream.schema(raw)
       .option("basePath", dir).parquet(s"$dir/events.parque[t]")
     val stream = normalizeTs(raw, stream0)
-    val gap = when(col("event_type") === "click", lit("3 minutes"))
-      .otherwise(lit("7 minutes"))
-    val agg = stream.withWatermark("ts", "0 seconds")
-      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val agg = dynamicSessions(stream.withWatermark("ts", "0 seconds"))
     val name = s"q146_dynsessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = agg
-      .select(col("w").getField("start").as("session_start"), col("user_id"),
-        col("n"), col("sum_value"))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name).orderBy("user_id", "session_start")
+  }
+
+  /** The q146 transform on a plain frame — runs identically as a batch
+    * query or a streaming one (Structured Streaming's batch↔stream
+    * contract), which is what StreamingSpec's chunked-replay test pins:
+    * session merge across micro-batch boundaries must equal the batch
+    * fold.
+    */
+  def dynamicSessions(events: DataFrame): DataFrame = {
+    val gap = when(col("event_type") === "click", lit("3 minutes"))
+      .otherwise(lit("7 minutes"))
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w").getField("start").as("session_start"), col("user_id"),
+        col("n"), col("sum_value"))
   }
 
   /** q111: the tumbling-window sibling of q100 — `window(ts, '5

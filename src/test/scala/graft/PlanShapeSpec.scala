@@ -749,6 +749,41 @@ class PlanShapeSpec extends AnyFunSuite {
       s"keep-first window missing:\n$plan")
   }
 
+  test("q144 dup-gram mask core: gram/doc-key joins only — no cartesian, no table broadcast, no blind repartition") {
+    // the scaladoc's claims machine-checked: the duplicate set attaches
+    // through gram-key equi-joins and the cover set through a
+    // (doc_id, p) join (LeftOuter marker); with auto-broadcast off
+    // nothing broadcasts (every side is data-dependent); a pre-spread
+    // input pays no round-robin full-text exchange.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val preSpread = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, org.apache.spark.sql.functions.col("doc_id"))
+      val plan = finalPlan(DedupQueries.dupGramMask(preSpread))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"a side still broadcast with auto-broadcast off:\n$plan")
+      assert(plan.contains("LeftOuter"), s"cover marker join missing:\n$plan")
+      assert(!plan.contains("RoundRobinPartitioning"),
+        s"blind full-text repartition resurfaced:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q143/q147 ADC search: TakeOrderedAndProject ranking, only tiny sides broadcast") {
+    // query time must rank via per-partition heaps and broadcast ONLY
+    // index-sized sides (8-row distance tables, the 1-row query slice /
+    // probed-list dim — those plan as 1×n broadcast loops, which is
+    // fine) — never an unbroadcast all-pairs CartesianProduct over data.
+    for (df <- Seq(SimilarityQueries.q143PqAdcSearch(spark, dir),
+                   SimilarityQueries.q147IvfPqSearch(spark, dir))) {
+      val plan = finalPlan(df)
+      assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+    }
+  }
+
   test("q136 merge is a single full-outer key join — no cartesian, no extra wide ops") {
     val plan = finalPlan(graft.queries.LakehouseQueries.q136MergeSnapshot(spark, dir))
     assert(plan.contains("FullOuter"), s"merge lost its full-outer join:\n$plan")

@@ -127,6 +127,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(got) == canon(want))
   }
 
+  test("dynamic-gap sessions: chunked streaming replay equals the batch fold") {
+    // q146's transform under MULTI-batch arrival: interval-union merge
+    // across micro-batch boundaries (a later chunk can extend or bridge
+    // a session opened in an earlier one) must converge to the batch
+    // result. Flush sentinels close every real session; their own rows
+    // are excluded from the comparison.
+    val flush = Event(-1L, new Timestamp(allEvents.last.ts.getTime + 86400000L), -1L, "flush", 0.0, "{}")
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    for (n <- Seq(2, 5)) {
+      val mem = MemoryStream[Event]
+      val name = s"sink_${System.nanoTime()}"
+      val q = StreamingOps.dynamicSessions(mem.toDF().withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks(n).foreach { c => mem.addData(c); q.processAllAvailable() }
+        mem.addData(Seq(flush)); q.processAllAvailable()
+        mem.addData(Seq(flush.copy(event_id = -2L,
+          ts = new Timestamp(flush.ts.getTime + 60000L)))); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).filter($"user_id" =!= -1L)
+      val want = StreamingOps.dynamicSessions(Tables.events(spark, SparkTestSession.sf0001))
+      assert(canon(got) == canon(want), s"diverged at $n chunks")
+    }
+  }
+
   test("watermark drops late data in append-mode windowed aggregation") {
     val t0 = Timestamp.valueOf("2030-01-01 10:00:00")
     def at(min: Int, sec: Int = 0, id: Long = 0) =
