@@ -211,4 +211,42 @@ object MediaPipeline {
       }
     }.toDF("doc_id", "frame_no", "frame")
   }
+
+  /** Audio frame/hop windowing + per-frame features — the front half of
+    * every audio feature pipeline (frame → window → filterbank): the
+    * payload bytes are treated as 8-bit PCM (sample = byte − 128, the
+    * unsigned-PCM convention), cut into OVERLAPPING frames of `frameLen`
+    * samples every `hop` (unlike [[sampleFrames]]' disjoint stride-skip),
+    * and each frame reduces to integer-exact features — energy Σs²,
+    * peak |s|, and zero-crossing count (the classic voiced/unvoiced
+    * discriminator). A real deployment swaps the byte tap for a codec's
+    * PCM buffer and appends the FFT/mel stage after the framing; the
+    * framing arithmetic, overlap bookkeeping, and per-row fan-out are
+    * production-real and exactly oracle-checkable.
+    *
+    * Scale: pure per-row Generate-shaped fan-out (one row → ⌊(n−F)/H⌋+1
+    * frame rows) off a `flatMap` iterator — scan-local, no shuffle; at
+    * 100 TB this runs at decode speed next to the codec.
+    */
+  def frameAudio(ds: Dataset[MediaRecord], frameLen: Int, hop: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    require(frameLen > 0 && hop > 0, s"bad framing $frameLen/$hop")
+    ds.flatMap { r =>
+      val n = r.blob.length
+      val nf = if (n >= frameLen) (n - frameLen) / hop + 1 else 0
+      (0 until nf).map { j =>
+        val st = j * hop
+        var energy = 0L; var peak = 0; var zc = 0
+        var i = 0
+        while (i < frameLen) {
+          val v = (r.blob(st + i) & 0xff) - 128
+          energy += v.toLong * v
+          val a = math.abs(v); if (a > peak) peak = a
+          if (i < frameLen - 1 && v * ((r.blob(st + i + 1) & 0xff) - 128) < 0) zc += 1
+          i += 1
+        }
+        (r.doc_id, j.toLong, energy, peak.toLong, zc.toLong)
+      }
+    }.toDF("doc_id", "frame_no", "energy", "peak", "zero_cross")
+  }
 }

@@ -557,6 +557,24 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** q148: audio FRAME/HOP windowing + per-frame features over the
+    * multimodal corpus's audio rows (doc_id ≡ 1 mod 3, pruned at the
+    * scan): [[graft.operators.MediaPipeline.frameAudio]] treats the
+    * payload as 8-bit PCM and cuts 16-sample frames every 8 (50%
+    * overlap — the real audio framing shape, vs q131's disjoint
+    * stride-skip), reducing each to integer-exact energy / peak /
+    * zero-crossing features. The oracle recomputes every sample tap
+    * from the char stream (byte = codepoint on the verified-ASCII
+    * corpus), so framing arithmetic, overlap bookkeeping and the
+    * feature folds are all bit-gated.
+    */
+  def q148AudioFrames(spark: SparkSession, dir: String): DataFrame = {
+    val audioDocs = Tables.documents(spark, dir).filter(col("doc_id") % 3 === 1)
+    val ds = graft.operators.MediaPipeline.fromDocuments(spark, audioDocs)
+    graft.operators.MediaPipeline.frameAudio(ds, frameLen = 16, hop = 8)
+      .orderBy("doc_id", "frame_no")
+  }
+
   /** q109: robust per-source outlier scoring — median + MAD (median
     * absolute deviation) over document length, the quality filter that
     * survives the heavy-tailed corpora mean/stddev filters die on
@@ -598,6 +616,7 @@ object TextQueries extends QueryModule {
     "q106_vocab_build" -> (q106VocabBuild _),
     "q128_unigram_xent" -> (q128UnigramXent _),
     "q131_frame_sample" -> (q131FrameSample _),
+    "q148_audio_frames" -> (q148AudioFrames _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
     "q82_bm25" -> (q82Bm25 _),
@@ -702,6 +721,28 @@ object TextQueries extends QueryModule {
     // the manufactured blob re-sliced by CHARACTER — equal to the
     // engine's byte slice on the verified-ASCII corpus; frames compare
     // hex-encoded (injective; both engines' hex() is uppercase)
+    // every sample tap recomputed from the char stream: v = ascii − 128
+    // (byte = codepoint on the verified-ASCII corpus); frames start at
+    // j·8, j < (n−16)//8 + 1; zero crossings pair i with i+1 in-frame
+    "q148_audio_frames" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (
+        |  SELECT doc_id, t.j AS frame_no, t.j * 8 AS st
+        |  FROM a, UNNEST(range((n - 16) // 8 + 1)) AS t(j)),
+        |s AS (
+        |  SELECT f.doc_id, f.frame_no, u.i,
+        |         ascii(substr(a.text, (f.st + u.i + 1)::BIGINT, 1)) - 128 AS v,
+        |         CASE WHEN u.i < 15
+        |              THEN ascii(substr(a.text, (f.st + u.i + 2)::BIGINT, 1)) - 128 END AS vn
+        |  FROM f JOIN a USING (doc_id), UNNEST(range(16)) AS u(i))
+        |SELECT doc_id, frame_no,
+        |       sum(v * v)::BIGINT AS energy,
+        |       max(abs(v))::BIGINT AS peak,
+        |       sum(CASE WHEN vn IS NOT NULL AND v * vn < 0 THEN 1 ELSE 0 END)::BIGINT AS zero_cross
+        |FROM s GROUP BY doc_id, frame_no
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "q131_frame_sample" ->
       """WITH m AS (SELECT doc_id, text FROM documents),
         |f AS (SELECT doc_id, u.f::BIGINT AS frame_no,

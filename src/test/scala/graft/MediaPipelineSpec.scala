@@ -57,6 +57,27 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("audio framing: hand-computed features, overlap bookkeeping, short-payload edge") {
+    import graft.operators.MediaMeta
+    // 20 bytes, frameLen 16, hop 8 → exactly ONE frame (start 8 would
+    // need bytes 8..23); samples = byte − 128
+    val bytes = Array.tabulate(20)(i => (120 + i * 2).toByte) // v = -8,-6,…
+    val rec = MediaRecord(7L, "audio", bytes, MediaMeta("en", 20L, 320, 240))
+    val ds = spark.createDataset(Seq(rec))
+    val rows = MediaPipeline.frameAudio(ds, frameLen = 16, hop = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val vs = (0 until 16).map(i => (bytes(i) & 0xff) - 128)
+    val energy = vs.map(v => v.toLong * v).sum
+    val peak = vs.map(math.abs).max.toLong
+    val zc = vs.sliding(2).count { case Seq(a, b) => a * b < 0 }
+    assert(rows.toSeq == Seq((7L, 0L, energy, peak, zc.toLong)))
+    // 31 bytes → frames at 0 and 8 only ((31−16)/8+1 = 2); 15 bytes → none
+    val r31 = MediaRecord(8L, "audio", Array.fill(31)(130.toByte), MediaMeta("en", 31L, 1, 1))
+    assert(MediaPipeline.frameAudio(spark.createDataset(Seq(r31)), 16, 8).count() == 2L)
+    val r15 = MediaRecord(9L, "audio", Array.fill(15)(130.toByte), MediaMeta("en", 15L, 1, 1))
+    assert(MediaPipeline.frameAudio(spark.createDataset(Seq(r15)), 16, 8).count() == 0L)
+  }
+
   test("stubTap == materialized pixelStub for every index (lazy-tap resize is exact)") {
     // the resize kernel reads the stub plane through stubTap instead of
     // materializing W×H floats; this pins the equivalence for every
