@@ -87,10 +87,46 @@ object LakehouseQueries extends QueryModule {
       .select(col("event_id"), col("zval"))
       .orderBy("event_id")
 
+  /** q150: incremental MATERIALIZED-VIEW maintenance — the refresh path
+    * of a stored per-key aggregate view under an insert-only delta
+    * batch (the lakehouse MV pattern: never rescan the base, apply the
+    * delta's PRE-AGGREGATED rows to the stored aggregates). The view is
+    * (n, sum, min, max) per user; every one of those is insert-
+    * maintainable (count/sum add, min/max take least/greatest — deletes
+    * would break min/max, which is exactly why engines restrict
+    * self-maintainable views to insert-only streams or keep auxiliary
+    * state). The fixture's "stored" view is computed here from the
+    * base partition (event_id ≢ 4 mod 5); the REFRESH itself — the part
+    * that runs per batch at 100 TB — touches only the |users|-row view
+    * and the delta's aggregate: one full-outer key join, the base fact
+    * rows never re-read. The oracle is the full recompute over all
+    * events: equality IS the maintenance-correctness invariant.
+    */
+  def q150MvMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "value")
+    val isDelta = pmod(col("event_id"), lit(5)) === 4
+    def agg(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum("value").as("sv"),
+      min("value").as("mn"), max("value").as("mx"))
+    val baseMv = agg(ev.filter(!isDelta)) // at 100 TB: read from the stored MV
+    val deltaAgg = agg(ev.filter(isDelta))
+    baseMv.as("b").join(deltaAgg.as("d"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n_events"),
+        round(coalesce(col("b.sv"), lit(0.0)) + coalesce(col("d.sv"), lit(0.0)), 2)
+          .as("sum_value"),
+        round(least(coalesce(col("b.mn"), col("d.mn")),
+          coalesce(col("d.mn"), col("b.mn"))), 2).as("min_value"),
+        round(greatest(coalesce(col("b.mx"), col("d.mx")),
+          coalesce(col("d.mx"), col("b.mx"))), 2).as("max_value"))
+      .orderBy("user_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_merge_snapshot" -> (q136MergeSnapshot _),
     "q137_snapshot_diff" -> (q137SnapshotDiff _),
-    "q138_zorder_key" -> (q138ZOrderKey _)
+    "q138_zorder_key" -> (q138ZOrderKey _),
+    "q150_mv_maintenance" -> (q150MvMaintenance _)
   )
 
   /** Shared oracle CTEs: base snapshot + change set + merged snapshot. */
@@ -114,6 +150,14 @@ object LakehouseQueries extends QueryModule {
       |  WHERE c.op IS NULL OR c.op <> 'D')""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the full recompute — equality with the engine's base⊕delta
+    // refresh IS the self-maintainability invariant
+    "q150_mv_maintenance" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |       round(sum(value), 2) + 0.0 AS sum_value,
+        |       round(min(value), 2) + 0.0 AS min_value,
+        |       round(max(value), 2) + 0.0 AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q136_merge_snapshot" -> (oracleMergeCtes +
       """
         |SELECT k AS o_orderkey, v AS o_totalprice FROM m ORDER BY k""".stripMargin),

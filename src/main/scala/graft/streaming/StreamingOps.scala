@@ -335,6 +335,39 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("user_id", "session_start")
   }
 
+  /** q149: UPDATE-mode windowed aggregation, driver-gated — the output-
+    * mode half of the streaming contract q111 leaves open. Same
+    * transform as q111's tumbling buckets, same watermark, but UPDATE
+    * mode: every bucket TOUCHED in a micro-batch emits its current
+    * value that batch — nothing waits for the watermark to close it. On
+    * the asserted single-batch drain that means every bucket appears
+    * exactly once with its final value, INCLUDING the last bucket q111's
+    * append finalization withholds — so the q149/q111 pair pins the
+    * mode distinction itself (their oracles differ by exactly the
+    * finalization WHERE). Multi-batch behavior (re-emission of updated
+    * buckets) is what the run-time single-batch assertion excludes, and
+    * StreamingSpec's update-mode fold tests cover that side.
+    *
+    * Scale: identical plan to q111 — one shuffle into the windowed
+    * state agg; update mode additionally ships per-batch deltas to the
+    * sink, the usual choice when the sink is a keyed store rather than
+    * an append log.
+    */
+  def q149UpdateModeWindows(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream = normalizeTs(raw, stream0)
+    val agg = tumbling(stream.withWatermark("ts", "0 seconds"))
+    val name = s"q149_updwindows_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assertSingleDataBatch(q, "q149")
+    spark.table(name).orderBy("w_start", "event_type")
+  }
+
   /** q146: DYNAMIC-gap session windows, driver-gated end-to-end — the
     * per-event gap form of `session_window` (the gap is an EXPRESSION
     * over the row: clicks hold a session open 3 minutes, everything
@@ -797,6 +830,7 @@ object StreamingOps extends QueryModule {
     "q134_type_counts_tws" -> (q134TypeCountsTws _),
     "q100_sql_session_stream" -> (q100SqlSessionStream _),
     "q146_dynamic_gap_sessions" -> (q146DynamicGapSessions _),
+    "q149_update_mode_windows" -> (q149UpdateModeWindows _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
     "q139_chained_window_agg" -> (q139ChainedWindowAgg _),
@@ -888,6 +922,12 @@ object StreamingOps extends QueryModule {
         |WHERE session_end <= (SELECT max(ts) FROM events)
         |ORDER BY user_id, session_start""".stripMargin,
     "q58_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type,
+        |       count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q58's buckets with NO finalization cut: update mode emits every
+    // touched bucket in the (asserted) single batch — the q111 contrast
+    "q149_update_mode_windows" ->
       """SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type,
         |       count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
