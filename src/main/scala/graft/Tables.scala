@@ -94,16 +94,30 @@ object Tables {
   private val scanSplits =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), Integer]()
 
-  /** [[documents]] spread through the split-count gate with the probe
-    * memoized. The four full-text pipeline queries (decontamination ×2,
-    * PII scrub, boilerplate mask) start here.
-    */
-  def documentsSpread(spark: SparkSession, dir: String): DataFrame = {
-    val df = documents(spark, dir)
+  private def spreadOf(spark: SparkSession, dir: String, name: String,
+                       df: DataFrame): DataFrame = {
     val n: Int = scanSplits.computeIfAbsent(
-      (System.identityHashCode(spark), dir, "documents"),
+      (System.identityHashCode(spark), dir, name),
       _ => df.rdd.getNumPartitions)
     if (n >= spark.sparkContext.defaultParallelism) df
     else df.repartition(spark.sparkContext.defaultParallelism)
   }
+
+  /** [[documents]] spread through the split-count gate with the probe
+    * memoized — the full-text pipelines and every per-document kernel
+    * query start here. A projection applied AFTER the spread still
+    * prunes columns at the scan (ColumnPruning pushes Projects through
+    * Repartition).
+    */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    spreadOf(spark, dir, "documents", documents(spark, dir))
+
+  /** [[events]] through the same gate (sketch-kernel aggregations). */
+  def eventsSpread(spark: SparkSession, dir: String): DataFrame =
+    spreadOf(spark, dir, "events", events(spark, dir))
+
+  /** [[embeddings]] through the same gate (vector-kernel queries that
+    * don't route via `IvfAnn.preppedEmb`). */
+  def embeddingsSpread(spark: SparkSession, dir: String): DataFrame =
+    spreadOf(spark, dir, "embeddings", embeddings(spark, dir))
 }

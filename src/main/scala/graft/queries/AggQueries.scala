@@ -199,8 +199,7 @@ object AggQueries extends QueryModule {
     */
   def q86HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val hh = udaf(new graft.functions.SketchAggregators.HeavyHitterAggregator(4096))
-    Tables.events(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.eventsSpread(spark, dir)
       .agg(hh(col("user_id")).as("items"))
       .select(explode(col("items")).as("kv"))
       .select(col("kv._1").as("user_id"), col("kv._2").as("n_events"))
@@ -226,8 +225,7 @@ object AggQueries extends QueryModule {
     // divisor is a power of two), identical in DuckDB
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(1.0d)) / lit(4294967296.0d)
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsSpread(spark, dir)
       .select(col("source"), u.as("u"), col("doc_id"))
       .groupBy("source")
       .agg(bk(col("u")).as("mins"),
@@ -254,8 +252,7 @@ object AggQueries extends QueryModule {
     */
   def q91GroupedTopk(spark: SparkSession, dir: String): DataFrame = {
     val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(3))
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsSpread(spark, dir)
       .select(col("source"),
         col("n_chars").cast("double").as("v"), col("doc_id").as("id"))
       .groupBy("source")

@@ -172,8 +172,7 @@ object DedupQueries extends QueryModule {
     * over the same trigram sets is the sub-quadratic path.
     */
   def q42NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val grams = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"), expr("trigram_hashes(text)").as("g"))
     val sizes = grams.select(col("doc_id"), col("source"), size(col("g")).as("sz"))
     val postings = grams.select(col("source"), col("doc_id"), explode(col("g")).as("t"))
@@ -226,8 +225,7 @@ object DedupQueries extends QueryModule {
     * hint survives in the plan.
     */
   def q42bNgramJaccardBanded(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val grams = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"),
         expr("sort_array(trigram_hashes(text))").as("g"))
     val bands = grams
@@ -295,8 +293,7 @@ object DedupQueries extends QueryModule {
     */
   def q42cJaccardPrefixExact(spark: SparkSession, dir: String): DataFrame = {
     val t5 = 4 // threshold = t5/5
-    val grams = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val grams = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"),
         expr("sort_array(trigram_hashes(text))").as("g"))
       .withColumn("sz", size(col("g")))
@@ -387,8 +384,7 @@ object DedupQueries extends QueryModule {
     * output compact; `min_sig` pins an actual suffixed signature value.
     */
   def q72NonBmpKernels(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsSpread(spark, dir)
       .filter(size(split(col("text"), " ")) >= 3)
       .withColumn("t", concat(col("text"), lit(nonBmpSuffix)))
       .withColumn("g0", expr("array_distinct(trigram_hashes(text))"))

@@ -145,8 +145,7 @@ object SetOpsQueries extends QueryModule {
   def q87WeightedSample(spark: SparkSession, dir: String): DataFrame = {
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(1.0d)) / lit(4294967296.0d)
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"),
         (-log(u) / col("n_chars")).as("key"))
       .orderBy(col("key").asc, col("doc_id").asc)

@@ -97,8 +97,7 @@ object SimilarityQueries extends QueryModule {
     */
   private[graft] def nnPairsBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val pairs = e
-      .repartition(spark.sparkContext.defaultParallelism)
+    val pairs = Tables.embeddingsSpread(spark, dir).select("vec_id", "embedding")
       .join(broadcast(e.select(col("vec_id").as("nn_id"),
         col("embedding").as("emb_b"))),
         col("vec_id") =!= col("nn_id"))
@@ -498,8 +497,7 @@ object SimilarityQueries extends QueryModule {
     // depend on summation order — the oracle's arbitrary-order sum(...)
     // lands on the identical integer, so the buckets match by
     // construction, not by float luck
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val e = Tables.embeddingsSpread(spark, dir).select("vec_id", "embedding")
       .withColumn("qe", transform(col("embedding"),
         x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)).cast("long")))
     val bits: Seq[Column] =
@@ -583,8 +581,7 @@ object SimilarityQueries extends QueryModule {
     */
   def q88GramCovariance(spark: SparkSession, dir: String): DataFrame = {
     val gram = udaf(new graft.functions.SketchAggregators.GramAggregator(64))
-    val m = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val m = Tables.embeddingsSpread(spark, dir)
       .agg(gram(col("embedding")).as("m"))
     val pairs = "flatten(transform(sequence(0, 63), " +
       "i -> transform(sequence(i, 63), j -> struct(i AS i, j AS j))))"

@@ -58,8 +58,7 @@ object TextQueries extends QueryModule {
     * expressed as a when-chain so both engines evaluate identically.
     */
   def q48LangId(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val base = Tables.documentsSpread(spark, dir)
       .withColumn("ws", split(col("text"), " "))
       .withColumn("sc", multiScoreCol)
     val scored = langs.zipWithIndex.foldLeft(base) {
@@ -109,8 +108,7 @@ object TextQueries extends QueryModule {
     * aggregated per source.
     */
   def q50Tokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsSpread(spark, dir)
       .withColumn("ws", split(col("text"), " "))
       .withColumn("ws_tokens", size(col("ws")))
       .withColumn("re_tokens", size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))))
@@ -133,8 +131,7 @@ object TextQueries extends QueryModule {
     * min fingerprint. All array-local.
     */
   def q51Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsSpread(spark, dir)
       .withColumn("ws", split(col("text"), " "))
       // native Gram5Md5 kernel — same md5-derived values as the SQL
       // formulation the oracle uses, ~10× less interpreted-lambda cost
@@ -181,8 +178,7 @@ object TextQueries extends QueryModule {
     * > 20% repetition, the usual filter threshold shape.
     */
   def q76Repetition(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsSpread(spark, dir)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .select(col("source"),
@@ -219,8 +215,7 @@ object TextQueries extends QueryModule {
     */
   def q67TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val docs = Tables.documentsSpread(spark, dir)
     val words = docs.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("term"))
     val tc = words.groupBy("doc_id", "source", "term").agg(count(lit(1)).as("cnt"))
@@ -262,8 +257,7 @@ object TextQueries extends QueryModule {
     */
   def q70CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val docs = Tables.documentsSpread(spark, dir)
     val survivors = docs
       .withColumn("h", sha2(col("text"), 256))
       .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
@@ -351,8 +345,7 @@ object TextQueries extends QueryModule {
     * cartesian, no broadcast of the postings table.
     */
   def q85SparseCosine(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val tf = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term")
@@ -396,8 +389,7 @@ object TextQueries extends QueryModule {
     * one-row broadcast — nothing quadratic, nothing table-broadcast.
     */
   def q93KlDrift(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val tok = Tables.documentsSpread(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
     val sc = tok.groupBy("source", "term")
@@ -442,8 +434,7 @@ object TextQueries extends QueryModule {
   def q106VocabBuild(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = 100
-    val counts = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val counts = Tables.documentsSpread(spark, dir)
       .select(explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("cnt"))
@@ -557,6 +548,127 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** q151: CLASSIFIER-based quality filtering — inference of a linear
+    * bag-of-hashed-words model over every document (the fastText-style
+    * quality classifier CCNet/RefinedWeb-class pipelines run as a
+    * first-class curation stage; here the trained weight table is a
+    * deterministic function of the feature bucket so the whole forward
+    * pass is oracle-checkable — a production run swaps in learned
+    * weights, same plan). Per token: bucket = md5-byte mod 64, integer
+    * weight w = ((bucket·37+11) mod 15) − 7 in TENTHS; per doc the
+    * logit numerator Σw is an exact BIGINT, so the keep decision
+    * (logit ≥ 0) is an INTEGER comparison — no float boundary to flip —
+    * and p = σ(num/(10·n_tokens)) is one exact divide into exp/ln whose
+    * ulp noise round 6 absorbs.
+    *
+    * Scale: scan-local tokenize+hash+weight (no vocabulary join at all —
+    * the point of feature hashing), one partial+final agg on doc_id.
+    */
+  def q151QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    toks
+      .withColumn("wi",
+        (pmod(conv(substring(md5(col("term")), 1, 2), 16, 10).cast("long"),
+          lit(64L)) * 37 + 11) % 15 - 7)
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"), sum("wi").as("num"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("num"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("num").cast("double")) / (lit(10.0) * col("n_tokens")))), 6)
+          .as("p_keep"),
+        (col("num") >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** q153: HYBRID retrieval — q82's BM25 lexical ranking fused with the
+    * dense cosine ranking (query = vec 0; doc i ↔ embedding i) by
+    * Reciprocal Rank Fusion (Cormack et al., SIGIR '09): score(d) =
+    * Σ_systems 1/(60 + rank_d) over each system's top-20, absent list →
+    * 0 contribution. RRF is THE production fusion for lexical+dense
+    * retrieval (rank-only — no score calibration between incomparable
+    * scales). Fused top-10 by (rrf desc, doc_id).
+    *
+    * Determinism: ranks are integers under total orders (rounded score
+    * desc, id asc); rrf = two correctly-rounded divides added in a
+    * FIXED order (lexical term first) — bit-identical cross-engine, so
+    * the raw double is the ranking key and round 6 is display-only.
+    *
+    * Scale: each system is its own bounded pipeline (BM25's aggs; the
+    * cosine scan topped by TakeOrderedAndProject); fusion touches two
+    * ≤20-row lists — one outer join of dims.
+    */
+  def q153HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = q82Bm25(spark, dir)
+      .withColumn("rb", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rb"))
+    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val cos = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(expr("cosine_sim(embedding, qv)"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+      .withColumn("rc", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rc"))
+    bm.join(cos, Seq("doc_id"), "outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+      .select(col("doc_id"), col("rb"), col("rc"), round(col("rrf"), 6).as("rrf"))
+  }
+
+  /** q152: PMI bigram CO-OCCURRENCE — pointwise mutual information of
+    * adjacent word pairs vs their unigram marginals, the corpus-
+    * statistics pass behind collocation mining / phrase vocabularies
+    * (wider co-occurrence windows multiply the pair stream by the
+    * window width — the same plan, a declared knob). Top-20 by PMI over
+    * a c(a,b) ≥ 5 support floor (integer boundary, unflippable).
+    *
+    * Determinism: the RANKING key is the raw probability ratio
+    * (c_ab·N²)/(T·c_a·c_b) — exact BIGINT products (< 2⁵³ at fixture
+    * SFs; at 100 TB compute it in double, same ordering a.s.) into ONE
+    * correctly-rounded IEEE divide, bit-identical across engines;
+    * ln(ratio) is display-only, its ulp absorbed by round 6. Ties break
+    * on (a, b).
+    *
+    * Scale: bigram emission is scan-local; c_ab is a partial+final agg
+    * on the pair key; the two marginal attachments are term-key equi-
+    * joins (AQE broadcasts the unigram dim when it fits); totals are
+    * 1-row broadcasts; top-20 is TakeOrderedAndProject.
+    */
+  def q152PmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val big = docs.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS a, ws[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = big.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val uni = docs.select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val nn = uni.agg(sum("c").as("nn"))
+    val nt = cab.agg(sum("cab").as("nt"))
+    cab.filter(col("cab") >= 5)
+      .join(uni.select(col("term").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("term").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(nt))
+      .withColumn("ratio",
+        (col("cab") * col("nn") * col("nn")).cast("double") /
+          (col("nt") * col("ca") * col("cb")).cast("double"))
+      .orderBy(col("ratio").desc, col("a").asc, col("b").asc)
+      .limit(20)
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+        round(log(col("ratio")), 6).as("pmi"))
+  }
+
   /** q148: audio FRAME/HOP windowing + per-frame features over the
     * multimodal corpus's audio rows (doc_id ≡ 1 mod 3, pruned at the
     * scan): [[graft.operators.MediaPipeline.frameAudio]] treats the
@@ -617,6 +729,9 @@ object TextQueries extends QueryModule {
     "q128_unigram_xent" -> (q128UnigramXent _),
     "q131_frame_sample" -> (q131FrameSample _),
     "q148_audio_frames" -> (q148AudioFrames _),
+    "q151_quality_classifier" -> (q151QualityClassifier _),
+    "q152_pmi_bigrams" -> (q152PmiBigrams _),
+    "q153_hybrid_rrf" -> (q153HybridRrf _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
     "q82_bm25" -> (q82Bm25 _),
@@ -721,6 +836,75 @@ object TextQueries extends QueryModule {
     // the manufactured blob re-sliced by CHARACTER — equal to the
     // engine's byte slice on the verified-ASCII corpus; frames compare
     // hex-encoded (injective; both engines' hex() is uppercase)
+    // both systems replayed (q82's chain verbatim; brute cosine), ranks
+    // from the identical total orders, fused with the same fixed-order
+    // divides; the RAW rrf ranks (j.rrf qualified past the alias)
+    "q153_hybrid_rrf" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id, len(ws) AS dl FROM w),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sumdl FROM d),
+        |t AS (SELECT doc_id, x AS term, count(*)::BIGINT AS tf
+        |      FROM (SELECT doc_id, unnest(ws) AS x FROM w)
+        |      WHERE x IN ('merge', 'window', 'stream') GROUP BY 1, 2),
+        |f AS (SELECT term, count(*)::DOUBLE AS df FROM t GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |         round(sum(ln(1 + (s.n - f.df + 0.5)/(f.df + 0.5)) * (t.tf * 2.2) /
+        |                   (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / (s.sumdl / s.n)))), 6) AS bm25
+        |  FROM t JOIN f USING (term) JOIN d USING (doc_id) CROSS JOIN s
+        |  GROUP BY 1),
+        |bm AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+        |       FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |cs AS (SELECT a.vec_id AS doc_id,
+        |              round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cos
+        |       FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0),
+        |cr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rc
+        |       FROM cs ORDER BY cos DESC, doc_id LIMIT 20),
+        |j AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, b.rb, c.rc,
+        |             coalesce(1.0 / (60 + b.rb), 0.0) + coalesce(1.0 / (60 + c.rc), 0.0) AS rrf
+        |      FROM bm b FULL OUTER JOIN cr c ON b.doc_id = c.doc_id)
+        |SELECT doc_id, rb, rc, round(j.rrf, 6) + 0.0 AS rrf
+        |FROM j ORDER BY j.rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // ranking on the exact-BIGINT-products-into-one-divide ratio; ln is
+    // display-only under round 6; 1-based list slices mirror 0-based
+    "q152_pmi_bigrams" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT w[i] AS a, w[i + 1] AS b
+        |  FROM ws, UNNEST(range(1, len(w))) AS t(i)
+        |  WHERE len(w) >= 2),
+        |cab AS (SELECT a, b, count(*)::BIGINT AS cab FROM bg GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT t AS term, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY 1),
+        |nn AS (SELECT sum(c)::BIGINT AS nn FROM uni),
+        |nt AS (SELECT sum(cab)::BIGINT AS nt FROM cab),
+        |j AS (
+        |  SELECT c.a, c.b, c.cab, ua.c AS ca, ub.c AS cb,
+        |         (c.cab * nn.nn * nn.nn)::DOUBLE / (nt.nt * ua.c * ub.c)::DOUBLE AS ratio
+        |  FROM cab c JOIN uni ua ON c.a = ua.term JOIN uni ub ON c.b = ub.term
+        |       CROSS JOIN nn CROSS JOIN nt
+        |  WHERE c.cab >= 5)
+        |SELECT a, b, cab, ca, cb, round(ln(ratio), 6) + 0.0 AS pmi
+        |FROM j ORDER BY ratio DESC, a, b LIMIT 20""".stripMargin,
+    // identical md5-byte buckets and integer tenth-weights; keep is the
+    // exact integer sign test, p one divide into round-6-absorbed exp
+    "q151_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |w AS (
+        |  SELECT doc_id, source,
+        |         ((CAST(('0x' || substr(md5(term), 1, 2)) AS BIGINT) % 64) * 37 + 11) % 15 - 7 AS wi
+        |  FROM t WHERE term <> ''),
+        |d AS (
+        |  SELECT doc_id, source, count(*)::BIGINT AS n_tokens, sum(wi)::BIGINT AS num
+        |  FROM w GROUP BY 1, 2)
+        |SELECT doc_id, source, n_tokens, num,
+        |       round(1.0 / (1.0 + exp(-(num::DOUBLE) / (10.0 * n_tokens))), 6) + 0.0 AS p_keep,
+        |       num >= 0 AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
     // every sample tap recomputed from the char stream: v = ascii − 128
     // (byte = codepoint on the verified-ASCII corpus); frames start at
     // j·8, j < (n−16)//8 + 1; zero crossings pair i with i+1 in-frame
