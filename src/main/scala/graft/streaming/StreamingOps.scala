@@ -368,6 +368,38 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start", "event_type")
   }
 
+  /** q154: UNION of two independently-watermarked streams into one
+    * windowed aggregation — the multi-source topology (two Kafka topics,
+    * two file feeds) Structured Streaming coordinates by tracking a
+    * watermark PER input and advancing the GLOBAL watermark to their
+    * MINIMUM (`spark.sql.streaming.multipleWatermarkPolicy` default):
+    * the aggregate can't finalize a bucket until the SLOWEST source has
+    * passed it, which is the correctness property that makes multi-
+    * source event time safe. Here the two branches are the odd/even
+    * event_id halves of the fixture, whose frontiers (branch-max ts)
+    * genuinely differ — the drain finalizes strictly FEWER buckets
+    * than single-source q111, and the oracle bound is
+    * `least(max ts | even, max ts | odd)`: the min-watermark rule
+    * itself is what the gate pins, not just the union plumbing.
+    */
+  def q154StreamUnionWindows(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    def branch(even: Boolean): DataFrame = {
+      val s0 = spark.readStream.schema(raw)
+        .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+      normalizeTs(raw, s0)
+        .filter(pmod(col("event_id"), lit(2)) === (if (even) 0 else 1))
+        .withWatermark("ts", "0 seconds")
+    }
+    val agg = tumbling(branch(even = true).unionAll(branch(even = false)))
+    val name = s"q154_union_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("w_start", "event_type")
+  }
+
   /** q146: DYNAMIC-gap session windows, driver-gated end-to-end — the
     * per-event gap form of `session_window` (the gap is an EXPRESSION
     * over the row: clicks hold a session open 3 minutes, everything
@@ -831,6 +863,7 @@ object StreamingOps extends QueryModule {
     "q100_sql_session_stream" -> (q100SqlSessionStream _),
     "q146_dynamic_gap_sessions" -> (q146DynamicGapSessions _),
     "q149_update_mode_windows" -> (q149UpdateModeWindows _),
+    "q154_stream_union_windows" -> (q154StreamUnionWindows _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
     "q139_chained_window_agg" -> (q139ChainedWindowAgg _),
@@ -925,6 +958,22 @@ object StreamingOps extends QueryModule {
       """SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type,
         |       count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q111's buckets under the MIN-watermark finalization: the global
+    // watermark is the minimum of the two branch frontiers (max ts of
+    // the even / odd event_id halves), so the buckets between the
+    // slower frontier and the overall max are withheld — the semantic
+    // the row exists to pin
+    "q154_stream_union_windows" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type, value
+        |  FROM events),
+        |m AS (SELECT least(
+        |        (SELECT max(ts) FROM events WHERE event_id % 2 = 0),
+        |        (SELECT max(ts) FROM events WHERE event_id % 2 = 1)) AS mx)
+        |SELECT w_start, event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM b CROSS JOIN m
+        |WHERE w_start + INTERVAL 5 MINUTES <= m.mx
+        |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
     // q58's buckets with NO finalization cut: update mode emits every
     // touched bucket in the (asserted) single batch — the q111 contrast
     "q149_update_mode_windows" ->

@@ -784,6 +784,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q151 classifier inference: no join anywhere — feature hashing needs no vocabulary") {
+    // the scaladoc claim: tokenize+hash+weight are scan-local and the
+    // only wide op is the doc-key partial+final agg
+    val plan = finalPlan(TextQueries.q151QualityClassifier(spark, dir))
+    assert(!plan.contains("Join"), s"classifier inference planned a join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"doc-key agg lost its map-side partial:\n$plan")
+  }
+
+  test("q152 PMI: term equi-joins + TakeOrderedAndProject, no cartesian") {
+    val plan = finalPlan(TextQueries.q152PmiBigrams(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+  }
+
   test("q136 merge is a single full-outer key join — no cartesian, no extra wide ops") {
     val plan = finalPlan(graft.queries.LakehouseQueries.q136MergeSnapshot(spark, dir))
     assert(plan.contains("FullOuter"), s"merge lost its full-outer join:\n$plan")
