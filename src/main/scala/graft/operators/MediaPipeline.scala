@@ -212,6 +212,41 @@ object MediaPipeline {
     }.toDF("doc_id", "frame_no", "frame")
   }
 
+  /** ViT-style PATCH extraction — the vision-encoder preprocessing op
+    * (image → non-overlapping P×P patches → per-patch statistics; a real
+    * pipeline linearly projects each patch, this computes the exact
+    * integer byte-sum the projection would consume). `nPatches` patch
+    * positions are sampled deterministically on the patch grid
+    * ((p·37) mod gx, (p·53) mod gy — a fixed low-discrepancy probe, the
+    * declared sampling knob); each patch folds P² stub taps
+    * (`blob(i mod len)` — a real decoder swaps the tap, same loop) into
+    * an exact BIGINT sum. Per-row `flatMap` fan-out, scan-local.
+    */
+  def patchify(ds: Dataset[MediaRecord], patch: Int, nPatches: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    require(patch > 0 && nPatches > 0, s"bad patchify $patch/$nPatches")
+    ds.flatMap { r =>
+      val n = r.blob.length
+      val w = r.meta.width; val h = r.meta.height
+      val gx = w / patch; val gy = h / patch
+      (0 until nPatches).map { p =>
+        val px = (p * 37) % gx; val py = (p * 53) % gy
+        var sum = 0L
+        var dy = 0
+        while (dy < patch) {
+          val rowBase = (py.toLong * patch + dy) * w + px.toLong * patch
+          var dx = 0
+          while (dx < patch) {
+            sum += (r.blob(((rowBase + dx) % n).toInt) & 0xff)
+            dx += 1
+          }
+          dy += 1
+        }
+        (r.doc_id, p.toLong, px.toLong, py.toLong, sum)
+      }
+    }.toDF("doc_id", "patch_no", "px", "py", "sum_bytes")
+  }
+
   /** Audio frame/hop windowing + per-frame features — the front half of
     * every audio feature pipeline (frame → window → filterbank): the
     * payload bytes are treated as 8-bit PCM (sample = byte − 128, the

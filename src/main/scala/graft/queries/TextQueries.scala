@@ -548,6 +548,25 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** q155: ViT-style PATCH extraction over the corpus's image rows
+    * (doc_id ≡ 0 mod 3, pruned at the scan) —
+    * [[graft.operators.MediaPipeline.patchify]]: 8 deterministic 16×16
+    * patches per image, each an exact integer byte-sum over the stub
+    * plane's taps (`blob(i mod len)` — same replace-only tap contract as
+    * resize), plus the normalized mean (sum/(256·255), one exact
+    * divide). The oracle recomputes every tap from the char stream
+    * (byte = codepoint on the verified-ASCII corpus) including the
+    * width/height formulas and the grid-probe positions, so the whole
+    * patch geometry is bit-gated. Scan-local flatMap fan-out.
+    */
+  def q155ImagePatches(spark: SparkSession, dir: String): DataFrame = {
+    val imgDocs = Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0)
+    val ds = graft.operators.MediaPipeline.fromDocuments(spark, imgDocs)
+    graft.operators.MediaPipeline.patchify(ds, patch = 16, nPatches = 8)
+      .withColumn("mean_norm", round(col("sum_bytes") / lit(65280.0), 6))
+      .orderBy("doc_id", "patch_no")
+  }
+
   /** q151: CLASSIFIER-based quality filtering — inference of a linear
     * bag-of-hashed-words model over every document (the fastText-style
     * quality classifier CCNet/RefinedWeb-class pipelines run as a
@@ -732,6 +751,7 @@ object TextQueries extends QueryModule {
     "q151_quality_classifier" -> (q151QualityClassifier _),
     "q152_pmi_bigrams" -> (q152PmiBigrams _),
     "q153_hybrid_rrf" -> (q153HybridRrf _),
+    "q155_image_patches" -> (q155ImagePatches _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
     "q82_bm25" -> (q82Bm25 _),
@@ -836,6 +856,26 @@ object TextQueries extends QueryModule {
     // the manufactured blob re-sliced by CHARACTER — equal to the
     // engine's byte slice on the verified-ASCII corpus; frames compare
     // hex-encoded (injective; both engines' hex() is uppercase)
+    // every tap, the w/h formulas, and the grid-probe positions
+    // recomputed from the char stream; sums exact BIGINTs
+    "q155_image_patches" ->
+      """WITH img AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |         ((doc_id % 8) * 160 + 320)::BIGINT AS w,
+        |         ((doc_id % 5) * 120 + 240)::BIGINT AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |p AS (
+        |  SELECT doc_id, text, n, w, h, pp.p AS patch_no,
+        |         ((pp.p * 37) % (w // 16)) AS px,
+        |         ((pp.p * 53) % (h // 16)) AS py
+        |  FROM img, range(8) AS pp(p)),
+        |t AS (
+        |  SELECT doc_id, patch_no, px, py,
+        |         ascii(substr(text, ((((py * 16 + dy.d) * w + px * 16 + dx.d) % n) + 1)::BIGINT, 1)) AS v
+        |  FROM p, range(16) AS dy(d), range(16) AS dx(d))
+        |SELECT doc_id, patch_no, px, py, sum(v)::BIGINT AS sum_bytes,
+        |       round(sum(v) / 65280.0, 6) + 0.0 AS mean_norm
+        |FROM t GROUP BY 1, 2, 3, 4 ORDER BY doc_id, patch_no""".stripMargin,
     // both systems replayed (q82's chain verbatim; brute cosine), ranks
     // from the identical total orders, fused with the same fixed-order
     // divides; the RAW rrf ranks (j.rrf qualified past the alias)
