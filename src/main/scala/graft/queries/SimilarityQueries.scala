@@ -250,6 +250,37 @@ object SimilarityQueries extends QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** q156: CLUSTER TOPIC LABELING — the reporting step a curation
+    * pipeline runs after q77's clustering: each semantic cluster is
+    * summarized by its top-3 member-document terms (doc i ↔ embedding
+    * i), the human-readable "what is this cluster" view (and the input
+    * to cluster-level include/exclude decisions in a data mix). Ranking
+    * is INTEGER term counts under (cnt desc, term asc) — no float
+    * anywhere past the replayed k-means trajectory.
+    *
+    * Scale: the assignment is q77's (scan + 8-row broadcast per
+    * iteration); the label pass is one term explode + partial+final agg
+    * on (cid, term) + an 8-partition top-3 window (bounded: 8 clusters
+    * × vocabulary, the window input is the AGGREGATED term table, never
+    * the token stream).
+    */
+  def q156ClusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    val (asg, _) = graft.operators.KMeans.fit(
+      Tables.embeddings(spark, dir), k = 8, iters = 2)
+    val terms = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val counts = asg.select(col("vec_id").as("doc_id"), col("cid"))
+      .join(terms, "doc_id")
+      .groupBy("cid", "term").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("cid")
+      .orderBy(col("cnt").desc, col("term").asc)
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("cid").as("cluster_id"), col("rnk"), col("term"), col("cnt"))
+      .orderBy("cluster_id", "rnk")
+  }
+
   /** q142: PRODUCT QUANTIZATION (Jégou et al., PAMI 2011) — the
     * compression scheme production ANN indexes (IVF-PQ) store codes in:
     * the 64-dim embedding splits into m = 4 contiguous 16-dim
@@ -715,7 +746,8 @@ object SimilarityQueries extends QueryModule {
     "q79_cluster_sample" -> (q79ClusterSample _),
     "q142_pq_codes" -> (q142PqCodes _),
     "q143_pq_adc_search" -> (q143PqAdcSearch _),
-    "q147_ivf_pq_search" -> (q147IvfPqSearch _)
+    "q147_ivf_pq_search" -> (q147IvfPqSearch _),
+    "q156_cluster_topics" -> (q156ClusterTopics _)
   )
 
   /** Shared DuckDB CTE chain: the q77/q79 k-means trajectory unrolled —
@@ -1035,6 +1067,22 @@ object SimilarityQueries extends QueryModule {
          |WHERE a0.vec_id <> 0
          |ORDER BY adist, a0.vec_id LIMIT 10""".stripMargin
     },
+    // the a2 trajectory joined to the doc term stream; integer counts
+    // ranked (cnt desc, term asc) per cluster
+    "q156_cluster_topics" ->
+      s"""WITH $oracleKmeansA2,
+        |t AS (
+        |  SELECT a2.cid, x.term
+        |  FROM a2 JOIN (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |  ) x ON a2.vec_id = x.doc_id
+        |  WHERE x.term <> ''),
+        |c AS (SELECT cid, term, count(*)::BIGINT AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT cid, term, cnt,
+        |             row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, term ASC) AS rnk
+        |      FROM c)
+        |SELECT cid AS cluster_id, rnk, term, cnt
+        |FROM r WHERE rnk <= 3 ORDER BY cluster_id, rnk""".stripMargin,
     "q77_kmeans" ->
       s"""WITH $oracleKmeansA2
         |SELECT cid AS cluster_id, count(*)::BIGINT AS n,

@@ -548,6 +548,45 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** q157: DATASET CARD — the one-row datasheet a corpus release ships
+    * with (docs/tokens/chars, source+lang cardinality, exact-dup rate,
+    * length mean + median, dominant language and its share), computed as
+    * one wide aggregate over the scan plus a 1-row language argmax.
+    * Exact cross-engine: counts are integers, every rate one correctly-
+    * rounded divide of exact operands, the median an interpolated order
+    * statistic on the integer n_chars grid (the q109 ½-grid argument),
+    * the dominant-language tie broken (cnt desc, lang desc) via
+    * struct-max = the oracle's ORDER BY ... LIMIT 1.
+    *
+    * Scale: one pass with partial+final aggregation (the distinct
+    * counts expand map-side), a lang-key agg folded to one row, one
+    * broadcast — no join of anything table-sized, which is what makes
+    * the datasheet cheap enough to regenerate per release.
+    */
+  def q157DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsSpread(spark, dir)
+    val b = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+      sum(col("n_chars")).as("sum_chars"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(sha2(col("text"), 256)).as("n_unique"),
+      expr("percentile(n_chars, 0.5D)").as("p50_chars"))
+    val lt = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .agg(max(struct(col("cnt"), col("lang"))).as("m"))
+      .select(col("m.lang").as("top_lang"), col("m.cnt").as("top_cnt"))
+    b.crossJoin(broadcast(lt)).select(
+      col("n_docs"), col("n_tokens"), col("sum_chars"), col("n_sources"),
+      col("n_langs"),
+      round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+        .as("dup_rate"),
+      round(col("sum_chars").cast("double") / col("n_docs"), 4).as("mean_chars"),
+      col("p50_chars"),
+      col("top_lang"),
+      round(col("top_cnt").cast("double") / col("n_docs"), 6).as("top_lang_share"))
+  }
+
   /** q155: ViT-style PATCH extraction over the corpus's image rows
     * (doc_id ≡ 0 mod 3, pruned at the scan) —
     * [[graft.operators.MediaPipeline.patchify]]: 8 deterministic 16×16
@@ -752,6 +791,7 @@ object TextQueries extends QueryModule {
     "q152_pmi_bigrams" -> (q152PmiBigrams _),
     "q153_hybrid_rrf" -> (q153HybridRrf _),
     "q155_image_patches" -> (q155ImagePatches _),
+    "q157_dataset_card" -> (q157DatasetCard _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
     "q82_bm25" -> (q82Bm25 _),
@@ -856,6 +896,26 @@ object TextQueries extends QueryModule {
     // the manufactured blob re-sliced by CHARACTER — equal to the
     // engine's byte slice on the verified-ASCII corpus; frames compare
     // hex-encoded (injective; both engines' hex() is uppercase)
+    // one wide aggregate + the lang argmax mirrored as ORDER BY LIMIT 1
+    "q157_dataset_card" ->
+      """WITH b AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |         sum(n_chars)::BIGINT AS sum_chars,
+        |         count(DISTINCT source)::BIGINT AS n_sources,
+        |         count(DISTINCT lang)::BIGINT AS n_langs,
+        |         count(DISTINCT sha256(text))::BIGINT AS n_unique,
+        |         quantile_cont(n_chars, 0.5) AS p50_chars
+        |  FROM documents),
+        |l AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+        |lt AS (SELECT lang, cnt FROM l ORDER BY cnt DESC, lang DESC LIMIT 1)
+        |SELECT b.n_docs, b.n_tokens, b.sum_chars, b.n_sources, b.n_langs,
+        |       round(1.0 - b.n_unique::DOUBLE / b.n_docs, 6) + 0.0 AS dup_rate,
+        |       round(b.sum_chars::DOUBLE / b.n_docs, 4) + 0.0 AS mean_chars,
+        |       b.p50_chars + 0.0 AS p50_chars,
+        |       lt.lang AS top_lang,
+        |       round(lt.cnt::DOUBLE / b.n_docs, 6) + 0.0 AS top_lang_share
+        |FROM b CROSS JOIN lt""".stripMargin,
     // every tap, the w/h formulas, and the grid-probe positions
     // recomputed from the char stream; sums exact BIGINTs
     "q155_image_patches" ->
