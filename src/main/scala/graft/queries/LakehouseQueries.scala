@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{ChangeCapture, ZOrder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot-maintenance surface: CDC merge/diff (`operators/
@@ -122,11 +123,112 @@ object LakehouseQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Simulated physical layout shared by q161/q163: "file" = first md5
+    * hex digit of the order key (16 files, the q136 device) for q161's
+    * position math; q163 clusters files by ingestion month instead —
+    * the layout data skipping actually sees.
+    */
+  private def fileOf(k: org.apache.spark.sql.Column) = slot(k)
+
+  /** q161: DELETION VECTORS — merge-on-read deletes. A DELETE statement
+    * against an immutable-file table never rewrites data files; it
+    * writes a tiny (file, position) bitmap sidecar, and every
+    * subsequent scan subtracts the bitmap (Delta deletion vectors /
+    * Iceberg positional delete files). Here the DELETE predicate is
+    * `o_orderstatus = 'F' AND md5-slot(key) ∈ {0,1,2,3}`; positions are
+    * the rank of the key within its file (per-file windows — bounded by
+    * file size, never a global sort); the scan is base ⟕anti DV on
+    * (file, pos). The DV side is orders-of-magnitude smaller than the
+    * base, so AQE broadcasts it: merge-on-read costs one broadcast
+    * anti-join instead of a file rewrite — that asymmetry is the whole
+    * feature. Output: per-file surviving census (n rows, price sum),
+    * which certifies both the position assignment and the subtraction.
+    */
+  def q161DeletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("file_id").orderBy("o_orderkey")
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("file_id", fileOf(col("o_orderkey")))
+      .withColumn("pos", row_number().over(w))
+    val dv = base.filter(col("o_orderstatus") === "F" &&
+        slot(col("o_orderkey")).isin("0", "1", "2", "3"))
+      .select("file_id", "pos")
+    base.join(dv, Seq("file_id", "pos"), "left_anti")
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_live"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("file_id")
+  }
+
+  /** q162: COMPACTION PLANNING — the small-file problem's fix (Iceberg
+    * rewrite_data_files / Delta OPTIMIZE). Files = per-(lang, source)
+    * document groups sized by their byte sums; within each table
+    * partition (lang — compaction never merges across partitions), files
+    * are ordered largest-first and packed sequentially into target-size
+    * bins: bin = ⌊bytes-before / target⌋ (next-fit-decreasing with
+    * overflow — a bin exceeds the target by at most one trailing file,
+    * the same sequential approximation production planners use, because
+    * optimal bin packing is NP-hard and pointless at planning
+    * granularity). Everything is per-partition windows over a
+    * file-count-sized input — the plan costs nothing next to the
+    * rewrite it schedules. Output: the full file→bin assignment.
+    */
+  def q162CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 150000L
+    val files = Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(sum(length(col("text"))).as("bytes"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("bytes").desc, col("source").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("bytes_before", sum("bytes").over(w) - col("bytes"))
+      // floor, not cast: DuckDB casts round while Spark casts truncate —
+      // floor() is the one spelling both engines agree on
+      .withColumn("bin", floor(col("bytes_before") / target).cast("int"))
+      .select("lang", "source", "bytes", "bin")
+      .orderBy("lang", "source")
+  }
+
+  /** q163: DATA-SKIPPING STATS + pruning decision — the min/max footer
+    * stats a lakehouse scan consults before opening any file. Files are
+    * clustered by ingestion month (date_trunc — the clustering real
+    * ingestion produces, and the reason date-range predicates skip);
+    * per-file stats are one partial+final agg over the scan; the
+    * pruning VERDICT for the probe predicate (price range ∧ date floor)
+    * is pure interval arithmetic over the stats — a file is skipped iff
+    * its [min,max] box cannot intersect the predicate. At 100 TB this
+    * table IS the manifest: the decision runs over file-count rows,
+    * never data rows, which is why a 1000-executor scan of a month-
+    * predicate query opens 1/60th of the files. Output: per-file stats
+    * + skip verdict (the engine-vs-oracle agreement certifies the
+    * interval logic, not just the stats).
+    */
+  def q163SkippingStats(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.orders(spark, dir)
+      .withColumn("file_id", date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        min(col("o_orderdate").cast("date")).as("min_date"),
+        max(col("o_orderdate").cast("date")).as("max_date"))
+    // probe predicate: o_totalprice BETWEEN 100000 AND 200000
+    //                  AND o_orderdate >= 1997-06-01
+    stats.withColumn("can_skip",
+        (col("max_price") < 100000 || col("min_price") > 200000 ||
+          col("max_date") < lit("1997-06-01").cast("date")).cast("int"))
+      .orderBy("file_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_merge_snapshot" -> (q136MergeSnapshot _),
     "q137_snapshot_diff" -> (q137SnapshotDiff _),
     "q138_zorder_key" -> (q138ZOrderKey _),
-    "q150_mv_maintenance" -> (q150MvMaintenance _)
+    "q150_mv_maintenance" -> (q150MvMaintenance _),
+    "q161_deletion_vectors" -> (q161DeletionVectors _),
+    "q162_compaction_plan" -> (q162CompactionPlan _),
+    "q163_skipping_stats" -> (q163SkippingStats _)
   )
 
   /** Shared oracle CTEs: base snapshot + change set + merged snapshot. */
@@ -172,6 +274,46 @@ object LakehouseQueries extends QueryModule {
         |  FROM base b FULL OUTER JOIN m ON b.k = m.k)
         |SELECT k AS o_orderkey, v AS o_totalprice, op FROM d
         |WHERE op IS NOT NULL ORDER BY k""".stripMargin),
+    "q161_deletion_vectors" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS file_id
+        |  FROM orders),
+        |p AS (
+        |  SELECT *, row_number() OVER (PARTITION BY file_id ORDER BY o_orderkey) AS pos
+        |  FROM base),
+        |dv AS (SELECT file_id, pos FROM p WHERE o_orderstatus = 'F'
+        |       AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+        |live AS (SELECT p.* FROM p ANTI JOIN dv USING (file_id, pos))
+        |SELECT file_id, count(*)::BIGINT AS n_live,
+        |       round(sum(o_totalprice), 2) + 0.0 AS sum_price
+        |FROM live GROUP BY file_id ORDER BY file_id""".stripMargin,
+    "q162_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT lang, source, sum(length(text))::BIGINT AS bytes
+        |  FROM documents GROUP BY lang, source),
+        |w AS (
+        |  SELECT lang, source, bytes,
+        |         sum(bytes) OVER (PARTITION BY lang
+        |                          ORDER BY bytes DESC, source ASC
+        |                          ROWS UNBOUNDED PRECEDING) - bytes AS bytes_before
+        |  FROM f)
+        |SELECT lang, source, bytes,
+        |       floor(bytes_before / 150000.0)::INT AS bin
+        |FROM w ORDER BY lang, source""".stripMargin,
+    "q163_skipping_stats" ->
+      """WITH s AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS file_id,
+        |         count(*)::BIGINT AS n_rows,
+        |         round(min(o_totalprice), 2) + 0.0 AS min_price,
+        |         round(max(o_totalprice), 2) + 0.0 AS max_price,
+        |         min(CAST(o_orderdate AS DATE)) AS min_date,
+        |         max(CAST(o_orderdate AS DATE)) AS max_date
+        |  FROM orders GROUP BY 1)
+        |SELECT s.*,
+        |       (max_price < 100000 OR min_price > 200000
+        |        OR max_date < DATE '1997-06-01')::INT AS can_skip
+        |FROM s ORDER BY file_id""".stripMargin,
     "q138_zorder_key" ->
       """WITH g AS (
         |  SELECT event_id,

@@ -592,9 +592,34 @@ object MiscQueries extends QueryModule {
     spark.sql(sqlWindowClauseText)
   }
 
+  /** q159: ordered string aggregation — `listagg` (SQL:2016 / Spark 4)
+    * with DISTINCT and a WITHIN GROUP order. The one aggregate whose
+    * VALUE depends on input order, which is exactly why the gate matters:
+    * a distributed engine must impose the declared order inside each
+    * group regardless of partitioning/merge order, or the result is
+    * nondeterministic garbage. Engine text uses Spark's `WITHIN GROUP
+    * (ORDER BY …)` syntax; the oracle states the same aggregate in
+    * DuckDB's `listagg(DISTINCT x, sep ORDER BY x)` spelling (the two
+    * parsers accept different order-clause placements — same semantics).
+    * Determinism: DISTINCT + total order on the aggregated expression.
+    * Scale: partial aggregation still applies (sorted merge of partial
+    * lists); the aggregated domain here is 3 statuses, so group state is
+    * bounded — the doc-note for users is that listagg over an unbounded
+    * domain concentrates the group on one task, same as collect_list.
+    */
+  def q159SqlListagg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |       listagg(DISTINCT o_orderstatus, '|')
+        |         WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_sql_group_by_all" -> (q123SqlGroupByAll _),
     "q124_sql_window_clause" -> (q124SqlWindowClause _),
+    "q159_sql_listagg" -> (q159SqlListagg _),
     "q95_cohort_retention" -> (q95CohortRetention _),
     "q96_funnel" -> (q96Funnel _),
     "q98_rolling_actives" -> (q98RollingActives _),
@@ -624,6 +649,10 @@ object MiscQueries extends QueryModule {
     // the IDENTICAL shorthand / named-window texts — DuckDB reparses them
     "q123_sql_group_by_all" -> sqlGroupByAllText,
     "q124_sql_window_clause" -> sqlWindowClauseText,
+    "q159_sql_listagg" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |       listagg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the IDENTICAL recursive-CTE / LATERAL texts — DuckDB reparses them
     "q112_sql_recursive" -> sqlRecursiveText,
     "q113_sql_lateral" -> sqlLateralText,

@@ -448,8 +448,64 @@ object PipelineQueries extends QueryModule {
     PageRank.run(edges, iters = 5).orderBy("node")
   }
 
+  /** q160: triangle counting over the part co-purchase graph (edge =
+    * two parts sharing an order, `l_quantity ≥ 40` thins to the
+    * strong-signal pairs) — the clustering-coefficient primitive of
+    * graph-based corpus curation (PageRank's q140 sibling: rank = link
+    * centrality, triangles = community density; spam link farms are
+    * triangle-poor, organic neighborhoods triangle-rich).
+    *
+    * The engine enumerates each triangle EXACTLY ONCE at its
+    * minimum-degree vertex (Suri & Vassilvitskii, WWW '11: orient every
+    * edge from the (degree, id)-smaller endpoint to the larger, form
+    * wedges only at arc tails, close with a semi-join on the oriented
+    * third edge). That orientation is THE 100 TB trick: wedge volume
+    * drops from Σ deg² (the curse of the last reducer — one celebrity
+    * node generates quadratic wedges) to O(m^1.5) regardless of skew,
+    * and every step is an equi-join/agg — no driver-side graph. The
+    * oracle enumerates by id order (a<b<c, three self-joins): different
+    * traversal, identical triangle set, which is what the gate proves.
+    * Output: the full per-node participation census (each triangle
+    * credits its three corners).
+    */
+  def q160TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from the (deg, id)-lexicographically smaller
+    // endpoint; keep the head's (deg, id) so wedge legs order without a
+    // global rank (no single-partition window at scale)
+    val withDeg = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val arcs = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    // wedges at the tail: two arcs out of src, legs ordered by (deg, id)
+    val a1 = arcs.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+    val a2 = arcs.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
+    val wedges = a1.join(a2, Seq("src")).filter(
+      col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+    // close the wedge: the (b, c) arc exists iff {src,b,c} is a triangle
+    val tri = wedges.join(arcs.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"), "left_semi")
+    tri.select(explode(array(col("src"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("node")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_pagerank" -> (q140Pagerank _),
+    "q160_triangle_count" -> (q160TriangleCount _),
     "q121_boilerplate_mask" -> (q121BoilerplateMask _),
     "q122_length_buckets" -> (q122LengthBuckets _),
     "q117_mixture_weights" -> (q117MixtureWeights _),
@@ -514,6 +570,22 @@ object PipelineQueries extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "q140_pagerank" -> oraclePagerank,
+    // id-ordered enumeration (a<b<c) — a different traversal than the
+    // engine's degree-ordered one; agreement proves the triangle set
+    "q160_triangle_count" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, count(*)::BIGINT AS n_triangles
+        |FROM (SELECT unnest([a, b, c]) AS node FROM t)
+        |GROUP BY node ORDER BY node""".stripMargin,
     // positional trigram hashes with multiplicity (list comprehension,
     // not list_distinct), the same md5-prefix ints as the engine; the
     // 20% cut is the identical integer cross-multiplication

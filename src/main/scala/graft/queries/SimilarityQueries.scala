@@ -167,6 +167,52 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
 
+  /** q158: maximum-INNER-PRODUCT top-k via the norm-augmentation
+    * reduction (Bachrach et al., RecSys '14; Neyshabur & Srebro, ICML
+    * '15): append one dimension sqrt(M² − ‖x‖²) to every corpus vector
+    * (M = max corpus norm) and 0 to the query, and every augmented
+    * vector has norm exactly M — so cosine against the augmented query
+    * is dot(x,q)/(M·‖q‖), a fixed positive rescaling of the inner
+    * product, and the ENTIRE cosine index stack (q63's IVF lists, q84's
+    * SRP buckets, q143's PQ tables) becomes a MIPS index with no new
+    * operator. That matters because recommendation/retrieval scoring is
+    * inner product (un-normalized embeddings carry magnitude as
+    * popularity), while everything upstream here indexes cosine.
+    *
+    * Plan shape: one aggregate for M (1-row broadcast), one scan with
+    * per-row augmentation, then the production index-and-rerank split:
+    * CANDIDATES are the top-20 by the augmented-cosine key (the
+    * reduction under test — `TakeOrderedAndProject`, and at 100 TB this
+    * stage is served by the cosine index, not a scan), RERANK is the
+    * exact top-10 by rounded inner product over those 20 rows. Division
+    * by the constant M·‖q‖ is monotone in IEEE double, so the candidate
+    * ranking IS the inner-product ranking and the margin is belt-and-
+    * suspenders for the rounding seam. The augmented-norm invariant
+    * (‖aug(x)‖ ≡ M) and aug-ranking == ip-ranking equality are
+    * spec-pinned in CosineSimSpec.
+    */
+  def q158MipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val maxNorm = emb.agg(max(round(VectorOps.norm(col("embedding")), 6)).as("mx"))
+    val aug = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(maxNorm))
+      .withColumn("augx",
+        concat(col("embedding"), array(
+          sqrt(greatest(lit(0.0), col("mx") * col("mx")
+            - VectorOps.dot(col("embedding"), col("embedding")))).cast("float"))))
+    aug.crossJoin(broadcast(queryVec(spark, dir)))
+      .withColumn("augq", concat(col("qv"), array(lit(0.0f))))
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.dot(col("embedding"), col("qv")), 6).as("ip"),
+        VectorOps.cosine(col("augx"), col("augq")).as("aug_cos"))
+      .orderBy(col("aug_cos").desc, col("vec_id").asc)
+      .limit(20) // candidate margin: aug ranking == ip ranking exactly in
+                 // real arithmetic; 2× covers any float/rounding seam
+      .select(col("vec_id"), col("label"), col("ip"))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** q63: IVF-ANN search through the oracle gate. Build the inverted-file
     * index (16 coarse lists, one broadcast assignment pass — see
     * `operators/IvfAnn`), then search at FULL probe (nprobe = nLists):
@@ -737,6 +783,7 @@ object SimilarityQueries extends QueryModule {
     "q88_gram_covariance" -> (q88GramCovariance _),
     "q44_cosine_topk" -> (q44CosineTopk _),
     "q61_cosine_expr_topk" -> (q61CosineExprTopk _),
+    "q158_mips_topk" -> (q158MipsTopk _),
     "q45_ann_grouped" -> (q45AnnGrouped _),
     "q46_nn_pairs" -> (q46NnPairs _),
     "q46b_nn_pairs_bucketed" -> (q46bNnPairsBucketed _),
@@ -979,6 +1026,14 @@ object SimilarityQueries extends QueryModule {
         |SELECT a.vec_id, a.label, round($oracleCos, 6) + 0.0 AS cos
         |FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
         |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
+    // the inner-product ground truth the augmented-cosine ranking must
+    // reproduce — the oracle states MIPS directly, no augmentation
+    "q158_mips_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT a.vec_id, a.label,
+        |       round(list_inner_product(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) + 0.0 AS ip
+        |FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
+        |ORDER BY ip DESC, a.vec_id ASC LIMIT 10""".stripMargin,
     "q44_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT a.vec_id, a.label, round($oracleCos, 6) + 0.0 AS cos

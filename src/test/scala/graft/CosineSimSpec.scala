@@ -86,6 +86,33 @@ class CosineSimSpec extends AnyFunSuite {
     }
   }
 
+  test("q158 norm augmentation: every augmented vector has norm M, and aug-cosine ranking equals inner-product ranking") {
+    // the two invariants the MIPS reduction rests on (Bachrach '14):
+    // 1) ‖[x; sqrt(M²−‖x‖²)]‖ ≡ M for every corpus vector, so cosine
+    //    against [q; 0] is dot(x,q)/(M·‖q‖);
+    // 2) therefore ranking by augmented cosine == ranking by dot.
+    val maxNorm = emb.agg(max(round(VectorOps.norm($"embedding"), 6))).head.getDouble(0)
+    val aug = emb.filter($"vec_id" =!= 0)
+      .withColumn("augx", concat($"embedding",
+        array(sqrt(greatest(lit(0.0), lit(maxNorm) * lit(maxNorm)
+          - VectorOps.dot($"embedding", $"embedding"))).cast("float"))))
+    val badNorm = aug
+      .select(abs(VectorOps.norm($"augx") - lit(maxNorm)).as("d"))
+      .filter($"d" > 1e-4).count() // float32 tail component => 1e-4 slack
+    assert(badNorm == 0, s"$badNorm augmented vectors stray from norm M=$maxNorm")
+
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val ranked = aug.crossJoin(broadcast(q))
+      .withColumn("augq", concat($"qv", array(lit(0.0f))))
+      .select($"vec_id",
+        VectorOps.dot($"embedding", $"qv").as("ip"),
+        VectorOps.cosine($"augx", $"augq").as("aug_cos"))
+      .collect()
+    val byIp = ranked.sortBy(r => (-r.getDouble(1), r.getLong(0))).map(_.getLong(0)).toSeq
+    val byAug = ranked.sortBy(r => (-r.getDouble(2), r.getLong(0))).map(_.getLong(0)).toSeq
+    assert(byIp == byAug, "augmented-cosine ordering diverged from inner-product ordering")
+  }
+
   test("codegen and interpreted paths agree") {
     def run(): Seq[(Long, Double)] = {
       val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
