@@ -641,6 +641,119 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q164: DSIR importance weighting (Xie et al., NeurIPS '23 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how much it looks like a TARGET domain,
+    * log iw(d) = Σ_features [ln p̂_target(f) − ln p̂_raw(f)], with both
+    * distributions estimated over HASHED unigram+bigram features
+    * (256 buckets, add-one smoothing). Resampling by these weights
+    * tilts a web-scale corpus toward the target domain without
+    * training a model — the third quality-scoring family next to
+    * perplexity (q128) and classifiers (q151). Target here = the `en`
+    * slice; production swaps in any curated target corpus, same plan.
+    *
+    * Determinism: bucket counts and totals are exact integers; each
+    * per-feature contribution is ln of one exactly-rounded division on
+    * identical operands (the q128 argument), and the per-doc double sum
+    * carries summation-order ulps absorbed by round 6.
+    *
+    * Scale: feature hashing means NO vocabulary table — the only joins
+    * are against the 256-row bucket-stats dim (broadcast) and a 1-row
+    * total; the token stream is two scan-local projections (unigrams +
+    * bigrams) and everything aggregates partial+final. This is the
+    * reason DSIR runs where a classifier can't: one pass to count, one
+    * pass to score, zero model state.
+    */
+  def q164DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        split(col("text"), " ").as("ws"))
+    val grams = ws.select(col("doc_id"), col("source"), col("lang"),
+      explode(concat(col("ws"), expr(
+        "transform(slice(ws, 1, size(ws) - 1), (x, i) -> concat(x, ' ', element_at(ws, i + 2)))")))
+        .as("gram"))
+    val b = grams.withColumn("bkt",
+      pmod(conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long"), lit(256L)))
+    val rawCnt = b.groupBy("bkt").agg(count(lit(1)).as("rc"))
+    val tgtCnt = b.filter(col("lang") === "en").groupBy("bkt").agg(count(lit(1)).as("tc"))
+    val stats = rawCnt.join(tgtCnt, Seq("bkt"), "left")
+      .select(col("bkt"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    val totals = stats.agg(sum("rc").as("rt"), sum("tc").as("tt"))
+    b.join(broadcast(stats), "bkt")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(
+          log((col("tc") + 1).cast("double") / (col("tt") + 256).cast("double"))
+            - log((col("rc") + 1).cast("double") / (col("rt") + 256).cast("double"))), 6)
+          .as("log_iw"))
+      .orderBy("doc_id")
+  }
+
+  /** q165: BPE tokenizer training — k = 3 merge rounds of byte-pair
+    * encoding (Sennrich et al., ACL '16), THE tokenizer-construction
+    * pass of every LLM data pipeline. Each round counts all adjacent
+    * symbol pairs corpus-wide (weighted by word frequency), merges the
+    * most frequent pair (ties: lexicographically smallest), and
+    * rewrites the segmentation greedily left-to-right. Output: the
+    * learned merge table (the tokenizer artifact) plus the top-20 token
+    * census of the final segmentation — a wrong merge anywhere flips
+    * the census, so the gate certifies the whole trajectory.
+    *
+    * The segmentation lives as a delimited string — every symbol
+    * wrapped ` sym `, so a merge is one `replace(' l  r ', ' lr ')`:
+    * anchored on both sides (no false match into a longer symbol's
+    * tail) and consuming left-to-right exactly like reference BPE; both
+    * engines' `replace` scan identically, which is what makes the
+    * trajectory oracle-checkable.
+    *
+    * Scale: this is WHY real BPE trainers are cheap — after ONE corpus
+    * pass collapses the stream to the (word, count) frequency table,
+    * every round runs on vocabulary-sized data (pair explode + one agg
+    * + a 1-row broadcast argmax). The corpus lineage is cut by
+    * `localCheckpoint` after the first agg (the q77/q140 iteration
+    * device), so k rounds never rescan the corpus.
+    */
+  def q165BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // cut the corpus lineage: rounds are vocab-sized
+    var seg = wc.select(regexp_replace(col("word"), "(.)", " $1 ").as("s"), col("cnt"))
+    var merges = List.empty[DataFrame]
+    for (i <- 1 to 3) {
+      val pairs = seg
+        .select(split(trim(col("s")), "  ").as("ts"), col("cnt"))
+        .select(explode(expr(
+          "transform(slice(ts, 1, size(ts) - 1), (x, i) -> struct(x AS l, element_at(ts, i + 2) AS r))"))
+          .as("pr"), col("cnt"))
+      val best = pairs
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        // argmax by (count desc, pair asc) as a struct-min — one row
+        // shuffles, never a global sort
+        .agg(min(struct((-col("c")).as("nc"), col("l"), col("r"))).as("b"))
+        .select(col("b.l").as("l"), col("b.r").as("r"), (-col("b.nc")).as("c"))
+      merges :+= best.select(lit("merge").as("kind"), lit(i.toLong).as("ord"),
+        concat(col("l"), col("r")).as("token"), col("c").as("cnt"))
+      seg = seg.crossJoin(broadcast(best))
+        .select(expr(
+          "replace(s, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))").as("s"),
+          col("cnt"))
+        .localCheckpoint() // vocab-sized; stops the plan doubling per round
+    }
+    val vocab = seg
+      .select(explode(split(trim(col("s")), "  ")).as("token"), col("cnt"))
+      .groupBy("token").agg(sum("cnt").as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(20)
+      .select(lit("vocab").as("kind"),
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))).cast("long").as("ord"),
+        col("token"), col("freq").as("cnt"))
+    merges.reduce(_ unionAll _).unionAll(vocab).orderBy("kind", "ord")
+  }
+
   /** q153: HYBRID retrieval — q82's BM25 lexical ranking fused with the
     * dense cosine ranking (query = vec 0; doc i ↔ embedding i) by
     * Reciprocal Rank Fusion (Cormack et al., SIGIR '09): score(d) =
@@ -788,6 +901,8 @@ object TextQueries extends QueryModule {
     "q131_frame_sample" -> (q131FrameSample _),
     "q148_audio_frames" -> (q148AudioFrames _),
     "q151_quality_classifier" -> (q151QualityClassifier _),
+    "q164_dsir_weights" -> (q164DsirWeights _),
+    "q165_bpe_train" -> (q165BpeTrain _),
     "q152_pmi_bigrams" -> (q152PmiBigrams _),
     "q153_hybrid_rrf" -> (q153HybridRrf _),
     "q155_image_patches" -> (q155ImagePatches _),
@@ -991,6 +1106,65 @@ object TextQueries extends QueryModule {
         |FROM j ORDER BY ratio DESC, a, b LIMIT 20""".stripMargin,
     // identical md5-byte buckets and integer tenth-weights; keep is the
     // exact integer sign test, p one divide into round-6-absorbed exp
+    // hashed unigram+bigram stream rebuilt verbatim; smoothing and the
+    // ln-of-exact-division contributions mirror the engine term for term
+    "q164_dsir_weights" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, lang,
+        |         unnest(list_concat(ws, [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])) AS gram
+        |  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS ws FROM documents)),
+        |b AS (
+        |  SELECT doc_id, source, lang,
+        |         ('0x' || substr(md5(gram), 1, 4))::BIGINT % 256 AS bkt
+        |  FROM g),
+        |rc AS (SELECT bkt, count(*)::BIGINT AS rc FROM b GROUP BY 1),
+        |tc AS (SELECT bkt, count(*)::BIGINT AS tc FROM b WHERE lang = 'en' GROUP BY 1),
+        |s AS (SELECT rc.bkt, rc.rc, coalesce(tc.tc, 0)::BIGINT AS tc
+        |      FROM rc LEFT JOIN tc USING (bkt)),
+        |t AS (SELECT sum(rc)::BIGINT AS rt, sum(tc)::BIGINT AS tt FROM s)
+        |SELECT doc_id, source, count(*)::BIGINT AS n_grams,
+        |       round(sum(  ln((s.tc + 1)::DOUBLE / (t.tt + 256)::DOUBLE)
+        |                 - ln((s.rc + 1)::DOUBLE / (t.rt + 256)::DOUBLE)), 6) + 0.0 AS log_iw
+        |FROM b JOIN s USING (bkt) CROSS JOIN t
+        |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+    // the 3-round merge trajectory unrolled (the q77/q140 CTE device);
+    // same wrapped-symbol string representation, same replace semantics
+    "q165_bpe_train" -> {
+      def stage(i: Int): String = {
+        val (p, w0, w1) = (s"p$i", s"w${i - 1}", s"w$i")
+        s"""$p AS (
+           |  SELECT unnest([{'l': ts[i], 'r': ts[i+1]} FOR i IN range(1, len(ts))]) AS pr, cnt
+           |  FROM (SELECT string_split(trim(s), '  ') AS ts, cnt FROM $w0)),
+           |pc$i AS (SELECT pr.l AS l, pr.r AS r, sum(cnt)::BIGINT AS c FROM $p GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, c FROM pc$i ORDER BY c DESC, l, r LIMIT 1),
+           |$w1 AS (SELECT replace(s, ' '||b$i.l||'  '||b$i.r||' ', ' '||b$i.l||b$i.r||' ') AS s, cnt
+           |       FROM $w0 CROSS JOIN b$i)""".stripMargin
+      }
+      s"""WITH wc AS (
+        |  SELECT word, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        |w0 AS (SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, cnt FROM wc),
+        |${stage(1)},
+        |${stage(2)},
+        |${stage(3)},
+        |merges AS (
+        |  SELECT 'merge' AS kind, 1::BIGINT AS ord, l || r AS token, c AS cnt FROM b1
+        |  UNION ALL SELECT 'merge', 2, l || r, c FROM b2
+        |  UNION ALL SELECT 'merge', 3, l || r, c FROM b3),
+        |census AS (
+        |  SELECT t AS token, sum(cnt)::BIGINT AS freq
+        |  FROM (SELECT unnest(string_split(trim(s), '  ')) AS t, cnt FROM w3)
+        |  GROUP BY 1),
+        |vocab AS (
+        |  SELECT 'vocab' AS kind,
+        |         row_number() OVER (ORDER BY freq DESC, token)::BIGINT AS ord,
+        |         token, freq AS cnt
+        |  FROM census ORDER BY freq DESC, token LIMIT 20)
+        |SELECT kind, ord, token, cnt FROM merges
+        |UNION ALL SELECT kind, ord, token, cnt FROM vocab
+        |ORDER BY kind, ord""".stripMargin
+    },
     "q151_quality_classifier" ->
       """WITH t AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),

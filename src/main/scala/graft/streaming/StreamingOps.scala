@@ -852,8 +852,66 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("user_id")
   }
 
+  /** q166: STREAMING incremental materialized-view maintenance — q150's
+    * refresh path driven by `foreachBatch`, the pattern that turns a
+    * stream into a continuously-fresh keyed MV (the standard
+    * Spark-recommended shape for upsert sinks: per-batch MERGE of the
+    * batch's PRE-AGGREGATED delta into the stored view). The stored
+    * view starts as q150's base partition (event_id ≢ 4 mod 5); the
+    * delta partition arrives as a file STREAM; each micro-batch
+    * aggregates batch-locally (count/sum/min/max — all insert-
+    * maintainable) and merges via one full-outer key join against the
+    * view, which is `localCheckpoint`ed per batch: the merge result
+    * must not reference the expired micro-batch DataFrame, and the
+    * view's lineage must not grow per batch (the q77/q140 iteration
+    * device — at 100 TB the checkpoint is the MV table write itself).
+    *
+    * Unlike the single-batch gates (q126/q130/q132) this oracle is
+    * BATCH-COUNT-INVARIANT: the merge is associative and commutative
+    * over disjoint delta slices, so no drain-shape assertion is needed
+    * — StreamingSpec pins the chunked replay (2 and 5 chunks) equal to
+    * the batch recompute. Oracle = full recompute over all events
+    * (q150's self-maintenance invariant, streaming edition).
+    */
+  def q166StreamMvMaintenance(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val isDelta = pmod(col("event_id"), lit(5)) === 4
+    def agg(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum("value").as("sv"),
+      min("value").as("mn"), max("value").as("mx"))
+    var mv = agg(Tables.events(spark, dir)
+      .select("event_id", "user_id", "value").filter(!isDelta))
+      .localCheckpoint() // at 100 TB: read from the stored MV
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val delta = normalizeTs(raw, stream0)
+      .select("event_id", "user_id", "value").filter(isDelta)
+    val q = delta.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mv = mv.as("b").join(agg(batch).as("d"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+            (coalesce(col("b.sv"), lit(0.0)) + coalesce(col("d.sv"), lit(0.0))).as("sv"),
+            least(coalesce(col("b.mn"), col("d.mn")),
+              coalesce(col("d.mn"), col("b.mn"))).as("mn"),
+            greatest(coalesce(col("b.mx"), col("d.mx")),
+              coalesce(col("d.mx"), col("b.mx"))).as("mx"))
+          .localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    mv.select(col("user_id"), col("n").as("n_events"),
+        round(col("sv"), 2).as("sum_value"),
+        round(col("mn"), 2).as("min_value"),
+        round(col("mx"), 2).as("max_value"))
+      .orderBy("user_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_stream_static_window" -> (q127StreamStaticWindow _),
+    "q166_stream_mv_maintenance" -> (q166StreamMvMaintenance _),
     "q129_stateful_sessions" -> (q129StatefulSessions _),
     "q130_running_balance" -> (q130RunningBalance _),
     "q130b_running_balance_tws" -> (q130bRunningBalanceTws _),
@@ -900,6 +958,15 @@ object StreamingOps extends QueryModule {
       |FROM b ORDER BY user_id""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the full recompute — equality with the streamed base⊕delta merge
+    // IS the self-maintainability invariant (q150's oracle, streaming
+    // edition; batch-count-invariant, see the query doc)
+    "q166_stream_mv_maintenance" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |       round(sum(value), 2) + 0.0 AS sum_value,
+        |       round(min(value), 2) + 0.0 AS min_value,
+        |       round(max(value), 2) + 0.0 AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q60's gaps-and-islands sessionization PLUS the append-mode
     // watermark finalization rule: only sessions whose close
     // (last event + gap) is at or before the final watermark

@@ -66,6 +66,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q166 foreachBatch MV merge: chunked replay equals the batch recompute at 2 and 5 chunks") {
+    // the batch-count-invariance claim q166's driver gate rests on: the
+    // per-batch full-outer merge of pre-aggregated deltas is associative
+    // over any chunking of the delta stream, so the final MV equals the
+    // one-shot recompute regardless of micro-batch boundaries
+    import org.apache.spark.sql.functions._
+    def agg(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum("value").as("sv"),
+      min("value").as("mn"), max("value").as("mx"))
+    def snap(df: DataFrame): DataFrame = df.select(col("user_id"), col("n"),
+      round(col("sv"), 6).as("sv"), col("mn"), col("mx"))
+    val ev = Tables.events(spark, SparkTestSession.sf0001)
+      .select("event_id", "user_id", "value")
+    val isDelta = pmod(col("event_id"), lit(5)) === 4
+    val want = canon(snap(agg(ev)))
+    implicit val sqlCtx = spark.sqlContext
+    for (n <- Seq(2, 5)) {
+      implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+      var mv = agg(ev.filter(!isDelta)).localCheckpoint()
+      val mem = MemoryStream[Event]
+      val q = mem.toDF().select("event_id", "user_id", "value").filter(isDelta)
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          mv = mv.as("b").join(agg(batch).as("d"), Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+              (coalesce(col("b.sv"), lit(0.0)) + coalesce(col("d.sv"), lit(0.0))).as("sv"),
+              least(coalesce(col("b.mn"), col("d.mn")),
+                coalesce(col("d.mn"), col("b.mn"))).as("mn"),
+              greatest(coalesce(col("b.mx"), col("d.mx")),
+                coalesce(col("d.mx"), col("b.mx"))).as("mx"))
+            .localCheckpoint()
+          ()
+        }.start()
+      try {
+        chunks(n).foreach { c => mem.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      assert(canon(snap(mv)) == want, s"MV diverged from recompute at $n chunks")
+    }
+  }
+
   private def chunks(n: Int): Seq[Seq[Event]] = {
     val size = math.max(1, allEvents.size / n)
     allEvents.grouped(size).toSeq
