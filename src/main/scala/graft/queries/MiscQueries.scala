@@ -616,10 +616,37 @@ object MiscQueries extends QueryModule {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q169: declarative SQL UDFs (Spark 4 `CREATE FUNCTION … RETURN`) —
+    * both kinds through one query: a SCALAR function (`wlen`) applied
+    * per row, and a TABLE function (`words`) invoked as a correlated
+    * LATERAL over every document. This is the no-JVM-code extension
+    * surface (functions defined in SQL text, resolved and inlined by
+    * the analyzer — they optimize like views, so predicate pushdown
+    * and codegen see through them; contrast the q41/q61 Catalyst
+    * expressions, which earn their JVM code with kernels SQL can't
+    * state). The oracle states the INLINED semantics directly — the
+    * gate proves definition + invocation resolve to exactly the
+    * inlined query.
+    */
+  def q169SqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION wlen(w STRING) RETURNS DOUBLE
+        |RETURN CAST(length(w) AS DOUBLE)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION words(s STRING) RETURNS TABLE (w STRING)
+        |RETURN SELECT explode(split(s, ' '))""".stripMargin)
+    spark.sql(
+      """SELECT source, count(*) AS n_tokens, round(avg(wlen(w)), 6) AS avg_wlen
+        |FROM documents, LATERAL words(text)
+        |WHERE w <> '' GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_sql_group_by_all" -> (q123SqlGroupByAll _),
     "q124_sql_window_clause" -> (q124SqlWindowClause _),
     "q159_sql_listagg" -> (q159SqlListagg _),
+    "q169_sql_udf" -> (q169SqlUdf _),
     "q95_cohort_retention" -> (q95CohortRetention _),
     "q96_funnel" -> (q96Funnel _),
     "q98_rolling_actives" -> (q98RollingActives _),
@@ -653,6 +680,13 @@ object MiscQueries extends QueryModule {
       """SELECT o_orderpriority, count(*)::BIGINT AS n,
         |       listagg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the UDF definitions inlined — what Spark's analyzer must resolve
+    // the CREATE FUNCTION surface to
+    "q169_sql_udf" ->
+      """SELECT source, count(*)::BIGINT AS n_tokens,
+        |       round(avg(length(w)::DOUBLE), 6) + 0.0 AS avg_wlen
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY source ORDER BY source""".stripMargin,
     // the IDENTICAL recursive-CTE / LATERAL texts — DuckDB reparses them
     "q112_sql_recursive" -> sqlRecursiveText,
     "q113_sql_lateral" -> sqlLateralText,

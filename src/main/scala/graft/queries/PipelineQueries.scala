@@ -503,9 +503,66 @@ object PipelineQueries extends QueryModule {
       .orderBy("node")
   }
 
+  /** q168: WATER-FILLING token-budget allocation — the constrained
+    * mixture-rebalancing step after q117's ratio weights: given a total
+    * training-token budget (55 % of the corpus here) and per-stratum
+    * availability caps ((lang, source) token counts), allocate the
+    * budget as evenly as possible WITHOUT exceeding any cap — i.e.
+    * alloc_i = min(cap_i, L) with the unique water level L exhausting
+    * the budget. Small strata saturate at their cap; the rest share the
+    * remainder equally; the integer remainder goes to the first r
+    * unsaturated strata in (cap, lang, source) order, so the allocation
+    * is EXACTLY integral and sums to the budget.
+    *
+    * All integer math (budget = total·55 div 100; base/rem by integer
+    * div/mod) — bit-exact across engines with no rounding step. The
+    * threshold stratum is found by the standard sorted-prefix test
+    * (prefix_{i-1} + remaining_i · cap_i ≥ budget ⇔ the level lands at
+    * or below cap_i), a window computation over STRATUM-count rows: the
+    * corpus pass is one partial+final count; the allocator costs
+    * nothing at any scale.
+    */
+  def q168WaterFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "source").agg(count(lit(1)).as("cap"))
+    val ord = Window.orderBy(col("cap").asc, col("lang").asc, col("source").asc)
+    val ranked = caps
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("prefix",
+        sum("cap").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("cap"))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("total", sum("cap").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("budget", expr("(total * 55) div 100"))
+    // threshold stratum k: the first (cap-ascending) row whose cap can
+    // absorb the level — 1-row agg broadcast back over the strata
+    val k = ranked
+      .filter(col("prefix") + (col("n") - col("i") + 1) * col("cap") >= col("budget"))
+      .agg(min(struct(col("i"), col("prefix"), col("n"), col("budget"))).as("t"))
+      .select(col("t.i").as("k"), col("t.prefix").as("pk"),
+        col("t.n").as("kn"), col("t.budget").as("kb"))
+      .withColumn("base", expr("(kb - pk) div (kn - k + 1)"))
+      .withColumn("rem", expr("(kb - pk) % (kn - k + 1)"))
+    ranked.crossJoin(broadcast(k))
+      .select(col("lang"), col("source"), col("cap"),
+        when(col("i") < col("k"), col("cap"))
+          .otherwise(col("base") +
+            when(col("i") - col("k") < col("rem"), lit(1L)).otherwise(lit(0L)))
+          .as("alloc"))
+      .withColumn("saturated", (col("alloc") === col("cap")).cast("int"))
+      .orderBy("lang", "source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_pagerank" -> (q140Pagerank _),
     "q160_triangle_count" -> (q160TriangleCount _),
+    "q168_water_fill" -> (q168WaterFill _),
     "q121_boilerplate_mask" -> (q121BoilerplateMask _),
     "q122_length_buckets" -> (q122LengthBuckets _),
     "q117_mixture_weights" -> (q117MixtureWeights _),
@@ -570,6 +627,35 @@ object PipelineQueries extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "q140_pagerank" -> oraclePagerank,
+    // same sorted-prefix threshold test, all-integer; ::BIGINT pins
+    // DuckDB's 128-bit window sums back to the engine's widths
+    "q168_water_fill" ->
+      """WITH caps AS (
+        |  SELECT lang, source, count(*)::BIGINT AS cap
+        |  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, source, cap,
+        |         row_number() OVER (ORDER BY cap, lang, source)::BIGINT AS i,
+        |         (sum(cap) OVER (ORDER BY cap, lang, source
+        |                         ROWS UNBOUNDED PRECEDING))::BIGINT - cap AS prefix,
+        |         count(*) OVER ()::BIGINT AS n,
+        |         (sum(cap) OVER ())::BIGINT AS total
+        |  FROM caps),
+        |r2 AS (SELECT *, (total * 55) // 100 AS budget FROM r),
+        |k AS (
+        |  SELECT i AS k, (budget - prefix) // (n - i + 1) AS base,
+        |         (budget - prefix) % (n - i + 1) AS rem
+        |  FROM r2 WHERE prefix + (n - i + 1) * cap >= budget
+        |  ORDER BY i LIMIT 1),
+        |a AS (
+        |  SELECT r2.lang, r2.source, r2.cap,
+        |         (CASE WHEN r2.i < k.k THEN r2.cap
+        |               ELSE k.base + CASE WHEN r2.i - k.k < k.rem THEN 1 ELSE 0 END
+        |          END)::BIGINT AS alloc
+        |  FROM r2 CROSS JOIN k)
+        |SELECT lang, source, cap, alloc, (alloc = cap)::INT AS saturated
+        |FROM a ORDER BY lang, source""".stripMargin,
     // id-ordered enumeration (a<b<c) — a different traversal than the
     // engine's degree-ordered one; agreement proves the triangle set
     "q160_triangle_count" ->

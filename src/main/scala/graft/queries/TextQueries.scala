@@ -714,16 +714,21 @@ object TextQueries extends QueryModule {
     * `localCheckpoint` after the first agg (the q77/q140 iteration
     * device), so k rounds never rescan the corpus.
     */
-  def q165BpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared 3-round BPE trainer (q165 emits its artifacts, q167
+    * applies them): returns the per-round winning pair (1-row DataFrames
+    * (l, r, c)) and the final vocabulary segmentation. One corpus pass
+    * collapses to the (word, count) table; every round is vocab-sized
+    * with `localCheckpoint` lineage cuts.
+    */
+  private def bpeTrainRounds(spark: SparkSession, dir: String): (List[DataFrame], DataFrame) = {
     val wc = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // cut the corpus lineage: rounds are vocab-sized
     var seg = wc.select(regexp_replace(col("word"), "(.)", " $1 ").as("s"), col("cnt"))
-    var merges = List.empty[DataFrame]
-    for (i <- 1 to 3) {
+    var bests = List.empty[DataFrame]
+    for (_ <- 1 to 3) {
       val pairs = seg
         .select(split(trim(col("s")), "  ").as("ts"), col("cnt"))
         .select(explode(expr(
@@ -736,13 +741,23 @@ object TextQueries extends QueryModule {
         // shuffles, never a global sort
         .agg(min(struct((-col("c")).as("nc"), col("l"), col("r"))).as("b"))
         .select(col("b.l").as("l"), col("b.r").as("r"), (-col("b.nc")).as("c"))
-      merges :+= best.select(lit("merge").as("kind"), lit(i.toLong).as("ord"),
-        concat(col("l"), col("r")).as("token"), col("c").as("cnt"))
+        .localCheckpoint() // 1 row; reused by the apply step AND the caller
+      bests :+= best
       seg = seg.crossJoin(broadcast(best))
         .select(expr(
           "replace(s, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))").as("s"),
           col("cnt"))
         .localCheckpoint() // vocab-sized; stops the plan doubling per round
+    }
+    (bests, seg)
+  }
+
+  def q165BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (bests, seg) = bpeTrainRounds(spark, dir)
+    val merges = bests.zipWithIndex.map { case (best, i) =>
+      best.select(lit("merge").as("kind"), lit((i + 1).toLong).as("ord"),
+        concat(col("l"), col("r")).as("token"), col("c").as("cnt"))
     }
     val vocab = seg
       .select(explode(split(trim(col("s")), "  ")).as("token"), col("cnt"))
@@ -752,6 +767,42 @@ object TextQueries extends QueryModule {
         row_number().over(Window.orderBy(col("freq").desc, col("token"))).cast("long").as("ord"),
         col("token"), col("freq").as("cnt"))
     merges.reduce(_ unionAll _).unionAll(vocab).orderBy("kind", "ord")
+  }
+
+  /** q167: BPE ENCODING — the serving half of q165: apply the learned
+    * merge table to every document and measure the compression (chars →
+    * BPE units), i.e. the token-counting pass that prices a corpus for
+    * training once the tokenizer exists. Whole documents ride the same
+    * wrapped-symbol representation as the trainer with word boundaries
+    * kept as `|` markers (spaces remapped pre-wrap), so each learned
+    * merge is the identical anchored `replace` — merges can never cross
+    * a word boundary because no merge contains the marker. Per doc:
+    * char count, final unit count (boundary markers excluded), and the
+    * chars-per-unit compression ratio.
+    *
+    * Scale: training reads the vocab-sized table (see q165); ENCODING
+    * is the corpus-sized pass — here it is three scan-local `replace`
+    * projections under 1-row broadcasts, no shuffle at all until the
+    * cosmetic sort: exactly the map-only shape a 100 TB tokenize job
+    * must have.
+    */
+  def q167BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (bests, _) = bpeTrainRounds(spark, dir)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"),
+        regexp_replace(regexp_replace(col("text"), " ", "|"), "(.)", " $1 ").as("s"))
+    val encoded = bests.foldLeft(base) { (df, best) =>
+      df.crossJoin(broadcast(best))
+        .select(col("doc_id"), col("source"), col("n_chars"), expr(
+          "replace(s, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))").as("s"))
+    }
+    encoded
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(filter(split(trim(col("s")), "  "), t => t =!= "|")).cast("long").as("n_units"))
+      .withColumn("ratio",
+        round(col("n_chars").cast("double") / col("n_units"), 6))
+      .orderBy("doc_id")
   }
 
   /** q153: HYBRID retrieval — q82's BM25 lexical ranking fused with the
@@ -903,6 +954,7 @@ object TextQueries extends QueryModule {
     "q151_quality_classifier" -> (q151QualityClassifier _),
     "q164_dsir_weights" -> (q164DsirWeights _),
     "q165_bpe_train" -> (q165BpeTrain _),
+    "q167_bpe_encode" -> (q167BpeEncode _),
     "q152_pmi_bigrams" -> (q152PmiBigrams _),
     "q153_hybrid_rrf" -> (q153HybridRrf _),
     "q155_image_patches" -> (q155ImagePatches _),
@@ -932,7 +984,60 @@ object TextQueries extends QueryModule {
        |p AS (SELECT lang, CASE $chain ELSE '${langs.last}' END AS pred_lang FROM s)""".stripMargin
   }
 
+  /** One unrolled BPE training round (q165/q167 shared): pair census →
+    * (count desc, pair asc) winner → anchored replace.
+    */
+  private def bpeOracleStage(i: Int): String = {
+    val (p, w0, w1) = (s"p$i", s"w${i - 1}", s"w$i")
+    s"""$p AS (
+       |  SELECT unnest([{'l': ts[i], 'r': ts[i+1]} FOR i IN range(1, len(ts))]) AS pr, cnt
+       |  FROM (SELECT string_split(trim(s), '  ') AS ts, cnt FROM $w0)),
+       |pc$i AS (SELECT pr.l AS l, pr.r AS r, sum(cnt)::BIGINT AS c FROM $p GROUP BY 1, 2),
+       |b$i AS (SELECT l, r, c FROM pc$i ORDER BY c DESC, l, r LIMIT 1),
+       |$w1 AS (SELECT replace(s, ' '||b$i.l||'  '||b$i.r||' ', ' '||b$i.l||b$i.r||' ') AS s, cnt
+       |       FROM $w0 CROSS JOIN b$i)""".stripMargin
+  }
+
+  /** The shared trajectory prefix: word counts → wrapped symbols →
+    * three training rounds; ends with b1/b2/b3 (the merges) and w3 (the
+    * final vocab segmentation) in scope.
+    */
+  private def bpeOracleBase: String =
+    s"""WITH wc AS (
+      |  SELECT word, count(*)::BIGINT AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY 1),
+      |w0 AS (SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, cnt FROM wc),
+      |${bpeOracleStage(1)},
+      |${bpeOracleStage(2)},
+      |${bpeOracleStage(3)}""".stripMargin
+
   override val oracles: Map[String, String] = Map(
+    // the trained merges (b1..b3) applied to whole documents on the
+    // boundary-marked representation, then the unit census per doc
+    "q167_bpe_encode" ->
+      s"""$bpeOracleBase,
+        |d0 AS (
+        |  SELECT doc_id, source,
+        |         length(replace(text, ' ', ''))::BIGINT AS n_chars,
+        |         regexp_replace(regexp_replace(text, ' ', '|', 'g'), '(.)', ' \\1 ', 'g') AS s
+        |  FROM documents),
+        |d1 AS (SELECT doc_id, source, n_chars,
+        |              replace(s, ' '||b1.l||'  '||b1.r||' ', ' '||b1.l||b1.r||' ') AS s
+        |       FROM d0 CROSS JOIN b1),
+        |d2 AS (SELECT doc_id, source, n_chars,
+        |              replace(s, ' '||b2.l||'  '||b2.r||' ', ' '||b2.l||b2.r||' ') AS s
+        |       FROM d1 CROSS JOIN b2),
+        |d3 AS (SELECT doc_id, source, n_chars,
+        |              replace(s, ' '||b3.l||'  '||b3.r||' ', ' '||b3.l||b3.r||' ') AS s
+        |       FROM d2 CROSS JOIN b3),
+        |u AS (
+        |  SELECT doc_id, source, n_chars,
+        |         len([t FOR t IN string_split(trim(s), '  ') IF t <> '|'])::BIGINT AS n_units
+        |  FROM d3)
+        |SELECT doc_id, source, n_chars, n_units,
+        |       round(n_chars::DOUBLE / n_units, 6) + 0.0 AS ratio
+        |FROM u ORDER BY doc_id""".stripMargin,
     // integer lengths → ½-grid medians → ¼-grid MAD: every value and
     // every boundary comparison exact in double on both engines
     "q109_robust_outliers" ->
@@ -1129,25 +1234,8 @@ object TextQueries extends QueryModule {
         |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
     // the 3-round merge trajectory unrolled (the q77/q140 CTE device);
     // same wrapped-symbol string representation, same replace semantics
-    "q165_bpe_train" -> {
-      def stage(i: Int): String = {
-        val (p, w0, w1) = (s"p$i", s"w${i - 1}", s"w$i")
-        s"""$p AS (
-           |  SELECT unnest([{'l': ts[i], 'r': ts[i+1]} FOR i IN range(1, len(ts))]) AS pr, cnt
-           |  FROM (SELECT string_split(trim(s), '  ') AS ts, cnt FROM $w0)),
-           |pc$i AS (SELECT pr.l AS l, pr.r AS r, sum(cnt)::BIGINT AS c FROM $p GROUP BY 1, 2),
-           |b$i AS (SELECT l, r, c FROM pc$i ORDER BY c DESC, l, r LIMIT 1),
-           |$w1 AS (SELECT replace(s, ' '||b$i.l||'  '||b$i.r||' ', ' '||b$i.l||b$i.r||' ') AS s, cnt
-           |       FROM $w0 CROSS JOIN b$i)""".stripMargin
-      }
-      s"""WITH wc AS (
-        |  SELECT word, count(*)::BIGINT AS cnt
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE word <> '' GROUP BY 1),
-        |w0 AS (SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, cnt FROM wc),
-        |${stage(1)},
-        |${stage(2)},
-        |${stage(3)},
+    "q165_bpe_train" ->
+      s"""$bpeOracleBase,
         |merges AS (
         |  SELECT 'merge' AS kind, 1::BIGINT AS ord, l || r AS token, c AS cnt FROM b1
         |  UNION ALL SELECT 'merge', 2, l || r, c FROM b2
@@ -1163,8 +1251,7 @@ object TextQueries extends QueryModule {
         |  FROM census ORDER BY freq DESC, token LIMIT 20)
         |SELECT kind, ord, token, cnt FROM merges
         |UNION ALL SELECT kind, ord, token, cnt FROM vocab
-        |ORDER BY kind, ord""".stripMargin
-    },
+        |ORDER BY kind, ord""".stripMargin,
     "q151_quality_classifier" ->
       """WITH t AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
