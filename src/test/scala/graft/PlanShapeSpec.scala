@@ -807,6 +807,59 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
   }
 
+  test("q158 MIPS: TakeOrderedAndProject candidates, only the two 1-row sides broadcast") {
+    // the norm-augmentation reduction must keep q44's plan posture: the
+    // candidate stage is a per-partition heap top-k (never a global
+    // sort), and with auto-broadcast off the only broadcasts are the
+    // explicit 1-row maxNorm and query-vector sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(SimilarityQueries.q158MipsTopk(spark, dir))
+      assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert("BroadcastExchange".r.findAllIn(plan).size <= 2,
+        s"a table side broadcast with auto-broadcast off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q160 triangles: equi-joins only — no cartesian, no nested loop, nothing broadcast") {
+    // the degree-ordered enumeration is all equi-joins and aggs; every
+    // side (edges, degrees, arcs) is data-dependent, so with
+    // auto-broadcast off NOTHING may broadcast and no all-pairs shape
+    // may appear — the plan that survives a celebrity-skew graph
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(graft.queries.PipelineQueries.q160TriangleCount(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert("BroadcastExchange".r.findAllIn(plan).size == 0,
+        s"a data-dependent side broadcast with auto-broadcast off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q161 deletion vectors: merge-on-read is a broadcast ANTI join of the small DV side") {
+    val plan = finalPlan(graft.queries.LakehouseQueries.q161DeletionVectors(spark, dir))
+    assert(plan.contains("LeftAnti"), s"scan-side DV subtraction lost its anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the DV sidecar (orders-of-magnitude smaller than the base) must broadcast:\n$plan")
+  }
+
+  test("q167 BPE encode core is map-only: 1-row merge broadcasts, no shuffle before the sort") {
+    // the corpus-sized tokenize pass must be three replace projections
+    // under 1-row broadcasts — no hash shuffle anywhere (the trainer's
+    // aggs run beforehand and are lineage-cut by localCheckpoint)
+    val plan = finalPlan(TextQueries.q167BpeEncode(spark, dir))
+    assert(!plan.contains("HashAggregate"), s"encode must not aggregate:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"encode must not hash-shuffle the corpus:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1,
+      s"only the final ORDER BY may shuffle:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).size <= 3,
+      s"only the three 1-row merge sides may broadcast:\n$plan")
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))
