@@ -264,7 +264,29 @@ object AggQueries extends QueryModule {
       .orderBy("source", "rn")
   }
 
+  /** q172: the LINEAR-REGRESSION aggregate family (SQL:2003 `regr_*`) —
+    * per-group OLS of extended price on quantity: slope, intercept, R²,
+    * plus the correlation it generalizes. These are one-pass moment
+    * aggregates (Σx, Σy, Σxy, Σx², n — partial+final like any sum), the
+    * statistical step past q03's dispersion aggs: fit-a-line-per-group
+    * over a 100 TB fact table with a single hash agg, no ML library.
+    * Determinism: each statistic is a RATIO of big co-moment sums —
+    * summation-order noise is relative (~1e-12), so the O(1)-scale
+    * ratios are stable under round 6 even though the raw sums are not.
+    */
+  def q172RegressionAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"))
+      .orderBy("l_returnflag")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_regression_aggs" -> (q172RegressionAggs _),
     "q91_grouped_topk" -> (q91GroupedTopk _),
     "q86_heavy_hitters" -> (q86HeavyHitters _),
     "q90_kmv_distinct" -> (q90KmvDistinct _),
@@ -281,6 +303,13 @@ object AggQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q172_regression_aggs" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |       round(regr_slope(l_extendedprice, l_quantity), 6) + 0.0 AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 6) + 0.0 AS intercept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2,
+        |       round(corr(l_extendedprice, l_quantity), 6) + 0.0 AS corr_pq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the heap aggregator must equal the plain window top-3 — exact op
     "q91_grouped_topk" ->
       """WITH r AS (

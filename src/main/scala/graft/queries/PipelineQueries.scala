@@ -559,10 +559,48 @@ object PipelineQueries extends QueryModule {
       .orderBy("lang", "source")
   }
 
+  /** q170: CURRICULUM ordering — construct the global training-data
+    * schedule: rank documents within each source by a quality signal
+    * (q151's exact integer logit numerator — no float boundary), then
+    * interleave sources by rank so the schedule opens with every
+    * source's best documents and degrades uniformly (the
+    * quality-curriculum + source-interleave ordering training runs
+    * consume; per-source ranking also guarantees no source starves the
+    * head of training no matter how skewed the corpus). Gate emits the
+    * first 100 schedule positions.
+    *
+    * Scale: the per-source rank is a partitioned window (shuffles on
+    * source); the global order is realized by sort — here topped by
+    * limit(100), so Catalyst plans `TakeOrderedAndProject` per-partition
+    * heaps; a full 100 TB schedule write would use
+    * `repartitionByRange(r, source)` + partition-local sort, never a
+    * single-task global window. The position column is a window over
+    * the ALREADY-LIMITED 100 rows — driver-sized by construction.
+    */
+  def q170CurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val num = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("wi",
+        (pmod(conv(substring(md5(col("term")), 1, 2), 16, 10).cast("long"),
+          lit(64L)) * 37 + 11) % 15 - 7)
+      .groupBy("doc_id", "source").agg(sum("wi").as("num"))
+    val ranked = num.withColumn("r", row_number().over(
+      Window.partitionBy("source").orderBy(col("num").desc, col("doc_id").asc)).cast("long"))
+    ranked.orderBy(col("r"), col("source"), col("doc_id")).limit(100)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("r"), col("source"), col("doc_id"))).cast("long"))
+      .select("pos", "doc_id", "source", "r", "num")
+      .orderBy("pos")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_pagerank" -> (q140Pagerank _),
     "q160_triangle_count" -> (q160TriangleCount _),
     "q168_water_fill" -> (q168WaterFill _),
+    "q170_curriculum_order" -> (q170CurriculumOrder _),
     "q121_boilerplate_mask" -> (q121BoilerplateMask _),
     "q122_length_buckets" -> (q122LengthBuckets _),
     "q117_mixture_weights" -> (q117MixtureWeights _),
@@ -627,6 +665,24 @@ object PipelineQueries extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "q140_pagerank" -> oraclePagerank,
+    // q151's integer quality signal, per-source rank, rank-major
+    // interleave — the same exact-integer trajectory
+    "q170_curriculum_order" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |w AS (
+        |  SELECT doc_id, source,
+        |         ((CAST(('0x' || substr(md5(term), 1, 2)) AS BIGINT) % 64) * 37 + 11) % 15 - 7 AS wi
+        |  FROM t WHERE term <> ''),
+        |d AS (SELECT doc_id, source, sum(wi)::BIGINT AS num FROM w GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |                               ORDER BY num DESC, doc_id)::BIGINT AS r
+        |  FROM d),
+        |s AS (SELECT * FROM r ORDER BY r, source, doc_id LIMIT 100)
+        |SELECT row_number() OVER (ORDER BY r, source, doc_id)::BIGINT AS pos,
+        |       doc_id, source, r, num
+        |FROM s ORDER BY pos""".stripMargin,
     // same sorted-prefix threshold test, all-integer; ::BIGINT pins
     // DuckDB's 128-bit window sums back to the engine's widths
     "q168_water_fill" ->

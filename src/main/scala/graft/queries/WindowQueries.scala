@@ -236,7 +236,47 @@ object WindowQueries extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** q173: LINEAR INTERPOLATION of sensor dropouts — the gap-REPAIR
+    * sibling of q81's grid gap-fill: events with `event_id ≡ 3 mod 7`
+    * lose their reading; each lost value is reconstructed from its
+    * nearest known neighbors in the SAME user's timeline, weighted by
+    * event-time distance (v = vₚ + (vₙ − vₚ)·Δtₚ/Δt, on exact
+    * microsecond longs). Boundary dropouts (no earlier / no later known
+    * reading) stay NULL — a repair pass must not invent data. The
+    * prev/next known (time, value) pairs come from two frame windows
+    * with `last/first(ignoreNulls)` — the q81 device pointed at
+    * non-NULL carriers; one shuffle on user_id serves all four.
+    * Determinism: the time fraction is one exact-integer division; the
+    * lerp's two flops carry ulps absorbed by round 6; coincident
+    * neighbor timestamps (Δt = 0) take the midpoint by CASE, mirrored
+    * in the oracle.
+    */
+  def q173LinearInterp(spark: SparkSession, dir: String): DataFrame = {
+    val masked = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        when(pmod(col("event_id"), lit(7)) === 3, lit(null)).otherwise(col("value")).as("v"),
+        (pmod(col("event_id"), lit(7)) === 3).as("is_masked"))
+    val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wp = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wn = ord.rowsBetween(1, Window.unboundedFollowing)
+    masked
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("pus", last(when(col("v").isNotNull, col("us")), ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+      .withColumn("nus", first(when(col("v").isNotNull, col("us")), ignoreNulls = true).over(wn))
+      .filter(col("is_masked"))
+      .select(col("user_id"), col("event_id"),
+        round(
+          when(col("pv").isNull || col("nv").isNull, lit(null))
+            .when(col("nus") === col("pus"), (col("pv") + col("nv")) / 2)
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("us") - col("pus")).cast("double") / (col("nus") - col("pus")))),
+          6).as("v_interp"))
+      .orderBy("user_id", "event_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_linear_interp" -> (q173LinearInterp _),
     "q97_sessionize" -> (q97Sessionize _),
     "q89_scd2" -> (q89Scd2 _),
     "q20_window_rank" -> (q20WindowRank _),
@@ -249,6 +289,31 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // identical neighbor windows (IGNORE NULLS carriers), exact-integer
+    // µs fraction, CASE-mirrored boundary and Δt=0 midpoint
+    "q173_linear_interp" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END AS v,
+        |         (event_id % 7 = 3) AS is_masked
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |         last_value(v IGNORE NULLS) OVER wp AS pv,
+        |         last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER wp AS pus,
+        |         first_value(v IGNORE NULLS) OVER wn AS nv,
+        |         first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER wn AS nus
+        |  FROM m
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wn AS (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id,
+        |       round(CASE WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |                  WHEN nus = pus THEN (pv + nv) / 2
+        |                  ELSE pv + (nv - pv) * ((us - pus)::DOUBLE / (nus - pus))
+        |             END, 6) + 0.0 AS v_interp
+        |FROM w WHERE is_masked ORDER BY user_id, event_id""".stripMargin,
     // the identical dyadic-weight chain: exact integer numerator under
     // the same (ts µs-truncated, event_id) order, ONE division by 2^28
     "q115_ewma" ->
