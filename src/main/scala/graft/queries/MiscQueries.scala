@@ -642,11 +642,64 @@ object MiscQueries extends QueryModule {
         |WHERE w <> '' GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  /** q171: cross-group QUANTILE CALIBRATION — map every row's
+    * within-group rank onto the GLOBAL value distribution (quantile
+    * normalization): calib(x in g) = the global value at the greatest
+    * global percent-rank ≤ x's rank within g. This is how incomparable
+    * per-source scores (different annotators, different quality models,
+    * segment-skewed balances) are put on ONE scale before mixing — the
+    * score-calibration step q153's rank-only RRF sidesteps, here as a
+    * first-class transform.
+    *
+    * The rank-space lookup is an AS-OF join with percent-rank as the
+    * "time" axis: the engine runs the q19 union+`last(ignoreNulls)`
+    * device (reference rows sort before probes at equal rank, one
+    * ordered window — no join at all), while the ORACLE states it with
+    * DuckDB's native `ASOF JOIN` — two entirely different formulations
+    * certifying one semantic. Determinism: percent_rank is one exact
+    * division of identical integers on both sides; ties in value share
+    * a rank and the reference deduplicates to one (rank, value) row.
+    *
+    * Scale: the reference distribution is at most value-cardinality
+    * rows (and in production a fixed quantile grid); the probe side
+    * never shuffles except the one range partition the ordered window
+    * needs — at 100 TB, `repartitionByRange` on rank + partition-local
+    * windows, same as any global-order op.
+    */
+  def q171QuantileCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val ref = cust
+      .select(col("c_acctbal").as("g_val"))
+      .withColumn("pr", percent_rank().over(Window.orderBy("g_val")))
+      .distinct()
+      .select(col("pr"), col("g_val"), lit(1).as("is_ref"),
+        lit(null).cast("long").as("c_custkey"),
+        lit(null).cast("string").as("c_mktsegment"),
+        lit(null).cast("double").as("c_acctbal"))
+    val probes = cust
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy("c_mktsegment").orderBy("c_acctbal")))
+      .select(col("pr"), lit(null).cast("double").as("g_val"), lit(0).as("is_ref"),
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    // refs first at equal rank, so an exact rank match calibrates to
+    // its own quantile value — the ASOF >= convention
+    val w = Window.orderBy(col("pr").asc, col("is_ref").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref.unionAll(probes)
+      .withColumn("calib", last(col("g_val"), ignoreNulls = true).over(w))
+      .filter(col("is_ref") === 0)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(col("calib"), 2).as("calib"))
+      .orderBy("c_custkey")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_sql_group_by_all" -> (q123SqlGroupByAll _),
     "q124_sql_window_clause" -> (q124SqlWindowClause _),
     "q159_sql_listagg" -> (q159SqlListagg _),
     "q169_sql_udf" -> (q169SqlUdf _),
+    "q171_quantile_calibration" -> (q171QuantileCalibration _),
     "q95_cohort_retention" -> (q95CohortRetention _),
     "q96_funnel" -> (q96Funnel _),
     "q98_rolling_actives" -> (q98RollingActives _),
@@ -680,6 +733,22 @@ object MiscQueries extends QueryModule {
       """SELECT o_orderpriority, count(*)::BIGINT AS n,
         |       listagg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // DuckDB's native ASOF JOIN against the engine's union+window
+    // device — two formulations, one rank-space as-of semantic
+    "q171_quantile_calibration" ->
+      """WITH ref AS (
+        |  SELECT DISTINCT percent_rank() OVER (ORDER BY c_acctbal) AS g_pr,
+        |         c_acctbal AS g_val
+        |  FROM customer),
+        |loc AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |         percent_rank() OVER (PARTITION BY c_mktsegment
+        |                              ORDER BY c_acctbal) AS pr
+        |  FROM customer)
+        |SELECT l.c_custkey, l.c_mktsegment, l.c_acctbal,
+        |       round(r.g_val, 2) + 0.0 AS calib
+        |FROM loc l ASOF JOIN ref r ON l.pr >= r.g_pr
+        |ORDER BY l.c_custkey""".stripMargin,
     // the UDF definitions inlined — what Spark's analyzer must resolve
     // the CREATE FUNCTION surface to
     "q169_sql_udf" ->

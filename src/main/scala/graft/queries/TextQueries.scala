@@ -944,7 +944,42 @@ object TextQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q174: WEIGHTED median — per-source doc-length median where each
+    * document weighs its TOKEN COUNT (the statistic a data-mix owner
+    * actually wants: "the median token lands in a doc of length X",
+    * which a count-median — q109 — skews short because short docs are
+    * many and carry few tokens). Lower weighted median: the smallest
+    * length v with 2·cumweight(≤v) ≥ totalweight — an INTEGER
+    * comparison, no ½-grid float, so the gate is exact by construction.
+    *
+    * Scale: one corpus pass to (source, length, weight) partial+final
+    * aggs (ties collapse BEFORE the window), a per-source cumulative
+    * window over length-cardinality rows, and a struct-min argmin — one
+    * row per source shuffles, never a ranking sort of raw docs.
+    */
+  def q174WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .groupBy("source", "n_chars").agg(sum("w").as("w"))
+    val win = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byLen
+      .withColumn("cumw", sum("w").over(win))
+      .withColumn("totw", sum("w").over(tot))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy("source")
+      .agg(min(struct(col("n_chars"), col("totw"))).as("m"))
+      .select(col("source"), col("m.n_chars").as("w_median"),
+        col("m.totw").as("total_weight"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_weighted_median" -> (q174WeightedMedian _),
     "q109_robust_outliers" -> (q109RobustOutliers _),
     "q108_media_resize" -> (q108MediaResize _),
     "q106_vocab_build" -> (q106VocabBuild _),
@@ -1211,6 +1246,20 @@ object TextQueries extends QueryModule {
         |FROM j ORDER BY ratio DESC, a, b LIMIT 20""".stripMargin,
     // identical md5-byte buckets and integer tenth-weights; keep is the
     // exact integer sign test, p one divide into round-6-absorbed exp
+    // identical integer weights, cumulative test, and argmin
+    "q174_weighted_median" ->
+      """WITH d AS (
+        |  SELECT source, n_chars, sum(len(string_split(text, ' ')))::BIGINT AS w
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, n_chars,
+        |         (sum(w) OVER (PARTITION BY source ORDER BY n_chars
+        |                       ROWS UNBOUNDED PRECEDING))::BIGINT AS cumw,
+        |         (sum(w) OVER (PARTITION BY source))::BIGINT AS totw
+        |  FROM d)
+        |SELECT source, min(n_chars)::BIGINT AS w_median, min(totw)::BIGINT AS total_weight
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY source ORDER BY source""".stripMargin,
     // hashed unigram+bigram stream rebuilt verbatim; smoothing and the
     // ln-of-exact-division contributions mirror the engine term for term
     "q164_dsir_weights" ->
