@@ -694,12 +694,108 @@ object MiscQueries extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** q175: referential-INTEGRITY audit — the dbt-test/data-quality
+    * sweep a warehouse runs after every load: count orphans on each
+    * foreign-key edge of the star schema (lineitems without orders,
+    * orders without customers, lineitems without parts/suppliers,
+    * customers without nations) plus each parent's row count, folded
+    * into one audit-report table. Every check is a LEFT ANTI join on
+    * the key — the small parent key sets broadcast (AQE), the fact
+    * table streams through, and the per-edge count is a 1-row agg:
+    * auditing 100 TB costs one scan per edge, no sort, no wide state.
+    */
+  def q175IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(child: DataFrame, key: String, parent: DataFrame, pkey: String,
+                edge: String): DataFrame = {
+      val o = child.join(parent.select(col(pkey).as(key)).distinct(),
+        Seq(key), "left_anti")
+      o.agg(lit(edge).as("edge"), count(lit(1)).as("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    Seq(
+      orphans(li.select("l_orderkey"), "l_orderkey", ord, "o_orderkey", "lineitem->orders"),
+      orphans(li.select("l_partkey"), "l_partkey", Tables.part(spark, dir), "p_partkey", "lineitem->part"),
+      orphans(li.select("l_suppkey"), "l_suppkey", Tables.supplier(spark, dir), "s_suppkey", "lineitem->supplier"),
+      orphans(ord.select("o_custkey"), "o_custkey", cust, "c_custkey", "orders->customer"),
+      orphans(cust.select("c_nationkey"), "c_nationkey", Tables.nation(spark, dir), "n_nationkey", "customer->nation"),
+      // sensitivity probe: the same audit against a deliberately
+      // PARTIAL parent (md5-slot-thinned customers, simulating a
+      // half-landed dim load) must report non-zero orphans — proving
+      // the zero rows above are findings, not a vacuous check
+      orphans(ord.select("o_custkey"), "o_custkey",
+        cust.filter(substring(md5(col("c_custkey").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3") === false),
+        "c_custkey", "orders->customer_partial(probe)"))
+      .reduce(_ unionAll _)
+      .orderBy("edge")
+  }
+
+  /** q176: two-sample A/B statistics — Welch's t on a deterministic
+    * hash split of event values (q120's md5 split device assigns arms,
+    * so the gate is reproducible; production swaps in the experiment
+    * column): per arm n/mean/variance from one partial+final agg, then
+    * t = (μ_A − μ_B)/√(s²_A/n_A + s²_B/n_B) and the Welch–Satterthwaite
+    * degrees of freedom — the significance readout every experiment
+    * pipeline computes. Each statistic is a ratio of moment sums
+    * (relative summation noise ~1e-12) under round 6.
+    */
+  def q176AbTtest(spark: SparkSession, dir: String): DataFrame = {
+    val armed = Tables.events(spark, dir)
+      .select(col("value"),
+        when(conv(substring(md5(col("event_id").cast("string")), 1, 2), 16, 10)
+          .cast("long") % 2 === 0, "A").otherwise("B").as("arm"))
+    val stats = armed.groupBy("arm").agg(
+      count(lit(1)).cast("double").as("n"),
+      avg("value").as("m"), var_samp("value").as("v"))
+    val a = stats.filter(col("arm") === "A").select(
+      col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+    val b = stats.filter(col("arm") === "B").select(
+      col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+    a.crossJoin(b)
+      .withColumn("se2", col("va") / col("na") + col("vb") / col("nb"))
+      .select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+        round((col("ma") - col("mb")) / sqrt(col("se2")), 6).as("t_stat"),
+        round(pow(col("se2"), 2) /
+          (pow(col("va") / col("na"), 2) / (col("na") - 1)
+            + pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 6).as("df"))
+  }
+
+  /** q177: Markov TRANSITION matrix over the event stream — per user,
+    * each event's type conditioned on the previous one (lag window
+    * under the (ts, event_id) total order), aggregated to
+    * P(next | prev) — the session-flow model product analytics fits
+    * (and the generator behind synthetic-sequence data). One user_id
+    * window shuffle + one pair agg; each probability is a single
+    * exact-integer divide (cnt/row_total), bit-stable under round 6.
+    */
+  def q177MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+    val cnt = pairs.groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("prev").agg(sum("n").as("row_total"))
+    cnt.join(tot, "prev")
+      .select(col("prev"), col("next"), col("n"),
+        round(col("n").cast("double") / col("row_total"), 6).as("p"))
+      .orderBy("prev", "next")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_sql_group_by_all" -> (q123SqlGroupByAll _),
     "q124_sql_window_clause" -> (q124SqlWindowClause _),
     "q159_sql_listagg" -> (q159SqlListagg _),
     "q169_sql_udf" -> (q169SqlUdf _),
     "q171_quantile_calibration" -> (q171QuantileCalibration _),
+    "q175_integrity_audit" -> (q175IntegrityAudit _),
+    "q176_ab_ttest" -> (q176AbTtest _),
+    "q177_markov_transitions" -> (q177MarkovTransitions _),
     "q95_cohort_retention" -> (q95CohortRetention _),
     "q96_funnel" -> (q96Funnel _),
     "q98_rolling_actives" -> (q98RollingActives _),
@@ -733,6 +829,66 @@ object MiscQueries extends QueryModule {
       """SELECT o_orderpriority, count(*)::BIGINT AS n,
         |       listagg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // each edge an ANTI JOIN orphan count, one UNION ALL report
+    "q175_integrity_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem->orders' AS edge, count(*)::BIGINT AS n_orphans
+        |  FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem->part', count(*)::BIGINT
+        |  FROM lineitem ANTI JOIN part ON l_partkey = p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem->supplier', count(*)::BIGINT
+        |  FROM lineitem ANTI JOIN supplier ON l_suppkey = s_suppkey
+        |  UNION ALL
+        |  SELECT 'orders->customer', count(*)::BIGINT
+        |  FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'customer->nation', count(*)::BIGINT
+        |  FROM customer ANTI JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'orders->customer_partial(probe)', count(*)::BIGINT
+        |  FROM orders ANTI JOIN (
+        |    SELECT c_custkey FROM customer
+        |    WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) NOT IN ('0','1','2','3')
+        |  ) c ON o_custkey = c_custkey
+        |) ORDER BY edge""".stripMargin,
+    // same md5 arm assignment, same moment ratios
+    "q176_ab_ttest" ->
+      """WITH armed AS (
+        |  SELECT value,
+        |         CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))::BIGINT % 2 = 0
+        |              THEN 'A' ELSE 'B' END AS arm
+        |  FROM events),
+        |s AS (
+        |  SELECT arm, count(*)::DOUBLE AS n, avg(value) AS m, var_samp(value) AS v
+        |  FROM armed GROUP BY arm),
+        |a AS (SELECT n AS na, m AS ma, v AS va FROM s WHERE arm = 'A'),
+        |b AS (SELECT n AS nb, m AS mb, v AS vb FROM s WHERE arm = 'B'),
+        |j AS (SELECT *, va / na + vb / nb AS se2 FROM a CROSS JOIN b)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |       round(ma, 6) + 0.0 AS mean_a, round(mb, 6) + 0.0 AS mean_b,
+        |       round((ma - mb) / sqrt(se2), 6) + 0.0 AS t_stat,
+        |       round(pow(se2, 2) /
+        |             (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 6) + 0.0 AS df
+        |FROM j""".stripMargin,
+    // same lag pairs under the (ts, event_id) total order, one divide;
+    // ts::TIMESTAMP truncates DuckDB's ns to the engine's µs order
+    "q177_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events),
+        |p AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |c AS (SELECT prev, event_type AS next, count(*)::BIGINT AS n
+        |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, sum(n)::BIGINT AS row_total FROM c GROUP BY 1)
+        |SELECT c.prev, c.next, c.n,
+        |       round(c.n::DOUBLE / t.row_total, 6) + 0.0 AS p
+        |FROM c JOIN t USING (prev)
+        |ORDER BY c.prev, c.next""".stripMargin,
     // DuckDB's native ASOF JOIN against the engine's union+window
     // device — two formulations, one rank-space as-of semantic
     "q171_quantile_calibration" ->
