@@ -233,7 +233,39 @@ object JoinQueries extends QueryModule {
       .orderBy("p_brand")
   }
 
+  /** q179: the MACRO star join — a TPC-H Q5-shaped six-table query
+    * (local-supplier revenue per nation for one region and one order
+    * year) composing what q10–q18 gate one edge at a time: two fact
+    * tables joined on their key, four dimension hops, a selective
+    * region filter that prunes through two joins, and the extra
+    * c_nationkey = s_nationkey equality that makes the supplier
+    * "local". No broadcast hints anywhere: the 100 TB plan is
+    * AQE's call — dims broadcast under the threshold (plan-gated at
+    * bench scale), the lineitem⋈orders fact edge shuffles on its key,
+    * and the date filter pushes into the orders scan. Revenue sums are
+    * engine-order-dependent doubles at 1e8 scale with ~1e-5 absolute
+    * noise — round 2 holds with 10³ of margin.
+    */
+  def q179StarJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+            col("o_orderdate") < lit("1997-01-01").cast("date")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_star_join" -> (q179StarJoin _),
     "q71_salted_join" -> (q71SaltedJoin _),
     "q10_join_shipping" -> (q10JoinShipping _),
     "q11_join_nation_revenue" -> (q11JoinNationRevenue _),
@@ -280,6 +312,15 @@ object JoinQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    "q179_star_join" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     // the raw BETWEEN join — the oracle is blind to the binning, so a
     // bin that drops or duplicates a pair flips the census
     "q92_binned_range_join" ->

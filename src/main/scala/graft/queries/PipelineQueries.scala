@@ -522,7 +522,15 @@ object PipelineQueries extends QueryModule {
     * corpus pass is one partial+final count; the allocator costs
     * nothing at any scale.
     */
-  def q168WaterFill(spark: SparkSession, dir: String): DataFrame = {
+  def q168WaterFill(spark: SparkSession, dir: String): DataFrame =
+    waterFillAllocs(spark, dir)
+      .withColumn("saturated", (col("alloc") === col("cap")).cast("int"))
+      .orderBy("lang", "source")
+
+  /** The q168 allocator core, shared with q178's realization step:
+    * (lang, source, cap, alloc) with Σalloc = ⌊total·55/100⌋ exactly.
+    */
+  private def waterFillAllocs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val caps = Tables.documents(spark, dir)
       .select(col("lang"), col("source"),
@@ -555,7 +563,45 @@ object PipelineQueries extends QueryModule {
           .otherwise(col("base") +
             when(col("i") - col("k") < col("rem"), lit(1L)).otherwise(lit(0L)))
           .as("alloc"))
-      .withColumn("saturated", (col("alloc") === col("cap")).cast("int"))
+  }
+
+  /** q178: MIXTURE REALIZATION — the end-to-end composition that turns
+    * q168's per-stratum token allocations into an actual document
+    * selection: within each (lang, source) stratum, documents are
+    * admitted in deterministic md5-priority order until the next doc
+    * would cross the stratum's allocation (q107's keep-prefix device,
+    * parameterized by the ALLOCATOR's output instead of a hand-set
+    * budget — the full recipe→selection pipeline a data-mix owner
+    * actually ships). Census per stratum: kept docs/tokens, the
+    * allocation, the fill fraction (prefix packing under-fills by at
+    * most one document), and the id-sum membership pin (q79 device —
+    * the gate certifies WHICH docs were kept, not just how many).
+    *
+    * Scale: the allocator runs on stratum-count rows (q168); the
+    * realization is one scan with a per-stratum cumulative window +
+    * one broadcast join of the stratum-count alloc dim + one census
+    * agg. Nothing global, nothing quadratic.
+    */
+  def q178MixtureRealization(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .withColumn("prio", md5(col("doc_id").cast("string")))
+    val win = Window.partitionBy("lang", "source").orderBy("prio", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum("w").over(win))
+      .join(broadcast(waterFillAllocs(spark, dir)), Seq("lang", "source"))
+      .withColumn("keep", col("cum") <= col("alloc"))
+      .groupBy("lang", "source")
+      .agg(min("alloc").as("alloc"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("w")).otherwise(0L)).as("tok_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("sum_kept_ids"))
+      .withColumn("fill_frac",
+        when(col("alloc") === 0, lit(0.0))
+          .otherwise(round(col("tok_kept").cast("double") / col("alloc"), 6)))
       .orderBy("lang", "source")
   }
 
@@ -600,6 +646,7 @@ object PipelineQueries extends QueryModule {
     "q140_pagerank" -> (q140Pagerank _),
     "q160_triangle_count" -> (q160TriangleCount _),
     "q168_water_fill" -> (q168WaterFill _),
+    "q178_mixture_realization" -> (q178MixtureRealization _),
     "q170_curriculum_order" -> (q170CurriculumOrder _),
     "q121_boilerplate_mask" -> (q121BoilerplateMask _),
     "q122_length_buckets" -> (q122LengthBuckets _),
@@ -663,6 +710,35 @@ object PipelineQueries extends QueryModule {
     base + iters + "\nSELECT node, rank FROM r5 ORDER BY node"
   }
 
+  /** The q168 allocator replayed in DuckDB — ends at `a`
+    * (lang, source, cap, alloc); shared by q168 and q178.
+    */
+  private val oracleWaterFillAllocs: String =
+    """WITH caps AS (
+      |  SELECT lang, source, count(*)::BIGINT AS cap
+      |  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, source, cap,
+      |         row_number() OVER (ORDER BY cap, lang, source)::BIGINT AS i,
+      |         (sum(cap) OVER (ORDER BY cap, lang, source
+      |                         ROWS UNBOUNDED PRECEDING))::BIGINT - cap AS prefix,
+      |         count(*) OVER ()::BIGINT AS n,
+      |         (sum(cap) OVER ())::BIGINT AS total
+      |  FROM caps),
+      |r2 AS (SELECT *, (total * 55) // 100 AS budget FROM r),
+      |k AS (
+      |  SELECT i AS k, (budget - prefix) // (n - i + 1) AS base,
+      |         (budget - prefix) % (n - i + 1) AS rem
+      |  FROM r2 WHERE prefix + (n - i + 1) * cap >= budget
+      |  ORDER BY i LIMIT 1),
+      |a AS (
+      |  SELECT r2.lang, r2.source, r2.cap,
+      |         (CASE WHEN r2.i < k.k THEN r2.cap
+      |               ELSE k.base + CASE WHEN r2.i - k.k < k.rem THEN 1 ELSE 0 END
+      |          END)::BIGINT AS alloc
+      |  FROM r2 CROSS JOIN k)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     "q140_pagerank" -> oraclePagerank,
     // q151's integer quality signal, per-source rank, rank-major
@@ -685,33 +761,34 @@ object PipelineQueries extends QueryModule {
         |FROM s ORDER BY pos""".stripMargin,
     // same sorted-prefix threshold test, all-integer; ::BIGINT pins
     // DuckDB's 128-bit window sums back to the engine's widths
-    "q168_water_fill" ->
-      """WITH caps AS (
-        |  SELECT lang, source, count(*)::BIGINT AS cap
-        |  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE w <> '' GROUP BY 1, 2),
-        |r AS (
-        |  SELECT lang, source, cap,
-        |         row_number() OVER (ORDER BY cap, lang, source)::BIGINT AS i,
-        |         (sum(cap) OVER (ORDER BY cap, lang, source
-        |                         ROWS UNBOUNDED PRECEDING))::BIGINT - cap AS prefix,
-        |         count(*) OVER ()::BIGINT AS n,
-        |         (sum(cap) OVER ())::BIGINT AS total
-        |  FROM caps),
-        |r2 AS (SELECT *, (total * 55) // 100 AS budget FROM r),
-        |k AS (
-        |  SELECT i AS k, (budget - prefix) // (n - i + 1) AS base,
-        |         (budget - prefix) % (n - i + 1) AS rem
-        |  FROM r2 WHERE prefix + (n - i + 1) * cap >= budget
-        |  ORDER BY i LIMIT 1),
-        |a AS (
-        |  SELECT r2.lang, r2.source, r2.cap,
-        |         (CASE WHEN r2.i < k.k THEN r2.cap
-        |               ELSE k.base + CASE WHEN r2.i - k.k < k.rem THEN 1 ELSE 0 END
-        |          END)::BIGINT AS alloc
-        |  FROM r2 CROSS JOIN k)
+    "q168_water_fill" -> (oracleWaterFillAllocs +
+      """
         |SELECT lang, source, cap, alloc, (alloc = cap)::INT AS saturated
-        |FROM a ORDER BY lang, source""".stripMargin,
+        |FROM a ORDER BY lang, source""".stripMargin),
+    // allocator CTEs + the same priority window and census
+    "q178_mixture_realization" -> (oracleWaterFillAllocs +
+      """,
+        |docs AS (
+        |  SELECT lang, source, doc_id, len(string_split(text, ' '))::BIGINT AS w,
+        |         md5(CAST(doc_id AS VARCHAR)) AS prio
+        |  FROM documents),
+        |cw AS (
+        |  SELECT lang, source, doc_id, w,
+        |         (sum(w) OVER (PARTITION BY lang, source ORDER BY prio, doc_id
+        |                       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM docs),
+        |j AS (SELECT cw.*, a.alloc, cw.cum <= a.alloc AS keep
+        |      FROM cw JOIN a USING (lang, source)),
+        |c AS (
+        |  SELECT lang, source, min(alloc)::BIGINT AS alloc,
+        |         sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |         sum(CASE WHEN keep THEN w ELSE 0 END)::BIGINT AS tok_kept,
+        |         sum(CASE WHEN keep THEN doc_id ELSE 0 END)::BIGINT AS sum_kept_ids
+        |  FROM j GROUP BY 1, 2)
+        |SELECT lang, source, alloc, n_kept, tok_kept, sum_kept_ids,
+        |       CASE WHEN alloc = 0 THEN 0.0
+        |            ELSE round(tok_kept::DOUBLE / alloc, 6) END + 0.0 AS fill_frac
+        |FROM c ORDER BY lang, source""".stripMargin),
     // id-ordered enumeration (a<b<c) — a different traversal than the
     // engine's degree-ordered one; agreement proves the triangle set
     "q160_triangle_count" ->

@@ -860,6 +860,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the three 1-row merge sides may broadcast:\n$plan")
   }
 
+  test("q179 star join: dims broadcast, date filter pushed to the orders scan, no cartesian") {
+    // the macro-query posture: every dimension hop is a broadcast hash
+    // join at bench scale (AQE's call — no hints in the query), the
+    // order-year predicate reaches the parquet reader, and nothing
+    // plans an all-pairs shape
+    val df = JoinQueries.q179StarJoin(spark, dir)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"plan was:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"dimension hops should broadcast at bench scale:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date filter not pushed to the orders scan:\n$plan")
+  }
+
+  test("q175 integrity audit: every edge is an anti join, parents broadcast") {
+    val plan = finalPlan(graft.queries.MiscQueries.q175IntegrityAudit(spark, dir))
+    assert("LeftAnti".r.findAllIn(plan).size >= 6,
+      s"six FK edges must audit as anti joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the distinct-projected parent key sets should broadcast:\n$plan")
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))
