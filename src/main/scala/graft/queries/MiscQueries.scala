@@ -764,6 +764,30 @@ object MiscQueries extends QueryModule {
             + pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 6).as("df"))
   }
 
+  /** q181: RUNNING DISTINCT — cumulative distinct users per event type
+    * by day, the growth-curve metric (DAU→cumulative-reach) that a
+    * sliding `count(DISTINCT)` window can't express and a naive
+    * per-day recount pays quadratically for. The exact linear-cost
+    * form: a user's FIRST day per event type (one min-agg — no window
+    * over raw events), daily new-user counts, then one cumulative sum
+    * over (type × day)-cardinality rows. Two hash aggs plus a
+    * per-type window over day-count rows — at 100 TB the raw stream
+    * is touched once.
+    */
+  def q181RunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        col("ts").cast("date").as("day"))
+      .groupBy("event_type", "user_id").agg(min("day").as("first_day"))
+    val daily = firstDay.groupBy(col("event_type"), col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    daily
+      .withColumn("cum_distinct_users",
+        sum("new_users").over(Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("event_type", "day")
+  }
+
   /** q177: Markov TRANSITION matrix over the event stream — per user,
     * each event's type conditioned on the previous one (lag window
     * under the (ts, event_id) total order), aggregated to
@@ -794,6 +818,7 @@ object MiscQueries extends QueryModule {
     "q169_sql_udf" -> (q169SqlUdf _),
     "q171_quantile_calibration" -> (q171QuantileCalibration _),
     "q175_integrity_audit" -> (q175IntegrityAudit _),
+    "q181_running_distinct" -> (q181RunningDistinct _),
     "q176_ab_ttest" -> (q176AbTtest _),
     "q177_markov_transitions" -> (q177MarkovTransitions _),
     "q95_cohort_retention" -> (q95CohortRetention _),
@@ -872,6 +897,18 @@ object MiscQueries extends QueryModule {
         |       round(pow(se2, 2) /
         |             (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 6) + 0.0 AS df
         |FROM j""".stripMargin,
+    // same first-day min-agg and cumulative sum; CAST(ts AS DATE)
+    // truncates identically under the UTC session
+    "q181_running_distinct" ->
+      """WITH f AS (
+        |  SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, first_day AS day, count(*)::BIGINT AS new_users
+        |      FROM f GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |       (sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_distinct_users
+        |FROM d ORDER BY event_type, day""".stripMargin,
     // same lag pairs under the (ts, event_id) total order, one divide;
     // ts::TIMESTAMP truncates DuckDB's ns to the engine's µs order
     "q177_markov_transitions" ->

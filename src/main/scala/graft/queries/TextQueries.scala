@@ -805,6 +805,62 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q180: BIGRAM-LM cross-entropy with stupid backoff (Brants et al.,
+    * EMNLP '07) on a HELD-OUT split — q128's modeling step up: the LM
+    * is bigram counts from the TRAIN slice (doc_id ≢ 0 mod 23, the q73
+    * split device), eval docs score p(w|prev) = c(prev,w)/c(prev·)
+    * when the bigram was seen in train, else 0.4 · p̂_uni(w) with an
+    * add-one unigram (so unseen-in-train words have mass) — unlike
+    * q128's self-scoring, the held-out split actually EXERCISES the
+    * backoff path, which is the whole point of gating it. Per-source
+    * census with the argmax struct-max device (q128's shape).
+    *
+    * Determinism: all counts/totals exact integers; every probability
+    * is one or two exactly-rounded divisions on identical operands; the
+    * per-doc ln-sum rounds at 6 (the q93/q82/q128 argument).
+    *
+    * Scale: eval bigram stream joins the train bigram table on the
+    * pair key and the context/unigram dims on the term key — all
+    * equi-joins with partial aggs; 1-row totals broadcast. Nothing
+    * quadratic, no vocabulary collected.
+    */
+  def q180BigramXent(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+    val isEval = pmod(col("doc_id"), lit(23)) === 0
+    def bigrams(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("source"),
+      explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1), (x, i) -> struct(x AS p, element_at(ws, i + 2) AS w))"))
+        .as("bg"))
+      .select(col("doc_id"), col("source"), col("bg.p").as("p"), col("bg.w").as("w"))
+    val train = docs.filter(!isEval)
+    val trainBg = bigrams(train).groupBy("p", "w").agg(count(lit(1)).as("cbg"))
+    val ctx = trainBg.groupBy("p").agg(sum("cbg").as("cctx"))
+    val uni = train.select(explode(col("ws")).as("w")).groupBy("w").agg(count(lit(1)).as("cw"))
+    val totals = uni.agg(sum("cw").as("t"), count(lit(1)).as("v"))
+    bigrams(docs.filter(isEval))
+      .join(trainBg, Seq("p", "w"), "left")
+      .join(ctx, Seq("p"), "left")
+      .join(uni, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp",
+        when(col("cbg").isNotNull,
+          log(col("cbg").cast("double") / col("cctx")))
+          .otherwise(log(lit(0.4) *
+            ((coalesce(col("cw"), lit(0L)) + 1).cast("double") / (col("t") + col("v"))))))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bg"),
+        round(sum(col("lp")) * -1d / count(lit(1)), 6).as("xent"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bg").as("bigrams"),
+        round(avg("xent"), 6).as("avg_xent"),
+        max(struct(col("xent"), col("doc_id"))).as("b"))
+      .select(col("source"), col("n_docs"), col("bigrams"), col("avg_xent"),
+        col("b.xent").as("max_xent"), col("b.doc_id").as("argmax_doc"))
+      .orderBy("source")
+  }
+
   /** q153: HYBRID retrieval — q82's BM25 lexical ranking fused with the
     * dense cosine ranking (query = vec 0; doc i ↔ embedding i) by
     * Reciprocal Rank Fusion (Cormack et al., SIGIR '09): score(d) =
@@ -988,6 +1044,7 @@ object TextQueries extends QueryModule {
     "q148_audio_frames" -> (q148AudioFrames _),
     "q151_quality_classifier" -> (q151QualityClassifier _),
     "q164_dsir_weights" -> (q164DsirWeights _),
+    "q180_bigram_xent" -> (q180BigramXent _),
     "q165_bpe_train" -> (q165BpeTrain _),
     "q167_bpe_encode" -> (q167BpeEncode _),
     "q152_pmi_bigrams" -> (q152PmiBigrams _),
@@ -1347,6 +1404,44 @@ object TextQueries extends QueryModule {
     // summation-order noise (~1e-13) absorbed by round 6 on O(10)
     // statistics; argmax tie-break (xent desc, doc_id desc) mirrors the
     // engine's lexicographic struct-max
+    // train-split bigram LM + stupid backoff replayed: same counts,
+    // same two-division probabilities, same per-doc round-then-average
+    "q180_bigram_xent" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source,
+        |         unnest([{'p': ws[i], 'w': ws[i+1]} FOR i IN range(1, len(ws))]) AS b
+        |  FROM d0),
+        |bgf AS (SELECT doc_id, source, b.p AS p, b.w AS w FROM bg),
+        |tb AS (SELECT p, w, count(*)::BIGINT AS cbg FROM bgf WHERE doc_id % 23 <> 0 GROUP BY 1, 2),
+        |cx AS (SELECT p, sum(cbg)::BIGINT AS cctx FROM tb GROUP BY 1),
+        |un AS (
+        |  SELECT w, count(*)::BIGINT AS cw
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM d0 WHERE doc_id % 23 <> 0)
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(cw)::BIGINT AS t, count(*)::BIGINT AS v FROM un),
+        |ev AS (
+        |  SELECT e.doc_id, e.source,
+        |         CASE WHEN tb.cbg IS NOT NULL THEN ln(tb.cbg::DOUBLE / cx.cctx)
+        |              ELSE ln(0.4 * ((coalesce(un.cw, 0) + 1)::DOUBLE / (tot.t + tot.v)))
+        |         END AS lp
+        |  FROM bgf e
+        |  LEFT JOIN tb ON e.p = tb.p AND e.w = tb.w
+        |  LEFT JOIN cx ON e.p = cx.p
+        |  LEFT JOIN un ON e.w = un.w
+        |  CROSS JOIN tot
+        |  WHERE e.doc_id % 23 = 0),
+        |pd AS (
+        |  SELECT doc_id, source, count(*)::BIGINT AS n_bg,
+        |         round(-sum(lp) / count(*), 6) AS xent
+        |  FROM ev GROUP BY 1, 2),
+        |g AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_bg)::BIGINT AS bigrams,
+        |             round(avg(xent), 6) AS avg_xent FROM pd GROUP BY source),
+        |mx AS (SELECT source, xent AS max_xent, doc_id AS argmax_doc FROM pd
+        |       QUALIFY row_number() OVER (PARTITION BY source ORDER BY xent DESC, doc_id DESC) = 1)
+        |SELECT g.source, n_docs, bigrams, avg_xent, max_xent, argmax_doc
+        |FROM g JOIN mx USING (source) ORDER BY source""".stripMargin,
     "q128_unigram_xent" ->
       """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
         |w AS (SELECT doc_id, source, term FROM t WHERE term <> ''),
