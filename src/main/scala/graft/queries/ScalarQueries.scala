@@ -222,7 +222,63 @@ object ScalarQueries extends QueryModule {
         col("o_custkey").cast("double").as("cust_dbl"))
       .orderBy("o_orderkey")
 
+  /** q182: the TRY_* error-safe arithmetic surface — `try_cast`,
+    * `try_divide`, `try_add` (ANSI-mode's civilized failure path: a
+    * malformed cell NULLs, it doesn't kill a 1000-executor job at hour
+    * three). Gated per priority group: parse the leading digit out of
+    * dirty strings (the full string try_casts to NULL — both engines
+    * agree malformed ≠ error), divide by a key-derived modulus that
+    * hits zero (NULL, not DivideByZero), and push a BIGINT over its
+    * ceiling (NULL, not overflow). The oracle states the same semantics
+    * with DuckDB TRY_CAST + explicit CASE guards — proving Spark's
+    * try_* family equals the guarded-arithmetic rewrite.
+    */
+  def q182TryArithmetic(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        expr("try_cast(o_orderpriority AS INT)").as("full_cast"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_int"),
+        expr("try_divide(o_totalprice, o_orderkey % 7)").as("div7"),
+        expr("try_add(9223372036854775807L, o_orderkey % 2)").as("ovf"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count(col("full_cast")).as("n_full_cast_ok"),
+        min("prio_int").as("prio_int"),
+        sum(col("div7").isNull.cast("long")).as("n_div_null"),
+        round(sum("div7"), 2).as("sum_div"),
+        sum(col("ovf").isNull.cast("long")).as("n_overflow"))
+      .orderBy("o_orderpriority")
+
+  /** q183: COLLATION semantics (Spark 4 `COLLATE UTF8_LCASE`) —
+    * case-insensitive grouping and equality as a COLUMN PROPERTY
+    * rather than scattered lower() calls. The fixture's segments are
+    * mangled to mixed case on even keys; grouping by the collated
+    * column must merge 'Building' with 'BUILDING', and the collated
+    * equality filter must count both spellings. The oracle states the
+    * lower()-rewrite — the gate proves Spark's collation machinery
+    * equals it (output keys are lower()ed on both sides because the
+    * surviving representative inside a collated group is
+    * engine-arbitrary by design).
+    */
+  def q183Collation(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        when(pmod(col("c_custkey"), lit(2)) === 0, initcap(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("seg"))
+    mixed
+      .groupBy(expr("collate(seg, 'UTF8_LCASE')").as("segc"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN seg = collate('Building', 'UTF8_LCASE') THEN 1 ELSE 0 END"))
+          .as("n_building_ci"),
+        round(sum("c_acctbal"), 2).as("sum_bal"))
+      .select(lower(col("segc")).as("segment"), col("n"),
+        col("n_building_ci"), col("sum_bal"))
+      .orderBy("segment")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_try_arithmetic" -> (q182TryArithmetic _),
+    "q183_collation" -> (q183Collation _),
     "q32_string_fns" -> (q32StringFns _),
     "q33_datetime_fns" -> (q33DatetimeFns _),
     "q34_math_fns" -> (q34MathFns _),
@@ -235,6 +291,33 @@ object ScalarQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // TRY_CAST native; divide/overflow as explicit CASE guards — the
+    // rewrite the try_* family must equal
+    "q182_try_arithmetic" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         TRY_CAST(o_orderpriority AS INT) AS full_cast,
+        |         TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_int,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |              ELSE o_totalprice / (o_orderkey % 7) END AS div7,
+        |         CASE WHEN o_orderkey % 2 = 1 THEN NULL
+        |              ELSE 9223372036854775807 END AS ovf
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |       count(full_cast)::BIGINT AS n_full_cast_ok,
+        |       min(prio_int) AS prio_int,
+        |       sum((div7 IS NULL)::INT)::BIGINT AS n_div_null,
+        |       round(sum(div7), 2) + 0.0 AS sum_div,
+        |       sum((ovf IS NULL)::INT)::BIGINT AS n_overflow
+        |FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the lower() rewrite collation must equal (the engine-side mixed-
+    // case mangling is invisible under case-insensitive grouping — that
+    // invisibility IS the property being gated)
+    "q183_collation" ->
+      """SELECT lower(c_mktsegment) AS segment, count(*)::BIGINT AS n,
+        |       sum(CASE WHEN lower(c_mktsegment) = 'building' THEN 1 ELSE 0 END)::BIGINT AS n_building_ci,
+        |       round(sum(c_acctbal), 2) + 0.0 AS sum_bal
+        |FROM customer GROUP BY lower(c_mktsegment) ORDER BY segment""".stripMargin,
     "q32_string_fns" ->
       """SELECT c_custkey,
         |  CAST(length(c_name) AS INTEGER) AS name_len,
