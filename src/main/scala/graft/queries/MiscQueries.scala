@@ -764,6 +764,35 @@ object MiscQueries extends QueryModule {
             + pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 6).as("df"))
   }
 
+  /** q184: SKEW DIAGNOSIS report — the pre-flight a 100 TB join runs
+    * before picking a strategy: per join key column (here lineitem's
+    * three FKs), the key-frequency distribution reduced to the numbers
+    * that decide the plan — distinct keys, mean/max frequency, the
+    * max/mean skew ratio, the heaviest key, and the salt factor
+    * `⌈max·keys/rows⌉` that would level the hottest key to the mean
+    * (`operators/SaltedJoin`'s input parameter, derived instead of
+    * guessed). Two hash aggs per column (key census → 1-row moments);
+    * integer except the two documented ratio divides.
+    */
+  def q184SkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def report(key: String): DataFrame =
+      li.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
+        .agg(
+          lit(key).as("join_key"),
+          count(lit(1)).as("n_keys"),
+          sum("f").as("n_rows"),
+          max("f").as("max_freq"),
+          round(sum("f").cast("double") / count(lit(1)), 6).as("mean_freq"),
+          round(max("f") * count(lit(1)).cast("double") / sum("f"), 6).as("skew_ratio"),
+          max(struct(col("f"), col("k"))).getField("k").as("hottest_key"),
+          ceil(max("f") * count(lit(1)).cast("double") / sum("f")).cast("long")
+            .as("salt_factor"))
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(report)
+      .reduce(_ unionAll _)
+      .orderBy("join_key")
+  }
+
   /** q181: RUNNING DISTINCT — cumulative distinct users per event type
     * by day, the growth-curve metric (DAU→cumulative-reach) that a
     * sliding `count(DISTINCT)` window can't express and a naive
@@ -819,6 +848,7 @@ object MiscQueries extends QueryModule {
     "q171_quantile_calibration" -> (q171QuantileCalibration _),
     "q175_integrity_audit" -> (q175IntegrityAudit _),
     "q181_running_distinct" -> (q181RunningDistinct _),
+    "q184_skew_report" -> (q184SkewReport _),
     "q176_ab_ttest" -> (q176AbTtest _),
     "q177_markov_transitions" -> (q177MarkovTransitions _),
     "q95_cohort_retention" -> (q95CohortRetention _),
@@ -897,6 +927,28 @@ object MiscQueries extends QueryModule {
         |       round(pow(se2, 2) /
         |             (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 6) + 0.0 AS df
         |FROM j""".stripMargin,
+    // per-key census → one-row moments; hottest key by the same
+    // (freq desc, key desc) total order as the engine's struct-max
+    "q184_skew_report" -> {
+      def per(k: String): String =
+        s"""SELECT '$k' AS join_key, count(*)::BIGINT AS n_keys,
+           |       sum(f)::BIGINT AS n_rows, max(f)::BIGINT AS max_freq,
+           |       round(sum(f)::DOUBLE / count(*), 6) + 0.0 AS mean_freq,
+           |       round(max(f) * count(*)::DOUBLE / sum(f), 6) + 0.0 AS skew_ratio,
+           |       (SELECT k FROM c_$k ORDER BY f DESC, k DESC LIMIT 1) AS hottest_key,
+           |       ceil(max(f) * count(*)::DOUBLE / sum(f))::BIGINT AS salt_factor
+           |FROM c_$k""".stripMargin
+      s"""WITH c_l_orderkey AS (SELECT l_orderkey AS k, count(*)::BIGINT AS f FROM lineitem GROUP BY 1),
+         |c_l_partkey AS (SELECT l_partkey AS k, count(*)::BIGINT AS f FROM lineitem GROUP BY 1),
+         |c_l_suppkey AS (SELECT l_suppkey AS k, count(*)::BIGINT AS f FROM lineitem GROUP BY 1)
+         |SELECT * FROM (
+         |${per("l_orderkey")}
+         |UNION ALL
+         |${per("l_partkey")}
+         |UNION ALL
+         |${per("l_suppkey")}
+         |) ORDER BY join_key""".stripMargin
+    },
     // same first-day min-agg and cumulative sum; CAST(ts AS DATE)
     // truncates identically under the UTC session
     "q181_running_distinct" ->

@@ -884,6 +884,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the distinct-projected parent key sets should broadcast:\n$plan")
   }
 
+  test("a filter above a union pushes into BOTH branch scans") {
+    // the multi-source mixture shape (q70/q117's union composition):
+    // Catalyst must split the predicate through the Union so each
+    // source scan reads only its matching rows — at 100 TB a
+    // post-union filter would materialize both corpora first
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val a = Tables.orders(spark, dir).select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val b = Tables.lineitem(spark, dir).select(col("l_orderkey").as("k"), col("l_extendedprice").as("v"))
+    val plan = finalPlan(a.unionAll(b).filter(col("v") > 1000.0)
+      .groupBy().agg(count(lit(1))))
+    assert("PushedFilters: \\[.*GreaterThan\\(o_totalprice".r.findFirstIn(plan).isDefined,
+      s"filter not pushed into the orders branch:\n$plan")
+    assert("PushedFilters: \\[.*GreaterThan\\(l_extendedprice".r.findFirstIn(plan).isDefined,
+      s"filter not pushed into the lineitem branch:\n$plan")
+  }
+
   test("sortWithinPartitions adds no exchange beyond the explicit repartition") {
     val df = Tables.lineitem(spark, dir)
       .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))
