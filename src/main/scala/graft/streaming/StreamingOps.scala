@@ -647,6 +647,40 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start", "c_mktsegment")
   }
 
+  /** q185: stream–static LEFT-OUTER enrichment — q127's missing-key
+    * half: the dim is deliberately PARTIAL (md5-slot-thinned customers,
+    * the q175 probe device), the join keeps every event, and the
+    * windowed census groups on the COALESCED segment so unmatched
+    * events surface as an explicit 'UNKNOWN' bucket instead of
+    * silently dropping (the difference between an inner-join dashboard
+    * that under-counts and an outer-join one that shows you the
+    * mismatch). Same append-mode watermark finalization as q127/q111.
+    * Scale: the static dim broadcasts per micro-batch; the stream
+    * never shuffles for the join — only the windowed agg keys it.
+    */
+  def q185StreamStaticOuter(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream = normalizeTs(raw, stream0).withWatermark("ts", "0 seconds")
+    val dim = Tables.customer(spark, dir)
+      .filter(substring(md5(col("c_custkey").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3") === false)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = stream.join(dim, stream("user_id") === dim("c_custkey"), "left_outer")
+      .groupBy(window(col("ts"), "5 minutes").as("w"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("segment"),
+        col("n"), col("sum_value"))
+    val name = s"q185_outer_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("w_start", "segment")
+  }
+
   /** q129: ARBITRARY keyed state through the driver gate — the §2B
     * "arbitrary state" row was spec-only (MemoryStream equivalence in
     * `StreamingSpec`) until this entry. `StatefulOps.sessionCloseouts`
@@ -911,6 +945,7 @@ object StreamingOps extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_stream_static_window" -> (q127StreamStaticWindow _),
+    "q185_stream_static_outer" -> (q185StreamStaticOuter _),
     "q166_stream_mv_maintenance" -> (q166StreamMvMaintenance _),
     "q129_stateful_sessions" -> (q129StatefulSessions _),
     "q130_running_balance" -> (q130RunningBalance _),
@@ -1154,6 +1189,22 @@ object StreamingOps extends QueryModule {
     // the enrichment join replayed in batch + q111's finalization rule
     // on the post-join buckets (only windows whose END the final
     // watermark passed have been emitted by the drain)
+    // q127's missing-key half: LEFT JOIN against the thinned dim,
+    // unmatched events coalesce into the explicit UNKNOWN bucket;
+    // same append finalization cut
+    "q185_stream_static_outer" ->
+      """WITH d AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) NOT IN ('0','1','2','3')),
+        |b AS (
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, e.ts) AS w_start,
+        |         coalesce(d.c_mktsegment, 'UNKNOWN') AS segment, e.value
+        |  FROM events e LEFT JOIN d ON e.user_id = d.c_custkey),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT w_start, segment, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM b CROSS JOIN m
+        |WHERE w_start + INTERVAL 5 MINUTES <= m.mx
+        |GROUP BY w_start, segment ORDER BY w_start, segment""".stripMargin,
     "q127_stream_static_window" ->
       """WITH b AS (
         |  SELECT time_bucket(INTERVAL 5 MINUTES, e.ts) AS w_start, c.c_mktsegment, e.value
