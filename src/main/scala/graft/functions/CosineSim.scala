@@ -226,5 +226,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "simhash62 takes exactly 1 argument")
         SimHash62(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "jaro_winkler takes exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
+      }))
   }
 }

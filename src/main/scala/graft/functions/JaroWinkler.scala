@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Jaro–Winkler string similarity (Winkler '90) — the fuzzy
+  * entity-matching kernel record-linkage/dedup pipelines score name
+  * pairs with (Spark ships `levenshtein` but not Jaro–Winkler; a Scala
+  * UDF here would pay a serialization boundary per pair in exactly the
+  * hot loop blocking-based linkage fans out).
+  *
+  * Canonical semantics, chosen to agree BIT-FOR-BIT with DuckDB's
+  * `jaro_winkler_similarity` (verified over reference pairs + the
+  * fixture gate q186): match window ⌊max(|a|,|b|)/2⌋−1, greedy
+  * left-to-right match marking, transpositions = half the misaligned
+  * matches, jaro = (m/|a| + m/|b| + (m−t)/m)/3 in that operand order,
+  * Winkler boost = jaro + ℓ·0.1·(1−jaro) with ℓ = common prefix ≤ 4
+  * (unconditional — no 0.7 boost threshold, matching DuckDB). Equal
+  * strings are 1, either empty is 0.
+  *
+  * Codegen emits one static call (the Spark-built-in `levenshtein`
+  * pattern) — no boxing, stays inside whole-stage codegen. Chars are
+  * compared as UTF-16 units (identical to DuckDB on the BMP; the
+  * fixture is verified ASCII).
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "jaro_winkler"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"jaro_winkler requires two STRING arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.sim(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinkler.sim($a.toString(), $b.toString());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  /** The kernel — static so generated code calls it directly. */
+  def sim(s1: String, s2: String): Double = {
+    if (s1 == s2) return 1.0
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val win = math.max(l1, l2) / 2 - 1
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - win)
+      val hi = math.min(l2, i + win + 1)
+      var j = lo
+      var done = false
+      while (j < hi && !done) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3
+    var l = 0
+    val maxP = math.min(4, math.min(l1, l2))
+    while (l < maxP && s1.charAt(l) == s2.charAt(l)) l += 1
+    jaro + l * 0.1 * (1 - jaro)
+  }
+}

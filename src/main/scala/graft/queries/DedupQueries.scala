@@ -652,7 +652,42 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q186: FUZZY entity matching via the native `jaro_winkler`
+    * expression (graft.functions.JaroWinkler — the record-linkage
+    * scorer Spark lacks, as a codegen'd Catalyst kernel instead of a
+    * serialization-bound UDF). Two deterministic probes per customer:
+    * the POSITIVE pair (name vs itself with one md5-chosen char
+    * dropped — the typo a linkage pass must catch) and the NEGATIVE
+    * control (name vs the next customer's name — near-identical
+    * 'Customer#…' frames differing in digits, which is exactly the
+    * adversarial regime for name matching). Row-level output gates the
+    * kernel value-for-value against DuckDB's native
+    * `jaro_winkler_similarity` — two independent implementations of
+    * the canonical Winkler '90 algorithm agreeing bit-for-bit.
+    *
+    * Scale: both probes are scan-local projections (the lead window
+    * rides the dim's existing order); a production linkage run pairs
+    * via blocking keys (q42c's prefix-filter family) and scores pairs
+    * with this kernel — O(pairs) with no boxing.
+    */
+  def q186FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("pos",
+        pmod(conv(substring(md5(col("c_custkey").cast("string")), 1, 4), 16, 10).cast("long"),
+          length(col("c_name")).cast("long")) + 1)
+      .withColumn("corrupted", expr(
+        "concat(substring(c_name, 1, cast(pos - 1 AS INT)), substring(c_name, cast(pos + 1 AS INT), length(c_name)))"))
+      .withColumn("nm2", lead("c_name", 1).over(Window.orderBy("c_custkey")))
+      .select(col("c_custkey"),
+        round(expr("jaro_winkler(c_name, corrupted)"), 6).as("jw_drop"),
+        round(expr("jaro_winkler(c_name, nm2)"), 6).as("jw_next"))
+      .orderBy("c_custkey")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_fuzzy_match" -> (q186FuzzyMatch _),
     "q135_segment_dedup" -> (q135SegmentDedup _),
     "q144_dup_gram_mask" -> (q144DupGramMask _),
     "q40_dedup_exact" -> (q40DedupExact _),
@@ -669,6 +704,24 @@ object DedupQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // DuckDB's native jaro_winkler_similarity vs the engine's Catalyst
+    // kernel — two independent implementations of Winkler '90
+    "q186_fuzzy_match" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name,
+        |         1 + ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT
+        |             % length(c_name) AS pos
+        |  FROM customer),
+        |x AS (
+        |  SELECT c_custkey, c_name,
+        |         substring(c_name, 1, (pos - 1)::INT)
+        |           || substring(c_name, (pos + 1)::INT, length(c_name)) AS corrupted,
+        |         lead(c_name) OVER (ORDER BY c_custkey) AS nm2
+        |  FROM c)
+        |SELECT c_custkey,
+        |       round(jaro_winkler_similarity(c_name, corrupted), 6) + 0.0 AS jw_drop,
+        |       round(jaro_winkler_similarity(c_name, nm2), 6) + 0.0 AS jw_next
+        |FROM x ORDER BY c_custkey""".stripMargin,
     // same positional gram stream: 0-based parallel-unnest token
     // positions zip with posexplode's; '>1 total occurrences' matches
     // the engine's count filter, cover = union of 5-position spans
