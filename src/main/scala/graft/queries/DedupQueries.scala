@@ -686,8 +686,43 @@ object DedupQueries extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** q187: BLOCKED record linkage — the pair loop q186's kernel scores:
+    * candidate pairs form ONLY inside blocking buckets
+    * (nation × md5-slot of the name — the standard blocking-key
+    * equi-join that turns O(n²) linkage into Σ blockᵢ², the same
+    * anti-quadratic discipline as q42c's prefix filter), each pair is
+    * scored with the native `jaro_winkler`, and the per-nation census
+    * reports pairs compared, links found at ≥ 0.95, and the sharpest
+    * non-identical link (struct-max: score desc, then key pair). On
+    * the 'Customer#NNNNNNNNN' fixture frame most pairs score HIGH —
+    * the adversarial regime that makes the threshold cut a real test.
+    *
+    * Scale: the block key is the shuffle key; no broadcast, no
+    * cartesian (plan-gated) — block-size skew is the practitioner's
+    * knob (add md5 slots until Σ blockᵢ² fits), and the census
+    * aggregates block-locally before the nation rollup.
+    */
+  def q187BlockedLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_name").as("nm"), col("c_nationkey").as("nat"))
+      .withColumn("blk", substring(md5(col("nm")), 1, 1))
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.nat") === col("b.nat") && col("a.blk") === col("b.blk") &&
+          col("a.k") < col("b.k"))
+      .select(col("a.nat").as("nat"), col("a.k").as("k1"), col("b.k").as("k2"),
+        round(expr("jaro_winkler(a.nm, b.nm)"), 6).as("jw"))
+    pairs.groupBy("nat")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("jw") >= 0.95).cast("long")).as("n_links"),
+        max(struct(col("jw"), col("k1"), col("k2"))).as("b"))
+      .select(col("nat"), col("n_pairs"), col("n_links"),
+        col("b.jw").as("best_jw"), col("b.k1").as("best_k1"), col("b.k2").as("best_k2"))
+      .orderBy("nat")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_fuzzy_match" -> (q186FuzzyMatch _),
+    "q187_blocked_linkage" -> (q187BlockedLinkage _),
     "q135_segment_dedup" -> (q135SegmentDedup _),
     "q144_dup_gram_mask" -> (q144DupGramMask _),
     "q40_dedup_exact" -> (q40DedupExact _),
@@ -722,6 +757,27 @@ object DedupQueries extends QueryModule {
         |       round(jaro_winkler_similarity(c_name, corrupted), 6) + 0.0 AS jw_drop,
         |       round(jaro_winkler_similarity(c_name, nm2), 6) + 0.0 AS jw_next
         |FROM x ORDER BY c_custkey""".stripMargin,
+    // same blocking keys, same pair orientation (k1 < k2), same
+    // (jw desc, k1 desc, k2 desc) struct-max champion
+    "q187_blocked_linkage" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+        |         substring(md5(c_name), 1, 1) AS blk
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.nat, a.k AS k1, b.k AS k2,
+        |         round(jaro_winkler_similarity(a.nm, b.nm), 6) + 0.0 AS jw
+        |  FROM c a JOIN c b ON a.nat = b.nat AND a.blk = b.blk AND a.k < b.k),
+        |best AS (
+        |  SELECT nat, jw AS best_jw, k1 AS best_k1, k2 AS best_k2 FROM p
+        |  QUALIFY row_number() OVER (PARTITION BY nat
+        |                             ORDER BY jw DESC, k1 DESC, k2 DESC) = 1)
+        |SELECT p.nat, count(*)::BIGINT AS n_pairs,
+        |       sum((p.jw >= 0.95)::INT)::BIGINT AS n_links,
+        |       min(best_jw) + 0.0 AS best_jw,
+        |       min(best_k1)::BIGINT AS best_k1, min(best_k2)::BIGINT AS best_k2
+        |FROM p JOIN best USING (nat)
+        |GROUP BY p.nat ORDER BY p.nat""".stripMargin,
     // same positional gram stream: 0-based parallel-unnest token
     // positions zip with posexplode's; '>1 total occurrences' matches
     // the engine's count filter, cover = union of 5-position spans

@@ -884,6 +884,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the distinct-projected parent key sets should broadcast:\n$plan")
   }
 
+  test("q187 blocked linkage: pairs form only through the block-key equi-join — no cartesian, nothing broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(DedupQueries.q187BlockedLinkage(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert("BroadcastExchange".r.findAllIn(plan).size == 0,
+        s"a data-dependent side broadcast with auto-broadcast off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("a filter above a union pushes into BOTH branch scans") {
     // the multi-source mixture shape (q70/q117's union composition):
     // Catalyst must split the predicate through the Union so each
