@@ -236,13 +236,23 @@ object ScalarQueries extends QueryModule {
   def q182TryArithmetic(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-        expr("try_cast(o_orderpriority AS INT)").as("full_cast"),
+        // 1%-malformed probe: try_cast pays a caught exception PER
+        // FAILING ROW (ANSI cast + catch), so a failure-dominated
+        // column turns a scan into exception churn — the realistic
+        // dirty-data regime is rare failures, and that is what this
+        // prices (an always-malformed probe benched 10× the scan)
+        expr("""try_cast(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority
+               |ELSE substring(o_orderpriority, 1, 1) END AS INT)""".stripMargin)
+          .as("mixed_cast"),
         expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_int"),
         expr("try_divide(o_totalprice, o_orderkey % 7)").as("div7"),
-        expr("try_add(9223372036854775807L, o_orderkey % 2)").as("ovf"))
+        // overflow kept rare for the same reason as the cast probe:
+        // each overflowing row constructs a caught ArithmeticException
+        expr("try_add(9223372036854775807L, CASE WHEN o_orderkey % 100 = 0 THEN 1L ELSE 0L END)")
+          .as("ovf"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        count(col("full_cast")).as("n_full_cast_ok"),
+        count(col("mixed_cast")).as("n_cast_ok"),
         min("prio_int").as("prio_int"),
         sum(col("div7").isNull.cast("long")).as("n_div_null"),
         round(sum("div7"), 2).as("sum_div"),
@@ -296,15 +306,16 @@ object ScalarQueries extends QueryModule {
     "q182_try_arithmetic" ->
       """WITH t AS (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |         TRY_CAST(o_orderpriority AS INT) AS full_cast,
+        |         TRY_CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority
+        |                       ELSE substring(o_orderpriority, 1, 1) END AS INT) AS mixed_cast,
         |         TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_int,
         |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
         |              ELSE o_totalprice / (o_orderkey % 7) END AS div7,
-        |         CASE WHEN o_orderkey % 2 = 1 THEN NULL
+        |         CASE WHEN o_orderkey % 100 = 0 THEN NULL
         |              ELSE 9223372036854775807 END AS ovf
         |  FROM orders)
         |SELECT o_orderpriority, count(*)::BIGINT AS n,
-        |       count(full_cast)::BIGINT AS n_full_cast_ok,
+        |       count(mixed_cast)::BIGINT AS n_cast_ok,
         |       min(prio_int) AS prio_int,
         |       sum((div7 IS NULL)::INT)::BIGINT AS n_div_null,
         |       round(sum(div7), 2) + 0.0 AS sum_div,
