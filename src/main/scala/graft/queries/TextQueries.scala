@@ -1034,7 +1034,74 @@ object TextQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q188: WINSORIZATION — q109's robust bounds turned into the repair
+    * they exist for: per source, clip document lengths into
+    * [med − 3·MAD, med + 3·MAD] and report the census (n clipped low /
+    * high, sum before/after) — the heavy-tail taming a length-feature
+    * pipeline applies before any mean-based statistic (a mega-doc
+    * drags a mean; winsorizing bounds its leverage instead of dropping
+    * the row like q109's filter). Same ½-grid med/MAD devices as q109
+    * (exact in double), clip = two integer-vs-exact-double comparisons
+    * per row, and every output is an exact integer or a round-2 sum.
+    * Scale: two 20-row broadcast joins + one partial+final census agg.
+    */
+  def q188Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val med = d.groupBy("source").agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dev = d.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_chars").cast("double") - col("med")))
+    val mad = dev.groupBy("source").agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "source")
+      .withColumn("lo", col("med") - col("mad") * 3)
+      .withColumn("hi", col("med") + col("mad") * 3)
+      .withColumn("w", greatest(least(col("n_chars").cast("double"), col("hi")), col("lo")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_chars") < col("lo")).cast("long")).as("n_clip_low"),
+        sum((col("n_chars") > col("hi")).cast("long")).as("n_clip_high"),
+        sum("n_chars").as("sum_raw"),
+        round(sum("w"), 2).as("sum_winsorized"))
+      .orderBy("source")
+  }
+
+  /** q189: mix-CONCENTRATION diagnostics — the Lorenz/Gini readout of
+    * how unevenly the corpus's tokens spread over (lang, source)
+    * strata (the one-number imbalance signal a data-mix owner tracks;
+    * q168's allocator is the fix, this is the alarm). Strata sorted by
+    * size ascending, Lorenz = cumulative share, Gini by the standard
+    * rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n — every sum an
+    * exact integer (sizes and ranks), ONE division each for gini and
+    * the per-stratum shares. Output: per-stratum Lorenz points +
+    * the Gini on every row (constant column — keeps one result shape).
+    * Scale: corpus pass → stratum census; windows over stratum-count
+    * rows only.
+    */
+  def q189MixGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "source").agg(count(lit(1)).as("tok"))
+    val ord = Window.orderBy(col("tok").asc, col("lang").asc, col("source").asc)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    caps
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum("tok").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("tot", sum("tok").over(all))
+      .withColumn("iw", sum(col("i") * col("tok")).over(all))
+      .select(col("lang"), col("source"), col("tok"),
+        round(col("cum").cast("double") / col("tot"), 6).as("lorenz"),
+        round(lit(2.0) * col("iw") / (col("n") * col("tot"))
+          - (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+      .orderBy("lang", "source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_winsorize" -> (q188Winsorize _),
+    "q189_mix_gini" -> (q189MixGini _),
     "q174_weighted_median" -> (q174WeightedMedian _),
     "q109_robust_outliers" -> (q109RobustOutliers _),
     "q108_media_resize" -> (q108MediaResize _),
@@ -1303,6 +1370,41 @@ object TextQueries extends QueryModule {
         |FROM j ORDER BY ratio DESC, a, b LIMIT 20""".stripMargin,
     // identical md5-byte buckets and integer tenth-weights; keep is the
     // exact integer sign test, p one divide into round-6-absorbed exp
+    // the q109 med/MAD devices + the same clip comparisons
+    "q188_winsorize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med FROM d GROUP BY 1),
+        |dv AS (SELECT d.doc_id, d.source, d.n_chars, m.med FROM d JOIN m USING (source)),
+        |md AS (SELECT source, quantile_cont(abs(n_chars::DOUBLE - med), 0.5) AS mad
+        |       FROM dv GROUP BY 1),
+        |o AS (SELECT dv.source, dv.n_chars,
+        |             dv.med - 3 * md.mad AS lo, dv.med + 3 * md.mad AS hi
+        |      FROM dv JOIN md USING (source))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum((n_chars < lo)::INT)::BIGINT AS n_clip_low,
+        |       sum((n_chars > hi)::INT)::BIGINT AS n_clip_high,
+        |       sum(n_chars)::BIGINT AS sum_raw,
+        |       round(sum(greatest(least(n_chars::DOUBLE, hi), lo)), 2) + 0.0 AS sum_winsorized
+        |FROM o GROUP BY source ORDER BY source""".stripMargin,
+    // identical ascending-size rank sums and the two divisions
+    "q189_mix_gini" ->
+      """WITH caps AS (
+        |  SELECT lang, source, count(*)::BIGINT AS tok
+        |  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, source, tok,
+        |         row_number() OVER (ORDER BY tok, lang, source)::BIGINT AS i,
+        |         (sum(tok) OVER (ORDER BY tok, lang, source
+        |                         ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+        |         count(*) OVER ()::BIGINT AS n,
+        |         (sum(tok) OVER ())::BIGINT AS tot
+        |  FROM caps),
+        |g AS (SELECT *, (sum(i * tok) OVER ())::BIGINT AS iw FROM r)
+        |SELECT lang, source, tok,
+        |       round(cum::DOUBLE / tot, 6) + 0.0 AS lorenz,
+        |       round(2.0 * iw / (n * tot) - (n + 1)::DOUBLE / n, 6) + 0.0 AS gini
+        |FROM g ORDER BY lang, source""".stripMargin,
     // identical integer weights, cumulative test, and argmin
     "q174_weighted_median" ->
       """WITH d AS (
