@@ -268,4 +268,85 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Array[Double]] =
       ExpressionEncoder[Array[Double]]()
   }
+
+  /** HyperLogLog distinct-count sketch (Flajolet et al., AofA 2007) —
+    * the register-max formulation, completing the mergeable-sketch
+    * family (SpaceSaving, KMV, top-k heap, Bloom bitmap, Gram).
+    *
+    * Input rows are 60-bit hashes already computed IN COLUMN SPACE
+    * (`conv(substr(md5(key),1,15),16,10)` — the same value DuckDB gets
+    * from `('0x'||substr(md5(key),1,15))::BIGINT`), so there is no
+    * Scala/SQL hash duality: the aggregator only splits bits. The top
+    * p bits pick a register; ρ = leading-zero count of the remaining
+    * (60−p)-bit suffix + 1; registers take the max — max is
+    * commutative/associative/idempotent, so the sketch is order- and
+    * partitioning-invariant by construction AND duplicate-insensitive
+    * (re-reducing the same key is a no-op, which is the whole trick:
+    * distinct-count without a distinct).
+    *
+    * Cross-engine determinism of the ESTIMATE: the harmonic sum
+    * Σ 2^−M[j] is kept EXACT by scaling to integers — each register
+    * contributes 2^(wBits+1−M[j]) ∈ [1, 2^(wBits+1)], and m·2^(wBits+1)
+    * ≤ 2^61 fits a signed 64-bit, so the sum is an order-invariant
+    * BIGINT both engines materialize identically. The final estimate is
+    * one fixed chain of correctly-rounded double ops on that integer
+    * (and the linear-counting branch's single ln lands under the
+    * query's round, the q93/q128 argument).
+    *
+    * Scale role: per-group distinct at 100 TB without the
+    * count-distinct shuffle of raw keys — each partition reduces to a
+    * 2^p-byte register array, partial buffers merge element-wise, and
+    * the relative error is the classic 1.04/√m. `p` is the declared
+    * accuracy-vs-buffer knob. Spark's own `approx_count_distinct` is
+    * the same algorithm (HLL++) but its bias-corrected estimate is not
+    * oracle-replayable; this one is, bit-for-bit.
+    */
+  class HllAggregator(p: Int)
+      extends Aggregator[Long, Array[Int], Double] {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    private val m = 1 << p
+    private val wBits = 60 - p          // suffix width
+    private val maxRho = wBits + 1      // ρ when the suffix is all zeros
+
+    override def zero: Array[Int] = new Array[Int](m)
+
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      val bucket = (h >>> wBits).toInt
+      val w = h & ((1L << wBits) - 1)
+      // ρ = leading zeros of the wBits-wide suffix + 1; nlz is over the
+      // full 64-bit word, of which the top (64 − wBits) are always zero
+      val rho = if (w == 0L) maxRho
+                else java.lang.Long.numberOfLeadingZeros(w) - (64 - wBits) + 1
+      if (rho > b(bucket)) b(bucket) = rho
+      b
+    }
+
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(regs: Array[Int]): Double = {
+      // exact integer harmonic sum: Σ 2^(maxRho − M[j]), ≤ m·2^maxRho ≤ 2^61
+      var s = 0L
+      var v = 0
+      var i = 0
+      while (i < m) {
+        s += (1L << (maxRho - regs(i)))
+        if (regs(i) == 0) v += 1
+        i += 1
+      }
+      // one fixed left-assoc chain, mirrored token-for-token in the oracle
+      val md = m.toDouble
+      val raw = 0.7213 / (1.0 + 1.079 / md) * md * md *
+        (1L << maxRho).toDouble / s.toDouble
+      if (raw <= 2.5 * md && v > 0) md * math.log(md / v) else raw
+    }
+
+    override def bufferEncoder: Encoder[Array[Int]] =
+      ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Double] =
+      ExpressionEncoder[Double]()
+  }
 }

@@ -264,6 +264,40 @@ object AggQueries extends QueryModule {
       .orderBy("source", "rn")
   }
 
+  /** q190: per-source distinct-count estimation via HyperLogLog
+    * (Flajolet et al. 2007) — the register-max sketch behind every
+    * engine's `approx_count_distinct`, here as the oracle-replayable
+    * `HllAggregator` (p=12, 4096 registers, ±1.6% typical). Contrast
+    * with q90's KMV: same problem, different sketch — KMV keeps the k
+    * smallest hash-uniforms, HLL keeps per-bucket leading-zero maxima;
+    * HLL's buffer is FIXED-SIZE (2^p bytes) regardless of k-vs-n
+    * regime and merge is element-wise max, which is why it is the
+    * production default for distinct-at-scale. The 60-bit hash is
+    * computed in column space (md5 prefix via `conv`) so DuckDB derives
+    * the identical integer; the estimate itself is exact-integer
+    * arithmetic + one fixed double chain (see `HllAggregator` scaladoc)
+    * — the comparison is bit-identical, not tolerance.
+    *
+    * Scale: one partial+final ObjectHashAggregate; each partition
+    * reduces to a 4096-entry register array per group before the
+    * exchange — no raw-key distinct shuffle at any SF.
+    */
+  def q190HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val hll = udaf(new graft.functions.SketchAggregators.HllAggregator(12))
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    Tables.documentsSpread(spark, dir)
+      .select(col("source"), h.as("h"), col("doc_id"))
+      .groupBy("source")
+      .agg(hll(col("h")).as("est"),
+        countDistinct(col("doc_id")).as("exact_distinct"))
+      .select(col("source"), round(col("est"), 4).as("est_distinct"),
+        col("exact_distinct"),
+        round(abs(col("est") - col("exact_distinct")) / col("exact_distinct"), 4)
+          .as("rel_err"))
+      .orderBy("source")
+  }
+
   /** q172: the LINEAR-REGRESSION aggregate family (SQL:2003 `regr_*`) —
     * per-group OLS of extended price on quantity: slope, intercept, R²,
     * plus the correlation it generalizes. These are one-pass moment
@@ -286,6 +320,7 @@ object AggQueries extends QueryModule {
       .orderBy("l_returnflag")
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_hll_distinct" -> (q190HllDistinct _),
     "q172_regression_aggs" -> (q172RegressionAggs _),
     "q91_grouped_topk" -> (q91GroupedTopk _),
     "q86_heavy_hitters" -> (q86HeavyHitters _),
@@ -303,6 +338,47 @@ object AggQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the full HLL replay: same 60-bit md5 hash, same p=12 bucket split,
+    // ρ from length(bin(w)) = exact MSB position (no float log2), the
+    // harmonic sum as an exact BIGINT (order-invariant), and the one
+    // fixed double chain token-for-token — bit-identical, not tolerance
+    "q190_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, h // 281474976710656 AS bucket,
+        |         h % 281474976710656 AS w
+        |  FROM h),
+        |r AS (
+        |  SELECT source, bucket,
+        |         max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS reg
+        |  FROM b GROUP BY source, bucket),
+        |s AS (
+        |  SELECT source,
+        |         (sum(1::BIGINT << (49 - reg))
+        |            + (4096 - count(*)) * 562949953421312)::BIGINT AS s,
+        |         (4096 - count(*))::BIGINT AS v
+        |  FROM r GROUP BY source),
+        |e0 AS (
+        |  SELECT source, v,
+        |         0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+        |           * 562949953421312.0 / s::DOUBLE AS raw
+        |  FROM s),
+        |est AS (
+        |  SELECT source,
+        |         CASE WHEN raw <= 2.5 * 4096.0 AND v > 0
+        |              THEN 4096.0 * ln(4096.0 / v) ELSE raw END AS est
+        |  FROM e0),
+        |ex AS (
+        |  SELECT source, count(DISTINCT doc_id)::BIGINT AS exact_distinct
+        |  FROM documents GROUP BY source)
+        |SELECT est.source, round(est.est, 4) + 0.0 AS est_distinct,
+        |       ex.exact_distinct,
+        |       round(abs(est.est - ex.exact_distinct) / ex.exact_distinct, 4) + 0.0
+        |         AS rel_err
+        |FROM est JOIN ex USING (source) ORDER BY source""".stripMargin,
     "q172_regression_aggs" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n,
         |       round(regr_slope(l_extendedprice, l_quantity), 6) + 0.0 AS slope,

@@ -157,4 +157,61 @@ class SketchLawsSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- HyperLogLog -------------------------------------------------
+
+  test("HLL: split-anywhere merges equal the direct fold; duplicate-insensitive") {
+    val agg = new HllAggregator(12)
+    val gen = for {
+      n <- Gen.chooseNum(0, 400)
+      // 60-bit hashes with deliberate duplication
+      xs <- Gen.listOfN(n, Gen.chooseNum(0L, 200L)
+        .map(k => new java.math.BigInteger(1,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(k.toString.getBytes)).shiftRight(68).longValue()))
+      cut <- Gen.chooseNum(0, n)
+    } yield (xs, cut)
+    cases(gen, 40, 23L).foreach { case (xs, cut) =>
+      val (a, b) = xs.splitAt(cut)
+      val direct = foldWith(agg.zero, agg.reduce)(xs)
+      val merged = agg.merge(
+        foldWith(agg.zero, agg.reduce)(a), foldWith(agg.zero, agg.reduce)(b))
+      assert(merged.sameElements(direct), s"split at $cut diverged")
+      // duplicate-insensitivity: re-reducing the whole stream is a no-op
+      val twice = foldWith(direct.clone(), agg.reduce)(xs)
+      assert(twice.sameElements(direct))
+      assert(agg.finish(merged) == agg.finish(direct))
+    }
+  }
+
+  test("HLL: estimate lands within 5× the theoretical error bound on 5k distinct keys") {
+    val agg = new HllAggregator(12)
+    val hashes = (0 until 5000).map { k =>
+      new java.math.BigInteger(1,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(k.toString.getBytes)).shiftRight(68).longValue()
+    }
+    val est = agg.finish(foldWith(agg.zero, agg.reduce)(hashes))
+    val relErr = math.abs(est - 5000.0) / 5000.0
+    // 1.04/√4096 ≈ 1.6% is the standard error; 5σ ≈ 8.1%
+    assert(relErr < 5 * 1.04 / math.sqrt(4096.0), s"rel err $relErr too large (est $est)")
+  }
+
+  test("HLL: rho bit-split matches a direct binary-string reference") {
+    val agg = new HllAggregator(12)
+    // drive single-hash folds and compare the register against the
+    // definitionally-computed (bucket, rho) from the 60-bit binary string
+    cases(Gen.chooseNum(0L, (1L << 60) - 1), 200, 29L).foreach { h =>
+      val regs = agg.reduce(agg.zero, h)
+      val bits = (59 to 0 by -1).map(i => (h >> i) & 1L)
+      val bucket = java.lang.Long.parseLong(bits.take(12).mkString, 2).toInt
+      val suffix = bits.drop(12)
+      val rho = suffix.indexWhere(_ == 1L) match {
+        case -1 => 49
+        case i  => i + 1
+      }
+      assert(regs(bucket) == rho, s"h=$h bucket=$bucket")
+      assert(regs.count(_ != 0) == 1)
+    }
+  }
 }
