@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.AsOfJoin
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Join surface (SURVEY.md §2B "Joins"): every join type, plus the as-of
@@ -264,7 +264,70 @@ object JoinQueries extends QueryModule {
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** q191: SPATIAL radius join by grid partitioning (the PBSM / Spatial
+    * Spark pattern; Patel & DeWitt SIGMOD '96): find, for every
+    * supplier, the customers within radius r of it, without a
+    * distance-theta join. Coordinates are derived deterministically
+    * from md5 of the keys (both engines compute the identical doubles),
+    * the metric is squared euclidean in coordinate space — every op
+    * (+, −, ×, ≤) exactly rounded IEEE on identical inputs, so the
+    * comparison is bit-identical with no trig-libm exposure; production
+    * swaps in real lat/lon + haversine refine, same plan.
+    *
+    * Algorithm: cell size = r, so any pair within r lands in ADJACENT
+    * cells. The small side (suppliers) replicates into its 3×3 cell
+    * neighborhood (a constant ×9, never data-dependent), the big side
+    * (customers) computes its single cell scan-locally, and the
+    * candidate set is a plain EQUI-join on the cell key — the only
+    * shuffle is by cell, exactly the grid co-location a 100 TB point
+    * table wants (PlanShapeSpec: no CartesianProduct/BNLJ even with
+    * auto-broadcast off; a raw `d2 <= r²` theta join would plan BNLJ).
+    * Dense-cell skew is AQE's skew-join case. The exact d² ≤ r² refine
+    * runs post-join, scan-local. Zero-match suppliers are kept by a
+    * final left join against the (supplier-row-count-sized) match
+    * summary; nearest neighbor is a struct-min argmin, never a window
+    * over the pair stream.
+    */
+  def q191SpatialGridJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = 2.0 // cell size == radius; /2.0 is exponent-exact in IEEE
+    def lat(prefix: String, key: Column): Column =
+      (conv(substring(md5(concat(lit(prefix), key.cast("string"))), 1, 6), 16, 10)
+        .cast("long") % 1200000).cast("double") / 10000.0 - 60.0
+    def lon(prefix: String, key: Column): Column =
+      (conv(substring(md5(concat(lit(prefix), key.cast("string"))), 7, 6), 16, 10)
+        .cast("long") % 3600000).cast("double") / 10000.0 - 180.0
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        lat("C", col("c_custkey")).as("clat"), lon("C", col("c_custkey")).as("clon"))
+      .withColumn("cellx", floor(col("clon") / r))
+      .withColumn("celly", floor(col("clat") / r))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"),
+        lat("S", col("s_suppkey")).as("slat"), lon("S", col("s_suppkey")).as("slon"))
+    val supp9 = supp
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("cellx", floor(col("slon") / r) + col("dx"))
+      .withColumn("celly", floor(col("slat") / r) + col("dy"))
+    val d2 = (col("clat") - col("slat")) * (col("clat") - col("slat")) +
+      (col("clon") - col("slon")) * (col("clon") - col("slon"))
+    val matches = supp9.join(cust, Seq("cellx", "celly"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= lit(r * r))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_within"),
+        min(struct(col("d2"), col("c_custkey"))).as("m"))
+    supp.select(col("s_suppkey"))
+      .join(matches, Seq("s_suppkey"), "left")
+      .select(col("s_suppkey"),
+        coalesce(col("n_within"), lit(0L)).as("n_within"),
+        col("m.c_custkey").as("nearest_cust"),
+        round(col("m.d2"), 6).as("nearest_d2"))
+      .orderBy("s_suppkey")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_spatial_grid_join" -> (q191SpatialGridJoin _),
     "q179_star_join" -> (q179StarJoin _),
     "q71_salted_join" -> (q71SaltedJoin _),
     "q10_join_shipping" -> (q10JoinShipping _),
@@ -312,6 +375,42 @@ object JoinQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // the oracle is the BLIND quadratic radius join — same derived
+    // coordinates, same squared-euclidean refine, no grid; a cell that
+    // drops a boundary pair or double-counts a replicated supplier
+    // flips n_within / the argmin
+    "q191_spatial_grid_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |         (('0x'||substr(md5('C'||c_custkey::VARCHAR),1,6))::BIGINT % 1200000)
+        |           / 10000.0 - 60.0 AS clat,
+        |         (('0x'||substr(md5('C'||c_custkey::VARCHAR),7,6))::BIGINT % 3600000)
+        |           / 10000.0 - 180.0 AS clon
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |         (('0x'||substr(md5('S'||s_suppkey::VARCHAR),1,6))::BIGINT % 1200000)
+        |           / 10000.0 - 60.0 AS slat,
+        |         (('0x'||substr(md5('S'||s_suppkey::VARCHAR),7,6))::BIGINT % 3600000)
+        |           / 10000.0 - 180.0 AS slon
+        |  FROM supplier),
+        |p AS (
+        |  SELECT s.s_suppkey, c.c_custkey,
+        |         (c.clat - s.slat)*(c.clat - s.slat)
+        |           + (c.clon - s.slon)*(c.clon - s.slon) AS d2
+        |  FROM s, c
+        |  WHERE (c.clat - s.slat)*(c.clat - s.slat)
+        |          + (c.clon - s.slon)*(c.clon - s.slon) <= 4.0),
+        |a AS (
+        |  SELECT s_suppkey, c_custkey, d2,
+        |         count(*) OVER (PARTITION BY s_suppkey) AS n_within,
+        |         row_number() OVER (PARTITION BY s_suppkey
+        |                            ORDER BY d2, c_custkey) AS rn
+        |  FROM p)
+        |SELECT s.s_suppkey, coalesce(a.n_within, 0)::BIGINT AS n_within,
+        |       a.c_custkey AS nearest_cust, round(a.d2, 6) + 0.0 AS nearest_d2
+        |FROM s LEFT JOIN (SELECT * FROM a WHERE rn = 1) a USING (s_suppkey)
+        |ORDER BY s.s_suppkey""".stripMargin,
     "q179_star_join" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region

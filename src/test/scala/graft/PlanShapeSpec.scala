@@ -179,6 +179,21 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q191 spatial grid join: candidate pairs come from a cell equi-join, never a distance theta join") {
+    // a raw d² ≤ r² predicate would plan BroadcastNestedLoopJoin; the
+    // 3×3 grid replication must turn it into a hash/merge join on the
+    // cell key with the exact refine as a post-filter
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(JoinQueries.q191SpatialGridJoin(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"no equi-join in plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q87 weighted sample plans as TakeOrderedAndProject, not a global sort") {
     val plan = finalPlan(SetOpsQueries.q87WeightedSample(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
