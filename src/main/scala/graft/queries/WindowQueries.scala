@@ -275,7 +275,59 @@ object WindowQueries extends QueryModule {
       .orderBy("user_id", "event_id")
   }
 
+  /** q192: Kaplan–Meier survival curves per cohort (Kaplan & Meier,
+    * JASA 1958) — the right-censored retention statistic behind
+    * "how long do customers stay active": subject = customer, duration
+    * t = days between first and last order, right-censored when the
+    * last order falls inside the final 90 days of the dataset (the
+    * subject may still be active). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over
+    * event times.
+    *
+    * Scale shape: the fact table pays ONE hash shuffle (per-customer
+    * min/max agg); the life table and every window after it run over
+    * (cohort × distinct-duration) rows — day-granular, bounded by the
+    * calendar, never by the fact stream. The dataset-end anchor is a
+    * 1-row broadcast. Determinism: durations/counts are exact integers,
+    * each KM factor one correctly-rounded divide; the product is
+    * exp(Σln) with the ln/exp libm noise (~1e-14 on O(10²) terms)
+    * absorbed by round 6; a dᵢ=nᵢ collapse (S→0, where ln is undefined)
+    * is carried as a separate cumulative-max flag — DuckDB refuses
+    * ln(0), so the zero branch never evaluates it in either engine.
+    */
+  def q192KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("cohort"), col("o_custkey"))
+      .agg(min("o_orderdate").as("first_o"), max("o_orderdate").as("last_o"))
+    val gmax = Tables.orders(spark, dir).agg(max("o_orderdate").as("gmax"))
+    val subj = per.crossJoin(broadcast(gmax))
+      .select(col("cohort"),
+        datediff(col("last_o"), col("first_o")).cast("long").as("t"),
+        when(datediff(col("gmax"), col("last_o")) >= 90, lit(1L))
+          .otherwise(lit(0L)).as("ev"))
+    val lifeTable = subj.groupBy("cohort", "t")
+      .agg(sum("ev").as("d"), count(lit(1)).as("c"))
+    val wDesc = Window.partitionBy("cohort").orderBy(col("t").desc)
+    val wAsc = Window.partitionBy("cohort").orderBy(col("t").asc)
+    lifeTable
+      .withColumn("n_at_risk", sum("c").over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("lnsum",
+        sum(when(col("d") < col("n_at_risk"),
+          log((col("n_at_risk") - col("d")).cast("double") /
+            col("n_at_risk").cast("double"))).otherwise(lit(0.0d)))
+          .over(wAsc))
+      .withColumn("hit0",
+        max(when(col("d") >= col("n_at_risk"), lit(1)).otherwise(lit(0)))
+          .over(wAsc))
+      .select(col("cohort"), col("t"), col("n_at_risk"), col("d"),
+        round(when(col("hit0") === 1, lit(0.0d)).otherwise(exp(col("lnsum"))), 6)
+          .as("survival"))
+      .orderBy("cohort", "t")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_kaplan_meier" -> (q192KaplanMeier _),
     "q173_linear_interp" -> (q173LinearInterp _),
     "q97_sessionize" -> (q97Sessionize _),
     "q89_scd2" -> (q89Scd2 _),
@@ -289,6 +341,40 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the same life table + KM product: integer durations/counts, one
+    // divide per factor, exp(Σln) under round 6, d=n carried as a flag
+    // (ln(0) never evaluates — DuckDB would refuse it)
+    "q192_kaplan_meier" ->
+      """WITH g AS (SELECT max(o_orderdate) AS gmax FROM orders),
+        |per AS (
+        |  SELECT c.c_mktsegment AS cohort, o.o_custkey,
+        |         date_diff('day', min(o.o_orderdate), max(o.o_orderdate))::BIGINT AS t,
+        |         CASE WHEN date_diff('day', max(o.o_orderdate),
+        |                             (SELECT gmax FROM g)) >= 90
+        |              THEN 1 ELSE 0 END AS ev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment, o.o_custkey),
+        |bt AS (
+        |  SELECT cohort, t, sum(ev)::BIGINT AS d, count(*)::BIGINT AS c
+        |  FROM per GROUP BY cohort, t),
+        |rk AS (
+        |  SELECT cohort, t, d, c,
+        |         sum(c) OVER (PARTITION BY cohort ORDER BY t DESC)::BIGINT AS n_at_risk
+        |  FROM bt),
+        |ev AS (SELECT * FROM rk WHERE d > 0),
+        |km AS (
+        |  SELECT cohort, t, n_at_risk, d,
+        |         sum(CASE WHEN d < n_at_risk
+        |                  THEN ln((n_at_risk - d) / n_at_risk::DOUBLE)
+        |                  ELSE 0.0 END)
+        |           OVER (PARTITION BY cohort ORDER BY t) AS lnsum,
+        |         max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY cohort ORDER BY t) AS hit0
+        |  FROM ev)
+        |SELECT cohort, t, n_at_risk, d,
+        |       round(CASE WHEN hit0 = 1 THEN 0.0 ELSE exp(lnsum) END, 6) + 0.0
+        |         AS survival
+        |FROM km ORDER BY cohort, t""".stripMargin,
     // identical neighbor windows (IGNORE NULLS carriers), exact-integer
     // µs fraction, CASE-mirrored boundary and Δt=0 midpoint
     "q173_linear_interp" ->
