@@ -840,7 +840,51 @@ object MiscQueries extends QueryModule {
       .orderBy("prev", "next")
   }
 
+  /** q193: Pearson chi-squared test of independence (source ×
+    * length-bucket) + Cramér's V effect size — the categorical
+    * association statistic behind "does document length depend on
+    * source?" (the corpus-balance sibling of q176's two-sample t).
+    *
+    * Scale shape: the fact stream folds into the contingency table with
+    * ONE partial+final hash agg (cells = sources × 3 buckets); row/col
+    * marginals, N, and every χ² term are computed over CELL rows —
+    * bounded by category cardinality, never data size; marginal sides
+    * are explicit broadcasts. Determinism: observed counts and the
+    * rt·ct products are exact integers (≤2^53, exactly convertible);
+    * each expected value is one correctly-rounded divide and each term
+    * one fixed chain; only the final Σ over ~60 O(1)-scale terms is
+    * order-exposed (relative ~1e-15) — absorbed by round 6, the q172
+    * argument.
+    */
+  def q193ChiSquared(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documentsSpread(spark, dir)
+      .select(col("source"),
+        when(col("n_chars") < 200, lit("short"))
+          .when(col("n_chars") < 350, lit("mid"))
+          .otherwise(lit("long")).as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("source").agg(sum("o").as("rt"))
+    val ct = cells.groupBy("bucket").agg(sum("o").as("ct"))
+    val tot = cells.agg(sum("o").as("n"),
+      countDistinct("source").as("r"), countDistinct("bucket").as("c"))
+    cells.join(rt, Seq("source")).join(broadcast(ct), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e")) / col("e"))
+      .groupBy()
+      .agg(first("n").as("n"),
+        ((first("r") - 1) * (first("c") - 1)).as("dof"),
+        round(sum("term"), 6).as("chi2"),
+        round(sqrt(sum("term") /
+          (first("n").cast("double") *
+            least(first("r") - 1, first("c") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_chi_squared" -> (q193ChiSquared _),
     "q123_sql_group_by_all" -> (q123SqlGroupByAll _),
     "q124_sql_window_clause" -> (q124SqlWindowClause _),
     "q159_sql_listagg" -> (q159SqlListagg _),
@@ -873,6 +917,32 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same contingency table, same exact-integer marginals, same term
+    // chain; only the ~60-term Σ is order-exposed, under round 6
+    "q193_chi_squared" ->
+      """WITH b AS (
+        |  SELECT source,
+        |         CASE WHEN n_chars < 200 THEN 'short'
+        |              WHEN n_chars < 350 THEN 'mid'
+        |              ELSE 'long' END AS bucket
+        |  FROM documents),
+        |cells AS (
+        |  SELECT source, bucket, count(*)::BIGINT AS o
+        |  FROM b GROUP BY source, bucket),
+        |rt AS (SELECT source, sum(o)::BIGINT AS rt FROM cells GROUP BY source),
+        |ct AS (SELECT bucket, sum(o)::BIGINT AS ct FROM cells GROUP BY bucket),
+        |tot AS (SELECT sum(o)::BIGINT AS n, count(DISTINCT source)::BIGINT AS r,
+        |               count(DISTINCT bucket)::BIGINT AS c FROM cells),
+        |t AS (
+        |  SELECT cells.o, (rt.rt * ct.ct)::DOUBLE / tot.n::DOUBLE AS e,
+        |         tot.n, tot.r, tot.c
+        |  FROM cells JOIN rt USING (source) JOIN ct USING (bucket) CROSS JOIN tot)
+        |SELECT max(n)::BIGINT AS n, max((r - 1) * (c - 1))::BIGINT AS dof,
+        |       round(sum((o::DOUBLE - e) * (o::DOUBLE - e) / e), 6) + 0.0 AS chi2,
+        |       round(sqrt(sum((o::DOUBLE - e) * (o::DOUBLE - e) / e)
+        |               / (max(n)::DOUBLE * least(max(r) - 1, max(c) - 1)::DOUBLE)), 6)
+        |         + 0.0 AS cramers_v
+        |FROM t""".stripMargin,
     // the IDENTICAL text the engine executes — DuckDB reparses the same
     // EXISTS / NOT IN / correlated-scalar statement over the same tables
     "q99_sql_subqueries" -> sqlSubqueryText,
