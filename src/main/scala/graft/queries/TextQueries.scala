@@ -606,6 +606,71 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id", "patch_no")
   }
 
+  /** q194: PERCEPTUAL image hashing (aHash — average hash; the
+    * pHash-family baseline of image-dedup pipelines) + banded Hamming
+    * near-dup search over the corpus's image rows: each image resizes
+    * to the canonical 8×8 thumbnail through the SAME bilinear kernel
+    * q108 bit-gates, each pixel becomes one hash bit (above/below the
+    * thumbnail mean), and near-duplicates are pairs within Hamming
+    * distance 3 of the 64-bit hash.
+    *
+    * Exactness devices: pixels quantize to the ⌊p·2²⁰+0.5⌋ integer grid
+    * (the Gram/KMeans device) so the mean threshold is the
+    * CROSS-MULTIPLIED integer test 64·q > Σq — no float mean, no
+    * boundary exposure, and the Σ is an order-invariant BIGINT. The
+    * hash lives in two 32-bit halves (BIGINT-safe in both engines —
+    * DuckDB's `1<<63` overflows) summed from powers of two — exact.
+    * The pair search is 4×16-bit PIGEONHOLE banding: hd ≤ 3 over 4
+    * bands forces ≥1 identical band (the q43 SimHash argument —
+    * complete, not probabilistic), so the band equi-join finds exactly
+    * the pairs the oracle's blind quadratic scan finds; hd itself is
+    * integer bit_count over xor.
+    *
+    * Scale: resize + hash are scan-local (mapPartitions + codegen'd
+    * higher-order funcs, no shuffle); candidates come from a band
+    * equi-join (never a pair cross-product); the per-doc summary joins
+    * back image-row-count-sized sides only.
+    */
+  def q194PerceptualHash(spark: SparkSession, dir: String): DataFrame = {
+    val imgDocs = Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0)
+    val ds = graft.operators.MediaPipeline.fromDocuments(spark, imgDocs)
+    val hashes = graft.operators.MediaPipeline.resize(ds, 8, 8).toDF()
+      .withColumn("q",
+        expr("transform(pixels, p -> CAST(floor(CAST(p AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))"))
+      .withColumn("tot", expr("aggregate(q, 0L, (a, x) -> a + x)"))
+      .withColumn("hash_lo", expr(
+        "aggregate(transform(slice(q, 1, 32), (x, i) -> IF(64 * x > tot, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"))
+      .withColumn("hash_hi", expr(
+        "aggregate(transform(slice(q, 33, 32), (x, i) -> IF(64 * x > tot, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"))
+      .select(col("doc_id"), col("hash_lo"), col("hash_hi"))
+      .localCheckpoint() // computed once; probed from both join sides
+    val bands = hashes.select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+      posexplode(array(
+        col("hash_lo").bitwiseAND(lit(65535L)), shiftright(col("hash_lo"), 16),
+        col("hash_hi").bitwiseAND(lit(65535L)), shiftright(col("hash_hi"), 16)))
+        .as(Seq("band_id", "band_val")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nbr"),
+        col("a.hash_lo").as("lo1"), col("a.hash_hi").as("hi1"),
+        col("b.hash_lo").as("lo2"), col("b.hash_hi").as("hi2"))
+      .dropDuplicates("doc_id", "nbr")
+      .withColumn("hd",
+        (bit_count(col("lo1").bitwiseXOR(col("lo2"))) +
+          bit_count(col("hi1").bitwiseXOR(col("hi2")))).cast("long"))
+      .filter(col("hd") <= 3)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_nbrs"), min(struct(col("hd"), col("nbr"))).as("m"))
+    hashes.join(cand, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        col("m.nbr").as("best_nbr"), col("m.hd").as("best_hd"))
+      .orderBy("doc_id")
+  }
+
   /** q151: CLASSIFIER-based quality filtering — inference of a linear
     * bag-of-hashed-words model over every document (the fastText-style
     * quality classifier CCNet/RefinedWeb-class pipelines run as a
@@ -1117,6 +1182,7 @@ object TextQueries extends QueryModule {
     "q152_pmi_bigrams" -> (q152PmiBigrams _),
     "q153_hybrid_rrf" -> (q153HybridRrf _),
     "q155_image_patches" -> (q155ImagePatches _),
+    "q194_perceptual_hash" -> (q194PerceptualHash _),
     "q157_dataset_card" -> (q157DatasetCard _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
@@ -1219,6 +1285,68 @@ object TextQueries extends QueryModule {
     // (enumerated); every weight here is an exact double (dims are
     // multiples of 4), so the blend chain is exactly-rounded IEEE ops on
     // identical operands in both engines
+    // the full aHash replay: q108's tap/blend math at 8×8, the integer
+    // mean test, both hash halves, and a BLIND quadratic pair scan the
+    // engine's pigeonhole banding must reproduce exactly; `% 32` keeps
+    // the guarded shift in-range even if CASE branches evaluate eagerly
+    "q194_perceptual_hash" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, len(text)::BIGINT AS blen,
+        |         ((doc_id % 8) * 160 + 320)::BIGINT AS w,
+        |         ((doc_id % 5) * 120 + 240)::BIGINT AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (
+        |  SELECT d.*, y.y, x.x,
+        |         (y.y + 0.5) * d.h / 8 - 0.5 AS fy,
+        |         (x.x + 0.5) * d.w / 8 - 0.5 AS fx
+        |  FROM d, range(0, 8) y(y), range(0, 8) x(x)),
+        |i AS (
+        |  SELECT *,
+        |         greatest(0, least(h - 1, floor(fy)::BIGINT)) AS y0,
+        |         greatest(0, least(w - 1, floor(fx)::BIGINT)) AS x0
+        |  FROM g),
+        |j AS (
+        |  SELECT *, least(h - 1, y0 + 1) AS y1, least(w - 1, x0 + 1) AS x1,
+        |         greatest(0.0, least(1.0, fy - y0)) AS wy,
+        |         greatest(0.0, least(1.0, fx - x0)) AS wx
+        |  FROM i),
+        |s AS (
+        |  SELECT doc_id, y, x, wy, wx,
+        |    (ascii(substr(text, ((y0 * w + x0) % blen + 1)::INT, 1))::DOUBLE / 255.0)::FLOAT::DOUBLE AS s00,
+        |    (ascii(substr(text, ((y0 * w + x1) % blen + 1)::INT, 1))::DOUBLE / 255.0)::FLOAT::DOUBLE AS s01,
+        |    (ascii(substr(text, ((y1 * w + x0) % blen + 1)::INT, 1))::DOUBLE / 255.0)::FLOAT::DOUBLE AS s10,
+        |    (ascii(substr(text, ((y1 * w + x1) % blen + 1)::INT, 1))::DOUBLE / 255.0)::FLOAT::DOUBLE AS s11
+        |  FROM j),
+        |px AS (
+        |  SELECT doc_id, (y * 8 + x)::BIGINT AS i,
+        |         floor(CAST(CAST((s00 * (1 - wx) + s01 * wx) * (1 - wy) +
+        |                         (s10 * (1 - wx) + s11 * wx) * wy AS FLOAT) AS DOUBLE)
+        |               * 1048576.0 + 0.5)::BIGINT AS q
+        |  FROM s),
+        |t AS (SELECT doc_id, sum(q)::BIGINT AS tot FROM px GROUP BY doc_id),
+        |hb AS (
+        |  SELECT px.doc_id,
+        |         sum(CASE WHEN px.i < 32 AND 64 * px.q > t.tot
+        |                  THEN (1::BIGINT << (px.i % 32)::INT) ELSE 0 END)::BIGINT AS hash_lo,
+        |         sum(CASE WHEN px.i >= 32 AND 64 * px.q > t.tot
+        |                  THEN (1::BIGINT << (px.i % 32)::INT) ELSE 0 END)::BIGINT AS hash_hi
+        |  FROM px JOIN t ON px.doc_id = t.doc_id GROUP BY px.doc_id),
+        |p AS (
+        |  SELECT a.doc_id, b.doc_id AS nbr,
+        |         (bit_count(xor(a.hash_lo, b.hash_lo))
+        |            + bit_count(xor(a.hash_hi, b.hash_hi)))::BIGINT AS hd
+        |  FROM hb a JOIN hb b ON a.doc_id <> b.doc_id),
+        |f AS (SELECT * FROM p WHERE hd <= 3),
+        |r AS (
+        |  SELECT doc_id, nbr, hd,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_nbrs,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY hd, nbr) AS rn
+        |  FROM f)
+        |SELECT hb.doc_id, hb.hash_lo, hb.hash_hi,
+        |       coalesce(r.n_nbrs, 0)::BIGINT AS n_nbrs,
+        |       r.nbr AS best_nbr, r.hd AS best_hd
+        |FROM hb LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON hb.doc_id = r.doc_id
+        |ORDER BY hb.doc_id""".stripMargin,
     "q108_media_resize" ->
       """WITH d AS (
         |  SELECT doc_id,
