@@ -349,4 +349,56 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Double] =
       ExpressionEncoder[Double]()
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) — the
+    * frequency sibling of [[HllAggregator]]: point-queryable counts in
+    * a fixed d×w integer table with one-sided error (estimates never
+    * undercount; overcount ≤ εN with prob 1−δ for w = ⌈e/ε⌉,
+    * d = ⌈ln 1/δ⌉).
+    *
+    * Like the Bloom bitmap, the HASHING lives outside the aggregator in
+    * column space (md5-derived buckets the oracle recomputes
+    * identically) — input rows are the d bucket indices, the buffer is
+    * the flattened counter table, reduce is d increments, merge is
+    * element-wise add. Integer sums are order- and partitioning-
+    * invariant, so the materialized sketch is exact — not just the
+    * estimates but every cell — and the whole structure is
+    * oracle-replayable (each cell = Σ counts of keys colliding there).
+    *
+    * Scale role: the shuffle carries O(partitions · d·w · 8 bytes)
+    * regardless of rows or key cardinality; the finished one-row sketch
+    * broadcasts to probe ANY key stream without rescanning the fact —
+    * the streaming/approx answer to "how often did X occur" at 100 TB.
+    */
+  class CmsAggregator(d: Int, w: Int)
+      extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    require(d > 0 && w > 0 && d * w <= (1 << 22), "sketch too large")
+
+    override def zero: Array[Long] = new Array[Long](d * w)
+
+    override def reduce(b: Array[Long], buckets: Seq[Long]): Array[Long] = {
+      require(buckets.length == d, s"expected $d bucket indices, got ${buckets.length}")
+      var j = 0
+      while (j < d) {
+        val col = buckets(j)
+        require(col >= 0 && col < w, s"bucket $col out of [0, $w)")
+        b(j * w + col.toInt) += 1L
+        j += 1
+      }
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
 }

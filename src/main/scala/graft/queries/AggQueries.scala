@@ -298,6 +298,38 @@ object AggQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q195: Count-Min frequency sketch (Cormode & Muthukrishnan 2005)
+    * built over the event stream and point-queried for the true top-10
+    * users — the frequency sibling of q190's HLL and the SKETCHED
+    * alternative to q86's Misra–Gries (which keeps candidate keys; CMS
+    * keeps no keys at all, so it can answer for keys chosen AFTER the
+    * scan). d=4 rows × w=1024 columns; buckets are md5-derived in
+    * column space, so the oracle recomputes the identical table —
+    * every cell is an exact integer Σ (order-invariant), the estimate
+    * is min over 4 cells, and the one-sided guarantee (est ≥ true, the
+    * overcount column is provably ≥ 0) is visible in the output.
+    *
+    * Scale: one partial+final object agg (32 KB per partition crosses
+    * the shuffle, independent of rows/cardinality); the finished 1-row
+    * sketch broadcasts to the probe side — no rescan of the fact.
+    */
+  def q195CmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val cms = udaf(new graft.functions.SketchAggregators.CmsAggregator(4, 1024))
+    val buckets = expr(
+      "transform(sequence(0, 3), j -> CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1024)")
+    val ev = Tables.eventsSpread(spark, dir).select(col("user_id"))
+    val sketch = ev.select(buckets.as("bk")).agg(cms(col("bk")).as("sketch"))
+    ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(10)
+      .crossJoin(broadcast(sketch))
+      .withColumn("bk", buckets)
+      .withColumn("est", expr(
+        "aggregate(transform(bk, (b, j) -> element_at(sketch, CAST(j * 1024 + b + 1 AS INT))), 9223372036854775807L, (a, x) -> least(a, x))"))
+      .select(col("user_id"), col("n"), col("est"),
+        (col("est") - col("n")).as("overcount"))
+      .orderBy(col("n").desc, col("user_id"))
+  }
+
   /** q172: the LINEAR-REGRESSION aggregate family (SQL:2003 `regr_*`) —
     * per-group OLS of extended price on quantity: slope, intercept, R²,
     * plus the correlation it generalizes. These are one-pass moment
@@ -321,6 +353,7 @@ object AggQueries extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_hll_distinct" -> (q190HllDistinct _),
+    "q195_cms_frequency" -> (q195CmsFrequency _),
     "q172_regression_aggs" -> (q172RegressionAggs _),
     "q91_grouped_topk" -> (q91GroupedTopk _),
     "q86_heavy_hitters" -> (q86HeavyHitters _),
@@ -338,6 +371,28 @@ object AggQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the full CMS replay: same md5 buckets per (row j, key), every
+    // cell an exact integer Σ over colliding keys, est = min over 4
+    // cells — the sketch is replayed cell-for-cell, not approximated
+    "q195_cms_frequency" ->
+      """WITH k AS (
+        |  SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id),
+        |b AS (
+        |  SELECT user_id, n, t.j,
+        |         ('0x' || substr(md5(t.j::VARCHAR || '|' || user_id::VARCHAR), 1, 8))::BIGINT
+        |           % 1024 AS bucket
+        |  FROM k, range(0, 4) t(j)),
+        |cell AS (
+        |  SELECT j, bucket, sum(n)::BIGINT AS cnt FROM b GROUP BY j, bucket),
+        |est AS (
+        |  SELECT b.user_id, b.n, min(cell.cnt)::BIGINT AS est
+        |  FROM b JOIN cell ON b.j = cell.j AND b.bucket = cell.bucket
+        |  GROUP BY b.user_id, b.n),
+        |top AS (
+        |  SELECT user_id, n FROM k ORDER BY n DESC, user_id LIMIT 10)
+        |SELECT t.user_id, t.n, e.est, (e.est - t.n)::BIGINT AS overcount
+        |FROM top t JOIN est e USING (user_id)
+        |ORDER BY t.n DESC, t.user_id""".stripMargin,
     // the full HLL replay: same 60-bit md5 hash, same p=12 bucket split,
     // ρ from length(bin(w)) = exact MSB position (no float log2), the
     // harmonic sum as an exact BIGINT (order-invariant), and the one

@@ -197,6 +197,35 @@ class SketchLawsSpec extends AnyFunSuite {
     assert(relErr < 5 * 1.04 / math.sqrt(4096.0), s"rel err $relErr too large (est $est)")
   }
 
+  test("CMS: split-anywhere merges equal the direct fold; estimates never undercount") {
+    val d = 4; val w = 32
+    val agg = new CmsAggregator(d, w)
+    def buckets(key: Long): Seq[Long] = (0 until d).map { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j|$key".getBytes)
+      new java.math.BigInteger(1, md).mod(java.math.BigInteger.valueOf(w)).longValue()
+    }
+    val gen = for {
+      n <- Gen.chooseNum(0, 300)
+      keys <- Gen.listOfN(n, Gen.chooseNum(0L, 40L)) // heavy collisions at w=32
+      cut <- Gen.chooseNum(0, n)
+    } yield (keys, cut)
+    cases(gen, 30, 31L).foreach { case (keys, cut) =>
+      val rows = keys.map(buckets)
+      val (a, b) = rows.splitAt(cut)
+      val direct = foldWith(agg.zero, agg.reduce)(rows)
+      val merged = agg.merge(
+        foldWith(agg.zero, agg.reduce)(a), foldWith(agg.zero, agg.reduce)(b))
+      assert(merged.sameElements(direct), s"split at $cut diverged")
+      // one-sided error: min over the d cells ≥ the true count, always
+      val trueCounts = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      trueCounts.foreach { case (k, n) =>
+        val est = buckets(k).zipWithIndex.map { case (c, j) => direct(j * w + c.toInt) }.min
+        assert(est >= n, s"undercount for key $k: $est < $n")
+      }
+    }
+  }
+
   test("HLL: rho bit-split matches a direct binary-string reference") {
     val agg = new HllAggregator(12)
     // drive single-hash folds and compare the register against the
