@@ -720,7 +720,58 @@ object DedupQueries extends QueryModule {
       .orderBy("nat")
   }
 
+  /** q196: SKETCH SET ALGEBRA over KMV signatures (Beyer et al.
+    * SIGMOD '07) — per-source-pair |A∪B| and |A∩B| estimates from the
+    * 64-value bottom-k signatures alone, the step past q90 (single-set
+    * KMV) and the SKETCHED answer to q94's exact cross-source dup
+    * matrix: at 100 TB the pairwise overlap of N sources costs one scan
+    * + N tiny signatures, not N² content joins. Union sketch = bottom-k
+    * of the merged signatures (KMV closure under union); Jaccard =
+    * fraction of the union signature present in BOTH inputs;
+    * |A∩B| = J·|A∪B|. The content key is the md5-uniform of TEXT (so
+    * cross-source exact-dups genuinely collide; "exact" columns are
+    * exact on that 32-bit key space — both engines use the same keys).
+    *
+    * Scale: one scan → per-source bottom-k partial+final agg (the
+    * signature table is N rows); the pair loop runs on the N-row
+    * signature table (bounded by SOURCE cardinality, never data);
+    * exact columns pay one u-key equi-join — the thing the sketch path
+    * exists to avoid, kept here as the visible accuracy reference.
+    */
+  def q196KmvSetAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val bk = udaf(new graft.functions.SketchAggregators.BottomKAggregator(k))
+    val u = (conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0d)) / lit(4294967296.0d)
+    val uu = Tables.documentsSpread(spark, dir)
+      .select(col("source"), u.as("u")).distinct()
+    val sigs = uu.groupBy("source")
+      .agg(bk(col("u")).as("sig"), count(lit(1)).as("n"))
+    val inter = uu.as("x").join(uu.as("y"),
+        col("x.u") === col("y.u") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .withColumn("um", expr(s"slice(array_sort(array_distinct(concat(siga, sigb))), 1, $k)"))
+      .withColumn("est_union", expr(
+        s"IF(size(um) < $k, CAST(size(um) AS DOUBLE), ${k - 1}.0 / element_at(um, $k))"))
+      .withColumn("inter_cnt", expr(
+        "size(filter(um, v -> array_contains(siga, v) AND array_contains(sigb, v)))"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        round(col("est_union"), 4).as("est_union"),
+        (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+        round(col("inter_cnt").cast("double") / lit(k.toDouble) * col("est_union"), 4)
+          .as("est_inter"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+      .orderBy("source_a", "source_b")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_kmv_set_algebra" -> (q196KmvSetAlgebra _),
     "q186_fuzzy_match" -> (q186FuzzyMatch _),
     "q187_blocked_linkage" -> (q187BlockedLinkage _),
     "q135_segment_dedup" -> (q135SegmentDedup _),
@@ -739,6 +790,60 @@ object DedupQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the KMV algebra replayed via rank windows: same distinct
+    // md5-uniforms, same 64-deep signatures, union sketch = rank ≤ 64
+    // over the merged values, membership via presence joins, identical
+    // estimate chains — bit-identical, not tolerance
+    "q196_kmv_set_algebra" ->
+      """WITH u AS (
+        |  SELECT DISTINCT source,
+        |         (('0x' || substr(md5(text), 1, 8))::BIGINT + 1) / 4294967296.0 AS u
+        |  FROM documents),
+        |cnt AS (SELECT source, count(*)::BIGINT AS n FROM u GROUP BY source),
+        |sig AS (
+        |  SELECT source, u,
+        |         row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+        |  FROM u),
+        |sk AS (SELECT source, u FROM sig WHERE rn <= 64),
+        |p AS (
+        |  SELECT a.source AS sa, b.source AS sb
+        |  FROM cnt a JOIN cnt b ON a.source < b.source),
+        |su AS (
+        |  SELECT p.sa, p.sb, s.u
+        |  FROM p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+        |  GROUP BY p.sa, p.sb, s.u),
+        |r AS (
+        |  SELECT sa, sb, u,
+        |         row_number() OVER (PARTITION BY sa, sb ORDER BY u) AS rn
+        |  FROM su),
+        |um AS (SELECT * FROM r WHERE rn <= 64),
+        |st AS (
+        |  SELECT um.sa, um.sb, count(*)::BIGINT AS ksize, max(um.u) AS uk,
+        |         sum(CASE WHEN s1.u IS NOT NULL AND s2.u IS NOT NULL
+        |                  THEN 1 ELSE 0 END)::BIGINT AS inter_cnt
+        |  FROM um
+        |  LEFT JOIN sk s1 ON s1.source = um.sa AND s1.u = um.u
+        |  LEFT JOIN sk s2 ON s2.source = um.sb AND s2.u = um.u
+        |  GROUP BY um.sa, um.sb),
+        |ix AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS exact_inter
+        |  FROM u a JOIN u b ON a.u = b.u AND a.source < b.source
+        |  GROUP BY a.source, b.source),
+        |e AS (
+        |  SELECT st.sa, st.sb, st.inter_cnt,
+        |         CASE WHEN st.ksize < 64 THEN st.ksize::DOUBLE
+        |              ELSE 63.0 / st.uk END AS est_union
+        |  FROM st)
+        |SELECT e.sa AS source_a, e.sb AS source_b,
+        |       round(e.est_union, 4) + 0.0 AS est_union,
+        |       (ca.n + cb.n - coalesce(ix.exact_inter, 0))::BIGINT AS exact_union,
+        |       round(e.inter_cnt::DOUBLE / 64.0 * e.est_union, 4) + 0.0 AS est_inter,
+        |       coalesce(ix.exact_inter, 0)::BIGINT AS exact_inter
+        |FROM e
+        |JOIN cnt ca ON ca.source = e.sa
+        |JOIN cnt cb ON cb.source = e.sb
+        |LEFT JOIN ix ON ix.sa = e.sa AND ix.sb = e.sb
+        |ORDER BY source_a, source_b""".stripMargin,
     // DuckDB's native jaro_winkler_similarity vs the engine's Catalyst
     // kernel — two independent implementations of Winkler '90
     "q186_fuzzy_match" ->
