@@ -326,7 +326,59 @@ object WindowQueries extends QueryModule {
       .orderBy("cohort", "t")
   }
 
+  /** q197: TIME-DECAY multi-touch attribution — every purchase
+    * distributes its revenue over the user's preceding clicks in a
+    * 7-day lookback, weighted by 2^(−days-before) (the half-life model
+    * of marketing attribution; the position-based and last-touch rules
+    * are degenerate cases of this plan). Exactness devices: the decay
+    * weight is DYADIC (1/2^⌊Δ/day⌋ — an exact power of two, no
+    * exp/pow libm), the per-purchase normalizer Σw is a sum of exact
+    * multiples of 2⁻⁶ (exact in double in ANY order), and each credit
+    * is quantized to integer MICROS (⌊share·value·10⁶+0.5⌋) so the
+    * per-user totals are order-invariant BIGINT sums — bit-identical
+    * with zero accumulation-order exposure.
+    *
+    * Scale: purchases ⋈ clicks is a per-user EQUI-join (one shuffle on
+    * user_id, the range predicate a post-filter over per-user streams —
+    * bounded, AQE handles hot users); the normalizer window partitions
+    * by purchase id (high cardinality — parallel); unattributed
+    * purchases surface via the totals left join, not silent credit
+    * loss.
+    */
+  def q197DecayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val touches = p.join(c, Seq("user_id"))
+      .filter(col("c_ts") < col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .withColumn("days_before",
+        expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 86400000000"))
+      .withColumn("w",
+        lit(1.0d) / expr("CAST(shiftleft(1L, CAST(days_before AS INT)) AS DOUBLE)"))
+    val attr = touches
+      .withColumn("sumw", sum("w").over(Window.partitionBy("p_id")))
+      .withColumn("micro",
+        floor(col("w") / col("sumw") * col("p_value") * lit(1000000.0d) + lit(0.5d))
+          .cast("long"))
+      .groupBy("user_id")
+      .agg(countDistinct("p_id").as("n_attributed"),
+        count(lit(1)).as("n_touches"),
+        sum("micro").as("attr_value_micro"))
+    p.groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+      .join(attr, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_purchases"),
+        coalesce(col("n_attributed"), lit(0L)).as("n_attributed"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        coalesce(col("attr_value_micro"), lit(0L)).as("attr_value_micro"))
+      .orderBy("user_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_decay_attribution" -> (q197DecayAttribution _),
     "q192_kaplan_meier" -> (q192KaplanMeier _),
     "q173_linear_interp" -> (q173LinearInterp _),
     "q97_sessionize" -> (q97Sessionize _),
@@ -341,6 +393,41 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same pairs, same dyadic weights (exact powers of two — no libm),
+    // same micro quantization; the BIGINT credit sums are
+    // order-invariant, so the compare is bit-identical
+    "q197_decay_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, ts AS p_ts, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT p.user_id, p.p_id, p.p_value,
+        |         (epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 86400000000 AS days_before
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY),
+        |w AS (
+        |  SELECT *, 1.0 / (1::BIGINT << days_before::INT)::DOUBLE AS w FROM t),
+        |s AS (SELECT *, sum(w) OVER (PARTITION BY p_id) AS sumw FROM w),
+        |m AS (
+        |  SELECT user_id, p_id,
+        |         floor(w / sumw * p_value * 1000000.0 + 0.5)::BIGINT AS micro
+        |  FROM s),
+        |a AS (
+        |  SELECT user_id, count(DISTINCT p_id)::BIGINT AS n_attributed,
+        |         count(*)::BIGINT AS n_touches,
+        |         sum(micro)::BIGINT AS attr_value_micro
+        |  FROM m GROUP BY user_id),
+        |tot AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_purchases
+        |  FROM p GROUP BY user_id)
+        |SELECT tot.user_id, tot.n_purchases,
+        |       coalesce(a.n_attributed, 0)::BIGINT AS n_attributed,
+        |       coalesce(a.n_touches, 0)::BIGINT AS n_touches,
+        |       coalesce(a.attr_value_micro, 0)::BIGINT AS attr_value_micro
+        |FROM tot LEFT JOIN a USING (user_id)
+        |ORDER BY tot.user_id""".stripMargin,
     // the same life table + KM product: integer durations/counts, one
     // divide per factor, exp(Σln) under round 6, d=n carried as a flag
     // (ln(0) never evaluates — DuckDB would refuse it)
