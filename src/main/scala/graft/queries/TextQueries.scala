@@ -671,6 +671,42 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q198: audio ACTIVITY segmentation (VAD-shaped) — q148's framed
+    * energies turned into segments: a frame is ACTIVE when its energy
+    * exceeds the document's mean frame energy (the adaptive threshold
+    * every energy-based voice-activity detector starts from), and
+    * consecutive active frames merge into segments via gaps-and-islands
+    * — the trim/split step an audio curation pipeline runs before
+    * featurizing (production swaps the byte-stub energies for decoded
+    * PCM, same plan from the frame table down).
+    *
+    * Exactness: energies are exact integer Σv² (q148-gated); the
+    * threshold is the CROSS-MULTIPLIED integer test energy·nf > Σe (no
+    * float mean); islands arithmetic is pure integers. Scale: frames
+    * are scan-local flatMap output; the only shuffles are the per-doc
+    * mean agg and the islands window, both keyed on doc_id (high
+    * cardinality, parallel); output ∝ segments, bounded by frames.
+    */
+  def q198AudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val audioDocs = Tables.documents(spark, dir).filter(col("doc_id") % 3 === 1)
+    val ds = graft.operators.MediaPipeline.fromDocuments(spark, audioDocs)
+    val e = graft.operators.MediaPipeline.frameAudio(ds, frameLen = 16, hop = 8)
+      .select(col("doc_id"), col("frame_no"), col("energy"))
+    val d = e.groupBy("doc_id")
+      .agg(sum("energy").as("tot"), count(lit(1)).as("nf"))
+    e.join(d, Seq("doc_id"))
+      .filter(col("energy") * col("nf") > col("tot"))
+      .withColumn("grp", col("frame_no") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("frame_no")).cast("long"))
+      .groupBy("doc_id", "grp")
+      .agg(min("frame_no").as("start_frame"), max("frame_no").as("end_frame"),
+        count(lit(1)).as("n_frames"), sum("energy").as("seg_energy"))
+      .select(col("doc_id"), col("start_frame"), col("end_frame"),
+        col("n_frames"), col("seg_energy"))
+      .orderBy("doc_id", "start_frame")
+  }
+
   /** q151: CLASSIFIER-based quality filtering — inference of a linear
     * bag-of-hashed-words model over every document (the fastText-style
     * quality classifier CCNet/RefinedWeb-class pipelines run as a
@@ -1183,6 +1219,7 @@ object TextQueries extends QueryModule {
     "q153_hybrid_rrf" -> (q153HybridRrf _),
     "q155_image_patches" -> (q155ImagePatches _),
     "q194_perceptual_hash" -> (q194PerceptualHash _),
+    "q198_audio_segments" -> (q198AudioSegments _),
     "q157_dataset_card" -> (q157DatasetCard _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
@@ -1605,6 +1642,39 @@ object TextQueries extends QueryModule {
     // every sample tap recomputed from the char stream: v = ascii − 128
     // (byte = codepoint on the verified-ASCII corpus); frames start at
     // j·8, j < (n−16)//8 + 1; zero crossings pair i with i+1 in-frame
+    // q148's energy replay + the integer mean threshold + the classic
+    // frame_no − row_number islands — all-integer, bit-identical
+    "q198_audio_segments" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (
+        |  SELECT doc_id, t.j AS frame_no, t.j * 8 AS st
+        |  FROM a, UNNEST(range((n - 16) // 8 + 1)) AS t(j)),
+        |s AS (
+        |  SELECT f.doc_id, f.frame_no,
+        |         ascii(substr(a.text, (f.st + u.i + 1)::BIGINT, 1)) - 128 AS v
+        |  FROM f JOIN a USING (doc_id), UNNEST(range(16)) AS u(i)),
+        |e AS (
+        |  SELECT doc_id, frame_no, sum(v * v)::BIGINT AS energy
+        |  FROM s GROUP BY doc_id, frame_no),
+        |d AS (
+        |  SELECT doc_id, sum(energy)::BIGINT AS tot, count(*)::BIGINT AS nf
+        |  FROM e GROUP BY doc_id),
+        |act AS (
+        |  SELECT e.doc_id, e.frame_no, e.energy
+        |  FROM e JOIN d USING (doc_id)
+        |  WHERE e.energy * d.nf > d.tot),
+        |g AS (
+        |  SELECT doc_id, frame_no, energy,
+        |         frame_no - row_number() OVER (PARTITION BY doc_id
+        |                                       ORDER BY frame_no) AS grp
+        |  FROM act)
+        |SELECT doc_id, min(frame_no)::BIGINT AS start_frame,
+        |       max(frame_no)::BIGINT AS end_frame,
+        |       count(*)::BIGINT AS n_frames, sum(energy)::BIGINT AS seg_energy
+        |FROM g GROUP BY doc_id, grp
+        |ORDER BY doc_id, start_frame""".stripMargin,
     "q148_audio_frames" ->
       """WITH a AS (
         |  SELECT doc_id, text, length(text) AS n
