@@ -671,6 +671,56 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q199: QUANTILE NORMALIZATION across sources — every source's
+    * n_chars distribution is mapped onto the POOLED distribution (doc
+    * at within-source quantile p gets the pooled value at p), the
+    * rank-transform that forces a shared marginal before mixing
+    * heterogeneous sources (the microarray/bioinformatics standard,
+    * here as a corpus-curation repair for per-source length bias).
+    *
+    * All-integer exactness: within-source rank r is assembled as
+    * cum-below(value) + tie-rank(doc_id) — never a per-source global
+    * sort window: the cumulative runs over (source × distinct-value)
+    * CENSUS rows (the q109/q174 device) and the tie window partitions
+    * by (source, value) — both bounded by value cardinality, not docs.
+    * The pooled position k = ⌈(2r−1)·N / (2n_s)⌉ is exact integer
+    * ceil-division of the half-grid, and the pooled lookup is a
+    * SCAN-LOCAL probe of the 1-row sorted global census array
+    * (value-cardinality-sized broadcast — no range join, no BNLJ).
+    * Output census sums pin the entire mapping.
+    */
+  def q199QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("v"))
+    // per-(source, value) census → per-source cumulative over value rows
+    val sc = docs.groupBy("source", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("source").orderBy("v")))
+      .withColumn("cum_below", col("cum") - col("cnt"))
+    val ns = sc.groupBy("source").agg(sum("cnt").as("n_s"))
+    // global value census as ONE sorted array row (bounded by distinct
+    // values) — the pooled quantile function, broadcast
+    val gc = docs.groupBy("v").agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcum", sum("gcnt").over(Window.orderBy("v")))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("v").as("gv"), col("gcum").as("gcum"))))
+        .as("cens"), max("gcum").as("n_total"))
+    docs
+      .withColumn("tie_rn", row_number().over(
+        Window.partitionBy("source", "v").orderBy("doc_id")).cast("long"))
+      .join(sc.select(col("source"), col("v"), col("cum_below")), Seq("source", "v"))
+      .withColumn("r", col("cum_below") + col("tie_rn"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(gc))
+      .withColumn("k", expr("((2 * r - 1) * n_total + 2 * n_s - 1) div (2 * n_s)"))
+      .withColumn("ref", expr("element_at(filter(cens, c -> c.gcum >= k), 1).gv"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("v").as("sum_orig"),
+        sum("ref").as("sum_norm"), max(abs(col("ref") - col("v"))).as("max_abs_shift"))
+      .orderBy("source")
+  }
+
   /** q198: audio ACTIVITY segmentation (VAD-shaped) — q148's framed
     * energies turned into segments: a frame is ACTIVE when its energy
     * exceeds the document's mean frame energy (the adaptive threshold
@@ -1220,6 +1270,7 @@ object TextQueries extends QueryModule {
     "q155_image_patches" -> (q155ImagePatches _),
     "q194_perceptual_hash" -> (q194PerceptualHash _),
     "q198_audio_segments" -> (q198AudioSegments _),
+    "q199_quantile_normalize" -> (q199QuantileNormalize _),
     "q157_dataset_card" -> (q157DatasetCard _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
@@ -1642,6 +1693,33 @@ object TextQueries extends QueryModule {
     // every sample tap recomputed from the char stream: v = ascii − 128
     // (byte = codepoint on the verified-ASCII corpus); frames start at
     // j·8, j < (n−16)//8 + 1; zero crossings pair i with i+1 in-frame
+    // the SPEC form of the rank transform: plain per-source row_number
+    // over (v, doc_id) — the engine's census-assembled rank must equal
+    // it exactly; pooled lookup = min census value with cum ≥ k
+    "q199_quantile_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars::BIGINT AS v FROM documents),
+        |ns AS (SELECT source, count(*)::BIGINT AS n_s FROM d GROUP BY source),
+        |nt AS (SELECT count(*)::BIGINT AS n_total FROM d),
+        |r AS (
+        |  SELECT doc_id, source, v,
+        |         row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r
+        |  FROM d),
+        |k AS (
+        |  SELECT r.doc_id, r.source, r.v,
+        |         ((2 * r.r - 1) * nt.n_total + 2 * ns.n_s - 1) // (2 * ns.n_s) AS k
+        |  FROM r JOIN ns USING (source) CROSS JOIN nt),
+        |gc AS (SELECT v, count(*)::BIGINT AS gcnt FROM d GROUP BY v),
+        |gcum AS (
+        |  SELECT v, sum(gcnt) OVER (ORDER BY v)::BIGINT AS gcum FROM gc),
+        |ref AS (
+        |  SELECT k.doc_id, k.source, k.v, min(g.v)::BIGINT AS ref
+        |  FROM k JOIN gcum g ON g.gcum >= k.k
+        |  GROUP BY k.doc_id, k.source, k.v)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(v)::BIGINT AS sum_orig,
+        |       sum(ref)::BIGINT AS sum_norm,
+        |       max(abs(ref - v))::BIGINT AS max_abs_shift
+        |FROM ref GROUP BY source ORDER BY source""".stripMargin,
     // q148's energy replay + the integer mean threshold + the classic
     // frame_no − row_number islands — all-integer, bit-identical
     "q198_audio_segments" ->
