@@ -525,6 +525,44 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start", "event_type")
   }
 
+  /** q200: CUSTOM OBJECT-HEAP UDAF inside streaming state — per closed
+    * 5-minute window and event type, the top-3 events by (value desc,
+    * event_id asc) through `SketchAggregators.TopKAggregator` as the
+    * streaming aggregate. The state store carries the serialized ≤3-row
+    * heap per (window, type) — the q91 shuffle argument made durable:
+    * each micro-batch's map side reduces to ≤k rows per group before
+    * state merge, so state size is O(open windows · types · k)
+    * regardless of event volume, where a per-window full sort would
+    * buffer every event. Append mode + 0 s watermark: a window's heap
+    * emits exactly once, when the final watermark passes its end — the
+    * oracle applies that finalization predicate and the plain window
+    * top-3 it must equal.
+    */
+  def q200StreamTopK(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(3))
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream = normalizeTs(raw, stream0)
+    val agg = stream.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("top"))
+    val name = s"q200_topk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg
+      .select(col("window.start").as("w_start"), col("event_type"), col("top"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("w_start"), col("event_type"),
+        posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("w_start"), col("event_type"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("kv.id").as("event_id"), round(col("kv.v"), 2).as("value"))
+      .orderBy("w_start", "event_type", "rn")
+  }
+
   /** q139: CHAINED streaming aggregation — two stateful window
     * aggregations in ONE streaming query (Spark's multiple-stateful-
     * operator support): 1-minute tumbling partials per event_type
@@ -959,6 +997,7 @@ object StreamingOps extends QueryModule {
     "q154_stream_union_windows" -> (q154StreamUnionWindows _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
+    "q200_stream_topk" -> (q200StreamTopK _),
     "q139_chained_window_agg" -> (q139ChainedWindowAgg _),
     "q126_stream_dedup" -> (q126StreamDedup _),
     "q58_window_tumbling" -> (q58WindowTumbling _),
@@ -1085,6 +1124,24 @@ object StreamingOps extends QueryModule {
     // q58's buckets under the append-mode finalization rule: a bucket
     // has emitted only if the final watermark (max event time, 0 s
     // delay) is at or past its end
+    // the heap must equal the plain window top-3 over CLOSED windows —
+    // same total order (value desc, event_id asc), same finalization
+    "q200_stream_topk" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |b AS (
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start,
+        |         event_type, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT w_start, event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY w_start, event_type
+        |                            ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM b CROSS JOIN m
+        |  WHERE w_start + INTERVAL 5 MINUTES <= m.mx)
+        |SELECT w_start, event_type, rn::BIGINT AS rn, event_id,
+        |       round(value, 2) + 0.0 AS value
+        |FROM r WHERE rn <= 3
+        |ORDER BY w_start, event_type, rn""".stripMargin,
     "q111_sql_tumbling_stream" ->
       """WITH b AS (
         |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type, value
