@@ -883,7 +883,53 @@ object MiscQueries extends QueryModule {
           .as("cramers_v"))
   }
 
+  /** q203: Mann–Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC
+    * two-sample test beside q176's Welch t: do BUILDING and MACHINERY
+    * customers draw from the same order-total distribution? Rank-based,
+    * so it needs no normality and ignores q188-style outliers.
+    *
+    * All-integer devices: prices pin to exact cents; pooled ranks are
+    * assembled from the VALUE CENSUS (the q199/q174 discipline — the
+    * cumulative runs over distinct-value rows, never a row-level sort
+    * window), tie-averaged ranks are kept DOUBLED (2·r̄ = 2·cum_below +
+    * t + 1 — integer, no ½ grid), so U₂ = 2U is an exact BIGINT; the
+    * tie-corrected normal z and the rank-biserial effect size are each
+    * one fixed double chain over exact integers (round 6). Scale: one
+    * fact equi-join + a census agg; everything after runs over
+    * value-cardinality rows.
+    */
+  def q203MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(
+        when(col("c_mktsegment") === "BUILDING", lit("A")).otherwise(lit("B")).as("arm"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("v"))
+    val census = s.groupBy("v").agg(
+      sum(when(col("arm") === "A", lit(1L)).otherwise(lit(0L))).as("ca"),
+      count(lit(1)).as("cnt"))
+    val rk = census.withColumn("cum", sum("cnt").over(Window.orderBy("v")))
+    rk.agg(
+        sum(col("ca")).as("n_a"),
+        sum(col("cnt") - col("ca")).as("n_b"),
+        sum(col("ca") * (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L)))
+          .as("r2a"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("u2", col("r2a") - col("n_a") * (col("n_a") + lit(1L)))
+      .select(col("n_a"), col("n_b"), col("u2"),
+        round(expr(
+          """CAST(u2 - n_a * n_b AS DOUBLE) / (2.0 * sqrt(CAST(n_a AS DOUBLE)
+            |* CAST(n_b AS DOUBLE) / 12.0 * (CAST(n AS DOUBLE) + 1.0
+            |- CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))))"""
+            .stripMargin.replace("\n", " ")), 6).as("z"),
+        round(lit(1.0d) - col("u2").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("r_rb"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_mann_whitney" -> (q203MannWhitney _),
     "q193_chi_squared" -> (q193ChiSquared _),
     "q123_sql_group_by_all" -> (q123SqlGroupByAll _),
     "q124_sql_window_clause" -> (q124SqlWindowClause _),
@@ -917,6 +963,36 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same cents census, same doubled tie-averaged ranks (exact
+    // BIGINTs), same z / effect-size chains — bit-identical
+    "q203_mann_whitney" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'A' ELSE 'B' END AS arm,
+        |         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |census AS (
+        |  SELECT v, sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |         count(*)::BIGINT AS cnt
+        |  FROM s GROUP BY v),
+        |rk AS (
+        |  SELECT v, ca, cnt, sum(cnt) OVER (ORDER BY v)::BIGINT AS cum
+        |  FROM census),
+        |st AS (
+        |  SELECT sum(ca)::BIGINT AS n_a, sum(cnt - ca)::BIGINT AS n_b,
+        |         sum(ca * (2 * (cum - cnt) + cnt + 1))::BIGINT AS r2a,
+        |         sum(cnt * cnt * cnt - cnt)::BIGINT AS tie3
+        |  FROM rk),
+        |f AS (
+        |  SELECT n_a, n_b, n_a + n_b AS n, tie3,
+        |         r2a - n_a * (n_a + 1) AS u2
+        |  FROM st)
+        |SELECT n_a, n_b, u2,
+        |       round((u2 - n_a * n_b)::DOUBLE / (2.0 * sqrt(n_a::DOUBLE
+        |             * n_b::DOUBLE / 12.0 * (n::DOUBLE + 1.0
+        |             - tie3::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0))))), 6) + 0.0 AS z,
+        |       round(1.0 - u2::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE), 6) + 0.0 AS r_rb
+        |FROM f""".stripMargin,
     // same contingency table, same exact-integer marginals, same term
     // chain; only the ~60-term Σ is order-exposed, under round 6
     "q193_chi_squared" ->

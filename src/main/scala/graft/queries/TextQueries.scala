@@ -671,6 +671,55 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q202: VIDEO scene-change segmentation — the shot-boundary pass a
+    * video curation pipeline runs before frame sampling: consecutive
+    * 32-byte frames (stride 1 — every frame, unlike q131's keyframe
+    * subsample) are compared by SAD (sum of absolute byte differences,
+    * the classic scene-cut metric over the stub plane; a real decoder
+    * swaps the byte source, same plan), a CUT fires where the SAD
+    * exceeds the document's mean SAD (the cross-multiplied integer
+    * test — no float mean), and cuts split the frame stream into
+    * scenes via a cumulative-cut-count window. Completes the
+    * multimodal trio's segmentation story (q198 audio islands, q194
+    * image near-dup, q202 video shots).
+    *
+    * Exactness: frame bytes surface as hex (the q131 device) and every
+    * SAD is an exact integer Σ over 32 positions; scene ids are
+    * cumulative integer sums. Scale: frames are scan-local Generate
+    * output; the lag/cumsum windows partition by doc_id (high
+    * cardinality); per-scene rollup is one hash agg.
+    */
+  def q202VideoScenes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val videoDocs = Tables.documents(spark, dir).filter(col("doc_id") % 3 === 2)
+    val ds = graft.operators.MediaPipeline.fromDocuments(spark, videoDocs)
+    val frames = graft.operators.MediaPipeline.sampleFrames(ds, frameBytes = 32, stride = 1)
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        hex(col("frame")).as("h"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("frame_no")
+    val withDelta = frames
+      .withColumn("ph", lag("h", 1).over(wDoc))
+      .withColumn("delta", when(col("ph").isNull, lit(null)).otherwise(expr(
+        """aggregate(transform(sequence(0, 31), i ->
+          |  abs(CAST(conv(substring(h, i * 2 + 1, 2), 16, 10) AS BIGINT) -
+          |      CAST(conv(substring(ph, i * 2 + 1, 2), 16, 10) AS BIGINT))),
+          |0L, (a, x) -> a + x)""".stripMargin)))
+    val stats = withDelta.filter(col("delta").isNotNull)
+      .groupBy("doc_id")
+      .agg(sum("delta").as("tot"), count(lit(1)).as("nd"))
+    withDelta.join(stats, Seq("doc_id"))
+      .withColumn("cut",
+        when(col("delta").isNotNull && col("delta") * col("nd") > col("tot"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("scene_id", sum("cut").over(wDoc))
+      .groupBy("doc_id", "scene_id")
+      .agg(min("frame_no").as("start_frame"), max("frame_no").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(when(col("cut") === 0, coalesce(col("delta"), lit(0L)))
+          .otherwise(lit(0L))).as("internal_motion"))
+      .orderBy("doc_id", "scene_id")
+  }
+
   /** q199: QUANTILE NORMALIZATION across sources — every source's
     * n_chars distribution is mapped onto the POOLED distribution (doc
     * at within-source quantile p gets the pooled value at p), the
@@ -1271,6 +1320,7 @@ object TextQueries extends QueryModule {
     "q194_perceptual_hash" -> (q194PerceptualHash _),
     "q198_audio_segments" -> (q198AudioSegments _),
     "q199_quantile_normalize" -> (q199QuantileNormalize _),
+    "q202_video_scenes" -> (q202VideoScenes _),
     "q157_dataset_card" -> (q157DatasetCard _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
@@ -1693,6 +1743,41 @@ object TextQueries extends QueryModule {
     // every sample tap recomputed from the char stream: v = ascii − 128
     // (byte = codepoint on the verified-ASCII corpus); frames start at
     // j·8, j < (n−16)//8 + 1; zero crossings pair i with i+1 in-frame
+    // the SAD/cut/scene cascade replayed from the char stream (byte =
+    // codepoint on the verified-ASCII corpus) — all-integer,
+    // bit-identical; docs with <2 frames drop via the stats join in
+    // both engines
+    "q202_video_scenes" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, length(text) // 32 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id, t.j AS frame_no FROM a, UNNEST(range(nf)) AS t(j)),
+        |de AS (
+        |  SELECT a.doc_id, t.j AS frame_no,
+        |         sum(abs(ascii(substr(a.text, (t.j * 32 + u.i + 1)::BIGINT, 1)) -
+        |                 ascii(substr(a.text, ((t.j - 1) * 32 + u.i + 1)::BIGINT, 1))))::BIGINT
+        |           AS delta
+        |  FROM a, UNNEST(range(1, nf)) AS t(j), UNNEST(range(32)) AS u(i)
+        |  GROUP BY a.doc_id, t.j),
+        |st AS (
+        |  SELECT doc_id, sum(delta)::BIGINT AS tot, count(*)::BIGINT AS nd
+        |  FROM de GROUP BY doc_id),
+        |c AS (
+        |  SELECT fr.doc_id, fr.frame_no, de.delta,
+        |         CASE WHEN de.delta IS NOT NULL AND de.delta * st.nd > st.tot
+        |              THEN 1 ELSE 0 END AS cut
+        |  FROM fr LEFT JOIN de USING (doc_id, frame_no) JOIN st USING (doc_id)),
+        |s AS (
+        |  SELECT doc_id, frame_no, delta, cut,
+        |         sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_no)::BIGINT AS scene_id
+        |  FROM c)
+        |SELECT doc_id, scene_id, min(frame_no)::BIGINT AS start_frame,
+        |       max(frame_no)::BIGINT AS end_frame, count(*)::BIGINT AS n_frames,
+        |       sum(CASE WHEN cut = 0 THEN coalesce(delta, 0) ELSE 0 END)::BIGINT
+        |         AS internal_motion
+        |FROM s GROUP BY doc_id, scene_id
+        |ORDER BY doc_id, scene_id""".stripMargin,
     // the SPEC form of the rank transform: plain per-source row_number
     // over (v, doc_id) — the engine's census-assembled rank must equal
     // it exactly; pooled lookup = min census value with cum ≥ k

@@ -563,6 +563,39 @@ object StreamingOps extends QueryModule {
       .orderBy("w_start", "event_type", "rn")
   }
 
+  /** q201: MERGEABLE SKETCH in streaming state — per-window distinct
+    * users through `SketchAggregators.HllAggregator` as the streaming
+    * aggregate. Structured Streaming REFUSES `count(DISTINCT ...)`
+    * (unbounded per-group state); the HLL register array is the
+    * production answer: 4 KB per open window regardless of user
+    * cardinality, element-wise-max merge across micro-batches, and the
+    * estimate emits with the window's append-mode finalization. The
+    * oracle replays the full register construction per closed window
+    * (q190's device windowed), so the gate certifies the sketch through
+    * the streaming path bit-for-bit — not a tolerance band.
+    */
+  def q201StreamDistinct(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val hll = udaf(new graft.functions.SketchAggregators.HllAggregator(12))
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream = normalizeTs(raw, stream0)
+    val agg = stream.withWatermark("ts", "0 seconds")
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(hll(col("h")).as("est"), count(lit(1)).as("n_events"))
+    val name = s"q201_hll_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg
+      .select(col("window.start").as("w_start"),
+        round(col("est"), 4).as("est_users"), col("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("w_start")
+  }
+
   /** q139: CHAINED streaming aggregation — two stateful window
     * aggregations in ONE streaming query (Spark's multiple-stateful-
     * operator support): 1-minute tumbling partials per event_type
@@ -998,6 +1031,7 @@ object StreamingOps extends QueryModule {
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
     "q200_stream_topk" -> (q200StreamTopK _),
+    "q201_stream_distinct" -> (q201StreamDistinct _),
     "q139_chained_window_agg" -> (q139ChainedWindowAgg _),
     "q126_stream_dedup" -> (q126StreamDedup _),
     "q58_window_tumbling" -> (q58WindowTumbling _),
@@ -1124,6 +1158,46 @@ object StreamingOps extends QueryModule {
     // q58's buckets under the append-mode finalization rule: a bucket
     // has emitted only if the final watermark (max event time, 0 s
     // delay) is at or past its end
+    // q190's full register replay, windowed: distinct hashes per CLOSED
+    // window, exact-integer harmonic sum, identical estimate chain
+    "q201_stream_distinct" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |e AS (
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, user_id
+        |  FROM events CROSS JOIN m
+        |  WHERE time_bucket(INTERVAL 5 MINUTES, ts) + INTERVAL 5 MINUTES <= m.mx),
+        |h AS (
+        |  SELECT DISTINCT w_start,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM e),
+        |b AS (
+        |  SELECT w_start, h // 281474976710656 AS bucket,
+        |         h % 281474976710656 AS w
+        |  FROM h),
+        |r AS (
+        |  SELECT w_start, bucket,
+        |         max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS reg
+        |  FROM b GROUP BY w_start, bucket),
+        |s AS (
+        |  SELECT w_start,
+        |         (sum(1::BIGINT << (49 - reg))
+        |            + (4096 - count(*)) * 562949953421312)::BIGINT AS s,
+        |         (4096 - count(*))::BIGINT AS v
+        |  FROM r GROUP BY w_start),
+        |e0 AS (
+        |  SELECT w_start, v,
+        |         0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+        |           * 562949953421312.0 / s::DOUBLE AS raw
+        |  FROM s),
+        |est AS (
+        |  SELECT w_start,
+        |         CASE WHEN raw <= 2.5 * 4096.0 AND v > 0
+        |              THEN 4096.0 * ln(4096.0 / v) ELSE raw END AS est
+        |  FROM e0),
+        |n AS (
+        |  SELECT w_start, count(*)::BIGINT AS n_events FROM e GROUP BY w_start)
+        |SELECT est.w_start, round(est.est, 4) + 0.0 AS est_users, n.n_events
+        |FROM est JOIN n USING (w_start) ORDER BY est.w_start""".stripMargin,
     // the heap must equal the plain window top-3 over CLOSED windows —
     // same total order (value desc, event_id asc), same finalization
     "q200_stream_topk" ->
