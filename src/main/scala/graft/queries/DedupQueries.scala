@@ -770,7 +770,48 @@ object DedupQueries extends QueryModule {
       .orderBy("source_a", "source_b")
   }
 
+  /** q205: GOLDEN-RECORD survivorship — the MDM merge step after
+    * dedup finds a cluster: one surviving record per duplicate cluster
+    * with FIELD-LEVEL rules (the step q40 stops short of — q40 keeps
+    * one whole row; survivorship composes the golden row field by
+    * field): id = min member (stable key), source/lang = the cluster
+    * MODE with (count desc, value asc) tie-break — struct-min argmax,
+    * never a window over members — plus member count, source spread,
+    * and the id-sum membership pin. The cluster key is the md5 of the
+    * 64-char text PREFIX — the near-dup blocking key (template/lede
+    * sharing; the fixture has such clusters at every SF where
+    * byte-identical texts only appear at sf0.1); production swaps in
+    * q66's connected components or q187's linkage clusters, and the
+    * rule set (most-recent non-null, source priority…) — the plan,
+    * per-field (cluster, value) counts → per-cluster argmin, is the
+    * shape any rule compiles to.
+    *
+    * Scale: everything is hash aggs keyed on the cluster hash (high
+    * cardinality); the per-field mode tables join back
+    * cluster-count-sized sides only.
+    */
+  def q205GoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(substring(col("text"), 1, 64)).as("h"))
+    val clusters = docs.groupBy("h")
+      .agg(count(lit(1)).as("n_members"), min("doc_id").as("golden_doc_id"),
+        countDistinct("source").as("n_sources"), sum("doc_id").as("id_sum"))
+      .filter(col("n_members") >= 2)
+    val srcMode = docs.groupBy("h", "source").agg(count(lit(1)).as("c"))
+      .groupBy("h").agg(min(struct((-col("c")).as("nc"), col("source"))).as("m"))
+      .select(col("h"), col("m.source").as("mode_source"))
+    val langMode = docs.groupBy("h", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("h").agg(min(struct((-col("c")).as("nc"), col("lang"))).as("m"))
+      .select(col("h"), col("m.lang").as("mode_lang"))
+    clusters.join(srcMode, Seq("h")).join(langMode, Seq("h"))
+      .select(col("golden_doc_id"), col("n_members"), col("n_sources"),
+        col("mode_source"), col("mode_lang"), col("id_sum"))
+      .orderBy("golden_doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_golden_record" -> (q205GoldenRecord _),
     "q196_kmv_set_algebra" -> (q196KmvSetAlgebra _),
     "q186_fuzzy_match" -> (q186FuzzyMatch _),
     "q187_blocked_linkage" -> (q187BlockedLinkage _),
@@ -790,6 +831,29 @@ object DedupQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same cluster key, same per-field mode tables, same (count desc,
+    // value asc) tie-break via QUALIFY — bit-identical
+    "q205_golden_record" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, md5(substr(text, 1, 64)) AS h
+        |  FROM documents),
+        |cl AS (
+        |  SELECT h, count(*)::BIGINT AS n_members, min(doc_id)::BIGINT AS golden_doc_id,
+        |         count(DISTINCT source)::BIGINT AS n_sources,
+        |         sum(doc_id)::BIGINT AS id_sum
+        |  FROM d GROUP BY h HAVING count(*) >= 2),
+        |sm AS (
+        |  SELECT h, source AS mode_source
+        |  FROM (SELECT h, source, count(*) AS c FROM d GROUP BY h, source)
+        |  QUALIFY row_number() OVER (PARTITION BY h ORDER BY c DESC, source ASC) = 1),
+        |lm AS (
+        |  SELECT h, lang AS mode_lang
+        |  FROM (SELECT h, lang, count(*) AS c FROM d GROUP BY h, lang)
+        |  QUALIFY row_number() OVER (PARTITION BY h ORDER BY c DESC, lang ASC) = 1)
+        |SELECT cl.golden_doc_id, cl.n_members, cl.n_sources,
+        |       sm.mode_source, lm.mode_lang, cl.id_sum
+        |FROM cl JOIN sm USING (h) JOIN lm USING (h)
+        |ORDER BY cl.golden_doc_id""".stripMargin,
     // the KMV algebra replayed via rank windows: same distinct
     // md5-uniforms, same 64-deep signatures, union sketch = rank ≤ 64
     // over the merged values, membership via presence joins, identical

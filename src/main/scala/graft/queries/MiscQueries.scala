@@ -928,7 +928,115 @@ object MiscQueries extends QueryModule {
           (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("r_rb"))
   }
 
+  /** q204: BENFORD first-digit screening over order totals — the
+    * classic forensic data-quality test (fabricated or unit-mangled
+    * numeric columns break the log-uniform leading-digit law; a 100 TB
+    * ingest runs this per source/partition as a cheap anomaly tripwire).
+    * Observed counts are exact integers from one hash agg; expected
+    * shares ln(1+1/d)/ln(10) are fixed chains whose libm ulp round 4
+    * absorbs (the q93 argument); deviation is reported in percentage
+    * points per digit.
+    */
+  def q204Benford(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val tot = d.agg(sum("obs").as("n"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit").cast("long").as("digit"), col("obs"), col("n"),
+        // expected/observed leading-digit shares in percent
+        ((log(col("digit").cast("double") + lit(1.0d)) - log(col("digit").cast("double")))
+          / log(lit(10.0d)) * lit(100.0d)).as("exp_pct_raw"),
+        (col("obs").cast("double") / col("n").cast("double") * lit(100.0d))
+          .as("obs_pct_raw"))
+      .select(col("digit"), col("obs"),
+        round(col("obs_pct_raw"), 4).as("obs_pct"),
+        round(col("exp_pct_raw"), 4).as("exp_pct"),
+        round(abs(col("obs_pct_raw") - col("exp_pct_raw")), 4).as("dev_pp"))
+      .orderBy("digit")
+  }
+
+  /** q206: LEAD-LAG cross-correlation between the view and purchase
+    * time series — at which offset do purchases track views? (the
+    * campaign-effect / causality-screen diagnostic). Both series are
+    * 5-minute bucket counts on a DENSE bucket spine (missing buckets
+    * are real zeros — correlating only co-present buckets would bias r
+    * toward busy periods); the spine is calendar-bounded, built from
+    * one min/max row. For each lag in −3..+3 buckets, Pearson r comes
+    * from the integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — every
+    * operand exact, one sqrt chain per lag, so the comparison is
+    * bit-identical (no libm beyond correctly-rounded sqrt/divide).
+    *
+    * Scale: two hash aggs to bucket counts (bucket-cardinality rows),
+    * the lag fan-out is a constant ×7 on the SPINE (never the events),
+    * and the final agg runs over spine×7 rows.
+    */
+  def q206LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 300000000) * 300000000").as("b"))
+    val counts = ev.filter(col("event_type").isin("view", "purchase"))
+      .groupBy("b")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val spine = ev.agg(min("b").as("lo"), max("b").as("hi"))
+      .select(explode(expr("sequence(lo, hi, 300000000L)")).as("b"))
+    val grid = spine
+      .join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val lags = grid.crossJoin(
+        spark.range(-3, 4).select(col("id").as("lag")))
+      .select(col("lag"), col("b"), col("x"),
+        (col("b") + col("lag") * lit(300000000L)).as("b2"))
+      .join(grid.select(col("b").as("b2"), col("y")), Seq("b2"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    lags.select(col("lag"), col("n"),
+        round(expr(
+          """CAST(n * sxy - sx * sy AS DOUBLE) /
+            |sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))"""
+            .stripMargin.replace("\n", " ")), 6).as("r"))
+      .orderBy("lag")
+  }
+
+  /** q207: SEASONAL-BASELINE anomaly detection with an INTEGER-EXACT
+    * trigger — per hour-of-day baselines over daily event counts, a
+    * (day, hour) cell flags when |cnt − μ_h| > 3σ_h. The flag is the
+    * cross-multiplied all-integer test (n·cnt − Σ)² > 9·(n·Σq − Σ²)
+    * (n = days, Σ/Σq = per-hour count moments) — no float boundary can
+    * flip membership, which is exactly what a paging alert needs; the
+    * displayed z rides the usual round-6 chain. Scale: counts collapse
+    * to (day × hour) rows in one hash agg; baselines are 24-row
+    * broadcasts.
+    */
+  def q207SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), hour(col("ts")).cast("long").as("hr"))
+      .groupBy("day", "hr").agg(count(lit(1)).as("cnt"))
+    val base = cell.groupBy("hr")
+      .agg(count(lit(1)).as("nd"), sum("cnt").as("s"),
+        sum(col("cnt") * col("cnt")).as("sq"))
+    cell.join(broadcast(base), Seq("hr"))
+      .filter(
+        (col("nd") * col("cnt") - col("s")) * (col("nd") * col("cnt") - col("s")) >
+          lit(9L) * (col("nd") * col("sq") - col("s") * col("s")))
+      .select(col("day"), col("hr"), col("cnt"),
+        // z = (cnt − μ)/σ_pop = (nd·cnt − s)/√(nd·sq − s²)
+        round(expr(
+          "CAST(nd * cnt - s AS DOUBLE) / sqrt(CAST(nd * sq - s * s AS DOUBLE))"),
+          6).as("z"))
+      .orderBy("day", "hr")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_benford" -> (q204Benford _),
+    "q206_lead_lag" -> (q206LeadLag _),
+    "q207_seasonal_anomaly" -> (q207SeasonalAnomaly _),
     "q203_mann_whitney" -> (q203MannWhitney _),
     "q193_chi_squared" -> (q193ChiSquared _),
     "q123_sql_group_by_all" -> (q123SqlGroupByAll _),
@@ -963,6 +1071,68 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same integer digit census; ln-chain shares under round 4
+    "q204_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)::INT
+        |           AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, count(*)::BIGINT AS obs FROM d GROUP BY digit),
+        |t AS (SELECT sum(obs)::BIGINT AS n FROM c)
+        |SELECT digit::BIGINT AS digit, obs,
+        |       round(obs::DOUBLE / n::DOUBLE * 100.0, 4) + 0.0 AS obs_pct,
+        |       round((ln(digit::DOUBLE + 1.0) - ln(digit::DOUBLE)) / ln(10.0) * 100.0, 4)
+        |         + 0.0 AS exp_pct,
+        |       round(abs(obs::DOUBLE / n::DOUBLE * 100.0
+        |             - (ln(digit::DOUBLE + 1.0) - ln(digit::DOUBLE)) / ln(10.0) * 100.0), 4)
+        |         + 0.0 AS dev_pp
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+    // dense zero-filled spine, integer moment sums per lag, one sqrt
+    // chain — bit-identical (no libm beyond sqrt/divide)
+    "q206_lead_lag" ->
+      """WITH ev AS (
+        |  SELECT event_type, (epoch_us(ts) // 300000000) * 300000000 AS b
+        |  FROM events),
+        |counts AS (
+        |  SELECT b, sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS x,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM ev WHERE event_type IN ('view', 'purchase') GROUP BY b),
+        |mm AS (SELECT min(b) AS lo, max(b) AS hi FROM ev),
+        |spine AS (SELECT unnest(generate_series(lo, hi, 300000000)) AS b FROM mm),
+        |grid AS (
+        |  SELECT s.b, coalesce(c.x, 0)::BIGINT AS x, coalesce(c.y, 0)::BIGINT AS y
+        |  FROM spine s LEFT JOIN counts c USING (b)),
+        |l AS (
+        |  SELECT t.lag, g.x, g.b + t.lag * 300000000 AS b2
+        |  FROM grid g, (SELECT unnest(generate_series(-3, 3)) AS lag) t),
+        |j AS (SELECT l.lag, l.x, g2.y FROM l JOIN grid g2 ON g2.b = l.b2),
+        |m AS (
+        |  SELECT lag, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        |  FROM j GROUP BY lag)
+        |SELECT lag, n,
+        |       round((n * sxy - sx * sy)::DOUBLE /
+        |             sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+        |         + 0.0 AS r
+        |FROM m ORDER BY lag""".stripMargin,
+    // the all-integer 3σ trigger: no float boundary can flip a flag
+    "q207_seasonal_anomaly" ->
+      """WITH cell AS (
+        |  SELECT ts::DATE AS day, extract(hour FROM ts)::BIGINT AS hr,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY day, hr),
+        |base AS (
+        |  SELECT hr, count(*)::BIGINT AS nd, sum(cnt)::BIGINT AS s,
+        |         sum(cnt * cnt)::BIGINT AS sq
+        |  FROM cell GROUP BY hr)
+        |SELECT c.day, c.hr, c.cnt,
+        |       round((b.nd * c.cnt - b.s)::DOUBLE /
+        |             sqrt((b.nd * b.sq - b.s * b.s)::DOUBLE), 6) + 0.0 AS z
+        |FROM cell c JOIN base b USING (hr)
+        |WHERE (b.nd * c.cnt - b.s) * (b.nd * c.cnt - b.s)
+        |        > 9 * (b.nd * b.sq - b.s * b.s)
+        |ORDER BY c.day, c.hr""".stripMargin,
     // same cents census, same doubled tie-averaged ranks (exact
     // BIGINTs), same z / effect-size chains — bit-identical
     "q203_mann_whitney" ->
