@@ -350,6 +350,52 @@ object SketchAggregators {
       ExpressionEncoder[Double]()
   }
 
+  /** [[HllAggregator]] variant that finishes to the RAW REGISTER ARRAY
+    * instead of the estimate — the persistable "sketch column" of the
+    * warehouse rollup pattern: aggregate once at the finest grain,
+    * store 2^p small ints per group, and any coarser rollup merges the
+    * stored registers (element-wise max, [[HllMergeAggregator]])
+    * without touching raw data again. finish(registers) of the merge
+    * equals the direct estimate by the max-merge law (spec-pinned).
+    */
+  class HllSketchAggregator(p: Int)
+      extends Aggregator[Long, Array[Int], Seq[Int]] {
+    private val inner = new HllAggregator(p)
+    override def zero: Array[Int] = inner.zero
+    override def reduce(b: Array[Int], h: Long): Array[Int] = inner.reduce(b, h)
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = inner.merge(a, b)
+    override def finish(r: Array[Int]): Seq[Int] = r.toSeq
+    override def bufferEncoder: Encoder[Array[Int]] =
+      ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Seq[Int]] =
+      ExpressionEncoder[Seq[Int]]()
+  }
+
+  /** Rollup half of the sketch-column pattern: input rows are STORED
+    * register arrays, merge is the same element-wise max, finish is the
+    * same estimate chain as [[HllAggregator]] — so a rollup over sketch
+    * columns is bit-identical to having aggregated the raw keys at the
+    * coarser grain directly (max is associative/idempotent).
+    */
+  class HllMergeAggregator(p: Int)
+      extends Aggregator[Seq[Int], Array[Int], Double] {
+    private val inner = new HllAggregator(p)
+    private val m = 1 << p
+    override def zero: Array[Int] = inner.zero
+    override def reduce(b: Array[Int], regs: Seq[Int]): Array[Int] = {
+      require(regs.length == m, s"expected $m registers, got ${regs.length}")
+      var i = 0
+      while (i < m) { if (regs(i) > b(i)) b(i) = regs(i); i += 1 }
+      b
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = inner.merge(a, b)
+    override def finish(r: Array[Int]): Double = inner.finish(r)
+    override def bufferEncoder: Encoder[Array[Int]] =
+      ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Double] =
+      ExpressionEncoder[Double]()
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) — the
     * frequency sibling of [[HllAggregator]]: point-queryable counts in
     * a fixed d×w integer table with one-sided error (estimates never

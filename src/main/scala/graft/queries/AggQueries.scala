@@ -330,6 +330,42 @@ object AggQueries extends QueryModule {
       .orderBy(col("n").desc, col("user_id"))
   }
 
+  /** q209: SKETCH-COLUMN ROLLUP — the warehouse pattern q190 enables:
+    * aggregate HLL REGISTERS once at the finest grain (source × lang),
+    * store them as a sketch column, then answer BOTH coarser rollups
+    * (per source AND per lang) by merging stored registers — the raw
+    * table is scanned once, ever; every later distinct-count question
+    * at any coarser grain reads the 4 KB sketches. The max-merge law
+    * (associative + idempotent) makes the rollup estimate BIT-EQUAL to
+    * having aggregated raw keys at the coarse grain directly — which
+    * is exactly what the oracle computes, blind to the two-level plan:
+    * any loss in the store/merge hop flips the gate. Exact reference
+    * columns ride beside each estimate.
+    */
+  def q209SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val sk = udaf(new graft.functions.SketchAggregators.HllSketchAggregator(12))
+    val mg = udaf(new graft.functions.SketchAggregators.HllMergeAggregator(12))
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val base = Tables.documentsSpread(spark, dir)
+      .select(col("source"), col("lang"), h.as("h"), col("doc_id"))
+    val sketches = base.groupBy("source", "lang").agg(sk(col("h")).as("sketch"))
+      .localCheckpoint() // the stored sketch table; both rollups read it
+    val bySource = sketches.groupBy("source").agg(mg(col("sketch")).as("est"))
+      .select(lit("source").as("dim"), col("source").as("key"), col("est"))
+    val byLang = sketches.groupBy("lang").agg(mg(col("sketch")).as("est"))
+      .select(lit("lang").as("dim"), col("lang").as("key"), col("est"))
+    val exact = base.groupBy("source").agg(countDistinct("doc_id").as("exact_distinct"))
+      .select(lit("source").as("dim"), col("source").as("key"), col("exact_distinct"))
+      .unionByName(base.groupBy("lang")
+        .agg(countDistinct("doc_id").as("exact_distinct"))
+        .select(lit("lang").as("dim"), col("lang").as("key"), col("exact_distinct")))
+    bySource.unionByName(byLang).join(exact, Seq("dim", "key"))
+      .select(col("dim"), col("key"),
+        round(col("est"), 4).as("est_distinct"), col("exact_distinct"))
+      .orderBy("dim", "key")
+  }
+
   /** q172: the LINEAR-REGRESSION aggregate family (SQL:2003 `regr_*`) —
     * per-group OLS of extended price on quantity: slope, intercept, R²,
     * plus the correlation it generalizes. These are one-pass moment
@@ -354,6 +390,7 @@ object AggQueries extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_hll_distinct" -> (q190HllDistinct _),
     "q195_cms_frequency" -> (q195CmsFrequency _),
+    "q209_sketch_rollup" -> (q209SketchRollup _),
     "q172_regression_aggs" -> (q172RegressionAggs _),
     "q91_grouped_topk" -> (q91GroupedTopk _),
     "q86_heavy_hitters" -> (q86HeavyHitters _),
@@ -393,6 +430,55 @@ object AggQueries extends QueryModule {
         |SELECT t.user_id, t.n, e.est, (e.est - t.n)::BIGINT AS overcount
         |FROM top t JOIN est e USING (user_id)
         |ORDER BY t.n DESC, t.user_id""".stripMargin,
+    // the oracle is BLIND to the two-level sketch plan: it builds
+    // registers directly at each coarse grain (q190's replay per
+    // source and per lang) — store/merge losslessness is what's gated
+    "q209_sketch_rollup" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source, lang,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |keys AS (
+        |  SELECT 'source' AS dim, source AS key, h FROM h
+        |  UNION ALL
+        |  SELECT 'lang' AS dim, lang AS key, h FROM h),
+        |hh AS (SELECT DISTINCT dim, key, h FROM keys),
+        |b AS (
+        |  SELECT dim, key, h // 281474976710656 AS bucket,
+        |         h % 281474976710656 AS w
+        |  FROM hh),
+        |r AS (
+        |  SELECT dim, key, bucket,
+        |         max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS reg
+        |  FROM b GROUP BY dim, key, bucket),
+        |s AS (
+        |  SELECT dim, key,
+        |         (sum(1::BIGINT << (49 - reg))
+        |            + (4096 - count(*)) * 562949953421312)::BIGINT AS s,
+        |         (4096 - count(*))::BIGINT AS v
+        |  FROM r GROUP BY dim, key),
+        |e0 AS (
+        |  SELECT dim, key, v,
+        |         0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+        |           * 562949953421312.0 / s::DOUBLE AS raw
+        |  FROM s),
+        |est AS (
+        |  SELECT dim, key,
+        |         CASE WHEN raw <= 2.5 * 4096.0 AND v > 0
+        |              THEN 4096.0 * ln(4096.0 / v) ELSE raw END AS est
+        |  FROM e0),
+        |ex AS (
+        |  SELECT 'source' AS dim, source AS key,
+        |         count(DISTINCT doc_id)::BIGINT AS exact_distinct
+        |  FROM documents GROUP BY source
+        |  UNION ALL
+        |  SELECT 'lang' AS dim, lang AS key,
+        |         count(DISTINCT doc_id)::BIGINT AS exact_distinct
+        |  FROM documents GROUP BY lang)
+        |SELECT est.dim, est.key, round(est.est, 4) + 0.0 AS est_distinct,
+        |       ex.exact_distinct
+        |FROM est JOIN ex USING (dim, key)
+        |ORDER BY est.dim, est.key""".stripMargin,
     // the full HLL replay: same 60-bit md5 hash, same p=12 bucket split,
     // ρ from length(bin(w)) = exact MSB position (no float log2), the
     // harmonic sum as an exact BIGINT (order-invariant), and the one

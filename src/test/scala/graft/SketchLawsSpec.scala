@@ -197,6 +197,30 @@ class SketchLawsSpec extends AnyFunSuite {
     assert(relErr < 5 * 1.04 / math.sqrt(4096.0), s"rel err $relErr too large (est $est)")
   }
 
+  test("HLL rollup: merging fine-grain sketch columns equals the direct coarse fold") {
+    val sk = new HllSketchAggregator(12)
+    val mg = new HllMergeAggregator(12)
+    val direct = new HllAggregator(12)
+    def hash(k: Long): Long =
+      new java.math.BigInteger(1,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(k.toString.getBytes)).shiftRight(68).longValue()
+    val gen = for {
+      n <- Gen.chooseNum(0, 300)
+      keys <- Gen.listOfN(n, Gen.chooseNum(0L, 500L))
+      nGroups <- Gen.chooseNum(1, 6)
+    } yield (keys.map(hash), nGroups)
+    cases(gen, 30, 37L).foreach { case (hs, nGroups) =>
+      // fine grain: hash-partition keys into groups, sketch each
+      val fine = hs.groupBy(h => (h % nGroups).toInt).values.toList
+        .map(g => sk.finish(foldWith(sk.zero, sk.reduce)(g)))
+      // rollup: merge the STORED register columns
+      val rolled = mg.finish(foldWith(mg.zero, mg.reduce)(fine))
+      val flat = direct.finish(foldWith(direct.zero, direct.reduce)(hs))
+      assert(rolled == flat, s"rollup $rolled != direct $flat over ${hs.size} keys")
+    }
+  }
+
   test("CMS: split-anywhere merges equal the direct fold; estimates never undercount") {
     val d = 4; val w = 32
     val agg = new CmsAggregator(d, w)
