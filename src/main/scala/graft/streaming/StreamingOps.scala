@@ -596,6 +596,62 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start")
   }
 
+  /** q208: STREAM–STREAM JOIN CHAINED INTO A WINDOWED AGGREGATION —
+    * the two heaviest stateful operators composed in ONE query (the
+    * attribution dashboard: per half-hour, how many click-attributed
+    * purchase pairs landed, and how many had a click within the last
+    * hour). q62 gates the interval join, q111 the windowed agg, q139
+    * agg→agg chaining; this row gates JOIN→agg — the composition
+    * Spark's multiple-stateful-operator support (3.4+) exists for.
+    *
+    * Emission rule (the thing gated, measured empirically and exact at
+    * every SF): the join emits pairs as matches form, but Spark
+    * propagates a DELAYED watermark past a stream–stream join — the
+    * global frontier (min of the two branch maxima, both 0 s delay)
+    * minus the join's maximum event-time buffering range (6 h here, from
+    * `click_ts ≥ purchase_ts − 6 h`) — so the downstream window
+    * finalizes only at `w_end ≤ least(max purchase ts, max click ts)
+    * − 6 h`. That conservatism is the implementation's answer to pairs
+    * that could still form against buffered state; the oracle applies
+    * exactly that frontier (a min-frontier-only oracle diverges at
+    * sf0.01+ — 7/709 tail windows withheld). State: the join buffers
+    * each side only inside the interval constraint; the agg holds open
+    * windows — both watermark-bounded.
+    */
+  def q208JoinThenWindow(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    def branch(): DataFrame = normalizeTs(raw,
+      spark.readStream.schema(raw).option("basePath", dir)
+        .parquet(s"$dir/events.parque[t]"))
+    val clicks = branch()
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = branch()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 6 HOURS") &&
+        col("click_ts") <= col("purchase_ts"))
+    val agg = joined
+      .groupBy(window(col("purchase_ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"), 1L)
+          .otherwise(0L)).as("n_near"))
+    val name = s"q208_jw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg
+      .select(col("window.start").as("w_start"), col("n_pairs"), col("n_near"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("w_start")
+  }
+
   /** q139: CHAINED streaming aggregation — two stateful window
     * aggregations in ONE streaming query (Spark's multiple-stateful-
     * operator support): 1-minute tumbling partials per event_type
@@ -1032,6 +1088,7 @@ object StreamingOps extends QueryModule {
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
     "q200_stream_topk" -> (q200StreamTopK _),
     "q201_stream_distinct" -> (q201StreamDistinct _),
+    "q208_join_then_window" -> (q208JoinThenWindow _),
     "q139_chained_window_agg" -> (q139ChainedWindowAgg _),
     "q126_stream_dedup" -> (q126StreamDedup _),
     "q58_window_tumbling" -> (q58WindowTumbling _),
@@ -1158,6 +1215,35 @@ object StreamingOps extends QueryModule {
     // q58's buckets under the append-mode finalization rule: a bucket
     // has emitted only if the final watermark (max event time, 0 s
     // delay) is at or past its end
+    // batch interval join + the window census under the JOIN-DELAYED
+    // frontier: least of the branch maxima (the q154 device) MINUS the
+    // join's 6 h buffering range — Spark's post-join watermark rule
+    "q208_join_then_window" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.purchase_ts, c.click_ts
+        |  FROM p JOIN c ON p.user_id = c.click_user
+        |   AND c.click_ts >= p.purchase_ts - INTERVAL 6 HOUR
+        |   AND c.click_ts <= p.purchase_ts),
+        |m AS (
+        |  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        |               (SELECT max(ts) FROM events WHERE event_type = 'click'))
+        |           - INTERVAL 6 HOUR AS wm),
+        |b AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTES, purchase_ts) AS w_start,
+        |         purchase_ts, click_ts
+        |  FROM j)
+        |SELECT w_start, count(*)::BIGINT AS n_pairs,
+        |       sum(CASE WHEN click_ts >= purchase_ts - INTERVAL 1 HOUR
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_near
+        |FROM b CROSS JOIN m
+        |WHERE w_start + INTERVAL 30 MINUTES <= m.wm
+        |GROUP BY w_start ORDER BY w_start""".stripMargin,
     // q190's full register replay, windowed: distinct hashes per CLOSED
     // window, exact-integer harmonic sum, identical estimate chain
     "q201_stream_distinct" ->
