@@ -179,6 +179,25 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q194 perceptual-hash near-dup: candidates come from the band equi-join, never a pair product") {
+    // no positive equi-join assert: on the fixture AQE's
+    // PropagateEmptyRelation collapses the (empty) candidate side and
+    // optimizes the joins away entirely — itself a scale win; the gate
+    // is that NOTHING ever plans a pair product, and the logical plan
+    // contains the band-key equi-join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = TextQueries.q194PerceptualHash(spark, dir)
+      val plan = finalPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+      val logical = df.queryExecution.optimizedPlan.toString
+      assert(logical.contains("band_id") && logical.contains("band_val"),
+        s"band keys missing from logical plan:\n$logical")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q191 spatial grid join: candidate pairs come from a cell equi-join, never a distance theta join") {
     // a raw d² ≤ r² predicate would plan BroadcastNestedLoopJoin; the
     // 3×3 grid replication must turn it into a hash/merge join on the
