@@ -775,7 +775,61 @@ object SimilarityQueries extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** q210: MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
+    * SIGIR '98) — the diversification pass a RAG/retrieval pipeline runs
+    * on its candidate pool: after q44's relevance top-k', iteratively
+    * pick argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) (λ=½), so each
+    * pick is relevant AND far from what's already selected.
+    *
+    * Scale shape: the CORPUS pays exactly one top-k' TakeOrderedAndProject
+    * (the q44 kernel); everything after — the k'² pairwise sims and the
+    * k greedy rounds — runs on the BOUNDED pool (12 rows here), with
+    * each round an argmax struct-min over ≤k' rows and the loop unrolled
+    * into the plan (the q77/q165 round device, localCheckpoint per
+    * round). Determinism: all sims round to 6 before any comparison
+    * (the q44 ordering contract), argmax ties break on vec_id, and the
+    * MMR chain (sq − maxpair)/2 is one fixed op sequence — the oracle
+    * unrolls the identical greedy trajectory.
+    */
+  def q210MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val kPool = 12
+    val emb = Tables.embeddings(spark, dir)
+    val cand = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id"), col("embedding"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sq"))
+      .orderBy(col("sq").desc, col("vec_id").asc).limit(kPool)
+      .localCheckpoint()
+    val pair = cand.as("a")
+      .join(cand.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 6).as("sp"))
+      .localCheckpoint()
+    var selected = cand
+      .orderBy(col("sq").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id"), lit(1L).as("rank"), col("sq").as("mmr"))
+      .localCheckpoint()
+    for (r <- 2 to 3) {
+      val pen = cand
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(pair, col("vec_id") === col("i"))
+        .join(selected.select(col("vec_id").as("j")), Seq("j"))
+        .groupBy(col("vec_id"), col("sq"))
+        .agg(max(col("sp")).as("mp"))
+      val next = pen
+        .select(col("vec_id"), ((col("sq") - col("mp")) / lit(2.0d)).as("mmr"))
+        .agg(min(struct((-col("mmr")).as("nm"), col("vec_id"))).as("m"))
+        .select(col("m.vec_id").as("vec_id"), lit(r.toLong).as("rank"),
+          (-col("m.nm")).as("mmr"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected.join(cand.select(col("vec_id"), col("sq")), Seq("vec_id"))
+      .select(col("rank"), col("vec_id"), col("sq"), round(col("mmr"), 6).as("mmr"))
+      .orderBy("rank")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_mmr_rerank" -> (q210MmrRerank _),
     "q105_knn_label" -> (q105KnnLabel _),
     "q68_quantized_cosine" -> (q68QuantizedCosine _),
     "q84_srp_lsh" -> (q84SrpLsh _),
@@ -897,6 +951,43 @@ object SimilarityQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // the identical greedy trajectory unrolled: same rounded sims, same
+    // (mmr desc, vec_id) argmax per round, same (sq − maxpair)/2 chain
+    "q210_mmr_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT a.vec_id, a.embedding, round($oracleCos, 6) + 0.0 AS sq
+        |  FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
+        |  ORDER BY sq DESC, a.vec_id LIMIT 12),
+        |pair AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |         round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                      b.embedding::DOUBLE[]), 6) + 0.0 AS sp
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        |s1 AS (
+        |  SELECT vec_id, sq, 1 AS rank, sq AS mmr
+        |  FROM cand ORDER BY sq DESC, vec_id LIMIT 1),
+        |r2 AS (
+        |  SELECT c.vec_id, c.sq, (c.sq - max(p.sp)) / 2.0 AS mmr
+        |  FROM cand c JOIN pair p ON p.i = c.vec_id
+        |   AND p.j IN (SELECT vec_id FROM s1)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  GROUP BY c.vec_id, c.sq),
+        |s2 AS (SELECT vec_id, sq, 2 AS rank, mmr FROM r2
+        |       ORDER BY mmr DESC, vec_id LIMIT 1),
+        |r3 AS (
+        |  SELECT c.vec_id, c.sq, (c.sq - max(p.sp)) / 2.0 AS mmr
+        |  FROM cand c JOIN pair p ON p.i = c.vec_id
+        |   AND p.j IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1
+        |                         UNION ALL SELECT vec_id FROM s2)
+        |  GROUP BY c.vec_id, c.sq),
+        |s3 AS (SELECT vec_id, sq, 3 AS rank, mmr FROM r3
+        |       ORDER BY mmr DESC, vec_id LIMIT 1)
+        |SELECT rank::BIGINT AS rank, vec_id, sq, round(mmr, 6) + 0.0 AS mmr
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3)
+        |ORDER BY rank""".stripMargin,
     // the WHOLE approximate pipeline replayed: integer-grid snap, exact
     // BIGINT dots/norms, the single-chain double scores (bit-identical
     // by IEEE exact rounding on identical operands — no accumulation
