@@ -828,7 +828,48 @@ object SimilarityQueries extends QueryModule {
       .orderBy("rank")
   }
 
+  /** q211: HARD-NEGATIVE MINING for contrastive training — per anchor
+    * (a deterministic 1/37 id-sample), the most similar SAME-label
+    * vector (the positive) and the most similar DIFFERENT-label vector
+    * (the hard negative): the pair-construction pass behind every
+    * embedding fine-tune (SimCSE/DPR-style), where random negatives are
+    * too easy and the highest-similarity wrong-label items carry the
+    * gradient signal.
+    *
+    * Scale shape: the anchor set broadcasts (bounded sample), the
+    * corpus scans ONCE, and both argmaxes fold in the SAME partial
+    * agg (conditional struct-max per anchor — map-side reduces to two
+    * structs per anchor per partition; no ranking window, no pair
+    * materialization). The production path swaps the brute scan for
+    * q63's IVF probe, same downstream. Determinism: the q44 contract —
+    * cosine rounded to 6 before comparison, ties on candidate id.
+    */
+  def q211HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("anchor"), col("label").as("a_label"),
+        col("embedding").as("a_emb"))
+    emb.select(col("vec_id").as("cand"), col("label").as("c_label"),
+        col("embedding").as("c_emb"))
+      .join(broadcast(anchors), col("cand") =!= col("anchor"))
+      .select(col("anchor"), col("a_label"), col("cand"), col("c_label"),
+        round(VectorOps.cosine(col("a_emb"), col("c_emb")), 6).as("cos"))
+      .groupBy("anchor", "a_label")
+      .agg(
+        max(when(col("c_label") === col("a_label"),
+          struct(col("cos"), (-col("cand")).as("nid")))).as("p"),
+        max(when(col("c_label") =!= col("a_label"),
+          struct(col("cos"), (-col("cand")).as("nid")))).as("n"))
+      // anchors lacking either class drop, mirroring the oracle's inner join
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("anchor"), col("a_label").cast("long").as("label"),
+        (-col("p.nid")).as("pos_id"), col("p.cos").as("pos_cos"),
+        (-col("n.nid")).as("neg_id"), col("n.cos").as("neg_cos"))
+      .orderBy("anchor")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_hard_negatives" -> (q211HardNegatives _),
     "q210_mmr_rerank" -> (q210MmrRerank _),
     "q105_knn_label" -> (q105KnnLabel _),
     "q68_quantized_cosine" -> (q68QuantizedCosine _),
@@ -951,6 +992,31 @@ object SimilarityQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // per-anchor argmax over both label classes, same rounded cosines,
+    // tie on candidate id via QUALIFY — bit-identical
+    "q211_hard_negatives" ->
+      """WITH a AS (
+        |  SELECT vec_id AS anchor, label AS a_label, embedding AS a_emb
+        |  FROM embeddings WHERE vec_id % 37 = 0),
+        |s AS (
+        |  SELECT a.anchor, a.a_label, e.vec_id AS cand, e.label AS c_label,
+        |         round(list_cosine_similarity(a.a_emb::DOUBLE[],
+        |                                      e.embedding::DOUBLE[]), 6) + 0.0 AS cos
+        |  FROM a JOIN embeddings e ON e.vec_id <> a.anchor),
+        |p AS (
+        |  SELECT anchor, a_label, cand AS pos_id, cos AS pos_cos
+        |  FROM s WHERE c_label = a_label
+        |  QUALIFY row_number() OVER (PARTITION BY anchor
+        |                             ORDER BY cos DESC, cand ASC) = 1),
+        |n AS (
+        |  SELECT anchor, cand AS neg_id, cos AS neg_cos
+        |  FROM s WHERE c_label <> a_label
+        |  QUALIFY row_number() OVER (PARTITION BY anchor
+        |                             ORDER BY cos DESC, cand ASC) = 1)
+        |SELECT p.anchor, p.a_label::BIGINT AS label, p.pos_id, p.pos_cos,
+        |       n.neg_id, n.neg_cos
+        |FROM p JOIN n USING (anchor)
+        |ORDER BY p.anchor""".stripMargin,
     // the identical greedy trajectory unrolled: same rounded sims, same
     // (mmr desc, vec_id) argmax per round, same (sq − maxpair)/2 chain
     "q210_mmr_rerank" ->
