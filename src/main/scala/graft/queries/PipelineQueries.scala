@@ -642,7 +642,38 @@ object PipelineQueries extends QueryModule {
       .orderBy("pos")
   }
 
+  /** q212: LEAKAGE-SAFE train/val/test split — the assignment is made
+    * per DUPLICATE CLUSTER, not per document: a near-dup pair split
+    * across train and test is silent eval contamination (the q73
+    * decontamination failure mode created at split time), so the md5
+    * draw hashes the CLUSTER key (the q205 prefix-64 blocking hash) and
+    * every member inherits it. The output carries the split census
+    * (docs, clusters, id-sum pin) AND the leakage audit — clusters
+    * spanning >1 split, computed the honest way from the assignment
+    * (zero by construction; the audit is the query's point).
+    *
+    * Scale: two hash aggs on the cluster key + a 1-row audit broadcast;
+    * the 80/10/10 draw is one scan-local md5 byte compare (the q69
+    * stratified-sample device, keyed by cluster).
+    */
+  def q212LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("h"))
+      .withColumn("b", conv(substring(md5(col("h")), 1, 2), 16, 10).cast("long"))
+      .withColumn("split",
+        when(col("b") < 204, lit("train"))
+          .when(col("b") < 230, lit("val")).otherwise(lit("test")))
+    val audit = assigned.groupBy("h").agg(countDistinct("split").as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leak_clusters"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("h").as("n_clusters"),
+        sum("doc_id").as("id_sum"))
+      .crossJoin(broadcast(audit))
+      .orderBy("split")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_leakage_safe_split" -> (q212LeakageSafeSplit _),
     "q140_pagerank" -> (q140Pagerank _),
     "q160_triangle_count" -> (q160TriangleCount _),
     "q168_water_fill" -> (q168WaterFill _),
@@ -740,6 +771,25 @@ object PipelineQueries extends QueryModule {
       |  FROM r2 CROSS JOIN k)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same cluster hash, same md5-byte draw, same census + audit
+    "q212_leakage_safe_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(substr(text, 1, 64)) AS h FROM documents),
+        |a AS (
+        |  SELECT doc_id, h,
+        |         CASE WHEN ('0x' || substr(md5(h), 1, 2))::BIGINT < 204 THEN 'train'
+        |              WHEN ('0x' || substr(md5(h), 1, 2))::BIGINT < 230 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM d),
+        |audit AS (
+        |  SELECT sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)::BIGINT AS leak_clusters
+        |  FROM (SELECT h, count(DISTINCT split) AS ns FROM a GROUP BY h))
+        |SELECT split, count(*)::BIGINT AS n_docs,
+        |       count(DISTINCT h)::BIGINT AS n_clusters,
+        |       sum(doc_id)::BIGINT AS id_sum, audit.leak_clusters
+        |FROM a CROSS JOIN audit
+        |GROUP BY split, audit.leak_clusters
+        |ORDER BY split""".stripMargin,
     "q140_pagerank" -> oraclePagerank,
     // q151's integer quality signal, per-source rank, rank-major
     // interleave — the same exact-integer trajectory

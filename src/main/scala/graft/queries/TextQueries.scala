@@ -57,7 +57,9 @@ object TextQueries extends QueryModule {
     * predicted lang × count). Argmax with a fixed lang-priority tiebreak,
     * expressed as a when-chain so both engines evaluate identically.
     */
-  def q48LangId(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document (lang, pred_lang) through the q48 scoring chain —
+    * shared by q48 (confusion census) and q213 (derived metrics). */
+  private def langPred(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documentsSpread(spark, dir)
       .withColumn("ws", split(col("text"), " "))
       .withColumn("sc", multiScoreCol)
@@ -70,11 +72,14 @@ object TextQueries extends QueryModule {
         .reduce(_ && _)
       when(geAll, lit(l)).otherwise(rest)
     }
-    scored.withColumn("pred_lang", pred)
+    scored.withColumn("pred_lang", pred).select(col("lang"), col("pred_lang"))
+  }
+
+  def q48LangId(spark: SparkSession, dir: String): DataFrame =
+    langPred(spark, dir)
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
-  }
 
   /** q49: document quality scoring — length, vocabulary diversity,
     * stopword ratio, average word length, combined into a weighted score;
@@ -669,6 +674,52 @@ object TextQueries extends QueryModule {
         coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
         col("m.nbr").as("best_nbr"), col("m.hd").as("best_hd"))
       .orderBy("doc_id")
+  }
+
+  /** q213: CLASSIFIER EVALUATION — per-class precision/recall/F1 plus
+    * overall accuracy and Cohen's κ for the q48 language identifier
+    * against the fixture's ground-truth lang column: the model-eval
+    * report every curation classifier (q48 lang-ID, q151 quality)
+    * ships with. All counts come from the confusion matrix (one hash
+    * agg over the scored scan); every metric is ONE exact-integer
+    * divide — F1 as 2·tp/(2·tp+fp+fn) and κ as
+    * (N·Σtp − Σrow·col)/(N² − Σrow·col), so even κ needs no float
+    * intermediate — bit-identical under round 6. Classes with zero
+    * predictions get precision/F1 = 0 by the explicit CASE both
+    * engines state.
+    */
+  def q213ClassifierEval(spark: SparkSession, dir: String): DataFrame = {
+    val conf = langPred(spark, dir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // tiny; feeds five aggregates
+    val rowsT = conf.groupBy("lang").agg(sum("n").as("rc"))
+    val colsT = conf.groupBy(col("pred_lang").as("lang")).agg(sum("n").as("cc"))
+    val tp = conf.groupBy("lang")
+      .agg(sum(when(col("pred_lang") === col("lang"), col("n")).otherwise(0L)).as("tp"))
+    val glob = conf.agg(sum("n").as("nn"),
+        sum(when(col("pred_lang") === col("lang"), col("n")).otherwise(0L)).as("sumtp"))
+      .crossJoin(broadcast(rowsT.join(colsT, Seq("lang"), "left")
+        .agg(sum(col("rc") * coalesce(col("cc"), lit(0L))).as("sumrc"))))
+      .select(
+        round(col("sumtp").cast("double") / col("nn").cast("double"), 6).as("accuracy"),
+        round((col("nn") * col("sumtp") - col("sumrc")).cast("double") /
+          (col("nn") * col("nn") - col("sumrc")).cast("double"), 6).as("kappa"))
+    tp.join(rowsT, Seq("lang")).join(colsT, Seq("lang"), "left")
+      .select(col("lang"), col("tp"),
+        (coalesce(col("cc"), lit(0L)) - col("tp")).as("fp"),
+        (col("rc") - col("tp")).as("fn"),
+        round(when(coalesce(col("cc"), lit(0L)) > 0,
+          col("tp").cast("double") / col("cc").cast("double")).otherwise(lit(0.0d)), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / col("rc").cast("double"), 6).as("recall"),
+        round(when(lit(2L) * col("tp") + (coalesce(col("cc"), lit(0L)) - col("tp")) +
+            (col("rc") - col("tp")) > 0,
+          lit(2.0d) * col("tp").cast("double") /
+            (lit(2L) * col("tp") + (coalesce(col("cc"), lit(0L)) - col("tp")) +
+              (col("rc") - col("tp"))).cast("double")).otherwise(lit(0.0d)), 6)
+          .as("f1"))
+      .crossJoin(broadcast(glob))
+      .orderBy("lang")
   }
 
   /** q202: VIDEO scene-change segmentation — the shot-boundary pass a
@@ -1321,6 +1372,7 @@ object TextQueries extends QueryModule {
     "q198_audio_segments" -> (q198AudioSegments _),
     "q199_quantile_normalize" -> (q199QuantileNormalize _),
     "q202_video_scenes" -> (q202VideoScenes _),
+    "q213_classifier_eval" -> (q213ClassifierEval _),
     "q157_dataset_card" -> (q157DatasetCard _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
@@ -2027,6 +2079,49 @@ object TextQueries extends QueryModule {
       s"""$predSql
         |SELECT lang, pred_lang, count(*)::BIGINT AS n
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the same confusion matrix folded into the eval report: one exact
+    // integer divide per metric (F1 and κ included) — bit-identical
+    "q213_classifier_eval" ->
+      s"""$predSql,
+        |conf AS (
+        |  SELECT lang, pred_lang, count(*)::BIGINT AS n
+        |  FROM p GROUP BY lang, pred_lang),
+        |rows_ AS (SELECT lang, sum(n)::BIGINT AS rc FROM conf GROUP BY lang),
+        |cols_ AS (SELECT pred_lang AS lang, sum(n)::BIGINT AS cc
+        |          FROM conf GROUP BY pred_lang),
+        |tpt AS (
+        |  SELECT lang,
+        |         sum(CASE WHEN pred_lang = lang THEN n ELSE 0 END)::BIGINT AS tp
+        |  FROM conf GROUP BY lang),
+        |tot AS (
+        |  SELECT sum(n)::BIGINT AS nn,
+        |         sum(CASE WHEN pred_lang = lang THEN n ELSE 0 END)::BIGINT AS sumtp
+        |  FROM conf),
+        |pe AS (
+        |  SELECT sum(r.rc * coalesce(c.cc, 0))::BIGINT AS sumrc
+        |  FROM rows_ r LEFT JOIN cols_ c USING (lang)),
+        |g AS (
+        |  SELECT round(tot.sumtp::DOUBLE / tot.nn::DOUBLE, 6) + 0.0 AS accuracy,
+        |         round((tot.nn * tot.sumtp - pe.sumrc)::DOUBLE
+        |               / (tot.nn * tot.nn - pe.sumrc)::DOUBLE, 6) + 0.0 AS kappa
+        |  FROM tot CROSS JOIN pe)
+        |SELECT t.lang, t.tp,
+        |       (coalesce(c.cc, 0) - t.tp)::BIGINT AS fp,
+        |       (r.rc - t.tp)::BIGINT AS fn,
+        |       round(CASE WHEN coalesce(c.cc, 0) > 0
+        |                  THEN t.tp::DOUBLE / c.cc::DOUBLE ELSE 0.0 END, 6) + 0.0
+        |         AS precision,
+        |       round(t.tp::DOUBLE / r.rc::DOUBLE, 6) + 0.0 AS recall,
+        |       round(CASE WHEN 2 * t.tp + (coalesce(c.cc, 0) - t.tp)
+        |                         + (r.rc - t.tp) > 0
+        |                  THEN 2.0 * t.tp::DOUBLE
+        |                       / (2 * t.tp + (coalesce(c.cc, 0) - t.tp)
+        |                          + (r.rc - t.tp))::DOUBLE
+        |                  ELSE 0.0 END, 6) + 0.0 AS f1,
+        |       g.accuracy, g.kappa
+        |FROM tpt t JOIN rows_ r USING (lang)
+        |LEFT JOIN cols_ c USING (lang) CROSS JOIN g
+        |ORDER BY t.lang""".stripMargin,
     "q49_quality" ->
       """WITH m AS (
         |  SELECT lang, len(ws) AS n_words,
