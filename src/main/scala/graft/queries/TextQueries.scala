@@ -72,7 +72,12 @@ object TextQueries extends QueryModule {
         .reduce(_ && _)
       when(geAll, lit(l)).otherwise(rest)
     }
-    scored.withColumn("pred_lang", pred).select(col("lang"), col("pred_lang"))
+    scored.withColumn("pred_lang", pred)
+      // top-1 − top-2 score gap: the integer CONFIDENCE margin (q214)
+      .withColumn("margin", expr(
+        s"sort_array(array(${langs.map(l => s"s_$l").mkString(", ")}), false)[0] - " +
+          s"sort_array(array(${langs.map(l => s"s_$l").mkString(", ")}), false)[1]"))
+      .select(col("lang"), col("pred_lang"), col("margin").cast("long").as("margin"))
   }
 
   def q48LangId(spark: SparkSession, dir: String): DataFrame =
@@ -721,6 +726,31 @@ object TextQueries extends QueryModule {
       .crossJoin(broadcast(glob))
       .orderBy("lang")
   }
+
+  /** q214: CONFIDENCE CALIBRATION of the q48 language identifier —
+    * accuracy as a function of the model's confidence margin (top-1 −
+    * top-2 score gap): the reliability report that decides where a
+    * curation pipeline can TRUST the cheap classifier and where it must
+    * route to a stronger model (the q151/q48 routing threshold is read
+    * off this table). Margins are exact integers (word-count scores),
+    * buckets a fixed CASE ladder (no quantile float boundary), accuracy
+    * one exact divide per bucket — bit-identical.
+    */
+  def q214ConfidenceCalibration(spark: SparkSession, dir: String): DataFrame =
+    langPred(spark, dir)
+      .withColumn("bucket",
+        when(col("margin") === 0, lit("b0_tie"))
+          .when(col("margin") <= 2, lit("b1_1_2"))
+          .when(col("margin") <= 5, lit("b2_3_5"))
+          .when(col("margin") <= 10, lit("b3_6_10"))
+          .otherwise(lit("b4_gt10")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("bucket"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n").cast("double"), 6)
+          .as("accuracy"))
+      .orderBy("bucket")
 
   /** q202: VIDEO scene-change segmentation — the shot-boundary pass a
     * video curation pipeline runs before frame sampling: consecutive
@@ -1373,6 +1403,7 @@ object TextQueries extends QueryModule {
     "q199_quantile_normalize" -> (q199QuantileNormalize _),
     "q202_video_scenes" -> (q202VideoScenes _),
     "q213_classifier_eval" -> (q213ClassifierEval _),
+    "q214_confidence_calibration" -> (q214ConfidenceCalibration _),
     "q157_dataset_card" -> (q157DatasetCard _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
@@ -1396,7 +1427,11 @@ object TextQueries extends QueryModule {
     s"""WITH s AS (
        |  SELECT lang, $scores
        |  FROM documents),
-       |p AS (SELECT lang, CASE $chain ELSE '${langs.last}' END AS pred_lang FROM s)""".stripMargin
+       |p AS (SELECT lang, CASE $chain ELSE '${langs.last}' END AS pred_lang,
+       |             (list_reverse_sort([${langs.map(l => s"s_$l").mkString(", ")}])[1]
+       |              - list_reverse_sort([${langs.map(l => s"s_$l").mkString(", ")}])[2])::BIGINT
+       |               AS margin
+       |      FROM s)""".stripMargin
   }
 
   /** One unrolled BPE training round (q165/q167 shared): pair census →
@@ -2079,6 +2114,20 @@ object TextQueries extends QueryModule {
       s"""$predSql
         |SELECT lang, pred_lang, count(*)::BIGINT AS n
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same integer margins, same CASE-ladder buckets, one divide per
+    // bucket — bit-identical
+    "q214_confidence_calibration" ->
+      s"""$predSql
+        |SELECT CASE WHEN margin = 0 THEN 'b0_tie'
+        |            WHEN margin <= 2 THEN 'b1_1_2'
+        |            WHEN margin <= 5 THEN 'b2_3_5'
+        |            WHEN margin <= 10 THEN 'b3_6_10'
+        |            ELSE 'b4_gt10' END AS bucket,
+        |       count(*)::BIGINT AS n,
+        |       sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+        |       round(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)::DOUBLE
+        |             / count(*)::DOUBLE, 6) + 0.0 AS accuracy
+        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the same confusion matrix folded into the eval report: one exact
     // integer divide per metric (F1 and κ included) — bit-identical
     "q213_classifier_eval" ->
