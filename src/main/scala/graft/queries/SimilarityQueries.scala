@@ -868,7 +868,55 @@ object SimilarityQueries extends QueryModule {
       .orderBy("anchor")
   }
 
+  /** q215: IVF RECALL@k AUDIT — the measurement every approximate index
+    * ships with: for a 1/37 anchor sample, compare the nprobe=1 IVF
+    * top-5 (q105's probe geometry) against the brute-force top-5 ground
+    * truth and report the overlap census + mean recall@5. This is the
+    * number that justifies (or vetoes) the q63/q105 approximate paths
+    * at 100 TB — measured, not guessed, and cheap enough to re-run per
+    * index build because the anchor set is a bounded sample.
+    *
+    * Determinism: both rankings use the q105 single-chain integer-grid
+    * cosine (exact BIGINT dots into one double chain — bit-identical,
+    * no accumulation-order exposure), ties on candidate id; overlap and
+    * recall are exact integers + one divide. Scale: anchors broadcast;
+    * ground truth pays anchors×corpus with a map-side bounded heap (the
+    * q91 shape — no ranking window, no pair materialization); the
+    * approx side restricts to the anchor's list.
+    */
+  def q215IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = gridIvfAssign(spark, dir, 16)
+    val anchors = assigned.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("a_id"), col("list_id").as("a_list"),
+        col("qe").as("a_qe"), col("qn").as("a_qn"))
+    val cands = assigned.select(col("vec_id").as("c_id"),
+      col("list_id").as("c_list"), col("qe").as("c_qe"), col("qn").as("c_qn"))
+    val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(5))
+    def top5(pairs: DataFrame): DataFrame = pairs
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(a_qe, c_qe, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("cos", col("qdot").cast("double") /
+        (sqrt(col("a_qn").cast("double")) * sqrt(col("c_qn").cast("double"))))
+      .groupBy("a_id").agg(topk(col("cos"), col("c_id")).as("top"))
+      .select(col("a_id"), explode(col("top")).as("kv"))
+      .select(col("a_id"), col("kv.id").as("c_id"))
+    val exact = top5(cands.join(broadcast(anchors), col("c_id") =!= col("a_id")))
+    val approx = top5(cands.join(broadcast(anchors),
+      col("c_id") =!= col("a_id") && col("c_list") === col("a_list")))
+    val perAnchor = anchors.select(col("a_id"))
+      .join(exact.join(approx, Seq("a_id", "c_id"))
+        .groupBy("a_id").agg(count(lit(1)).as("nc")), Seq("a_id"), "left")
+      .select(col("a_id"), coalesce(col("nc"), lit(0L)).as("n_common"))
+    val mean = perAnchor.agg(
+      round(sum("n_common").cast("double") /
+        (count(lit(1)) * lit(5)).cast("double"), 6).as("mean_recall"))
+    perAnchor.groupBy("n_common").agg(count(lit(1)).as("n_anchors"))
+      .crossJoin(broadcast(mean))
+      .orderBy("n_common")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_ivf_recall" -> (q215IvfRecall _),
     "q211_hard_negatives" -> (q211HardNegatives _),
     "q210_mmr_rerank" -> (q210MmrRerank _),
     "q105_knn_label" -> (q105KnnLabel _),
@@ -992,6 +1040,42 @@ object SimilarityQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // both rankings replayed on the grid (assignment + single-chain
+    // scores), same tie order, same overlap census — bit-identical
+    "q215_ivf_recall" ->
+      s"""WITH $oracleGridAsg,
+        |an AS (
+        |  SELECT vec_id AS a_id, list_id AS a_list, qe AS a_qe, qn AS a_qn
+        |  FROM asg WHERE vec_id % 37 = 0),
+        |sc AS (
+        |  SELECT an.a_id, an.a_list, c.vec_id AS c_id, c.list_id AS c_list,
+        |         (list_sum([an.a_qe[i] * c.qe[i] FOR i IN range(1, 65)])::BIGINT)::DOUBLE
+        |           / (sqrt(an.a_qn::DOUBLE) * sqrt(c.qn::DOUBLE)) AS cos
+        |  FROM an JOIN asg c ON c.vec_id <> an.a_id),
+        |ex AS (
+        |  SELECT a_id, c_id FROM (
+        |    SELECT a_id, c_id, row_number() OVER (PARTITION BY a_id
+        |             ORDER BY cos DESC, c_id ASC) AS rn FROM sc)
+        |  WHERE rn <= 5),
+        |ap AS (
+        |  SELECT a_id, c_id FROM (
+        |    SELECT a_id, c_id, row_number() OVER (PARTITION BY a_id
+        |             ORDER BY cos DESC, c_id ASC) AS rn
+        |    FROM sc WHERE c_list = a_list)
+        |  WHERE rn <= 5),
+        |ov AS (
+        |  SELECT an.a_id, coalesce(o.cnt, 0)::BIGINT AS n_common
+        |  FROM an LEFT JOIN (
+        |    SELECT e.a_id, count(*)::BIGINT AS cnt
+        |    FROM ex e JOIN ap USING (a_id, c_id) GROUP BY e.a_id) o
+        |    ON o.a_id = an.a_id),
+        |m AS (
+        |  SELECT round(sum(n_common)::DOUBLE / (count(*) * 5)::DOUBLE, 6) + 0.0
+        |           AS mean_recall
+        |  FROM ov)
+        |SELECT n_common, count(*)::BIGINT AS n_anchors, m.mean_recall
+        |FROM ov CROSS JOIN m
+        |GROUP BY n_common, m.mean_recall ORDER BY n_common""".stripMargin,
     // per-anchor argmax over both label classes, same rounded cosines,
     // tie on candidate id via QUALIFY — bit-identical
     "q211_hard_negatives" ->
