@@ -915,8 +915,39 @@ object SimilarityQueries extends QueryModule {
       .orderBy("n_common")
   }
 
+  /** q216: EMBEDDING TABLE AUDIT — the data-quality gate an embedding
+    * store runs before any index build: per label, vector count,
+    * wrong-dimension rows, all-zero vectors (unnormalizable — they
+    * poison cosine math), non-finite components, and the norm² profile
+    * (min/max/mean on the ⌊x·2²⁰+0.5⌋ integer grid — exact BIGINTs, so
+    * min/max are exact and the mean is one divide). One scan, one
+    * partial+final hash agg; every check scan-local.
+    */
+  def q216EmbeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val grid = "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0 + 0.5) as bigint))"
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        size(col("embedding")).as("dim"),
+        expr(s"aggregate($grid, cast(0 as bigint), (s, x) -> s + x * x)").as("qn2"),
+        expr("size(filter(embedding, x -> x != cast(0 as float)))").as("n_nonzero"),
+        expr("size(filter(embedding, x -> isnan(x)))").as("n_nan_comp"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dim") =!= 64, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("n_nonzero") === 0, 1L).otherwise(0L)).as("n_zero_vecs"),
+        sum(when(col("n_nan_comp") > 0, 1L).otherwise(0L)).as("n_nonfinite"),
+        min("qn2").as("min_qn2"), max("qn2").as("max_qn2"),
+        // de-scale off the 2^40 grid (exponent-exact) BEFORE rounding:
+        // round(…, 6) at 1e12 magnitude is below the double's ulp and
+        // the two engines' rounding implementations diverge there
+        round(sum("qn2").cast("double") / count(lit(1)).cast("double")
+          / lit(1099511627776.0d), 6).as("mean_sq_norm"))
+      .orderBy("label")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_ivf_recall" -> (q215IvfRecall _),
+    "q216_embedding_audit" -> (q216EmbeddingAudit _),
     "q211_hard_negatives" -> (q211HardNegatives _),
     "q210_mmr_rerank" -> (q210MmrRerank _),
     "q105_knn_label" -> (q105KnnLabel _),
@@ -1040,6 +1071,24 @@ object SimilarityQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // same grid norms (exact BIGINT min/max), same scan-local checks
+    "q216_embedding_audit" ->
+      """WITH e AS (
+        |  SELECT label::BIGINT AS label, len(embedding)::BIGINT AS dim,
+        |         list_sum([x * x FOR x IN
+        |           [floor(y::DOUBLE * 1048576.0 + 0.5)::BIGINT FOR y IN embedding]])::BIGINT
+        |           AS qn2,
+        |         len(list_filter(embedding, x -> x <> 0::FLOAT))::BIGINT AS n_nonzero,
+        |         len(list_filter(embedding, x -> isnan(x)))::BIGINT AS n_nan_comp
+        |  FROM embeddings)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |       sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END)::BIGINT AS n_bad_dim,
+        |       sum(CASE WHEN n_nonzero = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_vecs,
+        |       sum(CASE WHEN n_nan_comp > 0 THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
+        |       min(qn2)::BIGINT AS min_qn2, max(qn2)::BIGINT AS max_qn2,
+        |       round(sum(qn2)::DOUBLE / count(*)::DOUBLE / 1099511627776.0, 6)
+        |         + 0.0 AS mean_sq_norm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
     // both rankings replayed on the grid (assignment + single-chain
     // scores), same tie order, same overlap census — bit-identical
     "q215_ivf_recall" ->

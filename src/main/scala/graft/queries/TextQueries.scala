@@ -752,6 +752,34 @@ object TextQueries extends QueryModule {
           .as("accuracy"))
       .orderBy("bucket")
 
+  /** q217: DEDUP-WEIGHTED TOKEN BUDGET — the number a pretraining run
+    * actually plans against: raw token counts per source versus tokens
+    * counted ONCE per distinct text (the cluster representative = min
+    * doc_id, so cross-source duplicates credit exactly one source),
+    * plus the dedup ratio. The gap between raw and unique columns IS
+    * the wasted-epoch fraction exact dedup (q40) reclaims; q107/q117's
+    * budget allocators should consume the unique column, and this row
+    * makes the difference auditable.
+    *
+    * All-integer: whitespace token counts (the q50 kernel), md5 content
+    * key, min-id representative, two hash aggs + one key equi-join.
+    */
+  def q217TokenBudgetDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+    val rep = docs.groupBy("h").agg(min("doc_id").as("rep_id"))
+    docs.join(rep, Seq("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("raw_tokens"),
+        sum(when(col("doc_id") === col("rep_id"), col("ntok")).otherwise(0L))
+          .as("unique_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"), col("unique_tokens"),
+        round(col("unique_tokens").cast("double") / col("raw_tokens").cast("double"), 6)
+          .as("unique_ratio"))
+      .orderBy("source")
+  }
+
   /** q202: VIDEO scene-change segmentation — the shot-boundary pass a
     * video curation pipeline runs before frame sampling: consecutive
     * 32-byte frames (stride 1 — every frame, unlike q131's keyframe
@@ -1404,6 +1432,7 @@ object TextQueries extends QueryModule {
     "q202_video_scenes" -> (q202VideoScenes _),
     "q213_classifier_eval" -> (q213ClassifierEval _),
     "q214_confidence_calibration" -> (q214ConfidenceCalibration _),
+    "q217_token_budget_dedup" -> (q217TokenBudgetDedup _),
     "q157_dataset_card" -> (q157DatasetCard _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
@@ -2114,6 +2143,22 @@ object TextQueries extends QueryModule {
       s"""$predSql
         |SELECT lang, pred_lang, count(*)::BIGINT AS n
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same content keys, same min-id representatives, integer sums +
+    // one divide — bit-identical
+    "q217_token_budget_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS h,
+        |         len(string_split(text, ' '))::BIGINT AS ntok
+        |  FROM documents),
+        |r AS (SELECT h, min(doc_id)::BIGINT AS rep_id FROM d GROUP BY h)
+        |SELECT d.source, count(*)::BIGINT AS n_docs,
+        |       sum(d.ntok)::BIGINT AS raw_tokens,
+        |       sum(CASE WHEN d.doc_id = r.rep_id THEN d.ntok ELSE 0 END)::BIGINT
+        |         AS unique_tokens,
+        |       round(sum(CASE WHEN d.doc_id = r.rep_id THEN d.ntok ELSE 0 END)::DOUBLE
+        |             / sum(d.ntok)::DOUBLE, 6) + 0.0 AS unique_ratio
+        |FROM d JOIN r USING (h)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // same integer margins, same CASE-ladder buckets, one divide per
     // bucket — bit-identical
     "q214_confidence_calibration" ->
