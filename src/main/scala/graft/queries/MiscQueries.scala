@@ -1033,7 +1033,44 @@ object MiscQueries extends QueryModule {
       .orderBy("day", "hr")
   }
 
+  /** q218: ERASURE SWEEP audit (right-to-be-forgotten) — given a
+    * deletion cohort (a deterministic ~5% md5 draw standing in for the
+    * request list), report per table what must go (row counts, share,
+    * id-sum pin for the downstream delete job) AND verify the
+    * post-erasure state honestly: the residual-match count is computed
+    * by re-scanning the anti-joined remainder, not assumed zero. The
+    * per-table plan is one scan with a scan-local selector (the md5
+    * pushes into the scan; no join against a request table — at 100 TB
+    * the request list form of this query is q73's Bloom-prefilter
+    * shape). Covers the three key spaces the star schema links:
+    * event users, customers, and their orders.
+    */
+  def q218ErasureSweep(spark: SparkSession, dir: String): DataFrame = {
+    def sel(key: Column): Column =
+      conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("long") < 13
+    def audit(name: String, df: DataFrame, key: Column): DataFrame = {
+      val flagged = df.select(key.as("k")).withColumn("del", sel(col("k")))
+      val main = flagged.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("del"), 1L).otherwise(0L)).as("n_to_erase"),
+        round(sum(when(col("del"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("erase_pct"),
+        sum(when(col("del"), col("k")).otherwise(0L)).as("erase_key_sum"))
+      val resid = flagged.filter(!col("del"))
+        .agg(sum(when(sel(col("k")), 1L).otherwise(0L)).as("n_residual"))
+      main.crossJoin(broadcast(resid))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_to_erase"),
+          col("erase_pct"), col("erase_key_sum"),
+          coalesce(col("n_residual"), lit(0L)).as("n_residual"))
+    }
+    audit("customer", Tables.customer(spark, dir), col("c_custkey"))
+      .unionByName(audit("events_users", Tables.events(spark, dir), col("user_id")))
+      .unionByName(audit("orders", Tables.orders(spark, dir), col("o_custkey")))
+      .orderBy("table_name")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_erasure_sweep" -> (q218ErasureSweep _),
     "q204_benford" -> (q204Benford _),
     "q206_lead_lag" -> (q206LeadLag _),
     "q207_seasonal_anomaly" -> (q207SeasonalAnomaly _),
@@ -1071,6 +1108,37 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same md5 cohort, same per-table census, residual computed from
+    // the anti-joined remainder — bit-identical
+    "q218_erasure_sweep" ->
+      """WITH a AS (
+        |  SELECT 'customer' AS table_name, c_custkey AS k,
+        |         ('0x' || substr(md5(c_custkey::VARCHAR), 1, 2))::BIGINT < 13 AS del
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'events_users', user_id,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT < 13
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'orders', o_custkey,
+        |         ('0x' || substr(md5(o_custkey::VARCHAR), 1, 2))::BIGINT < 13
+        |  FROM orders),
+        |m AS (
+        |  SELECT table_name, count(*)::BIGINT AS n_rows,
+        |         sum(CASE WHEN del THEN 1 ELSE 0 END)::BIGINT AS n_to_erase,
+        |         round(sum(CASE WHEN del THEN 1 ELSE 0 END)::DOUBLE
+        |               / count(*)::DOUBLE, 6) + 0.0 AS erase_pct,
+        |         sum(CASE WHEN del THEN k ELSE 0 END)::BIGINT AS erase_key_sum
+        |  FROM a GROUP BY table_name),
+        |r AS (
+        |  SELECT table_name,
+        |         coalesce(sum(CASE WHEN ('0x' || substr(md5(k::VARCHAR), 1, 2))::BIGINT < 13
+        |                           THEN 1 ELSE 0 END), 0)::BIGINT AS n_residual
+        |  FROM a WHERE NOT del GROUP BY table_name)
+        |SELECT m.table_name, m.n_rows, m.n_to_erase, m.erase_pct,
+        |       m.erase_key_sum, coalesce(r.n_residual, 0)::BIGINT AS n_residual
+        |FROM m LEFT JOIN r USING (table_name)
+        |ORDER BY m.table_name""".stripMargin,
     // same integer digit census; ln-chain shares under round 4
     "q204_benford" ->
       """WITH d AS (

@@ -780,6 +780,42 @@ object TextQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q219: POPULATION STABILITY INDEX — the production drift monitor
+    * (PSI = Σ (pₐ−p_b)·ln(pₐ/p_b) over feature buckets; >0.2 = retrain
+    * alarm) between two cohorts, here a deterministic md5 half-split of
+    * the corpus standing in for yesterday/today (production swaps the
+    * split column for the ingest date; same plan). Exact integer bucket
+    * counts from ONE hash agg, probabilities one divide each, the ln
+    * term under round 6 (the q93 argument); zero-count buckets are
+    * excluded by the same explicit predicate in both engines (PSI is
+    * undefined there — production smooths, the gate must not hide it).
+    */
+  def q219PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsSpread(spark, dir)
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long") < 128).as("is_a"),
+        when(col("n_chars") < 150, lit("b0_lt150"))
+          .when(col("n_chars") < 250, lit("b1_150_250"))
+          .when(col("n_chars") < 350, lit("b2_250_350"))
+          .when(col("n_chars") < 450, lit("b3_350_450"))
+          .otherwise(lit("b4_ge450")).as("bucket"))
+    val cell = d.groupBy("bucket").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val tot = cell.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val terms = cell.crossJoin(broadcast(tot))
+      .filter(col("ca") > 0 && col("cb") > 0)
+      .withColumn("pa", col("ca").cast("double") / col("na").cast("double"))
+      .withColumn("pb", col("cb").cast("double") / col("nb").cast("double"))
+      .withColumn("term", (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+    terms.crossJoin(broadcast(
+        terms.agg(round(sum("term"), 6).as("psi"))))
+      .select(col("bucket"), col("ca"), col("cb"),
+        round(col("term"), 6).as("term"), col("psi"))
+      .orderBy("bucket")
+  }
+
   /** q202: VIDEO scene-change segmentation — the shot-boundary pass a
     * video curation pipeline runs before frame sampling: consecutive
     * 32-byte frames (stride 1 — every frame, unlike q131's keyframe
@@ -1433,6 +1469,7 @@ object TextQueries extends QueryModule {
     "q213_classifier_eval" -> (q213ClassifierEval _),
     "q214_confidence_calibration" -> (q214ConfidenceCalibration _),
     "q217_token_budget_dedup" -> (q217TokenBudgetDedup _),
+    "q219_psi_drift" -> (q219PsiDrift _),
     "q157_dataset_card" -> (q157DatasetCard _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
@@ -2143,6 +2180,30 @@ object TextQueries extends QueryModule {
       s"""$predSql
         |SELECT lang, pred_lang, count(*)::BIGINT AS n
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same split, same buckets, same divide-then-ln term chain; the
+    // bucket-count Σ for psi rides round 6
+    "q219_psi_drift" ->
+      """WITH d AS (
+        |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::BIGINT < 128 AS is_a,
+        |         CASE WHEN n_chars < 150 THEN 'b0_lt150'
+        |              WHEN n_chars < 250 THEN 'b1_150_250'
+        |              WHEN n_chars < 350 THEN 'b2_250_350'
+        |              WHEN n_chars < 450 THEN 'b3_350_450'
+        |              ELSE 'b4_ge450' END AS bucket
+        |  FROM documents),
+        |cell AS (
+        |  SELECT bucket, sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |         sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM d GROUP BY bucket),
+        |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM cell),
+        |t AS (
+        |  SELECT bucket, ca, cb,
+        |         (ca::DOUBLE / na::DOUBLE - cb::DOUBLE / nb::DOUBLE)
+        |           * ln((ca::DOUBLE / na::DOUBLE) / (cb::DOUBLE / nb::DOUBLE)) AS term
+        |  FROM cell CROSS JOIN tot WHERE ca > 0 AND cb > 0),
+        |p AS (SELECT round(sum(term), 6) + 0.0 AS psi FROM t)
+        |SELECT t.bucket, t.ca, t.cb, round(t.term, 6) + 0.0 AS term, p.psi
+        |FROM t CROSS JOIN p ORDER BY t.bucket""".stripMargin,
     // same content keys, same min-id representatives, integer sums +
     // one divide — bit-identical
     "q217_token_budget_dedup" ->
