@@ -1069,7 +1069,40 @@ object MiscQueries extends QueryModule {
       .orderBy("table_name")
   }
 
+  /** q221: CO-OCCURRENCE LIFT matrix (market-basket association) —
+    * for every event-type pair, lift = N·n(a∧b)/(n(a)·n(b)) over USERS
+    * (lift > 1: the behaviors attract; < 1: they repel): the
+    * association screen behind recommendation and funnel design.
+    * All counts are exact integers from one distinct projection
+    * (user × type — the shuffle is the deduped pair stream, never raw
+    * events); the pair join keys on user_id (per-user type sets are
+    * bounded by type cardinality); lift is one fixed integer-product
+    * chain into a single divide, round 6 — bit-identical.
+    */
+  def q221CooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint() // three consumers
+    val nU = ut.agg(countDistinct("user_id").as("n_users")) // 1-row, stays in the plan
+    val na = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("nab"))
+    pairs
+      .join(na.select(col("event_type").as("ta"), col("n").as("n_a")), Seq("ta"))
+      .join(broadcast(na.select(col("event_type").as("tb"), col("n").as("n_b"))), Seq("tb"))
+      .crossJoin(broadcast(nU))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("nab"),
+        round((col("n_users") * col("nab")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy("ta", "tb")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_cooccurrence_lift" -> (q221CooccurrenceLift _),
     "q218_erasure_sweep" -> (q218ErasureSweep _),
     "q204_benford" -> (q204Benford _),
     "q206_lead_lag" -> (q206LeadLag _),
@@ -1108,6 +1141,24 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same distinct user×type projection, same integer product chain
+    "q221_cooccurrence_lift" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM ut),
+        |na AS (
+        |  SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY event_type),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, count(*)::BIGINT AS nab
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY ta, tb)
+        |SELECT p.ta, p.tb, x.n AS n_a, y.n AS n_b, p.nab,
+        |       round((nu.n_users * p.nab)::DOUBLE / (x.n * y.n)::DOUBLE, 6) + 0.0
+        |         AS lift
+        |FROM p JOIN na x ON x.event_type = p.ta
+        |JOIN na y ON y.event_type = p.tb CROSS JOIN nu
+        |ORDER BY p.ta, p.tb""".stripMargin,
     // same md5 cohort, same per-table census, residual computed from
     // the anti-joined remainder — bit-identical
     "q218_erasure_sweep" ->

@@ -816,6 +816,56 @@ object TextQueries extends QueryModule {
       .orderBy("bucket")
   }
 
+  /** q220: 1-D WASSERSTEIN (earth-mover) drift between each source's
+    * length distribution and the pooled corpus — the metric that, unlike
+    * q219's PSI, needs no binning choice and sees HOW FAR mass moved,
+    * not just that it moved: W₁ = ∫|CDF_s − CDF_corpus| over the value
+    * axis. INTEGER-EXACT device: with counts cum_s (of n_s) and cum_c
+    * (of N) on the distinct-value grid, each segment contributes
+    * |cum_s·N − cum_c·n_s| · gap — an exact BIGINT (cross-multiplied,
+    * no CDF divides) — summed exactly and divided ONCE by n_s·N at the
+    * end. Windows run over (source × distinct-value) census rows (the
+    * q199/q203 discipline), never documents. (The cross-multiplied
+    * BIGINT is exact up to cum·N ≈ 2⁶³; past ~10⁹ rows × 10⁹ corpus
+    * the numerator moves to DECIMAL(38) — same plan.)
+    */
+  def q220EmdDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+    // per-source census on the GLOBAL value grid (zero cells included:
+    // the source CDF is flat there but the corpus CDF still steps)
+    val grid = docs.select(col("v")).distinct()
+    val srcs = docs.select(col("source")).distinct()
+    val cell = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val full = srcs.crossJoin(grid)
+      .join(cell, Seq("source", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val corp = docs.groupBy("v").agg(count(lit(1)).as("cc"))
+    val wS = Window.partitionBy("source").orderBy("v")
+    val wG = Window.orderBy("v")
+    val stepped = full
+      .withColumn("cum_s", sum("c").over(wS))
+      .join(corp.withColumn("cum_c", sum("cc").over(wG))
+        .select(col("v"), col("cum_c")), Seq("v"))
+      .withColumn("gap",
+        lead("v", 1).over(Window.partitionBy("source").orderBy("v")) - col("v"))
+    val ns = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val nTot = docs.agg(count(lit(1)).as("n_tot"))
+    stepped.filter(col("gap").isNotNull)
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("num",
+        abs(col("cum_s") * col("n_tot") - col("cum_c") * col("n_s")) * col("gap"))
+      .groupBy("source")
+      .agg(first("n_s").as("n_s"), first("n_tot").as("n_tot"),
+        sum("num").as("num_sum"))
+      .select(col("source"), col("n_s"),
+        round(col("num_sum").cast("double") /
+          (col("n_s") * col("n_tot")).cast("double"), 6).as("w1"))
+      .orderBy("source")
+  }
+
   /** q202: VIDEO scene-change segmentation — the shot-boundary pass a
     * video curation pipeline runs before frame sampling: consecutive
     * 32-byte frames (stride 1 — every frame, unlike q131's keyframe
@@ -1470,6 +1520,7 @@ object TextQueries extends QueryModule {
     "q214_confidence_calibration" -> (q214ConfidenceCalibration _),
     "q217_token_budget_dedup" -> (q217TokenBudgetDedup _),
     "q219_psi_drift" -> (q219PsiDrift _),
+    "q220_emd_drift" -> (q220EmdDrift _),
     "q157_dataset_card" -> (q157DatasetCard _),
     "q93_kl_drift" -> (q93KlDrift _),
     "q85_sparse_cosine" -> (q85SparseCosine _),
@@ -2180,6 +2231,36 @@ object TextQueries extends QueryModule {
       s"""$predSql
         |SELECT lang, pred_lang, count(*)::BIGINT AS n
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same grid/census/cross-multiplied integers, ONE divide at the end
+    "q220_emd_drift" ->
+      """WITH d AS (SELECT source, n_chars::BIGINT AS v FROM documents),
+        |grid AS (SELECT DISTINCT v FROM d),
+        |srcs AS (SELECT DISTINCT source FROM d),
+        |cell AS (
+        |  SELECT source, v, count(*)::BIGINT AS c FROM d GROUP BY source, v),
+        |full_ AS (
+        |  SELECT s.source, g.v, coalesce(c.c, 0)::BIGINT AS c
+        |  FROM srcs s CROSS JOIN grid g
+        |  LEFT JOIN cell c ON c.source = s.source AND c.v = g.v),
+        |corp AS (SELECT v, count(*)::BIGINT AS cc FROM d GROUP BY v),
+        |corpc AS (
+        |  SELECT v, sum(cc) OVER (ORDER BY v)::BIGINT AS cum_c FROM corp),
+        |st AS (
+        |  SELECT f.source, f.v,
+        |         sum(f.c) OVER (PARTITION BY f.source ORDER BY f.v)::BIGINT AS cum_s,
+        |         cc.cum_c,
+        |         lead(f.v) OVER (PARTITION BY f.source ORDER BY f.v) - f.v AS gap
+        |  FROM full_ f JOIN corpc cc USING (v)),
+        |ns AS (SELECT source, count(*)::BIGINT AS n_s FROM d GROUP BY source),
+        |nt AS (SELECT count(*)::BIGINT AS n_tot FROM d)
+        |SELECT st.source, ns.n_s,
+        |       round(sum(abs(st.cum_s * nt.n_tot - st.cum_c * ns.n_s)
+        |                 * st.gap)::DOUBLE
+        |             / (ns.n_s * nt.n_tot)::DOUBLE, 6) + 0.0 AS w1
+        |FROM st JOIN ns USING (source) CROSS JOIN nt
+        |WHERE st.gap IS NOT NULL
+        |GROUP BY st.source, ns.n_s, nt.n_tot
+        |ORDER BY st.source""".stripMargin,
     // same split, same buckets, same divide-then-ln term chain; the
     // bucket-count Σ for psi rides round 6
     "q219_psi_drift" ->
