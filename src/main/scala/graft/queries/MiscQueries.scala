@@ -1101,7 +1101,97 @@ object MiscQueries extends QueryModule {
       .orderBy("ta", "tb")
   }
 
+  /** q222: DELETE-GROUP JACKKNIFE — uncertainty for a corpus statistic
+    * (mean document length) when rows are NOT independent but sources
+    * are: the leave-one-SOURCE-out resampling a curation report should
+    * quote instead of the iid standard error (which understates error
+    * under source-level correlation). θ₍ᵢ₎ = (S − sᵢ)/(N − nᵢ) — one
+    * exact-integer divide per source; v = (g−1)/g·Σ(θ₍ᵢ₎ − θ̄)² over g
+    * source rows. Per-source LOO estimates ride along as the influence
+    * diagnostic (which source moves the number).
+    *
+    * Scale: ONE hash agg to (source, sum, count); everything after runs
+    * on g rows. Σ over g O(1)-scale terms is the only order exposure
+    * (round 6, the q193 argument).
+    */
+  def q222Jackknife(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documentsSpread(spark, dir)
+      .groupBy("source")
+      .agg(sum("n_chars").as("s_i"), count(lit(1)).as("n_i"))
+    val tot = per.agg(sum("s_i").as("s"), sum("n_i").as("n"),
+      count(lit(1)).as("g"))
+    val loo = per.crossJoin(broadcast(tot))
+      .withColumn("theta_loo",
+        (col("s") - col("s_i")).cast("double") / (col("n") - col("n_i")).cast("double"))
+    val thetaBar = loo.agg(
+      (sum("theta_loo") / count(lit(1)).cast("double")).as("theta_bar"))
+    val se = loo.crossJoin(broadcast(thetaBar))
+      .agg(sqrt(
+        (count(lit(1)) - 1).cast("double") / count(lit(1)).cast("double") *
+          sum((col("theta_loo") - col("theta_bar")) *
+            (col("theta_loo") - col("theta_bar")))).as("se_jack"))
+    loo.crossJoin(broadcast(se))
+      .select(col("source"), col("n_i"),
+        round(col("theta_loo"), 6).as("theta_loo"),
+        round(col("s").cast("double") / col("n").cast("double"), 6).as("theta"),
+        round(col("se_jack"), 6).as("se_jack"))
+      .orderBy("source")
+  }
+
+  /** q223: CUPED variance reduction (Deng et al., WSDM '13) — the
+    * experimentation-platform standard: adjust each user's experiment
+    * metric Y by their PRE-PERIOD covariate X (Ya = Y − θ(X − X̄),
+    * θ = cov/var), cutting metric variance by exactly ρ² and making
+    * every A/B test that much cheaper. Here the event month splits at
+    * its midpoint into pre/post (the experiment assignment plugs into
+    * q176's arm draw downstream), and the report is the pooled θ, raw
+    * vs adjusted variance, and the reduction share (= ρ² exactly, by
+    * the pooled-θ algebra). Determinism: per-user sums quantize to exact
+    * integer CENTS (no double accumulation order at all); every moment
+    * (Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT and each statistic a
+    * fixed chain over them; variances descale cents²→units² before
+    * round 6 (the q216 ulp lesson).
+    */
+  def q223CupedVariance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mid = ev.agg(((min(unix_micros(col("ts"))) + max(unix_micros(col("ts"))))
+      .cast("long") / lit(2L)).cast("long").as("mid_us"))
+    val per = ev.crossJoin(broadcast(mid))
+      .select(col("user_id"),
+        when(unix_micros(col("ts")) < col("mid_us"),
+          floor(col("value") * lit(100.0d) + lit(0.5d)).cast("long")).otherwise(0L)
+          .as("xc"),
+        when(unix_micros(col("ts")) >= col("mid_us"),
+          floor(col("value") * lit(100.0d) + lit(0.5d)).cast("long")).otherwise(0L)
+          .as("yc"))
+      .groupBy("user_id")
+      .agg(sum("xc").as("x"), sum("yc").as("y"))
+    per.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        round(expr("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"), 6)
+          .as("theta"),
+        round(expr(
+          "CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0"),
+          6).as("var_y"),
+        round(expr(
+          """(CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+            |- CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+            |  / CAST(n * sxx - sx * sx AS DOUBLE)
+            |  / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0"""
+            .stripMargin.replace("\n", " ")), 6).as("var_y_cuped"),
+        round(expr(
+          """CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+            |/ CAST(n * sxx - sx * sx AS DOUBLE)
+            |/ CAST(n * syy - sy * sy AS DOUBLE)"""
+            .stripMargin.replace("\n", " ")), 6).as("reduction"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_jackknife" -> (q222Jackknife _),
+    "q223_cuped_variance" -> (q223CupedVariance _),
     "q221_cooccurrence_lift" -> (q221CooccurrenceLift _),
     "q218_erasure_sweep" -> (q218ErasureSweep _),
     "q204_benford" -> (q204Benford _),
@@ -1141,6 +1231,61 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same per-source moments, same LOO/SE chains; the g-term Σs ride
+    // round 6
+    "q222_jackknife" ->
+      """WITH per AS (
+        |  SELECT source, sum(n_chars)::BIGINT AS s_i, count(*)::BIGINT AS n_i
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT sum(s_i)::BIGINT AS s, sum(n_i)::BIGINT AS n,
+        |         count(*)::BIGINT AS g
+        |  FROM per),
+        |loo AS (
+        |  SELECT per.source, per.n_i, tot.s, tot.n,
+        |         (tot.s - per.s_i)::DOUBLE / (tot.n - per.n_i)::DOUBLE AS theta_loo
+        |  FROM per CROSS JOIN tot),
+        |tb AS (SELECT sum(theta_loo) / count(*)::DOUBLE AS theta_bar FROM loo),
+        |se AS (
+        |  SELECT sqrt((count(*) - 1)::DOUBLE / count(*)::DOUBLE
+        |           * sum((l.theta_loo - tb.theta_bar)
+        |                 * (l.theta_loo - tb.theta_bar))) AS se_jack
+        |  FROM loo l CROSS JOIN tb)
+        |SELECT l.source, l.n_i, round(l.theta_loo, 6) + 0.0 AS theta_loo,
+        |       round(l.s::DOUBLE / l.n::DOUBLE, 6) + 0.0 AS theta,
+        |       round(se.se_jack, 6) + 0.0 AS se_jack
+        |FROM loo l CROSS JOIN se ORDER BY l.source""".stripMargin,
+    // exact cents moments (zero accumulation-order exposure), fixed
+    // chains, variances descaled before round 6
+    "q223_cuped_variance" ->
+      """WITH m AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN epoch_us(ts) < m.mid_us
+        |                  THEN floor(value * 100.0 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS x,
+        |         sum(CASE WHEN epoch_us(ts) >= m.mid_us
+        |                  THEN floor(value * 100.0 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS y
+        |  FROM events CROSS JOIN m GROUP BY user_id),
+        |s AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+        |         sum(y * y)::BIGINT AS syy
+        |  FROM per)
+        |SELECT n,
+        |       round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6)
+        |         + 0.0 AS theta,
+        |       round((n * syy - sy * sy)::DOUBLE / n::DOUBLE / n::DOUBLE / 10000.0, 6)
+        |         + 0.0 AS var_y,
+        |       round(((n * syy - sy * sy)::DOUBLE / n::DOUBLE / n::DOUBLE
+        |              - (n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+        |                / (n * sxx - sx * sx)::DOUBLE
+        |                / n::DOUBLE / n::DOUBLE) / 10000.0, 6) + 0.0 AS var_y_cuped,
+        |       round((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+        |             / (n * sxx - sx * sx)::DOUBLE / (n * syy - sy * sy)::DOUBLE, 6)
+        |         + 0.0 AS reduction
+        |FROM s""".stripMargin,
     // same distinct user×type projection, same integer product chain
     "q221_cooccurrence_lift" ->
       """WITH ut AS (
