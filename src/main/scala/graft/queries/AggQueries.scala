@@ -366,6 +366,36 @@ object AggQueries extends QueryModule {
       .orderBy("dim", "key")
   }
 
+  /** q225: CMS ACCURACY-vs-BUDGET curve — q195's sketch at widths
+    * 256/1024/4096 in one pass, probing the true top-20 and reporting
+    * max/mean overcount per width: the tuning table that turns
+    * "ε = e/w with probability 1−δ" into a measured number for THIS
+    * key distribution, which is how a practitioner actually picks w.
+    * Each width is an independent exact-integer sketch (same md5
+    * buckets mod its own w); the curve is the visible ε ∝ 1/w law.
+    */
+  def q225CmsAccuracyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val widths = Seq(256, 1024, 4096)
+    val ev = Tables.eventsSpread(spark, dir).select(col("user_id"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(20).localCheckpoint()
+    widths.map { w =>
+      val cms = udaf(new graft.functions.SketchAggregators.CmsAggregator(4, w))
+      val buckets = expr(
+        s"transform(sequence(0, 3), j -> CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w)")
+      val sketch = ev.select(buckets.as("bk")).agg(cms(col("bk")).as("sketch"))
+      top.crossJoin(broadcast(sketch))
+        .withColumn("bk", buckets)
+        .withColumn("est", expr(
+          s"aggregate(transform(bk, (b, j) -> element_at(sketch, CAST(j * $w + b + 1 AS INT))), 9223372036854775807L, (a, x) -> least(a, x))"))
+        .agg(max(col("est") - col("n")).as("max_overcount"),
+          round(sum(col("est") - col("n")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_overcount"))
+        .select(lit(w.toLong).as("width"), col("max_overcount"),
+          col("mean_overcount"))
+    }.reduce(_ unionByName _).orderBy("width")
+  }
+
   /** q172: the LINEAR-REGRESSION aggregate family (SQL:2003 `regr_*`) —
     * per-group OLS of extended price on quantity: slope, intercept, R²,
     * plus the correlation it generalizes. These are one-pass moment
@@ -391,6 +421,7 @@ object AggQueries extends QueryModule {
     "q190_hll_distinct" -> (q190HllDistinct _),
     "q195_cms_frequency" -> (q195CmsFrequency _),
     "q209_sketch_rollup" -> (q209SketchRollup _),
+    "q225_cms_accuracy_curve" -> (q225CmsAccuracyCurve _),
     "q172_regression_aggs" -> (q172RegressionAggs _),
     "q91_grouped_topk" -> (q91GroupedTopk _),
     "q86_heavy_hitters" -> (q86HeavyHitters _),
@@ -408,6 +439,36 @@ object AggQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q195's cell-for-cell replay at each width, unioned
+    "q225_cms_accuracy_curve" -> {
+      val widths = Seq(256, 1024, 4096)
+      val blocks = widths.map { w =>
+        s"""b_$w AS (
+           |  SELECT user_id, n, t.j,
+           |         ('0x' || substr(md5(t.j::VARCHAR || '|' || user_id::VARCHAR), 1, 8))::BIGINT
+           |           % $w AS bucket
+           |  FROM k, range(0, 4) t(j)),
+           |cell_$w AS (
+           |  SELECT j, bucket, sum(n)::BIGINT AS cnt FROM b_$w GROUP BY j, bucket),
+           |est_$w AS (
+           |  SELECT b.user_id, b.n, min(cell.cnt)::BIGINT AS est
+           |  FROM b_$w b JOIN cell_$w cell
+           |    ON b.j = cell.j AND b.bucket = cell.bucket
+           |  GROUP BY b.user_id, b.n),
+           |agg_$w AS (
+           |  SELECT $w::BIGINT AS width, max(e.est - t.n)::BIGINT AS max_overcount,
+           |         round(sum(e.est - t.n)::DOUBLE / count(*)::DOUBLE, 6) + 0.0
+           |           AS mean_overcount
+           |  FROM top t JOIN est_$w e USING (user_id))""".stripMargin
+      }.mkString(",\n")
+      val union = widths.map(w => s"SELECT * FROM agg_$w").mkString("\nUNION ALL ")
+      s"""WITH k AS (
+         |  SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id),
+         |top AS (SELECT user_id, n FROM k ORDER BY n DESC, user_id LIMIT 20),
+         |$blocks
+         |$union
+         |ORDER BY width""".stripMargin
+    },
     // the full CMS replay: same md5 buckets per (row j, key), every
     // cell an exact integer Σ over colliding keys, est = min over 4
     // cells — the sketch is replayed cell-for-cell, not approximated

@@ -1189,7 +1189,57 @@ object MiscQueries extends QueryModule {
             .stripMargin.replace("\n", " ")), 6).as("reduction"))
   }
 
+  /** q224: LABEL-PROPAGATION community detection (Raghavan et al. 2007,
+    * synchronous variant) over the nation-level trade graph — the
+    * community step past q66's connected components (CC merges anything
+    * touching; LP groups by CONNECTION STRENGTH): nodes start as their
+    * own label and each round adopt the weighted-mode label of their
+    * neighbors (tie → min label). Three unrolled rounds, every round's
+    * labels emitted — the oracle replays the whole trajectory, so the
+    * gate pins the update rule, not just a fixed point.
+    *
+    * Determinism: integer edge weights (trade counts), weighted-mode =
+    * exact integer sums + struct-min argmax with the stated tie. Scale:
+    * the per-round plan is one edges⨝labels equi-join + two hash aggs
+    * keyed on (node, label) — identical at billions of edges (the q140
+    * PageRank shape); the 25-node fixture graph exercises the rule, not
+    * the shuffle.
+    */
+  def q224LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("cn"))
+    val e0 = Tables.lineitem(spark, dir)
+      .join(cust, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("cn"), col("s_nationkey").as("sn"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0.select(col("cn").as("u"), col("sn").as("v"), col("w"))
+      .unionByName(e0.select(col("sn").as("u"), col("cn").as("v"), col("w")))
+      .groupBy("u", "v").agg(sum("w").as("w"))
+      .localCheckpoint() // reused by all three rounds
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val rounds = (1 to 3).map { _ =>
+      labels = edges
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label")).agg(sum("w").as("lw"))
+        .groupBy("u")
+        .agg(min(struct((-col("lw")).as("nw"), col("label"))).as("m"))
+        .select(col("u").as("node"), col("m.label").as("label"))
+        .localCheckpoint()
+      labels
+    }
+    rounds(0).select(col("node"), col("label").as("l1"))
+      .join(rounds(1).select(col("node"), col("label").as("l2")), Seq("node"))
+      .join(rounds(2).select(col("node"), col("label").as("l3")), Seq("node"))
+      .select(col("node").cast("long").as("node"), col("l1").cast("long").as("l1"),
+        col("l2").cast("long").as("l2"), col("l3").cast("long").as("l3"))
+      .orderBy("node")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_label_propagation" -> (q224LabelPropagation _),
     "q222_jackknife" -> (q222Jackknife _),
     "q223_cuped_variance" -> (q223CupedVariance _),
     "q221_cooccurrence_lift" -> (q221CooccurrenceLift _),
@@ -1231,6 +1281,54 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same edges, same three synchronous rounds, same weighted-mode
+    // (lw desc, label asc) argmax — the whole trajectory, bit-identical
+    "q224_label_propagation" ->
+      """WITH cu AS (
+        |  SELECT o.o_orderkey, c.c_nationkey AS cn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |e0 AS (
+        |  SELECT cu.cn, s.s_nationkey AS sn, count(*)::BIGINT AS w
+        |  FROM lineitem l JOIN cu ON l.l_orderkey = cu.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY cu.cn, sn),
+        |edges AS (
+        |  SELECT u, v, sum(w)::BIGINT AS w FROM (
+        |    SELECT cn AS u, sn AS v, w FROM e0
+        |    UNION ALL SELECT sn AS u, cn AS v, w FROM e0)
+        |  GROUP BY u, v),
+        |n0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+        |r1 AS (
+        |  SELECT u AS node, label FROM (
+        |    SELECT u, label, lw,
+        |           row_number() OVER (PARTITION BY u
+        |                              ORDER BY lw DESC, label ASC) AS rn
+        |    FROM (SELECT e.u, n.label, sum(e.w)::BIGINT AS lw
+        |          FROM edges e JOIN n0 n ON e.v = n.node
+        |          GROUP BY e.u, n.label))
+        |  WHERE rn = 1),
+        |r2 AS (
+        |  SELECT u AS node, label FROM (
+        |    SELECT u, label, lw,
+        |           row_number() OVER (PARTITION BY u
+        |                              ORDER BY lw DESC, label ASC) AS rn
+        |    FROM (SELECT e.u, n.label, sum(e.w)::BIGINT AS lw
+        |          FROM edges e JOIN r1 n ON e.v = n.node
+        |          GROUP BY e.u, n.label))
+        |  WHERE rn = 1),
+        |r3 AS (
+        |  SELECT u AS node, label FROM (
+        |    SELECT u, label, lw,
+        |           row_number() OVER (PARTITION BY u
+        |                              ORDER BY lw DESC, label ASC) AS rn
+        |    FROM (SELECT e.u, n.label, sum(e.w)::BIGINT AS lw
+        |          FROM edges e JOIN r2 n ON e.v = n.node
+        |          GROUP BY e.u, n.label))
+        |  WHERE rn = 1)
+        |SELECT r1.node::BIGINT AS node, r1.label::BIGINT AS l1,
+        |       r2.label::BIGINT AS l2, r3.label::BIGINT AS l3
+        |FROM r1 JOIN r2 USING (node) JOIN r3 USING (node)
+        |ORDER BY node""".stripMargin,
     // same per-source moments, same LOO/SE chains; the g-term Σs ride
     // round 6
     "q222_jackknife" ->
