@@ -1238,7 +1238,39 @@ object MiscQueries extends QueryModule {
       .orderBy("node")
   }
 
+  /** q226: TRADING-TAPE MICROSTRUCTURE — the analytics the reference's
+    * own domain (order-flow streams, `ws-to-kafka`'s book deltas) runs
+    * per bucket: trade count, volume, VWAP, and signed order-flow
+    * imbalance per 5-minute window. The event stream stands in as the
+    * tape via deterministic derivations (price = value in exact cents,
+    * size/side from the id — production swaps the real columns, same
+    * plan: one scan-local projection + one partial+final hash agg on
+    * the bucket). Exactness: Σ(p·q) and volumes are exact BIGINTs;
+    * VWAP and imbalance are one divide each (VWAP descales cents at
+    * the end), round 6.
+    */
+  def q226TapeMicrostructure(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        expr("(unix_micros(ts) div 300000000) * 300000000").as("bucket_us"),
+        floor(col("value") * lit(100.0d) + lit(0.5d)).cast("long").as("p"),
+        (col("event_id") % 7 + 1).cast("long").as("q"),
+        (col("event_id") % 2).cast("long").as("side"))
+      .groupBy("bucket_us")
+      .agg(count(lit(1)).as("n_trades"),
+        sum("q").as("volume"),
+        sum(col("p") * col("q")).as("pq"),
+        sum(when(col("side") === 0, col("q")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("side") === 1, col("q")).otherwise(0L)).as("sell_vol"))
+      .select(col("bucket_us"), col("n_trades"), col("volume"),
+        round(col("pq").cast("double") / col("volume").cast("double") / lit(100.0d), 6)
+          .as("vwap"),
+        round((col("buy_vol") - col("sell_vol")).cast("double") /
+          (col("buy_vol") + col("sell_vol")).cast("double"), 6).as("imbalance"))
+      .orderBy("bucket_us")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_tape_microstructure" -> (q226TapeMicrostructure _),
     "q224_label_propagation" -> (q224LabelPropagation _),
     "q222_jackknife" -> (q222Jackknife _),
     "q223_cuped_variance" -> (q223CupedVariance _),
@@ -1281,6 +1313,23 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same derived tape, exact integer sums, one divide per statistic
+    "q226_tape_microstructure" ->
+      """WITH t AS (
+        |  SELECT (epoch_us(ts) // 300000000) * 300000000 AS bucket_us,
+        |         floor(value * 100.0 + 0.5)::BIGINT AS p,
+        |         (event_id % 7 + 1)::BIGINT AS q,
+        |         (event_id % 2)::BIGINT AS side
+        |  FROM events)
+        |SELECT bucket_us, count(*)::BIGINT AS n_trades,
+        |       sum(q)::BIGINT AS volume,
+        |       round(sum(p * q)::DOUBLE / sum(q)::DOUBLE / 100.0, 6) + 0.0 AS vwap,
+        |       round((sum(CASE WHEN side = 0 THEN q ELSE 0 END)
+        |              - sum(CASE WHEN side = 1 THEN q ELSE 0 END))::DOUBLE
+        |             / (sum(CASE WHEN side = 0 THEN q ELSE 0 END)
+        |                + sum(CASE WHEN side = 1 THEN q ELSE 0 END))::DOUBLE, 6)
+        |         + 0.0 AS imbalance
+        |FROM t GROUP BY bucket_us ORDER BY bucket_us""".stripMargin,
     // same edges, same three synchronous rounds, same weighted-mode
     // (lw desc, label asc) argmax — the whole trajectory, bit-identical
     "q224_label_propagation" ->
