@@ -652,6 +652,48 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start")
   }
 
+  /** q227: the reference domain's analytics AS A STREAM — q226's
+    * trading-tape microstructure (VWAP, volume, signed order-flow
+    * imbalance) computed per 5-minute event-time window over the live
+    * stream, append mode, 0 s watermark: exactly what a `ws-to-kafka`
+    * consumer runs on the book-delta topic. Closed windows emit once
+    * at finalization; Σ(p·q)/volumes stay exact BIGINTs inside the
+    * streaming agg state, so the emitted statistics match the batch
+    * query bit-for-bit on closed windows — the oracle is q226's
+    * arithmetic under the q111 finalization predicate.
+    */
+  def q227StreamMicrostructure(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream = normalizeTs(raw, stream0)
+    val agg = stream.withWatermark("ts", "0 seconds")
+      .select(col("ts"),
+        floor(col("value") * lit(100.0d) + lit(0.5d)).cast("long").as("p"),
+        (col("event_id") % 7 + 1).cast("long").as("q"),
+        (col("event_id") % 2).cast("long").as("side"))
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_trades"), sum("q").as("volume"),
+        sum(col("p") * col("q")).as("pq"),
+        sum(when(col("side") === 0, col("q")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("side") === 1, col("q")).otherwise(0L)).as("sell_vol"))
+    val name = s"q227_tape_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg
+      .select(col("window.start").as("w_start"), col("n_trades"), col("volume"),
+        col("pq"), col("buy_vol"), col("sell_vol"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("w_start"), col("n_trades"), col("volume"),
+        round(col("pq").cast("double") / col("volume").cast("double") / lit(100.0d), 6)
+          .as("vwap"),
+        round((col("buy_vol") - col("sell_vol")).cast("double") /
+          (col("buy_vol") + col("sell_vol")).cast("double"), 6).as("imbalance"))
+      .orderBy("w_start")
+  }
+
   /** q139: CHAINED streaming aggregation — two stateful window
     * aggregations in ONE streaming query (Spark's multiple-stateful-
     * operator support): 1-minute tumbling partials per event_type
@@ -1089,6 +1131,7 @@ object StreamingOps extends QueryModule {
     "q200_stream_topk" -> (q200StreamTopK _),
     "q201_stream_distinct" -> (q201StreamDistinct _),
     "q208_join_then_window" -> (q208JoinThenWindow _),
+    "q227_stream_microstructure" -> (q227StreamMicrostructure _),
     "q139_chained_window_agg" -> (q139ChainedWindowAgg _),
     "q126_stream_dedup" -> (q126StreamDedup _),
     "q58_window_tumbling" -> (q58WindowTumbling _),
@@ -1215,6 +1258,25 @@ object StreamingOps extends QueryModule {
     // q58's buckets under the append-mode finalization rule: a bucket
     // has emitted only if the final watermark (max event time, 0 s
     // delay) is at or past its end
+    // q226's exact tape arithmetic under the q111 append finalization
+    "q227_stream_microstructure" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |t AS (
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start,
+        |         floor(value * 100.0 + 0.5)::BIGINT AS p,
+        |         (event_id % 7 + 1)::BIGINT AS q,
+        |         (event_id % 2)::BIGINT AS side
+        |  FROM events)
+        |SELECT w_start, count(*)::BIGINT AS n_trades, sum(q)::BIGINT AS volume,
+        |       round(sum(p * q)::DOUBLE / sum(q)::DOUBLE / 100.0, 6) + 0.0 AS vwap,
+        |       round((sum(CASE WHEN side = 0 THEN q ELSE 0 END)
+        |              - sum(CASE WHEN side = 1 THEN q ELSE 0 END))::DOUBLE
+        |             / (sum(CASE WHEN side = 0 THEN q ELSE 0 END)
+        |                + sum(CASE WHEN side = 1 THEN q ELSE 0 END))::DOUBLE, 6)
+        |         + 0.0 AS imbalance
+        |FROM t CROSS JOIN m
+        |WHERE w_start + INTERVAL 5 MINUTES <= m.mx
+        |GROUP BY w_start ORDER BY w_start""".stripMargin,
     // batch interval join + the window census under the JOIN-DELAYED
     // frontier: least of the branch maxima (the q154 device) MINUS the
     // join's 6 h buffering range — Spark's post-join watermark rule
