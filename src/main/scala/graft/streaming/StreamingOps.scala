@@ -694,6 +694,56 @@ object StreamingOps extends QueryModule {
       .orderBy("w_start")
   }
 
+  /** q228: the reference's CORE SEMANTIC through the driver gate — the
+    * [[OrderBook]] keyed-state rebuild (lossy delta stream + periodic
+    * snapshot RESET markers, SURVEY §1.5) was until now spec-gated only
+    * (`OrderBookSpec` vs the in-process WS server); here a
+    * deterministic book-update stream is manufactured from the events
+    * table (market = user hash, monotone seq = event_id, reset every
+    * 101st seq, DYADIC prices/sizes so map keys are exact doubles in
+    * both engines, size-0 deletes every 17th), folded by the REAL
+    * `mapGroupsWithState` operator in update mode, and the final
+    * top-of-book per market is hash-matched against a full SQL replay
+    * of the protocol: last reset clears, last-write-wins per (side,
+    * price) above the reset seq, zero-size removes the level. The
+    * single-batch drain is asserted (update mode emits per touched key
+    * per batch).
+    */
+  def q228OrderBookRebuild(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream = normalizeTs(raw, stream0)
+    val upd = stream.select(
+      col("event_id").as("seq"),
+      concat(lit("MKT"), (col("user_id") % 4).cast("string")).as("market"),
+      (col("event_id") % 101 === 0).as("reset"),
+      when(col("event_id") % 2 === 0, lit("bid")).otherwise(lit("ask")).as("side"),
+      ((floor(col("value") * lit(100.0d) + lit(0.5d)).cast("long") % 512 + 1)
+        .cast("double") / lit(4.0d)).as("price"),
+      ((col("event_id") % 17).cast("double") / lit(2.0d)).as("size"))
+      .as[BookUpdate]
+    val name = s"q228_book_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = OrderBook.topOfBook(upd).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assertSingleDataBatch(q, "q228_order_book_rebuild")
+    spark.table(name)
+      // an empty side is NaN in TopOfBook (the operator's in-band
+      // marker); surface it as SQL NULL — the relational spelling the
+      // oracle's aggregate produces (a reset-then-cleared book is a
+      // REAL protocol state, seen at sf0.01)
+      .select(col("market"), col("n_updates"),
+        when(isnan(col("best_bid")), lit(null)).otherwise(col("best_bid")).as("best_bid"),
+        when(isnan(col("best_ask")), lit(null)).otherwise(col("best_ask")).as("best_ask"),
+        col("bid_depth").cast("long").as("bid_depth"),
+        col("ask_depth").cast("long").as("ask_depth"))
+      .orderBy("market")
+  }
+
   /** q139: CHAINED streaming aggregation — two stateful window
     * aggregations in ONE streaming query (Spark's multiple-stateful-
     * operator support): 1-minute tumbling partials per event_type
@@ -1132,6 +1182,7 @@ object StreamingOps extends QueryModule {
     "q201_stream_distinct" -> (q201StreamDistinct _),
     "q208_join_then_window" -> (q208JoinThenWindow _),
     "q227_stream_microstructure" -> (q227StreamMicrostructure _),
+    "q228_order_book_rebuild" -> (q228OrderBookRebuild _),
     "q139_chained_window_agg" -> (q139ChainedWindowAgg _),
     "q126_stream_dedup" -> (q126StreamDedup _),
     "q58_window_tumbling" -> (q58WindowTumbling _),
@@ -1258,6 +1309,40 @@ object StreamingOps extends QueryModule {
     // q58's buckets under the append-mode finalization rule: a bucket
     // has emitted only if the final watermark (max event time, 0 s
     // delay) is at or past its end
+    // the book protocol replayed blind to the stateful operator: last
+    // reset clears, last-write-wins per (side, price) above it,
+    // zero-size deletes; monotone seqs ⇒ every update applies, so
+    // n_updates = the market's row count
+    "q228_order_book_rebuild" ->
+      """WITH u AS (
+        |  SELECT event_id AS seq,
+        |         'MKT' || (user_id % 4)::VARCHAR AS market,
+        |         (event_id % 101 = 0) AS reset,
+        |         CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+        |         (floor(value * 100.0 + 0.5)::BIGINT % 512 + 1)::DOUBLE / 4.0 AS price,
+        |         (event_id % 17)::DOUBLE / 2.0 AS size
+        |  FROM events),
+        |lr AS (
+        |  SELECT market,
+        |         coalesce(max(CASE WHEN reset THEN seq END), -1)::BIGINT AS rs
+        |  FROM u GROUP BY market),
+        |lvl AS (
+        |  SELECT u.market, u.side, u.price, u.size,
+        |         row_number() OVER (PARTITION BY u.market, u.side, u.price
+        |                            ORDER BY u.seq DESC) AS rn
+        |  FROM u JOIN lr USING (market)
+        |  WHERE NOT u.reset AND u.seq > lr.rs),
+        |live AS (
+        |  SELECT market, side, price FROM lvl WHERE rn = 1 AND size <> 0),
+        |cnt AS (SELECT market, count(*)::BIGINT AS n_updates FROM u GROUP BY market)
+        |SELECT c.market, c.n_updates,
+        |       max(CASE WHEN l.side = 'bid' THEN l.price END) AS best_bid,
+        |       min(CASE WHEN l.side = 'ask' THEN l.price END) AS best_ask,
+        |       sum(CASE WHEN l.side = 'bid' THEN 1 ELSE 0 END)::BIGINT AS bid_depth,
+        |       sum(CASE WHEN l.side = 'ask' THEN 1 ELSE 0 END)::BIGINT AS ask_depth
+        |FROM cnt c LEFT JOIN live l USING (market)
+        |GROUP BY c.market, c.n_updates
+        |ORDER BY c.market""".stripMargin,
     // q226's exact tape arithmetic under the q111 append finalization
     "q227_stream_microstructure" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events),
