@@ -945,7 +945,68 @@ object SimilarityQueries extends QueryModule {
       .orderBy("label")
   }
 
+  /** q229: ANN RECALL-vs-NPROBE curve — q215's audit swept over
+    * nprobe ∈ {1, 2, 4}: the accuracy-vs-cost table that picks the
+    * probe count (the q225 idea applied to the IVF index; recall climbs
+    * as each anchor searches its top-nprobe nearest lists while cost
+    * grows ∝ nprobe/nLists). Same grid-exact scoring and heaps as
+    * q215; the anchor→list ranking reuses the assignment's own
+    * centroid scores (anchors × 16 centroid rows — bounded).
+    */
+  def q229IvfNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = gridIvfAssign(spark, dir, 16)
+    val anchors = assigned.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("a_id"), col("qe").as("a_qe"), col("qn").as("a_qn"))
+      .localCheckpoint()
+    val cents = assigned.orderBy("vec_id").limit(16)
+      .select(row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
+          .cast("int").as("list_id"),
+        col("qe").as("ce"), col("qn").as("cn"))
+    // per-anchor ranking of ALL lists by the assignment's own score
+    val listRank = anchors.crossJoin(broadcast(cents))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(a_qe, ce, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("score",
+        col("qdot").cast("double") / sqrt(col("cn").cast("double")))
+      .withColumn("lrn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a_id")
+          .orderBy(col("score").desc, col("list_id").asc)))
+      .select(col("a_id"), col("list_id"), col("lrn"))
+      .localCheckpoint()
+    val cands = assigned.select(col("vec_id").as("c_id"),
+      col("list_id").as("c_list"), col("qe").as("c_qe"), col("qn").as("c_qn"))
+    val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(5))
+    def top5(pairs: DataFrame): DataFrame = pairs
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(a_qe, c_qe, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("cos", col("qdot").cast("double") /
+        (sqrt(col("a_qn").cast("double")) * sqrt(col("c_qn").cast("double"))))
+      .groupBy("a_id").agg(topk(col("cos"), col("c_id")).as("top"))
+      .select(col("a_id"), explode(col("top")).as("kv"))
+      .select(col("a_id"), col("kv.id").as("c_id"))
+    val exact = top5(cands.join(broadcast(anchors), col("c_id") =!= col("a_id")))
+      .localCheckpoint()
+    Seq(1, 2, 4).map { np =>
+      val probed = listRank.filter(col("lrn") <= np)
+        .select(col("a_id"), col("list_id").as("c_list"))
+      val approx = top5(cands
+        .join(broadcast(probed), Seq("c_list"))
+        .join(broadcast(anchors), Seq("a_id"))
+        .filter(col("c_id") =!= col("a_id")))
+      val perAnchor = anchors.select(col("a_id"))
+        .join(exact.join(approx, Seq("a_id", "c_id"))
+          .groupBy("a_id").agg(count(lit(1)).as("nc")), Seq("a_id"), "left")
+        .select(coalesce(col("nc"), lit(0L)).as("n_common"))
+      perAnchor.agg(
+          round(sum("n_common").cast("double") /
+            (count(lit(1)) * lit(5)).cast("double"), 6).as("mean_recall"))
+        .select(lit(np.toLong).as("nprobe"), col("mean_recall"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_ivf_nprobe_curve" -> (q229IvfNprobeCurve _),
     "q215_ivf_recall" -> (q215IvfRecall _),
     "q216_embedding_audit" -> (q216EmbeddingAudit _),
     "q211_hard_negatives" -> (q211HardNegatives _),
@@ -1071,6 +1132,49 @@ object SimilarityQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // q215's replay swept over nprobe via the assignment CTE's own
+    // per-(vec, list) scores — bit-identical
+    "q229_ivf_nprobe_curve" ->
+      s"""WITH $oracleGridAsg,
+        |an AS (
+        |  SELECT vec_id AS a_id, qe AS a_qe, qn AS a_qn
+        |  FROM asg WHERE vec_id % 37 = 0),
+        |lrk AS (
+        |  SELECT a.vec_id AS a_id, a.list_id,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY a.qdot::DOUBLE / sqrt(a.cn::DOUBLE) DESC,
+        |                    a.list_id ASC) AS lrn
+        |  FROM a WHERE a.vec_id % 37 = 0),
+        |sc AS (
+        |  SELECT an.a_id, c.vec_id AS c_id, c.list_id AS c_list,
+        |         (list_sum([an.a_qe[i] * c.qe[i] FOR i IN range(1, 65)])::BIGINT)::DOUBLE
+        |           / (sqrt(an.a_qn::DOUBLE) * sqrt(c.qn::DOUBLE)) AS cos
+        |  FROM an JOIN asg c ON c.vec_id <> an.a_id),
+        |ex AS (
+        |  SELECT a_id, c_id FROM (
+        |    SELECT a_id, c_id, row_number() OVER (PARTITION BY a_id
+        |             ORDER BY cos DESC, c_id ASC) AS rn FROM sc)
+        |  WHERE rn <= 5),
+        |nps AS (SELECT unnest([1, 2, 4]) AS np),
+        |ap AS (
+        |  SELECT nps.np, s.a_id, s.c_id
+        |  FROM nps, (SELECT sc.a_id, sc.c_id, sc.cos, l.lrn
+        |             FROM sc JOIN lrk l
+        |               ON l.a_id = sc.a_id AND l.list_id = sc.c_list) s
+        |  WHERE s.lrn <= nps.np
+        |  QUALIFY row_number() OVER (PARTITION BY nps.np, s.a_id
+        |            ORDER BY s.cos DESC, s.c_id ASC) <= 5),
+        |ov AS (
+        |  SELECT nps.np, an.a_id, coalesce(o.cnt, 0)::BIGINT AS n_common
+        |  FROM nps CROSS JOIN an
+        |  LEFT JOIN (SELECT ap.np, e.a_id, count(*)::BIGINT AS cnt
+        |             FROM ex e JOIN ap ON ap.a_id = e.a_id AND ap.c_id = e.c_id
+        |             GROUP BY ap.np, e.a_id) o
+        |    ON o.np = nps.np AND o.a_id = an.a_id)
+        |SELECT np::BIGINT AS nprobe,
+        |       round(sum(n_common)::DOUBLE / (count(*) * 5)::DOUBLE, 6) + 0.0
+        |         AS mean_recall
+        |FROM ov GROUP BY np ORDER BY nprobe""".stripMargin,
     // same grid norms (exact BIGINT min/max), same scan-local checks
     "q216_embedding_audit" ->
       """WITH e AS (
