@@ -18,8 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * left-to-right match marking, transpositions = half the misaligned
   * matches, jaro = (m/|a| + m/|b| + (m−t)/m)/3 in that operand order,
   * Winkler boost = jaro + ℓ·0.1·(1−jaro) with ℓ = common prefix ≤ 4
-  * (unconditional — no 0.7 boost threshold, matching DuckDB). Equal
-  * strings are 1, either empty is 0.
+  * applied ONLY when jaro > 0.7 (the Winkler '90 boost threshold,
+  * matching DuckDB/rapidfuzz — e.g. sim("ab","ax") = 2/3 unboosted).
+  * Equal strings are 1, either empty is 0.
   *
   * Codegen emits one static call (the Spark-built-in `levenshtein`
   * pattern) — no boxing, stays inside whole-stage codegen. Chars are
@@ -92,6 +93,7 @@ object JaroWinkler {
     }
     t /= 2
     val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3
+    if (jaro <= 0.7) return jaro
     var l = 0
     val maxP = math.min(4, math.min(l1, l2))
     while (l < maxP && s1.charAt(l) == s2.charAt(l)) l += 1

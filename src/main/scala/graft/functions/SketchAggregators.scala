@@ -337,10 +337,17 @@ object SketchAggregators {
         if (regs(i) == 0) v += 1
         i += 1
       }
-      // one fixed left-assoc chain, mirrored token-for-token in the oracle
+      // one fixed left-assoc chain, mirrored token-for-token in the oracle.
+      // α_m per the HLL paper: closed-form 0.7213/(1+1.079/m) holds only
+      // for m ≥ 128; the small-m constants are tabulated (Flajolet §4).
       val md = m.toDouble
-      val raw = 0.7213 / (1.0 + 1.079 / md) * md * md *
-        (1L << maxRho).toDouble / s.toDouble
+      val alpha = m match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _  => 0.7213 / (1.0 + 1.079 / md)
+      }
+      val raw = alpha * md * md * (1L << maxRho).toDouble / s.toDouble
       if (raw <= 2.5 * md && v > 0) md * math.log(md / v) else raw
     }
 

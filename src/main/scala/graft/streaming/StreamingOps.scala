@@ -1121,7 +1121,9 @@ object StreamingOps extends QueryModule {
     *
     * Unlike the single-batch gates (q126/q130/q132) this oracle is
     * BATCH-COUNT-INVARIANT: the merge is associative and commutative
-    * over disjoint delta slices, so no drain-shape assertion is needed
+    * over disjoint delta slices — EXACTLY, because the sum crosses the
+    * merge as integer cents (BIGINT; the q223/q226 device), not as a
+    * reassociation-sensitive double — so no drain-shape assertion is needed
     * — StreamingSpec pins the chunked replay (2 and 5 chunks) equal to
     * the batch recompute. Oracle = full recompute over all events
     * (q150's self-maintenance invariant, streaming edition).
@@ -1129,8 +1131,14 @@ object StreamingOps extends QueryModule {
   def q166StreamMvMaintenance(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val isDelta = pmod(col("event_id"), lit(5)) === 4
+    // `value` is quantized to integer cents INSIDE the MV state: the
+    // per-batch merge then accumulates a BIGINT, which is associative
+    // and order-invariant exactly (double `+` is not — a micro-batch
+    // reassociation could otherwise flip round(·,2) at a .005 boundary).
+    // The oracle quantizes identically; descaled only at output.
     def agg(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
-      count(lit(1)).as("n"), sum("value").as("sv"),
+      count(lit(1)).as("n"),
+      sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sv"),
       min("value").as("mn"), max("value").as("mx"))
     var mv = agg(Tables.events(spark, dir)
       .select("event_id", "user_id", "value").filter(!isDelta))
@@ -1145,7 +1153,7 @@ object StreamingOps extends QueryModule {
         mv = mv.as("b").join(agg(batch).as("d"), Seq("user_id"), "full_outer")
           .select(col("user_id"),
             (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
-            (coalesce(col("b.sv"), lit(0.0)) + coalesce(col("d.sv"), lit(0.0))).as("sv"),
+            (coalesce(col("b.sv"), lit(0L)) + coalesce(col("d.sv"), lit(0L))).as("sv"),
             least(coalesce(col("b.mn"), col("d.mn")),
               coalesce(col("d.mn"), col("b.mn"))).as("mn"),
             greatest(coalesce(col("b.mx"), col("d.mx")),
@@ -1156,7 +1164,7 @@ object StreamingOps extends QueryModule {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     mv.select(col("user_id"), col("n").as("n_events"),
-        round(col("sv"), 2).as("sum_value"),
+        round(col("sv") / 100.0, 2).as("sum_value"),
         round(col("mn"), 2).as("min_value"),
         round(col("mx"), 2).as("max_value"))
       .orderBy("user_id")
@@ -1222,7 +1230,7 @@ object StreamingOps extends QueryModule {
     // edition; batch-count-invariant, see the query doc)
     "q166_stream_mv_maintenance" ->
       """SELECT user_id, count(*)::BIGINT AS n_events,
-        |       round(sum(value), 2) + 0.0 AS sum_value,
+        |       round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0, 2) + 0.0 AS sum_value,
         |       round(min(value), 2) + 0.0 AS min_value,
         |       round(max(value), 2) + 0.0 AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -28,6 +28,15 @@ class JaroWinklerSpec extends AnyFunSuite {
     ref("a", "b", 0.0)
   }
 
+  test("Winkler boost gated on jaro > 0.7 (DuckDB/rapidfuzz threshold)") {
+    // jaro("ab","ax") = (1/2 + 1/2 + 1)/3 = 2/3 <= 0.7 — the shared
+    // 1-char prefix must NOT boost it to 0.7 (DuckDB 1.0.0: 0.666667).
+    ref("ab", "ax", 2.0 / 3.0)
+    // Just over the threshold the boost applies: jaro("abcd","abce") =
+    // (3/4 + 3/4 + 1)/3 = 5/6 > 0.7, prefix 3 → 5/6 + 0.3·(1/6).
+    ref("abcd", "abce", 5.0 / 6.0 + 0.3 * (1.0 / 6.0))
+  }
+
   test("bounded, symmetric, identity") {
     val ss = Seq("martha", "marhta", "dixon", "dicksonx", "a", "", "Customer#01")
     for (a <- ss; b <- ss) {

@@ -197,6 +197,36 @@ class SketchLawsSpec extends AnyFunSuite {
     assert(relErr < 5 * 1.04 / math.sqrt(4096.0), s"rel err $relErr too large (est $est)")
   }
 
+  test("HLL small-p: tabulated α (0.673/0.697/0.709) keeps p=4..6 within bound") {
+    // the closed form 0.7213/(1+1.079/m) is the HLL paper's constant only
+    // for m >= 128; p in [4,6] uses the tabulated constants (Flajolet §4).
+    // Pin both the constant choice (via a hand-computed raw estimate) and
+    // the resulting accuracy on a distinct stream big enough to leave the
+    // linear-counting regime.
+    def hash(k: Long): Long =
+      new java.math.BigInteger(1,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(("smallp" + k).getBytes)).shiftRight(68).longValue()
+    val hashes = (0 until 2000).map(h => hash(h.toLong))
+    for ((p, alpha) <- Seq((4, 0.673), (5, 0.697), (6, 0.709))) {
+      val agg = new HllAggregator(p)
+      val m = 1 << p
+      val regs = foldWith(agg.zero, agg.reduce)(hashes)
+      val est = agg.finish(regs)
+      // replay the finish chain with the tabulated constant — equality
+      // pins that the aggregator did NOT use the closed form at small m
+      val maxRho = 60 - p + 1
+      val s = regs.map(r => (1L << (maxRho - r)).toDouble).sum
+      val raw = alpha * m * m * (1L << maxRho).toDouble / s
+      val v = regs.count(_ == 0)
+      val want = if (raw <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else raw
+      assert(math.abs(est - want) < 1e-6 * want, s"p=$p finish chain diverged")
+      val relErr = math.abs(est - 2000.0) / 2000.0
+      assert(relErr < 5 * 1.04 / math.sqrt(m.toDouble),
+        s"p=$p rel err $relErr (est $est)")
+    }
+  }
+
   test("HLL rollup: merging fine-grain sketch columns equals the direct coarse fold") {
     val sk = new HllSketchAggregator(12)
     val mg = new HllMergeAggregator(12)

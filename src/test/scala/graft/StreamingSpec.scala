@@ -72,11 +72,14 @@ class StreamingSpec extends AnyFunSuite {
     // over any chunking of the delta stream, so the final MV equals the
     // one-shot recompute regardless of micro-batch boundaries
     import org.apache.spark.sql.functions._
+    // integer-cents quantization mirrors q166: the merged sum is a
+    // BIGINT, so chunked-vs-batch equality is exact, not round-absorbed
     def agg(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
-      count(lit(1)).as("n"), sum("value").as("sv"),
+      count(lit(1)).as("n"),
+      sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sv"),
       min("value").as("mn"), max("value").as("mx"))
     def snap(df: DataFrame): DataFrame = df.select(col("user_id"), col("n"),
-      round(col("sv"), 6).as("sv"), col("mn"), col("mx"))
+      col("sv"), col("mn"), col("mx"))
     val ev = Tables.events(spark, SparkTestSession.sf0001)
       .select("event_id", "user_id", "value")
     val isDelta = pmod(col("event_id"), lit(5)) === 4
@@ -91,7 +94,7 @@ class StreamingSpec extends AnyFunSuite {
           mv = mv.as("b").join(agg(batch).as("d"), Seq("user_id"), "full_outer")
             .select(col("user_id"),
               (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
-              (coalesce(col("b.sv"), lit(0.0)) + coalesce(col("d.sv"), lit(0.0))).as("sv"),
+              (coalesce(col("b.sv"), lit(0L)) + coalesce(col("d.sv"), lit(0L))).as("sv"),
               least(coalesce(col("b.mn"), col("d.mn")),
                 coalesce(col("d.mn"), col("b.mn"))).as("mn"),
               greatest(coalesce(col("b.mx"), col("d.mx")),
