@@ -38,16 +38,89 @@ object ZOrder {
   /** Add a `zval` column interleaving the rank-grids of `c1` and `c2`.
     * The ranks (not raw values) are interleaved so skewed domains still
     * fill the grid uniformly.
+    *
+    * REFERENCE formulation (single-partition `percent_rank` windows) —
+    * kept as the test oracle for [[withZValueExactAtScale]], which is
+    * bit-identical with no unpartitioned window over row-scale data and
+    * is the formulation the gated path (q138) and [[cluster]] run.
     */
   def withZValue(df: DataFrame, c1: String, c2: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g1 = (percent_rank().over(Window.orderBy(col(c1))) * 65535).cast("long")
     val g2 = (percent_rank().over(Window.orderBy(col(c2))) * 65535).cast("long")
-    // NOTE: the global-window rank is the exact formulation for tests /
-    // moderate data; `clusterAtScale` below is the 100 TB write path —
-    // same layout, same skipping, grids from approxQuantile boundaries,
-    // no single-partition window.
     df.withColumn("_g1", g1).withColumn("_g2", g2)
+      .withColumn("zval", interleave16(col("_g1"), col("_g2")))
+      .drop("_g1", "_g2")
+  }
+
+  /** EXACT rank grid with no single-partition window over row-scale
+    * data — the distributed formulation of `floor(percent_rank() * 65535)`:
+    *
+    *  1. distinct-value CENSUS `(v, cnt)` — one hash agg, |distinct| rows;
+    *  2. deterministic range bucket `pid` = #{approxQuantile boundaries
+    *     ≤ v} — a pure monotone FUNCTION of v (never
+    *     `spark_partition_id`, whose assignment could drift between the
+    *     two consumers of the census), so every branch agrees;
+    *  3. partition-LOCAL cumulative count: window partitioned by pid —
+    *     parallel, each partition ≈ |distinct|/P census rows;
+    *  4. per-pid totals → cumulative OFFSET via a window over ≤ P+1
+    *     aggregated rows (the only unpartitioned window, input bounded
+    *     by the shuffle-partition count, not the data);
+    *  5. broadcast the offsets back: rank-below(v) = offset + local−cnt,
+    *     and grid = floor(rank_below / (N−1) · 65535) — the same IEEE
+    *     double chain `percent_rank` evaluates, hence bit-identical.
+    *
+    * Ties collapse into one census row, so rank-below is the competition
+    * rank `percent_rank` uses, ties included. N = 1 yields grid 0 on
+    * both paths (percent_rank's defined zero).
+    */
+  private def rankGrid(df: DataFrame, c: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def qcol: Column = col("`" + c.replace("`", "``") + "`")
+    val census = df.select(qcol.as("_zv")).groupBy("_zv")
+      .agg(count(lit(1)).as("_zcnt"))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // buckets=1 → no boundaries (approxQuantile NPEs on an empty probs
+    // array); everything lands in pid 0 — degenerate but still exact
+    val bs =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.select(qcol.cast("double").as("_zq"))
+        .stat.approxQuantile("_zq", probs, 0.01).distinct.sorted
+    val pid =
+      if (bs.isEmpty) lit(0)
+      else size(filter(typedlit(bs.toSeq), b => b <= col("_zv").cast("double")))
+    val local = census.withColumn("_zpid", pid)
+      .withColumn("_zlcum",
+        sum("_zcnt").over(Window.partitionBy("_zpid").orderBy("_zv")))
+    val offsets = local.groupBy("_zpid").agg(sum("_zcnt").as("_zptot"))
+      .withColumn("_zoff", coalesce(
+        sum("_zptot").over(Window.orderBy("_zpid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_zn", sum("_zptot").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("_zpid", "_zoff", "_zn")
+    local.join(broadcast(offsets), Seq("_zpid"))
+      .select(col("_zv"),
+        when(col("_zn") > 1,
+          floor((col("_zoff") + col("_zlcum") - col("_zcnt")) / (col("_zn") - 1)
+            * 65535))
+          .otherwise(lit(0L)).cast("long").as("_zg"))
+  }
+
+  /** [[withZValue]]'s bit-identical scale formulation: rank grids from
+    * the distributed census-rank device ([[rankGrid]]) joined back onto
+    * the rows — two value-key equi-joins (AQE broadcasts small censuses),
+    * zero single-partition windows over anything row-scale.
+    */
+  def withZValueExactAtScale(
+      df: DataFrame, c1: String, c2: String, buckets: Int = 32): DataFrame = {
+    def qcol(c: String): Column = col("`" + c.replace("`", "``") + "`")
+    val r1 = rankGrid(df, c1, buckets).withColumnRenamed("_zg", "_g1")
+    val r2 = rankGrid(df, c2, buckets).withColumnRenamed("_zg", "_g2")
+    // null-safe join keys: a null value row keeps its census row (grid 0
+    // region) instead of being dropped by plain equality
+    df.join(r1, qcol(c1) <=> r1("_zv")).drop("_zv")
+      .join(r2, qcol(c2) <=> r2("_zv")).drop("_zv")
       .withColumn("zval", interleave16(col("_g1"), col("_g2")))
       .drop("_g1", "_g2")
   }
@@ -56,7 +129,7 @@ object ZOrder {
     * = one tight box in (c1, c2) space).
     */
   def cluster(df: DataFrame, c1: String, c2: String, numFiles: Int): DataFrame =
-    withZValue(df, c1, c2)
+    withZValueExactAtScale(df, c1, c2)
       .repartitionByRange(numFiles, col("zval"))
       .sortWithinPartitions("zval")
 

@@ -665,21 +665,40 @@ object DedupQueries extends QueryModule {
     * `jaro_winkler_similarity` — two independent implementations of
     * the canonical Winkler '90 algorithm agreeing bit-for-bit.
     *
-    * Scale: both probes are scan-local projections (the lead window
-    * rides the dim's existing order); a production linkage run pairs
-    * via blocking keys (q42c's prefix-filter family) and scores pairs
-    * with this kernel — O(pairs) with no boxing.
+    * Scale: the corruption probe is a scan-local projection; the
+    * NEIGHBOR probe is built without a global window — a BUCKETED lead:
+    * key-range buckets (`c_custkey div 1024`) give partition-local
+    * `lead` windows (parallel, each bucket-sized), and each bucket's
+    * tail row takes the FIRST name of the next nonempty bucket from a
+    * bucket-census (one row per bucket, `lead` over the census — the
+    * only unpartitioned window, input bounded by the bucket count, the
+    * q138 census discipline). Exactly equal to a global `lead` at any
+    * bucket population, including empty buckets.
     */
   def q186FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.customer(spark, dir)
+    val base = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"))
       .withColumn("pos",
         pmod(conv(substring(md5(col("c_custkey").cast("string")), 1, 4), 16, 10).cast("long"),
           length(col("c_name")).cast("long")) + 1)
       .withColumn("corrupted", expr(
         "concat(substring(c_name, 1, cast(pos - 1 AS INT)), substring(c_name, cast(pos + 1 AS INT), length(c_name)))"))
-      .withColumn("nm2", lead("c_name", 1).over(Window.orderBy("c_custkey")))
+      .withColumn("bkt", expr("c_custkey div 1024"))
+    // bucket census: first (min-key) name per nonempty bucket, then the
+    // NEXT nonempty bucket's first name via lead over the census rows
+    val firsts = base.groupBy("bkt")
+      .agg(min(struct(col("c_custkey"), col("c_name"))).as("f"))
+      .withColumn("next_first", lead(col("f.c_name"), 1)
+        .over(Window.orderBy("bkt")))
+      .select(col("bkt"), col("next_first"))
+    base
+      .withColumn("nm2b", lead("c_name", 1)
+        .over(Window.partitionBy("bkt").orderBy("c_custkey")))
+      .join(broadcast(firsts), Seq("bkt"), "left")
+      // in-bucket lead is null exactly on the bucket's max-key row,
+      // whose true successor is the next nonempty bucket's first
+      .withColumn("nm2", coalesce(col("nm2b"), col("next_first")))
       .select(col("c_custkey"),
         round(expr("jaro_winkler(c_name, corrupted)"), 6).as("jw_drop"),
         round(expr("jaro_winkler(c_name, nm2)"), 6).as("jw_next"))

@@ -75,14 +75,19 @@ object LakehouseQueries extends QueryModule {
   }
 
   /** q138: z-order clustering key — the Morton interleave of the two
-    * rank-grids (`ZOrder.withZValue` exact path; `clusterAtScale` is the
-    * production write path with approx-quantile grids and no global
-    * window — layout equivalence spec-pinned in `ZOrderSpec`). The gate
+    * rank-grids, computed by `ZOrder.withZValueExactAtScale`: the
+    * distributed census-rank device (distinct-value census →
+    * quantile-bucketed partition-local cumulative → ≤P-row offset
+    * window → broadcast join back), bit-identical to the oracle's
+    * `percent_rank` chain with ZERO single-partition windows over the
+    * fact input (plan-asserted in `PlanShapeSpec`; bit-equivalence to
+    * the reference `withZValue` formulation spec-pinned in `ZOrderSpec`;
+    * `clusterAtScale` stays the approximate-grid write path). The gate
     * certifies every bit of the interleave math both engines compute
     * from percent_rank.
     */
   def q138ZOrderKey(spark: SparkSession, dir: String): DataFrame =
-    ZOrder.withZValue(
+    ZOrder.withZValueExactAtScale(
       Tables.events(spark, dir).select("event_id", "user_id", "value"),
       "user_id", "value")
       .select(col("event_id"), col("zval"))

@@ -652,43 +652,54 @@ object MiscQueries extends QueryModule {
     * first-class transform.
     *
     * The rank-space lookup is an AS-OF join with percent-rank as the
-    * "time" axis: the engine runs the q19 union+`last(ignoreNulls)`
-    * device (reference rows sort before probes at equal rank, one
-    * ordered window — no join at all), while the ORACLE states it with
-    * DuckDB's native `ASOF JOIN` — two entirely different formulations
-    * certifying one semantic. Determinism: percent_rank is one exact
-    * division of identical integers on both sides; ties in value share
-    * a rank and the reference deduplicates to one (rank, value) row.
+    * "time" axis: the engine builds the POOLED rank from the
+    * distinct-value CENSUS (cumulative count over census rows — the
+    * q199/q138 device: the only unpartitioned windows run over the
+    * aggregate, never the customer rows), collapses the reference
+    * distribution into ONE sorted (rank, value) array row, broadcasts
+    * it, and probes it SCAN-LOCALLY (`element_at(filter(...), -1)` —
+    * greatest ref rank ≤ probe rank); the ORACLE states the same
+    * semantic with DuckDB's native `ASOF JOIN` — two entirely different
+    * formulations certifying one result. Determinism: pooled
+    * percent-rank is cum-below/(N−1), the exact integer division
+    * `percent_rank` evaluates; census rows are unique per value so the
+    * array probe is unambiguous.
     *
-    * Scale: the reference distribution is at most value-cardinality
-    * rows (and in production a fixed quantile grid); the probe side
-    * never shuffles except the one range partition the ordered window
-    * needs — at 100 TB, `repartitionByRange` on rank + partition-local
-    * windows, same as any global-order op.
+    * Scale: the reference array is value-cardinality-sized (in
+    * production a fixed quantile grid); the probe side never shuffles
+    * at all beyond its per-segment window — no union sort, no
+    * single-partition pass over row-scale data (plan-guarded in
+    * `AllQueriesSpec`).
     */
   def q171QuantileCalibration(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select("c_custkey", "c_mktsegment", "c_acctbal")
-    val ref = cust
-      .select(col("c_acctbal").as("g_val"))
-      .withColumn("pr", percent_rank().over(Window.orderBy("g_val")))
-      .distinct()
-      .select(col("pr"), col("g_val"), lit(1).as("is_ref"),
-        lit(null).cast("long").as("c_custkey"),
-        lit(null).cast("string").as("c_mktsegment"),
-        lit(null).cast("double").as("c_acctbal"))
-    val probes = cust
+    // pooled rank from the value census: pr(v) = (#rows below v)/(N−1),
+    // cumulative + total both over CENSUS rows (bounded by cardinality)
+    val census = cust.groupBy(col("c_acctbal").as("g_val"))
+      .agg(count(lit(1)).as("cnt"))
+    val wV = Window.orderBy("g_val")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ref = census
+      .withColumn("cum", sum("cnt").over(wV))
+      .withColumn("ntot", sum("cnt").over(wAll))
+      .select(((col("cum") - col("cnt")) / (col("ntot") - 1)).as("pr"),
+        col("g_val"))
+    // one sorted-array row (pr strictly increasing across census rows),
+    // broadcast to every probe partition
+    val refArr = ref.groupBy()
+      .agg(sort_array(collect_list(struct(col("pr"), col("g_val"))))
+        .as("cens"))
+    cust
       .withColumn("pr", percent_rank().over(
         Window.partitionBy("c_mktsegment").orderBy("c_acctbal")))
-      .select(col("pr"), lit(null).cast("double").as("g_val"), lit(0).as("is_ref"),
-        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-    // refs first at equal rank, so an exact rank match calibrates to
-    // its own quantile value — the ASOF >= convention
-    val w = Window.orderBy(col("pr").asc, col("is_ref").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ref.unionAll(probes)
-      .withColumn("calib", last(col("g_val"), ignoreNulls = true).over(w))
-      .filter(col("is_ref") === 0)
+      .crossJoin(broadcast(refArr))
+      // greatest reference rank ≤ probe rank — the ASOF >= convention
+      // (pr = 0 always present, so the filter is never empty)
+      .withColumn("calib",
+        expr("element_at(filter(cens, c -> c.pr <= pr), -1).g_val"))
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         round(col("calib"), 2).as("calib"))
       .orderBy("c_custkey")

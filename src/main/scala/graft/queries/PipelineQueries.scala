@@ -362,27 +362,48 @@ object PipelineQueries extends QueryModule {
     * input is plan-asserted round-robin-free).
     */
   def q121BoilerplateMask(spark: SparkSession, dir: String): DataFrame =
-    boilerplateMask(Tables.documentsSpread(spark, dir), minDf = 5)
+    boilerplateMask(Tables.documentsSpread(spark, dir),
+      Tables.documents(spark, dir), minDf = 5)
 
-  /** q121's dataflow over an already-spread document frame (doc_id,
-    * source, text) — see [[q121BoilerplateMask]] for semantics. */
-  private[graft] def boilerplateMask(docsIn: DataFrame, minDf: Int): DataFrame = {
+  /** q121's dataflow: the gram passes run over the already-spread
+    * document frame `docsIn`; `srcDocs` is the UNSPREAD frame the
+    * (doc_id, source) lookup projects from — see [[q121BoilerplateMask]]
+    * for semantics. */
+  private[graft] def boilerplateMask(
+      docsIn: DataFrame, srcDocs: DataFrame, minDf: Int): DataFrame = {
+    // the gram stream deliberately does NOT carry `source`: with both
+    // consumers (df pass and probe pass) reading the identical
+    // (doc_id, text) scan, the spread's round-robin exchange of the
+    // full text canonicalizes equal in both subtrees and ReuseExchange
+    // ships it ONCE — the df pass replays the shuffle files. (The
+    // round-13 +24% regression was this exchange running twice because
+    // `source` riding the probe branch gave the two scans divergent
+    // pruned schemas.) The explicit doc_id IS NOT NULL below keeps the
+    // two branches canonical-equal too: the probe branch's census join
+    // would otherwise INFER that filter into only its own scan.
+    // `source` re-attaches AFTER the per-doc census via a text-free
+    // (doc_id, source) projection of the unspread frame — a slim join
+    // on the doc-count-sized censuses, not the gram stream, and not
+    // through the text exchange.
     val pos = docsIn
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .withColumn("gs", expr(
         """transform(sequence(0, size(ws) - 3), i ->
           |  cast(conv(substring(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15), 16, 10) as bigint))"""
           .stripMargin))
-      .select(col("doc_id"), col("source"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
     val bp = pos.groupBy("g")
       .agg(count_distinct(col("doc_id")).as("dfd"))
       .filter(col("dfd") >= minDf)
       .select(col("g"), lit(1).as("is_bp"))
     pos.join(bp, Seq("g"), "left")
-      .groupBy("doc_id", "source")
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pos"),
         sum(when(col("is_bp").isNotNull, 1L).otherwise(0L)).as("n_bp"))
+      .join(srcDocs.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -40,7 +40,14 @@ class AllQueriesSpec extends AnyFunSuite {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows on sf0.001") {
-      val n = fn(spark, dir).count()
+      val df = fn(spark, dir)
+      // global-window guard: any unpartitioned WindowExec must sit over
+      // a census/limit-bounded input (PlanGuards doc) — checked on every
+      // declared query so a refactor can't silently reintroduce a
+      // single-partition sort over row-scale data
+      if (!PlanGuards.globalWindowExceptions(name))
+        PlanGuards.assertGlobalWindowsBounded(df, name)
+      val n = df.count()
       assert(n > 0, s"$name returned 0 rows")
     }
   }

@@ -697,7 +697,8 @@ class PlanShapeSpec extends AnyFunSuite {
       val preSpread = Tables.documents(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism, org.apache.spark.sql.functions.col("doc_id"))
       val plan = finalPlan(
-        graft.queries.PipelineQueries.boilerplateMask(preSpread, minDf = 5))
+        graft.queries.PipelineQueries.boilerplateMask(preSpread,
+          Tables.documents(spark, dir), minDf = 5))
       assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
       assert(!plan.contains("BroadcastExchange"),
@@ -706,6 +707,23 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains("RoundRobinPartitioning"),
         s"blind full-text repartition resurfaced:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q121 gated path ships the spread full-text exchange ONCE (ReusedExchange)") {
+    // the round-13 +24% regression, frozen: the df pass and the probe
+    // pass both consume the spread's round-robin text exchange — the
+    // two subtrees must stay canonically equal (same pruned schema,
+    // same explicit doc_id filter) so AQE materializes ONE shuffle and
+    // the second consumer is a ReusedExchange over its files
+    val plan = finalPlan(
+      graft.queries.PipelineQueries.q121BoilerplateMask(spark, dir))
+    if (plan.contains("RoundRobinPartitioning")) {
+      val real = plan.linesIterator
+        .filter(_.contains("Exchange RoundRobinPartitioning"))
+        .filterNot(_.contains("ReusedExchange")).size
+      assert(real == 1 && plan.contains("ReusedExchange"),
+        s"spread text exchange materialized $real times (want 1 + reuse):\n$plan")
+    } // else: session parallelism low enough that the spread gate is off
   }
 
   test("q73 decontamination core over a pre-spread input plans zero round-robin exchanges") {

@@ -97,6 +97,29 @@ class ZOrderSpec extends AnyFunSuite {
       "quantile-grid z-order lost the off-axis pruning edge")
   }
 
+  test("withZValueExactAtScale is bit-identical to the percent_rank reference formulation") {
+    // the q138-gated path: the distributed census-rank device must equal
+    // the single-partition window formulation EXACTLY — same competition
+    // rank under ties, same IEEE divide-then-scale chain — at any bucket
+    // count (bucketing only re-shards the census, never the math)
+    val ev = Tables.events(spark, SparkTestSession.sf0001)
+      .select("event_id", "user_id", "value")
+    def snap(df: DataFrame): Map[Long, Long] =
+      df.select("event_id", "zval").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = snap(ZOrder.withZValue(ev, "user_id", "value"))
+    for (buckets <- Seq(1, 2, 7, 32)) {
+      val got = snap(ZOrder.withZValueExactAtScale(ev, "user_id", "value", buckets))
+      assert(got == want, s"census-rank grid diverged at buckets=$buckets")
+    }
+    // tie-heavy + constant axis: user_id has ~15 distinct values over 1000
+    // rows already; force the degenerate constant second axis too
+    val const = ev.withColumn("k", lit(5L))
+    val wantC = snap(ZOrder.withZValue(const, "user_id", "k"))
+    assert(snap(ZOrder.withZValueExactAtScale(const, "user_id", "k")) == wantC,
+      "constant-axis grid diverged")
+  }
+
   test("interleave16 is monotone in each coordinate on a fixed other coordinate") {
     val df = (0L until 8L).map(i => (i * 1000, 37L)).toDF("x", "y")
       .select(ZOrder.interleave16(col("x") % 65536, col("y")).as("z"))
