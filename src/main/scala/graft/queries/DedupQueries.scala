@@ -789,6 +789,102 @@ object DedupQueries extends QueryModule {
       .orderBy("source_a", "source_b")
   }
 
+  /** The 24 MinHash hash families q230 sweeps, as FIXED constants
+    * shared verbatim with the oracle SQL (generated into its VALUES
+    * list): family i is the universal hash h_i(x) = (a_i·x + b_i) mod
+    * (2³¹−1) over the shingle's 32-bit md5-prefix base — the classic
+    * Carter–Wegman MinHash family, chosen over the production xxhash64
+    * kernel because the ORACLE must replay every slot and DuckDB has no
+    * xxhash. a_i/b_i are md5-derived 20-bit constants (a_i forced odd),
+    * so a_i·x < 2⁵² — overflow-free in BOTH engines' BIGINT.
+    */
+  private[graft] lazy val bandFams: Seq[(Long, Long)] = {
+    def hx(s: String, hexDigits: Int): Long =
+      java.lang.Long.parseLong(
+        new java.math.BigInteger(1,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes("UTF-8"))).toString(16)
+          .reverse.padTo(32, '0').reverse.substring(0, hexDigits), 16)
+    (0 until 24).map(i => (hx("a" + i, 5) * 2 + 1, hx("b" + i, 5)))
+  }
+
+  /** q230: MinHash BANDING TUNING CURVE — the sketch-tuning artifact
+    * that completes the q225 (CMS width) / q229 (IVF nprobe) trilogy:
+    * for one 24-slot signature, sweep the bands×rows split — (12,2),
+    * (8,3), (6,4), (4,6) — and report each config's MEASURED candidate
+    * count, precision, and recall against exact Jaccard ≥ 0.8 on the
+    * fixture. This is the table a practitioner reads to pick the
+    * S-curve: more rows per band → fewer, cleaner candidates (precision
+    * up, recall down); the measurement makes the theory concrete on
+    * real data.
+    *
+    * Truth is computed on the BOUNDED pair universe only — the UNION of
+    * all four configs' candidates (nested-ish sieves; the (12,2) config
+    * alone misses a J ≥ 0.8 pair with probability (1−J²)¹² ≤ 5e−6) —
+    * and the gate certifies the coverage: the ORACLE's truth is the
+    * all-pairs census, so any true pair the union missed fails the
+    * hash compare. Recall denominators therefore equal the global truth
+    * on both sides.
+    *
+    * Scale: signatures are scan-local (|sh|·24 modular ops over one md5
+    * per shingle); candidates come from band-key equi-joins only (the
+    * q41 discipline — never all-pairs); the exact-Jaccard verify runs
+    * ONLY over the candidate union (bounded pair loop); the config
+    * sweep multiplies the 8-byte band keys, never the documents.
+    */
+  def q230MinhashBandCurve(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L // 2^31 - 1
+    val famsLit = typedlit(bandFams.map { case (a, b) => (a, b) })
+    val docs = shingled(spark, dir).select("doc_id", "sh")
+    val sigd = docs
+      // one md5 per shingle → 32-bit base; 24 affine families over it
+      .withColumn("hb", expr(
+        s"transform(sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) % ${P}L)"))
+      .withColumn("fams", famsLit)
+      .withColumn("sig", expr(
+        s"transform(fams, f -> array_min(transform(hb, x -> (x * f._1 + f._2) % ${P}L)))"))
+      .select("doc_id", "sig")
+    val configs = Seq((12, 2), (8, 3), (6, 4), (4, 6))
+    // ALL configs' band keys from ONE pass over the signature stream
+    // (30 keys/doc), so the shingle+signature computation is not
+    // re-evaluated per config and the candidate join is a single
+    // self-equi-join on (bands, rows_per_band, band, bkey)
+    val bandDefs = typedlit(configs.flatMap { case (b, r) =>
+      (0 until b).map(bi => (b, r, bi)) })
+    val bands = sigd
+      .withColumn("bd", explode(bandDefs))
+      .select(col("doc_id"), col("bd._1").as("bands"),
+        col("bd._2").as("rows_per_band"), col("bd._3").as("band"),
+        expr("concat_ws(',', slice(sig, bd._3 * bd._2 + 1, bd._2))").as("bkey"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.bands") === col("b.bands") &&
+          col("a.rows_per_band") === col("b.rows_per_band") &&
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.bands").as("bands"), col("a.rows_per_band").as("rows_per_band"),
+        col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    // exact Jaccard ONLY on the union of candidates (the bounded loop)
+    val jac = cands.select("i", "j").distinct()
+      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+      .select(col("i"), col("j"),
+        (size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_j")))).as("jac"))
+    val truthTotal = jac.agg(
+      sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_true_total"))
+    cands.join(jac, Seq("i", "j"))
+      .groupBy("bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_true_found"))
+      .crossJoin(broadcast(truthTotal))
+      .select(col("bands"), col("rows_per_band"), col("n_cand"),
+        col("n_true_found"), col("n_true_total"),
+        round(col("n_true_found").cast("double") / col("n_cand"), 6).as("prec"),
+        round(col("n_true_found").cast("double") / col("n_true_total"), 6).as("recall"))
+      .orderBy(col("rows_per_band"))
+  }
+
   /** q205: GOLDEN-RECORD survivorship — the MDM merge step after
     * dedup finds a cluster: one surviving record per duplicate cluster
     * with FIELD-LEVEL rules (the step q40 stops short of — q40 keeps
@@ -838,6 +934,7 @@ object DedupQueries extends QueryModule {
     "q144_dup_gram_mask" -> (q144DupGramMask _),
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_minhash_lsh" -> (q41MinhashLsh _),
+    "q230_minhash_band_curve" -> (q230MinhashBandCurve _),
     "q94_source_dup_matrix" -> (q94SourceDupMatrix _),
     "q42_ngram_jaccard" -> (q42NgramJaccard _),
     "q42b_ngram_banded" -> (q42bNgramJaccardBanded _),
@@ -1019,6 +1116,48 @@ object DedupQueries extends QueryModule {
         |       sum(n_copies)::BIGINT AS n_docs,
         |       sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END)::BIGINT AS n_dropped
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full slot-for-slot replay of the 24-family signature (constants
+    // generated from `bandFams` — one source of truth for both
+    // engines); truth is the ALL-PAIRS census, so the engine's bounded
+    // union-of-candidates truth is certified complete by the compare
+    "q230_minhash_band_curve" ->
+      s"""WITH $oracleShingles,
+        |hb AS (
+        |  SELECT doc_id, sh,
+        |         [(('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647) FOR s IN sh] AS hb
+        |  FROM sh WHERE len(sh) > 0),
+        |fams(fi, fa, fb) AS (VALUES ${bandFams.zipWithIndex
+          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")}),
+        |sg AS (
+        |  SELECT doc_id, fi, list_min([(x * fa + fb) % 2147483647 FOR x IN hb]) AS sv
+        |  FROM hb CROSS JOIN fams),
+        |sig AS (SELECT doc_id, list(sv ORDER BY fi) AS sig FROM sg GROUP BY doc_id),
+        |cfg(bands, rows_per_band) AS (VALUES (12, 2), (8, 3), (6, 4), (4, 6)),
+        |bnd AS (
+        |  SELECT c.bands, c.rows_per_band, s.doc_id, u.bi,
+        |         array_to_string(s.sig[u.bi * c.rows_per_band + 1 : (u.bi + 1) * c.rows_per_band], ',') AS bkey
+        |  FROM sig s CROSS JOIN cfg c
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, c.bands)) AS bi) u),
+        |cand AS (
+        |  SELECT DISTINCT a.bands, a.rows_per_band, a.doc_id AS i, b.doc_id AS j
+        |  FROM bnd a JOIN bnd b
+        |    ON a.bands = b.bands AND a.rows_per_band = b.rows_per_band
+        |   AND a.bi = b.bi AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j,
+        |         len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |           len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+        |tt AS (SELECT count(*)::BIGINT AS n_true_total FROM p WHERE jac >= 0.8)
+        |SELECT c.bands, c.rows_per_band, count(*)::BIGINT AS n_cand,
+        |       sum(CASE WHEN p.jac >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS n_true_found,
+        |       tt.n_true_total,
+        |       round(sum(CASE WHEN p.jac >= 0.8 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) + 0.0 AS prec,
+        |       round(sum(CASE WHEN p.jac >= 0.8 THEN 1 ELSE 0 END)::DOUBLE / tt.n_true_total, 6) + 0.0 AS recall
+        |FROM cand c JOIN p USING (i, j) CROSS JOIN tt
+        |GROUP BY c.bands, c.rows_per_band, tt.n_true_total
+        |ORDER BY c.rows_per_band""".stripMargin,
     "q41_minhash_lsh" ->
       s"""WITH $oracleShingles,
         |p AS (

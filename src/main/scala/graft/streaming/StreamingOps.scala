@@ -56,6 +56,17 @@ object StreamingOps extends QueryModule {
     * deployment's real shuffle sizing — this scope only exists because
     * the drain IS the gate, not the workload. Restored in a finally, so
     * batch queries in the same session never see it.
+    *
+    * Measured floor (round 14): a warm AvailableNow drain pays ~1.1 s
+    * that is NOT data-sized — per-batch queryPlanning ~125 ms ×2,
+    * addBatch ~450 ms even at 1k input rows (micro-batch scheduling +
+    * state-store open/commit), WAL/offset commits ~35 ms ×4 (API-path
+    * CPU, not fsync: a tmpfs checkpoint does not move it), and the
+    * mandatory no-data finalization batch (which IS the append-mode
+    * emission — not skippable). Shrinking drain partitions 8→2 saves
+    * <10%. This constant is Spark's streaming machinery, vanishes on
+    * any long-running stream, and is not worth trading gate fidelity
+    * (shared checkpoints / pooled queries) to hide.
     */
   private def withDrainPartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
