@@ -1080,6 +1080,108 @@ object MiscQueries extends QueryModule {
       .orderBy("table_name")
   }
 
+  /** Poisson(1) inverse-CDF thresholds on the 60-bit md5 uniform, for
+    * q233's deterministic bootstrap weights: w(u) = #{t ≤ u} caps at 5
+    * (P[w > 5] ≈ 6e−4 folded into the top bucket). Computed ONCE here
+    * and embedded as literals in BOTH the Spark CASE ladder and the
+    * generated oracle SQL — the bandFams single-source discipline, so
+    * no cross-engine transcendental is ever evaluated twice.
+    */
+  private[graft] lazy val poissonThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    // cumulative P[X ≤ i] = e⁻¹ · Σ_{j≤i} 1/j! for i = 0..4
+    Seq(1.0, 2.0, 2.5, 8.0 / 3.0, 65.0 / 24.0)
+      .map(c => (c * e1 * 1152921504606846976.0).toLong) // × 2^60
+  }
+
+  /** q233: POISSON-BOOTSTRAP confidence intervals (the distributed
+    * bootstrap of Chamandy et al. — classic resampling needs n draws
+    * per replicate from the WHOLE dataset, impossible in one pass;
+    * Poisson(1) per-row weights approximate multinomial resampling and
+    * need only scan-local arithmetic): B = 32 replicates of each
+    * source's mean n_chars, every weight a DETERMINISTIC function of
+    * (doc_id, replicate) — a 60-bit md5 uniform cut by the embedded
+    * inverse-CDF thresholds — so both engines reproduce the exact same
+    * resamples and the gate is bit-exact, no RNG crossing the boundary.
+    * Output per source: point estimate and the [2nd smallest, 2nd
+    * largest] replicate-mean interval (the ~93.75% percentile-bootstrap
+    * CI at B = 32), plus its width.
+    *
+    * Scale: ONE scan fans out B weight rows per doc (scan-local md5 +
+    * integer compare — the explode multiplies 16-byte rows, not text);
+    * partial+final integer aggs to (source × B) rows; the CI sort runs
+    * over B = 32 values per source (bounded collect_list). Replicate
+    * means are single divides of exact integer sums — no accumulation-
+    * order exposure anywhere.
+    */
+  def q233BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    val ts = poissonThresholds
+    val u = expr("cast(conv(substring(md5(concat(cast(doc_id as string), '#', " +
+      "cast(b as string))), 1, 15), 16, 10) as bigint)")
+    val w = when(col("u") < ts(0), 0L).when(col("u") < ts(1), 1L)
+      .when(col("u") < ts(2), 2L).when(col("u") < ts(3), 3L)
+      .when(col("u") < ts(4), 4L).otherwise(5L)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val reps = docs
+      .withColumn("b", explode(typedlit((0 until B).map(_.toLong))))
+      .withColumn("u", u).withColumn("w", w)
+      .groupBy("source", "b")
+      .agg(sum(col("w") * col("n_chars")).as("sx"), sum("w").as("sw"))
+      .withColumn("rm", col("sx").cast("double") / col("sw"))
+    val ci = reps.groupBy("source")
+      .agg(sort_array(collect_list(col("rm"))).as("ms"))
+      .select(col("source"),
+        round(element_at(col("ms"), 2), 6).as("ci_lo"),
+        round(element_at(col("ms"), B - 1), 6).as("ci_hi"),
+        round(element_at(col("ms"), B - 1) - element_at(col("ms"), 2), 6)
+          .as("ci_width"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("n_chars").cast("double") / count(lit(1)), 6).as("mean_chars"))
+      .join(ci, Seq("source"))
+      .orderBy("source")
+  }
+
+  /** q232: K-ANONYMITY audit — the privacy census a release/sharing
+    * review runs before any quasi-identifier projection leaves the
+    * house: group rows by the QI tuple (nation × market segment ×
+    * coarsened balance band), then for each k threshold report the
+    * equivalence classes smaller than k, the rows they re-identify,
+    * their share, and the SUPPRESSION COST (rows that must be dropped
+    * or generalized to reach k-anonymity = exactly the violating
+    * rows). The k sweep (2/5/10) is the tuning table: it shows how
+    * much coarsening the chosen QI grid still needs.
+    *
+    * Scale: ONE hash agg on the QI tuple builds the class census
+    * (value-cardinality rows); the k sweep multiplies the CENSUS, not
+    * the data (explode over 3 thresholds on class rows); everything is
+    * integer until the one share divide. The class census is also the
+    * l-diversity starting point — kept single-purpose here.
+    */
+  def q232KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val ks = typedlit(Seq(2L, 5L, 10L))
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("cls"))
+    val tot = classes.agg(sum("cls").as("n_rows"),
+      count(lit(1)).as("n_classes"), min("cls").as("min_class"))
+    classes.withColumn("k", explode(ks))
+      .groupBy("k")
+      .agg(
+        sum(when(col("cls") < col("k"), 1L).otherwise(0L)).as("n_violating_classes"),
+        sum(when(col("cls") < col("k"), col("cls")).otherwise(0L)).as("n_violating_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("k").as("k_threshold"), col("n_classes"), col("min_class"),
+        col("n_violating_classes"), col("n_violating_rows"),
+        round(col("n_violating_rows").cast("double") / col("n_rows"), 6)
+          .as("violating_share"))
+      .orderBy("k_threshold")
+  }
+
   /** q221: CO-OCCURRENCE LIFT matrix (market-basket association) —
     * for every event-type pair, lift = N·n(a∧b)/(n(a)·n(b)) over USERS
     * (lift > 1: the behaviors attract; < 1: they repel): the
@@ -1287,6 +1389,8 @@ object MiscQueries extends QueryModule {
     "q223_cuped_variance" -> (q223CupedVariance _),
     "q221_cooccurrence_lift" -> (q221CooccurrenceLift _),
     "q218_erasure_sweep" -> (q218ErasureSweep _),
+    "q232_k_anonymity" -> (q232KAnonymity _),
+    "q233_bootstrap_ci" -> (q233BootstrapCi _),
     "q204_benford" -> (q204Benford _),
     "q206_lead_lag" -> (q206LeadLag _),
     "q207_seasonal_anomaly" -> (q207SeasonalAnomaly _),
@@ -1462,6 +1566,56 @@ object MiscQueries extends QueryModule {
         |FROM p JOIN na x ON x.event_type = p.ta
         |JOIN na y ON y.event_type = p.tb CROSS JOIN nu
         |ORDER BY p.ta, p.tb""".stripMargin,
+    // identical md5 uniforms cut by the SAME embedded thresholds
+    // (poissonThresholds — one source of truth), identical integer
+    // weighted sums, same order statistics over the 32 replicate means
+    "q233_bootstrap_ci" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |reps AS (
+        |  SELECT d.source, b.b,
+        |         sum(w * n_chars)::BIGINT AS sx, sum(w)::BIGINT AS sw
+        |  FROM d CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+        |  CROSS JOIN LATERAL (
+        |    SELECT CASE
+        |      WHEN u < ${poissonThresholds(0)} THEN 0
+        |      WHEN u < ${poissonThresholds(1)} THEN 1
+        |      WHEN u < ${poissonThresholds(2)} THEN 2
+        |      WHEN u < ${poissonThresholds(3)} THEN 3
+        |      WHEN u < ${poissonThresholds(4)} THEN 4
+        |      ELSE 5 END AS w
+        |    FROM (SELECT ('0x' || substr(md5(d.doc_id::VARCHAR || '#' || b.b::VARCHAR), 1, 15))::BIGINT AS u)
+        |  ) wt
+        |  GROUP BY d.source, b.b),
+        |rm AS (SELECT source, b, sx::DOUBLE / sw AS rm FROM reps),
+        |ci AS (
+        |  SELECT source, list_sort(list(rm)) AS ms FROM rm GROUP BY source),
+        |pt AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |         round(sum(n_chars)::DOUBLE / count(*), 6) + 0.0 AS mean_chars
+        |  FROM d GROUP BY source)
+        |SELECT pt.source, pt.n_docs, pt.mean_chars,
+        |       round(ms[2], 6) + 0.0 AS ci_lo,
+        |       round(ms[31], 6) + 0.0 AS ci_hi,
+        |       round(ms[31] - ms[2], 6) + 0.0 AS ci_width
+        |FROM pt JOIN ci USING (source) ORDER BY pt.source""".stripMargin,
+    // same QI grid, same class census, same k sweep over census rows
+    "q232_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |         count(*)::BIGINT AS cls
+        |  FROM customer GROUP BY 1, 2, 3),
+        |tot AS (SELECT sum(cls)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+        |               min(cls)::BIGINT AS min_class FROM cls),
+        |ks(k) AS (VALUES (2), (5), (10))
+        |SELECT k::BIGINT AS k_threshold, tot.n_classes, tot.min_class,
+        |       sum(CASE WHEN cls.cls < k THEN 1 ELSE 0 END)::BIGINT AS n_violating_classes,
+        |       sum(CASE WHEN cls.cls < k THEN cls.cls ELSE 0 END)::BIGINT AS n_violating_rows,
+        |       round(sum(CASE WHEN cls.cls < k THEN cls.cls ELSE 0 END)::DOUBLE
+        |             / tot.n_rows, 6) + 0.0 AS violating_share
+        |FROM cls CROSS JOIN ks CROSS JOIN tot
+        |GROUP BY k, tot.n_classes, tot.min_class, tot.n_rows
+        |ORDER BY k_threshold""".stripMargin,
     // same md5 cohort, same per-table census, residual computed from
     // the anti-joined remainder — bit-identical
     "q218_erasure_sweep" ->

@@ -135,6 +135,69 @@ object PipelineQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q231: Bloom-filter FALSE-POSITIVE-RATE curve — the measured
+    * accuracy-vs-size table that prices q73b's bitmap knob (the fourth
+    * leg of the sketch-tuning family after q225 CMS width, q229 IVF
+    * nprobe, q230 MinHash banding): the eval gram set (q73's framing)
+    * is folded into k=3-hash Bloom sets at m ∈ {2¹¹, 2¹³, 2¹⁵} bits,
+    * then probed with GUARANTEED NON-MEMBERS (distinct train grams
+    * anti-joined against the eval set), so every full hit is by
+    * construction a false positive; per m: keys, set bits, probes,
+    * FPs, measured FPR, bits/key. At the sf0.01 fixture the curve runs
+    * 0.55 → 0.041 → 0.00096 — saturation to usable in two size steps.
+    *
+    * Unlike q73b's xxhash bitmap (answer-transparent, so its oracle
+    * never replays the bits), the FPR here IS the answer — positions
+    * must replay in the oracle, so they are md5-derived (the q230
+    * discipline): pos_i(g) = md5-prefix60(g || '#' || i) mod m.
+    *
+    * Scale: gram base hashes are computed ONCE per probe (3 md5s),
+    * per-m positions are modular arithmetic on those; membership is a
+    * (m, pos)-key SEMI-join against the ≤3n-row bit table (never an
+    * array scan per probe); FP decision = count(kept position rows)
+    * = k, exact under duplicate positions too. Everything integer
+    * until the two output divides.
+    */
+  def q231BloomFprCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ms = Seq(2048L, 8192L, 32768L)
+    val mLit = typedlit(ms)
+    val docs = Tables.documentsSpread(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 5)
+      .withColumn("hs", expr("gram5_md5(ws)"))
+      .select("doc_id", "hs")
+    val evalG = docs.filter(col("doc_id") % 23 === 0)
+      .select(explode(col("hs")).as("g")).distinct()
+    val probeG = docs.filter(col("doc_id") % 23 =!= 0)
+      .select(explode(col("hs")).as("g")).distinct()
+      .join(evalG, Seq("g"), "left_anti")
+    // 3 base hashes per key, md5-derived so the oracle replays them
+    def withBases(df: DataFrame): DataFrame = df.select(col("g"), expr(
+      """transform(sequence(0, 2), i ->
+        |  cast(conv(substring(md5(concat(cast(g as string), '#', cast(i as string))), 1, 15), 16, 10) as bigint))"""
+        .stripMargin).as("bs"))
+    val bits = withBases(evalG).withColumn("m", explode(mLit))
+      .select(col("m"), explode(expr("transform(bs, b -> b % m)")).as("pos"))
+      .distinct()
+    val probePos = withBases(probeG).withColumn("m", explode(mLit))
+      .select(col("m"), col("g"), explode(expr("transform(bs, b -> b % m)")).as("pos"))
+    val fpPerM = probePos.join(bits, Seq("m", "pos"), "left_semi")
+      .groupBy("m", "g").agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === 3)
+      .groupBy("m").agg(count(lit(1)).as("n_fp"))
+    val nKeys = evalG.agg(count(lit(1)).as("n_keys"))
+    val nProbes = probeG.agg(count(lit(1)).as("n_probes"))
+    bits.groupBy("m").agg(count(lit(1)).as("n_bits_set"))
+      .join(fpPerM, Seq("m"), "left")
+      .crossJoin(broadcast(nKeys)).crossJoin(broadcast(nProbes))
+      .select(col("m").as("m_bits"), col("n_keys"), col("n_bits_set"),
+        col("n_probes"), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        round(coalesce(col("n_fp"), lit(0L)).cast("double") / col("n_probes"), 6)
+          .as("fpr"),
+        round(col("m") / col("n_keys").cast("double"), 2).as("bits_per_key"))
+      .orderBy("m_bits")
+  }
+
   /** q74: sequence packing — documents laid end-to-end per source in
     * doc_id order and cut into fixed-size token context windows; a document
     * belongs to the chunk its FIRST token lands in (greedy
@@ -706,6 +769,7 @@ object PipelineQueries extends QueryModule {
     "q120_hash_split" -> (q120HashSplit _),
     "q73_decontamination" -> (q73Decontamination _),
     "q73b_decontamination_bloom" -> (q73bDecontaminationBloom _),
+    "q231_bloom_fpr_curve" -> (q231BloomFprCurve _),
     "q74_sequence_packing" -> (q74SequencePacking _),
     "q104_chunking" -> (q104Chunking _),
     "q107_token_budget" -> (q107TokenBudget _),
@@ -924,6 +988,37 @@ object PipelineQueries extends QueryModule {
     // formulation) — the decontamination join is mirrored exactly
     "q73_decontamination" -> oracleDecontamination,
     "q73b_decontamination_bloom" -> oracleDecontamination,
+    // full replay: same md5-derived bit positions, same anti-joined
+    // non-member probe set, same count-of-kept-rows FP decision
+    "q231_bloom_fpr_curve" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         [('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15))::BIGINT
+        |          FOR i IN range(1, len(ws) - 3)] AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 5),
+        |e AS (SELECT DISTINCT unnest(hs) AS g FROM h WHERE doc_id % 23 = 0),
+        |tr AS (SELECT DISTINCT unnest(hs) AS g FROM h WHERE doc_id % 23 <> 0),
+        |pr AS (SELECT tr.g FROM tr ANTI JOIN e USING (g)),
+        |ms(m) AS (VALUES (2048), (8192), (32768)),
+        |eb AS (SELECT g, [('0x' || substr(md5(g::VARCHAR || '#' || i::VARCHAR), 1, 15))::BIGINT FOR i IN range(0, 3)] AS bs FROM e),
+        |bits AS (SELECT DISTINCT m, unnest([b % m FOR b IN bs]) AS pos FROM eb CROSS JOIN ms),
+        |pb AS (SELECT m, g, unnest([(('0x' || substr(md5(g::VARCHAR || '#' || i::VARCHAR), 1, 15))::BIGINT) % m FOR i IN range(0, 3)]) AS pos
+        |       FROM pr CROSS JOIN ms),
+        |hits AS (SELECT pb.m, pb.g, count(*) AS nhit
+        |         FROM pb SEMI JOIN bits ON pb.m = bits.m AND pb.pos = bits.pos
+        |         GROUP BY pb.m, pb.g),
+        |fp AS (SELECT m, count(*) AS n_fp FROM hits WHERE nhit = 3 GROUP BY m),
+        |nb AS (SELECT m, count(*) AS n_bits_set FROM bits GROUP BY m),
+        |nk AS (SELECT count(*) AS n_keys FROM e),
+        |np AS (SELECT count(*) AS n_probes FROM pr)
+        |SELECT nb.m::BIGINT AS m_bits, nk.n_keys::BIGINT AS n_keys,
+        |       nb.n_bits_set::BIGINT AS n_bits_set, np.n_probes::BIGINT AS n_probes,
+        |       coalesce(fp.n_fp, 0)::BIGINT AS n_fp,
+        |       round(coalesce(fp.n_fp, 0)::DOUBLE / np.n_probes, 6) + 0.0 AS fpr,
+        |       round(nb.m / nk.n_keys::DOUBLE, 2) + 0.0 AS bits_per_key
+        |FROM nb LEFT JOIN fp USING (m) CROSS JOIN nk CROSS JOIN np
+        |ORDER BY m_bits""".stripMargin,
     // chunk content gated through the same md5-prefix idiom; DuckDB
     // list slice a:b is 1-based inclusive = Spark slice(start, length),
     // both clipped at the array end

@@ -743,6 +743,62 @@ object SimilarityQueries extends QueryModule {
         .localCheckpoint(true)
     })
 
+  /** q235: INCREMENTAL IVF INDEX MAINTENANCE — the arrival-batch
+    * operation a live ANN index runs between rebuilds: a ~25% md5-slice
+    * of vectors plays the NEW batch, the remainder is the indexed BASE;
+    * centroids seed from the base alone (the index's frozen quantizer —
+    * first 16 base vectors by id, `IvfAnn.build`'s seeding), the new
+    * batch is assigned to the EXISTING lists, and the maintenance
+    * report prices the drift: per list, base/new occupancy, new share,
+    * the membership-pinning id-sum of arrivals, and a NEEDS_SPLIT flag
+    * (occupancy > 2× the average — the rebalance trigger) computed as
+    * an integer cross-multiplication (no float boundary).
+    *
+    * Determinism: the q105 integer grid (⌊x·2²⁰+0.5⌋) makes dots and
+    * norms exact BIGINTs; the assignment score is one divide by one
+    * sqrt of those integers — bit-identical, order-invariant.
+    * Scale: one broadcast of the 16-row centroid table, map-side
+    * struct-max assignment (one row per vector shuffles), census-level
+    * report. At 100 TB only the ARRIVAL batch is assigned (the base
+    * occupancy comes from stored index metadata); the base pass here
+    * exists because the fixture gate reports both sides from scratch.
+    */
+  def q235IvfMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val nLists = 16
+    val grid = "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0 + 0.5) as bigint))"
+    val isNew = conv(substring(md5(col("vec_id").cast("string")), 1, 1), 16, 10)
+      .cast("int") >= 12
+    val en = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(grid).as("qe"))
+      .withColumn("is_new", isNew)
+    val cents = en.filter(!col("is_new")).orderBy("vec_id").limit(nLists)
+      .select(row_number().over(Window.orderBy("vec_id")).cast("int").as("list_id"),
+        col("qe").as("ce"))
+      .withColumn("cn", expr("aggregate(ce, cast(0 as bigint), (s, x) -> s + x * x)"))
+    val asg = Tables.spread(en)
+      .crossJoin(broadcast(cents))
+      .withColumn("qdot",
+        expr("aggregate(zip_with(qe, ce, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("score", col("qdot").cast("double") / sqrt(col("cn").cast("double")))
+      .groupBy("vec_id", "is_new")
+      .agg(max(struct(col("score"), (-col("list_id")).as("neg"))).as("b"))
+      .select(col("vec_id"), col("is_new"), (-col("b.neg")).as("list_id"))
+    val per = asg.groupBy("list_id").agg(
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("is_new"), col("vec_id")).otherwise(0L)).as("new_id_sum"))
+    val tot = per.agg(sum(col("n_base") + col("n_new")).as("n_total_all"))
+    per.crossJoin(broadcast(tot))
+      .select(col("list_id").cast("long").as("list_id"), col("n_base"), col("n_new"),
+        (col("n_base") + col("n_new")).as("n_total"),
+        round(col("n_new").cast("double") / (col("n_base") + col("n_new")), 6)
+          .as("new_share"),
+        ((col("n_base") + col("n_new")) * nLists > col("n_total_all") * 2)
+          .as("needs_split"),
+        col("new_id_sum"))
+      .orderBy("list_id")
+  }
+
   def q105KnnLabel(spark: SparkSession, dir: String): DataFrame = {
     val assigned = gridIvfAssign(spark, dir, nLists = 16)
     val isQ = conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
@@ -1012,6 +1068,7 @@ object SimilarityQueries extends QueryModule {
     "q211_hard_negatives" -> (q211HardNegatives _),
     "q210_mmr_rerank" -> (q210MmrRerank _),
     "q105_knn_label" -> (q105KnnLabel _),
+    "q235_ivf_maintenance" -> (q235IvfMaintenance _),
     "q68_quantized_cosine" -> (q68QuantizedCosine _),
     "q84_srp_lsh" -> (q84SrpLsh _),
     "q114_random_projection" -> (q114RandomProjection _),
@@ -1296,6 +1353,36 @@ object SimilarityQueries extends QueryModule {
     // by IEEE exact rounding on identical operands — no accumulation
     // order anywhere), seeding by smallest ids, assignment / kNN / vote
     // tie-breaks mirrored term for term
+    // base-seeded centroids, grid-exact assignment of base AND arrivals,
+    // same integer cross-multiplied split trigger
+    "q235_ivf_maintenance" ->
+      """WITH en AS (
+        |  SELECT vec_id,
+        |         [floor(x::DOUBLE * 1048576 + 0.5)::BIGINT FOR x IN embedding] AS qe,
+        |         (CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 1)) AS INT) >= 12) AS is_new
+        |  FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id)::INT AS list_id, qe AS ce,
+        |             list_sum([x * x FOR x IN qe])::BIGINT AS cn
+        |      FROM (SELECT * FROM en WHERE NOT is_new ORDER BY vec_id LIMIT 16) s),
+        |a AS (SELECT e.vec_id, e.is_new, c.list_id,
+        |             list_sum([e.qe[i] * c.ce[i] FOR i IN range(1, 65)])::BIGINT AS qdot, c.cn
+        |      FROM en e CROSS JOIN c),
+        |asg AS (SELECT vec_id, is_new, list_id FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY qdot::DOUBLE / sqrt(cn::DOUBLE) DESC, list_id ASC) AS rn FROM a)
+        |        WHERE rn = 1),
+        |per AS (SELECT list_id,
+        |               sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END)::BIGINT AS n_base,
+        |               sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |               sum(CASE WHEN is_new THEN vec_id ELSE 0 END)::BIGINT AS new_id_sum
+        |        FROM asg GROUP BY list_id),
+        |tot AS (SELECT sum(n_base + n_new)::BIGINT AS n_total_all FROM per)
+        |SELECT list_id::BIGINT AS list_id, n_base, n_new,
+        |       (n_base + n_new)::BIGINT AS n_total,
+        |       round(n_new::DOUBLE / (n_base + n_new), 6) + 0.0 AS new_share,
+        |       ((n_base + n_new) * 16 > n_total_all * 2) AS needs_split,
+        |       new_id_sum
+        |FROM per CROSS JOIN tot ORDER BY list_id""".stripMargin,
     "q105_knn_label" ->
       s"""WITH $oracleGridAsg,
         |p AS (

@@ -1494,7 +1494,55 @@ object TextQueries extends QueryModule {
       .orderBy("lang", "source")
   }
 
+  /** q234: HEAPS'-LAW vocabulary growth curve — the measured
+    * vocab-vs-corpus-size table a tokenizer/vocab budget decision reads
+    * (V(n) ≈ K·nᵝ; here the law is MEASURED, not fitted, so the gate
+    * stays integer-exact — no transcendental crosses the engine
+    * boundary): at corpus prefixes of 20/40/60/80/100% (doc_id order,
+    * cutoff = ⌊max_id·pct/100⌋ integer arithmetic), report docs,
+    * tokens, DISTINCT vocabulary, the new-types delta vs the previous
+    * prefix, and the type–token ratio (the one divide, round 6).
+    *
+    * Scale: vocabulary membership per prefix needs only each term's
+    * MIN doc_id — one hash agg over the exploded token stream (term-
+    * census-sized, never re-scanned per prefix); the 5-point sweep
+    * explodes CENSUS rows (terms × 5, docs × 5), not text. new_types
+    * comes from a second census pass (min_doc in the previous band),
+    * not a self-join.
+    */
+  def q234HeapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val pcts = typedlit(Seq(20L, 40L, 60L, 80L, 100L))
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"), col("ws"))
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val termMin = docs
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(min("doc_id").as("min_doc"))
+    val cut = expr("(max_id * pct) div 100")
+    val vocab = termMin.crossJoin(broadcast(maxId))
+      .withColumn("pct", explode(pcts))
+      .filter(col("min_doc") <= cut)
+      .groupBy("pct").agg(count(lit(1)).as("vocab"))
+    val corpus = docs.select(col("doc_id"), col("n_tok"))
+      .crossJoin(broadcast(maxId))
+      .withColumn("pct", explode(pcts))
+      .filter(col("doc_id") <= cut)
+      .groupBy("pct")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    corpus.join(vocab, Seq("pct"))
+      .withColumn("prev_vocab",
+        coalesce(lag("vocab", 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy("pct")), lit(0L)))
+      .select(col("pct"), col("n_docs"), col("n_tokens"), col("vocab"),
+        (col("vocab") - col("prev_vocab")).as("new_types"),
+        round(col("vocab").cast("double") / col("n_tokens"), 6).as("type_token_ratio"))
+      .orderBy("pct")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_heaps_law" -> (q234HeapsLaw _),
     "q188_winsorize" -> (q188Winsorize _),
     "q189_mix_gini" -> (q189MixGini _),
     "q174_weighted_median" -> (q174WeightedMedian _),
@@ -1725,6 +1773,35 @@ object TextQueries extends QueryModule {
         |       CAST(CAST((s00 * (1 - wx) + s01 * wx) * (1 - wy) +
         |                 (s10 * (1 - wx) + s11 * wx) * wy AS FLOAT) AS DOUBLE) AS px
         |FROM s ORDER BY doc_id, idx""".stripMargin,
+    // same integer prefix cutoffs, same per-term min-doc census, same
+    // 5-point sweep; the one divide on identical integers
+    "q234_heaps_law" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+        |         string_split(text, ' ') AS ws
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id)::BIGINT AS max_id FROM d),
+        |tm AS (
+        |  SELECT term, min(doc_id)::BIGINT AS min_doc
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM d) WHERE term <> ''
+        |  GROUP BY term),
+        |ps(pct) AS (VALUES (20), (40), (60), (80), (100)),
+        |vc AS (
+        |  SELECT pct, count(*)::BIGINT AS vocab
+        |  FROM tm CROSS JOIN ps CROSS JOIN mx
+        |  WHERE min_doc <= (max_id * pct) // 100 GROUP BY pct),
+        |cp AS (
+        |  SELECT pct, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+        |  FROM d CROSS JOIN ps CROSS JOIN mx
+        |  WHERE doc_id <= (max_id * pct) // 100 GROUP BY pct),
+        |j AS (
+        |  SELECT cp.pct, cp.n_docs, cp.n_tokens, vc.vocab,
+        |         coalesce(lag(vc.vocab) OVER (ORDER BY cp.pct), 0) AS prev_vocab
+        |  FROM cp JOIN vc USING (pct))
+        |SELECT pct::BIGINT AS pct, n_docs, n_tokens, vocab,
+        |       (vocab - prev_vocab)::BIGINT AS new_types,
+        |       round(vocab::DOUBLE / n_tokens, 6) + 0.0 AS type_token_ratio
+        |FROM j ORDER BY pct""".stripMargin,
     // exact integer counts and cumulative counts; each share is ONE
     // double divide on identical integers — bit-identical, no prefix-sum
     // float exposure
