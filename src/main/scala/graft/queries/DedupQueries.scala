@@ -445,6 +445,40 @@ object DedupQueries extends QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** q239: duplicate-cluster SIZE DISTRIBUTION — the dedup-savings
+    * report read off q66's clusters (how much of the corpus is
+    * singleton vs small-cluster vs mass-duplicated, and what keeping
+    * one survivor per cluster saves): per cluster size, the number of
+    * clusters and the documents they cover, INCLUDING the singleton
+    * row (docs with no near-dup edge — every edge endpoint lands in a
+    * ≥2 component, so singletons = total − clustered, pure census
+    * arithmetic), plus each size's docs-removed-if-deduped.
+    *
+    * Scale: q66's machinery (banded detector + components); everything
+    * after runs on component census rows. The histogram is the
+    * artifact a dedup owner reads to pick the survivor policy — a few
+    * mass clusters vs a long tail changes the strategy.
+    */
+  def q239ClusterSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val edges = q41MinhashLsh(spark, dir)
+      .select(col("i").as("src"), col("j").as("dst"))
+    val sizes = graft.operators.ConnectedComponents.run(edges)
+      .groupBy("component").agg(count(lit(1)).as("s"))
+    val nTotal = Tables.documents(spark, dir).agg(count(lit(1)).as("n_total"))
+    val clustered = sizes.agg(
+      coalesce(sum("s"), lit(0L)).as("n_clustered"))
+    val hist = sizes.groupBy(col("s").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singletons = nTotal.crossJoin(broadcast(clustered))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"))
+    hist.unionByName(singletons)
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs_covered"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+      .orderBy("cluster_size")
+  }
+
   /** q78: SemDeDup-style SEMANTIC dedup — embedding-cosine near-dup
     * clusters over the `embeddings` table, completing the dedup ladder
     * (exact q40 → lexical near-dup q41/q42/q43 → semantic). Edges =
@@ -885,6 +919,49 @@ object DedupQueries extends QueryModule {
       .orderBy(col("rows_per_band"))
   }
 
+  /** q236: CONTENT NOVELTY over ingestion — the dedup-pressure monitor
+    * a growing corpus is watched with (is the crawl still finding new
+    * content, or re-fetching what it has?): doc_id deciles play the
+    * arrival batches (the q234 integer-cutoff device), each content
+    * hash's FIRST batch comes from one min-agg over the hash census,
+    * and the per-batch report separates NOVEL hashes (first seen here),
+    * novel docs, and duplicate docs (hash first seen in an earlier
+    * batch or earlier in this one), with the duplicate rate the one
+    * divide. A rising dup_rate over batches is the saturation signal
+    * that retires a source.
+    *
+    * Scale: one sha256 hash-shuffle builds the (hash → min doc_id)
+    * census (q40's shape); the decile sweep is scan-local integer
+    * arithmetic on doc_id; the report joins the doc stream to the
+    * census on the content hash — the only data-sized exchange.
+    */
+  def q236NoveltyByBatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    // batch = which decile of the id range the doc arrived in (0..9);
+    // integer `div`, never float division on ids
+    def batchOf(idCol: String): Column =
+      least(lit(9L), expr(s"($idCol * 10) div (max_id + 1)")).cast("long")
+    val firstSeen = docs.groupBy("h").agg(min("doc_id").as("first_doc"))
+    docs.join(firstSeen, Seq("h"))
+      .crossJoin(broadcast(maxId))
+      .withColumn("batch", batchOf("doc_id"))
+      .withColumn("first_batch", batchOf("first_doc"))
+      .groupBy("batch")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel_docs"),
+        sum(when(col("doc_id") =!= col("first_doc"), 1L).otherwise(0L))
+          .as("n_dup_docs"),
+        sum(when(col("first_batch") < col("batch"), 1L).otherwise(0L))
+          .as("n_dups_of_earlier_batches"))
+      .withColumn("dup_rate",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+      .orderBy("batch")
+  }
+
   /** q205: GOLDEN-RECORD survivorship — the MDM merge step after
     * dedup finds a cluster: one surviving record per duplicate cluster
     * with FIELD-LEVEL rules (the step q40 stops short of — q40 keeps
@@ -935,6 +1012,8 @@ object DedupQueries extends QueryModule {
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_minhash_lsh" -> (q41MinhashLsh _),
     "q230_minhash_band_curve" -> (q230MinhashBandCurve _),
+    "q236_novelty_by_batch" -> (q236NoveltyByBatch _),
+    "q239_cluster_size_histogram" -> (q239ClusterSizeHistogram _),
     "q94_source_dup_matrix" -> (q94SourceDupMatrix _),
     "q42_ngram_jaccard" -> (q42NgramJaccard _),
     "q42b_ngram_banded" -> (q42bNgramJaccardBanded _),
@@ -1116,6 +1195,23 @@ object DedupQueries extends QueryModule {
         |       sum(n_copies)::BIGINT AS n_docs,
         |       sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END)::BIGINT AS n_dropped
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same sha256 census, same integer decile cutoffs, same one divide
+    "q236_novelty_by_batch" ->
+      """WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        |mx AS (SELECT max(doc_id)::BIGINT AS max_id FROM d),
+        |fs AS (SELECT h, min(doc_id)::BIGINT AS first_doc FROM d GROUP BY h),
+        |j AS (
+        |  SELECT d.doc_id, fs.first_doc,
+        |         least(9, (d.doc_id * 10) // (max_id + 1))::BIGINT AS batch,
+        |         least(9, (fs.first_doc * 10) // (max_id + 1))::BIGINT AS first_batch
+        |  FROM d JOIN fs USING (h) CROSS JOIN mx)
+        |SELECT batch, count(*)::BIGINT AS n_docs,
+        |       sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)::BIGINT AS n_novel_docs,
+        |       sum(CASE WHEN doc_id <> first_doc THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+        |       sum(CASE WHEN first_batch < batch THEN 1 ELSE 0 END)::BIGINT AS n_dups_of_earlier_batches,
+        |       round(sum(CASE WHEN doc_id <> first_doc THEN 1 ELSE 0 END)::DOUBLE
+        |             / count(*), 6) + 0.0 AS dup_rate
+        |FROM j GROUP BY batch ORDER BY batch""".stripMargin,
     // full slot-for-slot replay of the 24-family signature (constants
     // generated from `bandFams` — one source of truth for both
     // engines); truth is the ALL-PAIRS census, so the engine's bounded
@@ -1250,6 +1346,36 @@ object DedupQueries extends QueryModule {
         |SELECT cluster_id, count(*)::BIGINT AS cluster_size,
         |       array_to_string(list_sort(list(doc_id)), ',') AS members
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // q66's closure rolled up to the size census; singleton row from
+    // total − clustered
+    "q239_cluster_size_histogram" ->
+      s"""WITH RECURSIVE $oracleShingles,
+        |p AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j,
+        |         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e0 AS (SELECT i, j FROM p WHERE jac >= 0.8),
+        |nodes AS (SELECT i AS n FROM e0 UNION SELECT j FROM e0),
+        |e AS (SELECT i AS s, j AS d FROM e0 UNION ALL SELECT j AS s, i AS d FROM e0),
+        |walk(n, c) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.d, w.c FROM walk w JOIN e ON e.s = w.n),
+        |comp AS (SELECT n AS doc_id, min(c) AS cluster_id FROM walk GROUP BY n),
+        |sz AS (SELECT cluster_id, count(*)::BIGINT AS s FROM comp GROUP BY cluster_id),
+        |hist AS (SELECT s AS cluster_size, count(*)::BIGINT AS n_clusters FROM sz GROUP BY s),
+        |tot AS (SELECT count(*)::BIGINT AS n_total FROM documents),
+        |cl AS (SELECT coalesce(sum(s), 0)::BIGINT AS n_clustered FROM sz),
+        |all_rows AS (
+        |  SELECT cluster_size, n_clusters FROM hist
+        |  UNION ALL
+        |  SELECT 1::BIGINT, (tot.n_total - cl.n_clustered)::BIGINT
+        |  FROM tot CROSS JOIN cl)
+        |SELECT cluster_size, n_clusters,
+        |       (cluster_size * n_clusters)::BIGINT AS n_docs_covered,
+        |       ((cluster_size - 1) * n_clusters)::BIGINT AS n_removable
+        |FROM all_rows ORDER BY cluster_size""".stripMargin,
     // all-pairs new×base ground truth: same md5-byte split, same ≥3-word
     // shingle filter as the engine's `shingled`, exact Jaccard — blind
     // to the banding, so it gates the recall claim end-to-end

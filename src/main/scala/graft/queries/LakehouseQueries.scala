@@ -26,7 +26,7 @@ object LakehouseQueries extends QueryModule {
   private val cutoff = "1997-01-01"
 
   /** Base snapshot: (o_orderkey, o_totalprice) before the cutoff. */
-  private def baseSnap(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def baseSnap(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .filter(col("o_orderdate") < lit(cutoff).cast("date"))
       .select(col("o_orderkey"), col("o_totalprice"))
@@ -37,16 +37,28 @@ object LakehouseQueries extends QueryModule {
 
   /** Change set: inserts = all post-cutoff orders; updates = base keys
     * with md5 slot 0-3 (price re-rounded); deletes = slots 4-5.
+    * Derivation is ROW-LOCAL ([[changeRowsOf]]), so any disjoint
+    * slicing of the order rows — in particular q238's micro-batches —
+    * derives exactly this set chunk by chunk.
     */
-  private def changeSet(spark: SparkSession, dir: String): DataFrame = {
-    val base = baseSnap(spark, dir)
-    val ins = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit(cutoff).cast("date"))
+  private def changeSet(spark: SparkSession, dir: String): DataFrame =
+    changeRowsOf(Tables.orders(spark, dir))
+
+  /** The per-row CDC derivation shared by [[changeSet]] and the
+    * streaming apply (q238): each raw order row yields at most one
+    * change row, decided only by its own columns — at most one op per
+    * key corpus-wide (I keys post-cutoff; U/D keys pre-cutoff by
+    * disjoint md5 slots), which is what makes chunked apply equal
+    * one-shot apply.
+    */
+  private[graft] def changeRowsOf(rows: DataFrame): DataFrame = {
+    val isBase = col("o_orderdate") < lit(cutoff).cast("date")
+    val ins = rows.filter(!isBase)
       .select(col("o_orderkey"), col("o_totalprice"), lit("I").as("op"))
-    val upd = base.filter(slot(col("o_orderkey")).isin("0", "1", "2", "3"))
+    val upd = rows.filter(isBase && slot(col("o_orderkey")).isin("0", "1", "2", "3"))
       .select(col("o_orderkey"), round(col("o_totalprice"), 0).as("o_totalprice"),
         lit("U").as("op"))
-    val del = base.filter(slot(col("o_orderkey")).isin("4", "5"))
+    val del = rows.filter(isBase && slot(col("o_orderkey")).isin("4", "5"))
       .select(col("o_orderkey"), col("o_totalprice"), lit("D").as("op"))
     ins.unionAll(upd).unionAll(del)
   }
@@ -236,8 +248,10 @@ object LakehouseQueries extends QueryModule {
     "q163_skipping_stats" -> (q163SkippingStats _)
   )
 
-  /** Shared oracle CTEs: base snapshot + change set + merged snapshot. */
-  private val oracleMergeCtes: String =
+  /** Shared oracle CTEs: base snapshot + change set + merged snapshot.
+    * Also the oracle base of the STREAMING apply (q238), which must
+    * converge to the identical snapshot. */
+  private[graft] val oracleMergeCtes: String =
     """WITH base AS (
       |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
       |  WHERE o_orderdate < DATE '1997-01-01'),

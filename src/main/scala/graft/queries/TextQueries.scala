@@ -1541,8 +1541,49 @@ object TextQueries extends QueryModule {
       .orderBy("pct")
   }
 
+  /** q237: MEDIA SHAPE BUCKETING — q122's batch-formation layout for
+    * the multimodal side: every media record lands in an (aspect class
+    * × resolution class) bucket — the grouping a ViT-style
+    * variable-resolution trainer batches by (images in one batch share
+    * a padded shape) — and the census prices the padding each bucket
+    * costs (pad to the bucket's max pixel count: n·max(px) − Σpx, one
+    * agg, exact integers). Aspect classes are INTEGER cross-multiplied
+    * cuts (w·4 ≤ h·3 tall; h·4 ≤ w·3 wide; else square) — no float
+    * ratio boundary; dims mirror `MediaPipeline.fromDocuments`'s
+    * deterministic manufacture formulas in column space (the q131/q148
+    * discipline: same device, scan-local arithmetic, no Dataset ser/de
+    * on the hot path).
+    *
+    * Scale: scan-local classification; one partial+final hash agg on
+    * the (type, aspect, res) key. Nothing shuffles but 8-byte keys.
+    */
+  def q237MediaShapeBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val typed = docs
+      .withColumn("media_type",
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+      .withColumn("w", (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("long"))
+      .withColumn("h", (pmod(col("doc_id"), lit(5)) * 120 + 240).cast("long"))
+      .withColumn("aspect_class",
+        when(col("w") * 4 <= col("h") * 3, "tall")
+          .when(col("h") * 4 <= col("w") * 3, "wide").otherwise("square"))
+      .withColumn("px", col("w") * col("h"))
+      .withColumn("res_class",
+        when(col("px") < 262144L, "small")
+          .when(col("px") < 524288L, "medium").otherwise("large"))
+    typed.groupBy("media_type", "aspect_class", "res_class")
+      .agg(count(lit(1)).as("n_items"), sum("px").as("sum_px"),
+        max("px").as("max_px"), sum("doc_id").as("sum_ids"))
+      .withColumn("pad_waste", col("n_items") * col("max_px") - col("sum_px"))
+      .withColumn("waste_frac",
+        round(col("pad_waste").cast("double") / (col("n_items") * col("max_px")), 6))
+      .orderBy("media_type", "aspect_class", "res_class")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_heaps_law" -> (q234HeapsLaw _),
+    "q237_media_shape_buckets" -> (q237MediaShapeBuckets _),
     "q188_winsorize" -> (q188Winsorize _),
     "q189_mix_gini" -> (q189MixGini _),
     "q174_weighted_median" -> (q174WeightedMedian _),
@@ -1773,6 +1814,34 @@ object TextQueries extends QueryModule {
         |       CAST(CAST((s00 * (1 - wx) + s01 * wx) * (1 - wy) +
         |                 (s10 * (1 - wx) + s11 * wx) * wy AS FLOAT) AS DOUBLE) AS px
         |FROM s ORDER BY doc_id, idx""".stripMargin,
+    // same manufacture formulas, same integer aspect cuts, same
+    // n·max−Σ padding arithmetic
+    "q237_media_shape_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |         ((doc_id % 8) * 160 + 320)::BIGINT AS w,
+        |         ((doc_id % 5) * 120 + 240)::BIGINT AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, media_type,
+        |         CASE WHEN w * 4 <= h * 3 THEN 'tall'
+        |              WHEN h * 4 <= w * 3 THEN 'wide' ELSE 'square' END AS aspect_class,
+        |         w * h AS px,
+        |         CASE WHEN w * h < 262144 THEN 'small'
+        |              WHEN w * h < 524288 THEN 'medium' ELSE 'large' END AS res_class
+        |  FROM t),
+        |g AS (
+        |  SELECT media_type, aspect_class, res_class,
+        |         count(*)::BIGINT AS n_items, sum(px)::BIGINT AS sum_px,
+        |         max(px)::BIGINT AS max_px, sum(doc_id)::BIGINT AS sum_ids
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT media_type, aspect_class, res_class, n_items, sum_px, max_px,
+        |       sum_ids, (n_items * max_px - sum_px)::BIGINT AS pad_waste,
+        |       round((n_items * max_px - sum_px)::DOUBLE / (n_items * max_px), 6)
+        |         + 0.0 AS waste_frac
+        |FROM g ORDER BY media_type, aspect_class, res_class""".stripMargin,
     // same integer prefix cutoffs, same per-term min-doc census, same
     // 5-point sweep; the one divide on identical integers
     "q234_heaps_law" ->

@@ -1181,7 +1181,40 @@ object StreamingOps extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** q238: STREAMING CDC APPLY — q136's MERGE INTO driven from a
+    * change STREAM (the lakehouse ingestion loop: CDC rows arrive
+    * continuously, each micro-batch upserts/deletes into the stored
+    * snapshot via `foreachBatch` + `ChangeCapture.merge`): raw order
+    * rows stream in as files, each batch derives its change rows
+    * ROW-LOCALLY (`LakehouseQueries.changeRowsOf` — at most one op per
+    * key corpus-wide, so chunked apply ≡ one-shot apply and the gate is
+    * BATCH-COUNT-INVARIANT like q166), and the running snapshot is
+    * `localCheckpoint`ed per batch (lineage cut; at 100 TB the
+    * checkpoint is the table write itself). Oracle = q136's merged
+    * snapshot: streaming convergence to the batch MERGE is exactly
+    * what's gated. Deletes through the stream path — the op q166's
+    * insert-only MV cannot express — are the point.
+    */
+  def q238StreamCdcApply(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/orders.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/orders.parque[t]")
+    var snap = graft.queries.LakehouseQueries.baseSnap(spark, dir).localCheckpoint()
+    val q = stream0.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        snap = graft.operators.ChangeCapture.merge(
+          snap, graft.queries.LakehouseQueries.changeRowsOf(batch),
+          "o_orderkey", "o_totalprice").localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    snap.orderBy("o_orderkey")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_stream_cdc_apply" -> (q238StreamCdcApply _),
     "q127_stream_static_window" -> (q127StreamStaticWindow _),
     "q185_stream_static_outer" -> (q185StreamStaticOuter _),
     "q166_stream_mv_maintenance" -> (q166StreamMvMaintenance _),
@@ -1236,6 +1269,12 @@ object StreamingOps extends QueryModule {
       |FROM b ORDER BY user_id""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // q136's merged-snapshot oracle verbatim — streaming convergence to
+    // the batch MERGE is the invariant (batch-count-invariant: at most
+    // one change op per key)
+    "q238_stream_cdc_apply" -> (graft.queries.LakehouseQueries.oracleMergeCtes +
+      """
+        |SELECT k AS o_orderkey, v AS o_totalprice FROM m ORDER BY k""".stripMargin),
     // the full recompute — equality with the streamed base⊕delta merge
     // IS the self-maintainability invariant (q150's oracle, streaming
     // edition; batch-count-invariant, see the query doc)

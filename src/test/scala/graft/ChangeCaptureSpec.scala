@@ -75,6 +75,32 @@ class ChangeCaptureSpec extends AnyFunSuite {
     assert(ChangeCapture.diff(base, next, "k", "v").isEmpty)
   }
 
+  test("q238 invariance: chunked CDC apply equals the one-shot merge at 2 and 5 chunks") {
+    // the batch-count-invariance claim q238's driver gate rests on:
+    // changeRowsOf is row-local and yields at most one op per key, so
+    // folding merge over ANY disjoint slicing of the order rows lands
+    // on the identical snapshot
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, dir)
+    val base = graft.queries.LakehouseQueries.baseSnap(spark, dir)
+    val oneShot = ChangeCapture.merge(base,
+      graft.queries.LakehouseQueries.changeRowsOf(orders),
+      "o_orderkey", "o_totalprice")
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = canon(oneShot)
+    for (n <- Seq(2, 5)) {
+      var snap = base
+      for (c <- 0 until n) {
+        val slice = orders.filter(pmod(col("o_orderkey"), lit(n)) === c)
+        snap = ChangeCapture.merge(snap,
+          graft.queries.LakehouseQueries.changeRowsOf(slice),
+          "o_orderkey", "o_totalprice").localCheckpoint()
+      }
+      assert(canon(snap) == want, s"chunked apply diverged at $n chunks")
+    }
+  }
+
   test("fixture roundtrip at sf0.001: diff(base, merge(base, chg)) over orders") {
     val dir = "/root/testdata/sf0.001"
     val base = Tables.orders(spark, dir)
