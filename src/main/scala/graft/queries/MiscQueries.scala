@@ -1182,6 +1182,57 @@ object MiscQueries extends QueryModule {
       .orderBy("k_threshold")
   }
 
+  /** q241: MULTI-TOUCH ATTRIBUTION (position-based 40/20/40) — the
+    * marketing-analytics allocation query: each purchase closes a
+    * JOURNEY (its user's touches since the previous purchase), and the
+    * conversion's credit splits 40% to the first touch, 40% to the
+    * last, 20% across the middles; per-channel (event_type) totals are
+    * the report. Credit is INTEGER BASIS POINTS with an exact remainder
+    * policy (middles get ⌊2000/(n−2)⌋ bp, the first 2000 mod (n−2)
+    * middles one extra — every journey sums to exactly 10000, no float
+    * allocation): the q168 water-fill discipline applied to
+    * attribution.
+    *
+    * Scale: journey ids from a per-USER running purchase count
+    * (partitioned windows — parallel, never global); touch positions
+    * from per-(user, journey) windows; one census agg at the end. The
+    * share divide is the only double op.
+    */
+  def q241MultiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("is_p", (col("event_type") === "purchase").cast("long"))
+      .withColumn("jid", coalesce(
+        sum("is_p").over(wU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val convs = ev.filter(col("is_p") === 1)
+      .select(col("user_id"), col("jid"))
+    val touches = ev.filter(col("is_p") === 0)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")).cast("long"))
+    val sized = touches.groupBy("user_id", "jid").agg(count(lit(1)).as("n"))
+    val attributed = touches
+      .join(sized, Seq("user_id", "jid"))
+      .join(convs, Seq("user_id", "jid"), "left_semi")
+      .withColumn("bp",
+        when(col("n") === 1, 10000L)
+          .when(col("n") === 2, 5000L)
+          .when(col("pos") === 1 || col("pos") === col("n"), 4000L)
+          .otherwise(expr("2000 div (n - 2)") +
+            when(col("pos") - 1 <= expr("2000 % (n - 2)"), 1L).otherwise(0L)))
+    val totConvs = attributed.agg(
+      countDistinct(col("user_id") * 1000000 + col("jid")).as("total_convs"))
+    attributed.groupBy("event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("user_id") * 1000000 + col("jid")).as("n_convs_touched"),
+        sum("bp").as("total_credit_bp"))
+      .crossJoin(broadcast(totConvs))
+      .withColumn("credit_share",
+        round(col("total_credit_bp").cast("double") / (col("total_convs") * 10000L), 6))
+      .drop("total_convs")
+      .orderBy("event_type")
+  }
+
   /** q221: CO-OCCURRENCE LIFT matrix (market-basket association) —
     * for every event-type pair, lift = N·n(a∧b)/(n(a)·n(b)) over USERS
     * (lift > 1: the behaviors attract; < 1: they repel): the
@@ -1391,6 +1442,7 @@ object MiscQueries extends QueryModule {
     "q218_erasure_sweep" -> (q218ErasureSweep _),
     "q232_k_anonymity" -> (q232KAnonymity _),
     "q233_bootstrap_ci" -> (q233BootstrapCi _),
+    "q241_multi_touch_attribution" -> (q241MultiTouchAttribution _),
     "q204_benford" -> (q204Benford _),
     "q206_lead_lag" -> (q206LeadLag _),
     "q207_seasonal_anomaly" -> (q207SeasonalAnomaly _),
@@ -1566,6 +1618,42 @@ object MiscQueries extends QueryModule {
         |FROM p JOIN na x ON x.event_type = p.ta
         |JOIN na y ON y.event_type = p.tb CROSS JOIN nu
         |ORDER BY p.ta, p.tb""".stripMargin,
+    // same journey segmentation, same integer basis-point ladder with
+    // the identical remainder policy — every journey sums to 10000
+    "q241_multi_touch_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+        |         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+        |  FROM events),
+        |convs AS (SELECT DISTINCT user_id, jid FROM ev WHERE is_p = 1),
+        |touches AS (
+        |  SELECT user_id, jid, event_type,
+        |         row_number() OVER (PARTITION BY user_id, jid
+        |                            ORDER BY ts, event_id)::BIGINT AS pos
+        |  FROM ev WHERE is_p = 0),
+        |sized AS (SELECT user_id, jid, count(*)::BIGINT AS n
+        |          FROM touches GROUP BY user_id, jid),
+        |att AS (
+        |  SELECT t.event_type, t.user_id, t.jid,
+        |         CASE WHEN s.n = 1 THEN 10000
+        |              WHEN s.n = 2 THEN 5000
+        |              WHEN t.pos = 1 OR t.pos = s.n THEN 4000
+        |              ELSE (2000 // (s.n - 2)) +
+        |                   (CASE WHEN t.pos - 1 <= 2000 % (s.n - 2) THEN 1 ELSE 0 END)
+        |         END::BIGINT AS bp
+        |  FROM touches t
+        |  JOIN sized s USING (user_id, jid)
+        |  SEMI JOIN convs c ON c.user_id = t.user_id AND c.jid = t.jid),
+        |tot AS (SELECT count(DISTINCT user_id * 1000000 + jid)::BIGINT AS total_convs FROM att)
+        |SELECT event_type, count(*)::BIGINT AS n_touches,
+        |       count(DISTINCT user_id * 1000000 + jid)::BIGINT AS n_convs_touched,
+        |       sum(bp)::BIGINT AS total_credit_bp,
+        |       round(sum(bp)::DOUBLE / (tot.total_convs * 10000), 6) + 0.0 AS credit_share
+        |FROM att CROSS JOIN tot
+        |GROUP BY event_type, tot.total_convs ORDER BY event_type""".stripMargin,
     // identical md5 uniforms cut by the SAME embedded thresholds
     // (poissonThresholds — one source of truth), identical integer
     // weighted sums, same order statistics over the 32 replicate means

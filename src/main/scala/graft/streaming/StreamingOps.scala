@@ -1213,8 +1213,66 @@ object StreamingOps extends QueryModule {
     snap.orderBy("o_orderkey")
   }
 
+  /** q240: STREAMING SKETCH-COLUMN MAINTENANCE — q209's warehouse
+    * sketch pattern meets q166's incremental MV: the stored view is a
+    * per-event-type HLL REGISTER ARRAY (distinct users, p=12), seeded
+    * from the base partition, and each micro-batch of the delta stream
+    * folds its own batch-local sketch in by ELEMENT-WISE MAX
+    * (`zip_with(..., greatest)` — the register merge law). Max-merge is
+    * associative, commutative, AND idempotent, so the gate is
+    * batch-count-invariant like q166's cents — and stronger: even
+    * replayed rows cannot skew it. The final estimates are checked
+    * against the oracle's direct single-pass register chain over ALL
+    * events (the self-maintenance invariant), with exact distincts
+    * riding beside.
+    *
+    * Scale: this is the 100 TB streaming-dashboard pattern — per batch
+    * only type-count × 4 KB register rows cross the merge join; the
+    * raw stream never re-aggregates, and the stored MV answers any
+    * later distinct-count read at sketch cost.
+    */
+  def q240StreamSketchMv(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val sk = udaf(new graft.functions.SketchAggregators.HllSketchAggregator(12))
+    val mg = udaf(new graft.functions.SketchAggregators.HllMergeAggregator(12))
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val isDelta = pmod(col("event_id"), lit(5)) === 4
+    def sketchOf(df: DataFrame): DataFrame =
+      df.select(col("event_type"), h.as("h"))
+        .groupBy("event_type").agg(sk(col("h")).as("sketch"))
+    var mv = sketchOf(
+      Tables.events(spark, dir).select("event_id", "user_id", "event_type")
+        .filter(!isDelta)).localCheckpoint()
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val delta = stream0.select("event_id", "user_id", "event_type").filter(isDelta)
+    val q = delta.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mv = mv.as("b").join(sketchOf(batch).as("d"), Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            when(col("b.sketch").isNull, col("d.sketch"))
+              .when(col("d.sketch").isNull, col("b.sketch"))
+              .otherwise(expr("zip_with(b.sketch, d.sketch, (x, y) -> greatest(x, y))"))
+              .as("sketch"))
+          .localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("exact_distinct"))
+    mv.groupBy("event_type").agg(mg(col("sketch")).as("est"))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), round(col("est"), 4).as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q238_stream_cdc_apply" -> (q238StreamCdcApply _),
+    "q240_stream_sketch_mv" -> (q240StreamSketchMv _),
     "q127_stream_static_window" -> (q127StreamStaticWindow _),
     "q185_stream_static_outer" -> (q185StreamStaticOuter _),
     "q166_stream_mv_maintenance" -> (q166StreamMvMaintenance _),
@@ -1275,6 +1333,45 @@ object StreamingOps extends QueryModule {
     "q238_stream_cdc_apply" -> (graft.queries.LakehouseQueries.oracleMergeCtes +
       """
         |SELECT k AS o_orderkey, v AS o_totalprice FROM m ORDER BY k""".stripMargin),
+    // q190's direct register chain over ALL events — the streamed
+    // base⊕delta max-merge must land on the identical registers (the
+    // self-maintenance invariant, sketch edition)
+    "q240_stream_sketch_mv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, h // 281474976710656 AS bucket,
+        |         h % 281474976710656 AS w
+        |  FROM h),
+        |r AS (
+        |  SELECT event_type, bucket,
+        |         max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS reg
+        |  FROM b GROUP BY event_type, bucket),
+        |s AS (
+        |  SELECT event_type,
+        |         (sum(1::BIGINT << (49 - reg))
+        |            + (4096 - count(*)) * 562949953421312)::BIGINT AS s,
+        |         (4096 - count(*))::BIGINT AS v
+        |  FROM r GROUP BY event_type),
+        |e0 AS (
+        |  SELECT event_type, v,
+        |         0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+        |           * 562949953421312.0 / s::DOUBLE AS raw
+        |  FROM s),
+        |est AS (
+        |  SELECT event_type,
+        |         CASE WHEN raw <= 2.5 * 4096.0 AND v > 0
+        |              THEN 4096.0 * ln(4096.0 / v) ELSE raw END AS est
+        |  FROM e0),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT est.event_type, round(est.est, 4) + 0.0 AS est_distinct,
+        |       ex.exact_distinct
+        |FROM est JOIN ex USING (event_type)
+        |ORDER BY est.event_type""".stripMargin,
     // the full recompute — equality with the streamed base⊕delta merge
     // IS the self-maintainability invariant (q150's oracle, streaming
     // edition; batch-count-invariant, see the query doc)
