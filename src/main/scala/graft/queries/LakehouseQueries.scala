@@ -105,6 +105,40 @@ object LakehouseQueries extends QueryModule {
       .select(col("event_id"), col("zval"))
       .orderBy("event_id")
 
+  /** q242: TIME TRAVEL — `AS OF` snapshot reads over an upsert log
+    * (the lakehouse versioned-read feature: every order is an upsert of
+    * its customer's "latest order" record, versioned by event time; a
+    * snapshot at date d is last-write-wins over all upserts ≤ d). Three
+    * as-of dates sweep the log and each snapshot reports its active-key
+    * census: keys, the integer-cents sum of latest values (the q223
+    * exactness device), and the snapshot's last write.
+    *
+    * Determinism: last-write-wins is a lexicographic struct-max on
+    * (event date, order key) — total order, no window; cents are exact
+    * BIGINTs. Scale: the sweep multiplies rows ×3 BEFORE the key agg
+    * (scan-local explode; at 100 TB one would instead partition the log
+    * by date and prune per as-of — same semantics); per snapshot one
+    * hash agg on the key, map-side partials, no global sort. The
+    * struct-max formulation is itself the scale story: version
+    * resolution never windows the log.
+    */
+  def q242TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val snaps = typedlit(Seq("1996-01-01", "1998-06-01", "2000-12-31"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("as_of_s", explode(snaps))
+      .withColumn("as_of", col("as_of_s").cast("date")).drop("as_of_s")
+      .filter(col("o_orderdate") <= col("as_of"))
+      .groupBy("as_of", "o_custkey")
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"), col("cents"))).as("b"))
+      .groupBy("as_of")
+      .agg(count(lit(1)).as("n_keys"),
+        round(sum(col("b.cents")) / 100.0, 2).as("sum_latest_price"),
+        max(col("b.o_orderdate")).cast("date").as("last_write"))
+      .orderBy("as_of")
+  }
+
   /** q150: incremental MATERIALIZED-VIEW maintenance — the refresh path
     * of a stored per-key aggregate view under an insert-only delta
     * batch (the lakehouse MV pattern: never rescan the base, apply the
@@ -243,6 +277,7 @@ object LakehouseQueries extends QueryModule {
     "q137_snapshot_diff" -> (q137SnapshotDiff _),
     "q138_zorder_key" -> (q138ZOrderKey _),
     "q150_mv_maintenance" -> (q150MvMaintenance _),
+    "q242_time_travel" -> (q242TimeTravel _),
     "q161_deletion_vectors" -> (q161DeletionVectors _),
     "q162_compaction_plan" -> (q162CompactionPlan _),
     "q163_skipping_stats" -> (q163SkippingStats _)
@@ -279,6 +314,23 @@ object LakehouseQueries extends QueryModule {
         |       round(min(value), 2) + 0.0 AS min_value,
         |       round(max(value), 2) + 0.0 AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same last-write-wins total order ((date, key) DESC), same cents
+    "q242_time_travel" ->
+      """WITH s(as_of) AS (VALUES (DATE '1996-01-01'), (DATE '1998-06-01'), (DATE '2000-12-31')),
+        |u AS (
+        |  SELECT s.as_of, o_custkey, o_orderdate, o_orderkey,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders CROSS JOIN s
+        |  WHERE o_orderdate <= s.as_of),
+        |lw AS (
+        |  SELECT as_of, o_custkey, o_orderdate, cents
+        |  FROM u
+        |  QUALIFY row_number() OVER (PARTITION BY as_of, o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+        |SELECT as_of, count(*)::BIGINT AS n_keys,
+        |       round(sum(cents) / 100.0, 2) + 0.0 AS sum_latest_price,
+        |       CAST(max(o_orderdate) AS DATE) AS last_write
+        |FROM lw GROUP BY as_of ORDER BY as_of""".stripMargin,
     "q136_merge_snapshot" -> (oracleMergeCtes +
       """
         |SELECT k AS o_orderkey, v AS o_totalprice FROM m ORDER BY k""".stripMargin),

@@ -655,21 +655,22 @@ object MiscQueries extends QueryModule {
     * "time" axis: the engine builds the POOLED rank from the
     * distinct-value CENSUS (cumulative count over census rows — the
     * q199/q138 device: the only unpartitioned windows run over the
-    * aggregate, never the customer rows), collapses the reference
-    * distribution into ONE sorted (rank, value) array row, broadcasts
-    * it, and probes it SCAN-LOCALLY (`element_at(filter(...), -1)` —
-    * greatest ref rank ≤ probe rank); the ORACLE states the same
-    * semantic with DuckDB's native `ASOF JOIN` — two entirely different
-    * formulations certifying one result. Determinism: pooled
-    * percent-rank is cum-below/(N−1), the exact integer division
-    * `percent_rank` evaluates; census rows are unique per value so the
-    * array probe is unambiguous.
+    * aggregate, never the customer rows), turns the reference
+    * distribution into half-open rank INTERVALS [pr, pr_next), and
+    * resolves each probe through a binned interval equi-join (the q92
+    * device — one bin per probe, raw-double post-filter for the exact
+    * ASOF ≥ match); the ORACLE states the same semantic with DuckDB's
+    * native `ASOF JOIN` — two entirely different formulations
+    * certifying one result. Determinism: pooled percent-rank is
+    * cum-below/(N−1), the exact integer division `percent_rank`
+    * evaluates; census prs are strictly increasing so intervals
+    * partition [0,1] and each probe matches exactly once.
     *
-    * Scale: the reference array is value-cardinality-sized (in
-    * production a fixed quantile grid); the probe side never shuffles
-    * at all beyond its per-segment window — no union sort, no
-    * single-partition pass over row-scale data (plan-guarded in
-    * `AllQueriesSpec`).
+    * Scale: the reference side is value-cardinality-sized (in
+    * production a fixed quantile grid); probes do O(1) work each
+    * through the bin key — no union sort, no single-partition pass
+    * over row-scale data (plan-guarded in `AllQueriesSpec`), and no
+    * per-probe scan of the whole reference.
     */
   def q171QuantileCalibration(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -687,21 +688,33 @@ object MiscQueries extends QueryModule {
       .withColumn("ntot", sum("cnt").over(wAll))
       .select(((col("cum") - col("cnt")) / (col("ntot") - 1)).as("pr"),
         col("g_val"))
-    // one sorted-array row (pr strictly increasing across census rows),
-    // broadcast to every probe partition
-    val refArr = ref.groupBy()
-      .agg(sort_array(collect_list(struct(col("pr"), col("g_val"))))
-        .as("cens"))
+    // the as-of lookup as a BINNED INTERVAL EQUI-JOIN (the q92 device):
+    // census prs are strictly increasing, so they partition [0,1] into
+    // half-open intervals [pr, pr_next); each interval explodes into
+    // the integer rank-bins it covers (census-level lead window —
+    // bounded input), every probe computes its ONE bin, and the raw-
+    // double post-filter pins the exact ASOF ≥ match. O(1) work per
+    // probe — never a per-row scan of the whole reference (a broadcast
+    // sorted-array `filter(...)` probe measured 34 s at sf0.1: O(n²)
+    // in the census size).
+    val bins = 1024
+    val refIv = ref
+      .withColumn("pr_next",
+        coalesce(lead("pr", 1).over(Window.orderBy("pr")), lit(1.5)))
+    val binned = refIv.withColumn("_bin", explode(sequence(
+        floor(col("pr") * bins).cast("long"),
+        least(floor(col("pr_next") * bins).cast("long"), lit(bins.toLong)))))
+      .select(col("_bin"), col("pr").as("ref_pr"), col("pr_next"), col("g_val"))
     cust
       .withColumn("pr", percent_rank().over(
         Window.partitionBy("c_mktsegment").orderBy("c_acctbal")))
-      .crossJoin(broadcast(refArr))
-      // greatest reference rank ≤ probe rank — the ASOF >= convention
-      // (pr = 0 always present, so the filter is never empty)
-      .withColumn("calib",
-        expr("element_at(filter(cens, c -> c.pr <= pr), -1).g_val"))
+      .withColumn("_bin", floor(col("pr") * bins).cast("long"))
+      .join(binned, Seq("_bin"))
+      // exactly one census interval holds each probe (pr = 0 exists, so
+      // coverage is total; ≥ ref_pr is the ASOF ≥ convention)
+      .filter(col("pr") >= col("ref_pr") && col("pr") < col("pr_next"))
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-        round(col("calib"), 2).as("calib"))
+        round(col("g_val"), 2).as("calib"))
       .orderBy("c_custkey")
   }
 
@@ -1233,6 +1246,42 @@ object MiscQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q243: TIME-TO-CONVERT distribution — the activation-lag report
+    * behind every funnel review: per signed-up user, the lag from FIRST
+    * signup to the first purchase at-or-after it, bucketed (same day /
+    * 1–3 / 4–7 / 8–30 / >30 days / never) with each bucket's user share.
+    * Lags are integer day diffs (no float time math); bucket labels
+    * carry a sort prefix so the output order is the funnel order.
+    *
+    * Scale: two filtered key aggs (first signup; first qualifying
+    * purchase via a conditional min over the user-key join — never a
+    * window over events), then a census-sized bucket rollup. The share
+    * divide is the one double op.
+    */
+  def q243TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "ts", "event_type")
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("su_ts"))
+    val pu = ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+    val firstP = su.join(pu, Seq("user_id"), "left")
+      .groupBy("user_id", "su_ts")
+      .agg(min(when(col("ts") >= col("su_ts"), col("ts"))).as("p_ts"))
+    val lag = datediff(col("p_ts").cast("date"), col("su_ts").cast("date"))
+    val bucket = when(col("p_ts").isNull, "5_never")
+      .when(lag === 0, "0_same_day")
+      .when(lag <= 3, "1_1-3d")
+      .when(lag <= 7, "2_4-7d")
+      .when(lag <= 30, "3_8-30d")
+      .otherwise("4_gt30d")
+    val tot = su.agg(count(lit(1)).as("n_signups"))
+    firstP.withColumn("bucket", bucket)
+      .groupBy("bucket").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_signups"), 6).as("share"))
+      .orderBy("bucket")
+  }
+
   /** q221: CO-OCCURRENCE LIFT matrix (market-basket association) —
     * for every event-type pair, lift = N·n(a∧b)/(n(a)·n(b)) over USERS
     * (lift > 1: the behaviors attract; < 1: they repel): the
@@ -1443,6 +1492,7 @@ object MiscQueries extends QueryModule {
     "q232_k_anonymity" -> (q232KAnonymity _),
     "q233_bootstrap_ci" -> (q233BootstrapCi _),
     "q241_multi_touch_attribution" -> (q241MultiTouchAttribution _),
+    "q243_time_to_convert" -> (q243TimeToConvert _),
     "q204_benford" -> (q204Benford _),
     "q206_lead_lag" -> (q206LeadLag _),
     "q207_seasonal_anomaly" -> (q207SeasonalAnomaly _),
@@ -1618,6 +1668,32 @@ object MiscQueries extends QueryModule {
         |FROM p JOIN na x ON x.event_type = p.ta
         |JOIN na y ON y.event_type = p.tb CROSS JOIN nu
         |ORDER BY p.ta, p.tb""".stripMargin,
+    // same first-signup / first-qualifying-purchase aggs, same integer
+    // day-diff bucket ladder
+    "q243_time_to_convert" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS su_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |fp AS (
+        |  SELECT su.user_id, su.su_ts,
+        |         min(CASE WHEN p.ts >= su.su_ts THEN p.ts END) AS p_ts
+        |  FROM su LEFT JOIN (SELECT user_id, ts FROM events
+        |                     WHERE event_type = 'purchase') p USING (user_id)
+        |  GROUP BY su.user_id, su.su_ts),
+        |b AS (
+        |  SELECT CASE
+        |    WHEN p_ts IS NULL THEN '5_never'
+        |    WHEN date_diff('day', su_ts::DATE, p_ts::DATE) = 0 THEN '0_same_day'
+        |    WHEN date_diff('day', su_ts::DATE, p_ts::DATE) <= 3 THEN '1_1-3d'
+        |    WHEN date_diff('day', su_ts::DATE, p_ts::DATE) <= 7 THEN '2_4-7d'
+        |    WHEN date_diff('day', su_ts::DATE, p_ts::DATE) <= 30 THEN '3_8-30d'
+        |    ELSE '4_gt30d' END AS bucket
+        |  FROM fp),
+        |tot AS (SELECT count(*)::BIGINT AS n_signups FROM su)
+        |SELECT bucket, count(*)::BIGINT AS n_users,
+        |       round(count(*)::DOUBLE / tot.n_signups, 6) + 0.0 AS share
+        |FROM b CROSS JOIN tot GROUP BY bucket, tot.n_signups
+        |ORDER BY bucket""".stripMargin,
     // same journey segmentation, same integer basis-point ladder with
     // the identical remainder policy — every journey sums to 10000
     "q241_multi_touch_attribution" ->
