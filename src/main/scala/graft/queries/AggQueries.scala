@@ -396,6 +396,49 @@ object AggQueries extends QueryModule {
     }.reduce(_ unionByName _).orderBy("width")
   }
 
+  /** q244: JOIN-SIZE ESTIMATION via sketch inner product (the AMS/CMS
+    * device, Alon–Matias–Szegedy '96 / Cormode–Muthukrishnan '05): the
+    * size of clicks ⋈ purchases on user_id is Σ_k nA(k)·nB(k), and the
+    * CM estimate is min over depth rows of Σ_col cA[d,col]·cB[d,col] —
+    * the cardinality consult a 100 TB optimizer runs BEFORE picking a
+    * join strategy, priced here as a measured accuracy-vs-width curve
+    * (widths 64/256/1024, the q225/q229/q230/q231 tuning-table family).
+    *
+    * Determinism: q225's md5-bucket device (conv(md5) mod w), exact
+    * BIGINT counters and products; the one double op is the final error
+    * ratio under round 6. Scale: the exact size comes from the key
+    * CENSUS product (two hash aggs + a key equi-join — the join itself
+    * is never materialized); each width's counters are w-sized aggs of
+    * the census, so the sketch path shuffles O(depth·w) rows, not data.
+    */
+  def q244JoinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val widths = Seq(64, 256, 1024)
+    val ev = Tables.eventsSpread(spark, dir)
+    def census(t: String) = ev.filter(col("event_type") === t)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val a = census("click").localCheckpoint()
+    val b = census("purchase").localCheckpoint()
+    val exact = a.withColumnRenamed("n", "n_a")
+      .join(b.withColumnRenamed("n", "n_b"), "user_id")
+      .agg(sum(col("n_a") * col("n_b")).as("exact_size"))
+    def counters(side: DataFrame, w: Int) = side
+      .withColumn("j", explode(sequence(lit(0), lit(2))))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w"))
+      .groupBy("j", "bucket").agg(sum("n").as("cnt"))
+    widths.map { w =>
+      val ca = counters(a, w)
+      val cb = counters(b, w).withColumnRenamed("cnt", "cnt_b")
+      ca.join(cb, Seq("j", "bucket"))
+        .groupBy("j").agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+        .agg(min("ip").as("est_size"))
+        .crossJoin(broadcast(exact))
+        .select(lit(w.toLong).as("width"), col("est_size"), col("exact_size"),
+          round(col("est_size").cast("double") / col("exact_size"), 6)
+            .as("blowup"))
+    }.reduce(_ unionByName _).orderBy("width")
+  }
+
   /** q172: the LINEAR-REGRESSION aggregate family (SQL:2003 `regr_*`) —
     * per-group OLS of extended price on quantity: slope, intercept, R²,
     * plus the correlation it generalizes. These are one-pass moment
@@ -422,6 +465,7 @@ object AggQueries extends QueryModule {
     "q195_cms_frequency" -> (q195CmsFrequency _),
     "q209_sketch_rollup" -> (q209SketchRollup _),
     "q225_cms_accuracy_curve" -> (q225CmsAccuracyCurve _),
+    "q244_join_size_estimate" -> (q244JoinSizeEstimate _),
     "q172_regression_aggs" -> (q172RegressionAggs _),
     "q91_grouped_topk" -> (q91GroupedTopk _),
     "q86_heavy_hitters" -> (q86HeavyHitters _),
@@ -439,6 +483,40 @@ object AggQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same key censuses, same md5 counters, same min-of-rows inner product
+    "q244_join_size_estimate" -> {
+      val widths = Seq(64, 256, 1024)
+      val blocks = widths.map { w =>
+        s"""ca_$w AS (
+           |  SELECT t.j, ('0x' || substr(md5(t.j::VARCHAR || '|' || user_id::VARCHAR), 1, 8))::BIGINT % $w AS bucket,
+           |         sum(n)::BIGINT AS cnt
+           |  FROM a, range(0, 3) t(j) GROUP BY 1, 2),
+           |cb_$w AS (
+           |  SELECT t.j, ('0x' || substr(md5(t.j::VARCHAR || '|' || user_id::VARCHAR), 1, 8))::BIGINT % $w AS bucket,
+           |         sum(n)::BIGINT AS cnt
+           |  FROM b, range(0, 3) t(j) GROUP BY 1, 2),
+           |ip_$w AS (
+           |  SELECT ca.j, sum(ca.cnt * cb.cnt)::BIGINT AS ip
+           |  FROM ca_$w ca JOIN cb_$w cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+           |  GROUP BY ca.j),
+           |agg_$w AS (
+           |  SELECT $w::BIGINT AS width, min(ip)::BIGINT AS est_size FROM ip_$w)""".stripMargin
+      }.mkString(",\n")
+      val union = widths.map(w =>
+        s"SELECT width, est_size, exact_size, round(est_size::DOUBLE / exact_size, 6) + 0.0 AS blowup FROM agg_$w CROSS JOIN x").mkString("\nUNION ALL ")
+      s"""WITH a AS (
+         |  SELECT user_id, count(*)::BIGINT AS n FROM events
+         |  WHERE event_type = 'click' GROUP BY user_id),
+         |b AS (
+         |  SELECT user_id, count(*)::BIGINT AS n FROM events
+         |  WHERE event_type = 'purchase' GROUP BY user_id),
+         |x AS (
+         |  SELECT sum(a.n * b.n)::BIGINT AS exact_size
+         |  FROM a JOIN b USING (user_id)),
+         |$blocks
+         |$union
+         |ORDER BY width""".stripMargin
+    },
     // q195's cell-for-cell replay at each width, unioned
     "q225_cms_accuracy_curve" -> {
       val widths = Seq(256, 1024, 4096)

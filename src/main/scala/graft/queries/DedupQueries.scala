@@ -1002,7 +1002,48 @@ object DedupQueries extends QueryModule {
       .orderBy("golden_doc_id")
   }
 
+  /** q248: EDIT-DISTANCE blocked linkage — q187's sibling on the other
+    * classic similarity (Levenshtein instead of Jaro–Winkler), run the
+    * scalable way: dedupe records to the DISTINCT-VALUE census first
+    * (64 part names at every SF — value cardinality, not row count),
+    * block on the name's noun token, pair only within blocks, and
+    * weight each linked value pair by its record-count product (the
+    * number of RECORD pairs the link represents — the census never
+    * loses the row-level answer). Per block: names, candidate pairs,
+    * links at distance ≤ 2, linked record pairs, and the tightest link.
+    *
+    * Determinism: `levenshtein` is exact integer edit distance in both
+    * engines; tightest link = lexicographic struct-min on (dist, a, b).
+    * Scale: the fact table pays one hash agg to the census; the pair
+    * loop is census² within blocks — the record-linkage shape that
+    * stays bounded when rows grow 1000× but the value domain doesn't.
+    */
+  def q248EditDistanceLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val census = graft.Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("block", split(col("name"), " ").getItem(1))
+      .localCheckpoint()
+    val a = census.select(col("block"), col("name").as("name_a"), col("cnt").as("cnt_a"))
+    val b = census.select(col("block"), col("name").as("name_b"), col("cnt").as("cnt_b"))
+    a.join(b, Seq("block")).filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dist") <= 2, 1L).otherwise(0L)).as("n_linked"),
+        sum(when(col("dist") <= 2, col("cnt_a") * col("cnt_b"))
+          .otherwise(0L)).as("n_record_pairs"),
+        min(when(col("dist") <= 2,
+          struct(col("dist"), col("name_a"), col("name_b")))).as("best"))
+      .join(census.groupBy("block").agg(count(lit(1)).as("n_names")), Seq("block"))
+      .select(col("block"), col("n_names"), col("n_pairs"), col("n_linked"),
+        col("n_record_pairs"), col("best.dist").cast("long").as("best_dist"),
+        col("best.name_a").as("best_a"), col("best.name_b").as("best_b"))
+      .orderBy("block")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_edit_distance_linkage" -> (q248EditDistanceLinkage _),
     "q205_golden_record" -> (q205GoldenRecord _),
     "q196_kmv_set_algebra" -> (q196KmvSetAlgebra _),
     "q186_fuzzy_match" -> (q186FuzzyMatch _),
@@ -1026,6 +1067,33 @@ object DedupQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same census, same noun block, same levenshtein cut + struct-min
+    "q248_edit_distance_linkage" ->
+      """WITH census AS (
+        |  SELECT p_name AS name, count(*)::BIGINT AS cnt,
+        |         split_part(p_name, ' ', 2) AS block
+        |  FROM part GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.block, a.name AS name_a, b.name AS name_b,
+        |         a.cnt AS cnt_a, b.cnt AS cnt_b,
+        |         levenshtein(a.name, b.name) AS dist
+        |  FROM census a JOIN census b
+        |    ON a.block = b.block AND a.name < b.name),
+        |agg AS (
+        |  SELECT block, count(*)::BIGINT AS n_pairs,
+        |         sum(CASE WHEN dist <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_linked,
+        |         sum(CASE WHEN dist <= 2 THEN cnt_a * cnt_b ELSE 0 END)::BIGINT
+        |           AS n_record_pairs,
+        |         min(CASE WHEN dist <= 2
+        |           THEN struct_pack(dist := dist, name_a := name_a, name_b := name_b)
+        |         END) AS best
+        |  FROM pairs GROUP BY block),
+        |nn AS (SELECT block, count(*)::BIGINT AS n_names FROM census GROUP BY block)
+        |SELECT a.block, n.n_names, a.n_pairs, a.n_linked, a.n_record_pairs,
+        |       (a.best).dist::BIGINT AS best_dist,
+        |       (a.best).name_a AS best_a, (a.best).name_b AS best_b
+        |FROM agg a JOIN nn n ON a.block = n.block
+        |ORDER BY a.block""".stripMargin,
     // same cluster key, same per-field mode tables, same (count desc,
     // value asc) tie-break via QUALIFY — bit-identical
     "q205_golden_record" ->

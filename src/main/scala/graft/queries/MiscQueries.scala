@@ -448,6 +448,37 @@ object MiscQueries extends QueryModule {
       .select("n_users", "n_view", "n_view_click", "n_full_funnel", "avg_funnel_secs")
   }
 
+  /** q245: MARKOV TRANSITION MATRIX over the event stream — the
+    * clickstream path analysis behind "where do users go next": for
+    * each user's time-ordered event sequence, count (from → to)
+    * transitions (the terminal step emits to = 'END') and row-normalize
+    * into P(to | from). First-order Markov over event types — the
+    * product-analytics sibling of q96's fixed funnel (every path, not
+    * one prescribed path).
+    *
+    * Determinism: the per-user order is (ts, event_id) — event_id
+    * breaks timestamp ties totally; counts are exact integers; the one
+    * double op is the row-normalized probability under round 6. Scale:
+    * ONE user-partitioned window (the sequence lives where the user's
+    * data lives — never a global sort), then a census-sized (from, to)
+    * rollup with map-side partials; the from-totals come off the census
+    * rows, not the events.
+    */
+  def q245MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", coalesce(lead("event_type", 1).over(w), lit("END")))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wf = Window.partitionBy("from_type")
+    trans
+      .withColumn("p",
+        round(col("n_trans").cast("double") / sum("n_trans").over(wf), 6))
+      .select("from_type", "to_type", "n_trans", "p")
+      .orderBy("from_type", "to_type")
+  }
+
   /** q98: rolling 7-day active users — the sliding-window DISTINCT that
     * plain window frames can't express (distinct isn't decomposable over
     * frames): each calendar day joins the (user, day) activity set over
@@ -1493,6 +1524,7 @@ object MiscQueries extends QueryModule {
     "q233_bootstrap_ci" -> (q233BootstrapCi _),
     "q241_multi_touch_attribution" -> (q241MultiTouchAttribution _),
     "q243_time_to_convert" -> (q243TimeToConvert _),
+    "q245_markov_transitions" -> (q245MarkovTransitions _),
     "q204_benford" -> (q204Benford _),
     "q206_lead_lag" -> (q206LeadLag _),
     "q207_seasonal_anomaly" -> (q207SeasonalAnomaly _),
@@ -1670,6 +1702,19 @@ object MiscQueries extends QueryModule {
         |ORDER BY p.ta, p.tb""".stripMargin,
     // same first-signup / first-qualifying-purchase aggs, same integer
     // day-diff bucket ladder
+    // same (ts, event_id) total order, same END terminal, same rounding
+    "q245_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |         coalesce(lead(event_type, 1) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id), 'END') AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n_trans
+        |  FROM t GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |       round(n_trans::DOUBLE / sum(n_trans) OVER (PARTITION BY from_type), 6) + 0.0 AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q243_time_to_convert" ->
       """WITH su AS (
         |  SELECT user_id, min(ts) AS su_ts FROM events

@@ -756,7 +756,49 @@ object PipelineQueries extends QueryModule {
       .orderBy("split")
   }
 
+  /** q246: GROUP K-FOLD cross-validation assignment — q212's sibling
+    * for the CV regime: 5 folds over orders, GROUPED by customer (all
+    * of a customer's orders share a fold — evaluation can't see a
+    * training customer), side-by-side with the NAIVE row-level fold
+    * (md5 of the order key) whose leakage the query measures: per
+    * (variant, fold) the order/customer census, the exact-cents value
+    * sum (fold-balance check), and n_split_customers — customers in
+    * this fold who also appear in another fold (0 by construction for
+    * the group variant; the audit number that disqualifies the naive
+    * variant).
+    *
+    * Determinism: folds are md5 mod 5 of the keys (the q120 device);
+    * all counts/cents integer. Scale: fold assignment is scan-local;
+    * the census is two hash aggs per variant (per-customer fold
+    * breadth, then per-fold rollup) — customer-keyed shuffles only,
+    * the 100 TB CV shape.
+    */
+  def q246GroupKFold(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    def fold(key: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("fold|"), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 5
+    val both = base
+      .withColumn("variant", explode(typedlit(Seq("group", "row"))))
+      .withColumn("fold",
+        when(col("variant") === "group", fold(col("o_custkey")))
+          .otherwise(fold(col("o_orderkey"))))
+    val custBreadth = both.groupBy("variant", "o_custkey")
+      .agg(countDistinct("fold").as("nf"))
+    both.join(custBreadth, Seq("variant", "o_custkey"))
+      .groupBy("variant", "fold")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct("o_custkey").as("n_customers"),
+        round(sum("cents") / 100.0, 2).as("sum_value"),
+        countDistinct(when(col("nf") > 1, col("o_custkey")))
+          .as("n_split_customers"))
+      .orderBy("variant", "fold")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_group_kfold" -> (q246GroupKFold _),
     "q212_leakage_safe_split" -> (q212LeakageSafeSplit _),
     "q140_pagerank" -> (q140Pagerank _),
     "q160_triangle_count" -> (q160TriangleCount _),
@@ -856,6 +898,29 @@ object PipelineQueries extends QueryModule {
       |  FROM r2 CROSS JOIN k)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same md5-mod-5 folds per variant, same breadth audit, same cents
+    "q246_group_kfold" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |both_v AS (
+        |  SELECT v.variant, o_custkey, cents,
+        |         CASE WHEN v.variant = 'group'
+        |           THEN ('0x' || substr(md5('fold|' || o_custkey::VARCHAR), 1, 8))::BIGINT % 5
+        |           ELSE ('0x' || substr(md5('fold|' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 5
+        |         END AS fold
+        |  FROM b CROSS JOIN (VALUES ('group'), ('row')) v(variant)),
+        |breadth AS (
+        |  SELECT variant, o_custkey, count(DISTINCT fold) AS nf
+        |  FROM both_v GROUP BY 1, 2)
+        |SELECT variant, fold, count(*)::BIGINT AS n_orders,
+        |       count(DISTINCT o_custkey)::BIGINT AS n_customers,
+        |       round(sum(cents) / 100.0, 2) + 0.0 AS sum_value,
+        |       count(DISTINCT CASE WHEN nf > 1 THEN o_custkey END)::BIGINT
+        |         AS n_split_customers
+        |FROM both_v JOIN breadth USING (variant, o_custkey)
+        |GROUP BY variant, fold ORDER BY variant, fold""".stripMargin,
     // same cluster hash, same md5-byte draw, same census + audit
     "q212_leakage_safe_split" ->
       """WITH d AS (

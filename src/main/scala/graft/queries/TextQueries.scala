@@ -1581,7 +1581,61 @@ object TextQueries extends QueryModule {
       .orderBy("media_type", "aspect_class", "res_class")
   }
 
+  /** q250: CHI-SQUARE feature selection — the classic supervised
+    * feature ranking (Yang & Pedersen ICML'97): over hashed word
+    * features (128 buckets — q164's no-vocabulary-join discipline),
+    * score each (lang, bucket) by the χ² statistic of the 2×2
+    * doc-presence contingency (label vs feature) and keep each
+    * language's top 5 — the step that picks the classifier features
+    * q151 consumes.
+    *
+    * Determinism: the contingency is exact integers (doc-level distinct
+    * presence); a,b,c,d derive from four censuses by arithmetic; χ² is
+    * one double expression over integers evaluated identically in both
+    * engines, ranked with the bucket id as total tie-break; round 6 at
+    * output only. Scale: tokens hash-shuffle once to (lang, bucket)
+    * presence counts (map-side distinct partials); everything after
+    * runs on 128×5 census rows, and the rank window partitions by
+    * lang over those census rows — never a global sort of data.
+    */
+  def q250ChiSquareFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val pres = docs
+      .withColumn("w", explode(split(col("text"), " ")))
+      .filter(length(col("w")) > 0)
+      .withColumn("bucket", conv(substring(md5(concat(lit("chi|"), col("w"))), 1, 8), 16, 10)
+        .cast("long") % 128)
+      .select("doc_id", "lang", "bucket").distinct()
+    val nBoth = pres.groupBy("lang", "bucket").agg(count(lit(1)).as("n_both"))
+    val nBucket = pres.groupBy("bucket").agg(countDistinct("doc_id").as("n_bucket"))
+    val nLang = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val nAll = docs.agg(count(lit(1)).as("n_all"))
+    val scored = nBoth
+      .join(broadcast(nBucket), "bucket").join(broadcast(nLang), "lang")
+      .crossJoin(broadcast(nAll))
+      .filter(col("n_bucket") > 0 && col("n_bucket") < col("n_all"))
+      .withColumn("a", col("n_both"))
+      .withColumn("b", col("n_lang") - col("n_both"))
+      .withColumn("c", col("n_bucket") - col("n_both"))
+      .withColumn("d", col("n_all") - col("n_lang") - col("n_bucket") + col("n_both"))
+      .withColumn("det", col("a") * col("d") - col("b") * col("c"))
+      .withColumn("chi2",
+        (col("det") * col("det")).cast("double") * col("n_all") /
+          ((col("a") + col("b")) * (col("c") + col("d")) *
+            (col("a") + col("c")) * (col("b") + col("d"))).cast("double"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("chi2").desc, col("bucket"))))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("bucket"),
+        col("n_both"), round(col("chi2"), 6).as("chi2"))
+      .orderBy("lang", "rank")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_chi2_features" -> (q250ChiSquareFeatures _),
     "q234_heaps_law" -> (q234HeapsLaw _),
     "q237_media_shape_buckets" -> (q237MediaShapeBuckets _),
     "q188_winsorize" -> (q188Winsorize _),
@@ -1669,6 +1723,44 @@ object TextQueries extends QueryModule {
       |${bpeOracleStage(3)}""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same md5 buckets, same integer contingency, same χ² expression
+    // with mirrored association order, same (χ² desc, bucket) rank
+    "q250_chi2_features" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |         ('0x' || substr(md5('chi|' || w), 1, 8))::BIGINT % 128 AS bucket
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0),
+        |n_both AS (
+        |  SELECT lang, bucket, count(*)::BIGINT AS n_both
+        |  FROM pres GROUP BY 1, 2),
+        |n_bucket AS (
+        |  SELECT bucket, count(DISTINCT doc_id)::BIGINT AS n_bucket
+        |  FROM pres GROUP BY 1),
+        |n_lang AS (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY 1),
+        |n_all AS (SELECT count(*)::BIGINT AS n_all FROM documents),
+        |scored AS (
+        |  SELECT lang, bucket, n_both,
+        |         ((det * det)::DOUBLE * n_all) /
+        |           ((a + b) * (c + d) * (a + c) * (b + d))::DOUBLE AS chi2
+        |  FROM (
+        |    SELECT nb.lang, nb.bucket, nb.n_both, n_all,
+        |           nb.n_both AS a, nl.n_lang - nb.n_both AS b,
+        |           nk.n_bucket - nb.n_both AS c,
+        |           n_all - nl.n_lang - nk.n_bucket + nb.n_both AS d,
+        |           nb.n_both * (n_all - nl.n_lang - nk.n_bucket + nb.n_both)
+        |             - (nl.n_lang - nb.n_both) * (nk.n_bucket - nb.n_both) AS det
+        |    FROM n_both nb JOIN n_bucket nk USING (bucket)
+        |    JOIN n_lang nl USING (lang) CROSS JOIN n_all
+        |    WHERE nk.n_bucket > 0 AND nk.n_bucket < n_all))
+        |SELECT lang, rank, bucket, n_both, round(chi2, 6) + 0.0 AS chi2
+        |FROM (
+        |  SELECT lang, bucket, n_both, chi2,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY chi2 DESC, bucket)::BIGINT AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     // the trained merges (b1..b3) applied to whole documents on the
     // boundary-marked representation, then the unit census per doc
     "q167_bpe_encode" ->
