@@ -439,6 +439,64 @@ object AggQueries extends QueryModule {
     }.reduce(_ unionByName _).orderBy("width")
   }
 
+  /** q247: QUANTILE-SKETCH accuracy curve — the fixed-grid histogram
+    * quantile estimator (one scan to m integer bucket counts, mergeable
+    * across partitions by plain addition — the sketch you reach for
+    * when even q09b's distinct-value histogram is too wide) at m =
+    * 16/64/256 bins, probing p50/p90/p99 against the exact interpolated
+    * percentile: the measured error-vs-budget table (the q225/q229/
+    * q230/q231/q244 family) that picks the bin count.
+    *
+    * Determinism: bucket = least(floor((v−min)/(max−min)·m), m−1) and
+    * the edge-interpolated estimate are double expressions mirrored
+    * association-for-association in the oracle; counts/cumulative are
+    * exact BIGINTs; round 6 at output only. Scale: per width one
+    * scan-local bucket projection + m-row hash agg; the cumulative
+    * window runs over the m-row census (agg-bounded — PlanGuards
+    * admissible); exact percentiles ride a 1-row broadcast.
+    */
+  def q247QuantileSketchCurve(spark: SparkSession, dir: String): DataFrame = {
+    val binsSeq = Seq(16, 64, 256)
+    val ps = Seq("0.5" -> 0.5, "0.9" -> 0.9, "0.99" -> 0.99)
+    val vals = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("v")).filter(col("v").isNotNull)
+    val stats = vals.agg(
+      min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("n"),
+      expr("percentile(v, 0.5)").as("ex_1"),
+      expr("percentile(v, 0.9)").as("ex_2"),
+      expr("percentile(v, 0.99)").as("ex_3")).localCheckpoint()
+    binsSeq.map { m =>
+      val cum = vals.crossJoin(broadcast(stats))
+        .withColumn("bucket", least(
+          floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * m),
+          lit((m - 1).toLong)).cast("long"))
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(Window.orderBy("bucket")))
+        .crossJoin(broadcast(stats.select("n")))
+      val picks = cum.agg(
+        min(when(col("cum") >= col("n") * 0.5,
+          struct(col("bucket"), col("c"), col("cum")))).as("b_1"),
+        min(when(col("cum") >= col("n") * 0.9,
+          struct(col("bucket"), col("c"), col("cum")))).as("b_2"),
+        min(when(col("cum") >= col("n") * 0.99,
+          struct(col("bucket"), col("c"), col("cum")))).as("b_3"))
+        .crossJoin(broadcast(stats))
+      ps.zipWithIndex.map { case ((pName, p), i) =>
+        val b = col(s"b_${i + 1}")
+        val est = col("vmin") +
+          (b.getField("bucket").cast("double") +
+            (lit(p) * col("n") - (b.getField("cum") - b.getField("c")).cast("double")) /
+              b.getField("c")) *
+            ((col("vmax") - col("vmin")) / m)
+        picks.select(lit(m.toLong).as("bins"), lit(pName).as("p"),
+          round(est, 4).as("est"),
+          round(col(s"ex_${i + 1}"), 4).as("exact"),
+          round(abs(est - col(s"ex_${i + 1}")) / col(s"ex_${i + 1}"), 6)
+            .as("rel_err"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).orderBy("bins", "p")
+  }
+
   /** q172: the LINEAR-REGRESSION aggregate family (SQL:2003 `regr_*`) —
     * per-group OLS of extended price on quantity: slope, intercept, R²,
     * plus the correlation it generalizes. These are one-pass moment
@@ -466,6 +524,7 @@ object AggQueries extends QueryModule {
     "q209_sketch_rollup" -> (q209SketchRollup _),
     "q225_cms_accuracy_curve" -> (q225CmsAccuracyCurve _),
     "q244_join_size_estimate" -> (q244JoinSizeEstimate _),
+    "q247_quantile_sketch_curve" -> (q247QuantileSketchCurve _),
     "q172_regression_aggs" -> (q172RegressionAggs _),
     "q91_grouped_topk" -> (q91GroupedTopk _),
     "q86_heavy_hitters" -> (q86HeavyHitters _),
@@ -483,6 +542,46 @@ object AggQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same grid buckets, same census cumulative, same edge interpolation
+    "q247_quantile_sketch_curve" -> {
+      val binsSeq = Seq(16, 64, 256)
+      val ps = Seq("0.5" -> "0.5", "0.9" -> "0.9", "0.99" -> "0.99")
+      val blocks = binsSeq.map { m =>
+        s"""hist_$m AS (
+           |  SELECT CAST(least(floor((v - vmin) / (vmax - vmin) * $m), $m - 1) AS BIGINT) AS bucket,
+           |         count(*)::BIGINT AS c
+           |  FROM v CROSS JOIN stats GROUP BY 1),
+           |cum_$m AS (
+           |  SELECT bucket, c, sum(c) OVER (ORDER BY bucket)::BIGINT AS cum
+           |  FROM hist_$m),
+           |pick_$m AS (
+           |  SELECT ${ps.zipWithIndex.map { case ((_, p), i) =>
+               s"min(CASE WHEN cum >= n * $p THEN struct_pack(bucket := bucket, c := c, cum := cum) END) AS b_${i + 1}"
+             }.mkString(",\n         ")}
+           |  FROM cum_$m CROSS JOIN (SELECT n FROM stats))""".stripMargin
+      }.mkString(",\n")
+      val rows = binsSeq.flatMap { m =>
+        ps.zipWithIndex.map { case ((pName, p), i) =>
+          val est = s"(vmin + ((b_${i + 1}).bucket::DOUBLE + ($p * n - ((b_${i + 1}).cum - (b_${i + 1}).c)::DOUBLE) / (b_${i + 1}).c) * ((vmax - vmin) / $m))"
+          s"""SELECT $m::BIGINT AS bins, '$pName' AS p,
+             |       round($est, 4) + 0.0 AS est,
+             |       round(ex_${i + 1}, 4) + 0.0 AS exact,
+             |       round(abs($est - ex_${i + 1}) / ex_${i + 1}, 6) + 0.0 AS rel_err
+             |FROM pick_$m CROSS JOIN stats""".stripMargin
+        }
+      }.mkString("\nUNION ALL ")
+      s"""WITH v AS (
+         |  SELECT l_extendedprice AS v FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL),
+         |stats AS (
+         |  SELECT min(v) AS vmin, max(v) AS vmax, count(*)::BIGINT AS n,
+         |         quantile_cont(v, 0.5) AS ex_1, quantile_cont(v, 0.9) AS ex_2,
+         |         quantile_cont(v, 0.99) AS ex_3
+         |  FROM v),
+         |$blocks
+         |$rows
+         |ORDER BY bins, p""".stripMargin
+    },
     // same key censuses, same md5 counters, same min-of-rows inner product
     "q244_join_size_estimate" -> {
       val widths = Seq(64, 256, 1024)

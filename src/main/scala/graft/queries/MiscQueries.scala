@@ -1358,6 +1358,117 @@ object MiscQueries extends QueryModule {
     * on g rows. Σ over g O(1)-scale terms is the only order exposure
     * (round 6, the q193 argument).
     */
+  /** q251: INVERSE-PROPENSITY-WEIGHTED treatment effect — the
+    * observational-study estimator (Horvitz–Thompson '52 / Rosenbaum &
+    * Rubin '83) beside q222/q223's randomized-experiment tools: effect
+    * of being error-heavy (≥14 error events) on purchase spend, where
+    * total activity confounds both. Propensity = the stratum's own
+    * treated share (3 integer activity bands); the ALL_NAIVE row is the
+    * confounded difference-in-means, the ALL_IPW row the Hájek-
+    * normalized IPW contrast — the query's point is the gap between
+    * them. Strata without overlap (e = 0 or 1) are excluded from the
+    * IPW rows honestly (the positivity condition, reported per stratum).
+    *
+    * Determinism: censuses are exact integers/cents; e and the weighted
+    * means are ratio expressions mirrored association-for-association;
+    * round 6 at output. Scale: one user-key agg over events, then
+    * everything runs on 3 stratum census rows + 1-row broadcasts.
+    */
+  def q251IpwEffect(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100.0 + 0.5).cast("long"))), lit(0L)).as("y_cents"))
+      .withColumn("t", when(col("n_err") >= 14, 1L).otherwise(0L))
+      .withColumn("stratum",
+        when(col("n_ev") <= 60, "a_low")
+          .when(col("n_ev") <= 70, "b_mid").otherwise("c_high"))
+    val strata = users.groupBy("stratum")
+      .agg(count(lit(1)).as("n_users"), sum("t").as("n_treated"),
+        sum(when(col("t") === 1, col("y_cents")).otherwise(0L)).as("yt"),
+        sum(when(col("t") === 0, col("y_cents")).otherwise(0L)).as("yc"))
+      .withColumn("e_hat", col("n_treated").cast("double") / col("n_users"))
+      .localCheckpoint()
+    val perStratum = strata.select(col("stratum"),
+      col("n_users"), col("n_treated"), round(col("e_hat"), 6).as("e_hat"),
+      round(when(col("n_treated") > 0,
+        col("yt").cast("double") / 100.0 / col("n_treated")), 6).as("mean_y_treated"),
+      round(when(col("n_users") > col("n_treated"),
+        col("yc").cast("double") / 100.0 / (col("n_users") - col("n_treated"))), 6)
+        .as("mean_y_control"))
+    // Hájek IPW over users in overlapping strata: Σ(T·Y/e)/Σ(T/e) vs
+    // Σ((1−T)·Y/(1−e))/Σ((1−T)/(1−e))
+    val kept = users.join(
+      broadcast(strata.filter(col("n_treated") > 0 &&
+        col("n_treated") < col("n_users")).select("stratum", "e_hat")), "stratum")
+    val ipw = kept.agg(
+      (sum(col("t").cast("double") * col("y_cents") / 100.0 / col("e_hat")) /
+        sum(col("t").cast("double") / col("e_hat"))).as("mt"),
+      (sum((lit(1L) - col("t")).cast("double") * col("y_cents") / 100.0 /
+        (lit(1.0) - col("e_hat"))) /
+        sum((lit(1L) - col("t")).cast("double") / (lit(1.0) - col("e_hat")))).as("mc"),
+      count(lit(1)).as("n_users"), sum("t").as("n_treated"))
+    val naive = users.agg(
+      (sum(when(col("t") === 1, col("y_cents")).otherwise(0L)).cast("double") / 100.0 /
+        sum("t")).as("mt"),
+      (sum(when(col("t") === 0, col("y_cents")).otherwise(0L)).cast("double") / 100.0 /
+        (count(lit(1)) - sum("t"))).as("mc"),
+      count(lit(1)).as("n_users"), sum("t").as("n_treated"))
+    def summary(nm: String, df: DataFrame) = df.select(lit(nm).as("stratum"),
+      col("n_users"), col("n_treated"), lit(null).cast("double").as("e_hat"),
+      round(col("mt"), 6).as("mean_y_treated"), round(col("mc"), 6).as("mean_y_control"))
+    perStratum.unionByName(summary("x_all_naive", naive))
+      .unionByName(summary("y_all_ipw", ipw))
+      .withColumn("diff", round(col("mean_y_treated") - col("mean_y_control"), 6))
+      .orderBy("stratum")
+  }
+
+  /** q252: EXPERIMENT SIZING (power analysis) — the pre-experiment
+    * consult q222/q223/q251 all presuppose: per event type, from the
+    * measured mean and variance of `value`, the required per-arm sample
+    * size to detect a 5% lift at two-sided α=0.05 with power 0.8 —
+    * n = ⌈(z₀.₉₇₅+z₀.₈)²·2σ²/δ²⌉ with the standard constant
+    * (1.96+0.8416)² = 7.84887 embedded identically in both engines,
+    * plus how many days of event volume that n represents at the
+    * type's observed daily rate.
+    *
+    * Determinism: values quantize to integer cents, so Σx/Σx² are exact
+    * BIGINTs and σ² is a mirrored ratio expression (never the engines'
+    * own var_pop, whose internal update order differs; the cents²
+    * device caps at ~3e15 per million rows — the documented exactness
+    * trade); day counts integer; round 6. Scale: one hash agg over
+    * events + a census-level project — nothing else.
+    */
+  def q252PowerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val c = 7.84887 // (z_{0.975} + z_{0.8})^2 to 5 dp — same literal in oracle
+    val per = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_obs"), sum("cents").as("s1c"),
+        sum(col("cents") * col("cents")).as("s2c"),
+        countDistinct(date_trunc("DAY", col("ts"))).as("n_days"))
+    per
+      .withColumn("mean_v", col("s1c").cast("double") / 100.0 / col("n_obs"))
+      .withColumn("var_v",
+        (col("s2c").cast("double") / 10000.0 -
+          (col("s1c").cast("double") / 100.0) * (col("s1c").cast("double") / 100.0) /
+            col("n_obs")) / col("n_obs"))
+      .withColumn("mde", col("mean_v") * 0.05)
+      .withColumn("n_required",
+        ceil(lit(c) * 2.0 * col("var_v") / (col("mde") * col("mde"))).cast("long"))
+      .withColumn("days_to_power",
+        ceil(col("n_required").cast("double") /
+          (col("n_obs").cast("double") / col("n_days"))).cast("long"))
+      .select(col("event_type"), col("n_obs"), round(col("mean_v"), 6).as("mean_v"),
+        round(col("var_v"), 6).as("var_v"), round(col("mde"), 6).as("mde"),
+        col("n_required"), col("n_days"), col("days_to_power"))
+      .orderBy("event_type")
+  }
+
   def q222Jackknife(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.documentsSpread(spark, dir)
       .groupBy("source")
@@ -1525,6 +1636,8 @@ object MiscQueries extends QueryModule {
     "q241_multi_touch_attribution" -> (q241MultiTouchAttribution _),
     "q243_time_to_convert" -> (q243TimeToConvert _),
     "q245_markov_transitions" -> (q245MarkovTransitions _),
+    "q251_ipw_effect" -> (q251IpwEffect _),
+    "q252_power_analysis" -> (q252PowerAnalysis _),
     "q204_benford" -> (q204Benford _),
     "q206_lead_lag" -> (q206LeadLag _),
     "q207_seasonal_anomaly" -> (q207SeasonalAnomaly _),
@@ -1702,6 +1815,82 @@ object MiscQueries extends QueryModule {
         |ORDER BY p.ta, p.tb""".stripMargin,
     // same first-signup / first-qualifying-purchase aggs, same integer
     // day-diff bucket ladder
+    // same cents sums, same mirrored variance ratio, same constants
+    "q252_power_analysis" ->
+      """WITH per AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_obs,
+        |         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS s1c,
+        |         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT) *
+        |             CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS s2c,
+        |         count(DISTINCT date_trunc('day', ts))::BIGINT AS n_days
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |m AS (
+        |  SELECT per.*, s1c::DOUBLE / 100.0 / n_obs AS mean_v,
+        |         (s2c::DOUBLE / 10000.0 -
+        |          (s1c::DOUBLE / 100.0) * (s1c::DOUBLE / 100.0) / n_obs) / n_obs AS var_v
+        |  FROM per),
+        |m2 AS (SELECT m.*, mean_v * 0.05 AS mde FROM m),
+        |m3 AS (
+        |  SELECT m2.*,
+        |         CAST(ceil(7.84887 * 2.0 * var_v / (mde * mde)) AS BIGINT) AS n_required
+        |  FROM m2)
+        |SELECT event_type, n_obs, round(mean_v, 6) + 0.0 AS mean_v,
+        |       round(var_v, 6) + 0.0 AS var_v, round(mde, 6) + 0.0 AS mde,
+        |       n_required, n_days,
+        |       CAST(ceil(n_required::DOUBLE / (n_obs::DOUBLE / n_days)) AS BIGINT)
+        |         AS days_to_power
+        |FROM m3 ORDER BY event_type""".stripMargin,
+    // same user census, same bands/cut, same Hájek ratios + positivity
+    "q251_ipw_effect" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_ev,
+        |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_err,
+        |         coalesce(sum(CASE WHEN event_type = 'purchase'
+        |           THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END), 0)::BIGINT AS y_cents
+        |  FROM events GROUP BY user_id),
+        |u2 AS (
+        |  SELECT u.*, CASE WHEN n_err >= 14 THEN 1 ELSE 0 END::BIGINT AS t,
+        |         CASE WHEN n_ev <= 60 THEN 'a_low'
+        |              WHEN n_ev <= 70 THEN 'b_mid' ELSE 'c_high' END AS stratum
+        |  FROM u),
+        |s AS (
+        |  SELECT stratum, count(*)::BIGINT AS n_users, sum(t)::BIGINT AS n_treated,
+        |         sum(CASE WHEN t = 1 THEN y_cents ELSE 0 END)::BIGINT AS yt,
+        |         sum(CASE WHEN t = 0 THEN y_cents ELSE 0 END)::BIGINT AS yc
+        |  FROM u2 GROUP BY stratum),
+        |s2 AS (SELECT s.*, n_treated::DOUBLE / n_users AS e_hat FROM s),
+        |per AS (
+        |  SELECT stratum, n_users, n_treated, round(e_hat, 6) + 0.0 AS e_hat,
+        |         round(CASE WHEN n_treated > 0
+        |           THEN yt::DOUBLE / 100.0 / n_treated END, 6) + 0.0 AS mean_y_treated,
+        |         round(CASE WHEN n_users > n_treated
+        |           THEN yc::DOUBLE / 100.0 / (n_users - n_treated) END, 6) + 0.0 AS mean_y_control
+        |  FROM s2),
+        |kept AS (
+        |  SELECT u2.t, u2.y_cents, k.e_hat
+        |  FROM u2 JOIN (SELECT stratum, e_hat FROM s2
+        |                WHERE n_treated > 0 AND n_treated < n_users) k USING (stratum)),
+        |ipw AS (
+        |  SELECT sum(t::DOUBLE * y_cents / 100.0 / e_hat) / sum(t::DOUBLE / e_hat) AS mt,
+        |         sum((1 - t)::DOUBLE * y_cents / 100.0 / (1.0 - e_hat)) /
+        |           sum((1 - t)::DOUBLE / (1.0 - e_hat)) AS mc,
+        |         count(*)::BIGINT AS n_users, sum(t)::BIGINT AS n_treated
+        |  FROM kept),
+        |naive AS (
+        |  SELECT sum(CASE WHEN t = 1 THEN y_cents ELSE 0 END)::DOUBLE / 100.0 / sum(t) AS mt,
+        |         sum(CASE WHEN t = 0 THEN y_cents ELSE 0 END)::DOUBLE / 100.0 /
+        |           (count(*) - sum(t)) AS mc,
+        |         count(*)::BIGINT AS n_users, sum(t)::BIGINT AS n_treated
+        |  FROM u2),
+        |allr AS (
+        |  SELECT stratum, n_users, n_treated, e_hat, mean_y_treated, mean_y_control FROM per
+        |  UNION ALL SELECT 'x_all_naive', n_users, n_treated, NULL::DOUBLE,
+        |    round(mt, 6) + 0.0, round(mc, 6) + 0.0 FROM naive
+        |  UNION ALL SELECT 'y_all_ipw', n_users, n_treated, NULL::DOUBLE,
+        |    round(mt, 6) + 0.0, round(mc, 6) + 0.0 FROM ipw)
+        |SELECT stratum, n_users, n_treated, e_hat, mean_y_treated, mean_y_control,
+        |       round(mean_y_treated - mean_y_control, 6) + 0.0 AS diff
+        |FROM allr ORDER BY stratum""".stripMargin,
     // same (ts, event_id) total order, same END terminal, same rounding
     "q245_markov_transitions" ->
       """WITH t AS (

@@ -797,7 +797,54 @@ object PipelineQueries extends QueryModule {
       .orderBy("variant", "fold")
   }
 
+  /** q249: K-CORE DECOMPOSITION (bounded-round peel) — the graph-
+    * cohesion census that completes the graph family (q140 PageRank =
+    * centrality, q160 triangles = local density, q66/q224 components =
+    * connectivity; k-core = global density): iteratively remove nodes
+    * of degree < 3 from the customer–supplier co-purchase graph and
+    * report each round's surviving (nodes, arcs) trajectory plus the
+    * honestly-computed converged flag (round census == previous round).
+    *
+    * Rounds are FIXED at 6 — both engines run the same six peels, and
+    * the flag reports whether the peel reached its fixpoint rather than
+    * pretending it always does (the q77 unrolled-trajectory device).
+    * Scale: each round = two semi-joins + one degree agg, all keyed on
+    * the node — O(E) per round with map-side partials, `localCheckpoint`
+    * lineage cuts; the six 1-row censuses union into a 6-row table and
+    * the lag window runs over THAT (agg-bounded — PlanGuards).
+    */
+  def q249KCore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var alive = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val censuses = (1 to 6).map { r =>
+      val arcs = edges
+        .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val next = arcs.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select(col("src").as("node")).localCheckpoint()
+      val cen = next.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(arcs.agg(count(lit(1)).as("n_arcs")))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_arcs"))
+      alive = next
+      cen
+    }
+    val w = Window.orderBy("round")
+    censuses.reduce(_ unionByName _)
+      .withColumn("converged",
+        when(col("n_nodes") === lag("n_nodes", 1).over(w), 1L).otherwise(0L))
+      .orderBy("round")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_kcore" -> (q249KCore _),
     "q246_group_kfold" -> (q246GroupKFold _),
     "q212_leakage_safe_split" -> (q212LeakageSafeSplit _),
     "q140_pagerank" -> (q140Pagerank _),
@@ -898,6 +945,37 @@ object PipelineQueries extends QueryModule {
       |  FROM r2 CROSS JOIN k)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the six peel rounds unrolled as a CTE chain (the q77 trajectory
+    // device), same edge set, same degree cut, same lag-window flag
+    "q249_kcore" -> {
+      val rounds = (1 to 6).map { r =>
+        val prev = if (r == 1) "a0" else s"a${r - 1}"
+        s"""ea$r AS (
+           |  SELECT e.src, e.dst FROM ed e
+           |  JOIN $prev s ON e.src = s.node JOIN $prev t ON e.dst = t.node),
+           |a$r AS (
+           |  SELECT src AS node FROM (
+           |    SELECT src, count(*) AS c FROM ea$r GROUP BY src)
+           |  WHERE c >= 3)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 6).map { r =>
+        s"""SELECT $r::BIGINT AS round,
+           |  (SELECT count(*) FROM a$r)::BIGINT AS n_nodes,
+           |  (SELECT count(*) FROM ea$r)::BIGINT AS n_arcs""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |a0 AS (SELECT DISTINCT src AS node FROM ed),
+         |$rounds,
+         |u AS (
+         |$union)
+         |SELECT round, n_nodes, n_arcs,
+         |       CASE WHEN n_nodes = lag(n_nodes) OVER (ORDER BY round)
+         |            THEN 1 ELSE 0 END::BIGINT AS converged
+         |FROM u ORDER BY round""".stripMargin
+    },
     // same md5-mod-5 folds per variant, same breadth audit, same cents
     "q246_group_kfold" ->
       """WITH b AS (
