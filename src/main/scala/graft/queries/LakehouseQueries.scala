@@ -272,7 +272,67 @@ object LakehouseQueries extends QueryModule {
       .orderBy("file_id")
   }
 
+  /** q253: RANGE-PARTITION PLANNER — the boundary computation behind
+    * `repartitionByRange`/range-bucketed table layout at 100 TB, made
+    * deterministic: instead of Spark's sampled `RangePartitioner`, plan
+    * P = 8 partition boundaries for `o_totalprice` from the q247
+    * fixed-grid histogram (m = 1024 bins, one scan, integer counts
+    * mergeable by plain addition), boundary i = first bin where the
+    * cumulative count reaches ⌈i·N/P⌉. Report per planned partition:
+    * bin-edge value range, exact row count, share, and skew ratio vs
+    * the ideal N/P — the balance audit that tells you whether the
+    * layout needs salting before you pay the write.
+    *
+    * Determinism: bins and targets are exact integer arithmetic
+    * (`(i·N + 7) div 8` — never a float ceil); edges descale off the
+    * grid with mirrored association; round 4/6 at output. Scale: one
+    * scan → 1024-row census; the cumulative window runs over the census
+    * (agg-bounded — PlanGuards admissible); boundaries ride a 1-row
+    * sorted-array broadcast back onto the census. The data itself is
+    * never sorted — that's the point.
+    */
+  def q253RangePlanner(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1024
+    val P = 8
+    val vals = Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("v")).filter(col("v").isNotNull)
+    val stats = vals.agg(min("v").as("vmin"), max("v").as("vmax"),
+      count(lit(1)).as("n")).localCheckpoint()
+    // the census window sits DIRECTLY over the 1024-row aggregate (the
+    // PlanGuards bound); the checkpoint lands after it, so both
+    // consumers (boundaries, assignment) reuse one scan
+    val hist = vals.crossJoin(broadcast(stats))
+      .withColumn("bucket", least(
+        floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * m),
+        lit((m - 1).toLong)).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("bucket")))
+      .localCheckpoint()
+    val bndArr = hist
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("bucket"), col("cum"), col("n"),
+        explode(typedlit((1 to (P - 1)).map(_.toLong))).as("i"))
+      .filter(col("cum") >= expr(s"(i * n + ${P - 1}) div $P"))
+      .groupBy("i").agg(min("bucket").as("b"))
+      .agg(sort_array(collect_list("b")).as("bs"))
+    hist.crossJoin(broadcast(bndArr))
+      .withColumn("pid", expr("size(filter(bs, x -> bucket >= x))").cast("long"))
+      .groupBy("pid")
+      .agg(sum("c").as("n_rows"), min("bucket").as("min_b"), max("bucket").as("max_b"))
+      .crossJoin(broadcast(stats))
+      .select(col("pid"),
+        round(col("vmin") + (col("min_b") * (col("vmax") - col("vmin"))) / lit(1024.0), 4)
+          .as("lo_edge"),
+        round(col("vmin") + ((col("max_b") + 1L) * (col("vmax") - col("vmin"))) / lit(1024.0), 4)
+          .as("hi_edge"),
+        col("n_rows"),
+        round(col("n_rows").cast("double") / col("n"), 6).as("frac"),
+        round(col("n_rows").cast("double") * P / col("n"), 6).as("skew"))
+      .orderBy("pid")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_range_planner" -> (q253RangePlanner _),
     "q136_merge_snapshot" -> (q136MergeSnapshot _),
     "q137_snapshot_diff" -> (q137SnapshotDiff _),
     "q138_zorder_key" -> (q138ZOrderKey _),
@@ -306,6 +366,37 @@ object LakehouseQueries extends QueryModule {
       |  WHERE c.op IS NULL OR c.op <> 'D')""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same 1024-bin histogram, same integer ⌈i·N/8⌉ targets, same
+    // sorted-boundary assignment, mirrored edge descaling
+    "q253_range_planner" ->
+      """WITH v AS (
+        |  SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
+        |stats AS (
+        |  SELECT min(v) AS vmin, max(v) AS vmax, count(*)::BIGINT AS n FROM v),
+        |hist AS (
+        |  SELECT CAST(least(floor((v - vmin) / (vmax - vmin) * 1024), 1023) AS BIGINT) AS bucket,
+        |         count(*)::BIGINT AS c
+        |  FROM v CROSS JOIN stats GROUP BY 1),
+        |cum AS (
+        |  SELECT bucket, c, sum(c) OVER (ORDER BY bucket)::BIGINT AS cum FROM hist),
+        |bnd AS (
+        |  SELECT i, min(bucket) AS b
+        |  FROM cum CROSS JOIN stats
+        |  CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7]) AS i) t
+        |  WHERE cum >= (i * n + 7) // 8
+        |  GROUP BY i),
+        |bs AS (SELECT list_sort(list(b)) AS bs FROM bnd),
+        |parts AS (
+        |  SELECT len(list_filter(bs, x -> bucket >= x))::BIGINT AS pid,
+        |         sum(c)::BIGINT AS n_rows, min(bucket) AS min_b, max(bucket) AS max_b
+        |  FROM hist CROSS JOIN bs GROUP BY 1)
+        |SELECT pid,
+        |       round(vmin + (min_b * (vmax - vmin)) / 1024.0, 4) + 0.0 AS lo_edge,
+        |       round(vmin + ((max_b + 1) * (vmax - vmin)) / 1024.0, 4) + 0.0 AS hi_edge,
+        |       n_rows,
+        |       round(n_rows::DOUBLE / n, 6) + 0.0 AS frac,
+        |       round(n_rows::DOUBLE * 8 / n, 6) + 0.0 AS skew
+        |FROM parts CROSS JOIN stats ORDER BY pid""".stripMargin,
     // the full recompute — equality with the engine's base⊕delta
     // refresh IS the self-maintainability invariant
     "q150_mv_maintenance" ->

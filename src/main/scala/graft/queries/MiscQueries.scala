@@ -1226,6 +1226,61 @@ object MiscQueries extends QueryModule {
       .orderBy("k_threshold")
   }
 
+  /** q256: L-DIVERSITY audit — k-anonymity's necessary companion
+    * (Machanavajjhala et al., ICDE '06): q232 certifies every
+    * quasi-identifier class is POPULATED (≥ k rows), this certifies
+    * each class's SENSITIVE attribute is DIVERSE — a k-anonymous class
+    * where everyone shares one market segment still leaks the segment.
+    * QI = (nation, account-balance band); sensitive = c_mktsegment.
+    * Per ℓ ∈ {2, 3, 4}: classes/rows failing distinct-ℓ-diversity,
+    * plus the entropy profile (min/mean Shannon entropy over classes —
+    * entropy ℓ-diversity's statistic).
+    *
+    * Determinism: the 5 TPC-H segments pivot into FIXED per-class count
+    * columns, so H = −(t₁ + … + t₅) is a fixed association chain of ≤5
+    * terms (never an unordered float aggregate); the class mean rides
+    * the ⌊H·10⁶+0.5⌋ integer grid. Scale: one hash agg to the QI-class
+    * census (nations × bands — value-domain bounded), everything after
+    * runs on census rows.
+    */
+  def q256LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val cls = Tables.customer(spark, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "bal_band")
+      .agg(count(lit(1)).as("n"),
+        (countDistinct("c_mktsegment").as("n_distinct") +:
+          segs.zipWithIndex.map { case (s, i) =>
+            sum(when(col("c_mktsegment") === s, 1L).otherwise(0L)).as(s"n${i + 1}")
+          }): _*)
+    def term(i: Int) = when(col(s"n$i") > 0,
+      (col(s"n$i").cast("double") / col("n")) *
+        log(col(s"n$i").cast("double") / col("n"))).otherwise(lit(0.0))
+    val withH = cls.withColumn("h",
+      -(term(1) + term(2) + term(3) + term(4) + term(5)))
+      .withColumn("h_u", floor(col("h") * 1000000.0 + 0.5).cast("long"))
+      .localCheckpoint()
+    val tot = withH.agg(count(lit(1)).as("n_classes"), sum("n").as("n_rows"),
+      min("n_distinct").as("min_distinct"), round(min("h"), 6).as("min_entropy"),
+      round(sum("h_u").cast("double") / 1000000.0 / count(lit(1)), 6)
+        .as("mean_entropy"))
+    withH.withColumn("l", explode(typedlit(Seq(2L, 3L, 4L))))
+      .groupBy("l")
+      .agg(sum(when(col("n_distinct") < col("l"), 1L).otherwise(0L))
+        .as("n_failing_classes"),
+        sum(when(col("n_distinct") < col("l"), col("n")).otherwise(0L))
+          .as("n_failing_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("l").as("l_threshold"), col("n_classes"),
+        col("n_failing_classes"), col("n_failing_rows"),
+        round(col("n_failing_rows").cast("double") / col("n_rows"), 6)
+          .as("failing_share"),
+        col("min_distinct"), col("min_entropy"), col("mean_entropy"))
+      .orderBy("l_threshold")
+  }
+
   /** q241: MULTI-TOUCH ATTRIBUTION (position-based 40/20/40) — the
     * marketing-analytics allocation query: each purchase closes a
     * JOURNEY (its user's touches since the previous purchase), and the
@@ -1469,6 +1524,78 @@ object MiscQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q254: SPLIT-CONFORMAL PREDICTION calibration — the
+    * distribution-free uncertainty wrapper (Vovk '05, Lei et al. '18)
+    * every deployed regression model needs: fit OLS of extended price
+    * on quantity on the md5-hash train split, take the 90% conformal
+    * residual bound from the calibration split, and MEASURE the
+    * achieved coverage on the held-out test split — the end-to-end
+    * guarantee check, not just the fit.
+    *
+    * The conformal quantile is the ⌈(n_cal+1)·0.9⌉-th smallest
+    * |residual| — an order statistic, i.e. a global sort at row scale.
+    * Device: the q247/q253 fixed-grid census (m = 4096 bins over
+    * [0, rmax]) and the bound is the UPPER EDGE of the bin where the
+    * cumulative count crosses k — conservative by at most one bin
+    * width (documented; the guarantee direction is preserved). Fit
+    * moments are exact BIGINTs (x integer, y in cents) cast to double
+    * only inside the mirrored slope/intercept ratios; k is integer
+    * arithmetic (`(9·(n+1)+9) div 10`). Scale: three filtered aggs +
+    * one census window; every crossJoin is a 1-row broadcast.
+    */
+  def q254ConformalCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4096
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("yc"),
+        (conv(substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
+          1, 8), 16, 10).cast("long") % 4).as("b"))
+      .withColumn("split",
+        when(col("b") <= 1, "train").when(col("b") === 2, "cal").otherwise("test"))
+    val fit = base.filter(col("split") === "train")
+      .agg(count(lit(1)).as("n_train"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum("yc").as("syc"),
+        sum(col("x") * col("yc")).as("sxyc"))
+      .withColumn("slope_c",
+        (col("n_train").cast("double") * col("sxyc").cast("double") -
+          col("sx").cast("double") * col("syc").cast("double")) /
+          (col("n_train").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("icept_c",
+        (col("syc").cast("double") - col("slope_c") * col("sx").cast("double")) /
+          col("n_train").cast("double"))
+      .select("n_train", "slope_c", "icept_c").localCheckpoint()
+    val scored = base.crossJoin(broadcast(fit))
+      .withColumn("rc", abs(col("yc").cast("double") -
+        (col("icept_c") + col("slope_c") * col("x").cast("double"))))
+    val calStats = scored.filter(col("split") === "cal")
+      .agg(count(lit(1)).as("n_cal"), max("rc").as("rmax")).localCheckpoint()
+    val bound = scored.filter(col("split") === "cal")
+      .crossJoin(broadcast(calStats))
+      .withColumn("bucket",
+        least(floor(col("rc") / col("rmax") * m), lit((m - 1).toLong)).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("bucket")))
+      .crossJoin(broadcast(calStats))
+      .agg(min(when(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"),
+        col("bucket"))).as("bb"))
+      .crossJoin(broadcast(calStats))
+      .select(col("n_cal"),
+        ((col("bb") + 1L).cast("double") * col("rmax") / lit(m.toDouble)).as("bound_c"))
+      .localCheckpoint()
+    scored.filter(col("split") === "test").crossJoin(broadcast(bound))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("rc") <= col("bound_c"), 1L).otherwise(0L)).as("n_covered"))
+      .crossJoin(broadcast(bound))
+      .crossJoin(broadcast(fit))
+      .select(col("n_train"), col("n_cal"), col("n_test"),
+        round(col("slope_c") / 100.0, 6).as("slope"),
+        round(col("icept_c") / 100.0, 6).as("intercept"),
+        round(col("bound_c") / 100.0, 6).as("conf_bound"),
+        col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test"), 6).as("coverage"))
+  }
+
   def q222Jackknife(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.documentsSpread(spark, dir)
       .groupBy("source")
@@ -1638,6 +1765,8 @@ object MiscQueries extends QueryModule {
     "q245_markov_transitions" -> (q245MarkovTransitions _),
     "q251_ipw_effect" -> (q251IpwEffect _),
     "q252_power_analysis" -> (q252PowerAnalysis _),
+    "q254_conformal_calibration" -> (q254ConformalCalibration _),
+    "q256_l_diversity" -> (q256LDiversity _),
     "q204_benford" -> (q204Benford _),
     "q206_lead_lag" -> (q206LeadLag _),
     "q207_seasonal_anomaly" -> (q207SeasonalAnomaly _),
@@ -1815,6 +1944,100 @@ object MiscQueries extends QueryModule {
         |ORDER BY p.ta, p.tb""".stripMargin,
     // same first-signup / first-qualifying-purchase aggs, same integer
     // day-diff bucket ladder
+    // same QI census, same pivoted segment counts, same fixed-chain
+    // entropy with ln, same integer-grid mean
+    "q256_l_diversity" -> {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val counts = segs.zipWithIndex.map { case (s, i) =>
+        s"sum(CASE WHEN c_mktsegment = '$s' THEN 1 ELSE 0 END)::BIGINT AS n${i + 1}"
+      }.mkString(",\n         ")
+      val terms = (1 to 5).map(i =>
+        s"CASE WHEN n$i > 0 THEN (n$i::DOUBLE / n) * ln(n$i::DOUBLE / n) ELSE 0.0 END")
+        .mkString(" + ")
+      s"""WITH cls AS (
+         |  SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         |         count(*)::BIGINT AS n,
+         |         count(DISTINCT c_mktsegment)::BIGINT AS n_distinct,
+         |         $counts
+         |  FROM customer GROUP BY 1, 2),
+         |h AS (
+         |  SELECT cls.*, -($terms) AS h,
+         |         CAST(floor(-($terms) * 1000000.0 + 0.5) AS BIGINT) AS h_u
+         |  FROM cls),
+         |tot AS (
+         |  SELECT count(*)::BIGINT AS n_classes, sum(n)::BIGINT AS n_rows,
+         |         min(n_distinct) AS min_distinct,
+         |         round(min(h), 6) + 0.0 AS min_entropy,
+         |         round(sum(h_u)::DOUBLE / 1000000.0 / count(*), 6) + 0.0 AS mean_entropy
+         |  FROM h),
+         |t AS (
+         |  SELECT l, sum(CASE WHEN n_distinct < l THEN 1 ELSE 0 END)::BIGINT AS n_failing_classes,
+         |         sum(CASE WHEN n_distinct < l THEN n ELSE 0 END)::BIGINT AS n_failing_rows
+         |  FROM h CROSS JOIN (SELECT unnest([2, 3, 4]) AS l) ls
+         |  GROUP BY l)
+         |SELECT l::BIGINT AS l_threshold, n_classes, n_failing_classes, n_failing_rows,
+         |       round(n_failing_rows::DOUBLE / n_rows, 6) + 0.0 AS failing_share,
+         |       min_distinct, min_entropy, mean_entropy
+         |FROM t CROSS JOIN tot ORDER BY l_threshold""".stripMargin
+    },
+    // same md5 splits, same exact-moment fit ratios, same 4096-bin
+    // census crossing, same conservative upper-edge bound
+    "q254_conformal_calibration" ->
+      """WITH b AS (
+        |  SELECT l_quantity::BIGINT AS x,
+        |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yc,
+        |         ('0x' || substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR),
+        |           1, 8))::BIGINT % 4 AS bk
+        |  FROM lineitem),
+        |b2 AS (
+        |  SELECT b.*, CASE WHEN bk <= 1 THEN 'train' WHEN bk = 2 THEN 'cal'
+        |              ELSE 'test' END AS split
+        |  FROM b),
+        |f0 AS (
+        |  SELECT count(*)::BIGINT AS n_train, sum(x)::BIGINT AS sx,
+        |         sum(x * x)::BIGINT AS sxx, sum(yc)::BIGINT AS syc,
+        |         sum(x * yc)::BIGINT AS sxyc
+        |  FROM b2 WHERE split = 'train'),
+        |f1 AS (
+        |  SELECT f0.*,
+        |         (n_train::DOUBLE * sxyc::DOUBLE - sx::DOUBLE * syc::DOUBLE) /
+        |           (n_train::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope_c
+        |  FROM f0),
+        |f AS (
+        |  SELECT f1.*,
+        |         (syc::DOUBLE - slope_c * sx::DOUBLE) / n_train::DOUBLE AS icept_c
+        |  FROM f1),
+        |sc AS (
+        |  SELECT b2.split,
+        |         abs(yc::DOUBLE - (icept_c + slope_c * x::DOUBLE)) AS rc
+        |  FROM b2 CROSS JOIN f),
+        |cs AS (
+        |  SELECT count(*)::BIGINT AS n_cal, max(rc) AS rmax
+        |  FROM sc WHERE split = 'cal'),
+        |hist AS (
+        |  SELECT CAST(least(floor(rc / rmax * 4096), 4095) AS BIGINT) AS bucket,
+        |         count(*)::BIGINT AS c
+        |  FROM sc CROSS JOIN cs WHERE split = 'cal' GROUP BY 1),
+        |cum AS (
+        |  SELECT bucket, sum(c) OVER (ORDER BY bucket)::BIGINT AS cum FROM hist),
+        |bb AS (
+        |  SELECT min(CASE WHEN cum >= (9 * (n_cal + 1) + 9) // 10
+        |                  THEN bucket END) AS bb
+        |  FROM cum CROSS JOIN cs),
+        |bd AS (
+        |  SELECT n_cal, (bb + 1)::DOUBLE * rmax / 4096.0 AS bound_c
+        |  FROM bb CROSS JOIN cs),
+        |t AS (
+        |  SELECT count(*)::BIGINT AS n_test,
+        |         sum(CASE WHEN rc <= bound_c THEN 1 ELSE 0 END)::BIGINT AS n_covered
+        |  FROM sc CROSS JOIN bd WHERE split = 'test')
+        |SELECT n_train, n_cal, n_test,
+        |       round(slope_c / 100.0, 6) + 0.0 AS slope,
+        |       round(icept_c / 100.0, 6) + 0.0 AS intercept,
+        |       round(bound_c / 100.0, 6) + 0.0 AS conf_bound,
+        |       n_covered,
+        |       round(n_covered::DOUBLE / n_test, 6) + 0.0 AS coverage
+        |FROM t CROSS JOIN bd CROSS JOIN f""".stripMargin,
     // same cents sums, same mirrored variance ratio, same constants
     "q252_power_analysis" ->
       """WITH per AS (

@@ -971,6 +971,83 @@ object SimilarityQueries extends QueryModule {
       .orderBy("n_common")
   }
 
+  /** q255: RETRIEVAL nDCG@5 — the rank-aware retrieval metric that
+    * completes the eval family (q215 recall@5 counts overlap, q229
+    * sweeps it over nprobe; nDCG grades WHERE the hits land, Järvelin &
+    * Kekäläinen '02): per q215 anchor, the IVF nprobe=1 ranking is
+    * scored against the brute-force ground truth with graded relevance
+    * rel = 6 − true_rank (0 if outside the true top-5), DCG summed with
+    * the standard 1/log₂(i+1) discount.
+    *
+    * Determinism: both rankings use q215's exact BIGINT dot products
+    * with (cos desc, id asc) tie order; the DCG/IDCG sums are FIXED
+    * 5-term association chains over per-rank integer grades pivoted
+    * into columns (never an unordered float aggregate), with the log₂
+    * constants embedded as identical literals in both engines; the
+    * corpus mean rides the ⌊ndcg·10⁶+0.5⌋ integer grid so it is
+    * order-invariant. Scale: q215's — anchors broadcast (37× reduction),
+    * candidate scan + bounded heaps, per-anchor census thereafter.
+    */
+  def q255RetrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = gridIvfAssign(spark, dir, 16)
+    val anchors = assigned.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("a_id"), col("list_id").as("a_list"),
+        col("qe").as("a_qe"), col("qn").as("a_qn"))
+    val cands = assigned.select(col("vec_id").as("c_id"),
+      col("list_id").as("c_list"), col("qe").as("c_qe"), col("qn").as("c_qn"))
+    val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(5))
+    def top5Ranked(pairs: DataFrame, rankName: String): DataFrame = pairs
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(a_qe, c_qe, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("cos", col("qdot").cast("double") /
+        (sqrt(col("a_qn").cast("double")) * sqrt(col("c_qn").cast("double"))))
+      .groupBy("a_id").agg(topk(col("cos"), col("c_id")).as("top"))
+      .select(col("a_id"), posexplode(col("top")))
+      .select(col("a_id"), col("col.id").as("c_id"),
+        (col("pos") + 1).cast("long").as(rankName))
+    val exact = top5Ranked(
+      cands.join(broadcast(anchors), col("c_id") =!= col("a_id")), "r_ex")
+    val approx = top5Ranked(cands.join(broadcast(anchors),
+      col("c_id") =!= col("a_id") && col("c_list") === col("a_list")), "r_ap")
+    val graded = approx.join(exact, Seq("a_id", "c_id"), "left")
+      .withColumn("rel", coalesce(lit(6L) - col("r_ex"), lit(0L)))
+    val gAgg = graded.groupBy("a_id").agg(
+      max(when(col("r_ap") === 1, col("rel"))).as("g1"),
+      max(when(col("r_ap") === 2, col("rel"))).as("g2"),
+      max(when(col("r_ap") === 3, col("rel"))).as("g3"),
+      max(when(col("r_ap") === 4, col("rel"))).as("g4"),
+      max(when(col("r_ap") === 5, col("rel"))).as("g5"))
+    val eAgg = exact.groupBy("a_id").agg(
+      max(when(col("r_ex") === 1, 1L)).as("e1"),
+      max(when(col("r_ex") === 2, 1L)).as("e2"),
+      max(when(col("r_ex") === 3, 1L)).as("e3"),
+      max(when(col("r_ex") === 4, 1L)).as("e4"),
+      max(when(col("r_ex") === 5, 1L)).as("e5"))
+    val l3 = 1.5849625007211562; val l5 = 2.321928094887362
+    val l6 = 2.584962500721156
+    val per = anchors.select(col("a_id"))
+      .join(eAgg, Seq("a_id"), "left").join(gAgg, Seq("a_id"), "left")
+      .select(col("a_id"),
+        (coalesce(col("g1"), lit(0L)).cast("double") +
+          coalesce(col("g2"), lit(0L)).cast("double") / lit(l3) +
+          coalesce(col("g3"), lit(0L)).cast("double") / lit(2.0) +
+          coalesce(col("g4"), lit(0L)).cast("double") / lit(l5) +
+          coalesce(col("g5"), lit(0L)).cast("double") / lit(l6)).as("dcg"),
+        ((coalesce(col("e1"), lit(0L)) * 5L).cast("double") +
+          (coalesce(col("e2"), lit(0L)) * 4L).cast("double") / lit(l3) +
+          (coalesce(col("e3"), lit(0L)) * 3L).cast("double") / lit(2.0) +
+          (coalesce(col("e4"), lit(0L)) * 2L).cast("double") / lit(l5) +
+          coalesce(col("e5"), lit(0L)).cast("double") / lit(l6)).as("idcg"))
+      .withColumn("ndcg", col("dcg") / col("idcg"))
+      .withColumn("ndcg_u", floor(col("ndcg") * 1000000.0 + 0.5).cast("long"))
+    val mean = per.agg(round(sum("ndcg_u").cast("double") / 1000000.0 /
+      count(lit(1)), 6).as("mean_ndcg"))
+    per.groupBy(round(col("ndcg"), 6).as("ndcg"))
+      .agg(count(lit(1)).as("n_anchors"))
+      .crossJoin(broadcast(mean))
+      .orderBy("ndcg")
+  }
+
   /** q216: EMBEDDING TABLE AUDIT — the data-quality gate an embedding
     * store runs before any index build: per label, vector count,
     * wrong-dimension rows, all-zero vectors (unnormalizable — they
@@ -1064,6 +1141,7 @@ object SimilarityQueries extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q229_ivf_nprobe_curve" -> (q229IvfNprobeCurve _),
     "q215_ivf_recall" -> (q215IvfRecall _),
+    "q255_retrieval_ndcg" -> (q255RetrievalNdcg _),
     "q216_embedding_audit" -> (q216EmbeddingAudit _),
     "q211_hard_negatives" -> (q211HardNegatives _),
     "q210_mmr_rerank" -> (q210MmrRerank _),
@@ -1252,6 +1330,74 @@ object SimilarityQueries extends QueryModule {
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
     // both rankings replayed on the grid (assignment + single-chain
     // scores), same tie order, same overlap census — bit-identical
+    // q215's ranked lists + pivoted integer grades; DCG/IDCG as fixed
+    // 5-term chains with identical log2 literals; integer-grid mean
+    "q255_retrieval_ndcg" ->
+      s"""WITH $oracleGridAsg,
+        |an AS (
+        |  SELECT vec_id AS a_id, list_id AS a_list, qe AS a_qe, qn AS a_qn
+        |  FROM asg WHERE vec_id % 37 = 0),
+        |sc AS (
+        |  SELECT an.a_id, an.a_list, c.vec_id AS c_id, c.list_id AS c_list,
+        |         (list_sum([an.a_qe[i] * c.qe[i] FOR i IN range(1, 65)])::BIGINT)::DOUBLE
+        |           / (sqrt(an.a_qn::DOUBLE) * sqrt(c.qn::DOUBLE)) AS cos
+        |  FROM an JOIN asg c ON c.vec_id <> an.a_id),
+        |ex AS (
+        |  SELECT a_id, c_id, rn AS r_ex FROM (
+        |    SELECT a_id, c_id, row_number() OVER (PARTITION BY a_id
+        |             ORDER BY cos DESC, c_id ASC) AS rn FROM sc)
+        |  WHERE rn <= 5),
+        |ap AS (
+        |  SELECT a_id, c_id, rn AS r_ap FROM (
+        |    SELECT a_id, c_id, row_number() OVER (PARTITION BY a_id
+        |             ORDER BY cos DESC, c_id ASC) AS rn
+        |    FROM sc WHERE c_list = a_list)
+        |  WHERE rn <= 5),
+        |g AS (
+        |  SELECT ap.a_id, ap.r_ap, coalesce(6 - ex.r_ex, 0)::BIGINT AS rel
+        |  FROM ap LEFT JOIN ex USING (a_id, c_id)),
+        |ga AS (
+        |  SELECT a_id,
+        |         max(CASE WHEN r_ap = 1 THEN rel END) AS g1,
+        |         max(CASE WHEN r_ap = 2 THEN rel END) AS g2,
+        |         max(CASE WHEN r_ap = 3 THEN rel END) AS g3,
+        |         max(CASE WHEN r_ap = 4 THEN rel END) AS g4,
+        |         max(CASE WHEN r_ap = 5 THEN rel END) AS g5
+        |  FROM g GROUP BY a_id),
+        |ea AS (
+        |  SELECT a_id,
+        |         max(CASE WHEN r_ex = 1 THEN 1 END)::BIGINT AS e1,
+        |         max(CASE WHEN r_ex = 2 THEN 1 END)::BIGINT AS e2,
+        |         max(CASE WHEN r_ex = 3 THEN 1 END)::BIGINT AS e3,
+        |         max(CASE WHEN r_ex = 4 THEN 1 END)::BIGINT AS e4,
+        |         max(CASE WHEN r_ex = 5 THEN 1 END)::BIGINT AS e5
+        |  FROM ex GROUP BY a_id),
+        |pa AS (
+        |  SELECT an.a_id,
+        |         (coalesce(g1, 0)::DOUBLE +
+        |          coalesce(g2, 0)::DOUBLE / 1.5849625007211562 +
+        |          coalesce(g3, 0)::DOUBLE / 2.0 +
+        |          coalesce(g4, 0)::DOUBLE / 2.321928094887362 +
+        |          coalesce(g5, 0)::DOUBLE / 2.584962500721156) AS dcg,
+        |         ((coalesce(e1, 0) * 5)::DOUBLE +
+        |          (coalesce(e2, 0) * 4)::DOUBLE / 1.5849625007211562 +
+        |          (coalesce(e3, 0) * 3)::DOUBLE / 2.0 +
+        |          (coalesce(e4, 0) * 2)::DOUBLE / 2.321928094887362 +
+        |          coalesce(e5, 0)::DOUBLE / 2.584962500721156) AS idcg
+        |  FROM an LEFT JOIN ea ON ea.a_id = an.a_id
+        |          LEFT JOIN ga ON ga.a_id = an.a_id),
+        |pn AS (
+        |  SELECT a_id, dcg / idcg AS ndcg,
+        |         CAST(floor(dcg / idcg * 1000000.0 + 0.5) AS BIGINT) AS ndcg_u
+        |  FROM pa),
+        |m AS (
+        |  SELECT round(sum(ndcg_u)::DOUBLE / 1000000.0 / count(*), 6) + 0.0
+        |           AS mean_ndcg
+        |  FROM pn)
+        |SELECT round(ndcg, 6) + 0.0 AS ndcg, count(*)::BIGINT AS n_anchors,
+        |       m.mean_ndcg
+        |FROM pn CROSS JOIN m
+        |GROUP BY 1, m.mean_ndcg ORDER BY 1""".stripMargin,
     "q215_ivf_recall" ->
       s"""WITH $oracleGridAsg,
         |an AS (

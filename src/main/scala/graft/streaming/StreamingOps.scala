@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.QueryModule
+import scala.jdk.CollectionConverters._
 
 /** Streaming operator surface (SURVEY.md §2B "Streaming"): event-time
   * windows (tumbling / sliding / session), watermarking, streaming
@@ -843,6 +844,82 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("user_id", "event_type", "ts_min")
   }
 
+  /** q257: WATERMARK LATE-DATA DROP census — the one event-time
+    * semantic the single-batch drains (q111/q125/q100) structurally
+    * cannot exercise: data arriving after the watermark has passed its
+    * window. Three deterministic micro-batches (a replay directory with
+    * pinned modification times + `maxFilesPerTrigger = 1` — the file
+    * source drains oldest-first): batch 1 = the history minus a held-out
+    * late subset (`event_id % 5 = 0 ∧ ts < cut`), batch 2 = the stream
+    * head (`ts ≥ cut` — advances the watermark past the history and
+    * EVICTS its windows), batch 3 = the held-out subset, now genuinely
+    * late.
+    *
+    * The oracle replays Spark's TWO-WATERMARK protocol (SPARK-40925:
+    * late-event filtering uses the PREVIOUS batch's watermark, eviction
+    * the current one — probed empirically on this engine build, batch 3
+    * drops all but the straddlers): a batch-3 row is kept iff its
+    * 5-minute window end > max(batch-1 ts) − 10 min; because batch 1's
+    * windows were evicted with exactly that same value, survivors merge
+    * into still-live state and nothing is emitted twice — the oracle's
+    * per-(window, type) census certifies drops AND no-duplication in
+    * one equality. Finalization is q111's rule under the global
+    * watermark. Values ride integer cents (the q166 device) so the
+    * cross-batch merge is order-invariant.
+    *
+    * Scale: the late filter is scan-local per batch — too-late rows
+    * never touch state, the property that keeps state bounded on a
+    * 100 TB backlog; state per window is evicted at watermark. Sub-ms
+    * watermark truncation cannot straddle a 5-minute boundary (window
+    * ends are whole minutes; ts carries µs noise).
+    */
+  def q257WatermarkDrops(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val cut = lit("2024-01-25").cast("timestamp")
+    val late = pmod(col("event_id"), lit(5)) === 0 && col("ts") < cut
+    val replayRoot = java.nio.file.Files.createTempDirectory("q257_replay")
+    def emitBatch(df: DataFrame, n: Int): Unit = {
+      val stage = replayRoot.resolve(s"stage$n")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dst = replayRoot.resolve(f"b$n%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      // pinned, strictly increasing modTimes — deterministic batch order
+      dst.toFile.setLastModified(1000000L * n)
+    }
+    emitBatch(ev.filter(!late && col("ts") < cut), 1)
+    emitBatch(ev.filter(col("ts") >= cut), 2)
+    emitBatch(ev.filter(late), 3)
+    val schema = spark.read.parquet(replayRoot.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replayRoot.toString + "/*.parquet")
+    val agg = stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sc"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        round(col("sc") / 100.0, 2).as("sum_value"))
+    val name = s"q257_wmdrop_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches != 3) throw new IllegalStateException(
+      s"q257 drained in $dataBatches data micro-batches; the drop gate " +
+        "needs exactly 3 (replay files or read limits changed?)")
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    if (dropped == 0) throw new IllegalStateException(
+      "q257 observed zero watermark drops — the late batch was not late " +
+        "(batch order or watermark protocol changed?)")
+    spark.table(name).orderBy("w_start", "event_type")
+  }
+
   /** q127: stream–static enrichment, driver-gated end-to-end — the §2B
     * stream–static join row was spec-only (batch-equivalence in
     * `StreamingSpec`) until this entry. A watermarked event stream joins
@@ -1287,6 +1364,7 @@ object StreamingOps extends QueryModule {
     "q149_update_mode_windows" -> (q149UpdateModeWindows _),
     "q154_stream_union_windows" -> (q154StreamUnionWindows _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
+    "q257_watermark_drops" -> (q257WatermarkDrops _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
     "q200_stream_topk" -> (q200StreamTopK _),
     "q201_stream_distinct" -> (q201StreamDistinct _),
@@ -1604,6 +1682,42 @@ object StreamingOps extends QueryModule {
         |       round(value, 2) + 0.0 AS value
         |FROM r WHERE rn <= 3
         |ORDER BY w_start, event_type, rn""".stripMargin,
+    // blind replay of the two-watermark protocol: batch-3 rows kept iff
+    // their window end clears the batch-1 watermark (the value the
+    // engine filters batch 3 with AND evicted batch-1 windows with —
+    // drops and no-duplication certified by one census equality),
+    // finalized under the global watermark; same cents and rounding
+    "q257_watermark_drops" ->
+      """WITH e AS (
+        |  SELECT event_id, ts, event_type,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b1 AS (
+        |  SELECT * FROM e
+        |  WHERE NOT (event_id % 5 = 0 AND ts < TIMESTAMP '2024-01-25')
+        |    AND ts < TIMESTAMP '2024-01-25'),
+        |b2 AS (SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-25'),
+        |b3 AS (
+        |  SELECT * FROM e
+        |  WHERE event_id % 5 = 0 AND ts < TIMESTAMP '2024-01-25'),
+        |w1 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM b1),
+        |wf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wmf FROM e),
+        |kept AS (
+        |  SELECT ts, event_type, cents FROM b1
+        |  UNION ALL
+        |  SELECT ts, event_type, cents FROM b2
+        |  UNION ALL
+        |  SELECT b3.ts, b3.event_type, b3.cents FROM b3 CROSS JOIN w1
+        |  WHERE time_bucket(INTERVAL 5 MINUTES, b3.ts) + INTERVAL 5 MINUTES > w1.wm),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type,
+        |         count(*)::BIGINT AS n,
+        |         round(sum(cents) / 100.0, 2) + 0.0 AS sum_value
+        |  FROM kept GROUP BY 1, 2)
+        |SELECT w_start, event_type, n, sum_value
+        |FROM agg CROSS JOIN wf
+        |WHERE w_start + INTERVAL 5 MINUTES <= wmf
+        |ORDER BY w_start, event_type""".stripMargin,
     "q111_sql_tumbling_stream" ->
       """WITH b AS (
         |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type, value
