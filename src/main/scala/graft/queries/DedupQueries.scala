@@ -1042,7 +1042,69 @@ object DedupQueries extends QueryModule {
       .orderBy("block")
   }
 
+  /** q260: FELLEGI–SUNTER probabilistic record linkage (JASA '69) —
+    * the decision-theoretic frame q186/q187/q248's similarity kernels
+    * plug into: per comparison field an AGREEMENT weight ln(m/u) and
+    * DISAGREEMENT weight ln((1−m)/(1−u)), where u (chance agreement
+    * between random records) is measured from the field's own value
+    * census (u = Σnᵥ²/N²) and m is the standard 0.9 assumption; pair
+    * scores are the 3-field weight sum, banded into the classic
+    * match / possible / non-match decision regions (upper 2, lower 0).
+    * Fields: brand, type, name-noun on `part`; blocks: (size, price
+    * hundred-band).
+    *
+    * Determinism: u is an exact-BIGINT ratio; weights/scores are
+    * mirrored fixed 3-term chains; band membership compares identical
+    * doubles. Scale: u comes from value censuses (one hash agg each);
+    * the pair loop runs only within (brand, size) blocks — at 100 TB
+    * the block key is the lever (tighter blocks, same algebra), which
+    * is exactly Fellegi–Sunter practice.
+    */
+  def q260FellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val pn = p.withColumn("p_noun", element_at(split(col("p_name"), " "), 1))
+    def uOfN(c: String, alias: String) = pn.groupBy(col(c))
+      .agg(count(lit(1)).as("nv"))
+      .agg((sum(col("nv") * col("nv")).cast("double") /
+        (sum("nv").cast("double") * sum("nv").cast("double"))).as(alias))
+    val ws = uOfN("p_brand", "u_m").crossJoin(uOfN("p_type", "u_t"))
+      .crossJoin(uOfN("p_noun", "u_c"))
+      .select(
+        log(lit(0.9) / col("u_m")).as("wa_brand"),
+        log(lit(0.1) / (lit(1.0) - col("u_m"))).as("wd_brand"),
+        log(lit(0.9) / col("u_t")).as("wa_type"),
+        log(lit(0.1) / (lit(1.0) - col("u_t"))).as("wd_type"),
+        log(lit(0.9) / col("u_c")).as("wa_noun"),
+        log(lit(0.1) / (lit(1.0) - col("u_c"))).as("wd_noun"))
+      .localCheckpoint()
+    val blocked = pn.select(col("p_partkey"), col("p_size").as("size"),
+      floor(col("p_retailprice") / 100.0).cast("long").as("pband"),
+      col("p_brand"), col("p_type"), col("p_noun"))
+    val a = blocked.select(col("p_partkey").as("ka"), col("size"), col("pband"),
+      col("p_brand").as("ma"), col("p_type").as("ta"), col("p_noun").as("ca"))
+    val b = blocked.select(col("p_partkey").as("kb"), col("size"), col("pband"),
+      col("p_brand").as("mb"), col("p_type").as("tb"), col("p_noun").as("cb"))
+    val pairs = a.join(b, Seq("size", "pband")).filter(col("ka") < col("kb"))
+      .crossJoin(broadcast(ws))
+      .withColumn("score",
+        when(col("ma") === col("mb"), col("wa_brand")).otherwise(col("wd_brand")) +
+          when(col("ta") === col("tb"), col("wa_type")).otherwise(col("wd_type")) +
+          when(col("ca") === col("cb"), col("wa_noun")).otherwise(col("wd_noun")))
+      .withColumn("band", when(col("score") >= 2.0, "a_match")
+        .when(col("score") <= 0.0, "c_nonmatch").otherwise("b_possible"))
+    pairs.groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min("score"), 6).as("min_score"),
+        round(max("score"), 6).as("max_score"))
+      .crossJoin(broadcast(ws.select(
+        round(col("wa_brand"), 6).as("wa_brand"), round(col("wd_brand"), 6).as("wd_brand"),
+        round(col("wa_type"), 6).as("wa_type"), round(col("wd_type"), 6).as("wd_type"),
+        round(col("wa_noun"), 6).as("wa_noun"), round(col("wd_noun"), 6).as("wd_noun"))))
+      .orderBy("band")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_fellegi_sunter" -> (q260FellegiSunter _),
     "q248_edit_distance_linkage" -> (q248EditDistanceLinkage _),
     "q205_golden_record" -> (q205GoldenRecord _),
     "q196_kmv_set_algebra" -> (q196KmvSetAlgebra _),
@@ -1067,6 +1129,51 @@ object DedupQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same value-census u ratios, same ln weight chains, same blocks,
+    // same band boundaries over identical doubles
+    "q260_fellegi_sunter" ->
+      """WITH pn AS (
+        |  SELECT p_partkey, p_brand, p_type, p_size, p_retailprice,
+        |         string_split(p_name, ' ')[1] AS p_noun
+        |  FROM part),
+        |um AS (
+        |  SELECT sum(nv * nv)::DOUBLE / (sum(nv)::DOUBLE * sum(nv)::DOUBLE) AS u
+        |  FROM (SELECT count(*)::BIGINT AS nv FROM pn GROUP BY p_brand)),
+        |ut AS (
+        |  SELECT sum(nv * nv)::DOUBLE / (sum(nv)::DOUBLE * sum(nv)::DOUBLE) AS u
+        |  FROM (SELECT count(*)::BIGINT AS nv FROM pn GROUP BY p_type)),
+        |uc AS (
+        |  SELECT sum(nv * nv)::DOUBLE / (sum(nv)::DOUBLE * sum(nv)::DOUBLE) AS u
+        |  FROM (SELECT count(*)::BIGINT AS nv FROM pn GROUP BY p_noun)),
+        |w AS (
+        |  SELECT ln(0.9 / um.u) AS wa_brand, ln(0.1 / (1.0 - um.u)) AS wd_brand,
+        |         ln(0.9 / ut.u) AS wa_type, ln(0.1 / (1.0 - ut.u)) AS wd_type,
+        |         ln(0.9 / uc.u) AS wa_noun, ln(0.1 / (1.0 - uc.u)) AS wd_noun
+        |  FROM um CROSS JOIN ut CROSS JOIN uc),
+        |pr AS (
+        |  SELECT (CASE WHEN a.p_brand = b.p_brand THEN wa_brand ELSE wd_brand END +
+        |          CASE WHEN a.p_type = b.p_type THEN wa_type ELSE wd_type END +
+        |          CASE WHEN a.p_noun = b.p_noun THEN wa_noun ELSE wd_noun END)
+        |           AS score
+        |  FROM pn a
+        |  JOIN pn b ON a.p_size = b.p_size
+        |           AND floor(a.p_retailprice / 100.0) = floor(b.p_retailprice / 100.0)
+        |           AND a.p_partkey < b.p_partkey
+        |  CROSS JOIN w),
+        |bd AS (
+        |  SELECT CASE WHEN score >= 2.0 THEN 'a_match'
+        |              WHEN score <= 0.0 THEN 'c_nonmatch'
+        |              ELSE 'b_possible' END AS band, score
+        |  FROM pr)
+        |SELECT band, count(*)::BIGINT AS n_pairs,
+        |       round(min(score), 6) + 0.0 AS min_score,
+        |       round(max(score), 6) + 0.0 AS max_score,
+        |       round(wa_brand, 6) + 0.0 AS wa_brand, round(wd_brand, 6) + 0.0 AS wd_brand,
+        |       round(wa_type, 6) + 0.0 AS wa_type, round(wd_type, 6) + 0.0 AS wd_type,
+        |       round(wa_noun, 6) + 0.0 AS wa_noun, round(wd_noun, 6) + 0.0 AS wd_noun
+        |FROM bd CROSS JOIN w
+        |GROUP BY band, wa_brand, wd_brand, wa_type, wd_type, wa_noun, wd_noun
+        |ORDER BY band""".stripMargin,
     // same census, same noun block, same levenshtein cut + struct-min
     "q248_edit_distance_linkage" ->
       """WITH census AS (

@@ -1059,6 +1059,55 @@ object MiscQueries extends QueryModule {
       .orderBy("lag")
   }
 
+  /** q261: CLASSICAL SEASONAL DECOMPOSITION (trend + day-of-week
+    * seasonal + residual — the moving-average half of STL, Cleveland
+    * '90) over the daily event census: trend = centered 7-day moving
+    * average on the DENSE day spine (q206's device — missing days are
+    * real zeros, not missing windows), seasonal = per-(type, dow) mean
+    * of the detrended series, residual = the rest. The decomposition
+    * q207's anomaly flags presuppose, made explicit per (type, day).
+    *
+    * Determinism: EVERYTHING rides the micro-unit integer grid — trend
+    * ⌊Σn·10⁶/cnt + ½⌋ over the ROWS ±3 frame (edge days honestly
+    * average partial frames), detrended du = n·10⁶ − trend_u (pure
+    * BIGINT), seasonal ⌊Σdu/cnt + ½⌋, residual n·10⁶ − trend_u −
+    * seas_u — so the only doubles are final BIGINT/10⁶ descales, the
+    * same two integers dividing in both engines (no round() anywhere;
+    * a sum/count-then-round chain diverged 1 ulp at a .0000005 tie).
+    * Scale: one hash agg to the (type × day) census; windows
+    * PARTITIONED by type over day-range-bounded spines; seasonal is a
+    * (type × 7)-row broadcast.
+    */
+  def q261SeasonalDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val counts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val lim = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = ev.select("event_type").distinct().crossJoin(broadcast(lim))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("day"))
+    val grid = spine.join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    val wtrend = grid
+      .withColumn("trend_u",
+        floor(sum("n").over(w) * lit(1000000.0) / count(lit(1)).over(w) + 0.5)
+          .cast("long"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)))
+      .withColumn("du", col("n") * 1000000L - col("trend_u"))
+      .localCheckpoint()
+    val seas = wtrend.groupBy("event_type", "dow")
+      .agg(floor(sum("du").cast("double") / count(lit(1)) + 0.5).cast("long")
+        .as("seas_u"))
+    wtrend.join(broadcast(seas), Seq("event_type", "dow"))
+      .select(col("event_type"),
+        date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("d"),
+        col("n"), (col("trend_u") / 1000000.0).as("trend"),
+        (col("seas_u") / 1000000.0).as("seasonal"),
+        ((col("n") * 1000000L - col("trend_u") - col("seas_u")) / 1000000.0)
+          .as("residual"))
+      .orderBy("event_type", "d")
+  }
+
   /** q207: SEASONAL-BASELINE anomaly detection with an INTEGER-EXACT
     * trigger — per hour-of-day baselines over daily event counts, a
     * (day, hour) cell flags when |cnt − μ_h| > 3σ_h. The flag is the
@@ -1279,6 +1328,50 @@ object MiscQueries extends QueryModule {
           .as("failing_share"),
         col("min_distinct"), col("min_entropy"), col("mean_entropy"))
       .orderBy("l_threshold")
+  }
+
+  /** q258: DIFFERENTIALLY-PRIVATE release (Laplace mechanism, Dwork
+    * '06) with the measured error-vs-ε curve — the third privacy
+    * operator (q232 k-anonymity, q256 l-diversity audit the data; this
+    * one actually PERTURBS a release): per-event-type counts published
+    * at ε ∈ {0.1, 1, 10} with Laplace(1/ε) noise (sensitivity 1), plus
+    * the per-ε mean absolute error — the accuracy-vs-privacy table (the
+    * q225/q229/q244/q247 tuning-curve family) that picks the budget.
+    *
+    * The noise is SEEDED: u = (md5-48-bit + 0.5)/2⁴⁸ ∈ (0,1) keyed on
+    * (type, ε-label), inverse-CDF'd through the same mirrored
+    * −(1/ε)·sign(u−½)·ln(1−2|u−½|) expression in both engines — the
+    * q30/q57 no-RNG-crosses-the-engine-boundary discipline applied to a
+    * noise mechanism (a production release would draw real randomness;
+    * the GATE needs replayable noise). Scale: one hash agg to the type
+    * census; noise/errors are census-level; the ε-mean rides the
+    * ⌊err·10⁴+0.5⌋ integer grid.
+    */
+  def q258DpNoisyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+    val eps = per.withColumn("eps_label",
+        explode(typedlit(Seq("0.1", "1.0", "10.0"))))
+      .withColumn("eps", col("eps_label").cast("double"))
+      .withColumn("u",
+        (conv(substring(md5(concat_ws("|", col("event_type"), col("eps_label"))),
+          1, 12), 16, 10).cast("long").cast("double") + 0.5) /
+          lit(281474976710656.0))
+      .withColumn("noise",
+        lit(-1.0) / col("eps") * signum(col("u") - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+      .withColumn("err_u",
+        floor(abs(col("noise")) * 10000.0 + 0.5).cast("long"))
+      .localCheckpoint()
+    val perEps = eps.groupBy("eps_label")
+      .agg(round(sum("err_u").cast("double") / 10000.0 / count(lit(1)), 6)
+        .as("mean_abs_err"))
+    eps.join(broadcast(perEps), "eps_label")
+      .select(col("event_type"), col("eps"), col("n_true"),
+        round(col("n_true") + col("noise"), 4).as("noisy"),
+        round(abs(col("noise")), 4).as("abs_err"),
+        col("mean_abs_err"))
+      .orderBy("eps", "event_type")
   }
 
   /** q241: MULTI-TOUCH ATTRIBUTION (position-based 40/20/40) — the
@@ -1767,6 +1860,8 @@ object MiscQueries extends QueryModule {
     "q252_power_analysis" -> (q252PowerAnalysis _),
     "q254_conformal_calibration" -> (q254ConformalCalibration _),
     "q256_l_diversity" -> (q256LDiversity _),
+    "q258_dp_noisy_counts" -> (q258DpNoisyCounts _),
+    "q261_seasonal_decomposition" -> (q261SeasonalDecomposition _),
     "q204_benford" -> (q204Benford _),
     "q206_lead_lag" -> (q206LeadLag _),
     "q207_seasonal_anomaly" -> (q207SeasonalAnomaly _),
@@ -1944,6 +2039,69 @@ object MiscQueries extends QueryModule {
         |ORDER BY p.ta, p.tb""".stripMargin,
     // same first-signup / first-qualifying-purchase aggs, same integer
     // day-diff bucket ladder
+    // same dense spine, same micro-unit integer grid end-to-end (trend,
+    // detrend, seasonal mean, residual all BIGINT), same final descales
+    "q261_seasonal_decomposition" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+        |counts AS (
+        |  SELECT event_type, day, count(*)::BIGINT AS n FROM ev GROUP BY 1, 2),
+        |lim AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |spine AS (
+        |  SELECT event_type, unnest(range(lo, hi + 1)) AS day
+        |  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN lim),
+        |grid AS (
+        |  SELECT s.event_type, s.day, coalesce(c.n, 0)::BIGINT AS n
+        |  FROM spine s LEFT JOIN counts c USING (event_type, day)),
+        |t AS (
+        |  SELECT grid.*,
+        |         CAST(floor((sum(n) OVER w) * 1000000.0 / (count(*) OVER w) + 0.5)
+        |              AS BIGINT) AS trend_u,
+        |         (day + 4) % 7 AS dow
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT t.*, n * 1000000 - trend_u AS du
+        |  FROM t),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |         CAST(floor(sum(du)::DOUBLE / count(*) + 0.5) AS BIGINT) AS seas_u
+        |  FROM t2 GROUP BY 1, 2)
+        |SELECT t2.event_type, DATE '1970-01-01' + CAST(t2.day AS INT) AS d, n,
+        |       trend_u / 1000000.0 AS trend,
+        |       seas_u / 1000000.0 AS seasonal,
+        |       (n * 1000000 - trend_u - seas_u) / 1000000.0 AS residual
+        |FROM t2 JOIN seas USING (event_type, dow)
+        |ORDER BY event_type, d""".stripMargin,
+    // same md5-48-bit uniforms, same mirrored inverse-CDF Laplace,
+    // same integer-grid per-ε mean
+    "q258_dp_noisy_counts" ->
+      """WITH per AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_true FROM events GROUP BY 1),
+        |x AS (
+        |  SELECT per.*, lbl AS eps_label, lbl::DOUBLE AS eps,
+        |         ((('0x' || substr(md5(event_type || '|' || lbl), 1, 12))::BIGINT)::DOUBLE
+        |            + 0.5) / 281474976710656.0 AS u
+        |  FROM per CROSS JOIN (SELECT unnest(['0.1', '1.0', '10.0']) AS lbl) e),
+        |ns AS (
+        |  SELECT x.*,
+        |         -1.0 / eps * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+        |  FROM x),
+        |ns2 AS (
+        |  SELECT ns.*,
+        |         CAST(floor(abs(noise) * 10000.0 + 0.5) AS BIGINT) AS err_u
+        |  FROM ns),
+        |pe AS (
+        |  SELECT eps_label,
+        |         round(sum(err_u)::DOUBLE / 10000.0 / count(*), 6) + 0.0 AS mean_abs_err
+        |  FROM ns2 GROUP BY 1)
+        |SELECT event_type, eps, n_true,
+        |       round(n_true + noise, 4) + 0.0 AS noisy,
+        |       round(abs(noise), 4) + 0.0 AS abs_err,
+        |       mean_abs_err
+        |FROM ns2 JOIN pe USING (eps_label)
+        |ORDER BY eps, event_type""".stripMargin,
     // same QI census, same pivoted segment counts, same fixed-chain
     // entropy with ln, same integer-grid mean
     "q256_l_diversity" -> {

@@ -920,6 +920,68 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start", "event_type")
   }
 
+  /** q259: UPDATE-MODE multi-batch RE-EMISSION gate — q257's sibling on
+    * the other output mode. Same 3-batch pinned replay; in update mode
+    * every batch emits each group it touched with the group's CURRENT
+    * cumulative value, so the sink accumulates a multiset: batch 1 =
+    * the history censuses, batch 2 = the head censuses, batch 3 = the
+    * late straddlers RE-EMITTED with merged (history + late) counts —
+    * while the dropped late rows emit nothing. The oracle states all
+    * three emission sets blindly in SQL (batch-3 groups = those touched
+    * by rows with window end > the lagged watermark, valued over
+    * history ∪ kept-late); multiset equality certifies update-mode
+    * re-emission + the two-watermark drop protocol + no emission for
+    * evicted-and-gone windows, in one gate. q149 gates update mode's
+    * single-batch semantics; this gates its cross-batch contract.
+    *
+    * Scale: as q257 — late rows never touch state; update mode holds
+    * the same watermark-bounded state and emits deltas, the shape a
+    * 100 TB dashboard sink consumes.
+    */
+  def q259UpdateReemission(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val cut = lit("2024-01-25").cast("timestamp")
+    val late = pmod(col("event_id"), lit(5)) === 0 && col("ts") < cut
+    val replayRoot = java.nio.file.Files.createTempDirectory("q259_replay")
+    def emitBatch(df: DataFrame, n: Int): Unit = {
+      val stage = replayRoot.resolve(s"stage$n")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dst = replayRoot.resolve(f"b$n%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(1000000L * n)
+    }
+    emitBatch(ev.filter(!late && col("ts") < cut), 1)
+    emitBatch(ev.filter(col("ts") >= cut), 2)
+    emitBatch(ev.filter(late), 3)
+    val schema = spark.read.parquet(replayRoot.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replayRoot.toString + "/*.parquet")
+    val agg = stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sc"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        round(col("sc") / 100.0, 2).as("sum_value"))
+    val name = s"q259_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches != 3) throw new IllegalStateException(
+      s"q259 drained in $dataBatches data micro-batches; the gate needs 3")
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    if (dropped == 0) throw new IllegalStateException(
+      "q259 observed zero watermark drops — the late batch was not late")
+    spark.table(name).orderBy("w_start", "event_type", "n")
+  }
+
   /** q127: stream–static enrichment, driver-gated end-to-end — the §2B
     * stream–static join row was spec-only (batch-equivalence in
     * `StreamingSpec`) until this entry. A watermarked event stream joins
@@ -1365,6 +1427,7 @@ object StreamingOps extends QueryModule {
     "q154_stream_union_windows" -> (q154StreamUnionWindows _),
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q257_watermark_drops" -> (q257WatermarkDrops _),
+    "q259_update_reemission" -> (q259UpdateReemission _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
     "q200_stream_topk" -> (q200StreamTopK _),
     "q201_stream_distinct" -> (q201StreamDistinct _),
@@ -1718,6 +1781,53 @@ object StreamingOps extends QueryModule {
         |FROM agg CROSS JOIN wf
         |WHERE w_start + INTERVAL 5 MINUTES <= wmf
         |ORDER BY w_start, event_type""".stripMargin,
+    // the three update-mode emission sets stated blindly: history
+    // censuses, head censuses, and straddler groups re-emitted with
+    // merged counts (groups = windows clearing the lagged watermark)
+    "q259_update_reemission" ->
+      """WITH e AS (
+        |  SELECT event_id, ts, event_type,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b1 AS (
+        |  SELECT * FROM e
+        |  WHERE NOT (event_id % 5 = 0 AND ts < TIMESTAMP '2024-01-25')
+        |    AND ts < TIMESTAMP '2024-01-25'),
+        |b2 AS (SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-25'),
+        |b3 AS (
+        |  SELECT * FROM e
+        |  WHERE event_id % 5 = 0 AND ts < TIMESTAMP '2024-01-25'),
+        |w1 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM b1),
+        |k3 AS (
+        |  SELECT b3.* FROM b3 CROSS JOIN w1
+        |  WHERE time_bucket(INTERVAL 5 MINUTES, b3.ts) + INTERVAL 5 MINUTES > w1.wm),
+        |e0 AS (
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type,
+        |         count(*)::BIGINT AS n,
+        |         round(sum(cents) / 100.0, 2) + 0.0 AS sum_value
+        |  FROM b1 GROUP BY 1, 2),
+        |e1 AS (
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type,
+        |         count(*)::BIGINT AS n,
+        |         round(sum(cents) / 100.0, 2) + 0.0 AS sum_value
+        |  FROM b2 GROUP BY 1, 2),
+        |touched AS (
+        |  SELECT DISTINCT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type
+        |  FROM k3),
+        |e2 AS (
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, u.ts) AS w_start, u.event_type,
+        |         count(*)::BIGINT AS n,
+        |         round(sum(u.cents) / 100.0, 2) + 0.0 AS sum_value
+        |  FROM (SELECT ts, event_type, cents FROM b1
+        |        UNION ALL SELECT ts, event_type, cents FROM k3) u
+        |  JOIN touched t
+        |    ON time_bucket(INTERVAL 5 MINUTES, u.ts) = t.w_start
+        |   AND u.event_type = t.event_type
+        |  GROUP BY 1, 2)
+        |SELECT * FROM e0
+        |UNION ALL SELECT * FROM e1
+        |UNION ALL SELECT * FROM e2
+        |ORDER BY w_start, event_type, n""".stripMargin,
     "q111_sql_tumbling_stream" ->
       """WITH b AS (
         |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type, value
