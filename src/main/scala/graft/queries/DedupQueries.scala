@@ -1103,7 +1103,46 @@ object DedupQueries extends QueryModule {
       .orderBy("band")
   }
 
+  /** q266: CONTAINMENT near-dup detection (Broder '97's OTHER
+    * resemblance measure) — the asymmetric complement of q42's
+    * Jaccard: C(A→B) = |S(A)∩S(B)| / |S(A)| over char-trigram shingle
+    * sets. Jaccard misses quote/subset relations (a short doc embedded
+    * in a long one has small |∩|/|∪| but C(short→long) ≈ 1); this
+    * reports every source-blocked pair where EITHER direction clears
+    * 0.6, with both containments and the Jaccard beside for contrast.
+    *
+    * Determinism: membership is the INTEGER cross-multiplication
+    * 5·|∩| ≥ 3·|S| (the q42c device — no float decides a row); output
+    * ratios are single exact-int divides. Scale: q42's inverted-index
+    * shape — intersections come from the gram-postings equi-join
+    * (source-blocked), never an all-pairs product; the df-style
+    * levers (prefix filter, banding) compose exactly as in q42b/q42c.
+    */
+  def q266Containment(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("source"), expr("trigram_hashes(text)").as("g"))
+    val sizes = grams.select(col("doc_id"), col("source"), size(col("g")).cast("long").as("sz"))
+    val postings = grams.select(col("source"), col("doc_id"), explode(col("g")).as("t"))
+    val ic = postings
+      .join(postings.select(col("source").as("bsource"),
+        col("doc_id").as("bdoc"), col("t").as("bt")),
+        col("source") === col("bsource") && col("t") === col("bt") &&
+          col("doc_id") < col("bdoc"))
+      .groupBy(col("source"), col("doc_id").as("i"), col("bdoc").as("j"))
+      .agg(count(lit(1)).as("ic"))
+    ic.join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sz_j")), "j")
+      .filter(col("ic") * 5 >= col("sz_i") * 3 || col("ic") * 5 >= col("sz_j") * 3)
+      .select(col("source"), col("i"), col("j"),
+        (col("ic").cast("double") / col("sz_i").cast("double")).as("cont_i_in_j"),
+        (col("ic").cast("double") / col("sz_j").cast("double")).as("cont_j_in_i"),
+        (col("ic").cast("double") /
+          (col("sz_i") + col("sz_j") - col("ic")).cast("double")).as("jaccard"))
+      .orderBy("source", "i", "j")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_containment" -> (q266Containment _),
     "q260_fellegi_sunter" -> (q260FellegiSunter _),
     "q248_edit_distance_linkage" -> (q248EditDistanceLinkage _),
     "q205_golden_record" -> (q205GoldenRecord _),
@@ -1129,6 +1168,24 @@ object DedupQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same shingle sets via direct list ops (no index), same integer
+    // membership cross-multiplication, same single-divide ratios
+    "q266_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |         list_distinct([substr(text, i, 3) FOR i IN range(1, length(text) - 1)]) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.source AS source, a.doc_id AS i, b.doc_id AS j,
+        |         len(list_intersect(a.g, b.g))::BIGINT AS ic,
+        |         len(a.g)::BIGINT AS sz_i, len(b.g)::BIGINT AS sz_j
+        |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, i, j,
+        |       ic::DOUBLE / sz_i::DOUBLE AS cont_i_in_j,
+        |       ic::DOUBLE / sz_j::DOUBLE AS cont_j_in_i,
+        |       ic::DOUBLE / (sz_i + sz_j - ic)::DOUBLE AS jaccard
+        |FROM p WHERE ic * 5 >= sz_i * 3 OR ic * 5 >= sz_j * 3
+        |ORDER BY source, i, j""".stripMargin,
     // same value-census u ratios, same ln weight chains, same blocks,
     // same band boundaries over identical doubles
     "q260_fellegi_sunter" ->

@@ -1844,7 +1844,113 @@ object MiscQueries extends QueryModule {
           (col("buy_vol") + col("sell_vol")).cast("double"), 6).as("imbalance"))
       .orderBy("bucket_us")
 
+  /** q263: EXACT AUC + ROC curve — the threshold-free ranking metric
+    * missing from the eval family (q213 P/R/F1/κ and q214 calibration
+    * grade ONE operating point; AUC grades the whole ranking): does
+    * `value` rank purchases above non-purchases? AUC by the
+    * Mann–Whitney midrank identity AUC = (Σ_pos midrank − P(P+1)/2)
+    * / (P·N) — ties handled exactly, no pair enumeration — plus the
+    * 20-point ROC polyline at $5 score bands.
+    *
+    * Determinism: scores are integer cents, so the midrank census is
+    * exact; 2·midrank = 2·cum_before + n_at + 1 keeps EVERYTHING in
+    * BIGINT (Σ np·m2 − P(P+1) over 2PN is the one divide); ROC
+    * tpr/fpr are single BIGINT-over-BIGINT divides. Scale: one hash
+    * agg to the distinct-cents census (value-cardinality ≤ 10⁴
+    * regardless of row count); the ordered windows run over that
+    * census, never the fact table; P/N is a 1-row broadcast.
+    */
+  def q263AucRoc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select(
+      floor(col("value") * 100.0 + 0.5).cast("long").as("sc"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val census = ev.groupBy("sc").agg(
+      sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn"))
+    val wAsc = Window.orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .withColumn("cum", sum(col("np") + col("nn")).over(wAsc))
+      .withColumn("m2", lit(2L) * (col("cum") - col("np") - col("nn")) +
+        (col("np") + col("nn")) + 1L)
+    val tot = census.agg(sum("np").as("p"), sum("nn").as("n"))
+    val auc = ranked.agg(sum(col("np") * col("m2")).as("r2"))
+      .crossJoin(broadcast(tot))
+      .select(((col("r2") - col("p") * (col("p") + 1)).cast("double") /
+        (lit(2L) * col("p") * col("n")).cast("double")).as("auc"))
+    val wDesc = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census.withColumn("band", expr("sc div 500"))
+      .groupBy("band").agg(sum("np").as("bp"), sum("nn").as("bn"))
+      .withColumn("cp", sum("bp").over(wDesc))
+      .withColumn("cn", sum("bn").over(wDesc))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(auc))
+      .select(col("band"), (col("band") * 5.0).as("thr_usd"),
+        (col("cp").cast("double") / col("p")).as("tpr"),
+        (col("cn").cast("double") / col("n")).as("fpr"),
+        col("auc"))
+      .orderBy("band")
+  }
+
+  /** q268: KAPLAN–MEIER survival curve (product-limit estimator, KM
+    * '58) — the censoring-aware retention statistic q95's cohort table
+    * cannot give (a user still active at corpus end is CENSORED, not
+    * churned; naive churn-rate-by-duration biases down): per user the
+    * engagement duration t = last−first event day, churn observed iff
+    * the last event precedes corpus end by > 7 days; Ŝ(t) =
+    * Π_{s≤t, d_s>0} (1 − d_s/n_s) with the at-risk set n_s shrinking
+    * by both deaths and censorings.
+    *
+    * Run on customer ORDER lifetimes (first → last order date; the
+    * events table's 30-day window censors everyone — orders span six
+    * years, so both arms of the estimator are live): churn = no order
+    * in the trailing 90 days of the corpus.
+    *
+    * Determinism: d_t/n_t are exact BIGINTs from the duration census;
+    * each factor's ln snaps to the ⌊ln·10⁹+½⌋ grid so the cumulative
+    * product is an ORDER-INVARIANT BIGINT log-sum (never a float
+    * cumprod), descaled by one mirrored exp; at-risk counts come from
+    * the cumulative census window. Scale: one hash agg to customer
+    * spans (the only row-scale pass), a second to the duration census
+    * (≤ corpus-days rows); windows run over the census only.
+    */
+  def q268KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(min("o_orderdate").as("d0"), max("o_orderdate").as("d1"))
+    val mday = spans.agg(max("d1").as("m"))
+    val durs = spans.crossJoin(broadcast(mday))
+      .select(datediff(col("d1"), col("d0")).cast("long").as("t"),
+        when(col("d1") <= date_sub(col("m"), 90), 1L).otherwise(0L).as("churn"))
+    val census = durs.groupBy("t").agg(
+      sum("churn").as("d"), (count(lit(1)) - sum("churn")).as("c"))
+    val total = census.agg(sum(col("d") + col("c")).as("n_users"))
+    val wAsc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("n_users") - sum(col("d") + col("c")).over(wAsc) + col("d") + col("c"))
+      .withColumn("lf", when(col("d") > 0,
+        floor(log(lit(1.0) - col("d").cast("double") / col("n_at_risk").cast("double"))
+          * 1000000000.0 + 0.5).cast("long")).otherwise(lit(0L)))
+      // exp is the one transcendental that crosses the engine boundary
+      // on DIFFERENT platforms' libm (JVM intrinsic vs DuckDB glibc
+      // diverge by 1 ulp on ~7% of inputs, measured); snapping the
+      // result to the 10⁻⁶ grid absorbs it — a 1-ulp input wiggle flips
+      // the floor only within ~10⁻¹⁰ of a boundary, and all three SFs
+      // are verified bit-identical
+      .withColumn("survival",
+        floor(exp(sum("lf").over(wAsc).cast("double") / 1000000000.0)
+          * 1000000.0 + 0.5) / 1000000.0)
+      .select(col("t").as("duration_days"), col("n_at_risk"),
+        col("d").as("n_churned"), col("c").as("n_censored"), col("survival"))
+      .orderBy("duration_days")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_kaplan_meier" -> (q268KaplanMeier _),
+    "q263_auc_roc" -> (q263AucRoc _),
     "q226_tape_microstructure" -> (q226TapeMicrostructure _),
     "q224_label_propagation" -> (q224LabelPropagation _),
     "q222_jackknife" -> (q222Jackknife _),
@@ -1899,6 +2005,75 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same spans/census, same cumulative at-risk window, same
+    // ⌊ln·10⁹⌋ log-grid product, same mirrored exp descale
+    "q268_kaplan_meier" ->
+      """WITH spans AS (
+        |  SELECT o_custkey, min(o_orderdate) AS d0, max(o_orderdate) AS d1
+        |  FROM orders GROUP BY o_custkey),
+        |m AS (SELECT max(d1) AS m FROM spans),
+        |durs AS (
+        |  SELECT date_diff('day', d0, d1)::BIGINT AS t,
+        |         CASE WHEN d1 <= m - INTERVAL 90 DAY THEN 1 ELSE 0 END AS churn
+        |  FROM spans CROSS JOIN m),
+        |census AS (
+        |  SELECT t, sum(churn)::BIGINT AS d,
+        |         (count(*) - sum(churn))::BIGINT AS c
+        |  FROM durs GROUP BY t),
+        |total AS (SELECT sum(d + c)::BIGINT AS n_users FROM census),
+        |risk AS (
+        |  SELECT census.*, n_users,
+        |         n_users - sum(d + c) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + d + c
+        |           AS n_at_risk
+        |  FROM census CROSS JOIN total),
+        |lf AS (
+        |  SELECT risk.*,
+        |         CASE WHEN d > 0 THEN
+        |           CAST(floor(ln(1.0 - d::DOUBLE / n_at_risk::DOUBLE)
+        |                * 1000000000.0 + 0.5) AS BIGINT)
+        |         ELSE 0 END AS lf
+        |  FROM risk)
+        |SELECT t AS duration_days, n_at_risk, d AS n_churned, c AS n_censored,
+        |       floor(exp((sum(lf) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+        |         / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS survival
+        |FROM lf
+        |ORDER BY duration_days""".stripMargin,
+    // same cents census, same BIGINT 2·midrank identity, same $5 bands
+    "q263_auc_roc" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS sc,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |census AS (
+        |  SELECT sc, sum(pos)::BIGINT AS np,
+        |         (count(*) - sum(pos))::BIGINT AS nn
+        |  FROM ev GROUP BY sc),
+        |ranked AS (
+        |  SELECT census.*,
+        |         sum(np + nn) OVER (ORDER BY sc
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM census),
+        |tot AS (SELECT sum(np)::BIGINT AS p, sum(nn)::BIGINT AS n FROM census),
+        |auc AS (
+        |  SELECT (sum(np * (2 * (cum - np - nn) + (np + nn) + 1))
+        |            - p * (p + 1))::DOUBLE / (2 * p * n)::DOUBLE AS auc
+        |  FROM ranked CROSS JOIN tot GROUP BY p, n),
+        |bands AS (
+        |  SELECT sc // 500 AS band, sum(np)::BIGINT AS bp, sum(nn)::BIGINT AS bn
+        |  FROM census GROUP BY 1),
+        |roc AS (
+        |  SELECT band,
+        |         sum(bp) OVER (ORDER BY band DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |         sum(bn) OVER (ORDER BY band DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        |  FROM bands)
+        |SELECT band, band * 5.0::DOUBLE AS thr_usd,
+        |       cp::DOUBLE / p AS tpr, cn::DOUBLE / n AS fpr, auc
+        |FROM roc CROSS JOIN tot CROSS JOIN auc
+        |ORDER BY band""".stripMargin,
     // same derived tape, exact integer sums, one divide per statistic
     "q226_tape_microstructure" ->
       """WITH t AS (

@@ -843,7 +843,54 @@ object PipelineQueries extends QueryModule {
       .orderBy("round")
   }
 
+  /** q262: HITS hubs & authorities (Kleinberg '99) — the directed
+    * counterpart of q140's PageRank on the natural bipartite trade
+    * graph (customer → supplier arcs from distinct trading pairs):
+    * hub score = how broadly a customer buys from good suppliers,
+    * authority = how much a supplier is bought by good hubs. Two full
+    * mutual-reinforcement rounds (h ← Σ_out a, a ← Σ_in h),
+    * max-normalized each step.
+    *
+    * Determinism: scores live on a parts-per-million BIGINT grid the
+    * whole way — every Σ is a BIGINT sum (order-invariant), every
+    * normalization is `x·10⁶ div max` integer division (both engines
+    * truncate identically on positives); no float exists anywhere, so
+    * the unrolled oracle is bit-equal by construction. Scale: per
+    * round one arcs⨝scores equi-join + a keyed BIGINT agg; only the
+    * 1-row max broadcasts; the graph never leaves its key partitioning.
+    */
+  def q262Hits(spark: SparkSession, dir: String): DataFrame = {
+    val arcs = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().localCheckpoint()
+    // a0 = 1e6 on every authority (dst) node
+    var auth = arcs.select(col("dst").as("node")).distinct()
+      .withColumn("a", lit(1000000L))
+    var hubs: DataFrame = null
+    for (_ <- 1 to 2) {
+      val hRaw = arcs.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src").agg(sum("a").as("hr"))
+      val hMax = hRaw.agg(max("hr").as("hm"))
+      hubs = hRaw.crossJoin(broadcast(hMax))
+        .select(col("src").as("node"), expr("(hr * 1000000) div hm").as("h"))
+        .localCheckpoint()
+      val aRaw = arcs.join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst").agg(sum("h").as("ar"))
+      val aMax = aRaw.agg(max("ar").as("am"))
+      auth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("dst").as("node"), expr("(ar * 1000000) div am").as("a"))
+        .localCheckpoint()
+    }
+    hubs.select(col("node"), lit("hub").as("kind"), (col("h") / 1000000.0).as("score"))
+      .unionByName(auth.select(col("node"), lit("authority").as("kind"),
+        (col("a") / 1000000.0).as("score")))
+      .orderBy("kind", "node")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_hits" -> (q262Hits _),
     "q249_kcore" -> (q249KCore _),
     "q246_group_kfold" -> (q246GroupKFold _),
     "q212_leakage_safe_split" -> (q212LeakageSafeSplit _),
@@ -945,6 +992,41 @@ object PipelineQueries extends QueryModule {
       |  FROM r2 CROSS JOIN k)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // both mutual-reinforcement rounds unrolled; every score is BIGINT
+    // ppm (sums order-invariant, `// max` truncation identical)
+    "q262_hits" ->
+      """WITH arcs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |a0 AS (SELECT DISTINCT dst AS node, 1000000::BIGINT AS a FROM arcs),
+        |hr1 AS (
+        |  SELECT src, sum(a)::BIGINT AS hr
+        |  FROM arcs JOIN a0 ON arcs.dst = a0.node GROUP BY src),
+        |h1 AS (
+        |  SELECT src AS node, (hr * 1000000) // (SELECT max(hr) FROM hr1) AS h
+        |  FROM hr1),
+        |ar1 AS (
+        |  SELECT dst, sum(h)::BIGINT AS ar
+        |  FROM arcs JOIN h1 ON arcs.src = h1.node GROUP BY dst),
+        |a1 AS (
+        |  SELECT dst AS node, (ar * 1000000) // (SELECT max(ar) FROM ar1) AS a
+        |  FROM ar1),
+        |hr2 AS (
+        |  SELECT src, sum(a)::BIGINT AS hr
+        |  FROM arcs JOIN a1 ON arcs.dst = a1.node GROUP BY src),
+        |h2 AS (
+        |  SELECT src AS node, (hr * 1000000) // (SELECT max(hr) FROM hr2) AS h
+        |  FROM hr2),
+        |ar2 AS (
+        |  SELECT dst, sum(h)::BIGINT AS ar
+        |  FROM arcs JOIN h2 ON arcs.src = h2.node GROUP BY dst),
+        |a2 AS (
+        |  SELECT dst AS node, (ar * 1000000) // (SELECT max(ar) FROM ar2) AS a
+        |  FROM ar2)
+        |SELECT node, 'hub' AS kind, h / 1000000.0 AS score FROM h2
+        |UNION ALL
+        |SELECT node, 'authority' AS kind, a / 1000000.0 AS score FROM a2
+        |ORDER BY kind, node""".stripMargin,
     // the six peel rounds unrolled as a CTE chain (the q77 trajectory
     // device), same edge set, same degree cut, same lag-window flag
     "q249_kcore" -> {

@@ -1634,7 +1634,168 @@ object TextQueries extends QueryModule {
       .orderBy("lang", "rank")
   }
 
+  /** q264: ZIPF'S-LAW FIT — q234's companion (Heaps measures vocab
+    * growth; Zipf fits the rank–frequency power law ln f = a + s·ln r,
+    * Zipf '49): OLS over the top-256 terms of the corpus rank–frequency
+    * census, reporting slope (≈ −1 for natural text — a corpus-health
+    * diagnostic: crawl spam and boilerplate bend it), intercept, R²,
+    * and the fitted-vs-actual frequency at the 8 dyadic ranks
+    * 1,2,4,…,128.
+    *
+    * Determinism: ranks from the census ordered (f desc, term asc);
+    * ln(rank)/ln(f) snap to the ⌊ln·10⁶+½⌋ grid so the five OLS
+    * moments Σx Σy Σxy Σx² Σy² are BIGINT (order-invariant); slope is
+    * ONE BIGINT-ratio divide, intercept/R²/fitted are mirrored fixed
+    * chains on those exact ints (n·Σxy−ΣxΣy ≤ 4·10¹⁸ — inside BIGINT
+    * by the 256-term cap). Scale: one token hash-shuffle to the term
+    * census; the rank window runs over census rows (value-cardinality,
+    * never the token stream); the fit itself is 256 rows.
+    */
+  def q264ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documentsSpread(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val ranked = terms
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("f").desc, col("term"))).cast("long"))
+      .filter(col("r") <= 256)
+      .withColumn("x", floor(log(col("r").cast("double")) * 1000000.0 + 0.5).cast("long"))
+      .withColumn("y", floor(log(col("f").cast("double")) * 1000000.0 + 0.5).cast("long"))
+      .localCheckpoint()
+    val fit = ranked.agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+      .select(col("n").as("n_terms"), col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n").cast("double") / 1000000.0).as("intercept_lnf"),
+        (((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))).as("r2"))
+    ranked.filter(col("r").isin(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+      .crossJoin(broadcast(fit))
+      .select(col("r").as("rank"), col("term"), col("f"),
+        // snap the exp descale to the 10⁻⁴ grid: JVM and DuckDB libm
+        // exp diverge by 1 ulp on some inputs (q268's measured lesson)
+        (floor(exp(col("intercept_lnf") +
+          col("slope") * log(col("r").cast("double"))) * 10000.0 + 0.5) / 10000.0)
+          .as("fitted_f"),
+        col("slope"), col("intercept_lnf"), col("r2"), col("n_terms"))
+      .orderBy("rank")
+  }
+
+  /** q265: TOKEN-CONCENTRATION audit — Gini coefficient + Lorenz decile
+    * curve + top-1%-vocab coverage of the term-frequency distribution:
+    * the corpus-diversity diagnostic beside q264's shape fit (a
+    * boilerplate-heavy corpus concentrates mass in few types; Gini → 1)
+    * and the vocab-budget signal (how much text the head covers).
+    *
+    * Determinism: the vocab census ordered (f asc, term asc) gives rank
+    * i; Gini = (2·Σi·f − (n+1)·S) / (n·S) is exact BIGINT up to ONE
+    * divide; Lorenz decile shares and head coverage are single
+    * BIGINT-over-BIGINT divides. Scale: one token hash-shuffle to the
+    * term census; ranking windows run over census rows only; the
+    * decile rollup is 10 rows.
+    */
+  def q265TokenGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = Tables.documentsSpread(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val ranked = census.withColumn("i",
+      row_number().over(Window.orderBy(col("f"), col("term"))).cast("long"))
+      .localCheckpoint()
+    val tot = ranked.agg(count(lit(1)).as("n"), sum("f").as("s"),
+      sum(col("i") * col("f")).as("sif"))
+    val head = ranked.crossJoin(broadcast(tot.select("n")))
+      .filter(col("i") > col("n") - expr("(n + 99) div 100"))
+      .agg(sum("f").as("head_f"))
+    val summary = tot.crossJoin(broadcast(head))
+      .select(
+        ((lit(2L) * col("sif") - (col("n") + 1L) * col("s")).cast("double") /
+          (col("n") * col("s")).cast("double")).as("gini"),
+        (col("head_f").cast("double") / col("s").cast("double"))
+          .as("top1pct_coverage"),
+        col("n").as("n_terms"), col("s").as("n_tokens"))
+    val wAsc = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.crossJoin(broadcast(tot.select(col("n").as("nv"), col("s").as("sv"))))
+      .withColumn("decile", expr("((i - 1) * 10) div nv"))
+      .groupBy("decile").agg(count(lit(1)).as("n_terms_in"), sum("f").as("df"),
+        max("sv").as("sv"))
+      .withColumn("cum_share",
+        sum("df").over(wAsc).cast("double") / col("sv").cast("double"))
+      .crossJoin(broadcast(summary))
+      .select(col("decile"), col("n_terms_in"),
+        col("cum_share"), col("gini"), col("top1pct_coverage"),
+        col("n_terms"), col("n_tokens"))
+      .orderBy("decile")
+  }
+
+  /** q267: POSITIONAL PHRASE SEARCH — the inverted-index-with-positions
+    * operator (the search-engine primitive the flat postings of q42/q73
+    * can't answer: "these words ADJACENT, in order"): the corpus's
+    * top-3 bigram phrases are probed via the POSITIONAL INDEX — a
+    * postings(term, doc, pos) self-join on (doc, pos+1) — and the gate
+    * pins that plan against a blind array-scan oracle that never builds
+    * an index: two different algorithms, one answer.
+    *
+    * Determinism: phrase selection orders the bigram census (count
+    * desc, phrase asc); all outputs are exact counts up to one
+    * share divide. Scale: postings shuffle once on term (the index
+    * build); the probe is a 3-row broadcast against the term-keyed
+    * postings, then a (doc, pos)-keyed self-equi-join — never a text
+    * rescan; at 100 TB this IS the positional-index lookup path.
+    */
+  def q267PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val postings = docs
+      .select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("term"))
+      .filter(col("term") =!= "").localCheckpoint()
+    val bigrams = docs.select(col("doc_id"), expr(
+        "filter(transform(sequence(0, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2))), " +
+          "b -> NOT (b LIKE '% ' OR b LIKE ' %'))").as("bg"))
+      .select(explode(col("bg")).as("phrase"))
+    val probes = bigrams.groupBy("phrase").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("phrase")).limit(3)
+      .select(col("phrase"),
+        element_at(split(col("phrase"), " "), 1).as("w1"),
+        element_at(split(col("phrase"), " "), 2).as("w2"))
+    val p1 = postings.join(broadcast(probes), col("term") === col("w1"))
+      .select(col("phrase"), col("doc_id").as("d1"), col("pos").as("pos1"))
+    val p2 = postings.select(col("doc_id").as("d2"), col("pos").as("pos2"),
+      col("term").as("t2"))
+    val hits = p1.join(p2,
+        col("d1") === col("d2") && col("pos2") === col("pos1") + 1L)
+      .join(broadcast(probes.select(col("phrase"), col("w2"))), Seq("phrase"))
+      .filter(col("t2") === col("w2"))
+      .select(col("phrase"), col("d1").as("doc_id"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    hits.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("phrase"), col("n_occurrences"), col("n_docs"),
+        (col("n_docs").cast("double") / col("nd").cast("double")).as("doc_share"))
+      .orderBy(col("n_occurrences").desc, col("phrase"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_zipf_fit" -> (q264ZipfFit _),
+    "q265_token_gini" -> (q265TokenGini _),
+    "q267_phrase_search" -> (q267PhraseSearch _),
     "q250_chi2_features" -> (q250ChiSquareFeatures _),
     "q234_heaps_law" -> (q234HeapsLaw _),
     "q237_media_shape_buckets" -> (q237MediaShapeBuckets _),
@@ -1723,6 +1884,96 @@ object TextQueries extends QueryModule {
       |${bpeOracleStage(3)}""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same census rank order, same ⌊ln·10⁶⌋ grid, same BIGINT moments,
+    // same one-divide slope and mirrored intercept/R²/fitted chains
+    "q264_zipf_fit" ->
+      """WITH terms AS (
+        |  SELECT term, count(*)::BIGINT AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> '' GROUP BY term),
+        |ranked AS (
+        |  SELECT term, f,
+        |         row_number() OVER (ORDER BY f DESC, term) AS r
+        |  FROM terms QUALIFY r <= 256),
+        |g AS (
+        |  SELECT ranked.*,
+        |         CAST(floor(ln(r::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(ln(f::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS y
+        |  FROM ranked),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+        |         sum(y * y)::BIGINT AS syy
+        |  FROM g),
+        |fit AS (
+        |  SELECT n AS n_terms,
+        |         (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope,
+        |         (sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE /
+        |            (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE) / n::DOUBLE
+        |           / 1000000.0 AS intercept_lnf,
+        |         ((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE) /
+        |           ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE) AS r2
+        |  FROM m)
+        |SELECT r AS rank, term, f,
+        |       floor(exp(intercept_lnf + slope * ln(r::DOUBLE)) * 10000.0 + 0.5)
+        |         / 10000.0 AS fitted_f,
+        |       slope, intercept_lnf, r2, n_terms
+        |FROM g CROSS JOIN fit
+        |WHERE r IN (1, 2, 4, 8, 16, 32, 64, 128)
+        |ORDER BY rank""".stripMargin,
+    // same census, same (f asc, term) rank, same BIGINT Gini identity,
+    // same decile cuts and single-divide shares
+    "q265_token_gini" ->
+      """WITH census AS (
+        |  SELECT term, count(*)::BIGINT AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> '' GROUP BY term),
+        |ranked AS (
+        |  SELECT term, f, row_number() OVER (ORDER BY f, term) AS i
+        |  FROM census),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS n, sum(f)::BIGINT AS s,
+        |         sum(i * f)::BIGINT AS sif
+        |  FROM ranked),
+        |head AS (
+        |  SELECT sum(f)::BIGINT AS head_f
+        |  FROM ranked CROSS JOIN tot WHERE i > n - (n + 99) // 100),
+        |summary AS (
+        |  SELECT (2 * sif - (n + 1) * s)::DOUBLE / (n * s)::DOUBLE AS gini,
+        |         head_f::DOUBLE / s::DOUBLE AS top1pct_coverage,
+        |         n AS n_terms, s AS n_tokens
+        |  FROM tot CROSS JOIN head),
+        |dec AS (
+        |  SELECT ((i - 1) * 10) // n AS decile, count(*)::BIGINT AS n_terms_in,
+        |         sum(f)::BIGINT AS df, max(s) AS sv
+        |  FROM ranked CROSS JOIN tot GROUP BY 1)
+        |SELECT decile, n_terms_in,
+        |       (sum(df) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+        |         / sv::DOUBLE AS cum_share,
+        |       gini, top1pct_coverage, n_terms, n_tokens
+        |FROM dec CROSS JOIN summary
+        |ORDER BY decile""".stripMargin,
+    // the BLIND algorithm: adjacency counted by direct array scan —
+    // no index, no postings join; same top-3 probe selection
+    "q267_phrase_search" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS phrase
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM docs)
+        |  WHERE ws[i] <> '' AND ws[i+1] <> ''),
+        |probes AS (
+        |  SELECT phrase FROM bg GROUP BY phrase
+        |  ORDER BY count(*) DESC, phrase LIMIT 3),
+        |hits AS (SELECT bg.phrase, bg.doc_id FROM bg JOIN probes USING (phrase)),
+        |nd AS (SELECT count(*)::BIGINT AS nd FROM docs)
+        |SELECT phrase, count(*)::BIGINT AS n_occurrences,
+        |       count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |       count(DISTINCT doc_id)::DOUBLE / nd::DOUBLE AS doc_share
+        |FROM hits CROSS JOIN nd
+        |GROUP BY phrase, nd
+        |ORDER BY n_occurrences DESC, phrase""".stripMargin,
     // same md5 buckets, same integer contingency, same χ² expression
     // with mirrored association order, same (χ² desc, bucket) rank
     "q250_chi2_features" ->
