@@ -982,6 +982,93 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start", "event_type", "n")
   }
 
+  /** q269: stream–stream LEFT-OUTER JOIN null-emission protocol —
+    * q257/q259's sibling on the JOIN operator's state machine (q64
+    * gates outer-join CONTENT in a single drain; this gates WHEN the
+    * machinery may emit, across batches): clicks left-join purchases
+    * on user within [click_ts, click_ts+10min], both sides
+    * watermarked 10 min, replayed as a pinned 3-batch schedule —
+    * batch 1 = pre-cut clicks + pre-cut purchases minus a held-out
+    * subset, batch 2 = post-cut both sides (advances the min-of-
+    * sources watermark far past the cut, evicting expired unmatched
+    * clicks → their null rows emit), batch 3 = the held-out pre-cut
+    * purchases (beyond-watermark late → DROPPED; their would-be
+    * partners must already stand as null rows, and no duplicate or
+    * resurrected match may appear).
+    *
+    * The oracle states the protocol blindly in SQL: matches = pairs
+    * whose purchase survived its batch's lagged late filter (held-out
+    * rows don't); null rows = never-validly-matched clicks whose
+    * match window closed under the FINAL min(maxL, maxR) − 10min
+    * watermark; clicks still inside it emit nothing. One multiset
+    * equality certifies eager match emission, eviction-time null
+    * emission, the two-source min watermark, and the late-drop rule.
+    * Engine-side assertions pin ≥3 data batches, nonzero watermark
+    * drops, and nonzero null emissions so the gate cannot silently
+    * degrade to a single-batch drain. Scale: the production shape —
+    * join state is watermark-bounded on both sides; late data costs
+    * no state.
+    */
+  def q269OuterJoinNullProtocol(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val cut = lit("2024-01-25").cast("timestamp")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("purchase_ts"))
+    val heldout = pmod(col("purchase_id"), lit(5)) === 0 && col("purchase_ts") < cut
+    val root = java.nio.file.Files.createTempDirectory("q269_replay")
+    def emitBatch(df: DataFrame, side: String, n: Int): Unit = {
+      val stage = root.resolve(s"stage_${side}_$n")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dst = root.resolve(side).resolve(f"b$n%02d.parquet")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(1000000L * n)
+    }
+    emitBatch(clicks.filter(col("click_ts") < cut), "left", 1)
+    emitBatch(clicks.filter(col("click_ts") >= cut), "left", 2)
+    emitBatch(purchases.filter(!heldout && col("purchase_ts") < cut), "right", 1)
+    emitBatch(purchases.filter(col("purchase_ts") >= cut), "right", 2)
+    emitBatch(purchases.filter(heldout), "right", 3)
+    def src(side: String, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(root.resolve(side).toString + "/*.parquet")
+    val ls = src("left", spark.read.parquet(root.resolve("left").toString).schema)
+      .withWatermark("click_ts", "10 minutes")
+    val rs = src("right", spark.read.parquet(root.resolve("right").toString).schema)
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = ls.join(rs,
+        col("cu") === col("pu") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(col("click_id"), col("cu").as("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+    val name = s"q269_ojn_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches < 3) throw new IllegalStateException(
+      s"q269 drained in $dataBatches data micro-batches; the protocol gate needs >= 3")
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    if (dropped == 0) throw new IllegalStateException(
+      "q269 observed zero watermark drops — the held-out purchases were not late")
+    val out = spark.table(name)
+    if (out.filter(col("purchase_id").isNull).isEmpty) throw new IllegalStateException(
+      "q269 emitted zero null rows — eviction-time outer emission did not fire")
+    out.orderBy("click_id", "purchase_id")
+  }
+
   /** q127: stream–static enrichment, driver-gated end-to-end — the §2B
     * stream–static join row was spec-only (batch-equivalence in
     * `StreamingSpec`) until this entry. A watermarked event stream joins
@@ -1428,6 +1515,7 @@ object StreamingOps extends QueryModule {
     "q111_sql_tumbling_stream" -> (q111SqlTumblingStream _),
     "q257_watermark_drops" -> (q257WatermarkDrops _),
     "q259_update_reemission" -> (q259UpdateReemission _),
+    "q269_outer_join_null_protocol" -> (q269OuterJoinNullProtocol _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
     "q200_stream_topk" -> (q200StreamTopK _),
     "q201_stream_distinct" -> (q201StreamDistinct _),
@@ -1781,6 +1869,52 @@ object StreamingOps extends QueryModule {
         |FROM agg CROSS JOIN wf
         |WHERE w_start + INTERVAL 5 MINUTES <= wmf
         |ORDER BY w_start, event_type""".stripMargin,
+    // the join protocol stated blindly: matches = pairs whose purchase
+    // survived its batch's lagged late filter; null rows = never-
+    // validly-matched clicks whose 10-min window closed under the
+    // final min-of-sources watermark; clicks inside it emit nothing
+    "q269_outer_join_null_protocol" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id AS cu, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id AS pu, ts AS purchase_ts,
+        |         CASE WHEN event_id % 5 = 0 AND ts < TIMESTAMP '2024-01-25' THEN 3
+        |              WHEN ts < TIMESTAMP '2024-01-25' THEN 1 ELSE 2 END AS b
+        |  FROM events WHERE event_type = 'purchase'),
+        |lm AS (
+        |  SELECT max(CASE WHEN click_ts < TIMESTAMP '2024-01-25'
+        |                  THEN click_ts END) AS l1,
+        |         max(click_ts) AS l2
+        |  FROM c),
+        |rm AS (
+        |  SELECT max(CASE WHEN b = 1 THEN purchase_ts END) AS r1,
+        |         max(CASE WHEN b <= 2 THEN purchase_ts END) AS r2
+        |  FROM p),
+        |wm AS (
+        |  SELECT least(l1, r1) - INTERVAL 10 MINUTE AS wm1,
+        |         least(l2, r2) - INTERVAL 10 MINUTE AS wm2
+        |  FROM lm CROSS JOIN rm),
+        |cs AS (
+        |  SELECT c.* FROM c CROSS JOIN wm
+        |  WHERE click_ts < TIMESTAMP '2024-01-25' OR click_ts >= wm1),
+        |ps AS (
+        |  SELECT p.* FROM p CROSS JOIN wm
+        |  WHERE b = 1 OR (b = 2 AND purchase_ts >= wm1)
+        |     OR (b = 3 AND purchase_ts >= wm2)),
+        |m AS (
+        |  SELECT click_id, cu AS user_id, click_ts, purchase_id, purchase_ts
+        |  FROM cs JOIN ps ON cu = pu
+        |   AND purchase_ts >= click_ts
+        |   AND purchase_ts <= click_ts + INTERVAL 10 MINUTE)
+        |SELECT * FROM m
+        |UNION ALL
+        |SELECT click_id, cu AS user_id, click_ts,
+        |       NULL::BIGINT AS purchase_id, NULL::TIMESTAMP AS purchase_ts
+        |FROM cs CROSS JOIN wm
+        |WHERE click_id NOT IN (SELECT click_id FROM m)
+        |  AND click_ts + INTERVAL 10 MINUTE < wm2
+        |ORDER BY click_id, purchase_id""".stripMargin,
     // the three update-mode emission sets stated blindly: history
     // censuses, head censuses, and straddler groups re-emitted with
     // merged counts (groups = windows clearing the lagged watermark)
