@@ -1892,64 +1892,68 @@ object MiscQueries extends QueryModule {
       .orderBy("band")
   }
 
-  /** q268: KAPLAN–MEIER survival curve (product-limit estimator, KM
-    * '58) — the censoring-aware retention statistic q95's cohort table
-    * cannot give (a user still active at corpus end is CENSORED, not
-    * churned; naive churn-rate-by-duration biases down): per user the
-    * engagement duration t = last−first event day, churn observed iff
-    * the last event precedes corpus end by > 7 days; Ŝ(t) =
-    * Π_{s≤t, d_s>0} (1 − d_s/n_s) with the at-risk set n_s shrinking
-    * by both deaths and censorings.
+  /** q271: CUSUM change-point detection (Page '54) — the sequential
+    * drift detector beside q207's cell-wise 3σ flags and q219/q220's
+    * distribution drift: two-sided cumulative sums over the dense
+    * daily order-count series flag SUSTAINED small shifts a pointwise
+    * test never sees (k = σ/2 allowance, h = 5σ threshold — the
+    * standard tuning). The sequential recurrence S_t = max(0, S_{t−1}
+    * + x_t − μ − k) is deliberately NOT iterated: it equals P_t −
+    * min_{s≤t} P_s for the allowance-adjusted prefix sum P — two
+    * window passes, no loop (the q206 dense-spine device underneath:
+    * missing days are real zeros).
     *
-    * Run on customer ORDER lifetimes (first → last order date; the
-    * events table's 30-day window censors everyone — orders span six
-    * years, so both arms of the estimator are live): churn = no order
-    * in the trailing 90 days of the corpus.
-    *
-    * Determinism: d_t/n_t are exact BIGINTs from the duration census;
-    * each factor's ln snaps to the ⌊ln·10⁹+½⌋ grid so the cumulative
-    * product is an ORDER-INVARIANT BIGINT log-sum (never a float
-    * cumprod), descaled by one mirrored exp; at-risk counts come from
-    * the cumulative census window. Scale: one hash agg to customer
-    * spans (the only row-scale pass), a second to the duration census
-    * (≤ corpus-days rows); windows run over the census only.
+    * Determinism: everything rides the n·days integer lattice —
+    * deviations x_t·n − S are BIGINT (μ never materializes as a
+    * float), the allowance snaps ⌊σn/2+½⌋ to the same lattice, prefix
+    * sums and running extrema are BIGINT windows; σn = sqrt(n·Σx² −
+    * S²) is IEEE-exact sqrt (correctly rounded in both engines), so
+    * the flag comparison sees identical doubles. Scale: one hash agg
+    * to the day census; every window is census-sized (calendar
+    * cardinality, never row-scale).
     */
-  def q268KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+  def q271CusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = Tables.orders(spark, dir)
-      .groupBy("o_custkey")
-      .agg(min("o_orderdate").as("d0"), max("o_orderdate").as("d1"))
-    val mday = spans.agg(max("d1").as("m"))
-    val durs = spans.crossJoin(broadcast(mday))
-      .select(datediff(col("d1"), col("d0")).cast("long").as("t"),
-        when(col("d1") <= date_sub(col("m"), 90), 1L).otherwise(0L).as("churn"))
-    val census = durs.groupBy("t").agg(
-      sum("churn").as("d"), (count(lit(1)) - sum("churn")).as("c"))
-    val total = census.agg(sum(col("d") + col("c")).as("n_users"))
-    val wAsc = Window.orderBy("t")
+    val days = Tables.orders(spark, dir)
+      .select(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+    val counts = days.groupBy("day").agg(count(lit(1)).as("x"))
+    val lim = days.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = lim.select(explode(expr("sequence(lo, hi)")).as("day"))
+    val grid = spine.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val tot = grid.agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"), col("s"),
+        sqrt((col("n") * col("sxx") - col("s") * col("s")).cast("double"))
+          .as("sig_n"))
+      .select(col("n"), col("s"),
+        floor(col("sig_n") / 2.0 + 0.5).cast("long").as("k_n"),
+        (col("sig_n") * 5.0).as("h_n"))
+    val wAsc = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    census.crossJoin(broadcast(total))
-      .withColumn("n_at_risk",
-        col("n_users") - sum(col("d") + col("c")).over(wAsc) + col("d") + col("c"))
-      .withColumn("lf", when(col("d") > 0,
-        floor(log(lit(1.0) - col("d").cast("double") / col("n_at_risk").cast("double"))
-          * 1000000000.0 + 0.5).cast("long")).otherwise(lit(0L)))
-      // exp is the one transcendental that crosses the engine boundary
-      // on DIFFERENT platforms' libm (JVM intrinsic vs DuckDB glibc
-      // diverge by 1 ulp on ~7% of inputs, measured); snapping the
-      // result to the 10⁻⁶ grid absorbs it — a 1-ulp input wiggle flips
-      // the floor only within ~10⁻¹⁰ of a boundary, and all three SFs
-      // are verified bit-identical
-      .withColumn("survival",
-        floor(exp(sum("lf").over(wAsc).cast("double") / 1000000000.0)
-          * 1000000.0 + 0.5) / 1000000.0)
-      .select(col("t").as("duration_days"), col("n_at_risk"),
-        col("d").as("n_churned"), col("c").as("n_censored"), col("survival"))
-      .orderBy("duration_days")
+    grid.crossJoin(broadcast(tot))
+      .withColumn("d_up", col("x") * col("n") - col("s") - col("k_n"))
+      .withColumn("d_dn", col("x") * col("n") - col("s") + col("k_n"))
+      .withColumn("p_up", sum("d_up").over(wAsc))
+      .withColumn("p_dn", sum("d_dn").over(wAsc))
+      .withColumn("cusum_up", col("p_up") - min("p_up").over(wAsc))
+      .withColumn("cusum_dn", max("p_dn").over(wAsc) - col("p_dn"))
+      .withColumn("flag",
+        when(col("cusum_up").cast("double") > col("h_n") ||
+          col("cusum_dn").cast("double") > col("h_n"), 1L).otherwise(0L))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("d"),
+        col("x"),
+        (col("cusum_up").cast("double") / col("n")).as("cusum_up"),
+        (col("cusum_dn").cast("double") / col("n")).as("cusum_dn"),
+        (col("h_n") / col("n").cast("double")).as("threshold"),
+        col("flag"))
+      .orderBy("d")
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q268_kaplan_meier" -> (q268KaplanMeier _),
+    "q271_cusum_changepoint" -> (q271CusumChangepoint _),
     "q263_auc_roc" -> (q263AucRoc _),
     "q226_tape_microstructure" -> (q226TapeMicrostructure _),
     "q224_label_propagation" -> (q224LabelPropagation _),
@@ -2005,41 +2009,48 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
-    // same spans/census, same cumulative at-risk window, same
-    // ⌊ln·10⁹⌋ log-grid product, same mirrored exp descale
-    "q268_kaplan_meier" ->
-      """WITH spans AS (
-        |  SELECT o_custkey, min(o_orderdate) AS d0, max(o_orderdate) AS d1
-        |  FROM orders GROUP BY o_custkey),
-        |m AS (SELECT max(d1) AS m FROM spans),
-        |durs AS (
-        |  SELECT date_diff('day', d0, d1)::BIGINT AS t,
-        |         CASE WHEN d1 <= m - INTERVAL 90 DAY THEN 1 ELSE 0 END AS churn
-        |  FROM spans CROSS JOIN m),
-        |census AS (
-        |  SELECT t, sum(churn)::BIGINT AS d,
-        |         (count(*) - sum(churn))::BIGINT AS c
-        |  FROM durs GROUP BY t),
-        |total AS (SELECT sum(d + c)::BIGINT AS n_users FROM census),
-        |risk AS (
-        |  SELECT census.*, n_users,
-        |         n_users - sum(d + c) OVER (ORDER BY t
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + d + c
-        |           AS n_at_risk
-        |  FROM census CROSS JOIN total),
-        |lf AS (
-        |  SELECT risk.*,
-        |         CASE WHEN d > 0 THEN
-        |           CAST(floor(ln(1.0 - d::DOUBLE / n_at_risk::DOUBLE)
-        |                * 1000000000.0 + 0.5) AS BIGINT)
-        |         ELSE 0 END AS lf
-        |  FROM risk)
-        |SELECT t AS duration_days, n_at_risk, d AS n_churned, c AS n_censored,
-        |       floor(exp((sum(lf) OVER (ORDER BY t
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
-        |         / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS survival
-        |FROM lf
-        |ORDER BY duration_days""".stripMargin,
+    // same dense spine, same n·days lattice, same IEEE sqrt, same
+    // prefix-sum-minus-running-extremum identity, same flag compare
+    "q271_cusum_changepoint" ->
+      """WITH days AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS day
+        |  FROM orders),
+        |counts AS (SELECT day, count(*)::BIGINT AS x FROM days GROUP BY day),
+        |lim AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM lim),
+        |grid AS (
+        |  SELECT s.day, coalesce(c.x, 0)::BIGINT AS x
+        |  FROM spine s LEFT JOIN counts c USING (day)),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+        |         sqrt((count(*) * sum(x * x) - sum(x) * sum(x))::DOUBLE) AS sig_n
+        |  FROM grid),
+        |tot2 AS (
+        |  SELECT n, s, CAST(floor(sig_n / 2.0 + 0.5) AS BIGINT) AS k_n,
+        |         sig_n * 5.0 AS h_n
+        |  FROM tot),
+        |p AS (
+        |  SELECT grid.*, n, s, k_n, h_n,
+        |         sum(x * n - s - k_n) OVER w AS p_up,
+        |         sum(x * n - s + k_n) OVER w AS p_dn
+        |  FROM grid CROSS JOIN tot2
+        |  WINDOW w AS (ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c2 AS (
+        |  SELECT p.*,
+        |         p_up - min(p_up) OVER w AS cusum_up,
+        |         max(p_dn) OVER w - p_dn AS cusum_dn
+        |  FROM p
+        |  WINDOW w AS (ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT DATE '1970-01-01' + CAST(day AS INT) AS d, x,
+        |       cusum_up::DOUBLE / n AS cusum_up,
+        |       cusum_dn::DOUBLE / n AS cusum_dn,
+        |       h_n / n::DOUBLE AS threshold,
+        |       CASE WHEN cusum_up::DOUBLE > h_n OR cusum_dn::DOUBLE > h_n
+        |            THEN 1 ELSE 0 END::BIGINT AS flag
+        |FROM c2
+        |ORDER BY d""".stripMargin,
     // same cents census, same BIGINT 2·midrank identity, same $5 bands
     "q263_auc_roc" ->
       """WITH ev AS (

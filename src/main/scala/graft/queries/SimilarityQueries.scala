@@ -1138,7 +1138,78 @@ object SimilarityQueries extends QueryModule {
     }.reduce(_ unionByName _).orderBy("nprobe")
   }
 
+  /** q270: ALS matrix-factorization half-step (Zhou '08 / implicit-MF
+    * shape) — the collaborative-filtering primitive beside the
+    * content-side similarity family: the user × event-type count
+    * matrix is factorized at k = 2 with FIXED item factors (one exact
+    * ridge solve per user — the distributed step of alternating least
+    * squares; a full trainer alternates this very computation), then
+    * every user gets factors, a reconstruction SSE, and the corpus
+    * RMSE.
+    *
+    * Determinism: item factors are md5-derived BIGINTs on the 2²⁰
+    * grid; the normal equations A = FᵀF + λI and b_u = Fᵀr_u are pure
+    * BIGINT sums (order-invariant); the 2×2 closed-form solve
+    * (det/x₁/x₂) and predictions are mirrored fixed chains on those
+    * exact ints; residuals snap to the 10³ grid so SSE/RMSE are
+    * BIGINT sums under one mirrored sqrt (IEEE-exact). Scale: A is a
+    * 1-row broadcast (item-count-sized inputs); b_u is one keyed agg
+    * over the (user, item) counts; the solve is map-only per user —
+    * exactly how ALS distributes at 100 TB (items broadcast, users
+    * partitioned).
+    */
+  def q270AlsHalfStep(spark: SparkSession, dir: String): DataFrame = {
+    val LAM = 1099511627776L // λ=1 on the 2^40 factor-squared grid
+    def h(src: Column, tag: String): Column =
+      pmod(conv(substring(md5(concat(src, lit(tag))), 1, 12), 16, 10)
+        .cast("long"), lit(1048576L))
+    val ev = Tables.events(spark, dir)
+    val items = ev.select("event_type").distinct()
+      .withColumn("q1", h(col("event_type"), "|f1"))
+      .withColumn("q2", h(col("event_type"), "|f2"))
+      .localCheckpoint()
+    val a = items.agg(
+      (sum(col("q1") * col("q1")) + LAM).as("a11"),
+      sum(col("q1") * col("q2")).as("a12"),
+      (sum(col("q2") * col("q2")) + LAM).as("a22"))
+    val counts = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("r"))
+    val b = counts.join(broadcast(items), "event_type")
+      .groupBy("user_id").agg(
+        sum(col("r") * col("q1")).as("b1"),
+        sum(col("r") * col("q2")).as("b2"))
+    val solved = b.crossJoin(broadcast(a))
+      .withColumn("det",
+        col("a11").cast("double") * col("a22").cast("double") -
+          col("a12").cast("double") * col("a12").cast("double"))
+      .withColumn("x1",
+        (col("a22").cast("double") * col("b1").cast("double") -
+          col("a12").cast("double") * col("b2").cast("double")) / col("det"))
+      .withColumn("x2",
+        (col("a11").cast("double") * col("b2").cast("double") -
+          col("a12").cast("double") * col("b1").cast("double")) / col("det"))
+      .select("user_id", "x1", "x2")
+      .localCheckpoint()
+    val cells = solved.crossJoin(broadcast(items))
+      .join(counts, Seq("user_id", "event_type"), "left")
+      .withColumn("rhat",
+        (col("x1") * col("q1").cast("double") +
+          col("x2") * col("q2").cast("double")))
+      .withColumn("du",
+        floor((coalesce(col("r"), lit(0L)).cast("double") - col("rhat"))
+          * 1000.0 + 0.5).cast("long"))
+    val sse = cells.groupBy("user_id").agg(sum(col("du") * col("du")).as("sseu"),
+      count(lit(1)).as("nc"))
+    val rmse = sse.agg(sum("sseu").as("st"), sum("nc").as("nt"))
+      .select(sqrt(col("st").cast("double") / col("nt").cast("double") / 1000000.0)
+        .as("rmse"))
+    solved.join(sse, "user_id").crossJoin(broadcast(rmse))
+      .select(col("user_id"), col("x1"), col("x2"),
+        (col("sseu") / 1000000.0).as("sse"), col("rmse"))
+      .orderBy("user_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_als_half_step" -> (q270AlsHalfStep _),
     "q229_ivf_nprobe_curve" -> (q229IvfNprobeCurve _),
     "q215_ivf_recall" -> (q215IvfRecall _),
     "q255_retrieval_ndcg" -> (q255RetrievalNdcg _),
@@ -1267,6 +1338,51 @@ object SimilarityQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // same md5 factor grid, same BIGINT normal equations, same 2×2
+    // closed-form chains, same 10³ residual grid and IEEE sqrt
+    "q270_als_half_step" ->
+      """WITH items AS (
+        |  SELECT event_type,
+        |         (('0x' || substr(md5(event_type || '|f1'), 1, 12))::BIGINT)
+        |           % 1048576 AS q1,
+        |         (('0x' || substr(md5(event_type || '|f2'), 1, 12))::BIGINT)
+        |           % 1048576 AS q2
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |a AS (
+        |  SELECT (sum(q1 * q1) + 1099511627776)::BIGINT AS a11,
+        |         sum(q1 * q2)::BIGINT AS a12,
+        |         (sum(q2 * q2) + 1099511627776)::BIGINT AS a22
+        |  FROM items),
+        |counts AS (
+        |  SELECT user_id, event_type, count(*)::BIGINT AS r
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, sum(r * q1)::BIGINT AS b1, sum(r * q2)::BIGINT AS b2
+        |  FROM counts JOIN items USING (event_type) GROUP BY user_id),
+        |solved AS (
+        |  SELECT user_id,
+        |         (a22::DOUBLE * b1::DOUBLE - a12::DOUBLE * b2::DOUBLE) /
+        |           (a11::DOUBLE * a22::DOUBLE - a12::DOUBLE * a12::DOUBLE) AS x1,
+        |         (a11::DOUBLE * b2::DOUBLE - a12::DOUBLE * b1::DOUBLE) /
+        |           (a11::DOUBLE * a22::DOUBLE - a12::DOUBLE * a12::DOUBLE) AS x2
+        |  FROM b CROSS JOIN a),
+        |cells AS (
+        |  SELECT s.user_id,
+        |         CAST(floor((coalesce(c.r, 0)::DOUBLE -
+        |           (s.x1 * i.q1::DOUBLE + s.x2 * i.q2::DOUBLE)) * 1000.0 + 0.5)
+        |           AS BIGINT) AS du
+        |  FROM solved s CROSS JOIN items i
+        |  LEFT JOIN counts c ON c.user_id = s.user_id
+        |                    AND c.event_type = i.event_type),
+        |sse AS (
+        |  SELECT user_id, sum(du * du)::BIGINT AS sseu, count(*)::BIGINT AS nc
+        |  FROM cells GROUP BY user_id),
+        |rmse AS (
+        |  SELECT sqrt(sum(sseu)::DOUBLE / sum(nc)::DOUBLE / 1000000.0) AS rmse
+        |  FROM sse)
+        |SELECT s.user_id, x1, x2, sseu / 1000000.0 AS sse, rmse
+        |FROM solved s JOIN sse USING (user_id) CROSS JOIN rmse
+        |ORDER BY s.user_id""".stripMargin,
     // q215's replay swept over nprobe via the assignment CTE's own
     // per-(vec, list) scores — bit-identical
     "q229_ivf_nprobe_curve" ->

@@ -377,7 +377,41 @@ object WindowQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** q272: SKYLINE / Pareto-frontier query (Börzsönyi '01) — per brand
+    * the parts no other part dominates on (price, size) minimization:
+    * the multi-objective shortlist operator (`ORDER BY` can rank one
+    * measure; the skyline keeps every non-dominated trade-off). The
+    * engine computes it as a WINDOW plan — sort each brand partition
+    * by price cents, a part survives iff no strictly-cheaper part has
+    * size ≤ its own (running strict-prefix min via a RANGE frame to
+    * −1) and no equal-priced part has a smaller size (min over the
+    * RANGE 0..0 frame) — O(n log n) per partition, while the blind
+    * oracle states dominance as a NOT EXISTS anti-self-join: two
+    * algorithms, one frontier.
+    *
+    * Determinism: every comparison is BIGINT (price cents, size);
+    * output echoes exact ints. Scale: windows are PARTITIONED by
+    * brand (25 partitions here, any dimension key at 100 TB); the
+    * quadratic NOT-EXISTS never runs in the engine.
+    */
+  def q272Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"),
+      floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("pc"),
+      col("p_size").cast("long").as("sz"))
+    val wPrev = Window.partitionBy("p_brand").orderBy("pc")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wTie = Window.partitionBy("p_brand").orderBy("pc").rangeBetween(0, 0)
+    p.withColumn("min_prev", min("sz").over(wPrev))
+      .withColumn("min_tie", min("sz").over(wTie))
+      .filter((col("min_prev").isNull || col("min_prev") > col("sz")) &&
+        col("min_tie") === col("sz"))
+      .select(col("p_brand"), col("p_partkey"),
+        (col("pc") / 100.0).as("price"), col("sz").as("size"))
+      .orderBy("p_brand", "price", "p_partkey")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_skyline" -> (q272Skyline _),
     "q197_decay_attribution" -> (q197DecayAttribution _),
     "q192_kaplan_meier" -> (q192KaplanMeier _),
     "q173_linear_interp" -> (q173LinearInterp _),
@@ -393,6 +427,21 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // dominance stated blindly as a NOT-EXISTS anti-self-join — a
+    // different algorithm from the engine's window plan, same frontier
+    "q272_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand,
+        |         CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS pc,
+        |         p_size::BIGINT AS sz
+        |  FROM part)
+        |SELECT p_brand, p_partkey, pc / 100.0 AS price, sz AS size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.p_brand = a.p_brand AND b.pc <= a.pc AND b.sz <= a.sz
+        |    AND (b.pc < a.pc OR b.sz < a.sz))
+        |ORDER BY p_brand, price, p_partkey""".stripMargin,
     // same pairs, same dyadic weights (exact powers of two — no libm),
     // same micro quantization; the BIGINT credit sums are
     // order-invariant, so the compare is bit-identical
