@@ -1952,7 +1952,54 @@ object MiscQueries extends QueryModule {
       .orderBy("d")
   }
 
+  /** q273: ISOTONIC REGRESSION calibration (pool-adjacent-violators,
+    * Zadrozny & Elkan '02) — the nonparametric score→probability map
+    * beside q214's binned accuracy report and q254's conformal bound:
+    * fit the best NONDECREASING P(purchase | value band) over the $5
+    * score bins. The sequential PAV pooling loop is deliberately NOT
+    * iterated: the fit equals the minimax identity fit_i = max_{j≤i}
+    * min_{k≥i} wavg(y, j..k) (Ayer '55), enumerated over the BIN
+    * census — interval means in O(1) from prefix sums, the whole
+    * minimax over ≤ bins³ census rows, rows-scale never touched.
+    *
+    * Determinism: interval means are BIGINT-over-BIGINT single
+    * divides (identical doubles), min/max over identical doubles are
+    * order-free; output echoes them raw. Scale: one hash agg to the
+    * 21-bin census; the 21³ enumeration is calendar-constant — at
+    * 100 TB only the first agg grows.
+    */
+  def q273IsotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = Tables.events(spark, dir).select(
+        expr("cast(floor(value * 100.0 + 0.5) as bigint) div 500").as("bin"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("p"))
+    val wAsc = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cn", sum("n").over(wAsc))
+      .withColumn("cp", sum("p").over(wAsc))
+      .localCheckpoint()
+    val lo = cum.select(col("bin").as("j"),
+      (col("cn") - col("n")).as("cnj"), (col("cp") - col("p")).as("cpj"))
+    val hi = cum.select(col("bin").as("k"), col("cn").as("cnk"), col("cp").as("cpk"))
+    val iv = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cpk") - col("cpj")).cast("double") /
+          (col("cnk") - col("cnj")).cast("double")).as("avg"))
+    val idx = cum.select(col("bin").as("i"))
+    val fit = iv.join(idx, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("i", "j").agg(min("avg").as("mn"))
+      .groupBy("i").agg(max("mn").as("p_iso"))
+    cum.join(fit, col("bin") === col("i"))
+      .select(col("bin"), (col("bin") * 5.0).as("band_usd"), col("n"),
+        (col("p").cast("double") / col("n").cast("double")).as("p_raw"),
+        col("p_iso"))
+      .orderBy("bin")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_isotonic_calibration" -> (q273IsotonicCalibration _),
     "q271_cusum_changepoint" -> (q271CusumChangepoint _),
     "q263_auc_roc" -> (q263AucRoc _),
     "q226_tape_microstructure" -> (q226TapeMicrostructure _),
@@ -2009,6 +2056,36 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same bin census, same prefix-sum interval means, same Ayer
+    // minimax enumeration — one-divide doubles, order-free extrema
+    "q273_isotonic_calibration" ->
+      """WITH bins AS (
+        |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 500 AS bin,
+        |         count(*)::BIGINT AS n,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS p
+        |  FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT bins.*,
+        |         sum(n) OVER w AS cn, sum(p) OVER w AS cp
+        |  FROM bins
+        |  WINDOW w AS (ORDER BY bin
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |iv AS (
+        |  SELECT l.bin AS j, h.bin AS k,
+        |         (h.cp - (l.cp - l.p))::DOUBLE /
+        |           (h.cn - (l.cn - l.n))::DOUBLE AS avg
+        |  FROM cum l JOIN cum h ON l.bin <= h.bin),
+        |fit AS (
+        |  SELECT i, max(mn) AS p_iso
+        |  FROM (
+        |    SELECT c.bin AS i, iv.j, min(iv.avg) AS mn
+        |    FROM iv JOIN cum c ON iv.j <= c.bin AND c.bin <= iv.k
+        |    GROUP BY c.bin, iv.j)
+        |  GROUP BY i)
+        |SELECT bin, bin * 5.0::DOUBLE AS band_usd, n,
+        |       p::DOUBLE / n::DOUBLE AS p_raw, p_iso
+        |FROM cum JOIN fit ON bin = i
+        |ORDER BY bin""".stripMargin,
     // same dense spine, same n·days lattice, same IEEE sqrt, same
     // prefix-sum-minus-running-extremum identity, same flag compare
     "q271_cusum_changepoint" ->

@@ -1069,6 +1069,81 @@ object StreamingOps extends QueryModule {
     out.orderBy("click_id", "purchase_id")
   }
 
+  /** q274: SESSION-WINDOW MERGE/FRAGMENTATION protocol — what q100's
+    * single drain cannot see: session state is MERGEABLE across
+    * micro-batches (an open session absorbs next-batch events within
+    * the gap → ONE straddling row), but once the watermark finalizes a
+    * session its state is GONE — a same-user event landing within the
+    * gap of an already-emitted session starts a NEW session (batch-
+    * boundary fragmentation, the documented append-mode semantics).
+    * A 2-batch pinned replay (pre-cut / post-cut) exhibits both, and
+    * the oracle states them blindly: phase-1 sessions emitted under
+    * wm₁ = max pre-cut ts (delay 0), survivors re-sessionized WITH the
+    * post-cut events under the final watermark — fragment pairs and
+    * straddler merges fall out of the two-phase replay, never from
+    * peeking at the engine. Engine assertions pin exactly 2 data
+    * batches and ≥ 1 straddling session so the gate cannot degrade to
+    * a single drain. Scale: session state is user-keyed and watermark-
+    * bounded; the replay is the production shape for late-closing
+    * sessions.
+    */
+  def q274SessionMergeProtocol(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("ts"), col("user_id"), col("value"))
+    // the cut is DERIVED: 1 µs after the latest first-of-a-close-pair
+    // timestamp (same user, gap < 5 min), so it provably lands INSIDE
+    // a session — batch 1's last event of that session is the pair's
+    // first element, wm₁ equals it (nothing between it and the cut),
+    // the session stays open, and the pair's second element arrives in
+    // batch 2 within the gap → the straddling merge is guaranteed by
+    // construction, not by fixture luck
+    val wPair = Window.partitionBy("user_id").orderBy("ts")
+    val cutDf = ev.withColumn("nxt", lead("ts", 1).over(wPair))
+      .filter(col("nxt") < col("ts") + expr("INTERVAL 5 MINUTES"))
+      .agg(max("ts").as("mx"))
+      .select((col("mx") + expr("INTERVAL 1 MICROSECOND")).as("cut"))
+      .localCheckpoint()
+    def withCut(df: DataFrame): DataFrame = df.crossJoin(broadcast(cutDf))
+    val root = java.nio.file.Files.createTempDirectory("q274_replay")
+    def emitBatch(df: DataFrame, n: Int): Unit = {
+      val stage = root.resolve(s"stage$n")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dst = root.resolve(f"b$n%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(1000000L * n)
+    }
+    emitBatch(withCut(ev).filter(col("ts") < col("cut")).drop("cut"), 1)
+    emitBatch(withCut(ev).filter(col("ts") >= col("cut")).drop("cut"), 2)
+    val schema = spark.read.parquet(root.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/*.parquet")
+    val agg = stream.withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sc"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n"), (col("sc") / 100.0).as("sum_value"))
+    val name = s"q274_smerge_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches != 2) throw new IllegalStateException(
+      s"q274 drained in $dataBatches data micro-batches; the merge gate needs 2")
+    val out = spark.table(name)
+    val straddlers = withCut(out).filter(col("session_start") < col("cut") &&
+      col("session_end") > col("cut") + expr("INTERVAL 5 MINUTES")).count()
+    if (straddlers == 0) throw new IllegalStateException(
+      "q274 saw zero cut-straddling sessions — the cross-batch merge never fired")
+    out.orderBy("user_id", "session_start", "n")
+  }
+
   /** q127: stream–static enrichment, driver-gated end-to-end — the §2B
     * stream–static join row was spec-only (batch-equivalence in
     * `StreamingSpec`) until this entry. A watermarked event stream joins
@@ -1516,6 +1591,7 @@ object StreamingOps extends QueryModule {
     "q257_watermark_drops" -> (q257WatermarkDrops _),
     "q259_update_reemission" -> (q259UpdateReemission _),
     "q269_outer_join_null_protocol" -> (q269OuterJoinNullProtocol _),
+    "q274_session_merge_protocol" -> (q274SessionMergeProtocol _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
     "q200_stream_topk" -> (q200StreamTopK _),
     "q201_stream_distinct" -> (q201StreamDistinct _),
@@ -1869,6 +1945,70 @@ object StreamingOps extends QueryModule {
         |FROM agg CROSS JOIN wf
         |WHERE w_start + INTERVAL 5 MINUTES <= wmf
         |ORDER BY w_start, event_type""".stripMargin,
+    // the two-phase replay stated blindly: phase-1 sessions emitted
+    // under wm₁ = max pre-cut ts; survivors re-sessionized WITH the
+    // post-cut events under the final watermark — fragmentation and
+    // straddler merges fall out, never from peeking at the engine
+    "q274_session_merge_protocol" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+        |  FROM events),
+        |cut AS (
+        |  SELECT max(ts) + INTERVAL 1 MICROSECOND AS cut
+        |  FROM (SELECT ts, lead(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts) AS nxt FROM e)
+        |  WHERE nxt < ts + INTERVAL 5 MINUTES),
+        |wm1 AS (SELECT max(ts) AS w FROM e CROSS JOIN cut WHERE ts < cut),
+        |g1 AS (
+        |  SELECT e.*,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |                ORDER BY ts, vc) >= INTERVAL 5 MINUTES
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM e CROSS JOIN cut WHERE ts < cut),
+        |s1 AS (
+        |  SELECT g1.*,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, vc
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g1),
+        |x1 AS (
+        |  SELECT user_id, sess, min(ts) AS session_start,
+        |         max(ts) + INTERVAL 5 MINUTES AS session_end,
+        |         count(*)::BIGINT AS n, sum(vc)::BIGINT AS sc,
+        |         max(ts) AS last_ts
+        |  FROM s1 GROUP BY user_id, sess),
+        |emitted1 AS (
+        |  SELECT session_start, session_end, user_id, n, sc
+        |  FROM x1 CROSS JOIN wm1 WHERE last_ts + INTERVAL 5 MINUTES <= w),
+        |phase2ev AS (
+        |  SELECT s1.user_id, s1.ts, s1.vc
+        |  FROM s1 JOIN x1 USING (user_id, sess) CROSS JOIN wm1
+        |  WHERE x1.last_ts + INTERVAL 5 MINUTES > w
+        |  UNION ALL
+        |  SELECT user_id, ts, vc FROM e CROSS JOIN cut WHERE ts >= cut),
+        |g2 AS (
+        |  SELECT phase2ev.*,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |                ORDER BY ts, vc) >= INTERVAL 5 MINUTES
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM phase2ev),
+        |s2 AS (
+        |  SELECT g2.*,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, vc
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g2),
+        |x2 AS (
+        |  SELECT user_id, sess, min(ts) AS session_start,
+        |         max(ts) + INTERVAL 5 MINUTES AS session_end,
+        |         count(*)::BIGINT AS n, sum(vc)::BIGINT AS sc,
+        |         max(ts) AS last_ts
+        |  FROM s2 GROUP BY user_id, sess),
+        |emitted2 AS (
+        |  SELECT session_start, session_end, user_id, n, sc
+        |  FROM x2 WHERE last_ts + INTERVAL 5 MINUTES <= (SELECT max(ts) FROM e))
+        |SELECT session_start, session_end, user_id, n, sc / 100.0 AS sum_value
+        |FROM (SELECT * FROM emitted1 UNION ALL SELECT * FROM emitted2)
+        |ORDER BY user_id, session_start, n""".stripMargin,
     // the join protocol stated blindly: matches = pairs whose purchase
     // survived its batch's lagged late filter; null rows = never-
     // validly-matched clicks whose 10-min window closed under the
