@@ -1144,6 +1144,90 @@ object StreamingOps extends QueryModule {
     out.orderBy("user_id", "session_start", "n")
   }
 
+  /** q275: DEDUP STATE-EXPIRY / RE-ADMISSION protocol — the caveat in
+    * `dropDuplicatesWithinWatermark`'s contract that q126's single
+    * drain cannot show and StreamingSpec only spec-pins: a key is
+    * suppressed while its state lives, but once the watermark evicts
+    * the state the SAME key is re-admitted and EMITS AGAIN. 3-batch
+    * pinned replay over the (user_id, event_type) key space: batch 1 =
+    * pre-cut rows minus the held-out set (every key emits once; output
+    * rows are projected to the BARE KEY after the dedup so no
+    * first-row-order nondeterminism can leak), batch 2 = post-cut
+    * rows, batch 3 = the held-out rows — the %5 subset lands beyond
+    * the lagged watermark (→ dropped) while the last pre-cut hour
+    * lands inside it (→ survives and probes re-admission), so BOTH
+    * arms fire at every SF by construction.
+    *
+    * PROBED protocol (foreachBatch per-batch dump, pinned by the
+    * oracle's multiset equality): (1) duplicate checks are
+    * CHECK-THEN-EVICT — a live state entry suppresses even when
+    * already expired under the in-effect watermark (all post-cut
+    * occurrences of batch-1 keys are suppressed although every
+    * batch-1 entry had expired); (2) state stores the FIRST event
+    * time (the documented earliest-to-latest contract) and is evicted
+    * at batch END under the in-effect wm; (3) the late filter uses
+    * the PREVIOUS batch's wm — SPARK-40925's two-watermark rule,
+    * q257's finding reproduced on a different stateful operator. So a
+    * held survivor re-emits iff its batch-1 state was evicted
+    * (first-seen + 10 min < wm₁) and no batch-2 state shadows it.
+    * Engine assertions pin 3 data batches, nonzero late drops, and
+    * nonzero re-admissions. Scale: dedup state is watermark-bounded —
+    * exactly why WithinWatermark exists (plain dropDuplicates holds
+    * keys forever).
+    */
+  def q275DedupReadmission(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val cut = lit("2024-01-25").cast("timestamp")
+    // held = the %5 subset (beyond-watermark late → dropped) PLUS the
+    // whole last pre-cut hour (inside the lagged filter → survives and
+    // probes re-admission) — so both arms of the protocol fire at
+    // every SF by construction, not fixture luck
+    val held = col("ts") < cut &&
+      (pmod(col("event_id"), lit(5)) === 0 ||
+        col("ts") >= cut - expr("INTERVAL 1 HOUR"))
+    val root = java.nio.file.Files.createTempDirectory("q275_replay")
+    def emitBatch(df: DataFrame, n: Int): Unit = {
+      val stage = root.resolve(s"stage$n")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dst = root.resolve(f"b$n%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(1000000L * n)
+    }
+    emitBatch(ev.filter(!held && col("ts") < cut), 1)
+    emitBatch(ev.filter(col("ts") >= cut), 2)
+    emitBatch(ev.filter(held), 3)
+    val schema = spark.read.parquet(root.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/*.parquet")
+    val deduped = stream
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = s"q275_readmit_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches != 3) throw new IllegalStateException(
+      s"q275 drained in $dataBatches data micro-batches; the gate needs 3")
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    if (dropped == 0) throw new IllegalStateException(
+      "q275 observed zero watermark drops — the held-out batch was not late")
+    val out = spark.table(name)
+    val readmitted = out.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("k")).filter(col("k") >= 2).count()
+    if (readmitted == 0) throw new IllegalStateException(
+      "q275 saw zero re-admissions — expired keys did not re-emit")
+    out.orderBy("user_id", "event_type")
+  }
+
   /** q127: stream–static enrichment, driver-gated end-to-end — the §2B
     * stream–static join row was spec-only (batch-equivalence in
     * `StreamingSpec`) until this entry. A watermarked event stream joins
@@ -1592,6 +1676,7 @@ object StreamingOps extends QueryModule {
     "q259_update_reemission" -> (q259UpdateReemission _),
     "q269_outer_join_null_protocol" -> (q269OuterJoinNullProtocol _),
     "q274_session_merge_protocol" -> (q274SessionMergeProtocol _),
+    "q275_dedup_readmission" -> (q275DedupReadmission _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
     "q200_stream_topk" -> (q200StreamTopK _),
     "q201_stream_distinct" -> (q201StreamDistinct _),
@@ -1945,6 +2030,50 @@ object StreamingOps extends QueryModule {
         |FROM agg CROSS JOIN wf
         |WHERE w_start + INTERVAL 5 MINUTES <= wmf
         |ORDER BY w_start, event_type""".stripMargin,
+    // the probed protocol stated blindly (check-then-evict: a live
+    // state entry suppresses regardless of expiry; state stores the
+    // FIRST ts and is evicted at batch END under the in-effect wm;
+    // the late filter uses the PREVIOUS batch's wm — SPARK-40925's
+    // two-watermark rule on the dedup operator): E0 = batch-1 keys;
+    // E1 = post keys absent from E0 (present ones are suppressed by
+    // still-checked state); E2 = held survivors of the lagged filter
+    // whose earlier state was already evicted
+    "q275_dedup_readmission" ->
+      """WITH b0 AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-25' AND NOT (event_id % 5 = 0
+        |     OR ts >= TIMESTAMP '2024-01-25' - INTERVAL 1 HOUR)),
+        |post AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-25'),
+        |heldr AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-25' AND (event_id % 5 = 0
+        |     OR ts >= TIMESTAMP '2024-01-25' - INTERVAL 1 HOUR)),
+        |wm1 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM b0),
+        |e0 AS (
+        |  SELECT user_id, event_type, min(ts) AS fst0 FROM b0 GROUP BY 1, 2),
+        |e1 AS (
+        |  SELECT p.user_id, p.event_type
+        |  FROM post p LEFT JOIN e0 USING (user_id, event_type)
+        |  WHERE e0.fst0 IS NULL
+        |  GROUP BY 1, 2),
+        |surv AS (
+        |  SELECT h.user_id, h.event_type
+        |  FROM heldr h CROSS JOIN wm1 WHERE h.ts >= wm1.w
+        |  GROUP BY 1, 2),
+        |e2 AS (
+        |  SELECT s.user_id, s.event_type
+        |  FROM surv s
+        |  LEFT JOIN e0 USING (user_id, event_type)
+        |  LEFT JOIN e1 USING (user_id, event_type)
+        |  CROSS JOIN wm1
+        |  WHERE (e0.fst0 IS NULL OR e0.fst0 + INTERVAL 10 MINUTE < wm1.w)
+        |    AND e1.user_id IS NULL)
+        |SELECT user_id, event_type FROM e0
+        |UNION ALL SELECT user_id, event_type FROM e1
+        |UNION ALL SELECT user_id, event_type FROM e2
+        |ORDER BY user_id, event_type""".stripMargin,
     // the two-phase replay stated blindly: phase-1 sessions emitted
     // under wm₁ = max pre-cut ts; survivors re-sessionized WITH the
     // post-cut events under the final watermark — fragmentation and
