@@ -1998,7 +1998,58 @@ object MiscQueries extends QueryModule {
       .orderBy("bin")
   }
 
+  /** q276: cluster-sampling DESIGN EFFECT (Kish '65) — the survey-
+    * methodology operator the sampling family still lacked (q233
+    * bootstrap, q222 jackknife, q223 CUPED price VARIANCE; this one
+    * prices the SAMPLING DESIGN): per event type, treating users as
+    * clusters, the one-way ANOVA decomposition gives the intraclass
+    * correlation ICC = (MSB − MSW)/(MSB + (n₀−1)·MSW), and DEFF = 1 +
+    * (m̄ − 1)·ICC says how many times more variance a user-clustered
+    * sample carries than an SRS of equal size — ESS = n/DEFF is the
+    * budget number a sampling plan reads.
+    *
+    * Determinism: everything derives from five exact BIGINT moments
+    * (n, k, Σy, Σy², Σn_u², and Σ⌊S_u²·10³/n_u⌋ — the one per-cluster
+    * ratio rides a 10⁻³-cent² integer lattice via BIGINT division, so
+    * the cross-cluster sum is order-invariant); MSB/MSW/ICC/DEFF are
+    * mirrored fixed chains on those ints. Scale: one (user, type)
+    * keyed agg (map-side combinable) then a type-level census — the
+    * classic two-level rollup; nothing else shuffles.
+    */
+  def q276DesignEffect(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(spark, dir).select(col("event_type"), col("user_id"),
+      floor(col("value") * 100.0 + 0.5).cast("long").as("yc"))
+    val perCluster = obs.groupBy("event_type", "user_id").agg(
+      count(lit(1)).as("nu"), sum("yc").as("su"),
+      sum(col("yc") * col("yc")).as("squ"))
+    val m = perCluster.groupBy("event_type").agg(
+      sum("nu").as("n"), count(lit(1)).as("k"),
+      sum("su").as("sy"), sum("squ").as("syy"),
+      sum(col("nu") * col("nu")).as("snn"),
+      sum(expr("(su * su * 1000) div nu")).as("st"))
+    m.select(col("event_type"), col("n"), col("k"),
+        (col("n").cast("double") / col("k").cast("double")).as("mbar"),
+        ((col("st").cast("double") / 1000.0 -
+          col("sy").cast("double") * col("sy").cast("double") /
+            col("n").cast("double")) / (col("k") - 1).cast("double")).as("msb"),
+        ((col("syy").cast("double") - col("st").cast("double") / 1000.0) /
+          (col("n") - col("k")).cast("double")).as("msw"),
+        ((col("n").cast("double") -
+          col("snn").cast("double") / col("n").cast("double")) /
+          (col("k") - 1).cast("double")).as("n0"))
+      .select(col("event_type"), col("n"), col("k"),
+        ((col("msb") - col("msw")) /
+          (col("msb") + (col("n0") - 1.0) * col("msw"))).as("icc"),
+        col("mbar"), col("msb"), col("msw"))
+      .select(col("event_type"), col("n"), col("k"), col("icc"),
+        (lit(1.0) + (col("mbar") - 1.0) * col("icc")).as("deff"),
+        (col("n").cast("double") /
+          (lit(1.0) + (col("mbar") - 1.0) * col("icc"))).as("ess"))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_design_effect" -> (q276DesignEffect _),
     "q273_isotonic_calibration" -> (q273IsotonicCalibration _),
     "q271_cusum_changepoint" -> (q271CusumChangepoint _),
     "q263_auc_roc" -> (q263AucRoc _),
@@ -2056,6 +2107,40 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same five BIGINT moments (per-cluster ratio on the 10⁻³ lattice
+    // via integer division), same mirrored ANOVA chains
+    "q276_design_effect" ->
+      """WITH obs AS (
+        |  SELECT event_type, user_id,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS yc
+        |  FROM events),
+        |pc AS (
+        |  SELECT event_type, user_id, count(*)::BIGINT AS nu,
+        |         sum(yc)::BIGINT AS su, sum(yc * yc)::BIGINT AS squ
+        |  FROM obs GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, sum(nu)::BIGINT AS n, count(*)::BIGINT AS k,
+        |         sum(su)::BIGINT AS sy, sum(squ)::BIGINT AS syy,
+        |         sum(nu * nu)::BIGINT AS snn,
+        |         sum((su * su * 1000) // nu)::BIGINT AS st
+        |  FROM pc GROUP BY event_type),
+        |c AS (
+        |  SELECT event_type, n, k,
+        |         n::DOUBLE / k::DOUBLE AS mbar,
+        |         (st::DOUBLE / 1000.0 - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+        |           / (k - 1)::DOUBLE AS msb,
+        |         (syy::DOUBLE - st::DOUBLE / 1000.0) / (n - k)::DOUBLE AS msw,
+        |         (n::DOUBLE - snn::DOUBLE / n::DOUBLE) / (k - 1)::DOUBLE AS n0
+        |  FROM m),
+        |i AS (
+        |  SELECT event_type, n, k,
+        |         (msb - msw) / (msb + (n0 - 1.0) * msw) AS icc, mbar
+        |  FROM c)
+        |SELECT event_type, n, k, icc,
+        |       1.0 + (mbar - 1.0) * icc AS deff,
+        |       n::DOUBLE / (1.0 + (mbar - 1.0) * icc) AS ess
+        |FROM i
+        |ORDER BY event_type""".stripMargin,
     // same bin census, same prefix-sum interval means, same Ayer
     // minimax enumeration — one-divide doubles, order-free extrema
     "q273_isotonic_calibration" ->

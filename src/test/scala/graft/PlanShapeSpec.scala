@@ -973,4 +973,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"partition-local sort must not shuffle again:\n$plan")
     assert(plan.contains("Sort"), s"no sort node:\n$plan")
   }
+
+  test("q266 containment: intersections via the gram-postings equi-join — no cartesian") {
+    val plan = finalPlan(DedupQueries.q266Containment(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+  }
+
+  test("q267 phrase search: probe broadcasts against term-keyed postings; the positional close is an equi-join") {
+    val plan = finalPlan(TextQueries.q267PhraseSearch(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+    // the 3-row probe side must broadcast, never shuffle the postings
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+  }
+
+  test("q272 skyline windows are PARTITIONED by brand — no single-partition sort, no self-join") {
+    val df = graft.queries.WindowQueries.q272Skyline(spark, dir)
+    PlanGuards.assertGlobalWindowsBounded(df, "q272")
+    val plan = finalPlan(df)
+    // the blind NOT-EXISTS dominance quadratic must not appear in-engine
+    assert(!plan.contains("CartesianProduct") && !"Join".r.findFirstIn(plan).isDefined,
+      s"skyline must be a pure window plan:\n$plan")
+  }
+
+  test("q262 HITS: per-round arcs equi-join + keyed agg, no cartesian (1-row max sides broadcast)") {
+    val plan = finalPlan(graft.queries.PipelineQueries.q262Hits(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+  }
 }
