@@ -450,27 +450,83 @@ object AggQueries extends QueryModule {
     * Determinism: bucket = least(floor((v−min)/(max−min)·m), m−1) and
     * the edge-interpolated estimate are double expressions mirrored
     * association-for-association in the oracle; counts/cumulative are
-    * exact BIGINTs; round 6 at output only. Scale: per width one
-    * scan-local bucket projection + m-row hash agg; the cumulative
-    * window runs over the m-row census (agg-bounded — PlanGuards
-    * admissible); exact percentiles ride a 1-row broadcast.
+    * exact BIGINTs; round 4 at output only. Scale: ONE scan builds the
+    * m = 256 histogram and the 64/16 ones COARSEN it in census space —
+    * floor(x·256) div (256/m) ≡ floor(x·m) on the nested dyadic grids,
+    * so the coarse censuses are bit-equal to direct bucketing while the
+    * fact table is read once, not three times. The exact percentiles
+    * come from TWO-PHASE DISTRIBUTED SELECTION (never Spark's
+    * `percentile`, whose single-reducer value map was 6 of this
+    * query's 8 seconds; and never a full distinct-value census —
+    * 583k distinct of 600k rows makes that window row-scale): the 256
+    * histogram locates the bucket holding each target rank, a second
+    * map-only pass ranks ONLY the ≤ 6 probe buckets (partitioned
+    * windows over n/256-sized value censuses), and global rank =
+    * bucket cum-before + in-bucket rank. The interpolation
+    * lo + (hi−lo)·((n−1)p − ⌊(n−1)p⌋) mirrors quantile_cont. At
+    * 100 TB this is the textbook selection algorithm: two scans, a
+    * 256-row census, and a probe the size of two buckets.
     */
   def q247QuantileSketchCurve(spark: SparkSession, dir: String): DataFrame = {
     val binsSeq = Seq(16, 64, 256)
     val ps = Seq("0.5" -> 0.5, "0.9" -> 0.9, "0.99" -> 0.99)
     val vals = Tables.lineitem(spark, dir)
       .select(col("l_extendedprice").as("v")).filter(col("v").isNotNull)
-    val stats = vals.agg(
-      min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("n"),
-      expr("percentile(v, 0.5)").as("ex_1"),
-      expr("percentile(v, 0.9)").as("ex_2"),
-      expr("percentile(v, 0.99)").as("ex_3")).localCheckpoint()
+    val stats0 = vals.agg(
+      min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    def bucketed = vals.crossJoin(broadcast(stats0))
+      .withColumn("bucket", least(
+        floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * 256),
+        lit(255L)).cast("long"))
+    val h256 = bucketed
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("bucket")))
+      .withColumn("cum_before", col("cum") - col("c"))
+      .localCheckpoint()
+    // probe buckets: for each target rank k+1 / k+2 the first bucket
+    // whose cumulative reaches it (≤ 6 buckets total)
+    val probeAggs = ps.zipWithIndex.flatMap { case ((_, p), i) =>
+      val k = floor(lit(p) * (col("n") - 1).cast("double"))
+      Seq(
+        min(when(col("cum") >= k + 1, col("bucket"))).as(s"pb_lo_${i + 1}"),
+        min(when(col("cum") >= k + 2, col("bucket"))).as(s"pb_hi_${i + 1}"))
+    }
+    val probes = h256.crossJoin(broadcast(stats0.select("n")))
+      .agg(probeAggs.head, probeAggs.tail: _*)
+      .select(explode(array(
+        (1 to 3).flatMap(i => Seq(col(s"pb_lo_$i"), col(s"pb_hi_$i"))): _*))
+        .as("bucket"))
+      .filter(col("bucket").isNotNull).distinct()
+    // second pass: rank only the probe buckets' values
+    val ranked = bucketed.join(broadcast(probes), "bucket")
+      .groupBy("bucket", "v").agg(count(lit(1)).as("vc"))
+      .withColumn("cin",
+        sum("vc").over(Window.partitionBy("bucket").orderBy("v")))
+      .join(broadcast(h256.select(col("bucket"), col("cum_before"))), "bucket")
+      .withColumn("grank_hi", col("cum_before") + col("cin"))
+    val exactAggs = ps.zipWithIndex.flatMap { case ((_, p), i) =>
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      val k = floor(pos)
+      Seq(
+        min(when(col("grank_hi") >= k + 1, col("v"))).as(s"lo_${i + 1}"),
+        min(when(col("grank_hi") >= k + 2, col("v"))).as(s"hi_${i + 1}"),
+        max(pos - k).as(s"g_${i + 1}"))
+    }
+    val exacts = ranked.crossJoin(broadcast(stats0.select("n")))
+      .agg(exactAggs.head, exactAggs.tail: _*)
+    val stats = stats0.crossJoin(broadcast(exacts))
+      .select(col("vmin"), col("vmax"), col("n"),
+        (col("lo_1") + (coalesce(col("hi_1"), col("lo_1")) - col("lo_1")) * col("g_1")).as("ex_1"),
+        (col("lo_2") + (coalesce(col("hi_2"), col("lo_2")) - col("lo_2")) * col("g_2")).as("ex_2"),
+        (col("lo_3") + (coalesce(col("hi_3"), col("lo_3")) - col("lo_3")) * col("g_3")).as("ex_3"))
+      .localCheckpoint()
     binsSeq.map { m =>
-      val cum = vals.crossJoin(broadcast(stats))
-        .withColumn("bucket", least(
-          floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * m),
-          lit((m - 1).toLong)).cast("long"))
-        .groupBy("bucket").agg(count(lit(1)).as("c"))
+      val hist =
+        if (m == 256) h256
+        else h256.withColumn("bucket", expr(s"bucket div ${256 / m}"))
+          .groupBy("bucket").agg(sum("c").as("c"))
+      val cum = hist
         .withColumn("cum", sum("c").over(Window.orderBy("bucket")))
         .crossJoin(broadcast(stats.select("n")))
       val picks = cum.agg(

@@ -1228,6 +1228,69 @@ object StreamingOps extends QueryModule {
     out.orderBy("user_id", "event_type")
   }
 
+  /** q277: COMPLETE-MODE no-drop gate — the third output mode, and the
+    * exact INVERSE of q257: the SAME 3-batch late-data schedule that
+    * append mode must drop (held-out pre-cut rows arriving after the
+    * watermark passed) is one complete mode must KEEP — complete-mode
+    * aggregation retains all groups forever (state is never evicted,
+    * so the "too late" concept does not exist) and re-emits the whole
+    * result table every batch, of which the sink retains the last.
+    * One query pins both sides: the oracle is the PLAIN full-data
+    * windowed census (late batch included — anything dropped would
+    * show), and the engine asserts 3 data batches AND zero
+    * numRowsDroppedByWatermark under a schedule that q257 proves
+    * drops 160+ rows in append mode.
+    *
+    * Scale: complete mode's cost model made explicit — state =
+    * ALL windows ever seen (why it's reserved for small aggregate
+    * tables: dashboards, top-k) while append/update hold only the
+    * watermark-live frontier; the gate documents the trade, not just
+    * the semantics.
+    */
+  def q277CompleteModeNoDrop(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val cut = lit("2024-01-25").cast("timestamp")
+    val late = pmod(col("event_id"), lit(5)) === 0 && col("ts") < cut
+    val root = java.nio.file.Files.createTempDirectory("q277_replay")
+    def emitBatch(df: DataFrame, n: Int): Unit = {
+      val stage = root.resolve(s"stage$n")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dst = root.resolve(f"b$n%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(1000000L * n)
+    }
+    emitBatch(ev.filter(!late && col("ts") < cut), 1)
+    emitBatch(ev.filter(col("ts") >= cut), 2)
+    emitBatch(ev.filter(late), 3)
+    val schema = spark.read.parquet(root.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/*.parquet")
+    val agg = stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sc"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        (col("sc") / 100.0).as("sum_value"))
+    val name = s"q277_complete_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches != 3) throw new IllegalStateException(
+      s"q277 drained in $dataBatches data micro-batches; the gate needs 3")
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    if (dropped != 0) throw new IllegalStateException(
+      s"q277 dropped $dropped rows — complete mode must keep beyond-watermark data")
+    spark.table(name).orderBy("w_start", "event_type")
+  }
+
   /** q127: stream–static enrichment, driver-gated end-to-end — the §2B
     * stream–static join row was spec-only (batch-equivalence in
     * `StreamingSpec`) until this entry. A watermarked event stream joins
@@ -1677,6 +1740,7 @@ object StreamingOps extends QueryModule {
     "q269_outer_join_null_protocol" -> (q269OuterJoinNullProtocol _),
     "q274_session_merge_protocol" -> (q274SessionMergeProtocol _),
     "q275_dedup_readmission" -> (q275DedupReadmission _),
+    "q277_complete_mode_no_drop" -> (q277CompleteModeNoDrop _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
     "q200_stream_topk" -> (q200StreamTopK _),
     "q201_stream_distinct" -> (q201StreamDistinct _),
@@ -2029,6 +2093,16 @@ object StreamingOps extends QueryModule {
         |SELECT w_start, event_type, n, sum_value
         |FROM agg CROSS JOIN wf
         |WHERE w_start + INTERVAL 5 MINUTES <= wmf
+        |ORDER BY w_start, event_type""".stripMargin,
+    // the PLAIN full-data census — late batch included; complete mode
+    // keeps everything, so any drop or eviction would break equality
+    "q277_complete_mode_no_drop" ->
+      """SELECT time_bucket(INTERVAL 6 HOURS, ts) AS w_start,
+        |       event_type, count(*)::BIGINT AS n,
+        |       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0
+        |         AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
         |ORDER BY w_start, event_type""".stripMargin,
     // the probed protocol stated blindly (check-then-evict: a live
     // state entry suppresses regardless of expiry; state stores the
