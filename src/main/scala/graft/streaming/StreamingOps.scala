@@ -1291,6 +1291,90 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start", "event_type")
   }
 
+  /** q278: CHECKPOINT-RECOVERY / exactly-once gate — the durability
+    * contract every other streaming gate assumes but none exercises: a
+    * drain is KILLED mid-stream (the first committed data batch stops
+    * the query — a crash simulation) and a brand-new query resumes
+    * from the same checkpoint. For the final output to match the
+    * blind protocol oracle (q257's — same 3-batch schedule, same
+    * windowed agg), the restart must recover (1) source offsets (no
+    * batch skipped or re-read), (2) aggregation STATE (pre-crash
+    * windows must still merge and finalize), (3) the WATERMARK (the
+    * held-out late batch must still be dropped by a restored wm — a
+    * fresh query would keep it and go red), and (4) the sink must be
+    * idempotent under the one replayed batch (foreachBatch writing
+    * parquet keyed by batchId — the documented recipe, here proven:
+    * the replay overwrites its own directory). Engine assertions pin
+    * that run 1 stopped early, run 2 did real work, and the late
+    * drops happened. Scale: this IS the production failure path —
+    * state stores and offsets recover per partition; nothing here is
+    * fixture-shaped.
+    */
+  def q278CheckpointRecovery(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val cut = lit("2024-01-25").cast("timestamp")
+    val late = pmod(col("event_id"), lit(5)) === 0 && col("ts") < cut
+    val root = java.nio.file.Files.createTempDirectory("q278_replay")
+    def emitBatch(df: DataFrame, n: Int): Unit = {
+      val stage = root.resolve(s"stage$n")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dst = root.resolve(f"b$n%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(1000000L * n)
+    }
+    emitBatch(ev.filter(!late && col("ts") < cut), 1)
+    emitBatch(ev.filter(col("ts") >= cut), 2)
+    emitBatch(ev.filter(late), 3)
+    val schema = spark.read.parquet(root.toString).schema
+    def agg() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root.toString + "/*.parquet")
+      stream.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sc"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+          round(col("sc") / 100.0, 2).as("sum_value"))
+    }
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out")
+    def start() = agg().writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        // batchId-keyed directory: a post-crash replay of the same
+        // batch overwrites its own output — the idempotent-sink recipe
+        df.write.mode("overwrite").parquet(out.resolve(s"batch$id").toString)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    // run 1: kill after the first committed data batch
+    val q1 = start()
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (q1.isActive && System.nanoTime() < deadline &&
+      !q1.recentProgress.exists(_.numInputRows > 0)) Thread.sleep(25)
+    q1.stop(); q1.awaitTermination()
+    val run1Batches = q1.recentProgress.count(_.numInputRows > 0)
+    if (run1Batches >= 3) throw new IllegalStateException(
+      s"q278 run 1 processed all $run1Batches data batches before the kill — nothing left to recover")
+    // run 2: a NEW query on the same checkpoint finishes the backlog
+    val q2 = start()
+    q2.awaitTermination()
+    val run2Batches = q2.recentProgress.count(_.numInputRows > 0)
+    if (run2Batches == 0) throw new IllegalStateException(
+      "q278 run 2 processed no data — recovery had no work")
+    val dropped = (q1.recentProgress ++ q2.recentProgress)
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    if (dropped == 0) throw new IllegalStateException(
+      "q278 observed zero watermark drops — the recovered watermark did not gate the late batch")
+    spark.read.parquet(out.toString + "/batch*")
+      .orderBy("w_start", "event_type")
+  }
+
   /** q127: stream–static enrichment, driver-gated end-to-end — the §2B
     * stream–static join row was spec-only (batch-equivalence in
     * `StreamingSpec`) until this entry. A watermarked event stream joins
@@ -1741,6 +1825,7 @@ object StreamingOps extends QueryModule {
     "q274_session_merge_protocol" -> (q274SessionMergeProtocol _),
     "q275_dedup_readmission" -> (q275DedupReadmission _),
     "q277_complete_mode_no_drop" -> (q277CompleteModeNoDrop _),
+    "q278_checkpoint_recovery" -> (q278CheckpointRecovery _),
     "q125_sql_sliding_stream" -> (q125SqlSlidingStream _),
     "q200_stream_topk" -> (q200StreamTopK _),
     "q201_stream_distinct" -> (q201StreamDistinct _),
@@ -1779,6 +1864,45 @@ object StreamingOps extends QueryModule {
       |  GROUP BY o.user_id)
       |SELECT user_id, n_events, round(balance, 2) + 0.0 AS balance
       |FROM b ORDER BY user_id""".stripMargin
+
+  /** q257's blind two-watermark protocol replay (SPARK-40925: late
+    * filter = previous batch's wm on WINDOW END, eviction = current;
+    * straddlers merge into still-live state; output = windows closed
+    * under the final wm). Shared verbatim by q278: exactly-once
+    * recovery means the killed-and-resumed drain must land on the
+    * identical emission set.
+    */
+  private val q257OracleSql: String =
+    """WITH e AS (
+      |  SELECT event_id, ts, event_type,
+      |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |b1 AS (
+      |  SELECT * FROM e
+      |  WHERE NOT (event_id % 5 = 0 AND ts < TIMESTAMP '2024-01-25')
+      |    AND ts < TIMESTAMP '2024-01-25'),
+      |b2 AS (SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-25'),
+      |b3 AS (
+      |  SELECT * FROM e
+      |  WHERE event_id % 5 = 0 AND ts < TIMESTAMP '2024-01-25'),
+      |w1 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM b1),
+      |wf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wmf FROM e),
+      |kept AS (
+      |  SELECT ts, event_type, cents FROM b1
+      |  UNION ALL
+      |  SELECT ts, event_type, cents FROM b2
+      |  UNION ALL
+      |  SELECT b3.ts, b3.event_type, b3.cents FROM b3 CROSS JOIN w1
+      |  WHERE time_bucket(INTERVAL 5 MINUTES, b3.ts) + INTERVAL 5 MINUTES > w1.wm),
+      |agg AS (
+      |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type,
+      |         count(*)::BIGINT AS n,
+      |         round(sum(cents) / 100.0, 2) + 0.0 AS sum_value
+      |  FROM kept GROUP BY 1, 2)
+      |SELECT w_start, event_type, n, sum_value
+      |FROM agg CROSS JOIN wf
+      |WHERE w_start + INTERVAL 5 MINUTES <= wmf
+      |ORDER BY w_start, event_type""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     // q136's merged-snapshot oracle verbatim — streaming convergence to
@@ -2063,37 +2187,12 @@ object StreamingOps extends QueryModule {
     // engine filters batch 3 with AND evicted batch-1 windows with —
     // drops and no-duplication certified by one census equality),
     // finalized under the global watermark; same cents and rounding
-    "q257_watermark_drops" ->
-      """WITH e AS (
-        |  SELECT event_id, ts, event_type,
-        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
-        |  FROM events),
-        |b1 AS (
-        |  SELECT * FROM e
-        |  WHERE NOT (event_id % 5 = 0 AND ts < TIMESTAMP '2024-01-25')
-        |    AND ts < TIMESTAMP '2024-01-25'),
-        |b2 AS (SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-25'),
-        |b3 AS (
-        |  SELECT * FROM e
-        |  WHERE event_id % 5 = 0 AND ts < TIMESTAMP '2024-01-25'),
-        |w1 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM b1),
-        |wf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wmf FROM e),
-        |kept AS (
-        |  SELECT ts, event_type, cents FROM b1
-        |  UNION ALL
-        |  SELECT ts, event_type, cents FROM b2
-        |  UNION ALL
-        |  SELECT b3.ts, b3.event_type, b3.cents FROM b3 CROSS JOIN w1
-        |  WHERE time_bucket(INTERVAL 5 MINUTES, b3.ts) + INTERVAL 5 MINUTES > w1.wm),
-        |agg AS (
-        |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start, event_type,
-        |         count(*)::BIGINT AS n,
-        |         round(sum(cents) / 100.0, 2) + 0.0 AS sum_value
-        |  FROM kept GROUP BY 1, 2)
-        |SELECT w_start, event_type, n, sum_value
-        |FROM agg CROSS JOIN wf
-        |WHERE w_start + INTERVAL 5 MINUTES <= wmf
-        |ORDER BY w_start, event_type""".stripMargin,
+    "q257_watermark_drops" -> q257OracleSql,
+    // q278 = q257's schedule killed-and-resumed: exactly-once recovery
+    // means the protocol outcome must be IDENTICAL to the uninterrupted
+    // drain, so the same blind replay gates it (a lost watermark, lost
+    // state, skipped batch, or double-applied batch all break equality)
+    "q278_checkpoint_recovery" -> q257OracleSql,
     // the PLAIN full-data census — late batch included; complete mode
     // keeps everything, so any drop or eviction would break equality
     "q277_complete_mode_no_drop" ->
