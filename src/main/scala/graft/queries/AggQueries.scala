@@ -522,12 +522,16 @@ object AggQueries extends QueryModule {
         (col("lo_3") + (coalesce(col("hi_3"), col("lo_3")) - col("lo_3")) * col("g_3")).as("ex_3"))
       .localCheckpoint()
     binsSeq.map { m =>
+      // m = 256 reuses h256's cum computed BEFORE the checkpoint (a
+      // fresh window over the checkpoint scan would hide the census
+      // bound from PlanGuards); the coarsened widths re-cum above
+      // their own agg, which is census-bounded by construction
       val hist =
-        if (m == 256) h256
+        if (m == 256) h256.select("bucket", "c", "cum")
         else h256.withColumn("bucket", expr(s"bucket div ${256 / m}"))
           .groupBy("bucket").agg(sum("c").as("c"))
+          .withColumn("cum", sum("c").over(Window.orderBy("bucket")))
       val cum = hist
-        .withColumn("cum", sum("c").over(Window.orderBy("bucket")))
         .crossJoin(broadcast(stats.select("n")))
       val picks = cum.agg(
         min(when(col("cum") >= col("n") * 0.5,

@@ -2048,7 +2048,36 @@ object MiscQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q279: custom BATCH DataSource V2 read path, driver-gated — the
+    * batch sibling of the WebSocket streaming source closes the DSv2
+    * surface: `graft.sources.seq` implements filter pushdown
+    * (`SupportsPushDownFilters`), column pruning
+    * (`SupportsPushDownRequiredColumns`), and PARTITION PRUNING
+    * (slices outside the pushed id bounds are never planned —
+    * `SeqSourceSpec` asserts 16 of 64 partitions survive this exact
+    * predicate). The query reads a 2M-row deterministic sequence
+    * table through the source, keeps a 500k id range, and rolls up by
+    * bucket; the oracle states the same table BLINDLY from
+    * `range()` — certifying the generator arithmetic, the pushed
+    * bounds, and the pruned scan return exactly the right rows.
+    *
+    * Scale: the point of the gate — a selective read costs O(result),
+    * not O(table), because the source narrows at PLAN time; 100 TB
+    * behind this contract is what makes predicate-heavy pipelines
+    * viable (sfDir intentionally unused: the table is source-defined).
+    */
+  def q279SeqSourcePushdown(spark: SparkSession, dir: String): DataFrame = {
+    val t = spark.read
+      .format(classOf[graft.sources.seq.SeqSourceProvider].getName)
+      .option("rows", "2000000").option("slices", "64").load()
+    t.filter(col("id") >= 250000L && col("id") < 750000L)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("h").as("sum_h"))
+      .orderBy("bucket")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_seq_source_pushdown" -> (q279SeqSourcePushdown _),
     "q276_design_effect" -> (q276DesignEffect _),
     "q273_isotonic_calibration" -> (q273IsotonicCalibration _),
     "q271_cusum_changepoint" -> (q271CusumChangepoint _),
@@ -2107,6 +2136,14 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the sequence table stated blindly from range() — same integer
+    // arithmetic, same bounds; certifies the DSv2 source end-to-end
+    "q279_seq_source_pushdown" ->
+      """SELECT id % 97 AS bucket, count(*)::BIGINT AS n,
+        |       sum((id * 2654435761) % 2147483648)::BIGINT AS sum_h
+        |FROM range(250000, 750000) t(id)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
     // same five BIGINT moments (per-cluster ratio on the 10⁻³ lattice
     // via integer division), same mirrored ANOVA chains
     "q276_design_effect" ->

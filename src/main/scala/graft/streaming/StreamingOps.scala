@@ -1291,23 +1291,24 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start", "event_type")
   }
 
-  /** q278: CHECKPOINT-RECOVERY / exactly-once gate — the durability
-    * contract every other streaming gate assumes but none exercises: a
-    * drain is KILLED mid-stream (the first committed data batch stops
-    * the query — a crash simulation) and a brand-new query resumes
-    * from the same checkpoint. For the final output to match the
-    * blind protocol oracle (q257's — same 3-batch schedule, same
-    * windowed agg), the restart must recover (1) source offsets (no
-    * batch skipped or re-read), (2) aggregation STATE (pre-crash
-    * windows must still merge and finalize), (3) the WATERMARK (the
-    * held-out late batch must still be dropped by a restored wm — a
-    * fresh query would keep it and go red), and (4) the sink must be
-    * idempotent under the one replayed batch (foreachBatch writing
-    * parquet keyed by batchId — the documented recipe, here proven:
-    * the replay overwrites its own directory). Engine assertions pin
-    * that run 1 stopped early, run 2 did real work, and the late
-    * drops happened. Scale: this IS the production failure path —
-    * state stores and offsets recover per partition; nothing here is
+  /** q278: CHECKPOINT-RECOVERY gate — the durability contract every
+    * other streaming gate assumes but none exercises: the q257 drain
+    * is RESTARTED mid-schedule. Run 1 sees only the history file
+    * (AvailableNow pins offsets at start, drains it, terminates);
+    * then the head and late files appear, and a BRAND-NEW query
+    * resumes from the same checkpoint. For the final output to match
+    * q257's uninterrupted-protocol oracle, the restart must recover
+    * (1) source offsets (run 2's first batchId continues run 1's —
+    * asserted — so nothing is skipped or re-read), (2) aggregation
+    * STATE (history windows must still merge with head straddlers
+    * and finalize), and (3) the WATERMARK (the late file must still
+    * be dropped by the RESTORED wm — a fresh query would keep it and
+    * go red). The sink is the batchId-keyed foreachBatch parquet
+    * recipe, idempotent by construction under replays. This is the
+    * deterministic stop/upgrade/resume cycle — the recovery machinery
+    * (checkpoint reload into a new query) is exactly the crash path,
+    * without a racy kill deciding how far run 1 got. Scale: offsets
+    * and state stores recover per partition; nothing here is
     * fixture-shaped.
     */
   def q278CheckpointRecovery(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
@@ -1327,10 +1328,9 @@ object StreamingOps extends QueryModule {
       java.nio.file.Files.move(part, dst)
       dst.toFile.setLastModified(1000000L * n)
     }
+    // only the history file exists when run 1 starts
     emitBatch(ev.filter(!late && col("ts") < cut), 1)
-    emitBatch(ev.filter(col("ts") >= cut), 2)
-    emitBatch(ev.filter(late), 3)
-    val schema = spark.read.parquet(root.toString).schema
+    val schema = spark.read.parquet(root.toString + "/b01.parquet").schema
     def agg() = {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1346,28 +1346,26 @@ object StreamingOps extends QueryModule {
     val out = root.resolve("out")
     def start() = agg().writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
-        // batchId-keyed directory: a post-crash replay of the same
-        // batch overwrites its own output — the idempotent-sink recipe
         df.write.mode("overwrite").parquet(out.resolve(s"batch$id").toString)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    // run 1: kill after the first committed data batch
     val q1 = start()
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (q1.isActive && System.nanoTime() < deadline &&
-      !q1.recentProgress.exists(_.numInputRows > 0)) Thread.sleep(25)
-    q1.stop(); q1.awaitTermination()
+    q1.awaitTermination()
     val run1Batches = q1.recentProgress.count(_.numInputRows > 0)
-    if (run1Batches >= 3) throw new IllegalStateException(
-      s"q278 run 1 processed all $run1Batches data batches before the kill — nothing left to recover")
-    // run 2: a NEW query on the same checkpoint finishes the backlog
+    if (run1Batches != 1) throw new IllegalStateException(
+      s"q278 run 1 drained $run1Batches data batches; the history file must be exactly 1")
+    // the head and late files arrive while the pipeline is down
+    emitBatch(ev.filter(col("ts") >= cut), 2)
+    emitBatch(ev.filter(late), 3)
     val q2 = start()
     q2.awaitTermination()
-    val run2Batches = q2.recentProgress.count(_.numInputRows > 0)
-    if (run2Batches == 0) throw new IllegalStateException(
-      "q278 run 2 processed no data — recovery had no work")
-    val dropped = (q1.recentProgress ++ q2.recentProgress)
+    val dataBatches2 = q2.recentProgress.filter(_.numInputRows > 0)
+    if (dataBatches2.length != 2) throw new IllegalStateException(
+      s"q278 run 2 drained ${dataBatches2.length} data batches; the resumed backlog must be exactly 2")
+    if (dataBatches2.map(_.batchId).min == 0) throw new IllegalStateException(
+      "q278 run 2 restarted from batch 0 — offsets were not recovered from the checkpoint")
+    val dropped = q2.recentProgress
       .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
     if (dropped == 0) throw new IllegalStateException(
       "q278 observed zero watermark drops — the recovered watermark did not gate the late batch")
