@@ -331,7 +331,52 @@ object LakehouseQueries extends QueryModule {
       .orderBy("pid")
   }
 
+  /** q281: DYNAMIC PARTITION OVERWRITE — the backfill/restatement
+    * write path (q136 merges rows, q242 reads as-of; this one
+    * RESTATES a whole partition in place, the daily-pipeline repair
+    * primitive): the events table is written partitioned by day, then
+    * ONE day (the earliest) is rewritten with corrected values
+    * (cents × 2) under `partitionOverwriteMode=dynamic` — only the
+    * partitions PRESENT IN THE WRITE are replaced, every other day's
+    * files are untouched. The read-back census is gated against the
+    * blind restatement (CASE on the min day): static mode (the
+    * default — which would wipe the whole table) or an unreplaced
+    * partition both break equality.
+    *
+    * Determinism: exact cents everywhere; the restated day is derived
+    * (min day), not a constant. Scale: THE point of dynamic mode — a
+    * backfill touches O(partition), not O(table); conf is scoped and
+    * restored in a finally.
+    */
+  def q281DynamicPartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      col("event_id"), col("event_type"),
+      floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val root = java.nio.file.Files.createTempDirectory("q281_dpo")
+    val tbl = root.resolve("tbl").toString
+    ev.write.partitionBy("day").mode("overwrite").parquet(tbl)
+    val minDay = ev.agg(min("day").as("mind"))
+    val restated = ev.crossJoin(broadcast(minDay))
+      .filter(col("day") === col("mind")).drop("mind")
+      .withColumn("cents", col("cents") * 2)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try restated.write.partitionBy("day").mode("overwrite").parquet(tbl)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    spark.read.parquet(tbl)
+      .groupBy("day").agg(count(lit(1)).as("n"),
+        round(sum("cents") / 100.0, 2).as("sum_value"),
+        sum("event_id").as("id_sum"))
+      .orderBy("day")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_dynamic_partition_overwrite" -> (q281DynamicPartitionOverwrite _),
     "q253_range_planner" -> (q253RangePlanner _),
     "q136_merge_snapshot" -> (q136MergeSnapshot _),
     "q137_snapshot_diff" -> (q137SnapshotDiff _),
@@ -366,6 +411,21 @@ object LakehouseQueries extends QueryModule {
       |  WHERE c.op IS NULL OR c.op <> 'D')""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the restatement stated blindly: the min day carries doubled
+    // cents, every other partition must be byte-identical to v1
+    "q281_dynamic_partition_overwrite" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_id, event_type,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT min(day) AS mind FROM ev)
+        |SELECT day, count(*)::BIGINT AS n,
+        |       round(sum(CASE WHEN day = mind THEN cents * 2 ELSE cents END)
+        |             / 100.0, 2) + 0.0 AS sum_value,
+        |       sum(event_id)::BIGINT AS id_sum
+        |FROM ev CROSS JOIN m
+        |GROUP BY day
+        |ORDER BY day""".stripMargin,
     // same 1024-bin histogram, same integer ⌈i·N/8⌉ targets, same
     // sorted-boundary assignment, mirrored edge descaling
     "q253_range_planner" ->

@@ -2076,7 +2076,59 @@ object MiscQueries extends QueryModule {
       .orderBy("bucket")
   }
 
+  /** q280: two-sample KOLMOGOROV–SMIRNOV test — the distribution-level
+    * member of the nonparametric family (q203 Mann–Whitney compares
+    * locations, q220 Wasserstein measures transport cost; KS detects
+    * ANY distributional difference): D = sup|F₁ − F₂| between the
+    * purchase and view value distributions, with Stephens' small-
+    * sample λ and the truncated Kolmogorov series p-value — drift
+    * detection with an actual significance statement, where q219/q220
+    * only report magnitudes.
+    *
+    * Determinism: both ECDFs live on the shared cents census, and the
+    * sup runs over |cum₁·n₂ − cum₂·n₁| — EXACT BIGINT cross-
+    * multiplication (the q220 device), so D is one divide; λ is a
+    * fixed IEEE-sqrt chain; the 4-term alternating exp series snaps
+    * to the 10⁻⁸ grid (the q264/q268 libm-exp rule). Scale: two hash
+    * aggs to one value census; the sup is a census-window max;
+    * everything after is 1-row.
+    */
+  def q280KsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+    val census = ev.groupBy("vc").agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+    val wAsc = Window.orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census
+      .withColumn("cum1", sum("c1").over(wAsc))
+      .withColumn("cum2", sum("c2").over(wAsc))
+    val tot = census.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("dnum"))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        (col("dnum").cast("double") / (col("n1") * col("n2")).cast("double")).as("d"))
+      .withColumn("ne",
+        (col("n1") * col("n2")).cast("double") / (col("n1") + col("n2")).cast("double"))
+      .withColumn("lambda",
+        (sqrt(col("ne")) + 0.12 + lit(0.11) / sqrt(col("ne"))) * col("d"))
+      .withColumn("p_value",
+        floor((lit(2.0) * (
+          exp(lit(-2.0) * col("lambda") * col("lambda")) -
+            exp(lit(-8.0) * col("lambda") * col("lambda")) +
+            exp(lit(-18.0) * col("lambda") * col("lambda")) -
+            exp(lit(-32.0) * col("lambda") * col("lambda")))) * 100000000.0 + 0.5)
+          / 100000000.0)
+      .select(col("n1"), col("n2"), col("d"), col("lambda"), col("p_value"),
+        when(col("p_value") < 0.05, 1L).otherwise(0L).as("reject_05"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_ks_test" -> (q280KsTest _),
     "q279_seq_source_pushdown" -> (q279SeqSourcePushdown _),
     "q276_design_effect" -> (q276DesignEffect _),
     "q273_isotonic_calibration" -> (q273IsotonicCalibration _),
@@ -2136,6 +2188,44 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same shared census, same BIGINT cross-multiplied sup, same
+    // IEEE-sqrt λ chain, same snapped 4-term Kolmogorov series
+    "q280_ks_test" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |census AS (
+        |  SELECT vc,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c2
+        |  FROM ev GROUP BY vc),
+        |cum AS (
+        |  SELECT census.*,
+        |         sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2
+        |  FROM census
+        |  WINDOW w AS (ORDER BY vc
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM census),
+        |dd AS (
+        |  SELECT n1, n2,
+        |         max(abs(cum1 * n2 - cum2 * n1))::DOUBLE / (n1 * n2)::DOUBLE AS d
+        |  FROM cum CROSS JOIN tot GROUP BY n1, n2),
+        |lam AS (
+        |  SELECT dd.*,
+        |         (sqrt((n1 * n2)::DOUBLE / (n1 + n2)::DOUBLE) + 0.12 +
+        |          0.11 / sqrt((n1 * n2)::DOUBLE / (n1 + n2)::DOUBLE)) * d AS lambda
+        |  FROM dd),
+        |p AS (
+        |  SELECT lam.*,
+        |         floor((2.0 * (exp(-2.0 * lambda * lambda)
+        |                     - exp(-8.0 * lambda * lambda)
+        |                     + exp(-18.0 * lambda * lambda)
+        |                     - exp(-32.0 * lambda * lambda))) * 100000000.0 + 0.5)
+        |           / 100000000.0 AS p_value
+        |  FROM lam)
+        |SELECT n1, n2, d, lambda, p_value,
+        |       (CASE WHEN p_value < 0.05 THEN 1 ELSE 0 END)::BIGINT AS reject_05
+        |FROM p""".stripMargin,
     // the sequence table stated blindly from range() — same integer
     // arithmetic, same bounds; certifies the DSv2 source end-to-end
     "q279_seq_source_pushdown" ->
