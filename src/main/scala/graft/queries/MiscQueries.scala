@@ -2127,7 +2127,97 @@ object MiscQueries extends QueryModule {
         when(col("p_value") < 0.05, 1L).otherwise(0L).as("reject_05"))
   }
 
+  /** q283: SPEARMAN rank correlation — the monotone-association member
+    * of the correlation family (q172's regr_* is linear-in-values,
+    * q203's Mann–Whitney compares two groups; Spearman asks "does
+    * order-size rise with order-price AT ALL, linearly or not"):
+    * ρ = Pearson over midranks of (o_totalprice cents, lineitem count
+    * per order), with ties handled by average ranks.
+    *
+    * Determinism: midranks come from the value census — DOUBLED
+    * midrank 2·before + cnt + 1 is BIGINT-exact (the ×2 cancels in
+    * Pearson), all five moments are BIGINT sums (order-invariant), and
+    * ρ is one fixed IEEE chain snapped to the 10⁻⁶ grid. Scale: two
+    * censuses + two rank merge-joins + one moment agg; the rank
+    * windows sit over aggregates (census-bounded). The BIGINT moments
+    * carry n·(2n)² ≈ 4n³ — past ~10⁹ rows shift to per-partition
+    * offsets or DECIMAL(38) accumulation.
+    */
+  def q283Spearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("y"))
+    val pairs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("x"))
+      .join(items, col("o_orderkey") === col("l_orderkey"))
+      .select("x", "y")
+    def ranks(vals: DataFrame, c: String, rn: String): DataFrame = {
+      val w = Window.orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vals.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col(c),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L).as(rn))
+    }
+    val r = pairs
+      .join(ranks(pairs.select("x"), "x", "rx2"), "x")
+      .join(broadcast(ranks(pairs.select("y"), "y", "ry2")), "y")
+    val m = r.agg(count(lit(1)).as("n"),
+      sum("rx2").as("sx"), sum("ry2").as("sy"),
+      sum(col("rx2") * col("rx2")).as("sxx"),
+      sum(col("ry2") * col("ry2")).as("syy"),
+      sum(col("rx2") * col("ry2")).as("sxy"))
+    m.select(col("n"),
+      (floor(((col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+          sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double")))) *
+        1000000.0 + 0.5) / 1000000.0).as("rho"))
+  }
+
+  /** q284: AUTOCORRELATION function of the daily event-count series at
+    * lags 1–7 — the serial-dependence member of the time-series family
+    * (q261 decomposes, q271 detects level shifts; ACF answers "does
+    * today predict tomorrow, and with what weekly echo"). Defined over
+    * exact-day-distance pairs (a missing day contributes no pair — the
+    * gap-honest estimator a blind replay can state).
+    *
+    * Determinism: centering uses the N-SCALED residual N·y − S (BIGINT,
+    * no mean division), so numerator and denominator are exact BIGINT
+    * sums and the N² factor cancels in the ratio — one double divide
+    * snapped to the 10⁻⁶ grid. Scale: one day census (bounded), a
+    * 7×days lag fan-out joined back on day, two BIGINT aggs; at
+    * 10¹²-event scale N·y exceeds BIGINT — descale counts to
+    * thousands or accumulate in DECIMAL(38).
+    */
+  def q284Acf(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+    val tot = days.agg(count(lit(1)).as("nd"), sum("y").as("s"))
+    val c = days.crossJoin(broadcast(tot))
+      .select(col("day"), (col("nd") * col("y") - col("s")).as("cy"))
+      .localCheckpoint()
+    val den = c.agg(sum(col("cy") * col("cy")).as("den"))
+    val lagged = spark.range(1, 8).select(col("id").as("lag"))
+      .crossJoin(c.select(col("day").as("d0"), col("cy").as("cy0")))
+      .select(col("lag"), (col("d0") + col("lag")).as("day"), col("cy0"))
+    c.join(lagged, "day")
+      .groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+        sum(col("cy") * col("cy0")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        (floor((col("num").cast("double") / col("den").cast("double")) *
+          1000000.0 + 0.5) / 1000000.0).as("acf"))
+      .orderBy("lag")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_spearman" -> (q283Spearman _),
+    "q284_acf" -> (q284Acf _),
     "q280_ks_test" -> (q280KsTest _),
     "q279_seq_source_pushdown" -> (q279SeqSourcePushdown _),
     "q276_design_effect" -> (q276DesignEffect _),
@@ -2188,6 +2278,54 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same doubled-midrank censuses, same BIGINT moments, same IEEE
+    // Pearson chain snapped to the 10⁻⁶ grid
+    "q283_spearman" ->
+      """WITH items AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS y FROM lineitem GROUP BY l_orderkey),
+        |pairs AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x, y
+        |  FROM orders JOIN items ON o_orderkey = l_orderkey),
+        |cx AS (SELECT x, count(*)::BIGINT AS cnt FROM pairs GROUP BY x),
+        |rx AS (
+        |  SELECT x, 2 * (sum(cnt) OVER (ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |         + cnt + 1 AS rx2 FROM cx),
+        |cy AS (SELECT y, count(*)::BIGINT AS cnt FROM pairs GROUP BY y),
+        |ry AS (
+        |  SELECT y, 2 * (sum(cnt) OVER (ORDER BY y
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |         + cnt + 1 AS ry2 FROM cy),
+        |r AS (SELECT rx2, ry2 FROM pairs JOIN rx USING (x) JOIN ry USING (y)),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(rx2)::BIGINT AS sx, sum(ry2)::BIGINT AS sy,
+        |         sum(rx2 * rx2)::BIGINT AS sxx, sum(ry2 * ry2)::BIGINT AS syy,
+        |         sum(rx2 * ry2)::BIGINT AS sxy
+        |  FROM r)
+        |SELECT n,
+        |       floor(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |              (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |               sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))) *
+        |             1000000.0 + 0.5) / 1000000.0 AS rho
+        |FROM m""".stripMargin,
+    // same day census, same N-scaled BIGINT residuals, same exact-
+    // distance pairing, same snapped ratio
+    "q284_acf" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS nd, sum(y)::BIGINT AS s FROM days),
+        |c AS (SELECT day, nd * y - s AS cy FROM days CROSS JOIN tot),
+        |den AS (SELECT sum(cy * cy)::BIGINT AS den FROM c),
+        |lagged AS (
+        |  SELECT l.lag, c.day + l.lag AS day, c.cy AS cy0
+        |  FROM (SELECT unnest(range(1, 8)) AS lag) l CROSS JOIN c)
+        |SELECT lag::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+        |       floor((sum(c.cy * lagged.cy0)::DOUBLE / (SELECT den FROM den)::DOUBLE) *
+        |             1000000.0 + 0.5) / 1000000.0 AS acf
+        |FROM c JOIN lagged USING (day)
+        |GROUP BY lag
+        |ORDER BY lag""".stripMargin,
     // same shared census, same BIGINT cross-multiplied sup, same
     // IEEE-sqrt λ chain, same snapped 4-term Kolmogorov series
     "q280_ks_test" ->

@@ -889,7 +889,53 @@ object PipelineQueries extends QueryModule {
       .orderBy("kind", "node")
   }
 
+  /** q282: multi-source BFS hop distance — the reachability member of
+    * the graph family (q140 ranks, q160 counts triangles, q249 peels
+    * cores, q262 scores hubs; none answers "how FAR is the market from
+    * nation 0?"): frontier relaxation from every nation-0 customer over
+    * the undirected trade graph, 6 rounds of dist ← min(dist,
+    * neighbor+1), reported as a hop-distance census plus the
+    * unreachable remainder at hop −1.
+    *
+    * Determinism: hops are integers and min is order-invariant — no
+    * float exists anywhere; the oracle unrolls the same 6 relaxation
+    * rounds, so equality is by construction (and would break if a round
+    * relaxed a different frontier). Scale: per round one arcs⨝dist
+    * equi-join + a keyed BIGINT min — the classic Pregel iteration as
+    * joins; `localCheckpoint` cuts the 6-round lineage like
+    * q140/q66/q262. Rounds are FIXED (not run-to-convergence): a
+    * production run would loop until the frontier empties, but a fixed
+    * unroll is what a blind SQL replay can state.
+    */
+  def q282BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val sources = nodes
+      .join(Tables.customer(spark, dir).filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node")), Seq("node"), "left_semi")
+    var dist = sources.withColumn("d", lit(0L))
+    for (_ <- 1 to 6) {
+      val relaxed = edges.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("d") + 1).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("d").as("d")).localCheckpoint()
+    }
+    val census = dist.groupBy("d").agg(count(lit(1)).as("n_nodes"))
+      .select(col("d").as("hop"), col("n_nodes"))
+    val unreachable = nodes.agg(count(lit(1)).as("nn"))
+      .crossJoin(broadcast(dist.agg(count(lit(1)).as("nr"))))
+      .select(lit(-1L).as("hop"), (col("nn") - col("nr")).as("n_nodes"))
+    census.unionByName(unreachable).orderBy("hop")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_bfs_hops" -> (q282BfsHops _),
     "q262_hits" -> (q262Hits _),
     "q249_kcore" -> (q249KCore _),
     "q246_group_kfold" -> (q246GroupKFold _),
@@ -992,6 +1038,36 @@ object PipelineQueries extends QueryModule {
       |  FROM r2 CROSS JOIN k)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the same 6 relaxation rounds unrolled; hops are integers and min
+    // is order-invariant, so equality is by construction
+    "q282_bfs_hops" -> {
+      val base =
+        """WITH e0 AS (
+          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          |n AS (SELECT DISTINCT src AS node FROM e),
+          |d0 AS (
+          |  SELECT node, 0::BIGINT AS d FROM n
+          |  WHERE node IN (SELECT c_custkey * 2 FROM customer WHERE c_nationkey = 0))""".stripMargin
+      val rounds = (1 to 6).map { i =>
+        s""",
+           |d$i AS (
+           |  SELECT node, min(d)::BIGINT AS d FROM (
+           |    SELECT node, d FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.d + 1 AS d
+           |    FROM e JOIN d${i - 1} p ON e.src = p.node) u
+           |  GROUP BY node)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT d AS hop, count(*)::BIGINT AS n_nodes FROM d6 GROUP BY d
+          |UNION ALL
+          |SELECT -1::BIGINT AS hop,
+          |       (SELECT count(*) FROM n) - (SELECT count(*) FROM d6) AS n_nodes
+          |ORDER BY hop""".stripMargin
+    },
     // both mutual-reinforcement rounds unrolled; every score is BIGINT
     // ppm (sums order-invariant, `// max` truncation identical)
     "q262_hits" ->
