@@ -375,7 +375,81 @@ object LakehouseQueries extends QueryModule {
       .orderBy("day")
   }
 
+  /** Shared by q287 and its plan spec: write both fact sides as
+    * BUCKETED tables (8 buckets on the join key, sorted within
+    * buckets) and join them under an explicit merge hint. With
+    * matching bucket counts both scans report
+    * `HashPartitioning(key, 8)`, so the sort-merge join plans with
+    * ZERO shuffle exchange — the co-located join layout
+    * (`PlanShapeSpec` asserts the exchange-free plan; the remaining
+    * sorts are partition-local merge preludes — modern Spark hides
+    * in-bucket order from the scan since multi-file buckets can't
+    * guarantee it, so only the shuffle is elided, which is the cost
+    * that matters at 100 TB).
+    * Table names carry a dir tag so sf0.001 spec runs and sf0.01
+    * verify runs never collide in the shared warehouse.
+    */
+  def q287BucketedCore(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val to = s"q287_orders_$tag"
+    val tl = s"q287_lineitem_$tag"
+    // a fresh session's in-memory catalog forgets the tables but the
+    // warehouse dirs persist — clear both (DROP for the catalog entry,
+    // recursive delete for the orphaned location) so the write is
+    // idempotent across sessions
+    Seq(to, tl).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
+    // repartition on the bucket key before the write so each bucket
+    // lands as one file (no small-file confetti from 32 writer tasks)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("price_cents"))
+      .repartition(8, col("o_orderkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("ext_cents"))
+      .repartition(8, col("l_orderkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+    spark.table(to).hint("merge")
+      .join(spark.table(tl), col("o_orderkey") === col("l_orderkey"))
+  }
+
+  /** q287: BUCKETED-TABLE co-located join — the storage-layout answer
+    * to the shuffle (q138 clusters for SKIPPING; this clusters for
+    * JOINS): both fact tables land bucketed by the join key, so the
+    * recurring orders⨝lineitem join runs with no exchange
+    * on EVERY subsequent query — the amortize-the-shuffle-once
+    * primitive a 100 TB star schema is built on. The gated census
+    * aggregates the joined rows per customer cohort; the oracle
+    * replays the join from the raw tables, so a bucket-misrouted row
+    * (wrong hash, dropped bucket) breaks equality.
+    *
+    * Determinism: cents are exact; counts/sums BIGINT. Scale: the
+    * ONLY shuffle in the plan is the final 16-row cohort agg;
+    * `PlanShapeSpec` pins zero exchange/sort under the join.
+    */
+  def q287BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    q287BucketedCore(spark, dir)
+      .groupBy((col("o_custkey") % 16).as("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).as("total_qty"),
+        round(sum(col("ext_cents")) / 100.0, 2).as("sum_ext"))
+      .orderBy("cohort")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_bucketed_join" -> (q287BucketedJoin _),
     "q281_dynamic_partition_overwrite" -> (q281DynamicPartitionOverwrite _),
     "q253_range_planner" -> (q253RangePlanner _),
     "q136_merge_snapshot" -> (q136MergeSnapshot _),
@@ -411,6 +485,16 @@ object LakehouseQueries extends QueryModule {
       |  WHERE c.op IS NULL OR c.op <> 'D')""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the join replayed from the raw tables — a bucket-misrouted or
+    // dropped row breaks the cohort census
+    "q287_bucketed_join" ->
+      """SELECT o_custkey % 16 AS cohort, count(*)::BIGINT AS n,
+        |       sum(CAST(l_quantity AS BIGINT))::BIGINT AS total_qty,
+        |       round(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |             / 100.0, 2) + 0.0 AS sum_ext
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // the restatement stated blindly: the min day carries doubled
     // cents, every other partition must be byte-identical to v1
     "q281_dynamic_partition_overwrite" ->

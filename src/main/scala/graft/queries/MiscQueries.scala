@@ -2215,7 +2215,69 @@ object MiscQueries extends QueryModule {
       .orderBy("lag")
   }
 
+  /** q285: BENJAMINI–HOCHBERG FDR over a family of per-cohort KS tests
+    * — the multiple-comparisons member of the eval family (q280 tests
+    * ONE hypothesis; a real experiment platform tests dozens per day
+    * and must control the false-discovery rate, not per-test α): the
+    * q280 two-sample KS device runs per user cohort (user_id mod 8),
+    * then the step-up procedure ranks the m p-values and rejects
+    * exactly those at rank ≤ k* = max{i : p₍ᵢ₎ ≤ i·α/m}.
+    *
+    * Determinism: each cohort's D is the BIGINT cross-multiplied sup
+    * on its own census; p-values snap to the 10⁻⁸ grid before ranking
+    * (so rank order is grid-stable), ties break on cohort id, and the
+    * BH inequality is mirrored verbatim. Scale: ONE grouped census +
+    * a cohort-PARTITIONED cum window; everything after the per-cohort
+    * agg is m rows — the step-up window sits over an aggregate
+    * (census-bounded, PlanGuards-clean).
+    */
+  def q285BhFdr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select((col("user_id") % 8).as("g"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+    val census = ev.groupBy("g", "vc").agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+    val wg = Window.partitionBy("g").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census
+      .withColumn("cum1", sum("c1").over(wg))
+      .withColumn("cum2", sum("c2").over(wg))
+    val tot = census.groupBy("g").agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val d = cum.join(tot, "g")
+      .groupBy("g", "n1", "n2")
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("dnum"))
+      .select(col("g"), col("n1"), col("n2"),
+        (col("dnum").cast("double") / (col("n1") * col("n2")).cast("double")).as("d"))
+    val p = d
+      .withColumn("ne",
+        (col("n1") * col("n2")).cast("double") / (col("n1") + col("n2")).cast("double"))
+      .withColumn("lambda",
+        (sqrt(col("ne")) + 0.12 + lit(0.11) / sqrt(col("ne"))) * col("d"))
+      .withColumn("p_value", least(lit(1.0),
+        floor((lit(2.0) * (
+          exp(lit(-2.0) * col("lambda") * col("lambda")) -
+            exp(lit(-8.0) * col("lambda") * col("lambda")) +
+            exp(lit(-18.0) * col("lambda") * col("lambda")) -
+            exp(lit(-32.0) * col("lambda") * col("lambda")))) * 100000000.0 + 0.5)
+          / 100000000.0))
+    val m = tot.agg(count(lit(1)).as("m"))
+    val ranked = p.crossJoin(broadcast(m))
+      .withColumn("bh_rank", row_number().over(Window.orderBy("p_value", "g")))
+    val kstar = ranked.agg(max(
+      when(col("p_value") <= col("bh_rank").cast("double") * 0.05 / col("m").cast("double"),
+        col("bh_rank")).otherwise(lit(0))).as("kstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("g"), col("n1"), col("n2"), col("d"), col("p_value"),
+        col("bh_rank").cast("long").as("bh_rank"),
+        when(col("bh_rank") <= col("kstar"), 1L).otherwise(0L).as("reject_fdr05"))
+      .orderBy("g")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_bh_fdr" -> (q285BhFdr _),
     "q283_spearman" -> (q283Spearman _),
     "q284_acf" -> (q284Acf _),
     "q280_ks_test" -> (q280KsTest _),
@@ -2278,6 +2340,55 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same per-cohort census/sup/λ/series chain, p snapped to the 10⁻⁸
+    // grid BEFORE ranking, same (p, g) tie-break, same step-up bound
+    "q285_bh_fdr" ->
+      """WITH ev AS (
+        |  SELECT user_id % 8 AS g, event_type,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |census AS (
+        |  SELECT g, vc,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c2
+        |  FROM ev GROUP BY g, vc),
+        |cum AS (
+        |  SELECT census.*,
+        |         sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2
+        |  FROM census
+        |  WINDOW w AS (PARTITION BY g ORDER BY vc
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT g, sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+        |        FROM census GROUP BY g),
+        |dd AS (
+        |  SELECT cum.g, n1, n2,
+        |         max(abs(cum1 * n2 - cum2 * n1))::DOUBLE / (n1 * n2)::DOUBLE AS d
+        |  FROM cum JOIN tot USING (g) GROUP BY cum.g, n1, n2),
+        |lam AS (
+        |  SELECT dd.*,
+        |         (sqrt((n1 * n2)::DOUBLE / (n1 + n2)::DOUBLE) + 0.12 +
+        |          0.11 / sqrt((n1 * n2)::DOUBLE / (n1 + n2)::DOUBLE)) * d AS lambda
+        |  FROM dd),
+        |p AS (
+        |  SELECT lam.*,
+        |         least(1.0, floor((2.0 * (exp(-2.0 * lambda * lambda)
+        |                     - exp(-8.0 * lambda * lambda)
+        |                     + exp(-18.0 * lambda * lambda)
+        |                     - exp(-32.0 * lambda * lambda))) * 100000000.0 + 0.5)
+        |           / 100000000.0) AS p_value
+        |  FROM lam),
+        |ranked AS (
+        |  SELECT p.*, (SELECT count(*) FROM p) AS m,
+        |         row_number() OVER (ORDER BY p_value, g) AS bh_rank
+        |  FROM p),
+        |k AS (
+        |  SELECT max(CASE WHEN p_value <= bh_rank::DOUBLE * 0.05 / m::DOUBLE
+        |                  THEN bh_rank ELSE 0 END) AS kstar
+        |  FROM ranked)
+        |SELECT g, n1, n2, d, p_value, bh_rank::BIGINT AS bh_rank,
+        |       (CASE WHEN bh_rank <= kstar THEN 1 ELSE 0 END)::BIGINT AS reject_fdr05
+        |FROM ranked CROSS JOIN k
+        |ORDER BY g""".stripMargin,
     // same doubled-midrank censuses, same BIGINT moments, same IEEE
     // Pearson chain snapped to the 10⁻⁶ grid
     "q283_spearman" ->

@@ -1792,7 +1792,78 @@ object TextQueries extends QueryModule {
       .orderBy(col("n_occurrences").desc, col("phrase"))
   }
 
+  /** q286: corpus BLEU (Papineni '02, BLEU+1 smoothing) — the
+    * generation-eval member of the text family (q263's AUC scores a
+    * classifier, q255's nDCG scores retrieval; BLEU scores text
+    * AGAINST REFERENCE TEXT — the metric a distillation or translation
+    * pipeline runs at corpus scale): each even doc_id is the candidate
+    * for reference doc_id+1, modified n-gram precision (n=1..4) with
+    * per-pair clipping, corpus-pooled per source with the brevity
+    * penalty.
+    *
+    * Determinism: all match/total counts are BIGINT; the geometric
+    * mean is (Π(Mₙ+1)/(Tₙ+1))^¼ computed as sqrt(sqrt(·)) — two
+    * IEEE-exact sqrts, NO libm pow/ln anywhere; the single exp (the
+    * brevity penalty) rides the final product into the 10⁻⁸ snap (the
+    * q264 libm rule). Scale: n-gram explode → keyed counts → one
+    * (pid, n, gram) equi-join for the clip — never a pair product;
+    * per-source pooling is a partial agg.
+    */
+  def q286Bleu(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+    val pairs = toks.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("pid"), col("source"), col("w").as("cw"))
+      .join(toks.select((col("doc_id") - 1).as("pid"), col("w").as("rw")), "pid")
+      .localCheckpoint()
+    def gramRows(wcol: String): DataFrame =
+      (1 to 4).map { n =>
+        pairs.select(col("pid"),
+            explode(when(size(col(wcol)) >= n, expr(
+              s"transform(sequence(1, size($wcol) - ${n - 1}), i -> concat_ws(' ', slice($wcol, i, $n)))"))
+              .otherwise(array())).as("g"))
+          .withColumn("n", lit(n.toLong))
+      }.reduce(_ unionByName _)
+    val cand = gramRows("cw").groupBy("pid", "n", "g").agg(count(lit(1)).as("cc"))
+    val ref = gramRows("rw").groupBy("pid", "n", "g").agg(count(lit(1)).as("rc"))
+    val matches = cand.join(ref, Seq("pid", "n", "g"))
+      .groupBy("pid", "n").agg(sum(least(col("cc"), col("rc"))).as("mm"))
+    val perPair = pairs.select(col("pid"), col("source"),
+        size(col("cw")).cast("long").as("clen"), size(col("rw")).cast("long").as("rlen"))
+      .join(matches.groupBy("pid").agg(
+        sum(when(col("n") === 1, col("mm")).otherwise(0L)).as("m1"),
+        sum(when(col("n") === 2, col("mm")).otherwise(0L)).as("m2"),
+        sum(when(col("n") === 3, col("mm")).otherwise(0L)).as("m3"),
+        sum(when(col("n") === 4, col("mm")).otherwise(0L)).as("m4")),
+        Seq("pid"), "left")
+    val src = perPair.groupBy("source").agg(
+      count(lit(1)).as("n_pairs"),
+      sum("clen").as("c_len"), sum("rlen").as("r_len"),
+      sum(greatest(col("clen"), lit(0L))).as("t1"),
+      sum(greatest(col("clen") - 1L, lit(0L))).as("t2"),
+      sum(greatest(col("clen") - 2L, lit(0L))).as("t3"),
+      sum(greatest(col("clen") - 3L, lit(0L))).as("t4"),
+      sum(coalesce(col("m1"), lit(0L))).as("m1"),
+      sum(coalesce(col("m2"), lit(0L))).as("m2"),
+      sum(coalesce(col("m3"), lit(0L))).as("m3"),
+      sum(coalesce(col("m4"), lit(0L))).as("m4"))
+    def prec(m: String, t: String): Column =
+      (col(m) + 1L).cast("double") / (col(t) + 1L).cast("double")
+    src.select(col("source"), col("n_pairs"), col("c_len"), col("r_len"),
+        col("m1"), col("m2"), col("m3"), col("m4"),
+        sqrt(sqrt(prec("m1", "t1") * prec("m2", "t2") *
+          prec("m3", "t3") * prec("m4", "t4"))).as("geo"),
+        when(col("c_len") >= col("r_len"), lit(1.0))
+          .otherwise(exp(lit(1.0) -
+            col("r_len").cast("double") / col("c_len").cast("double"))).as("bp"))
+      .select(col("source"), col("n_pairs"), col("c_len"), col("r_len"),
+        col("m1"), col("m2"), col("m3"), col("m4"),
+        (floor(col("bp") * col("geo") * 100000000.0 + 0.5) / 100000000.0).as("bleu"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_bleu" -> (q286Bleu _),
     "q264_zipf_fit" -> (q264ZipfFit _),
     "q265_token_gini" -> (q265TokenGini _),
     "q267_phrase_search" -> (q267PhraseSearch _),
@@ -1884,6 +1955,58 @@ object TextQueries extends QueryModule {
       |${bpeOracleStage(3)}""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same pairing, same per-pair clipped counts, same BIGINT pooling,
+    // same sqrt(sqrt(·)) geometric mean and snapped BP product
+    "q286_bleu" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |pairs AS (
+        |  SELECT c.doc_id AS pid, c.source, c.w AS cw, r.w AS rw
+        |  FROM toks c JOIN toks r ON r.doc_id = c.doc_id + 1
+        |  WHERE c.doc_id % 2 = 0),
+        |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+        |cg AS (
+        |  SELECT pid, n,
+        |         unnest([array_to_string(cw[i:i+n-1], ' ')
+        |                 FOR i IN range(1, len(cw) - n + 2)]) AS g
+        |  FROM pairs CROSS JOIN ns),
+        |rg AS (
+        |  SELECT pid, n,
+        |         unnest([array_to_string(rw[i:i+n-1], ' ')
+        |                 FOR i IN range(1, len(rw) - n + 2)]) AS g
+        |  FROM pairs CROSS JOIN ns),
+        |cand AS (SELECT pid, n, g, count(*)::BIGINT AS cc FROM cg GROUP BY pid, n, g),
+        |refc AS (SELECT pid, n, g, count(*)::BIGINT AS rc FROM rg GROUP BY pid, n, g),
+        |mt AS (
+        |  SELECT pid, n, sum(least(cc, rc))::BIGINT AS mm
+        |  FROM cand JOIN refc USING (pid, n, g) GROUP BY pid, n),
+        |pp AS (
+        |  SELECT p.pid, p.source, len(cw)::BIGINT AS clen, len(rw)::BIGINT AS rlen,
+        |         coalesce(sum(CASE WHEN n = 1 THEN mm END), 0)::BIGINT AS m1,
+        |         coalesce(sum(CASE WHEN n = 2 THEN mm END), 0)::BIGINT AS m2,
+        |         coalesce(sum(CASE WHEN n = 3 THEN mm END), 0)::BIGINT AS m3,
+        |         coalesce(sum(CASE WHEN n = 4 THEN mm END), 0)::BIGINT AS m4
+        |  FROM pairs p LEFT JOIN mt ON mt.pid = p.pid
+        |  GROUP BY p.pid, p.source, clen, rlen),
+        |src AS (
+        |  SELECT source, count(*)::BIGINT AS n_pairs,
+        |         sum(clen)::BIGINT AS c_len, sum(rlen)::BIGINT AS r_len,
+        |         sum(greatest(clen, 0))::BIGINT AS t1,
+        |         sum(greatest(clen - 1, 0))::BIGINT AS t2,
+        |         sum(greatest(clen - 2, 0))::BIGINT AS t3,
+        |         sum(greatest(clen - 3, 0))::BIGINT AS t4,
+        |         sum(m1)::BIGINT AS m1, sum(m2)::BIGINT AS m2,
+        |         sum(m3)::BIGINT AS m3, sum(m4)::BIGINT AS m4
+        |  FROM pp GROUP BY source)
+        |SELECT source, n_pairs, c_len, r_len, m1, m2, m3, m4,
+        |       floor((CASE WHEN c_len >= r_len THEN 1.0
+        |                   ELSE exp(1.0 - r_len::DOUBLE / c_len::DOUBLE) END) *
+        |             sqrt(sqrt(((m1 + 1)::DOUBLE / (t1 + 1)::DOUBLE) *
+        |                       ((m2 + 1)::DOUBLE / (t2 + 1)::DOUBLE) *
+        |                       ((m3 + 1)::DOUBLE / (t3 + 1)::DOUBLE) *
+        |                       ((m4 + 1)::DOUBLE / (t4 + 1)::DOUBLE))) *
+        |             100000000.0 + 0.5) / 100000000.0 AS bleu
+        |FROM src
+        |ORDER BY source""".stripMargin,
     // same census rank order, same ⌊ln·10⁶⌋ grid, same BIGINT moments,
     // same one-divide slope and mirrored intercept/R²/fitted chains
     "q264_zipf_fit" ->

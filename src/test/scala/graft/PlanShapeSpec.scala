@@ -1000,4 +1000,20 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = finalPlan(graft.queries.PipelineQueries.q262Hits(spark, dir))
     assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
   }
+
+  test("q287 bucketed join: sort-merge with ZERO exchange — the co-located layout pays") {
+    val joined = graft.queries.LakehouseQueries.q287BucketedCore(spark, dir)
+    val plan = finalPlan(joined)
+    assert(plan.contains("SortMergeJoin"), s"plan was:\n$plan")
+    // matching 8-bucket layouts on both sides: the join consumes the
+    // tables' HashPartitioning directly — the shuffle is gone
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    // the remaining sorts must be PARTITION-LOCAL merge preludes
+    // (global=false), never a single-partition global sort (modern
+    // Spark hides in-bucket order from the scan, so these are expected)
+    val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(plan).toSeq
+    assert(globalSorts.isEmpty, s"global sort in bucketed join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+  }
 }
