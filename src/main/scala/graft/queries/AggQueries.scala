@@ -298,6 +298,50 @@ object AggQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q289: HLL SET-OPERATION estimates — the inclusion–exclusion
+    * completion of the sketch family (q190 estimates ONE set, q209
+    * rolls sketches up a hierarchy; audience-overlap questions need
+    * |A∩B|, which HLL cannot store but CAN derive:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is
+    * exactly the register-wise max — here produced by sketching the
+    * concatenated stream, which is identical by the merge law
+    * (`SketchLawsSpec`)): viewer/purchaser user-set overlap, with the
+    * exact truth and signed error beside it (intersection error
+    * compounds three estimates — the caveat the output makes visible).
+    *
+    * Determinism: same 60-bit md5 hash and exact-integer register
+    * chains as q190, three of them replayed in the oracle; the
+    * inclusion–exclusion is one double chain snapped at 4 dp. Scale:
+    * three partial+final object aggs over one pushed-filter scan —
+    * 4 KB each across the shuffle; a production warehouse would keep
+    * per-segment REGISTER columns (q209) and merge, this gate
+    * certifies the set-op arithmetic those merges feed.
+    */
+  def q289HllSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val hll = udaf(new graft.functions.SketchAggregators.HllAggregator(12))
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id"), h.as("h"))
+    val a = ev.filter(col("event_type") === "view")
+      .agg(hll(col("h")).as("est_a"), countDistinct("user_id").as("exact_a"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .agg(hll(col("h")).as("est_b"), countDistinct("user_id").as("exact_b"))
+    val u = ev.agg(hll(col("h")).as("est_u"), countDistinct("user_id").as("exact_u"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(u))
+      .select(
+        round(col("est_a"), 4).as("est_view"),
+        round(col("est_b"), 4).as("est_purchase"),
+        round(col("est_u"), 4).as("est_union"),
+        round(col("est_a") + col("est_b") - col("est_u"), 4).as("est_overlap"),
+        (col("exact_a") + col("exact_b") - col("exact_u")).as("exact_overlap"),
+        round(abs(col("est_a") + col("est_b") - col("est_u") -
+          (col("exact_a") + col("exact_b") - col("exact_u")).cast("double")) /
+          (col("exact_a") + col("exact_b") - col("exact_u")).cast("double"), 4)
+          .as("rel_err"))
+  }
+
   /** q195: Count-Min frequency sketch (Cormode & Muthukrishnan 2005)
     * built over the event stream and point-queried for the true top-10
     * users — the frequency sibling of q190's HLL and the SKETCHED
@@ -580,6 +624,7 @@ object AggQueries extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_hll_distinct" -> (q190HllDistinct _),
+    "q289_hll_setops" -> (q289HllSetOps _),
     "q195_cms_frequency" -> (q195CmsFrequency _),
     "q209_sketch_rollup" -> (q209SketchRollup _),
     "q225_cms_accuracy_curve" -> (q225CmsAccuracyCurve _),
@@ -731,6 +776,51 @@ object AggQueries extends QueryModule {
     // the oracle is BLIND to the two-level sketch plan: it builds
     // registers directly at each coarse grain (q190's replay per
     // source and per lang) — store/merge losslessness is what's gated
+    // three full HLL replays (view / purchase / union) — same 60-bit
+    // hash, exact BIGINT register chains, one fixed double chain each —
+    // then the same inclusion–exclusion arithmetic, snapped at 4 dp
+    "q289_hll_setops" -> {
+      def chain(tag: String, pred: String): String =
+        s"""h_$tag AS (
+           |  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+           |  FROM events WHERE $pred),
+           |b_$tag AS (
+           |  SELECT h // 281474976710656 AS bucket, h % 281474976710656 AS w
+           |  FROM h_$tag),
+           |r_$tag AS (
+           |  SELECT bucket,
+           |         max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS reg
+           |  FROM b_$tag GROUP BY bucket),
+           |s_$tag AS (
+           |  SELECT (sum(1::BIGINT << (49 - reg))
+           |            + (4096 - count(*)) * 562949953421312)::BIGINT AS s,
+           |         (4096 - count(*))::BIGINT AS v
+           |  FROM r_$tag),
+           |e_$tag AS (
+           |  SELECT CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+           |                   * 562949953421312.0 / s::DOUBLE <= 2.5 * 4096.0 AND v > 0
+           |              THEN 4096.0 * ln(4096.0 / v)
+           |              ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+           |                   * 562949953421312.0 / s::DOUBLE END AS est
+           |  FROM s_$tag)""".stripMargin
+      s"""WITH ${chain("a", "event_type = 'view'")},
+         |${chain("b", "event_type = 'purchase'")},
+         |${chain("u", "event_type IN ('view', 'purchase')")},
+         |ex AS (
+         |  SELECT count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)::BIGINT AS exact_a,
+         |         count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)::BIGINT AS exact_b,
+         |         count(DISTINCT user_id)::BIGINT AS exact_u
+         |  FROM events WHERE event_type IN ('view', 'purchase'))
+         |SELECT round(e_a.est, 4) + 0.0 AS est_view,
+         |       round(e_b.est, 4) + 0.0 AS est_purchase,
+         |       round(e_u.est, 4) + 0.0 AS est_union,
+         |       round(e_a.est + e_b.est - e_u.est, 4) + 0.0 AS est_overlap,
+         |       (exact_a + exact_b - exact_u)::BIGINT AS exact_overlap,
+         |       round(abs(e_a.est + e_b.est - e_u.est -
+         |                 (exact_a + exact_b - exact_u)::DOUBLE) /
+         |             (exact_a + exact_b - exact_u)::DOUBLE, 4) + 0.0 AS rel_err
+         |FROM e_a CROSS JOIN e_b CROSS JOIN e_u CROSS JOIN ex""".stripMargin
+    },
     "q209_sketch_rollup" ->
       """WITH h AS (
         |  SELECT DISTINCT source, lang,

@@ -2276,7 +2276,50 @@ object MiscQueries extends QueryModule {
       .orderBy("g")
   }
 
+  /** q288: KENDALL τ-b — the ordinal-association member of the
+    * correlation family (q283's Spearman correlates ranks; Kendall
+    * counts concordant vs discordant PAIRS, the robust choice for
+    * coarse ordinal scales): association between hour-of-day and the
+    * 50-unit value band over all events, with the τ-b tie correction
+    * (both variables are heavily tied by construction).
+    *
+    * Determinism: the O(n²) pair count collapses onto the (hour, band)
+    * CELL CENSUS — concordant/discordant sums are Σ nᵢ·nⱼ over ordered
+    * cell pairs, exact BIGINT; tie terms are t(t−1)/2 integer
+    * divisions; only the final ratio is a double (the two variance
+    * factors are cast to double BEFORE multiplying — their BIGINT
+    * product overflows at ~10⁵ rows), snapped to the 10⁻⁶ grid.
+    * Scale: the cell census is ≤ 24×~10 cells at ANY row count, so
+    * the pair "product" is a bounded broadcast cross join — the
+    * device that makes pair-counting statistics census-sized.
+    */
+  def q288KendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      hour(col("ts")).cast("long").as("x"),
+      floor(col("value") / 50.0).cast("long").as("y"))
+    val census = ev.groupBy("x", "y").agg(count(lit(1)).as("nc")).localCheckpoint()
+    val cd = census.select(col("x").as("xa"), col("y").as("ya"), col("nc").as("na"))
+      .crossJoin(broadcast(
+        census.select(col("x").as("xb"), col("y").as("yb"), col("nc").as("nb"))))
+      .filter(col("xa") < col("xb"))
+      .agg(
+        sum(when(col("ya") < col("yb"), col("na") * col("nb")).otherwise(0L)).as("c"),
+        sum(when(col("ya") > col("yb"), col("na") * col("nb")).otherwise(0L)).as("d"))
+    val n0 = census.agg(expr("(sum(nc) * (sum(nc) - 1)) div 2").as("n0"))
+    val n1 = census.groupBy("x").agg(sum("nc").as("t"))
+      .agg(expr("sum((t * (t - 1)) div 2)").as("n1"))
+    val n2 = census.groupBy("y").agg(sum("nc").as("t"))
+      .agg(expr("sum((t * (t - 1)) div 2)").as("n2"))
+    cd.crossJoin(broadcast(n0)).crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("c"), col("d"), col("n0"), col("n1"), col("n2"),
+        (floor((col("c") - col("d")).cast("double") /
+          sqrt((col("n0") - col("n1")).cast("double") *
+            (col("n0") - col("n2")).cast("double")) * 1000000.0 + 0.5)
+          / 1000000.0).as("tau_b"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_kendall_tau" -> (q288KendallTau _),
     "q285_bh_fdr" -> (q285BhFdr _),
     "q283_spearman" -> (q283Spearman _),
     "q284_acf" -> (q284Acf _),
@@ -2340,6 +2383,28 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same cell census, same ordered-pair BIGINT sums, same integer tie
+    // terms, same double-cast variance product, same snapped ratio
+    "q288_kendall_tau" ->
+      """WITH ev AS (
+        |  SELECT hour(ts)::BIGINT AS x,
+        |         CAST(floor(value / 50.0) AS BIGINT) AS y
+        |  FROM events),
+        |census AS (SELECT x, y, count(*)::BIGINT AS nc FROM ev GROUP BY x, y),
+        |cd AS (
+        |  SELECT sum(CASE WHEN a.y < b.y THEN a.nc * b.nc ELSE 0 END)::BIGINT AS c,
+        |         sum(CASE WHEN a.y > b.y THEN a.nc * b.nc ELSE 0 END)::BIGINT AS d
+        |  FROM census a CROSS JOIN census b WHERE a.x < b.x),
+        |n0 AS (SELECT (sum(nc) * (sum(nc) - 1)) // 2 AS n0 FROM census),
+        |n1 AS (SELECT sum((t * (t - 1)) // 2)::BIGINT AS n1
+        |       FROM (SELECT sum(nc)::BIGINT AS t FROM census GROUP BY x)),
+        |n2 AS (SELECT sum((t * (t - 1)) // 2)::BIGINT AS n2
+        |       FROM (SELECT sum(nc)::BIGINT AS t FROM census GROUP BY y))
+        |SELECT c, d, n0, n1, n2,
+        |       floor((c - d)::DOUBLE /
+        |             sqrt((n0 - n1)::DOUBLE * (n0 - n2)::DOUBLE) *
+        |             1000000.0 + 0.5) / 1000000.0 AS tau_b
+        |FROM cd CROSS JOIN n0 CROSS JOIN n1 CROSS JOIN n2""".stripMargin,
     // same per-cohort census/sup/λ/series chain, p snapped to the 10⁻⁸
     // grid BEFORE ranking, same (p, g) tie-break, same step-up bound
     "q285_bh_fdr" ->

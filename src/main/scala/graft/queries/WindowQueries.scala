@@ -410,7 +410,51 @@ object WindowQueries extends QueryModule {
       .orderBy("p_brand", "price", "p_partkey")
   }
 
+  /** q290: INTERVAL-UNION coverage (gaps-and-islands) — the range
+    * member of the window family (q97 sessionizes POINTS by gap; this
+    * merges overlapping INTERVALS — effective watch-time / machine-
+    * uptime semantics, where double-counted overlap is the bug):
+    * each event opens an interval [s, s + 60 + cents mod 600]; per
+    * user, covered seconds = Σ over rows of the part of the interval
+    * past the running max of all previous ends, and islands = the
+    * count of rows that start past it. Reported as a per-cohort
+    * census (user_id mod 25).
+    *
+    * Determinism: interval bounds are exact integer seconds; rows tied
+    * on (s, e) are identical rows, so the ROWS-frame running max is
+    * order-invariant under any tie permutation — both engines walk the
+    * same fold. Scale: ONE user-partitioned window (key-parallel) +
+    * one keyed agg; no self-join, no explode — the O(n log n) plan for
+    * a problem often written as an O(n²) overlap join.
+    */
+  def q290IntervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir).select(
+        col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("s"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("e", col("s") + 60L + pmod(col("cents"), lit(600L)))
+    val w = Window.partitionBy("user_id").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val folded = iv
+      .withColumn("pmax", max("e").over(w))
+      .withColumn("covered",
+        greatest(col("e") - greatest(col("s"), coalesce(col("pmax"), lit(Long.MinValue))),
+          lit(0L)))
+      .withColumn("island",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+    folded.groupBy("user_id")
+      .agg(sum("covered").as("cov"), sum("island").as("isl"), count(lit(1)).as("nev"))
+      .groupBy(pmod(col("user_id"), lit(25L)).as("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        sum("cov").as("covered_sec"),
+        sum("isl").as("islands"),
+        sum("nev").as("n_events"),
+        max("cov").as("max_user_covered"))
+      .orderBy("cohort")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_interval_coverage" -> (q290IntervalCoverage _),
     "q272_skyline" -> (q272Skyline _),
     "q197_decay_attribution" -> (q197DecayAttribution _),
     "q192_kaplan_meier" -> (q192KaplanMeier _),
@@ -427,6 +471,34 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same integer interval fold: running max over the (s, e)-ordered
+    // ROWS frame, clamped contribution, island flag, cohort census
+    "q290_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+        |         epoch_us(ts) // 1000000 + 60 +
+        |           (CAST(floor(value * 100.0 + 0.5) AS BIGINT) % 600 + 600) % 600 AS e
+        |  FROM events),
+        |folded AS (
+        |  SELECT user_id, s, e,
+        |         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |contrib AS (
+        |  SELECT user_id,
+        |         greatest(e - greatest(s, coalesce(pmax, -9223372036854775808)), 0) AS covered,
+        |         CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS island
+        |  FROM folded),
+        |per_user AS (
+        |  SELECT user_id, sum(covered)::BIGINT AS cov, sum(island)::BIGINT AS isl,
+        |         count(*)::BIGINT AS nev
+        |  FROM contrib GROUP BY user_id)
+        |SELECT ((user_id % 25) + 25) % 25 AS cohort, count(*)::BIGINT AS n_users,
+        |       sum(cov)::BIGINT AS covered_sec, sum(isl)::BIGINT AS islands,
+        |       sum(nev)::BIGINT AS n_events, max(cov)::BIGINT AS max_user_covered
+        |FROM per_user
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // dominance stated blindly as a NOT-EXISTS anti-self-join — a
     // different algorithm from the engine's window plan, same frontier
     "q272_skyline" ->
