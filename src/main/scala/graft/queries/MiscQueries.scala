@@ -2318,7 +2318,128 @@ object MiscQueries extends QueryModule {
           / 1000000.0).as("tau_b"))
   }
 
+  /** q292: RFM segmentation — the customer-value census every commerce
+    * warehouse maintains (q95 cohorts by first-seen; RFM scores each
+    * user on Recency/Frequency/Monetary quintiles and the segment
+    * CELL is the unit of marketing action): per purchasing user,
+    * recency (days since last purchase vs corpus max day), purchase
+    * count, and cents total, each scored 1–5 by the value-census
+    * quintile rule score = ⌊before·5/n⌋+1 — ties share a score, so
+    * the banding is deterministic where NTILE's tie-splitting is row-
+    * order-dependent (the reason this is census-ranked, not ntiled).
+    * Recency ranks DESCENDING so recent = 5.
+    *
+    * Determinism: all three metrics are integers; scores are integer
+    * arithmetic on census cumulatives; the output is the (r,f,m) cell
+    * census with exact cents. Scale: one user agg, three census
+    * joins-back (censuses are value-cardinality), one cell agg —
+    * census windows only.
+    */
+  def q292RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val maxDay = ev.agg(max("day").as("maxd"))
+    val user = ev.crossJoin(broadcast(maxDay))
+      .groupBy("user_id")
+      .agg((max("maxd") - max("day")).as("rec"),
+        count(lit(1)).as("freq"), sum("cents").as("mon"))
+      .localCheckpoint()
+    val nu = user.agg(count(lit(1)).as("nu"))
+    def scores(c: String, sn: String, desc: Boolean): DataFrame = {
+      val ord = if (desc) Window.orderBy(col(c).desc) else Window.orderBy(col(c).asc)
+      user.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(nu))
+        .select(col(c), (expr("((cum - cnt) * 5) div nu") + 1L).as(sn))
+    }
+    user
+      .join(scores("rec", "r_score", desc = true), "rec")
+      .join(scores("freq", "f_score", desc = false), "freq")
+      .join(scores("mon", "m_score", desc = false), "mon")
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum("mon") / 100.0, 2).as("cell_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** q293: sequential-pattern SUPPORT — the ordered-containment member
+    * of the behavior family (q245's Markov transitions count ADJACENT
+    * steps; support counts users whose history contains a BEFORE b
+    * anywhere, the GSP/PrefixSpan length-2 primitive): for every
+    * ordered type pair, the share of users with some a-event strictly
+    * before some b-event — decided entirely by min-ts(a) < max-ts(b),
+    * which is why the fact table collapses to a (user, type) min/max
+    * census first.
+    *
+    * Determinism: pure integer micros comparisons and counts. Scale:
+    * one keyed agg to ≤ 5 rows/user, a user-keyed self-join bounded
+    * at 25 pairs/user, one pair agg — support never touches raw event
+    * pairs (the naive form is an event×event self-join).
+    */
+  def q293SeqPatternSupport(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(min(expr("unix_micros(ts)")).as("mn"), max(expr("unix_micros(ts)")).as("mx"))
+      .localCheckpoint()
+    val nu = ut.select("user_id").distinct().agg(count(lit(1)).as("nu"))
+    ut.select(col("user_id"), col("event_type").as("a"), col("mn"))
+      .join(ut.select(col("user_id"), col("event_type").as("b"), col("mx")), "user_id")
+      .filter(col("mn") < col("mx"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support_users"))
+      .crossJoin(broadcast(nu))
+      .select(col("a"), col("b"), col("support_users"),
+        expr("(support_users * 1000000) div nu").as("support_ppm"))
+      .orderBy("a", "b")
+  }
+
+  /** q294: CROSS-correlation function between the daily view and
+    * purchase count series at lags −7..+7 — the two-series sibling of
+    * q284's ACF (ACF asks "does today predict tomorrow"; CCF asks
+    * "do views LEAD purchases, and by how many days": the peak lag is
+    * the demand latency). num(k) = Σₜ c_x(t)·c_y(t−k) over exact-day
+    * pairs, normalized by the two marginal sums of squares.
+    *
+    * Determinism: both series center via the N-scaled BIGINT residual
+    * (q284's device), so numerator and both denominator factors are
+    * exact integer sums; one double chain snapped to the 10⁻⁶ grid.
+    * Scale: one day census, a 15×days fan-out joined on day, two
+    * BIGINT aggs — same envelope as q284.
+    */
+  def q294Ccf(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val tot = days.agg(count(lit(1)).as("nd"), sum("x").as("sx"), sum("y").as("sy"))
+    val c = days.crossJoin(broadcast(tot))
+      .select(col("day"),
+        (col("nd") * col("x") - col("sx")).as("cx"),
+        (col("nd") * col("y") - col("sy")).as("cy"))
+      .localCheckpoint()
+    val den = c.agg(sum(col("cx") * col("cx")).as("dx"), sum(col("cy") * col("cy")).as("dy"))
+    val lagged = spark.range(-7, 8).select(col("id").as("lag"))
+      .crossJoin(c.select(col("day").as("d0"), col("cy").as("cy0")))
+      .select(col("lag"), (col("d0") + col("lag")).as("day"), col("cy0"))
+    c.join(lagged, "day")
+      .groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+        sum(col("cx") * col("cy0")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        (floor(col("num").cast("double") /
+          sqrt(col("dx").cast("double") * col("dy").cast("double")) *
+          1000000.0 + 0.5) / 1000000.0).as("ccf"))
+      .orderBy("lag")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_rfm_segments" -> (q292RfmSegments _),
+    "q293_seq_pattern_support" -> (q293SeqPatternSupport _),
+    "q294_ccf" -> (q294Ccf _),
     "q288_kendall_tau" -> (q288KendallTau _),
     "q285_bh_fdr" -> (q285BhFdr _),
     "q283_spearman" -> (q283Spearman _),
@@ -2383,6 +2504,84 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same user metrics, same census-quintile rule (recency ranked
+    // DESC), same cell census with exact cents
+    "q292_rfm_segments" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id,
+        |         (SELECT max(day) FROM ev) - max(day) AS rec,
+        |         count(*)::BIGINT AS freq, sum(cents)::BIGINT AS mon
+        |  FROM ev GROUP BY user_id),
+        |nu AS (SELECT count(*)::BIGINT AS nu FROM u),
+        |rs AS (
+        |  SELECT rec, ((cum - cnt) * 5) // nu + 1 AS r_score FROM (
+        |    SELECT rec, cnt, sum(cnt) OVER (ORDER BY rec DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT rec, count(*)::BIGINT AS cnt FROM u GROUP BY rec))
+        |  CROSS JOIN nu),
+        |fs AS (
+        |  SELECT freq, ((cum - cnt) * 5) // nu + 1 AS f_score FROM (
+        |    SELECT freq, cnt, sum(cnt) OVER (ORDER BY freq ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT freq, count(*)::BIGINT AS cnt FROM u GROUP BY freq))
+        |  CROSS JOIN nu),
+        |ms AS (
+        |  SELECT mon, ((cum - cnt) * 5) // nu + 1 AS m_score FROM (
+        |    SELECT mon, cnt, sum(cnt) OVER (ORDER BY mon ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT mon, count(*)::BIGINT AS cnt FROM u GROUP BY mon))
+        |  CROSS JOIN nu)
+        |SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+        |       m_score::BIGINT AS m_score,
+        |       count(*)::BIGINT AS n_users,
+        |       round(sum(mon) / 100.0, 2) + 0.0 AS cell_monetary
+        |FROM u JOIN rs USING (rec) JOIN fs USING (freq) JOIN ms USING (mon)
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // same (user, type) min/max census, same strict-before rule, same
+    // ppm integer division
+    "q293_seq_pattern_support" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type,
+        |         min(epoch_us(ts))::BIGINT AS mn, max(epoch_us(ts))::BIGINT AS mx
+        |  FROM events GROUP BY user_id, event_type),
+        |nu AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM ut)
+        |SELECT a.event_type AS a, b.event_type AS b,
+        |       count(*)::BIGINT AS support_users,
+        |       (count(*) * 1000000) // nu AS support_ppm
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |CROSS JOIN nu
+        |WHERE a.mn < b.mx
+        |GROUP BY a.event_type, b.event_type, nu
+        |ORDER BY a, b""".stripMargin,
+    // same day census, same N-scaled residuals for BOTH series, same
+    // exact-distance pairing, same snapped normalized ratio
+    "q294_ccf" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS x,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS nd, sum(x)::BIGINT AS sx,
+        |               sum(y)::BIGINT AS sy FROM days),
+        |c AS (SELECT day, nd * x - sx AS cx, nd * y - sy AS cy
+        |      FROM days CROSS JOIN tot),
+        |den AS (SELECT sum(cx * cx)::BIGINT AS dx, sum(cy * cy)::BIGINT AS dy FROM c),
+        |lagged AS (
+        |  SELECT l.lag, c.day + l.lag AS day, c.cy AS cy0
+        |  FROM (SELECT unnest(range(-7, 8)) AS lag) l CROSS JOIN c)
+        |SELECT lag::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+        |       floor(sum(c.cx * lagged.cy0)::DOUBLE /
+        |             sqrt((SELECT dx FROM den)::DOUBLE * (SELECT dy FROM den)::DOUBLE) *
+        |             1000000.0 + 0.5) / 1000000.0 AS ccf
+        |FROM c JOIN lagged USING (day)
+        |GROUP BY lag
+        |ORDER BY lag""".stripMargin,
     // same cell census, same ordered-pair BIGINT sums, same integer tie
     // terms, same double-cast variance product, same snapped ratio
     "q288_kendall_tau" ->

@@ -934,7 +934,55 @@ object PipelineQueries extends QueryModule {
     census.unionByName(unreachable).orderBy("hop")
   }
 
+  /** q291: NEYMAN optimal allocation — the survey-sampling member of
+    * the allocation family (q168 water-fills CAPS, q178 realizes a
+    * mixture; Neyman answers "given a 1000-row measurement budget,
+    * how many samples per stratum MINIMIZE the estimator's variance":
+    * n_h ∝ N_h·S_h — big AND noisy strata get more), over event-type
+    * strata on integer cents, integerized by largest-remainder so the
+    * allocations sum EXACTLY to the budget.
+    *
+    * Determinism: N_h·S_h = sqrt(N_h·Σx² − (Σx)²) — ONE IEEE sqrt on
+    * an exact BIGINT argument per stratum; quotas are one mirrored
+    * double chain; floors + a largest-remainder window ranked on
+    * (fractional part desc, type) make the integerization exact and
+    * tie-stable. Scale: one moment agg (partial+final) to 5 rows;
+    * everything after is census-sized. The BIGINT argument carries
+    * N·Σx² ≈ n²·x̄² — past ~10⁹ rows per stratum shift the moments to
+    * DECIMAL(38) or center first.
+    */
+  def q291NeymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 1000L
+    val m = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nh"), sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+      // N_h·S_h snapped to the 10⁻⁴ grid AS BIGINT before the total —
+      // a 5-row double sum is still partition-order-dependent; the
+      // scaled-integer sum is order-invariant
+      .withColumn("w",
+        floor(sqrt((col("nh") * col("s2") - col("s1") * col("s1")).cast("double"))
+          * 10000.0 + 0.5).cast("long"))
+    val tot = m.agg(sum("w").as("wsum"))
+    val q = m.crossJoin(broadcast(tot))
+      .withColumn("quota", (col("w") * budget).cast("double") / col("wsum").cast("double"))
+      .withColumn("base", floor(col("quota")).cast("long"))
+      .withColumn("frac", col("quota") - col("base").cast("double"))
+    val wRem = Window.orderBy(col("frac").desc, col("event_type").asc)
+    val short = q.agg((lit(budget) - sum("base")).as("short"))
+    q.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(wRem))
+      .select(col("event_type"), col("nh"),
+        (col("w").cast("double") / 10000.0).as("nh_sh"),
+        (floor(col("quota") * 10000.0 + 0.5) / 10000.0).as("quota"),
+        (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_neyman_allocation" -> (q291NeymanAllocation _),
     "q282_bfs_hops" -> (q282BfsHops _),
     "q262_hits" -> (q262Hits _),
     "q249_kcore" -> (q249KCore _),
@@ -1038,6 +1086,35 @@ object PipelineQueries extends QueryModule {
       |  FROM r2 CROSS JOIN k)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same BIGINT moments, same grid-snapped N_h·S_h, same largest-
+    // remainder ranking with the (frac desc, type) tie-break
+    "q291_neyman_allocation" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*)::BIGINT AS nh,
+        |         sum(c)::BIGINT AS s1, sum(c * c)::BIGINT AS s2
+        |  FROM ev GROUP BY event_type),
+        |w AS (
+        |  SELECT m.*,
+        |         CAST(floor(sqrt((nh * s2 - s1 * s1)::DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS w
+        |  FROM m),
+        |tot AS (SELECT sum(w)::BIGINT AS wsum FROM w),
+        |q AS (
+        |  SELECT w.*, (w * 1000)::DOUBLE / wsum::DOUBLE AS quota,
+        |         CAST(floor((w * 1000)::DOUBLE / wsum::DOUBLE) AS BIGINT) AS base
+        |  FROM w CROSS JOIN tot),
+        |r AS (
+        |  SELECT q.*, quota - base::DOUBLE AS frac,
+        |         (SELECT 1000 - sum(base) FROM q) AS short,
+        |         row_number() OVER (ORDER BY quota - base::DOUBLE DESC, event_type ASC) AS rk
+        |  FROM q)
+        |SELECT event_type, nh, w::DOUBLE / 10000.0 AS nh_sh,
+        |       floor(quota * 10000.0 + 0.5) / 10000.0 AS quota,
+        |       (base + CASE WHEN rk <= short THEN 1 ELSE 0 END)::BIGINT AS alloc
+        |FROM r
+        |ORDER BY event_type""".stripMargin,
     // the same 6 relaxation rounds unrolled; hops are integers and min
     // is order-invariant, so equality is by construction
     "q282_bfs_hops" -> {
