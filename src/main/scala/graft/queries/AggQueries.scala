@@ -298,6 +298,49 @@ object AggQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q295: TRIMMED and WINSORIZED means — the robust-location members
+    * of the aggregation family (q03's mean is outlier-fragile, q09's
+    * median discards all magnitude; the 10% trimmed mean drops each
+    * tail, the winsorized mean CLAMPS each tail to the cut values —
+    * the metric-pipeline standard for heavy-tailed revenue): both
+    * computed EXACTLY on the order-price cents census, no sampling,
+    * no sketch.
+    *
+    * Determinism: interior mass per census row is the integer overlap
+    * max(0, min(cum, n−k) − max(before, k)) — the whole trim is
+    * BIGINT census arithmetic; cut values are census lookups (min v
+    * with cum ≥ rank); the only doubles are the three final divides,
+    * snapped. Scale: ONE value census (partial+final agg) carries
+    * everything — the naive form sorts the table twice; rank
+    * selection here never moves row-scale data.
+    */
+  def q295RobustMeans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    val tot = census.agg(sum("cnt").as("n"), sum(col("v") * col("cnt")).as("s"))
+    val c = census.crossJoin(broadcast(tot)).withColumn("k", expr("n div 10"))
+    val interior = c.agg(
+      sum(greatest(least(col("cum"), col("n") - col("k")) -
+        greatest(col("cum") - col("cnt"), col("k")), lit(0L)) * col("v")).as("tsum"))
+    val lo = c.filter(col("cum") >= col("k") + 1).agg(min("v").as("lo"))
+    val hi = c.filter(col("cum") >= col("n") - col("k")).agg(min("v").as("hi"))
+    tot.withColumn("k", expr("n div 10"))
+      .crossJoin(broadcast(interior)).crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n"), col("k"),
+        (floor(col("s").cast("double") / col("n").cast("double") + 0.5) / 100.0).as("mean"),
+        (floor(col("tsum").cast("double") /
+          (col("n") - lit(2L) * col("k")).cast("double") + 0.5) / 100.0).as("trimmed_mean"),
+        (floor((col("tsum") + col("k") * col("lo") + col("k") * col("hi")).cast("double") /
+          col("n").cast("double") + 0.5) / 100.0).as("winsorized_mean"),
+        (col("lo") / lit(100.0)).as("lo_cut"),
+        (col("hi") / lit(100.0)).as("hi_cut"))
+  }
+
   /** q289: HLL SET-OPERATION estimates — the inclusion–exclusion
     * completion of the sketch family (q190 estimates ONE set, q209
     * rolls sketches up a hierarchy; audience-overlap questions need
@@ -625,6 +668,7 @@ object AggQueries extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_hll_distinct" -> (q190HllDistinct _),
     "q289_hll_setops" -> (q289HllSetOps _),
+    "q295_robust_means" -> (q295RobustMeans _),
     "q195_cms_frequency" -> (q195CmsFrequency _),
     "q209_sketch_rollup" -> (q209SketchRollup _),
     "q225_cms_accuracy_curve" -> (q225CmsAccuracyCurve _),
@@ -776,6 +820,31 @@ object AggQueries extends QueryModule {
     // the oracle is BLIND to the two-level sketch plan: it builds
     // registers directly at each coarse grain (q190's replay per
     // source and per lang) — store/merge losslessness is what's gated
+    // same cents census, same integer overlap trim, same census-lookup
+    // cut values, same three snapped divides
+    "q295_robust_means" ->
+      """WITH census AS (
+        |  SELECT v, count(*)::BIGINT AS cnt FROM (
+        |    SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders)
+        |  GROUP BY v),
+        |cc AS (
+        |  SELECT v, cnt, sum(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM census),
+        |tot AS (SELECT sum(cnt)::BIGINT AS n, sum(v * cnt)::BIGINT AS s,
+        |               sum(cnt) // 10 AS k FROM census),
+        |interior AS (
+        |  SELECT sum(greatest(least(cum, n - k) - greatest(cum - cnt, k), 0) * v)::BIGINT AS tsum
+        |  FROM cc CROSS JOIN tot),
+        |lo AS (SELECT min(v)::BIGINT AS lo FROM cc CROSS JOIN tot WHERE cum >= k + 1),
+        |hi AS (SELECT min(v)::BIGINT AS hi FROM cc CROSS JOIN tot WHERE cum >= n - k)
+        |SELECT n, k,
+        |       floor(s::DOUBLE / n::DOUBLE + 0.5) / 100.0 AS mean,
+        |       floor(tsum::DOUBLE / (n - 2 * k)::DOUBLE + 0.5) / 100.0 AS trimmed_mean,
+        |       floor((tsum + k * lo + k * hi)::DOUBLE / n::DOUBLE + 0.5) / 100.0
+        |         AS winsorized_mean,
+        |       lo / 100.0 AS lo_cut, hi / 100.0 AS hi_cut
+        |FROM tot CROSS JOIN interior CROSS JOIN lo CROSS JOIN hi""".stripMargin,
     // three full HLL replays (view / purchase / union) — same 60-bit
     // hash, exact BIGINT register chains, one fixed double chain each —
     // then the same inclusion–exclusion arithmetic, snapped at 4 dp

@@ -2436,7 +2436,54 @@ object MiscQueries extends QueryModule {
       .orderBy("lag")
   }
 
+  /** q297: THEIL–SEN robust trend — the breakdown-resistant member of
+    * the regression family (q172's OLS is least-squares — one wild
+    * week drags the slope; the median of pairwise slopes tolerates
+    * 29% contamination): weekly order volume trend as the median
+    * slope over all week pairs, intercept as the median residual at
+    * that slope.
+    *
+    * Determinism: week counts are integers, each pairwise slope is
+    * ONE IEEE divide of BIGINTs, medians pick by row_number over
+    * (slope, week-pair) orderings — value ties collapse to the same
+    * median either way, and the even-count midpoint is one (a+b)/2;
+    * final values snap to the 10⁻⁶ grid. Scale: the pair set is the
+    * WEEK census squared (bounded by time, not rows — ~350² at any
+    * SF), generated by a broadcast census cross join; the raw table
+    * contributes one keyed count agg.
+    */
+  def q297TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weeks = Tables.orders(spark, dir)
+      .select((datediff(col("o_orderdate"), lit("1992-01-01").cast("date")) / 7)
+        .cast("long").as("w"))
+      // no localCheckpoint: the census must stay an Aggregate in the
+      // plan so the global-window guard can see the bounded input
+      .groupBy("w").agg(count(lit(1)).as("yv"))
+    val slopes = weeks.select(col("w").as("w1"), col("yv").as("y1"))
+      .crossJoin(broadcast(weeks.select(col("w").as("w2"), col("yv").as("y2"))))
+      .filter(col("w1") < col("w2"))
+      .select(((col("y2") - col("y1")).cast("double") /
+        (col("w2") - col("w1")).cast("double")).as("slope"))
+    val m = slopes.agg(count(lit(1)).as("m"))
+    val sMed = slopes.crossJoin(broadcast(m))
+      .withColumn("rk", row_number().over(Window.orderBy("slope")))
+      .filter(col("rk") === expr("(m + 1) div 2") || col("rk") === expr("(m + 2) div 2"))
+      .agg((sum("slope") / count(lit(1))).as("slope_med"), max("m").as("m_pairs"))
+    val resid = weeks.crossJoin(broadcast(sMed))
+      .select((col("yv").cast("double") - col("slope_med") * col("w").cast("double"))
+        .as("r"), col("slope_med"), col("m_pairs"))
+    val nw = weeks.agg(count(lit(1)).as("nw"))
+    resid.crossJoin(broadcast(nw))
+      .withColumn("rk", row_number().over(Window.orderBy("r")))
+      .filter(col("rk") === expr("(nw + 1) div 2") || col("rk") === expr("(nw + 2) div 2"))
+      .agg(max("m_pairs").as("m_pairs"), max("nw").as("n_weeks"),
+        (floor(max("slope_med") * 1000000.0 + 0.5) / 1000000.0).as("slope"),
+        (floor(sum("r") / count(lit(1)) * 1000000.0 + 0.5) / 1000000.0).as("intercept"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_theil_sen" -> (q297TheilSen _),
     "q292_rfm_segments" -> (q292RfmSegments _),
     "q293_seq_pattern_support" -> (q293SeqPatternSupport _),
     "q294_ccf" -> (q294Ccf _),
@@ -2504,6 +2551,35 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same week census, same BIGINT pairwise slope divides, same
+    // row_number median picks, same snapped chain
+    "q297_theil_sen" ->
+      """WITH weeks AS (
+        |  SELECT date_diff('day', DATE '1992-01-01', o_orderdate) // 7 AS w,
+        |         count(*)::BIGINT AS yv
+        |  FROM orders GROUP BY 1),
+        |slopes AS (
+        |  SELECT (b.yv - a.yv)::DOUBLE / (b.w - a.w)::DOUBLE AS slope
+        |  FROM weeks a JOIN weeks b ON a.w < b.w),
+        |m AS (SELECT count(*)::BIGINT AS m FROM slopes),
+        |rs AS (
+        |  SELECT slope, row_number() OVER (ORDER BY slope) AS rk, m
+        |  FROM slopes CROSS JOIN m),
+        |sm AS (
+        |  SELECT sum(slope) / count(*) AS slope_med, max(m)::BIGINT AS m_pairs
+        |  FROM rs WHERE rk = (m + 1) // 2 OR rk = (m + 2) // 2),
+        |resid AS (
+        |  SELECT yv::DOUBLE - slope_med * w::DOUBLE AS r, slope_med, m_pairs
+        |  FROM weeks CROSS JOIN sm),
+        |nw AS (SELECT count(*)::BIGINT AS nw FROM weeks),
+        |rr AS (
+        |  SELECT r, slope_med, m_pairs, nw,
+        |         row_number() OVER (ORDER BY r) AS rk
+        |  FROM resid CROSS JOIN nw)
+        |SELECT max(m_pairs)::BIGINT AS m_pairs, max(nw)::BIGINT AS n_weeks,
+        |       floor(max(slope_med) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |       floor(sum(r) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS intercept
+        |FROM rr WHERE rk = (nw + 1) // 2 OR rk = (nw + 2) // 2""".stripMargin,
     // same user metrics, same census-quintile rule (recency ranked
     // DESC), same cell census with exact cents
     "q292_rfm_segments" ->

@@ -1800,7 +1800,92 @@ object StreamingOps extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q296: PER-BATCH STATIC-SIDE REFRESH — the stream–static join's
+    * operational contract (q62/q64 join a FIXED static side; production
+    * dims are nightly-refreshed TABLES under a running stream, and
+    * Structured Streaming's documented behavior is that a `foreachBatch`
+    * re-read resolves the CURRENT snapshot each micro-batch): a 2-batch
+    * pinned replay joins each batch against a rate dimension that is
+    * SWAPPED (v2 = 2× rates) after batch 0 commits — from inside the
+    * batch hook, exactly where a refresh lands in production. Batch 0
+    * must price at v1, batch 1 at v2; a plan that resolved the dim once
+    * (the naive cached `DataFrame` closed over by the query) prices
+    * both at v1 and goes red against the blind two-rate oracle.
+    *
+    * Determinism: rates derive from `length(event_type)` (stated
+    * blindly in SQL), money rides integer cents, the swap is a
+    * filesystem move AFTER the batch-0 sink write returns (foreachBatch
+    * bodies run serially on the driver). Scale: the dim broadcasts per
+    * batch (dims are MB-scale by nature); the per-batch agg is
+    * partial+final; the sink is batchId-keyed parquet — the idempotent
+    * recipe q278 certifies.
+    */
+  def q296DimRefreshJoin(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val cut = lit("2024-01-25").cast("timestamp")
+    val root = java.nio.file.Files.createTempDirectory("q296_dimswap")
+    val streamDir = root.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    def emitBatch(df: DataFrame, n: Int): Unit = {
+      val stage = root.resolve(s"stage$n")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      java.nio.file.Files.move(part, streamDir.resolve(f"b$n%02d.parquet"))
+      streamDir.resolve(f"b$n%02d.parquet").toFile.setLastModified(1000000L * n)
+    }
+    emitBatch(ev.filter(col("ts") < cut), 1)
+    emitBatch(ev.filter(col("ts") >= cut), 2)
+    val dimDir = root.resolve("dim").toString
+    val dimNext = root.resolve("dim_next").toString
+    val types = ev.select("event_type").distinct()
+    types.select(col("event_type"), length(col("event_type")).cast("long").as("rate"))
+      .write.mode("overwrite").parquet(dimDir)
+    types.select(col("event_type"), (length(col("event_type")) * 2).cast("long").as("rate"))
+      .write.mode("overwrite").parquet(dimNext)
+    val outDir = root.resolve("out").toString
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString + "/*.parquet")
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val s = df.sparkSession
+        // the refresh contract under test: resolve the dim NOW, not at
+        // query construction
+        val dim = s.read.parquet(dimDir)
+        df.join(broadcast(dim), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents") * col("rate")).as("wc"))
+          .withColumn("batch", lit(id))
+          .write.mode("overwrite").parquet(s"$outDir/b$id")
+        if (id == 0L) {
+          // nightly refresh lands between batches: swap v2 into place
+          val old = root.resolve("dim_old")
+          java.nio.file.Files.move(java.nio.file.Paths.get(dimDir), old)
+          java.nio.file.Files.move(java.nio.file.Paths.get(dimNext),
+            java.nio.file.Paths.get(dimDir))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches != 2) throw new IllegalStateException(
+      s"q296 drained in $dataBatches data micro-batches; the swap gate needs exactly 2")
+    spark.read.parquet(s"$outDir/b0", s"$outDir/b1")
+      .select(col("batch"), col("event_type"), col("n"),
+        round(col("wc") / 100.0, 2).as("weighted_value"))
+      .orderBy("batch", "event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_dim_refresh_join" -> (q296DimRefreshJoin _),
     "q238_stream_cdc_apply" -> (q238StreamCdcApply _),
     "q240_stream_sketch_mv" -> (q240StreamSketchMv _),
     "q127_stream_static_window" -> (q127StreamStaticWindow _),
@@ -1903,6 +1988,24 @@ object StreamingOps extends QueryModule {
       |ORDER BY w_start, event_type""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the two rate regimes stated blindly: batch 0 (pre-cut) prices at
+    // length(type), batch 1 at 2×length(type) — a once-resolved dim
+    // prices batch 1 at v1 and breaks equality
+    "q296_dim_refresh_join" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT 0::BIGINT AS batch, event_type, count(*)::BIGINT AS n,
+        |       round(sum(cents * length(event_type)) / 100.0, 2) + 0.0 AS weighted_value
+        |FROM ev WHERE ts < TIMESTAMP '2024-01-25'
+        |GROUP BY event_type
+        |UNION ALL
+        |SELECT 1::BIGINT AS batch, event_type, count(*)::BIGINT AS n,
+        |       round(sum(cents * 2 * length(event_type)) / 100.0, 2) + 0.0 AS weighted_value
+        |FROM ev WHERE ts >= TIMESTAMP '2024-01-25'
+        |GROUP BY event_type
+        |ORDER BY batch, event_type""".stripMargin,
     // q136's merged-snapshot oracle verbatim — streaming convergence to
     // the batch MERGE is the invariant (batch-count-invariant: at most
     // one change op per key)
