@@ -389,7 +389,11 @@ object LakehouseQueries extends QueryModule {
     * Table names carry a dir tag so sf0.001 spec runs and sf0.01
     * verify runs never collide in the shared warehouse.
     */
-  def q287BucketedCore(spark: SparkSession, dir: String): DataFrame = {
+  /** Write (idempotently) and name the two bucketed tables shared by
+    * q287 (co-located join) and q298 (exchange-free aggregation).
+    */
+  private[graft] def ensureBucketedTables(
+      spark: SparkSession, dir: String): (String, String) = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     val to = s"q287_orders_$tag"
     val tl = s"q287_lineitem_$tag"
@@ -421,8 +425,46 @@ object LakehouseQueries extends QueryModule {
       .repartition(8, col("l_orderkey"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+    (to, tl)
+  }
+
+  def q287BucketedCore(spark: SparkSession, dir: String): DataFrame = {
+    val (to, tl) = ensureBucketedTables(spark, dir)
     spark.table(to).hint("merge")
       .join(spark.table(tl), col("o_orderkey") === col("l_orderkey"))
+  }
+
+  /** The q298 core (also plan-asserted in `PlanShapeSpec`): a keyed
+    * aggregation whose grouping key IS the bucket key consumes the
+    * table's `HashPartitioning` directly — the partial/final split
+    * collapses to one exchange-FREE final aggregate per bucket.
+    */
+  def q298BucketedAggCore(spark: SparkSession, dir: String): DataFrame = {
+    val (_, tl) = ensureBucketedTables(spark, dir)
+    spark.table(tl).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"), sum("ext_cents").as("cents"),
+        sum("qty").as("qty"))
+  }
+
+  /** q298: EXCHANGE-FREE aggregation on the bucketed layout — the
+    * second dividend of q287's one-time bucketing investment (the
+    * first was the shuffle-free join): `groupBy` on the bucket key
+    * aggregates each bucket in place, no exchange, no partial/final
+    * split — the recurring per-order rollup a 100 TB order store runs
+    * hourly. Gated as the per-cohort census of the per-order rollup
+    * (any misrouted or double-counted bucket row shifts a cohort).
+    *
+    * Determinism: exact cents/counts. Scale: the ONLY exchange in the
+    * whole plan is the 16-row cohort census; `PlanShapeSpec` pins the
+    * zero-exchange keyed aggregate.
+    */
+  def q298BucketedAgg(spark: SparkSession, dir: String): DataFrame = {
+    q298BucketedAggCore(spark, dir)
+      .groupBy(pmod(col("l_orderkey"), lit(16L)).as("cohort"))
+      .agg(count(lit(1)).as("n_orders"), sum("n_lines").as("n_lines"),
+        round(sum(col("cents")) / 100.0, 2).as("sum_ext"),
+        sum("qty").as("total_qty"))
+      .orderBy("cohort")
   }
 
   /** q287: BUCKETED-TABLE co-located join — the storage-layout answer
@@ -450,6 +492,7 @@ object LakehouseQueries extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_bucketed_join" -> (q287BucketedJoin _),
+    "q298_bucketed_agg" -> (q298BucketedAgg _),
     "q281_dynamic_partition_overwrite" -> (q281DynamicPartitionOverwrite _),
     "q253_range_planner" -> (q253RangePlanner _),
     "q136_merge_snapshot" -> (q136MergeSnapshot _),
@@ -485,6 +528,21 @@ object LakehouseQueries extends QueryModule {
       |  WHERE c.op IS NULL OR c.op <> 'D')""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the per-order rollup replayed from the raw table — bucket
+    // misrouting or double-apply shifts a cohort
+    "q298_bucketed_agg" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS n_lines,
+        |         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS cents,
+        |         sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT ((l_orderkey % 16) + 16) % 16 AS cohort, count(*)::BIGINT AS n_orders,
+        |       sum(n_lines)::BIGINT AS n_lines,
+        |       round(sum(cents) / 100.0, 2) + 0.0 AS sum_ext,
+        |       sum(qty)::BIGINT AS total_qty
+        |FROM per_order
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // the join replayed from the raw tables — a bucket-misrouted or
     // dropped row breaks the cohort census
     "q287_bucketed_join" ->

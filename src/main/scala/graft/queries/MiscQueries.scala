@@ -2482,7 +2482,43 @@ object MiscQueries extends QueryModule {
         (floor(sum("r") / count(lit(1)) * 1000000.0 + 0.5) / 1000000.0).as("intercept"))
   }
 
+  /** q299: SESSION PATH MINING — the clickstream member of the
+    * behavior family (q97 cuts sessions, q245 counts adjacent
+    * transitions corpus-wide, q293 counts unordered containment; the
+    * product question is "what three-step paths do sessions actually
+    * walk"): 30-minute-gap sessions per user, then the top-10
+    * within-session event-type TRIGRAMS (consecutive, session-scoped
+    * — a path never crosses a session cut).
+    *
+    * Determinism: rows are totally ordered by (µs, event_id) inside
+    * every window; the top-10 tie-breaks on path. Scale: all windows
+    * are user- (then session-) partitioned — key-parallel; the
+    * trigram census is a hash agg and the top-10 is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def q299SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"), col("event_id"))
+    val wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val sess = ev
+      .withColumn("gap",
+        when(lag("us", 1).over(wu).isNull ||
+          col("us") - lag("us", 1).over(wu) > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum("gap").over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    sess
+      .withColumn("t2", lead("event_type", 1).over(ws))
+      .withColumn("t3", lead("event_type", 2).over(ws))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_session_paths" -> (q299SessionPaths _),
     "q297_theil_sen" -> (q297TheilSen _),
     "q292_rfm_segments" -> (q292RfmSegments _),
     "q293_seq_pattern_support" -> (q293SeqPatternSupport _),
@@ -2551,6 +2587,29 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same (µs, event_id) total order, same 30-min session cuts, same
+    // session-scoped trigrams, same (n desc, path) top-10
+    "q299_session_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (
+        |  SELECT ev.*, CASE WHEN lag(us) OVER w IS NULL
+        |                      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS gap
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT g.*, sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |t AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER w2
+        |           || '>' || lead(event_type, 2) OVER w2 AS path,
+        |         lead(event_type, 2) OVER w2 AS t3
+        |  FROM s WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY us, event_id))
+        |SELECT path, count(*)::BIGINT AS n
+        |FROM t WHERE t3 IS NOT NULL
+        |GROUP BY path
+        |ORDER BY n DESC, path
+        |LIMIT 10""".stripMargin,
     // same week census, same BIGINT pairwise slope divides, same
     // row_number median picks, same snapped chain
     "q297_theil_sen" ->

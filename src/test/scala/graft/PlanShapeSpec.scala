@@ -1001,6 +1001,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
   }
 
+  test("q298 bucketed agg: keyed aggregation on the bucket key with ZERO exchange") {
+    val agg = graft.queries.LakehouseQueries.q298BucketedAggCore(spark, dir)
+    val plan = finalPlan(agg)
+    assert(plan.contains("HashAggregate"), s"plan was:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucket-key aggregation must consume the table's HashPartitioning:\n$plan")
+  }
+
   test("q287 bucketed join: sort-merge with ZERO exchange — the co-located layout pays") {
     val joined = graft.queries.LakehouseQueries.q287BucketedCore(spark, dir)
     val plan = finalPlan(joined)
