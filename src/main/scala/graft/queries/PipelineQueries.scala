@@ -981,7 +981,83 @@ object PipelineQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q300: the END-TO-END CORPUS BUILD — the integration row: every
+    * stage exists as its own gated operator (q40 exact dedup, q49-style
+    * quality rules, q73 decontamination, q107/q168-style budget
+    * allocation); this runs them AS ONE DATAFLOW in the order a real
+    * corpus build runs them, because stage ORDER is itself semantics
+    * (dedup before quality keeps the earliest copy, not the best;
+    * decontamination runs on the post-quality corpus; the budget is
+    * 60% of CLEAN tokens) — and gates the whole funnel per source.
+    *
+    * Stages: exact dedup (keep min doc_id per md5(text)) → quality
+    * (≥5 tokens, mean token length ≤ 12 chars) → q73 5-gram
+    * decontamination (the %23 eval slice leaves the corpus and poisons
+    * matching train docs) → largest-remainder token budget per source
+    * (60% of clean tokens) admitted greedily in doc_id order.
+    *
+    * Determinism: every stage is integer/hash arithmetic; the greedy
+    * prefix is a per-source cumulative ≤ alloc compare; allocation
+    * remainders rank on the exact integer (budget·st mod tt).
+    * Scale: each stage is the already-audited shape (hash agg /
+    * scan-local filter / broadcast semi-join / source-partitioned
+    * window); the composite adds NO new shuffle class — the funnel
+    * censuses are 20-row aggs.
+    */
+  def q300CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nw", size(expr("filter(ws, w -> w <> '')")).cast("long"))
+    val s1 = raw
+      .withColumn("mn", min("doc_id").over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("mn")).drop("mn")
+      .localCheckpoint()
+    val s2 = s1.filter(col("nw") >= 5L && length(col("text")) <= col("nw") * lit(12L))
+    val withHs = s2.withColumn("hs", expr("gram5_md5(ws)"))
+    val evalGrams = withHs.filter(col("doc_id") % 23 === 0)
+      .select(explode(col("hs")).as("g")).distinct()
+    val train = withHs.filter(col("doc_id") % 23 =!= 0)
+    val contaminated = train.select(col("doc_id"), explode(col("hs")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    val s3 = train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "nw").localCheckpoint()
+    val srcTok = s3.groupBy("source").agg(sum("nw").as("st"))
+    val tot = srcTok.agg(sum("st").as("tt"))
+    val allocBase = srcTok.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(tt * 60) div 100"))
+      .withColumn("base", expr("(budget * st) div tt"))
+      .withColumn("rem", expr("(budget * st) % tt"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+    val short = allocBase.agg((max("budget") - sum("base")).as("short"))
+    val alloc = allocBase.crossJoin(broadcast(short))
+      .select(col("source"),
+        (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L)).as("alloc"))
+    val admitted = s3.join(alloc, "source")
+      .withColumn("cum", sum("nw").over(Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= col("alloc"))
+    val c0 = raw.groupBy("source").agg(count(lit(1)).as("docs_raw"))
+    val c1 = s1.groupBy("source").agg(count(lit(1)).as("after_dedup"))
+    val c2 = s2.groupBy("source").agg(count(lit(1)).as("after_quality"))
+    val c3 = s3.groupBy("source").agg(count(lit(1)).as("clean_docs"),
+      sum("nw").as("clean_tokens"))
+    val c4 = admitted.groupBy("source").agg(count(lit(1)).as("docs_kept"),
+      sum("nw").as("tokens_kept"))
+    c0.join(c1, "source").join(c2, "source").join(c3, "source")
+      .join(alloc, "source").join(c4, Seq("source"), "left")
+      .select(col("source"), col("docs_raw"), col("after_dedup"),
+        col("after_quality"), col("clean_docs"), col("clean_tokens"),
+        col("alloc"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_corpus_pipeline" -> (q300CorpusPipeline _),
     "q291_neyman_allocation" -> (q291NeymanAllocation _),
     "q282_bfs_hops" -> (q282BfsHops _),
     "q262_hits" -> (q262Hits _),
@@ -1086,6 +1162,61 @@ object PipelineQueries extends QueryModule {
       |  FROM r2 CROSS JOIN k)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the whole funnel replayed: same dedup keep-rule, same quality
+    // band, the q73 gram device verbatim, same integer allocation and
+    // greedy prefix — stage order is part of the gated semantics
+    "q300_corpus_pipeline" ->
+      """WITH raw AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS ws,
+        |         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS nw
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT * FROM raw
+        |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+        |s2 AS (SELECT * FROM s1 WHERE nw >= 5 AND length(text) <= nw * 12),
+        |h AS (
+        |  SELECT doc_id, source, nw,
+        |         [('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15))::BIGINT
+        |          FOR i IN range(1, len(ws) - 3)] AS hs
+        |  FROM s2),
+        |e AS (SELECT DISTINCT unnest(hs) AS g FROM h WHERE doc_id % 23 = 0),
+        |tr AS (SELECT doc_id, source, nw, hs FROM h WHERE doc_id % 23 <> 0),
+        |cont AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM (SELECT doc_id, unnest(hs) AS g FROM tr) t JOIN e USING (g)),
+        |s3 AS (SELECT doc_id, source, nw FROM tr
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |st AS (SELECT source, sum(nw)::BIGINT AS st FROM s3 GROUP BY source),
+        |tot AS (SELECT sum(st)::BIGINT AS tt,
+        |               (sum(st) * 60) // 100 AS budget FROM st),
+        |ab AS (
+        |  SELECT source, st, budget,
+        |         (budget * st) // tt AS base, (budget * st) % tt AS rem,
+        |         row_number() OVER (ORDER BY (budget * st) % tt DESC, source) AS rk
+        |  FROM st CROSS JOIN tot),
+        |sh AS (SELECT max(budget) - sum(base) AS short FROM ab),
+        |alloc AS (
+        |  SELECT source, (base + CASE WHEN rk <= short THEN 1 ELSE 0 END)::BIGINT AS alloc
+        |  FROM ab CROSS JOIN sh),
+        |adm AS (
+        |  SELECT s3.source, nw FROM s3 JOIN alloc USING (source)
+        |  QUALIFY sum(nw) OVER (PARTITION BY s3.source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= alloc),
+        |c0 AS (SELECT source, count(*)::BIGINT AS docs_raw FROM raw GROUP BY source),
+        |c1 AS (SELECT source, count(*)::BIGINT AS after_dedup FROM s1 GROUP BY source),
+        |c2 AS (SELECT source, count(*)::BIGINT AS after_quality FROM s2 GROUP BY source),
+        |c3 AS (SELECT source, count(*)::BIGINT AS clean_docs,
+        |              sum(nw)::BIGINT AS clean_tokens FROM s3 GROUP BY source),
+        |c4 AS (SELECT source, count(*)::BIGINT AS docs_kept,
+        |              sum(nw)::BIGINT AS tokens_kept FROM adm GROUP BY source)
+        |SELECT c0.source, docs_raw, after_dedup, after_quality, clean_docs,
+        |       clean_tokens, alloc,
+        |       coalesce(docs_kept, 0)::BIGINT AS docs_kept,
+        |       coalesce(tokens_kept, 0)::BIGINT AS tokens_kept
+        |FROM c0 JOIN c1 USING (source) JOIN c2 USING (source)
+        |     JOIN c3 USING (source) JOIN alloc USING (source)
+        |     LEFT JOIN c4 USING (source)
+        |ORDER BY c0.source""".stripMargin,
     // same BIGINT moments, same grid-snapped N_h·S_h, same largest-
     // remainder ranking with the (frac desc, type) tie-break
     "q291_neyman_allocation" ->
