@@ -490,9 +490,51 @@ object LakehouseQueries extends QueryModule {
       .orderBy("cohort")
   }
 
+  /** q303: RANGE-CHECKSUM anti-entropy diff — the replica-reconciliation
+    * primitive (q137 diffs SNAPSHOTS row-by-row; two 100 TB replicas
+    * can't afford that — they compare per-range digests and resync
+    * only the buckets that disagree, the Merkle/DynamoDB device): the
+    * orders table vs a drifted replica (md5-slot 'f' rows carry a
+    * silent +1-cent corruption, slot '0' rows are lost writes),
+    * digested per 1000-key range as (count, bit_xor of row hashes),
+    * reporting exactly the buckets needing resync with the failure
+    * class (count drift = loss, hash-only drift = corruption).
+    *
+    * Determinism: row hash is the 60-bit md5 device over
+    * (key, cents); bit_xor and count are order-invariant. Scale: each
+    * replica reduces to digest rows ≤ keyspace/1000 — the comparison
+    * shuffles DIGESTS, never rows; resync cost is O(bad buckets).
+    */
+  def q303RangeChecksums(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val slot = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+    val replica = base.filter(slot =!= "0")
+      .withColumn("cents",
+        when(slot === "f", col("cents") + 1L).otherwise(col("cents")))
+    def digests(df: DataFrame, nc: String, xc: String): DataFrame = df
+      .withColumn("rh", conv(substring(md5(concat(
+        col("o_orderkey").cast("string"), lit(":"), col("cents").cast("string"))),
+        1, 15), 16, 10).cast("long"))
+      .groupBy(expr("o_orderkey div 1000").as("bucket"))
+      .agg(count(lit(1)).as(nc), expr("bit_xor(rh)").as(xc))
+    digests(base, "n_a", "x_a")
+      .join(digests(replica, "n_b", "x_b"), Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(coalesce(col("n_a"), lit(0L)) =!= coalesce(col("n_b"), lit(0L)), 1L)
+          .otherwise(0L).as("count_drift"),
+        when(coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
+          col("x_a") =!= col("x_b"), 1L).otherwise(0L).as("hash_drift"))
+      .filter(col("count_drift") === 1L || col("hash_drift") === 1L)
+      .orderBy("bucket")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_bucketed_join" -> (q287BucketedJoin _),
     "q298_bucketed_agg" -> (q298BucketedAgg _),
+    "q303_range_checksums" -> (q303RangeChecksums _),
     "q281_dynamic_partition_overwrite" -> (q281DynamicPartitionOverwrite _),
     "q253_range_planner" -> (q253RangePlanner _),
     "q136_merge_snapshot" -> (q136MergeSnapshot _),
@@ -528,6 +570,35 @@ object LakehouseQueries extends QueryModule {
       |  WHERE c.op IS NULL OR c.op <> 'D')""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same drift injection, same 60-bit row hashes, same per-range
+    // (count, bit_xor) digests, same full-outer disagreement report
+    "q303_range_checksums" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |replica AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN substr(md5(o_orderkey::VARCHAR), 1, 1) = 'f'
+        |              THEN cents + 1 ELSE cents END AS cents
+        |  FROM base
+        |  WHERE substr(md5(o_orderkey::VARCHAR), 1, 1) <> '0'),
+        |da AS (
+        |  SELECT o_orderkey // 1000 AS bucket, count(*)::BIGINT AS n_a,
+        |         bit_xor(('0x' || substr(md5(o_orderkey::VARCHAR || ':' || cents::VARCHAR), 1, 15))::BIGINT) AS x_a
+        |  FROM base GROUP BY 1),
+        |db AS (
+        |  SELECT o_orderkey // 1000 AS bucket, count(*)::BIGINT AS n_b,
+        |         bit_xor(('0x' || substr(md5(o_orderkey::VARCHAR || ':' || cents::VARCHAR), 1, 15))::BIGINT) AS x_b
+        |  FROM replica GROUP BY 1)
+        |SELECT bucket, coalesce(n_a, 0)::BIGINT AS n_a, coalesce(n_b, 0)::BIGINT AS n_b,
+        |       (CASE WHEN coalesce(n_a, 0) <> coalesce(n_b, 0) THEN 1 ELSE 0 END)::BIGINT AS count_drift,
+        |       (CASE WHEN coalesce(n_a, 0) = coalesce(n_b, 0) AND x_a <> x_b
+        |             THEN 1 ELSE 0 END)::BIGINT AS hash_drift
+        |FROM da FULL JOIN db USING (bucket)
+        |WHERE coalesce(n_a, 0) <> coalesce(n_b, 0)
+        |   OR (coalesce(n_a, 0) = coalesce(n_b, 0) AND x_a <> x_b)
+        |ORDER BY bucket""".stripMargin,
     // the per-order rollup replayed from the raw table — bucket
     // misrouting or double-apply shifts a cohort
     "q298_bucketed_agg" ->

@@ -2517,7 +2517,87 @@ object MiscQueries extends QueryModule {
       .orderBy(col("n").desc, col("path")).limit(10)
   }
 
+  /** q301: CONSISTENT-HASH ring vs mod-N rehash — the shard-rebalance
+    * arithmetic a 100 TB keyspace lives by (q253 plans RANGE shards;
+    * this gates HASH sharding's defining property): users assign to
+    * the first of 8×32 virtual ring points clockwise of their hash;
+    * adding a 9th shard must move only ~1/9 of users, where mod-N
+    * rehashing moves ~8/9 — both fractions MEASURED and gated.
+    *
+    * Determinism: ring points and user positions are the 60-bit md5
+    * device; successor = min point ≥ h with a wrap fallback — pure
+    * integer min. Scale: the ring is a 256/288-row BROADCAST; per user
+    * one bounded candidate-min — no shuffle beyond the final census;
+    * this is exactly how a router sizes a resharding migration before
+    * committing to it.
+    */
+  def q301ConsistentHash(spark: SparkSession, dir: String): DataFrame = {
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val users = Tables.events(spark, dir).select(col("user_id")).distinct()
+      .withColumn("h", h60(concat(lit("u:"), col("user_id").cast("string"))))
+      .localCheckpoint()
+    def ring(nShards: Int): DataFrame = {
+      val s = spark.range(nShards).select(col("id").as("shard"))
+      val v = spark.range(32).select(col("id").as("vn"))
+      s.crossJoin(v).select(col("shard"),
+        h60(concat(lit("s:"), col("shard").cast("string"),
+          lit("#"), col("vn").cast("string"))).as("p"))
+    }
+    def assign(r: DataFrame, name: String): DataFrame = {
+      val cand = users.crossJoin(broadcast(r)).filter(col("p") >= col("h"))
+        .groupBy("user_id").agg(min(struct(col("p"), col("shard"))).as("b"))
+        .select(col("user_id"), col("b.shard").as(name))
+      val wrapShard = r.agg(min(struct(col("p"), col("shard"))).as("w"))
+        .select(col("w.shard").as(name))
+      val wrapped = users.join(cand.select("user_id"), Seq("user_id"), "left_anti")
+        .crossJoin(broadcast(wrapShard)).select("user_id", name)
+      cand.unionByName(wrapped)
+    }
+    val ringMoves = assign(ring(8), "s8").join(assign(ring(9), "s9"), "user_id")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("moved"))
+      .select(lit("ring").as("strategy"), col("n_users"), col("moved"),
+        expr("(moved * 1000000) div n_users").as("moved_ppm"))
+    val modMoves = users
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(pmod(col("h"), lit(8L)) =!= pmod(col("h"), lit(9L)), 1L)
+          .otherwise(0L)).as("moved"))
+      .select(lit("mod").as("strategy"), col("n_users"), col("moved"),
+        expr("(moved * 1000000) div n_users").as("moved_ppm"))
+    ringMoves.unionByName(modMoves).orderBy("strategy")
+  }
+
+  /** q302: KEYSET pagination — the scalable pagination protocol gated
+    * as two-algorithms-one-answer (q267's device): page 3 of the
+    * price-ordered order listing fetched the KEYSET way (boundary =
+    * max key of the first 40 rows, then WHERE key > boundary LIMIT
+    * 20), while the ORACLE states the same page as OFFSET 40 LIMIT 20
+    * — the formulation that re-sorts 60 rows here and 60 billion at
+    * depth. Equality proves the keyset protocol turns pagination into
+    * an indexable range predicate with NO skip-scan.
+    *
+    * Determinism: ordering key is (price cents, orderkey) — unique;
+    * the boundary is limit-bounded (TakeOrdered), the page is another
+    * TakeOrdered over a pushable predicate. Scale: page N costs
+    * O(page), not O(N·page) — the whole point.
+    */
+  def q302KeysetPagination(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val boundary = o.orderBy(col("cents"), col("o_orderkey")).limit(40)
+      .agg(max(struct(col("cents"), col("o_orderkey"))).as("b"))
+      .select(col("b.cents").as("bc"), col("b.o_orderkey").as("bk"))
+    o.crossJoin(broadcast(boundary))
+      .filter(col("cents") > col("bc") ||
+        (col("cents") === col("bc") && col("o_orderkey") > col("bk")))
+      .orderBy(col("cents"), col("o_orderkey")).limit(20)
+      .select(col("o_orderkey"), round(col("cents") / 100.0, 2).as("price"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_consistent_hash" -> (q301ConsistentHash _),
+    "q302_keyset_pagination" -> (q302KeysetPagination _),
     "q299_session_paths" -> (q299SessionPaths _),
     "q297_theil_sen" -> (q297TheilSen _),
     "q292_rfm_segments" -> (q292RfmSegments _),
@@ -2587,6 +2667,54 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same 60-bit ring points, same successor/wrap min, same mod-N
+    // contrast, same ppm division
+    "q301_consistent_hash" ->
+      """WITH users AS (
+        |  SELECT DISTINCT user_id,
+        |         ('0x' || substr(md5('u:' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |ring8 AS (
+        |  SELECT s.shard,
+        |         ('0x' || substr(md5('s:' || s.shard::VARCHAR || '#' || v.vn::VARCHAR), 1, 15))::BIGINT AS p
+        |  FROM (SELECT unnest(range(8)) AS shard) s
+        |  CROSS JOIN (SELECT unnest(range(32)) AS vn) v),
+        |ring9 AS (
+        |  SELECT s.shard,
+        |         ('0x' || substr(md5('s:' || s.shard::VARCHAR || '#' || v.vn::VARCHAR), 1, 15))::BIGINT AS p
+        |  FROM (SELECT unnest(range(9)) AS shard) s
+        |  CROSS JOIN (SELECT unnest(range(32)) AS vn) v),
+        |a8 AS (
+        |  SELECT user_id,
+        |         coalesce(min(CASE WHEN p >= h THEN struct_pack(p := p, shard := shard) END),
+        |                  (SELECT min(struct_pack(p := p, shard := shard)) FROM ring8)).shard AS s8
+        |  FROM users CROSS JOIN ring8 GROUP BY user_id, h),
+        |a9 AS (
+        |  SELECT user_id,
+        |         coalesce(min(CASE WHEN p >= h THEN struct_pack(p := p, shard := shard) END),
+        |                  (SELECT min(struct_pack(p := p, shard := shard)) FROM ring9)).shard AS s9
+        |  FROM users CROSS JOIN ring9 GROUP BY user_id, h),
+        |ringrow AS (
+        |  SELECT 'ring' AS strategy, count(*)::BIGINT AS n_users,
+        |         sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END)::BIGINT AS moved
+        |  FROM a8 JOIN a9 USING (user_id)),
+        |modrow AS (
+        |  SELECT 'mod' AS strategy, count(*)::BIGINT AS n_users,
+        |         sum(CASE WHEN ((h % 8) + 8) % 8 <> ((h % 9) + 9) % 9
+        |             THEN 1 ELSE 0 END)::BIGINT AS moved
+        |  FROM users)
+        |SELECT strategy, n_users, moved, (moved * 1000000) // n_users AS moved_ppm
+        |FROM (SELECT * FROM ringrow UNION ALL SELECT * FROM modrow)
+        |ORDER BY strategy""".stripMargin,
+    // the page stated the OFFSET way — equality proves the keyset
+    // range predicate lands on the identical page
+    "q302_keyset_pagination" ->
+      """SELECT o_orderkey,
+        |       round(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) / 100.0, 2)
+        |         + 0.0 AS price
+        |FROM orders
+        |ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT), o_orderkey
+        |LIMIT 20 OFFSET 40""".stripMargin,
     // same (µs, event_id) total order, same 30-min session cuts, same
     // session-scoped trigrams, same (n desc, path) top-10
     "q299_session_paths" ->
