@@ -1208,7 +1208,62 @@ object SimilarityQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** q306: HYBRID RETRIEVAL with reciprocal-rank fusion — the modern
+    * RAG retrieval stack in one operator (q82 ranks LEXICALLY by BM25,
+    * q44 ranks SEMANTICALLY by cosine; production search runs both and
+    * fuses, because each finds what the other misses): top-100 from
+    * each ranking (documents and embeddings share the id space),
+    * RRF(d) = Σ 1/(60 + rankᵢ(d)) over the rankings that contain d
+    * (Cormack & Clarke '09, k = 60), top-15 fused.
+    *
+    * Determinism: both rankings order by (rounded score desc, id) —
+    * grid-stable; ranks are integers; RRF is two exact IEEE divides
+    * summed in fixed order, snapped at 10⁻⁸. Scale: each arm is its
+    * own audited shape (term-filtered postings / one scan +
+    * TakeOrdered); fusion touches only the two top-100 lists — rank
+    * windows sit over limit-bounded inputs.
+    */
+  def q306HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("merge", "window", "stream")
+    val ws = Tables.documents(spark, dir).filter(col("doc_id") =!= 0)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val d = ws.select(col("doc_id"), size(col("ws")).as("dl"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).cast("double").as("sumdl"))
+    val t = ws.select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val f = t.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val lexTop = t.join(broadcast(f), "term")
+      .join(d, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        "ln(1 + (n - df + 0.5D)/(df + 0.5D)) * (tf * 2.2D) / " +
+          "(tf + 1.2D * (1.0D - 0.75D + 0.75D * dl / (sumdl / n))) AS s")
+      .groupBy("doc_id").agg(round(sum(col("s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+    val vecTop = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(100)
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id").asc)))
+    lexTop.select("doc_id", "lex_rank")
+      .join(vecTop.select("doc_id", "vec_rank"), Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank").cast("long"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank").cast("long"), lit(0L)).as("vec_rank"),
+        (floor((coalesce(lit(1.0) / (col("lex_rank") + 60), lit(0.0)) +
+          coalesce(lit(1.0) / (col("vec_rank") + 60), lit(0.0))) *
+          100000000.0 + 0.5) / 100000000.0).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(15)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_hybrid_rrf" -> (q306HybridRrf _),
     "q270_als_half_step" -> (q270AlsHalfStep _),
     "q229_ivf_nprobe_curve" -> (q229IvfNprobeCurve _),
     "q215_ivf_recall" -> (q215IvfRecall _),
@@ -1338,6 +1393,47 @@ object SimilarityQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // both arms replayed (the q82 BM25 chain token-for-token, the q44
+    // cosine), same grid-stable rank orders, same k=60 fusion snap
+    "q306_hybrid_rrf" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id <> 0),
+        |d AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM ws),
+        |stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sumdl FROM d),
+        |t AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM ws)
+        |  WHERE term IN ('merge', 'window', 'stream')
+        |  GROUP BY doc_id, term),
+        |f AS (SELECT term, count(*)::DOUBLE AS df FROM t GROUP BY term),
+        |lex AS (
+        |  SELECT doc_id,
+        |         round(sum(ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
+        |               (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))), 6) AS bm25
+        |  FROM t JOIN f USING (term) JOIN d USING (doc_id) CROSS JOIN stats
+        |  GROUP BY doc_id),
+        |lexr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+        |  FROM lex QUALIFY lex_rank <= 100),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |vec AS (
+        |  SELECT a.vec_id AS doc_id,
+        |         round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6)
+        |           + 0.0 AS cos
+        |  FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0),
+        |vecr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS vec_rank
+        |  FROM vec QUALIFY vec_rank <= 100)
+        |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |       coalesce(lex_rank, 0)::BIGINT AS lex_rank,
+        |       coalesce(vec_rank, 0)::BIGINT AS vec_rank,
+        |       floor((coalesce(1.0 / (lex_rank + 60), 0.0) +
+        |              coalesce(1.0 / (vec_rank + 60), 0.0)) * 100000000.0 + 0.5)
+        |         / 100000000.0 AS rrf
+        |FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id
+        |ORDER BY rrf DESC, doc_id ASC
+        |LIMIT 15""".stripMargin,
     // same md5 factor grid, same BIGINT normal equations, same 2×2
     // closed-form chains, same 10³ residual grid and IEEE sqrt
     "q270_als_half_step" ->

@@ -453,7 +453,42 @@ object WindowQueries extends QueryModule {
       .orderBy("cohort")
   }
 
+  /** q304: TWAP — time-weighted average price per day, the sampling-
+    * robust twin of q226's VWAP (VWAP weights by volume; TWAP weights
+    * each observation by how LONG it was the live value, the right
+    * average for irregularly-sampled gauges — a value that held for
+    * 6 hours counts 360× one that held a minute): per UTC day, each
+    * event's cents weight is the µs until the next event (the last
+    * one holds to day end), TWAP = Σ cents·dur / Σ dur.
+    *
+    * Determinism: durations are exact µs integers under the total
+    * (µs, event_id) order; the weighted sum is BIGINT (cents ≤ 5·10⁴
+    * × 8.64·10¹⁰ µs × 10⁵ rows ≈ 4×10¹⁸ worst case — inside BIGINT at
+    * the fixture scales; at 10⁹ rows/day descale durations to ms);
+    * one snapped divide per day. Scale: one day-partitioned window +
+    * one keyed agg.
+    */
+  def q304Twap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      expr("unix_micros(ts)").as("us"), col("event_id"),
+      floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("day", expr("us div 86400000000"))
+    val w = Window.partitionBy("day").orderBy("us", "event_id")
+    ev.withColumn("nxt", lead("us", 1).over(w))
+      .withColumn("dur",
+        coalesce(col("nxt"), (col("day") + 1) * 86400000000L) - col("us"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents") * col("dur")).as("wsum"),
+        sum("dur").as("tsum"))
+      .select(col("day"), col("n"),
+        (floor(col("wsum").cast("double") / col("tsum").cast("double") + 0.5)
+          / 100.0).as("twap"))
+      .orderBy("day")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_twap" -> (q304Twap _),
     "q290_interval_coverage" -> (q290IntervalCoverage _),
     "q272_skyline" -> (q272Skyline _),
     "q197_decay_attribution" -> (q197DecayAttribution _),
@@ -471,6 +506,24 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same (µs, event_id) order, same to-next/to-day-end durations,
+    // same BIGINT weighted integral, same snapped divide
+    "q304_twap" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS us, event_id,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |         epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |d AS (
+        |  SELECT ev.*,
+        |         coalesce(lead(us) OVER (PARTITION BY day ORDER BY us, event_id),
+        |                  (day + 1) * 86400000000) - us AS dur
+        |  FROM ev)
+        |SELECT day, count(*)::BIGINT AS n,
+        |       floor(sum(cents * dur)::DOUBLE / sum(dur)::DOUBLE + 0.5) / 100.0 AS twap
+        |FROM d
+        |GROUP BY day
+        |ORDER BY day""".stripMargin,
     // same integer interval fold: running max over the (s, e)-ordered
     // ROWS frame, clamped contribution, island flag, cohort census
     "q290_interval_coverage" ->
