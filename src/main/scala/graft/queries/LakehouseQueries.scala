@@ -531,10 +531,56 @@ object LakehouseQueries extends QueryModule {
       .orderBy("bucket")
   }
 
+  /** q307: LATEST-WINS COMPACTION before merge — the CDC wrinkle q136
+    * cannot hit (its change set carries ≤1 op per key BY CONSTRUCTION;
+    * a real CDC batch carries the key's whole version HISTORY, and
+    * MERGE semantics require a unique source key — so every real
+    * loader compacts first): a versioned multi-op batch (key =
+    * l_orderkey, version = l_linenumber, op from the md5 slot of
+    * (key, version) — U on '0'-'9', D on 'a'-'c', no-op otherwise)
+    * compacts to each key's HIGHEST-version op via one struct-max,
+    * then upserts/deletes against the orders snapshot. Gated as the
+    * post-merge cohort census plus per-cohort applied-op counts — an
+    * uncompacted (first-wins, or multi-apply) loader shifts both.
+    *
+    * Determinism: versions are unique per key so the struct-max is
+    * total; cents exact. Scale: compaction is ONE keyed agg (the
+    * shuffle already required by the merge join); merge stays the
+    * q136 single full-outer join.
+    */
+  def q307CompactedMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val versioned = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k"), col("l_linenumber").cast("long").as("ver"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("nc"))
+      .withColumn("slot", substring(md5(concat(
+        col("k").cast("string"), lit(":"), col("ver").cast("string"))), 1, 1))
+      .withColumn("op",
+        when(col("slot").rlike("^[0-9]$"), "U")
+          .when(col("slot").isin("a", "b", "c"), "D"))
+      .filter(col("op").isNotNull)
+    val compacted = versioned.groupBy("k")
+      .agg(max(struct(col("ver"), col("op"), col("nc"))).as("b"))
+      .select(col("k"), col("b.op").as("op"), col("b.nc").as("nc"))
+    val merged = base.join(compacted, Seq("k"), "full")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+        when(col("op") === "U", col("nc")).otherwise(col("cents")).as("cents"),
+        col("op"))
+    merged.groupBy(pmod(col("k"), lit(16L)).as("cohort"))
+      .agg(count(lit(1)).as("n_keys"),
+        round(sum("cents") / 100.0, 2).as("sum_value"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"))
+      .orderBy("cohort")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_bucketed_join" -> (q287BucketedJoin _),
     "q298_bucketed_agg" -> (q298BucketedAgg _),
     "q303_range_checksums" -> (q303RangeChecksums _),
+    "q307_compacted_merge" -> (q307CompactedMerge _),
     "q281_dynamic_partition_overwrite" -> (q281DynamicPartitionOverwrite _),
     "q253_range_planner" -> (q253RangePlanner _),
     "q136_merge_snapshot" -> (q136MergeSnapshot _),
@@ -570,6 +616,40 @@ object LakehouseQueries extends QueryModule {
       |  WHERE c.op IS NULL OR c.op <> 'D')""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same versioned op derivation, same highest-version struct-max
+    // compaction, same upsert/delete apply, same cohort census
+    "q307_compacted_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |versioned AS (
+        |  SELECT l_orderkey AS k, l_linenumber::BIGINT AS ver,
+        |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS nc,
+        |         substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 1) AS slot
+        |  FROM lineitem),
+        |ops AS (
+        |  SELECT k, ver, nc,
+        |         CASE WHEN slot BETWEEN '0' AND '9' THEN 'U'
+        |              WHEN slot IN ('a', 'b', 'c') THEN 'D' END AS op
+        |  FROM versioned
+        |  WHERE slot BETWEEN '0' AND '9' OR slot IN ('a', 'b', 'c')),
+        |compacted AS (
+        |  SELECT k,
+        |         (max(struct_pack(ver := ver, op := op, nc := nc))).op AS op,
+        |         (max(struct_pack(ver := ver, op := op, nc := nc))).nc AS nc
+        |  FROM ops GROUP BY k),
+        |merged AS (
+        |  SELECT coalesce(b.k, c.k) AS k,
+        |         CASE WHEN c.op = 'U' THEN c.nc ELSE b.cents END AS cents, c.op
+        |  FROM base b FULL JOIN compacted c ON b.k = c.k
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT ((k % 16) + 16) % 16 AS cohort, count(*)::BIGINT AS n_keys,
+        |       round(sum(cents) / 100.0, 2) + 0.0 AS sum_value,
+        |       sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END)::BIGINT AS n_updated
+        |FROM merged
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // same drift injection, same 60-bit row hashes, same per-range
     // (count, bit_xor) digests, same full-outer disagreement report
     "q303_range_checksums" ->

@@ -2595,7 +2595,99 @@ object MiscQueries extends QueryModule {
       .select(col("o_orderkey"), round(col("cents") / 100.0, 2).as("price"))
   }
 
+  /** q305: T-CLOSENESS audit — the third leg of the anonymization
+    * tripod (q232: classes big enough; q256: sensitive values diverse
+    * enough; t-closeness, Li et al. ICDE '07: the class's sensitive
+    * DISTRIBUTION must stay within t of the GLOBAL one — a diverse
+    * class that over-represents one segment still leaks): per
+    * quasi-identifier class (nation, balance band), the variational
+    * distance TVD = ½Σ|pᵢ−qᵢ| between class and corpus segment
+    * distributions, audited at t ∈ {0.1, 0.2, 0.3}.
+    *
+    * Determinism: the 5 fixed segment columns pivot per class (the
+    * q256 device); TVD's numerator Σ|nᵢ·N − gᵢ·n| is exact BIGINT and
+    * the t-threshold compare runs as numer·10 > 2·t₁₀·n·N — INTEGER
+    * arithmetic end to end; only the reported max TVD divides, snapped.
+    * Scale: one hash agg to the bounded QI census; everything after is
+    * census rows.
+    */
+  def q305TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val cls = Tables.customer(spark, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "bal_band")
+      .agg(count(lit(1)).as("n"),
+        segs.zipWithIndex.map { case (s, i) =>
+          sum(when(col("c_mktsegment") === s, 1L).otherwise(0L)).as(s"n${i + 1}")
+        }: _*)
+    val glob = cls.agg(sum("n").as("nn"),
+      (1 to 5).map(i => sum(s"n$i").as(s"g$i")): _*)
+    val numer = (1 to 5).map(i =>
+      abs(col(s"n$i") * col("nn") - col(s"g$i") * col("n"))).reduce(_ + _)
+    val withT = cls.crossJoin(broadcast(glob)).withColumn("numer", numer)
+      .localCheckpoint()
+    val tot = withT.agg(count(lit(1)).as("n_classes"),
+      (floor(max(col("numer").cast("double") /
+        (lit(2.0) * col("n").cast("double") * col("nn").cast("double"))) *
+        1000000.0 + 0.5) / 1000000.0).as("max_tvd"))
+    withT.withColumn("t10", explode(typedlit(Seq(1L, 2L, 3L))))
+      .groupBy("t10")
+      .agg(sum(when(col("numer") * 10L > lit(2L) * col("t10") * col("n") * col("nn"),
+          1L).otherwise(0L)).as("n_failing_classes"),
+        sum(when(col("numer") * 10L > lit(2L) * col("t10") * col("n") * col("nn"),
+          col("n")).otherwise(0L)).as("n_failing_rows"))
+      .crossJoin(broadcast(tot))
+      .select((col("t10").cast("double") / 10.0).as("t_threshold"),
+        col("n_classes"), col("n_failing_classes"), col("n_failing_rows"),
+        col("max_tvd"))
+      .orderBy("t_threshold")
+  }
+
+  /** q308: WATERMARK-DELAY estimator — the tuning input every
+    * event-time pipeline needs before it picks `withWatermark` (q257
+    * gates what the watermark DROPS; this measures what the data
+    * DEMANDS): per ingest partition (user_id mod 8 — the Kafka-
+    * partition analog), lateness = running-max event time over arrival
+    * order (event_id) minus own event time, summarized as exact
+    * p50/p95/p99/max microseconds plus the implied delay in whole
+    * minutes (p99 rounded up).
+    *
+    * Determinism: lateness is integer µs under the total (event_id)
+    * arrival order; percentiles pick from the lateness census by
+    * integer rank compares (k·cum ≥ p·n — no interpolation). Scale:
+    * ONE partition-keyed window (arrival order is per-partition, as in
+    * any real ingest) + a census agg per partition; this never sorts
+    * globally.
+    */
+  def q308WatermarkDelay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select(
+      pmod(col("user_id"), lit(8L)).as("part"),
+      col("event_id"), expr("unix_micros(ts)").as("us"))
+    val w = Window.partitionBy("part").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lat = ev.withColumn("lat", max("us").over(w) - col("us"))
+    val census = lat.groupBy("part", "lat").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("part").orderBy("lat")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = census.groupBy("part").agg(sum("cnt").as("n"), max("lat").as("max_lat"))
+    census.join(tot, "part")
+      .groupBy("part", "n", "max_lat")
+      .agg(
+        min(when(col("cum") * 2 >= col("n"), col("lat"))).as("p50"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("lat"))).as("p95"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("lat"))).as("p99"))
+      .select(col("part"), col("n"), col("p50"), col("p95"), col("p99"),
+        col("max_lat"),
+        expr("(p99 + 59999999) div 60000000").as("delay_minutes"))
+      .orderBy("part")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_t_closeness" -> (q305TCloseness _),
+    "q308_watermark_delay" -> (q308WatermarkDelay _),
     "q301_consistent_hash" -> (q301ConsistentHash _),
     "q302_keyset_pagination" -> (q302KeysetPagination _),
     "q299_session_paths" -> (q299SessionPaths _),
@@ -2667,6 +2759,69 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same pivoted class census, same BIGINT TVD numerator, same
+    // integer threshold compare, same snapped max
+    "q305_t_closeness" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |         count(*)::BIGINT AS n,
+        |         sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |         sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |         sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END)::BIGINT AS n3,
+        |         sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END)::BIGINT AS n4,
+        |         sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)::BIGINT AS n5
+        |  FROM customer GROUP BY 1, 2),
+        |gtot AS (SELECT sum(n)::BIGINT AS nn, sum(n1)::BIGINT AS g1,
+        |                sum(n2)::BIGINT AS g2, sum(n3)::BIGINT AS g3,
+        |                sum(n4)::BIGINT AS g4, sum(n5)::BIGINT AS g5 FROM cls),
+        |wt AS (
+        |  SELECT cls.*, nn,
+        |         abs(n1 * nn - g1 * n) + abs(n2 * nn - g2 * n) + abs(n3 * nn - g3 * n)
+        |           + abs(n4 * nn - g4 * n) + abs(n5 * nn - g5 * n) AS numer
+        |  FROM cls CROSS JOIN gtot),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS n_classes,
+        |         floor(max(numer::DOUBLE / (2.0 * n::DOUBLE * nn::DOUBLE))
+        |               * 1000000.0 + 0.5) / 1000000.0 AS max_tvd
+        |  FROM wt)
+        |SELECT t10::DOUBLE / 10.0 AS t_threshold, n_classes,
+        |       sum(CASE WHEN numer * 10 > 2 * t10 * n * nn THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_failing_classes,
+        |       sum(CASE WHEN numer * 10 > 2 * t10 * n * nn THEN n ELSE 0 END)::BIGINT
+        |         AS n_failing_rows,
+        |       max_tvd
+        |FROM wt CROSS JOIN (SELECT unnest([1, 2, 3]) AS t10) t CROSS JOIN tot
+        |GROUP BY t10, n_classes, max_tvd
+        |ORDER BY t_threshold""".stripMargin,
+    // same arrival-order running max per ingest partition, same
+    // census-rank percentile picks, same ceil-minutes delay
+    "q308_watermark_delay" ->
+      """WITH ev AS (
+        |  SELECT ((user_id % 8) + 8) % 8 AS part, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |lat AS (
+        |  SELECT part,
+        |         max(us) OVER (PARTITION BY part ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us AS lat
+        |  FROM ev),
+        |census AS (
+        |  SELECT part, lat, count(*)::BIGINT AS cnt FROM lat GROUP BY part, lat),
+        |cc AS (
+        |  SELECT census.*, sum(cnt) OVER (PARTITION BY part ORDER BY lat
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM census),
+        |tot AS (SELECT part, sum(cnt)::BIGINT AS n, max(lat)::BIGINT AS max_lat
+        |        FROM census GROUP BY part),
+        |pick AS (
+        |  SELECT cc.part, n, max_lat,
+        |         min(CASE WHEN cum * 2 >= n THEN lat END)::BIGINT AS p50,
+        |         min(CASE WHEN cum * 20 >= n * 19 THEN lat END)::BIGINT AS p95,
+        |         min(CASE WHEN cum * 100 >= n * 99 THEN lat END)::BIGINT AS p99
+        |  FROM cc JOIN tot USING (part) GROUP BY cc.part, n, max_lat)
+        |SELECT part, n, p50, p95, p99, max_lat,
+        |       (p99 + 59999999) // 60000000 AS delay_minutes
+        |FROM pick
+        |ORDER BY part""".stripMargin,
     // same 60-bit ring points, same successor/wrap min, same mod-N
     // contrast, same ppm division
     "q301_consistent_hash" ->
