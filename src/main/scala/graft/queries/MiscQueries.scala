@@ -2685,7 +2685,95 @@ object MiscQueries extends QueryModule {
       .orderBy("part")
   }
 
+  /** q309: SPRT — Wald's sequential probability ratio test, the
+    * SEQUENTIAL member of the experimentation family (q213's z-test
+    * and q280/q285's KS are fixed-horizon; a production experiment
+    * platform peeks continuously, and SPRT is the peeking-safe
+    * protocol): per event type, walk the purchase-value observations
+    * in event order accumulating the Bernoulli log-likelihood ratio
+    * for H₁: p=0.55 vs H₀: p=0.45 (success = value ≥ 250), decide at
+    * the Wald boundaries A = ln(19) / B = −ln(19) (α=β=0.05), report
+    * the decision, crossing index, and final LLR.
+    *
+    * Determinism: LLR_t = S_t·ln(11/9)... IS a·S_t + b·t with S_t an
+    * integer running sum — computed as (2·S_t − t)·ln(11/9)·½·2 —
+    * exactly: both per-outcome increments are ±ln(11/9) (symmetric
+    * hypotheses), so LLR_t = (2S_t − t)·ln(11/9); the boundary
+    * compare runs on the INTEGER walk 2S_t − t vs ±⌈ln19/ln(11/9)⌉
+    * — no float enters the decision; only the reported LLR descales
+    * through one snapped multiply. Scale: one type-partitioned
+    * running-sum window + a keyed min over crossing rows.
+    */
+  def q309Sprt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // integer boundary: walk w = 2S−t crosses when |w| ≥ k where
+    // k = min integer with k·ln(11/9) ≥ ln 19 → k = 15 (ln19/ln(11/9)
+    // = 14.67…) — stated as a literal so both engines share it
+    val k = 15L
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase", "click"))
+      .select(col("event_type"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        when(floor(col("value") * 100.0 + 0.5) >= 25000L, 1L).otherwise(0L).as("succ"))
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = ev
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("s", sum("succ").over(w))
+      .withColumn("wk", lit(2L) * col("s") - col("t"))
+    val crossings = walk.filter(abs(col("wk")) >= k)
+      .groupBy("event_type")
+      .agg(min(struct(col("t"), col("wk"))).as("c"))
+      .select(col("event_type"), col("c.t").as("decided_at"), col("c.wk").as("wk"))
+    val finals = walk.groupBy("event_type")
+      .agg(max(struct(col("t"), col("wk"))).as("f"))
+      .select(col("event_type"), col("f.t").as("n_obs"), col("f.wk").as("final_wk"))
+    finals.join(crossings, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_obs"),
+        coalesce(col("decided_at"), lit(0L)).as("decided_at"),
+        when(col("wk") >= k, "accept_h1").when(col("wk") <= -k, "accept_h0")
+          .otherwise("continue").as("decision"),
+        // ln(11/9) as a shared decimal LITERAL (not a libm call): both
+        // engines parse the identical double, so the snap is exact
+        (floor(coalesce(col("wk"), col("final_wk")).cast("double") *
+          lit(0.20067069546215124) * 1000000.0 + 0.5) / 1000000.0).as("llr_at_stop"))
+      .orderBy("event_type")
+  }
+
+  /** q310: DATE-DIMENSION spine — the calendar table every warehouse
+    * joins against (q173 gap-fills a spine implicitly; this BUILDS the
+    * dimension: one row per day over the fact table's span, with the
+    * calendar attributes), gated as the per-month census so the
+    * calendar arithmetic — day counts, weekend counts, ISO weeks,
+    * month-end day — is certified without a 2500-row dump.
+    *
+    * Determinism: pure calendar integer functions; day-of-week
+    * normalized to 0=Sunday in both engines (Spark's dayofweek is
+    * 1-based, DuckDB's 0-based). Scale: the spine is
+    * sequence()-generated from a 1-row min/max agg — never a row-scale
+    * operation; real deployments materialize exactly this table once.
+    */
+  def q310DateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val span = Tables.orders(spark, dir)
+      .agg(min(col("o_orderdate")).cast("date").as("d0"),
+        max(col("o_orderdate")).cast("date").as("d1"))
+    span.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .select(col("d"), year(col("d")).cast("long").as("y"),
+        month(col("d")).cast("long").as("m"),
+        (dayofweek(col("d")) - 1).cast("long").as("dow"),
+        weekofyear(col("d")).cast("long").as("iso_week"),
+        dayofmonth(last_day(col("d"))).cast("long").as("month_len"))
+      .groupBy("y", "m")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("dow") === 0 || col("dow") === 6, 1L).otherwise(0L))
+          .as("n_weekend"),
+        countDistinct("iso_week").as("n_iso_weeks"),
+        max("month_len").as("month_len"))
+      .orderBy("y", "m")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_date_spine" -> (q310DateSpine _),
+    "q309_sprt" -> (q309Sprt _),
     "q305_t_closeness" -> (q305TCloseness _),
     "q308_watermark_delay" -> (q308WatermarkDelay _),
     "q301_consistent_hash" -> (q301ConsistentHash _),
@@ -2759,6 +2847,62 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same generated spine, same 0=Sunday normalization, same ISO
+    // weeks, same per-month census
+    "q310_date_spine" ->
+      """WITH span AS (
+        |  SELECT min(o_orderdate)::DATE AS d0, max(o_orderdate)::DATE AS d1
+        |  FROM orders),
+        |spine AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        |  FROM span),
+        |attrs AS (
+        |  SELECT d, year(d)::BIGINT AS y, month(d)::BIGINT AS m,
+        |         dayofweek(d)::BIGINT AS dow,
+        |         weekofyear(d)::BIGINT AS iso_week,
+        |         day(last_day(d))::BIGINT AS month_len
+        |  FROM spine)
+        |SELECT y, m, count(*)::BIGINT AS n_days,
+        |       sum(CASE WHEN dow = 0 OR dow = 6 THEN 1 ELSE 0 END)::BIGINT AS n_weekend,
+        |       count(DISTINCT iso_week)::BIGINT AS n_iso_weeks,
+        |       max(month_len)::BIGINT AS month_len
+        |FROM attrs
+        |GROUP BY y, m
+        |ORDER BY y, m""".stripMargin,
+    // same integer walk 2S−t, same k=15 boundary, same first-crossing
+    // struct-min, same shared ln(11/9) literal in the descale
+    "q309_sprt" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |         CASE WHEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) >= 25000
+        |              THEN 1 ELSE 0 END AS succ
+        |  FROM events WHERE event_type IN ('view', 'purchase', 'click')),
+        |walk AS (
+        |  SELECT event_type,
+        |         count(*) OVER w AS t,
+        |         2 * sum(succ) OVER w - count(*) OVER w AS wk
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |crossings AS (
+        |  SELECT event_type,
+        |         (min(struct_pack(t := t, wk := wk))).t AS decided_at,
+        |         (min(struct_pack(t := t, wk := wk))).wk AS wk
+        |  FROM walk WHERE abs(wk) >= 15 GROUP BY event_type),
+        |finals AS (
+        |  SELECT event_type,
+        |         (max(struct_pack(t := t, wk := wk))).t AS n_obs,
+        |         (max(struct_pack(t := t, wk := wk))).wk AS final_wk
+        |  FROM walk GROUP BY event_type)
+        |SELECT f.event_type, n_obs::BIGINT AS n_obs,
+        |       coalesce(decided_at, 0)::BIGINT AS decided_at,
+        |       CASE WHEN wk >= 15 THEN 'accept_h1'
+        |            WHEN wk <= -15 THEN 'accept_h0'
+        |            ELSE 'continue' END AS decision,
+        |       floor(coalesce(wk, final_wk)::DOUBLE * 0.20067069546215124
+        |             * 1000000.0 + 0.5) / 1000000.0 AS llr_at_stop
+        |FROM finals f LEFT JOIN crossings c USING (event_type)
+        |ORDER BY f.event_type""".stripMargin,
     // same pivoted class census, same BIGINT TVD numerator, same
     // integer threshold compare, same snapped max
     "q305_t_closeness" ->

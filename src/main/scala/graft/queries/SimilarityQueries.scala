@@ -1262,7 +1262,39 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("rrf").desc, col("doc_id").asc).limit(15)
   }
 
+  /** q313: MATRYOSHKA truncation recall — the dimension-axis member of
+    * the accuracy-vs-cost curve family (q229 sweeps nprobe, q225 CMS
+    * width, q247 histogram bins; MRL-style embeddings are served
+    * TRUNCATED, and this measures what each prefix length buys):
+    * recall@10 of the top-10 by prefix-cosine (dims 2/4/8) against
+    * the full-16-dim ground truth — the table that picks the serving
+    * dimension.
+    *
+    * Determinism: every ranking orders by (rounded cosine desc, id) —
+    * grid-stable; recall is an integer overlap over two 10-row lists.
+    * Scale: one scan per dim with a TakeOrdered top-10 — at 100 TB
+    * the truncated scan reads 2/16ths of the vector bytes, which is
+    * the cost axis the curve prices.
+    */
+  def q313MatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, dir)))
+    def top10(dim: Int): DataFrame = base
+      .select(col("vec_id"),
+        round(VectorOps.cosine(slice(col("embedding"), 1, dim),
+          slice(col("qv"), 1, dim)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+    val truth = top10(16).select(col("vec_id"))
+    Seq(2, 4, 8).map { d =>
+      top10(d).join(truth, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dim"), col("n_hits"),
+          (col("n_hits").cast("double") / 10.0).as("recall_at_10"))
+    }.reduce(_ unionByName _).orderBy("dim")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_matryoshka_recall" -> (q313MatryoshkaRecall _),
     "q306_hybrid_rrf" -> (q306HybridRrf _),
     "q270_als_half_step" -> (q270AlsHalfStep _),
     "q229_ivf_nprobe_curve" -> (q229IvfNprobeCurve _),
@@ -1393,6 +1425,32 @@ object SimilarityQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // same prefix slices, same rounded-cosine rankings, same integer
+    // overlap against the full-dim truth
+    "q313_matryoshka_recall" -> {
+      def top(dim: Int, name: String) =
+        s"""$name AS (
+           |  SELECT a.vec_id,
+           |         round(list_cosine_similarity(a.embedding[1:$dim]::DOUBLE[],
+           |                                      q.qv[1:$dim]::DOUBLE[]), 6) + 0.0 AS cos
+           |  FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0
+           |  ORDER BY cos DESC, a.vec_id ASC LIMIT 10)""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |${top(16, "truth")},
+         |${top(2, "t2")},
+         |${top(4, "t4")},
+         |${top(8, "t8")}
+         |SELECT 2::BIGINT AS dim, count(*)::BIGINT AS n_hits,
+         |       count(*)::DOUBLE / 10.0 AS recall_at_10
+         |FROM t2 WHERE vec_id IN (SELECT vec_id FROM truth)
+         |UNION ALL
+         |SELECT 4::BIGINT, count(*)::BIGINT, count(*)::DOUBLE / 10.0
+         |FROM t4 WHERE vec_id IN (SELECT vec_id FROM truth)
+         |UNION ALL
+         |SELECT 8::BIGINT, count(*)::BIGINT, count(*)::DOUBLE / 10.0
+         |FROM t8 WHERE vec_id IN (SELECT vec_id FROM truth)
+         |ORDER BY dim""".stripMargin
+    },
     // both arms replayed (the q82 BM25 chain token-for-token, the q44
     // cosine), same grid-stable rank orders, same k=60 fusion snap
     "q306_hybrid_rrf" ->
