@@ -2771,7 +2771,69 @@ object MiscQueries extends QueryModule {
       .orderBy("y", "m")
   }
 
+  /** q311: SHARE-OF-PARENT hierarchy report — the percent-of-total
+    * OLAP shape (q04's rollup produces the LEVELS; a real report also
+    * wants each level's share of its PARENT: nation-of-region and
+    * region-of-world): revenue per nation with both shares on the
+    * exact ppm integer grid.
+    *
+    * Determinism: cents are exact; shares are (child·10⁶) div parent
+    * — integer division, no float anywhere. Scale: one fact agg to
+    * the nation census, then dim-table joins (broadcast) and two
+    * census-level rollups — the fact table is touched once.
+    */
+  def q311ShareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey").agg(sum("cents").as("nc"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("nc"))
+    val perRegion = perNation.groupBy("r_name").agg(sum("nc").as("rc"))
+    val world = perRegion.agg(sum("rc").as("wc"))
+    perNation.join(perRegion, "r_name").crossJoin(broadcast(world))
+      .select(col("r_name"), col("n_name"),
+        round(col("nc") / 100.0, 2).as("revenue"),
+        expr("(nc * 1000000) div rc").as("share_of_region_ppm"),
+        expr("(rc * 1000000) div wc").as("region_share_ppm"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q312: SOURCE-FRESHNESS audit — the dbt-source-freshness /
+    * pipeline-staleness monitor (q175 audits integrity, q218 erasure;
+    * this audits ARRIVAL: which feeds have stopped): per event type,
+    * the last-seen event time, staleness against the corpus frontier
+    * (the global max — the deterministic stand-in for wall-clock
+    * "now"), and the SLA flag at a 1-hour threshold.
+    *
+    * Determinism: pure integer µs arithmetic off one 1-row frontier
+    * agg. Scale: one partial+final max per type — the cheapest
+    * monitor there is, and the one that pages first.
+    */
+  def q312SourceFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(spark, dir)
+      .groupBy("event_type").agg(max(expr("unix_micros(ts)")).as("last_us"),
+        count(lit(1)).as("n_events"))
+    val frontier = perType.agg(max("last_us").as("f"))
+    perType.crossJoin(broadcast(frontier))
+      .select(col("event_type"), col("n_events"),
+        timestamp_micros(col("last_us")).as("last_seen"),
+        expr("(f - last_us) div 1000000").as("staleness_sec"),
+        when(col("f") - col("last_us") > 3600L * 1000000L, 1L).otherwise(0L)
+          .as("sla_breach"))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_share_of_parent" -> (q311ShareOfParent _),
+    "q312_source_freshness" -> (q312SourceFreshness _),
     "q310_date_spine" -> (q310DateSpine _),
     "q309_sprt" -> (q309Sprt _),
     "q305_t_closeness" -> (q305TCloseness _),
@@ -2847,6 +2909,36 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same one-pass fact agg, same broadcast dims, same ppm integer
+    // shares at both hierarchy levels
+    "q311_share_of_parent" ->
+      """WITH pn AS (
+        |  SELECT r_name, n_name, sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS nc
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |pr AS (SELECT r_name, sum(nc)::BIGINT AS rc FROM pn GROUP BY r_name),
+        |w AS (SELECT sum(rc)::BIGINT AS wc FROM pr)
+        |SELECT pn.r_name, n_name, round(nc / 100.0, 2) + 0.0 AS revenue,
+        |       (nc * 1000000) // rc AS share_of_region_ppm,
+        |       (rc * 1000000) // wc AS region_share_ppm
+        |FROM pn JOIN pr USING (r_name) CROSS JOIN w
+        |ORDER BY pn.r_name, n_name""".stripMargin,
+    // same per-type max, same corpus-frontier reference, same integer
+    // staleness and SLA flag
+    "q312_source_freshness" ->
+      """WITH pt AS (
+        |  SELECT event_type, max(epoch_us(ts))::BIGINT AS last_us,
+        |         count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY event_type),
+        |f AS (SELECT max(last_us)::BIGINT AS f FROM pt)
+        |SELECT event_type, n_events, make_timestamp(last_us) AS last_seen,
+        |       (f - last_us) // 1000000 AS staleness_sec,
+        |       (CASE WHEN f - last_us > 3600000000::BIGINT THEN 1 ELSE 0 END)::BIGINT AS sla_breach
+        |FROM pt CROSS JOIN f
+        |ORDER BY event_type""".stripMargin,
     // same generated spine, same 0=Sunday normalization, same ISO
     // weeks, same per-month census
     "q310_date_spine" ->
