@@ -665,7 +665,48 @@ object AggQueries extends QueryModule {
         round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"))
       .orderBy("l_returnflag")
 
+  /** q314: OHLCV candlestick bars — the tick-to-bar compaction every
+    * market-data pipeline runs first (the reference's feed is a crypto
+    * ticker stream, `/root/reference/src/main.cpp:48-50`; bars are what
+    * downstream ever reads): per (event_type, UTC hour), open/close by
+    * the total (µs, event_id) order, high/low, tick count, and turnover
+    * (Σ cents).
+    *
+    * Determinism: open/close are `min_by`/`max_by` under the UNIQUE
+    * struct order (us, event_id) — no ties possible; high/low/turnover
+    * are exact BIGINT cents; descales are single /100.0 divides, the
+    * same IEEE op in both engines. Scale: ONE partial+final hash agg —
+    * the min_by/max_by partials carry one (value, key) pair per group,
+    * so state is O(bars), never O(ticks), and no window touches the
+    * tick stream. At 100 TB this is the classic map-side-combine win:
+    * each scan task emits ≤ |types|×|hours| partial bars.
+    */
+  def q314OhlcvBars(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      expr("unix_micros(ts)").as("us"), col("event_id"),
+      floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("hour", expr("us div 3600000000"))
+    ev.groupBy("event_type", "hour")
+      .agg(
+        min_by(col("cents"), struct(col("us"), col("event_id"))).as("open_c"),
+        max("cents").as("high_c"),
+        min("cents").as("low_c"),
+        max_by(col("cents"), struct(col("us"), col("event_id"))).as("close_c"),
+        count(lit(1)).as("n"),
+        sum("cents").as("turn_c"))
+      .select(col("event_type"), col("hour"),
+        (col("open_c").cast("double") / 100.0).as("open"),
+        (col("high_c").cast("double") / 100.0).as("high"),
+        (col("low_c").cast("double") / 100.0).as("low"),
+        (col("close_c").cast("double") / 100.0).as("close"),
+        col("n"),
+        (col("turn_c").cast("double") / 100.0).as("turnover"))
+      .orderBy("event_type", "hour")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_ohlcv_bars" -> (q314OhlcvBars _),
     "q190_hll_distinct" -> (q190HllDistinct _),
     "q289_hll_setops" -> (q289HllSetOps _),
     "q295_robust_means" -> (q295RobustMeans _),
@@ -691,6 +732,25 @@ object AggQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same cents grid, same unique (us, event_id) open/close order —
+    // DuckDB's ordered first/last vs the engine's min_by/max_by: two
+    // different extremum algorithms, one answer
+    "q314_ohlcv_bars" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |         epoch_us(ts) // 3600000000 AS hour
+        |  FROM events)
+        |SELECT event_type, hour,
+        |       first(cents ORDER BY us, event_id)::DOUBLE / 100.0 AS open,
+        |       max(cents)::DOUBLE / 100.0 AS high,
+        |       min(cents)::DOUBLE / 100.0 AS low,
+        |       last(cents ORDER BY us, event_id)::DOUBLE / 100.0 AS close,
+        |       count(*)::BIGINT AS n,
+        |       sum(cents)::DOUBLE / 100.0 AS turnover
+        |FROM ev
+        |GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin,
     // same grid buckets, same census cumulative, same edge interpolation
     "q247_quantile_sketch_curve" -> {
       val binsSeq = Seq(16, 64, 256)

@@ -1141,7 +1141,62 @@ object DedupQueries extends QueryModule {
       .orderBy("source", "i", "j")
   }
 
+  /** q315: WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm) + fingerprint-overlap near-dup
+    * pairs. Winnowing selects, per sliding window of w=8 consecutive
+    * k=20-char-gram hashes, the window MINIMUM — guaranteeing any shared
+    * substring of length ≥ k+w−1 = 27 chars yields a shared selected
+    * fingerprint, at ~2/(w+1) the gram density. Selected fingerprints
+    * are df-cutoff at 20 docs (the q42 lever: a fingerprint in >20 docs
+    * is boilerplate, not identity), pairs need ≥ 3 shared fingerprints,
+    * and overlap is shared/min(|fp_a|,|fp_b|) on the ppm integer grid.
+    *
+    * Determinism: grams are md5 hex strings — lexicographic min IS
+    * numeric min at fixed width, identical in both engines; every
+    * downstream count is an integer. Scale: gram explosion and the
+    * window-min are doc-partitioned (scan-local after one shuffle on
+    * doc_id — and at rest the corpus would be read already laid out by
+    * doc); the pair join is fingerprint-banded with the df cutoff
+    * capping any bucket at C(20,2) pairs — never all-pairs. This is the
+    * SUBSTRING-match member of the near-dup family (q41 MinHash = set
+    * Jaccard, q43 SimHash = cosine-ish, q42c = prefix-filtered exact
+    * Jaccard; winnowing alone catches a long verbatim quote inside
+    * otherwise-different documents).
+    */
+  def q315Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20; val w = 8
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), col("text"), (length(col("text")) - (k - 1)).as("ng"))
+    val grams = docs.select(col("doc_id"), col("ng"),
+      posexplode(expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substring(text, i, $k)))")))
+      .toDF("doc_id", "ng", "pos", "h")
+    val winMin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    val fps = grams
+      .withColumn("wmin", min("h").over(winMin))
+      .filter(col("pos") <= col("ng") - w)
+      .select("doc_id", "wmin").distinct()
+    val kept = fps.join(
+      fps.groupBy("wmin").agg(count(lit(1)).as("df")).filter(col("df") <= 20),
+      "wmin")
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+    pairs
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nfp", "fp_a"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nfp", "fp_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("fp_a"), col("fp_b"),
+        expr("shared * 1000000L div least(fp_a, fp_b)").as("overlap_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q315_winnowing" -> (q315Winnowing _),
     "q266_containment" -> (q266Containment _),
     "q260_fellegi_sunter" -> (q260FellegiSunter _),
     "q248_edit_distance_linkage" -> (q248EditDistanceLinkage _),
@@ -1168,6 +1223,33 @@ object DedupQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same md5 gram stream, same w=8 window minima over the same
+    // 0-based positions, same df cutoff / pair threshold / ppm grid
+    "q315_winnowing" ->
+      """WITH g AS (
+        |  SELECT doc_id, length(text) - 19 AS ng, i - 1 AS pos,
+        |         md5(substring(text, i, 20)) AS h
+        |  FROM documents, unnest(generate_series(1, length(text) - 19)) AS t(i)
+        |  WHERE length(text) >= 27),
+        |wm AS (
+        |  SELECT doc_id, pos, ng,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= ng - 8),
+        |df AS (SELECT wmin, count(*) AS d FROM fp GROUP BY wmin),
+        |kept AS (SELECT fp.doc_id, fp.wmin FROM fp JOIN df USING (wmin) WHERE df.d <= 20),
+        |sz AS (SELECT doc_id, count(*) AS nfp FROM kept GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+        |  FROM kept a JOIN kept b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT doc_a, doc_b, shared, sa.nfp::BIGINT AS fp_a, sb.nfp::BIGINT AS fp_b,
+        |       shared * 1000000 // least(sa.nfp, sb.nfp) AS overlap_ppm
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = doc_a
+        |JOIN sz sb ON sb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // same shingle sets via direct list ops (no index), same integer
     // membership cross-multiplication, same single-divide ratios
     "q266_containment" ->
