@@ -2831,7 +2831,115 @@ object MiscQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q316: KRUSKAL–WALLIS H test — the k-group extension of q203's
+    * Mann–Whitney (q203 compares TWO segments; the screening question a
+    * platform actually asks is "do ANY of the k segments differ?"):
+    * rank order totals across all five market segments on the shared
+    * cents census, H = 3/(N(N+1))·Σ R2ₜ²/nₜ − 3(N+1) with DOUBLED
+    * midranks R2 (so every rank is an integer even at ties), tie
+    * correction C = 1 − Σ(t³−t)/(N³−N), H_adj = H/C against the
+    * χ²(k−1) 5% critical value 9.487729.
+    *
+    * Determinism: per-segment rank sums are exact BIGINTs off the value
+    * census (the q203 device: 2·R = 2·(cum−cnt)+cnt+1 summed per cell);
+    * the five R2ₜ²/nₜ terms are combined in ONE explicit left-to-right
+    * expression over the pivoted single row — never a float agg whose
+    * partition order could reassociate — and both engines evaluate the
+    * identical chain. Scale: one fact-table agg to the (segment, cents)
+    * census, one census-level cumulative window (value-cardinality
+    * bounded), one 1-row reduce.
+    */
+  def q316KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val s = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("v"))
+    val cell = s.groupBy("seg", "v").agg(count(lit(1)).as("ct"))
+    val vc = cell.groupBy("v").agg(sum("ct").as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("v")))
+      .withColumn("m2", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+    val joined = cell.join(vc, "v")
+    val aggs = segs.flatMap(g => Seq(
+      sum(when(col("seg") === g, col("ct")).otherwise(lit(0L)))
+        .as(s"n_${g.take(2).toLowerCase}"),
+      sum(when(col("seg") === g, col("ct") * col("m2")).otherwise(lit(0L)))
+        .as(s"r2_${g.take(2).toLowerCase}"))) :+ sum("ct").as("n")
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+    // tie census rides the value census, not the cell census
+    val ties = vc.agg(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+    val keys = segs.map(_.take(2).toLowerCase)
+    val sTerm = keys.map(k =>
+        s"CAST(r2_$k AS DOUBLE) * CAST(r2_$k AS DOUBLE) / CAST(n_$k AS DOUBLE)")
+      .mkString("(", " + ", ")")
+    one.crossJoin(broadcast(ties))
+      .withColumn("nn", col("n").cast("double"))
+      .select(
+        col("n"),
+        lit(segs.size.toLong).as("k"),
+        col("tie3"),
+        round(expr(s"3.0 / (nn * (nn + 1.0)) * $sTerm - 3.0 * (nn + 1.0)"), 6).as("h"),
+        round(expr("1.0 - CAST(tie3 AS DOUBLE) / (nn * nn * nn - nn)"), 6).as("tie_c"),
+        round(expr(
+          s"(3.0 / (nn * (nn + 1.0)) * $sTerm - 3.0 * (nn + 1.0)) / " +
+            "(1.0 - CAST(tie3 AS DOUBLE) / (nn * nn * nn - nn))"), 6).as("h_adj"),
+        lit(segs.size.toLong - 1L).as("df"),
+        when(expr(
+          s"(3.0 / (nn * (nn + 1.0)) * $sTerm - 3.0 * (nn + 1.0)) / " +
+            "(1.0 - CAST(tie3 AS DOUBLE) / (nn * nn * nn - nn))") > 9.487729,
+          lit("reject")).otherwise(lit("retain")).as("h0"))
+  }
+
+  /** q318: MANN–KENDALL trend test — the nonparametric
+    * monotone-trend screen (q297's Theil–Sen estimates the SLOPE; MK
+    * decides whether a trend EXISTS, and the two are the standard
+    * pairing in environmental/metric monitoring): per event type, the
+    * daily turnover series (exact Σ cents per UTC day), S = Σ sign
+    * differences over all day pairs, tie-corrected variance
+    * 18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5), continuity-corrected
+    * z = (S ∓ 1)/√Var, trend called at |z| > 1.959964.
+    *
+    * Determinism: S and 18·Var are exact BIGINTs (sign sums and tie
+    * censuses); z is one double chain off integers < 2⁵³. Scale: the
+    * pair "join" is over the per-type DAY census (30 days → 435 pairs
+    * per type), never events — the series length is bounded by time,
+    * not data volume; everything upstream is one partial+final agg.
+    */
+  def q318MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day").agg(sum("cents").as("v"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.v") - col("a.v")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("event_type", "v").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("t").as("n_days"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("tie_term"))
+    pairs.join(ties, "event_type")
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1L) * (lit(2L) * col("n_days") + 5L)
+          - col("tie_term"))
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"),
+        round(expr(
+          """CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+            |     WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+            |     ELSE 0.0 END / sqrt(CAST(var18 AS DOUBLE) / 18.0)"""
+            .stripMargin.replace("\n", " ")), 6).as("z"))
+      .withColumn("trend",
+        when(col("z") > 1.959964, lit("increasing"))
+          .when(col("z") < -1.959964, lit("decreasing"))
+          .otherwise(lit("none")))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_kruskal_wallis" -> (q316KruskalWallis _),
+    "q318_mann_kendall" -> (q318MannKendall _),
     "q311_share_of_parent" -> (q311ShareOfParent _),
     "q312_source_freshness" -> (q312SourceFreshness _),
     "q310_date_spine" -> (q310DateSpine _),
@@ -2909,6 +3017,87 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same cents census, same doubled midranks off the cumulative,
+    // same left-to-right five-term H chain and tie correction
+    "q316_kruskal_wallis" ->
+      """WITH s AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cell AS (SELECT seg, v, count(*)::BIGINT AS ct FROM s GROUP BY 1, 2),
+        |vc AS (
+        |  SELECT v, sum(ct)::BIGINT AS cnt,
+        |         sum(sum(ct)) OVER (ORDER BY v)::BIGINT AS cum
+        |  FROM cell GROUP BY v),
+        |vc2 AS (SELECT v, cnt, 2 * (cum - cnt) + cnt + 1 AS m2 FROM vc),
+        |one AS (
+        |  SELECT
+        |    sum(CASE WHEN seg = 'AUTOMOBILE' THEN ct ELSE 0 END)::BIGINT AS n_au,
+        |    sum(CASE WHEN seg = 'AUTOMOBILE' THEN ct * m2 ELSE 0 END)::BIGINT AS r2_au,
+        |    sum(CASE WHEN seg = 'BUILDING' THEN ct ELSE 0 END)::BIGINT AS n_bu,
+        |    sum(CASE WHEN seg = 'BUILDING' THEN ct * m2 ELSE 0 END)::BIGINT AS r2_bu,
+        |    sum(CASE WHEN seg = 'FURNITURE' THEN ct ELSE 0 END)::BIGINT AS n_fu,
+        |    sum(CASE WHEN seg = 'FURNITURE' THEN ct * m2 ELSE 0 END)::BIGINT AS r2_fu,
+        |    sum(CASE WHEN seg = 'HOUSEHOLD' THEN ct ELSE 0 END)::BIGINT AS n_ho,
+        |    sum(CASE WHEN seg = 'HOUSEHOLD' THEN ct * m2 ELSE 0 END)::BIGINT AS r2_ho,
+        |    sum(CASE WHEN seg = 'MACHINERY' THEN ct ELSE 0 END)::BIGINT AS n_ma,
+        |    sum(CASE WHEN seg = 'MACHINERY' THEN ct * m2 ELSE 0 END)::BIGINT AS r2_ma,
+        |    sum(ct)::BIGINT AS n
+        |  FROM cell JOIN vc2 USING (v)),
+        |ties AS (SELECT sum(cnt * cnt * cnt - cnt)::BIGINT AS tie3 FROM vc),
+        |calc AS (
+        |  SELECT n, 5::BIGINT AS k, tie3, n::DOUBLE AS nn,
+        |         (r2_au::DOUBLE * r2_au::DOUBLE / n_au::DOUBLE
+        |          + r2_bu::DOUBLE * r2_bu::DOUBLE / n_bu::DOUBLE
+        |          + r2_fu::DOUBLE * r2_fu::DOUBLE / n_fu::DOUBLE
+        |          + r2_ho::DOUBLE * r2_ho::DOUBLE / n_ho::DOUBLE
+        |          + r2_ma::DOUBLE * r2_ma::DOUBLE / n_ma::DOUBLE) AS sterm
+        |  FROM one, ties)
+        |SELECT n, k, tie3,
+        |       round(3.0 / (nn * (nn + 1.0)) * sterm - 3.0 * (nn + 1.0), 6) AS h,
+        |       round(1.0 - tie3::DOUBLE / (nn * nn * nn - nn), 6) AS tie_c,
+        |       round((3.0 / (nn * (nn + 1.0)) * sterm - 3.0 * (nn + 1.0))
+        |             / (1.0 - tie3::DOUBLE / (nn * nn * nn - nn)), 6) AS h_adj,
+        |       4::BIGINT AS df,
+        |       CASE WHEN (3.0 / (nn * (nn + 1.0)) * sterm - 3.0 * (nn + 1.0))
+        |                 / (1.0 - tie3::DOUBLE / (nn * nn * nn - nn)) > 9.487729
+        |            THEN 'reject' ELSE 'retain' END AS h0
+        |FROM calc""".stripMargin,
+    // same daily BIGINT turnover series, same day-pair sign census,
+    // same tie-corrected variance and continuity-corrected z
+    "q318_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type AS event_type,
+        |         sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+        |                  ELSE 0 END)::BIGINT AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, sum(t)::BIGINT AS n_days,
+        |         sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+        |  FROM (SELECT event_type, v, count(*)::BIGINT AS t FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |calc AS (
+        |  SELECT p.event_type AS event_type, n_days, s_stat,
+        |         n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+        |  FROM pairs p JOIN ties USING (event_type)),
+        |zed AS (
+        |  SELECT event_type, n_days, s_stat, var18,
+        |         round(CASE WHEN s_stat > 0 THEN (s_stat::DOUBLE - 1.0)
+        |                    WHEN s_stat < 0 THEN (s_stat::DOUBLE + 1.0)
+        |                    ELSE 0.0 END / sqrt(var18::DOUBLE / 18.0), 6) AS z
+        |  FROM calc)
+        |SELECT event_type, n_days, s_stat, var18, z,
+        |       CASE WHEN z > 1.959964 THEN 'increasing'
+        |            WHEN z < -1.959964 THEN 'decreasing'
+        |            ELSE 'none' END AS trend
+        |FROM zed
+        |ORDER BY event_type""".stripMargin,
     // same one-pass fact agg, same broadcast dims, same ppm integer
     // shares at both hierarchy levels
     "q311_share_of_parent" ->
