@@ -1048,6 +1048,73 @@ object SimilarityQueries extends QueryModule {
       .orderBy("ndcg")
   }
 
+  /** q317: RETRIEVAL MRR + precision@k — the first-hit metric that
+    * completes the retrieval-eval family (q215 recall@5 counts overlap,
+    * q255 nDCG grades positions; MRR answers "how deep does the user
+    * scroll to the first good result?" — the metric QA/search teams
+    * actually report): per q215 anchor, the IVF nprobe=1 ranking is
+    * scored against the brute-force top-5 ground truth; reciprocal rank
+    * of the first true hit on the 10⁻⁶ integer grid (1000000 div rank —
+    * exact, order-invariant mean), plus precision@1/3/5 as integer hit
+    * censuses.
+    *
+    * Determinism: both rankings reuse q215's exact BIGINT grid dots with
+    * (cos desc, id asc) order; every per-anchor statistic is an integer;
+    * the corpus MRR is one divide over integer sums. Scale: q215's —
+    * anchors broadcast (37× reduction), bounded per-anchor heaps, then
+    * census-sized arithmetic only.
+    */
+  def q317RetrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = gridIvfAssign(spark, dir, 16)
+    val anchors = assigned.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("a_id"), col("list_id").as("a_list"),
+        col("qe").as("a_qe"), col("qn").as("a_qn"))
+    val cands = assigned.select(col("vec_id").as("c_id"),
+      col("list_id").as("c_list"), col("qe").as("c_qe"), col("qn").as("c_qn"))
+    val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(5))
+    def top5Ranked(pairs: DataFrame, rankName: String): DataFrame = pairs
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(a_qe, c_qe, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("cos", col("qdot").cast("double") /
+        (sqrt(col("a_qn").cast("double")) * sqrt(col("c_qn").cast("double"))))
+      .groupBy("a_id").agg(topk(col("cos"), col("c_id")).as("top"))
+      .select(col("a_id"), posexplode(col("top")))
+      .select(col("a_id"), col("col.id").as("c_id"),
+        (col("pos") + 1).cast("long").as(rankName))
+    val exact = top5Ranked(
+      cands.join(broadcast(anchors), col("c_id") =!= col("a_id")), "r_ex")
+    val approx = top5Ranked(cands.join(broadcast(anchors),
+      col("c_id") =!= col("a_id") && col("c_list") === col("a_list")), "r_ap")
+    val perA = anchors.select(col("a_id"))
+      .join(approx.join(exact, Seq("a_id", "c_id"), "left")
+        .groupBy("a_id").agg(
+          min(when(col("r_ex").isNotNull, col("r_ap"))).as("first_hit"),
+          sum(when(col("r_ex").isNotNull && col("r_ap") <= 1, 1L).otherwise(0L)).as("h1"),
+          sum(when(col("r_ex").isNotNull && col("r_ap") <= 3, 1L).otherwise(0L)).as("h3"),
+          sum(when(col("r_ex").isNotNull && col("r_ap") <= 5, 1L).otherwise(0L)).as("h5")),
+        Seq("a_id"), "left")
+      .select(col("a_id"),
+        when(col("first_hit").isNotNull, expr("1000000L div first_hit"))
+          .otherwise(lit(0L)).as("rr_u"),
+        coalesce(col("h1"), lit(0L)).as("h1"),
+        coalesce(col("h3"), lit(0L)).as("h3"),
+        coalesce(col("h5"), lit(0L)).as("h5"))
+    val tot = perA.agg(
+      count(lit(1)).as("n_anchors"), sum("rr_u").as("rr_sum"),
+      sum("h1").as("t1"), sum("h3").as("t3"), sum("h5").as("t5"))
+    tot.select(col("n_anchors"), col("rr_sum"),
+        round(col("rr_sum").cast("double") / 1000000.0 /
+          col("n_anchors").cast("double"), 6).as("mrr"),
+        explode(array(
+          struct(lit(1L).as("k"), col("t1").as("hits")),
+          struct(lit(3L).as("k"), col("t3").as("hits")),
+          struct(lit(5L).as("k"), col("t5").as("hits")))).as("kv"))
+      .select(col("kv.k").as("k"), col("n_anchors"), col("kv.hits").as("hits"),
+        expr("kv.hits * 1000000L div (n_anchors * kv.k)").as("precision_ppm"),
+        col("rr_sum"), col("mrr"))
+      .orderBy("k")
+  }
+
   /** q216: EMBEDDING TABLE AUDIT — the data-quality gate an embedding
     * store runs before any index build: per label, vector count,
     * wrong-dimension rows, all-zero vectors (unnormalizable — they
@@ -1300,6 +1367,7 @@ object SimilarityQueries extends QueryModule {
     "q229_ivf_nprobe_curve" -> (q229IvfNprobeCurve _),
     "q215_ivf_recall" -> (q215IvfRecall _),
     "q255_retrieval_ndcg" -> (q255RetrievalNdcg _),
+    "q317_retrieval_mrr" -> (q317RetrievalMrr _),
     "q216_embedding_audit" -> (q216EmbeddingAudit _),
     "q211_hard_negatives" -> (q211HardNegatives _),
     "q210_mmr_rerank" -> (q210MmrRerank _),
@@ -1668,6 +1736,57 @@ object SimilarityQueries extends QueryModule {
         |       m.mean_ndcg
         |FROM pn CROSS JOIN m
         |GROUP BY 1, m.mean_ndcg ORDER BY 1""".stripMargin,
+    // q215's chain verbatim through ex/ap, then the first-hit rank and
+    // hit censuses on the same 10^-6 integer grids
+    "q317_retrieval_mrr" ->
+      s"""WITH $oracleGridAsg,
+        |an AS (
+        |  SELECT vec_id AS a_id, list_id AS a_list, qe AS a_qe, qn AS a_qn
+        |  FROM asg WHERE vec_id % 37 = 0),
+        |sc AS (
+        |  SELECT an.a_id, an.a_list, c.vec_id AS c_id, c.list_id AS c_list,
+        |         (list_sum([an.a_qe[i] * c.qe[i] FOR i IN range(1, 65)])::BIGINT)::DOUBLE
+        |           / (sqrt(an.a_qn::DOUBLE) * sqrt(c.qn::DOUBLE)) AS cos
+        |  FROM an JOIN asg c ON c.vec_id <> an.a_id),
+        |ex AS (
+        |  SELECT a_id, c_id FROM (
+        |    SELECT a_id, c_id, row_number() OVER (PARTITION BY a_id
+        |             ORDER BY cos DESC, c_id ASC) AS rn FROM sc)
+        |  WHERE rn <= 5),
+        |ap AS (
+        |  SELECT a_id, c_id, rn AS r_ap FROM (
+        |    SELECT a_id, c_id, row_number() OVER (PARTITION BY a_id
+        |             ORDER BY cos DESC, c_id ASC) AS rn
+        |    FROM sc WHERE c_list = a_list)
+        |  WHERE rn <= 5),
+        |pa AS (
+        |  SELECT an.a_id,
+        |         coalesce(g.rr_u, 0)::BIGINT AS rr_u,
+        |         coalesce(g.h1, 0)::BIGINT AS h1,
+        |         coalesce(g.h3, 0)::BIGINT AS h3,
+        |         coalesce(g.h5, 0)::BIGINT AS h5
+        |  FROM an LEFT JOIN (
+        |    SELECT ap.a_id,
+        |           coalesce(1000000 // min(CASE WHEN e.c_id IS NOT NULL
+        |                                        THEN ap.r_ap END), 0) AS rr_u,
+        |           sum(CASE WHEN e.c_id IS NOT NULL AND ap.r_ap <= 1 THEN 1 ELSE 0 END) AS h1,
+        |           sum(CASE WHEN e.c_id IS NOT NULL AND ap.r_ap <= 3 THEN 1 ELSE 0 END) AS h3,
+        |           sum(CASE WHEN e.c_id IS NOT NULL AND ap.r_ap <= 5 THEN 1 ELSE 0 END) AS h5
+        |    FROM ap LEFT JOIN ex e ON e.a_id = ap.a_id AND e.c_id = ap.c_id
+        |    GROUP BY ap.a_id) g ON g.a_id = an.a_id),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS n_anchors, sum(rr_u)::BIGINT AS rr_sum,
+        |         sum(h1)::BIGINT AS t1, sum(h3)::BIGINT AS t3, sum(h5)::BIGINT AS t5
+        |  FROM pa)
+        |SELECT k, n_anchors, hits, hits * 1000000 // (n_anchors * k) AS precision_ppm,
+        |       rr_sum, round(rr_sum::DOUBLE / 1000000.0 / n_anchors::DOUBLE, 6) AS mrr
+        |FROM (
+        |  SELECT 1::BIGINT AS k, n_anchors, t1 AS hits, rr_sum FROM tot
+        |  UNION ALL
+        |  SELECT 3::BIGINT, n_anchors, t3, rr_sum FROM tot
+        |  UNION ALL
+        |  SELECT 5::BIGINT, n_anchors, t5, rr_sum FROM tot)
+        |ORDER BY k""".stripMargin,
     "q215_ivf_recall" ->
       s"""WITH $oracleGridAsg,
         |an AS (

@@ -1862,7 +1862,75 @@ object TextQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q319: MULTINOMIAL NAIVE BAYES language classifier — trained AND
+    * applied wholly inside the engine (q48's lang-ID is a fixed n-gram
+    * heuristic; this LEARNS from labeled rows, the supervised member of
+    * the text-classification family beside q151's rule scorer and
+    * q128/q180's cross-entropies): train on doc_id % 5 ≠ 0, Laplace
+    * add-one word likelihoods, priors from class doc counts, classify
+    * the held-out fold and report the confusion census + accuracy.
+    *
+    * Determinism: every log-probability is snapped ONCE, census-side,
+    * to the micro-nat BIGINT grid (⌊ln·10⁶+0.5⌋ over the ≤ |V|·|C| ≈
+    * 150-entry likelihood table + |C| priors + |C| unseen defaults) —
+    * per-document scores are then INTEGER sums, so argmax (score desc,
+    * lang asc) is exact and order-invariant; accuracy is one ppm
+    * divide. Scale: the model is a census (vocab × classes) broadcast
+    * against the exploded token stream; scoring is one partial+final
+    * agg per (doc, class); no window touches the corpus — the classic
+    * "train = one aggregation, apply = one broadcast join" NB shape.
+    */
+  def q319NaiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    val trainTok = train.select(col("lang"), explode(col("ws")).as("w"))
+      .filter(col("w") =!= "")
+    val wc = trainTok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val totals = wc.groupBy("lang").agg(sum("c").as("tot"))
+    val vocab = wc.select("w").distinct().agg(count(lit(1)).as("v"))
+    val priors = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("ntr"))))
+      .select(col("lang"),
+        floor(log(col("nd").cast("double") / col("ntr").cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("prior_u"))
+    val model = wc.join(totals, "lang").crossJoin(broadcast(vocab))
+      .select(col("lang"), col("w"),
+        floor(log((col("c") + 1L).cast("double") /
+          (col("tot") + col("v")).cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("lp_u"))
+    val defaults = totals.crossJoin(broadcast(vocab))
+      .select(col("lang"),
+        floor(log(lit(1.0) / (col("tot") + col("v")).cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("def_u"))
+    val testTok = test.select(col("doc_id"), col("lang").as("actual"),
+        explode(col("ws")).as("w"))
+      .filter(col("w") =!= "")
+    val scored = testTok
+      .crossJoin(broadcast(defaults.select(col("lang"), col("def_u"))))
+      .join(broadcast(model), Seq("lang", "w"), "left")
+      .groupBy("doc_id", "actual", "lang")
+      .agg(sum(coalesce(col("lp_u"), col("def_u"))).as("tok_u"))
+      .join(broadcast(priors), "lang")
+      .select(col("doc_id"), col("actual"), col("lang"),
+        (col("tok_u") + col("prior_u")).as("score_u"))
+    val pred = scored.withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score_u").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("actual"), col("lang").as("predicted"))
+    val acc = pred.agg(
+      expr("sum(CASE WHEN actual = predicted THEN 1L ELSE 0L END) * 1000000L div count(1)")
+        .as("accuracy_ppm"))
+    pred.groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(acc))
+      .orderBy("actual", "predicted")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_naive_bayes" -> (q319NaiveBayes _),
     "q286_bleu" -> (q286Bleu _),
     "q264_zipf_fit" -> (q264ZipfFit _),
     "q265_token_gini" -> (q265TokenGini _),
@@ -1955,6 +2023,58 @@ object TextQueries extends QueryModule {
       |${bpeOracleStage(3)}""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same fold split, same Laplace table snapped to micro-nats ONCE
+    // census-side, same integer score sums and (score desc, lang asc)
+    // argmax, same ppm accuracy
+    "q319_naive_bayes" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+        |test AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+        |tt AS (SELECT lang, unnest(ws) AS w FROM train),
+        |tt2 AS (SELECT lang, w FROM tt WHERE w <> ''),
+        |wc AS (SELECT lang, w, count(*)::BIGINT AS c FROM tt2 GROUP BY 1, 2),
+        |totals AS (SELECT lang, sum(c)::BIGINT AS tot FROM wc GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT w)::BIGINT AS v FROM wc),
+        |ntr AS (SELECT count(*)::BIGINT AS n FROM train),
+        |priors AS (
+        |  SELECT lang,
+        |         CAST(floor(ln(count(*)::DOUBLE / ntr.n::DOUBLE)
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS prior_u
+        |  FROM train, ntr GROUP BY lang, ntr.n),
+        |model AS (
+        |  SELECT wc.lang, wc.w,
+        |         CAST(floor(ln((c + 1)::DOUBLE / (tot + v)::DOUBLE)
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS lp_u
+        |  FROM wc JOIN totals USING (lang), vocab),
+        |defaults AS (
+        |  SELECT lang,
+        |         CAST(floor(ln(1.0 / (tot + v)::DOUBLE)
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS def_u
+        |  FROM totals, vocab),
+        |ttok AS (
+        |  SELECT doc_id, lang AS actual, unnest(ws) AS w FROM test),
+        |ttok2 AS (SELECT * FROM ttok WHERE w <> ''),
+        |scored AS (
+        |  SELECT t.doc_id, t.actual, d.lang,
+        |         sum(coalesce(m.lp_u, d.def_u))::BIGINT AS tok_u
+        |  FROM ttok2 t CROSS JOIN defaults d
+        |  LEFT JOIN model m ON m.lang = d.lang AND m.w = t.w
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT actual, lang AS predicted
+        |  FROM (SELECT s.actual, s.lang, s.tok_u + p.prior_u AS score_u, s.doc_id
+        |        FROM scored s JOIN priors p USING (lang))
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                             ORDER BY score_u DESC, lang ASC) = 1),
+        |acc AS (
+        |  SELECT sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+        |           * 1000000 // count(*) AS accuracy_ppm
+        |  FROM pred)
+        |SELECT actual, predicted, count(*)::BIGINT AS n, acc.accuracy_ppm
+        |FROM pred, acc
+        |GROUP BY actual, predicted, acc.accuracy_ppm
+        |ORDER BY actual, predicted""".stripMargin,
     // same pairing, same per-pair clipped counts, same BIGINT pooling,
     // same sqrt(sqrt(·)) geometric mean and snapped BP product
     "q286_bleu" ->
