@@ -576,7 +576,49 @@ object LakehouseQueries extends QueryModule {
       .orderBy("cohort")
   }
 
+  /** q320: SCHEMA EVOLUTION — the additive-column migration every
+    * long-lived lakehouse table goes through (a new writer starts
+    * emitting `disc_ppm`; years of old files don't have it; readers
+    * must see ONE table): generation 0 (l_linenumber ≤ 3) is written
+    * WITHOUT the column, generation 1 (l_linenumber > 3) WITH it, and
+    * the table is read back under `mergeSchema` — old rows surface the
+    * new column as NULL, backfilled here with the declared default −1.
+    * The gate is the per-(returnflag, generation) census: row counts,
+    * exact cents, and the summed backfilled discount — a reader that
+    * dropped the column for old files, defaulted it to 0, or failed
+    * to union the footers all diverge.
+    *
+    * Determinism: exact integer cents/ppm; generation derived from the
+    * line number, not file order. Scale: mergeSchema costs one footer
+    * read per file at planning (Spark samples footers in parallel);
+    * the data path is identical to a plain scan — this is precisely
+    * how additive evolution stays O(metadata), with the oracle pinning
+    * that NULL-vs-0 for pre-migration rows is preserved, the semantic
+    * data-warehouse migrations most often silently break.
+    */
+  def q320SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("price_cents"),
+      floor(col("l_discount") * 1000000.0 + 0.5).cast("long").as("disc_ppm"))
+    val root = java.nio.file.Files.createTempDirectory("q320_evo")
+    val tbl = root.resolve("tbl").toString
+    li.filter(col("l_linenumber") <= 3)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "price_cents")
+      .write.mode("overwrite").parquet(s"$tbl/g=0")
+    li.filter(col("l_linenumber") > 3)
+      .write.mode("overwrite").parquet(s"$tbl/g=1")
+    spark.read.option("mergeSchema", "true").parquet(tbl)
+      .groupBy("l_returnflag", "g")
+      .agg(count(lit(1)).as("n"),
+        sum("price_cents").as("price_cents_sum"),
+        sum(when(col("disc_ppm").isNull, 1L).otherwise(0L)).as("n_premigration"),
+        sum(coalesce(col("disc_ppm"), lit(-1L))).as("disc_ppm_backfilled"))
+      .orderBy("l_returnflag", "g")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_schema_evolution" -> (q320SchemaEvolution _),
     "q287_bucketed_join" -> (q287BucketedJoin _),
     "q298_bucketed_agg" -> (q298BucketedAgg _),
     "q303_range_checksums" -> (q303RangeChecksums _),
@@ -616,6 +658,26 @@ object LakehouseQueries extends QueryModule {
       |  WHERE c.op IS NULL OR c.op <> 'D')""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the migration restated logically: generation from the line
+    // number, pre-migration rows' disc_ppm NULL — mergeSchema's footer
+    // union and NULL surfacing must reproduce this census exactly
+    "q320_schema_evolution" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |         CASE WHEN l_linenumber <= 3 THEN 0 ELSE 1 END AS g,
+        |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+        |         CASE WHEN l_linenumber <= 3 THEN NULL
+        |              ELSE CAST(floor(l_discount * 1000000.0 + 0.5) AS BIGINT)
+        |         END AS disc_ppm
+        |  FROM lineitem)
+        |SELECT l_returnflag, g, count(*)::BIGINT AS n,
+        |       sum(price_cents)::BIGINT AS price_cents_sum,
+        |       sum(CASE WHEN disc_ppm IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_premigration,
+        |       sum(coalesce(disc_ppm, -1))::BIGINT AS disc_ppm_backfilled
+        |FROM li
+        |GROUP BY l_returnflag, g
+        |ORDER BY l_returnflag, g""".stripMargin,
     // same versioned op derivation, same highest-version struct-max
     // compaction, same upsert/delete apply, same cohort census
     "q307_compacted_merge" ->

@@ -487,7 +487,50 @@ object WindowQueries extends QueryModule {
       .orderBy("day")
   }
 
+  /** q321: REALIZED VOLATILITY — the tick-level risk measure that
+    * completes the market-microstructure family (q226/q304 price the
+    * level: VWAP/TWAP; RV prices the MOVEMENT — Andersen & Bollerslev's
+    * Σ r² over intraday log returns is the standard daily-vol
+    * estimator a trading stack computes per instrument per day): per
+    * (event_type, UTC day), log returns between consecutive ticks
+    * under the total (µs, event_id) order, RV = Σ r², plus the
+    * realized absolute variation Σ|r| and the max absolute tick move.
+    *
+    * Determinism: ln(cents) is snapped per row to the micro-nat BIGINT
+    * grid (⌊ln·10⁶+0.5⌋ — the one libm call, same argument both
+    * engines), so returns, their squares (≤ 1.2·10¹⁴ each, Σ < 2⁶³),
+    * and all three statistics are EXACT integers; only the display
+    * descale divides. Scale: one day×type-partitioned window (lag) +
+    * one partial+final agg — the window key is the natural at-rest
+    * layout for tick data, so at 100 TB the sort is partition-local
+    * over already-day-bucketed files.
+    */
+  def q321RealizedVol(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      expr("unix_micros(ts)").as("us"), col("event_id"),
+      floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .filter(col("cents") >= 1L) // a zero/negative price is feed garbage, not a return
+      .withColumn("day", expr("us div 86400000000"))
+      .withColumn("lnp",
+        floor(log(col("cents").cast("double")) * 1000000.0 + 0.5).cast("long"))
+    val w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    ev.withColumn("r", col("lnp") - lag("lnp", 1).over(w))
+      .groupBy("event_type", "day")
+      .agg(count(col("r")).as("n_ret"),
+        sum(col("r") * col("r")).as("rv_u2"),
+        sum(abs(col("r"))).as("rav_u"),
+        max(abs(col("r"))).as("max_abs_u"))
+      .select(col("event_type"), col("day"), col("n_ret"),
+        round(sqrt(col("rv_u2").cast("double") / 1e12), 6).as("realized_vol"),
+        round(col("rav_u").cast("double") / 1e6, 6).as("realized_abs_var"),
+        round(col("max_abs_u").cast("double") / 1e6, 6).as("max_abs_ret"),
+        col("rv_u2"))
+      .orderBy("event_type", "day")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_realized_vol" -> (q321RealizedVol _),
     "q304_twap" -> (q304Twap _),
     "q290_interval_coverage" -> (q290IntervalCoverage _),
     "q272_skyline" -> (q272Skyline _),
@@ -506,6 +549,29 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same snapped micro-nat log prices, same (µs, event_id) lag,
+    // same exact integer Σr²/Σ|r|/max statistics
+    "q321_realized_vol" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id,
+        |         CAST(floor(ln(CAST(floor(value * 100.0 + 0.5) AS BIGINT)::DOUBLE)
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS lnp,
+        |         epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |  WHERE CAST(floor(value * 100.0 + 0.5) AS BIGINT) >= 1),
+        |r AS (
+        |  SELECT event_type, day,
+        |         lnp - lag(lnp) OVER (PARTITION BY event_type, day
+        |                              ORDER BY us, event_id) AS r
+        |  FROM ev)
+        |SELECT event_type, day, count(r)::BIGINT AS n_ret,
+        |       round(sqrt(sum(r * r)::DOUBLE / 1e12), 6) AS realized_vol,
+        |       round(sum(abs(r))::DOUBLE / 1e6, 6) AS realized_abs_var,
+        |       round(max(abs(r))::DOUBLE / 1e6, 6) AS max_abs_ret,
+        |       sum(r * r)::BIGINT AS rv_u2
+        |FROM r
+        |GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
     // same (µs, event_id) order, same to-next/to-day-end durations,
     // same BIGINT weighted integral, same snapped divide
     "q304_twap" ->
