@@ -2937,7 +2937,122 @@ object MiscQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q322: SHAPLEY-VALUE channel attribution — the game-theoretic
+    * member of the attribution family (q241 splits by POSITION with a
+    * fixed 40/20/40 rule; Shapley is the axiomatic answer — the unique
+    * allocation that is efficient, symmetric, and marginal): channels
+    * are the four non-purchase event types, a user's "coalition" is
+    * their touched-channel set, v(S) = converted users whose touch set
+    * ⊆ S, and φᵢ = Σ_{S⊆C∖i} |S|!(3−|S|)!·(v(S∪i)−v(S)) / 4!.
+    *
+    * Determinism: EXACT — with 4 channels the subset lattice is 16
+    * rows, every v(S) is an integer census sum, and φᵢ·24 is an
+    * integer (the factorial weights 6/2/2/6 never divide); shares ride
+    * the ppm grid. Efficiency (Σφ = v(C) − v(∅)) is emitted so the
+    * allocation axiom is itself gated. Scale: ONE fact-table agg to
+    * per-user masks, one 16-row census — the lattice math never sees
+    * row-scale data; with k channels the lattice is 2ᵏ (this is the
+    * standard exact-Shapley-by-coalition-census construction, viable
+    * to k ≈ 20).
+    */
+  def q322ShapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        (max(when(col("event_type") === "click", 1L)).cast("long") * 1L).as("b0"),
+        max(when(col("event_type") === "error", 1L)).as("b1"),
+        max(when(col("event_type") === "signup", 1L)).as("b2"),
+        max(when(col("event_type") === "view", 1L)).as("b3"),
+        max(when(col("event_type") === "purchase", 1L)).as("conv"))
+      .select(
+        (coalesce(col("b0"), lit(0L)) + coalesce(col("b1"), lit(0L)) * 2L +
+          coalesce(col("b2"), lit(0L)) * 4L + coalesce(col("b3"), lit(0L)) * 8L)
+          .as("mask"),
+        coalesce(col("conv"), lit(0L)).as("conv"))
+    val maskCensus = users.groupBy("mask").agg(sum("conv").as("mconv"))
+    val subsets = spark.range(16).select(col("id").as("s"))
+    val vS = subsets.join(broadcast(maskCensus),
+        expr("(mask & (15 - s)) = 0"), "left")
+      .groupBy("s").agg(coalesce(sum("mconv"), lit(0L)).as("v"))
+    val channels = spark.range(4).select(col("id").as("ci"),
+      expr("CASE id WHEN 0 THEN 'click' WHEN 1 THEN 'error' " +
+        "WHEN 2 THEN 'signup' ELSE 'view' END").as("channel"),
+      expr("CAST(pow(2, id) AS BIGINT)").as("bit"))
+    val lattice = channels.join(broadcast(vS.as("without")),
+        expr("(s & bit) = 0"))
+      .withColumn("cnt",
+        expr("(s div 1) % 2 + (s div 2) % 2 + (s div 4) % 2 + (s div 8) % 2"))
+      .withColumn("w", expr(
+        "CASE cnt WHEN 0 THEN 6L WHEN 1 THEN 2L WHEN 2 THEN 2L ELSE 6L END"))
+      .join(broadcast(vS.select(col("s").as("s2"), col("v").as("v_with"))),
+        expr("s2 = (s + bit)"))
+    val phi = lattice.groupBy("channel")
+      .agg(sum(col("w") * (col("v_with") - col("v"))).as("phi_x24"))
+    val eff = vS.agg(
+      sum(when(col("s") === 15, col("v")).otherwise(0L)).as("v_full"),
+      sum(when(col("s") === 0, col("v")).otherwise(0L)).as("v_empty"))
+    phi.crossJoin(broadcast(eff))
+      .crossJoin(broadcast(phi.agg(sum("phi_x24").as("phi_total"))))
+      .select(col("channel"), col("phi_x24"),
+        round(col("phi_x24").cast("double") / 24.0, 6).as("phi"),
+        expr("CASE WHEN phi_total = 0 THEN 0L " +
+          "ELSE phi_x24 * 1000000L div phi_total END").as("share_ppm"),
+        col("v_full"), col("v_empty"))
+      .orderBy("channel")
+  }
+
+  /** q323: MUTUAL INFORMATION feature relevance — the
+    * information-theoretic member of the dependence family (q193/q250
+    * test with χ², q283/q288 with rank correlation; MI measures the
+    * BITS a feature carries about a target, the selection criterion
+    * decision-tree and feature-store pipelines rank by): between
+    * event_type and the 50-unit value band, MI = Σ p(x,y)·ln
+    * (p(x,y)/(p(x)p(y))), with both marginal entropies and the
+    * normalized MI / sqrt(H(X)·H(Y)).
+    *
+    * Determinism: each cell's term is n_xy·(ln n_xy + ln N − ln n_x −
+    * ln n_y) with every ln snapped to the micro-nat BIGINT grid
+    * CENSUS-side — the total is an exact integer sum (order-invariant)
+    * and only the final descales divide. Scale: one fact agg to the
+    * (type, band) cell census; marginals and the lattice arithmetic
+    * live on censuses.
+    */
+  def q323MutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    def lnu(c: Column): Column =
+      floor(log(c.cast("double")) * 1000000.0 + 0.5).cast("long")
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type").as("x"),
+        expr("floor(value * 100.0 + 0.5) div 5000").cast("long").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+    val mx = cells.groupBy("x").agg(sum("nxy").as("nx"))
+    val my = cells.groupBy("y").agg(sum("nxy").as("ny"))
+    val n = cells.agg(sum("nxy").as("n"))
+    val terms = cells.join(mx, "x").join(my, "y").crossJoin(broadcast(n))
+      .select(col("n"),
+        (col("nxy") * (lnu(col("nxy")) + lnu(col("n"))
+          - lnu(col("nx")) - lnu(col("ny")))).as("mi_term"),
+        col("x"), col("y"), col("nxy"), col("nx"), col("ny"))
+    val hx = mx.crossJoin(broadcast(n))
+      .agg(sum(col("nx") * (lnu(col("n")) - lnu(col("nx")))).as("hx_u"))
+    val hy = my.crossJoin(broadcast(n))
+      .agg(sum(col("ny") * (lnu(col("n")) - lnu(col("ny")))).as("hy_u"))
+    terms.groupBy("n").agg(sum("mi_term").as("mi_u"))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), col("mi_u"), col("hx_u"), col("hy_u"),
+        round(col("mi_u").cast("double") / 1e6 / col("n").cast("double"), 6)
+          .as("mi_nats"),
+        round(col("hx_u").cast("double") / 1e6 / col("n").cast("double"), 6)
+          .as("h_x"),
+        round(col("hy_u").cast("double") / 1e6 / col("n").cast("double"), 6)
+          .as("h_y"),
+        round(col("mi_u").cast("double") /
+          sqrt(col("hx_u").cast("double") * col("hy_u").cast("double")), 6)
+          .as("nmi"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_shapley_attribution" -> (q322ShapleyAttribution _),
+    "q323_mutual_info" -> (q323MutualInfo _),
     "q316_kruskal_wallis" -> (q316KruskalWallis _),
     "q318_mann_kendall" -> (q318MannKendall _),
     "q311_share_of_parent" -> (q311ShareOfParent _),
@@ -3017,6 +3132,82 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same user masks, same 16-subset lattice and factorial weights —
+    // every v(S) and phi*24 an exact integer in both engines
+    "q322_shapley_attribution" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |         coalesce(max(CASE WHEN event_type = 'click' THEN 1 END), 0)
+        |         + coalesce(max(CASE WHEN event_type = 'error' THEN 1 END), 0) * 2
+        |         + coalesce(max(CASE WHEN event_type = 'signup' THEN 1 END), 0) * 4
+        |         + coalesce(max(CASE WHEN event_type = 'view' THEN 1 END), 0) * 8 AS mask,
+        |         coalesce(max(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS conv
+        |  FROM events GROUP BY user_id),
+        |mc AS (SELECT mask, sum(conv)::BIGINT AS mconv FROM users GROUP BY mask),
+        |subsets AS (SELECT unnest(range(0, 16))::BIGINT AS s),
+        |vs AS (
+        |  SELECT s, coalesce(sum(mconv), 0)::BIGINT AS v
+        |  FROM subsets LEFT JOIN mc ON (mask & (15 - s)) = 0
+        |  GROUP BY s),
+        |ch AS (SELECT * FROM (VALUES ('click', 1::BIGINT), ('error', 2::BIGINT),
+        |                             ('signup', 4::BIGINT), ('view', 8::BIGINT))
+        |                    AS t(channel, bit)),
+        |lat AS (
+        |  SELECT ch.channel, ch.bit, w.s, w.v,
+        |         (w.s // 1) % 2 + (w.s // 2) % 2
+        |         + (w.s // 4) % 2 + (w.s // 8) % 2 AS cnt
+        |  FROM ch JOIN vs w ON (w.s & ch.bit) = 0),
+        |lat2 AS (
+        |  SELECT channel,
+        |         CASE cnt WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END AS w,
+        |         lat.v AS v, v2.v AS v_with
+        |  FROM lat JOIN vs v2 ON v2.s = lat.s + lat.bit),
+        |phi AS (SELECT channel, sum(w * (v_with - v))::BIGINT AS phi_x24
+        |        FROM lat2 GROUP BY channel),
+        |eff AS (SELECT sum(CASE WHEN s = 15 THEN v ELSE 0 END)::BIGINT AS v_full,
+        |               sum(CASE WHEN s = 0 THEN v ELSE 0 END)::BIGINT AS v_empty
+        |        FROM vs),
+        |tot AS (SELECT sum(phi_x24)::BIGINT AS phi_total FROM phi)
+        |SELECT channel, phi_x24, round(phi_x24::DOUBLE / 24.0, 6) AS phi,
+        |       CASE WHEN phi_total = 0 THEN 0
+        |            ELSE phi_x24 * 1000000 // phi_total END AS share_ppm,
+        |       v_full, v_empty
+        |FROM phi, eff, tot
+        |ORDER BY channel""".stripMargin,
+    // same cell census, same census-side micro-nat snaps, same exact
+    // integer MI/entropy sums
+    "q323_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT event_type AS x,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 5000 AS y,
+        |         count(*)::BIGINT AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT x, sum(nxy)::BIGINT AS nx FROM cells GROUP BY x),
+        |my AS (SELECT y, sum(nxy)::BIGINT AS ny FROM cells GROUP BY y),
+        |nn AS (SELECT sum(nxy)::BIGINT AS n FROM cells),
+        |mi AS (
+        |  SELECT sum(nxy * (CAST(floor(ln(nxy::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |                    + CAST(floor(ln(n::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |                    - CAST(floor(ln(nx::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |                    - CAST(floor(ln(ny::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)))
+        |           ::BIGINT AS mi_u
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y), nn),
+        |hx AS (
+        |  SELECT sum(nx * (CAST(floor(ln(n::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |                   - CAST(floor(ln(nx::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)))
+        |           ::BIGINT AS hx_u
+        |  FROM mx, nn),
+        |hy AS (
+        |  SELECT sum(ny * (CAST(floor(ln(n::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |                   - CAST(floor(ln(ny::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)))
+        |           ::BIGINT AS hy_u
+        |  FROM my, nn)
+        |SELECT n, mi_u, hx_u, hy_u,
+        |       round(mi_u::DOUBLE / 1e6 / n::DOUBLE, 6) AS mi_nats,
+        |       round(hx_u::DOUBLE / 1e6 / n::DOUBLE, 6) AS h_x,
+        |       round(hy_u::DOUBLE / 1e6 / n::DOUBLE, 6) AS h_y,
+        |       round(mi_u::DOUBLE / sqrt(hx_u::DOUBLE * hy_u::DOUBLE), 6) AS nmi
+        |FROM nn, mi, hx, hy""".stripMargin,
     // same cents census, same doubled midranks off the cumulative,
     // same left-to-right five-term H chain and tie correction
     "q316_kruskal_wallis" ->
