@@ -1056,7 +1056,49 @@ object PipelineQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q325: DEGREE ASSORTATIVITY (Newman '02) — the mixing-pattern
+    * scalar that completes the graph-shape family (q140 ranks nodes,
+    * q160 counts triangles, q249 peels cores; assortativity answers
+    * "do hubs link to hubs?" — positive for social graphs, negative
+    * for web/biology, and a spam-farm fingerprint in corpus curation):
+    * Pearson correlation of endpoint degrees over the q160 co-purchase
+    * edge set, each undirected edge counted in both directions.
+    *
+    * Determinism: over the symmetrized edge list the four moments
+    * (M = |E|, Σj, Σj², Σjk) are EXACT BIGINTs — degree ≤ 10⁴ keeps
+    * Σj·k < 2⁶³ at any fixture SF — and r = (M·Σjk − (Σj)²) /
+    * (M·Σj² − (Σj)²) is one double chain off those integers. Scale:
+    * degree census + one edge-table join per endpoint + one
+    * partial+final agg; no windows, no pairs beyond the edges
+    * themselves.
+    */
+  def q325Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val edges = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.withColumnRenamed("u", "ju").withColumnRenamed("d", "dj"),
+        col("u") === col("ju"))
+      .join(deg.withColumnRenamed("u", "kv").withColumnRenamed("d", "dk"),
+        col("v") === col("kv"))
+      .agg(count(lit(1)).as("m"),
+        sum("dj").as("sj"),
+        sum(col("dj") * col("dj")).as("sj2"),
+        sum(col("dj") * col("dk")).as("sjk"))
+      .select(col("m"), col("sj"), col("sj2"), col("sjk"),
+        round((col("m") * col("sjk") - col("sj") * col("sj")).cast("double") /
+          (col("m") * col("sj2") - col("sj") * col("sj")).cast("double"), 6)
+          .as("assortativity"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_assortativity" -> (q325Assortativity _),
     "q300_corpus_pipeline" -> (q300CorpusPipeline _),
     "q291_neyman_allocation" -> (q291NeymanAllocation _),
     "q282_bfs_hops" -> (q282BfsHops _),
@@ -1162,6 +1204,25 @@ object PipelineQueries extends QueryModule {
       |  FROM r2 CROSS JOIN k)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same symmetrized edge list and exact BIGINT moments; r is one
+    // double chain off the integers
+    "q325_assortativity" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |und AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+        |deg AS (SELECT u, count(*)::BIGINT AS d FROM e GROUP BY u),
+        |mo AS (
+        |  SELECT count(*)::BIGINT AS m, sum(dj.d)::BIGINT AS sj,
+        |         sum(dj.d * dj.d)::BIGINT AS sj2, sum(dj.d * dk.d)::BIGINT AS sjk
+        |  FROM e JOIN deg dj ON e.u = dj.u JOIN deg dk ON e.v = dk.u)
+        |SELECT m, sj, sj2, sjk,
+        |       round((m * sjk - sj * sj)::DOUBLE
+        |             / (m * sj2 - sj * sj)::DOUBLE, 6) AS assortativity
+        |FROM mo""".stripMargin,
     // the whole funnel replayed: same dedup keep-rule, same quality
     // band, the q73 gram device verbatim, same integer allocation and
     // greedy prefix — stage order is part of the gated semantics

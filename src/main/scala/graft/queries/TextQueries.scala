@@ -1929,7 +1929,45 @@ object TextQueries extends QueryModule {
       .orderBy("actual", "predicted")
   }
 
+  /** q324: TEXTRANK keyword extraction (Mihalcea & Tarau, EMNLP'04) —
+    * the unsupervised keyword ranker that composes the text surface
+    * with the graph surface (q67's tf-idf ranks by FREQUENCY contrast;
+    * TextRank ranks by co-occurrence CENTRALITY — a word is important
+    * if important words appear near it): build the word co-occurrence
+    * graph (window ≤ 2 tokens, symmetrized, distinct), run the q140
+    * PageRank operator for 5 fixed iterations, report the top-10
+    * keywords.
+    *
+    * Determinism: the edge set is exact; `PageRank.run` snaps each
+    * iteration's rank vector to 6 dp (absorbing cross-partition float
+    * reassociation before it compounds — the q140 device), and the
+    * oracle unrolls the identical 5-CTE trajectory; the top-10 cut
+    * orders (rank desc, word asc). Scale: the graph is a VOCABULARY
+    * census (nodes = distinct words, edges = distinct co-occurring
+    * pairs) — corpus size only affects the one distinct-pairs agg;
+    * iterations run on census-sized tables.
+    */
+  def q324Textrank(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+      .filter(col("w") =!= "")
+    val fwd = tok.as("a").join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") - col("a.pos") >= 1 && col("b.pos") - col("a.pos") <= 2 &&
+          col("a.w") =!= col("b.w"))
+      .select(col("a.w").as("src"), col("b.w").as("dst"))
+      .distinct()
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    graft.operators.PageRank.run(edges, iters = 5)
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(10)
+      .select(col("node").as("word"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_textrank" -> (q324Textrank _),
     "q319_naive_bayes" -> (q319NaiveBayes _),
     "q286_bleu" -> (q286Bleu _),
     "q264_zipf_fit" -> (q264ZipfFit _),
@@ -2023,6 +2061,36 @@ object TextQueries extends QueryModule {
       |${bpeOracleStage(3)}""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same distinct co-occurrence edges, q140's 5-CTE trajectory
+    // unrolled verbatim, same (rank desc, word) top-10 cut
+    "q324_textrank" -> {
+      val base =
+        """WITH tok AS (
+          |  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |       unnest(generate_series(1, len(ws))) AS t(i)
+          |  WHERE ws[i] <> ''),
+          |fwd AS (
+          |  SELECT DISTINCT a.w AS src, b.w AS dst
+          |  FROM tok a JOIN tok b
+          |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+          |       AND a.w <> b.w),
+          |e AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+          |n AS (SELECT DISTINCT src AS node FROM e),
+          |r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM n)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s""",
+           |r$i AS (
+           |  SELECT n.node, round(0.15::DOUBLE + 0.85::DOUBLE * coalesce(s.s, 0::DOUBLE), 6) AS rank
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+           |    FROM e JOIN r${i - 1} r ON e.src = r.node JOIN deg ON e.src = deg.src
+           |    GROUP BY e.dst) s USING (node))""".stripMargin
+      }.mkString
+      base + iters +
+        "\nSELECT node AS word, rank FROM r5 ORDER BY rank DESC, node LIMIT 10"
+    },
     // same fold split, same Laplace table snapped to micro-nats ONCE
     // census-side, same integer score sums and (score desc, lang asc)
     // argmax, same ppm accuracy
