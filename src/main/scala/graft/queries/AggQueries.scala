@@ -705,7 +705,51 @@ object AggQueries extends QueryModule {
       .orderBy("event_type", "hour")
   }
 
+  /** q326: SLIDING-WINDOW distinct via HLL register reuse — the
+    * time-axis application of the q209 rollup law (q209 merges the
+    * sketch store across DIMENSIONS; a monitoring stack merges it
+    * across TIME): per-hour HLL sketches built ONCE, every trailing
+    * 6-hour window answered by register-max merging its ≤ 6 hourly
+    * sketches — never re-reading events — with the exact window
+    * distinct beside it as truth.
+    *
+    * Determinism: register max-merge is associative/commutative/
+    * idempotent, so the merged registers equal the direct
+    * per-window computation REGISTER FOR REGISTER — the oracle
+    * computes each window's registers from scratch and the estimates
+    * compare bit-identically (same fixed double chain as q190).
+    * Scale: THE point — one pass builds O(hours) sketches of fixed
+    * 4 KB; each window is a ≤ 6-row census merge. The exact column is
+    * the gate's truth and the thing this pattern exists to avoid
+    * recomputing at 100 TB.
+    */
+  def q326SlidingHll(spark: SparkSession, dir: String): DataFrame = {
+    val sk = udaf(new graft.functions.SketchAggregators.HllSketchAggregator(12))
+    val mg = udaf(new graft.functions.SketchAggregators.HllMergeAggregator(12))
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hu = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+        col("user_id"), h.as("h"))
+    val hours = hu.groupBy("hr").agg(sk(col("h")).as("sketch"))
+      .localCheckpoint() // the stored hourly sketch column
+    val merged = hours.as("t").join(hours.as("s"),
+        col("s.hr") >= col("t.hr") - 5 && col("s.hr") <= col("t.hr"))
+      .groupBy(col("t.hr").as("hr"))
+      .agg(count(lit(1)).as("n_hours"), mg(col("s.sketch")).as("est"))
+    val exact = hu.select(col("hr"), col("user_id")).distinct().as("u")
+      .join(hours.select(col("hr").as("w")).as("w"),
+        col("u.hr") >= col("w.w") - 5 && col("u.hr") <= col("w.w"))
+      .groupBy(col("w.w").as("hr"))
+      .agg(countDistinct("user_id").as("exact_distinct"))
+    merged.join(exact, "hr")
+      .select(col("hr"), col("n_hours"),
+        round(col("est"), 4).as("est_distinct"), col("exact_distinct"))
+      .orderBy("hr")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_sliding_hll" -> (q326SlidingHll _),
     "q314_ohlcv_bars" -> (q314OhlcvBars _),
     "q190_hll_distinct" -> (q190HllDistinct _),
     "q289_hll_setops" -> (q289HllSetOps _),
@@ -732,6 +776,52 @@ object AggQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // each window's registers computed FROM SCRATCH over the raw
+    // hashes — the engine's hourly-merge path must match register for
+    // register, which is the merge law the row exists to prove
+    "q326_sliding_hll" ->
+      """WITH hu AS (
+        |  SELECT DISTINCT epoch_us(ts) // 3600000000 AS hr, user_id,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |hours AS (SELECT DISTINCT hr FROM hu),
+        |wp AS (
+        |  SELECT t.hr AS whr, s.hr AS shr
+        |  FROM hours t JOIN hours s ON s.hr BETWEEN t.hr - 5 AND t.hr),
+        |wh AS (
+        |  SELECT DISTINCT wp.whr AS hr, hu.h
+        |  FROM wp JOIN hu ON hu.hr = wp.shr),
+        |b AS (SELECT hr, h // 281474976710656 AS bucket,
+        |             h % 281474976710656 AS w FROM wh),
+        |r AS (
+        |  SELECT hr, bucket,
+        |         max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS reg
+        |  FROM b GROUP BY hr, bucket),
+        |s AS (
+        |  SELECT hr,
+        |         (sum(1::BIGINT << (49 - reg))
+        |            + (4096 - count(*)) * 562949953421312)::BIGINT AS s,
+        |         (4096 - count(*))::BIGINT AS v
+        |  FROM r GROUP BY hr),
+        |e0 AS (
+        |  SELECT hr, v,
+        |         0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+        |           * 562949953421312.0 / s::DOUBLE AS raw
+        |  FROM s),
+        |est AS (
+        |  SELECT hr,
+        |         CASE WHEN raw <= 2.5 * 4096.0 AND v > 0
+        |              THEN 4096.0 * ln(4096.0 / v) ELSE raw END AS est
+        |  FROM e0),
+        |nh AS (SELECT whr AS hr, count(*)::BIGINT AS n_hours FROM wp GROUP BY whr),
+        |ex AS (
+        |  SELECT wp.whr AS hr, count(DISTINCT hu.user_id)::BIGINT AS exact_distinct
+        |  FROM wp JOIN hu ON hu.hr = wp.shr
+        |  GROUP BY wp.whr)
+        |SELECT est.hr, nh.n_hours, round(est.est, 4) + 0.0 AS est_distinct,
+        |       ex.exact_distinct
+        |FROM est JOIN nh USING (hr) JOIN ex USING (hr)
+        |ORDER BY est.hr""".stripMargin,
     // same cents grid, same unique (us, event_id) open/close order —
     // DuckDB's ordered first/last vs the engine's min_by/max_by: two
     // different extremum algorithms, one answer

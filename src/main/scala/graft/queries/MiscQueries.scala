@@ -3050,7 +3050,44 @@ object MiscQueries extends QueryModule {
           .as("nmi"))
   }
 
+  /** q327: COHORT LTV curves — the revenue companion to q95's
+    * retention matrix (retention counts who came BACK; LTV accumulates
+    * what each acquisition cohort has SPENT by age, the curve every
+    * growth model is fit to): cohort = a user's first-seen UTC day
+    * (any event type), age = days since, cumulative purchase cents per
+    * cohort-age with the per-user LTV in exact deci-milli-cents.
+    *
+    * Determinism: cents are exact; the cumulative is a BIGINT window
+    * over the (cohort, age) CENSUS (bounded by days², never rows);
+    * per-user LTV is integer division on the 10⁻⁴-cent grid. Scale:
+    * one agg to first-seen (fact-table shuffle on user_id), one agg to
+    * the cohort-age census, then census-local windows — the standard
+    * two-shuffle cohort shape.
+    */
+  def q327CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      col("event_type"),
+      floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val firstSeen = ev.groupBy("user_id").agg(min("day").as("cohort"))
+    val sizes = firstSeen.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+    val census = ev.filter(col("event_type") === "purchase")
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
+      .agg(sum("cents").as("rev_cents"), count(lit(1)).as("n_purchases"))
+    census
+      .withColumn("cum_cents",
+        sum("rev_cents").over(Window.partitionBy("cohort").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("age"), col("cohort_users"),
+        col("n_purchases"), col("rev_cents"), col("cum_cents"),
+        expr("cum_cents * 10000L div cohort_users").as("ltv_dmc"))
+      .orderBy("cohort", "age")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_cohort_ltv" -> (q327CohortLtv _),
     "q322_shapley_attribution" -> (q322ShapleyAttribution _),
     "q323_mutual_info" -> (q323MutualInfo _),
     "q316_kruskal_wallis" -> (q316KruskalWallis _),
@@ -3132,6 +3169,30 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same first-seen cohorts, same (cohort, age) census cumulative,
+    // same deci-milli-cent integer LTV
+    "q327_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |fs AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+        |sz AS (SELECT cohort, count(*)::BIGINT AS cohort_users FROM fs GROUP BY cohort),
+        |census AS (
+        |  SELECT fs.cohort, ev.day - fs.cohort AS age,
+        |         sum(ev.cents)::BIGINT AS rev_cents,
+        |         count(*)::BIGINT AS n_purchases
+        |  FROM ev JOIN fs USING (user_id)
+        |  WHERE ev.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, (sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+        |             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_cents
+        |  FROM census)
+        |SELECT cohort, age, cohort_users, n_purchases, rev_cents, cum_cents,
+        |       cum_cents * 10000 // cohort_users AS ltv_dmc
+        |FROM cum JOIN sz USING (cohort)
+        |ORDER BY cohort, age""".stripMargin,
     // same user masks, same 16-subset lattice and factorial weights —
     // every v(S) and phi*24 an exact integer in both engines
     "q322_shapley_attribution" ->
