@@ -3086,7 +3086,133 @@ object MiscQueries extends QueryModule {
       .orderBy("cohort", "age")
   }
 
+  /** q328: MARKOV REMOVAL-EFFECT attribution — the third member of the
+    * attribution family (q241 position rule, q322 Shapley on touch
+    * SETS; the Markov model credits by PATH: build the journey chain,
+    * then ask how much conversion probability disappears when a
+    * channel's node is deleted — Anderl et al. '14, the industry
+    * "data-driven attribution"): journeys truncate at the user's first
+    * purchase, states are START + the four channels with CONV/NULL
+    * absorbing, and absorption probabilities come from 20 fixed
+    * value-iteration rounds on the 10⁻⁹ integer grid.
+    *
+    * Determinism: transition counts are exact; each iteration is
+    * p'(s) = (n(s,CONV)·10⁹ + Σ n(s,t)·p(t)) div n(s) — BIGINT
+    * multiply-sum and floor divide, order-invariant, with the removed
+    * channel clamped to 0 (paths through it fail); the oracle unrolls
+    * the identical 20 rounds. Removal effects and shares are integer
+    * differences on the same grid. Scale: one fact-table window builds
+    * the transition census; all five scenarios iterate together on a
+    * 25-row census — iterations never touch row-scale data.
+    */
+  def q328MarkovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      expr("unix_micros(ts)").as("us"), col("event_id"), col("event_type"))
+    val kept = ev
+      .withColumn("pc", sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).over(wOrd))
+      .filter(col("pc") - when(col("event_type") === "purchase", 1L)
+        .otherwise(0L) === 0L)
+    val sq = kept
+      .withColumn("prev", lag("event_type", 1).over(wOrd))
+      .withColumn("rdesc", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)))
+    val t1 = sq.select(coalesce(col("prev"), lit("START")).as("f"),
+      when(col("event_type") === "purchase", lit("CONV"))
+        .otherwise(col("event_type")).as("t"))
+    val t2 = sq.filter(col("rdesc") === 1 && col("event_type") =!= "purchase")
+      .select(col("event_type").as("f"), lit("NULL").as("t"))
+    val tr = t1.unionAll(t2).groupBy("f", "t").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val ns = tr.groupBy("f").agg(sum("n").as("ntot"))
+    val chans = Seq("click", "error", "signup", "view")
+    val frame = spark.createDataFrame(
+      for (sc <- "full" +: chans; s <- "START" +: chans) yield (sc, s))
+      .toDF("scen", "s")
+    var p = frame.withColumn("p", lit(0L)).localCheckpoint()
+    for (_ <- 1 to 20) {
+      val acc = frame
+        .join(ns.withColumnRenamed("f", "fns"), col("s") === col("fns"), "left")
+        .join(tr, col("s") === col("f"), "left")
+        .join(p.select(col("scen").as("pscen"), col("s").as("ps"),
+          col("p").as("pp")),
+          col("pscen") === col("scen") && col("ps") === col("t"), "left")
+        .groupBy("scen", "s", "ntot")
+        .agg(sum(when(col("t") === "CONV", col("n") * 1000000000L)
+          .when(col("t") === "NULL", lit(0L))
+          .otherwise(col("n") * coalesce(col("pp"), lit(0L)))).as("acc"))
+      p = acc.select(col("scen"), col("s"),
+        when(col("s") === col("scen") || col("ntot").isNull, lit(0L))
+          .otherwise(expr("acc div ntot")).as("p"))
+        .localCheckpoint()
+    }
+    val pf = p.filter(col("scen") === "full" && col("s") === "START")
+      .select(col("p").as("p_full_u"))
+    val pr = p.filter(col("scen") =!= "full" && col("s") === "START")
+      .select(col("scen").as("channel"), col("p").as("p_removed_u"))
+    val tot = pr.crossJoin(broadcast(pf))
+      .agg(sum(col("p_full_u") - col("p_removed_u")).as("dt"))
+    pr.crossJoin(broadcast(pf)).crossJoin(broadcast(tot))
+      .select(col("channel"), col("p_removed_u"), col("p_full_u"),
+        round((col("p_full_u") - col("p_removed_u")).cast("double") /
+          col("p_full_u").cast("double"), 6).as("removal_effect"),
+        expr("CASE WHEN dt = 0 THEN 0L ELSE " +
+          "(p_full_u - p_removed_u) * 1000000L div dt END").as("share_ppm"))
+      .orderBy("channel")
+  }
+
+  /** q331: DIFFERENCE-IN-DIFFERENCES — the panel member of the causal
+    * family (q176 tests a cross-section, q223 CUPED reduces its
+    * variance, q251 reweights it; DiD identifies a treatment effect
+    * when assignment isn't random but TRENDS are parallel — the
+    * before/after × treated/control 2×2 every policy rollout is
+    * judged by): treated = even user_id, post = the derived second
+    * half of the observation span, outcome = purchase cents; the DiD
+    * estimate is (ȳ₁₁−ȳ₁₀)−(ȳ₀₁−ȳ₀₀) with its large-sample SE from
+    * per-cell variances.
+    *
+    * Determinism: the four cells' (n, Σ, Σ²) are exact BIGINTs off one
+    * agg (cents² ≤ 2.4·10⁹ per row — Σ < 2⁶³ at any fixture SF); means,
+    * variances, the estimate, and the SE are FIXED four-term expression
+    * chains over the pivoted single row, never a float agg. Scale: one
+    * scan, one 4-cell census — the cheapest causal design there is.
+    */
+  def q331DiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+    val span = ev.agg(min("day").as("mn"), max("day").as("mx"))
+      .select(expr("(mn + mx + 1) div 2").as("mid"))
+    val cells = ev.crossJoin(broadcast(span))
+      .select((col("user_id") % 2 === 0).cast("int").as("treated"),
+        (col("day") >= col("mid")).cast("int").as("post"), col("c"))
+    val aggs = (for (tr <- Seq(0, 1); po <- Seq(0, 1)) yield {
+      val m = col("treated") === tr && col("post") === po
+      Seq(sum(when(m, 1L).otherwise(0L)).as(s"n$tr$po"),
+        sum(when(m, col("c")).otherwise(0L)).as(s"s$tr$po"),
+        sum(when(m, col("c") * col("c")).otherwise(0L)).as(s"q$tr$po"))
+    }).flatten
+    val one = cells.agg(aggs.head, aggs.tail: _*)
+    def mean(t: Int, p: Int) = s"(CAST(s$t$p AS DOUBLE) / CAST(n$t$p AS DOUBLE))"
+    def vr(t: Int, p: Int) =
+      s"((CAST(q$t$p AS DOUBLE) - CAST(s$t$p AS DOUBLE) * CAST(s$t$p AS DOUBLE) / CAST(n$t$p AS DOUBLE)) / (CAST(n$t$p AS DOUBLE) - 1.0))"
+    val did = s"((${mean(1, 1)} - ${mean(1, 0)}) - (${mean(0, 1)} - ${mean(0, 0)}))"
+    val se = s"sqrt(${vr(1, 1)} / n11 + ${vr(1, 0)} / n10 + ${vr(0, 1)} / n01 + ${vr(0, 0)} / n00)"
+    one.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      round(expr(mean(0, 0)), 6).as("y00"),
+      round(expr(mean(0, 1)), 6).as("y01"),
+      round(expr(mean(1, 0)), 6).as("y10"),
+      round(expr(mean(1, 1)), 6).as("y11"),
+      round(expr(did), 6).as("did_cents"),
+      round(expr(se), 6).as("se_cents"),
+      round(expr(s"$did / ($se)"), 6).as("z"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_markov_attribution" -> (q328MarkovAttribution _),
+    "q331_diff_in_diff" -> (q331DiffInDiff _),
     "q327_cohort_ltv" -> (q327CohortLtv _),
     "q322_shapley_attribution" -> (q322ShapleyAttribution _),
     "q323_mutual_info" -> (q323MutualInfo _),
@@ -3169,6 +3295,128 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same truncated journeys and transition census; the 20 integer
+    // value-iteration rounds unrolled as CTEs, same clamps and grids
+    "q328_markov_attribution" -> {
+      val base =
+        """WITH ev AS (
+          |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+          |o AS (
+          |  SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |              OVER (PARTITION BY user_id ORDER BY us, event_id
+          |                    ROWS UNBOUNDED PRECEDING) AS pc
+          |  FROM ev),
+          |kept AS (
+          |  SELECT * FROM o
+          |  WHERE pc - (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0),
+          |sq AS (
+          |  SELECT *,
+          |         lag(event_type) OVER (PARTITION BY user_id
+          |                               ORDER BY us, event_id) AS prev,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY us DESC, event_id DESC) AS rdesc
+          |  FROM kept),
+          |t1 AS (
+          |  SELECT coalesce(prev, 'START') AS f,
+          |         CASE WHEN event_type = 'purchase' THEN 'CONV'
+          |              ELSE event_type END AS t
+          |  FROM sq),
+          |t2 AS (
+          |  SELECT event_type AS f, 'NULL' AS t
+          |  FROM sq WHERE rdesc = 1 AND event_type <> 'purchase'),
+          |tr AS MATERIALIZED (
+          |  SELECT f, t, count(*)::BIGINT AS n
+          |  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) GROUP BY 1, 2),
+          |ns AS MATERIALIZED (SELECT f, sum(n)::BIGINT AS ntot FROM tr GROUP BY f),
+          |frame AS MATERIALIZED (
+          |  SELECT sc.scen, st.s
+          |  FROM (SELECT unnest(['full','click','error','signup','view']) AS scen) sc,
+          |       (SELECT unnest(['START','click','error','signup','view']) AS s) st),
+          |r0 AS (SELECT scen, s, 0::BIGINT AS p FROM frame)""".stripMargin
+      val iters = (1 to 20).map { k =>
+        s""",
+           |r$k AS MATERIALIZED (
+           |  SELECT c.scen, c.s,
+           |         CASE WHEN c.s = c.scen OR c.ntot IS NULL THEN 0
+           |              ELSE c.acc // c.ntot END AS p
+           |  FROM (
+           |    SELECT x.scen, x.s, ns.ntot,
+           |           sum(CASE WHEN tr.t = 'CONV' THEN tr.n * 1000000000
+           |                    WHEN tr.t = 'NULL' THEN 0
+           |                    ELSE tr.n * coalesce(rp.p, 0) END) AS acc
+           |    FROM frame x
+           |    LEFT JOIN ns ON ns.f = x.s
+           |    LEFT JOIN tr ON tr.f = x.s
+           |    LEFT JOIN r${k - 1} rp ON rp.scen = x.scen AND rp.s = tr.t
+           |    GROUP BY x.scen, x.s, ns.ntot) c)""".stripMargin
+      }.mkString
+      val tail =
+        """,
+          |pf AS (SELECT p AS p_full_u FROM r20 WHERE scen = 'full' AND s = 'START'),
+          |pr AS (SELECT scen AS channel, p AS p_removed_u
+          |       FROM r20 WHERE scen <> 'full' AND s = 'START'),
+          |tot AS (SELECT sum(pf.p_full_u - pr.p_removed_u)::BIGINT AS dt
+          |        FROM pr, pf)
+          |SELECT channel, p_removed_u, pf.p_full_u,
+          |       round((pf.p_full_u - p_removed_u)::DOUBLE
+          |             / pf.p_full_u::DOUBLE, 6) AS removal_effect,
+          |       CASE WHEN dt = 0 THEN 0
+          |            ELSE (pf.p_full_u - p_removed_u) * 1000000 // dt
+          |       END AS share_ppm
+          |FROM pr, pf, tot
+          |ORDER BY channel""".stripMargin
+      base + iters + tail
+    },
+    // same 2x2 cell moments off one pass; estimate/SE/z are fixed
+    // four-term chains over the pivoted single row
+    "q331_diff_in_diff" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |span AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+        |cells AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+        |         CASE WHEN day >= mid THEN 1 ELSE 0 END AS post, c
+        |  FROM ev, span),
+        |one AS (
+        |  SELECT
+        |    sum(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS n00,
+        |    sum(CASE WHEN treated = 0 AND post = 0 THEN c ELSE 0 END)::BIGINT AS s00,
+        |    sum(CASE WHEN treated = 0 AND post = 0 THEN c * c ELSE 0 END)::BIGINT AS q00,
+        |    sum(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+        |    sum(CASE WHEN treated = 0 AND post = 1 THEN c ELSE 0 END)::BIGINT AS s01,
+        |    sum(CASE WHEN treated = 0 AND post = 1 THEN c * c ELSE 0 END)::BIGINT AS q01,
+        |    sum(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+        |    sum(CASE WHEN treated = 1 AND post = 0 THEN c ELSE 0 END)::BIGINT AS s10,
+        |    sum(CASE WHEN treated = 1 AND post = 0 THEN c * c ELSE 0 END)::BIGINT AS q10,
+        |    sum(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS n11,
+        |    sum(CASE WHEN treated = 1 AND post = 1 THEN c ELSE 0 END)::BIGINT AS s11,
+        |    sum(CASE WHEN treated = 1 AND post = 1 THEN c * c ELSE 0 END)::BIGINT AS q11
+        |  FROM cells)
+        |SELECT n00, n01, n10, n11,
+        |       round(s00::DOUBLE / n00::DOUBLE, 6) AS y00,
+        |       round(s01::DOUBLE / n01::DOUBLE, 6) AS y01,
+        |       round(s10::DOUBLE / n10::DOUBLE, 6) AS y10,
+        |       round(s11::DOUBLE / n11::DOUBLE, 6) AS y11,
+        |       round((s11::DOUBLE / n11::DOUBLE - s10::DOUBLE / n10::DOUBLE)
+        |             - (s01::DOUBLE / n01::DOUBLE - s00::DOUBLE / n00::DOUBLE), 6)
+        |         AS did_cents,
+        |       round(sqrt(
+        |         ((q11::DOUBLE - s11::DOUBLE * s11::DOUBLE / n11::DOUBLE) / (n11::DOUBLE - 1.0)) / n11
+        |         + ((q10::DOUBLE - s10::DOUBLE * s10::DOUBLE / n10::DOUBLE) / (n10::DOUBLE - 1.0)) / n10
+        |         + ((q01::DOUBLE - s01::DOUBLE * s01::DOUBLE / n01::DOUBLE) / (n01::DOUBLE - 1.0)) / n01
+        |         + ((q00::DOUBLE - s00::DOUBLE * s00::DOUBLE / n00::DOUBLE) / (n00::DOUBLE - 1.0)) / n00), 6)
+        |         AS se_cents,
+        |       round(((s11::DOUBLE / n11::DOUBLE - s10::DOUBLE / n10::DOUBLE)
+        |              - (s01::DOUBLE / n01::DOUBLE - s00::DOUBLE / n00::DOUBLE))
+        |             / (sqrt(
+        |         ((q11::DOUBLE - s11::DOUBLE * s11::DOUBLE / n11::DOUBLE) / (n11::DOUBLE - 1.0)) / n11
+        |         + ((q10::DOUBLE - s10::DOUBLE * s10::DOUBLE / n10::DOUBLE) / (n10::DOUBLE - 1.0)) / n10
+        |         + ((q01::DOUBLE - s01::DOUBLE * s01::DOUBLE / n01::DOUBLE) / (n01::DOUBLE - 1.0)) / n01
+        |         + ((q00::DOUBLE - s00::DOUBLE * s00::DOUBLE / n00::DOUBLE) / (n00::DOUBLE - 1.0)) / n00)), 6)
+        |         AS z
+        |FROM one""".stripMargin,
     // same first-seen cohorts, same (cohort, age) census cumulative,
     // same deci-milli-cent integer LTV
     "q327_cohort_ltv" ->
