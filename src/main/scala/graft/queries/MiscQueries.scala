@@ -3210,7 +3210,50 @@ object MiscQueries extends QueryModule {
       round(expr(s"$did / ($se)"), 6).as("z"))
   }
 
+  /** q329: SYSTEMATIC SAMPLING with a distributed global rank — the
+    * survey-sampling design q57/q69/q87 don't cover (every-k-th under
+    * a fixed permutation gives zero clumping variance, and auditors
+    * like that membership is a pure function of the key): order the
+    * population by (md5(key), key), take ranks ≡ 1 (mod 37), report
+    * the per-status census of the sample beside the population.
+    *
+    * Determinism: the permutation is md5 — no RNG state, re-runnable
+    * anywhere. Scale: THE point of this row — the global rank is
+    * assembled WITHOUT a global sort: bucket = first md5 byte (256
+    * buckets), per-bucket offsets from a partitioned window, bucket
+    * base offsets from the 256-row census cumulative, global rank =
+    * base + offset. One shuffle on the bucket key; the only
+    * single-partition window runs over the 256-row census. (The
+    * oracle ranks with one flat ORDER BY — same order, different
+    * algorithm.)
+    */
+  def q329SystematicSample(spark: SparkSession, dir: String): DataFrame = {
+    val pop = Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("h", md5(col("o_orderkey").cast("string")))
+      .withColumn("b", substring(col("h"), 1, 2))
+    val offsets = pop.groupBy("b").agg(count(lit(1)).as("cnt"))
+      .withColumn("base",
+        sum("cnt").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("cnt"))
+    val ranked = pop.join(broadcast(offsets.select("b", "base")), "b")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("b").orderBy("h", "o_orderkey")))
+      .withColumn("grank", col("base") + col("rn"))
+    val sample = ranked.filter(col("grank") % 37 === 1)
+    val popTot = pop.agg(count(lit(1)).as("n_pop"), sum("cents").as("pop_cents"))
+    sample.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_sample"), sum("cents").as("sample_cents"))
+      .crossJoin(broadcast(popTot))
+      .select(col("o_orderstatus"), col("n_sample"), col("sample_cents"),
+        col("n_pop"), col("pop_cents"),
+        expr("n_sample * 1000000L div n_pop").as("status_rate_ppm"))
+      .orderBy("o_orderstatus")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_systematic_sample" -> (q329SystematicSample _),
     "q328_markov_attribution" -> (q328MarkovAttribution _),
     "q331_diff_in_diff" -> (q331DiffInDiff _),
     "q327_cohort_ltv" -> (q327CohortLtv _),
@@ -3295,6 +3338,26 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // one flat ORDER BY rank — the engine assembles the SAME rank
+    // without a global sort (bucket offsets + partitioned windows);
+    // identical membership proves the two-level rank correct
+    "q329_systematic_sample" ->
+      """WITH pop AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        |         md5(o_orderkey::VARCHAR) AS h
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (ORDER BY h, o_orderkey) AS grank FROM pop),
+        |s AS (SELECT * FROM r WHERE grank % 37 = 1),
+        |pt AS (SELECT count(*)::BIGINT AS n_pop, sum(cents)::BIGINT AS pop_cents
+        |       FROM pop)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_sample,
+        |       sum(cents)::BIGINT AS sample_cents,
+        |       pt.n_pop, pt.pop_cents,
+        |       count(*) * 1000000 // pt.n_pop AS status_rate_ppm
+        |FROM s, pt
+        |GROUP BY o_orderstatus, pt.n_pop, pt.pop_cents
+        |ORDER BY o_orderstatus""".stripMargin,
     // same truncated journeys and transition census; the 20 integer
     // value-iteration rounds unrolled as CTEs, same clamps and grids
     "q328_markov_attribution" -> {

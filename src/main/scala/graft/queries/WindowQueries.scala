@@ -529,7 +529,53 @@ object WindowQueries extends QueryModule {
       .orderBy("event_type", "day")
   }
 
+  /** q330: SEASONAL-NAIVE forecast backtest with MASE — the
+    * forecasting-EVAL member of the time-series family (q261
+    * decomposes, q207 flags anomalies, q284 measures memory; a
+    * forecasting platform's first question is "does my model beat
+    * seasonal-naive, measured scale-free?" — Hyndman & Koehler '06):
+    * per event type, hold out the last 7 days, forecast each held-out
+    * day with the value 7 days prior (seasonal-naive), and score with
+    * MASE = test MAE / in-sample one-step naive MAE.
+    *
+    * Determinism: the daily series is exact BIGINT cents; both MAE
+    * numerators are integer |diff| sums over the DAY census; MASE is
+    * one double ratio of two integer rationals, snapped. Scale: the
+    * series lives on the (type, day) census — two lag windows and one
+    * agg per type, bounded by time, never rows.
+    */
+  def q330SeasonalNaiveMase(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day").agg(sum("cents").as("v"))
+    val maxDay = daily.agg(max("day").as("maxd"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val scored = daily.crossJoin(broadcast(maxDay))
+      .withColumn("v7", lag("v", 7).over(w))
+      .withColumn("v1", lag("v", 1).over(w))
+      .withColumn("is_test", (col("day") > col("maxd") - 7).cast("long"))
+    scored.groupBy("event_type")
+      .agg(
+        sum(when(col("is_test") === 1 && col("v7").isNotNull, 1L).otherwise(0L))
+          .as("n_test"),
+        sum(when(col("is_test") === 1 && col("v7").isNotNull,
+          abs(col("v") - col("v7"))).otherwise(0L)).as("mae_fc_sum"),
+        sum(when(col("is_test") === 0 && col("v1").isNotNull, 1L).otherwise(0L))
+          .as("n_train_steps"),
+        sum(when(col("is_test") === 0 && col("v1").isNotNull,
+          abs(col("v") - col("v1"))).otherwise(0L)).as("mae_naive_sum"))
+      .select(col("event_type"), col("n_test"), col("mae_fc_sum"),
+        col("n_train_steps"), col("mae_naive_sum"),
+        round((col("mae_fc_sum").cast("double") / col("n_test").cast("double")) /
+          (col("mae_naive_sum").cast("double") / col("n_train_steps").cast("double")),
+          6).as("mase"))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q330_seasonal_naive_mase" -> (q330SeasonalNaiveMase _),
     "q321_realized_vol" -> (q321RealizedVol _),
     "q304_twap" -> (q304Twap _),
     "q290_interval_coverage" -> (q290IntervalCoverage _),
@@ -549,6 +595,39 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same day census, same 7-lag/1-lag splits, same integer MAE sums
+    "q330_seasonal_naive_mase" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS maxd FROM daily),
+        |sc AS (
+        |  SELECT event_type, day, v,
+        |         lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS v7,
+        |         lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+        |         CASE WHEN day > mx.maxd - 7 THEN 1 ELSE 0 END AS is_test
+        |  FROM daily, mx)
+        |SELECT event_type,
+        |       sum(CASE WHEN is_test = 1 AND v7 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_test,
+        |       sum(CASE WHEN is_test = 1 AND v7 IS NOT NULL THEN abs(v - v7)
+        |                ELSE 0 END)::BIGINT AS mae_fc_sum,
+        |       sum(CASE WHEN is_test = 0 AND v1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_train_steps,
+        |       sum(CASE WHEN is_test = 0 AND v1 IS NOT NULL THEN abs(v - v1)
+        |                ELSE 0 END)::BIGINT AS mae_naive_sum,
+        |       round((sum(CASE WHEN is_test = 1 AND v7 IS NOT NULL THEN abs(v - v7)
+        |                       ELSE 0 END)::DOUBLE
+        |              / sum(CASE WHEN is_test = 1 AND v7 IS NOT NULL THEN 1
+        |                         ELSE 0 END)::DOUBLE)
+        |             / (sum(CASE WHEN is_test = 0 AND v1 IS NOT NULL THEN abs(v - v1)
+        |                         ELSE 0 END)::DOUBLE
+        |                / sum(CASE WHEN is_test = 0 AND v1 IS NOT NULL THEN 1
+        |                           ELSE 0 END)::DOUBLE), 6) AS mase
+        |FROM sc
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // same snapped micro-nat log prices, same (µs, event_id) lag,
     // same exact integer Σr²/Σ|r|/max statistics
     "q321_realized_vol" ->
