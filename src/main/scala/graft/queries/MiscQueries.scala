@@ -3252,7 +3252,54 @@ object MiscQueries extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** q332: MONDRIAN k-anonymization (LeFevre et al., ICDE'06) — the
+    * ANONYMIZER that completes the privacy tripod's audit rows (q232
+    * k-anonymity, q256 l-diversity, q305 t-closeness all MEASURE a
+    * given generalization; Mondrian BUILDS one): three fixed
+    * median-cut rounds over the (acctbal, nation) quasi-identifier
+    * pair — cycling dimensions a, n, a, the strict-alternation
+    * variant — producing ≤ 8 generalization cells, each reported as
+    * its QI ranges with the k=10 publishability flag.
+    *
+    * Determinism: medians are census-rank lookups (min v with
+    * 2·cum ≥ n_cell — all-integer, the q295 device); cell ids evolve
+    * as cell·2 + (v > med); every output is an integer. Scale: each
+    * round is one (cell, value) census agg + a ≤ 8-row median
+    * broadcast back — the partition tree never materializes pairwise
+    * anything, which is why Mondrian is THE scalable k-anonymizer.
+    */
+  def q332Mondrian(spark: SparkSession, dir: String): DataFrame = {
+    var pts = Tables.customer(spark, dir).select(
+        col("c_custkey").as("id"),
+        floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("a"),
+        col("c_nationkey").cast("long").as("n"))
+      .withColumn("cell", lit(0L))
+    for (d <- Seq("a", "n", "a")) {
+      val census = pts.groupBy(col("cell"), col(d).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = census.groupBy("cell").agg(sum("cnt").as("nc"))
+      val med = census.join(tot, "cell")
+        .withColumn("cum", sum("cnt").over(
+          Window.partitionBy("cell").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") * 2 >= col("nc"))
+        .groupBy("cell").agg(min("v").as("med"))
+      pts = pts.join(broadcast(med), "cell")
+        .select(col("id"), col("a"), col("n"),
+          (col("cell") * 2 + when(col(d) > col("med"), 1L).otherwise(0L))
+            .as("cell"))
+        .localCheckpoint()
+    }
+    pts.groupBy("cell")
+      .agg(count(lit(1)).as("n_rows"),
+        min("a").as("a_min"), max("a").as("a_max"),
+        min("n").as("n_min"), max("n").as("n_max"))
+      .withColumn("k_ok", (col("n_rows") >= 10L).cast("long"))
+      .orderBy("cell")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q332_mondrian" -> (q332Mondrian _),
     "q329_systematic_sample" -> (q329SystematicSample _),
     "q328_markov_attribution" -> (q328MarkovAttribution _),
     "q331_diff_in_diff" -> (q331DiffInDiff _),
@@ -3338,6 +3385,46 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the three median-cut rounds unrolled; same census-rank medians,
+    // same cell-id evolution, same range report
+    "q332_mondrian" -> {
+      val p0 =
+        """WITH p0 AS MATERIALIZED (
+          |  SELECT c_custkey AS id,
+          |         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS a,
+          |         c_nationkey::BIGINT AS n, 0::BIGINT AS cell
+          |  FROM customer)""".stripMargin
+      val rounds = Seq("a", "n", "a").zipWithIndex.map { case (d, i) =>
+        val (prev, cur) = (s"p$i", s"p${i + 1}")
+        s""",
+           |cen$cur AS (
+           |  SELECT cell, $d AS v, count(*)::BIGINT AS cnt FROM $prev GROUP BY 1, 2),
+           |med$cur AS (
+           |  SELECT cell, min(v) AS med FROM (
+           |    SELECT c.cell, c.v,
+           |           (sum(c.cnt) OVER (PARTITION BY c.cell ORDER BY c.v
+           |                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+           |           t.nc
+           |    FROM cen$cur c
+           |    JOIN (SELECT cell, sum(cnt)::BIGINT AS nc FROM cen$cur GROUP BY cell) t
+           |      USING (cell))
+           |  WHERE cum * 2 >= nc GROUP BY cell),
+           |$cur AS MATERIALIZED (
+           |  SELECT p.id, p.a, p.n,
+           |         p.cell * 2 + CASE WHEN p.$d > m.med THEN 1 ELSE 0 END AS cell
+           |  FROM $prev p JOIN med$cur m USING (cell))""".stripMargin
+      }.mkString
+      val tail =
+        """
+          |SELECT cell, count(*)::BIGINT AS n_rows,
+          |       min(a)::BIGINT AS a_min, max(a)::BIGINT AS a_max,
+          |       min(n)::BIGINT AS n_min, max(n)::BIGINT AS n_max,
+          |       (count(*) >= 10)::BIGINT AS k_ok
+          |FROM p3
+          |GROUP BY cell
+          |ORDER BY cell""".stripMargin
+      p0 + rounds + tail
+    },
     // one flat ORDER BY rank — the engine assembles the SAME rank
     // without a global sort (bucket offsets + partitioned windows);
     // identical membership proves the two-level rank correct

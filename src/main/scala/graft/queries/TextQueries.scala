@@ -1880,8 +1880,10 @@ object TextQueries extends QueryModule {
     * agg per (doc, class); no window touches the corpus — the classic
     * "train = one aggregation, apply = one broadcast join" NB shape.
     */
-  def q319NaiveBayes(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** q319/q333 shared: per held-out (doc, lang) integer NB scores —
+    * the micro-nat model table applied to the test fold.
+    */
+  private def nbScores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
     val train = docs.filter(col("doc_id") % 5 =!= 0)
@@ -1916,7 +1918,16 @@ object TextQueries extends QueryModule {
       .join(broadcast(priors), "lang")
       .select(col("doc_id"), col("actual"), col("lang"),
         (col("tok_u") + col("prior_u")).as("score_u"))
-    val pred = scored.withColumn("rn",
+    scored
+  }
+
+  /** q319 body: confusion census + accuracy over the argmax of the
+    * shared scores (see the scaladoc at the `queries` entry comment —
+    * full rationale in the original q319 doc above `nbScores`).
+    */
+  def q319NaiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pred = nbScores(spark, dir).withColumn("rn",
         row_number().over(Window.partitionBy("doc_id")
           .orderBy(col("score_u").desc, col("lang").asc)))
       .filter(col("rn") === 1)
@@ -1927,6 +1938,66 @@ object TextQueries extends QueryModule {
     pred.groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(acc))
       .orderBy("actual", "predicted")
+  }
+
+  /** q333: SELECTIVE CLASSIFICATION (reject option) — the
+    * coverage-vs-accuracy curve over q319's classifier (El-Yaniv &
+    * Wiener '10: a deployed classifier ABSTAINS below a confidence
+    * threshold, and the curve prices what each abstention level buys;
+    * this is the eval every human-in-the-loop routing pipeline runs):
+    * confidence = integer margin between the top-2 class scores;
+    * thresholds = margin-census quintile cuts; per band, accuracy, and
+    * cumulatively from the most-confident band down, coverage vs
+    * selective accuracy.
+    *
+    * Determinism: margins are exact integer micro-nat differences; the
+    * quintile cuts are census-rank lookups (min margin with 5·cum ≥
+    * j·n — all-integer, the q295 device); band censuses and both ppm
+    * ratios are integers. Scale: scores are q319's (broadcast model,
+    * one agg); everything after lives on the margin census; the only
+    * unpartitioned window runs over that census.
+    */
+  def q333SelectiveClassification(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = nbScores(spark, dir).withColumn("rn",
+      row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score_u").desc, col("lang").asc)))
+    val perDoc = ranked.filter(col("rn") <= 2)
+      .groupBy("doc_id", "actual")
+      .agg(max(when(col("rn") === 1, col("lang"))).as("predicted"),
+        (max(when(col("rn") === 1, col("score_u")))
+          - max(when(col("rn") === 2, col("score_u")))).as("margin"))
+      .withColumn("correct",
+        when(col("actual") === col("predicted"), 1L).otherwise(0L))
+    val census = perDoc.groupBy("margin")
+      .agg(count(lit(1)).as("cnt"), sum("correct").as("cor"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("margin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    val n = census.agg(sum("cnt").as("n"))
+    val cutAggs = (1 to 4).map(j =>
+      min(when(col("cum") * 5 >= col("n") * j, col("margin"))).as(s"c$j"))
+    val cuts = census.crossJoin(broadcast(n))
+      .groupBy("n")
+      .agg(cutAggs.head, cutAggs.tail: _*)
+    val banded = census.crossJoin(broadcast(cuts))
+      .withColumn("band",
+        when(col("margin") <= col("c1"), 0L)
+          .when(col("margin") <= col("c2"), 1L)
+          .when(col("margin") <= col("c3"), 2L)
+          .when(col("margin") <= col("c4"), 3L).otherwise(4L))
+      .groupBy("band", "n")
+      .agg(sum("cnt").as("n_band"), sum("cor").as("n_correct"))
+    banded
+      .withColumn("cum_n", sum("n_band").over(Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_cor", sum("n_correct").over(Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("band"), col("n_band"), col("n_correct"),
+        expr("n_correct * 1000000L div n_band").as("band_acc_ppm"),
+        expr("cum_n * 1000000L div n").as("coverage_ppm"),
+        expr("cum_cor * 1000000L div cum_n").as("selective_acc_ppm"))
+      .orderBy(col("band").desc)
   }
 
   /** q324: TEXTRANK keyword extraction (Mihalcea & Tarau, EMNLP'04) —
@@ -1969,6 +2040,7 @@ object TextQueries extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q324_textrank" -> (q324Textrank _),
     "q319_naive_bayes" -> (q319NaiveBayes _),
+    "q333_selective_classification" -> (q333SelectiveClassification _),
     "q286_bleu" -> (q286Bleu _),
     "q264_zipf_fit" -> (q264ZipfFit _),
     "q265_token_gini" -> (q265TokenGini _),
@@ -2060,6 +2132,45 @@ object TextQueries extends QueryModule {
       |${bpeOracleStage(2)},
       |${bpeOracleStage(3)}""".stripMargin
 
+  /** DuckDB replay of the q319 NB chain, ending at `scored`
+    * (doc_id, actual, lang, tok_u) and `priors` — shared by q319/q333.
+    */
+  private val oracleNbScored: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+      |test AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+      |tt AS (SELECT lang, unnest(ws) AS w FROM train),
+      |tt2 AS (SELECT lang, w FROM tt WHERE w <> ''),
+      |wc AS (SELECT lang, w, count(*)::BIGINT AS c FROM tt2 GROUP BY 1, 2),
+      |totals AS (SELECT lang, sum(c)::BIGINT AS tot FROM wc GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT w)::BIGINT AS v FROM wc),
+      |ntr AS (SELECT count(*)::BIGINT AS n FROM train),
+      |priors AS (
+      |  SELECT lang,
+      |         CAST(floor(ln(count(*)::DOUBLE / ntr.n::DOUBLE)
+      |                    * 1000000.0 + 0.5) AS BIGINT) AS prior_u
+      |  FROM train, ntr GROUP BY lang, ntr.n),
+      |model AS (
+      |  SELECT wc.lang, wc.w,
+      |         CAST(floor(ln((c + 1)::DOUBLE / (tot + v)::DOUBLE)
+      |                    * 1000000.0 + 0.5) AS BIGINT) AS lp_u
+      |  FROM wc JOIN totals USING (lang), vocab),
+      |defaults AS (
+      |  SELECT lang,
+      |         CAST(floor(ln(1.0 / (tot + v)::DOUBLE)
+      |                    * 1000000.0 + 0.5) AS BIGINT) AS def_u
+      |  FROM totals, vocab),
+      |ttok AS (
+      |  SELECT doc_id, lang AS actual, unnest(ws) AS w FROM test),
+      |ttok2 AS (SELECT * FROM ttok WHERE w <> ''),
+      |scored AS (
+      |  SELECT t.doc_id, t.actual, d.lang,
+      |         sum(coalesce(m.lp_u, d.def_u))::BIGINT AS tok_u
+      |  FROM ttok2 t CROSS JOIN defaults d
+      |  LEFT JOIN model m ON m.lang = d.lang AND m.w = t.w
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     // same distinct co-occurrence edges, q140's 5-CTE trajectory
     // unrolled verbatim, same (rank desc, word) top-10 cut
@@ -2094,41 +2205,8 @@ object TextQueries extends QueryModule {
     // same fold split, same Laplace table snapped to micro-nats ONCE
     // census-side, same integer score sums and (score desc, lang asc)
     // argmax, same ppm accuracy
-    "q319_naive_bayes" ->
-      """WITH docs AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
-        |train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
-        |test AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
-        |tt AS (SELECT lang, unnest(ws) AS w FROM train),
-        |tt2 AS (SELECT lang, w FROM tt WHERE w <> ''),
-        |wc AS (SELECT lang, w, count(*)::BIGINT AS c FROM tt2 GROUP BY 1, 2),
-        |totals AS (SELECT lang, sum(c)::BIGINT AS tot FROM wc GROUP BY 1),
-        |vocab AS (SELECT count(DISTINCT w)::BIGINT AS v FROM wc),
-        |ntr AS (SELECT count(*)::BIGINT AS n FROM train),
-        |priors AS (
-        |  SELECT lang,
-        |         CAST(floor(ln(count(*)::DOUBLE / ntr.n::DOUBLE)
-        |                    * 1000000.0 + 0.5) AS BIGINT) AS prior_u
-        |  FROM train, ntr GROUP BY lang, ntr.n),
-        |model AS (
-        |  SELECT wc.lang, wc.w,
-        |         CAST(floor(ln((c + 1)::DOUBLE / (tot + v)::DOUBLE)
-        |                    * 1000000.0 + 0.5) AS BIGINT) AS lp_u
-        |  FROM wc JOIN totals USING (lang), vocab),
-        |defaults AS (
-        |  SELECT lang,
-        |         CAST(floor(ln(1.0 / (tot + v)::DOUBLE)
-        |                    * 1000000.0 + 0.5) AS BIGINT) AS def_u
-        |  FROM totals, vocab),
-        |ttok AS (
-        |  SELECT doc_id, lang AS actual, unnest(ws) AS w FROM test),
-        |ttok2 AS (SELECT * FROM ttok WHERE w <> ''),
-        |scored AS (
-        |  SELECT t.doc_id, t.actual, d.lang,
-        |         sum(coalesce(m.lp_u, d.def_u))::BIGINT AS tok_u
-        |  FROM ttok2 t CROSS JOIN defaults d
-        |  LEFT JOIN model m ON m.lang = d.lang AND m.w = t.w
-        |  GROUP BY 1, 2, 3),
+    "q319_naive_bayes" -> (oracleNbScored +
+      """,
         |pred AS (
         |  SELECT actual, lang AS predicted
         |  FROM (SELECT s.actual, s.lang, s.tok_u + p.prior_u AS score_u, s.doc_id
@@ -2142,7 +2220,60 @@ object TextQueries extends QueryModule {
         |SELECT actual, predicted, count(*)::BIGINT AS n, acc.accuracy_ppm
         |FROM pred, acc
         |GROUP BY actual, predicted, acc.accuracy_ppm
-        |ORDER BY actual, predicted""".stripMargin,
+        |ORDER BY actual, predicted""".stripMargin),
+    // q319's scored chain, then integer top-2 margins, census quintile
+    // cuts (the q295 device), and the cumulative selective-risk curve
+    "q333_selective_classification" -> (oracleNbScored +
+      """,
+        |rk AS (
+        |  SELECT s.doc_id, s.actual, s.lang, s.tok_u + p.prior_u AS score_u,
+        |         row_number() OVER (PARTITION BY s.doc_id
+        |                            ORDER BY s.tok_u + p.prior_u DESC, s.lang ASC)
+        |           AS rn
+        |  FROM scored s JOIN priors p USING (lang)),
+        |pd AS (
+        |  SELECT doc_id, actual,
+        |         max(CASE WHEN rn = 1 THEN lang END) AS predicted,
+        |         (max(CASE WHEN rn = 1 THEN score_u END)
+        |          - max(CASE WHEN rn = 2 THEN score_u END))::BIGINT AS margin
+        |  FROM rk WHERE rn <= 2 GROUP BY doc_id, actual),
+        |pd2 AS (
+        |  SELECT margin,
+        |         CASE WHEN actual = predicted THEN 1 ELSE 0 END AS correct
+        |  FROM pd),
+        |census AS (
+        |  SELECT margin, count(*)::BIGINT AS cnt, sum(correct)::BIGINT AS cor,
+        |         (sum(count(*)) OVER (ORDER BY margin
+        |                              ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM pd2 GROUP BY margin),
+        |nn AS (SELECT sum(cnt)::BIGINT AS n FROM census),
+        |cuts AS (
+        |  SELECT nn.n,
+        |         min(CASE WHEN cum * 5 >= n * 1 THEN margin END) AS c1,
+        |         min(CASE WHEN cum * 5 >= n * 2 THEN margin END) AS c2,
+        |         min(CASE WHEN cum * 5 >= n * 3 THEN margin END) AS c3,
+        |         min(CASE WHEN cum * 5 >= n * 4 THEN margin END) AS c4
+        |  FROM census, nn GROUP BY nn.n),
+        |banded AS (
+        |  SELECT CASE WHEN margin <= c1 THEN 0
+        |              WHEN margin <= c2 THEN 1
+        |              WHEN margin <= c3 THEN 2
+        |              WHEN margin <= c4 THEN 3 ELSE 4 END AS band,
+        |         cuts.n, sum(cnt)::BIGINT AS n_band, sum(cor)::BIGINT AS n_correct
+        |  FROM census, cuts GROUP BY 1, 2),
+        |cumb AS (
+        |  SELECT *,
+        |         (sum(n_band) OVER (ORDER BY band DESC
+        |                            ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_n,
+        |         (sum(n_correct) OVER (ORDER BY band DESC
+        |                               ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_cor
+        |  FROM banded)
+        |SELECT band::BIGINT AS band, n_band, n_correct,
+        |       n_correct * 1000000 // n_band AS band_acc_ppm,
+        |       cum_n * 1000000 // n AS coverage_ppm,
+        |       cum_cor * 1000000 // cum_n AS selective_acc_ppm
+        |FROM cumb
+        |ORDER BY band DESC""".stripMargin),
     // same pairing, same per-pair clipped counts, same BIGINT pooling,
     // same sqrt(sqrt(·)) geometric mean and snapped BP product
     "q286_bleu" ->
