@@ -3298,7 +3298,88 @@ object MiscQueries extends QueryModule {
       .orderBy("cell")
   }
 
+  /** q334: POISSON OVERDISPERSION test — the rate-model diagnostic
+    * every event-volume monitor needs (alerting thresholds assume
+    * Poisson arrivals; real user activity is bursty, and the
+    * variance-to-mean ratio says HOW wrong that assumption is —
+    * Fisher's dispersion index, with the χ² statistic (n−1)·D and its
+    * normal approximation z = √(2χ²) − √(2df−1)): per event type over
+    * the per-user count distribution.
+    *
+    * Determinism: the three moments (n users, Σc, Σc²) are exact
+    * BIGINTs off the per-user census; D, χ², and z are one fixed
+    * double chain each. Scale: one fact agg to (type, user) counts,
+    * one partial+final moment agg — the canonical two-shuffle shape.
+    */
+  def q334DispersionTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+    perUser.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum("c").as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("event_type"), col("n_users"), col("s1"), col("s2"),
+        round(expr(
+          """(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+            |/ CAST(n_users AS DOUBLE)) / (CAST(n_users AS DOUBLE) - 1.0)
+            |/ (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE))"""
+            .stripMargin.replace("\n", " ")), 6).as("dispersion"),
+        round(expr(
+          """sqrt(2.0 * (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+            |* CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE))
+            |/ (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)))
+            |- sqrt(2.0 * (CAST(n_users AS DOUBLE) - 1.0) - 1.0)"""
+            .stripMargin.replace("\n", " ")), 6).as("z"))
+      .withColumn("verdict",
+        when(col("z") > 1.959964, lit("overdispersed"))
+          .when(col("z") < -1.959964, lit("underdispersed"))
+          .otherwise(lit("poisson_ok")))
+      .orderBy("event_type")
+  }
+
+  /** q335: EQUI-DEPTH column statistics — the ANALYZE TABLE artifact a
+    * cost-based optimizer consumes (Spark's CBO and every warehouse
+    * keep exactly this: NDV, bounds, and an equi-depth histogram per
+    * column; q163 gates file-level skipping stats — this is the
+    * COLUMN-level sibling the join-order/selectivity estimates read):
+    * an 8-bucket equi-depth histogram over order-price cents with
+    * per-bucket exact row counts and distinct-value counts.
+    *
+    * Determinism: bucket cuts are census-rank lookups (min v with
+    * 8·cum ≥ j·n); every reported number is an integer census sum.
+    * Scale: ONE value census carries the NDV, the bounds, the cuts,
+    * and every per-bucket statistic — the table is scanned once,
+    * which is what makes stats collection affordable at 100 TB.
+    */
+  def q335ColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    val tot = census.agg(sum("cnt").as("n"), count(lit(1)).as("ndv"),
+      min("v").as("vmin"), max("v").as("vmax"))
+    val cutAggs = (1 to 8).map(j =>
+      min(when(col("cum") * 8 >= col("n") * j, col("v"))).as(s"c$j"))
+    val cuts = census.crossJoin(broadcast(tot))
+      .groupBy("n", "ndv", "vmin", "vmax")
+      .agg(cutAggs.head, cutAggs.tail: _*)
+    census.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("v") <= col("c1"), 1L).when(col("v") <= col("c2"), 2L)
+          .when(col("v") <= col("c3"), 3L).when(col("v") <= col("c4"), 4L)
+          .when(col("v") <= col("c5"), 5L).when(col("v") <= col("c6"), 6L)
+          .when(col("v") <= col("c7"), 7L).otherwise(8L))
+      .groupBy("bucket", "n", "ndv", "vmin", "vmax")
+      .agg(min("v").as("lo"), max("v").as("hi"),
+        sum("cnt").as("n_rows"), count(lit(1)).as("ndv_bucket"))
+      .orderBy("bucket")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_dispersion_test" -> (q334DispersionTest _),
+    "q335_column_stats" -> (q335ColumnStats _),
     "q332_mondrian" -> (q332Mondrian _),
     "q329_systematic_sample" -> (q329SystematicSample _),
     "q328_markov_attribution" -> (q328MarkovAttribution _),
@@ -3385,6 +3466,65 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same per-user count census and exact moments; D/chi2/z replayed
+    // as the identical double chains
+    "q334_dispersion_test" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_users,
+        |         sum(c)::BIGINT AS s1, sum(c * c)::BIGINT AS s2
+        |  FROM pu GROUP BY 1),
+        |calc AS (
+        |  SELECT event_type, n_users, s1, s2,
+        |         round((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n_users::DOUBLE)
+        |               / (n_users::DOUBLE - 1.0)
+        |               / (s1::DOUBLE / n_users::DOUBLE), 6) AS dispersion,
+        |         round(sqrt(2.0 * (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE
+        |                           / n_users::DOUBLE)
+        |                    / (s1::DOUBLE / n_users::DOUBLE))
+        |               - sqrt(2.0 * (n_users::DOUBLE - 1.0) - 1.0), 6) AS z
+        |  FROM m)
+        |SELECT event_type, n_users, s1, s2, dispersion, z,
+        |       CASE WHEN z > 1.959964 THEN 'overdispersed'
+        |            WHEN z < -1.959964 THEN 'underdispersed'
+        |            ELSE 'poisson_ok' END AS verdict
+        |FROM calc
+        |ORDER BY event_type""".stripMargin,
+    // same value census, same census-rank cuts, same integer bucket
+    // censuses
+    "q335_column_stats" ->
+      """WITH census AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |         count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY v),
+        |cc AS (
+        |  SELECT v, cnt,
+        |         (sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM census),
+        |tot AS (SELECT sum(cnt)::BIGINT AS n, count(*)::BIGINT AS ndv,
+        |               min(v) AS vmin, max(v) AS vmax FROM cc),
+        |cuts AS (
+        |  SELECT tot.n, tot.ndv, tot.vmin, tot.vmax,
+        |         min(CASE WHEN cum * 8 >= n * 1 THEN v END) AS c1,
+        |         min(CASE WHEN cum * 8 >= n * 2 THEN v END) AS c2,
+        |         min(CASE WHEN cum * 8 >= n * 3 THEN v END) AS c3,
+        |         min(CASE WHEN cum * 8 >= n * 4 THEN v END) AS c4,
+        |         min(CASE WHEN cum * 8 >= n * 5 THEN v END) AS c5,
+        |         min(CASE WHEN cum * 8 >= n * 6 THEN v END) AS c6,
+        |         min(CASE WHEN cum * 8 >= n * 7 THEN v END) AS c7,
+        |         min(CASE WHEN cum * 8 >= n * 8 THEN v END) AS c8
+        |  FROM cc, tot GROUP BY 1, 2, 3, 4)
+        |SELECT CASE WHEN v <= c1 THEN 1 WHEN v <= c2 THEN 2 WHEN v <= c3 THEN 3
+        |            WHEN v <= c4 THEN 4 WHEN v <= c5 THEN 5 WHEN v <= c6 THEN 6
+        |            WHEN v <= c7 THEN 7 ELSE 8 END::BIGINT AS bucket,
+        |       n, ndv, vmin, vmax,
+        |       min(v) AS lo, max(v) AS hi,
+        |       sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS ndv_bucket
+        |FROM cc, cuts
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY bucket""".stripMargin,
     // the three median-cut rounds unrolled; same census-rank medians,
     // same cell-id evolution, same range report
     "q332_mondrian" -> {
