@@ -3377,7 +3377,70 @@ object MiscQueries extends QueryModule {
       .orderBy("bucket")
   }
 
+  /** q336: DECISION STUMP trained by exact Gini — the one-level
+    * decision tree that is both a baseline classifier and the inner
+    * loop of every boosted-tree trainer (XGBoost/LightGBM evaluate
+    * exactly this split search per node; doing it EXACTLY over a value
+    * census is the distributed-histogram algorithm those systems
+    * approximate): predict `o_orderstatus = 'F'` from order-price
+    * cents and order day-of-week; every candidate cut of both features
+    * scored by weighted Gini impurity from cumulative class counts,
+    * best split reported beside the baseline impurity.
+    *
+    * Determinism: per-candidate class counts are exact BIGINTs off the
+    * (feature, value) census cumulative; each candidate's score is the
+    * same fixed double chain in both engines and the argmin orders by
+    * (rounded score, feature, cut). Scale: ONE pass to the census,
+    * candidates = distinct values (not rows), score + argmin live on
+    * the census — the split search never rescans data, which is the
+    * whole trick.
+    */
+  def q336DecisionStump(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("price"),
+      expr("unix_micros(o_orderdate) div 86400000000 % 7").as("dow"))
+    val census = base.select(lit("price").as("feat"), col("price").as("v"), col("y"))
+      .unionAll(base.select(lit("dow").as("feat"), col("dow").as("v"), col("y")))
+      .groupBy("feat", "v")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      .withColumn("cumn", sum("cnt").over(Window.partitionBy("feat").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cump", sum("pos").over(Window.partitionBy("feat").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = base.agg(count(lit(1)).as("n"), sum("y").as("npos"))
+    val scoredCands = census.crossJoin(broadcast(tot))
+      .filter(col("cumn") < col("n"))
+      .withColumn("gini", expr(
+        """(CAST(cumn AS DOUBLE)
+          |  - (CAST(cump AS DOUBLE) * CAST(cump AS DOUBLE)
+          |     + CAST(cumn - cump AS DOUBLE) * CAST(cumn - cump AS DOUBLE))
+          |    / CAST(cumn AS DOUBLE)
+          |  + CAST(n - cumn AS DOUBLE)
+          |  - (CAST(npos - cump AS DOUBLE) * CAST(npos - cump AS DOUBLE)
+          |     + CAST(n - cumn - npos + cump AS DOUBLE)
+          |       * CAST(n - cumn - npos + cump AS DOUBLE))
+          |    / CAST(n - cumn AS DOUBLE)) / CAST(n AS DOUBLE)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(round(col("gini"), 9).asc, col("feat").asc, col("v").asc)))
+      .filter(col("rn") === 1)
+    scoredCands.select(col("feat").as("feature"), col("v").as("cut"),
+      col("n"), col("npos"),
+      col("cumn").as("n_left"), col("cump").as("pos_left"),
+      (col("n") - col("cumn")).as("n_right"),
+      (col("npos") - col("cump")).as("pos_right"),
+      round(col("gini"), 6).as("split_gini"),
+      round(expr(
+        """1.0 - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+          |* (CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+          |- CAST(n - npos AS DOUBLE) / CAST(n AS DOUBLE)
+          |* (CAST(n - npos AS DOUBLE) / CAST(n AS DOUBLE))"""
+          .stripMargin.replace("\n", " ")), 6).as("baseline_gini"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q336_decision_stump" -> (q336DecisionStump _),
     "q334_dispersion_test" -> (q334DispersionTest _),
     "q335_column_stats" -> (q335ColumnStats _),
     "q332_mondrian" -> (q332Mondrian _),
@@ -3466,6 +3529,51 @@ object MiscQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same two-feature candidate census, same cumulative class counts,
+    // same Gini chain and (rounded score, feat, cut) argmin
+    "q336_decision_stump" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price,
+        |         epoch_us(o_orderdate) // 86400000000 % 7 AS dow
+        |  FROM orders),
+        |census AS (
+        |  SELECT feat, v, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+        |  FROM (SELECT 'price' AS feat, price AS v, y FROM base
+        |        UNION ALL
+        |        SELECT 'dow' AS feat, dow AS v, y FROM base)
+        |  GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT *,
+        |         (sum(cnt) OVER (PARTITION BY feat ORDER BY v
+        |                         ROWS UNBOUNDED PRECEDING))::BIGINT AS cumn,
+        |         (sum(pos) OVER (PARTITION BY feat ORDER BY v
+        |                         ROWS UNBOUNDED PRECEDING))::BIGINT AS cump
+        |  FROM census),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS npos FROM base),
+        |cands AS (
+        |  SELECT cc.*, tot.n, tot.npos,
+        |         (cumn::DOUBLE
+        |          - (cump::DOUBLE * cump::DOUBLE
+        |             + (cumn - cump)::DOUBLE * (cumn - cump)::DOUBLE)
+        |            / cumn::DOUBLE
+        |          + (n - cumn)::DOUBLE
+        |          - ((npos - cump)::DOUBLE * (npos - cump)::DOUBLE
+        |             + (n - cumn - npos + cump)::DOUBLE
+        |               * (n - cumn - npos + cump)::DOUBLE)
+        |            / (n - cumn)::DOUBLE) / n::DOUBLE AS gini
+        |  FROM cc, tot WHERE cumn < tot.n),
+        |best AS (
+        |  SELECT * FROM cands
+        |  QUALIFY row_number() OVER (ORDER BY round(gini, 9) ASC, feat ASC, v ASC) = 1)
+        |SELECT feat AS feature, v AS cut, n, npos,
+        |       cumn AS n_left, cump AS pos_left,
+        |       n - cumn AS n_right, npos - cump AS pos_right,
+        |       round(gini, 6) AS split_gini,
+        |       round(1.0 - npos::DOUBLE / n::DOUBLE * (npos::DOUBLE / n::DOUBLE)
+        |             - (n - npos)::DOUBLE / n::DOUBLE
+        |               * ((n - npos)::DOUBLE / n::DOUBLE), 6) AS baseline_gini
+        |FROM best""".stripMargin,
     // same per-user count census and exact moments; D/chi2/z replayed
     // as the identical double chains
     "q334_dispersion_test" ->

@@ -77,7 +77,8 @@ object TextQueries extends QueryModule {
       .withColumn("margin", expr(
         s"sort_array(array(${langs.map(l => s"s_$l").mkString(", ")}), false)[0] - " +
           s"sort_array(array(${langs.map(l => s"s_$l").mkString(", ")}), false)[1]"))
-      .select(col("lang"), col("pred_lang"), col("margin").cast("long").as("margin"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        col("margin").cast("long").as("margin"))
   }
 
   def q48LangId(spark: SparkSession, dir: String): DataFrame =
@@ -2037,10 +2038,51 @@ object TextQueries extends QueryModule {
       .select(col("node").as("word"), col("rank"))
   }
 
+  /** q337: COHEN'S KAPPA between the two in-engine classifiers — the
+    * inter-rater agreement statistic (q48's n-gram heuristic and
+    * q319's learned naive Bayes label the same held-out docs; kappa
+    * measures their agreement BEYOND CHANCE, the number model-routing
+    * and labeling-QA pipelines threshold on before trusting a cheap
+    * rater as a proxy for an expensive one): confusion census of the
+    * two predictions on q319's test fold, observed vs expected
+    * agreement, κ = (pₒ − pₑ)/(1 − pₑ).
+    *
+    * Determinism: EXACT — pₒ and pₑ are rationals of integer censuses
+    * and κ = (agree·n − Σ rowₗ·colₗ)/(n² − Σ rowₗ·colₗ) is computed
+    * from BIGINTs with one final snapped divide. Scale: both raters
+    * are census/broadcast-shaped already; kappa adds one join on
+    * doc_id and marginal censuses.
+    */
+  def q337CohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nbPred = nbScores(spark, dir).withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score_u").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("nb_pred"))
+    val heur = langPred(spark, dir)
+      .select(col("doc_id"), col("pred_lang").as("heur_pred"))
+    val pairs = nbPred.join(heur, "doc_id")
+    val cm = pairs.groupBy("nb_pred", "heur_pred").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val n = cm.agg(sum("c").as("n"),
+      sum(when(col("nb_pred") === col("heur_pred"), col("c")).otherwise(0L))
+        .as("agree"))
+    val rows = cm.groupBy(col("nb_pred").as("l")).agg(sum("c").as("rt"))
+    val cols = cm.groupBy(col("heur_pred").as("l")).agg(sum("c").as("ct"))
+    val pe = rows.join(cols, "l").agg(sum(col("rt") * col("ct")).as("pe_num"))
+    n.crossJoin(broadcast(pe))
+      .select(col("n"), col("agree"), col("pe_num"),
+        expr("agree * 1000000L div n").as("agreement_ppm"),
+        round((col("agree") * col("n") - col("pe_num")).cast("double") /
+          (col("n") * col("n") - col("pe_num")).cast("double"), 6).as("kappa"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q324_textrank" -> (q324Textrank _),
     "q319_naive_bayes" -> (q319NaiveBayes _),
     "q333_selective_classification" -> (q333SelectiveClassification _),
+    "q337_cohen_kappa" -> (q337CohenKappa _),
     "q286_bleu" -> (q286Bleu _),
     "q264_zipf_fit" -> (q264ZipfFit _),
     "q265_token_gini" -> (q265TokenGini _),
@@ -2095,9 +2137,9 @@ object TextQueries extends QueryModule {
       s"WHEN $conds THEN '$l'"
     }.mkString(" ")
     s"""WITH s AS (
-       |  SELECT lang, $scores
+       |  SELECT doc_id, lang, $scores
        |  FROM documents),
-       |p AS (SELECT lang, CASE $chain ELSE '${langs.last}' END AS pred_lang,
+       |p AS (SELECT doc_id, lang, CASE $chain ELSE '${langs.last}' END AS pred_lang,
        |             (list_reverse_sort([${langs.map(l => s"s_$l").mkString(", ")}])[1]
        |              - list_reverse_sort([${langs.map(l => s"s_$l").mkString(", ")}])[2])::BIGINT
        |               AS margin
@@ -2221,6 +2263,32 @@ object TextQueries extends QueryModule {
         |FROM pred, acc
         |GROUP BY actual, predicted, acc.accuracy_ppm
         |ORDER BY actual, predicted""".stripMargin),
+    // both raters replayed (NB chain + heuristic chain), joined on
+    // doc_id; kappa is exact BIGINT arithmetic with one snapped divide
+    "q337_cohen_kappa" -> (oracleNbScored + ",\n" + predSql.stripPrefix("WITH ") +
+      """,
+        |nbp AS (
+        |  SELECT doc_id, lang AS nb_pred
+        |  FROM (SELECT s2.doc_id, s2.lang, s2.tok_u + pr.prior_u AS score_u
+        |        FROM scored s2 JOIN priors pr USING (lang))
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                             ORDER BY score_u DESC, lang ASC) = 1),
+        |pairs AS (
+        |  SELECT nbp.doc_id, nbp.nb_pred, p.pred_lang AS heur_pred
+        |  FROM nbp JOIN p USING (doc_id)),
+        |cm AS (SELECT nb_pred, heur_pred, count(*)::BIGINT AS c
+        |       FROM pairs GROUP BY 1, 2),
+        |nn AS (SELECT sum(c)::BIGINT AS n,
+        |              sum(CASE WHEN nb_pred = heur_pred THEN c ELSE 0 END)::BIGINT
+        |                AS agree
+        |       FROM cm),
+        |rws AS (SELECT nb_pred AS l, sum(c)::BIGINT AS rt FROM cm GROUP BY 1),
+        |cls AS (SELECT heur_pred AS l, sum(c)::BIGINT AS ct FROM cm GROUP BY 1),
+        |pe AS (SELECT sum(rt * ct)::BIGINT AS pe_num FROM rws JOIN cls USING (l))
+        |SELECT n, agree, pe_num, agree * 1000000 // n AS agreement_ppm,
+        |       round((agree * n - pe_num)::DOUBLE
+        |             / (n * n - pe_num)::DOUBLE, 6) AS kappa
+        |FROM nn, pe""".stripMargin),
     // q319's scored chain, then integer top-2 margins, census quintile
     // cuts (the q295 device), and the cumulative selective-risk curve
     "q333_selective_classification" -> (oracleNbScored +
