@@ -326,7 +326,56 @@ object JoinQueries extends QueryModule {
       .orderBy("s_suppkey")
   }
 
+  /** q339: RUNTIME BLOOM-FILTER join (Spark's InjectRuntimeFilter) —
+    * the semi-join reduction every warehouse engine ships (Spark calls
+    * it a runtime filter, Trino/Snowflake dynamic filtering): a
+    * selective dimension predicate builds a Bloom filter at runtime
+    * that prunes the FACT side's scan before the shuffle, so rows that
+    * cannot join never cross the wire. Here: urgent orders ⋈ lineitem
+    * under scoped confs (auto-broadcast off so the shuffle join is
+    * eligible, application-side threshold 0 so the fixture-scale scan
+    * qualifies) — `PlanShapeSpec` pins `might_contain` on the lineitem
+    * scan; this gate pins that the FILTERED plan's RESULT is exactly
+    * the unfiltered semantics (a Bloom false-positive policy bug or a
+    * dropped partial would diverge).
+    *
+    * Determinism: exact integer cents census. Scale: at 100 TB this
+    * filter is the difference between shuffling the whole fact table
+    * and shuffling the ~1/5 that can match — the single biggest
+    * runtime win on selective star joins.
+    */
+  def q339RuntimeBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"),
+        col("l_returnflag"))
+      // EXECUTE while the scoped confs are visible — the caller's noop
+      // write happens after the finally, and a write re-plans; the
+      // localCheckpoint runs the bloom-filtered plan for real and hands
+      // back its (census-sized) result
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .orderBy("l_returnflag")
+        .localCheckpoint(true)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q339_runtime_bloom_join" -> (q339RuntimeBloomJoin _),
     "q191_spatial_grid_join" -> (q191SpatialGridJoin _),
     "q179_star_join" -> (q179StarJoin _),
     "q71_salted_join" -> (q71SaltedJoin _),
@@ -375,6 +424,16 @@ object JoinQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // the UNFILTERED semantics: a runtime-filter false-positive-policy
+    // bug or dropped partial on the engine side diverges from this
+    "q339_runtime_bloom_join" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |       sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+        |         AS cents_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // the oracle is the BLIND quadratic radius join — same derived
     // coordinates, same squared-euclidean refine, no grid; a cell that
     // drops a boundary pair or double-counts a replicated supplier

@@ -1780,7 +1780,11 @@ object MiscQueries extends QueryModule {
     * PageRank shape); the 25-node fixture graph exercises the rule, not
     * the shuffle.
     */
-  def q224LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+  /** q224/q338 shared: the symmetrized weighted nation trade graph and
+    * the three synchronous label-propagation rounds.
+    */
+  private def nationGraphRounds(
+      spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val cust = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey").as("cn"))
@@ -1805,6 +1809,11 @@ object MiscQueries extends QueryModule {
         .localCheckpoint()
       labels
     }
+    (edges, rounds)
+  }
+
+  def q224LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val (_, rounds) = nationGraphRounds(spark, dir)
     rounds(0).select(col("node"), col("label").as("l1"))
       .join(rounds(1).select(col("node"), col("label").as("l2")), Seq("node"))
       .join(rounds(2).select(col("node"), col("label").as("l3")), Seq("node"))
@@ -3439,7 +3448,52 @@ object MiscQueries extends QueryModule {
           .stripMargin.replace("\n", " ")), 6).as("baseline_gini"))
   }
 
+  /** q338: GRAPH MODULARITY of the q224 communities — the quality
+    * score FOR a community assignment (q224 produces labels; Newman's
+    * Q says whether they mean anything — Q ≈ 0 is no better than
+    * random edge placement, Q > 0.3 is real structure; every
+    * graph-partitioning pipeline reports it): over the symmetrized
+    * weighted trade graph with round-3 labels, Q = Σ_c (in_c/M −
+    * (tot_c/M)²) where M = Σw, in_c = weight inside c, tot_c =
+    * community weighted degree.
+    *
+    * Determinism: EXACT — in_c, tot_c, M are BIGINT censuses and each
+    * community's contribution (in_c·M − tot_c²)/M² is one double
+    * chain off integers (Σw ≤ 10⁶ at any fixture SF keeps tot² < 2⁶³).
+    * Scale: the edge list joins labels twice (the q140 shape) and
+    * everything after is a ≤|communities|-row census.
+    */
+  def q338Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, rounds) = nationGraphRounds(spark, dir)
+    val m = edges.agg(sum("w").as("mm"))
+    val perRound = rounds.zipWithIndex.map { case (lbl0, i) =>
+      val lbl = lbl0.select(col("node"), col("label"))
+      val e = edges
+        .join(lbl.select(col("node").as("u"), col("label").as("cu")), Seq("u"))
+        .join(lbl.select(col("node").as("v"), col("label").as("cv")), Seq("v"))
+      e.groupBy(col("cu").as("community"))
+        .agg(sum(when(col("cu") === col("cv"), col("w")).otherwise(0L)).as("in_w"),
+          sum("w").as("tot_w"),
+          countDistinct(col("u")).as("n_nodes"))
+        .withColumn("round", lit((i + 1).toLong))
+    }.reduce(_ unionByName _)
+    val withM = perRound.crossJoin(broadcast(m))
+      .withColumn("q_num", col("in_w") * col("mm") - col("tot_w") * col("tot_w"))
+    val qTotal = withM.groupBy("round")
+      .agg(sum("q_num").as("qn"), max("mm").as("m2"))
+      .select(col("round"), round(col("qn").cast("double") /
+        (col("m2") * col("m2")).cast("double"), 6).as("q_total"))
+    withM.join(broadcast(qTotal), "round")
+      .select(col("round"), col("community").cast("long").as("community"),
+        col("n_nodes"), col("in_w"), col("tot_w"),
+        round(col("q_num").cast("double") /
+          (col("mm") * col("mm")).cast("double"), 9).as("q_contrib"),
+        col("q_total"))
+      .orderBy("round", "community")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q338_modularity" -> (q338Modularity _),
     "q336_decision_stump" -> (q336DecisionStump _),
     "q334_dispersion_test" -> (q334DispersionTest _),
     "q335_column_stats" -> (q335ColumnStats _),
@@ -3527,6 +3581,52 @@ object MiscQueries extends QueryModule {
     "q112_sql_recursive" -> (q112SqlRecursive _),
     "q113_sql_lateral" -> (q113SqlLateral _)
   )
+
+  /** DuckDB replay of the q224 graph + three LP rounds — ends with
+    * `edges` and `r3` in scope; shared by q224/q338.
+    */
+  private val oracleLpRounds: String =
+    """WITH cu AS (
+        |  SELECT o.o_orderkey, c.c_nationkey AS cn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |e0 AS (
+        |  SELECT cu.cn, s.s_nationkey AS sn, count(*)::BIGINT AS w
+        |  FROM lineitem l JOIN cu ON l.l_orderkey = cu.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY cu.cn, sn),
+        |edges AS (
+        |  SELECT u, v, sum(w)::BIGINT AS w FROM (
+        |    SELECT cn AS u, sn AS v, w FROM e0
+        |    UNION ALL SELECT sn AS u, cn AS v, w FROM e0)
+        |  GROUP BY u, v),
+        |n0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+        |r1 AS (
+        |  SELECT u AS node, label FROM (
+        |    SELECT u, label, lw,
+        |           row_number() OVER (PARTITION BY u
+        |                              ORDER BY lw DESC, label ASC) AS rn
+        |    FROM (SELECT e.u, n.label, sum(e.w)::BIGINT AS lw
+        |          FROM edges e JOIN n0 n ON e.v = n.node
+        |          GROUP BY e.u, n.label))
+        |  WHERE rn = 1),
+        |r2 AS (
+        |  SELECT u AS node, label FROM (
+        |    SELECT u, label, lw,
+        |           row_number() OVER (PARTITION BY u
+        |                              ORDER BY lw DESC, label ASC) AS rn
+        |    FROM (SELECT e.u, n.label, sum(e.w)::BIGINT AS lw
+        |          FROM edges e JOIN r1 n ON e.v = n.node
+        |          GROUP BY e.u, n.label))
+        |  WHERE rn = 1),
+        |r3 AS (
+        |  SELECT u AS node, label FROM (
+        |    SELECT u, label, lw,
+        |           row_number() OVER (PARTITION BY u
+        |                              ORDER BY lw DESC, label ASC) AS rn
+        |    FROM (SELECT e.u, n.label, sum(e.w)::BIGINT AS lw
+        |          FROM edges e JOIN r2 n ON e.v = n.node
+        |          GROUP BY e.u, n.label))
+        |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     // same two-feature candidate census, same cumulative class counts,
@@ -4647,52 +4747,42 @@ object MiscQueries extends QueryModule {
         |FROM t GROUP BY bucket_us ORDER BY bucket_us""".stripMargin,
     // same edges, same three synchronous rounds, same weighted-mode
     // (lw desc, label asc) argmax — the whole trajectory, bit-identical
-    "q224_label_propagation" ->
-      """WITH cu AS (
-        |  SELECT o.o_orderkey, c.c_nationkey AS cn
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-        |e0 AS (
-        |  SELECT cu.cn, s.s_nationkey AS sn, count(*)::BIGINT AS w
-        |  FROM lineitem l JOIN cu ON l.l_orderkey = cu.o_orderkey
-        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |  GROUP BY cu.cn, sn),
-        |edges AS (
-        |  SELECT u, v, sum(w)::BIGINT AS w FROM (
-        |    SELECT cn AS u, sn AS v, w FROM e0
-        |    UNION ALL SELECT sn AS u, cn AS v, w FROM e0)
-        |  GROUP BY u, v),
-        |n0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
-        |r1 AS (
-        |  SELECT u AS node, label FROM (
-        |    SELECT u, label, lw,
-        |           row_number() OVER (PARTITION BY u
-        |                              ORDER BY lw DESC, label ASC) AS rn
-        |    FROM (SELECT e.u, n.label, sum(e.w)::BIGINT AS lw
-        |          FROM edges e JOIN n0 n ON e.v = n.node
-        |          GROUP BY e.u, n.label))
-        |  WHERE rn = 1),
-        |r2 AS (
-        |  SELECT u AS node, label FROM (
-        |    SELECT u, label, lw,
-        |           row_number() OVER (PARTITION BY u
-        |                              ORDER BY lw DESC, label ASC) AS rn
-        |    FROM (SELECT e.u, n.label, sum(e.w)::BIGINT AS lw
-        |          FROM edges e JOIN r1 n ON e.v = n.node
-        |          GROUP BY e.u, n.label))
-        |  WHERE rn = 1),
-        |r3 AS (
-        |  SELECT u AS node, label FROM (
-        |    SELECT u, label, lw,
-        |           row_number() OVER (PARTITION BY u
-        |                              ORDER BY lw DESC, label ASC) AS rn
-        |    FROM (SELECT e.u, n.label, sum(e.w)::BIGINT AS lw
-        |          FROM edges e JOIN r2 n ON e.v = n.node
-        |          GROUP BY e.u, n.label))
-        |  WHERE rn = 1)
+    "q224_label_propagation" -> (oracleLpRounds +
+      """
         |SELECT r1.node::BIGINT AS node, r1.label::BIGINT AS l1,
         |       r2.label::BIGINT AS l2, r3.label::BIGINT AS l3
         |FROM r1 JOIN r2 USING (node) JOIN r3 USING (node)
-        |ORDER BY node""".stripMargin,
+        |ORDER BY node""".stripMargin),
+    // same edges/labels, exact BIGINT in/tot/M censuses, same single
+    // double divides
+    "q338_modularity" -> (oracleLpRounds +
+      """,
+        |lbl AS (
+        |  SELECT 1::BIGINT AS round, node, label FROM r1
+        |  UNION ALL SELECT 2::BIGINT, node, label FROM r2
+        |  UNION ALL SELECT 3::BIGINT, node, label FROM r3),
+        |el AS (
+        |  SELECT lu.round, e.u, e.v, e.w, lu.label AS cu, lv.label AS cv
+        |  FROM edges e
+        |  JOIN lbl lu ON lu.node = e.u
+        |  JOIN lbl lv ON lv.node = e.v AND lv.round = lu.round),
+        |m AS (SELECT sum(w)::BIGINT AS mm FROM edges),
+        |perc AS (
+        |  SELECT round, cu AS community,
+        |         sum(CASE WHEN cu = cv THEN w ELSE 0 END)::BIGINT AS in_w,
+        |         sum(w)::BIGINT AS tot_w,
+        |         count(DISTINCT u)::BIGINT AS n_nodes
+        |  FROM el GROUP BY round, cu),
+        |wm AS (SELECT perc.*, m.mm, in_w * mm - tot_w * tot_w AS q_num
+        |       FROM perc, m),
+        |qt AS (SELECT round, round(sum(q_num)::DOUBLE
+        |                / (max(mm) * max(mm))::DOUBLE, 6) AS q_total
+        |       FROM wm GROUP BY round)
+        |SELECT wm.round, community::BIGINT AS community, n_nodes, in_w, tot_w,
+        |       round(q_num::DOUBLE / (mm * mm)::DOUBLE, 9) AS q_contrib,
+        |       qt.q_total
+        |FROM wm JOIN qt USING (round)
+        |ORDER BY wm.round, community""".stripMargin),
     // same per-source moments, same LOO/SE chains; the g-term Σs ride
     // round 6
     "q222_jackknife" ->

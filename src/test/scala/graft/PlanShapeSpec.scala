@@ -31,6 +31,36 @@ class PlanShapeSpec extends AnyFunSuite {
     resolved.toString
   }
 
+  test("q339 injects a runtime Bloom filter on the fact-side scan") {
+    // q339 executes inside its scoped confs and hands back a
+    // checkpointed census — rebuild the pre-checkpoint join under the
+    // same confs here to pin the physical shape
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val o = graft.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val l = graft.Tables.lineitem(spark, dir).select(col("l_orderkey"),
+        col("l_returnflag"))
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter not injected; plan was:\n$plan")
+      assert(plan.contains("bloom_filter_agg"), s"plan was:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q28 top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = finalPlan(SetOpsQueries.q28Topk(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
