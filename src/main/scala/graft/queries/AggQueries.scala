@@ -748,7 +748,39 @@ object AggQueries extends QueryModule {
       .orderBy("hr")
   }
 
+  /** q340: HLL ACCURACY-vs-p curve — the distinct-count member of the
+    * sketch-tuning family (q225 sweeps CMS width, q230 MinHash bands,
+    * q231 Bloom bits, q247 histogram bins, q229 IVF nprobe; this one
+    * prices the 2^p-byte register budget): the SAME 60-bit hash stream
+    * sketched at p = 8/10/12 against the exact distinct, the table
+    * that turns "1.04/√m" into a measured number for this key space.
+    *
+    * Determinism: q190's argument per p — the harmonic sum is an exact
+    * order-invariant BIGINT (Σ 2^(maxRho−M[j]) ≤ m·2^maxRho ≤ 2⁶¹) and
+    * the estimate one fixed double chain the oracle replays with the
+    * same tabulated/asymptotic alpha. Scale: one pass, three fixed
+    * buffers (256 B/1 KB/4 KB of registers) — the whole curve costs
+    * one scan.
+    */
+  def q340HllAccuracyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val base = Tables.events(spark, dir).select(h.as("h"), col("user_id"))
+    val ps = Seq(8, 10, 12)
+    val sketched = ps.map { p =>
+      val hll = udaf(new graft.functions.SketchAggregators.HllAggregator(p))
+      base.agg(hll(col("h")).as("est"),
+          countDistinct("user_id").as("exact_distinct"))
+        .select(lit(p.toLong).as("p"), lit((1L << p)).as("m"),
+          round(col("est"), 4).as("est_distinct"), col("exact_distinct"),
+          round(abs(col("est") - col("exact_distinct")) /
+            col("exact_distinct"), 6).as("rel_err"))
+    }
+    sketched.reduce(_ unionByName _).orderBy("p")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_hll_accuracy_curve" -> (q340HllAccuracyCurve _),
     "q326_sliding_hll" -> (q326SlidingHll _),
     "q314_ohlcv_bars" -> (q314OhlcvBars _),
     "q190_hll_distinct" -> (q190HllDistinct _),
@@ -776,6 +808,52 @@ object AggQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q190's register chain replayed per p with the parameterized
+    // split widths and the same tabulated/asymptotic alpha
+    "q340_hll_accuracy_curve" -> {
+      val blocks = Seq(8, 10, 12).map { p =>
+        val wBits = 60 - p
+        val m = 1 << p
+        val maxRho = wBits + 1
+        val div = 1L << wBits
+        val pow = 1L << maxRho
+        s"""r$p AS (
+           |  SELECT bucket,
+           |         max(CASE WHEN w = 0 THEN $maxRho
+           |                  ELSE $maxRho - length(bin(w)) END) AS reg
+           |  FROM (SELECT h // $div AS bucket, h % $div AS w FROM hs)
+           |  GROUP BY bucket),
+           |s$p AS (
+           |  SELECT (sum(1::BIGINT << ($maxRho - reg))
+           |            + ($m - count(*)) * $pow)::BIGINT AS s,
+           |         ($m - count(*))::BIGINT AS v
+           |  FROM r$p),
+           |e$p AS (
+           |  SELECT v,
+           |         0.7213 / (1.0 + 1.079 / $m.0) * $m.0 * $m.0
+           |           * $pow.0 / s::DOUBLE AS raw
+           |  FROM s$p),
+           |est$p AS (
+           |  SELECT CASE WHEN raw <= 2.5 * $m.0 AND v > 0
+           |              THEN $m.0 * ln($m.0 / v) ELSE raw END AS est
+           |  FROM e$p)""".stripMargin
+      }.mkString(",\n")
+      val rows = Seq(8, 10, 12).map { p =>
+        s"""SELECT ${p}::BIGINT AS p, ${1 << p}::BIGINT AS m,
+           |       round(est, 4) + 0.0 AS est_distinct, ex.exact_distinct,
+           |       round(abs(est - ex.exact_distinct) / ex.exact_distinct, 6) + 0.0
+           |         AS rel_err
+           |FROM est$p, ex""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH hs AS (
+         |  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |ex AS (SELECT count(DISTINCT user_id)::BIGINT AS exact_distinct
+         |       FROM events),
+         |$blocks
+         |$rows
+         |ORDER BY p""".stripMargin
+    },
     // each window's registers computed FROM SCRATCH over the raw
     // hashes — the engine's hourly-merge path must match register for
     // register, which is the merge law the row exists to prove

@@ -3492,7 +3492,46 @@ object MiscQueries extends QueryModule {
       .orderBy("round", "community")
   }
 
+  /** q341: DISTRIBUTION-FREE median confidence interval — the
+    * order-statistic CI (q09 reports the point median, q233/q222
+    * bootstrap/jackknife a MEAN; the binomial argument gives the
+    * median an exact-coverage interval with no distributional
+    * assumption and no resampling: ranks n/2 ∓ 1.96·√n/2 bracket the
+    * median with ~95% coverage): over order-price cents, the lower
+    * median and both CI endpoints as census-rank lookups.
+    *
+    * Determinism: ranks come from one fixed double chain off the
+    * integer n (floor/ceil snap them back to integers); every value
+    * lookup is min v with cum ≥ rank on the census. Scale: ONE value
+    * census answers the point estimate and both endpoints — this is
+    * the q09b/q295 rank-selection device applied to interval
+    * estimation.
+    */
+  def q341MedianCi(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    val ranks = census.agg(sum("cnt").as("n"))
+      .select(col("n"),
+        expr("(n + 1) div 2").as("med_rank"),
+        expr("CAST(floor((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE))) " +
+          "/ 2.0) AS BIGINT)").as("lo_rank"),
+        expr("CAST(ceil(1.0 + (CAST(n AS DOUBLE) + 1.96 * sqrt(CAST(n AS DOUBLE))) " +
+          "/ 2.0) AS BIGINT)").as("hi_rank"))
+    census.crossJoin(broadcast(ranks))
+      .groupBy("n", "med_rank", "lo_rank", "hi_rank")
+      .agg(min(when(col("cum") >= col("med_rank"), col("v"))).as("median_cents"),
+        min(when(col("cum") >= col("lo_rank"), col("v"))).as("ci_lo_cents"),
+        min(when(col("cum") >= col("hi_rank"), col("v"))).as("ci_hi_cents"))
+      .select(col("n"), col("med_rank"), col("lo_rank"), col("hi_rank"),
+        col("median_cents"), col("ci_lo_cents"), col("ci_hi_cents"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_median_ci" -> (q341MedianCi _),
     "q338_modularity" -> (q338Modularity _),
     "q336_decision_stump" -> (q336DecisionStump _),
     "q334_dispersion_test" -> (q334DispersionTest _),
@@ -3629,6 +3668,30 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same census, same rank chains, same min-v-with-cum>=rank lookups
+    "q341_median_ci" ->
+      """WITH census AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |         count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY v),
+        |cc AS (
+        |  SELECT v, cnt,
+        |         (sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM census),
+        |rk AS (
+        |  SELECT sum(cnt)::BIGINT AS n,
+        |         (sum(cnt) + 1) // 2 AS med_rank,
+        |         CAST(floor((sum(cnt)::DOUBLE - 1.96 * sqrt(sum(cnt)::DOUBLE))
+        |                    / 2.0) AS BIGINT) AS lo_rank,
+        |         CAST(ceil(1.0 + (sum(cnt)::DOUBLE + 1.96 * sqrt(sum(cnt)::DOUBLE))
+        |                   / 2.0) AS BIGINT) AS hi_rank
+        |  FROM census)
+        |SELECT rk.n, rk.med_rank, rk.lo_rank, rk.hi_rank,
+        |       min(CASE WHEN cum >= med_rank THEN v END) AS median_cents,
+        |       min(CASE WHEN cum >= lo_rank THEN v END) AS ci_lo_cents,
+        |       min(CASE WHEN cum >= hi_rank THEN v END) AS ci_hi_cents
+        |FROM cc, rk
+        |GROUP BY rk.n, rk.med_rank, rk.lo_rank, rk.hi_rank""".stripMargin,
     // same two-feature candidate census, same cumulative class counts,
     // same Gini chain and (rounded score, feat, cut) argmin
     "q336_decision_stump" ->
