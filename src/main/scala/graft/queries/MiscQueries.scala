@@ -3530,7 +3530,75 @@ object MiscQueries extends QueryModule {
         col("median_cents"), col("ci_lo_cents"), col("ci_hi_cents"))
   }
 
+  /** q342: CAPTURE–RECAPTURE population estimate (Chapman's
+    * bias-corrected Lincoln–Petersen) — the "how big is the thing I
+    * can only sample?" estimator (dedup pipelines use exactly this to
+    * estimate TOTAL duplicates from two independent samples' overlap;
+    * ecology tags fish): two deterministic md5 "captures" of the
+    * customer table, N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with its variance,
+    * the true N beside it.
+    *
+    * Determinism: capture membership is a pure md5-byte predicate;
+    * n₁/n₂/m/N are integer censuses; N̂ = (n₁+1)(n₂+1) div (m+1) − 1
+    * is EXACT integer arithmetic (Chapman's form divides cleanly),
+    * variance one double chain. Scale: one scan, two predicate
+    * counts — the estimator is census arithmetic.
+    */
+  def q342CaptureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val marked = Tables.customer(spark, dir).select(
+      conv(substring(md5(col("c_custkey").cast("string")), 1, 2), 16, 10)
+        .cast("long").as("b1"),
+      conv(substring(md5(concat(lit("r|"), col("c_custkey").cast("string"))), 1, 2),
+        16, 10).cast("long").as("b2"))
+      .select((col("b1") < 96).cast("long").as("in1"),
+        (col("b2") < 96).cast("long").as("in2"))
+    marked.agg(count(lit(1)).as("n_true"),
+        sum("in1").as("n1"), sum("in2").as("n2"),
+        sum(col("in1") * col("in2")).as("m"))
+      .select(col("n_true"), col("n1"), col("n2"), col("m"),
+        expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("n_hat"),
+        round(expr(
+          """CAST((n1 + 1) * (n2 + 1) AS DOUBLE) * CAST(n1 - m AS DOUBLE)
+            |* CAST(n2 - m AS DOUBLE)
+            |/ (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+            |   * CAST(m + 2 AS DOUBLE))"""
+            .stripMargin.replace("\n", " ")), 4).as("var_hat"))
+  }
+
+  /** q344: NEGATIVE-BINOMIAL moment fit — the model q334's verdict
+    * points at (overdispersed counts reject Poisson; the NB is the
+    * standard two-parameter replacement, and method-of-moments gives
+    * r = m²/(s²−m), p = m/s² in closed form): per event type, fitted
+    * from the same exact per-user count moments.
+    *
+    * Determinism: moments are q334's BIGINTs; r̂/p̂ are fixed double
+    * chains, with the underdispersed case (s² ≤ m, NB undefined)
+    * surfaced as NULLs rather than garbage. Scale: identical to q334.
+    */
+  def q344NegBinomialFit(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+    perUser.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum("c").as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .withColumn("mean_c", expr("CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)"))
+      .withColumn("var_c", expr(
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) " +
+          "/ CAST(n_users AS DOUBLE)) / (CAST(n_users AS DOUBLE) - 1.0)"))
+      .select(col("event_type"), col("n_users"),
+        round(col("mean_c"), 6).as("mean_c"),
+        round(col("var_c"), 6).as("var_c"),
+        round(when(col("var_c") > col("mean_c"),
+          col("mean_c") * col("mean_c") / (col("var_c") - col("mean_c"))), 6)
+          .as("r_hat"),
+        round(when(col("var_c") > col("mean_c"),
+          col("mean_c") / col("var_c")), 6).as("p_hat"))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q342_capture_recapture" -> (q342CaptureRecapture _),
+    "q344_negbinomial_fit" -> (q344NegBinomialFit _),
     "q341_median_ci" -> (q341MedianCi _),
     "q338_modularity" -> (q338Modularity _),
     "q336_decision_stump" -> (q336DecisionStump _),
@@ -3668,6 +3736,50 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same md5-byte captures, same exact Chapman integer, same
+    // variance chain
+    "q342_capture_recapture" ->
+      """WITH mk AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR), 1, 2))::BIGINT
+        |                   < 96 THEN 1 ELSE 0 END AS in1,
+        |         CASE WHEN ('0x' || substr(md5('r|' || c_custkey::VARCHAR), 1, 2))::BIGINT
+        |                   < 96 THEN 1 ELSE 0 END AS in2
+        |  FROM customer),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_true, sum(in1)::BIGINT AS n1,
+        |         sum(in2)::BIGINT AS n2, sum(in1 * in2)::BIGINT AS m
+        |  FROM mk)
+        |SELECT n_true, n1, n2, m,
+        |       (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS n_hat,
+        |       round(((n1 + 1) * (n2 + 1))::DOUBLE * (n1 - m)::DOUBLE
+        |             * (n2 - m)::DOUBLE
+        |             / ((m + 1)::DOUBLE * (m + 1)::DOUBLE * (m + 2)::DOUBLE), 4)
+        |         AS var_hat
+        |FROM agg""".stripMargin,
+    // q334's moments, closed-form method-of-moments; underdispersed
+    // types surface NULLs in both engines
+    "q344_negbinomial_fit" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_users,
+        |         sum(c)::BIGINT AS s1, sum(c * c)::BIGINT AS s2
+        |  FROM pu GROUP BY 1),
+        |calc AS (
+        |  SELECT event_type, n_users,
+        |         s1::DOUBLE / n_users::DOUBLE AS mean_c,
+        |         (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n_users::DOUBLE)
+        |           / (n_users::DOUBLE - 1.0) AS var_c
+        |  FROM m)
+        |SELECT event_type, n_users,
+        |       round(mean_c, 6) AS mean_c, round(var_c, 6) AS var_c,
+        |       round(CASE WHEN var_c > mean_c
+        |                  THEN mean_c * mean_c / (var_c - mean_c) END, 6) AS r_hat,
+        |       round(CASE WHEN var_c > mean_c
+        |                  THEN mean_c / var_c END, 6) AS p_hat
+        |FROM calc
+        |ORDER BY event_type""".stripMargin,
     // same census, same rank chains, same min-v-with-cum>=rank lookups
     "q341_median_ci" ->
       """WITH census AS (

@@ -2078,7 +2078,46 @@ object TextQueries extends QueryModule {
           (col("n") * col("n") - col("pe_num")).cast("double"), 6).as("kappa"))
   }
 
+  /** q343: CHAO1 unseen-vocabulary estimate + Good–Turing coverage —
+    * the "how much haven't we seen?" estimators of corpus curation
+    * (q234's Heaps law fits GROWTH; Chao1 lower-bounds the TOTAL
+    * species count from singletons/doubletons, and Good–Turing
+    * coverage 1 − f₁/N says what mass the next sample will be new —
+    * the dedup/crawl-planning numbers): over the word-BIGRAM
+    * frequency-of-frequencies census.
+    *
+    * Determinism: S_obs, f₁, f₂, N are exact integer censuses; the
+    * bias-corrected Chao1 S + f₁(f₁−1)/(2(f₂+1)) and coverage are one
+    * double chain each. Scale: tokens → bigram census → a
+    * count-of-counts census (at most max-count rows) — the estimator
+    * reads O(1) numbers off two nested censuses.
+    */
+  def q343Chao1(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+      .filter(col("w") =!= "")
+    val wNext = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = tok
+      .withColumn("nxt", lead("w", 1).over(wNext))
+      .filter(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("w"), col("nxt")).as("bg"))
+    val counts = bigrams.groupBy("bg").agg(count(lit(1)).as("c"))
+    counts.agg(count(lit(1)).as("s_obs"),
+        sum("c").as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("s_obs"), col("n_tokens"), col("f1"), col("f2"),
+        round(col("s_obs") + col("f1").cast("double") *
+          (col("f1") - 1L).cast("double") /
+          (lit(2.0) * (col("f2") + 1L).cast("double")), 4).as("chao1"),
+        round(lit(1.0) - col("f1").cast("double") /
+          col("n_tokens").cast("double"), 6).as("gt_coverage"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q343_chao1" -> (q343Chao1 _),
     "q324_textrank" -> (q324Textrank _),
     "q319_naive_bayes" -> (q319NaiveBayes _),
     "q333_selective_classification" -> (q333SelectiveClassification _),
@@ -2263,6 +2302,28 @@ object TextQueries extends QueryModule {
         |FROM pred, acc
         |GROUP BY actual, predicted, acc.accuracy_ppm
         |ORDER BY actual, predicted""".stripMargin),
+    // same position bigrams, same count-of-counts census, same chains
+    "q343_chao1" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |       unnest(generate_series(1, len(ws))) AS t(i)
+        |  WHERE ws[i] <> ''),
+        |bg AS (
+        |  SELECT w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+        |  FROM tok
+        |  QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+        |counts AS (SELECT bg, count(*)::BIGINT AS c FROM bg GROUP BY bg),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS s_obs, sum(c)::BIGINT AS n_tokens,
+        |         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+        |         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        |  FROM counts)
+        |SELECT s_obs, n_tokens, f1, f2,
+        |       round(s_obs + f1::DOUBLE * (f1 - 1)::DOUBLE
+        |             / (2.0 * (f2 + 1)::DOUBLE), 4) AS chao1,
+        |       round(1.0 - f1::DOUBLE / n_tokens::DOUBLE, 6) AS gt_coverage
+        |FROM agg""".stripMargin,
     // both raters replayed (NB chain + heuristic chain), joined on
     // doc_id; kappa is exact BIGINT arithmetic with one snapped divide
     "q337_cohen_kappa" -> (oracleNbScored + ",\n" + predSql.stripPrefix("WITH ") +
