@@ -664,6 +664,56 @@ object StreamingOps extends QueryModule {
     spark.table(name).orderBy("w_start")
   }
 
+  /** q345: q314's OHLCV bars AS A STREAM — the candlestick feed a
+    * `ws-to-kafka` consumer publishes live (q227 streams the tape
+    * statistics; bars add the FIRST/LAST-BY semantic, which in a
+    * streaming aggregation means the min_by/max_by extremum state must
+    * merge correctly ACROSS micro-batches under the unique
+    * (µs, event_id) struct order): per (event_type, 1-hour event-time
+    * window), open/high/low/close/turnover in append mode, 0 s
+    * watermark, AvailableNow drain. The oracle is q314's arithmetic
+    * under the q111 finalization predicate — a wrong cross-batch
+    * extremum merge (e.g. last-batch-wins open) diverges immediately.
+    */
+  /** The OHLCV streaming aggregation shared by q345 and its chunked
+    * cross-batch merge spec: integer-cents extremum state under the
+    * unique (µs, event_id) struct order, per (1 h window, type).
+    */
+  private[graft] def ohlcvAgg(events: DataFrame): DataFrame = events
+    .select(col("ts"), col("event_type"),
+      expr("unix_micros(ts)").as("us"), col("event_id"),
+      floor(col("value") * lit(100.0d) + lit(0.5d)).cast("long").as("cents"))
+    .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+    .agg(
+      min_by(col("cents"), struct(col("us"), col("event_id"))).as("open_c"),
+      max("cents").as("high_c"),
+      min("cents").as("low_c"),
+      max_by(col("cents"), struct(col("us"), col("event_id"))).as("close_c"),
+      count(lit(1)).as("n"),
+      sum("cents").as("turn_c"))
+
+  def q345StreamOhlcv(spark: SparkSession, dir: String): DataFrame = withDrainPartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(raw)
+      .option("basePath", dir).parquet(s"$dir/events.parque[t]")
+    val stream = normalizeTs(raw, stream0)
+    val agg = ohlcvAgg(stream.withWatermark("ts", "0 seconds"))
+    val name = s"q345_ohlcv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg
+      .select(col("window.start").as("w_start"), col("event_type"),
+        (col("open_c").cast("double") / 100.0).as("open"),
+        (col("high_c").cast("double") / 100.0).as("high"),
+        (col("low_c").cast("double") / 100.0).as("low"),
+        (col("close_c").cast("double") / 100.0).as("close"),
+        col("n"),
+        (col("turn_c").cast("double") / 100.0).as("turnover"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** q227: the reference domain's analytics AS A STREAM — q226's
     * trading-tape microstructure (VWAP, volume, signed order-flow
     * imbalance) computed per 5-minute event-time window over the live
@@ -1914,6 +1964,7 @@ object StreamingOps extends QueryModule {
     "q201_stream_distinct" -> (q201StreamDistinct _),
     "q208_join_then_window" -> (q208JoinThenWindow _),
     "q227_stream_microstructure" -> (q227StreamMicrostructure _),
+    "q345_stream_ohlcv" -> (q345StreamOhlcv _),
     "q228_order_book_rebuild" -> (q228OrderBookRebuild _),
     "q139_chained_window_agg" -> (q139ChainedWindowAgg _),
     "q126_stream_dedup" -> (q126StreamDedup _),
@@ -2178,6 +2229,26 @@ object StreamingOps extends QueryModule {
         |GROUP BY c.market, c.n_updates
         |ORDER BY c.market""".stripMargin,
     // q226's exact tape arithmetic under the q111 append finalization
+    // q314's ordered first/last arithmetic under the append
+    // finalization predicate — the cross-batch extremum-merge gate
+    "q345_stream_ohlcv" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |ev AS (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
+        |         epoch_us(ts) AS us, event_id,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT w_start, event_type,
+        |       first(cents ORDER BY us, event_id)::DOUBLE / 100.0 AS open,
+        |       max(cents)::DOUBLE / 100.0 AS high,
+        |       min(cents)::DOUBLE / 100.0 AS low,
+        |       last(cents ORDER BY us, event_id)::DOUBLE / 100.0 AS close,
+        |       count(*)::BIGINT AS n,
+        |       sum(cents)::DOUBLE / 100.0 AS turnover
+        |FROM ev CROSS JOIN m
+        |WHERE w_start + INTERVAL 1 HOUR <= m.mx
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     "q227_stream_microstructure" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events),
         |t AS (

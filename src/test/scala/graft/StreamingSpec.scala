@@ -135,6 +135,17 @@ class StreamingSpec extends AnyFunSuite {
   private def canon(df: DataFrame): Set[Seq[String]] =
     df.collect().toSeq.map(_.toSeq.map(String.valueOf)).toSet
 
+  test("q345 OHLCV extremum state merges correctly across micro-batches") {
+    // complete mode over a 5-chunk replay: a window whose events span
+    // chunk boundaries must keep the GLOBAL (us, event_id)-first open
+    // and -last close, not the last batch's — exact integer cents, so
+    // equality is bit-for-bit
+    val got = runStream(StreamingOps.ohlcvAgg, "complete", nChunks = 5)
+    val want = StreamingOps.ohlcvAgg(Tables.events(spark, SparkTestSession.sf0001))
+    assert(canon(got) == canon(want))
+    assert(got.count() > 0)
+  }
+
   test("tumbling window agg: streaming (complete mode) equals batch") {
     val got = runStream(StreamingOps.tumbling, "complete")
     val want = StreamingOps.tumbling(Tables.events(spark, SparkTestSession.sf0001))
