@@ -3596,7 +3596,43 @@ object MiscQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q347: WILSON-SCORE ranking — "sort by confidence, not by rate"
+    * (the Reddit/Evan-Miller best-comment fix; a 100%-positive item
+    * with n=3 must NOT outrank a 96% item with n=500): parts ranked by
+    * the Wilson lower bound of their non-return rate over lineitem,
+    * n ≥ 20, top-10.
+    *
+    * Determinism: (n, successes) are exact integers; the Wilson chain
+    * is one fixed double expression per part; the top-10 cut orders by
+    * (rounded bound desc, partkey) through TakeOrdered. Scale: one
+    * partial+final agg to the per-part census, bounded heaps for the
+    * cut — no sort of the fact table.
+    */
+  def q347WilsonRanking(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("succ"))
+      .filter(col("n") >= 20)
+    val z = 1.959964
+    val lb = expr(
+      s"""(CAST(succ AS DOUBLE) / CAST(n AS DOUBLE)
+         |+ $z * $z / (2.0 * CAST(n AS DOUBLE))
+         |- $z * sqrt((CAST(succ AS DOUBLE) / CAST(n AS DOUBLE)
+         |             * (1.0 - CAST(succ AS DOUBLE) / CAST(n AS DOUBLE))
+         |             + $z * $z / (4.0 * CAST(n AS DOUBLE)))
+         |            / CAST(n AS DOUBLE)))
+         |/ (1.0 + $z * $z / CAST(n AS DOUBLE))"""
+        .stripMargin.replace("\n", " "))
+    per.withColumn("wilson_lb", round(lb, 6))
+      .select(col("l_partkey"), col("n"), col("succ"),
+        expr("succ * 1000000L div n").as("succ_rate_ppm"), col("wilson_lb"))
+      .orderBy(col("wilson_lb").desc, col("l_partkey").asc)
+      .limit(10)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q347_wilson_ranking" -> (q347WilsonRanking _),
     "q342_capture_recapture" -> (q342CaptureRecapture _),
     "q344_negbinomial_fit" -> (q344NegBinomialFit _),
     "q341_median_ci" -> (q341MedianCi _),
@@ -3736,6 +3772,28 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same integer (n, succ) census, same Wilson chain, same
+    // (rounded bound desc, partkey) top-10 cut
+    "q347_wilson_ranking" ->
+      """WITH per AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS n,
+        |         sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)::BIGINT
+        |           AS succ
+        |  FROM lineitem GROUP BY l_partkey HAVING count(*) >= 20),
+        |w AS (
+        |  SELECT l_partkey, n, succ,
+        |         round((succ::DOUBLE / n::DOUBLE
+        |                + 1.959964 * 1.959964 / (2.0 * n::DOUBLE)
+        |                - 1.959964 * sqrt((succ::DOUBLE / n::DOUBLE
+        |                                   * (1.0 - succ::DOUBLE / n::DOUBLE)
+        |                                   + 1.959964 * 1.959964 / (4.0 * n::DOUBLE))
+        |                                  / n::DOUBLE))
+        |               / (1.0 + 1.959964 * 1.959964 / n::DOUBLE), 6) AS wilson_lb
+        |  FROM per)
+        |SELECT l_partkey, n, succ, succ * 1000000 // n AS succ_rate_ppm, wilson_lb
+        |FROM w
+        |ORDER BY wilson_lb DESC, l_partkey ASC
+        |LIMIT 10""".stripMargin,
     // same md5-byte captures, same exact Chapman integer, same
     // variance chain
     "q342_capture_recapture" ->

@@ -574,7 +574,40 @@ object WindowQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q346: PANE-BASED sliding windows ("no pane, no gain" — Li et al.,
+    * SIGMOD Record '05; the sub-aggregation trick every high-volume
+    * window engine uses): a 15-minute window sliding by 5 assigns each
+    * event to THREE windows natively (3× the shuffle); panes assign
+    * each event to exactly ONE 5-minute tumbling pane and compose each
+    * sliding window from its 3 panes afterwards. The gate: the
+    * pane-composed result equals the native-semantics replay
+    * (count + exact cents sum per (type, window)).
+    *
+    * Determinism: pane and window starts are integer µs arithmetic;
+    * sums are BIGINT cents. Scale: THE point — input rows cross the
+    * shuffle ONCE (pane key), and the window composition joins the
+    * pane CENSUS (|types|·|panes| rows) to a 3-row-per-window span;
+    * at a slide ratio of k the shuffle shrinks k×.
+    */
+  def q346PaneSliding(spark: SparkSession, dir: String): DataFrame = {
+    val panes = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 300000000) * 300000000").as("pane_us"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "pane_us")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+    val offsets = spark.range(3).select((col("id") * 300000000L).as("off"))
+    panes.crossJoin(broadcast(offsets))
+      .select(col("event_type"), (col("pane_us") - col("off")).as("w_start_us"),
+        col("n"), col("c"))
+      .groupBy("event_type", "w_start_us")
+      .agg(sum("n").as("n_events"),
+        (sum("c").cast("double") / 100.0).as("sum_value"))
+      .orderBy("event_type", "w_start_us")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q346_pane_sliding" -> (q346PaneSliding _),
     "q330_seasonal_naive_mase" -> (q330SeasonalNaiveMase _),
     "q321_realized_vol" -> (q321RealizedVol _),
     "q304_twap" -> (q304Twap _),
@@ -595,6 +628,23 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the NATIVE sliding semantics — each event replicated into its 3
+    // windows; the engine composes the same answer from one-per-event
+    // panes, which is the optimization the row gates
+    "q346_pane_sliding" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) // 300000000) * 300000000 AS pane_us,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, pane_us - off AS w_start_us, cents
+        |  FROM ev, unnest([0, 300000000, 600000000]) AS t(off))
+        |SELECT event_type, w_start_us, count(*)::BIGINT AS n_events,
+        |       sum(cents)::DOUBLE / 100.0 AS sum_value
+        |FROM x
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // same day census, same 7-lag/1-lag splits, same integer MAE sums
     "q330_seasonal_naive_mase" ->
       """WITH daily AS (
