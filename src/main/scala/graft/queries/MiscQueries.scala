@@ -3631,7 +3631,69 @@ object MiscQueries extends QueryModule {
       .limit(10)
   }
 
+  /** q348: HISTOGRAM-BASED join cardinality estimation — what a
+    * cost-based optimizer DOES with q335's artifact (q244 estimates
+    * join size with CMS sketches; the classic CBO path is aligned
+    * equi-depth histograms and the per-bucket containment formula
+    * |A_b|·|B_b| / max(ndv_A, ndv_B) — Selinger '79 descendants all
+    * the way to Spark's own JoinEstimation): orders ⋈ customer on
+    * custkey, 8 buckets cut on the dimension side, per-bucket
+    * estimates beside the TRUE join size and the total error.
+    *
+    * Determinism: cuts are census-rank lookups; per-bucket counts,
+    * NDVs, the integer estimate, and the actual are all BIGINTs.
+    * Scale: two key censuses + one broadcast of 8 cuts; the actual is
+    * one count over the real join — the row prices how wrong the
+    * estimate is for THIS key distribution.
+    */
+  def q348JoinCardEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val dimCensus = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("v")).groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    val tot = dimCensus.agg(sum("cnt").as("n"))
+    val cutAggs = (1 to 8).map(j =>
+      min(when(col("cum") * 8 >= col("n") * j, col("v"))).as(s"c$j"))
+    val cuts = dimCensus.crossJoin(broadcast(tot))
+      .groupBy("n").agg(cutAggs.head, cutAggs.tail: _*)
+      .drop("n")
+    def bucketed(df: DataFrame, key: String): DataFrame =
+      df.select(col(key).as("v")).crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("v") <= col("c1"), 1L).when(col("v") <= col("c2"), 2L)
+            .when(col("v") <= col("c3"), 3L).when(col("v") <= col("c4"), 4L)
+            .when(col("v") <= col("c5"), 5L).when(col("v") <= col("c6"), 6L)
+            .when(col("v") <= col("c7"), 7L).otherwise(8L))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("rows"), countDistinct("v").as("ndv"))
+    val a = bucketed(Tables.orders(spark, dir), "o_custkey")
+      .withColumnRenamed("rows", "na").withColumnRenamed("ndv", "ndv_a")
+    val b = bucketed(Tables.customer(spark, dir), "c_custkey")
+      .withColumnRenamed("rows", "nb").withColumnRenamed("ndv", "ndv_b")
+    val per = a.join(b, Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("ndv_a"), lit(0L)).as("ndv_a"),
+        coalesce(col("ndv_b"), lit(0L)).as("ndv_b"))
+      .withColumn("est_b",
+        expr("na * nb div greatest(ndv_a, ndv_b, 1L)"))
+    val actual = Tables.orders(spark, dir).join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("actual"))
+    val totals = per.agg(sum("est_b").as("est_total"))
+      .crossJoin(broadcast(actual))
+      .select(col("est_total"), col("actual"),
+        expr("abs(est_total - actual) * 1000000L div actual").as("err_ppm"))
+    per.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("na"), col("nb"), col("ndv_a"), col("ndv_b"),
+        col("est_b"), col("est_total"), col("actual"), col("err_ppm"))
+      .orderBy("bucket")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q348_join_card_estimate" -> (q348JoinCardEstimate _),
     "q347_wilson_ranking" -> (q347WilsonRanking _),
     "q342_capture_recapture" -> (q342CaptureRecapture _),
     "q344_negbinomial_fit" -> (q344NegBinomialFit _),
@@ -3772,6 +3834,57 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same dimension-side cuts, same per-bucket containment estimates,
+    // same true join count
+    "q348_join_card_estimate" ->
+      """WITH dc AS (
+        |  SELECT c_custkey AS v, count(*)::BIGINT AS cnt
+        |  FROM customer GROUP BY 1),
+        |cc AS (
+        |  SELECT v, cnt,
+        |         (sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM dc),
+        |tot AS (SELECT sum(cnt)::BIGINT AS n FROM cc),
+        |cuts AS (
+        |  SELECT min(CASE WHEN cum * 8 >= n * 1 THEN v END) AS c1,
+        |         min(CASE WHEN cum * 8 >= n * 2 THEN v END) AS c2,
+        |         min(CASE WHEN cum * 8 >= n * 3 THEN v END) AS c3,
+        |         min(CASE WHEN cum * 8 >= n * 4 THEN v END) AS c4,
+        |         min(CASE WHEN cum * 8 >= n * 5 THEN v END) AS c5,
+        |         min(CASE WHEN cum * 8 >= n * 6 THEN v END) AS c6,
+        |         min(CASE WHEN cum * 8 >= n * 7 THEN v END) AS c7,
+        |         min(CASE WHEN cum * 8 >= n * 8 THEN v END) AS c8
+        |  FROM cc, tot),
+        |ab AS (
+        |  SELECT CASE WHEN v <= c1 THEN 1 WHEN v <= c2 THEN 2 WHEN v <= c3 THEN 3
+        |              WHEN v <= c4 THEN 4 WHEN v <= c5 THEN 5 WHEN v <= c6 THEN 6
+        |              WHEN v <= c7 THEN 7 ELSE 8 END::BIGINT AS bucket,
+        |         count(*)::BIGINT AS na, count(DISTINCT v)::BIGINT AS ndv_a
+        |  FROM (SELECT o_custkey AS v FROM orders), cuts GROUP BY 1),
+        |bb AS (
+        |  SELECT CASE WHEN v <= c1 THEN 1 WHEN v <= c2 THEN 2 WHEN v <= c3 THEN 3
+        |              WHEN v <= c4 THEN 4 WHEN v <= c5 THEN 5 WHEN v <= c6 THEN 6
+        |              WHEN v <= c7 THEN 7 ELSE 8 END::BIGINT AS bucket,
+        |         count(*)::BIGINT AS nb, count(DISTINCT v)::BIGINT AS ndv_b
+        |  FROM (SELECT c_custkey AS v FROM customer), cuts GROUP BY 1),
+        |per AS (
+        |  SELECT coalesce(ab.bucket, bb.bucket) AS bucket,
+        |         coalesce(na, 0)::BIGINT AS na, coalesce(nb, 0)::BIGINT AS nb,
+        |         coalesce(ndv_a, 0)::BIGINT AS ndv_a,
+        |         coalesce(ndv_b, 0)::BIGINT AS ndv_b,
+        |         coalesce(na, 0) * coalesce(nb, 0)
+        |           // greatest(coalesce(ndv_a, 0), coalesce(ndv_b, 0), 1) AS est_b
+        |  FROM ab FULL JOIN bb USING (bucket)),
+        |act AS (
+        |  SELECT count(*)::BIGINT AS actual
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |tt AS (
+        |  SELECT sum(est_b)::BIGINT AS est_total, act.actual,
+        |         abs(sum(est_b) - act.actual) * 1000000 // act.actual AS err_ppm
+        |  FROM per, act GROUP BY act.actual)
+        |SELECT bucket, na, nb, ndv_a, ndv_b, est_b, est_total, actual, err_ppm
+        |FROM per, tt
+        |ORDER BY bucket""".stripMargin,
     // same integer (n, succ) census, same Wilson chain, same
     // (rounded bound desc, partkey) top-10 cut
     "q347_wilson_ranking" ->
