@@ -733,14 +733,20 @@ object AggQueries extends QueryModule {
         col("user_id"), h.as("h"))
     val hours = hu.groupBy("hr").agg(sk(col("h")).as("sketch"))
       .localCheckpoint() // the stored hourly sketch column
-    val merged = hours.as("t").join(hours.as("s"),
-        col("s.hr") >= col("t.hr") - 5 && col("s.hr") <= col("t.hr"))
-      .groupBy(col("t.hr").as("hr"))
-      .agg(count(lit(1)).as("n_hours"), mg(col("s.sketch")).as("est"))
-    val exact = hu.select(col("hr"), col("user_id")).distinct().as("u")
-      .join(hours.select(col("hr").as("w")).as("w"),
-        col("u.hr") >= col("w.w") - 5 && col("u.hr") <= col("w.w"))
-      .groupBy(col("w.w").as("hr"))
+    // window membership by MAP-SIDE EXPANSION (each hour fans out to
+    // the ≤ 6 trailing windows it serves) + one equi-shuffle — a range
+    // self-join here plans as a nested-loop against the window list,
+    // which is exactly the shape this sketch store exists to avoid
+    val realWindows = broadcast(hours.select(col("hr").as("w")))
+    val merged = hours
+      .withColumn("w", explode(expr("sequence(hr, hr + 5)")))
+      .join(realWindows, "w")
+      .groupBy(col("w").as("hr"))
+      .agg(count(lit(1)).as("n_hours"), mg(col("sketch")).as("est"))
+    val exact = hu.select(col("hr"), col("user_id")).distinct()
+      .withColumn("w", explode(expr("sequence(hr, hr + 5)")))
+      .join(realWindows, "w")
+      .groupBy(col("w").as("hr"))
       .agg(countDistinct("user_id").as("exact_distinct"))
     merged.join(exact, "hr")
       .select(col("hr"), col("n_hours"),

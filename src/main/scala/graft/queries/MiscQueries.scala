@@ -3692,7 +3692,43 @@ object MiscQueries extends QueryModule {
       .orderBy("bucket")
   }
 
+  /** q350: SLO MULTI-WINDOW BURN-RATE alerts — the Google-SRE-workbook
+    * alerting rule (a single-window error-rate alert is either noisy
+    * or slow; the standard fix pages only when a SHORT and a LONG
+    * window both burn the error budget fast): against a 20% error-SLO
+    * over the event stream, every 6-hour bucket reports its own burn
+    * rate and its UTC day's burn rate, with page (both ≥ 1.2×) and
+    * ticket (both ≥ 1.05×) decisions.
+    *
+    * Determinism: burn = rate/SLO = 5·errors/total on the 10⁻⁶
+    * integer grid (err·5·10⁶ div n) — every number and both flags are
+    * exact integers. Scale: two bucket censuses and a census join —
+    * the monitor is O(windows), which is why burn-rate alerting is
+    * cheap enough to run on everything.
+    */
+  def q350SloBurnRate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      expr("unix_micros(ts) div 21600000000").as("b6"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+    val short = ev.groupBy("b6", "day")
+      .agg(count(lit(1)).as("n6"), sum("err").as("e6"))
+      .withColumn("burn6_u", expr("e6 * 5000000L div n6"))
+    val long = ev.groupBy("day")
+      .agg(count(lit(1)).as("n24"), sum("err").as("e24"))
+      .withColumn("burn24_u", expr("e24 * 5000000L div n24"))
+    short.join(long, "day")
+      .select(col("b6"), col("day"), col("n6"), col("e6"), col("burn6_u"),
+        col("n24"), col("e24"), col("burn24_u"),
+        (col("burn6_u") >= 1200000L && col("burn24_u") >= 1200000L)
+          .cast("long").as("page"),
+        (col("burn6_u") >= 1050000L && col("burn24_u") >= 1050000L)
+          .cast("long").as("ticket"))
+      .orderBy("b6")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q350_slo_burn_rate" -> (q350SloBurnRate _),
     "q348_join_card_estimate" -> (q348JoinCardEstimate _),
     "q347_wilson_ranking" -> (q347WilsonRanking _),
     "q342_capture_recapture" -> (q342CaptureRecapture _),
@@ -3834,6 +3870,28 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same bucket censuses, same integer burn grids and thresholds
+    "q350_slo_burn_rate" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 21600000000 AS b6,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+        |  FROM events),
+        |s AS (
+        |  SELECT b6, day, count(*)::BIGINT AS n6, sum(err)::BIGINT AS e6
+        |  FROM ev GROUP BY 1, 2),
+        |l AS (
+        |  SELECT day, count(*)::BIGINT AS n24, sum(err)::BIGINT AS e24
+        |  FROM ev GROUP BY 1),
+        |j AS (
+        |  SELECT s.b6, s.day, s.n6, s.e6, s.e6 * 5000000 // s.n6 AS burn6_u,
+        |         l.n24, l.e24, l.e24 * 5000000 // l.n24 AS burn24_u
+        |  FROM s JOIN l USING (day))
+        |SELECT b6, day, n6, e6, burn6_u, n24, e24, burn24_u,
+        |       (burn6_u >= 1200000 AND burn24_u >= 1200000)::BIGINT AS page,
+        |       (burn6_u >= 1050000 AND burn24_u >= 1050000)::BIGINT AS ticket
+        |FROM j
+        |ORDER BY b6""".stripMargin,
     // same dimension-side cuts, same per-bucket containment estimates,
     // same true join count
     "q348_join_card_estimate" ->

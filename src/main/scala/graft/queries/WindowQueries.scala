@@ -606,7 +606,52 @@ object WindowQueries extends QueryModule {
       .orderBy("event_type", "w_start_us")
   }
 
+  /** q349: SAX symbolization + motif census (Lin/Keogh '03 — the
+    * time-series indexing representation: piecewise-aggregate segments
+    * mapped to a small alphabet, so similarity search and motif mining
+    * run on short STRINGS instead of raw series): each (type, day)
+    * series becomes a 4-symbol word (6-hour PAA segments, alphabet
+    * a–c cut at the segment-mean census terciles — 81 possible words,
+    * so motifs actually repeat on a month of days), and the motif
+    * report counts repeated words per type.
+    *
+    * Determinism: segment means are scaled-integer rationals
+    * (Σcents·1000 div n); the quartile breakpoints are census-rank
+    * lookups over the segment-mean census; words are deterministic
+    * strings. Scale: one agg to (type, day, segment), census cuts,
+    * one pivot-to-word agg — the raw series never moves after the
+    * first shuffle, which is the point of symbolic indexing.
+    */
+  def q349SaxMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("unix_micros(ts) % 86400000000 div 21600000000").as("segment"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day", "segment")
+      .agg(expr("sum(cents) * 1000L div count(1)").as("m_u"))
+      .localCheckpoint()
+    val census = seg.groupBy("m_u").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("m_u")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = census.agg(sum("cnt").as("n"))
+    val cuts = census.crossJoin(broadcast(tot)).agg(
+      min(when(col("cum") * 3 >= col("n"), col("m_u"))).as("b1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("m_u"))).as("b2"))
+    val words = seg.crossJoin(broadcast(cuts))
+      .withColumn("sym",
+        when(col("m_u") <= col("b1"), lit("a"))
+          .when(col("m_u") <= col("b2"), lit("b")).otherwise(lit("c")))
+      .groupBy("event_type", "day")
+      .agg(concat_ws("", (0 to 3).map(s =>
+        max(when(col("segment") === s, col("sym")))): _*).as("word"))
+    words.groupBy("event_type", "word").agg(count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+      .orderBy("event_type", "word")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q349_sax_motifs" -> (q349SaxMotifs _),
     "q346_pane_sliding" -> (q346PaneSliding _),
     "q330_seasonal_naive_mase" -> (q330SeasonalNaiveMase _),
     "q321_realized_vol" -> (q321RealizedVol _),
@@ -628,6 +673,45 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same scaled-integer PAA means, same census quartile cuts, same
+    // null-skipping word assembly and motif census
+    "q349_sax_motifs" ->
+      """WITH seg AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         epoch_us(ts) % 86400000000 // 21600000000 AS segment,
+        |         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) * 1000
+        |           // count(*) AS m_u
+        |  FROM events GROUP BY 1, 2, 3),
+        |census AS (
+        |  SELECT m_u, count(*)::BIGINT AS cnt FROM seg GROUP BY m_u),
+        |cc AS (
+        |  SELECT m_u,
+        |         (sum(cnt) OVER (ORDER BY m_u ROWS UNBOUNDED PRECEDING))::BIGINT
+        |           AS cum
+        |  FROM census),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM seg),
+        |cuts AS (
+        |  SELECT min(CASE WHEN cum * 3 >= n THEN m_u END) AS b1,
+        |         min(CASE WHEN cum * 3 >= n * 2 THEN m_u END) AS b2
+        |  FROM cc, tot),
+        |sym AS (
+        |  SELECT event_type, day, segment,
+        |         CASE WHEN m_u <= b1 THEN 'a' WHEN m_u <= b2 THEN 'b'
+        |              ELSE 'c' END AS sym
+        |  FROM seg, cuts),
+        |w AS (
+        |  SELECT event_type, day,
+        |         concat_ws('',
+        |           max(CASE WHEN segment = 0 THEN sym END),
+        |           max(CASE WHEN segment = 1 THEN sym END),
+        |           max(CASE WHEN segment = 2 THEN sym END),
+        |           max(CASE WHEN segment = 3 THEN sym END)) AS word
+        |  FROM sym GROUP BY 1, 2)
+        |SELECT event_type, word, count(*)::BIGINT AS n_days
+        |FROM w
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
     // the NATIVE sliding semantics — each event replicated into its 3
     // windows; the engine composes the same answer from one-per-event
     // panes, which is the optimization the row gates
