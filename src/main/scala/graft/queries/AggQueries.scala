@@ -724,8 +724,25 @@ object AggQueries extends QueryModule {
     * recomputing at 100 TB.
     */
   def q326SlidingHll(spark: SparkSession, dir: String): DataFrame = {
+    // 720 hourly groups with 4 KB object buffers: above the default
+    // 128-group ObjectHashAggregate fallback, the sort-based path
+    // re-serializes the register array per row — raise the threshold
+    // so the sketch build stays in the hash regime (buffers are 3 MB
+    // total; the conf is scoped and restored)
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "4096")
+    // materialize under the scoped conf (a later write re-plans and
+    // would see the restored default) — the result is a window census
+    try q326SlidingHllBody(spark, dir).localCheckpoint(true)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  private def q326SlidingHllBody(spark: SparkSession, dir: String): DataFrame = {
     val sk = udaf(new graft.functions.SketchAggregators.HllSketchAggregator(12))
-    val mg = udaf(new graft.functions.SketchAggregators.HllMergeAggregator(12))
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
     val hu = Tables.events(spark, dir)
@@ -738,11 +755,29 @@ object AggQueries extends QueryModule {
     // self-join here plans as a nested-loop against the window list,
     // which is exactly the shape this sketch store exists to avoid
     val realWindows = broadcast(hours.select(col("hr").as("w")))
+    // register merge + estimate in COLUMN SPACE (zip_with/aggregate
+    // higher-order functions): max-merge is order-invariant so the
+    // unordered collect_list is safe, and the estimate chain mirrors
+    // HllAggregator.finish term for term — the typed merge UDAF costs
+    // ~15 ms/row on 4 KB buffers here (67 s at sf0.1), the codegen'd
+    // fold ~1 s, the q209 sketch-census rows never see the difference
     val merged = hours
       .withColumn("w", explode(expr("sequence(hr, hr + 5)")))
       .join(realWindows, "w")
       .groupBy(col("w").as("hr"))
-      .agg(count(lit(1)).as("n_hours"), mg(col("sketch")).as("est"))
+      .agg(count(lit(1)).as("n_hours"),
+        expr("aggregate(collect_list(sketch), array_repeat(0, 4096), " +
+          "(acc, s) -> zip_with(acc, s, (x, y) -> greatest(x, y)))").as("regs"))
+      .withColumn("v", expr("cast(size(filter(regs, r -> r = 0)) as bigint)"))
+      .withColumn("hsum", expr(
+        "aggregate(regs, cast(0 as bigint), " +
+          "(acc, r) -> acc + shiftleft(cast(1 as bigint), 49 - r))"))
+      .withColumn("raw", expr(
+        "0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 " +
+          "* 562949953421312.0 / cast(hsum as double)"))
+      .withColumn("est", expr(
+        "CASE WHEN raw <= 2.5 * 4096.0 AND v > 0 " +
+          "THEN 4096.0 * ln(4096.0 / v) ELSE raw END"))
     val exact = hu.select(col("hr"), col("user_id")).distinct()
       .withColumn("w", explode(expr("sequence(hr, hr + 5)")))
       .join(realWindows, "w")

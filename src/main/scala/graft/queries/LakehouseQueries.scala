@@ -617,7 +617,96 @@ object LakehouseQueries extends QueryModule {
       .orderBy("l_returnflag", "g")
   }
 
+  /** q351: MALFORMED-RECORD handling modes — the ingest-robustness
+    * contract (real feeds ship broken rows; the reader's mode decides
+    * whether they surface, vanish, or abort, and a pipeline that
+    * can't account for every dropped row fails audit): a CSV written
+    * with a deliberately corrupt numeric on every doc_id % 7 = 0 row,
+    * read back under PERMISSIVE (corrupt rows surface with the raw
+    * line in `_corrupt_record` and NULL fields) and DROPMALFORMED
+    * (they vanish) — the gate reconciles n_total = n_good + n_corrupt
+    * and pins that DROPMALFORMED's count equals PERMISSIVE's good
+    * count, with the good-row payload sum exact.
+    *
+    * Determinism: corruption is a pure doc_id predicate; all outputs
+    * are integer censuses of the same rows. Scale: mode handling is
+    * scan-local — no shape change at any size; the reconciliation is
+    * the cheap audit every ingest job should emit.
+    */
+  def q351MalformedCsv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("q351_csv")
+    val path = root.resolve("docs_csv").toString
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("string").as("c0"),
+        when(col("doc_id") % 7 === 0, concat(lit("x"), col("n_chars")))
+          .otherwise(col("n_chars").cast("string")).as("c1"))
+      .write.mode("overwrite").option("header", "false").csv(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path).cache()
+    val dropped = spark.read
+      .schema(StructType(schema.fields.take(2)))
+      .option("mode", "DROPMALFORMED").csv(path)
+    val p = permissive.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+      sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+      sum(when(col("_corrupt_record").isNull, col("n_chars")).otherwise(0L))
+        .as("good_chars_sum"))
+    // count(*) alone would prune every column and DROPMALFORMED would
+    // detect nothing (malformed-ness is only discovered while parsing
+    // a required column) — aggregating the payload forces the parse,
+    // which is itself part of the contract this row pins
+    val d = dropped.agg(count(lit(1)).as("drop_mode_count"),
+      sum("n_chars").as("drop_chars_sum"))
+    p.crossJoin(broadcast(d))
+      .select(col("n_total"), col("n_good"), col("n_corrupt"),
+        col("good_chars_sum"), col("drop_mode_count"), col("drop_chars_sum"),
+        (col("n_good") === col("drop_mode_count") &&
+          col("good_chars_sum") === col("drop_chars_sum") &&
+          col("n_total") === col("n_good") + col("n_corrupt"))
+          .cast("long").as("reconciled"))
+  }
+
+  /** q352: COMPRESSION-CODEC roundtrip matrix — the storage-layer
+    * contract (a lakehouse mixes codecs across files and table
+    * generations; every codec hop must be lossless and every reader
+    * must handle every codec): the same lineitem slice written as
+    * parquet under snappy, gzip, and zstd, each read back and
+    * reduced to the identical exact census.
+    *
+    * Determinism: the census (rows, exact cents, key checksum) is
+    * codec-invariant by definition — any divergence is a storage bug.
+    * Scale: codec choice is a scan/write-local concern (zstd ≈ gzip
+    * ratio at snappy-ish speed is why it's the modern default); the
+    * gate proves the engine's whole codec matrix, which is what lets
+    * a 100 TB table migrate codecs file-by-file in place.
+    */
+  def q352CodecRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("q352_codec")
+    val slice = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+    Seq("snappy", "gzip", "zstd").map { codec =>
+      val path = root.resolve(codec).toString
+      slice.write.mode("overwrite").option("compression", codec).parquet(path)
+      spark.read.parquet(path).agg(
+          count(lit(1)).as("n"),
+          sum("cents").as("cents_sum"),
+          sum(col("l_orderkey") * col("l_linenumber")).as("key_checksum"))
+        .select(lit(codec).as("codec"), col("n"), col("cents_sum"),
+          col("key_checksum"))
+    }.reduce(_ unionByName _).orderBy("codec")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q351_malformed_csv" -> (q351MalformedCsv _),
+    "q352_codec_roundtrip" -> (q352CodecRoundtrip _),
     "q320_schema_evolution" -> (q320SchemaEvolution _),
     "q287_bucketed_join" -> (q287BucketedJoin _),
     "q298_bucketed_agg" -> (q298BucketedAgg _),
@@ -658,6 +747,34 @@ object LakehouseQueries extends QueryModule {
       |  WHERE c.op IS NULL OR c.op <> 'D')""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the corruption restated logically: corrupt iff doc_id % 7 = 0;
+    // the reader modes must reproduce this census exactly
+    "q351_malformed_csv" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS corrupt
+        |  FROM documents)
+        |SELECT count(*)::BIGINT AS n_total,
+        |       sum(1 - corrupt)::BIGINT AS n_good,
+        |       sum(corrupt)::BIGINT AS n_corrupt,
+        |       sum(CASE WHEN corrupt = 0 THEN n_chars ELSE 0 END)::BIGINT
+        |         AS good_chars_sum,
+        |       sum(1 - corrupt)::BIGINT AS drop_mode_count,
+        |       sum(CASE WHEN corrupt = 0 THEN n_chars ELSE 0 END)::BIGINT
+        |         AS drop_chars_sum,
+        |       1::BIGINT AS reconciled
+        |FROM d""".stripMargin,
+    // one census, three codec rows — lossless by definition
+    "q352_codec_roundtrip" ->
+      """WITH base AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+        |           AS cents_sum,
+        |         sum(l_orderkey * l_linenumber)::BIGINT AS key_checksum
+        |  FROM lineitem)
+        |SELECT codec, n, cents_sum, key_checksum
+        |FROM base, (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec)
+        |ORDER BY codec""".stripMargin,
     // the migration restated logically: generation from the line
     // number, pre-migration rows' disc_ppm NULL — mergeSchema's footer
     // union and NULL surfacing must reproduce this census exactly
