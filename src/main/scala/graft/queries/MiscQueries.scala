@@ -3727,7 +3727,44 @@ object MiscQueries extends QueryModule {
       .orderBy("b6")
   }
 
+  /** q354: HIGHER-MOMENT profiling (skewness + excess kurtosis) — the
+    * distribution-shape columns a feature store keeps beside q03's
+    * mean/std (heavy tails and asymmetry decide transform choices and
+    * break normal-theory monitors; q334 tests ONE shape hypothesis,
+    * this measures shape directly): per event type over the
+    * whole-dollar value grid, population g₁ = m₃/m₂^1.5 and
+    * g₂ = m₄/m₂² − 3 from exact integer power sums.
+    *
+    * Determinism: Σv..Σv⁴ are exact BIGINTs on the dollar grid
+    * (v ≤ 500 keeps Σv⁴ < 2⁶³ at any fixture SF — the grid choice IS
+    * the overflow budget, documented); the central-moment chains are
+    * fixed expressions both engines evaluate identically — never
+    * Spark's `skewness()` float aggregate, whose partition order
+    * reassociates. Scale: one partial+final agg; four extra integer
+    * columns ride the same scan.
+    */
+  def q354HigherMoments(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir).select(col("event_type"),
+      expr("floor(value * 100.0 + 0.5) div 100").cast("long").as("v"))
+    val sums = base.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("v").as("s1"),
+      sum(col("v") * col("v")).as("s2"),
+      sum(col("v") * col("v") * col("v")).as("s3"),
+      sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+    val m = "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    val m2 = s"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - $m * $m)"
+    val m3 = s"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) - 3.0 * $m * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) + 2.0 * $m * $m * $m)"
+    val m4 = s"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) - 4.0 * $m * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) + 6.0 * $m * $m * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) - 3.0 * $m * $m * $m * $m)"
+    sums.select(col("event_type"), col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"),
+        round(expr(s"$m3 / ($m2 * sqrt($m2))"), 6).as("skewness"),
+        round(expr(s"$m4 / ($m2 * $m2) - 3.0"), 6).as("excess_kurtosis"))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q354_higher_moments" -> (q354HigherMoments _),
     "q350_slo_burn_rate" -> (q350SloBurnRate _),
     "q348_join_card_estimate" -> (q348JoinCardEstimate _),
     "q347_wilson_ranking" -> (q347WilsonRanking _),
@@ -3870,6 +3907,42 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same dollar grid, same exact power sums, same fixed central-
+    // moment chains
+    "q354_higher_moments" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 100 AS v
+        |  FROM events),
+        |sums AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |         sum(v)::BIGINT AS s1, sum(v * v)::BIGINT AS s2,
+        |         sum(v * v * v)::BIGINT AS s3,
+        |         sum(v * v * v * v)::BIGINT AS s4
+        |  FROM base GROUP BY 1)
+        |SELECT event_type, n, s1, s2, s3, s4,
+        |       round((s3::DOUBLE / n::DOUBLE
+        |              - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s2::DOUBLE / n::DOUBLE)
+        |              + 2.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |                * (s1::DOUBLE / n::DOUBLE))
+        |             / ((s2::DOUBLE / n::DOUBLE
+        |                 - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))
+        |                * sqrt(s2::DOUBLE / n::DOUBLE
+        |                       - (s1::DOUBLE / n::DOUBLE)
+        |                         * (s1::DOUBLE / n::DOUBLE))), 6) AS skewness,
+        |       round((s4::DOUBLE / n::DOUBLE
+        |              - 4.0 * (s1::DOUBLE / n::DOUBLE) * (s3::DOUBLE / n::DOUBLE)
+        |              + 6.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |                * (s2::DOUBLE / n::DOUBLE)
+        |              - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |                * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))
+        |             / ((s2::DOUBLE / n::DOUBLE
+        |                 - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))
+        |                * (s2::DOUBLE / n::DOUBLE
+        |                   - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)))
+        |             - 3.0, 6) AS excess_kurtosis
+        |FROM sums
+        |ORDER BY event_type""".stripMargin,
     // same bucket censuses, same integer burn grids and thresholds
     "q350_slo_burn_rate" ->
       """WITH ev AS (

@@ -650,7 +650,45 @@ object WindowQueries extends QueryModule {
       .orderBy("event_type", "word")
   }
 
+  /** q353: VALUE-CHANGE compaction — the delta/last-value-wins
+    * compression every tick store and IoT historian applies at ingest
+    * (a gauge that reports the same value 500 times carries one fact;
+    * keeping only CHANGES is lossless for last-value-semantics reads
+    * and routinely 10×): per (type, user) series under the total
+    * (µs, event_id) order, keep rows whose cents differ from the
+    * previous row's, and report the per-type compaction census —
+    * kept/dropped counts, ratio, and the kept rows' exact checksum.
+    *
+    * Determinism: change detection is an integer lag compare under a
+    * unique order; every output is an integer census (ratio on the
+    * ppm grid). Scale: one series-partitioned lag window — the same
+    * at-rest layout the store already has; the checksum column is how
+    * a 100 TB compaction job proves itself lossless without a second
+    * full read.
+    */
+  def q353ValueChangeCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type", "user_id").orderBy("us", "event_id")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("prev", lag("cents", 1).over(w))
+      .withColumn("keep",
+        (col("prev").isNull || col("prev") =!= col("cents")).cast("long"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_raw"),
+        sum("keep").as("n_kept"),
+        sum(lit(1L) - col("keep")).as("n_dropped"),
+        sum(when(col("keep") === 1, col("cents")).otherwise(0L))
+          .as("kept_cents_checksum"),
+        sum(when(col("keep") === 1, col("event_id")).otherwise(0L))
+          .as("kept_id_checksum"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000L div n_raw"))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_value_change_compaction" -> (q353ValueChangeCompaction _),
     "q349_sax_motifs" -> (q349SaxMotifs _),
     "q346_pane_sliding" -> (q346PaneSliding _),
     "q330_seasonal_naive_mase" -> (q330SeasonalNaiveMase _),
@@ -673,6 +711,31 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same unique-order lag compare, same integer censuses/checksums
+    "q353_value_change_compaction" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS us, event_id,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |k AS (
+        |  SELECT event_type, event_id, cents,
+        |         CASE WHEN lag(cents) OVER (PARTITION BY event_type, user_id
+        |                                    ORDER BY us, event_id) IS NULL
+        |                OR lag(cents) OVER (PARTITION BY event_type, user_id
+        |                                    ORDER BY us, event_id) <> cents
+        |              THEN 1 ELSE 0 END AS keep
+        |  FROM ev)
+        |SELECT event_type, count(*)::BIGINT AS n_raw,
+        |       sum(keep)::BIGINT AS n_kept,
+        |       sum(1 - keep)::BIGINT AS n_dropped,
+        |       sum(CASE WHEN keep = 1 THEN cents ELSE 0 END)::BIGINT
+        |         AS kept_cents_checksum,
+        |       sum(CASE WHEN keep = 1 THEN event_id ELSE 0 END)::BIGINT
+        |         AS kept_id_checksum,
+        |       sum(keep) * 1000000 // count(*) AS kept_ppm
+        |FROM k
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // same scaled-integer PAA means, same census quartile cuts, same
     // null-skipping word assembly and motif census
     "q349_sax_motifs" ->
