@@ -16,6 +16,8 @@ import sys
 
 import duckdb
 
+from typegate import type_gate
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -55,6 +57,16 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
+            continue
+        # Driver-parity type gate FIRST: fetchall() hides pandas
+        # widening (HUGEINT -> float64), so value equality below is
+        # necessary but not sufficient.  See typegate.py.
+        violations = type_gate(
+            con, name, sql, f"{out_dir}/{name}/*.parquet")
+        if violations:
+            for v in violations:
+                print(f"FAIL {name}: {v}")
+            n_fail += 1
             continue
         try:
             got = con.execute(

@@ -1101,7 +1101,7 @@ object AggQueries extends QueryModule {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM census),
         |tot AS (SELECT sum(cnt)::BIGINT AS n, sum(v * cnt)::BIGINT AS s,
-        |               sum(cnt) // 10 AS k FROM census),
+        |               (sum(cnt) // 10)::BIGINT AS k FROM census),
         |interior AS (
         |  SELECT sum(greatest(least(cum, n - k) - greatest(cum - cnt, k), 0) * v)::BIGINT AS tsum
         |  FROM cc CROSS JOIN tot),

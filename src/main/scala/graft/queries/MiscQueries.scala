@@ -4011,7 +4011,7 @@ object MiscQueries extends QueryModule {
         |  FROM orders JOIN customer ON o_custkey = c_custkey),
         |tt AS (
         |  SELECT sum(est_b)::BIGINT AS est_total, act.actual,
-        |         abs(sum(est_b) - act.actual) * 1000000 // act.actual AS err_ppm
+        |         (abs(sum(est_b) - act.actual) * 1000000 // act.actual)::BIGINT AS err_ppm
         |  FROM per, act GROUP BY act.actual)
         |SELECT bucket, na, nb, ndv_a, ndv_b, est_b, est_total, actual, err_ppm
         |FROM per, tt
@@ -4094,7 +4094,7 @@ object MiscQueries extends QueryModule {
         |  FROM census),
         |rk AS (
         |  SELECT sum(cnt)::BIGINT AS n,
-        |         (sum(cnt) + 1) // 2 AS med_rank,
+        |         ((sum(cnt) + 1) // 2)::BIGINT AS med_rank,
         |         CAST(floor((sum(cnt)::DOUBLE - 1.96 * sqrt(sum(cnt)::DOUBLE))
         |                    / 2.0) AS BIGINT) AS lo_rank,
         |         CAST(ceil(1.0 + (sum(cnt)::DOUBLE + 1.96 * sqrt(sum(cnt)::DOUBLE))
@@ -4327,17 +4327,17 @@ object MiscQueries extends QueryModule {
       }.mkString
       val tail =
         """,
-          |pf AS (SELECT p AS p_full_u FROM r20 WHERE scen = 'full' AND s = 'START'),
-          |pr AS (SELECT scen AS channel, p AS p_removed_u
+          |pf AS (SELECT p::BIGINT AS p_full_u FROM r20 WHERE scen = 'full' AND s = 'START'),
+          |pr AS (SELECT scen AS channel, p::BIGINT AS p_removed_u
           |       FROM r20 WHERE scen <> 'full' AND s = 'START'),
           |tot AS (SELECT sum(pf.p_full_u - pr.p_removed_u)::BIGINT AS dt
           |        FROM pr, pf)
           |SELECT channel, p_removed_u, pf.p_full_u,
           |       round((pf.p_full_u - p_removed_u)::DOUBLE
           |             / pf.p_full_u::DOUBLE, 6) AS removal_effect,
-          |       CASE WHEN dt = 0 THEN 0
+          |       (CASE WHEN dt = 0 THEN 0
           |            ELSE (pf.p_full_u - p_removed_u) * 1000000 // dt
-          |       END AS share_ppm
+          |       END)::BIGINT AS share_ppm
           |FROM pr, pf, tot
           |ORDER BY channel""".stripMargin
       base + iters + tail
@@ -4912,7 +4912,7 @@ object MiscQueries extends QueryModule {
         |  SELECT sum(CASE WHEN a.y < b.y THEN a.nc * b.nc ELSE 0 END)::BIGINT AS c,
         |         sum(CASE WHEN a.y > b.y THEN a.nc * b.nc ELSE 0 END)::BIGINT AS d
         |  FROM census a CROSS JOIN census b WHERE a.x < b.x),
-        |n0 AS (SELECT (sum(nc) * (sum(nc) - 1)) // 2 AS n0 FROM census),
+        |n0 AS (SELECT ((sum(nc) * (sum(nc) - 1)) // 2)::BIGINT AS n0 FROM census),
         |n1 AS (SELECT sum((t * (t - 1)) // 2)::BIGINT AS n1
         |       FROM (SELECT sum(nc)::BIGINT AS t FROM census GROUP BY x)),
         |n2 AS (SELECT sum((t * (t - 1)) // 2)::BIGINT AS n2

@@ -2295,8 +2295,8 @@ object TextQueries extends QueryModule {
         |  QUALIFY row_number() OVER (PARTITION BY doc_id
         |                             ORDER BY score_u DESC, lang ASC) = 1),
         |acc AS (
-        |  SELECT sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
-        |           * 1000000 // count(*) AS accuracy_ppm
+        |  SELECT (sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+        |           * 1000000 // count(*))::BIGINT AS accuracy_ppm
         |  FROM pred)
         |SELECT actual, predicted, count(*)::BIGINT AS n, acc.accuracy_ppm
         |FROM pred, acc

@@ -732,7 +732,7 @@ object WindowQueries extends QueryModule {
         |         AS kept_cents_checksum,
         |       sum(CASE WHEN keep = 1 THEN event_id ELSE 0 END)::BIGINT
         |         AS kept_id_checksum,
-        |       sum(keep) * 1000000 // count(*) AS kept_ppm
+        |       (sum(keep) * 1000000 // count(*))::BIGINT AS kept_ppm
         |FROM k
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
