@@ -40,10 +40,26 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Drop block-manager state accumulated by a rep, OUTSIDE the timed
+      * section. Queries use `localCheckpoint()` pervasively and each rep
+      * builds fresh RDDs; without this the sweep accumulates hundreds of
+      * orphaned checkpoint blocks and GC pressure, and late-alphabet
+      * queries time 3–9× slower in a full sweep than in isolation
+      * (round-14 audit: q254 4.85 s committed vs 45.14 s in the driver's
+      * sweep of identical code — the committed artifact was not a stable
+      * contract). Blocking unpersist so the next timed rep starts clean.
+      */
+    def dropSweepState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+
     // Untimed warmup: JVM/JIT, codegen compiler, parquet footers, shuffle
     // service — none of that noise belongs to the first measured query.
     try runOnce("warmup", SparkEntry.queries("q01_pricing_summary"))
     catch { case _: Throwable => () }
+    dropSweepState()
 
     // Min-of-reps everywhere. Slow queries (>5 s) get ONE extra rep
     // (min-of-2 at half the cost of 3 reps where reps are expensive);
@@ -60,15 +76,17 @@ object Bench {
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var slowPath = false
+      def rep(): Double = { val t = runOnce(name, fn); dropSweepState(); t }
       val times =
         try {
-          val first = runOnce(name, fn)
+          val first = rep()
           slowPath = first > repeatBelowSec
-          if (slowPath) Seq(first, runOnce(name, fn)).sorted
-          else (Seq(first) ++ Seq.fill(reps - 1)(runOnce(name, fn))).sorted
+          if (slowPath) Seq(first, rep()).sorted
+          else (Seq(first) ++ Seq.fill(reps - 1)(rep())).sorted
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name
+          dropSweepState()
           Seq.empty[Double]
         }
       val sec = if (times.isEmpty) -1.0 else times.head // min (times sorted)

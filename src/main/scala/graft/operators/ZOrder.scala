@@ -114,6 +114,13 @@ object ZOrder {
     */
   def withZValueExactAtScale(
       df: DataFrame, c1: String, c2: String, buckets: Int = 32): DataFrame = {
+    // drop("_zv") removes EVERY column with that name, so an input that
+    // already carries one of the internal working names (or clusters a
+    // column literally named _zv) would be silently corrupted — reject
+    // it loudly instead.
+    val clash = df.columns.toSet.intersect(Set("_zv", "_g1", "_g2", "zval"))
+    require(clash.isEmpty,
+      s"input schema uses reserved z-order column name(s): ${clash.mkString(", ")}")
     def qcol(c: String): Column = col("`" + c.replace("`", "``") + "`")
     val r1 = rankGrid(df, c1, buckets).withColumnRenamed("_zg", "_g1")
     val r2 = rankGrid(df, c2, buckets).withColumnRenamed("_zg", "_g2")

@@ -1113,26 +1113,58 @@ object DedupQueries extends QueryModule {
     *
     * Determinism: membership is the INTEGER cross-multiplication
     * 5·|∩| ≥ 3·|S| (the q42c device — no float decides a row); output
-    * ratios are single exact-int divides. Scale: q42's inverted-index
-    * shape — intersections come from the gram-postings equi-join
-    * (source-blocked), never an all-pairs product; the df-style
-    * levers (prefix filter, banding) compose exactly as in q42b/q42c.
+    * ratios are single exact-int divides.
+    *
+    * Scale: df-ordered PREFIX filtering, adapted to the ASYMMETRIC
+    * threshold (the round-14 audit flagged the previous uncut
+    * postings⋈postings — per-trigram C(df,2) pairs, unboundable under
+    * Zipf). Either-direction containment ≥ 3/5 needs overlap
+    * α = ⌈3·min(szᵢ,szⱼ)/5⌉, a bound on the SMALLER doc only — so
+    * unlike q42c's symmetric prefix×prefix, completeness requires
+    * prefix(smaller) ⋈ FULL postings(larger): if no gram in the
+    * smaller doc's (sz − α + 1)-prefix lands anywhere in the larger
+    * set, at most α − 1 grams can be shared and the pair cannot
+    * qualify. EXACT — no df cutoff, identical result set. High-df
+    * (boilerplate) grams sort last and never enter prefixes, so the
+    * candidate join is Σ_g prefixdf_g·df_g, linear-ish in corpus size
+    * instead of Σ_g C(df_g,2); verification is a compiled
+    * sorted-merge intersect over the bounded candidate pairs.
     */
   def q266Containment(spark: SparkSession, dir: String): DataFrame = {
+    val t5 = 3 // either-direction containment threshold = t5/5
     val grams = Tables.documentsSpread(spark, dir)
-      .select(col("doc_id"), col("source"), expr("trigram_hashes(text)").as("g"))
-    val sizes = grams.select(col("doc_id"), col("source"), size(col("g")).cast("long").as("sz"))
-    val postings = grams.select(col("source"), col("doc_id"), explode(col("g")).as("t"))
-    val ic = postings
-      .join(postings.select(col("source").as("bsource"),
-        col("doc_id").as("bdoc"), col("t").as("bt")),
-        col("source") === col("bsource") && col("t") === col("bt") &&
-          col("doc_id") < col("bdoc"))
-      .groupBy(col("source"), col("doc_id").as("i"), col("bdoc").as("j"))
-      .agg(count(lit(1)).as("ic"))
-    ic.join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sz_j")), "j")
-      .filter(col("ic") * 5 >= col("sz_i") * 3 || col("ic") * 5 >= col("sz_j") * 3)
+      .select(col("doc_id"), col("source"),
+        expr("sort_array(trigram_hashes(text))").as("g"))
+      .withColumn("sz", size(col("g")).cast("long"))
+    val postings = grams.select(col("doc_id"), col("source"), col("sz"),
+      explode(col("g")).as("gram"))
+    val dfreq = postings.groupBy("gram").agg(count(lit(1)).as("df"))
+    // Canonical global gram order (df asc, gram asc): rare grams enter
+    // prefixes, boilerplate grams never do. Doc-partitioned window.
+    val ranked = postings.join(dfreq, "gram")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))))
+    // integer ceil: ⌈t5·sz/5⌉ = (t5·sz + 4) div 5
+    val prefix = ranked.filter(
+      col("rnk") <= col("sz") - expr(s"(sz * $t5 + 4) div 5") + 1)
+    // smaller-by-size side contributes its prefix; ties break by doc_id
+    // (either equal-size doc's prefix is complete — α = ⌈3·sz/5⌉ for
+    // both — one orientation suffices and avoids duplicate candidates).
+    val cand = prefix.as("a")
+      .join(postings.as("b"),
+        col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.source").as("source"),
+        least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+      .distinct()
+    cand
+      .join(grams.select(col("doc_id").as("i"), col("g").as("gi"), col("sz").as("sz_i")), "i")
+      .join(grams.select(col("doc_id").as("j"), col("g").as("gj"), col("sz").as("sz_j")), "j")
+      .withColumn("ic", expr("sorted_intersect_count(gi, gj)").cast("long"))
+      .filter(col("ic") * 5 >= col("sz_i") * t5 || col("ic") * 5 >= col("sz_j") * t5)
       .select(col("source"), col("i"), col("j"),
         (col("ic").cast("double") / col("sz_i").cast("double")).as("cont_i_in_j"),
         (col("ic").cast("double") / col("sz_j").cast("double")).as("cont_j_in_i"),

@@ -394,17 +394,28 @@ object LakehouseQueries extends QueryModule {
     */
   private[graft] def ensureBucketedTables(
       spark: SparkSession, dir: String): (String, String) = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // the tag carries BOTH the sf dir (sf0.001 spec runs and sf0.01
+    // verify runs must not collide) AND the application id — two
+    // concurrent sessions sharing /tmp/graft-warehouse must never
+    // recursive-delete each other's in-use table files mid-query
+    val tag = java.lang.Integer.toHexString(
+      (dir + "|" + spark.sparkContext.applicationId).hashCode)
     val to = s"q287_orders_$tag"
     val tl = s"q287_lineitem_$tag"
     // a fresh session's in-memory catalog forgets the tables but the
     // warehouse dirs persist — clear both (DROP for the catalog entry,
     // recursive delete for the orphaned location) so the write is
-    // idempotent across sessions
+    // idempotent across calls. The location is resolved as a URI, not
+    // by string-stripping the conf: `file://tmp/...` would survive a
+    // bare stripPrefix("file:") as a `//`-prefixed path.
+    val warehouse = {
+      val raw = spark.conf.get("spark.sql.warehouse.dir")
+      val uri = new java.net.URI(raw)
+      if (uri.getScheme == null) raw else java.nio.file.Paths.get(uri).toString
+    }
     Seq(to, tl).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = java.nio.file.Paths.get(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      val loc = java.nio.file.Paths.get(warehouse, t)
       if (java.nio.file.Files.exists(loc)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())

@@ -1658,9 +1658,13 @@ object MiscQueries extends QueryModule {
         (col("syc").cast("double") - col("slope_c") * col("sx").cast("double")) /
           col("n_train").cast("double"))
       .select("n_train", "slope_c", "icept_c").localCheckpoint()
+    // Materialized ONCE (narrowed to the two columns the cal/bound/test
+    // passes read): without this the lineitem scan + scoring recomputes
+    // 3× — the round-14 audit's 12.9 s isolated cold time for this query.
     val scored = base.crossJoin(broadcast(fit))
       .withColumn("rc", abs(col("yc").cast("double") -
         (col("icept_c") + col("slope_c") * col("x").cast("double"))))
+      .select("split", "rc").localCheckpoint()
     val calStats = scored.filter(col("split") === "cal")
       .agg(count(lit(1)).as("n_cal"), max("rc").as("rmax")).localCheckpoint()
     val bound = scored.filter(col("split") === "cal")

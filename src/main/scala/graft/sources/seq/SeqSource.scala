@@ -74,14 +74,23 @@ class SeqScanBuilder(rows: Long, slices: Int)
   private var required: StructType = SeqTable.schema
 
   // Catalyst may hand the bound as java.lang.Long or Integer depending
-  // on how the literal was written; accept any integral Number
+  // on how the literal was written; accept only integral Numbers — a
+  // fractional bound (e.g. LessThan(id, 5.5), reachable if Spark ever
+  // stops cast-unwrapping comparisons against a long column) would be
+  // truncated by longValue and claimed fully-pushed while applied
+  // incorrectly. Non-integral filters stay in the residual set.
+  private def isIntegral(v: Any): Boolean = v match {
+    case _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Short | _: java.lang.Byte => true
+    case _ => false
+  }
   private def isOurs(f: Filter): Boolean = f match {
-    case GreaterThan("id", _: Number)        => true
-    case GreaterThanOrEqual("id", _: Number) => true
-    case LessThan("id", _: Number)           => true
-    case LessThanOrEqual("id", _: Number)    => true
-    case EqualTo("id", _: Number)            => true
-    case _                                   => false
+    case GreaterThan("id", v)        => isIntegral(v)
+    case GreaterThanOrEqual("id", v) => isIntegral(v)
+    case LessThan("id", v)           => isIntegral(v)
+    case LessThanOrEqual("id", v)    => isIntegral(v)
+    case EqualTo("id", v)            => isIntegral(v)
+    case _                           => false
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {

@@ -69,6 +69,29 @@ object StreamingOps extends QueryModule {
     * any long-running stream, and is not worth trading gate fidelity
     * (shared checkpoints / pooled queries) to hide.
     */
+  /** Materialize a replay gate's result, then release the per-run state
+    * it accumulated: the memory-sink temp view (whose sink pins every
+    * emitted row in driver memory for as long as the view is reachable)
+    * and the on-disk replay root. Without this, every bench/spec sweep
+    * leaks one temp dir + one UUID view PER GATE PER RUN. The result is
+    * localCheckpoint-materialized first so the returned DataFrame no
+    * longer depends on either.
+    */
+  private def finalizeReplay(spark: SparkSession, viewName: Option[String],
+      root: java.nio.file.Path)(out: DataFrame): DataFrame = {
+    val materialized = out.localCheckpoint()
+    viewName.foreach(spark.catalog.dropTempView(_))
+    deleteRecursively(root.toFile)
+    materialized
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   private def withDrainPartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -967,7 +990,8 @@ object StreamingOps extends QueryModule {
     if (dropped == 0) throw new IllegalStateException(
       "q257 observed zero watermark drops — the late batch was not late " +
         "(batch order or watermark protocol changed?)")
-    spark.table(name).orderBy("w_start", "event_type")
+    finalizeReplay(spark, Some(name), replayRoot)(
+      spark.table(name).orderBy("w_start", "event_type"))
   }
 
   /** q259: UPDATE-MODE multi-batch RE-EMISSION gate — q257's sibling on
@@ -1029,7 +1053,8 @@ object StreamingOps extends QueryModule {
       .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
     if (dropped == 0) throw new IllegalStateException(
       "q259 observed zero watermark drops — the late batch was not late")
-    spark.table(name).orderBy("w_start", "event_type", "n")
+    finalizeReplay(spark, Some(name), replayRoot)(
+      spark.table(name).orderBy("w_start", "event_type", "n"))
   }
 
   /** q269: stream–stream LEFT-OUTER JOIN null-emission protocol —
@@ -1116,7 +1141,7 @@ object StreamingOps extends QueryModule {
     val out = spark.table(name)
     if (out.filter(col("purchase_id").isNull).isEmpty) throw new IllegalStateException(
       "q269 emitted zero null rows — eviction-time outer emission did not fire")
-    out.orderBy("click_id", "purchase_id")
+    finalizeReplay(spark, Some(name), root)(out.orderBy("click_id", "purchase_id"))
   }
 
   /** q274: SESSION-WINDOW MERGE/FRAGMENTATION protocol — what q100's
@@ -1191,7 +1216,7 @@ object StreamingOps extends QueryModule {
       col("session_end") > col("cut") + expr("INTERVAL 5 MINUTES")).count()
     if (straddlers == 0) throw new IllegalStateException(
       "q274 saw zero cut-straddling sessions — the cross-batch merge never fired")
-    out.orderBy("user_id", "session_start", "n")
+    finalizeReplay(spark, Some(name), root)(out.orderBy("user_id", "session_start", "n"))
   }
 
   /** q275: DEDUP STATE-EXPIRY / RE-ADMISSION protocol — the caveat in
@@ -1275,7 +1300,7 @@ object StreamingOps extends QueryModule {
       .agg(count(lit(1)).as("k")).filter(col("k") >= 2).count()
     if (readmitted == 0) throw new IllegalStateException(
       "q275 saw zero re-admissions — expired keys did not re-emit")
-    out.orderBy("user_id", "event_type")
+    finalizeReplay(spark, Some(name), root)(out.orderBy("user_id", "event_type"))
   }
 
   /** q277: COMPLETE-MODE no-drop gate — the third output mode, and the
@@ -1338,7 +1363,8 @@ object StreamingOps extends QueryModule {
       .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
     if (dropped != 0) throw new IllegalStateException(
       s"q277 dropped $dropped rows — complete mode must keep beyond-watermark data")
-    spark.table(name).orderBy("w_start", "event_type")
+    finalizeReplay(spark, Some(name), root)(
+      spark.table(name).orderBy("w_start", "event_type"))
   }
 
   /** q278: CHECKPOINT-RECOVERY gate — the durability contract every
@@ -1419,8 +1445,9 @@ object StreamingOps extends QueryModule {
       .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
     if (dropped == 0) throw new IllegalStateException(
       "q278 observed zero watermark drops — the recovered watermark did not gate the late batch")
-    spark.read.parquet(out.toString + "/batch*")
-      .orderBy("w_start", "event_type")
+    finalizeReplay(spark, None, root)(
+      spark.read.parquet(out.toString + "/batch*")
+        .orderBy("w_start", "event_type"))
   }
 
   /** q127: stream–static enrichment, driver-gated end-to-end — the §2B
@@ -1905,19 +1932,26 @@ object StreamingOps extends QueryModule {
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         val s = df.sparkSession
+        val dimOld = root.resolve("dim_old")
         // the refresh contract under test: resolve the dim NOW, not at
-        // query construction
-        val dim = s.read.parquet(dimDir)
+        // query construction. foreachBatch is at-least-once: a batch-0
+        // RETRY after the swap landed must still price at v1 — the
+        // pre-swap snapshot lives at dim_old, so a replayed batch 0
+        // resolves it there instead of repricing at v2 (and the swap
+        // below is guarded so the retry cannot throw on a second move).
+        val dimPath =
+          if (id == 0L && java.nio.file.Files.exists(dimOld)) dimOld.toString
+          else dimDir
+        val dim = s.read.parquet(dimPath)
         df.join(broadcast(dim), "event_type")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             sum(col("cents") * col("rate")).as("wc"))
           .withColumn("batch", lit(id))
           .write.mode("overwrite").parquet(s"$outDir/b$id")
-        if (id == 0L) {
+        if (id == 0L && !java.nio.file.Files.exists(dimOld)) {
           // nightly refresh lands between batches: swap v2 into place
-          val old = root.resolve("dim_old")
-          java.nio.file.Files.move(java.nio.file.Paths.get(dimDir), old)
+          java.nio.file.Files.move(java.nio.file.Paths.get(dimDir), dimOld)
           java.nio.file.Files.move(java.nio.file.Paths.get(dimNext),
             java.nio.file.Paths.get(dimDir))
         }
@@ -1928,10 +1962,11 @@ object StreamingOps extends QueryModule {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     if (dataBatches != 2) throw new IllegalStateException(
       s"q296 drained in $dataBatches data micro-batches; the swap gate needs exactly 2")
-    spark.read.parquet(s"$outDir/b0", s"$outDir/b1")
-      .select(col("batch"), col("event_type"), col("n"),
-        round(col("wc") / 100.0, 2).as("weighted_value"))
-      .orderBy("batch", "event_type")
+    finalizeReplay(spark, None, root)(
+      spark.read.parquet(s"$outDir/b0", s"$outDir/b1")
+        .select(col("batch"), col("event_type"), col("n"),
+          round(col("wc") / 100.0, 2).as("weighted_value"))
+        .orderBy("batch", "event_type"))
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
