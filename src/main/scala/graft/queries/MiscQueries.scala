@@ -3767,7 +3767,62 @@ object MiscQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q358: BROWN–FORSYTHE homogeneity-of-variance test (Levene's test
+    * with the MEDIAN center — the robust default every ANOVA sanity
+    * check runs first): are order totals equally dispersed across the
+    * five order priorities? One-way F on the absolute deviations from
+    * each group's median. Completes the experiment-stats shelf: q176
+    * compares MEANS (Welch t), q316 compares DISTRIBUTIONS
+    * (Kruskal–Wallis), q334 tests a dispersion RATIO on counts — this
+    * is the k-group VARIANCE test proper, the gate a pooled-variance
+    * analysis (q176's equal-var cousin, q252's power formula) has to
+    * pass before its σ² is meaningful.
+    *
+    * Determinism: medians are census-rank lookups on the cents grid;
+    * deviations ride the integer DOLLAR grid (cents would overflow
+    * Σz² at scale); the only non-integers are the Σ²/n terms, snapped
+    * to the unit grid with ⌊x+0.5⌋ BEFORE the cross-group sums (the
+    * q319 device — group addition order can't reorder a float), so F
+    * is one fixed double chain over exact BIGINTs. Scale: one shuffle
+    * to the (priority, cents) census; every window is census-sized;
+    * the moment pass is a partial+final agg on 5 keys.
+    */
+  def q358BrownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("v"))
+    val census = x.groupBy("priority", "v").agg(count(lit(1)).as("cnt"))
+    val cc = census.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("priority").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ng = census.groupBy("priority").agg(sum("cnt").as("n"))
+    val med = cc.join(ng, Seq("priority"))
+      .filter(col("cum") * 2 >= col("n") + 1)
+      .groupBy("priority").agg(min("v").as("med"))
+    val z = x.join(med, Seq("priority"))
+      .select(col("priority"), expr("abs(v - med) div 100").as("z"))
+    val mom = z.groupBy("priority")
+      .agg(count(lit(1)).as("n"), sum("z").as("s"), sum(col("z") * col("z")).as("q"))
+      .withColumn("tu", floor(col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double") + 0.5).cast("long"))
+    val tot = mom.agg(sum("n").as("nn"), sum("s").as("ss"),
+        sum("tu").as("st"), sum("q").as("sq"), count(lit(1)).as("k"))
+      .withColumn("b", col("st") - floor(col("ss").cast("double") *
+        col("ss").cast("double") / col("nn").cast("double") + 0.5).cast("long"))
+      .withColumn("d", col("sq") - col("st"))
+    mom.join(med, Seq("priority")).crossJoin(broadcast(tot))
+      .select(col("priority"), col("n"),
+        (col("med").cast("double") / 100.0).as("median_price"),
+        round(col("s").cast("double") / col("n").cast("double"), 2).as("mean_absdev"),
+        round(col("b").cast("double") / col("d").cast("double") *
+          ((col("nn") - col("k")).cast("double") / (col("k") - 1).cast("double")), 6)
+          .as("f_stat"),
+        (col("k") - 1).as("df1"), (col("nn") - col("k")).as("df2"))
+      .orderBy("priority")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q358_brown_forsythe" -> (q358BrownForsythe _),
     "q354_higher_moments" -> (q354HigherMoments _),
     "q350_slo_burn_rate" -> (q350SloBurnRate _),
     "q348_join_card_estimate" -> (q348JoinCardEstimate _),
@@ -3911,6 +3966,51 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same cents census medians, same dollar-grid deviations, same
+    // unit-snapped Σ²/n terms, same one fixed F chain
+    "q358_brown_forsythe" ->
+      """WITH x AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |census AS (SELECT priority, v, count(*)::BIGINT AS cnt FROM x GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT priority, v, cnt,
+        |         (sum(cnt) OVER (PARTITION BY priority ORDER BY v
+        |            ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM census),
+        |ng AS (SELECT priority, sum(cnt)::BIGINT AS n FROM census GROUP BY 1),
+        |med AS (
+        |  SELECT cc.priority, min(v)::BIGINT AS med
+        |  FROM cc JOIN ng USING (priority) WHERE cum * 2 >= n + 1
+        |  GROUP BY 1),
+        |z AS (
+        |  SELECT x.priority, abs(x.v - med.med) // 100 AS z
+        |  FROM x JOIN med USING (priority)),
+        |mom AS (
+        |  SELECT priority, count(*)::BIGINT AS n, sum(z)::BIGINT AS s,
+        |         sum(z * z)::BIGINT AS q,
+        |         CAST(floor(sum(z)::DOUBLE * sum(z)::DOUBLE /
+        |              count(*)::DOUBLE + 0.5) AS BIGINT) AS tu
+        |  FROM z GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n)::BIGINT AS nn, sum(s)::BIGINT AS ss,
+        |         sum(tu)::BIGINT AS st, sum(q)::BIGINT AS sq,
+        |         count(*)::BIGINT AS k
+        |  FROM mom),
+        |fs AS (
+        |  SELECT st - CAST(floor(ss::DOUBLE * ss::DOUBLE / nn::DOUBLE + 0.5)
+        |              AS BIGINT) AS b,
+        |         sq - st AS d, nn, k
+        |  FROM tot)
+        |SELECT mom.priority, mom.n, med.med::DOUBLE / 100.0 AS median_price,
+        |       round(mom.s::DOUBLE / mom.n::DOUBLE, 2) + 0.0 AS mean_absdev,
+        |       round(fs.b::DOUBLE / fs.d::DOUBLE *
+        |             ((fs.nn - fs.k)::DOUBLE / (fs.k - 1)::DOUBLE), 6) + 0.0
+        |         AS f_stat,
+        |       (fs.k - 1)::BIGINT AS df1, (fs.nn - fs.k)::BIGINT AS df2
+        |FROM mom JOIN med USING (priority) CROSS JOIN fs
+        |ORDER BY priority""".stripMargin,
     // same dollar grid, same exact power sums, same fixed central-
     // moment chains
     "q354_higher_moments" ->

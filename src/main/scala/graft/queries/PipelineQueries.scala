@@ -1097,7 +1097,57 @@ object PipelineQueries extends QueryModule {
           .as("assortativity"))
   }
 
+  /** q359: DYAD CENSUS + reciprocity (Holland/Leinhardt '70s triad
+    * precursor — the M/A/N partition of node pairs every directed-graph
+    * description starts with): who-follows-whom edges come from event
+    * HANDOFFS (consecutive events within a (type, day) stream — the
+    * standard interaction-graph construction over a log), and each
+    * connected pair is mutual (both directions), asymmetric (one), or
+    * null. Reciprocity (2M/(2M+A)) is the #1 summary of direction
+    * balance; completes the graph shelf beside q325's degree mixing
+    * (assortativity answers "do hubs link hubs", this answers "are
+    * links returned").
+    *
+    * Determinism: handoffs are lag() under the total (µs, event_id)
+    * order; everything downstream is integer censuses + one ppm div.
+    * Scale: the lag window partitions on (type, day) — thousands of
+    * bounded partitions, never a global sort; distinct edges and the
+    * canonical-pair census are two key shuffles; node/edge counts are
+    * 1-row broadcasts. Null dyads come from C(n,2) minus the connected
+    * census — never materialized.
+    */
+  def q359DyadCensus(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("unix_micros(ts)").as("us"), col("event_id"), col("user_id"))
+      .withColumn("prev", lag("user_id", 1).over(w))
+    val edges = ev
+      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+      .select(col("prev").as("src"), col("user_id").as("dst")).distinct()
+      .localCheckpoint()
+    val pairs = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        (col("src") < col("dst")).cast("long").as("fwd"),
+        (col("src") > col("dst")).cast("long").as("bwd"))
+      .groupBy("a", "b").agg(max("fwd").as("f"), max("bwd").as("bk"))
+    val nodeCount = edges
+      .select(explode(array(col("src"), col("dst"))).as("u"))
+      .agg(count_distinct(col("u")).as("n_nodes"))
+    val edgeCount = edges.agg(count(lit(1)).as("n_edges"))
+    pairs.agg(
+        sum(when(col("f") + col("bk") === 2, 1L).otherwise(0L)).as("mutual"),
+        sum(when(col("f") + col("bk") === 1, 1L).otherwise(0L)).as("asym"))
+      .crossJoin(broadcast(nodeCount)).crossJoin(broadcast(edgeCount))
+      .select(col("n_nodes"), col("n_edges"), col("mutual"), col("asym"),
+        expr("n_nodes * (n_nodes - 1) div 2 - mutual - asym").as("null_dyads"),
+        expr("mutual * 2 * 1000000L div (mutual * 2 + asym)").as("reciprocity_ppm"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q359_dyad_census" -> (q359DyadCensus _),
     "q325_assortativity" -> (q325Assortativity _),
     "q300_corpus_pipeline" -> (q300CorpusPipeline _),
     "q291_neyman_allocation" -> (q291NeymanAllocation _),
@@ -1204,6 +1254,36 @@ object PipelineQueries extends QueryModule {
       |  FROM r2 CROSS JOIN k)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same (type, day)-scoped lag handoffs, same distinct edge set,
+    // same canonical-pair census, same integer C(n,2) complement
+    "q359_dyad_census" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         lag(user_id) OVER (
+        |           PARTITION BY event_type, epoch_us(ts) // 86400000000
+        |           ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |e AS (
+        |  SELECT DISTINCT prev AS src, user_id AS dst
+        |  FROM ev WHERE prev IS NOT NULL AND prev <> user_id),
+        |p AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+        |         max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS bk
+        |  FROM e GROUP BY 1, 2),
+        |nn AS (
+        |  SELECT count(DISTINCT u)::BIGINT AS n_nodes
+        |  FROM (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)),
+        |ec AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+        |c AS (
+        |  SELECT sum(CASE WHEN f + bk = 2 THEN 1 ELSE 0 END)::BIGINT AS mutual,
+        |         sum(CASE WHEN f + bk = 1 THEN 1 ELSE 0 END)::BIGINT AS asym
+        |  FROM p)
+        |SELECT n_nodes, n_edges, mutual, asym,
+        |       (n_nodes * (n_nodes - 1) // 2 - mutual - asym)::BIGINT AS null_dyads,
+        |       (mutual * 2 * 1000000 // (mutual * 2 + asym))::BIGINT
+        |         AS reciprocity_ppm
+        |FROM c CROSS JOIN nn CROSS JOIN ec""".stripMargin,
     // same symmetrized edge list and exact BIGINT moments; r is one
     // double chain off the integers
     "q325_assortativity" ->

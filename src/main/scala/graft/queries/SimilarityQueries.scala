@@ -1360,7 +1360,119 @@ object SimilarityQueries extends QueryModule {
     }.reduce(_ unionByName _).orderBy("dim")
   }
 
+  /** q355: TOP PRINCIPAL COMPONENT of the embedding Gram matrix by
+    * UNROLLED POWER ITERATION — the spectral step q88 stops short of:
+    * q88 ships the 64×64 Gram off one distributed pass and says "eigen
+    * is a driver no-op"; this query actually RUNS the eigen solve, in
+    * the plan, and gates its 12-step trajectory bit-exactly. The top
+    * component is the workhorse of embedding hygiene (dominant-direction
+    * removal, anisotropy/"all-but-the-top" correction, whitening's first
+    * axis) and of PCA-before-IVF dimensionality cuts (q142's codebooks).
+    *
+    * Determinism: the Gram is exact BIGINT sums on the ⌊x·2²⁰+0.5⌋ grid
+    * (q88's device), snapped once to a micro-grid G₆; the iterate v₆
+    * lives on the 10⁻⁶ integer grid, so every matvec Σ G₆·v₆ is exact
+    * BIGINT (order-invariant under any partitioning); the norm is an
+    * EXACT wide-integer Σu² (decimal(38,0) here, HUGEINT in the
+    * oracle — both correctly-round the same integer to double), and
+    * re-normalization ⌊u/‖u‖·10⁶+0.5⌋ is one fixed IEEE chain on
+    * identical operands. No float ever meets engine-order summation.
+    *
+    * Scale: the ONLY data-sized work is q88's one-pass Gram aggregation
+    * (17 KB buffer across any shuffle); 12 iterations run on 64-row /
+    * 4096-row frames with checkpointed lineage — constant cost whether
+    * the corpus is 500 vectors or 100 TB. The Rayleigh-quotient
+    * eigenvalue estimate rides out as ‖G·v‖ at unit ‖v‖.
+    */
+  def q355PrincipalComponent(spark: SparkSession, dir: String): DataFrame = {
+    val iters = 12
+    val gram = udaf(new graft.functions.SketchAggregators.GramAggregator(64))
+    val m = Tables.embeddingsSpread(spark, dir)
+      .agg(gram(col("embedding")).as("m"))
+    val pairs = "flatten(transform(sequence(0, 63), " +
+      "i -> transform(sequence(i, 63), j -> struct(i AS i, j AS j))))"
+    val tri = m.select(explode(expr(pairs)).as("p"), col("m"))
+      .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
+        element_at(col("m"),
+          (lit(66) + col("p.i") * (lit(129) - col("p.i")) / 2 +
+            col("p.j") - col("p.i")).cast("int")).as("g"))
+      .withColumn("g6", floor(col("g") * 1000000.0 + 0.5).cast("long"))
+    val full = tri.select("i", "j", "g6")
+      .unionAll(tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g6")))
+      .localCheckpoint()
+    var v = spark.range(64).select(col("id").as("j"), lit(125000L).as("v6"))
+    var nrm: DataFrame = null
+    // ONE materialization per iteration: u is checkpointed, and both
+    // the norm and the renormalized iterate read the checkpoint — the
+    // dual reference would otherwise double the recomputed lineage
+    // every round (2^12 blowup, the same inlining trap the oracle's
+    // MATERIALIZED CTEs avoid).
+    for (_ <- 1 to iters) {
+      val u = full.join(v, full("j") === v("j")).drop(v("j"))
+        .groupBy("i").agg(sum(col("g6") * col("v6")).as("u"))
+        .localCheckpoint()
+      nrm = u.agg(sqrt(sum(col("u").cast("decimal(20,0)") *
+        col("u").cast("decimal(20,0)")).cast("double")).as("nrm"))
+      v = u.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"),
+          floor(col("u").cast("double") / col("nrm") * 1000000.0 + 0.5)
+            .cast("long").as("v6"))
+    }
+    v.crossJoin(broadcast(nrm))
+      .select(col("j").as("dim"),
+        (col("v6").cast("double") / 1000000.0).as("loading"),
+        round(col("nrm") / 1.0e12, 6).as("eigenvalue"))
+      .orderBy("dim")
+  }
+
+  /** q356: LATE-INTERACTION retrieval (the ColBERT MaxSim operator) —
+    * the third retrieval scorer beside the single-vector cosine family
+    * (q44/q61) and lexical BM25 (q82): score(q, d) = Σ_{query tokens}
+    * max_{doc tokens} ⟨e_q, e_t⟩. Token-level interaction catches
+    * partial matches a pooled document vector averages away, which is
+    * why max-sim is the standard quality/cost midpoint between
+    * bi-encoders and cross-encoders in retrieval curricula.
+    *
+    * Token embeddings are the md5-byte grid (8 signed bytes per token —
+    * the q270 device: deterministic, oracle-replicable in any engine,
+    * and the Spark-side plumbing is exactly what a real learned token
+    * table would ride); dots are exact BIGINT folds, so max and sum
+    * never see a float. Scale: tokenization is scan-local; the 4-token
+    * query is a broadcast literal; per-(doc, query-token) max and the
+    * per-doc sum are one partial+final agg chain (map-side combine on
+    * both levels); top-10 is a TakeOrderedAndProject heap — the whole
+    * plan is scan → two local aggs → bounded take, no data-sized join
+    * or shuffle beyond the doc-keyed combine.
+    */
+  def q356MaxsimRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val qTokens = Seq("join", "hash", "vector", "window")
+    def byteEmb(wc: Column): Column = array((0 until 8).map(k =>
+      conv(substring(md5(wc), 2 * k + 1, 2), 16, 10).cast("long") - 128L): _*)
+    val docToks = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(slice(split(col("text"), " "), 1, 16)).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("w")).distinct()
+      .withColumn("te", byteEmb(col("w")))
+    val q = spark.range(1)
+      .select(explode(array(qTokens.map(lit): _*)).as("qw"))
+      .withColumn("qv", byteEmb(col("qw")))
+    val dots = docToks.crossJoin(broadcast(q))
+      .withColumn("dot", aggregate(
+        zip_with(col("te"), col("qv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy("doc_id", "qw").agg(max("dot").as("m"))
+    val scored = dots.groupBy("doc_id").agg(sum("m").as("score_u"))
+    val ntok = docToks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    scored.join(ntok, Seq("doc_id"))
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("score_u"), col("n_tok"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q355_principal_component" -> (q355PrincipalComponent _),
+    "q356_maxsim_retrieval" -> (q356MaxsimRetrieval _),
     "q313_matryoshka_recall" -> (q313MatryoshkaRecall _),
     "q306_hybrid_rrf" -> (q306HybridRrf _),
     "q270_als_half_step" -> (q270AlsHalfStep _),
@@ -1493,6 +1605,72 @@ object SimilarityQueries extends QueryModule {
   }
 
   override val oracles: Map[String, String] = Map(
+    // the engine's ⌊x·2²⁰+0.5⌋ Gram grid mirrored exactly (q88's
+    // oracle), snapped to G₆ once; each unrolled iteration is an exact
+    // BIGINT matvec, an exact HUGEINT Σu² (decimal(38,0) engine-side —
+    // both correctly-round the same integer to double), and the same
+    // fixed ⌊u/‖u‖·10⁶+0.5⌋ renormalization chain
+    "q355_principal_component" -> {
+      val base =
+        """WITH q AS (
+          |  SELECT e.vec_id, r.i AS d,
+          |         floor(e.embedding[(r.i + 1)::INT]::DOUBLE * 1048576 + 0.5)::BIGINT AS qx
+          |  FROM embeddings e, range(0, 64) r(i)),
+          |gi AS MATERIALIZED (
+          |  SELECT a.d AS i, b.d AS j, sum(a.qx * b.qx)::BIGINT AS gint
+          |  FROM q a JOIN q b ON a.vec_id = b.vec_id
+          |  GROUP BY 1, 2),
+          |g AS MATERIALIZED (
+          |  SELECT i, j,
+          |         CAST(floor(gint::DOUBLE / 1099511627776.0 * 1000000.0 + 0.5)
+          |              AS BIGINT) AS g6
+          |  FROM gi),
+          |v0 AS (SELECT r.i AS j, 125000::BIGINT AS v6 FROM range(0, 64) r(i))""".stripMargin
+      val iters = (1 to 12).map { k =>
+        s""",
+           |u$k AS MATERIALIZED (
+           |  SELECT g.i, sum(g.g6 * v.v6)::BIGINT AS u
+           |  FROM g JOIN v${k - 1} v ON v.j = g.j GROUP BY 1),
+           |n$k AS MATERIALIZED (SELECT sqrt(sum(u::HUGEINT * u::HUGEINT)::DOUBLE) AS nrm FROM u$k),
+           |v$k AS MATERIALIZED (
+           |  SELECT u$k.i AS j,
+           |         CAST(floor(u::DOUBLE / nrm * 1000000.0 + 0.5) AS BIGINT) AS v6
+           |  FROM u$k, n$k)""".stripMargin
+      }.mkString
+      val tail =
+        """
+          |SELECT v12.j AS dim, v12.v6::DOUBLE / 1000000.0 AS loading,
+          |       round(n12.nrm / 1000000000000.0, 6) + 0.0 AS eigenvalue
+          |FROM v12, n12 ORDER BY dim""".stripMargin
+      base + iters + tail
+    },
+    // same first-16 distinct tokens, same md5-byte grid, same exact
+    // BIGINT dot/max/sum chain, same (score desc, doc_id) top-10 cut
+    "q356_maxsim_retrieval" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')[1:16]) AS w
+        |    FROM documents)
+        |  WHERE len(w) > 0),
+        |de AS (
+        |  SELECT doc_id, w,
+        |         [('0x' || substr(md5(w), 2 * k + 1, 2))::BIGINT - 128
+        |          FOR k IN range(0, 8)] AS te
+        |  FROM dt),
+        |qe AS (
+        |  SELECT qw,
+        |         [('0x' || substr(md5(qw), 2 * k + 1, 2))::BIGINT - 128
+        |          FOR k IN range(0, 8)] AS qv
+        |  FROM (SELECT unnest(['join', 'hash', 'vector', 'window']) AS qw)),
+        |dots AS (
+        |  SELECT doc_id, qw,
+        |         max(list_sum([te[i + 1] * qv[i + 1] FOR i IN range(0, 8)]))::BIGINT AS m
+        |  FROM de CROSS JOIN qe GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, sum(m)::BIGINT AS score_u FROM dots GROUP BY 1),
+        |nt AS (SELECT doc_id, count(*)::BIGINT AS n_tok FROM dt GROUP BY 1)
+        |SELECT sc.doc_id, score_u, n_tok
+        |FROM sc JOIN nt USING (doc_id)
+        |ORDER BY score_u DESC, sc.doc_id ASC LIMIT 10""".stripMargin,
     // same prefix slices, same rounded-cosine rankings, same integer
     // overlap against the full-dim truth
     "q313_matryoshka_recall" -> {

@@ -687,7 +687,60 @@ object WindowQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q357: MAXIMUM DRAWDOWN — the canonical path-dependent risk metric
+    * (largest peak-to-trough drop of a cumulative series), plus the
+    * peak/trough day pair that realizes it: per event type, the daily
+    * value census accumulates into a running sum, the running maximum
+    * of THAT is the high-water mark, and drawdown is their gap. q321
+    * measures dispersion (realized vol) and q271 detects level shifts
+    * (CUSUM); drawdown is the third classic on the same series — the
+    * worst-case excursion a monitoring/treasury dashboard actually
+    * alarms on.
+    *
+    * Determinism: the whole path rides integer cents; argmax days
+    * resolve ties as (first trough day achieving the max drawdown,
+    * then first day at-or-before it attaining that trough's high-water
+    * mark) — pure min-over-filtered-census lookups, no float decides
+    * anything. Scale: ONE shuffle to the (type, day) census; both
+    * running windows and all argmax joins run on census-sized data
+    * (the q263 discipline) — the raw events never move again.
+    */
+  def q357MaxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day").agg(sum("cents").as("dc"))
+      .localCheckpoint()
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("c", sum("dc").over(w))
+      .withColumn("p", max("c").over(w))
+      .withColumn("dd", col("p") - col("c"))
+    val perType = cum.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), max("dd").as("max_dd"),
+        max("c").as("peak_cents"))
+    val trough = cum
+      .join(perType.select(col("event_type"), col("max_dd")), Seq("event_type"))
+      .filter(col("dd") === col("max_dd"))
+      .groupBy("event_type").agg(min("day").as("trough_day"))
+    val peakAtTrough = cum.join(trough, Seq("event_type"))
+      .filter(col("day") === col("trough_day"))
+      .select(col("event_type"), col("p").as("p_at_trough"), col("trough_day"))
+    val peakDay = cum.join(peakAtTrough, Seq("event_type"))
+      .filter(col("day") <= col("trough_day") && col("c") === col("p_at_trough"))
+      .groupBy("event_type").agg(min("day").as("peak_day"))
+    perType.join(trough, Seq("event_type")).join(peakDay, Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+        (col("peak_cents").cast("double") / 100.0).as("peak_value"),
+        (col("max_dd").cast("double") / 100.0).as("max_drawdown"),
+        col("peak_day"), col("trough_day"))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q357_max_drawdown" -> (q357MaxDrawdown _),
     "q353_value_change_compaction" -> (q353ValueChangeCompaction _),
     "q349_sax_motifs" -> (q349SaxMotifs _),
     "q346_pane_sliding" -> (q346PaneSliding _),
@@ -711,6 +764,48 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same daily cents census, same running-sum/running-max pair, same
+    // first-day argmax tie-breaks, same two single divides
+    "q357_max_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS dc
+        |  FROM events GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT event_type, day, dc,
+        |         (sum(dc) OVER (PARTITION BY event_type ORDER BY day
+        |            ROWS UNBOUNDED PRECEDING))::BIGINT AS c
+        |  FROM daily),
+        |c2 AS (
+        |  SELECT event_type, day, c,
+        |         (max(c) OVER (PARTITION BY event_type ORDER BY day
+        |            ROWS UNBOUNDED PRECEDING))::BIGINT AS p
+        |  FROM c1),
+        |dd AS (SELECT event_type, day, c, p, p - c AS dd FROM c2),
+        |pt AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days,
+        |         max(dd)::BIGINT AS max_dd, max(c)::BIGINT AS peak_cents
+        |  FROM dd GROUP BY 1),
+        |tr AS (
+        |  SELECT dd.event_type, min(day)::BIGINT AS trough_day
+        |  FROM dd JOIN pt USING (event_type) WHERE dd.dd = pt.max_dd
+        |  GROUP BY 1),
+        |pat AS (
+        |  SELECT dd.event_type, dd.p AS p_at_trough, tr.trough_day
+        |  FROM dd JOIN tr ON dd.event_type = tr.event_type
+        |                 AND dd.day = tr.trough_day),
+        |pd AS (
+        |  SELECT dd.event_type, min(dd.day)::BIGINT AS peak_day
+        |  FROM dd JOIN pat ON dd.event_type = pat.event_type
+        |                  AND dd.day <= pat.trough_day
+        |                  AND dd.c = pat.p_at_trough
+        |  GROUP BY 1)
+        |SELECT pt.event_type, n_days,
+        |       peak_cents::DOUBLE / 100.0 AS peak_value,
+        |       max_dd::DOUBLE / 100.0 AS max_drawdown,
+        |       peak_day, trough_day
+        |FROM pt JOIN tr USING (event_type) JOIN pd USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // same unique-order lag compare, same integer censuses/checksums
     "q353_value_change_compaction" ->
       """WITH ev AS (
