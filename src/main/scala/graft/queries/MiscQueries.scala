@@ -3821,7 +3821,148 @@ object MiscQueries extends QueryModule {
       .orderBy("priority")
   }
 
+  /** q360: RANDOMIZATION (permutation) TEST on the BUILDING-vs-MACHINERY
+    * mean order total — the assumption-free significance check beside
+    * the parametric t (q176), the rank test (q203), and the bootstrap CI
+    * (q233): re-label every order 200 times with a deterministic md5
+    * coin, recompute the mean difference under each re-labeling, and
+    * report how often chance alone beats the observed gap. (The
+    * unconditional-randomization variant: labels are i.i.d. coins, so
+    * group sizes vary per replicate — standard, and the only version
+    * with a cross-engine-exact deterministic coin.)
+    *
+    * Determinism: replicate b's coin is bit (b mod 60) of the 60-bit
+    * md5 word md5(key, b div 60); every per-replicate
+    * statistic is the identical (Σ_A/n_A − Σ_B/n_B) double chain on
+    * exact integer sums, so the ≥-comparison against the observed gap
+    * is decided identically in both engines. Scale: the 200× explode is
+    * the algorithm (one pass, 200 accumulators); the partial agg
+    * absorbs it map-side and only 200 groups shuffle — the classic
+    * "replicate id rides the row" Monte-Carlo shape.
+    */
+  def q360PermutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val reps = 200
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("v"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("grp"))
+      .localCheckpoint()
+    val obs = base.agg(
+        sum(when(col("grp") === 1, col("v"))).as("sa"),
+        sum(col("grp")).as("na"),
+        sum(when(col("grp") === 0, col("v"))).as("sb"),
+        sum(lit(1L) - col("grp")).as("nb"))
+      .select((col("sa").cast("double") / col("na").cast("double") -
+        col("sb").cast("double") / col("nb").cast("double")).as("obs_diff"))
+    // 200 coins from FOUR per-row 60-bit md5 words, hashed BEFORE the
+    // explode — the naive md5(k, b) per replicate recomputes the digest
+    // 200× per row (measured 10.5 s at sf0.1), and hex-digit indexing
+    // keeps string ops in the 30M-row inner loop (4.9 s); extracting
+    // bit (b mod 60) of word (b div 60) makes the exploded projection
+    // pure long arithmetic
+    val hashed = base.withColumn("hs", array((0 until 4).map(h =>
+      conv(substring(md5(concat_ws("_", col("k"), lit(h))), 1, 15), 16, 10)
+        .cast("long")): _*))
+    val rep = hashed
+      .select(col("v"), col("hs"), explode(expr(s"sequence(0, ${reps - 1})")).as("b"))
+      .withColumn("ra", (expr(
+        "shiftright(element_at(hs, CAST(b div 60 AS INT) + 1), " +
+          "CAST(b % 60 AS INT))") % 2 === 0).cast("long"))
+      .groupBy("b").agg(
+        sum(when(col("ra") === 1, col("v"))).as("sa"), sum("ra").as("na"),
+        sum(when(col("ra") === 0, col("v"))).as("sb"),
+        sum(lit(1L) - col("ra")).as("nb"))
+      .select(col("b"), (col("sa").cast("double") / col("na").cast("double") -
+        col("sb").cast("double") / col("nb").cast("double")).as("d"))
+    rep.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("b_reps"),
+        sum(when(abs(col("d")) >= abs(col("obs_diff")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .crossJoin(broadcast(obs))
+      .select(round(col("obs_diff") / 100.0, 4).as("obs_diff"),
+        col("b_reps"), col("n_extreme"),
+        expr("n_extreme * 1000000L div b_reps").as("p_value_ppm"))
+  }
+
+  /** q361: LOGISTIC REGRESSION, one exact Newton step — the linear
+    * classifier proper for the supervised shelf (q151 scores with fixed
+    * weights, q319 is naive Bayes, q336 a single stump): predict
+    * urgent/high priority from (total price, line count). From β = 0
+    * the Newton step has a CLOSED FORM — H = ¼XᵀX and g = Xᵀ(y−½), so
+    * β₁ = 2·(XᵀX)⁻¹·(2Xᵀy − Σx) with EVERY matrix entry an exact
+    * BIGINT moment — which makes the usually-iterative IRLS fit
+    * oracle-gateable bit-exactly: the 3×3 inverse is a fixed adjugate/
+    * determinant double chain on identical integers in both engines.
+    *
+    * Scoring rides the (f1, f2, y) CELL CENSUS (≤ a few hundred cells):
+    * decisions are sign(βᵀx) on identical doubles; log-loss is snapped
+    * to micro-nats per CELL (the q319 device) so engine summation order
+    * never touches a float. Scale: one partial+final census agg, a
+    * 1-row broadcast of β, census-local scoring — the data-sized pass
+    * is moment collection, exactly how distributed GLM fitting shards.
+    */
+  def q361LogisticNewton(spark: SparkSession, dir: String): DataFrame = {
+    val lc = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("f2"))
+    val base = Tables.orders(spark, dir)
+      .join(lc, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long").as("y"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) div 1000000").as("f1"),
+        col("f2"))
+    val cells = base.groupBy("f1", "f2", "y").agg(count(lit(1)).as("nc"))
+      .localCheckpoint()
+    val beta = cells.agg(
+        sum("nc").as("n"),
+        sum(col("nc") * col("f1")).as("s1"),
+        sum(col("nc") * col("f2")).as("s2"),
+        sum(col("nc") * col("f1") * col("f1")).as("s11"),
+        sum(col("nc") * col("f1") * col("f2")).as("s12"),
+        sum(col("nc") * col("f2") * col("f2")).as("s22"),
+        sum(col("nc") * col("y")).as("sy"),
+        sum(col("nc") * col("y") * col("f1")).as("sy1"),
+        sum(col("nc") * col("y") * col("f2")).as("sy2"))
+      .selectExpr("n", "sy AS n_pos",
+        "CAST(n AS DOUBLE) AS a11", "CAST(s1 AS DOUBLE) AS a12",
+        "CAST(s2 AS DOUBLE) AS a13", "CAST(s11 AS DOUBLE) AS a22",
+        "CAST(s12 AS DOUBLE) AS a23", "CAST(s22 AS DOUBLE) AS a33",
+        "CAST(2 * sy - n AS DOUBLE) AS g1",
+        "CAST(2 * sy1 - s1 AS DOUBLE) AS g2",
+        "CAST(2 * sy2 - s2 AS DOUBLE) AS g3")
+      .selectExpr("n", "n_pos", "g1", "g2", "g3",
+        "a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13) AS det",
+        "(a22 * a33 - a23 * a23) AS c11", "(a13 * a23 - a12 * a33) AS c12",
+        "(a12 * a23 - a13 * a22) AS c13", "(a11 * a33 - a13 * a13) AS c22",
+        "(a12 * a13 - a11 * a23) AS c23", "(a11 * a22 - a12 * a12) AS c33")
+      .selectExpr("n", "n_pos",
+        "2.0 * (c11 * g1 + c12 * g2 + c13 * g3) / det AS b0",
+        "2.0 * (c12 * g1 + c22 * g2 + c23 * g3) / det AS b1",
+        "2.0 * (c13 * g1 + c23 * g2 + c33 * g3) / det AS b2")
+      .localCheckpoint()
+    cells.crossJoin(broadcast(beta))
+      .withColumn("z", expr("b0 + b1 * CAST(f1 AS DOUBLE) + b2 * CAST(f2 AS DOUBLE)"))
+      .withColumn("pred", (col("z") > 0.0).cast("long"))
+      .withColumn("loss_u", expr(
+        "CAST(floor(CASE WHEN y = 1 THEN ln(1.0 + exp(-z)) " +
+          "ELSE ln(1.0 + exp(z)) END * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy("n", "n_pos", "b0", "b1", "b2")
+      .agg(sum(when(col("pred") === 1, col("nc"))).as("n_pred_pos"),
+        sum(when(col("pred") === col("y"), col("nc")).otherwise(0L)).as("n_correct"),
+        sum(col("nc") * col("loss_u")).as("tot_loss_u"))
+      .select(col("n"), col("n_pos"),
+        round(col("b0"), 6).as("beta0"), round(col("b1"), 6).as("beta1"),
+        round(col("b2"), 6).as("beta2"),
+        col("n_pred_pos"),
+        expr("n_correct * 1000000L div n").as("accuracy_ppm"),
+        expr("tot_loss_u div n").as("mean_loss_unats"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q360_permutation_test" -> (q360PermutationTest _),
+    "q361_logistic_newton" -> (q361LogisticNewton _),
     "q358_brown_forsythe" -> (q358BrownForsythe _),
     "q354_higher_moments" -> (q354HigherMoments _),
     "q350_slo_burn_rate" -> (q350SloBurnRate _),
@@ -3966,6 +4107,103 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same md5 coin, same per-replicate mean-difference chains, same
+    // |d| >= |obs| census and ppm divide
+    "q360_permutation_test" ->
+      """WITH base AS (
+        |  SELECT o.o_orderkey AS k,
+        |         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |obs AS (
+        |  SELECT sum(CASE WHEN grp = 1 THEN v END)::DOUBLE /
+        |           sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |       - sum(CASE WHEN grp = 0 THEN v END)::DOUBLE /
+        |           sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::DOUBLE AS obs_diff
+        |  FROM base),
+        |r AS (
+        |  SELECT b.bi, base.v,
+        |         CASE WHEN (('0x' || substr(md5(base.k::VARCHAR || '_' ||
+        |                    (b.bi // 60)::VARCHAR), 1, 15))::BIGINT
+        |                    >> (b.bi % 60)::INT) % 2 = 0
+        |              THEN 1 ELSE 0 END AS ra
+        |  FROM base CROSS JOIN range(0, 200) AS b(bi)),
+        |agg AS (
+        |  SELECT bi,
+        |         sum(CASE WHEN ra = 1 THEN v END)::DOUBLE / sum(ra)::DOUBLE
+        |       - sum(CASE WHEN ra = 0 THEN v END)::DOUBLE /
+        |           sum(1 - ra)::DOUBLE AS d
+        |  FROM r GROUP BY 1)
+        |SELECT round(obs.obs_diff / 100.0, 4) + 0.0 AS obs_diff,
+        |       count(*)::BIGINT AS b_reps,
+        |       sum(CASE WHEN abs(agg.d) >= abs(obs.obs_diff)
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_extreme,
+        |       (sum(CASE WHEN abs(agg.d) >= abs(obs.obs_diff)
+        |                 THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+        |         AS p_value_ppm
+        |FROM agg CROSS JOIN obs GROUP BY obs.obs_diff""".stripMargin,
+    // same cell census, same exact BIGINT moments, same adjugate/det
+    // chains, same sign(βᵀx) census and micro-nat snapped cell losses
+    "q361_logistic_newton" ->
+      """WITH lc AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS f2 FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |              THEN 1 ELSE 0 END AS y,
+        |         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |           // 1000000 AS f1,
+        |         lc.f2
+        |  FROM orders o JOIN lc ON o.o_orderkey = lc.l_orderkey),
+        |cells AS (
+        |  SELECT f1, f2, y, count(*)::BIGINT AS nc FROM base GROUP BY 1, 2, 3),
+        |mom AS (
+        |  SELECT sum(nc)::BIGINT AS n, sum(nc * f1)::BIGINT AS s1,
+        |         sum(nc * f2)::BIGINT AS s2, sum(nc * f1 * f1)::BIGINT AS s11,
+        |         sum(nc * f1 * f2)::BIGINT AS s12,
+        |         sum(nc * f2 * f2)::BIGINT AS s22,
+        |         sum(nc * y)::BIGINT AS sy, sum(nc * y * f1)::BIGINT AS sy1,
+        |         sum(nc * y * f2)::BIGINT AS sy2
+        |  FROM cells),
+        |m2 AS (
+        |  SELECT n, sy AS n_pos,
+        |         n::DOUBLE AS a11, s1::DOUBLE AS a12, s2::DOUBLE AS a13,
+        |         s11::DOUBLE AS a22, s12::DOUBLE AS a23, s22::DOUBLE AS a33,
+        |         (2 * sy - n)::DOUBLE AS g1, (2 * sy1 - s1)::DOUBLE AS g2,
+        |         (2 * sy2 - s2)::DOUBLE AS g3
+        |  FROM mom),
+        |m3 AS (
+        |  SELECT n, n_pos, g1, g2, g3,
+        |         a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+        |           + a13 * (a12 * a23 - a22 * a13) AS det,
+        |         (a22 * a33 - a23 * a23) AS c11, (a13 * a23 - a12 * a33) AS c12,
+        |         (a12 * a23 - a13 * a22) AS c13, (a11 * a33 - a13 * a13) AS c22,
+        |         (a12 * a13 - a11 * a23) AS c23, (a11 * a22 - a12 * a12) AS c33
+        |  FROM m2),
+        |b AS (
+        |  SELECT n, n_pos,
+        |         2.0 * (c11 * g1 + c12 * g2 + c13 * g3) / det AS b0,
+        |         2.0 * (c12 * g1 + c22 * g2 + c23 * g3) / det AS b1,
+        |         2.0 * (c13 * g1 + c23 * g2 + c33 * g3) / det AS b2
+        |  FROM m3),
+        |scored AS (
+        |  SELECT cells.*, b.n, b.n_pos, b.b0, b.b1, b.b2,
+        |         b.b0 + b.b1 * f1::DOUBLE + b.b2 * f2::DOUBLE AS z
+        |  FROM cells CROSS JOIN b),
+        |sc2 AS (
+        |  SELECT *, CASE WHEN z > 0.0 THEN 1 ELSE 0 END AS pred,
+        |         CAST(floor(CASE WHEN y = 1 THEN ln(1.0 + exp(-z))
+        |                         ELSE ln(1.0 + exp(z)) END
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS loss_u
+        |  FROM scored)
+        |SELECT n, n_pos,
+        |       round(b0, 6) + 0.0 AS beta0, round(b1, 6) + 0.0 AS beta1,
+        |       round(b2, 6) + 0.0 AS beta2,
+        |       sum(CASE WHEN pred = 1 THEN nc END)::BIGINT AS n_pred_pos,
+        |       (sum(CASE WHEN pred = y THEN nc ELSE 0 END) * 1000000 // n)::BIGINT
+        |         AS accuracy_ppm,
+        |       (sum(nc * loss_u) // n)::BIGINT AS mean_loss_unats
+        |FROM sc2 GROUP BY n, n_pos, b0, b1, b2""".stripMargin,
     // same cents census medians, same dollar-grid deviations, same
     // unit-snapped Σ²/n terms, same one fixed F chain
     "q358_brown_forsythe" ->

@@ -1146,7 +1146,70 @@ object PipelineQueries extends QueryModule {
         expr("mutual * 2 * 1000000L div (mutual * 2 + asym)").as("reciprocity_ppm"))
   }
 
+  /** q363: LOCAL CLUSTERING COEFFICIENT + global transitivity (Watts/
+    * Strogatz '98 ∧ Newman's ratio) — composes q160's per-node triangle
+    * counts with the degree census into the metric people actually
+    * read: C(v) = 2·tri(v)/(deg(v)·(deg(v)−1)), the "how cliquish is
+    * this node's neighborhood" number, plus the global transitivity
+    * 3·triangles/wedges and the average local coefficient (the two
+    * standard summaries, famously different under skew). Top-15
+    * (coeff desc, deg desc, node) over deg ≥ 3 nodes.
+    *
+    * Determinism: pure integer censuses — coefficients live on the
+    * ppm grid via div, and the global numbers ride every row as 1-row
+    * broadcasts. Scale: identical to q160 (degree-ordered wedge join —
+    * the standard distributed triangle shape, Σ min(deg) work) plus a
+    * degree agg and a bounded TakeOrdered heap.
+    */
+  def q363ClusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct().localCheckpoint()
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val arcs = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    val a1 = arcs.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+    val a2 = arcs.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
+    val wedges = a1.join(a2, Seq("src")).filter(
+      col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+    val tri = wedges.join(arcs.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"), "left_semi")
+    val triPerNode = tri
+      .select(explode(array(col("src"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    val perNode = deg.join(triPerNode, Seq("node"), "left")
+      .na.fill(0L, Seq("tri"))
+      .withColumn("coeff_ppm", when(col("deg") >= 2,
+        expr("tri * 2 * 1000000L div (deg * (deg - 1))")).otherwise(lit(0L)))
+    val glob = perNode.agg(
+        sum("tri").as("tri3"),
+        sum(expr("deg * (deg - 1) div 2")).as("wedges"),
+        sum(when(col("deg") >= 2, col("coeff_ppm"))).as("sum_cc"),
+        sum(when(col("deg") >= 2, 1L).otherwise(0L)).as("n2"))
+      .select(expr("tri3 * 1000000L div wedges").as("transitivity_ppm"),
+        expr("sum_cc div n2").as("avg_cc_ppm"))
+    perNode.filter(col("deg") >= 3)
+      .crossJoin(broadcast(glob))
+      .orderBy(col("coeff_ppm").desc, col("deg").desc, col("node").asc)
+      .limit(15)
+      .select(col("node"), col("deg"), col("tri"), col("coeff_ppm"),
+        col("transitivity_ppm"), col("avg_cc_ppm"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q363_clustering_coefficient" -> (q363ClusteringCoefficient _),
     "q359_dyad_census" -> (q359DyadCensus _),
     "q325_assortativity" -> (q325Assortativity _),
     "q300_corpus_pipeline" -> (q300CorpusPipeline _),
@@ -1254,6 +1317,44 @@ object PipelineQueries extends QueryModule {
       |  FROM r2 CROSS JOIN k)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // q160's triangle enumeration verbatim, joined to the degree
+    // census; same ppm div grids, same (coeff, deg, node) top-15 cut
+    "q363_clustering_coefficient" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (
+        |  SELECT node, count(*)::BIGINT AS tri
+        |  FROM (SELECT unnest([a, b, c]) AS node FROM t) GROUP BY 1),
+        |dg AS (
+        |  SELECT node, count(*)::BIGINT AS deg
+        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |pn AS (
+        |  SELECT dg.node, dg.deg, coalesce(tn.tri, 0)::BIGINT AS tri,
+        |         (CASE WHEN dg.deg >= 2
+        |               THEN coalesce(tn.tri, 0) * 2 * 1000000
+        |                      // (dg.deg * (dg.deg - 1))
+        |               ELSE 0 END)::BIGINT AS coeff_ppm
+        |  FROM dg LEFT JOIN tn USING (node)),
+        |g AS (
+        |  SELECT sum(tri)::BIGINT AS tri3,
+        |         sum(deg * (deg - 1) // 2)::BIGINT AS wedges,
+        |         sum(CASE WHEN deg >= 2 THEN coeff_ppm END)::BIGINT AS sum_cc,
+        |         sum(CASE WHEN deg >= 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+        |  FROM pn)
+        |SELECT node, deg, tri, coeff_ppm,
+        |       (tri3 * 1000000 // wedges)::BIGINT AS transitivity_ppm,
+        |       (sum_cc // n2)::BIGINT AS avg_cc_ppm
+        |FROM pn CROSS JOIN g
+        |WHERE deg >= 3
+        |ORDER BY coeff_ppm DESC, deg DESC, node ASC LIMIT 15""".stripMargin,
     // same (type, day)-scoped lag handoffs, same distinct edge set,
     // same canonical-pair census, same integer C(n,2) complement
     "q359_dyad_census" ->

@@ -739,7 +739,52 @@ object WindowQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q362: NELSON–AALEN cumulative hazard + its variance — the
+    * counting-process sibling of q192's Kaplan–Meier over the SAME life
+    * table (Ĥ(t) = Σ d/n vs Ŝ(t) = Π(1−d/n); NA is the one additive
+    * in event counts, the standard basis for hazard-rate plots and for
+    * the Breslow baseline in Cox models). Where q192 multiplies
+    * survival down, this sums hazard up, with the Poisson variance
+    * Σ d/n² alongside — together the two queries give the full
+    * univariate survival toolkit.
+    *
+    * Determinism: q192's ln/exp chains are replaced by pure INTEGER
+    * grids — each step contributes d·10⁹ div n (hazard) and
+    * d·10¹² div n² (variance) exactly, cumulated by an integer window
+    * sum, with single exact divides at output. Scale: identical to
+    * q192 — per-subject agg, cohort-day life-table censuses, windows
+    * only over censuses.
+    */
+  def q362NelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("cohort"), col("o_custkey"))
+      .agg(min("o_orderdate").as("first_o"), max("o_orderdate").as("last_o"))
+    val gmax = Tables.orders(spark, dir).agg(max("o_orderdate").as("gmax"))
+    val subj = per.crossJoin(broadcast(gmax))
+      .select(col("cohort"),
+        datediff(col("last_o"), col("first_o")).cast("long").as("t"),
+        when(datediff(col("gmax"), col("last_o")) >= 90, lit(1L))
+          .otherwise(lit(0L)).as("ev"))
+    val lifeTable = subj.groupBy("cohort", "t")
+      .agg(sum("ev").as("d"), count(lit(1)).as("c"))
+    val wDesc = Window.partitionBy("cohort").orderBy(col("t").desc)
+    val wAsc = Window.partitionBy("cohort").orderBy(col("t").asc)
+    lifeTable
+      .withColumn("n_at_risk", sum("c").over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("h_u", expr("d * 1000000000L div n_at_risk"))
+      .withColumn("v_u", expr("d * 1000000000000L div (n_at_risk * n_at_risk)"))
+      .withColumn("ch_u", sum("h_u").over(wAsc))
+      .withColumn("cv_u", sum("v_u").over(wAsc))
+      .select(col("cohort"), col("t"), col("n_at_risk"), col("d"),
+        (col("ch_u").cast("double") / 1.0e9).as("cum_hazard"),
+        (col("cv_u").cast("double") / 1.0e12).as("cum_var"))
+      .orderBy("cohort", "t")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q362_nelson_aalen" -> (q362NelsonAalen _),
     "q357_max_drawdown" -> (q357MaxDrawdown _),
     "q353_value_change_compaction" -> (q353ValueChangeCompaction _),
     "q349_sax_motifs" -> (q349SaxMotifs _),
@@ -764,6 +809,39 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q192's life table verbatim, with the ln/exp chains replaced by
+    // the integer hazard/variance grids and integer window cumsums
+    "q362_nelson_aalen" ->
+      """WITH g AS (SELECT max(o_orderdate) AS gmax FROM orders),
+        |per AS (
+        |  SELECT c.c_mktsegment AS cohort, o.o_custkey,
+        |         date_diff('day', min(o.o_orderdate), max(o.o_orderdate))::BIGINT AS t,
+        |         CASE WHEN date_diff('day', max(o.o_orderdate),
+        |                             (SELECT gmax FROM g)) >= 90
+        |              THEN 1 ELSE 0 END AS ev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment, o.o_custkey),
+        |bt AS (
+        |  SELECT cohort, t, sum(ev)::BIGINT AS d, count(*)::BIGINT AS c
+        |  FROM per GROUP BY cohort, t),
+        |rk AS (
+        |  SELECT cohort, t, d, c,
+        |         sum(c) OVER (PARTITION BY cohort ORDER BY t DESC)::BIGINT AS n_at_risk
+        |  FROM bt),
+        |ev AS (
+        |  SELECT cohort, t, d, n_at_risk,
+        |         d * 1000000000 // n_at_risk AS h_u,
+        |         d * 1000000000000 // (n_at_risk * n_at_risk) AS v_u
+        |  FROM rk WHERE d > 0),
+        |cum AS (
+        |  SELECT cohort, t, n_at_risk, d,
+        |         (sum(h_u) OVER (PARTITION BY cohort ORDER BY t))::BIGINT AS ch_u,
+        |         (sum(v_u) OVER (PARTITION BY cohort ORDER BY t))::BIGINT AS cv_u
+        |  FROM ev)
+        |SELECT cohort, t, n_at_risk, d,
+        |       ch_u::DOUBLE / 1000000000.0 AS cum_hazard,
+        |       cv_u::DOUBLE / 1000000000000.0 AS cum_var
+        |FROM cum ORDER BY cohort, t""".stripMargin,
     // same daily cents census, same running-sum/running-max pair, same
     // first-day argmax tie-breaks, same two single divides
     "q357_max_drawdown" ->
