@@ -3960,7 +3960,113 @@ object MiscQueries extends QueryModule {
         expr("tot_loss_u div n").as("mean_loss_unats"))
   }
 
+  /** q364: BINARYFILE SOURCE — the ingestion path OPAQUE media blobs
+    * enter Spark by (`format("binaryFile")`: one row per file with
+    * path/length/content), exercised end-to-end: the first 64 documents
+    * are laid out as one file per doc under a `doc_id=N/` partition
+    * tree (the at-rest layout a blob store actually has), read back
+    * through the binaryFile source WITH partition-column discovery and
+    * `pathGlobFilter` pushdown, and certified content-exact by md5
+    * AGAINST THE TABLE (the oracle recomputes each digest from
+    * `documents.text` — so the gate proves byte-lossless write→read,
+    * not just row counts). Completes the source matrix beside
+    * CSV/JSON (q56) and ORC (q116), and is the front door of the
+    * multimodal shelf (q52/q108/…): image/audio bytes arrive exactly
+    * this way before any decode kernel runs.
+    *
+    * Scale: one file per row is the blob-store reality; the source
+    * lists partitions in parallel, the glob filter prunes at listing
+    * time, and partition values come from paths — no content parse.
+    * The temp tree is deleted after materialization (the q257-family
+    * hygiene).
+    */
+  def q364BinaryfileSource(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("q364_blobs")
+    Tables.documentsSpread(spark, dir)
+      .filter(col("doc_id") < 64)
+      .select(col("doc_id"), col("text"))
+      .repartition(8, col("doc_id"))
+      .write.mode("overwrite").partitionBy("doc_id").text(root.toString)
+    val out = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .load(root.toString)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("length").as("n_bytes"), md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+    }
+    rm(root.toFile)
+    out
+  }
+
+  /** q365: GRANGER-STYLE PREDICTIVE F TEST on the daily click→view
+    * series — "does yesterday's CLICK volume improve today's VIEW
+    * forecast beyond VIEW's own history?": restricted AR(1)
+    * (y_t ~ y_{t−1}) vs augmented (y_t ~ y_{t−1} + x_{t−1}), F on the
+    * SSE drop. The lead-lag shelf (q206 lead/lag, q284 ACF, q294 CCF)
+    * measures association; this is the predictive-incrementality test
+    * people actually mean by "does X lead Y". Both fits are closed-form
+    * OLS: the restricted 2-param solve and q361's 3×3 adjugate, every
+    * moment an exact BIGINT on the daily DOLLAR grid (cents would
+    * overflow Σy·y_l at corpus scale), F/β one fixed chain each.
+    * Scale: one shuffle to the (type, day) census; the lag windows and
+    * the 9-moment agg run on ~month-sized census rows.
+    */
+  def q365GrangerTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(expr("sum(cents) div 100").as("d"))
+    val joined = daily.filter(col("event_type") === "view")
+      .select(col("day"), col("d").as("y"))
+      .join(daily.filter(col("event_type") === "click")
+        .select(col("day"), col("d").as("x")), Seq("day"))
+    val w = Window.orderBy("day")
+    val lagged = joined
+      .withColumn("yl", lag("y", 1).over(w))
+      .withColumn("xl", lag("x", 1).over(w))
+      .filter(col("yl").isNotNull && col("xl").isNotNull)
+    lagged.agg(
+        count(lit(1)).as("n"), sum("y").as("sy"), sum("yl").as("s1"),
+        sum("xl").as("s2"), sum(col("yl") * col("yl")).as("s11"),
+        sum(col("yl") * col("xl")).as("s12"),
+        sum(col("xl") * col("xl")).as("s22"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("y") * col("yl")).as("sy1"),
+        sum(col("y") * col("xl")).as("sy2"))
+      .selectExpr("n", "sy", "syy", "sy1", "sy2",
+        "CAST(n AS DOUBLE) AS a11", "CAST(s1 AS DOUBLE) AS a12",
+        "CAST(s2 AS DOUBLE) AS a13", "CAST(s11 AS DOUBLE) AS a22",
+        "CAST(s12 AS DOUBLE) AS a23", "CAST(s22 AS DOUBLE) AS a33")
+      .selectExpr("n", "sy", "syy", "sy1", "sy2", "a11", "a12", "a13", "a22", "a33",
+        // restricted y ~ (1, yl): slope/intercept/SSE off the moments
+        "(a11 * CAST(sy1 AS DOUBLE) - a12 * CAST(sy AS DOUBLE)) / (a11 * a22 - a12 * a12) AS br",
+        "a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13) AS det",
+        "(a22 * a33 - a23 * a23) AS c11", "(a13 * a23 - a12 * a33) AS c12",
+        "(a12 * a23 - a13 * a22) AS c13", "(a11 * a33 - a13 * a13) AS c22",
+        "(a12 * a13 - a11 * a23) AS c23", "(a11 * a22 - a12 * a12) AS c33")
+      .selectExpr("n", "syy", "sy", "sy1", "sy2", "br", "det",
+        "(CAST(sy AS DOUBLE) - br * a12) / a11 AS ar",
+        "(c11 * CAST(sy AS DOUBLE) + c12 * CAST(sy1 AS DOUBLE) + c13 * CAST(sy2 AS DOUBLE)) / det AS b0",
+        "(c12 * CAST(sy AS DOUBLE) + c22 * CAST(sy1 AS DOUBLE) + c23 * CAST(sy2 AS DOUBLE)) / det AS b1",
+        "(c13 * CAST(sy AS DOUBLE) + c23 * CAST(sy1 AS DOUBLE) + c33 * CAST(sy2 AS DOUBLE)) / det AS b2")
+      .selectExpr("n", "b1", "b2",
+        "CAST(syy AS DOUBLE) - ar * CAST(sy AS DOUBLE) - br * CAST(sy1 AS DOUBLE) AS sse_r",
+        "CAST(syy AS DOUBLE) - (b0 * CAST(sy AS DOUBLE) + b1 * CAST(sy1 AS DOUBLE) + b2 * CAST(sy2 AS DOUBLE)) AS sse_f")
+      .selectExpr("n",
+        "round(b1, 6) AS beta_ylag", "round(b2, 6) AS beta_xlag",
+        "round(sse_r, 2) AS sse_restricted", "round(sse_f, 2) AS sse_full",
+        "round((sse_r - sse_f) * CAST(n - 3 AS DOUBLE) / sse_f, 6) AS f_stat")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q364_binaryfile_source" -> (q364BinaryfileSource _),
+    "q365_granger_test" -> (q365GrangerTest _),
     "q360_permutation_test" -> (q360PermutationTest _),
     "q361_logistic_newton" -> (q361LogisticNewton _),
     "q358_brown_forsythe" -> (q358BrownForsythe _),
@@ -4107,6 +4213,73 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the blind statement of the write→read contract: the text sink
+    // emits each doc's UTF-8 bytes + one trailing newline, so the
+    // digest of the file content must equal md5(text || chr(10))
+    // recomputed from the TABLE — byte-lossless or hash-dead
+    "q364_binaryfile_source" ->
+      """SELECT doc_id,
+        |       (octet_length(encode(text)) + 1)::BIGINT AS n_bytes,
+        |       md5(text || chr(10)) AS content_md5
+        |FROM documents WHERE doc_id < 64
+        |ORDER BY doc_id""".stripMargin,
+    // same daily dollar censuses, same lag spine, same exact BIGINT
+    // moments, same closed-form 2-var and adjugate 3-var OLS chains
+    "q365_granger_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         (sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) // 100)::BIGINT AS d
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT v.day, v.d AS y, c.d AS x
+        |  FROM (SELECT day, d FROM daily WHERE event_type = 'view') v
+        |  JOIN (SELECT day, d FROM daily WHERE event_type = 'click') c
+        |    USING (day)),
+        |lg AS (
+        |  SELECT y, lag(y) OVER (ORDER BY day) AS yl,
+        |         lag(x) OVER (ORDER BY day) AS xl
+        |  FROM j),
+        |mom AS (
+        |  SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+        |         sum(yl)::BIGINT AS s1, sum(xl)::BIGINT AS s2,
+        |         sum(yl * yl)::BIGINT AS s11, sum(yl * xl)::BIGINT AS s12,
+        |         sum(xl * xl)::BIGINT AS s22, sum(y * y)::BIGINT AS syy,
+        |         sum(y * yl)::BIGINT AS sy1, sum(y * xl)::BIGINT AS sy2
+        |  FROM lg WHERE yl IS NOT NULL AND xl IS NOT NULL),
+        |m1 AS (
+        |  SELECT n, sy, syy, sy1, sy2,
+        |         n::DOUBLE AS a11, s1::DOUBLE AS a12, s2::DOUBLE AS a13,
+        |         s11::DOUBLE AS a22, s12::DOUBLE AS a23, s22::DOUBLE AS a33
+        |  FROM mom),
+        |m2 AS (
+        |  SELECT n, sy, syy, sy1, sy2, a11, a12, a13, a22, a33,
+        |         (a11 * sy1::DOUBLE - a12 * sy::DOUBLE) /
+        |           (a11 * a22 - a12 * a12) AS br,
+        |         a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+        |           + a13 * (a12 * a23 - a22 * a13) AS det,
+        |         (a22 * a33 - a23 * a23) AS c11, (a13 * a23 - a12 * a33) AS c12,
+        |         (a12 * a23 - a13 * a22) AS c13, (a11 * a33 - a13 * a13) AS c22,
+        |         (a12 * a13 - a11 * a23) AS c23, (a11 * a22 - a12 * a12) AS c33
+        |  FROM m1),
+        |m3 AS (
+        |  SELECT n, syy, sy, sy1, sy2, br, det,
+        |         (sy::DOUBLE - br * a12) / a11 AS ar,
+        |         (c11 * sy::DOUBLE + c12 * sy1::DOUBLE + c13 * sy2::DOUBLE) / det AS b0,
+        |         (c12 * sy::DOUBLE + c22 * sy1::DOUBLE + c23 * sy2::DOUBLE) / det AS b1,
+        |         (c13 * sy::DOUBLE + c23 * sy1::DOUBLE + c33 * sy2::DOUBLE) / det AS b2
+        |  FROM m2),
+        |m4 AS (
+        |  SELECT n, b1, b2,
+        |         syy::DOUBLE - ar * sy::DOUBLE - br * sy1::DOUBLE AS sse_r,
+        |         syy::DOUBLE - (b0 * sy::DOUBLE + b1 * sy1::DOUBLE
+        |                        + b2 * sy2::DOUBLE) AS sse_f
+        |  FROM m3)
+        |SELECT n, round(b1, 6) + 0.0 AS beta_ylag, round(b2, 6) + 0.0 AS beta_xlag,
+        |       round(sse_r, 2) + 0.0 AS sse_restricted,
+        |       round(sse_f, 2) + 0.0 AS sse_full,
+        |       round((sse_r - sse_f) * (n - 3)::DOUBLE / sse_f, 6) + 0.0 AS f_stat
+        |FROM m4""".stripMargin,
     // same md5 coin, same per-replicate mean-difference chains, same
     // |d| >= |obs| census and ppm divide
     "q360_permutation_test" ->

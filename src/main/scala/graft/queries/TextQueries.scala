@@ -2116,7 +2116,37 @@ object TextQueries extends QueryModule {
           col("n_tokens").cast("double"), 6).as("gt_coverage"))
   }
 
+  /** q366: YULE'S K (Yule '44) — the repeat-rate vocabulary-richness
+    * characteristic, per source: K = 10⁴·(Σ m²V(m) − N)/N² over the
+    * count-of-counts census (V(m) = types occurring m times). Rounds
+    * out the lexical-statistics shelf — Zipf fits the rank law (q264),
+    * Heaps the growth law (q234), Chao1/Good–Turing the unseen mass
+    * (q343), token Gini the concentration (q265); K is the classic
+    * SIZE-INVARIANT summary (a repetitive corpus scores high K at any
+    * N), the one-number screen for template/boilerplate-heavy sources
+    * in a training-data audit.
+    *
+    * Determinism: Σ m² over types is an exact BIGINT; K is one fixed
+    * double chain. Scale: tokenize scan-local → term census → 1-row
+    * moments per source — the canonical two-agg text pass.
+    */
+  def q366YuleK(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documentsSpread(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("m"))
+    tf.groupBy("source")
+      .agg(sum("m").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("m") * col("m")).as("s2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round((col("s2") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")) *
+          10000.0, 6).as("yule_k"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q366_yule_k" -> (q366YuleK _),
     "q343_chao1" -> (q343Chao1 _),
     "q324_textrank" -> (q324Textrank _),
     "q319_naive_bayes" -> (q319NaiveBayes _),
@@ -2253,6 +2283,18 @@ object TextQueries extends QueryModule {
       |  GROUP BY 1, 2, 3)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same term census, same exact Σm² moment, same one K chain
+    "q366_yule_k" ->
+      """WITH tf AS (
+        |  SELECT source, w AS term, count(*)::BIGINT AS m
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY 1, 2)
+        |SELECT source, sum(m)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |       round((sum(m * m) - sum(m))::DOUBLE /
+        |             (sum(m)::DOUBLE * sum(m)::DOUBLE) * 10000.0, 6) + 0.0
+        |         AS yule_k
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
     // same distinct co-occurrence edges, q140's 5-CTE trajectory
     // unrolled verbatim, same (rank desc, word) top-10 cut
     "q324_textrank" -> {
