@@ -4064,7 +4064,50 @@ object MiscQueries extends QueryModule {
         "round((sse_r - sse_f) * CAST(n - 3 AS DOUBLE) / sse_f, 6) AS f_stat")
   }
 
+  /** q367: PRECISION–RECALL CURVE + AVERAGE PRECISION — the evaluation
+    * standard for IMBALANCED classes, beside q263's ROC/AUC on the very
+    * same (score, label) pairs (purchase vs rest on the cents grid):
+    * ROC's FPR denominator is the huge negative class, so it flatters a
+    * rare-positive detector; AP = Σ ΔR·P weights by the positives and
+    * is what retrieval/safety-filter evals report. Stepwise AP over
+    * distinct score thresholds descending (the sklearn definition),
+    * with a 10-ish-point PR polyline by $5 score bands alongside.
+    *
+    * Determinism: the whole curve lives on the score CENSUS; each AP
+    * term is the exact integer np·cp·10⁶ div cc (grid semantics stated,
+    * no float crosses a summation), and AP is ONE divide at the end.
+    * Scale: q263's discipline — one shuffle to the census, windows and
+    * bands census-sized.
+    */
+  def q367PrCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select(
+      floor(col("value") * 100.0 + 0.5).cast("long").as("sc"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val census = ev.groupBy("sc").agg(
+      sum("pos").as("np"), count(lit(1)).as("nc")).localCheckpoint()
+    val wDesc = Window.orderBy(col("sc").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census
+      .withColumn("cp", sum("np").over(wDesc))
+      .withColumn("cc", sum("nc").over(wDesc))
+    val tot = census.agg(sum("np").as("p"))
+    val ap = cum.agg(sum(expr("np * cp * 1000000L div cc")).as("ap_u"))
+      .crossJoin(broadcast(tot))
+      .select((col("ap_u").cast("double") /
+        (col("p").cast("double") * 1000000.0)).as("avg_precision"))
+    cum.withColumn("band", expr("sc div 500"))
+      .groupBy("band").agg(max("cp").as("bp"), max("cc").as("bc"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ap))
+      .select(col("band"), (col("band") * 5.0).as("thr_usd"),
+        (col("bp").cast("double") / col("bc").cast("double")).as("precision"),
+        (col("bp").cast("double") / col("p").cast("double")).as("recall"),
+        col("avg_precision"))
+      .orderBy("band")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q367_pr_curve" -> (q367PrCurve _),
     "q364_binaryfile_source" -> (q364BinaryfileSource _),
     "q365_granger_test" -> (q365GrangerTest _),
     "q360_permutation_test" -> (q360PermutationTest _),
@@ -4213,6 +4256,33 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same score census, same integer AP terms on the 10⁻⁶ grid, same
+    // band-max PR polyline, one divide for AP
+    "q367_pr_curve" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS sc,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |census AS (
+        |  SELECT sc, sum(pos)::BIGINT AS np, count(*)::BIGINT AS nc
+        |  FROM ev GROUP BY sc),
+        |cum AS (
+        |  SELECT sc, np, nc,
+        |         (sum(np) OVER (ORDER BY sc DESC
+        |            ROWS UNBOUNDED PRECEDING))::BIGINT AS cp,
+        |         (sum(nc) OVER (ORDER BY sc DESC
+        |            ROWS UNBOUNDED PRECEDING))::BIGINT AS cc
+        |  FROM census),
+        |tot AS (SELECT sum(np)::BIGINT AS p FROM census),
+        |ap AS (
+        |  SELECT sum(np * cp * 1000000 // cc)::DOUBLE /
+        |         ((SELECT p FROM tot)::DOUBLE * 1000000.0) AS avg_precision
+        |  FROM cum)
+        |SELECT sc // 500 AS band, (sc // 500)::DOUBLE * 5.0 AS thr_usd,
+        |       max(cp)::DOUBLE / max(cc)::DOUBLE AS precision,
+        |       max(cp)::DOUBLE / (SELECT p FROM tot)::DOUBLE AS recall,
+        |       (SELECT avg_precision FROM ap) AS avg_precision
+        |FROM cum GROUP BY 1 ORDER BY band""".stripMargin,
     // the blind statement of the write→read contract: the text sink
     // emits each doc's UTF-8 bytes + one trailing newline, so the
     // digest of the file content must equal md5(text || chr(10))

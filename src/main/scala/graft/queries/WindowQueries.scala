@@ -783,7 +783,62 @@ object WindowQueries extends QueryModule {
       .orderBy("cohort", "t")
   }
 
+  /** q368: HOLT'S LINEAR TREND (double exponential smoothing, α=0.2,
+    * β=0.1) — the level+trend recursion EWMA (q115) cannot express and
+    * the classical forecasting baseline between q115's flat smoother
+    * and q330's seasonal naive: lₜ = αyₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    * bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, plus the one-step-ahead MAE and the
+    * 7-day-ahead forecast l + 7b. The genuinely-sequential recursion
+    * runs IN PLAN as an `aggregate` HOF fold over each type's
+    * census-sized day array — the "stateful scan over a small series
+    * after one big shuffle" shape; the oracle replays it as a bounded
+    * recursive CTE.
+    *
+    * Determinism: the state lives on the integer milli-dollar grid —
+    * each update is (2y + 8(l+b)) div 10 etc., with the OFFSET-DIV
+    * device (add 10¹³ before the div, subtract 10¹² after) because the
+    * trend is SIGNED and Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors: shifting the operand positive makes the two
+    * agree exactly. No float anywhere until the output divides.
+    */
+  def q368HoltTrend(spark: SparkSession, dir: String): DataFrame = {
+    // floor-div by 10 for possibly-negative x, identical in both
+    // engines: operand shifted positive so truncation == floor
+    def fd10(x: String): String = s"(($x + 10000000000000L) div 10 - 1000000000000L)"
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg((sum("cents") * lit(10L)).as("yu")) // milli-dollar grid = cents*10
+    val series = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("yu")))).as("s"))
+      .select(col("event_type"), size(col("s")).as("n_days"),
+        expr("transform(s, p -> p.yu)").as("ys"))
+    val lNew = fd10("2 * y + 8 * (acc.l + acc.b)")
+    val step = s"named_struct(" +
+      s"'l', $lNew, " +
+      s"'b', ${fd10(s"$lNew - acc.l + 9 * acc.b")}, " +
+      s"'sae', acc.sae + abs(y - (acc.l + acc.b)))"
+    series
+      .withColumn("st", expr(
+        "aggregate(slice(ys, 3, greatest(size(ys) - 2, 0)), " +
+          "named_struct('l', element_at(ys, 2), " +
+          "'b', element_at(ys, 2) - element_at(ys, 1), " +
+          "'sae', CAST(0 AS BIGINT)), " +
+          s"(acc, y) -> $step)"))
+      .select(col("event_type"), col("n_days"),
+        (col("st.l").cast("double") / 1000.0).as("level"),
+        (col("st.b").cast("double") / 1000.0).as("trend"),
+        ((col("st.l") + lit(7L) * col("st.b")).cast("double") / 1000.0)
+          .as("forecast_7d"),
+        (expr("st.sae div greatest(n_days - 2, 1)").cast("double") / 1000.0)
+          .as("mae"))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q368_holt_trend" -> (q368HoltTrend _),
     "q362_nelson_aalen" -> (q362NelsonAalen _),
     "q357_max_drawdown" -> (q357MaxDrawdown _),
     "q353_value_change_compaction" -> (q353ValueChangeCompaction _),
@@ -809,6 +864,42 @@ object WindowQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the identical integer state machine replayed as a bounded
+    // recursive CTE — same offset-div updates, same init, same grids
+    "q368_holt_trend" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         (sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) * 10)::BIGINT AS yu
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |         yu
+        |  FROM daily),
+        |nn AS (SELECT event_type, count(*)::BIGINT AS n_days FROM ser GROUP BY 1),
+        |rec AS (
+        |  SELECT s2.event_type, 2::BIGINT AS rn, s2.yu AS l,
+        |         (s2.yu - s1.yu)::BIGINT AS b, 0::BIGINT AS sae
+        |  FROM ser s1 JOIN ser s2
+        |    ON s1.event_type = s2.event_type AND s1.rn = 1 AND s2.rn = 2
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn + 1,
+        |         ((2 * s.yu + 8 * (r.l + r.b) + 10000000000000) // 10
+        |           - 1000000000000),
+        |         ((((2 * s.yu + 8 * (r.l + r.b) + 10000000000000) // 10
+        |            - 1000000000000) - r.l + 9 * r.b + 10000000000000) // 10
+        |           - 1000000000000),
+        |         r.sae + abs(s.yu - (r.l + r.b))
+        |  FROM rec r JOIN ser s
+        |    ON s.event_type = r.event_type AND s.rn = r.rn + 1),
+        |fin AS (
+        |  SELECT rec.event_type, rec.l, rec.b, rec.sae, nn.n_days
+        |  FROM rec JOIN nn USING (event_type) WHERE rec.rn = nn.n_days)
+        |SELECT event_type, n_days,
+        |       l::DOUBLE / 1000.0 AS level, b::DOUBLE / 1000.0 AS trend,
+        |       (l + 7 * b)::DOUBLE / 1000.0 AS forecast_7d,
+        |       (sae // greatest(n_days - 2, 1))::DOUBLE / 1000.0 AS mae
+        |FROM fin ORDER BY event_type""".stripMargin,
     // q192's life table verbatim, with the ln/exp chains replaced by
     // the integer hazard/variance grids and integer window cumsums
     "q362_nelson_aalen" ->
