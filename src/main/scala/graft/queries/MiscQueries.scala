@@ -4106,7 +4106,106 @@ object MiscQueries extends QueryModule {
       .orderBy("band")
   }
 
+  /** q369: PARTIAL AUTOCORRELATION (lags 1–3) via Durbin–Levinson —
+    * the model-identification companion to q284's ACF over the same
+    * daily-count series: ACF says "correlated at lag k", PACF says
+    * "correlated at lag k AFTER removing the shorter lags", which is
+    * what picks AR order (the ACF/PACF pair is how every forecasting
+    * text starts). φ11 = ρ1; φ22, φ33 from the DL recursion — pure
+    * fixed chains over the SNAPPED ρ grid (q284's ⌊ρ·10⁶+0.5⌋/10⁶
+    * device makes the inputs bit-identical first, so the recursion
+    * never sees an engine-ordered float). Scale: q284's shape — one
+    * day census, 3-lag self-join on census rows, 1-row chains.
+    */
+  def q369Pacf(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+    val tot = days.agg(count(lit(1)).as("nd"), sum("y").as("s"))
+    val c = days.crossJoin(broadcast(tot))
+      .select(col("day"), (col("nd") * col("y") - col("s")).as("cy"))
+      .localCheckpoint()
+    val den = c.agg(sum(col("cy") * col("cy")).as("den"))
+    val lagged = spark.range(1, 4).select(col("id").as("lag"))
+      .crossJoin(c.select(col("day").as("d0"), col("cy").as("cy0")))
+      .select(col("lag"), (col("d0") + col("lag")).as("day"), col("cy0"))
+    val rho = c.join(lagged, "day")
+      .groupBy("lag").agg(sum(col("cy") * col("cy0")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"),
+        (floor((col("num").cast("double") / col("den").cast("double")) *
+          1000000.0 + 0.5) / 1000000.0).as("r"))
+      .agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+        max(when(col("lag") === 2, col("r"))).as("r2"),
+        max(when(col("lag") === 3, col("r"))).as("r3"))
+    rho
+      .withColumn("p22", (col("r2") - col("r1") * col("r1")) /
+        (lit(1.0) - col("r1") * col("r1")))
+      .withColumn("p21", col("r1") - col("p22") * col("r1"))
+      .withColumn("p33",
+        (col("r3") - col("p21") * col("r2") - col("p22") * col("r1")) /
+          (lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2")))
+      .select(explode(array(
+        struct(lit(1L).as("lag"), round(col("r1"), 6).as("pacf")),
+        struct(lit(2L).as("lag"), round(col("p22"), 6).as("pacf")),
+        struct(lit(3L).as("lag"), round(col("p33"), 6).as("pacf")))).as("o"))
+      .select(col("o.lag").as("lag"), col("o.pacf").as("pacf"))
+      .orderBy("lag")
+  }
+
+  /** q370: COOK'S DISTANCE + leverage — per-observation influence
+    * diagnostics for the simple OLS of order total (dollars) on line
+    * count: which orders would move the fitted line most if deleted?
+    * The regression shelf fits lines (q172, q297 robustly, q365
+    * predictively); this is the diagnostics step a modeler runs next,
+    * and the data-quality angle (top-influence rows ≈ label/feature
+    * anomalies worth auditing) is why it belongs in a pipeline engine.
+    * D_i = e_i²·h_i / (p·s²·(1−h_i)²) with h_i = 1/n + (x−x̄)²/Sxx.
+    *
+    * Determinism: all moments exact BIGINTs on the dollar grid;
+    * slope/intercept/s²/h/D are fixed chains, identical per row in
+    * both engines, so the (D desc, orderkey) top-10 cut is exact.
+    * Scale: one moment agg broadcast back over the scan; per-row
+    * arithmetic is codegen-local; top-10 is a TakeOrdered heap.
+    */
+  def q370CooksDistance(spark: SparkSession, dir: String): DataFrame = {
+    val lc = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+    val base = Tables.orders(spark, dir)
+      .join(lc, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("x"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) div 100").as("yd"))
+    val mom = base.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum("yd").as("sy"),
+        sum(col("x") * col("yd")).as("sxy"),
+        sum(col("yd") * col("yd")).as("syy"))
+      .selectExpr("n", "sx", "sxx",
+        "CAST(n AS DOUBLE) AS nd", "CAST(sx AS DOUBLE) AS sxd",
+        "CAST(sxx AS DOUBLE) AS sxxd", "CAST(sy AS DOUBLE) AS syd",
+        "CAST(sxy AS DOUBLE) AS sxyd", "CAST(syy AS DOUBLE) AS syyd")
+      .selectExpr("n", "nd", "sxd", "sxxd", "syd", "syyd", "sxyd",
+        "(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS b",
+        "sxxd - sxd * sxd / nd AS sxx_c")
+      .selectExpr("n", "nd", "sxd", "sxx_c", "b",
+        "(syd - b * sxd) / nd AS a",
+        "syyd - ((syd - b * sxd) / nd) * syd - b * sxyd AS sse")
+      .selectExpr("nd", "sxd", "sxx_c", "a", "b",
+        "sse / (nd - 2.0) AS s2")
+      .localCheckpoint()
+    base.crossJoin(broadcast(mom))
+      .withColumn("h", expr(
+        "1.0 / nd + (CAST(x AS DOUBLE) - sxd / nd) * (CAST(x AS DOUBLE) - sxd / nd) / sxx_c"))
+      .withColumn("e", expr("CAST(yd AS DOUBLE) - (a + b * CAST(x AS DOUBLE))"))
+      .withColumn("d", expr("e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))"))
+      .orderBy(col("d").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("x"), col("yd").as("y_dollars"),
+        round(col("h"), 6).as("leverage"), round(col("d"), 6).as("cooks_d"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q369_pacf" -> (q369Pacf _),
+    "q370_cooks_distance" -> (q370CooksDistance _),
     "q367_pr_curve" -> (q367PrCurve _),
     "q364_binaryfile_source" -> (q364BinaryfileSource _),
     "q365_granger_test" -> (q365GrangerTest _),
@@ -4256,6 +4355,88 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // q284's snapped-ρ grid, then the identical Durbin–Levinson chains
+    "q369_pacf" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS nd, sum(y)::BIGINT AS s FROM days),
+        |c AS (SELECT day, (nd * y - s)::BIGINT AS cy FROM days CROSS JOIN tot),
+        |den AS (SELECT sum(cy * cy)::BIGINT AS den FROM c),
+        |lagged AS (
+        |  SELECT l.lag, c.day + l.lag AS day, c.cy AS cy0
+        |  FROM (SELECT unnest(range(1, 4)) AS lag) l CROSS JOIN c),
+        |rho AS (
+        |  SELECT lag,
+        |         floor(sum(c.cy * lagged.cy0)::DOUBLE /
+        |               (SELECT den FROM den)::DOUBLE * 1000000.0 + 0.5)
+        |           / 1000000.0 AS r
+        |  FROM c JOIN lagged USING (day) GROUP BY lag),
+        |rr AS (
+        |  SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+        |         max(CASE WHEN lag = 2 THEN r END) AS r2,
+        |         max(CASE WHEN lag = 3 THEN r END) AS r3
+        |  FROM rho),
+        |dl AS (
+        |  SELECT r1, r2, r3,
+        |         (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+        |  FROM rr),
+        |dl2 AS (
+        |  SELECT r1, r2, r3, p22, r1 - p22 * r1 AS p21 FROM dl),
+        |dl3 AS (
+        |  SELECT r1, p22,
+        |         (r3 - p21 * r2 - p22 * r1) /
+        |           (1.0 - p21 * r1 - p22 * r2) AS p33
+        |  FROM dl2)
+        |SELECT 1::BIGINT AS lag, round(r1, 6) + 0.0 AS pacf FROM dl3
+        |UNION ALL SELECT 2::BIGINT, round(p22, 6) + 0.0 FROM dl3
+        |UNION ALL SELECT 3::BIGINT, round(p33, 6) + 0.0 FROM dl3
+        |ORDER BY lag""".stripMargin,
+    // same dollar-grid moments, same fixed slope/intercept/s²/h/D
+    // chains row-identical in both engines, same (D desc, key) cut
+    "q370_cooks_distance" ->
+      """WITH lc AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS x FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT o.o_orderkey, lc.x,
+        |         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) // 100 AS yd
+        |  FROM orders o JOIN lc ON o.o_orderkey = lc.l_orderkey),
+        |mom AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |         sum(x * x)::BIGINT AS sxx, sum(yd)::BIGINT AS sy,
+        |         sum(x * yd)::BIGINT AS sxy, sum(yd * yd)::BIGINT AS syy
+        |  FROM base),
+        |m1 AS (
+        |  SELECT n::DOUBLE AS nd, sx::DOUBLE AS sxd, sxx::DOUBLE AS sxxd,
+        |         sy::DOUBLE AS syd, sxy::DOUBLE AS sxyd, syy::DOUBLE AS syyd
+        |  FROM mom),
+        |m2 AS (
+        |  SELECT nd, sxd, syd, syyd, sxyd,
+        |         (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS b,
+        |         sxxd - sxd * sxd / nd AS sxx_c
+        |  FROM m1),
+        |m3 AS (
+        |  SELECT nd, sxd, sxx_c, b,
+        |         (syd - b * sxd) / nd AS a,
+        |         syyd - ((syd - b * sxd) / nd) * syd - b * sxyd AS sse
+        |  FROM m2),
+        |m4 AS (
+        |  SELECT nd, sxd, sxx_c, a, b, sse / (nd - 2.0) AS s2 FROM m3),
+        |sc AS (
+        |  SELECT base.o_orderkey, base.x, base.yd,
+        |         1.0 / nd + (x::DOUBLE - sxd / nd) * (x::DOUBLE - sxd / nd)
+        |           / sxx_c AS h,
+        |         yd::DOUBLE - (a + b * x::DOUBLE) AS e,
+        |         s2
+        |  FROM base CROSS JOIN m4)
+        |SELECT o_orderkey, x, yd AS y_dollars,
+        |       round(h, 6) + 0.0 AS leverage,
+        |       round(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6) + 0.0
+        |         AS cooks_d
+        |FROM sc
+        |ORDER BY e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) DESC,
+        |         o_orderkey ASC
+        |LIMIT 10""".stripMargin,
     // same score census, same integer AP terms on the 10⁻⁶ grid, same
     // band-max PR polyline, one divide for AP
     "q367_pr_curve" ->
