@@ -50,8 +50,15 @@ object Bench {
       * contract). Blocking unpersist so the next timed rep starts clean.
       */
     def dropSweepState(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      // EXEMPT session-scoped memo blocks (IvfAnn shared index, PQ
+      // fits, grid-IVF assignment): their memos keep handing out the
+      // checkpointed frames, and unpersisting those blocks truncates
+      // lineage irrecoverably — the first round-15 sweep killed all 12
+      // IVF-family queries with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+      val keep = graft.operators.IvfAnn.protectedRddIds
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
 

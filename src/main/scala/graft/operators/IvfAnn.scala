@@ -88,19 +88,45 @@ object IvfAnn {
     */
   private val prepped =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** RDD ids backing live memo entries. A sweep-level cleanup (Bench's
+    * `dropSweepState`) blanket-unpersists checkpoint blocks between
+    * queries; the memo's DataFrames would then reference DEAD blocks
+    * with truncated lineage (round-15 regression: all 12 IVF-family
+    * queries died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Cleanup
+    * exempts these ids. Registration snapshots the persistent-RDD set
+    * around each memo build; over-protecting a concurrently-persisted
+    * stranger is benign (it is merely retained).
+    */
+  private val memoRdds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  def protectedRddIds: java.util.Set[Int] = memoRdds
+  /** Public: any session-scoped memo handing out checkpointed frames
+    * (SimilarityQueries' PQ fit / grid-IVF assignment) registers its
+    * blocks through the same guard. */
+  def protecting[T](spark: SparkSession)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = body
+    spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+      .foreach(memoRdds.add(_))
+    out
+  }
+
   private def preppedEmb(spark: SparkSession, dir: String): DataFrame =
     prepped.computeIfAbsent((System.identityHashCode(spark), dir), _ =>
-      graft.Tables.spread(
-        graft.Tables.embeddings(spark, dir)
-          .select("vec_id", "label", "embedding"))
-        .withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
-        .localCheckpoint(true))
+      protecting(spark) {
+        graft.Tables.spread(
+          graft.Tables.embeddings(spark, dir)
+            .select("vec_id", "label", "embedding"))
+          .withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
+          .localCheckpoint(true)
+      })
 
   def buildShared(spark: SparkSession, dir: String, nLists: Int): (DataFrame, DataFrame) =
-    shared.computeIfAbsent((System.identityHashCode(spark), dir, nLists), _ => {
-      val (index, centroids) = build(spark, preppedEmb(spark, dir), nLists)
-      (index.localCheckpoint(true), centroids.localCheckpoint(true))
-    })
+    shared.computeIfAbsent((System.identityHashCode(spark), dir, nLists), _ =>
+      protecting(spark) {
+        val (index, centroids) = build(spark, preppedEmb(spark, dir), nLists)
+        (index.localCheckpoint(true), centroids.localCheckpoint(true))
+      })
 
   /** EXACT nearest neighbor for EVERY vector through the IVF buckets —
     * the all-pairs-NN scale path (q46's answer without q46's full-table

@@ -4203,7 +4203,150 @@ object MiscQueries extends QueryModule {
         round(col("h"), 6).as("leverage"), round(col("d"), 6).as("cooks_d"))
   }
 
+  /** q371: WALD–WOLFOWITZ RUNS TEST on the daily-total series — is the
+    * sign pattern around the median RANDOM, or does it trend/cluster?
+    * The nonparametric randomness screen that catches what mean tests
+    * can't (a perfectly mean-stable series that alternates or clusters
+    * systematically), the classic pre-check before q271's CUSUM or
+    * q318's Mann–Kendall reads too much into a drift. Days above the
+    * census median are 1, below are 0, exact-median days drop (the
+    * stated convention); R = number of maximal same-sign runs;
+    * z = (R − μ_R)/σ_R from the exact run-count moments.
+    *
+    * Determinism: signs and run boundaries are integer lag compares on
+    * the day census under the total day order; μ/σ/z are fixed chains
+    * over exact BIGINTs. Scale: one shuffle to the day census;
+    * everything after is census-sized.
+    */
+  def q371RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("dc"))
+      .localCheckpoint()
+    val census = daily.groupBy("dc").agg(count(lit(1)).as("cnt"))
+    val cc = census.withColumn("cum",
+      sum("cnt").over(Window.orderBy("dc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val med = cc.crossJoin(broadcast(census.agg(sum("cnt").as("n"))))
+      .filter(col("cum") * 2 >= col("n") + 1)
+      .agg(min("dc").as("med"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("dc") =!= col("med"))
+      .select(col("day"), (col("dc") > col("med")).cast("long").as("s"))
+    val runs = signed
+      .withColumn("prev", lag("s", 1).over(Window.orderBy("day")))
+      .select(
+        sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L)).as("r"),
+        sum("s").as("n1"), sum(lit(1L) - col("s")).as("n2"))
+    runs.selectExpr("n1 + n2 AS n_days", "n1 AS n_above", "n2 AS n_below",
+        "r AS n_runs",
+        "CAST(n1 AS DOUBLE) AS a", "CAST(n2 AS DOUBLE) AS b",
+        "CAST(r AS DOUBLE) AS rd")
+      .selectExpr("n_days", "n_above", "n_below", "n_runs",
+        "2.0 * a * b / (a + b) + 1.0 AS mu",
+        "2.0 * a * b * (2.0 * a * b - a - b) / ((a + b) * (a + b) * (a + b - 1.0)) AS v2",
+        "rd")
+      .selectExpr("n_days", "n_above", "n_below", "n_runs",
+        "round(mu, 6) AS mu_runs",
+        "round((rd - mu) / sqrt(v2), 6) AS z")
+  }
+
+  /** q372: MARKOV CONDITIONAL ENTROPY (sequence entropy rate) — how
+    * predictable is the NEXT event type given the current one, per
+    * state and overall? q177/q245 publish the transition matrix; this
+    * is its one-number summary H(next|cur) = −Σ p(c,n)·ln p(n|c), the
+    * sequence-predictability metric behavioral analytics reads (low
+    * entropy after 'signup' = funnel discipline; high = noise), and
+    * the text-shelf twin of q128/q180's token cross-entropies, over
+    * SESSIONS instead of words.
+    *
+    * Determinism: transitions are (ts, event_id)-ordered lag pairs per
+    * user; every log is snapped to micro-nats at the CENSUS cell
+    * (q323's device) so H is an exact integer mix. Scale: user-
+    * partitioned lag window at the events layout, one census shuffle,
+    * then cell-local integer arithmetic.
+    */
+  def q372MarkovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lnu(c: Column): Column =
+      floor(log(c.cast("double")) * 1000000.0 + 0.5).cast("long")
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type").as("cur"))
+      .withColumn("nxt", lead("cur", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("nxy"))
+    val byCur = trans.groupBy("cur").agg(sum("nxy").as("nc"))
+    val cells = trans.join(byCur, Seq("cur"))
+      .withColumn("t_u", col("nxy") * (lnu(col("nc")) - lnu(col("nxy"))))
+    val perCur = cells.groupBy("cur")
+      .agg(sum("nxy").as("n_trans"), count(lit(1)).as("n_next"),
+        expr("sum(t_u) div sum(nxy)").as("h_u"))
+    val overall = cells.agg(
+      expr("sum(t_u) div sum(nxy)").as("hall_u"), sum("nxy").as("nall"))
+    perCur.crossJoin(broadcast(overall))
+      .select(col("cur"), col("n_trans"), col("n_next"),
+        (col("h_u").cast("double") / 1000000.0).as("h_cond_nats"),
+        (col("hall_u").cast("double") / 1000000.0).as("h_overall_nats"))
+      .orderBy("cur")
+  }
+
+  /** q373: McNEMAR'S TEST — the PAIRED classifier comparison the
+    * eval shelf lacked: q213 scores one model, q263/q367 rank one
+    * scorer; when two models score the SAME rows, comparing marginal
+    * accuracies wastes the pairing — only the DISCORDANT cells carry
+    * evidence. Model A (price above its median) vs model B (≥ 4 line
+    * items) predicting urgent/high priority: χ² = (|b−c|−1)²/(b+c)
+    * with continuity correction over the b/c discordant census.
+    *
+    * Determinism: both rules and the 2×2 discordance census are pure
+    * integer compares (A's threshold is the exact census median);
+    * χ² is one fixed chain. Scale: a census median lookup broadcast
+    * over one scan, then a 1-row agg.
+    */
+  def q373McNemar(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lc = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("nl"))
+    val base = Tables.orders(spark, dir)
+      .join(lc, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long").as("y"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("v"),
+        col("nl"))
+      .localCheckpoint()
+    val census = base.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val cc = census.withColumn("cum",
+      sum("cnt").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val med = cc.crossJoin(broadcast(census.agg(sum("cnt").as("n"))))
+      .filter(col("cum") * 2 >= col("n") + 1)
+      .agg(min("v").as("med"))
+    base.crossJoin(broadcast(med))
+      .select(col("y"),
+        (col("v") > col("med")).cast("long").as("pa"),
+        (col("nl") >= 4).cast("long").as("pb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pa") === col("y"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("pb") === col("y"), 1L).otherwise(0L)).as("cb"),
+        sum(when(col("pa") === col("y") && col("pb") =!= col("y"), 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("pa") =!= col("y") && col("pb") === col("y"), 1L)
+          .otherwise(0L)).as("c"))
+      .selectExpr("n",
+        "ca * 1000000L div n AS acc_a_ppm", "cb * 1000000L div n AS acc_b_ppm",
+        "b AS a_only_correct", "c AS b_only_correct",
+        "round((CAST(abs(b - c) AS DOUBLE) - 1.0) * (CAST(abs(b - c) AS DOUBLE) - 1.0) / CAST(b + c AS DOUBLE), 6) AS chi2")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q371_runs_test" -> (q371RunsTest _),
+    "q372_markov_entropy" -> (q372MarkovEntropy _),
+    "q373_mcnemar" -> (q373McNemar _),
     "q369_pacf" -> (q369Pacf _),
     "q370_cooks_distance" -> (q370CooksDistance _),
     "q367_pr_curve" -> (q367PrCurve _),
@@ -4355,6 +4498,105 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same day census, same census-median signs (ties dropped), same
+    // integer run-boundary census, same μ/σ/z chains
+    "q371_runs_test" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS dc
+        |  FROM events GROUP BY 1),
+        |census AS (SELECT dc, count(*)::BIGINT AS cnt FROM daily GROUP BY 1),
+        |cc AS (
+        |  SELECT dc, cnt, (sum(cnt) OVER (ORDER BY dc
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM census),
+        |n AS (SELECT sum(cnt)::BIGINT AS n FROM census),
+        |med AS (SELECT min(dc)::BIGINT AS med FROM cc CROSS JOIN n
+        |        WHERE cum * 2 >= n + 1),
+        |signed AS (
+        |  SELECT day, CASE WHEN dc > med THEN 1 ELSE 0 END AS s
+        |  FROM daily CROSS JOIN med WHERE dc <> med),
+        |runs AS (
+        |  SELECT day, s, lag(s) OVER (ORDER BY day) AS prev FROM signed),
+        |agg AS (
+        |  SELECT sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)::BIGINT AS r,
+        |         sum(s)::BIGINT AS n1, sum(1 - s)::BIGINT AS n2
+        |  FROM runs),
+        |m AS (
+        |  SELECT n1 + n2 AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs,
+        |         n1::DOUBLE AS a, n2::DOUBLE AS b, r::DOUBLE AS rd
+        |  FROM agg),
+        |m2 AS (
+        |  SELECT n_days, n_above, n_below, n_runs, rd,
+        |         2.0 * a * b / (a + b) + 1.0 AS mu,
+        |         2.0 * a * b * (2.0 * a * b - a - b) /
+        |           ((a + b) * (a + b) * (a + b - 1.0)) AS v2
+        |  FROM m)
+        |SELECT n_days::BIGINT AS n_days, n_above, n_below, n_runs,
+        |       round(mu, 6) + 0.0 AS mu_runs,
+        |       round((rd - mu) / sqrt(v2), 6) + 0.0 AS z
+        |FROM m2""".stripMargin,
+    // same user-ordered lag pairs, same transition census, q323's
+    // micro-nat log snap per cell, same integer entropy mixes
+    "q372_markov_entropy" ->
+      """WITH tr AS (
+        |  SELECT event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |cells AS (
+        |  SELECT cur, nxt, count(*)::BIGINT AS nxy
+        |  FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |bc AS (SELECT cur, sum(nxy)::BIGINT AS nc FROM cells GROUP BY 1),
+        |t AS (
+        |  SELECT cells.cur, nxy,
+        |         nxy * (CAST(floor(ln(nc::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |              - CAST(floor(ln(nxy::DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+        |           AS t_u
+        |  FROM cells JOIN bc USING (cur)),
+        |pc AS (
+        |  SELECT cur, sum(nxy)::BIGINT AS n_trans, count(*)::BIGINT AS n_next,
+        |         (sum(t_u) // sum(nxy))::BIGINT AS h_u
+        |  FROM t GROUP BY 1),
+        |ov AS (SELECT (sum(t_u) // sum(nxy))::BIGINT AS hall_u FROM t)
+        |SELECT cur, n_trans, n_next,
+        |       h_u::DOUBLE / 1000000.0 AS h_cond_nats,
+        |       hall_u::DOUBLE / 1000000.0 AS h_overall_nats
+        |FROM pc CROSS JOIN ov ORDER BY cur""".stripMargin,
+    // same integer rules (exact census median, >= 4 lines), same 2x2
+    // discordance census, same continuity-corrected χ² chain
+    "q373_mcnemar" ->
+      """WITH lc AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS nl FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |              THEN 1 ELSE 0 END AS y,
+        |         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |         lc.nl
+        |  FROM orders o JOIN lc ON o.o_orderkey = lc.l_orderkey),
+        |census AS (SELECT v, count(*)::BIGINT AS cnt FROM base GROUP BY 1),
+        |cc AS (
+        |  SELECT v, cnt, (sum(cnt) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM census),
+        |n AS (SELECT sum(cnt)::BIGINT AS n FROM census),
+        |med AS (SELECT min(v)::BIGINT AS med FROM cc CROSS JOIN n
+        |        WHERE cum * 2 >= n + 1),
+        |pred AS (
+        |  SELECT y, CASE WHEN v > med THEN 1 ELSE 0 END AS pa,
+        |         CASE WHEN nl >= 4 THEN 1 ELSE 0 END AS pb
+        |  FROM base CROSS JOIN med),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |         sum(CASE WHEN pa = y THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |         sum(CASE WHEN pb = y THEN 1 ELSE 0 END)::BIGINT AS cb,
+        |         sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)::BIGINT AS b,
+        |         sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM pred)
+        |SELECT n, (ca * 1000000 // n)::BIGINT AS acc_a_ppm,
+        |       (cb * 1000000 // n)::BIGINT AS acc_b_ppm,
+        |       b AS a_only_correct, c AS b_only_correct,
+        |       round((abs(b - c)::DOUBLE - 1.0) * (abs(b - c)::DOUBLE - 1.0)
+        |             / (b + c)::DOUBLE, 6) + 0.0 AS chi2
+        |FROM agg""".stripMargin,
     // q284's snapped-ρ grid, then the identical Durbin–Levinson chains
     "q369_pacf" ->
       """WITH days AS (

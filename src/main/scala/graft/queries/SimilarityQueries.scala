@@ -359,15 +359,18 @@ object SimilarityQueries extends QueryModule {
     // memoized per (session, dir) like IvfAnn.buildShared — q142, q143
     // and q147 all consume the same four trajectories, and at 100 TB the
     // codebooks + codes are a written-once artifact every query reads
-    pqFitMemo.computeIfAbsent((System.identityHashCode(spark), dir), _ => {
-      val emb = Tables.embeddings(spark, dir)
-      (0 until 4).map { s =>
-        val sliced = emb.select(col("vec_id"),
-          expr(s"slice(embedding, ${s * 16 + 1}, 16)").as("embedding"))
-        val (asg, cents) = graft.operators.KMeans.fit(sliced, k = 8, iters = 2)
-        (asg.localCheckpoint(true), cents.localCheckpoint(true))
-      }
-    })
+    pqFitMemo.computeIfAbsent((System.identityHashCode(spark), dir), _ =>
+      // protected from sweep-level unpersist like IvfAnn's memo — a
+      // blanket cleanup would leave these frames on dead blocks
+      graft.operators.IvfAnn.protecting(spark) {
+        val emb = Tables.embeddings(spark, dir)
+        (0 until 4).map { s =>
+          val sliced = emb.select(col("vec_id"),
+            expr(s"slice(embedding, ${s * 16 + 1}, 16)").as("embedding"))
+          val (asg, cents) = graft.operators.KMeans.fit(sliced, k = 8, iters = 2)
+          (asg.localCheckpoint(true), cents.localCheckpoint(true))
+        }
+      })
 
   /** Left-to-right double fold of Σ (xᵢ − yᵢ)² over two array columns —
     * the association order `KMeans.assign` and the oracle's list
@@ -722,7 +725,8 @@ object SimilarityQueries extends QueryModule {
     * parallelism pays no exchange before the broadcast kernel.
     */
   private def gridIvfAssign(spark: SparkSession, dir: String, nLists: Int): DataFrame =
-    gridIvfMemo.computeIfAbsent((System.identityHashCode(spark), dir, nLists), _ => {
+    gridIvfMemo.computeIfAbsent((System.identityHashCode(spark), dir, nLists), _ =>
+      graft.operators.IvfAnn.protecting(spark) {
       val grid = "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0 + 0.5) as bigint))"
       val en = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"), expr(grid).as("qe"))
@@ -741,7 +745,7 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id"), col("b.label").as("label"), col("b.qe").as("qe"),
           col("b.qn").as("qn"), (-col("b.neg")).as("list_id"))
         .localCheckpoint(true)
-    })
+      })
 
   /** q235: INCREMENTAL IVF INDEX MAINTENANCE — the arrival-batch
     * operation a live ANN index runs between rebuilds: a ~25% md5-slice
