@@ -4084,8 +4084,11 @@ object MiscQueries extends QueryModule {
     val ev = Tables.events(spark, dir).select(
       floor(col("value") * 100.0 + 0.5).cast("long").as("sc"),
       when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    // NOT checkpointed: the unpartitioned census windows below are
+    // admissible exactly because PlanGuards can see this aggregate
+    // bounding them (a checkpoint would erase that provenance)
     val census = ev.groupBy("sc").agg(
-      sum("pos").as("np"), count(lit(1)).as("nc")).localCheckpoint()
+      sum("pos").as("np"), count(lit(1)).as("nc"))
     val wDesc = Window.orderBy(col("sc").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = census
@@ -4220,11 +4223,13 @@ object MiscQueries extends QueryModule {
     */
   def q371RunsTest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // day census NOT checkpointed — the sign/run lag window below is
+    // unpartitioned and PlanGuards admits it only because this
+    // aggregate is visible bounding it
     val daily = Tables.events(spark, dir)
       .select(expr("unix_micros(ts) div 86400000000").as("day"),
         floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
       .groupBy("day").agg(sum("cents").as("dc"))
-      .localCheckpoint()
     val census = daily.groupBy("dc").agg(count(lit(1)).as("cnt"))
     val cc = census.withColumn("cum",
       sum("cnt").over(Window.orderBy("dc")
@@ -4343,7 +4348,135 @@ object MiscQueries extends QueryModule {
         "round((CAST(abs(b - c) AS DOUBLE) - 1.0) * (CAST(abs(b - c) AS DOUBLE) - 1.0) / CAST(b + c AS DOUBLE), 6) AS chi2")
   }
 
+  /** q374: GRADIENT-BOOSTED STUMPS, two exact rounds — the additive-
+    * model step past q361's one-shot linear fit and q336's single
+    * stump: round 1 fits the best (feature, split) stump for order
+    * total over {line count ≤ s} and {priority rank ≤ s} candidates,
+    * round 2 fits a second stump ON THE RESIDUALS, the defining move
+    * of boosting. Because the feature spaces are small censuses, the
+    * split search is EXHAUSTIVE and exact: score(split) = S_L²/n_L +
+    * S_R²/n_R (the SSE-minimizing identity) snapped to the unit grid
+    * per candidate, argmax by (score, feature, split) struct-max;
+    * predictions are floor-div integer dollar means, so residuals stay
+    * integers and round 2 is as exact as round 1.
+    *
+    * Scale: one census shuffle per round (feature-value cells), split
+    * scoring over candidate×cell products of census size, a 1-row
+    * broadcast of the chosen stump back over the scan — the shape of
+    * distributed histogram-based GBDT (per-feature bin sums, driver
+    * picks the split), gated bit-exactly.
+    */
+  def q374BoostedStumps(spark: SparkSession, dir: String): DataFrame = {
+    val lc = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("nl"))
+    val base0 = Tables.orders(spark, dir)
+      .join(lc, col("o_orderkey") === col("l_orderkey"))
+      .select(col("nl"),
+        expr("CAST(substr(o_orderpriority, 1, 1) AS BIGINT)").as("pr"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) div 100").as("y"))
+      .localCheckpoint()
+    def fitStump(df: DataFrame, ycol: String): DataFrame = {
+      def forFeature(f: String, maxSplit: Int): DataFrame = {
+        val cells = df.groupBy(col(f).as("v"))
+          .agg(count(lit(1)).as("n"), sum(ycol).as("s"))
+        cells.crossJoin(
+            spark.range(1, maxSplit + 1).select(col("id").as("split")))
+          .groupBy("split")
+          .agg(sum(when(col("v") <= col("split"), col("n"))).as("nl_"),
+            sum(when(col("v") <= col("split"), col("s"))).as("sl"),
+            sum(when(col("v") > col("split"), col("n"))).as("nr"),
+            sum(when(col("v") > col("split"), col("s"))).as("sr"))
+          .filter(col("nl_").isNotNull && col("nr").isNotNull)
+          .select(lit(f).as("feature"), col("split"),
+            floor(col("sl").cast("double") * col("sl").cast("double") /
+              col("nl_").cast("double") +
+              col("sr").cast("double") * col("sr").cast("double") /
+                col("nr").cast("double") + 0.5).cast("long").as("score_u"),
+            // residual sums are SIGNED in round 2: offset-div so
+            // Spark's truncating div and DuckDB's flooring // agree
+            expr("(sl + 1000000000L * nl_) div nl_ - 1000000000L").as("pred_left"),
+            expr("(sr + 1000000000L * nr) div nr - 1000000000L").as("pred_right"))
+      }
+      forFeature("nl", 6).unionByName(forFeature("pr", 4))
+        .agg(max(struct(col("score_u"),
+          (-ascii(substring(col("feature"), 1, 1))).as("ford"),
+          (-col("split")).as("sord"), col("feature"), col("split"),
+          col("pred_left"), col("pred_right"))).as("b"))
+        .select(col("b.feature").as("feature"), col("b.split").as("split"),
+          col("b.score_u").as("score_u"), col("b.pred_left").as("pred_left"),
+          col("b.pred_right").as("pred_right"))
+        .localCheckpoint()
+    }
+    val s1 = fitStump(base0, "y")
+    val withR = base0.crossJoin(broadcast(s1))
+      .withColumn("pred1", when(
+        (col("feature") === "nl" && col("nl") <= col("split")) ||
+          (col("feature") === "pr" && col("pr") <= col("split")),
+        col("pred_left")).otherwise(col("pred_right")))
+      .select(col("nl"), col("pr"), (col("y") - col("pred1")).as("r"),
+        col("y"), col("pred1"))
+      .localCheckpoint()
+    val s2 = fitStump(withR.select(col("nl"), col("pr"), col("r")), "r")
+    val fin = withR.crossJoin(broadcast(
+        s2.select(col("feature").as("f2"), col("split").as("sp2"),
+          col("pred_left").as("pl2"), col("pred_right").as("pr2"))))
+      .withColumn("pred2", col("pred1") + when(
+        (col("f2") === "nl" && col("nl") <= col("sp2")) ||
+          (col("f2") === "pr" && col("pr") <= col("sp2")),
+        col("pl2")).otherwise(col("pr2")))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(abs(y - pred1)) div count(1)").as("mae_round1"),
+        expr("sum(abs(y - pred2)) div count(1)").as("mae_round2"))
+    s1.select(lit(1L).as("round"), col("feature"), col("split"),
+        col("pred_left"), col("pred_right"))
+      .unionByName(s2.select(lit(2L).as("round"), col("feature"),
+        col("split"), col("pred_left"), col("pred_right")))
+      .crossJoin(broadcast(fin))
+      .orderBy("round")
+  }
+
+  /** q376: HELLINGER DISTANCE / BHATTACHARYYA COEFFICIENT between the
+    * two md5-half value distributions per event type — completing the
+    * drift-divergence shelf: PSI (q219) is unbounded and
+    * zero-bucket-fragile, KL (q93) asymmetric and infinite on escapes,
+    * EMD (q220) cares about DISTANCE between buckets; Hellinger is the
+    * bounded [0,1] symmetric metric (a true metric, unlike all three)
+    * monitoring dashboards threshold when they want comparability
+    * across features. BC = Σ√(p·q) with each cell's √ snapped to the
+    * 10⁻⁹ grid BEFORE the sum (the q319 discipline), H = √(1−BC).
+    *
+    * Scale: one shuffle to the (type, bucket, half) census; cell-local
+    * integer terms; per-type 1-row chains.
+    */
+  def q376HellingerDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("floor(value * 100.0 + 0.5) div 500").cast("long").as("bucket"),
+        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).as("half"))
+    val cells = ev.groupBy("event_type", "bucket")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+    val tots = cells.groupBy("event_type")
+      .agg(sum("na").as("ta"), sum("nb").as("tb"), count(lit(1)).as("n_buckets"))
+    cells.join(tots, Seq("event_type"))
+      .withColumn("bc_u", floor(sqrt(
+        (col("na") * col("nb")).cast("double") /
+          (col("ta").cast("double") * col("tb").cast("double"))) *
+        1.0e9 + 0.5).cast("long"))
+      .groupBy("event_type")
+      .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+        max("n_buckets").as("n_buckets"), sum("bc_u").as("bcs"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("n_buckets"),
+        round(col("bcs").cast("double") / 1.0e9, 6).as("bhattacharyya"),
+        round(sqrt(greatest(lit(1.0) -
+          col("bcs").cast("double") / 1.0e9, lit(0.0))), 6).as("hellinger"))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q374_boosted_stumps" -> (q374BoostedStumps _),
+    "q376_hellinger_drift" -> (q376HellingerDrift _),
     "q371_runs_test" -> (q371RunsTest _),
     "q372_markov_entropy" -> (q372MarkovEntropy _),
     "q373_mcnemar" -> (q373McNemar _),
@@ -4498,6 +4631,102 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same censuses, same exhaustive split scoring (snapped S²/n
+    // identity), same (score desc, feature, split) argmax, same
+    // offset-div integer predictions and residual round
+    "q374_boosted_stumps" -> {
+      def score(cells: String, maxSplit: Int, feature: String): String =
+        s"""SELECT '$feature' AS feature, q.s AS split,
+           |       CAST(floor(sl::DOUBLE * sl::DOUBLE / nl_::DOUBLE +
+           |            sr::DOUBLE * sr::DOUBLE / nr::DOUBLE + 0.5) AS BIGINT)
+           |         AS score_u,
+           |       ((sl + 1000000000 * nl_) // nl_ - 1000000000)::BIGINT AS pred_left,
+           |       ((sr + 1000000000 * nr) // nr - 1000000000)::BIGINT AS pred_right
+           |FROM (
+           |  SELECT sp.s,
+           |         sum(CASE WHEN v <= sp.s THEN n END)::BIGINT AS nl_,
+           |         sum(CASE WHEN v <= sp.s THEN sv END)::BIGINT AS sl,
+           |         sum(CASE WHEN v > sp.s THEN n END)::BIGINT AS nr,
+           |         sum(CASE WHEN v > sp.s THEN sv END)::BIGINT AS sr
+           |  FROM $cells CROSS JOIN
+           |       (SELECT unnest(range(1, ${maxSplit + 1})) AS s) sp
+           |  GROUP BY sp.s) q
+           |WHERE nl_ IS NOT NULL AND nr IS NOT NULL""".stripMargin
+      s"""WITH lc AS (
+         |  SELECT l_orderkey, count(*)::BIGINT AS nl FROM lineitem GROUP BY 1),
+         |base AS (
+         |  SELECT lc.nl, substr(o.o_orderpriority, 1, 1)::BIGINT AS pr,
+         |         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) // 100 AS y
+         |  FROM orders o JOIN lc ON o.o_orderkey = lc.l_orderkey),
+         |c1n AS (SELECT nl AS v, count(*)::BIGINT AS n, sum(y)::BIGINT AS sv
+         |        FROM base GROUP BY 1),
+         |c1p AS (SELECT pr AS v, count(*)::BIGINT AS n, sum(y)::BIGINT AS sv
+         |        FROM base GROUP BY 1),
+         |b1 AS (
+         |  SELECT * FROM (${score("c1n", 6, "nl")} UNION ALL ${score("c1p", 4, "pr")})
+         |  ORDER BY score_u DESC, feature ASC, split ASC LIMIT 1),
+         |rr AS (
+         |  SELECT base.nl, base.pr, base.y,
+         |         CASE WHEN (b1.feature = 'nl' AND base.nl <= b1.split)
+         |                OR (b1.feature = 'pr' AND base.pr <= b1.split)
+         |              THEN b1.pred_left ELSE b1.pred_right END AS pred1
+         |  FROM base CROSS JOIN b1),
+         |r2 AS (SELECT nl, pr, y, pred1, y - pred1 AS r FROM rr),
+         |c2n AS (SELECT nl AS v, count(*)::BIGINT AS n, sum(r)::BIGINT AS sv
+         |        FROM r2 GROUP BY 1),
+         |c2p AS (SELECT pr AS v, count(*)::BIGINT AS n, sum(r)::BIGINT AS sv
+         |        FROM r2 GROUP BY 1),
+         |b2 AS (
+         |  SELECT * FROM (${score("c2n", 6, "nl")} UNION ALL ${score("c2p", 4, "pr")})
+         |  ORDER BY score_u DESC, feature ASC, split ASC LIMIT 1),
+         |fin AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |         (sum(abs(y - pred1)) // count(*))::BIGINT AS mae_round1,
+         |         (sum(abs(y - pred1 -
+         |            CASE WHEN (b2.feature = 'nl' AND r2.nl <= b2.split)
+         |                   OR (b2.feature = 'pr' AND r2.pr <= b2.split)
+         |                 THEN b2.pred_left ELSE b2.pred_right END))
+         |          // count(*))::BIGINT AS mae_round2
+         |  FROM r2 CROSS JOIN b2)
+         |SELECT r.round, r.feature, r.split, r.pred_left, r.pred_right,
+         |       fin.n, fin.mae_round1, fin.mae_round2
+         |FROM (
+         |  SELECT 1::BIGINT AS round, feature, split, pred_left, pred_right FROM b1
+         |  UNION ALL
+         |  SELECT 2::BIGINT, feature, split, pred_left, pred_right FROM b2) r
+         |CROSS JOIN fin
+         |ORDER BY round""".stripMargin
+    },
+    // same md5 half split, same bucket census, per-cell √ snapped to
+    // the 10⁻⁹ grid before the sum, same bounded-metric chains
+    "q376_hellinger_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 500 AS bucket,
+        |         ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 2 AS half
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, bucket,
+        |         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+        |         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+        |  FROM ev GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT event_type, sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb,
+        |         count(*)::BIGINT AS n_buckets
+        |  FROM cells GROUP BY 1),
+        |t AS (
+        |  SELECT cells.event_type, ta, tb, n_buckets,
+        |         CAST(floor(sqrt((na * nb)::DOUBLE /
+        |              (ta::DOUBLE * tb::DOUBLE)) * 1000000000.0 + 0.5)
+        |           AS BIGINT) AS bc_u
+        |  FROM cells JOIN tots USING (event_type))
+        |SELECT event_type, max(ta) AS n_a, max(tb) AS n_b,
+        |       max(n_buckets) AS n_buckets,
+        |       round(sum(bc_u)::DOUBLE / 1000000000.0, 6) + 0.0
+        |         AS bhattacharyya,
+        |       round(sqrt(greatest(1.0 - sum(bc_u)::DOUBLE / 1000000000.0,
+        |                           0.0)), 6) + 0.0 AS hellinger
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same day census, same census-median signs (ties dropped), same
     // integer run-boundary census, same μ/σ/z chains
     "q371_runs_test" ->
