@@ -4474,7 +4474,93 @@ object MiscQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q377: DATA-EXPECTATIONS SUITE — the dbt-test / Great-Expectations
+    * contract run as ONE query: six named rules (key uniqueness,
+    * referential integrity, value ranges, domain membership) each
+    * report checked/failed counts and a verdict. q175 audits referential
+    * integrity and q335/q83 profile columns; this row is the CONTRACT
+    * form — a fixed rule list with pass/fail semantics, which is what a
+    * pipeline actually gates deploys on. Every rule is a census or
+    * anti-join count; the suite is a union of six independent
+    * aggregates, each scan-local or one-join.
+    */
+  def q377ExpectationsSuite(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ev = Tables.events(spark, dir)
+    def rule(name: String, checked: DataFrame): DataFrame =
+      checked.select(lit(name).as("rule"), col("n_checked"), col("n_failed"),
+        (col("n_failed") === 0).as("pass"))
+    val r1 = rule("orders.o_orderkey unique",
+      orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_checked"),
+          sum(when(col("c") > 1, col("c"))).as("nf"))
+        .select(col("n_checked"), coalesce(col("nf"), lit(0L)).as("n_failed")))
+    val r2 = rule("lineitem.l_orderkey references orders",
+      li.join(orders.select(col("o_orderkey").as("k")),
+          col("l_orderkey") === col("k"), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_failed")))
+    val r3 = rule("orders.o_totalprice positive",
+      orders.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("n_failed")))
+    val r4 = rule("customer.c_mktsegment in domain",
+      cust.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING",
+          "FURNITURE", "HOUSEHOLD", "MACHINERY"), 0L).otherwise(1L))
+          .as("n_failed")))
+    val r5 = rule("events.value non-negative",
+      ev.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("n_failed")))
+    val r6 = rule("events.event_id unique",
+      ev.groupBy("event_id").agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_checked"),
+          sum(when(col("c") > 1, col("c"))).as("nf"))
+        .select(col("n_checked"), coalesce(col("nf"), lit(0L)).as("n_failed")))
+    r1.unionByName(r2).unionByName(r3).unionByName(r4)
+      .unionByName(r5).unionByName(r6)
+      .orderBy("rule")
+  }
+
+  /** q378: INTER-ARRIVAL BURSTINESS B = (σ−μ)/(σ+μ) (Goh & Barabási
+    * '08) per event type — are arrivals Poisson-like (B≈0), regular
+    * (B→−1), or bursty (B→1)? The point-process summary beside q334's
+    * count dispersion: q334 tests VARIANCE OF COUNTS per window, this
+    * characterizes the GAP distribution itself, the standard first look
+    * at human-activity streams (and at scraper/bot detection — bots
+    * are too regular). Gaps are per-user consecutive deltas on the
+    * integer MINUTE grid (µs² sums would overflow BIGINT at corpus
+    * scale); μ/σ/B are fixed chains over exact moments.
+    * Scale: user-partitioned lag at the events layout, one moment agg.
+    */
+  def q378Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type", "user_id").orderBy("us", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+      .withColumn("pus", lag("us", 1).over(w))
+      .filter(col("pus").isNotNull)
+      .select(col("event_type"),
+        expr("(us - pus) div 60000000").as("gap_m"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_m").as("s"),
+        sum(col("gap_m") * col("gap_m")).as("s2"))
+      .selectExpr("event_type", "n_gaps",
+        "CAST(n_gaps AS DOUBLE) AS nd", "CAST(s AS DOUBLE) AS sd",
+        "CAST(s2 AS DOUBLE) AS s2d")
+      .selectExpr("event_type", "n_gaps",
+        "sd / nd AS mu", "sqrt(s2d / nd - (sd / nd) * (sd / nd)) AS sig")
+      .selectExpr("event_type", "n_gaps",
+        "round(mu, 6) AS mean_gap_min", "round(sig, 6) AS sd_gap_min",
+        "round((sig - mu) / (sig + mu), 6) AS burstiness")
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q377_expectations_suite" -> (q377ExpectationsSuite _),
+    "q378_burstiness" -> (q378Burstiness _),
     "q374_boosted_stumps" -> (q374BoostedStumps _),
     "q376_hellinger_drift" -> (q376HellingerDrift _),
     "q371_runs_test" -> (q371RunsTest _),
@@ -4631,6 +4717,74 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the same six rules as blind counts — uniqueness via duplicate
+    // census, referential via left-join null count, ranges/domains
+    // via predicates
+    "q377_expectations_suite" ->
+      """WITH r1 AS (
+        |  SELECT 'orders.o_orderkey unique' AS rule,
+        |         sum(c)::BIGINT AS n_checked,
+        |         coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS n_failed
+        |  FROM (SELECT count(*)::BIGINT AS c FROM orders GROUP BY o_orderkey)),
+        |r2 AS (
+        |  SELECT 'lineitem.l_orderkey references orders' AS rule,
+        |         count(*)::BIGINT AS n_checked,
+        |         sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_failed
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |r3 AS (
+        |  SELECT 'orders.o_totalprice positive' AS rule,
+        |         count(*)::BIGINT AS n_checked,
+        |         sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_failed
+        |  FROM orders),
+        |r4 AS (
+        |  SELECT 'customer.c_mktsegment in domain' AS rule,
+        |         count(*)::BIGINT AS n_checked,
+        |         sum(CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'BUILDING',
+        |             'FURNITURE', 'HOUSEHOLD', 'MACHINERY') THEN 0 ELSE 1
+        |             END)::BIGINT AS n_failed
+        |  FROM customer),
+        |r5 AS (
+        |  SELECT 'events.value non-negative' AS rule,
+        |         count(*)::BIGINT AS n_checked,
+        |         sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_failed
+        |  FROM events),
+        |r6 AS (
+        |  SELECT 'events.event_id unique' AS rule,
+        |         sum(c)::BIGINT AS n_checked,
+        |         coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS n_failed
+        |  FROM (SELECT count(*)::BIGINT AS c FROM events GROUP BY event_id))
+        |SELECT rule, n_checked, n_failed, n_failed = 0 AS pass
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+        |      UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6)
+        |ORDER BY rule""".stripMargin,
+    // same per-series minute-grid gaps, same exact moments, same
+    // μ/σ/B chains
+    "q378_burstiness" ->
+      """WITH gaps AS (
+        |  SELECT event_type,
+        |         (us - lag(us) OVER (PARTITION BY event_type, user_id
+        |            ORDER BY us, event_id)) // 60000000 AS gap_m
+        |  FROM (SELECT event_type, user_id, epoch_us(ts) AS us, event_id
+        |        FROM events)),
+        |mom AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |         sum(gap_m)::BIGINT AS s, sum(gap_m * gap_m)::BIGINT AS s2
+        |  FROM gaps WHERE gap_m IS NOT NULL GROUP BY 1),
+        |m2 AS (
+        |  SELECT event_type, n_gaps,
+        |         s::DOUBLE / n_gaps::DOUBLE AS mu,
+        |         sqrt(s2::DOUBLE / n_gaps::DOUBLE -
+        |              (s::DOUBLE / n_gaps::DOUBLE) *
+        |              (s::DOUBLE / n_gaps::DOUBLE)) AS sig
+        |  FROM mom)
+        |SELECT event_type, n_gaps,
+        |       round(mu, 6) + 0.0 AS mean_gap_min,
+        |       round(sig, 6) + 0.0 AS sd_gap_min,
+        |       round((sig - mu) / (sig + mu), 6) + 0.0 AS burstiness
+        |FROM m2 ORDER BY event_type""".stripMargin,
     // same censuses, same exhaustive split scoring (snapped S²/n
     // identity), same (score desc, feature, split) argmax, same
     // offset-div integer predictions and residual round
