@@ -4558,7 +4558,99 @@ object MiscQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q379: HILL TAIL-INDEX ESTIMATOR (Hill '75) — how heavy is the
+    * upper tail of order totals? H_k = (1/k)·Σ_{i≤k} ln(x_(i)/x_(k+1))
+    * over the top-k order statistics, α = 1/H; reported at k =
+    * 64/128/256 (the "Hill plot" stability check — α drifting with k
+    * means the tail isn't cleanly Pareto). The capacity-planning /
+    * revenue-concentration screen beside q204's Benford digit test:
+    * α ≤ 2 means variance is infinite and mean-based SLAs lie.
+    *
+    * Determinism: the top-257 multiset is deterministic even under
+    * boundary ties (equal cents ⇒ equal ln terms, whichever copies the
+    * heap keeps); each ln snaps to the ⌊ln·10⁶+½⌋ micro-nat BIGINT
+    * grid (q264's device) so Σ is order-invariant; H and α are one
+    * divide each off the integer numerator k·Σ − k·ln_(k+1).
+    * Scale: top-k = TakeOrderedAndProject heap (per-partition heaps,
+    * driver merge of 257 rows — no global sort, no fact-table window);
+    * everything after runs on 257 census rows.
+    */
+  def q379HillTail(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .orderBy(col("cents").desc).limit(257)
+      .withColumn("r", row_number().over(Window.orderBy(col("cents").desc)).cast("long"))
+      .withColumn("lnx",
+        floor(log(col("cents").cast("double")) * 1000000.0 + 0.5).cast("long"))
+    val moms = top.agg(
+      sum(when(col("r") <= 64, col("lnx"))).as("s64"),
+      sum(when(col("r") <= 128, col("lnx"))).as("s128"),
+      sum(when(col("r") <= 256, col("lnx"))).as("s256"),
+      max(when(col("r") === 65, col("lnx"))).as("l65"),
+      max(when(col("r") === 129, col("lnx"))).as("l129"),
+      max(when(col("r") === 257, col("lnx"))).as("l257"),
+      max(when(col("r") === 65, col("cents"))).as("c65"),
+      max(when(col("r") === 129, col("cents"))).as("c129"),
+      max(when(col("r") === 257, col("cents"))).as("c257"))
+    moms.selectExpr(
+        "stack(3, 64L, s64 - 64 * l65, c65, 128L, s128 - 128 * l129, c129, " +
+          "256L, s256 - 256 * l257, c257) AS (k, hnum, ckp1)")
+      .selectExpr("k", "round(CAST(ckp1 AS DOUBLE) / 100.0, 2) AS x_kplus1_dollar",
+        "round(CAST(hnum AS DOUBLE) / (CAST(k AS DOUBLE) * 1000000.0), 6) AS hill_h",
+        "round(CAST(k AS DOUBLE) * 1000000.0 / CAST(hnum AS DOUBLE), 6) AS alpha")
+      .orderBy("k")
+  }
+
+  /** q380: QUANTILE SELECTION BY PINBALL LOSS — pick the τ=0.9
+    * quantile of event value per type by MINIMIZING the pinball
+    * (check) loss over dollar-bucket candidates, and cross-check it
+    * against the empirical CDF quantile. This is quantile REGRESSION's
+    * objective run as a census search — the forecast-evaluation
+    * primitive (mean pinball is how quantile forecasts are scored)
+    * beside q330's MASE point-forecast backtest.
+    *
+    * Determinism: candidates live on the dollar-bucket census (q = the
+    * bucket-max cents 100b+99, so bucket membership decides the branch
+    * exactly); 10×loss = 9·Σ_{v>q}(v−q) + Σ_{v≤q}(q−v) is BIGINT off
+    * cumulative census moments; argmin via struct-min (loss, bucket).
+    * Scale: one shuffle to the (type, dollar) census; cumulative
+    * windows and the argmin run on census rows, never the event
+    * stream.
+    */
+  def q380PinballQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("b", expr("cents div 100"))
+      .groupBy("event_type", "b")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("s"))
+    val w = Window.partitionBy("event_type").orderBy("b")
+    val wAll = Window.partitionBy("event_type")
+    val scored = census
+      .withColumn("cum_n", sum("cnt").over(w))
+      .withColumn("cum_s", sum("s").over(w))
+      .withColumn("tot_n", sum("cnt").over(wAll))
+      .withColumn("tot_s", sum("s").over(wAll))
+      .withColumn("q", col("b") * 100 + 99)
+      .withColumn("loss10",
+        lit(9) * (col("tot_s") - col("cum_s") - col("q") * (col("tot_n") - col("cum_n"))) +
+          (col("q") * col("cum_n") - col("cum_s")))
+    scored.groupBy("event_type")
+      .agg(max("tot_n").as("n"),
+        min(struct(col("loss10"), col("b"))).as("best"),
+        min(when(col("cum_n") * 10 >= col("tot_n") * 9, col("b"))).as("emp_b"))
+      .selectExpr("event_type", "n",
+        "round(CAST(best.b * 100 + 99 AS DOUBLE) / 100.0, 2) AS q90_dollar",
+        "round(CAST(best.loss10 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0), 6) AS mean_pinball",
+        "round(CAST(emp_b * 100 + 99 AS DOUBLE) / 100.0, 2) AS emp_q90_dollar")
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q379_hill_tail" -> (q379HillTail _),
+    "q380_pinball_quantile" -> (q380PinballQuantile _),
     "q377_expectations_suite" -> (q377ExpectationsSuite _),
     "q378_burstiness" -> (q378Burstiness _),
     "q374_boosted_stumps" -> (q374BoostedStumps _),
@@ -4717,6 +4809,73 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same top-257 heap, same micro-nat ln grid, same integer Hill
+    // numerator k·mean − k·ln_(k+1)
+    "q379_hill_tail" ->
+      """WITH top AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents DESC) AS r,
+        |         floor(ln(cents::DOUBLE) * 1000000 + 0.5)::BIGINT AS lnx
+        |  FROM (SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        |        FROM orders ORDER BY cents DESC LIMIT 257)),
+        |mom AS (
+        |  SELECT sum(CASE WHEN r <= 64 THEN lnx END)::BIGINT AS s64,
+        |         sum(CASE WHEN r <= 128 THEN lnx END)::BIGINT AS s128,
+        |         sum(CASE WHEN r <= 256 THEN lnx END)::BIGINT AS s256,
+        |         max(CASE WHEN r = 65 THEN lnx END) AS l65,
+        |         max(CASE WHEN r = 129 THEN lnx END) AS l129,
+        |         max(CASE WHEN r = 257 THEN lnx END) AS l257,
+        |         max(CASE WHEN r = 65 THEN cents END) AS c65,
+        |         max(CASE WHEN r = 129 THEN cents END) AS c129,
+        |         max(CASE WHEN r = 257 THEN cents END) AS c257
+        |  FROM top),
+        |ks AS (
+        |  SELECT 64::BIGINT AS k, (s64 - 64 * l65)::BIGINT AS hnum, c65 AS ckp1 FROM mom
+        |  UNION ALL
+        |  SELECT 128, (s128 - 128 * l129)::BIGINT, c129 FROM mom
+        |  UNION ALL
+        |  SELECT 256, (s256 - 256 * l257)::BIGINT, c257 FROM mom)
+        |SELECT k, round(ckp1 / 100.0, 2) + 0.0 AS x_kplus1_dollar,
+        |       round(hnum::DOUBLE / (k::DOUBLE * 1000000.0), 6) + 0.0 AS hill_h,
+        |       round(k::DOUBLE * 1000000.0 / hnum::DOUBLE, 6) + 0.0 AS alpha
+        |FROM ks ORDER BY k""".stripMargin,
+    // same (type, dollar-bucket) census, same bucket-max candidates,
+    // same BIGINT 10×pinball off cumulative moments, same (loss, b)
+    // argmin tie-break
+    "q380_pinball_quantile" ->
+      """WITH census AS (
+        |  SELECT event_type, cents // 100 AS b, count(*)::BIGINT AS cnt,
+        |         sum(cents)::BIGINT AS s
+        |  FROM (SELECT event_type,
+        |               floor(value * 100 + 0.5)::BIGINT AS cents FROM events)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type, b,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY b)::BIGINT AS cum_n,
+        |         sum(s) OVER (PARTITION BY event_type ORDER BY b)::BIGINT AS cum_s,
+        |         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS tot_n,
+        |         sum(s) OVER (PARTITION BY event_type)::BIGINT AS tot_s,
+        |         (b * 100 + 99)::BIGINT AS q
+        |  FROM census),
+        |lossed AS (
+        |  SELECT event_type, b, tot_n, cum_n,
+        |         (9 * (tot_s - cum_s - q * (tot_n - cum_n)) +
+        |          (q * cum_n - cum_s))::BIGINT AS loss10
+        |  FROM scored),
+        |best AS (
+        |  SELECT event_type, tot_n AS n, b AS best_b, loss10
+        |  FROM lossed
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |                             ORDER BY loss10, b) = 1),
+        |emp AS (
+        |  SELECT event_type, min(b) AS emp_b FROM lossed
+        |  WHERE cum_n * 10 >= tot_n * 9 GROUP BY 1)
+        |SELECT l.event_type, l.n,
+        |       round((l.best_b * 100 + 99) / 100.0, 2) + 0.0 AS q90_dollar,
+        |       round(l.loss10::DOUBLE / (l.n::DOUBLE * 1000.0), 6) + 0.0
+        |         AS mean_pinball,
+        |       round((e.emp_b * 100 + 99) / 100.0, 2) + 0.0 AS emp_q90_dollar
+        |FROM best l JOIN emp e ON l.event_type = e.event_type
+        |ORDER BY l.event_type""".stripMargin,
     // the same six rules as blind counts — uniqueness via duplicate
     // census, referential via left-join null count, ranges/domains
     // via predicates
