@@ -4648,7 +4648,121 @@ object MiscQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q381: PAGE–HINKLEY DRIFT DETECTOR (Page '54; the streaming-ML
+    * standard in MOA/river) — the SEQUENTIAL mean-shift alarm beside
+    * q271's retrospective CUSUM: m_t accumulates (x_t − x̄_t − δ)
+    * against the running mean, M_t = min m_i, and the detector fires
+    * while m_t − M_t > λ. Run per event type over the daily-mean-value
+    * series (δ = 50¢ tolerance, λ = $20), reporting the maximum
+    * excursion, alarm-day count, and first alarm index — the
+    * "when would the monitor have paged" replay.
+    *
+    * Determinism: the series is daily mean cents = Σcents div n
+    * (positive, so trunc == floor in both engines); the PH recursion
+    * is a genuinely-sequential integer fold run IN PLAN as an
+    * `aggregate` HOF over each type's census-sized day array (q368's
+    * device); the oracle replays it as a bounded recursive CTE. No
+    * float until the output divide.
+    * Scale: one shuffle to the (type, day) census; the fold walks
+    * ~90 census elements per type, constant at any corpus size.
+    */
+  def q381PageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(expr("sum(cents) div count(1)").as("xm"))
+    val series = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("xm")))).as("s"))
+      .select(col("event_type"), size(col("s")).as("n_days"),
+        expr("transform(s, p -> p.xm)").as("ys"))
+    val mNew = "acc.m + y - ((acc.s + y) div (acc.t + 1)) - 50"
+    val mnNew = s"least(acc.mn, $mNew)"
+    val excNew = s"($mNew) - ($mnNew)"
+    val step = "named_struct(" +
+      "'t', acc.t + 1, 's', acc.s + y, " +
+      s"'m', $mNew, 'mn', $mnNew, " +
+      s"'mx', greatest(acc.mx, $excNew), " +
+      s"'al', acc.al + IF($excNew > 2000, 1, 0), " +
+      s"'fa', IF(acc.fa >= 0L, acc.fa, IF($excNew > 2000, acc.t + 1, -1L)))"
+    series
+      .withColumn("st", expr(
+        "aggregate(ys, " +
+          "named_struct('t', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT), " +
+          "'m', CAST(0 AS BIGINT), 'mn', CAST(0 AS BIGINT), " +
+          "'mx', CAST(0 AS BIGINT), 'al', CAST(0 AS BIGINT), " +
+          "'fa', CAST(-1 AS BIGINT)), " +
+          s"(acc, y) -> $step)"))
+      .selectExpr("event_type", "n_days",
+        "round(CAST(st.mx AS DOUBLE) / 100.0, 2) AS ph_max_dollar",
+        "st.al AS alarm_days", "st.fa AS first_alarm_rn")
+      .orderBy("event_type")
+  }
+
+  /** q382: GRID-DENSITY CLUSTERING CENSUS (the DBSCAN-shaped
+    * classification distributed engines actually run — CLIQUE/GriDBSCAN
+    * family): snap the first two embedding dims to an ε=0.05 grid,
+    * count each cell's 3×3 neighborhood, and classify every point —
+    * CORE (neighborhood ≥ 25), BORDER (non-core cell adjacent to a
+    * core cell), NOISE — reported per label. The density-structure
+    * screen beside q127's k-means: no iteration, no seeds, finds
+    * arbitrary-shape mass.
+    *
+    * Determinism: cells are ⌊20x⌋ integer keys off the float32-exact
+    * doubles (one multiply, one floor — bit-identical in both
+    * engines); every count is an integer census.
+    * Scale: THE standard density shape at 100 TB — one shuffle to the
+    * bounded cell census (space-bounded, not data-bounded), a 9×
+    * census-sized offset explode for neighborhoods, and points
+    * classified by one equi-join against the small cell table; the
+    * pairwise ε-join never materializes.
+    */
+  def q382GridDensity(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        floor(element_at(col("embedding"), 1).cast("double") * 20.0)
+          .cast("long").as("cx"),
+        floor(element_at(col("embedding"), 2).cast("double") * 20.0)
+          .cast("long").as("cy"))
+    val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("cnt"))
+    val offs = expr(
+      "explode(array(named_struct('dx', -1L, 'dy', -1L), " +
+        "named_struct('dx', -1L, 'dy', 0L), named_struct('dx', -1L, 'dy', 1L), " +
+        "named_struct('dx', 0L, 'dy', -1L), named_struct('dx', 0L, 'dy', 0L), " +
+        "named_struct('dx', 0L, 'dy', 1L), named_struct('dx', 1L, 'dy', -1L), " +
+        "named_struct('dx', 1L, 'dy', 0L), named_struct('dx', 1L, 'dy', 1L)))")
+    val nbh = cells.select(col("cx"), col("cy"), col("cnt"), offs.as("o"))
+      .select((col("cx") + col("o.dx")).as("cx"),
+        (col("cy") + col("o.dy")).as("cy"), col("cnt"))
+      .groupBy("cx", "cy").agg(sum("cnt").as("nb"))
+    val classed = cells.join(nbh, Seq("cx", "cy"))
+      .select(col("cx"), col("cy"),
+        (col("nb") >= 25).as("is_core"))
+    val coreAdj = classed.filter(col("is_core"))
+      .select(col("cx"), col("cy"), offs.as("o"))
+      .select((col("cx") + col("o.dx")).as("cx"),
+        (col("cy") + col("o.dy")).as("cy"))
+      .distinct()
+      .withColumn("near_core", lit(true))
+    val cellClass = classed
+      .join(coreAdj, Seq("cx", "cy"), "left")
+      .select(col("cx"), col("cy"),
+        when(col("is_core"), "core")
+          .when(col("near_core").isNotNull, "border")
+          .otherwise("noise").as("cls"))
+    pts.join(cellClass, Seq("cx", "cy"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pts"),
+        sum(when(col("cls") === "core", 1L).otherwise(0L)).as("n_core"),
+        sum(when(col("cls") === "border", 1L).otherwise(0L)).as("n_border"),
+        sum(when(col("cls") === "noise", 1L).otherwise(0L)).as("n_noise"))
+      .orderBy("label")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q381_page_hinkley" -> (q381PageHinkley _),
+    "q382_grid_density" -> (q382GridDensity _),
     "q379_hill_tail" -> (q379HillTail _),
     "q380_pinball_quantile" -> (q380PinballQuantile _),
     "q377_expectations_suite" -> (q377ExpectationsSuite _),
@@ -4809,6 +4923,82 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // the same integer PH fold replayed as a bounded recursive CTE
+    // (q368's protocol): daily mean cents series, δ=50, λ=2000,
+    // expressions repeated because a recursive SELECT cannot reference
+    // its own aliases
+    "q381_page_hinkley" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         (sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT
+        |           // count(*)) AS xm
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |         xm
+        |  FROM daily),
+        |nn AS (SELECT event_type, count(*)::BIGINT AS n_days FROM ser GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, 1::BIGINT AS rn, xm AS ssum, (-50)::BIGINT AS m,
+        |         (-50)::BIGINT AS mn, 0::BIGINT AS mx, 0::BIGINT AS al,
+        |         (-1)::BIGINT AS fa
+        |  FROM ser WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn + 1, r.ssum + s.xm,
+        |         (r.m + s.xm - ((r.ssum + s.xm) // (r.rn + 1)) - 50),
+        |         least(r.mn,
+        |               r.m + s.xm - ((r.ssum + s.xm) // (r.rn + 1)) - 50),
+        |         greatest(r.mx,
+        |           (r.m + s.xm - ((r.ssum + s.xm) // (r.rn + 1)) - 50) -
+        |           least(r.mn,
+        |                 r.m + s.xm - ((r.ssum + s.xm) // (r.rn + 1)) - 50)),
+        |         r.al + CASE WHEN
+        |           (r.m + s.xm - ((r.ssum + s.xm) // (r.rn + 1)) - 50) -
+        |           least(r.mn,
+        |                 r.m + s.xm - ((r.ssum + s.xm) // (r.rn + 1)) - 50)
+        |           > 2000 THEN 1 ELSE 0 END,
+        |         CASE WHEN r.fa >= 0 THEN r.fa WHEN
+        |           (r.m + s.xm - ((r.ssum + s.xm) // (r.rn + 1)) - 50) -
+        |           least(r.mn,
+        |                 r.m + s.xm - ((r.ssum + s.xm) // (r.rn + 1)) - 50)
+        |           > 2000 THEN r.rn + 1 ELSE -1 END
+        |  FROM rec r JOIN ser s
+        |    ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+        |SELECT rec.event_type, nn.n_days,
+        |       round(rec.mx::DOUBLE / 100.0, 2) + 0.0 AS ph_max_dollar,
+        |       rec.al AS alarm_days, rec.fa AS first_alarm_rn
+        |FROM rec JOIN nn USING (event_type) WHERE rec.rn = nn.n_days
+        |ORDER BY rec.event_type""".stripMargin,
+    // same ⌊20x⌋ cells, same 3×3 offset census, same core/border/noise
+    // classification
+    "q382_grid_density" ->
+      """WITH pts AS (
+        |  SELECT vec_id, label,
+        |         floor(embedding[1]::DOUBLE * 20)::BIGINT AS cx,
+        |         floor(embedding[2]::DOUBLE * 20)::BIGINT AS cy
+        |  FROM embeddings),
+        |cells AS (SELECT cx, cy, count(*)::BIGINT AS cnt FROM pts GROUP BY 1, 2),
+        |offs AS (SELECT a.dx, b.dy
+        |         FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
+        |nbh AS (SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy,
+        |               sum(c.cnt)::BIGINT AS nb
+        |        FROM cells c, offs o GROUP BY 1, 2),
+        |cl AS (SELECT c.cx, c.cy, n.nb >= 25 AS is_core
+        |       FROM cells c JOIN nbh n USING (cx, cy)),
+        |ca AS (SELECT DISTINCT c.cx + o.dx AS cx, c.cy + o.dy AS cy
+        |       FROM cl c, offs o WHERE c.is_core),
+        |cc AS (SELECT cl.cx, cl.cy,
+        |              CASE WHEN cl.is_core THEN 'core'
+        |                   WHEN ca.cx IS NOT NULL THEN 'border'
+        |                   ELSE 'noise' END AS cls
+        |       FROM cl LEFT JOIN ca ON cl.cx = ca.cx AND cl.cy = ca.cy)
+        |SELECT p.label, count(*)::BIGINT AS n_pts,
+        |       sum(CASE WHEN cls = 'core' THEN 1 ELSE 0 END)::BIGINT AS n_core,
+        |       sum(CASE WHEN cls = 'border' THEN 1 ELSE 0 END)::BIGINT AS n_border,
+        |       sum(CASE WHEN cls = 'noise' THEN 1 ELSE 0 END)::BIGINT AS n_noise
+        |FROM pts p JOIN cc ON p.cx = cc.cx AND p.cy = cc.cy
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same top-257 heap, same micro-nat ln grid, same integer Hill
     // numerator k·mean − k·ln_(k+1)
     "q379_hill_tail" ->
