@@ -4760,7 +4760,88 @@ object MiscQueries extends QueryModule {
       .orderBy("label")
   }
 
+  /** q383: LEAVE-ONE-OUT TARGET ENCODING (the Catboost/Kaggle feature
+    * device, smoothed à la Micci-Barreca '01) — encode each order's
+    * market segment as the segment's mean spend EXCLUDING the row
+    * itself, shrunk toward the global mean with prior weight m=20:
+    * enc_i = (S_seg − y_i + m·μ)/(n_seg − 1 + m). The leakage-free
+    * form (plain target encoding leaks y_i into its own feature —
+    * the train/serve skew q212's split hygiene exists to catch).
+    * Reported per segment: n, raw mean, enc at the max/min-spend row,
+    * and the CLOSED-FORM mean of all encodings.
+    *
+    * Determinism: every input is an exact cents moment (n, S, y_max,
+    * y_min, S_tot, n_tot); Σenc is NEVER summed as floats — the
+    * algebraic identity Σenc = ((n−1)S + m·n·μ)/(n−1+m) replaces the
+    * order-dependent float sum; the double chains are mirrored
+    * token-for-token in the oracle. enc depends on y only, so
+    * boundary ties pick the same value either side.
+    * Scale: one join-shuffle to segment moments + a 1-row global
+    * broadcast; (n−1)·S runs in DOUBLE because n·S overflows BIGINT
+    * at corpus scale (grid semantics end at the moments).
+    */
+  def q383TargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val y = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val segs = y.groupBy("seg").agg(
+      count(lit(1)).as("n"), sum("cents").as("s"),
+      max("cents").as("ymax"), min("cents").as("ymin"))
+    val glob = y.agg(sum("cents").as("stot"), count(lit(1)).as("ntot"))
+    segs.crossJoin(broadcast(glob))
+      .selectExpr("seg", "n", "s", "ymax", "ymin",
+        "CAST(stot AS DOUBLE) / CAST(ntot AS DOUBLE) AS mu",
+        "CAST(n AS DOUBLE) AS nd", "CAST(s AS DOUBLE) AS sd")
+      .selectExpr("seg", "n",
+        "round(sd / nd / 100.0, 6) AS mean_dollar",
+        "round((CAST(s - ymax AS DOUBLE) + 20.0 * mu) / (nd - 1.0 + 20.0) / 100.0, 6) AS enc_at_max",
+        "round((CAST(s - ymin AS DOUBLE) + 20.0 * mu) / (nd - 1.0 + 20.0) / 100.0, 6) AS enc_at_min",
+        "round(((nd - 1.0) * sd + 20.0 * nd * mu) / (nd * (nd - 1.0 + 20.0)) / 100.0, 6) AS mean_enc_dollar")
+      .orderBy("seg")
+  }
+
+  /** q384: ITEM–ITEM COLLABORATIVE FILTERING (Sarwar '01 /
+    * Linden–Amazon '03) — part-to-part similarity from co-purchase:
+    * cos²(a,b) = co²/(n_a·n_b) over binary customer–part incidence,
+    * top-15 neighbor pairs. The recommender primitive beside q221's
+    * lift (lift normalizes by independence, cosine by popularity —
+    * cosine is what item-item recsys actually ranks with).
+    *
+    * Determinism: the score is the SNAPPED-FACTOR grid
+    * (co·10⁶ div n_a)·(co·10⁶ div n_b) — each factor ≤ 10⁶ because
+    * co ≤ n, so the product ≤ 10¹² sits in BIGINT at ANY corpus scale
+    * (co²·10⁹ would overflow once co > 3·10⁶); ties break (score
+    * desc, a, b). Scale: q221's bounded device — distinct incidence,
+    * per-customer pair join (basket size bounded), part-popularity
+    * census joined twice, TakeOrderedAndProject heap for the top-k.
+    */
+  def q384ItemItemCf(spark: SparkSession, dir: String): DataFrame = {
+    val cp = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val pop = cp.groupBy("p").agg(count(lit(1)).as("n"))
+    val pairs = cp.select(col("c"), col("p").as("pa"))
+      .join(cp.select(col("c"), col("p").as("pb")), Seq("c"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("co"))
+    pairs
+      .join(pop.select(col("p").as("pa"), col("n").as("na")), Seq("pa"))
+      .join(pop.select(col("p").as("pb"), col("n").as("nb")), Seq("pb"))
+      .withColumn("cos2_p12",
+        expr("(co * 1000000 div na) * (co * 1000000 div nb)"))
+      .select(col("pa"), col("pb"), col("co"), col("na"), col("nb"),
+        col("cos2_p12"))
+      .orderBy(col("cos2_p12").desc, col("pa"), col("pb"))
+      .limit(15)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q383_target_encoding" -> (q383TargetEncoding _),
+    "q384_item_item_cf" -> (q384ItemItemCf _),
     "q381_page_hinkley" -> (q381PageHinkley _),
     "q382_grid_density" -> (q382GridDensity _),
     "q379_hill_tail" -> (q379HillTail _),
@@ -4923,6 +5004,52 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same cents moments, same mirrored double chains (Σenc via the
+    // closed form, never a float sum)
+    "q383_target_encoding" ->
+      """WITH y AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |         floor(o.o_totalprice * 100.0 + 0.5)::BIGINT AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |segs AS (
+        |  SELECT seg, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+        |         max(cents) AS ymax, min(cents) AS ymin
+        |  FROM y GROUP BY 1),
+        |gtot AS (SELECT sum(cents)::BIGINT AS stot, count(*)::BIGINT AS ntot
+        |         FROM y),
+        |j AS (
+        |  SELECT seg, n, s, ymax, ymin,
+        |         stot::DOUBLE / ntot::DOUBLE AS mu,
+        |         n::DOUBLE AS nd, s::DOUBLE AS sd
+        |  FROM segs, gtot)
+        |SELECT seg, n,
+        |       round(sd / nd / 100.0, 6) + 0.0 AS mean_dollar,
+        |       round(((s - ymax)::DOUBLE + 20.0 * mu) / (nd - 1.0 + 20.0)
+        |             / 100.0, 6) + 0.0 AS enc_at_max,
+        |       round(((s - ymin)::DOUBLE + 20.0 * mu) / (nd - 1.0 + 20.0)
+        |             / 100.0, 6) + 0.0 AS enc_at_min,
+        |       round(((nd - 1.0) * sd + 20.0 * nd * mu) /
+        |             (nd * (nd - 1.0 + 20.0)) / 100.0, 6) + 0.0
+        |         AS mean_enc_dollar
+        |FROM j ORDER BY seg""".stripMargin,
+    // same distinct incidence, same bounded pair join, same
+    // snapped-factor cos² grid and (score desc, a, b) heap
+    "q384_item_item_cf" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |pop AS (SELECT p, count(*)::BIGINT AS n FROM cp GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS co
+        |  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+        |  GROUP BY 1, 2)
+        |SELECT pr.pa, pr.pb, pr.co, na.n AS na, nb.n AS nb,
+        |       ((pr.co * 1000000 // na.n) * (pr.co * 1000000 // nb.n))::BIGINT
+        |         AS cos2_p12
+        |FROM pairs pr
+        |JOIN pop na ON pr.pa = na.p
+        |JOIN pop nb ON pr.pb = nb.p
+        |ORDER BY cos2_p12 DESC, pr.pa, pr.pb LIMIT 15""".stripMargin,
     // the same integer PH fold replayed as a bounded recursive CTE
     // (q368's protocol): daily mean cents series, δ=50, λ=2000,
     // expressions repeated because a recursive SELECT cannot reference
