@@ -4839,7 +4839,115 @@ object MiscQueries extends QueryModule {
       .limit(15)
   }
 
+  /** q385: PERMUTATION FEATURE IMPORTANCE (Breiman '01) — how much
+    * does a feature matter? Fit y = a + b·x (extended price ~
+    * quantity, ~ discount%) by exact-moment OLS, then BREAK the
+    * feature by permuting it and measure the SSE inflation with the
+    * SAME fitted model: importance = (SSE_perm − SSE_base)/SSE_base.
+    * The model-agnostic importance beside q370's influence (Cook asks
+    * "which ROW moves the fit", this asks "which FEATURE carries it").
+    *
+    * Determinism: the permutation is the md5 DOUBLE-RANKING device —
+    * rows ranked by md5(salt‖key) on one side, feature values ranked
+    * by a different salt on the other, joined on (day, rank): a
+    * deterministic derangement-in-expectation with no RNG. Only the
+    * cross moment Σx_π·y changes (Σx_π = Σx, Σx_π² = Σx² by
+    * permutation invariance) so one BIGINT moment per feature; the
+    * OLS/SSE chains are mirrored doubles off exact dollar-grid
+    * moments. Scale: ranks live in day-bounded window partitions,
+    * never a global sort; two equi-joins on (day, rank).
+    */
+  def q385PermImportance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("day"),
+        expr("floor(l_extendedprice + 0.5)").cast("long").as("y"),
+        expr("floor(l_quantity + 0.5)").cast("long").as("x1"),
+        expr("floor(l_discount * 100.0 + 0.5)").cast("long").as("x2"))
+    // (ok, ln) is NOT unique in the synthetic lineitem — the hash key
+    // and tiebreak include the value columns so the only possible ties
+    // are between fully identical rows, where any resolution yields
+    // the same sums
+    def ranked(salt: String): DataFrame =
+      base.withColumn("rn", row_number().over(
+        Window.partitionBy("day").orderBy(
+          md5(concat_ws("-", lit(salt), col("ok"), col("ln"),
+            col("x1"), col("x2"), col("y"))),
+          col("ok"), col("ln"), col("x1"), col("x2"), col("y"))))
+    val lhs = ranked("a").select("day", "rn", "y", "x1", "x2")
+    val p1 = ranked("b1").select(col("day"), col("rn"), col("x1").as("x1p"))
+    val p2 = ranked("b2").select(col("day"), col("rn"), col("x2").as("x2p"))
+    val moms = lhs.join(p1, Seq("day", "rn")).join(p2, Seq("day", "rn"))
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum("x1").as("sx1"), sum(col("x1") * col("x1")).as("sxx1"),
+        sum(col("x1") * col("y")).as("sxy1"),
+        sum(col("x1p") * col("y")).as("sxyp1"),
+        sum("x2").as("sx2"), sum(col("x2") * col("x2")).as("sxx2"),
+        sum(col("x2") * col("y")).as("sxy2"),
+        sum(col("x2p") * col("y")).as("sxyp2"))
+    moms.selectExpr(
+        "stack(2, 'quantity', n, sy, syy, sx1, sxx1, sxy1, sxyp1, " +
+          "'discount_pct', n, sy, syy, sx2, sxx2, sxy2, sxyp2) " +
+          "AS (feature, n, sy, syy, sx, sxx, sxy, sxyp)")
+      .selectExpr("feature", "n", "sy", "syy", "sx", "sxx", "sxy", "sxyp",
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b")
+      .selectExpr("feature", "n", "syy", "sxx", "sx", "sxy", "sxyp", "b",
+        "(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a",
+        "CAST(sy AS DOUBLE) AS syd")
+      .selectExpr("feature", "n", "b",
+        "CAST(syy AS DOUBLE) + CAST(n AS DOUBLE) * a * a + b * b * CAST(sxx AS DOUBLE) " +
+          "- 2.0 * a * syd - 2.0 * b * CAST(sxy AS DOUBLE) + 2.0 * a * b * CAST(sx AS DOUBLE) AS sseb",
+        "CAST(syy AS DOUBLE) + CAST(n AS DOUBLE) * a * a + b * b * CAST(sxx AS DOUBLE) " +
+          "- 2.0 * a * syd - 2.0 * b * CAST(sxyp AS DOUBLE) + 2.0 * a * b * CAST(sx AS DOUBLE) AS ssep")
+      .selectExpr("feature", "n", "round(b, 6) AS slope",
+        "round(sseb / CAST(n AS DOUBLE), 4) AS mse_base",
+        "round(ssep / CAST(n AS DOUBLE), 4) AS mse_perm",
+        "round((ssep - sseb) / sseb * 100.0, 4) AS importance_pct")
+      .orderBy("feature")
+  }
+
+  /** q386: READABILITY SCREEN (Flesch '48, vowel-run syllable
+    * heuristic) — per-source Flesch reading ease off word count,
+    * vowel-group syllables, and a 16-words-per-sentence proxy (the
+    * synthetic corpus has no sentence punctuation — documented
+    * stand-in, the formula and plumbing are the real thing). The
+    * classic pretraining quality gate beside the length/stopword
+    * ratios (q47 family): boilerplate and keyword-stuffed spam score
+    * far from natural-prose range.
+    *
+    * Determinism: words/syllables/sentences are exact per-doc
+    * integers (same regex semantics both engines); each doc's Flesch
+    * double chain snaps to the ⌊F·10⁶+½⌋ BIGINT grid BEFORE the
+    * source sum, so aggregation is order-invariant.
+    * Scale: pure scan-local text kernels + one hash agg per source —
+    * the embarrassingly-parallel shape.
+    */
+  def q386Readability(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documentsSpread(spark, dir)
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), t -> t != ''))").cast("long").as("w"),
+        expr("size(regexp_extract_all(text, '[aeiouy]+', 0))").cast("long").as("sy"))
+      .withColumn("w", greatest(col("w"), lit(1L)))
+      .withColumn("sent", expr("(w + 15) div 16"))
+      .withColumn("f_u", expr(
+        "CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE)) " +
+          "- 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("sw"),
+        sum("sy").as("ssy"), sum("f_u").as("sf"))
+      .selectExpr("source", "n_docs",
+        "round(CAST(sf AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0, 6) AS mean_flesch",
+        "round(CAST(sw AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_words",
+        "round(CAST(ssy AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS syll_per_word")
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q385_perm_importance" -> (q385PermImportance _),
+    "q386_readability" -> (q386Readability _),
     "q383_target_encoding" -> (q383TargetEncoding _),
     "q384_item_item_cf" -> (q384ItemItemCf _),
     "q381_page_hinkley" -> (q381PageHinkley _),
@@ -5004,6 +5112,90 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same md5 double-ranking permutation, same exact moments, same
+    // mirrored OLS/SSE chains
+    "q385_perm_importance" ->
+      """WITH base AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |         epoch_us(l_shipdate) // 86400000000 AS day,
+        |         floor(l_extendedprice + 0.5)::BIGINT AS y,
+        |         floor(l_quantity + 0.5)::BIGINT AS x1,
+        |         floor(l_discount * 100.0 + 0.5)::BIGINT AS x2
+        |  FROM lineitem),
+        |lhs AS (
+        |  SELECT day, row_number() OVER (PARTITION BY day
+        |      ORDER BY md5(concat_ws('-', 'a', ok, ln, x1, x2, y)),
+      |                 ok, ln, x1, x2, y) AS rn,
+        |    y, x1, x2 FROM base),
+        |p1 AS (
+        |  SELECT day, row_number() OVER (PARTITION BY day
+        |      ORDER BY md5(concat_ws('-', 'b1', ok, ln, x1, x2, y)),
+      |                 ok, ln, x1, x2, y) AS rn,
+        |    x1 AS x1p FROM base),
+        |p2 AS (
+        |  SELECT day, row_number() OVER (PARTITION BY day
+        |      ORDER BY md5(concat_ws('-', 'b2', ok, ln, x1, x2, y)),
+      |                 ok, ln, x1, x2, y) AS rn,
+        |    x2 AS x2p FROM base),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+        |         sum(y * y)::BIGINT AS syy,
+        |         sum(x1)::BIGINT AS sx1, sum(x1 * x1)::BIGINT AS sxx1,
+        |         sum(x1 * y)::BIGINT AS sxy1, sum(x1p * y)::BIGINT AS sxyp1,
+        |         sum(x2)::BIGINT AS sx2, sum(x2 * x2)::BIGINT AS sxx2,
+        |         sum(x2 * y)::BIGINT AS sxy2, sum(x2p * y)::BIGINT AS sxyp2
+        |  FROM lhs JOIN p1 USING (day, rn) JOIN p2 USING (day, rn)),
+        |f AS (
+        |  SELECT 'quantity' AS feature, n, sy, syy, sx1 AS sx, sxx1 AS sxx,
+        |         sxy1 AS sxy, sxyp1 AS sxyp FROM m
+        |  UNION ALL
+        |  SELECT 'discount_pct', n, sy, syy, sx2, sxx2, sxy2, sxyp2 FROM m),
+        |fit AS (
+        |  SELECT feature, n, sy, syy, sx, sxx, sxy, sxyp,
+        |         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |         (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS b
+        |  FROM f),
+        |fit2 AS (
+        |  SELECT feature, n, syy, sxx, sx, sxy, sxyp, b,
+        |         (sy::DOUBLE - b * sx::DOUBLE) / n::DOUBLE AS a,
+        |         sy::DOUBLE AS syd
+        |  FROM fit),
+        |ss AS (
+        |  SELECT feature, n, b,
+        |         syy::DOUBLE + n::DOUBLE * a * a + b * b * sxx::DOUBLE
+        |           - 2.0 * a * syd - 2.0 * b * sxy::DOUBLE
+        |           + 2.0 * a * b * sx::DOUBLE AS sseb,
+        |         syy::DOUBLE + n::DOUBLE * a * a + b * b * sxx::DOUBLE
+        |           - 2.0 * a * syd - 2.0 * b * sxyp::DOUBLE
+        |           + 2.0 * a * b * sx::DOUBLE AS ssep
+        |  FROM fit2)
+        |SELECT feature, n, round(b, 6) + 0.0 AS slope,
+        |       round(sseb / n::DOUBLE, 4) + 0.0 AS mse_base,
+        |       round(ssep / n::DOUBLE, 4) + 0.0 AS mse_perm,
+        |       round((ssep - sseb) / sseb * 100.0, 4) + 0.0 AS importance_pct
+        |FROM ss ORDER BY feature""".stripMargin,
+    // same word/vowel-run/sentence-proxy integers, same per-doc
+    // micro-grid Flesch snap before the source sum
+    "q386_readability" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         greatest(len(list_filter(string_split(text, ' '),
+        |                                  t -> t != '')), 1)::BIGINT AS w,
+        |         len(regexp_extract_all(text, '[aeiouy]+'))::BIGINT AS sy
+        |  FROM documents),
+        |s AS (SELECT source, w, sy, (w + 15) // 16 AS sent FROM d),
+        |f AS (
+        |  SELECT source, w, sy,
+        |         floor((206.835 - 1.015 * (w::DOUBLE / sent::DOUBLE)
+        |                - 84.6 * (sy::DOUBLE / w::DOUBLE)) * 1000000.0
+        |               + 0.5)::BIGINT AS f_u
+        |  FROM s)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       round(sum(f_u)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6) + 0.0
+        |         AS mean_flesch,
+        |       round(sum(w)::DOUBLE / count(*)::DOUBLE, 6) + 0.0 AS mean_words,
+        |       round(sum(sy)::DOUBLE / sum(w)::DOUBLE, 6) + 0.0 AS syll_per_word
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // same cents moments, same mirrored double chains (Σenc via the
     // closed form, never a float sum)
     "q383_target_encoding" ->
