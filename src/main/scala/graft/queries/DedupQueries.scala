@@ -1227,7 +1227,49 @@ object DedupQueries extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q388: SOUNDEX PHONETIC BLOCKING (Russell 1918; the simplified
+    * no-H/W-bridge variant every SQL engine ships) — the BLOCKING key
+    * generator for record linkage: group part nouns by phonetic code
+    * so the q260 Fellegi–Sunter / Jaro–Winkler compare runs inside
+    * small buckets instead of C(n,2) over the catalog. Per code:
+    * member census, distinct-word collisions (different words, same
+    * sound — exactly what blocking is for), and the candidate-pair
+    * count the block would feed the matcher.
+    *
+    * Determinism: pure string kernels — uppercase, translate to the
+    * classic digit classes, collapse runs per digit (RE2 has no
+    * backreferences, so the collapse is seven literal-digit regex
+    * passes, mirrored), drop vowel zeros, pad to 4. Word lists are
+    * sorted arrays.
+    * Scale: scan-local code derivation + one hash agg on the code —
+    * the embarrassingly-parallel blocking shape; the pair count is
+    * arithmetic off the census, no join materializes.
+    */
+  def q388SoundexBlocking(spark: SparkSession, dir: String): DataFrame = {
+    val collapse = (1 to 7).foldLeft("coded") { (acc, i) =>
+      val d = i - 1
+      s"regexp_replace($acc, '$d{2,}', '$d')"
+    }
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        expr("upper(element_at(split(p_name, ' '), 2))").as("w"))
+      .withColumn("coded", expr(
+        "translate(w, 'BFPVCGJKQSXZDTLMNRAEIOUYHW', " +
+          "'11112222222233455600000000')"))
+      .withColumn("code", expr(
+        s"substr(concat(substr(w, 1, 1), " +
+          s"replace(substr($collapse, 2), '0', ''), '000'), 1, 4)"))
+      .groupBy("code")
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("w")).as("n_distinct_words"),
+        sort_array(collect_set(col("w"))).as("words"))
+      .withColumn("candidate_pairs",
+        expr("n_parts * (n_parts - 1) div 2"))
+      .orderBy("code")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q388_soundex_blocking" -> (q388SoundexBlocking _),
     "q315_winnowing" -> (q315Winnowing _),
     "q266_containment" -> (q266Containment _),
     "q260_fellegi_sunter" -> (q260FellegiSunter _),
@@ -1255,6 +1297,39 @@ object DedupQueries extends QueryModule {
   )
 
   override val oracles: Map[String, String] = Map(
+    // same translate classes, same seven per-digit collapse passes
+    // (RE2-safe), same zero-drop/pad, same sorted word lists
+    "q388_soundex_blocking" ->
+      """WITH w AS (
+        |  SELECT p_partkey, upper(string_split(p_name, ' ')[2]) AS w
+        |  FROM part),
+        |c AS (
+        |  SELECT p_partkey, w,
+        |         translate(w, 'BFPVCGJKQSXZDTLMNRAEIOUYHW',
+        |                   '11112222222233455600000000') AS coded
+        |  FROM w),
+        |k AS (
+        |  SELECT p_partkey, w,
+        |         substr(concat(substr(w, 1, 1),
+        |           replace(substr(
+        |             regexp_replace(regexp_replace(regexp_replace(
+        |             regexp_replace(regexp_replace(regexp_replace(
+        |             regexp_replace(coded,
+        |               '0{2,}', '0', 'g'), '1{2,}', '1', 'g'),
+        |               '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+        |               '4{2,}', '4', 'g'), '5{2,}', '5', 'g'),
+        |               '6{2,}', '6', 'g'), 2), '0', ''), '000'), 1, 4) AS code
+        |  FROM c),
+        |g AS (
+        |  SELECT code, count(*)::BIGINT AS n_parts,
+        |         count(DISTINCT w)::BIGINT AS n_distinct_words
+        |  FROM k GROUP BY 1),
+        |wl AS (
+        |  SELECT code, list(w ORDER BY w) AS words
+        |  FROM (SELECT DISTINCT code, w FROM k) GROUP BY 1)
+        |SELECT g.code, g.n_parts, g.n_distinct_words, wl.words,
+        |       (g.n_parts * (g.n_parts - 1) // 2)::BIGINT AS candidate_pairs
+        |FROM g JOIN wl USING (code) ORDER BY g.code""".stripMargin,
     // same md5 gram stream, same w=8 window minima over the same
     // 0-based positions, same df cutoff / pair threshold / ppm grid
     "q315_winnowing" ->

@@ -4945,7 +4945,71 @@ object MiscQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** q387: HUBER ROBUST REGRESSION (Huber '64) — one exact IRLS step
+    * from the OLS fit of order total ~ customer balance: residuals
+    * beyond k = 1.345σ get weight k/|r| (the 95%-efficiency tuning
+    * constant), then the weighted normal equations are re-solved.
+    * The outlier-resistant line beside q297's Theil–Sen (Theil–Sen
+    * medians pairwise slopes; Huber reweights the least-squares
+    * objective — what M-estimation packages actually iterate).
+    *
+    * Determinism: weights snap to the per-mille BIGINT grid
+    * ⌊1000w+½⌋ BEFORE the weighted moments, so every Σ is an exact
+    * integer sum (order-invariant) in DECIMAL(38,0) — per-row terms
+    * w·x·y reach 10¹⁴ and corpus-scale row counts push past BIGINT;
+    * the (a, b, σ, k) broadcast and both solve chains are mirrored
+    * doubles. Scale: two scans + two 1-row broadcasts — the
+    * distributed-GLM shard shape; no row-level state.
+    */
+  def q387HuberRegression(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val xy = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(
+        expr("floor(o_totalprice * 100.0 + 0.5) div 100").as("y"),
+        expr("floor(c_acctbal * 100.0 + 0.5)").cast("long").as("x"))
+    val ols = xy.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      .selectExpr("n", "sx", "sy", "sxy", "sxx", "syy",
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b")
+      .selectExpr("n", "sx", "sy", "sxy", "sxx", "syy", "b",
+        "(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a")
+      .selectExpr("n", "a", "b",
+        "sqrt((CAST(syy AS DOUBLE) + CAST(n AS DOUBLE) * a * a + b * b * CAST(sxx AS DOUBLE) " +
+          "- 2.0 * a * CAST(sy AS DOUBLE) - 2.0 * b * CAST(sxy AS DOUBLE) " +
+          "+ 2.0 * a * b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS sigma")
+      .selectExpr("n", "a", "b", "sigma", "1.345 * sigma AS k")
+    val weighted = xy.crossJoin(broadcast(ols))
+      .withColumn("r", expr("abs(CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE))"))
+      .withColumn("wu", expr(
+        "CAST(IF(r <= k, 1000L, CAST(floor(1000.0 * k / r + 0.5) AS BIGINT)) AS BIGINT)"))
+    weighted.agg(
+        max("n").as("n"), max("a").as("ols_a"), max("b").as("ols_b"),
+        max("sigma").as("sigma"),
+        sum(col("wu").cast(dec)).as("sw"),
+        sum((col("wu") * col("x")).cast(dec)).as("swx"),
+        sum((col("wu") * col("y")).cast(dec)).as("swy"),
+        sum((col("wu") * col("x") * col("x")).cast(dec)).as("swxx"),
+        sum((col("wu") * col("x") * col("y")).cast(dec)).as("swxy"),
+        sum(when(col("wu") < 1000L, 1L).otherwise(0L)).as("n_down"))
+      .selectExpr("n", "ols_a", "ols_b", "sigma", "n_down",
+        "(CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE) - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE)) / " +
+          "(CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE) - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS bh",
+        "CAST(swy AS DOUBLE) AS swyd", "CAST(sw AS DOUBLE) AS swd",
+        "CAST(swx AS DOUBLE) AS swxd")
+      .selectExpr("n", "n_down",
+        "round(ols_b, 6) AS ols_slope", "round(ols_a, 6) AS ols_intercept",
+        "round(sigma, 6) AS sigma",
+        "round(bh, 6) AS huber_slope",
+        "round((swyd - bh * swxd) / swd, 6) AS huber_intercept")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q387_huber_regression" -> (q387HuberRegression _),
     "q385_perm_importance" -> (q385PermImportance _),
     "q386_readability" -> (q386Readability _),
     "q383_target_encoding" -> (q383TargetEncoding _),
@@ -5112,6 +5176,61 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same dollar/cent grids, same per-mille weight snap before the
+    // exact weighted moments (HUGEINT ≡ the engine's DECIMAL(38,0)),
+    // same mirrored OLS → σ → k → IRLS chains
+    "q387_huber_regression" ->
+      """WITH xy AS (
+        |  SELECT floor(o.o_totalprice * 100.0 + 0.5)::BIGINT // 100 AS y,
+        |         floor(c.c_acctbal * 100.0 + 0.5)::BIGINT AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM xy),
+        |fit AS (
+        |  SELECT n, sx, sy, sxy, sxx, syy,
+        |         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |         (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS b
+        |  FROM m),
+        |fit2 AS (
+        |  SELECT n, sx, sy, sxy, sxx, syy, b,
+        |         (sy::DOUBLE - b * sx::DOUBLE) / n::DOUBLE AS a
+        |  FROM fit),
+        |fit3 AS (
+        |  SELECT n, a, b,
+        |         sqrt((syy::DOUBLE + n::DOUBLE * a * a + b * b * sxx::DOUBLE
+        |               - 2.0 * a * sy::DOUBLE - 2.0 * b * sxy::DOUBLE
+        |               + 2.0 * a * b * sx::DOUBLE) / n::DOUBLE) AS sigma
+        |  FROM fit2),
+        |fit4 AS (SELECT n, a, b, sigma, 1.345 * sigma AS k FROM fit3),
+        |wrows AS (
+        |  SELECT xy.x, xy.y, f.n, f.a, f.b, f.sigma,
+        |         CASE WHEN abs(xy.y::DOUBLE - f.a - f.b * xy.x::DOUBLE) <= f.k
+        |              THEN 1000::BIGINT
+        |              ELSE floor(1000.0 * f.k /
+        |                abs(xy.y::DOUBLE - f.a - f.b * xy.x::DOUBLE)
+        |                + 0.5)::BIGINT END AS wu
+        |  FROM xy, fit4 f),
+        |wm AS (
+        |  SELECT max(n) AS n, max(a) AS ols_a, max(b) AS ols_b,
+        |         max(sigma) AS sigma,
+        |         sum(wu) AS sw, sum(wu * x) AS swx, sum(wu * y) AS swy,
+        |         sum(wu * x * x) AS swxx, sum(wu * x * y) AS swxy,
+        |         sum(CASE WHEN wu < 1000 THEN 1 ELSE 0 END)::BIGINT AS n_down
+        |  FROM wrows),
+        |sol AS (
+        |  SELECT n, ols_a, ols_b, sigma, n_down,
+        |         (sw::DOUBLE * swxy::DOUBLE - swx::DOUBLE * swy::DOUBLE) /
+        |         (sw::DOUBLE * swxx::DOUBLE - swx::DOUBLE * swx::DOUBLE) AS bh,
+        |         swy::DOUBLE AS swyd, sw::DOUBLE AS swd, swx::DOUBLE AS swxd
+        |  FROM wm)
+        |SELECT n, n_down, round(ols_b, 6) + 0.0 AS ols_slope,
+        |       round(ols_a, 6) + 0.0 AS ols_intercept,
+        |       round(sigma, 6) + 0.0 AS sigma,
+        |       round(bh, 6) + 0.0 AS huber_slope,
+        |       round((swyd - bh * swxd) / swd, 6) + 0.0 AS huber_intercept
+        |FROM sol""".stripMargin,
     // same md5 double-ranking permutation, same exact moments, same
     // mirrored OLS/SSE chains
     "q385_perm_importance" ->
