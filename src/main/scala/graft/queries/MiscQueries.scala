@@ -5008,7 +5008,93 @@ object MiscQueries extends QueryModule {
         "round((swyd - bh * swxd) / swd, 6) AS huber_intercept")
   }
 
+  /** q389: CLASSICAL SEASONAL DECOMPOSITION (additive, weekly period —
+    * the moving-average method STL descends from): daily revenue =
+    * trend (centered 7-day MA) + weekday effect + residual, reporting
+    * each weekday's dollar effect, Hyndman's seasonality strength
+    * 1 − Var(resid)/Var(detrended), and the residual SD. The
+    * calendar-structure screen beside q330's seasonal-naive MASE
+    * (q330 FORECASTS with the weekly pattern; this MEASURES how much
+    * of the variance the pattern owns).
+    *
+    * Determinism: the day census is integer dollars; the trend is
+    * sum7 div 7 over full 7-day windows (positive — trunc == floor);
+    * detrended values are exact signed BIGINTs; the effect and both
+    * variances come off BIGINT moments via the group-mean identity
+    * Σ(det−e)² = Σdet² − Σ n_d·e_d², one double chain at the end.
+    * Scale: one shuffle to the day census; MA window and weekday agg
+    * run on ~2 500 census rows; dollars (not cents) keep Σdet² inside
+    * BIGINT at 1000× the gate scale.
+    */
+  def q389SeasonalDecomp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast("date").as("d"),
+        expr("floor(o_totalprice * 100.0 + 0.5) div 100").as("rev"))
+      .groupBy("d").agg(sum("rev").as("rev"))
+    val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("s7", sum("rev").over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .filter(col("c7") === 7)
+      .select((dayofweek(col("d")) - 1).cast("long").as("dow"),
+        (col("rev") - expr("s7 div 7")).as("det"))
+    val byDow = det.groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum("det").as("sd"),
+        sum(col("det") * col("det")).as("sdd"))
+    // between-group sum of squares on the exact centi-dollar² grid
+    // (sd²·100 div n_d per group, then an integer sum) — a float sum
+    // over the 7 group terms would be order-dependent across engines
+    val tot = byDow.agg(sum("n_days").as("n"), sum("sd").as("st"),
+      sum("sdd").as("stt"),
+      sum(expr("(sd * sd * 100) div n_days")).as("ssb_c"))
+    byDow.crossJoin(broadcast(tot))
+      .selectExpr("dow", "n_days",
+        "round(CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS effect_dollar",
+        "CAST(stt * 100 - (st * st * 100) div n AS DOUBLE) AS ssd_c",
+        "CAST(stt * 100 - ssb_c AS DOUBLE) AS ssr_c", "CAST(n AS DOUBLE) AS nd")
+      .selectExpr("dow", "n_days", "effect_dollar",
+        "round(greatest(0.0, 1.0 - ssr_c / ssd_c), 6) AS seasonal_strength",
+        "round(sqrt(ssr_c / (100.0 * nd)), 6) AS resid_sd")
+      .orderBy("dow")
+  }
+
+  /** q390: SEQUENTIAL PATTERN MINING (contiguous event-type trigrams,
+    * support = distinct users — the SPM shape GSP/PrefixSpan bound,
+    * restricted to contiguous windows so the pattern space stays
+    * |types|³): top-10 behavioral motifs by user support, with the
+    * occurrence count beside it. The n≥3 sequence layer over q177's
+    * transition matrix (bigrams) and q372's entropy (how predictable),
+    * answering WHICH multi-step paths dominate.
+    *
+    * Determinism: trigram = two lead windows under the total
+    * per-user order (ts, event_id); support/occurrence are integer
+    * censuses; top-10 ties break (support desc, occurrences desc,
+    * trigram asc). Scale: user-partitioned windows at the events
+    * layout, one hash agg to the ≤|types|³ pattern census, heap
+    * top-k — the sequence never leaves its partition.
+    */
+  def q390SequencePatterns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("t2"), col("t3")).as("pattern"))
+      .groupBy("pattern")
+      .agg(countDistinct("user_id").as("support_users"),
+        count(lit(1)).as("occurrences"))
+      .orderBy(col("support_users").desc, col("occurrences").desc,
+        col("pattern"))
+      .limit(10)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q389_seasonal_decomp" -> (q389SeasonalDecomp _),
+    "q390_sequence_patterns" -> (q390SequencePatterns _),
     "q387_huber_regression" -> (q387HuberRegression _),
     "q385_perm_importance" -> (q385PermImportance _),
     "q386_readability" -> (q386Readability _),
@@ -5176,6 +5262,60 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same integer-dollar day census, same full-window 7-day MA,
+    // same centi-grid sum-of-squares identities
+    "q389_seasonal_decomp" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS d,
+        |         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT // 100)::BIGINT
+        |           AS rev
+        |  FROM orders GROUP BY 1),
+        |ma AS (
+        |  SELECT d, rev,
+        |         sum(rev) OVER (ORDER BY d
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS s7,
+        |         count(*) OVER (ORDER BY d
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS c7
+        |  FROM daily),
+        |det AS (
+        |  SELECT dayofweek(d)::BIGINT AS dow, rev - (s7 // 7) AS det
+        |  FROM ma WHERE c7 = 7),
+        |bd AS (
+        |  SELECT dow, count(*)::BIGINT AS n_days, sum(det)::BIGINT AS sd,
+        |         sum(det * det)::BIGINT AS sdd
+        |  FROM det GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n_days)::BIGINT AS n, sum(sd)::BIGINT AS st,
+        |         sum(sdd)::BIGINT AS stt,
+        |         sum((sd * sd * 100) // n_days)::BIGINT AS ssb_c
+        |  FROM bd),
+        |j AS (
+        |  SELECT dow, n_days, sd,
+        |         (stt * 100 - (st * st * 100) // n)::DOUBLE AS ssd_c,
+        |         (stt * 100 - ssb_c)::DOUBLE AS ssr_c, n::DOUBLE AS nd
+        |  FROM bd, tot)
+        |SELECT dow, n_days,
+        |       round(sd::DOUBLE / n_days::DOUBLE, 6) + 0.0 AS effect_dollar,
+        |       round(greatest(0.0, 1.0 - ssr_c / ssd_c), 6) + 0.0
+        |         AS seasonal_strength,
+        |       round(sqrt(ssr_c / (100.0 * nd)), 6) + 0.0 AS resid_sd
+        |FROM j ORDER BY dow""".stripMargin,
+    // same (ts, event_id) total order, same contiguous trigrams,
+    // same (support desc, occurrences desc, pattern) heap
+    "q390_sequence_patterns" ->
+      """WITH tri AS (
+        |  SELECT user_id,
+        |         concat_ws('>', event_type,
+        |           lead(event_type, 1) OVER w,
+        |           lead(event_type, 2) OVER w) AS pattern,
+        |         lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT pattern, count(DISTINCT user_id)::BIGINT AS support_users,
+        |       count(*)::BIGINT AS occurrences
+        |FROM tri WHERE t3 IS NOT NULL GROUP BY 1
+        |ORDER BY support_users DESC, occurrences DESC, pattern
+        |LIMIT 10""".stripMargin,
     // same dollar/cent grids, same per-mille weight snap before the
     // exact weighted moments (HUGEINT ≡ the engine's DECIMAL(38,0)),
     // same mirrored OLS → σ → k → IRLS chains
