@@ -122,6 +122,59 @@ object LakehouseQueries extends QueryModule {
     * struct-max formulation is itself the scale story: version
     * resolution never windows the log.
     */
+  /** q391: SNAPSHOT EXPIRATION / VACUUM — the retention sweep every
+    * lakehouse runs (Delta VACUUM / Iceberg expire_snapshots) over
+    * q242's upsert log: at retention cutoff C, versions dated ≥ C stay
+    * time-travelable, versions < C are EXPIRED except each key's
+    * latest-before-C (which the snapshot AT C still references —
+    * deleting it would corrupt the oldest retained snapshot). Two
+    * cutoffs report the version/expired censuses AND the invariant
+    * that matters: the CURRENT state reconstructed from the kept set
+    * is bit-identical to the state from the full log (key count and
+    * cents sum compared in-query).
+    *
+    * Determinism: retention membership is pure date arithmetic;
+    * latest-before-C and current-state are lexicographic struct-max
+    * on (date, okey) — total order, no window; sums are exact cents.
+    * Scale: q242's discipline — the ×2 cutoff explode is scan-local,
+    * each branch is one key-hash agg (struct-max, map-side partials);
+    * the "files referenced by retained snapshots" reachability that a
+    * real vacuum computes is exactly this latest-before-C set, done
+    * as an aggregation instead of a manifest walk.
+    */
+  def q391SnapshotExpiry(spark: SparkSession, dir: String): DataFrame = {
+    val cutoffs = typedlit(Seq("1995-06-01", "1997-06-01"))
+    val v = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"),
+        col("o_orderdate").cast("date").as("d"), col("o_orderkey").as("ok"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("cutoff_s", explode(cutoffs))
+      .withColumn("cutoff", col("cutoff_s").cast("date")).drop("cutoff_s")
+    val nVer = v.groupBy("cutoff").agg(count(lit(1)).as("n_versions"))
+    val oldLatest = v.filter(col("d") < col("cutoff"))
+      .groupBy("cutoff", "cust")
+      .agg(max(struct(col("d"), col("ok"), col("cents"))).as("b"))
+      .select(col("cutoff"), col("cust"), col("b.d").as("d"),
+        col("b.ok").as("ok"), col("b.cents").as("cents"))
+    val kept = v.filter(col("d") >= col("cutoff"))
+      .select("cutoff", "cust", "d", "ok", "cents")
+      .unionByName(oldLatest)
+    val keptN = kept.groupBy("cutoff").agg(count(lit(1)).as("n_kept"))
+    def state(df: DataFrame, nKeys: String, sumC: String): DataFrame =
+      df.groupBy("cutoff", "cust")
+        .agg(max(struct(col("d"), col("ok"), col("cents"))).as("b"))
+        .groupBy("cutoff")
+        .agg(count(lit(1)).as(nKeys), sum(col("b.cents")).as(sumC))
+    val full = state(v, "n_keys", "sc_full")
+    val fromKept = state(kept, "n_keys_kept", "sc_kept")
+    nVer.join(keptN, "cutoff").join(full, "cutoff").join(fromKept, "cutoff")
+      .selectExpr("cutoff", "n_versions", "n_kept",
+        "n_versions - n_kept AS n_expired", "n_keys",
+        "round(CAST(sc_full AS DOUBLE) / 100.0, 2) AS state_dollars",
+        "n_keys = n_keys_kept AND sc_full = sc_kept AS state_preserved")
+      .orderBy("cutoff")
+  }
+
   def q242TimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val snaps = typedlit(Seq("1996-01-01", "1998-06-01", "2000-12-31"))
     Tables.orders(spark, dir)
@@ -716,6 +769,7 @@ object LakehouseQueries extends QueryModule {
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q391_snapshot_expiry" -> (q391SnapshotExpiry _),
     "q351_malformed_csv" -> (q351MalformedCsv _),
     "q352_codec_roundtrip" -> (q352CodecRoundtrip _),
     "q320_schema_evolution" -> (q320SchemaEvolution _),
@@ -949,6 +1003,43 @@ object LakehouseQueries extends QueryModule {
         |       round(max(value), 2) + 0.0 AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same last-write-wins total order ((date, key) DESC), same cents
+    "q391_snapshot_expiry" ->
+      """WITH c(cutoff) AS (VALUES (DATE '1995-06-01'), (DATE '1997-06-01')),
+        |v AS (
+        |  SELECT c.cutoff, o_custkey AS cust, o_orderdate::DATE AS d,
+        |         o_orderkey AS ok,
+        |         floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents
+        |  FROM orders CROSS JOIN c),
+        |nver AS (SELECT cutoff, count(*)::BIGINT AS n_versions FROM v GROUP BY 1),
+        |old_latest AS (
+        |  SELECT cutoff, cust, d, ok, cents FROM v WHERE d < cutoff
+        |  QUALIFY row_number() OVER (PARTITION BY cutoff, cust
+        |    ORDER BY d DESC, ok DESC) = 1),
+        |kept AS (
+        |  SELECT cutoff, cust, d, ok, cents FROM v WHERE d >= cutoff
+        |  UNION ALL SELECT * FROM old_latest),
+        |keptn AS (SELECT cutoff, count(*)::BIGINT AS n_kept FROM kept GROUP BY 1),
+        |full_state AS (
+        |  SELECT cutoff, count(*)::BIGINT AS n_keys, sum(cents)::BIGINT AS sc_full
+        |  FROM (SELECT cutoff, cust, cents FROM v
+        |        QUALIFY row_number() OVER (PARTITION BY cutoff, cust
+        |          ORDER BY d DESC, ok DESC) = 1)
+        |  GROUP BY 1),
+        |kept_state AS (
+        |  SELECT cutoff, count(*)::BIGINT AS n_keys_kept,
+        |         sum(cents)::BIGINT AS sc_kept
+        |  FROM (SELECT cutoff, cust, cents FROM kept
+        |        QUALIFY row_number() OVER (PARTITION BY cutoff, cust
+        |          ORDER BY d DESC, ok DESC) = 1)
+        |  GROUP BY 1)
+        |SELECT n.cutoff, n.n_versions, k.n_kept,
+        |       n.n_versions - k.n_kept AS n_expired, f.n_keys,
+        |       round(f.sc_full::DOUBLE / 100.0, 2) + 0.0 AS state_dollars,
+        |       f.n_keys = s.n_keys_kept AND f.sc_full = s.sc_kept
+        |         AS state_preserved
+        |FROM nver n JOIN keptn k USING (cutoff)
+        |JOIN full_state f USING (cutoff) JOIN kept_state s USING (cutoff)
+        |ORDER BY n.cutoff""".stripMargin,
     "q242_time_travel" ->
       """WITH s(as_of) AS (VALUES (DATE '1996-01-01'), (DATE '1998-06-01'), (DATE '2000-12-31')),
         |u AS (

@@ -5092,7 +5092,53 @@ object MiscQueries extends QueryModule {
       .limit(10)
   }
 
+  /** q392: LJUNG–BOX PORTMANTEAU TEST (Ljung & Box '78) — is the daily
+    * event-count series white noise? Q = n(n+2)·Σ_{k≤7} ρ̂²_k/(n−k)
+    * over q284's first seven autocorrelations, against the χ²₀.₉₅,₇
+    * critical value. The JOINT serial-correlation test that completes
+    * the ACF (q284) / PACF (q369) / runs (q371) family: individual ρ̂
+    * bands miss correlation spread thinly across lags; residual
+    * diagnostics after any forecast fit (q330/q368) ask exactly this.
+    *
+    * Determinism: ρ̂_k snaps to q284's 10⁻⁶ grid as an INTEGER r_u;
+    * each summand becomes the exact femto-grid integer
+    * (r_u²·1000) div (n−k), so the 7-term sum is order-invariant and
+    * Q is one double chain off a BIGINT. Scale: q284's shape — one
+    * shuffle to the day census, 7 shifted census self-joins, 7-row
+    * everything after.
+    */
+  def q392LjungBox(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+    val tot = days.agg(count(lit(1)).as("nd"), sum("y").as("s"))
+    val c = days.crossJoin(broadcast(tot))
+      .select(col("day"), col("nd"), (col("nd") * col("y") - col("s")).as("cy"))
+      .localCheckpoint()
+    val den = c.agg(sum(col("cy") * col("cy")).as("den"), max("nd").as("nd"))
+    val lagged = spark.range(1, 8).select(col("id").as("lag"))
+      .crossJoin(c.select(col("day").as("d0"), col("cy").as("cy0")))
+      .select(col("lag"), (col("d0") + col("lag")).as("day"), col("cy0"))
+    val rhos = c.join(lagged, "day")
+      .groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+        sum(col("cy") * col("cy0")).as("num"))
+      .crossJoin(broadcast(den))
+      .selectExpr("lag", "n_pairs", "nd",
+        "CAST(floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS r_u")
+      .withColumn("term_f", expr("(r_u * r_u * 1000) div (nd - lag)"))
+    val q = rhos.agg(sum("term_f").as("sum_f"), max("nd").as("nd2"))
+      .selectExpr(
+        "round(CAST(nd2 AS DOUBLE) * CAST(nd2 + 2 AS DOUBLE) * " +
+          "(CAST(sum_f AS DOUBLE) / 1.0e15), 6) AS q_stat")
+    rhos.crossJoin(broadcast(q))
+      .selectExpr("lag", "n_pairs",
+        "CAST(r_u AS DOUBLE) / 1000000.0 AS rho",
+        "q_stat", "q_stat > 14.067140 AS reject_white_noise")
+      .orderBy("lag")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q392_ljung_box" -> (q392LjungBox _),
     "q389_seasonal_decomp" -> (q389SeasonalDecomp _),
     "q390_sequence_patterns" -> (q390SequencePatterns _),
     "q387_huber_regression" -> (q387HuberRegression _),
@@ -5262,6 +5308,37 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // q284's scaled-centered census and 10⁻⁶ ρ grid, the same exact
+    // femto-grid summands, one mirrored double chain for Q
+    "q392_ljung_box" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS nd, sum(y)::BIGINT AS s FROM days),
+        |c AS (
+        |  SELECT day, nd, (nd * y - s)::BIGINT AS cy FROM days, tot),
+        |den AS (SELECT sum(cy * cy)::BIGINT AS den, max(nd) AS nd FROM c),
+        |rho AS (
+        |  SELECT l.lag, count(*)::BIGINT AS n_pairs, max(d.nd) AS nd,
+        |         floor((sum(a.cy * b.cy)::DOUBLE / max(d.den)::DOUBLE)
+        |               * 1000000.0 + 0.5)::BIGINT AS r_u
+        |  FROM (SELECT unnest(generate_series(1, 7)) AS lag) l
+        |  JOIN c a ON TRUE
+        |  JOIN c b ON b.day = a.day - l.lag
+        |  CROSS JOIN den d
+        |  GROUP BY l.lag),
+        |terms AS (
+        |  SELECT lag, n_pairs, nd, r_u,
+        |         ((r_u * r_u * 1000) // (nd - lag))::BIGINT AS term_f
+        |  FROM rho),
+        |q AS (
+        |  SELECT round(max(nd)::DOUBLE * (max(nd) + 2)::DOUBLE *
+        |               (sum(term_f)::DOUBLE / 1.0e15), 6) AS q_stat
+        |  FROM terms)
+        |SELECT t.lag, t.n_pairs, t.r_u::DOUBLE / 1000000.0 AS rho,
+        |       q.q_stat + 0.0 AS q_stat,
+        |       q.q_stat > 14.067140 AS reject_white_noise
+        |FROM terms t, q ORDER BY t.lag""".stripMargin,
     // same integer-dollar day census, same full-window 7-day MA,
     // same centi-grid sum-of-squares identities
     "q389_seasonal_decomp" ->
