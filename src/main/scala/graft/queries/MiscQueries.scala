@@ -5137,7 +5137,107 @@ object MiscQueries extends QueryModule {
       .orderBy("lag")
   }
 
+  /** q393: FRIEDMAN TEST (Friedman '37) — the nonparametric two-way
+    * ANOVA on ranks: within each complete day-block, rank the five
+    * event types by daily dollar volume, then test whether the rank
+    * sums differ (χ²_F = 12/(bk(k+1))·ΣR_j² − 3b(k+1), k−1 df). The
+    * repeated-measures member of the test family: q358's
+    * Brown–Forsythe compares group DISPERSION, Kruskal–Wallis (q-family)
+    * pools ranks globally; Friedman BLOCKS by day, removing day-level
+    * volume shifts before comparing treatments.
+    *
+    * Determinism: within-block average ranks live on the ×2 integer
+    * grid (min_rank + max_rank, exact under ties); rank sums are
+    * BIGINT; the χ² chain is one mirrored double expression. Only
+    * complete blocks (all 5 types) enter, so k is constant by
+    * construction. Scale: one shuffle to the (day, type) census; the
+    * rank windows are k-row partitions of the census; the test is a
+    * 5-row reduction.
+    */
+  def q393FriedmanTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("day", "event_type").agg(sum("cents").as("v"))
+    val complete = daily
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("day")))
+      .filter(col("k") === 5)
+    val ranked = complete
+      .withColumn("rmin", rank().over(
+        Window.partitionBy("day").orderBy("v")))
+      .withColumn("rmax_desc", rank().over(
+        Window.partitionBy("day").orderBy(col("v").desc)))
+      .withColumn("r2", col("rmin") + (lit(6) - col("rmax_desc")))
+    val sums = ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("b"), sum("r2").as("r2sum"))
+    val tot = sums.agg(max("b").as("bb"),
+      sum(expr("r2sum * r2sum")).as("sr4"))
+    sums.crossJoin(broadcast(tot))
+      .selectExpr("event_type", "b",
+        "round(CAST(r2sum AS DOUBLE) / 2.0 / CAST(b AS DOUBLE), 6) AS mean_rank",
+        "round(12.0 / (CAST(bb AS DOUBLE) * 5.0 * 6.0) * (CAST(sr4 AS DOUBLE) / 4.0) " +
+          "- 3.0 * CAST(bb AS DOUBLE) * 6.0, 6) AS chi2_f",
+        "(12.0 / (CAST(bb AS DOUBLE) * 5.0 * 6.0) * (CAST(sr4 AS DOUBLE) / 4.0) " +
+          "- 3.0 * CAST(bb AS DOUBLE) * 6.0) > 9.487729 AS reject_equal_ranks")
+      .orderBy("event_type")
+  }
+
+  /** q394: MAHALANOBIS OUTLIER AUDIT (the multivariate distance the
+    * χ² rule-of-thumb screens with) — per-row D² of (quantity,
+    * extended price) against the 2×2 sample covariance, the outlier
+    * census above the χ²₂ 0.999 quantile (13.8155), and the top-10
+    * most anomalous line items. The MULTIVARIATE data-audit row beside
+    * q370's per-row influence and the univariate z-screens: a row can
+    * be unremarkable in each margin and absurd jointly (high price at
+    * tiny quantity) — only the correlation-aware distance sees it.
+    *
+    * Determinism: covariance moments are exact BIGINT off the
+    * dollar/unit grids; (μ, Σ⁻¹ terms) broadcast as one row; each D²
+    * is the same mirrored double chain in both engines, and the
+    * top-10 ties break (D² snapped to 10⁻⁹, then key). Scale: one
+    * moment agg + one broadcast + a scan-local chain + TakeOrdered
+    * heap — no row-level state, no shuffle beyond the 1-row moments.
+    */
+  def q394MahalanobisOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val xy = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        expr("floor(l_quantity + 0.5)").cast("long").as("x"),
+        expr("floor(l_extendedprice + 0.5)").cast("long").as("y"))
+    val m = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr("n",
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx",
+        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my",
+        "CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vxx",
+        "CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vxy",
+        "CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vyy")
+      .selectExpr("n", "mx", "my", "vxx", "vxy", "vyy",
+        "vxx * vyy - vxy * vxy AS det")
+    val scored = xy.crossJoin(broadcast(m))
+      .withColumn("d2", expr(
+        "(vyy * (CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx) " +
+          "- 2.0 * vxy * (CAST(x AS DOUBLE) - mx) * (CAST(y AS DOUBLE) - my) " +
+          "+ vxx * (CAST(y AS DOUBLE) - my) * (CAST(y AS DOUBLE) - my)) / det"))
+      .withColumn("d2_n",
+        expr("CAST(floor(d2 * 1000000000.0 + 0.5) AS BIGINT)"))
+    val census = scored.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("d2_n") > 13815500000L, 1L).otherwise(0L)).as("n_outliers"))
+    scored.crossJoin(broadcast(census))
+      .orderBy(col("d2_n").desc, col("ok"), col("ln"))
+      .limit(10)
+      .selectExpr("ok AS l_orderkey", "ln AS l_linenumber", "x AS quantity",
+        "y AS price_dollar",
+        "round(CAST(d2_n AS DOUBLE) / 1000000000.0, 6) AS d2",
+        "n_rows", "n_outliers")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q393_friedman_test" -> (q393FriedmanTest _),
+    "q394_mahalanobis_outliers" -> (q394MahalanobisOutliers _),
     "q392_ljung_box" -> (q392LjungBox _),
     "q389_seasonal_decomp" -> (q389SeasonalDecomp _),
     "q390_sequence_patterns" -> (q390SequencePatterns _),
@@ -5308,6 +5408,74 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same complete-block filter, same ×2 average-rank grid
+    // (rank_asc + k+1 − rank_desc), same mirrored χ² chain
+    "q393_friedman_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |complete AS (
+        |  SELECT day, event_type, v,
+        |         count(*) OVER (PARTITION BY day) AS k
+        |  FROM daily QUALIFY k = 5),
+        |ranked AS (
+        |  SELECT day, event_type,
+        |         (rank() OVER (PARTITION BY day ORDER BY v) +
+        |          6 - rank() OVER (PARTITION BY day ORDER BY v DESC))::BIGINT
+        |           AS r2
+        |  FROM complete),
+        |sums AS (
+        |  SELECT event_type, count(*)::BIGINT AS b, sum(r2)::BIGINT AS r2sum
+        |  FROM ranked GROUP BY 1),
+        |tot AS (
+        |  SELECT max(b) AS bb, sum(r2sum * r2sum)::BIGINT AS sr4 FROM sums)
+        |SELECT s.event_type, s.b,
+        |       round(s.r2sum::DOUBLE / 2.0 / s.b::DOUBLE, 6) + 0.0 AS mean_rank,
+        |       round(12.0 / (t.bb::DOUBLE * 5.0 * 6.0) * (t.sr4::DOUBLE / 4.0)
+        |             - 3.0 * t.bb::DOUBLE * 6.0, 6) + 0.0 AS chi2_f,
+        |       (12.0 / (t.bb::DOUBLE * 5.0 * 6.0) * (t.sr4::DOUBLE / 4.0)
+        |        - 3.0 * t.bb::DOUBLE * 6.0) > 9.487729 AS reject_equal_ranks
+        |FROM sums s, tot t ORDER BY s.event_type""".stripMargin,
+    // same exact covariance moments, same broadcast (μ, Σ⁻¹) chain,
+    // same 10⁻⁹ D² snap for the census threshold and the heap order
+    "q394_mahalanobis_outliers" ->
+      """WITH xy AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |         floor(l_quantity + 0.5)::BIGINT AS x,
+        |         floor(l_extendedprice + 0.5)::BIGINT AS y
+        |  FROM lineitem),
+        |m0 AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |         sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+        |         sum(x * y)::BIGINT AS sxy, sum(y * y)::BIGINT AS syy
+        |  FROM xy),
+        |m AS (
+        |  SELECT n,
+        |         sx::DOUBLE / n::DOUBLE AS mx, sy::DOUBLE / n::DOUBLE AS my,
+        |         sxx::DOUBLE / n::DOUBLE - (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE) AS vxx,
+        |         sxy::DOUBLE / n::DOUBLE - (sx::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE) AS vxy,
+        |         syy::DOUBLE / n::DOUBLE - (sy::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE) AS vyy
+        |  FROM m0),
+        |m2 AS (SELECT *, vxx * vyy - vxy * vxy AS det FROM m),
+        |scored AS (
+        |  SELECT xy.ok, xy.ln, xy.x, xy.y,
+        |         floor(((m2.vyy * (xy.x::DOUBLE - m2.mx) * (xy.x::DOUBLE - m2.mx)
+        |           - 2.0 * m2.vxy * (xy.x::DOUBLE - m2.mx) * (xy.y::DOUBLE - m2.my)
+        |           + m2.vxx * (xy.y::DOUBLE - m2.my) * (xy.y::DOUBLE - m2.my))
+        |           / m2.det) * 1000000000.0 + 0.5)::BIGINT AS d2_n
+        |  FROM xy, m2),
+        |census AS (
+        |  SELECT count(*)::BIGINT AS n_rows,
+        |         sum(CASE WHEN d2_n > 13815500000 THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_outliers
+        |  FROM scored)
+        |SELECT s.ok AS l_orderkey, s.ln AS l_linenumber, s.x AS quantity,
+        |       s.y AS price_dollar,
+        |       round(s.d2_n::DOUBLE / 1000000000.0, 6) + 0.0 AS d2,
+        |       c.n_rows, c.n_outliers
+        |FROM scored s, census c
+        |ORDER BY s.d2_n DESC, s.ok, s.ln LIMIT 10""".stripMargin,
     // q284's scaled-centered census and 10⁻⁶ ρ grid, the same exact
     // femto-grid summands, one mirrored double chain for Q
     "q392_ljung_box" ->
