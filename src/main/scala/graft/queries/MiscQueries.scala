@@ -5235,7 +5235,50 @@ object MiscQueries extends QueryModule {
         "n_rows", "n_outliers")
   }
 
+  /** q396: TIME-TO-CONVERT LATENCY — the funnel's missing axis: q96
+    * counts WHO converts, this measures HOW LONG (first view → first
+    * subsequent purchase per user), reporting the converted census
+    * and exact p50/p90/p99/mean latency in days. The product-analytics
+    * latency distribution every conversion dashboard shows, and the
+    * attribution-window calibrator (q62's interval join hard-codes a
+    * window; this measures what the window should be).
+    *
+    * Determinism: latencies live on the integer day grid ((µs diff)
+    * div 86400000000 — non-negative by the ≥ first-view filter);
+    * percentiles are exact order statistics off the latency census
+    * via cumulative-count inequalities (cum·2 ≥ n etc.), never a
+    * sort of the user table; mean is one divide. Scale: two key aggs
+    * + one equi-join to (user, first-view); the census window is
+    * value-cardinality (≤ observed day span).
+    */
+  def q396TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .filter(col("us") >= col("v_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"), min("v_us").as("v_us"))
+      .select(expr("(p_us - v_us) div 86400000000").as("lat_d"))
+    val census = lat.groupBy("lat_d").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("lat_d")))
+    census.agg(sum("c").as("n"), sum(expr("lat_d * c")).as("s"))
+      .crossJoin(census.select(col("lat_d"), col("cum")))
+      .groupBy("n", "s")
+      .agg(
+        min(when(col("cum") * 2 >= col("n"), col("lat_d"))).as("p50_days"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("lat_d"))).as("p90_days"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("lat_d"))).as("p99_days"))
+      .selectExpr("n AS n_converted", "p50_days", "p90_days", "p99_days",
+        "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_days")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q396_time_to_convert" -> (q396TimeToConvert _),
     "q393_friedman_test" -> (q393FriedmanTest _),
     "q394_mahalanobis_outliers" -> (q394MahalanobisOutliers _),
     "q392_ljung_box" -> (q392LjungBox _),
@@ -5408,6 +5451,32 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same first-view/first-subsequent-purchase day grid, same
+    // cumulative-census order statistics
+    "q396_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |fv AS (
+        |  SELECT user_id, min(us) AS v_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |lat AS (
+        |  SELECT (min(p.us) - min(f.v_us)) // 86400000000 AS lat_d
+        |  FROM ev p JOIN fv f USING (user_id)
+        |  WHERE p.event_type = 'purchase' AND p.us >= f.v_us
+        |  GROUP BY p.user_id),
+        |census AS (
+        |  SELECT lat_d, count(*)::BIGINT AS c,
+        |         sum(count(*)) OVER (ORDER BY lat_d)::BIGINT AS cum
+        |  FROM lat GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n, sum(lat_d * c)::BIGINT AS s
+        |        FROM census)
+        |SELECT t.n AS n_converted,
+        |       min(CASE WHEN c.cum * 2 >= t.n THEN c.lat_d END) AS p50_days,
+        |       min(CASE WHEN c.cum * 10 >= t.n * 9 THEN c.lat_d END) AS p90_days,
+        |       min(CASE WHEN c.cum * 100 >= t.n * 99 THEN c.lat_d END) AS p99_days,
+        |       round(t.s::DOUBLE / t.n::DOUBLE, 6) + 0.0 AS mean_days
+        |FROM census c, tot t GROUP BY t.n, t.s""".stripMargin,
     // same complete-block filter, same ×2 average-rank grid
     // (rank_asc + k+1 − rank_desc), same mirrored χ² chain
     "q393_friedman_test" ->

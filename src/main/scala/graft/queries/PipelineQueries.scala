@@ -552,6 +552,39 @@ object PipelineQueries extends QueryModule {
     * Output: the full per-node participation census (each triangle
     * credits its three corners).
     */
+  /** q395: PERSONALIZED PAGERANK (Haveliwala WWW'02) over q140's
+    * customer–supplier graph — teleport mass pinned to a seed cohort
+    * (every 97th customer) instead of uniform, surfacing the top-15
+    * suppliers by proximity to THAT cohort: the "related entities /
+    * recommendations for this segment" query, which global PageRank
+    * (q140 — popularity) cannot answer. Seeds teleport 1.0 each
+    * (mass |S|, ranks O(1) for the 6-dp snap).
+    *
+    * Determinism: q140's protocol — five fixed iterations, 6-dp snap
+    * per round absorbing float-sum order, the oracle unrolls the
+    * identical trajectory; top-15 ties (rank desc, node). Scale:
+    * Pregel-as-joins with per-iteration lineage cuts; the seed join
+    * is a broadcast against the node census; heap top-k output.
+    */
+  def q395PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = e0.select(col("src").as("node")).distinct()
+      .filter(expr("(node div 2) % 97 = 0"))
+    val nSeeds = seeds.agg(count(lit(1)).as("n_seeds"))
+    PageRank.runPersonalized(edges, seeds, iters = 5)
+      .filter(col("node") % 2 === 1)
+      .crossJoin(broadcast(nSeeds))
+      .select(expr("(node - 1) div 2").as("suppkey"), col("rank"),
+        col("n_seeds"))
+      .orderBy(col("rank").desc, col("suppkey"))
+      .limit(15)
+  }
+
   def q160TriangleCount(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 40)
@@ -1220,6 +1253,7 @@ object PipelineQueries extends QueryModule {
     "q246_group_kfold" -> (q246GroupKFold _),
     "q212_leakage_safe_split" -> (q212LeakageSafeSplit _),
     "q140_pagerank" -> (q140Pagerank _),
+    "q395_personalized_pagerank" -> (q395PersonalizedPagerank _),
     "q160_triangle_count" -> (q160TriangleCount _),
     "q168_water_fill" -> (q168WaterFill _),
     "q178_mixture_realization" -> (q178MixtureRealization _),
@@ -1266,6 +1300,36 @@ object PipelineQueries extends QueryModule {
     * one snapped iteration, so both engines walk bit-identical rank
     * vectors (the 6-dp round absorbs summation-order ulps per step).
     */
+  private val oraclePpr: String = {
+    val base =
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |sd AS (SELECT DISTINCT src AS node FROM e0 WHERE (src // 2) % 97 = 0),
+        |ns AS (SELECT count(*)::BIGINT AS n_seeds FROM sd),
+        |n AS (
+        |  SELECT node, CASE WHEN sd.node IS NOT NULL THEN 1.0::DOUBLE
+        |                    ELSE 0.0::DOUBLE END AS tele
+        |  FROM (SELECT DISTINCT src AS node FROM e) nn LEFT JOIN sd USING (node)),
+        |r0 AS (SELECT node, tele AS rank FROM n)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.node, round(0.15::DOUBLE * n.tele + 0.85::DOUBLE * coalesce(s.s, 0::DOUBLE), 6) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node JOIN deg ON e.src = deg.src
+         |    GROUP BY e.dst) s USING (node))""".stripMargin
+    }.mkString
+    base + iters +
+      """
+        |SELECT (node - 1) // 2 AS suppkey, rank, ns.n_seeds
+        |FROM r5, ns WHERE node % 2 = 1
+        |ORDER BY rank DESC, suppkey LIMIT 15""".stripMargin
+  }
+
   private val oraclePagerank: String = {
     val base =
       """WITH e0 AS (
@@ -1627,6 +1691,8 @@ object PipelineQueries extends QueryModule {
         |GROUP BY split, audit.leak_clusters
         |ORDER BY split""".stripMargin,
     "q140_pagerank" -> oraclePagerank,
+    // q140's unrolled trajectory with the seed teleport vector
+    "q395_personalized_pagerank" -> oraclePpr,
     // q151's integer quality signal, per-source rank, rank-major
     // interleave — the same exact-integer trajectory
     "q170_curriculum_order" ->

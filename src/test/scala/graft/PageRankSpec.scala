@@ -61,4 +61,17 @@ class PageRankSpec extends AnyFunSuite {
     val e0 = (1L to 40L).flatMap(i => Seq(i -> (i % 7 + 100L), (i % 7 + 100L) -> i))
     assert(run(e0, 4, parts = 1) == run(e0, 4, parts = 13))
   }
+
+  test("personalized: mass stays in the seed component, unreachable nodes exactly 0") {
+    // two disconnected symmetric components: {1,2,3} and {10,11}
+    val e0 = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val sym = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val got = PageRank.runPersonalized(sym, Seq(1L).toDF("node"), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(10L) == 0.0 && got(11L) == 0.0,
+      s"unreachable component leaked rank: $got")
+    assert(got(1L) > got(3L) && got(1L) > 0.15,
+      s"seed should dominate its component: $got")
+    assert(got(2L) > 0.0 && got(3L) > 0.0, s"reachable nodes must rank: $got")
+  }
 }
