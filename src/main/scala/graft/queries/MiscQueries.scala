@@ -5277,7 +5277,53 @@ object MiscQueries extends QueryModule {
         "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_days")
   }
 
+  /** q398: JENSEN–SHANNON DIVERGENCE (Lin '91) — the bounded,
+    * symmetric, ABSOLUTELY-CONTINUOUS-free drift metric that finishes
+    * the divergence family: KL (q-family) explodes on unshared
+    * support, PSI needs both sides nonzero per bucket, Hellinger
+    * (q376) is a metric but compresses tails; JSD = ½KL(p‖m) +
+    * ½KL(q‖m) with m the mixture is defined for EVERY pair and
+    * bounded by ln 2 — the default embedding/label drift monitor.
+    * Same fixture as q376: the two md5 halves of each event type's
+    * $5-bucket value distribution (a null-drift control — JSD ≈ 0).
+    *
+    * Determinism: per-cell terms p·ln(p/m), q·ln(q/m) (0 when the
+    * side is absent) snap to the 10⁻⁹ grid BEFORE summing — q376's
+    * device; output also in bits (÷ln 2) via the mirrored constant.
+    * Scale: one shuffle to the (type, bucket) census; cell-local
+    * chains; O(buckets) everything after.
+    */
+  def q398JensenShannon(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("floor(value * 100.0 + 0.5) div 500").cast("long").as("bucket"),
+        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).as("half"))
+    val cells = ev.groupBy("event_type", "bucket")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+    val tots = cells.groupBy("event_type")
+      .agg(sum("na").as("ta"), sum("nb").as("tb"), count(lit(1)).as("n_buckets"))
+    cells.join(tots, Seq("event_type"))
+      .selectExpr("event_type", "na", "nb", "ta", "tb", "n_buckets",
+        "CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) AS p",
+        "CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) AS q")
+      .selectExpr("event_type", "ta", "tb", "n_buckets",
+        "CAST(floor((CASE WHEN na = 0 THEN 0.0 " +
+          "ELSE 0.5 * p * ln(p / ((p + q) / 2.0)) END + " +
+          "CASE WHEN nb = 0 THEN 0.0 " +
+          "ELSE 0.5 * q * ln(q / ((p + q) / 2.0)) END) * 1.0e9 + 0.5) AS BIGINT) AS t_u")
+      .groupBy("event_type")
+      .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+        max("n_buckets").as("n_buckets"), sum("t_u").as("ts"))
+      .selectExpr("event_type", "n_a", "n_b", "n_buckets",
+        "round(CAST(ts AS DOUBLE) / 1.0e9, 6) AS jsd_nats",
+        "round(CAST(ts AS DOUBLE) / 1.0e9 / ln(2.0), 6) AS jsd_bits")
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q398_jensen_shannon" -> (q398JensenShannon _),
     "q396_time_to_convert" -> (q396TimeToConvert _),
     "q393_friedman_test" -> (q393FriedmanTest _),
     "q394_mahalanobis_outliers" -> (q394MahalanobisOutliers _),
@@ -5451,6 +5497,42 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // q376's md5-half fixture, same per-cell 10⁻⁹ snap of the two KL
+    // halves, same mirrored chains
+    "q398_jensen_shannon" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         floor(value * 100.0 + 0.5)::BIGINT // 500 AS bucket,
+        |         ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 2
+        |           AS half
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, bucket,
+        |         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+        |         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+        |  FROM ev GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT event_type, sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb,
+        |         count(*)::BIGINT AS n_buckets
+        |  FROM cells GROUP BY 1),
+        |pq AS (
+        |  SELECT c.event_type, c.na, c.nb, t.ta, t.tb, t.n_buckets,
+        |         c.na::DOUBLE / t.ta::DOUBLE AS p,
+        |         c.nb::DOUBLE / t.tb::DOUBLE AS q
+        |  FROM cells c JOIN tots t USING (event_type)),
+        |terms AS (
+        |  SELECT event_type, ta, tb, n_buckets,
+        |         floor((CASE WHEN na = 0 THEN 0.0
+        |                ELSE 0.5 * p * ln(p / ((p + q) / 2.0)) END +
+        |                CASE WHEN nb = 0 THEN 0.0
+        |                ELSE 0.5 * q * ln(q / ((p + q) / 2.0)) END) * 1.0e9
+        |               + 0.5)::BIGINT AS t_u
+        |  FROM pq)
+        |SELECT event_type, max(ta) AS n_a, max(tb) AS n_b,
+        |       max(n_buckets) AS n_buckets,
+        |       round(sum(t_u)::DOUBLE / 1.0e9, 6) + 0.0 AS jsd_nats,
+        |       round(sum(t_u)::DOUBLE / 1.0e9 / ln(2.0), 6) + 0.0 AS jsd_bits
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     // same first-view/first-subsequent-purchase day grid, same
     // cumulative-census order statistics
     "q396_time_to_convert" ->

@@ -327,6 +327,48 @@ object SimilarityQueries extends QueryModule {
       .orderBy("cluster_id", "rnk")
   }
 
+  /** q397: SIMPLIFIED SILHOUETTE (the centroid-based silhouette of
+    * Hruschka '04 — what clustering evals actually compute at scale,
+    * since the full silhouette is O(n²)): for each point a = distance
+    * to its own centroid, b = nearest OTHER centroid,
+    * s = (b−a)/max(a,b); reported per cluster and overall. The
+    * cluster-quality judgment q77's k-means itself cannot render —
+    * low mean s flags clusters that should merge, negative s flags
+    * misassigned points.
+    *
+    * Determinism: q77's replayed trajectory supplies round-6 snapped
+    * FINAL centroids; each point's squared distances fold
+    * left-to-right in double (the KMeans.assign association order —
+    * the oracle mirrors with list_reduce, whose first-element seed
+    * equals the 0.0-seeded fold exactly in IEEE); s snaps to the
+    * 10⁻⁹ grid per point BEFORE cluster sums. Scale: one 8-row
+    * centroid broadcast over the scan + a key agg — no pairwise
+    * anything.
+    */
+  def q397Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val (asg, cents) = graft.operators.KMeans.fit(
+      Tables.embeddings(spark, dir), k = 8, iters = 2)
+    val d = asg.crossJoin(broadcast(cents.withColumnRenamed("cid", "ccid")))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(embedding, cv,
+          |            (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+          |          0.0d, (acc, z) -> acc + z)""".stripMargin))
+      .groupBy("vec_id", "cid")
+      .agg(min(when(col("ccid") === col("cid"), col("d2"))).as("a2"),
+        min(when(col("ccid") =!= col("cid"), col("d2"))).as("b2"))
+    val scored = d.selectExpr("cid", "sqrt(a2) AS a", "sqrt(b2) AS b")
+      .selectExpr("cid",
+        "CAST(floor((b - a) / greatest(a, b) * 1000000000.0 + 0.5) AS BIGINT) AS s_u")
+    val per = scored.groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum("s_u").as("ss"))
+    val tot = per.agg(sum("n").as("nt"), sum("ss").as("st"))
+    per.crossJoin(broadcast(tot))
+      .selectExpr("cid AS cluster_id", "n",
+        "round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e9, 6) AS mean_silhouette",
+        "round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) / 1.0e9, 6) AS overall_silhouette")
+      .orderBy("cluster_id")
+  }
+
   /** q142: PRODUCT QUANTIZATION (Jégou et al., PAMI 2011) — the
     * compression scheme production ANN indexes (IVF-PQ) store codes in:
     * the 64-dim embedding splits into m = 4 contiguous 16-dim
@@ -1506,7 +1548,8 @@ object SimilarityQueries extends QueryModule {
     "q142_pq_codes" -> (q142PqCodes _),
     "q143_pq_adc_search" -> (q143PqAdcSearch _),
     "q147_ivf_pq_search" -> (q147IvfPqSearch _),
-    "q156_cluster_topics" -> (q156ClusterTopics _)
+    "q156_cluster_topics" -> (q156ClusterTopics _),
+    "q397_silhouette" -> (q397Silhouette _)
   )
 
   /** Shared DuckDB CTE chain: the q77/q79 k-means trajectory unrolled —
@@ -2336,6 +2379,44 @@ object SimilarityQueries extends QueryModule {
         |      FROM c)
         |SELECT cid AS cluster_id, rnk, term, cnt
         |FROM r WHERE rnk <= 3 ORDER BY cluster_id, rnk""".stripMargin,
+    // the q77 trajectory extended one update (u2/c2 = the FINAL
+    // snapped centroids fit() returns), then the same silhouette
+    // chains: list_reduce's first-element seed == the 0.0-seeded
+    // left fold exactly in IEEE
+    "q397_silhouette" ->
+      ("WITH " + oracleKmeansA2 + """,
+        |u2 AS (
+        |  SELECT cid, i, round(avg(x), 6) AS m
+        |  FROM (SELECT a2.cid, unnest(e.v) AS x, unnest(range(1, 65)) AS i
+        |        FROM a2 JOIN e USING (vec_id))
+        |  GROUP BY cid, i),
+        |cf AS (SELECT cid, list(m ORDER BY i) AS v FROM u2 GROUP BY cid),
+        |dd AS (
+        |  SELECT e.vec_id, a2.cid, c.cid AS ccid,
+        |         list_reduce([(e.v[i] - c.v[i]) * (e.v[i] - c.v[i])
+        |                      FOR i IN range(1, 65)],
+        |                     (acc, z) -> acc + z) AS d2
+        |  FROM e JOIN a2 USING (vec_id) CROSS JOIN cf c),
+        |ab AS (
+        |  SELECT vec_id, cid,
+        |         min(CASE WHEN ccid = cid THEN d2 END) AS a2d,
+        |         min(CASE WHEN ccid <> cid THEN d2 END) AS b2d
+        |  FROM dd GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT cid,
+        |         floor((sqrt(b2d) - sqrt(a2d)) /
+        |               greatest(sqrt(a2d), sqrt(b2d)) * 1000000000.0
+        |               + 0.5)::BIGINT AS s_u
+        |  FROM ab),
+        |per AS (SELECT cid, count(*)::BIGINT AS n, sum(s_u)::BIGINT AS ss
+        |        FROM sc GROUP BY 1),
+        |tt AS (SELECT sum(n)::BIGINT AS nt, sum(ss)::BIGINT AS st FROM per)
+        |SELECT per.cid AS cluster_id, per.n,
+        |       round(per.ss::DOUBLE / per.n::DOUBLE / 1.0e9, 6) + 0.0
+        |         AS mean_silhouette,
+        |       round(tt.st::DOUBLE / tt.nt::DOUBLE / 1.0e9, 6) + 0.0
+        |         AS overall_silhouette
+        |FROM per, tt ORDER BY cluster_id""").stripMargin,
     "q77_kmeans" ->
       s"""WITH $oracleKmeansA2
         |SELECT cid AS cluster_id, count(*)::BIGINT AS n,
