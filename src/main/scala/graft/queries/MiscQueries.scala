@@ -5322,7 +5322,94 @@ object MiscQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q399: QINI / UPLIFT CURVE (Radcliffe '07) — does targeting by the
+    * model find the persuadables? Users ranked by a targeting score
+    * (view count), treatment = the md5 coin, outcome = purchased;
+    * at each score threshold the cumulative Qini
+    * Q = Y_t − Y_c·N_t/N_c measures incremental conversions over
+    * random targeting. The CAUSAL ranking eval beside q367's PR curve
+    * (PR ranks by outcome correlation; Qini ranks by INCREMENTAL
+    * effect — ads/retention teams optimize the latter).
+    *
+    * Determinism: thresholds live on the SCORE CENSUS (distinct view
+    * counts — the q263/q367 device, no ntile over users); all counts
+    * are integer censuses under descending-score cumulative windows;
+    * Qini is one mirrored double chain per census row. Scale: one
+    * user-level agg, one score-census shuffle, census-sized windows.
+    */
+  def q399QiniUplift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .withColumn("treat",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2))
+    val census = users.groupBy("score")
+      .agg(sum(when(col("treat") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treat") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("treat") === 1, col("y")).otherwise(0L)).as("yt"),
+        sum(when(col("treat") === 0, col("y")).otherwise(0L)).as("yc"))
+    val w = Window.orderBy(col("score").desc)
+    census
+      .withColumn("cnt", sum("nt").over(w)).withColumn("cnc", sum("nc").over(w))
+      .withColumn("cyt", sum("yt").over(w)).withColumn("cyc", sum("yc").over(w))
+      .filter(col("cnc") > 0)
+      .selectExpr("score", "cnt AS n_treat", "cnc AS n_ctrl",
+        "cyt AS y_treat", "cyc AS y_ctrl",
+        "round(CAST(cyt AS DOUBLE) - CAST(cyc AS DOUBLE) * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE), 6) AS qini")
+      .orderBy(col("score").desc)
+  }
+
+  /** q400: REGRESSION DISCONTINUITY (sharp RD, Thistlethwaite &
+    * Campbell '60) — the causal design for threshold rules: customers
+    * just below vs just above zero account balance, outcome = average
+    * order value, separate linear fits on each side within the
+    * ±$3000 bandwidth, effect = the intercept JUMP at the cutoff.
+    * The third causal member beside difference-in-differences and
+    * q399's uplift: DiD needs panels, uplift needs randomization —
+    * RD needs only the threshold rule.
+    *
+    * Determinism: both sides fit by exact BIGINT moments on the
+    * cent (running) / dollar (outcome) grids; the two OLS chains and
+    * the jump are mirrored doubles. Scale: one join + one 2-group
+    * moment agg (the side is a scan-local predicate) — the
+    * distributed-OLS shard shape, 2-row everything after.
+    */
+  def q400RegressionDiscontinuity(spark: SparkSession, dir: String): DataFrame = {
+    val xy = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(expr("floor(c_acctbal * 100.0 + 0.5)").cast("long").as("x"),
+        expr("floor(o_totalprice * 100.0 + 0.5) div 100").as("y"))
+      .filter(col("x") >= -300000L && col("x") <= 300000L)
+      .withColumn("side", when(col("x") < 0, "below").otherwise("above"))
+    val withA = xy.groupBy("side")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .selectExpr("side", "n", "sx", "sy",
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b")
+      .selectExpr("side", "n", "b",
+        "(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a")
+    val below = withA.filter(col("side") === "below")
+      .selectExpr("n AS n_below", "round(b * 100.0, 8) AS slope_below_per_dollar",
+        "a AS a_below")
+    val above = withA.filter(col("side") === "above")
+      .selectExpr("n AS n_above", "round(b * 100.0, 8) AS slope_above_per_dollar",
+        "a AS a_above")
+    below.crossJoin(above)
+      .selectExpr("n_below", "n_above",
+        "slope_below_per_dollar", "slope_above_per_dollar",
+        "round(a_below, 6) AS limit_below_dollar",
+        "round(a_above, 6) AS limit_above_dollar",
+        "round(a_above - a_below, 6) AS rd_effect_dollar")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q399_qini_uplift" -> (q399QiniUplift _),
+    "q400_regression_discontinuity" -> (q400RegressionDiscontinuity _),
     "q398_jensen_shannon" -> (q398JensenShannon _),
     "q396_time_to_convert" -> (q396TimeToConvert _),
     "q393_friedman_test" -> (q393FriedmanTest _),
@@ -5497,6 +5584,70 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same user-level (score, treat, y) derivation, same score-census
+    // cumulative windows, same mirrored Qini chain
+    "q399_qini_uplift" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+        |           AS score,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |           AS y,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+        |           AS treat
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id),
+        |census AS (
+        |  SELECT score,
+        |         sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |         sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
+        |         sum(CASE WHEN treat = 1 THEN y ELSE 0 END)::BIGINT AS yt,
+        |         sum(CASE WHEN treat = 0 THEN y ELSE 0 END)::BIGINT AS yc
+        |  FROM users GROUP BY 1),
+        |cum AS (
+        |  SELECT score,
+        |         sum(nt) OVER (ORDER BY score DESC)::BIGINT AS cnt,
+        |         sum(nc) OVER (ORDER BY score DESC)::BIGINT AS cnc,
+        |         sum(yt) OVER (ORDER BY score DESC)::BIGINT AS cyt,
+        |         sum(yc) OVER (ORDER BY score DESC)::BIGINT AS cyc
+        |  FROM census)
+        |SELECT score, cnt AS n_treat, cnc AS n_ctrl, cyt AS y_treat,
+        |       cyc AS y_ctrl,
+        |       round(cyt::DOUBLE - cyc::DOUBLE * cnt::DOUBLE / cnc::DOUBLE, 6)
+        |         + 0.0 AS qini
+        |FROM cum WHERE cnc > 0 ORDER BY score DESC""".stripMargin,
+    // same ±$3000 bandwidth, same cent/dollar grids, same mirrored
+    // two-sided OLS chains and intercept jump
+    "q400_regression_discontinuity" ->
+      """WITH xy AS (
+        |  SELECT floor(c.c_acctbal * 100.0 + 0.5)::BIGINT AS x,
+        |         floor(o.o_totalprice * 100.0 + 0.5)::BIGINT // 100 AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |fx AS (
+        |  SELECT CASE WHEN x < 0 THEN 'below' ELSE 'above' END AS side, x, y
+        |  FROM xy WHERE x >= -300000 AND x <= 300000),
+        |m AS (
+        |  SELECT side, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |         sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+        |         sum(x * y)::BIGINT AS sxy
+        |  FROM fx GROUP BY 1),
+        |fit AS (
+        |  SELECT side, n, sx, sy,
+        |         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |         (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS b
+        |  FROM m),
+        |ab AS (
+        |  SELECT side, n, b,
+        |         (sy::DOUBLE - b * sx::DOUBLE) / n::DOUBLE AS a
+        |  FROM fit)
+        |SELECT bl.n AS n_below, ab2.n AS n_above,
+        |       round(bl.b * 100.0, 8) + 0.0 AS slope_below_per_dollar,
+        |       round(ab2.b * 100.0, 8) + 0.0 AS slope_above_per_dollar,
+        |       round(bl.a, 6) + 0.0 AS limit_below_dollar,
+        |       round(ab2.a, 6) + 0.0 AS limit_above_dollar,
+        |       round(ab2.a - bl.a, 6) + 0.0 AS rd_effect_dollar
+        |FROM (SELECT * FROM ab WHERE side = 'below') bl,
+        |     (SELECT * FROM ab WHERE side = 'above') ab2""".stripMargin,
     // q376's md5-half fixture, same per-cell 10⁻⁹ snap of the two KL
     // halves, same mirrored chains
     "q398_jensen_shannon" ->
