@@ -113,6 +113,74 @@ object MiscQueries extends QueryModule {
     oBack.unionByName(eBack).orderBy("grp")
   }
 
+  /** q401: XML round-trip + `from_xml` — Spark 4's built-in XML surface
+    * (the spark-xml module merged upstream), both halves: (a) a
+    * deterministic orders slice written `format("xml")` with rowTag
+    * and read back under an explicit schema; (b) the SCALAR path —
+    * an XML string column parsed with `from_xml`. Both aggregate and
+    * the oracle computes the same from parquet, so lossy encoding
+    * (escaping, number formatting, tag nesting) fails the hash —
+    * the q56/q116 contract extended to the fourth file format.
+    *
+    * Scale: format plumbing, not compute — the write is a slice, the
+    * read is schema-driven (no inference pass), from_xml is
+    * scan-local.
+    */
+  def q401XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = roundtripBase
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").option("rowTag", "order").format("xml")
+      .save(s"$base/orders_xml")
+    val oBack = spark.read
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .option("rowTag", "order").format("xml").load(s"$base/orders_xml")
+      .groupBy(col("o_orderstatus").as("grp"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_val"))
+      .select(concat(lit("file:"), col("grp")).as("grp"), col("n"), col("sum_val"))
+    val eBack = Tables.events(spark, dir)
+      .filter(col("event_id") % 10 === 0)
+      .select(expr(
+        "concat('<e><id>', CAST(event_id AS STRING), '</id><t>', event_type, " +
+          "'</t><v>', CAST(value AS STRING), '</v></e>')").as("x"))
+      .select(expr(
+        "from_xml(x, 'id BIGINT, t STRING, v DOUBLE')").as("p"))
+      .groupBy(col("p.t").as("grp"))
+      .agg(count(lit(1)).as("n"), round(sum("p.v"), 2).as("sum_val"))
+      .select(concat(lit("scalar:"), col("grp")).as("grp"), col("n"), col("sum_val"))
+    oBack.unionByName(eBack).orderBy("grp")
+  }
+
+  /** q402: TEXT-LINE SOURCE — `spark.read.text`, the corpus-ingestion
+    * front door (raw crawl dumps arrive as line-oriented text long
+    * before they have a schema): documents serialized one
+    * tab-delimited line each through the text SINK, read back as raw
+    * `value` lines, split and aggregated per source. The oracle
+    * aggregates the parquet table, so delimiter damage, line
+    * splitting, or encoding drift fails the hash. Completes the
+    * source matrix: parquet/CSV/JSON (q56), ORC (q116), XML (q401),
+    * binaryFile (q364), text (this row).
+    *
+    * Scale: line sources split by byte ranges — embarrassingly
+    * parallel; the parse is scan-local `split(_, '\t', 3)`.
+    */
+  def q402TextSource(spark: SparkSession, dir: String): DataFrame = {
+    val base = roundtripBase
+    Tables.documents(spark, dir)
+      .select(concat_ws("\t", col("doc_id"), col("source"), col("text")).as("value"))
+      .write.mode("overwrite").text(s"$base/docs_txt")
+    spark.read.text(s"$base/docs_txt")
+      .select(split(col("value"), "\t", 3).as("f"))
+      .select(col("f")(0).cast("long").as("doc_id"),
+        col("f")(1).as("source"), col("f")(2).as("text"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("source")
+  }
+
   /** q116: ORC write → read roundtrip — the third columnar format the
     * source/sink surface speaks (parquet everywhere, CSV/JSON via q56).
     * A lineitem slice is written with Spark's native ORC sink and read
@@ -5408,6 +5476,8 @@ object MiscQueries extends QueryModule {
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q401_xml_roundtrip" -> (q401XmlRoundtrip _),
+    "q402_text_source" -> (q402TextSource _),
     "q399_qini_uplift" -> (q399QiniUplift _),
     "q400_regression_discontinuity" -> (q400RegressionDiscontinuity _),
     "q398_jensen_shannon" -> (q398JensenShannon _),
@@ -5584,6 +5654,21 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // blind parquet aggregates — the round-trip must be lossless
+    "q401_xml_roundtrip" ->
+      """SELECT 'file:' || o_orderstatus AS grp, count(*)::BIGINT AS n,
+        |       round(sum(o_totalprice), 2) + 0.0 AS sum_val
+        |FROM orders WHERE o_orderkey % 10 = 0 GROUP BY 1
+        |UNION ALL
+        |SELECT 'scalar:' || event_type, count(*)::BIGINT,
+        |       round(sum(value), 2) + 0.0
+        |FROM events WHERE event_id % 10 = 0 GROUP BY 1
+        |ORDER BY grp""".stripMargin,
+    "q402_text_source" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(length(text))::BIGINT AS sum_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // same user-level (score, treat, y) derivation, same score-census
     // cumulative windows, same mirrored Qini chain
     "q399_qini_uplift" ->
