@@ -5475,7 +5475,139 @@ object MiscQueries extends QueryModule {
         "round(a_above - a_below, 6) AS rd_effect_dollar")
   }
 
+  /** q403: BRADLEY–TERRY PREFERENCE MODEL (BT '52, Hunter's MM '04) —
+    * THE pairwise-preference fit behind reward modeling and ranking
+    * evals: within each (user, day), event type A "beats" B when A's
+    * dollar volume is larger; two MM iterations
+    * γ'_i = W_i / Σ_j n_ij/(γ_i+γ_j) from γ=1 fit the strengths,
+    * reported normalized (mean 1) with win/loss censuses and ranks.
+    * The preference layer the corpus pipeline needs for
+    * comparison-labeled data — q337's kappa asks if two raters agree;
+    * BT turns many noisy pairwise outcomes into a consistent scale.
+    *
+    * Determinism: comparisons are integer censuses off bounded
+    * per-(user, day) pair joins; γ lives on the 10⁻⁹ BIGINT grid
+    * between iterations, each denominator TERM snaps to the 10⁻¹²
+    * grid BEFORE the per-i sum (order-invariant), and each γ update
+    * is ONE double divide; the oracle unrolls both iterations.
+    * Scale: one shuffle to the (user, day, type) census, bounded
+    * k²-pair join per group, then 5-row frames — the Pregel-on-a-
+    * census shape; n_ij grids re-scale per deployment.
+    */
+  def q403BradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val vol = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("user_id", "day", "event_type").agg(sum("cents").as("v"))
+    val duels = vol.as("a").join(vol.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .filter(col("a.v") =!= col("b.v"))
+      .select(
+        when(col("a.v") > col("b.v"), col("a.event_type"))
+          .otherwise(col("b.event_type")).as("wi"),
+        when(col("a.v") > col("b.v"), col("b.event_type"))
+          .otherwise(col("a.event_type")).as("lj"))
+    val wins = duels.groupBy(col("wi").as("i"), col("lj").as("j"))
+      .agg(count(lit(1)).as("w"))
+    val pairs = wins
+      .unionByName(wins.select(col("j").as("i"), col("i").as("j"),
+        lit(0L).as("w")))
+      .groupBy("i", "j").agg(sum("w").as("w"))
+      .localCheckpoint()
+    val nij = pairs.as("p")
+      .join(pairs.select(col("i").as("j2"), col("j").as("i2"),
+        col("w").as("w2")), col("p.i") === col("i2") && col("p.j") === col("j2"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("w"),
+        (col("w") + col("w2")).as("n"))
+      .localCheckpoint()
+    val types = nij.select(col("i")).distinct()
+    def iterate(g: DataFrame): DataFrame =
+      nij
+        .join(g.select(col("i"), col("gu").as("gi")), "i")
+        .join(g.select(col("i").as("j"), col("gu").as("gj")), "j")
+        .withColumn("term_u", expr(
+          "CAST(floor((CAST(n AS DOUBLE) * 1.0e9 / CAST(gi + gj AS DOUBLE)) * 1.0e12 + 0.5) AS BIGINT)"))
+        .groupBy("i")
+        .agg(sum("w").as("wi"), sum("term_u").as("ts"))
+        .selectExpr("i",
+          // no localCheckpoint here: the 5-row frame re-derives cheaply
+          // and a checkpoint would hide the bounding aggregate from the
+          // global-window plan guard (the q367/q371 precedent)
+          "CAST(floor((CAST(wi AS DOUBLE) * 1.0e12 / CAST(ts AS DOUBLE)) * 1.0e9 + 0.5) AS BIGINT) AS gu")
+    val g0 = types.withColumn("gu", lit(1000000000L))
+    val g2 = iterate(iterate(g0))
+    val wl = pairs.groupBy("i")
+      .agg(sum("w").as("wins"))
+      .join(pairs.groupBy(col("j").as("i")).agg(sum("w").as("losses")), "i")
+    val tot = g2.agg(sum("gu").as("sg"), count(lit(1)).as("k"))
+    g2.join(wl, "i").crossJoin(broadcast(tot))
+      .selectExpr("i AS event_type", "wins", "losses",
+        "round(CAST(gu AS DOUBLE) * CAST(k AS DOUBLE) / CAST(sg AS DOUBLE), 6) AS strength")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("strength").desc, col("event_type"))).cast("long"))
+      .orderBy("event_type")
+  }
+
+  /** q404: POPULARITY-PROPORTIONAL NEGATIVE SAMPLING (the word2vec /
+    * two-tower contrastive recipe): for every (customer, part)
+    * positive, draw k=2 negatives ∝ interaction popularity by
+    * INVERSE-CDF over the part-popularity census — md5 variates land
+    * in cumulative [lo, hi] ranges via the q62-family binned range
+    * join. The training-pair generator the embedding pipeline needs
+    * (uniform negatives are too easy; popularity sampling is the
+    * standard hard-enough default), audited: sample counts of the
+    * top-5 drawn parts vs their popularity, and the self-collision
+    * census (negative == its own positive — kept visible, dropped
+    * downstream).
+    *
+    * Determinism: variates are md5(salt‖k‖cust‖part) mod total —
+    * no RNG; the CDF ranges are integer census windows ordered
+    * (n desc, part). Scale: the census is part-cardinality;
+    * `BinnedRangeJoin` turns the containment probe into bin
+    * equi-joins (no BNLJ over the fact side); everything else is
+    * scan-local hashing.
+    */
+  def q404NegativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val pop = pos.groupBy("p").agg(count(lit(1)).as("n"))
+      .withColumn("hi", sum("n").over(
+        Window.orderBy(col("n").desc, col("p"))) - 1)
+      .withColumn("lo", col("hi") - col("n") + 1)
+      .select(col("p").as("np"), col("lo"), col("hi"), col("n").as("pop_n"))
+      .localCheckpoint()
+    val tot = pop.agg((max("hi") + 1).as("tot"), count(lit(1)).as("n_parts"))
+    val samples = pos
+      .withColumn("k", explode(typedlit(Seq(1, 2))))
+      .crossJoin(broadcast(tot))
+      .withColumn("v",
+        conv(substring(md5(concat_ws("-", lit("neg"), col("k"), col("c"),
+          col("p"))), 1, 8), 16, 10).cast("long") % col("tot"))
+    val neg = graft.operators.BinnedRangeJoin.inner(
+      samples, pop, "v", "lo", "hi", binWidth = 1024)
+    val summary = neg.agg(count(lit(1)).as("n_neg"),
+      sum(when(col("np") === col("p"), 1L).otherwise(0L)).as("self_collisions"),
+      countDistinct("np").as("distinct_neg_parts"),
+      max("tot").as("n_interactions"))
+    neg.groupBy("np").agg(count(lit(1)).as("times_sampled"),
+        max("pop_n").as("popularity"))
+      .orderBy(col("times_sampled").desc, col("np"))
+      .limit(5)
+      .crossJoin(broadcast(summary))
+      .select(col("np").as("part"), col("times_sampled"), col("popularity"),
+        col("n_neg"), col("self_collisions"), col("distinct_neg_parts"),
+        col("n_interactions"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q404_negative_sampling" -> (q404NegativeSampling _),
+    "q403_bradley_terry" -> (q403BradleyTerry _),
     "q401_xml_roundtrip" -> (q401XmlRoundtrip _),
     "q402_text_source" -> (q402TextSource _),
     "q399_qini_uplift" -> (q399QiniUplift _),
@@ -5654,6 +5786,100 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same (n desc, part) CDF ranges, same md5 variates, plain
+    // containment join standing in for the binned one (same pairs)
+    "q404_negative_sampling" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |pc AS (SELECT p, count(*)::BIGINT AS n FROM pos GROUP BY 1),
+        |pop AS (
+        |  SELECT p AS np, n,
+        |         (sum(n) OVER (ORDER BY n DESC, p) - 1)::BIGINT AS hi
+        |  FROM pc),
+        |pop2 AS (SELECT np, (hi - n + 1)::BIGINT AS lo, hi, n AS pop_n
+        |         FROM pop),
+        |tot AS (SELECT (max(hi) + 1)::BIGINT AS tot, count(*)::BIGINT AS n_parts
+        |        FROM pop2),
+        |samples AS (
+        |  SELECT c, p,
+        |         ('0x' || substr(md5(concat_ws('-', 'neg', ks.k, c, p)), 1, 8))
+        |           ::BIGINT % t.tot AS v,
+        |         t.tot
+        |  FROM pos CROSS JOIN (VALUES (1), (2)) ks(k) CROSS JOIN tot t),
+        |neg AS (
+        |  SELECT s.c, s.p, s.tot, p2.np, p2.pop_n
+        |  FROM samples s JOIN pop2 p2 ON s.v BETWEEN p2.lo AND p2.hi),
+        |summary AS (
+        |  SELECT count(*)::BIGINT AS n_neg,
+        |         sum(CASE WHEN np = p THEN 1 ELSE 0 END)::BIGINT
+        |           AS self_collisions,
+        |         count(DISTINCT np)::BIGINT AS distinct_neg_parts,
+        |         max(tot) AS n_interactions
+        |  FROM neg)
+        |SELECT t5.np AS part, t5.times_sampled, t5.popularity,
+        |       s.n_neg, s.self_collisions, s.distinct_neg_parts,
+        |       s.n_interactions
+        |FROM (SELECT np, count(*)::BIGINT AS times_sampled,
+        |             max(pop_n) AS popularity
+        |      FROM neg GROUP BY 1
+        |      ORDER BY times_sampled DESC, np LIMIT 5) t5, summary s""".stripMargin,
+    // same duel censuses, same 10⁻⁹ γ grid with 10⁻¹² denominator
+    // terms, both MM iterations unrolled
+    "q403_bradley_terry" ->
+      """WITH vol AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+        |         sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |duels AS (
+        |  SELECT CASE WHEN a.v > b.v THEN a.event_type ELSE b.event_type END AS wi,
+        |         CASE WHEN a.v > b.v THEN b.event_type ELSE a.event_type END AS lj
+        |  FROM vol a JOIN vol b
+        |    ON a.user_id = b.user_id AND a.day = b.day
+        |   AND a.event_type < b.event_type
+        |  WHERE a.v <> b.v),
+        |wins AS (SELECT wi AS i, lj AS j, count(*)::BIGINT AS w
+        |         FROM duels GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i, j, sum(w)::BIGINT AS w
+        |  FROM (SELECT i, j, w FROM wins
+        |        UNION ALL SELECT j, i, 0::BIGINT FROM wins)
+        |  GROUP BY 1, 2),
+        |nij AS (
+        |  SELECT p.i, p.j, p.w, (p.w + r.w)::BIGINT AS n
+        |  FROM pairs p JOIN pairs r ON p.i = r.j AND p.j = r.i),
+        |g0 AS (SELECT DISTINCT i, 1000000000::BIGINT AS gu FROM nij),
+        |t1 AS (
+        |  SELECT n.i, sum(n.w)::BIGINT AS wi,
+        |         sum(floor((n.n::DOUBLE * 1.0e9 / (gi.gu + gj.gu)::DOUBLE)
+        |                   * 1.0e12 + 0.5)::BIGINT)::BIGINT AS ts
+        |  FROM nij n JOIN g0 gi ON n.i = gi.i JOIN g0 gj ON n.j = gj.i
+        |  GROUP BY n.i),
+        |g1 AS (SELECT i, floor((wi::DOUBLE * 1.0e12 / ts::DOUBLE) * 1.0e9
+        |                       + 0.5)::BIGINT AS gu FROM t1),
+        |t2 AS (
+        |  SELECT n.i, sum(n.w)::BIGINT AS wi,
+        |         sum(floor((n.n::DOUBLE * 1.0e9 / (gi.gu + gj.gu)::DOUBLE)
+        |                   * 1.0e12 + 0.5)::BIGINT)::BIGINT AS ts
+        |  FROM nij n JOIN g1 gi ON n.i = gi.i JOIN g1 gj ON n.j = gj.i
+        |  GROUP BY n.i),
+        |g2 AS (SELECT i, floor((wi::DOUBLE * 1.0e12 / ts::DOUBLE) * 1.0e9
+        |                       + 0.5)::BIGINT AS gu FROM t2),
+        |wl AS (
+        |  SELECT wn.i, wn.wins, ls.losses
+        |  FROM (SELECT i, sum(w)::BIGINT AS wins FROM pairs GROUP BY 1) wn
+        |  JOIN (SELECT j AS i, sum(w)::BIGINT AS losses FROM pairs GROUP BY 1) ls
+        |    USING (i)),
+        |tot AS (SELECT sum(gu)::BIGINT AS sg, count(*)::BIGINT AS k FROM g2),
+        |fin AS (
+        |  SELECT g2.i AS event_type, wl.wins, wl.losses,
+        |         round(g2.gu::DOUBLE * t.k::DOUBLE / t.sg::DOUBLE, 6) + 0.0
+        |           AS strength
+        |  FROM g2 JOIN wl ON g2.i = wl.i, tot t)
+        |SELECT event_type, wins, losses, strength,
+        |       row_number() OVER (ORDER BY strength DESC, event_type)::BIGINT
+        |         AS rnk
+        |FROM fin ORDER BY event_type""".stripMargin,
     // blind parquet aggregates — the round-trip must be lossless
     "q401_xml_roundtrip" ->
       """SELECT 'file:' || o_orderstatus AS grp, count(*)::BIGINT AS n,
