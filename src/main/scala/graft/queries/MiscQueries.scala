@@ -5605,7 +5605,106 @@ object MiscQueries extends QueryModule {
         col("n_interactions"))
   }
 
+  /** q405: BRIER SCORE + RELIABILITY DIAGRAM (Brier '50, Murphy '73
+    * decomposition) — is the purchase-propensity score CALIBRATED?
+    * Predictor p̂ = views/(views+5) per user, outcome = purchased;
+    * per-decile-bin reliability diagram (n, mean predicted, observed
+    * rate) plus the exact Murphy split Brier = reliability −
+    * resolution + uncertainty. The probability-quality eval beside
+    * q367 (ranking) and q333 (selective risk): a ranker can have
+    * great AP and lie about its probabilities — only calibration
+    * sees that.
+    *
+    * Determinism: p̂ is the exact rational v/(v+5) on the VIEW-COUNT
+    * census, bin = (10v) div (v+5) integer; every Brier/Murphy term
+    * is computed per census cell from exact integers, snapped to the
+    * 10⁻⁹ grid before its sum. Scale: one user agg, one view-count
+    * census shuffle (≤ distinct view counts), chains on ≤50 rows.
+    */
+  def q405BrierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val cells = users.groupBy("v")
+      .agg(count(lit(1)).as("nv"), sum("y").as("yv"))
+      .withColumn("ph", expr("CAST(v AS DOUBLE) / CAST(v + 5 AS DOUBLE)"))
+      .withColumn("bin", expr("(10 * v) div (v + 5)"))
+      .withColumn("bri_u", expr(
+        "CAST(floor((CAST(nv AS DOUBLE) * ph * ph - 2.0 * ph * CAST(yv AS DOUBLE) " +
+          "+ CAST(yv AS DOUBLE)) * 1.0e9 + 0.5) AS BIGINT)"))
+      .withColumn("psum_u", expr(
+        "CAST(floor(CAST(nv AS DOUBLE) * ph * 1.0e9 + 0.5) AS BIGINT)"))
+    val bins = cells.groupBy("bin")
+      .agg(sum("nv").as("nb"), sum("yv").as("yb"), sum("psum_u").as("pb_u"))
+    val tot = bins.agg(sum("nb").as("n"), sum("yb").as("ytot"))
+    val binsT = bins.crossJoin(broadcast(tot))
+      .withColumn("rel_u", expr(
+        "CAST(floor(CAST(nb AS DOUBLE) * " +
+          "(CAST(pb_u AS DOUBLE) / 1.0e9 / CAST(nb AS DOUBLE) - CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE)) * " +
+          "(CAST(pb_u AS DOUBLE) / 1.0e9 / CAST(nb AS DOUBLE) - CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE)) " +
+          "* 1.0e9 + 0.5) AS BIGINT)"))
+      .withColumn("res_u", expr(
+        "CAST(floor(CAST(nb AS DOUBLE) * " +
+          "(CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE) - CAST(ytot AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+          "(CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE) - CAST(ytot AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "* 1.0e9 + 0.5) AS BIGINT)"))
+    val briers = cells.agg(sum("bri_u").as("bsum_u"))
+    val decomp = binsT.groupBy("n", "ytot")
+      .agg(sum("rel_u").as("rel_s"), sum("res_u").as("res_s"))
+      .crossJoin(broadcast(briers))
+    binsT.select(col("bin"), col("nb"), col("pb_u"), col("yb"))
+      .crossJoin(broadcast(decomp))
+      .selectExpr("bin", "nb AS n_users",
+        "round(CAST(pb_u AS DOUBLE) / 1.0e9 / CAST(nb AS DOUBLE), 6) AS mean_pred",
+        "round(CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS obs_rate",
+        "round(CAST(bsum_u AS DOUBLE) / 1.0e9 / CAST(n AS DOUBLE), 6) AS brier",
+        "round(CAST(rel_s AS DOUBLE) / 1.0e9 / CAST(n AS DOUBLE), 6) AS reliability",
+        "round(CAST(res_s AS DOUBLE) / 1.0e9 / CAST(n AS DOUBLE), 6) AS resolution",
+        "round(CAST(ytot AS DOUBLE) / CAST(n AS DOUBLE) * (1.0 - CAST(ytot AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS uncertainty")
+      .orderBy("bin")
+  }
+
+  /** q406: OFF-POLICY EVALUATION — IPS and SNIPS (Horvitz–Thompson /
+    * self-normalized, the counterfactual estimators behind every
+    * "would the new policy have done better on the logs" question):
+    * logged action = the md5 coin (propensity ½), reward = purchased,
+    * target policy π = "treat iff views ≥ 3". V̂_IPS = mean of
+    * matched importance-weighted rewards, V̂_SNIPS normalizes by the
+    * matched mass; both sit beside the logged value and the naive
+    * direct average the estimator exists to correct.
+    *
+    * Determinism: with propensity ½ both estimators reduce to exact
+    * integer-census ratios — one divide each, no weights table.
+    * Scale: one user agg + one 1-row reduction.
+    */
+  def q406OffPolicyEval(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .withColumn("a",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2))
+      .withColumn("pi", when(col("v") >= 3, 1L).otherwise(0L))
+    users.agg(count(lit(1)).as("n"),
+        sum(when(col("pi") === col("a"), col("y")).otherwise(0L)).as("mr"),
+        sum(when(col("pi") === col("a"), 1L).otherwise(0L)).as("mm"),
+        sum(when(col("a") === 1, col("y")).otherwise(0L)).as("yt"),
+        sum(when(col("a") === 1, 1L).otherwise(0L)).as("nt"),
+        sum("y").as("ya"))
+      .selectExpr("n", "mm AS n_matched",
+        "round(2.0 * CAST(mr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS v_ips",
+        "round(CAST(mr AS DOUBLE) / CAST(mm AS DOUBLE), 6) AS v_snips",
+        "round(CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS v_logged_treat",
+        "round(CAST(ya AS DOUBLE) / CAST(n AS DOUBLE), 6) AS v_naive")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q405_brier_calibration" -> (q405BrierCalibration _),
+    "q406_off_policy_eval" -> (q406OffPolicyEval _),
     "q404_negative_sampling" -> (q404NegativeSampling _),
     "q403_bradley_terry" -> (q403BradleyTerry _),
     "q401_xml_roundtrip" -> (q401XmlRoundtrip _),
@@ -5786,6 +5885,78 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same view-count census, same rational p̂ and integer bins, same
+    // per-cell 10⁻⁹ snaps for every Brier/Murphy term
+    "q405_brier_calibration" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS v,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |cells AS (
+        |  SELECT v, count(*)::BIGINT AS nv, sum(y)::BIGINT AS yv,
+        |         v::DOUBLE / (v + 5)::DOUBLE AS ph,
+        |         (10 * v) // (v + 5) AS bin
+        |  FROM users GROUP BY 1),
+        |cells2 AS (
+        |  SELECT *,
+        |         floor((nv::DOUBLE * ph * ph - 2.0 * ph * yv::DOUBLE
+        |                + yv::DOUBLE) * 1.0e9 + 0.5)::BIGINT AS bri_u,
+        |         floor(nv::DOUBLE * ph * 1.0e9 + 0.5)::BIGINT AS psum_u
+        |  FROM cells),
+        |bins AS (
+        |  SELECT bin, sum(nv)::BIGINT AS nb, sum(yv)::BIGINT AS yb,
+        |         sum(psum_u)::BIGINT AS pb_u
+        |  FROM cells2 GROUP BY 1),
+        |tot AS (SELECT sum(nb)::BIGINT AS n, sum(yb)::BIGINT AS ytot FROM bins),
+        |binst AS (
+        |  SELECT b.*, t.n, t.ytot,
+        |         floor(b.nb::DOUBLE *
+        |           (b.pb_u::DOUBLE / 1.0e9 / b.nb::DOUBLE - b.yb::DOUBLE / b.nb::DOUBLE) *
+        |           (b.pb_u::DOUBLE / 1.0e9 / b.nb::DOUBLE - b.yb::DOUBLE / b.nb::DOUBLE)
+        |           * 1.0e9 + 0.5)::BIGINT AS rel_u,
+        |         floor(b.nb::DOUBLE *
+        |           (b.yb::DOUBLE / b.nb::DOUBLE - t.ytot::DOUBLE / t.n::DOUBLE) *
+        |           (b.yb::DOUBLE / b.nb::DOUBLE - t.ytot::DOUBLE / t.n::DOUBLE)
+        |           * 1.0e9 + 0.5)::BIGINT AS res_u
+        |  FROM bins b, tot t),
+        |bsum AS (SELECT sum(bri_u)::BIGINT AS bsum_u FROM cells2),
+        |dec AS (
+        |  SELECT max(n) AS n, max(ytot) AS ytot,
+        |         sum(rel_u)::BIGINT AS rel_s, sum(res_u)::BIGINT AS res_s
+        |  FROM binst)
+        |SELECT b.bin, b.nb AS n_users,
+        |       round(b.pb_u::DOUBLE / 1.0e9 / b.nb::DOUBLE, 6) + 0.0 AS mean_pred,
+        |       round(b.yb::DOUBLE / b.nb::DOUBLE, 6) + 0.0 AS obs_rate,
+        |       round(s.bsum_u::DOUBLE / 1.0e9 / d.n::DOUBLE, 6) + 0.0 AS brier,
+        |       round(d.rel_s::DOUBLE / 1.0e9 / d.n::DOUBLE, 6) + 0.0 AS reliability,
+        |       round(d.res_s::DOUBLE / 1.0e9 / d.n::DOUBLE, 6) + 0.0 AS resolution,
+        |       round(d.ytot::DOUBLE / d.n::DOUBLE *
+        |             (1.0 - d.ytot::DOUBLE / d.n::DOUBLE), 6) + 0.0 AS uncertainty
+        |FROM binst b, bsum s, dec d ORDER BY b.bin""".stripMargin,
+    // same md5 logging coin, same ½-propensity census ratios
+    "q406_off_policy_eval" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS v,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS a
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |u2 AS (SELECT *, CASE WHEN v >= 3 THEN 1 ELSE 0 END AS pi FROM users)
+        |SELECT count(*)::BIGINT AS n,
+        |       sum(CASE WHEN pi = a THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+        |       round(2.0 * sum(CASE WHEN pi = a THEN y ELSE 0 END)::DOUBLE
+        |             / count(*)::DOUBLE, 6) + 0.0 AS v_ips,
+        |       round(sum(CASE WHEN pi = a THEN y ELSE 0 END)::DOUBLE
+        |             / sum(CASE WHEN pi = a THEN 1 ELSE 0 END)::DOUBLE, 6) + 0.0
+        |         AS v_snips,
+        |       round(sum(CASE WHEN a = 1 THEN y ELSE 0 END)::DOUBLE
+        |             / sum(CASE WHEN a = 1 THEN 1 ELSE 0 END)::DOUBLE, 6) + 0.0
+        |         AS v_logged_treat,
+        |       round(sum(y)::DOUBLE / count(*)::DOUBLE, 6) + 0.0 AS v_naive
+        |FROM u2""".stripMargin,
     // same (n desc, part) CDF ranges, same md5 variates, plain
     // containment join standing in for the binned one (same pairs)
     "q404_negative_sampling" ->
