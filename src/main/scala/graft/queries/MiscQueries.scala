@@ -5702,7 +5702,45 @@ object MiscQueries extends QueryModule {
         "round(CAST(ya AS DOUBLE) / CAST(n AS DOUBLE), 6) AS v_naive")
   }
 
+  /** q408: HEAVY-HITTER MOVERS — which parts' REVENUE SHARE moved most
+    * between the pre-1996 and post-1996 halves of the order log? Share
+    * (not raw revenue) so corpus growth doesn't masquerade as change —
+    * the "what changed in the mix" report an ops review actually reads,
+    * and the drilldown companion to the distribution-level monitors
+    * (PSI/KL/JSD say THAT the mix moved; this names WHO moved it).
+    * Top-10 by absolute share delta with both periods' revenue and
+    * shares.
+    *
+    * Determinism: shares on the integer ppm grid (rev·10⁶ div total
+    * per period); delta and its magnitude are BIGINT; ties
+    * (|Δ| desc, Δ desc, part). Scale: one join-shuffle to the (part,
+    * period) census, a 1-row totals broadcast, TakeOrdered heap.
+    */
+  def q408ShareMovers(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey").as("part"),
+        (col("o_orderdate") < lit("1996-01-01").cast("date")).as("early"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("part")
+      .agg(sum(when(col("early"), col("cents")).otherwise(0L)).as("rev_a"),
+        sum(when(!col("early"), col("cents")).otherwise(0L)).as("rev_b"))
+    val tot = rev.agg(sum("rev_a").as("ta"), sum("rev_b").as("tb"))
+    rev.crossJoin(broadcast(tot))
+      .withColumn("share_a_ppm", expr("rev_a * 1000000L div ta"))
+      .withColumn("share_b_ppm", expr("rev_b * 1000000L div tb"))
+      .withColumn("delta_ppm", col("share_b_ppm") - col("share_a_ppm"))
+      .withColumn("mag", greatest(col("delta_ppm"), -col("delta_ppm")))
+      .orderBy(col("mag").desc, col("delta_ppm").desc, col("part"))
+      .limit(10)
+      .selectExpr("part",
+        "round(CAST(rev_a AS DOUBLE) / 100.0, 2) AS rev_early_dollar",
+        "round(CAST(rev_b AS DOUBLE) / 100.0, 2) AS rev_late_dollar",
+        "share_a_ppm", "share_b_ppm", "delta_ppm")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q408_share_movers" -> (q408ShareMovers _),
     "q405_brier_calibration" -> (q405BrierCalibration _),
     "q406_off_policy_eval" -> (q406OffPolicyEval _),
     "q404_negative_sampling" -> (q404NegativeSampling _),
@@ -5885,6 +5923,35 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same period split, same ppm share grids, same (|Δ| desc, Δ desc,
+    // part) heap
+    "q408_share_movers" ->
+      """WITH rev AS (
+        |  SELECT l.l_partkey AS part,
+        |         sum(CASE WHEN o.o_orderdate < DATE '1996-01-01'
+        |             THEN floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+        |             ELSE 0 END)::BIGINT AS rev_a,
+        |         sum(CASE WHEN o.o_orderdate >= DATE '1996-01-01'
+        |             THEN floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+        |             ELSE 0 END)::BIGINT AS rev_b
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(rev_a)::BIGINT AS ta, sum(rev_b)::BIGINT AS tb
+        |        FROM rev),
+        |sh AS (
+        |  SELECT part, rev_a, rev_b,
+        |         (rev_a * 1000000 // ta)::BIGINT AS share_a_ppm,
+        |         (rev_b * 1000000 // tb)::BIGINT AS share_b_ppm
+        |  FROM rev, tot),
+        |d AS (
+        |  SELECT *, (share_b_ppm - share_a_ppm)::BIGINT AS delta_ppm,
+        |         greatest(share_b_ppm - share_a_ppm,
+        |                  -(share_b_ppm - share_a_ppm))::BIGINT AS mag
+        |  FROM sh)
+        |SELECT part, round(rev_a::DOUBLE / 100.0, 2) + 0.0 AS rev_early_dollar,
+        |       round(rev_b::DOUBLE / 100.0, 2) + 0.0 AS rev_late_dollar,
+        |       share_a_ppm, share_b_ppm, delta_ppm
+        |FROM d ORDER BY mag DESC, delta_ppm DESC, part LIMIT 10""".stripMargin,
     // same view-count census, same rational p̂ and integer bins, same
     // per-cell 10⁻⁹ snaps for every Brier/Murphy term
     "q405_brier_calibration" ->

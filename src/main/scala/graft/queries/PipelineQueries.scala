@@ -585,6 +585,54 @@ object PipelineQueries extends QueryModule {
       .limit(15)
   }
 
+  /** q407: GRAPH ROBUSTNESS UNDER HUB REMOVAL (the Albert–Barabási
+    * attack-tolerance experiment, run as a data-quality audit): the
+    * co-purchase graph's component structure BEFORE and AFTER deleting
+    * the top-8 degree hubs — scale-free graphs shatter under targeted
+    * hub removal, and a dedup/linkage graph whose connectivity hangs
+    * on a few hubs is one bad merge away from a mega-cluster (the
+    * q66/q205 golden-record failure mode this row quantifies).
+    * Per phase: nodes, edges, component count, largest-component
+    * share.
+    *
+    * Determinism: hubs = (degree desc, node) top-8; components via
+    * `ConnectedComponents.run` (min-label + large/small-star
+    * fallback), the oracle's recursive closure reaches the identical
+    * partition. Scale: degree census + anti-join + the CC operator's
+    * O(m·diameter) join rounds; the closure never materializes on the
+    * engine side.
+    */
+  def q407GraphRobustness(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val hubs = deg.orderBy(col("deg").desc, col("node")).limit(8)
+      .select(col("node").as("hub"))
+    val dehubbed = edges
+      .join(hubs, edges("src") === col("hub"), "left_anti")
+      .join(hubs, edges("dst") === col("hub"), "left_anti")
+    def phase(name: String, e: DataFrame): DataFrame = {
+      val cc = graft.operators.ConnectedComponents.run(e)
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("s"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      sizes.agg(sum("s").as("n_nodes"), count(lit(1)).as("n_components"),
+          max("s").as("largest"))
+        .crossJoin(broadcast(nEdges))
+        .selectExpr(s"'$name' AS phase", "n_nodes", "n_edges", "n_components",
+          "largest * 1000000L div n_nodes AS largest_share_ppm")
+    }
+    phase("full", edges).unionByName(phase("dehubbed", dehubbed))
+      .orderBy("phase")
+  }
+
   def q160TriangleCount(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 40)
@@ -1254,6 +1302,7 @@ object PipelineQueries extends QueryModule {
     "q212_leakage_safe_split" -> (q212LeakageSafeSplit _),
     "q140_pagerank" -> (q140Pagerank _),
     "q395_personalized_pagerank" -> (q395PersonalizedPagerank _),
+    "q407_graph_robustness" -> (q407GraphRobustness _),
     "q160_triangle_count" -> (q160TriangleCount _),
     "q168_water_fill" -> (q168WaterFill _),
     "q178_mixture_realization" -> (q178MixtureRealization _),
@@ -1693,6 +1742,55 @@ object PipelineQueries extends QueryModule {
     "q140_pagerank" -> oraclePagerank,
     // q140's unrolled trajectory with the seed teleport vector
     "q395_personalized_pagerank" -> oraclePpr,
+    // same (deg desc, node) hubs, recursive min-closure components on
+    // both phases
+    "q407_graph_robustness" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_quantity >= 40),
+        |e0 AS (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS deg
+        |  FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)
+        |  GROUP BY 1),
+        |hubs AS (SELECT node AS hub FROM deg ORDER BY deg DESC, node LIMIT 8),
+        |e1 AS (
+        |  SELECT src, dst FROM e0
+        |  WHERE src NOT IN (SELECT hub FROM hubs)
+        |    AND dst NOT IN (SELECT hub FROM hubs)),
+        |n0 AS (SELECT src AS n FROM e0 UNION SELECT dst FROM e0),
+        |s0 AS (SELECT src AS s, dst AS d FROM e0
+        |       UNION ALL SELECT dst, src FROM e0),
+        |w0(n, c) AS (
+        |  SELECT n, n FROM n0
+        |  UNION
+        |  SELECT s0.d, w.c FROM w0 w JOIN s0 ON s0.s = w.n),
+        |c0 AS (SELECT n, min(c) AS comp FROM w0 GROUP BY n),
+        |z0 AS (SELECT comp, count(*)::BIGINT AS s FROM c0 GROUP BY comp),
+        |f0 AS (
+        |  SELECT 'full' AS phase, sum(s)::BIGINT AS n_nodes,
+        |         (SELECT count(*)::BIGINT FROM e0) AS n_edges,
+        |         count(*)::BIGINT AS n_components,
+        |         (max(s) * 1000000 // sum(s))::BIGINT AS largest_share_ppm
+        |  FROM z0),
+        |n1 AS (SELECT src AS n FROM e1 UNION SELECT dst FROM e1),
+        |s1 AS (SELECT src AS s, dst AS d FROM e1
+        |       UNION ALL SELECT dst, src FROM e1),
+        |w1(n, c) AS (
+        |  SELECT n, n FROM n1
+        |  UNION
+        |  SELECT s1.d, w.c FROM w1 w JOIN s1 ON s1.s = w.n),
+        |c1 AS (SELECT n, min(c) AS comp FROM w1 GROUP BY n),
+        |z1 AS (SELECT comp, count(*)::BIGINT AS s FROM c1 GROUP BY comp),
+        |f1 AS (
+        |  SELECT 'dehubbed' AS phase, sum(s)::BIGINT AS n_nodes,
+        |         (SELECT count(*)::BIGINT FROM e1) AS n_edges,
+        |         count(*)::BIGINT AS n_components,
+        |         (max(s) * 1000000 // sum(s))::BIGINT AS largest_share_ppm
+        |  FROM z1)
+        |SELECT * FROM f0 UNION ALL SELECT * FROM f1 ORDER BY phase""".stripMargin,
     // q151's integer quality signal, per-source rank, rank-major
     // interleave — the same exact-integer trajectory
     "q170_curriculum_order" ->
