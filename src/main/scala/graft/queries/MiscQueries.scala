@@ -5739,7 +5739,126 @@ object MiscQueries extends QueryModule {
         "share_a_ppm", "share_b_ppm", "delta_ppm")
   }
 
+  /** q409: DOUBLY-ROBUST OFF-POLICY EVALUATION (Dudík '11) — q406's
+    * estimator family completed: DR = direct-model baseline + the
+    * importance-weighted residual,
+    * V̂ = (1/N)Σ[r̂(x,π(x)) + 1{π=a}·(r − r̂(x,a))/p]. Unbiased if
+    * EITHER the reward model or the propensity is right — the
+    * estimator production policy audits actually use. Reward model
+    * r̂(v,a) = the (views, action) cell purchase rate from the log
+    * itself; reported beside the IPS/DM legs so the correction is
+    * visible.
+    *
+    * Determinism: every term lives on the (views, action) CENSUS —
+    * r̂ is a cell rational, each cell's DR contribution is one
+    * mirrored double chain snapped to 10⁻⁹ before the sum. Scale:
+    * one user agg → one cell census → chains on ≤100 rows.
+    */
+  def q409DoublyRobustOpe(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .withColumn("a",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2))
+    val cells = users.groupBy("v", "a")
+      .agg(count(lit(1)).as("n_va"), sum("y").as("y_va"))
+    // per-views reward-model rates for both actions + the policy arm
+    val byV = cells.groupBy("v")
+      .agg(sum("n_va").as("n_v"),
+        sum(when(col("a") === 1, col("n_va"))).as("n_v1"),
+        sum(when(col("a") === 1, col("y_va"))).as("y_v1"),
+        sum(when(col("a") === 0, col("n_va"))).as("n_v0"),
+        sum(when(col("a") === 0, col("y_va"))).as("y_v0"))
+      .withColumn("pi", when(col("v") >= 3, 1L).otherwise(0L))
+      // reward model DELIBERATELY action-blind (r̂(v) = the pooled
+      // rate): a misspecified DM leg whose bias the importance-weighted
+      // residual then corrects — an action-aware model fit on the same
+      // log would make the correction identically zero and the row
+      // vacuous
+      .withColumn("rhat_pi", expr(
+        "CAST(coalesce(y_v1, 0L) + coalesce(y_v0, 0L) AS DOUBLE) / CAST(n_v AS DOUBLE)"))
+      .withColumn("n_pi", expr("IF(pi = 1, coalesce(n_v1, 0L), coalesce(n_v0, 0L))"))
+      .withColumn("y_pi", expr("IF(pi = 1, coalesce(y_v1, 0L), coalesce(y_v0, 0L))"))
+      .withColumn("dm_u", expr(
+        "CAST(floor(CAST(n_v AS DOUBLE) * rhat_pi * 1.0e9 + 0.5) AS BIGINT)"))
+      .withColumn("corr_u", expr(
+        "CAST(floor(2.0 * (CAST(y_pi AS DOUBLE) - CAST(n_pi AS DOUBLE) * rhat_pi) * 1.0e9 + 0.5) AS BIGINT)"))
+    byV.agg(sum("n_v").as("n"), sum("dm_u").as("dm_s"), sum("corr_u").as("corr_s"),
+        sum("y_pi").as("mr"), sum("n_pi").as("mm"))
+      .selectExpr("n",
+        "round(CAST(dm_s AS DOUBLE) / 1.0e9 / CAST(n AS DOUBLE), 6) AS v_dm",
+        "round(2.0 * CAST(mr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS v_ips",
+        "round((CAST(dm_s AS DOUBLE) + CAST(corr_s AS DOUBLE)) / 1.0e9 / CAST(n AS DOUBLE), 6) AS v_dr",
+        "round(CAST(corr_s AS DOUBLE) / 1.0e9 / CAST(n AS DOUBLE), 6) AS dr_correction")
+  }
+
+  /** q410: RAKING / ITERATIVE PROPORTIONAL FITTING (Deming & Stephan
+    * '40) — the survey-weighting workhorse: adjust the ORDERING
+    * customers' weights so their (market segment × nation-region)
+    * margins match the FULL customer base, two IPF sweeps. The
+    * selection-bias corrector beside q223's CUPED (variance) and
+    * q406/q409 (policy value): any "our active users skew" analysis
+    * ships these weights. Per segment-region cell: sample n, base n,
+    * fitted weight, and the achieved margin ratios after round 2.
+    *
+    * Determinism: weights live on the 10⁻⁹ BIGINT grid between
+    * sweeps; each ratio update is ONE double divide off integer
+    * censuses (row-margin sums of weighted counts are per-cell
+    * snapped integers, order-invariant). Scale: everything after the
+    * two joins is the |segments|×|regions| cell census — IPF at
+    * 100 TB is always census-sized.
+    */
+  def q410IpfRaking(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        col("n_regionkey").as("reg"))
+    val active = cust.join(
+      Tables.orders(spark, dir).select(col("o_custkey")).distinct(),
+      col("c_custkey") === col("o_custkey"))
+    val sample = active.groupBy("seg", "reg").agg(count(lit(1)).as("ns"))
+    val base = cust.groupBy("seg", "reg").agg(count(lit(1)).as("nb"))
+    val cellsRaw = sample.join(base, Seq("seg", "reg"))
+      .withColumn("w0", lit(1000000000L))
+    val segT = cellsRaw.groupBy("seg").agg(sum("nb").as("seg_target"))
+    val regT = cellsRaw.groupBy("reg").agg(sum("nb").as("reg_target"))
+    def sweepSeg(c: DataFrame, wIn: String, wOut: String): DataFrame = {
+      val m = c.withColumn("wc_u",
+          expr(s"CAST(floor(CAST(ns AS DOUBLE) * CAST($wIn AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) AS BIGINT)"))
+        .groupBy("seg").agg(sum("wc_u").as("seg_mass_u"))
+      c.join(m, "seg").join(segT, "seg")
+        .withColumn(wOut, expr(
+          s"CAST(floor(CAST($wIn AS DOUBLE) * CAST(seg_target AS DOUBLE) * 1.0e6 / CAST(seg_mass_u AS DOUBLE) + 0.5) AS BIGINT)"))
+        .drop("seg_mass_u", "seg_target")
+    }
+    def sweepReg(c: DataFrame, wIn: String, wOut: String): DataFrame = {
+      val m = c.withColumn("wc_u",
+          expr(s"CAST(floor(CAST(ns AS DOUBLE) * CAST($wIn AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) AS BIGINT)"))
+        .groupBy("reg").agg(sum("wc_u").as("reg_mass_u"))
+      c.join(m, "reg").join(regT, "reg")
+        .withColumn(wOut, expr(
+          s"CAST(floor(CAST($wIn AS DOUBLE) * CAST(reg_target AS DOUBLE) * 1.0e6 / CAST(reg_mass_u AS DOUBLE) + 0.5) AS BIGINT)"))
+        .drop("reg_mass_u", "reg_target")
+    }
+    val fitted = sweepReg(sweepSeg(sweepReg(sweepSeg(
+      cellsRaw, "w0", "w1"), "w1", "w2"), "w2", "w3"), "w3", "w4")
+    val segAchieved = fitted
+      .withColumn("wc_u",
+        expr("CAST(floor(CAST(ns AS DOUBLE) * CAST(w4 AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) AS BIGINT)"))
+      .groupBy("seg").agg(sum("wc_u").as("seg_mass2_u"))
+    fitted.join(segAchieved, "seg").join(segT, "seg")
+      .selectExpr("seg", "reg", "ns AS n_sample", "nb AS n_base",
+        "round(CAST(w4 AS DOUBLE) / 1.0e9, 6) AS weight",
+        "round(CAST(seg_mass2_u AS DOUBLE) / 1.0e6 / CAST(seg_target AS DOUBLE), 6) AS seg_margin_ratio")
+      .orderBy("seg", "reg")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q409_doubly_robust_ope" -> (q409DoublyRobustOpe _),
+    "q410_ipf_raking" -> (q410IpfRaking _),
     "q408_share_movers" -> (q408ShareMovers _),
     "q405_brier_calibration" -> (q405BrierCalibration _),
     "q406_off_policy_eval" -> (q406OffPolicyEval _),
@@ -5923,6 +6042,106 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same (views, action) census, same action-blind reward model,
+    // same per-cell 10⁻⁹ snaps of the DM and correction legs
+    "q409_doubly_robust_ope" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS v,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS a
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |cells AS (
+        |  SELECT v, a, count(*)::BIGINT AS n_va, sum(y)::BIGINT AS y_va
+        |  FROM users GROUP BY 1, 2),
+        |byv AS (
+        |  SELECT v, sum(n_va)::BIGINT AS n_v,
+        |         sum(CASE WHEN a = 1 THEN n_va END)::BIGINT AS n_v1,
+        |         sum(CASE WHEN a = 1 THEN y_va END)::BIGINT AS y_v1,
+        |         sum(CASE WHEN a = 0 THEN n_va END)::BIGINT AS n_v0,
+        |         sum(CASE WHEN a = 0 THEN y_va END)::BIGINT AS y_v0
+        |  FROM cells GROUP BY 1),
+        |ch AS (
+        |  SELECT v, n_v,
+        |         CASE WHEN v >= 3 THEN 1 ELSE 0 END AS pi,
+        |         (coalesce(y_v1, 0) + coalesce(y_v0, 0))::DOUBLE / n_v::DOUBLE
+        |           AS rhat,
+        |         CASE WHEN v >= 3 THEN coalesce(n_v1, 0)
+        |              ELSE coalesce(n_v0, 0) END AS n_pi,
+        |         CASE WHEN v >= 3 THEN coalesce(y_v1, 0)
+        |              ELSE coalesce(y_v0, 0) END AS y_pi
+        |  FROM byv),
+        |tu AS (
+        |  SELECT n_v, n_pi, y_pi,
+        |         floor(n_v::DOUBLE * rhat * 1.0e9 + 0.5)::BIGINT AS dm_u,
+        |         floor(2.0 * (y_pi::DOUBLE - n_pi::DOUBLE * rhat) * 1.0e9
+        |               + 0.5)::BIGINT AS corr_u
+        |  FROM ch)
+        |SELECT sum(n_v)::BIGINT AS n,
+        |       round(sum(dm_u)::DOUBLE / 1.0e9 / sum(n_v)::DOUBLE, 6) + 0.0
+        |         AS v_dm,
+        |       round(2.0 * sum(y_pi)::DOUBLE / sum(n_v)::DOUBLE, 6) + 0.0
+        |         AS v_ips,
+        |       round((sum(dm_u)::DOUBLE + sum(corr_u)::DOUBLE) / 1.0e9
+        |             / sum(n_v)::DOUBLE, 6) + 0.0 AS v_dr,
+        |       round(sum(corr_u)::DOUBLE / 1.0e9 / sum(n_v)::DOUBLE, 6) + 0.0
+        |         AS dr_correction
+        |FROM tu""".stripMargin,
+    // same cell censuses, same 10⁻⁹ weight grid, all four IPF sweeps
+    // unrolled with the same snapped masses
+    "q410_ipf_raking" ->
+      """WITH cust AS (
+        |  SELECT c.c_custkey, c.c_mktsegment AS seg, n.n_regionkey AS reg
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |active AS (
+        |  SELECT cu.* FROM cust cu
+        |  JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |    ON cu.c_custkey = o.o_custkey),
+        |sample AS (SELECT seg, reg, count(*)::BIGINT AS ns
+        |           FROM active GROUP BY 1, 2),
+        |base AS (SELECT seg, reg, count(*)::BIGINT AS nb FROM cust GROUP BY 1, 2),
+        |c0 AS (SELECT s.seg, s.reg, s.ns, b.nb, 1000000000::BIGINT AS w0
+        |       FROM sample s JOIN base b USING (seg, reg)),
+        |segt AS (SELECT seg, sum(nb)::BIGINT AS seg_target FROM c0 GROUP BY 1),
+        |regt AS (SELECT reg, sum(nb)::BIGINT AS reg_target FROM c0 GROUP BY 1),
+        |m1 AS (SELECT seg, sum(floor(ns::DOUBLE * w0::DOUBLE / 1.0e9 * 1.0e6
+        |                             + 0.5)::BIGINT)::BIGINT AS mu
+        |       FROM c0 GROUP BY 1),
+        |c1 AS (SELECT c0.seg, c0.reg, c0.ns, c0.nb,
+        |              floor(c0.w0::DOUBLE * t.seg_target::DOUBLE * 1.0e6
+        |                    / m.mu::DOUBLE + 0.5)::BIGINT AS w1
+        |       FROM c0 JOIN m1 m USING (seg) JOIN segt t USING (seg)),
+        |m2 AS (SELECT reg, sum(floor(ns::DOUBLE * w1::DOUBLE / 1.0e9 * 1.0e6
+        |                             + 0.5)::BIGINT)::BIGINT AS mu
+        |       FROM c1 GROUP BY 1),
+        |c2 AS (SELECT c1.seg, c1.reg, c1.ns, c1.nb,
+        |              floor(c1.w1::DOUBLE * t.reg_target::DOUBLE * 1.0e6
+        |                    / m.mu::DOUBLE + 0.5)::BIGINT AS w2
+        |       FROM c1 JOIN m2 m USING (reg) JOIN regt t USING (reg)),
+        |m3 AS (SELECT seg, sum(floor(ns::DOUBLE * w2::DOUBLE / 1.0e9 * 1.0e6
+        |                             + 0.5)::BIGINT)::BIGINT AS mu
+        |       FROM c2 GROUP BY 1),
+        |c3 AS (SELECT c2.seg, c2.reg, c2.ns, c2.nb,
+        |              floor(c2.w2::DOUBLE * t.seg_target::DOUBLE * 1.0e6
+        |                    / m.mu::DOUBLE + 0.5)::BIGINT AS w3
+        |       FROM c2 JOIN m3 m USING (seg) JOIN segt t USING (seg)),
+        |m4 AS (SELECT reg, sum(floor(ns::DOUBLE * w3::DOUBLE / 1.0e9 * 1.0e6
+        |                             + 0.5)::BIGINT)::BIGINT AS mu
+        |       FROM c3 GROUP BY 1),
+        |c4 AS (SELECT c3.seg, c3.reg, c3.ns, c3.nb,
+        |              floor(c3.w3::DOUBLE * t.reg_target::DOUBLE * 1.0e6
+        |                    / m.mu::DOUBLE + 0.5)::BIGINT AS w4
+        |       FROM c3 JOIN m4 m USING (reg) JOIN regt t USING (reg)),
+        |ach AS (SELECT seg, sum(floor(ns::DOUBLE * w4::DOUBLE / 1.0e9 * 1.0e6
+        |                              + 0.5)::BIGINT)::BIGINT AS mu2
+        |        FROM c4 GROUP BY 1)
+        |SELECT c4.seg, c4.reg, c4.ns AS n_sample, c4.nb AS n_base,
+        |       round(c4.w4::DOUBLE / 1.0e9, 6) + 0.0 AS weight,
+        |       round(a.mu2::DOUBLE / 1.0e6 / t.seg_target::DOUBLE, 6) + 0.0
+        |         AS seg_margin_ratio
+        |FROM c4 JOIN ach a USING (seg) JOIN segt t USING (seg)
+        |ORDER BY c4.seg, c4.reg""".stripMargin,
     // same period split, same ppm share grids, same (|Δ| desc, Δ desc,
     // part) heap
     "q408_share_movers" ->
