@@ -206,6 +206,89 @@ object WindowQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** q411: EVENT-TIME DISORDER PROFILE — the watermark calibrator:
+    * replay each user's stream in ARRIVAL order (event_id) and measure
+    * how far event time runs BEHIND the running frontier (max ts seen
+    * so far). Per event type: the late share and the exact
+    * p50/p90/p99/max lateness in minutes — precisely the distribution
+    * `withWatermark` asks you to bound (a 10-minute watermark drops
+    * everything beyond p-whatever this row reports). The missing
+    * measurement between the streaming gates (which ASSUME a delay)
+    * and production (which must CHOOSE one).
+    *
+    * Determinism: the frontier is a user-partitioned running max
+    * under the (event_id) total order; lateness snaps to the integer
+    * minute grid; percentiles are cumulative-census order statistics
+    * (q396's device). Scale: user-partitioned windows at the events
+    * layout + one (type, minute) census shuffle.
+    */
+  def q411DisorderProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("frontier", max("us").over(w))
+      .filter(col("frontier").isNotNull)
+      .select(col("event_type"),
+        expr("greatest(frontier - us, 0L) div 60000000").as("late_m"))
+    val census = late.groupBy("event_type", "late_m")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("event_type").orderBy("late_m")))
+      .withColumn("ntot", sum("c").over(Window.partitionBy("event_type")))
+    census.groupBy("event_type")
+      .agg(max("ntot").as("n"),
+        sum(when(col("late_m") > 0, col("c")).otherwise(0L)).as("n_late"),
+        max("late_m").as("max_late_min"),
+        min(when(col("cum") * 2 >= col("ntot"), col("late_m"))).as("p50_min"),
+        min(when(col("cum") * 10 >= col("ntot") * 9, col("late_m"))).as("p90_min"),
+        min(when(col("cum") * 100 >= col("ntot") * 99, col("late_m"))).as("p99_min"))
+      .selectExpr("event_type", "n",
+        "n_late * 1000000L div n AS late_share_ppm",
+        "p50_min", "p90_min", "p99_min", "max_late_min")
+      .orderBy("event_type")
+  }
+
+  /** q412: SESSION ENTRY/EXIT CENSUS — which event type OPENS a
+    * session and which CLOSES it (plus the bounce census): the
+    * product-analytics landing/exit matrix over q97's 30-minute-gap
+    * sessions, the aggregate a funnel review reads next to q96. Share
+    * on the ppm grid against all sessions.
+    *
+    * Determinism: entry/exit are lexicographic struct-min/max under
+    * the (µs, event_id) total order — no second window pass; bounces
+    * are exact counts. Scale: q97's user-partitioned session device,
+    * then one hash agg to the ≤|types|² census.
+    */
+  def q412EntryExitCensus(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("gap_s",
+        col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double"))
+      .withColumn("new_s",
+        when(col("gap_s").isNull || col("gap_s") > 1800d, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(run))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("us"), col("event_id"), col("event_type"))).as("fi"),
+        max(struct(col("us"), col("event_id"), col("event_type"))).as("la"))
+    val tot = sessions.agg(count(lit(1)).as("n_total"))
+    sessions
+      .select(col("fi.event_type").as("entry"), col("la.event_type").as("exit"),
+        (col("n_events") === 1).as("bounce"))
+      .groupBy("entry", "exit")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("bounce"), 1L).otherwise(0L)).as("n_bounces"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("entry", "exit", "n_sessions", "n_bounces",
+        "n_sessions * 1000000L div n_total AS share_ppm")
+      .orderBy("entry", "exit")
+  }
+
   /** q115: truncated exponentially-weighted moving average per user —
     * the streaming-feature smoother (EWMA with decay ½, horizon 8): for
     * each event, ewma_i = Σ_{k=0..7} value_{i−k} / 2^(k+1), zero-padded
@@ -853,6 +936,8 @@ object WindowQueries extends QueryModule {
     "q192_kaplan_meier" -> (q192KaplanMeier _),
     "q173_linear_interp" -> (q173LinearInterp _),
     "q97_sessionize" -> (q97Sessionize _),
+    "q411_disorder_profile" -> (q411DisorderProfile _),
+    "q412_entry_exit_census" -> (q412EntryExitCensus _),
     "q89_scd2" -> (q89Scd2 _),
     "q20_window_rank" -> (q20WindowRank _),
     "q21_window_analytic" -> (q21WindowAnalytic _),
@@ -1286,6 +1371,69 @@ object WindowQueries extends QueryModule {
         |FROM n ORDER BY event_id""".stripMargin,
     // the same lag flags, running-sum session ids, and double-epoch
     // durations; µs-truncated ts so both engines see identical gaps
+    // same arrival-order frontier, same minute grid, same
+    // cumulative-census order statistics
+    "q411_disorder_profile" ->
+      """WITH late AS (
+        |  SELECT event_type,
+        |         greatest(max(epoch_us(ts)) OVER (PARTITION BY user_id
+        |             ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           - epoch_us(ts), 0) // 60000000 AS late_m
+        |  FROM events
+        |  QUALIFY max(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL),
+        |census AS (
+        |  SELECT event_type, late_m, count(*)::BIGINT AS c,
+        |         sum(count(*)) OVER (PARTITION BY event_type
+        |                             ORDER BY late_m)::BIGINT AS cum,
+        |         sum(count(*)) OVER (PARTITION BY event_type)::BIGINT AS ntot
+        |  FROM late GROUP BY 1, 2)
+        |SELECT event_type, max(ntot) AS n,
+        |       (sum(CASE WHEN late_m > 0 THEN c ELSE 0 END) * 1000000
+        |        // max(ntot))::BIGINT AS late_share_ppm,
+        |       min(CASE WHEN cum * 2 >= ntot THEN late_m END) AS p50_min,
+        |       min(CASE WHEN cum * 10 >= ntot * 9 THEN late_m END) AS p90_min,
+        |       min(CASE WHEN cum * 100 >= ntot * 99 THEN late_m END) AS p99_min,
+        |       max(late_m) AS max_late_min
+        |FROM census GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q97's session device; entry/exit via double row_number under
+    // the same (µs, event_id) total order as the engine's struct-min/max
+    "q412_entry_exit_census" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+        |         epoch_ms(ts)::DOUBLE / 1000.0
+        |           - lag(epoch_ms(ts)::DOUBLE / 1000.0) OVER w AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |marked AS (
+        |  SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1
+        |                 ELSE 0 END AS new_s
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |sess2 AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY user_id, sid
+        |           ORDER BY us, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY user_id, sid
+        |           ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM sess),
+        |agg AS (
+        |  SELECT user_id, sid, count(*)::BIGINT AS n_events,
+        |         max(CASE WHEN rn_a = 1 THEN event_type END) AS entry,
+        |         max(CASE WHEN rn_d = 1 THEN event_type END) AS exit
+        |  FROM sess2 GROUP BY 1, 2),
+        |tot AS (SELECT count(*)::BIGINT AS n_total FROM agg)
+        |SELECT a.entry, a.exit, count(*)::BIGINT AS n_sessions,
+        |       sum(CASE WHEN a.n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_bounces,
+        |       (count(*) * 1000000 // max(t.n_total))::BIGINT AS share_ppm
+        |FROM agg a, tot t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q97_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
