@@ -602,6 +602,55 @@ object PipelineQueries extends QueryModule {
     * O(m·diameter) join rounds; the closure never materializes on the
     * engine side.
     */
+  /** q413: POINT-IN-TIME LABEL GENERATION — the leakage-free
+    * training-set builder: cutoff t₀ = frontier − 7 days splits every
+    * user's history into a FEATURE window (strictly before t₀) and a
+    * LABEL window (t₀ onward, label = purchased; the fixture stream spans 30 days, so 7 leaves a 23-day feature history); features are view /
+    * click counts and spend. The temporal cousin of q212's
+    * lineage-cut splits: there the leak crosses DUPLICATES, here it
+    * crosses TIME (a feature computed after the cutoff trains a model
+    * that cannot exist at serving). The audit column proves the
+    * contract IN the output: the max feature timestamp per bucket vs
+    * t₀. Reported per capped-view bucket: cohort size, positive rate,
+    * mean spend.
+    *
+    * Determinism: t₀ is integer µs off the 1-row frontier broadcast;
+    * features/labels are exact censuses; rates on the ppm grid.
+    * Scale: one frontier broadcast + two user-keyed aggs + one left
+    * join — the feature-store materialization shape.
+    */
+  def q413PointInTimeLabels(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val cut = ev.agg((max("us") - lit(7L * 86400000000L)).as("t0"))
+    val feat = ev.crossJoin(broadcast(cut))
+      .filter(col("us") < col("t0"))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nc"),
+        sum("cents").as("spend_c"), max("us").as("feat_max_us"))
+    val label = ev.crossJoin(broadcast(cut))
+      .filter(col("us") >= col("t0") && col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .withColumn("y", lit(1L))
+    feat.join(label, Seq("user_id"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+      .withColumn("bucket", least(col("nv"), lit(10L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"), sum("y").as("n_pos"),
+        sum("spend_c").as("spend_c"), sum("nc").as("clicks"),
+        max("feat_max_us").as("fmax"))
+      .crossJoin(broadcast(cut))
+      .selectExpr("bucket", "n_users",
+        "n_pos * 1000000L div n_users AS pos_rate_ppm",
+        "round(CAST(spend_c AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0, 6) AS mean_spend_dollar",
+        "clicks * 1000000L div n_users AS clicks_per_user_ppm",
+        "fmax < t0 AS leakage_free")
+      .orderBy("bucket")
+  }
+
   def q407GraphRobustness(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 40)
@@ -1303,6 +1352,7 @@ object PipelineQueries extends QueryModule {
     "q140_pagerank" -> (q140Pagerank _),
     "q395_personalized_pagerank" -> (q395PersonalizedPagerank _),
     "q407_graph_robustness" -> (q407GraphRobustness _),
+    "q413_point_in_time_labels" -> (q413PointInTimeLabels _),
     "q160_triangle_count" -> (q160TriangleCount _),
     "q168_water_fill" -> (q168WaterFill _),
     "q178_mixture_realization" -> (q178MixtureRealization _),
@@ -1742,6 +1792,37 @@ object PipelineQueries extends QueryModule {
     "q140_pagerank" -> oraclePagerank,
     // q140's unrolled trajectory with the seed teleport vector
     "q395_personalized_pagerank" -> oraclePpr,
+    // same frontier cutoff, same feature/label censuses, ppm grids
+    "q413_point_in_time_labels" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |         floor(value * 100.0 + 0.5)::BIGINT AS cents
+        |  FROM events),
+        |cut AS (SELECT max(us) - 7 * 86400000000 AS t0 FROM ev),
+        |feat AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS nv,
+        |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS nc,
+        |         sum(cents)::BIGINT AS spend_c, max(us) AS feat_max_us
+        |  FROM ev, cut WHERE us < t0 GROUP BY 1),
+        |label AS (
+        |  SELECT DISTINCT user_id, 1::BIGINT AS y
+        |  FROM ev, cut WHERE us >= t0 AND event_type = 'purchase'),
+        |j AS (
+        |  SELECT f.*, coalesce(l.y, 0) AS y, least(f.nv, 10) AS bucket
+        |  FROM feat f LEFT JOIN label l USING (user_id)),
+        |g AS (
+        |  SELECT bucket, count(*)::BIGINT AS n_users, sum(y)::BIGINT AS n_pos,
+        |         sum(spend_c)::BIGINT AS spend_c, sum(nc)::BIGINT AS clicks,
+        |         max(feat_max_us) AS fmax
+        |  FROM j GROUP BY 1)
+        |SELECT bucket, n_users,
+        |       (n_pos * 1000000 // n_users)::BIGINT AS pos_rate_ppm,
+        |       round(spend_c::DOUBLE / n_users::DOUBLE / 100.0, 6) + 0.0
+        |         AS mean_spend_dollar,
+        |       (clicks * 1000000 // n_users)::BIGINT AS clicks_per_user_ppm,
+        |       fmax < (SELECT t0 FROM cut) AS leakage_free
+        |FROM g ORDER BY bucket""".stripMargin,
     // same (deg desc, node) hubs, recursive min-closure components on
     // both phases
     "q407_graph_robustness" ->

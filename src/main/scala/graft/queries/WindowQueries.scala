@@ -409,6 +409,65 @@ object WindowQueries extends QueryModule {
       .orderBy("cohort", "t")
   }
 
+  /** q414: RESTRICTED MEAN SURVIVAL TIME (RMST, τ = 180 days) — the
+    * area under q192's Kaplan–Meier curve up to the horizon: "expected
+    * days retained within the first 180", the single-number survival
+    * summary clinical and retention analyses report when medians are
+    * undefined (curves that never cross 0.5) and the standard
+    * model-free effect size between cohorts.
+    *
+    * Determinism: S comes off q192's exact chain already snapped to
+    * 6 dp, so each step's area is the EXACT BIGINT product
+    * S_prev_µ·Δt over integer day widths (a τ-sentinel row closes the
+    * tail segment; the sum is order-invariant). Scale: q192's life
+    * table + cohort-partitioned census windows; the integral is
+    * census arithmetic.
+    */
+  def q414Rmst(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 180L
+    val per = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("cohort"), col("o_custkey"))
+      .agg(min("o_orderdate").as("first_o"), max("o_orderdate").as("last_o"))
+    val gmax = Tables.orders(spark, dir).agg(max("o_orderdate").as("gmax"))
+    val subj = per.crossJoin(broadcast(gmax))
+      .select(col("cohort"),
+        datediff(col("last_o"), col("first_o")).cast("long").as("t"),
+        when(datediff(col("gmax"), col("last_o")) >= 90, lit(1L))
+          .otherwise(lit(0L)).as("ev"))
+    val lifeTable = subj.groupBy("cohort", "t")
+      .agg(sum("ev").as("d"), count(lit(1)).as("c"))
+    val wDesc = Window.partitionBy("cohort").orderBy(col("t").desc)
+    val wAsc = Window.partitionBy("cohort").orderBy(col("t").asc)
+    val km = lifeTable
+      .withColumn("n_at_risk", sum("c").over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("lnsum",
+        sum(when(col("d") < col("n_at_risk"),
+          log((col("n_at_risk") - col("d")).cast("double") /
+            col("n_at_risk").cast("double"))).otherwise(lit(0.0d)))
+          .over(wAsc))
+      .withColumn("hit0",
+        max(when(col("d") >= col("n_at_risk"), lit(1)).otherwise(lit(0)))
+          .over(wAsc))
+      .select(col("cohort"), col("t"),
+        expr("CAST(floor((CASE WHEN hit0 = 1 THEN 0.0 " +
+          "ELSE exp(lnsum) END) * 1000000.0 + 0.5) AS BIGINT)").as("s_u"))
+    val withSentinel = km.filter(col("t") < tau)
+      .unionByName(km.select(col("cohort")).distinct()
+        .select(col("cohort"), lit(tau).as("t"), lit(0L).as("s_u")))
+    val seg = withSentinel
+      .withColumn("t_prev", lag("t", 1, 0L).over(wAsc))
+      .withColumn("s_prev_u", lag("s_u", 1, 1000000L).over(wAsc))
+      .withColumn("area_u", col("s_prev_u") * (col("t") - col("t_prev")))
+    val nSubj = subj.groupBy("cohort").agg(count(lit(1)).as("n_subjects"))
+    seg.groupBy("cohort").agg(sum("area_u").as("rmst_u"))
+      .join(nSubj, "cohort")
+      .selectExpr("cohort", "n_subjects",
+        "round(CAST(rmst_u AS DOUBLE) / 1000000.0, 6) AS rmst_days")
+      .orderBy("cohort")
+  }
+
   /** q197: TIME-DECAY multi-touch attribution — every purchase
     * distributes its revenue over the user's preceding clicks in a
     * 7-day lookback, weighted by 2^(−days-before) (the half-life model
@@ -937,6 +996,7 @@ object WindowQueries extends QueryModule {
     "q173_linear_interp" -> (q173LinearInterp _),
     "q97_sessionize" -> (q97Sessionize _),
     "q411_disorder_profile" -> (q411DisorderProfile _),
+    "q414_rmst" -> (q414Rmst _),
     "q412_entry_exit_census" -> (q412EntryExitCensus _),
     "q89_scd2" -> (q89Scd2 _),
     "q20_window_rank" -> (q20WindowRank _),
@@ -1371,6 +1431,50 @@ object WindowQueries extends QueryModule {
         |FROM n ORDER BY event_id""".stripMargin,
     // the same lag flags, running-sum session ids, and double-epoch
     // durations; µs-truncated ts so both engines see identical gaps
+    // q192's KM chain verbatim, S snapped to the 6-dp integer grid,
+    // then exact S_µ·Δt step areas with the τ-sentinel closing the tail
+    "q414_rmst" ->
+      """WITH g AS (SELECT max(o_orderdate) AS gmax FROM orders),
+        |per AS (
+        |  SELECT c.c_mktsegment AS cohort, o.o_custkey,
+        |         date_diff('day', min(o.o_orderdate), max(o.o_orderdate))::BIGINT AS t,
+        |         CASE WHEN date_diff('day', max(o.o_orderdate),
+        |                             (SELECT gmax FROM g)) >= 90
+        |              THEN 1 ELSE 0 END AS ev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment, o.o_custkey),
+        |bt AS (
+        |  SELECT cohort, t, sum(ev)::BIGINT AS d, count(*)::BIGINT AS c
+        |  FROM per GROUP BY cohort, t),
+        |rk AS (
+        |  SELECT cohort, t, d, c,
+        |         sum(c) OVER (PARTITION BY cohort ORDER BY t DESC)::BIGINT AS n_at_risk
+        |  FROM bt),
+        |evr AS (SELECT * FROM rk WHERE d > 0),
+        |km AS (
+        |  SELECT cohort, t,
+        |         floor((CASE WHEN max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+        |                  OVER (PARTITION BY cohort ORDER BY t) = 1 THEN 0.0
+        |                ELSE exp(sum(CASE WHEN d < n_at_risk
+        |                  THEN ln((n_at_risk - d) / n_at_risk::DOUBLE)
+        |                  ELSE 0.0 END)
+        |           OVER (PARTITION BY cohort ORDER BY t)) END) * 1000000.0
+        |               + 0.5)::BIGINT AS s_u
+        |  FROM evr),
+        |sen AS (
+        |  SELECT cohort, t, s_u FROM km WHERE t < 180
+        |  UNION ALL
+        |  SELECT DISTINCT cohort, 180::BIGINT, 0::BIGINT FROM km),
+        |seg AS (
+        |  SELECT cohort,
+        |         (lag(s_u, 1, 1000000) OVER w) *
+        |         (t - lag(t, 1, 0) OVER w) AS area_u
+        |  FROM sen WINDOW w AS (PARTITION BY cohort ORDER BY t)),
+        |ns AS (SELECT cohort, count(*)::BIGINT AS n_subjects FROM per GROUP BY 1)
+        |SELECT s.cohort, ns.n_subjects,
+        |       round(sum(s.area_u)::DOUBLE / 1000000.0, 6) + 0.0 AS rmst_days
+        |FROM seg s JOIN ns USING (cohort)
+        |GROUP BY s.cohort, ns.n_subjects ORDER BY s.cohort""".stripMargin,
     // same arrival-order frontier, same minute grid, same
     // cumulative-census order statistics
     "q411_disorder_profile" ->
