@@ -5856,7 +5856,104 @@ object MiscQueries extends QueryModule {
       .orderBy("seg", "reg")
   }
 
+  /** q415: PRICE ELASTICITY (log-log OLS per brand) — the econometric
+    * readout ε = ∂ln q/∂ln p: regress ln(quantity) on ln(unit price)
+    * across each brand's line items (unit price = extended/quantity).
+    * |ε| > 1 = elastic (discount drives volume), |ε| < 1 = inelastic.
+    * The pricing-analytics member of the OLS family: q400 reads a
+    * THRESHOLD effect, q365 a LEAD-LAG one, this a LOG-SCALE slope —
+    * with R² so a flat scatter isn't read as a real elasticity.
+    *
+    * Determinism: both lns snap to the ⌊ln·10⁶+½⌋ micro-nat BIGINT
+    * grid (q264's device) BEFORE the moments, so Σx/Σy/Σxy/Σx²/Σy²
+    * are exact integers; slope/R² are mirrored one-divide chains.
+    * Scale: scan-local ln + one brand-keyed moment agg — the GLM
+    * shard shape, |brands| rows after.
+    */
+  def q415PriceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val xy = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity") >= 1.0)
+      .select(col("p_brand").as("brand"),
+        expr("CAST(floor(ln(l_extendedprice / l_quantity) * 1000000.0 + 0.5) AS BIGINT)").as("x"),
+        expr("CAST(floor(ln(l_quantity) * 1000000.0 + 0.5) AS BIGINT)").as("y"))
+    xy.groupBy("brand")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr("brand", "n",
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n",
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x",
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y")
+      .selectExpr("brand", "n",
+        "round(cov_n / var_x, 6) AS elasticity",
+        "round(cov_n * cov_n / (var_x * var_y), 6) AS r2",
+        "abs(cov_n / var_x) > 1.0 AS elastic")
+      .orderBy("brand")
+  }
+
+  /** q416: PRICE–VOLUME–MIX BRIDGE — the revenue-change decomposition
+    * every business review runs: ΔR between the pre/post-1996 halves
+    * split per part into VOLUME (Δq at old price), PRICE (Δp at new
+    * volume), NEW (parts absent before) and DISCONTINUED (absent
+    * after), with the identity Σ effects = ΔR carried IN the output
+    * (a bridge that doesn't tie out is worthless). The drilldown
+    * companion to q408: movers name parts, the bridge explains the
+    * mechanism.
+    *
+    * Determinism: quantities are integer units, revenues integer
+    * cents; the per-part average price is held as the exact rational
+    * (cents, qty) pair — effects use cross-multiplied integer forms
+    * volume = (q₂−q₁)·r₁·…/q₁ snapped to the cent grid via one
+    * floor-div per part, and the residual rounding is surfaced as its
+    * own bridge line rather than hidden. Scale: one (part, period)
+    * census + census-local arithmetic + a 1-row rollup.
+    */
+  def q416PriceVolumeMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey").as("part"),
+        (col("o_orderdate") < lit("1996-01-01").cast("date")).as("early"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("r"))
+      .groupBy("part")
+      .agg(sum(when(col("early"), col("q")).otherwise(0L)).as("q1"),
+        sum(when(col("early"), col("r")).otherwise(0L)).as("r1"),
+        sum(when(!col("early"), col("q")).otherwise(0L)).as("q2"),
+        sum(when(!col("early"), col("r")).otherwise(0L)).as("r2"))
+    val effects = per
+      // volume effect at old avg price: floor((q2−q1)·r1 / q1). The
+      // numerator is SIGNED and Spark's div truncates while DuckDB's //
+      // floors — the mod identity (a − ((a % b + b) % b)) div b makes
+      // the dividend exactly divisible, so both engines floor.
+      .withColumn("num", expr("(q2 - q1) * r1"))
+      .selectExpr("part", "q1", "r1", "q2", "r2",
+        "CASE WHEN q1 > 0 AND q2 > 0 " +
+          "THEN (num - (((num % q1) + q1) % q1)) div q1 ELSE 0 END AS vol_c",
+        "CASE WHEN q1 = 0 AND q2 > 0 THEN r2 ELSE 0 END AS new_c",
+        "CASE WHEN q2 = 0 AND q1 > 0 THEN -r1 ELSE 0 END AS disc_c")
+      .selectExpr("part", "q1", "r1", "q2", "r2", "vol_c", "new_c", "disc_c",
+        // price effect = what's left of the part's ΔR after volume
+        // (both-period parts only) — makes the per-part identity exact
+        "CASE WHEN q1 > 0 AND q2 > 0 THEN (r2 - r1) - vol_c ELSE 0 END AS price_c")
+    effects.agg(sum("r1").as("rev_early_c"), sum("r2").as("rev_late_c"),
+        sum("vol_c").as("vol"), sum("price_c").as("price"),
+        sum("new_c").as("nw"), sum("disc_c").as("disc"))
+      .selectExpr(
+        "round(CAST(rev_early_c AS DOUBLE) / 100.0, 2) AS rev_early_dollar",
+        "round(CAST(rev_late_c AS DOUBLE) / 100.0, 2) AS rev_late_dollar",
+        "round(CAST(rev_late_c - rev_early_c AS DOUBLE) / 100.0, 2) AS delta_dollar",
+        "round(CAST(vol AS DOUBLE) / 100.0, 2) AS volume_effect_dollar",
+        "round(CAST(price AS DOUBLE) / 100.0, 2) AS price_effect_dollar",
+        "round(CAST(nw AS DOUBLE) / 100.0, 2) AS new_parts_dollar",
+        "round(CAST(disc AS DOUBLE) / 100.0, 2) AS discontinued_dollar",
+        "vol + price + nw + disc = rev_late_c - rev_early_c AS ties_out")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q415_price_elasticity" -> (q415PriceElasticity _),
+    "q416_price_volume_mix" -> (q416PriceVolumeMix _),
     "q409_doubly_robust_ope" -> (q409DoublyRobustOpe _),
     "q410_ipf_raking" -> (q410IpfRaking _),
     "q408_share_movers" -> (q408ShareMovers _),
@@ -6042,6 +6139,74 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same micro-nat ln grids before the moments, same one-divide
+    // slope/R² chains
+    "q415_price_elasticity" ->
+      """WITH xy AS (
+        |  SELECT p.p_brand AS brand,
+        |         floor(ln(l.l_extendedprice / l.l_quantity) * 1000000.0
+        |               + 0.5)::BIGINT AS x,
+        |         floor(ln(l.l_quantity) * 1000000.0 + 0.5)::BIGINT AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_quantity >= 1.0),
+        |m AS (
+        |  SELECT brand, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        |  FROM xy GROUP BY 1),
+        |c AS (
+        |  SELECT brand, n,
+        |         n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov_n,
+        |         n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS var_x,
+        |         n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS var_y
+        |  FROM m)
+        |SELECT brand, n, round(cov_n / var_x, 6) + 0.0 AS elasticity,
+        |       round(cov_n * cov_n / (var_x * var_y), 6) + 0.0 AS r2,
+        |       abs(cov_n / var_x) > 1.0 AS elastic
+        |FROM c ORDER BY brand""".stripMargin,
+    // same (part, period) census, the same floor-div volume effect
+    // (DuckDB // floors natively) and residual price effect — the
+    // tie-out identity is part of the compared output
+    "q416_price_volume_mix" ->
+      """WITH per AS (
+        |  SELECT l.l_partkey AS part,
+        |         sum(CASE WHEN o.o_orderdate < DATE '1996-01-01'
+        |             THEN floor(l.l_quantity + 0.5)::BIGINT ELSE 0 END)::BIGINT AS q1,
+        |         sum(CASE WHEN o.o_orderdate < DATE '1996-01-01'
+        |             THEN floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+        |             ELSE 0 END)::BIGINT AS r1,
+        |         sum(CASE WHEN o.o_orderdate >= DATE '1996-01-01'
+        |             THEN floor(l.l_quantity + 0.5)::BIGINT ELSE 0 END)::BIGINT AS q2,
+        |         sum(CASE WHEN o.o_orderdate >= DATE '1996-01-01'
+        |             THEN floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+        |             ELSE 0 END)::BIGINT AS r2
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1),
+        |eff AS (
+        |  SELECT part, q1, r1, q2, r2,
+        |         CASE WHEN q1 > 0 AND q2 > 0
+        |              THEN ((q2 - q1) * r1) // q1 ELSE 0 END AS vol_c,
+        |         CASE WHEN q1 = 0 AND q2 > 0 THEN r2 ELSE 0 END AS new_c,
+        |         CASE WHEN q2 = 0 AND q1 > 0 THEN -r1 ELSE 0 END AS disc_c
+        |  FROM per),
+        |eff2 AS (
+        |  SELECT *, CASE WHEN q1 > 0 AND q2 > 0
+        |                 THEN (r2 - r1) - vol_c ELSE 0 END AS price_c
+        |  FROM eff)
+        |SELECT round(sum(r1)::DOUBLE / 100.0, 2) + 0.0 AS rev_early_dollar,
+        |       round(sum(r2)::DOUBLE / 100.0, 2) + 0.0 AS rev_late_dollar,
+        |       round((sum(r2) - sum(r1))::DOUBLE / 100.0, 2) + 0.0
+        |         AS delta_dollar,
+        |       round(sum(vol_c)::DOUBLE / 100.0, 2) + 0.0
+        |         AS volume_effect_dollar,
+        |       round(sum(price_c)::DOUBLE / 100.0, 2) + 0.0
+        |         AS price_effect_dollar,
+        |       round(sum(new_c)::DOUBLE / 100.0, 2) + 0.0 AS new_parts_dollar,
+        |       round(sum(disc_c)::DOUBLE / 100.0, 2) + 0.0
+        |         AS discontinued_dollar,
+        |       sum(vol_c) + sum(price_c) + sum(new_c) + sum(disc_c)
+        |         = sum(r2) - sum(r1) AS ties_out
+        |FROM eff2""".stripMargin,
     // same (views, action) census, same action-blind reward model,
     // same per-cell 10⁻⁹ snaps of the DM and correction legs
     "q409_doubly_robust_ope" ->
