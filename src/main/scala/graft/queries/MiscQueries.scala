@@ -5951,7 +5951,95 @@ object MiscQueries extends QueryModule {
         "vol + price + nw + disc = rev_late_c - rev_early_c AS ties_out")
   }
 
+  /** q417: TEMPORAL QUANTILE ENVELOPE — the p10/p50/p90 daily band of
+    * purchase values: the control-chart view a monitoring dashboard
+    * draws around a metric (q83/q335 profile columns ONCE; this tracks
+    * the distribution THROUGH time, which is where regressions
+    * actually show up — a constant mean with a widening band is an
+    * incident). Exact order statistics per day on the dollar-bucket
+    * grid.
+    *
+    * Determinism: q380's census discipline — values snap to dollar
+    * buckets, quantiles are cumulative-count inequalities over the
+    * (day, bucket) census, reported as the bucket-max candidate.
+    * Scale: one shuffle to the (day, bucket) census (bounded by
+    * days × value range); windows run on census rows.
+    */
+  def q417QuantileEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("floor(value * 100.0 + 0.5) div 100").as("b"))
+      .groupBy("day", "b").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("day").orderBy("b")
+    census
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("day")))
+      .groupBy("day")
+      .agg(max("n").as("n"),
+        min(when(col("cum") * 10 >= col("n"), col("b"))).as("p10_dollar"),
+        min(when(col("cum") * 2 >= col("n"), col("b"))).as("p50_dollar"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("b"))).as("p90_dollar"))
+      .withColumn("band_width", col("p90_dollar") - col("p10_dollar"))
+      .orderBy("day")
+  }
+
+  /** q418: LITTLE'S LAW AUDIT (L = λW) — the queueing identity as a
+    * sessionization sanity check: sessions/hour (λ) times mean session
+    * duration (W) must equal average concurrency (L), and L is ALSO
+    * measured directly by counting sessions open at each hourly grid
+    * instant. A sessionizer whose λW and measured L̄ disagree is
+    * dropping or double-counting sessions — the identity audits q97's
+    * machinery with arithmetic instead of more code.
+    *
+    * Determinism: sessions from q97's exact device; λ, W, both L
+    * estimates are integer-second censuses and one-divide chains; the
+    * instant census explodes each session's contained hour marks
+    * (bounded — sessions are minutes long). Scale: q97's partitioned
+    * windows + one bounded explode + two 1-row reductions.
+    */
+  def q418LittlesLaw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("gap_s",
+        col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double"))
+      .withColumn("new_s",
+        when(col("gap_s").isNull || col("gap_s") > 1800d, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(run))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("s0"), max("us").as("s1"))
+      .localCheckpoint()
+    val span = sess.agg(min("s0").as("t0"), max("s1").as("t1"),
+      count(lit(1)).as("n_sessions"), sum(expr("s1 - s0")).as("dur_us"))
+    // measured concurrency: sessions open at each full hour they
+    // contain (most sessions contain none — the explicit filter keeps
+    // sequence() off invalid ranges in both engines)
+    val marks = sess
+      .withColumn("m0", expr(
+        "CAST(ceil(CAST(s0 AS DOUBLE) / 3600000000.0) AS BIGINT) * 3600000000"))
+      .filter(col("m0") <= col("s1"))
+      .select(explode(expr(
+        "sequence(m0, s1, CAST(3600000000 AS BIGINT))")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("open"))
+    val measured = marks.agg(count(lit(1)).as("n_marks"), sum("open").as("open_sum"))
+    span.crossJoin(broadcast(measured))
+      .selectExpr("n_sessions",
+        "round(CAST(n_sessions AS DOUBLE) * 3600.0e6 / CAST(t1 - t0 AS DOUBLE), 6) AS lambda_per_hour",
+        "round(CAST(dur_us AS DOUBLE) / CAST(n_sessions AS DOUBLE) / 3600.0e6, 6) AS w_hours",
+        "round(CAST(n_sessions AS DOUBLE) * 3600.0e6 / CAST(t1 - t0 AS DOUBLE) " +
+          "* (CAST(dur_us AS DOUBLE) / CAST(n_sessions AS DOUBLE) / 3600.0e6), 6) AS l_littles",
+        "round(CAST(open_sum AS DOUBLE) / CAST(n_marks AS DOUBLE), 6) AS l_measured",
+        "n_marks")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q417_quantile_envelope" -> (q417QuantileEnvelope _),
+    "q418_littles_law" -> (q418LittlesLaw _),
     "q415_price_elasticity" -> (q415PriceElasticity _),
     "q416_price_volume_mix" -> (q416PriceVolumeMix _),
     "q409_doubly_robust_ope" -> (q409DoublyRobustOpe _),
@@ -6139,6 +6227,72 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same (day, dollar-bucket) census and cumulative inequalities
+    "q417_quantile_envelope" ->
+      """WITH census AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         floor(value * 100.0 + 0.5)::BIGINT // 100 AS b,
+        |         count(*)::BIGINT AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT day, b, c,
+        |         sum(c) OVER (PARTITION BY day ORDER BY b)::BIGINT AS cum,
+        |         sum(c) OVER (PARTITION BY day)::BIGINT AS n
+        |  FROM census)
+        |SELECT day, max(n) AS n,
+        |       min(CASE WHEN cum * 10 >= n THEN b END) AS p10_dollar,
+        |       min(CASE WHEN cum * 2 >= n THEN b END) AS p50_dollar,
+        |       min(CASE WHEN cum * 10 >= n * 9 THEN b END) AS p90_dollar,
+        |       min(CASE WHEN cum * 10 >= n * 9 THEN b END)
+        |         - min(CASE WHEN cum * 10 >= n THEN b END) AS band_width
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q97's session device, same hour-mark containment census, same
+    // one-divide λ/W/L chains
+    "q418_littles_law" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |         epoch_ms(ts)::DOUBLE / 1000.0
+        |           - lag(epoch_ms(ts)::DOUBLE / 1000.0) OVER w AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |marked AS (
+        |  SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1
+        |                 ELSE 0 END AS new_s
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+        |         us
+        |  FROM marked),
+        |sp AS (
+        |  SELECT user_id, sid, min(us) AS s0, max(us) AS s1
+        |  FROM sess GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT min(s0) AS t0, max(s1) AS t1, count(*)::BIGINT AS n_sessions,
+        |         sum(s1 - s0)::BIGINT AS dur_us
+        |  FROM sp),
+        |mk AS (
+        |  SELECT unnest(generate_series(
+        |           ceil(s0::DOUBLE / 3600000000.0)::BIGINT * 3600000000,
+        |           s1, 3600000000)) AS h
+        |  FROM sp
+        |  WHERE ceil(s0::DOUBLE / 3600000000.0)::BIGINT * 3600000000 <= s1),
+        |oc AS (SELECT h, count(*)::BIGINT AS open FROM mk GROUP BY 1),
+        |ms AS (SELECT count(*)::BIGINT AS n_marks, sum(open)::BIGINT AS open_sum
+        |       FROM oc)
+        |SELECT t.n_sessions,
+        |       round(t.n_sessions::DOUBLE * 3600.0e6 / (t.t1 - t.t0)::DOUBLE, 6)
+        |         + 0.0 AS lambda_per_hour,
+        |       round(t.dur_us::DOUBLE / t.n_sessions::DOUBLE / 3600.0e6, 6)
+        |         + 0.0 AS w_hours,
+        |       round(t.n_sessions::DOUBLE * 3600.0e6 / (t.t1 - t.t0)::DOUBLE
+        |             * (t.dur_us::DOUBLE / t.n_sessions::DOUBLE / 3600.0e6), 6)
+        |         + 0.0 AS l_littles,
+        |       round(m.open_sum::DOUBLE / m.n_marks::DOUBLE, 6) + 0.0
+        |         AS l_measured,
+        |       m.n_marks
+        |FROM tot t, ms m""".stripMargin,
     // same micro-nat ln grids before the moments, same one-divide
     // slope/R² chains
     "q415_price_elasticity" ->
