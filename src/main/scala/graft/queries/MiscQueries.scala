@@ -6037,7 +6037,76 @@ object MiscQueries extends QueryModule {
         "n_marks")
   }
 
+  /** q419: COHORT LTV TRIANGLE — cumulative revenue per customer by
+    * acquisition-quarter cohort and quarters-since-acquisition: the
+    * growth-accounting table behind every payback/LTV:CAC decision
+    * (q95 counts RETAINED users; this accumulates what they're WORTH,
+    * which is what the spend decision needs). Rows are the classic
+    * triangle (older cohorts have more observed ages).
+    *
+    * Determinism: cohort/age live on the integer quarter grid
+    * (year·4 + quarter off date parts — no float month arithmetic);
+    * revenue is exact cents; the cumulative runs over the cohort-
+    * partitioned AGE census. Scale: one (cohort, age) census shuffle
+    * + census windows + a cohort-size broadcast join.
+    */
+  def q419CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c"),
+        expr("year(o_orderdate) * 4 + quarter(o_orderdate) - 1").cast("long").as("q"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val firstQ = o.groupBy("c").agg(min("q").as("q0"))
+    val sized = firstQ.groupBy("q0").agg(count(lit(1)).as("cohort_n"))
+    val cells = o.join(firstQ, "c")
+      .select(col("q0"), (col("q") - col("q0")).as("age"), col("cents"))
+      .groupBy("q0", "age").agg(sum("cents").as("rev_c"))
+    cells
+      .withColumn("cum_c", sum("rev_c").over(
+        Window.partitionBy("q0").orderBy("age")))
+      .join(sized, "q0")
+      .selectExpr("q0 AS cohort_quarter", "age", "cohort_n",
+        "round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS rev_dollar",
+        "round(CAST(cum_c AS DOUBLE) / CAST(cohort_n AS DOUBLE) / 100.0, 6) AS cum_ltv_per_customer")
+      .orderBy("cohort_quarter", "age")
+  }
+
+  /** q420: FULFILLMENT SLA REPORT — order-to-ship lag per order
+    * priority: exact p50/p95 lag days, the >30-day breach share, and
+    * the worst lag. The operations-contract view of the shipping
+    * pipeline (and the classic skew check: priorities are SUPPOSED to
+    * differ — a flat table means the priority field is theater).
+    *
+    * Determinism: lag on the integer day grid via datediff;
+    * percentiles are cumulative-census inequalities per priority
+    * (q396's device); shares on the ppm grid. Scale: one join +
+    * one (priority, lag) census shuffle; windows on census rows.
+    */
+  def q420FulfillmentSla(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_d"))
+      .groupBy("prio", "lag_d").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("prio").orderBy("lag_d")
+    census
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("prio")))
+      .groupBy("prio")
+      .agg(max("n").as("n_lines"),
+        min(when(col("cum") * 2 >= col("n"), col("lag_d"))).as("p50_days"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("lag_d"))).as("p95_days"),
+        sum(when(col("lag_d") > 30, col("c")).otherwise(0L)).as("n_breach"),
+        max("lag_d").as("max_days"))
+      .selectExpr("prio", "n_lines", "p50_days", "p95_days",
+        "n_breach * 1000000L div n_lines AS breach_ppm", "max_days")
+      .orderBy("prio")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q419_cohort_ltv" -> (q419CohortLtv _),
+    "q420_fulfillment_sla" -> (q420FulfillmentSla _),
     "q417_quantile_envelope" -> (q417QuantileEnvelope _),
     "q418_littles_law" -> (q418LittlesLaw _),
     "q415_price_elasticity" -> (q415PriceElasticity _),
@@ -6227,6 +6296,48 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same quarter grid, same cents, same cohort-partitioned cumsum
+    "q419_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS c,
+        |         (year(o_orderdate) * 4 + quarter(o_orderdate) - 1)::BIGINT AS q,
+        |         floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents
+        |  FROM orders),
+        |fq AS (SELECT c, min(q) AS q0 FROM o GROUP BY 1),
+        |sz AS (SELECT q0, count(*)::BIGINT AS cohort_n FROM fq GROUP BY 1),
+        |cells AS (
+        |  SELECT f.q0, o.q - f.q0 AS age, sum(o.cents)::BIGINT AS rev_c
+        |  FROM o JOIN fq f USING (c) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT q0, age, rev_c,
+        |         sum(rev_c) OVER (PARTITION BY q0 ORDER BY age)::BIGINT AS cum_c
+        |  FROM cells)
+        |SELECT c.q0 AS cohort_quarter, c.age, s.cohort_n,
+        |       round(c.rev_c::DOUBLE / 100.0, 2) + 0.0 AS rev_dollar,
+        |       round(c.cum_c::DOUBLE / s.cohort_n::DOUBLE / 100.0, 6) + 0.0
+        |         AS cum_ltv_per_customer
+        |FROM cum c JOIN sz s USING (q0)
+        |ORDER BY cohort_quarter, age""".stripMargin,
+    // same day-lag census and cumulative inequalities per priority
+    "q420_fulfillment_sla" ->
+      """WITH census AS (
+        |  SELECT o.o_orderpriority AS prio,
+        |         date_diff('day', o.o_orderdate, l.l_shipdate)::BIGINT AS lag_d,
+        |         count(*)::BIGINT AS c
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT prio, lag_d, c,
+        |         sum(c) OVER (PARTITION BY prio ORDER BY lag_d)::BIGINT AS cum,
+        |         sum(c) OVER (PARTITION BY prio)::BIGINT AS n
+        |  FROM census)
+        |SELECT prio, max(n) AS n_lines,
+        |       min(CASE WHEN cum * 2 >= n THEN lag_d END) AS p50_days,
+        |       min(CASE WHEN cum * 20 >= n * 19 THEN lag_d END) AS p95_days,
+        |       (sum(CASE WHEN lag_d > 30 THEN c ELSE 0 END) * 1000000
+        |        // max(n))::BIGINT AS breach_ppm,
+        |       max(lag_d) AS max_days
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     // same (day, dollar-bucket) census and cumulative inequalities
     "q417_quantile_envelope" ->
       """WITH census AS (
