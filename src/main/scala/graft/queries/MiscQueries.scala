@@ -6104,7 +6104,89 @@ object MiscQueries extends QueryModule {
       .orderBy("prio")
   }
 
+  /** q421: ABC INVENTORY CLASSIFICATION — the operations counterpart
+    * of the Lorenz/Gini READOUTS (q189/q265 measure concentration;
+    * this ASSIGNS the classes the warehouse acts on): parts ranked by
+    * revenue, class A = the prefix covering 80% of revenue, B = next
+    * 15%, C = the tail, reported as per-class censuses with revenue
+    * shares and the item-share-vs-revenue-share contrast that IS the
+    * 80/20 story.
+    *
+    * Determinism: ranking is (revenue desc, part) over the part
+    * census; class boundaries are integer cross-multiplied
+    * inequalities on cumulative cents (cum·100 ≤ tot·80), no float
+    * until the output shares. Scale: one shuffle to the part census;
+    * the rank window runs on census rows (value-cardinality).
+    */
+  def q421AbcClassification(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("part"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("c"))
+      .groupBy("part").agg(sum("c").as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("part"))
+    val tot = parts.agg(sum("rev").as("trev"), count(lit(1)).as("tn"))
+    parts
+      .withColumn("cum", sum("rev").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * 100 <= col("trev") * 80, "A")
+          .when(col("cum") * 100 <= col("trev") * 95, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_c"),
+        max("tn").as("tn"), max("trev").as("trev"))
+      .selectExpr("cls", "n_parts",
+        "n_parts * 1000000L div tn AS item_share_ppm",
+        "rev_c * 1000000L div trev AS rev_share_ppm",
+        "round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue_dollar")
+      .orderBy("cls")
+  }
+
+  /** q422: DUPLICATE-CHARGE DETECTION — the audit-analytics classic:
+    * the same customer billed for the same part at the same quantity
+    * within 7 days is a candidate double charge. Exact-key blocking
+    * makes the pair loop tractable (the q187 discipline: the
+    * (customer, part, qty) group IS the block; near-amount variants
+    * route through q65's tolerance machinery). Output: the top-10
+    * flagged pairs by combined exposure.
+    *
+    * Determinism: blocks are exact integer keys; the date predicate
+    * is integer days; top-10 ties (exposure desc, keys). Scale: one
+    * shuffle on the block key, C(block,2) pair loops only inside
+    * blocks (the composite key keeps them tiny), TakeOrdered heap.
+    */
+  def q422DuplicatePayments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    li.as("a").join(li.as("b"),
+        col("a.cust") === col("b.cust") && col("a.part") === col("b.part") &&
+          col("a.q") === col("b.q") &&
+          (col("a.ok") < col("b.ok") ||
+            (col("a.ok") === col("b.ok") && col("a.ln") < col("b.ln"))))
+      .filter(abs(datediff(col("a.d"), col("b.d"))) <= 7)
+      .select(col("a.cust").as("cust"), col("a.part").as("part"),
+        col("a.q").as("quantity"),
+        col("a.ok").as("ok_a"), col("a.ln").as("ln_a"),
+        col("b.ok").as("ok_b"), col("b.ln").as("ln_b"),
+        (col("a.cents") + col("b.cents")).as("exposure_c"),
+        abs(datediff(col("a.d"), col("b.d"))).cast("long").as("gap_days"))
+      .orderBy(col("exposure_c").desc, col("cust"), col("ok_a"), col("ln_a"),
+        col("ok_b"), col("ln_b"))
+      .limit(10)
+      .selectExpr("cust", "part", "quantity", "ok_a", "ln_a", "ok_b", "ln_b",
+        "round(CAST(exposure_c AS DOUBLE) / 100.0, 2) AS exposure_dollar",
+        "gap_days")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q421_abc_classification" -> (q421AbcClassification _),
+    "q422_duplicate_payments" -> (q422DuplicatePayments _),
     "q419_cohort_ltv" -> (q419CohortLtv _),
     "q420_fulfillment_sla" -> (q420FulfillmentSla _),
     "q417_quantile_envelope" -> (q417QuantileEnvelope _),
@@ -6296,6 +6378,50 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same census ranking and integer class boundaries
+    "q421_abc_classification" ->
+      """WITH parts AS (
+        |  SELECT l_partkey AS part,
+        |         sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT)::BIGINT AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(rev)::BIGINT AS trev, count(*)::BIGINT AS tn
+        |        FROM parts),
+        |rk AS (
+        |  SELECT part, rev,
+        |         sum(rev) OVER (ORDER BY rev DESC, part)::BIGINT AS cum
+        |  FROM parts),
+        |cl AS (
+        |  SELECT r.part, r.rev, t.tn, t.trev,
+        |         CASE WHEN r.cum * 100 <= t.trev * 80 THEN 'A'
+        |              WHEN r.cum * 100 <= t.trev * 95 THEN 'B'
+        |              ELSE 'C' END AS cls
+        |  FROM rk r, tot t)
+        |SELECT cls, count(*)::BIGINT AS n_parts,
+        |       (count(*) * 1000000 // max(tn))::BIGINT AS item_share_ppm,
+        |       (sum(rev) * 1000000 // max(trev))::BIGINT AS rev_share_ppm,
+        |       round(sum(rev)::DOUBLE / 100.0, 2) + 0.0 AS revenue_dollar
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same (cust, part, qty) blocks, same 7-day predicate, same
+    // exposure heap
+    "q422_duplicate_payments" ->
+      """WITH li AS (
+        |  SELECT o.o_custkey AS cust, l.l_partkey AS part,
+        |         floor(l.l_quantity + 0.5)::BIGINT AS q,
+        |         floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT AS cents,
+        |         o.o_orderdate::DATE AS d, o.o_orderkey AS ok,
+        |         l.l_linenumber AS ln
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        |SELECT a.cust, a.part, a.q AS quantity,
+        |       a.ok AS ok_a, a.ln AS ln_a, b.ok AS ok_b, b.ln AS ln_b,
+        |       round((a.cents + b.cents)::DOUBLE / 100.0, 2) + 0.0
+        |         AS exposure_dollar,
+        |       abs(date_diff('day', a.d, b.d))::BIGINT AS gap_days
+        |FROM li a JOIN li b
+        |  ON a.cust = b.cust AND a.part = b.part AND a.q = b.q
+        | AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
+        |WHERE abs(date_diff('day', a.d, b.d)) <= 7
+        |ORDER BY (a.cents + b.cents) DESC, a.cust, a.ok, a.ln, b.ok, b.ln
+        |LIMIT 10""".stripMargin,
     // same quarter grid, same cents, same cohort-partitioned cumsum
     "q419_cohort_ltv" ->
       """WITH o AS (
