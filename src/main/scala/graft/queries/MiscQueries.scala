@@ -6184,7 +6184,93 @@ object MiscQueries extends QueryModule {
         "gap_days")
   }
 
+  /** q423: DIGIT-PATTERN AUDIT — the fraud/fabrication screen q204's
+    * Benford first-digit test doesn't cover: LAST cent digits of
+    * order totals should be UNIFORM (first digits follow Benford,
+    * last digits follow noise — fabricated numbers fail each in its
+    * own way), tested by χ² against 1/10 (df=9, 0.95 critical
+    * 16.918978); round-number affinity (.00/.50/.99 cent endings) is
+    * reported beside it — psychological pricing looks exactly like
+    * fabrication to the uniformity test, so the two columns separate
+    * the explanations.
+    *
+    * Determinism: digits are integer mod; χ² = Σ(o_d·10 − n)²/(10n)
+    * computed as one mirrored double chain off the 10-cell integer
+    * census. Scale: scan-local mod + one 10-cell census.
+    */
+  def q423DigitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .select((col("cents") % 10).as("digit"),
+        (col("cents") % 100).as("ending"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("o"),
+        sum(when(col("ending").isin(0L, 50L, 99L), 1L).otherwise(0L)).as("round_n"))
+    val tot2 = cells.agg(sum("o").as("n"), sum("round_n").as("rn"))
+    cells.crossJoin(broadcast(tot2))
+      .withColumn("chi_term", expr(
+        "(CAST(o AS DOUBLE) * 10.0 - CAST(n AS DOUBLE)) * " +
+          "(CAST(o AS DOUBLE) * 10.0 - CAST(n AS DOUBLE)) / (10.0 * CAST(n AS DOUBLE))"))
+      .withColumn("chi_u", expr("CAST(floor(chi_term * 1.0e9 + 0.5) AS BIGINT)"))
+      .groupBy("n", "rn").agg(sum("chi_u").as("chi_s"),
+        max(struct(col("o"), col("digit"))).as("modal"))
+      .selectExpr("n AS n_orders",
+        "rn * 1000000L div n AS round_ending_ppm",
+        "round(CAST(chi_s AS DOUBLE) / 1.0e9, 6) AS chi2_last_digit",
+        "CAST(chi_s AS DOUBLE) / 1.0e9 > 16.918978 AS reject_uniform",
+        "modal.digit AS modal_digit")
+  }
+
+  /** q424: BINARY-SEGMENTATION CHANGEPOINT — WHERE did the series
+    * shift? The SSE-objective localizer beside the detector family
+    * (q271's CUSUM and q381's Page–Hinkley TEST for a shift; binary
+    * segmentation finds the split minimizing within-segment variance,
+    * the first step of the classic recursive algorithm): exhaustive
+    * over every split of the daily revenue series, reporting the
+    * argmin day, both segment means, and the variance reduction.
+    *
+    * Determinism: the candidate sweep is cumulative-census
+    * arithmetic — SSE(split) = Σy² − L²/n_L − R²/n_R with every term
+    * an exact BIGINT or one snapped ratio: the objective snaps to the
+    * centi-dollar² grid via L²·100 div n_L (q389's device), argmin by
+    * struct-min (obj, day). Scale: one shuffle to the day census;
+    * the sweep is a census window pass, not a per-split rescan.
+    */
+  def q424BinarySegmentation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast("date").as("d"),
+        expr("floor(o_totalprice * 100.0 + 0.5) div 100").as("rev"))
+      .groupBy("d").agg(sum("rev").as("y"))
+    val w = Window.orderBy("d")
+    val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("s"),
+      sum(col("y") * col("y")).as("ss"))
+    val scans = daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cl", sum("y").over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("i") < col("n"))
+      // cl² and s² overflow BIGINT at corpus scale — the objective is
+      // a mirrored double chain off the exact BIGINT cumulatives,
+      // snapped to the unit dollar² grid (split SSE gaps ≫ 1)
+      .withColumn("obj_u", expr(
+        "CAST(floor(CAST(ss AS DOUBLE) " +
+          "- CAST(cl AS DOUBLE) * CAST(cl AS DOUBLE) / CAST(i AS DOUBLE) " +
+          "- CAST(s - cl AS DOUBLE) * CAST(s - cl AS DOUBLE) / CAST(n - i AS DOUBLE) " +
+          "+ 0.5) AS BIGINT)"))
+    scans
+      .groupBy("n", "s", "ss")
+      .agg(min(struct(col("obj_u"), col("d"), col("i"), col("cl"))).as("b"))
+      .selectExpr("n", "b.d AS split_day", "b.i AS n_left",
+        "round(CAST(b.cl AS DOUBLE) / CAST(b.i AS DOUBLE), 6) AS mean_left_dollar",
+        "round(CAST(s - b.cl AS DOUBLE) / CAST(n - b.i AS DOUBLE), 6) AS mean_right_dollar",
+        "round(1.0 - CAST(b.obj_u AS DOUBLE) / " +
+          "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS variance_reduction")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q423_digit_audit" -> (q423DigitAudit _),
+    "q424_binary_segmentation" -> (q424BinarySegmentation _),
     "q421_abc_classification" -> (q421AbcClassification _),
     "q422_duplicate_payments" -> (q422DuplicatePayments _),
     "q419_cohort_ltv" -> (q419CohortLtv _),
@@ -6378,6 +6464,65 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same 10-cell census, same snapped χ² terms, same modal argmax
+    "q423_digit_audit" ->
+      """WITH cells AS (
+        |  SELECT cents % 10 AS digit, count(*)::BIGINT AS o,
+        |         sum(CASE WHEN cents % 100 IN (0, 50, 99) THEN 1 ELSE 0 END)
+        |           ::BIGINT AS round_n
+        |  FROM (SELECT floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents
+        |        FROM orders)
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(o)::BIGINT AS n, sum(round_n)::BIGINT AS rn
+        |        FROM cells),
+        |terms AS (
+        |  SELECT c.digit, c.o, t.n, t.rn,
+        |         floor((c.o::DOUBLE * 10.0 - t.n::DOUBLE) *
+        |               (c.o::DOUBLE * 10.0 - t.n::DOUBLE) /
+        |               (10.0 * t.n::DOUBLE) * 1.0e9 + 0.5)::BIGINT AS chi_u
+        |  FROM cells c, tot t),
+        |modal AS (
+        |  SELECT digit FROM terms
+        |  QUALIFY row_number() OVER (ORDER BY o DESC, digit DESC) = 1)
+        |SELECT max(n) AS n_orders,
+        |       (max(rn) * 1000000 // max(n))::BIGINT AS round_ending_ppm,
+        |       round(sum(chi_u)::DOUBLE / 1.0e9, 6) + 0.0 AS chi2_last_digit,
+        |       sum(chi_u)::DOUBLE / 1.0e9 > 16.918978 AS reject_uniform,
+        |       (SELECT digit FROM modal) AS modal_digit
+        |FROM terms""".stripMargin,
+    // same day census and cumulative sweep, same snapped double
+    // objective, same (obj, day) argmin
+    "q424_binary_segmentation" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS d,
+        |         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT // 100)::BIGINT
+        |           AS y
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
+        |               sum(y * y)::BIGINT AS ss FROM daily),
+        |scans AS (
+        |  SELECT d, row_number() OVER (ORDER BY d)::BIGINT AS i,
+        |         sum(y) OVER (ORDER BY d)::BIGINT AS cl
+        |  FROM daily),
+        |obj AS (
+        |  SELECT sc.d, sc.i, sc.cl, t.n, t.s, t.ss,
+        |         floor(t.ss::DOUBLE
+        |               - sc.cl::DOUBLE * sc.cl::DOUBLE / sc.i::DOUBLE
+        |               - (t.s - sc.cl)::DOUBLE * (t.s - sc.cl)::DOUBLE
+        |                 / (t.n - sc.i)::DOUBLE
+        |               + 0.5)::BIGINT AS obj_u
+        |  FROM scans sc, tot t WHERE sc.i < t.n),
+        |best AS (
+        |  SELECT * FROM obj
+        |  QUALIFY row_number() OVER (ORDER BY obj_u, d) = 1)
+        |SELECT n, d AS split_day, i AS n_left,
+        |       round(cl::DOUBLE / i::DOUBLE, 6) + 0.0 AS mean_left_dollar,
+        |       round((s - cl)::DOUBLE / (n - i)::DOUBLE, 6) + 0.0
+        |         AS mean_right_dollar,
+        |       round(1.0 - obj_u::DOUBLE /
+        |             (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE), 6) + 0.0
+        |         AS variance_reduction
+        |FROM best""".stripMargin,
     // same census ranking and integer class boundaries
     "q421_abc_classification" ->
       """WITH parts AS (
