@@ -6268,7 +6268,101 @@ object MiscQueries extends QueryModule {
           "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS variance_reduction")
   }
 
+  /** q425: CORRELATION MATRIX + VIF — the multicollinearity
+    * pre-flight every regression (q361/q365/q387/q400) should run
+    * first: pairwise Pearson r between quantity, discount% and tax%,
+    * and each feature's variance-inflation factor VIF_i = [R⁻¹]_ii
+    * from the 3×3 correlation-matrix inverse (VIF > 5-10 means the
+    * coefficient is unstable — the diagnosis behind "the sign
+    * flipped when I added a feature").
+    *
+    * Determinism: each r is computed from exact BIGINT moments and
+    * snapped to the 10⁻⁹ grid BEFORE the matrix algebra, so the
+    * adjugate-based inverse diagonal is a mirrored double chain off
+    * three snapped integers. Scale: ONE moment agg over the scan
+    * (9 sums), 3-row everything after.
+    */
+  def q425CorrelationVif(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(spark, dir)
+      .select(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("a"),
+        expr("CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)").as("b"),
+        expr("CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT)").as("c"))
+      .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"),
+        sum("c").as("sc"), sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"), sum(col("c") * col("c")).as("scc"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("c")).as("sac"),
+        sum(col("b") * col("c")).as("sbc"))
+    def rU(xy: String, xx: String, yy: String, x: String, y: String) =
+      s"CAST(floor((CAST(n AS DOUBLE) * CAST($xy AS DOUBLE) - CAST($x AS DOUBLE) * CAST($y AS DOUBLE)) / " +
+        s"sqrt((CAST(n AS DOUBLE) * CAST($xx AS DOUBLE) - CAST($x AS DOUBLE) * CAST($x AS DOUBLE)) * " +
+        s"(CAST(n AS DOUBLE) * CAST($yy AS DOUBLE) - CAST($y AS DOUBLE) * CAST($y AS DOUBLE))) * 1.0e9 + 0.5) AS BIGINT)"
+    val snapped = m.selectExpr("n",
+      rU("sab", "saa", "sbb", "sa", "sb") + " AS rab_u",
+      rU("sac", "saa", "scc", "sa", "sc") + " AS rac_u",
+      rU("sbc", "sbb", "scc", "sb", "sc") + " AS rbc_u")
+      .selectExpr("n",
+        "CAST(rab_u AS DOUBLE) / 1.0e9 AS rab",
+        "CAST(rac_u AS DOUBLE) / 1.0e9 AS rac",
+        "CAST(rbc_u AS DOUBLE) / 1.0e9 AS rbc")
+      .selectExpr("n", "rab", "rac", "rbc",
+        "1.0 + 2.0 * rab * rac * rbc - rab * rab - rac * rac - rbc * rbc AS det")
+    snapped.selectExpr("n", "rab", "rac", "rbc", "det",
+        "stack(3, " +
+          "'quantity', rab, rac, (1.0 - rbc * rbc) / det, " +
+          "'discount_pct', rab, rbc, (1.0 - rac * rac) / det, " +
+          "'tax_pct', rac, rbc, (1.0 - rab * rab) / det) " +
+          "AS (feature, r1, r2, vif)")
+      .selectExpr("feature", "n", "round(r1, 6) AS r_first",
+        "round(r2, 6) AS r_second", "round(vif, 6) AS vif",
+        "vif > 5.0 AS collinear")
+      .orderBy("feature")
+  }
+
+  /** q426: KENDALL'S COEFFICIENT OF CONCORDANCE W — do the five event
+    * types AGREE on which days are big? Each type ranks the days by
+    * its own daily dollar volume (the judges×items design); W =
+    * 12S/(m²(n³−n)) with the χ² approximation m(n−1)W. The
+    * multi-ranker agreement test completing the pair family (q288's
+    * τ-b and Spearman compare TWO rankings; W speaks for m at once —
+    * the inter-annotator-agreement shape for ranked labels).
+    *
+    * Determinism: rankings use the strict (volume desc, day) total
+    * order — integer ranks, no ties by construction; S is an exact
+    * BIGINT off the rank-sum census; W/χ² are one mirrored chain.
+    * Only days where ALL m types traded enter (complete design).
+    * Scale: one (type, day) census shuffle; rank windows partition
+    * by type over census rows; S is census arithmetic.
+    */
+  def q426KendallW(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day").agg(sum("cents").as("v"))
+    val complete = daily
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("day")))
+      .filter(col("k") === 5)
+    val ranked = complete
+      .withColumn("r", rank().over(
+        Window.partitionBy("event_type").orderBy(col("v").desc, col("day")))
+        .cast("long"))
+    val sums = ranked.groupBy("day").agg(sum("r").as("rsum"))
+    val tot = sums.agg(count(lit(1)).as("n"), sum("rsum").as("rtot"),
+      sum(col("rsum") * col("rsum")).as("rss"))
+    tot.selectExpr("n",
+        // S = Σ(R_i − m(n+1)/2)² = ΣR² − (ΣR)²/n exactly (ΣR = m·n(n+1)/2)
+        "CAST(rss AS DOUBLE) - CAST(rtot AS DOUBLE) * CAST(rtot AS DOUBLE) / CAST(n AS DOUBLE) AS s")
+      .selectExpr("n",
+        "round(12.0 * s / (25.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) AS w")
+      .selectExpr("n", "w", "round(5.0 * CAST(n - 1 AS DOUBLE) * w, 6) AS chi2",
+        "5.0 * CAST(n - 1 AS DOUBLE) * w > 42.556968 AS reject_independence")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q425_correlation_vif" -> (q425CorrelationVif _),
+    "q426_kendall_w" -> (q426KendallW _),
     "q423_digit_audit" -> (q423DigitAudit _),
     "q424_binary_segmentation" -> (q424BinarySegmentation _),
     "q421_abc_classification" -> (q421AbcClassification _),
@@ -6464,6 +6558,83 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same exact moments, same 10⁻⁹ r snaps BEFORE the 3×3 inverse
+    // diagonal chains
+    "q425_correlation_vif" ->
+      """WITH m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |         sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb,
+        |         sum(c)::BIGINT AS sc,
+        |         sum(a * a)::BIGINT AS saa, sum(b * b)::BIGINT AS sbb,
+        |         sum(c * c)::BIGINT AS scc, sum(a * b)::BIGINT AS sab,
+        |         sum(a * c)::BIGINT AS sac, sum(b * c)::BIGINT AS sbc
+        |  FROM (SELECT floor(l_quantity + 0.5)::BIGINT AS a,
+        |               floor(l_discount * 100.0 + 0.5)::BIGINT AS b,
+        |               floor(l_tax * 100.0 + 0.5)::BIGINT AS c
+        |        FROM lineitem)),
+        |r AS (
+        |  SELECT n,
+        |         floor((n::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE) /
+        |           sqrt((n::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE) *
+        |                (n::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE))
+        |           * 1.0e9 + 0.5)::BIGINT AS rab_u,
+        |         floor((n::DOUBLE * sac::DOUBLE - sa::DOUBLE * sc::DOUBLE) /
+        |           sqrt((n::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE) *
+        |                (n::DOUBLE * scc::DOUBLE - sc::DOUBLE * sc::DOUBLE))
+        |           * 1.0e9 + 0.5)::BIGINT AS rac_u,
+        |         floor((n::DOUBLE * sbc::DOUBLE - sb::DOUBLE * sc::DOUBLE) /
+        |           sqrt((n::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE) *
+        |                (n::DOUBLE * scc::DOUBLE - sc::DOUBLE * sc::DOUBLE))
+        |           * 1.0e9 + 0.5)::BIGINT AS rbc_u
+        |  FROM m),
+        |d AS (
+        |  SELECT n, rab_u::DOUBLE / 1.0e9 AS rab, rac_u::DOUBLE / 1.0e9 AS rac,
+        |         rbc_u::DOUBLE / 1.0e9 AS rbc
+        |  FROM r),
+        |d2 AS (
+        |  SELECT *, 1.0 + 2.0 * rab * rac * rbc - rab * rab - rac * rac
+        |            - rbc * rbc AS det
+        |  FROM d),
+        |rows3 AS (
+        |  SELECT 'quantity' AS feature, n, rab AS r1, rac AS r2,
+        |         (1.0 - rbc * rbc) / det AS vif FROM d2
+        |  UNION ALL
+        |  SELECT 'discount_pct', n, rab, rbc, (1.0 - rac * rac) / det FROM d2
+        |  UNION ALL
+        |  SELECT 'tax_pct', n, rac, rbc, (1.0 - rab * rab) / det FROM d2)
+        |SELECT feature, n, round(r1, 6) + 0.0 AS r_first,
+        |       round(r2, 6) + 0.0 AS r_second, round(vif, 6) + 0.0 AS vif,
+        |       vif > 5.0 AS collinear
+        |FROM rows3 ORDER BY feature""".stripMargin,
+    // same complete-day design, same strict (volume desc, day) ranks,
+    // same mirrored W/χ² chain
+    "q426_kendall_w" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |complete AS (
+        |  SELECT day, event_type, v,
+        |         count(*) OVER (PARTITION BY day) AS k
+        |  FROM daily QUALIFY k = 5),
+        |ranked AS (
+        |  SELECT day,
+        |         rank() OVER (PARTITION BY event_type
+        |                      ORDER BY v DESC, day)::BIGINT AS r
+        |  FROM complete),
+        |sums AS (SELECT day, sum(r)::BIGINT AS rsum FROM ranked GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(rsum)::BIGINT AS rtot,
+        |               sum(rsum * rsum)::BIGINT AS rss FROM sums),
+        |s AS (
+        |  SELECT n, rss::DOUBLE - rtot::DOUBLE * rtot::DOUBLE / n::DOUBLE AS s
+        |  FROM tot),
+        |w AS (
+        |  SELECT n, round(12.0 * s / (25.0 * (n::DOUBLE * n::DOUBLE * n::DOUBLE
+        |                                      - n::DOUBLE)), 6) AS w
+        |  FROM s)
+        |SELECT n, w, round(5.0 * (n - 1)::DOUBLE * w, 6) + 0.0 AS chi2,
+        |       5.0 * (n - 1)::DOUBLE * w > 42.556968 AS reject_independence
+        |FROM w""".stripMargin,
     // same 10-cell census, same snapped χ² terms, same modal argmax
     "q423_digit_audit" ->
       """WITH cells AS (
