@@ -6360,7 +6360,96 @@ object MiscQueries extends QueryModule {
         "5.0 * CAST(n - 1 AS DOUBLE) * w > 42.556968 AS reject_independence")
   }
 
+  /** q427: SUPPLIER CONCENTRATION — HHI (Herfindahl–Hirschman) per
+    * part class: Σ share², the antitrust/sourcing-risk standard, plus
+    * its reciprocal (the EFFECTIVE supplier count — "we have 40
+    * suppliers but effectively 3.2") and the top supplier's share.
+    * The single-source-risk readout procurement reviews run; the
+    * Gini family (q189/q265) measures inequality, HHI prices the
+    * blast radius of losing the biggest one.
+    *
+    * Determinism: shares snap to the ppm grid (rev·10⁶ div total)
+    * per supplier BEFORE squaring, so HHI·10¹² is an exact BIGINT
+    * census sum and the effective count is one divide; top share by
+    * struct-max. Scale: one (class, supplier) census + a class-total
+    * join; everything after is census arithmetic.
+    */
+  def q427SupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(expr("element_at(split(p_type, ' '), 1)").as("cls"),
+        col("l_suppkey").as("supp"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("c"))
+      .groupBy("cls", "supp").agg(sum("c").as("rev"))
+    val tot = rev.groupBy("cls").agg(sum("rev").as("trev"),
+      count(lit(1)).as("n_suppliers"))
+    rev.join(tot, "cls")
+      .withColumn("share_ppm", expr("rev * 1000000L div trev"))
+      .groupBy("cls")
+      .agg(max("n_suppliers").as("n_suppliers"),
+        sum(expr("share_ppm * share_ppm")).as("hhi_u"),
+        max(struct(col("share_ppm"), col("supp"))).as("top"))
+      .selectExpr("cls", "n_suppliers",
+        "round(CAST(hhi_u AS DOUBLE) / 1.0e12, 6) AS hhi",
+        "round(1.0e12 / CAST(hhi_u AS DOUBLE), 6) AS effective_suppliers",
+        "top.share_ppm AS top_share_ppm", "top.supp AS top_supplier")
+      .orderBy("cls")
+  }
+
+  /** q428: HAAR MULTI-SCALE ENERGY DECOMPOSITION — which TIMESCALE
+    * carries the variance? The dyadic wavelet scaleogram of the daily
+    * revenue series: detail energy at 2/4/8/16-day scales as shares of
+    * total detail energy (daily noise vs weekly structure vs regime
+    * moves — q389 asks "is there a weekly pattern", this measures how
+    * much of the wiggle lives at EVERY scale). The classic
+    * variance-decomposition screen before choosing a smoothing
+    * horizon.
+    *
+    * Determinism: Haar details at level k are DIFFERENCES OF INTEGER
+    * BLOCK SUMS (s_left − s_right over 2^(k−1)-day halves) — no
+    * division anywhere until the output shares, so every energy is an
+    * exact BIGINT (the 2^k normalization folds into the reported
+    * per-level scale factor). Only complete 16-day blocks enter.
+    * Scale: four independent aggs off the one day census.
+    */
+  def q428HaarEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        expr("floor(o_totalprice * 100.0 + 0.5) div 100").as("rev"))
+      .groupBy("day").agg(sum("rev").as("y"))
+    val d0 = daily.agg(min("day").as("day0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .select((col("day") - col("day0")).as("i"), col("y"))
+      .withColumn("blk", expr("i div 16"))
+      .withColumn("nblk", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("blk")))
+      .filter(col("nblk") === 16)
+      .localCheckpoint()
+    def level(k: Int): DataFrame = {
+      val half = 1 << (k - 1)
+      idx.withColumn("grp", expr(s"i div ${2 * half}"))
+        .withColumn("side", expr(s"(i div $half) % 2"))
+        .groupBy("grp")
+        .agg(sum(when(col("side") === 0, col("y")).otherwise(0L)).as("l"),
+          sum(when(col("side") === 1, col("y")).otherwise(0L)).as("r"))
+        .agg(count(lit(1)).as("n_details"),
+          sum(expr("(l - r) * (l - r)")).as("e"))
+        .selectExpr(s"$k AS level", s"${2 * half} AS scale_days",
+          "n_details", s"e div ${2 * half} AS energy")
+    }
+    val levels = (1 to 4).map(level).reduce(_ unionByName _)
+    val tot = levels.agg(sum("energy").as("etot"))
+    levels.crossJoin(broadcast(tot))
+      .selectExpr("level", "scale_days", "n_details", "energy",
+        // energy·10⁶ overflows BIGINT at corpus scale — snapped double
+        // ratio instead (one divide, mirrored)
+        "CAST(floor(CAST(energy AS DOUBLE) * 1.0e6 / CAST(etot AS DOUBLE) + 0.5) AS BIGINT) AS energy_share_ppm")
+      .orderBy("level")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q427_supplier_hhi" -> (q427SupplierHhi _),
+    "q428_haar_energy" -> (q428HaarEnergy _),
     "q425_correlation_vif" -> (q425CorrelationVif _),
     "q426_kendall_w" -> (q426KendallW _),
     "q423_digit_audit" -> (q423DigitAudit _),
@@ -6558,6 +6647,65 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same ppm share snap before squaring, same struct-max top
+    "q427_supplier_hhi" ->
+      """WITH rev AS (
+        |  SELECT string_split(p.p_type, ' ')[1] AS cls, l.l_suppkey AS supp,
+        |         sum(floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT)::BIGINT
+        |           AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT cls, sum(rev)::BIGINT AS trev,
+        |               count(*)::BIGINT AS n_suppliers
+        |        FROM rev GROUP BY 1),
+        |sh AS (
+        |  SELECT r.cls, r.supp, t.n_suppliers,
+        |         (r.rev * 1000000 // t.trev)::BIGINT AS share_ppm
+        |  FROM rev r JOIN tot t USING (cls)),
+        |top AS (
+        |  SELECT cls, share_ppm AS top_share_ppm, supp AS top_supplier
+        |  FROM sh QUALIFY row_number() OVER (PARTITION BY cls
+        |    ORDER BY share_ppm DESC, supp DESC) = 1)
+        |SELECT s.cls, max(s.n_suppliers) AS n_suppliers,
+        |       round(sum(s.share_ppm * s.share_ppm)::DOUBLE / 1.0e12, 6) + 0.0
+        |         AS hhi,
+        |       round(1.0e12 / sum(s.share_ppm * s.share_ppm)::DOUBLE, 6) + 0.0
+        |         AS effective_suppliers,
+        |       max(t.top_share_ppm) AS top_share_ppm,
+        |       max(t.top_supplier) AS top_supplier
+        |FROM sh s JOIN top t USING (cls)
+        |GROUP BY s.cls ORDER BY s.cls""".stripMargin,
+    // same integer block sums, same (l−r)² energies, same complete-
+    // block filter and div-2^k scale fold
+    "q428_haar_energy" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT // 100)::BIGINT
+        |           AS y
+        |  FROM orders GROUP BY 1),
+        |d0 AS (SELECT min(day) AS day0 FROM daily),
+        |idx AS (
+        |  SELECT d.day - z.day0 AS i, d.y,
+        |         count(*) OVER (PARTITION BY (d.day - z.day0) // 16) AS nblk
+        |  FROM daily d, d0 z QUALIFY nblk = 16),
+        |lv AS (
+        |  SELECT k.level, (2 * k.half) AS scale_days, g.n_details,
+        |         g.e // (2 * k.half) AS energy
+        |  FROM (VALUES (1, 1), (2, 2), (3, 4), (4, 8)) k(level, half)
+        |  JOIN LATERAL (
+        |    SELECT count(*)::BIGINT AS n_details, sum((l - r) * (l - r))::BIGINT AS e
+        |    FROM (SELECT i // (2 * k.half) AS grp,
+        |                 sum(CASE WHEN (i // k.half) % 2 = 0 THEN y ELSE 0 END)
+        |                   ::BIGINT AS l,
+        |                 sum(CASE WHEN (i // k.half) % 2 = 1 THEN y ELSE 0 END)
+        |                   ::BIGINT AS r
+        |          FROM idx GROUP BY 1)
+        |  ) g ON TRUE),
+        |tot AS (SELECT sum(energy)::BIGINT AS etot FROM lv)
+        |SELECT l.level, l.scale_days, l.n_details, l.energy,
+        |       floor(l.energy::DOUBLE * 1.0e6 / t.etot::DOUBLE + 0.5)
+        |         ::BIGINT AS energy_share_ppm
+        |FROM lv l, tot t ORDER BY l.level""".stripMargin,
     // same exact moments, same 10⁻⁹ r snaps BEFORE the 3×3 inverse
     // diagonal chains
     "q425_correlation_vif" ->
