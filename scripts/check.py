@@ -85,6 +85,17 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        # Driver-parity sortability probe: the driver sorts a pandas
+        # frame on all columns; nested/binary cells crash factorize
+        # there even when our string-rendering canon below is happy.
+        try:
+            df = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            df.sort_values(by=sorted(df.columns), inplace=True)
+        except Exception as e:
+            print(f"FAIL {name}: driver pandas sort would crash: {e}")
+            n_fail += 1
+            continue
         gc, gr = canon(g_rows, g_cols)
         ec, er = canon(e_rows, e_cols)
         if gc != ec:

@@ -35,11 +35,21 @@ def render_class(t):
         return "float!widened"
     if t in _WIDENED:
         return "float!widened"
+    # Nested/binary cells become numpy arrays / bytes in the driver's
+    # pandas frame; `sort_values` -> `factorize` raises `unhashable
+    # type` on them, so the driver row ERRORS instead of comparing
+    # (round 15's q388 red: an ARRAY<STRING> output column). Third
+    # recurrence of the local-passes/driver-fails class — hard-fail the
+    # whole class: emit joined strings / hex instead (the q07 rule).
+    if (t.endswith("[]") or t.startswith("LIST") or t.startswith("STRUCT")
+            or t.startswith("MAP") or t.startswith("ARRAY")
+            or t in ("BLOB", "BYTEA", "BINARY", "VARBINARY", "UNION")):
+        return f"{t}!unsortable"
     if t in _INT:
         return "int"
     if t in _FLOAT:
         return "float"
-    return t  # VARCHAR/DATE/TIMESTAMP/BOOLEAN/LIST/STRUCT: exact match
+    return t  # VARCHAR/DATE/TIMESTAMP/BOOLEAN: exact match
 
 
 def describe(con, sql):
@@ -52,16 +62,33 @@ def type_gate(con, name, oracle_sql, engine_glob):
     """Return a list of human-readable violations (empty == clean)."""
     bad = []
     try:
-        o_types = dict(describe(con, oracle_sql))
-        e_types = dict(describe(con, f"SELECT * FROM '{engine_glob}'"))
+        o_desc = describe(con, oracle_sql)
+        e_desc = describe(con, f"SELECT * FROM '{engine_glob}'")
     except Exception as e:  # the value compare will report unreadability
         return [f"type gate skipped: {e}"]
+    # Duplicate column names collapse silently under dict(); the
+    # driver's column-name sort would also be ambiguous — reject.
+    for side, desc in (("oracle", o_desc), ("engine", e_desc)):
+        names = [c for c, _ in desc]
+        dups = sorted({c for c in names if names.count(c) > 1})
+        for c in dups:
+            bad.append(f"{side} has duplicate output column `{c}` — "
+                       f"alias each occurrence uniquely")
+    if bad:
+        return bad
+    o_types, e_types = dict(o_desc), dict(e_desc)
     for side, types in (("oracle", o_types), ("engine", e_types)):
         for c, t in sorted(types.items()):
-            if "widened" in render_class(t):
+            cls = render_class(t)
+            if "widened" in cls:
                 bad.append(
                     f"{side} column `{c}` is {t} — pandas widens it to "
                     f"float64 at the driver (cast ::BIGINT / ::DOUBLE)")
+            if "unsortable" in cls:
+                bad.append(
+                    f"{side} column `{c}` is {t} — the driver's pandas "
+                    f"row sort crashes on nested/binary cells "
+                    f"(q388/r15); emit a joined string or hex instead")
     if sorted(o_types) == sorted(e_types):
         for c in sorted(o_types):
             oc, ec = render_class(o_types[c]), render_class(e_types[c])

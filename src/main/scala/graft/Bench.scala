@@ -55,7 +55,7 @@ object Bench {
       // checkpointed frames, and unpersisting those blocks truncates
       // lineage irrecoverably — the first round-15 sweep killed all 12
       // IVF-family queries with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
-      val keep = graft.operators.IvfAnn.protectedRddIds
+      val keep = graft.operators.IvfAnn.protectedRddIds(spark)
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => keep.contains(id) }
         .values.foreach(_.unpersist(blocking = true))

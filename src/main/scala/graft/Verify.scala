@@ -30,12 +30,20 @@ object Verify {
         // Reject it HERE so the local sweep fails first; emit
         // `hex(col)` instead (injective — the gate still certifies the
         // exact bytes).
-        val bin = df.schema.fields.collect {
-          case f if f.dataType == org.apache.spark.sql.types.BinaryType => f.name
+        // Round-15 recurrence (q388): ARRAY/MAP/STRUCT cells become
+        // numpy arrays / dicts in the driver's pandas frame and crash
+        // its row sort the same way — reject the whole nested class.
+        import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+        val bad = df.schema.fields.collect {
+          case f if f.dataType == BinaryType => f.name + " (binary: emit hex(col))"
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            f.name + " (nested: emit array_join/a joined string)"
         }
-        if (bin.nonEmpty) throw new IllegalStateException(
-          s"raw BinaryType column(s) ${bin.mkString(", ")} break the driver's " +
-            "pandas gate — emit hex(col) instead")
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"driver-unsortable output column(s) ${bad.mkString(", ")} break " +
+            "the driver's pandas gate")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         failed += 1

@@ -98,16 +98,26 @@ object IvfAnn {
     * around each memo build; over-protecting a concurrently-persisted
     * stranger is benign (it is merely retained).
     */
-  private val memoRdds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-  def protectedRddIds: java.util.Set[Int] = memoRdds
+  private val memoRdds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
+  /** Protected ids are SCOPED to the given session's SparkContext: RDD
+    * ids restart per context, so after a session stop/restart in one
+    * JVM a stale id from the dead context must not shield an unrelated
+    * freshly-persisted RDD in the new one. */
+  def protectedRddIds(spark: org.apache.spark.sql.SparkSession): Set[Int] = {
+    val ctx = System.identityHashCode(spark.sparkContext)
+    import scala.jdk.CollectionConverters._
+    memoRdds.asScala.collect { case (c, id) if c == ctx => id }.toSet
+  }
   /** Public: any session-scoped memo handing out checkpointed frames
     * (SimilarityQueries' PQ fit / grid-IVF assignment) registers its
     * blocks through the same guard. */
   def protecting[T](spark: SparkSession)(body: => T): T = {
+    val ctx = System.identityHashCode(spark.sparkContext)
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = body
     spark.sparkContext.getPersistentRDDs.keySet.diff(before)
-      .foreach(memoRdds.add(_))
+      .foreach(id => memoRdds.add((ctx, id)))
     out
   }
 

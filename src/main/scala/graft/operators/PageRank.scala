@@ -80,8 +80,12 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select("src", "dst").localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    // Seeds are UNIONED into the node set: an isolated seed (no
+    // incident edges) still teleports 1.0 and gets a rank row, keeping
+    // the documented "total mass |S|" invariant for any seed table.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
+      .union(seeds.select(col("node")))
       .distinct()
       .join(seeds.select(col("node")).distinct().withColumn("tele", lit(1.0)),
         Seq("node"), "left")

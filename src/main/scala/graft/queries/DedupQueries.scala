@@ -869,7 +869,9 @@ object DedupQueries extends QueryModule {
   def q230MinhashBandCurve(spark: SparkSession, dir: String): DataFrame = {
     val P = 2147483647L // 2^31 - 1
     val famsLit = typedlit(bandFams.map { case (a, b) => (a, b) })
-    val docs = shingled(spark, dir).select("doc_id", "sh")
+    // One shingle pass total: the gram arrays feed the signature pass
+    // AND the exact verify's two sides — cut the scan+kernel lineage.
+    val docs = shingled(spark, dir).select("doc_id", "sh").localCheckpoint(true)
     val sigd = docs
       // one md5 per shingle → 32-bit base; 24 affine families over it
       .withColumn("hb", expr(
@@ -890,6 +892,12 @@ object DedupQueries extends QueryModule {
       .select(col("doc_id"), col("bd._1").as("bands"),
         col("bd._2").as("rows_per_band"), col("bd._3").as("band"),
         expr("concat_ws(',', slice(sig, bd._3 * bd._2 + 1, bd._2))").as("bkey"))
+    // Candidate pairs are TINY relative to their lineage (band
+    // self-join over 30 keys/doc): cut it once — the per-config
+    // grouping, the verify join, and the truth census below would
+    // otherwise each re-run the signature pass and the self-join
+    // (round-15 audit: q230 was the sweep's most expensive row purely
+    // from this triple re-evaluation).
     val cands = bands.as("a").join(bands.as("b"),
         col("a.bands") === col("b.bands") &&
           col("a.rows_per_band") === col("b.rows_per_band") &&
@@ -898,13 +906,17 @@ object DedupQueries extends QueryModule {
       .select(col("a.bands").as("bands"), col("a.rows_per_band").as("rows_per_band"),
         col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    // exact Jaccard ONLY on the union of candidates (the bounded loop)
+      .localCheckpoint(true)
+    // exact Jaccard ONLY on the union of candidates (the bounded loop),
+    // ONE verify per distinct pair; checkpointed so the truth census and
+    // the per-config join read it instead of re-intersecting gram arrays
     val jac = cands.select("i", "j").distinct()
       .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
       .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
       .select(col("i"), col("j"),
         (size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
           size(array_union(col("sh_i"), col("sh_j")))).as("jac"))
+      .localCheckpoint(true)
     val truthTotal = jac.agg(
       sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_true_total"))
     cands.join(jac, Seq("i", "j"))
@@ -1262,7 +1274,9 @@ object DedupQueries extends QueryModule {
       .groupBy("code")
       .agg(count(lit(1)).as("n_parts"),
         countDistinct(col("w")).as("n_distinct_words"),
-        sort_array(collect_set(col("w"))).as("words"))
+        // q07 house rule: the driver canonicalizes through a pandas
+        // sort, which crashes on array cells — emit the joined string.
+        array_join(sort_array(collect_set(col("w"))), ",").as("words"))
       .withColumn("candidate_pairs",
         expr("n_parts * (n_parts - 1) div 2"))
       .orderBy("code")
@@ -1325,7 +1339,7 @@ object DedupQueries extends QueryModule {
         |         count(DISTINCT w)::BIGINT AS n_distinct_words
         |  FROM k GROUP BY 1),
         |wl AS (
-        |  SELECT code, list(w ORDER BY w) AS words
+        |  SELECT code, string_agg(w, ',' ORDER BY w) AS words
         |  FROM (SELECT DISTINCT code, w FROM k) GROUP BY 1)
         |SELECT g.code, g.n_parts, g.n_distinct_words, wl.words,
         |       (g.n_parts * (g.n_parts - 1) // 2)::BIGINT AS candidate_pairs

@@ -68,6 +68,14 @@ object StreamingOps extends QueryModule {
     * <10%. This constant is Spark's streaming machinery, vanishes on
     * any long-running stream, and is not worth trading gate fidelity
     * (shared checkpoints / pooled queries) to hide.
+    *
+    * Re-measured round 16 (q111/q126/q257 at sf0.1, min-of-3): 8→2
+    * partitions saved 4% total and nothing on the watermark-replay
+    * row — the floor is per-batch planning + state-store open/commit
+    * CPU, invariant to partition count and checkpoint medium. The
+    * shared-checkpoint/pooled-session idea stays rejected: each gate's
+    * replay semantics (batch-0 retry, checkpoint recovery, offset
+    * replay) REQUIRE a private checkpoint root to mean anything.
     */
   /** Materialize a replay gate's result, then release the per-run state
     * it accumulated: the memory-sink temp view (whose sink pins every
@@ -1941,7 +1949,18 @@ object StreamingOps extends QueryModule {
         // below is guarded so the retry cannot throw on a second move).
         val dimPath =
           if (id == 0L && java.nio.file.Files.exists(dimOld)) dimOld.toString
-          else dimDir
+          else {
+            // Crash tolerance: a death BETWEEN the two swap moves below
+            // leaves dim absent and dim_next still staged. Any later
+            // batch completes the interrupted swap before reading, so
+            // retry-idempotency holds across a partial-failure window,
+            // not just a clean replay.
+            if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dimDir)) &&
+              java.nio.file.Files.exists(java.nio.file.Paths.get(dimNext)))
+              java.nio.file.Files.move(java.nio.file.Paths.get(dimNext),
+                java.nio.file.Paths.get(dimDir))
+            dimDir
+          }
         val dim = s.read.parquet(dimPath)
         df.join(broadcast(dim), "event_type")
           .groupBy("event_type")
