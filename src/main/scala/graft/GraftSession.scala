@@ -25,6 +25,20 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // The INITIAL shuffle partition count is the ceiling AQE can only
+      // shrink — at 10× the bench fixture each of the 32 partitions
+      // gets 10× fatter and spills (round-16 sf1-equivalent probe:
+      // q230's band self-join went 212 s → 10 s with this raised to
+      // 256). But the overshoot is NOT free at small scale: the same
+      // 256 floor taxed dozens of multi-stage sf0.1 rows 1.5–20×
+      // (extra shuffle buckets + task launches dominate sub-second
+      // stages), so the ceiling must be sized to the DATA. Default =
+      // shufflePartitions (Spark's own default); deployments at larger
+      // SFs raise it via SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS — the
+      // sf1 probe runs with 256 (BASELINE.md "Scale evidence").
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS",
+          shufflePartitions.toString))
       // dims (region..part) are tiny at every SF; let Catalyst broadcast
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

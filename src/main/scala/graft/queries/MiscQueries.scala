@@ -6447,7 +6447,504 @@ object MiscQueries extends QueryModule {
       .orderBy("level")
   }
 
+  /** q437: CHAIN-LADDER DEVELOPMENT TRIANGLE — the actuarial run-off
+    * projection, read here as a FULFILLMENT-COMPLETION forecast (how
+    * much of each order cohort's value is still unshipped?): cohorts =
+    * order months, development age = ship-lag months (clamped at 5),
+    * valuation date = the last order month, so recent cohorts have
+    * truncated tails — exactly the reserving triangle. Volume-weighted
+    * age-to-age factors over fully-observed cohorts, ultimates =
+    * latest diagonal × the remaining-factor product, IBNR = ultimate −
+    * observed. The estimator class (Mack '93) every insurer runs;
+    * pipelines reuse it for "how complete is this ingest cohort".
+    *
+    * Determinism: the triangle is an integer cents census with
+    * EXPLICIT per-age cumulative columns (no window, no float sums);
+    * each factor is one divide of exact BIGINTs; the remaining product
+    * is an explicit fixed-order CASE chain (never an aggregate product
+    * — float multiplication order stays literal). Scale: one fact scan
+    * to an (order-month, dev) census; everything after is arithmetic
+    * on ≤ 80 cohort rows.
+    */
+  def q437ChainLadder(spark: SparkSession, dir: String): DataFrame = {
+    val V = 79L // valuation month index (the last order month)
+    val paid = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        expr("CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT)").as("c"),
+        expr("CAST((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS BIGINT)").as("s"),
+        expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .filter(col("s") <= V)
+      .withColumn("dev", least(lit(5L), col("s") - col("c")))
+      .groupBy("c")
+      .agg(sum(when(col("dev") === 0, col("cents")).otherwise(0L)).as("p0"),
+        (1 to 5).map(d =>
+          sum(when(col("dev") === d, col("cents")).otherwise(0L)).as(s"p$d")): _*)
+      .select(col("c") +: (0 to 5).map(d =>
+        (0 to d).map(i => col(s"p$i")).reduce(_ + _).as(s"c$d")): _*)
+      .localCheckpoint()
+    val fAggs = (1 to 5).flatMap(d => Seq(
+      sum(when(col("c") <= V - d, col(s"c$d")).otherwise(0L)).as(s"n$d"),
+      sum(when(col("c") <= V - d, col(s"c${d - 1}")).otherwise(0L)).as(s"d$d")))
+    val f = paid.agg(fAggs.head, fAggs.tail: _*)
+      .select((1 to 5).map(d =>
+        expr(s"CAST(n$d AS DOUBLE) / CAST(d$d AS DOUBLE)").as(s"f$d")): _*)
+    paid.crossJoin(broadcast(f))
+      .withColumn("latest_dev", least(lit(5L), lit(V) - col("c")))
+      .withColumn("paid_to_date", expr(
+        "CASE latest_dev WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 " +
+          "WHEN 3 THEN c3 WHEN 4 THEN c4 ELSE c5 END"))
+      // fixed-order remaining development product (literal chains)
+      .withColumn("rem", expr(
+        "CASE latest_dev WHEN 5 THEN CAST(1 AS DOUBLE) WHEN 4 THEN f5 " +
+          "WHEN 3 THEN f4 * f5 WHEN 2 THEN f3 * (f4 * f5) " +
+          "WHEN 1 THEN f2 * (f3 * (f4 * f5)) " +
+          "ELSE f1 * (f2 * (f3 * (f4 * f5))) END"))
+      .select(col("c").as("cohort_month"), col("latest_dev"),
+        col("paid_to_date"),
+        expr("round(CAST(paid_to_date AS DOUBLE) * rem / 100.0, 2)").as("ultimate"),
+        expr("round(CAST(paid_to_date AS DOUBLE) * rem / 100.0 - CAST(paid_to_date AS DOUBLE) / 100.0, 2)").as("ibnr"))
+      .orderBy("cohort_month")
+  }
+
+  /** q438: HURST EXPONENT via rescaled-range (R/S) analysis — the
+    * long-memory diagnostic the correlation family lacks (q389's ACF
+    * sees one lag at a time; H reads PERSISTENCE itself: H > 0.5
+    * trending, < 0.5 mean-reverting, ≈ 0.5 random walk — the decision
+    * between momentum and reversion smoothing): R/S per block at block
+    * sizes 5/10/15/30 over the 30-day daily-revenue series, H = the
+    * log-log regression slope.
+    *
+    * Determinism: the range R is computed on the INTEGER lattice
+    * (U_t = m·cumsum − t·blocksum, so max−min is exact); S folds to
+    * sqrt(m·Σy² − (Σy)²) (IEEE-exact); each block's ln(R/S) and each
+    * ln(m) snap to the 10⁻⁶ BIGINT grid, so the 4-point regression is
+    * exact integer moments with ONE double divide. Scale: one day
+    * census; the block windows partition a ≤ 30-row frame.
+    */
+  def q438HurstExponent(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("y"))
+    val d0 = daily.agg(min("day").as("day0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .select((col("day") - col("day0")).as("i"), col("y"))
+      .localCheckpoint()
+    val sizes = Seq(5, 10, 15, 30)
+    val blocks = sizes.map { m =>
+      val wRun = Window.partitionBy("blk").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("blk")
+      idx.withColumn("blk", expr(s"i div $m"))
+        .withColumn("t", expr(s"(i % $m) + 1L"))
+        .withColumn("cum", sum("y").over(wRun))
+        .withColumn("sball", sum("y").over(wAll))
+        .withColumn("u", expr(s"$m * cum - t * sball"))
+        .groupBy("blk")
+        .agg(count(lit(1)).as("n"), max("sball").as("sb"),
+          sum(expr("y * y")).as("ssb"),
+          max("u").as("umax"), min("u").as("umin"))
+        .filter(col("n") === m)
+        .select(lit(m.toLong).as("m"), col("blk"),
+          expr(s"CAST(floor(ln(CAST(umax - umin AS DOUBLE) / " +
+            s"sqrt(CAST($m * ssb - sb * sb AS DOUBLE))) * 1.0e6 + 0.5) AS BIGINT)").as("lnrs_u"))
+    }.reduce(_ unionByName _)
+    val perSize = blocks.groupBy("m")
+      .agg(count(lit(1)).as("n_blocks"), sum("lnrs_u").as("su"))
+      .withColumn("ybar_u", expr("CAST(floor(CAST(su AS DOUBLE) / n_blocks + 0.5) AS BIGINT)"))
+      .withColumn("x_u", expr("CAST(floor(ln(CAST(m AS DOUBLE)) * 1.0e6 + 0.5) AS BIGINT)"))
+      .localCheckpoint()
+    val reg = perSize.agg(count(lit(1)).as("k"),
+      sum("x_u").as("sx"), sum("ybar_u").as("sy"),
+      sum(expr("x_u * ybar_u")).as("sxy"), sum(expr("x_u * x_u")).as("sxx"))
+    perSize.crossJoin(broadcast(reg))
+      .select(col("m").as("block_size"), col("n_blocks"),
+        expr("round(CAST(ybar_u AS DOUBLE) / 1.0e6, 6)").as("mean_ln_rs"),
+        expr("round(CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE), 6)").as("hurst"))
+      .orderBy("block_size")
+  }
+
+  /** q439: NEWSVENDOR ORDER QUANTITY — the one-period stochastic
+    * inventory optimum (a domain the engine had not touched: quantile
+    * DECISIONS, not quantile descriptions): per part class, the
+    * critical-fractile quantity Q* = F⁻¹(cu/(cu+co)) with underage 3 :
+    * overage 1 (the 75% service fractile) against the observed daily
+    * shipment-demand distribution, scored empirically against the
+    * MEAN-demand heuristic — the savings column is the case for
+    * carrying the quantile, the classic "mean is the wrong order"
+    * lesson.
+    *
+    * Determinism: EXACT integers end to end — demand is an integer
+    * census, Q* is the type-1 quantile off a cumulative census (no
+    * interpolation), the mean heuristic rounds half-up via the
+    * (2S+n) div (2n) identity, and both cost evaluations are integer
+    * sums. Scale: one (class, day) census; the quantile is a
+    * partitioned cumulative over per-class day censuses; cost joins
+    * broadcast the ≤ |class| quantities.
+    */
+  def q439Newsvendor(spark: SparkSession, dir: String): DataFrame = {
+    val (cu, co) = (3L, 1L) // underage : overage → fractile 0.75
+    val demand = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), expr("element_at(split(p_type, ' '), 1)").as("cls"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("cls"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("day"),
+        floor(col("l_quantity") + 0.5).cast("long").as("q"))
+      .groupBy("cls", "day").agg(sum("q").as("d"))
+      .localCheckpoint()
+    val nTot = demand.groupBy("cls")
+      .agg(count(lit(1)).as("n"), sum("d").as("s"))
+    val census = demand.groupBy("cls", "d").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("cls").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qstar = census.withColumn("cum", sum("cnt").over(wc))
+      .join(nTot, "cls")
+      // type-1 quantile: smallest d with cum ≥ ceil(0.75·n)
+      .filter(col("cum") >= expr(s"($cu * n + ($cu + $co) - 1L) div (${cu + co})"))
+      .groupBy("cls").agg(min("d").as("q_star"))
+    val qs = nTot.join(qstar, "cls")
+      .select(col("cls"), col("n").as("n_days"), col("q_star"),
+        expr("(2L * s + n) div (2L * n)").as("q_mean"))
+    demand.join(broadcast(qs), "cls")
+      .groupBy("cls")
+      .agg(max("n_days").as("n_days"), max("q_star").as("q_star"),
+        max("q_mean").as("q_mean"),
+        sum(expr(s"$cu * greatest(d - q_star, 0L) + $co * greatest(q_star - d, 0L)")).as("cost_star"),
+        sum(expr(s"$cu * greatest(d - q_mean, 0L) + $co * greatest(q_mean - d, 0L)")).as("cost_mean"))
+      .withColumn("savings_ppm",
+        expr("(cost_mean - cost_star) * 1000000L div cost_mean"))
+      .orderBy("cls")
+  }
+
+  /** The 30-point trig table q431 shares VERBATIM with its oracle (the
+    * q230 bandFams device): cos/sin of 2πm/30 snapped to the 10⁻⁹
+    * BIGINT grid by the BUILDER, injected as a literal into both plans
+    * — the engines never evaluate a transcendental, so there is no
+    * cross-libm 1-ulp risk anywhere in the DFT.
+    */
+  private[graft] lazy val trig30: Seq[(Int, Long, Long)] =
+    (0 until 30).map { m =>
+      val th = 2.0 * math.Pi * m / 30.0
+      (m, math.floor(math.cos(th) * 1e9 + 0.5).toLong,
+        math.floor(math.sin(th) * 1e9 + 0.5).toLong)
+    }
+
+  /** q431: PERIODOGRAM — the Fourier power spectrum of the daily event
+    * series (q389's ACF and q428's Haar ask "is there structure at lag
+    * L / scale S"; the periodogram reads off WHICH FREQUENCY carries
+    * the power, the standard seasonality detector before fitting any
+    * seasonal model): the 30-day event-count series against the k =
+    * 1..14 harmonics, reporting each harmonic's integer cos/sin
+    * projections and power. A weekly cycle shows as a spike near
+    * k ≈ 4 (period ≈ 7.5 d).
+    *
+    * Determinism: the trig table is a builder-computed literal shared
+    * verbatim with the oracle ([[trig30]]), so A_k/B_k are EXACT BIGINT
+    * dot products of the integer day census with integer constants;
+    * the power is one double chain on those exact integers. Scale: one
+    * day-census shuffle; the harmonic sweep is a 14-row broadcast grid
+    * against a ≤ 30-row census — arithmetic, not data motion.
+    */
+  def q431Periodogram(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val d0 = daily.agg(min("day").as("day0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .select((col("day") - col("day0")).as("t"), col("n"))
+      .localCheckpoint()
+    val cosArr = typedlit(trig30.map(_._2))
+    val sinArr = typedlit(trig30.map(_._3))
+    spark.range(1L, 15L).select(col("id").as("k"))
+      .crossJoin(broadcast(idx))
+      .withColumn("m", expr("(k * t) % 30"))
+      .withColumn("ca", cosArr).withColumn("sa", sinArr)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr("n * element_at(ca, CAST(m + 1 AS INT))")).as("amp_cos_u"),
+        sum(expr("n * element_at(sa, CAST(m + 1 AS INT))")).as("amp_sin_u"))
+      .selectExpr("k", "round(CAST(30 AS DOUBLE) / k, 6) AS period_days", "n_days",
+        "amp_cos_u", "amp_sin_u",
+        // u-grid is 1e9: power = (A² + B²) / 1e18 in count² units; the
+        // squares stay exact (|A| < 2^53 at any plausible day census)
+        "round((CAST(amp_cos_u AS DOUBLE) * CAST(amp_cos_u AS DOUBLE) + " +
+          "CAST(amp_sin_u AS DOUBLE) * CAST(amp_sin_u AS DOUBLE)) / 1.0e18, 6) AS power")
+      .orderBy("k")
+  }
+
+  /** q435: THEIL INDEX DECOMPOSITION — the inequality measure that
+    * DECOMPOSES (q189's Gini ranks corpora by concentration but cannot
+    * split it): how unequal are document token counts, and is the
+    * inequality WITHIN sources or BETWEEN them? T = T_within +
+    * T_between exactly, the additivity that makes Theil the curation
+    * diagnostic: between-source inequality is fixed by re-weighting
+    * the mixture (q69's knob); within-source inequality only by
+    * filtering inside the source.
+    *
+    * Determinism: every ln argument is a ratio of exact BIGINTs (one
+    * IEEE divide), each entropy TERM snaps to the 10⁻⁹ BIGINT grid
+    * BEFORE its census sum (order-invariant — the house transcendental
+    * discipline), and every reported index is one divide of snapped
+    * sums. Scale: one token-count scan, one source census, per-doc
+    * terms are scan-local arithmetic against broadcast totals.
+    */
+  def q435TheilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("x"))
+    val bySrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("ng"), sum("x").as("sg")).localCheckpoint()
+    val tot = bySrc.agg(sum("ng").as("n"), sum("sg").as("s"))
+    val terms = docs.join(broadcast(bySrc), "source").crossJoin(broadcast(tot))
+      .select(col("source"), col("ng"), col("sg"), col("n"), col("s"),
+        // global term: r = x·N/S; group term: rg = x·Ng/Sg — exact-int
+        // ratios; snap r·ln(r) to 1e-9 BEFORE summing
+        expr("CAST(floor((CAST(x AS DOUBLE) * n / s) * ln(CAST(x AS DOUBLE) * n / s) * 1.0e9 + 0.5) AS BIGINT)").as("tu"),
+        expr("CAST(floor((CAST(x AS DOUBLE) * ng / sg) * ln(CAST(x AS DOUBLE) * ng / sg) * 1.0e9 + 0.5) AS BIGINT)").as("tgu"))
+    val perSrc = terms.groupBy("source")
+      .agg(max("ng").as("n_docs"), max("sg").as("sg"),
+        max("n").as("n"), max("s").as("s"),
+        sum("tu").as("tu_sum"), sum("tgu").as("tgu_sum"))
+      .select(col("source"), col("n_docs"), col("sg"), col("n"), col("s"),
+        col("tu_sum"),
+        expr("round(CAST(tgu_sum AS DOUBLE) / n_docs / 1.0e9, 6)").as("theil_in_source"),
+        // between term: (Sg/S)·ln((Sg/Ng)/(S/N)) snapped to 1e-9
+        expr("CAST(floor((CAST(sg AS DOUBLE) / s) * ln((CAST(sg AS DOUBLE) * n) / (CAST(s AS DOUBLE) * n_docs)) * 1.0e9 + 0.5) AS BIGINT)").as("btu"),
+        // within contribution: (Sg/S)·T_g snapped to 1e-9
+        expr("CAST(floor((CAST(sg AS DOUBLE) / s) * (CAST(tgu_sum AS DOUBLE) / n_docs / 1.0e9) * 1.0e9 + 0.5) AS BIGINT)").as("wtu"))
+      .localCheckpoint()
+    val totals = perSrc.agg(
+      max("n").as("n"), sum("tu_sum").as("tu_all"),
+      sum("btu").as("btu_sum"), sum("wtu").as("wtu_sum"))
+    perSrc.crossJoin(broadcast(totals.select(
+        expr("round(CAST(tu_all AS DOUBLE) / n / 1.0e9, 6)").as("theil_total"),
+        expr("round(CAST(wtu_sum AS DOUBLE) / 1.0e9, 6)").as("theil_within"),
+        expr("round(CAST(btu_sum AS DOUBLE) / 1.0e9, 6)").as("theil_between"))))
+      .select(col("source"), col("n_docs"),
+        expr("sg * 1000000L div s").as("token_share_ppm"),
+        col("theil_in_source"), col("theil_total"), col("theil_within"),
+        col("theil_between"))
+      .orderBy("source")
+  }
+
+  /** q430: SYNTHETIC CONTROL (Abadie–Gardeazabal, lite) — the
+    * small-N complement of q429's DiD (DiD needs parallel trends;
+    * synthetic control BUILDS the counterfactual as a weighted donor
+    * combination fit on the pre period): treated unit = the BUILDING
+    * segment's monthly revenue, donors = the other four segments,
+    * weights ∝ 1/(1+pre-RMSE) — the deterministic closed-form stand-in
+    * for the constrained regression (no QP in either engine). Per post
+    * month: actual, synthetic, gap; every row carries the pre-fit RMSE
+    * (is the counterfactual credible?) and the mean post gap (the
+    * effect estimate).
+    *
+    * Determinism: monthly revenues are integer dollars on a fixed
+    * 80-month grid (missing cells are explicit zeros on both sides);
+    * donor SSEs are exact BIGINTs, IEEE sqrt is correctly rounded,
+    * inverse weights snap to the 10⁻⁹ grid before normalization, the
+    * synthetic series is an exact BIGINT dot product with ONE divide
+    * per month, and the summary stats divide BIGINT sums. Scale: one
+    * (segment, month) census; everything after is arithmetic on ≤ 400
+    * census rows with broadcast weights.
+    */
+  def q430SyntheticControl(spark: SparkSession, dir: String): DataFrame = {
+    val preMonths = 48L // 1995-01 .. 1998-12
+    val cell = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"),
+        expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1").cast("long").as("mi"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) div 100").as("d"))
+      .groupBy("seg", "mi").agg(sum("d").as("y"))
+    // fixed grid: every (segment, month 0..79) exists, absent cells = 0
+    val grid = cell.select("seg").distinct()
+      .crossJoin(broadcast(spark.range(0L, 80L).select(col("id").as("mi"))))
+      .join(cell, Seq("seg", "mi"), "left")
+      .select(col("seg"), col("mi"), coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint()
+    val treated = grid.filter(col("seg") === "BUILDING")
+      .select(col("mi"), col("y").as("yt"))
+    val donors = grid.filter(col("seg") =!= "BUILDING")
+    val w = donors.join(broadcast(treated), "mi")
+      .filter(col("mi") < preMonths)
+      .groupBy("seg")
+      .agg(sum(expr("(y - yt) * (y - yt)")).as("sse"))
+      .select(col("seg"),
+        expr(s"CAST(floor(1.0e9 / (1.0 + sqrt(CAST(sse AS DOUBLE) / $preMonths)) + 0.5) AS BIGINT)").as("inv_u"))
+    val wtot = w.agg(sum("inv_u").as("w_sum"))
+    val synth = donors.join(broadcast(w), "seg")
+      .groupBy("mi").agg(sum(expr("inv_u * y")).as("num"))
+      .crossJoin(broadcast(wtot))
+      .select(col("mi"), col("num"), col("w_sum"),
+        // exact integer synthetic dollars for the pre-fit SSE
+        expr("num div w_sum").as("synth_d"))
+    val joined = synth.join(treated, "mi").localCheckpoint()
+    val summary = joined.agg(
+      sum(when(col("mi") < preMonths,
+        expr("(yt - synth_d) * (yt - synth_d)")).otherwise(0L)).as("pre_sse"),
+      sum(when(col("mi") >= preMonths, col("yt")).otherwise(0L)).as("post_act"),
+      sum(when(col("mi") >= preMonths, col("num")).otherwise(0L)).as("post_num"),
+      sum(when(col("mi") >= preMonths, 1L).otherwise(0L)).as("n_post"),
+      max("w_sum").as("ws"))
+    joined.filter(col("mi") >= preMonths)
+      .crossJoin(broadcast(summary))
+      .selectExpr("mi AS month_idx", "yt AS actual_dollars",
+        "round(CAST(num AS DOUBLE) / w_sum, 6) AS synthetic_dollars",
+        "round(yt - CAST(num AS DOUBLE) / w_sum, 6) AS gap",
+        s"round(sqrt(CAST(pre_sse AS DOUBLE) / $preMonths), 6) AS pre_rmse",
+        "round((CAST(post_act AS DOUBLE) - CAST(post_num AS DOUBLE) / ws) / n_post, 6) AS mean_post_gap")
+      .orderBy("month_idx")
+  }
+
+  /** q429: DIFFERENCE-IN-DIFFERENCES — the workhorse quasi-experimental
+    * estimator the causal family was missing (q409/q406 evaluate logged
+    * POLICIES; DiD evaluates an INTERVENTION that hit one cohort at a
+    * known time): treated = BUILDING-segment customers, post = orders
+    * from 1998-07-01 on, outcome = order value. The 2×2 cell censuses,
+    * the four cell means, each group's pre→post change, and the DiD
+    * estimate (treated change minus control change — the parallel-trends
+    * counterfactual). The segment split is as-if-random in the fixture,
+    * so DiD ≈ 0 is itself the validity readout.
+    *
+    * Determinism: cells are integer (count, cents-sum) censuses; each
+    * mean is ONE double divide of exact BIGINTs; the DiD chain is
+    * deterministic IEEE arithmetic on those quotients, snapped at 6 dp.
+    * Scale: one broadcast dim join (customer segment) + a 4-cell
+    * conditional agg — a single scan, no shuffle wider than the census.
+    */
+  def q429DiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-07-01").cast("timestamp")
+    val cells = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("t"),
+        when(col("o_orderdate") >= cut, 1L).otherwise(0L).as("p"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy()
+      .agg(
+        sum(when(col("t") === 1 && col("p") === 0, 1L).otherwise(0L)).as("n_t0"),
+        sum(when(col("t") === 1 && col("p") === 1, 1L).otherwise(0L)).as("n_t1"),
+        sum(when(col("t") === 0 && col("p") === 0, 1L).otherwise(0L)).as("n_c0"),
+        sum(when(col("t") === 0 && col("p") === 1, 1L).otherwise(0L)).as("n_c1"),
+        sum(when(col("t") === 1 && col("p") === 0, col("cents")).otherwise(0L)).as("s_t0"),
+        sum(when(col("t") === 1 && col("p") === 1, col("cents")).otherwise(0L)).as("s_t1"),
+        sum(when(col("t") === 0 && col("p") === 0, col("cents")).otherwise(0L)).as("s_c0"),
+        sum(when(col("t") === 0 && col("p") === 1, col("cents")).otherwise(0L)).as("s_c1"))
+    cells.selectExpr(
+      "n_t0", "n_t1", "n_c0", "n_c1",
+      "round(CAST(s_t0 AS DOUBLE) / n_t0 / 100.0, 6) AS mean_treated_pre",
+      "round(CAST(s_t1 AS DOUBLE) / n_t1 / 100.0, 6) AS mean_treated_post",
+      "round(CAST(s_c0 AS DOUBLE) / n_c0 / 100.0, 6) AS mean_control_pre",
+      "round(CAST(s_c1 AS DOUBLE) / n_c1 / 100.0, 6) AS mean_control_post",
+      "round(CAST(s_t1 AS DOUBLE) / n_t1 / 100.0 - CAST(s_t0 AS DOUBLE) / n_t0 / 100.0, 6) AS diff_treated",
+      "round(CAST(s_c1 AS DOUBLE) / n_c1 / 100.0 - CAST(s_c0 AS DOUBLE) / n_c0 / 100.0, 6) AS diff_control",
+      "round((CAST(s_t1 AS DOUBLE) / n_t1 / 100.0 - CAST(s_t0 AS DOUBLE) / n_t0 / 100.0) - " +
+        "(CAST(s_c1 AS DOUBLE) / n_c1 / 100.0 - CAST(s_c0 AS DOUBLE) / n_c0 / 100.0), 6) AS did")
+  }
+
+  /** q434: COCHRAN–MANTEL–HAENSZEL stratified odds ratio — the
+    * Simpson's-paradox-proof 2×2 pooling (q358's family reports rates;
+    * CMH asks whether EXPOSURE→OUTCOME association survives stratum
+    * adjustment): exposure = deep discount (≥ 6%), outcome = returned
+    * line (flag R), strata = customer region. Per stratum the 2×2
+    * cells and odds ratio; pooled, both the CRUDE (collapsed, Simpson-
+    * vulnerable) and the CMH (stratum-weighted) estimates ride every
+    * row for the side-by-side read.
+    *
+    * Determinism: cells are integer censuses; each CMH term a·d/n and
+    * b·c/n snaps to the 10⁻⁶ BIGINT grid BEFORE the cross-stratum sum
+    * (order-invariant), and each reported OR is one double divide at
+    * 6 dp. Scale: fact scan + three broadcast dim hops to the region
+    * label, one (stratum, exposed, outcome) census — everything after
+    * is arithmetic on ≤ 5 rows.
+    */
+  def q434CmhOddsRatio(spark: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey").as("ck"), col("r_name").as("stratum")))
+    val cells = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        when(col("l_discount") >= 0.06, 1L).otherwise(0L).as("exposed"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("ck"))
+      .groupBy("stratum")
+      .agg(
+        sum(when(col("exposed") === 1 && col("ret") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("exposed") === 1 && col("ret") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("exposed") === 0 && col("ret") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("exposed") === 0 && col("ret") === 0, 1L).otherwise(0L)).as("d"))
+      .localCheckpoint()
+    val pooled = cells.agg(
+      sum(expr("a * d * 1000000L div (a + b + c + d)")).as("cmh_num_u"),
+      sum(expr("b * c * 1000000L div (a + b + c + d)")).as("cmh_den_u"),
+      sum("a").as("ta"), sum("b").as("tb"), sum("c").as("tc"), sum("d").as("td"))
+    cells.crossJoin(broadcast(pooled))
+      .selectExpr("stratum", "a", "b", "c", "d",
+        "round(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6) AS stratum_or",
+        "round(CAST(cmh_num_u AS DOUBLE) / CAST(cmh_den_u AS DOUBLE), 6) AS cmh_or",
+        "round(CAST(ta * td AS DOUBLE) / CAST(tb * tc AS DOUBLE), 6) AS crude_or")
+      .orderBy("stratum")
+  }
+
+  /** q436: CROSS-CORRELATION FUNCTION between the view and purchase
+    * daily series at leads/lags −7..+7 — the "does engagement LEAD
+    * conversion, and by how many days?" diagnostic (q389's ACF
+    * correlates a series with ITSELF; the CCF correlates two series
+    * and its peak lag is the forecasting/attribution offset). Pearson
+    * r per lag over the overlapping days, with the overlap length.
+    *
+    * Determinism: per-lag moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    * BIGINT censuses of integer daily counts; r is one double chain
+    * (IEEE sqrt is correctly rounded — deterministic) snapped at 6 dp.
+    * Scale: one (day, type) census shuffle; the lag sweep is a
+    * broadcast 15-row explode joined against the ≤ 30-row census —
+    * arithmetic, not data motion.
+    */
+  def q436CrossCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .groupBy("day")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .localCheckpoint()
+    val lags = spark.range(-7L, 8L).select(col("id").as("lag"))
+    lags.crossJoin(broadcast(daily.select(col("day").as("dx"), col("x"))))
+      .join(broadcast(daily.select(col("day").as("dy"), col("y"))),
+        col("dy") === col("dx") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .selectExpr("lag", "n_days",
+        "round((CAST(n_days * sxy - sx * sy AS DOUBLE)) / " +
+          "(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) * " +
+          "sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6) AS ccf")
+      .orderBy("lag")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q429_diff_in_diff" -> (q429DiffInDiff _),
+    "q437_chain_ladder" -> (q437ChainLadder _),
+    "q438_hurst_exponent" -> (q438HurstExponent _),
+    "q439_newsvendor" -> (q439Newsvendor _),
+    "q430_synthetic_control" -> (q430SyntheticControl _),
+    "q431_periodogram" -> (q431Periodogram _),
+    "q434_cmh_odds_ratio" -> (q434CmhOddsRatio _),
+    "q435_theil_decomposition" -> (q435TheilDecomposition _),
+    "q436_cross_correlation" -> (q436CrossCorrelation _),
     "q427_supplier_hhi" -> (q427SupplierHhi _),
     "q428_haar_energy" -> (q428HaarEnergy _),
     "q425_correlation_vif" -> (q425CorrelationVif _),
@@ -6647,6 +7144,308 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same cents triangle with explicit cumulative columns, same
+    // fully-observed-cohort factor sums, same literal product order
+    "q437_chain_ladder" ->
+      """WITH paid AS (
+        |  SELECT ((year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) - 1)::BIGINT AS c,
+        |         least(5, ((year(l.l_shipdate) - 1995) * 12 + month(l.l_shipdate) - 1) -
+        |                  ((year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) - 1))::BIGINT AS dev,
+        |         floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT AS cents
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE ((year(l.l_shipdate) - 1995) * 12 + month(l.l_shipdate) - 1) <= 79),
+        |tri AS (
+        |  SELECT c,
+        |         sum(CASE WHEN dev = 0 THEN cents ELSE 0 END)::BIGINT AS p0,
+        |         sum(CASE WHEN dev = 1 THEN cents ELSE 0 END)::BIGINT AS p1,
+        |         sum(CASE WHEN dev = 2 THEN cents ELSE 0 END)::BIGINT AS p2,
+        |         sum(CASE WHEN dev = 3 THEN cents ELSE 0 END)::BIGINT AS p3,
+        |         sum(CASE WHEN dev = 4 THEN cents ELSE 0 END)::BIGINT AS p4,
+        |         sum(CASE WHEN dev = 5 THEN cents ELSE 0 END)::BIGINT AS p5
+        |  FROM paid GROUP BY 1),
+        |cum AS (
+        |  SELECT c, p0 AS c0, p0+p1 AS c1, p0+p1+p2 AS c2, p0+p1+p2+p3 AS c3,
+        |         p0+p1+p2+p3+p4 AS c4, p0+p1+p2+p3+p4+p5 AS c5
+        |  FROM tri),
+        |f AS (
+        |  SELECT
+        |    sum(CASE WHEN c <= 78 THEN c1 ELSE 0 END)::DOUBLE / sum(CASE WHEN c <= 78 THEN c0 ELSE 0 END)::DOUBLE AS f1,
+        |    sum(CASE WHEN c <= 77 THEN c2 ELSE 0 END)::DOUBLE / sum(CASE WHEN c <= 77 THEN c1 ELSE 0 END)::DOUBLE AS f2,
+        |    sum(CASE WHEN c <= 76 THEN c3 ELSE 0 END)::DOUBLE / sum(CASE WHEN c <= 76 THEN c2 ELSE 0 END)::DOUBLE AS f3,
+        |    sum(CASE WHEN c <= 75 THEN c4 ELSE 0 END)::DOUBLE / sum(CASE WHEN c <= 75 THEN c3 ELSE 0 END)::DOUBLE AS f4,
+        |    sum(CASE WHEN c <= 74 THEN c5 ELSE 0 END)::DOUBLE / sum(CASE WHEN c <= 74 THEN c4 ELSE 0 END)::DOUBLE AS f5
+        |  FROM cum),
+        |proj AS (
+        |  SELECT u.c, least(5, 79 - u.c)::BIGINT AS latest_dev,
+        |         CASE least(5, 79 - u.c) WHEN 0 THEN c0 WHEN 1 THEN c1
+        |              WHEN 2 THEN c2 WHEN 3 THEN c3 WHEN 4 THEN c4
+        |              ELSE c5 END::BIGINT AS paid_to_date,
+        |         CASE least(5, 79 - u.c) WHEN 5 THEN 1.0::DOUBLE WHEN 4 THEN f.f5
+        |              WHEN 3 THEN f.f4 * f.f5 WHEN 2 THEN f.f3 * (f.f4 * f.f5)
+        |              WHEN 1 THEN f.f2 * (f.f3 * (f.f4 * f.f5))
+        |              ELSE f.f1 * (f.f2 * (f.f3 * (f.f4 * f.f5))) END AS rem
+        |  FROM cum u, f)
+        |SELECT c AS cohort_month, latest_dev, paid_to_date,
+        |       round(paid_to_date::DOUBLE * rem / 100.0, 2) + 0.0 AS ultimate,
+        |       round(paid_to_date::DOUBLE * rem / 100.0 - paid_to_date::DOUBLE / 100.0, 2) + 0.0 AS ibnr
+        |FROM proj ORDER BY cohort_month""".stripMargin,
+    // same integer U-lattice ranges, same 10^-6 snaps, same exact
+    // 4-point regression moments
+    "q438_hurst_exponent" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |d0 AS (SELECT min(day) AS day0 FROM daily),
+        |idx AS (SELECT d.day - z.day0 AS i, d.y FROM daily d, d0 z),
+        |expand AS (
+        |  SELECT s.m, i.i // s.m AS blk, (i.i % s.m) + 1 AS t, i.y
+        |  FROM (SELECT unnest([5, 10, 15, 30])::BIGINT AS m) s, idx i),
+        |win AS (
+        |  SELECT m, blk, t, y,
+        |         sum(y) OVER (PARTITION BY m, blk ORDER BY t
+        |                      ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(y) OVER (PARTITION BY m, blk) AS sball
+        |  FROM expand),
+        |bl AS (
+        |  SELECT m, blk, count(*)::BIGINT AS n, max(sball)::BIGINT AS sb,
+        |         sum(y * y)::BIGINT AS ssb,
+        |         max(m * cum - t * sball)::BIGINT AS umax,
+        |         min(m * cum - t * sball)::BIGINT AS umin
+        |  FROM win GROUP BY 1, 2 HAVING count(*) = m),
+        |blocks AS (
+        |  SELECT m, blk,
+        |         floor(ln((umax - umin)::DOUBLE /
+        |                  sqrt((m * ssb - sb * sb)::DOUBLE)) * 1.0e6 + 0.5)::BIGINT AS lnrs_u
+        |  FROM bl),
+        |persize AS (
+        |  SELECT m, count(*)::BIGINT AS n_blocks, sum(lnrs_u)::BIGINT AS su,
+        |         floor(sum(lnrs_u)::DOUBLE / count(*) + 0.5)::BIGINT AS ybar_u,
+        |         floor(ln(m::DOUBLE) * 1.0e6 + 0.5)::BIGINT AS x_u
+        |  FROM blocks GROUP BY m),
+        |reg AS (
+        |  SELECT count(*)::BIGINT AS k, sum(x_u)::BIGINT AS sx,
+        |         sum(ybar_u)::BIGINT AS sy, sum(x_u * ybar_u)::BIGINT AS sxy,
+        |         sum(x_u * x_u)::BIGINT AS sxx
+        |  FROM persize)
+        |SELECT p.m AS block_size, p.n_blocks,
+        |       round(p.ybar_u::DOUBLE / 1.0e6, 6) + 0.0 AS mean_ln_rs,
+        |       round((r.k * r.sxy - r.sx * r.sy)::DOUBLE /
+        |             (r.k * r.sxx - r.sx * r.sx)::DOUBLE, 6) + 0.0 AS hurst
+        |FROM persize p, reg r ORDER BY p.m""".stripMargin,
+    // same integer demand census, same type-1 quantile cut, same
+    // integer cost evaluations
+    "q439_newsvendor" ->
+      """WITH demand AS (
+        |  SELECT string_split(p.p_type, ' ')[1] AS cls,
+        |         epoch_us(l.l_shipdate) // 86400000000 AS day,
+        |         sum(floor(l.l_quantity + 0.5)::BIGINT)::BIGINT AS d
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |ntot AS (SELECT cls, count(*)::BIGINT AS n, sum(d)::BIGINT AS s
+        |         FROM demand GROUP BY 1),
+        |census AS (SELECT cls, d, count(*)::BIGINT AS cnt
+        |           FROM demand GROUP BY 1, 2),
+        |qstar AS (
+        |  SELECT c.cls, min(c.d)::BIGINT AS q_star
+        |  FROM (SELECT cls, d,
+        |               sum(cnt) OVER (PARTITION BY cls ORDER BY d
+        |                              ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM census) c
+        |  JOIN ntot t USING (cls)
+        |  WHERE c.cum >= (3 * t.n + 3) // 4
+        |  GROUP BY 1),
+        |qs AS (
+        |  SELECT t.cls, t.n AS n_days, q.q_star,
+        |         ((2 * t.s + t.n) // (2 * t.n))::BIGINT AS q_mean
+        |  FROM ntot t JOIN qstar q USING (cls))
+        |SELECT d.cls, max(q.n_days) AS n_days, max(q.q_star) AS q_star,
+        |       max(q.q_mean) AS q_mean,
+        |       sum(3 * greatest(d.d - q.q_star, 0) + greatest(q.q_star - d.d, 0))::BIGINT AS cost_star,
+        |       sum(3 * greatest(d.d - q.q_mean, 0) + greatest(q.q_mean - d.d, 0))::BIGINT AS cost_mean,
+        |       ((sum(3 * greatest(d.d - q.q_mean, 0) + greatest(q.q_mean - d.d, 0))
+        |         - sum(3 * greatest(d.d - q.q_star, 0) + greatest(q.q_star - d.d, 0)))
+        |        * 1000000 // sum(3 * greatest(d.d - q.q_mean, 0) + greatest(q.q_mean - d.d, 0)))::BIGINT AS savings_ppm
+        |FROM demand d JOIN qs q USING (cls)
+        |GROUP BY d.cls ORDER BY d.cls""".stripMargin,
+    // the SAME builder-computed 10^-9 trig table (no transcendental is
+    // evaluated by either engine), same exact BIGINT dot products
+    "q431_periodogram" ->
+      s"""WITH trig(m, c, s) AS (VALUES
+        |  ${trig30.map { case (m, c, s) => s"($m, ${c}::BIGINT, ${s}::BIGINT)" }.mkString(",\n|  ")}),
+        |daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |d0 AS (SELECT min(day) AS day0 FROM daily),
+        |idx AS (SELECT d.day - z.day0 AS t, d.n FROM daily d, d0 z),
+        |m AS (
+        |  SELECT k.k, count(*)::BIGINT AS n_days,
+        |         sum(i.n * tr.c)::BIGINT AS amp_cos_u,
+        |         sum(i.n * tr.s)::BIGINT AS amp_sin_u
+        |  FROM (SELECT unnest(generate_series(1, 14))::BIGINT AS k) k,
+        |       idx i JOIN trig tr ON tr.m = (k.k * i.t) % 30
+        |  GROUP BY 1)
+        |SELECT k, round(30.0 / k, 6) + 0.0 AS period_days, n_days,
+        |       amp_cos_u, amp_sin_u,
+        |       round((amp_cos_u::DOUBLE * amp_cos_u::DOUBLE +
+        |              amp_sin_u::DOUBLE * amp_sin_u::DOUBLE) / 1.0e18, 6) + 0.0
+        |         AS power
+        |FROM m ORDER BY k""".stripMargin,
+    // same exact-int ln ratios, same 10^-9 term snaps before every sum
+    "q435_theil_decomposition" ->
+      """WITH docs AS (
+        |  SELECT source, len(string_split(text, ' '))::BIGINT AS x
+        |  FROM documents),
+        |bysrc AS (
+        |  SELECT source, count(*)::BIGINT AS ng, sum(x)::BIGINT AS sg
+        |  FROM docs GROUP BY 1),
+        |tot AS (SELECT sum(ng)::BIGINT AS n, sum(sg)::BIGINT AS s FROM bysrc),
+        |terms AS (
+        |  SELECT d.source, b.ng, b.sg, t.n, t.s,
+        |         floor((d.x::DOUBLE * t.n / t.s) * ln(d.x::DOUBLE * t.n / t.s) * 1.0e9 + 0.5)::BIGINT AS tu,
+        |         floor((d.x::DOUBLE * b.ng / b.sg) * ln(d.x::DOUBLE * b.ng / b.sg) * 1.0e9 + 0.5)::BIGINT AS tgu
+        |  FROM docs d JOIN bysrc b USING (source), tot t),
+        |persrc AS (
+        |  SELECT source, max(ng) AS n_docs, max(sg) AS sg, max(n) AS n,
+        |         max(s) AS s, sum(tu)::BIGINT AS tu_sum,
+        |         sum(tgu)::BIGINT AS tgu_sum
+        |  FROM terms GROUP BY 1),
+        |persrc2 AS (
+        |  SELECT source, n_docs, sg, n, s, tu_sum,
+        |         round(tgu_sum::DOUBLE / n_docs / 1.0e9, 6) + 0.0 AS theil_in_source,
+        |         floor((sg::DOUBLE / s) * ln((sg::DOUBLE * n) / (s::DOUBLE * n_docs)) * 1.0e9 + 0.5)::BIGINT AS btu,
+        |         floor((sg::DOUBLE / s) * (tgu_sum::DOUBLE / n_docs / 1.0e9) * 1.0e9 + 0.5)::BIGINT AS wtu
+        |  FROM persrc),
+        |totals AS (
+        |  SELECT max(n) AS n, sum(tu_sum)::BIGINT AS tu_all,
+        |         sum(btu)::BIGINT AS btu_sum, sum(wtu)::BIGINT AS wtu_sum
+        |  FROM persrc2)
+        |SELECT p.source, p.n_docs, (p.sg * 1000000 // p.s)::BIGINT AS token_share_ppm,
+        |       p.theil_in_source,
+        |       round(t.tu_all::DOUBLE / t.n / 1.0e9, 6) + 0.0 AS theil_total,
+        |       round(t.wtu_sum::DOUBLE / 1.0e9, 6) + 0.0 AS theil_within,
+        |       round(t.btu_sum::DOUBLE / 1.0e9, 6) + 0.0 AS theil_between
+        |FROM persrc2 p, totals t ORDER BY p.source""".stripMargin,
+    // same integer-dollar grid, same snapped inverse-RMSE weights, same
+    // exact BIGINT synthetic dot products
+    "q430_synthetic_control" ->
+      """WITH cell AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |         ((year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) - 1)::BIGINT AS mi,
+        |         sum(floor(o.o_totalprice * 100.0 + 0.5)::BIGINT // 100)::BIGINT AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT b.seg, b.mi, coalesce(c.y, 0)::BIGINT AS y
+        |  FROM (SELECT sg.seg, g.mi
+        |        FROM (SELECT DISTINCT seg FROM cell) sg,
+        |             (SELECT unnest(generate_series(0, 79))::BIGINT AS mi) g) b
+        |  LEFT JOIN cell c ON c.seg = b.seg AND c.mi = b.mi),
+        |treated AS (SELECT mi, y AS yt FROM grid WHERE seg = 'BUILDING'),
+        |w AS (
+        |  SELECT d.seg,
+        |         floor(1.0e9 / (1.0 + sqrt(sum((d.y - t.yt) * (d.y - t.yt))::DOUBLE / 48)) + 0.5)::BIGINT AS inv_u
+        |  FROM grid d JOIN treated t USING (mi)
+        |  WHERE d.seg <> 'BUILDING' AND d.mi < 48
+        |  GROUP BY 1),
+        |wtot AS (SELECT sum(inv_u)::BIGINT AS w_sum FROM w),
+        |synth AS (
+        |  SELECT d.mi, sum(w.inv_u * d.y)::BIGINT AS num,
+        |         max(z.w_sum) AS w_sum,
+        |         (sum(w.inv_u * d.y)::BIGINT // max(z.w_sum))::BIGINT AS synth_d
+        |  FROM grid d JOIN w USING (seg), wtot z
+        |  WHERE d.seg <> 'BUILDING'
+        |  GROUP BY 1),
+        |joined AS (SELECT s.mi, s.num, s.w_sum, s.synth_d, t.yt
+        |           FROM synth s JOIN treated t USING (mi)),
+        |summary AS (
+        |  SELECT sum(CASE WHEN mi < 48 THEN (yt - synth_d) * (yt - synth_d) ELSE 0 END)::BIGINT AS pre_sse,
+        |         sum(CASE WHEN mi >= 48 THEN yt ELSE 0 END)::BIGINT AS post_act,
+        |         sum(CASE WHEN mi >= 48 THEN num ELSE 0 END)::BIGINT AS post_num,
+        |         sum(CASE WHEN mi >= 48 THEN 1 ELSE 0 END)::BIGINT AS n_post,
+        |         max(w_sum) AS ws
+        |  FROM joined)
+        |SELECT j.mi AS month_idx, j.yt AS actual_dollars,
+        |       round(j.num::DOUBLE / j.w_sum, 6) + 0.0 AS synthetic_dollars,
+        |       round(j.yt - j.num::DOUBLE / j.w_sum, 6) + 0.0 AS gap,
+        |       round(sqrt(m.pre_sse::DOUBLE / 48), 6) + 0.0 AS pre_rmse,
+        |       round((m.post_act::DOUBLE - m.post_num::DOUBLE / m.ws) / m.n_post, 6) + 0.0 AS mean_post_gap
+        |FROM joined j, summary m WHERE j.mi >= 48 ORDER BY j.mi""".stripMargin,
+    // same cents grid, same 2x2 cell censuses, same one-divide means
+    "q429_diff_in_diff" ->
+      """WITH cells AS (
+        |  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+        |         CASE WHEN o.o_orderdate >= TIMESTAMP '1998-07-01' THEN 1 ELSE 0 END AS p,
+        |         floor(o.o_totalprice * 100.0 + 0.5)::BIGINT AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |m AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS n_t0,
+        |    sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t1,
+        |    sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c0,
+        |    sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END)::BIGINT AS n_c1,
+        |    sum(CASE WHEN t = 1 AND p = 0 THEN cents ELSE 0 END)::BIGINT AS s_t0,
+        |    sum(CASE WHEN t = 1 AND p = 1 THEN cents ELSE 0 END)::BIGINT AS s_t1,
+        |    sum(CASE WHEN t = 0 AND p = 0 THEN cents ELSE 0 END)::BIGINT AS s_c0,
+        |    sum(CASE WHEN t = 0 AND p = 1 THEN cents ELSE 0 END)::BIGINT AS s_c1
+        |  FROM cells)
+        |SELECT n_t0, n_t1, n_c0, n_c1,
+        |  round(s_t0::DOUBLE / n_t0 / 100.0, 6) + 0.0 AS mean_treated_pre,
+        |  round(s_t1::DOUBLE / n_t1 / 100.0, 6) + 0.0 AS mean_treated_post,
+        |  round(s_c0::DOUBLE / n_c0 / 100.0, 6) + 0.0 AS mean_control_pre,
+        |  round(s_c1::DOUBLE / n_c1 / 100.0, 6) + 0.0 AS mean_control_post,
+        |  round(s_t1::DOUBLE / n_t1 / 100.0 - s_t0::DOUBLE / n_t0 / 100.0, 6) + 0.0 AS diff_treated,
+        |  round(s_c1::DOUBLE / n_c1 / 100.0 - s_c0::DOUBLE / n_c0 / 100.0, 6) + 0.0 AS diff_control,
+        |  round((s_t1::DOUBLE / n_t1 / 100.0 - s_t0::DOUBLE / n_t0 / 100.0) -
+        |        (s_c1::DOUBLE / n_c1 / 100.0 - s_c0::DOUBLE / n_c0 / 100.0), 6) + 0.0 AS did
+        |FROM m""".stripMargin,
+    // same 2x2 strata censuses, same 10^-6 snapped CMH terms
+    "q434_cmh_odds_ratio" ->
+      """WITH cells AS (
+        |  SELECT r.r_name AS stratum,
+        |    sum(CASE WHEN l.l_discount >= 0.06 AND l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN l.l_discount >= 0.06 AND l.l_returnflag <> 'R' THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN l.l_discount < 0.06 AND l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN l.l_discount < 0.06 AND l.l_returnflag <> 'R' THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1),
+        |pooled AS (
+        |  SELECT sum(a * d * 1000000 // (a + b + c + d))::BIGINT AS cmh_num_u,
+        |         sum(b * c * 1000000 // (a + b + c + d))::BIGINT AS cmh_den_u,
+        |         sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb,
+        |         sum(c)::BIGINT AS tc, sum(d)::BIGINT AS td
+        |  FROM cells)
+        |SELECT s.stratum, s.a, s.b, s.c, s.d,
+        |       round((s.a * s.d)::DOUBLE / (s.b * s.c)::DOUBLE, 6) + 0.0 AS stratum_or,
+        |       round(p.cmh_num_u::DOUBLE / p.cmh_den_u::DOUBLE, 6) + 0.0 AS cmh_or,
+        |       round((p.ta * p.td)::DOUBLE / (p.tb * p.tc)::DOUBLE, 6) + 0.0 AS crude_or
+        |FROM cells s, pooled p ORDER BY s.stratum""".stripMargin,
+    // same integer daily censuses, same exact per-lag moments
+    "q436_cross_correlation" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS x,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+        |m AS (
+        |  SELECT g.lag, count(*)::BIGINT AS n_days,
+        |         sum(a.x)::BIGINT AS sx, sum(b.y)::BIGINT AS sy,
+        |         sum(a.x * b.y)::BIGINT AS sxy,
+        |         sum(a.x * a.x)::BIGINT AS sxx,
+        |         sum(b.y * b.y)::BIGINT AS syy
+        |  FROM (SELECT unnest(generate_series(-7, 7))::BIGINT AS lag) g,
+        |       daily a, daily b
+        |  WHERE b.day = a.day + g.lag
+        |  GROUP BY 1)
+        |SELECT lag, n_days,
+        |       round((n_days * sxy - sx * sy)::DOUBLE /
+        |             (sqrt((n_days * sxx - sx * sx)::DOUBLE) *
+        |              sqrt((n_days * syy - sy * sy)::DOUBLE)), 6) + 0.0 AS ccf
+        |FROM m ORDER BY lag""".stripMargin,
     // same ppm share snap before squaring, same struct-max top
     "q427_supplier_hhi" ->
       """WITH rev AS (

@@ -226,6 +226,50 @@ object PipelineQueries extends QueryModule {
       .orderBy("source", "chunk_id")
   }
 
+  /** q433: WHOLE-DOCUMENT PACKING via HARMONIC SIZE CLASSES — the
+    * NO-SPLIT packing regime q74 cannot express (q74 concatenates and
+    * cuts, splitting documents across context windows; instruction/
+    * eval-style training forbids the split, turning layout into BIN
+    * PACKING — sequential first-fit does not distribute, the harmonic
+    * class scheme does): class k = C div len holds docs of which
+    * EXACTLY k fit per bin, so bins_k = ceil(n_k / k) — a census
+    * formula, no scan order. Per class: doc census, token mass, bins,
+    * fill rate; every row carries the total bin count, the q74
+    * concat-and-cut lower bound ceil(Σtok / C), and the no-split
+    * overhead ratio — the padding tax the no-split constraint costs.
+    * Oversize docs (len > C) are class 0, each needing ceil(len/C)
+    * truncated bins.
+    *
+    * Determinism: pure integer arithmetic end to end (ceilings via
+    * (a + b − 1) div b on positive ints). Scale: one token-count scan
+    * into a ≤ C-row class census; the harmonic bound (≤ 1.691× OPT)
+    * is the price of making packing embarrassingly parallel — the
+    * sequential FFD baseline cannot shard.
+    */
+  def q433HarmonicPacking(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = 512L
+    val classes = Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("len"))
+      .withColumn("k", expr(s"IF(len > $ctx, 0L, $ctx div len)"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_tokens"),
+        min("len").as("min_len"), max("len").as("max_len"))
+      .withColumn("bins", expr(
+        s"IF(k = 0, (sum_tokens + $ctx - 1L) div $ctx, (n_docs + k - 1L) div k)"))
+      .localCheckpoint()
+    val tot = classes.agg(
+      sum("bins").as("total_bins"), sum("sum_tokens").as("tok"))
+      .select(col("total_bins"),
+        expr(s"(tok + $ctx - 1L) div $ctx").as("concat_bins"))
+    classes.crossJoin(broadcast(tot))
+      .select(col("k"), col("min_len"), col("max_len"), col("n_docs"),
+        col("sum_tokens"), col("bins"),
+        expr(s"sum_tokens * 1000000L div (bins * $ctx)").as("fill_ppm"),
+        col("total_bins"), col("concat_bins"),
+        expr("total_bins * 1000000L div concat_bins").as("overhead_ppm"))
+      .orderBy("k")
+  }
+
   /** q104: sliding-window chunking — the SPLITTING counterpart of q74's
     * packing: each document cut into overlapping fixed-size token
     * windows (window 32, stride 24 → 8-token overlap; the operator is
@@ -1339,6 +1383,7 @@ object PipelineQueries extends QueryModule {
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q433_harmonic_packing" -> (q433HarmonicPacking _),
     "q363_clustering_coefficient" -> (q363ClusteringCoefficient _),
     "q359_dyad_census" -> (q359DyadCensus _),
     "q325_assortativity" -> (q325Assortativity _),
@@ -1480,6 +1525,29 @@ object PipelineQueries extends QueryModule {
       |  FROM r2 CROSS JOIN k)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same integer class censuses, same positive-ceiling identity
+    "q433_harmonic_packing" ->
+      """WITH cls AS (
+        |  SELECT CASE WHEN len > 512 THEN 0 ELSE 512 // len END::BIGINT AS k,
+        |         count(*)::BIGINT AS n_docs, sum(len)::BIGINT AS sum_tokens,
+        |         min(len)::BIGINT AS min_len, max(len)::BIGINT AS max_len
+        |  FROM (SELECT len(string_split(text, ' '))::BIGINT AS len
+        |        FROM documents)
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT k, n_docs, sum_tokens, min_len, max_len,
+        |         CASE WHEN k = 0 THEN (sum_tokens + 511) // 512
+        |              ELSE (n_docs + k - 1) // k END::BIGINT AS bins
+        |  FROM cls),
+        |tot AS (
+        |  SELECT sum(bins)::BIGINT AS total_bins,
+        |         ((sum(sum_tokens) + 511) // 512)::BIGINT AS concat_bins
+        |  FROM b)
+        |SELECT b.k, b.min_len, b.max_len, b.n_docs, b.sum_tokens, b.bins,
+        |       (b.sum_tokens * 1000000 // (b.bins * 512))::BIGINT AS fill_ppm,
+        |       t.total_bins, t.concat_bins,
+        |       (t.total_bins * 1000000 // t.concat_bins)::BIGINT AS overhead_ppm
+        |FROM b, tot t ORDER BY b.k""".stripMargin,
     // q160's triangle enumeration verbatim, joined to the degree
     // census; same ppm div grids, same (coeff, deg, node) top-15 cut
     "q363_clustering_coefficient" ->

@@ -2053,6 +2053,55 @@ object TextQueries extends QueryModule {
     * are census/broadcast-shaped already; kappa adds one join on
     * doc_id and marginal censuses.
     */
+  /** q432: KRIPPENDORFF'S ALPHA (nominal) — the agreement coefficient
+    * that GENERALIZES q337's kappa to 3+ raters WITH MISSING RATINGS
+    * (the actual labeling-QA regime: annotators skip items): three
+    * raters over the q319 held-out fold — the q48 n-gram heuristic,
+    * the q319 naive-Bayes classifier, and a "gold" rater that abstains
+    * on short documents (n_chars < 300 — deterministic missingness,
+    * ~half the fold). Coincidence-matrix formulation: each unit's
+    * ordered rating pairs weighted 1/(m_u−1), α = 1 − D_o/D_e.
+    *
+    * Determinism: EXACT — doubling the pair weights makes 2/(m_u−1)
+    * integral (m_u ∈ {2,3}), so the disagreement mass, the value
+    * marginals n_v, and α's numerator/denominator are all BIGINTs;
+    * the reported α and D_o/D_e are one snapped divide each. Scale:
+    * both classifier raters are census/broadcast-shaped already; the
+    * pair join is within-unit (≤ 3 raters — bounded), the marginals
+    * one census.
+    */
+  def q432KrippendorffAlpha(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nbPred = nbScores(spark, dir).withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score_u").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), lit("nb").as("rater"), col("lang").as("v"))
+    val heur = langPred(spark, dir).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit("heur").as("rater"), col("pred_lang").as("v"))
+    val gold = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0 && col("n_chars") >= 300)
+      .select(col("doc_id"), lit("gold").as("rater"), col("lang").as("v"))
+    val ratings = nbPred.unionByName(heur).unionByName(gold).localCheckpoint()
+    val mu = ratings.groupBy("doc_id").agg(count(lit(1)).as("m"))
+      .select(col("doc_id").as("mdoc"), col("m"))
+    val od = ratings.as("a")
+      .join(ratings.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.rater") =!= col("b.rater"))
+      .join(mu, col("a.doc_id") === col("mdoc"))
+      .agg(sum(when(col("a.v") =!= col("b.v"),
+        expr("2L div (m - 1)")).otherwise(0L)).as("o2d"))
+    val marg = ratings.groupBy("v").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n"), sum(expr("c * c")).as("sq"))
+    val units = ratings.agg(countDistinct("doc_id").as("n_units"),
+      sum(when(col("rater") === "gold", 1L).otherwise(0L)).as("n_gold_rated"))
+    units.crossJoin(broadcast(od)).crossJoin(broadcast(marg))
+      .selectExpr("n_units", "n_gold_rated", "n AS n_ratings", "o2d",
+        "round(CAST(o2d AS DOUBLE) / CAST(2 * n AS DOUBLE), 6) AS d_observed",
+        "round(CAST(n * n - sq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6) AS d_expected",
+        "round(1.0 - CAST(o2d * (n - 1) AS DOUBLE) / CAST(2 * (n * n - sq) AS DOUBLE), 6) AS alpha")
+  }
+
   def q337CohenKappa(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nbPred = nbScores(spark, dir).withColumn("rn",
@@ -2152,6 +2201,7 @@ object TextQueries extends QueryModule {
     "q319_naive_bayes" -> (q319NaiveBayes _),
     "q333_selective_classification" -> (q333SelectiveClassification _),
     "q337_cohen_kappa" -> (q337CohenKappa _),
+    "q432_krippendorff_alpha" -> (q432KrippendorffAlpha _),
     "q286_bleu" -> (q286Bleu _),
     "q264_zipf_fit" -> (q264ZipfFit _),
     "q265_token_gini" -> (q265TokenGini _),
@@ -2392,6 +2442,41 @@ object TextQueries extends QueryModule {
         |       round((agree * n - pe_num)::DOUBLE
         |             / (n * n - pe_num)::DOUBLE, 6) AS kappa
         |FROM nn, pe""".stripMargin),
+    // both classifier raters replayed via the shared q319/q48 chains,
+    // same integer coincidence weights 2/(m-1), same gold abstention
+    "q432_krippendorff_alpha" -> (oracleNbScored + ",\n" +
+      predSql.stripPrefix("WITH ") +
+      """,
+        |nbp AS (
+        |  SELECT doc_id, lang AS v
+        |  FROM (SELECT s2.doc_id, s2.lang, s2.tok_u + pr.prior_u AS score_u
+        |        FROM scored s2 JOIN priors pr USING (lang))
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                             ORDER BY score_u DESC, lang ASC) = 1),
+        |rat AS (
+        |  SELECT doc_id, 'nb' AS rater, v FROM nbp
+        |  UNION ALL
+        |  SELECT doc_id, 'heur', pred_lang FROM p WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'gold', lang FROM documents
+        |  WHERE doc_id % 5 = 0 AND n_chars >= 300),
+        |mu AS (SELECT doc_id, count(*)::BIGINT AS m FROM rat GROUP BY 1),
+        |od AS (
+        |  SELECT sum(CASE WHEN a.v <> b.v THEN 2 // (m.m - 1) ELSE 0 END)::BIGINT AS o2d
+        |  FROM rat a JOIN rat b ON a.doc_id = b.doc_id AND a.rater <> b.rater
+        |  JOIN mu m ON a.doc_id = m.doc_id),
+        |marg AS (
+        |  SELECT sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS sq
+        |  FROM (SELECT v, count(*)::BIGINT AS c FROM rat GROUP BY 1)),
+        |units AS (
+        |  SELECT count(DISTINCT doc_id)::BIGINT AS n_units,
+        |         sum(CASE WHEN rater = 'gold' THEN 1 ELSE 0 END)::BIGINT AS n_gold_rated
+        |  FROM rat)
+        |SELECT u.n_units, u.n_gold_rated, m.n AS n_ratings, o.o2d,
+        |       round(o.o2d::DOUBLE / (2 * m.n)::DOUBLE, 6) + 0.0 AS d_observed,
+        |       round((m.n * m.n - m.sq)::DOUBLE / (m.n * (m.n - 1))::DOUBLE, 6) + 0.0 AS d_expected,
+        |       round(1.0 - (o.o2d * (m.n - 1))::DOUBLE / (2 * (m.n * m.n - m.sq))::DOUBLE, 6) + 0.0 AS alpha
+        |FROM units u, od o, marg m""".stripMargin),
     // q319's scored chain, then integer top-2 margins, census quintile
     // cuts (the q295 device), and the cumulative selective-risk curve
     "q333_selective_classification" -> (oracleNbScored +

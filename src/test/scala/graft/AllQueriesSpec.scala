@@ -24,18 +24,25 @@ class AllQueriesSpec extends AnyFunSuite {
       "rowsOnlyQueries names a query that does not exist")
   }
 
-  test("no query emits raw BinaryType — the driver's pandas gate can't sort bytes") {
+  test("no query emits binary or nested output — the driver's pandas gate can't sort them") {
     // Round-12 q131: raw binary output passed the hex-normalizing local
     // check yet crashed the driver's canonicalization (`unhashable
-    // type: 'bytearray'`). Schema-only check (no execution); Verify
-    // enforces the same invariant at dump time.
+    // type: 'bytearray'`). Round-15 q388: an ARRAY<STRING> column did
+    // the same (`unhashable type: numpy.ndarray`) — same class, one
+    // type over. Schema-only check (no execution); Verify enforces the
+    // same invariant at dump time and typegate.py at compare time.
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       fn(spark, dir).schema.fields.collect {
-        case f if f.dataType == org.apache.spark.sql.types.BinaryType => s"$name.${f.name}"
+        case f if f.dataType == BinaryType => s"$name.${f.name} (binary)"
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"$name.${f.name} (nested)"
       }
     }
     assert(offenders.isEmpty,
-      s"BinaryType output column(s) ${offenders.mkString(", ")} — emit hex(col) instead")
+      s"driver-unsortable output column(s) ${offenders.mkString(", ")} — " +
+        "emit hex(col) / a joined string instead")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
