@@ -178,6 +178,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Shingles3(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("winnow_mins"),
+      new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "winnow_mins takes exactly 3 arguments")
+        WinnowMins(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("trigram_hashes"),
       new ExpressionInfo(classOf[TrigramHashes].getName, "trigram_hashes"),
       (children: Seq[Expression]) => {

@@ -112,6 +112,52 @@ object SketchKernels {
     sig
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD '03): DISTINCT
+    * sliding-window minima over the md5 hex k-gram stream of `text` —
+    * gram i = md5(substring(text, i, k)) (code-point indexed via
+    * `substringSQL`, exactly Spark's `substring`), window w, minima by
+    * lexicographic hex compare (= StringType min). One pass with a
+    * monotonic deque: O(ng) compares instead of the O(ng·w) interpreted
+    * slice+array_min HOF (measured 2× SLOWER than the WindowExec it
+    * replaced) or the sort+shuffle of min-over-window on the exploded
+    * gram stream (the round-15 shape, super-linear at the sf1 probe).
+    */
+  def winnowMins(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val ng = text.numChars() - k + 1
+    if (ng < w) return new GenericArrayData(Array.empty[AnyRef])
+    val md = MessageDigest.getInstance("MD5")
+    val grams = new Array[String](ng)
+    var i = 0
+    while (i < ng) {
+      val d = md.digest(text.substringSQL(i + 1, k).getBytes)
+      md.reset()
+      val cs = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        cs(b * 2) = hexDigits((d(b) >> 4) & 0xf)
+        cs(b * 2 + 1) = hexDigits(d(b) & 0xf)
+        b += 1
+      }
+      grams(i) = new String(cs)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val dq = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < ng) {
+      while (!dq.isEmpty && grams(dq.peekLast) >= grams(i)) dq.pollLast()
+      dq.addLast(i)
+      if (i >= w - 1) {
+        while (dq.peekFirst <= i - w) dq.pollFirst()
+        seen.add(UTF8String.fromString(grams(dq.peekFirst)))
+      }
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   /** Distinct 3-word shingles: words[i..i+2] joined by ' ', first-
     * occurrence order (order is irrelevant downstream — min/vote/set-
     * cardinality consumers only). Same strings as the SQL
@@ -333,6 +379,36 @@ case class Shingles3(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Shingles3 =
     copy(child = newChild)
+}
+
+/** `winnow_mins(text, k, w)` — StringType → ArrayType(StringType):
+  * distinct winnowing fingerprints (md5 hex window minima). k/w are
+  * int literals (gram size, window).
+  */
+case class WinnowMins(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def prettyName: String = "winnow_mins"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"winnow_mins requires (STRING, INT, INT), got $t")
+    }
+
+  override def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    SketchKernels.winnowMins(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.SketchKernels.winnowMins($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): WinnowMins =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `trigram_hashes(text)` — StringType → ArrayType(LongType), distinct. */

@@ -1208,20 +1208,22 @@ object DedupQueries extends QueryModule {
     * otherwise-different documents).
     */
   def q315Winnowing(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val k = 20; val w = 8
     val docs = Tables.documents(spark, dir)
       .filter(length(col("text")) >= k + w - 1)
       .select(col("doc_id"), col("text"), (length(col("text")) - (k - 1)).as("ng"))
-    val grams = docs.select(col("doc_id"), col("ng"),
-      posexplode(expr(
-        s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substring(text, i, $k)))")))
-      .toDF("doc_id", "ng", "pos", "h")
-    val winMin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    val fps = grams
-      .withColumn("wmin", min("h").over(winMin))
-      .filter(col("pos") <= col("ng") - w)
-      .select("doc_id", "wmin").distinct()
+    // Window minima are PER-DOCUMENT: the native `winnow_mins` kernel
+    // (SketchKernels.winnowMins — one md5 pass + an O(ng) monotonic-
+    // deque sliding minimum, codegen'd) replaces the round-15
+    // min-over-WindowExec on the exploded gram stream, which shuffled
+    // and sorted EVERY gram (ng ≈ |text| rows/doc) and went
+    // super-linear at the sf1 probe. Only the ~2·ng/w distinct kept
+    // fingerprints are exploded — no shuffle, no sort. (The HOF
+    // formulation — slice + array_min per position — was measured 2×
+    // slower than even the window: interpreted lambdas, per-slice
+    // allocation; hence the kernel, the q41/q43 precedent.)
+    val fps = docs.select(col("doc_id"),
+      explode(expr(s"winnow_mins(text, $k, $w)")).as("wmin"))
     val kept = fps.join(
       fps.groupBy("wmin").agg(count(lit(1)).as("df")).filter(col("df") <= 20),
       "wmin")

@@ -6447,6 +6447,161 @@ object MiscQueries extends QueryModule {
       .orderBy("level")
   }
 
+  /** q440: SAMPLE-RATIO-MISMATCH AUDIT — the first health check every
+    * experimentation platform runs before reading ANY metric (a 50/50
+    * split that isn't 50/50 means broken assignment, and every
+    * downstream readout is garbage): users coin-assigned by md5, per
+    * arrival day and overall, the χ² statistic against the designed
+    * split, with the flag evaluated on the INTEGER lattice
+    * ((nA−nB)²·1000 > 3841·(nA+nB) ⟺ χ² > 3.841, the 0.05/1-dof cut —
+    * no float boundary can flip it).
+    *
+    * Determinism: assignment is the md5 coin (mirrored hex-prefix
+    * parse), censuses are integers, each χ² is one double divide at
+    * 6 dp, flags are pure integer comparisons. Scale: one distinct-user
+    * shuffle + a day census; the audit is arithmetic on ≤ 30 rows.
+    */
+  def q440SrmAudit(spark: SparkSession, dir: String): DataFrame = {
+    // unit = (user, day) active session: assignment is BY USER (the md5
+    // coin), the census is daily actives per arm — the panel an
+    // always-on experiment actually monitors (per-user first-arrival
+    // collapses to one fixture day and has no daily trajectory)
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .withColumn("arm", expr(
+        "cast(conv(substring(md5(concat('srm#', cast(user_id as string))), 1, 2), 16, 10) as bigint) % 2"))
+    val d0 = sessions.agg(min("day").as("day0"))
+    val daily = sessions.crossJoin(broadcast(d0))
+      .select((col("day") - col("day0")).as("d"), col("arm"))
+      .groupBy("d")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("srm_flag", expr(
+        "CAST((n_a - n_b) * (n_a - n_b) * 1000L > 3841L * (n_a + n_b) AS INT)").cast("long"))
+      .localCheckpoint()
+    val tot = daily.agg(sum("n_a").as("ta"), sum("n_b").as("tb"),
+      sum("srm_flag").as("n_days_flagged"))
+    daily.crossJoin(broadcast(tot))
+      .selectExpr("d AS day", "n_a", "n_b",
+        "round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) AS chi2_day",
+        "srm_flag",
+        "round(CAST((ta - tb) * (ta - tb) AS DOUBLE) / (ta + tb), 6) AS chi2_overall",
+        "CAST((ta - tb) * (ta - tb) * 1000L > 3841L * (ta + tb) AS INT) AS srm_overall",
+        "n_days_flagged")
+      .orderBy("day")
+  }
+
+  /** SPRT design constants shared VERBATIM with the oracle (the trig30
+    * device): ln-ratios for H0: p = 0.38 vs H1: p = 0.42 (a ±2 pp test
+    * bracketing the fixture's ~0.40 session conversion, so the
+    * trajectory genuinely wanders) and the Wald boundary ln(19)
+    * (α = β = 0.05), builder-computed and injected as shortest-
+    * round-trip string literals cast to DOUBLE in BOTH engines —
+    * neither evaluates a transcendental.
+    */
+  private[graft] lazy val sprtK: (String, String, String) = (
+    java.lang.Double.toString(math.log(0.42 / 0.38)),
+    java.lang.Double.toString(math.log(0.58 / 0.62)),
+    java.lang.Double.toString(math.log(19.0)))
+
+  /** q441: SPRT SEQUENTIAL TEST — the always-monitoring complement of
+    * the fixed-horizon family (q223 CUPED reduces variance, q440 SRM
+    * checks health; SPRT answers "can we STOP YET", the Wald test that
+    * legitimizes peeking): arm-B users (md5 coin) arriving by day,
+    * conversion = any purchase event, the cumulative log-likelihood
+    * ratio for H1: p = 0.65 vs H0: p = 0.60 with ±ln 19 boundaries,
+    * and the running decision state per day.
+    *
+    * Determinism: the ln constants are builder literals ([[sprtK]]);
+    * the LLR is cum_conv·K1 + (cum_n − cum_conv)·K2 on exact BIGINT
+    * cumulatives (two multiplies, one add — fixed order). The
+    * cumulative window rides the ≤ 30-row day census (aggregate-
+    * bounded). Scale: one per-user agg + one day census.
+    */
+  def q441SprtSequential(spark: SparkSession, dir: String): DataFrame = {
+    val (k1, k2, bnd) = sprtK
+    // unit = (user, day) session, conversion = that user purchased that
+    // day — the q440 panel; arm-B sessions accumulate by day so the
+    // LLR has a real 30-point trajectory
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy("user_id", "day").agg(max("p").as("conv"))
+      .filter(expr(
+        "cast(conv(substring(md5(concat('srm#', cast(user_id as string))), 1, 2), 16, 10) as bigint) % 2 = 1"))
+    val d0 = sessions.agg(min("day").as("day0"))
+    val daily = sessions.crossJoin(broadcast(d0))
+      .select((col("day") - col("day0")).as("d"), col("conv"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_c", sum("c").over(w))
+      .withColumn("llr", expr(
+        s"cum_c * CAST('$k1' AS DOUBLE) + (cum_n - cum_c) * CAST('$k2' AS DOUBLE)"))
+      .select(col("d").as("day"), col("cum_n").as("cum_exposures"),
+        col("cum_c").as("cum_conversions"),
+        expr("round(llr, 6)").as("llr"),
+        expr(s"CASE WHEN llr >= CAST('$bnd' AS DOUBLE) THEN 'accept_h1' " +
+          s"WHEN llr <= -CAST('$bnd' AS DOUBLE) THEN 'accept_h0' " +
+          "ELSE 'continue' END").as("decision"))
+      .orderBy("day")
+  }
+
+  /** q442: ABC–XYZ MATRIX — the inventory-policy segmentation that
+    * crosses VALUE with PREDICTABILITY (q421's ABC ranks revenue; XYZ
+    * classes demand variability — an A-item with Z-volatility is the
+    * planner's nightmare and the newsvendor's q439 customer): ABC from
+    * the exact cumulative-revenue cuts (80/95), XYZ from the monthly
+    * demand coefficient of variation (X ≤ 0.5 < Y ≤ 1.0 < Z), the 9
+    * cells with item and revenue shares.
+    *
+    * Determinism: ABC reuses q421's integer cut device; the CV folds
+    * to sqrt(n·Σq² − (Σq)²)/Σq — ONE IEEE sqrt and one divide on
+    * exact BIGINTs — and snaps to the 10⁻⁶ lattice BEFORE the class
+    * cut, so no float boundary decides a class. Scale: one part
+    * census + one (part, month) census; the ranking window rides the
+    * part-level aggregate (the q421 exception shape).
+    */
+  def q442AbcXyzMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("part"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("c"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"),
+        expr("CAST((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS BIGINT)").as("mi"))
+    val rev = li.groupBy("part").agg(sum("c").as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("part"))
+    val tot = rev.agg(sum("rev").as("trev"), count(lit(1)).as("tn"))
+    val abc = rev.withColumn("cum", sum("rev").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc",
+        when(col("cum") * 100 <= col("trev") * 80, "A")
+          .when(col("cum") * 100 <= col("trev") * 95, "B")
+          .otherwise("C"))
+      .select("part", "rev", "abc", "trev", "tn")
+    val xyz = li.groupBy("part", "mi").agg(sum("q").as("d"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("nm"), sum("d").as("sd"), sum(expr("d * d")).as("ssd"))
+      .select(col("part"),
+        expr("CAST(floor(sqrt(CAST(nm * ssd - sd * sd AS DOUBLE)) / sd * 1.0e6 + 0.5) AS BIGINT)").as("cv_u"))
+      .withColumn("xyz",
+        when(col("cv_u") <= 500000L, "X")
+          .when(col("cv_u") <= 1000000L, "Y").otherwise("Z"))
+    abc.join(xyz, "part")
+      .groupBy("abc", "xyz")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_cell"),
+        max("tn").as("tn"), max("trev").as("trev"))
+      .selectExpr("abc", "xyz", "n_parts",
+        "n_parts * 1000000L div tn AS item_share_ppm",
+        "rev_cell * 1000000L div trev AS rev_share_ppm")
+      .orderBy("abc", "xyz")
+  }
+
   /** q437: CHAIN-LADDER DEVELOPMENT TRIANGLE — the actuarial run-off
     * projection, read here as a FULFILLMENT-COMPLETION forecast (how
     * much of each order cohort's value is still unshipped?): cohorts =
@@ -6937,6 +7092,9 @@ object MiscQueries extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q429_diff_in_diff" -> (q429DiffInDiff _),
+    "q440_srm_audit" -> (q440SrmAudit _),
+    "q441_sprt_sequential" -> (q441SprtSequential _),
+    "q442_abc_xyz_matrix" -> (q442AbcXyzMatrix _),
     "q437_chain_ladder" -> (q437ChainLadder _),
     "q438_hurst_exponent" -> (q438HurstExponent _),
     "q439_newsvendor" -> (q439Newsvendor _),
@@ -7144,6 +7302,100 @@ object MiscQueries extends QueryModule {
         |  WHERE rn = 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // same md5 coin (hex-prefix parse), same integer-lattice flags
+    "q440_srm_audit" ->
+      """WITH sess AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |armed AS (
+        |  SELECT day,
+        |         ('0x' || substr(md5('srm#' || user_id::VARCHAR), 1, 2))::BIGINT % 2 AS arm
+        |  FROM sess),
+        |d0 AS (SELECT min(day) AS day0 FROM armed),
+        |daily AS (
+        |  SELECT a.day - z.day0 AS d,
+        |         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+        |  FROM armed a, d0 z GROUP BY 1),
+        |fl AS (
+        |  SELECT d, n_a, n_b,
+        |         CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)
+        |              THEN 1 ELSE 0 END::BIGINT AS srm_flag
+        |  FROM daily),
+        |tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb,
+        |               sum(srm_flag)::BIGINT AS n_days_flagged FROM fl)
+        |SELECT f.d AS day, f.n_a, f.n_b,
+        |       round((f.n_a - f.n_b) * (f.n_a - f.n_b) / (f.n_a + f.n_b)::DOUBLE, 6) + 0.0 AS chi2_day,
+        |       f.srm_flag,
+        |       round((t.ta - t.tb) * (t.ta - t.tb) / (t.ta + t.tb)::DOUBLE, 6) + 0.0 AS chi2_overall,
+        |       (CASE WHEN (t.ta - t.tb) * (t.ta - t.tb) * 1000 > 3841 * (t.ta + t.tb)
+        |             THEN 1 ELSE 0 END)::INT AS srm_overall,
+        |       t.n_days_flagged
+        |FROM fl f, tot t ORDER BY f.d""".stripMargin,
+    // the same builder ln constants (shortest-round-trip literals),
+    // same exact cumulative censuses, same fixed-order LLR
+    "q441_sprt_sequential" -> {
+      val (k1, k2, bnd) = sprtK
+      s"""WITH sess AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv
+        |  FROM events GROUP BY 1, 2),
+        |armb AS (
+        |  SELECT day, conv FROM sess
+        |  WHERE ('0x' || substr(md5('srm#' || user_id::VARCHAR), 1, 2))::BIGINT % 2 = 1),
+        |d0 AS (SELECT min(day) AS day0 FROM armb),
+        |daily AS (
+        |  SELECT a.day - z.day0 AS d, count(*)::BIGINT AS n, sum(conv)::BIGINT AS c
+        |  FROM armb a, d0 z GROUP BY 1),
+        |cum AS (
+        |  SELECT d,
+        |         sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n,
+        |         sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_c
+        |  FROM daily),
+        |llr AS (
+        |  SELECT d, cum_n, cum_c,
+        |         cum_c * '$k1'::DOUBLE + (cum_n - cum_c) * '$k2'::DOUBLE AS llr
+        |  FROM cum)
+        |SELECT d AS day, cum_n AS cum_exposures, cum_c AS cum_conversions,
+        |       round(llr, 6) + 0.0 AS llr,
+        |       CASE WHEN llr >= '$bnd'::DOUBLE THEN 'accept_h1'
+        |            WHEN llr <= -('$bnd'::DOUBLE) THEN 'accept_h0'
+        |            ELSE 'continue' END AS decision
+        |FROM llr ORDER BY day""".stripMargin
+    },
+    // q421's integer ABC cuts crossed with the 10^-6-snapped CV classes
+    "q442_abc_xyz_matrix" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS part,
+        |         floor(l_extendedprice * 100.0 + 0.5)::BIGINT AS c,
+        |         floor(l_quantity + 0.5)::BIGINT AS q,
+        |         ((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1)::BIGINT AS mi
+        |  FROM lineitem),
+        |rev AS (SELECT part, sum(c)::BIGINT AS rev FROM li GROUP BY 1),
+        |tot AS (SELECT sum(rev)::BIGINT AS trev, count(*)::BIGINT AS tn FROM rev),
+        |abc AS (
+        |  SELECT r.part, r.rev, t.trev, t.tn,
+        |         CASE WHEN sum(r.rev) OVER (ORDER BY r.rev DESC, r.part
+        |                                    ROWS UNBOUNDED PRECEDING) * 100 <= t.trev * 80 THEN 'A'
+        |              WHEN sum(r.rev) OVER (ORDER BY r.rev DESC, r.part
+        |                                    ROWS UNBOUNDED PRECEDING) * 100 <= t.trev * 95 THEN 'B'
+        |              ELSE 'C' END AS abc
+        |  FROM rev r, tot t),
+        |xyz AS (
+        |  SELECT part,
+        |         CASE WHEN cv_u <= 500000 THEN 'X'
+        |              WHEN cv_u <= 1000000 THEN 'Y' ELSE 'Z' END AS xyz
+        |  FROM (SELECT part,
+        |               floor(sqrt((nm * ssd - sd * sd)::DOUBLE) / sd * 1.0e6 + 0.5)::BIGINT AS cv_u
+        |        FROM (SELECT part, count(*)::BIGINT AS nm, sum(d)::BIGINT AS sd,
+        |                     sum(d * d)::BIGINT AS ssd
+        |              FROM (SELECT part, mi, sum(q)::BIGINT AS d FROM li GROUP BY 1, 2)
+        |              GROUP BY 1)))
+        |SELECT a.abc, x.xyz, count(*)::BIGINT AS n_parts,
+        |       (count(*) * 1000000 // max(a.tn))::BIGINT AS item_share_ppm,
+        |       (sum(a.rev) * 1000000 // max(a.trev))::BIGINT AS rev_share_ppm
+        |FROM abc a JOIN xyz x USING (part)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same cents triangle with explicit cumulative columns, same
     // fully-observed-cohort factor sums, same literal product order
     "q437_chain_ladder" ->
