@@ -26,6 +26,7 @@ object SparkEntry {
     PipelineQueries,
     LakehouseQueries,
     MiscQueries,
+    StatsQueries,
     StreamingOps
   )
 
