@@ -27,6 +27,7 @@ object SparkEntry {
     LakehouseQueries,
     MiscQueries,
     StatsQueries,
+    StatsQueries2,
     StreamingOps
   )
 
