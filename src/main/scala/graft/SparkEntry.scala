@@ -28,6 +28,7 @@ object SparkEntry {
     MiscQueries,
     StatsQueries,
     StatsQueries2,
+    StatsQueries3,
     StreamingOps
   )
 
