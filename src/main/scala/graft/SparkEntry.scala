@@ -29,6 +29,8 @@ object SparkEntry {
     StatsQueries,
     StatsQueries2,
     StatsQueries3,
+    StatsQueries4,
+    StatsQueries5,
     StreamingOps
   )
 
