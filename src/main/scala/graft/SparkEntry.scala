@@ -31,6 +31,7 @@ object SparkEntry {
     StatsQueries3,
     StatsQueries4,
     StatsQueries5,
+    StatsQueries6,
     StreamingOps
   )
 
