@@ -208,7 +208,12 @@ object StatsQueries extends QueryModule {
       .localCheckpoint()
     val a = census.as("a")
     val b = census.as("b")
-    a.join(b, col("a.channel") === col("b.channel") && col("b.d") <= col("a.d"))
+    // lag cap ≤ 29 keeps the shift amount in [0, 29] — a no-op on the
+    // 30-day fixture grid, and on a longer span it truncates the
+    // carryover (windowed adstock) instead of letting shiftleft wrap
+    // mod 64 into silent garbage weights (mirrored in the oracle)
+    a.join(b, col("a.channel") === col("b.channel") && col("b.d") <= col("a.d")
+        && col("a.d") - col("b.d") <= 29)
       .groupBy(col("a.channel"), col("a.d"), col("a.s"))
       .agg(sum(expr("b.s * shiftleft(1L, CAST(29 - (a.d - b.d) AS INT))"))
         .as("adstock_q29"))
@@ -296,16 +301,22 @@ object StatsQueries extends QueryModule {
       sum(expr("u * u")).as("us2"))
     val a = census.as("a")
     val b = census.as("b")
-    a.join(b, col("b.d") <= col("a.d"))
+    // shift-lattice bounds (no-ops on the ≤30-day fixture grid,
+    // mirrored in the oracle): the convolution lag is capped at 29 so
+    // the 2^(29-lag) weight can't wrap mod 64, and the init/limit
+    // shifts are clamped at 62 — past that the terms are < 2^-53·value,
+    // i.e. already zero on the 1e-6 readout lattice, so the clamp is
+    // exact where it engages instead of silently wrapping
+    a.join(b, col("b.d") <= col("a.d") && col("a.d") - col("b.d") <= 29)
       .groupBy(col("a.d"), col("a.u"))
       .agg(sum(expr("b.u * shiftleft(1L, CAST(29 - (a.d - b.d) AS INT))")).as("zq"))
       .toDF("d", "u", "zq")
       .crossJoin(broadcast(tot))
       .withColumn("mu", expr("CAST(us AS DOUBLE) / n"))
       .withColumn("ewma_raw", expr(
-        "CAST(zq AS DOUBLE) / 1.073741824e9 + CAST(us AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(shiftleft(1L, CAST(d + 1 AS INT)) AS DOUBLE))"))
+        "CAST(zq AS DOUBLE) / 1.073741824e9 + CAST(us AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(shiftleft(1L, CAST(least(d + 1, 62L) AS INT)) AS DOUBLE))"))
       .withColumn("lim", expr(
-        "CAST(3 AS DOUBLE) * sqrt((CAST(n AS DOUBLE) * us2 - CAST(us AS DOUBLE) * us) / (CAST(n AS DOUBLE) * (n - 1))) * sqrt((CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / CAST(shiftleft(1L, CAST(2 * d + 2 AS INT)) AS DOUBLE)))"))
+        "CAST(3 AS DOUBLE) * sqrt((CAST(n AS DOUBLE) * us2 - CAST(us AS DOUBLE) * us) / (CAST(n AS DOUBLE) * (n - 1))) * sqrt((CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / CAST(shiftleft(1L, CAST(least(2 * d + 2, 62L) AS INT)) AS DOUBLE)))"))
       .select(col("d").as("day"), col("u").as("n_active"),
         expr("round(ewma_raw, 6)").as("ewma"),
         expr("round(mu + lim, 6)").as("ucl"),
@@ -600,7 +611,7 @@ object StatsQueries extends QueryModule {
         |SELECT a.channel, a.d AS day, a.s AS spend_cents,
         |       sum(b.s * (1::BIGINT << (29 - (a.d - b.d))::INT))::BIGINT AS adstock_q29,
         |       round(sum(b.s * (1::BIGINT << (29 - (a.d - b.d))::INT))::DOUBLE / 5.36870912e8, 6) + 0.0 AS adstock
-        |FROM census a JOIN census b ON a.channel = b.channel AND b.d <= a.d
+        |FROM census a JOIN census b ON a.channel = b.channel AND b.d <= a.d AND a.d - b.d <= 29
         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
     // same n-scaled integer detrended index, same argmax tie-breaks,
     // same IEEE moment chain
@@ -657,13 +668,13 @@ object StatsQueries extends QueryModule {
         |conv AS (
         |  SELECT a.d, a.u,
         |         sum(b.u * (1::BIGINT << (29 - (a.d - b.d))::INT))::BIGINT AS zq
-        |  FROM census a JOIN census b ON b.d <= a.d
+        |  FROM census a JOIN census b ON b.d <= a.d AND a.d - b.d <= 29
         |  GROUP BY 1, 2),
         |z AS (
         |  SELECT c.d, c.u, t.n, t.us, t.us2,
         |         t.us::DOUBLE / t.n AS mu,
-        |         c.zq::DOUBLE / 1.073741824e9 + t.us::DOUBLE / (t.n::DOUBLE * (1::BIGINT << (c.d + 1)::INT)::DOUBLE) AS ewma_raw,
-        |         3::DOUBLE * sqrt((t.n::DOUBLE * t.us2 - t.us::DOUBLE * t.us) / (t.n::DOUBLE * (t.n - 1))) * sqrt((1::DOUBLE / 3::DOUBLE) * (1::DOUBLE - 1::DOUBLE / (1::BIGINT << (2 * c.d + 2)::INT)::DOUBLE)) AS lim
+        |         c.zq::DOUBLE / 1.073741824e9 + t.us::DOUBLE / (t.n::DOUBLE * (1::BIGINT << least(c.d + 1, 62)::INT)::DOUBLE) AS ewma_raw,
+        |         3::DOUBLE * sqrt((t.n::DOUBLE * t.us2 - t.us::DOUBLE * t.us) / (t.n::DOUBLE * (t.n - 1))) * sqrt((1::DOUBLE / 3::DOUBLE) * (1::DOUBLE - 1::DOUBLE / (1::BIGINT << least(2 * c.d + 2, 62)::INT)::DOUBLE)) AS lim
         |  FROM conv c, tot t)
         |SELECT d AS day, u AS n_active,
         |       round(ewma_raw, 6) + 0.0 AS ewma,

@@ -95,11 +95,15 @@ object StatsQueries2 extends QueryModule {
     * per-user-mean t-test (q176) answers a different question): md5-coin
     * arms, Var(ΣX/ΣY) by the delta method from per-user moments.
     *
-    * Determinism: all twelve moments are exact BIGINTs in ONE
-    * conditional aggregate pass; every ratio/variance/z is the identical
-    * left-associated IEEE chain on them (squares of data-sized sums go
-    * through CAST-first double products, never BIGINT); significance on
-    * the 1e-6 lattice. Scale: one per-user aggregate + a 1-row census.
+    * Determinism: all twelve moments are exact in ONE conditional
+    * aggregate pass — counts and linear sums as BIGINT, the
+    * second-moment sums (sxx/syy/sxy) as DECIMAL(38,0) ↔ HUGEINT (the
+    * q457 device: cents²-scale sums overflow BIGINT at sf1+, and both
+    * engines' wide-int → double conversions round identically); every
+    * ratio/variance/z is the identical left-associated IEEE chain on
+    * them (squares of data-sized sums go through CAST-first double
+    * products, never BIGINT); significance on the 1e-6 lattice. Scale:
+    * one per-user aggregate + a 1-row census.
     */
   def q454DeltaMethodRatio(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.events(spark, dir)
@@ -115,15 +119,15 @@ object StatsQueries2 extends QueryModule {
       sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n0"),
       sum(when(col("g") === 0L, col("x")).otherwise(0L)).as("sx0"),
       sum(when(col("g") === 0L, col("y")).otherwise(0L)).as("sy0"),
-      sum(when(col("g") === 0L, expr("x * x")).otherwise(0L)).as("sxx0"),
-      sum(when(col("g") === 0L, expr("y * y")).otherwise(0L)).as("syy0"),
-      sum(when(col("g") === 0L, expr("x * y")).otherwise(0L)).as("sxy0"),
+      sum(expr("CAST(CASE WHEN g = 0 THEN x * x ELSE 0L END AS DECIMAL(38,0))")).as("sxx0"),
+      sum(expr("CAST(CASE WHEN g = 0 THEN y * y ELSE 0L END AS DECIMAL(38,0))")).as("syy0"),
+      sum(expr("CAST(CASE WHEN g = 0 THEN x * y ELSE 0L END AS DECIMAL(38,0))")).as("sxy0"),
       sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n1"),
       sum(when(col("g") === 1L, col("x")).otherwise(0L)).as("sx1"),
       sum(when(col("g") === 1L, col("y")).otherwise(0L)).as("sy1"),
-      sum(when(col("g") === 1L, expr("x * x")).otherwise(0L)).as("sxx1"),
-      sum(when(col("g") === 1L, expr("y * y")).otherwise(0L)).as("syy1"),
-      sum(when(col("g") === 1L, expr("x * y")).otherwise(0L)).as("sxy1"))
+      sum(expr("CAST(CASE WHEN g = 1 THEN x * x ELSE 0L END AS DECIMAL(38,0))")).as("sxx1"),
+      sum(expr("CAST(CASE WHEN g = 1 THEN y * y ELSE 0L END AS DECIMAL(38,0))")).as("syy1"),
+      sum(expr("CAST(CASE WHEN g = 1 THEN x * y ELSE 0L END AS DECIMAL(38,0))")).as("sxy1"))
     def rCol(i: Int): String = s"CAST(sx$i AS DOUBLE) / sy$i AS r$i"
     def vCol(i: Int): String =
       (s"((CAST(n$i AS DOUBLE) * sxx$i - CAST(sx$i AS DOUBLE) * sx$i) / (CAST(n$i AS DOUBLE) * (n$i - 1)) " +
@@ -548,15 +552,15 @@ object StatsQueries2 extends QueryModule {
         |  SELECT sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
         |         sum(CASE WHEN g = 0 THEN x ELSE 0 END)::BIGINT AS sx0,
         |         sum(CASE WHEN g = 0 THEN y ELSE 0 END)::BIGINT AS sy0,
-        |         sum(CASE WHEN g = 0 THEN x * x ELSE 0 END)::BIGINT AS sxx0,
-        |         sum(CASE WHEN g = 0 THEN y * y ELSE 0 END)::BIGINT AS syy0,
-        |         sum(CASE WHEN g = 0 THEN x * y ELSE 0 END)::BIGINT AS sxy0,
+        |         sum(CASE WHEN g = 0 THEN x::HUGEINT * x ELSE 0 END) AS sxx0,
+        |         sum(CASE WHEN g = 0 THEN y::HUGEINT * y ELSE 0 END) AS syy0,
+        |         sum(CASE WHEN g = 0 THEN x::HUGEINT * y ELSE 0 END) AS sxy0,
         |         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
         |         sum(CASE WHEN g = 1 THEN x ELSE 0 END)::BIGINT AS sx1,
         |         sum(CASE WHEN g = 1 THEN y ELSE 0 END)::BIGINT AS sy1,
-        |         sum(CASE WHEN g = 1 THEN x * x ELSE 0 END)::BIGINT AS sxx1,
-        |         sum(CASE WHEN g = 1 THEN y * y ELSE 0 END)::BIGINT AS syy1,
-        |         sum(CASE WHEN g = 1 THEN x * y ELSE 0 END)::BIGINT AS sxy1
+        |         sum(CASE WHEN g = 1 THEN x::HUGEINT * x ELSE 0 END) AS sxx1,
+        |         sum(CASE WHEN g = 1 THEN y::HUGEINT * y ELSE 0 END) AS syy1,
+        |         sum(CASE WHEN g = 1 THEN x::HUGEINT * y ELSE 0 END) AS sxy1
         |  FROM per),
         |calc AS (
         |  SELECT n0, n1,

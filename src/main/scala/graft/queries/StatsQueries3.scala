@@ -160,8 +160,10 @@ object StatsQueries3 extends QueryModule {
     * the number to report next to any q440/q443-style significance):
     * return-flag × line-status contingency over lineitem.
     *
-    * Determinism: observed cells and margins are exact BIGINTs; each
-    * (o−e)²/e term is snapped to 1e-9 before the 6-cell sum; V is one
+    * Determinism: observed cells and margins are exact BIGINTs; the
+    * cell grid is the full r×c cross of the margins (so a
+    * structurally-empty cell still contributes its e term); each
+    * (o−e)²/e term is snapped to 1e-9 before the grid sum; V is one
     * mirrored sqrt chain (min(r−1, c−1) = 1 here). Scale: one
     * domain-bounded contingency aggregate.
     */
@@ -173,7 +175,15 @@ object StatsQueries3 extends QueryModule {
     val rows = cells.groupBy("rf").agg(sum("o").as("nr"))
     val colsM = cells.groupBy("ls").agg(sum("o").as("nc"))
     val n = cells.agg(sum("o").as("n"))
-    val terms = cells.join(broadcast(rows), "rf").join(broadcast(colsM), "ls")
+    // the r×c grid is the CROSS of the margins (domain-bounded: both
+    // sides are ≤|domain| censuses), not just the observed cells, so a
+    // structurally-empty cell still contributes its (0−e)²/e = e term
+    // to chi-squared instead of silently dropping out (all 6 cells are
+    // populated on TPC-H, so this is value-identical today; mirrored in
+    // the oracle)
+    val grid = rows.crossJoin(broadcast(colsM))
+    val terms = grid.join(broadcast(cells), Seq("rf", "ls"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(n))
       .withColumn("e", expr("CAST(nr AS DOUBLE) * nc / n"))
       .withColumn("t_e9", expr(
@@ -355,8 +365,13 @@ object StatsQueries3 extends QueryModule {
     val dow = interior.groupBy(expr("d % 7").as("dw"))
       .agg(sum("d140").as("sd"), count(lit(1)).as("cnt"))
       // mean of d140 per dow, EXACT on the ×12 sub-lattice: cnt ∈ {3,4}
-      // on the 24 interior days, and 12 = lcm(3,4)
-      .withColumn("s1680", expr("sd * (12L div cnt)"))
+      // on the 24 interior days, and 12 = lcm(3,4). The CASE is a loud
+      // guard (mirrored in the oracle): if a future fixture's interior
+      // span gives a dow count that doesn't divide 12, both engines
+      // fail at run time instead of silently floor-biasing the mean
+      .withColumn("s1680", expr(
+        "CASE WHEN cnt IN (1L, 2L, 3L, 4L, 6L, 12L) THEN sd * (12L div cnt) " +
+          "ELSE CAST(raise_error('q470: interior dow count must divide 12') AS BIGINT) END"))
     val comp = interior.join(broadcast(dow), expr("d % 7 = dw"))
       .withColumn("r1680", expr("1680L * y - 240L * t7 - s1680"))
       .withColumn("sr1680", expr("s1680 + r1680"))
@@ -491,11 +506,14 @@ object StatsQueries3 extends QueryModule {
         |r AS (SELECT rf, sum(o)::BIGINT AS nr FROM cells GROUP BY 1),
         |c AS (SELECT ls, sum(o)::BIGINT AS nc FROM cells GROUP BY 1),
         |n AS (SELECT sum(o)::BIGINT AS n FROM cells),
+        |grid AS (
+        |  SELECT r.rf, c.ls, r.nr, c.nc, coalesce(cells.o, 0)::BIGINT AS o
+        |  FROM r CROSS JOIN c LEFT JOIN cells ON r.rf = cells.rf AND c.ls = cells.ls),
         |terms AS (
-        |  SELECT cells.rf, cells.ls, cells.o,
-        |         r.nr::DOUBLE * c.nc / n.n AS e,
-        |         floor((cells.o - r.nr::DOUBLE * c.nc / n.n) * (cells.o - r.nr::DOUBLE * c.nc / n.n) / (r.nr::DOUBLE * c.nc / n.n) * 1.0e9 + 0.5)::BIGINT AS t_e9
-        |  FROM cells JOIN r USING (rf) JOIN c USING (ls), n),
+        |  SELECT g.rf, g.ls, g.o,
+        |         g.nr::DOUBLE * g.nc / n.n AS e,
+        |         floor((g.o - g.nr::DOUBLE * g.nc / n.n) * (g.o - g.nr::DOUBLE * g.nc / n.n) / (g.nr::DOUBLE * g.nc / n.n) * 1.0e9 + 0.5)::BIGINT AS t_e9
+        |  FROM grid g, n),
         |chi AS (
         |  SELECT sum(t_e9)::BIGINT AS chi_e9, max(n.n)::BIGINT AS nn
         |  FROM terms, n),
@@ -622,7 +640,9 @@ object StatsQueries3 extends QueryModule {
         |  FROM ma WHERE k7 = 7),
         |dow AS (
         |  SELECT d % 7 AS dw,
-        |         (sum(d140) * (12 // count(*)))::BIGINT AS s1680
+        |         (CASE WHEN count(*) IN (1, 2, 3, 4, 6, 12)
+        |               THEN sum(d140) * (12 // count(*))
+        |               ELSE error('q470: interior dow count must divide 12') END)::BIGINT AS s1680
         |  FROM interior GROUP BY 1),
         |comp AS (
         |  SELECT i.d, (1680 * i.y - 240 * i.t7 - w.s1680)::BIGINT AS r1680,
