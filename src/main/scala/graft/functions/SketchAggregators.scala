@@ -142,6 +142,45 @@ object SketchAggregators {
       ExpressionEncoder[Seq[ScoredId]]()
   }
 
+  /** Capped group collect: gathers a group's long values but never
+    * holds more than `cap + 1` of them — one past the cap is kept as
+    * the overflow WITNESS, so `size(result) > cap` means "this group
+    * exceeded the cap" and the caller filters it out. The scale story
+    * vs `collect_list` + a separate count census (q315): a df-cutoff
+    * pipeline needs both the group members AND proof the group is
+    * small; collect_list would materialize an unbounded list for every
+    * hot key (a boilerplate fingerprint at 100 TB has millions of
+    * docs) before the filter could drop it, while this buffer is
+    * O(cap) under ANY skew, map-side partials included. Non-overflow
+    * groups come back complete and sorted ascending — deterministic
+    * under any partitioning (inputs are distinct per group by
+    * contract; overflow groups keep the cap+1 SMALLEST as the
+    * canonical witness).
+    */
+  class CollectCappedAggregator(cap: Int)
+      extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(cap > 0, "cap must be positive")
+
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(b: Seq[Long], x: Long): Seq[Long] =
+      if (b.size <= cap) b :+ x // up to cap+1 kept; beyond that the
+      else if (x < b.max) (b :+ x).sorted.take(cap + 1) // smallest witness set
+      else b
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      val u = a ++ b
+      if (u.size <= cap + 1) u else u.sorted.take(cap + 1)
+    }
+
+    override def finish(r: Seq[Long]): Seq[Long] = r.sorted
+
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Mergeable bitmap — the accumulation half of a Bloom filter (Bloom,
     * CACM 1970). Input rows are BIT POSITIONS in [0, numBits); the
     * buffer is the packed long[] bitmap and merge is bitwise OR, so the

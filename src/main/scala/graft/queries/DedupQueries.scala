@@ -1200,8 +1200,11 @@ object DedupQueries extends QueryModule {
     * downstream count is an integer. Scale: gram explosion and the
     * window-min are doc-partitioned (scan-local after one shuffle on
     * doc_id — and at rest the corpus would be read already laid out by
-    * doc); the pair join is fingerprint-banded with the df cutoff
-    * capping any bucket at C(20,2) pairs — never all-pairs. This is the
+    * doc); the pair stage first prunes to df ≥ 2 fingerprints (a df-1
+    * fingerprint cannot pair — the overwhelming majority in a natural
+    * corpus) and then emits pairs per fingerprint bucket in place, with
+    * the df ≤ 20 cutoff capping any bucket at C(20,2) pairs — one
+    * fingerprint-key shuffle, no self-join, never all-pairs. This is the
     * SUBSTRING-match member of the near-dup family (q41 MinHash = set
     * Jaccard, q43 SimHash = cosine-ish, q42c = prefix-filtered exact
     * Jaccard; winnowing alone catches a long verbatim quote inside
@@ -1224,13 +1227,35 @@ object DedupQueries extends QueryModule {
     // allocation; hence the kernel, the q41/q43 precedent.)
     val fps = docs.select(col("doc_id"),
       explode(expr(s"winnow_mins(text, $k, $w)")).as("wmin"))
-    val kept = fps.join(
-      fps.groupBy("wmin").agg(count(lit(1)).as("df")).filter(col("df") <= 20),
-      "wmin")
-    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
-    val pairs = kept.as("a").join(kept.as("b"),
-        col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Bucket build, re-lineaged round 17 (the 121 s sf1 residual was the
+    // fingerprint SELF-JOIN: two shuffles of every kept fingerprint plus
+    // a second pass of the md5 kernel to build the df census it joined):
+    // ONE capped-collect aggregate on the fingerprint key yields the
+    // group members AND the df cutoff together — the md5 kernel runs
+    // once, the buffer is O(21) under any skew (a boilerplate
+    // fingerprint in millions of docs never materializes its list), and
+    // an overflowed bucket comes back with cap+1 = 21 entries and is
+    // dropped by the size filter exactly like df > 20 was. The
+    // localCheckpoint cuts the lineage for the two consumers (size
+    // census + pair stage — the q230 lesson).
+    val cc = udaf(new graft.functions.SketchAggregators.CollectCappedAggregator(20))
+    val buckets = fps.groupBy("wmin").agg(cc(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= 20)
+      .localCheckpoint()
+    val sz = buckets.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    // Pair stage: df ≥ 2 prune first (a fingerprint seen in one doc
+    // cannot pair — the overwhelming majority in a natural corpus), then
+    // pairs are emitted per FINGERPRINT BUCKET in place (sorted doc
+    // list → C(df,2) expansion, df ≤ 20 so ≤ 190 pairs/bucket) — no
+    // join at all; the lists arrive sorted ascending from the
+    // aggregator, so doc_a < doc_b by construction.
+    val pairs = buckets.filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS da, y AS db))))"))
+        .as("p"))
+      .groupBy(col("p.da").as("doc_a"), col("p.db").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 3)
     pairs

@@ -160,4 +160,29 @@ class SketchAggregatorsSpec extends AnyFunSuite {
     val e = intercept[Exception] { df.agg(gram($"v")).collect() }
     assert(e.getMessage != null)
   }
+
+  // ---- Capped collect (q315 fingerprint buckets) --------------------
+
+  test("capped collect returns complete sorted groups at or below cap, cap+1 witness above, under any partitioning") {
+    val cap = 5
+    // group sizes straddling the cap: 1, 5 (== cap), 6 (== cap+1), 9
+    val data = Seq(10L -> Seq(7L),
+      20L -> (1L to 5L),
+      30L -> (11L to 16L),
+      40L -> Seq(9L, 3L, 27L, 1L, 14L, 8L, 22L, 5L, 30L))
+    val rows = data.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+    for (parts <- Seq(1, 3, 8)) {
+      val cc = udaf(new graft.functions.SketchAggregators.CollectCappedAggregator(cap))
+      val got = spark.createDataset(rows).repartition(parts).toDF("g", "v")
+        .groupBy("g").agg(cc($"v").as("ds"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got(10L) == Seq(7L), s"singleton group at $parts parts")
+      assert(got(20L) == (1L to 5L), s"== cap group must be complete+sorted at $parts parts")
+      // overflow groups: exactly cap+1 entries, the SMALLEST ones, sorted
+      assert(got(30L) == (11L to 16L), s"cap+1 witness at $parts parts")
+      assert(got(40L) == Seq(1L, 3L, 5L, 8L, 9L, 14L),
+        s"overflow must keep the cap+1 smallest at $parts parts")
+      assert(got.values.forall(_.size <= cap + 1), "buffer bound violated")
+    }
+  }
 }
