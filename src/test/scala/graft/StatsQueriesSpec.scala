@@ -10,13 +10,18 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The StatsQueries* families against HAND-COMPUTED fixtures — evidence
   * independent of the DuckDB oracle mirror (which, being same-text by
   * design, cannot catch a formula that is wrong the same way on both
-  * sides). Each test writes a tiny synthetic `events` table whose
-  * statistic is computable on paper and pins the engine's output to it:
+  * sides). Each test writes a tiny synthetic table whose statistic is
+  * computable on paper and pins the engine's output to it:
   * Kendall τ-b (known concordance table), Mann–Kendall + Sen (strictly
   * increasing series), Cochran's Q (3×4 textbook table), Kaplan–Meier /
   * Nelson–Aalen (3-subject table recomputed from first principles),
-  * time-decay attribution (two touches, exact 2^k shares), and
-  * geometric adstock (two-day closed form).
+  * time-decay attribution (two touches, exact 2^k shares), geometric
+  * adstock (two-day closed form), log-rank (4-subject table from the
+  * Mantel–Haenszel formula), Tukey HSD (two 3-obs groups, exact MSW),
+  * Bass diffusion (3-point exact quadratic interpolation), Erlang-B/C
+  * (offered load 1 — the closed 1/2, 1/5, 1/16 chain), Weibull
+  * median-rank fit (two duration levels, Bernard ranks re-derived), and
+  * Cramér's V (2×2 table with integer-exact margins).
   */
 class StatsQueriesSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -46,6 +51,67 @@ class StatsQueriesSpec extends AnyFunSuite {
   }
 
   private def snap9(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (custkey, priority, totalprice, year, month) → an `orders` fixture
+    * dir (timestamps from epoch-day arithmetic so year/month extraction
+    * under the UTC session recovers them exactly).
+    */
+  private def ordersFixture(rows: Seq[(Long, String, Double, Int, Int)]): String = {
+    val dir = Files.createTempDirectory("stats_fix_").toString
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    val data = rows.zipWithIndex.map { case ((c, pri, v, y, m), i) =>
+      val epochDay = java.time.LocalDate.of(y, m, 15).toEpochDay
+      Row(i.toLong, c, "O", v, new Timestamp(epochDay * 86400000L), pri)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  /** (returnflag, linestatus, rowcount) → a `lineitem` fixture dir. */
+  private def lineitemFixture(cells: Seq[(String, String, Int)]): String = {
+    val dir = Files.createTempDirectory("stats_fix_").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType)))
+    val data = cells.flatMap { case (rf, ls, n) =>
+      (0 until n).map(_ => (rf, ls))
+    }.zipWithIndex.map { case ((rf, ls), i) =>
+      Row(i.toLong, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, rf, ls,
+        new Timestamp(9000L * 86400000L))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  /** The house md5 experiment coin, recomputed independently (JDK
+    * MessageDigest, not Spark) so arm-dependent fixtures can choose
+    * users landing on known arms.
+    */
+  private def md5Arm(salt: String, uid: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt$uid".getBytes("UTF-8"))
+    java.lang.Long.parseLong(f"${d(0) & 0xff}%02x", 16) % 2
+  }
 
   test("q464 Kendall tau-b matches the hand-computed concordance table") {
     // daily views x = [1,2,3,4], purchases y = [1,3,2,4]:
@@ -156,5 +222,140 @@ class StatsQueriesSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("spend_cents"),
         r.getAs[Double]("adstock")))
     assert(out.toSeq === Seq((0L, 100L, 100.0), (1L, 200L, 250.0)))
+  }
+
+  test("q445 log-rank matches the hand-computed Mantel-Haenszel table") {
+    // Subjects (t, event, arm), arms chosen via the independently
+    // recomputed md5 coin: arm0 = {t=1 event, t=3 censored},
+    // arm1 = {t=1 event, t=2 event}. Risk table:
+    //   t=1: n=4, n1=2, d=2, d1=1 -> e1 = 2*2/4 = 1, v = 2*(1/2)(1/2)(2/3) = 1/3
+    //   t=2: n=2, n1=1, d=1, d1=1 -> e1 = 1/2,       v = 1/4
+    //   t=3: d=0, dropped
+    // O1 = 2, E1_e9 = 1_500_000_000, V_e9 = 333333333 + 250000000
+    // chi2 = 0.25 / 0.583333333 -> 0.428571, not rejected
+    val g0 = (1L to 200L).filter(md5Arm("lr#", _) == 0L).take(2)
+    val g1 = (1L to 200L).filter(md5Arm("lr#", _) == 1L).take(2)
+    val rows = Seq(
+      (0, 1, g0(0), "view", 1.0), (1, 1, g0(0), "purchase", 1.0),
+      (0, 1, g0(1), "view", 1.0), (3, 1, g0(1), "view", 1.0), // censored; sets horizon 3
+      (0, 1, g1(0), "view", 1.0), (1, 1, g1(0), "purchase", 1.0),
+      (0, 1, g1(1), "view", 1.0), (2, 1, g1(1), "purchase", 1.0))
+    val out = graft.queries.StatsQueries
+      .q445LogRank(spark, fixture(rows)).collect()(0)
+    assert(out.getAs[Long]("n_times") === 2L)
+    assert(out.getAs[Long]("o1") === 2L)
+    assert(out.getAs[Long]("e1_e9") === 1500000000L)
+    assert(out.getAs[Long]("v_e9") === 583333333L)
+    assert(out.getAs[Double]("chi2") === round6(0.25 / 0.583333333))
+    assert(out.getAs[Long]("reject") === 0L)
+  }
+
+  test("q461 Tukey HSD matches the two-group exact-MSW closed form") {
+    // g1 cents {100,200,300}, g2 {400,500,600}: means 200/500,
+    // SSW = 20000 + 20000, df = 4 -> MSW = 10000 exactly;
+    // diff = -300, HSD = 3.858 * sqrt(10000/2 * (1/3 + 1/3))
+    val dir = ordersFixture(Seq(
+      (1L, "1-URGENT", 1.0, 1995, 1), (2L, "1-URGENT", 2.0, 1995, 1),
+      (3L, "1-URGENT", 3.0, 1995, 1),
+      (4L, "2-HIGH", 4.0, 1995, 1), (5L, "2-HIGH", 5.0, 1995, 1),
+      (6L, "2-HIGH", 6.0, 1995, 1)))
+    val out = graft.queries.StatsQueries2.q461TukeyHsd(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    val hsd = 3.858 * math.sqrt(10000.0 / 2.0 * (1.0 / 3 + 1.0 / 3))
+    assert(r.getAs[String]("g1") === "1-URGENT")
+    assert(r.getAs[String]("g2") === "2-HIGH")
+    assert(r.getAs[Double]("mean_diff_cents") === -300.0)
+    assert(r.getAs[Double]("hsd_cents") === round6(hsd))
+    // |diff| = 300 > HSD ~ 222.74 -> significant
+    assert(r.getAs[Long]("significant") === 1L)
+  }
+
+  test("q463 Bass diffusion recovers the exact 3-point interpolating quadratic") {
+    // Adoptions by month: [1, 2, 1] -> (np, n) points (0,1), (1,2), (3,1).
+    // The OLS quadratic through 3 distinct points is the interpolant:
+    // a = 1, b = 1.5, c = -0.5; then m = (-b - sqrt(b^2 - 4ac)) / (2c)
+    // = 1.5 + sqrt(4.25), p = 1/m, q = b + p (discrete-Bass identities)
+    val dir = ordersFixture(Seq(
+      (1L, "1-URGENT", 1.0, 1995, 1),
+      (2L, "1-URGENT", 1.0, 1995, 2), (3L, "1-URGENT", 1.0, 1995, 2),
+      (4L, "1-URGENT", 1.0, 1995, 3)))
+    val out = graft.queries.StatsQueries3.q463BassDiffusion(spark, dir).collect()(0)
+    val m = 1.5 + math.sqrt(4.25)
+    assert(out.getAs[Long]("n_months") === 3L)
+    assert(out.getAs[Double]("a") === 1.0)
+    assert(out.getAs[Double]("b") === 1.5)
+    assert(out.getAs[Double]("c") === -0.5)
+    assert(out.getAs[Double]("m_hat") === round6(m))
+    assert(out.getAs[Double]("p_hat") === round6(1.0 / m))
+    assert(out.getAs[Double]("q_hat") === round6(1.5 + 1.0 / m))
+  }
+
+  test("q468 Erlang-B/C at offered load 1 matches the closed recursion") {
+    // 288 events in one day: a = 288 * 5 / 1440 = 1 exactly.
+    // B(1) = 1/2, B(2) = 1/5, B(3) = 1/16 (hand recursion);
+    // C(1) undefined (c = a), C(2) = 0.4/1.2 = 1/3, C(3) = 0.1875/2.0625
+    val rows = (0 until 288).map(i => (0, 1 + i % 20, (i % 7).toLong, "view", 1.0))
+    val out = graft.queries.StatsQueries3
+      .q468ErlangStaffing(spark, fixture(rows)).collect()
+    assert(out.length === 24)
+    val byC = out.map(r => r.getAs[Long]("servers") -> r).toMap
+    assert(byC(1L).getAs[Double]("offered_load") === 1.0)
+    assert(byC(1L).getAs[Double]("erlang_b") === 0.5)
+    assert(byC(1L).isNullAt(byC(1L).fieldIndex("p_wait"))) // queue unstable at c = a
+    assert(byC(2L).getAs[Double]("erlang_b") === 0.2)
+    assert(byC(2L).getAs[Double]("p_wait") === round6(0.4 / 1.2))
+    assert(byC(3L).getAs[Double]("erlang_b") === 0.0625)
+    assert(byC(3L).getAs[Double]("p_wait") === round6(0.1875 / 2.0625))
+    // every row against the paper recursion, folded independently
+    for (c <- 1 to 24) {
+      var acc = 1.0
+      for (k <- 1 to c) acc = acc / (k + acc) // a = 1
+      assert(byC(c.toLong).getAs[Double]("erlang_b") === round6(acc), s"B($c)")
+    }
+  }
+
+  test("q473 Weibull median-rank fit matches the re-derived Bernard-rank OLS") {
+    // Durations: t=1 (2 users), t=2 (1 user); a censored user and a
+    // same-day converter are filtered out. n = 3; Bernard mean ranks:
+    // t=1 -> i2 = 3, 1-F = 22/34; t=2 -> i2 = 6, 1-F = 7/34.
+    // x9/y9 snapped to the 1e-9 grid, weighted OLS re-derived here.
+    val rows = Seq(
+      (0, 1, 1L, "view", 1.0), (1, 1, 1L, "purchase", 1.0),
+      (0, 1, 2L, "view", 1.0), (1, 1, 2L, "purchase", 1.0),
+      (0, 1, 3L, "view", 1.0), (2, 1, 3L, "purchase", 1.0),
+      (0, 1, 4L, "view", 1.0), // censored -> filtered
+      (0, 1, 5L, "view", 1.0), (0, 2, 5L, "purchase", 1.0)) // same-day -> filtered
+    val out = graft.queries.StatsQueries4.q473WeibullFit(spark, fixture(rows)).collect()(0)
+    assert(out.getAs[Long]("n_uncensored") === 3L)
+    assert(out.getAs[Long]("n_levels") === 2L)
+    val x1 = snap9(math.log(1.0)) // = 0
+    val x2 = snap9(math.log(2.0))
+    val y1 = snap9(math.log(-math.log(22.0 / 34)))
+    val y2 = snap9(math.log(-math.log(7.0 / 34)))
+    val (sw, swx, swy) = (3.0, (2 * x1 + x2).toDouble, (2 * y1 + y2).toDouble)
+    val swxy = (BigInt(2) * BigInt(x1) * BigInt(y1) + BigInt(x2) * BigInt(y2)).toDouble
+    val swxx = (BigInt(2) * BigInt(x1) * BigInt(x1) + BigInt(x2) * BigInt(x2)).toDouble
+    val shape = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+    val icept9 = (swy - shape * swx) / sw
+    assert(out.getAs[Double]("weibull_shape") === round6(shape))
+    assert(out.getAs[Double]("ln_scale_days") === round6((0.0 - icept9 / 1e9) / shape))
+  }
+
+  test("q466 Cramer's V matches the 2x2 integer-margin table") {
+    // o = [[10,20],[30,40]]: margins 30/70 and 40/60, n = 100 ->
+    // e = [[12,18],[28,42]] exactly; chi2 terms 4/12, 4/18, 4/28, 4/42
+    // snapped to 1e-9 each -> chi_e9 = 793650793
+    val dir = lineitemFixture(Seq(
+      ("A", "F", 10), ("A", "O", 20), ("B", "F", 30), ("B", "O", 40)))
+    val out = graft.queries.StatsQueries3.q466CramersV(spark, dir).collect()
+    assert(out.map(r => (r.getAs[String]("returnflag"),
+      r.getAs[String]("linestatus"), r.getAs[Long]("observed"),
+      r.getAs[Double]("expected"))).toSeq === Seq(
+      ("A", "F", 10L, 12.0), ("A", "O", 20L, 18.0),
+      ("B", "F", 30L, 28.0), ("B", "O", 40L, 42.0)))
+    val chi2 = 793650793L / 1e9
+    assert(out.forall(_.getAs[Double]("chi2") === round6(chi2)))
+    assert(out.forall(_.getAs[Double]("cramers_v") === round6(math.sqrt(chi2 / 100))))
   }
 }
