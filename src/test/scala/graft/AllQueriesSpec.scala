@@ -54,6 +54,12 @@ class AllQueriesSpec extends AnyFunSuite {
       // single-partition sort over row-scale data
       if (!PlanGuards.globalWindowExceptions(name))
         PlanGuards.assertGlobalWindowsBounded(df, name)
+      // round-17 guards: no O(n·m) pair product, no single-task funnel
+      // of row-scale data (census/limit-bounded inputs are exempt —
+      // PlanGuards doc)
+      PlanGuards.assertNoRowScalePairProduct(df, name)
+      if (!PlanGuards.globalWindowExceptions(name))
+        PlanGuards.assertNoSinglePartitionFunnel(df, name)
       val n = df.count()
       assert(n > 0, s"$name returned 0 rows")
     }

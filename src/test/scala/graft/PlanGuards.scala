@@ -1,10 +1,12 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, RDDScanExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** The global-window invariant, frozen as a reusable assertion: an
@@ -71,5 +73,81 @@ object PlanGuards {
       s"$label: unpartitioned WindowExec over row-scale input — " +
         "rebuild with the census-rank device or bound the input:\n" +
         offenders.map(_.treeString).mkString("\n"))
+  }
+
+  // --- round-17 guards: pair products and single-partition funnels ----
+
+  /** Leaves whose row count is NOT data-scale: literal VALUES / range
+    * (driver-known constants), and checkpoint leaves (`localCheckpoint`
+    * is the repo's lineage-cut device and is only ever applied to
+    * census/summary frames — a 100 TB checkpoint is not a thing; this is
+    * the documented flip side of the round-16 window-guard gotcha, where
+    * the same leaves COUNT as unbounded because a window needs the
+    * stronger agg-on-the-lineage proof).
+    */
+  private def boundedLeaf(p: SparkPlan): Boolean = p match {
+    case _: LocalTableScanExec | _: RDDScanExec | _: RangeExec => true
+    case _ => false
+  }
+
+  /** A filter with an equality-to-literal (or IN-literal-set) conjunct
+    * is a POINT LOOKUP — the `vec_id = 0` query-vector side of the
+    * brute-force cosine family: O(1)/O(|set|) rows by key selectivity.
+    * Range predicates deliberately do NOT count (a `>` keeps the side
+    * data-scale).
+    */
+  private def pointFilter(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, In, InSet, Literal}
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match { case And(l, r) => conjuncts(l) ++ conjuncts(r); case o => Seq(o) }
+    conjuncts(cond).exists {
+      case EqualTo(_, _: Literal) | EqualTo(_: Literal, _) => true
+      case In(_, vs) if vs.forall(_.isInstanceOf[Literal]) => true
+      case _: InSet => true
+      case _ => false
+    }
+  }
+
+  private def boundedOrConst(p: SparkPlan): Boolean = p match {
+    case f: org.apache.spark.sql.execution.FilterExec if pointFilter(f.condition) => true
+    case _ =>
+      isBounding(p) || boundedLeaf(p) ||
+        { val c = kids(p); c.nonEmpty && c.forall(boundedOrConst) }
+  }
+
+  private def collectNodes[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+    f.lift(p).toSeq ++ kids(p).flatMap(collectNodes(_)(f))
+
+  /** Assert no CartesianProduct / BroadcastNestedLoopJoin pairs two
+    * row-scale inputs — the O(n·m) shape that no cluster survives. A
+    * census / 1-row broadcast / literal-grid side makes the product
+    * O(n·const) and is allowed (that is every legitimate crossJoin in
+    * the repo). Does not execute the query.
+    */
+  def assertNoRowScalePairProduct(df: DataFrame, label: String): Unit = {
+    val offenders = collectNodes(df.queryExecution.executedPlan) {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec        => j
+    }.filterNot(j => j.children.exists(boundedOrConst))
+    assert(offenders.isEmpty,
+      s"$label: Cartesian/BroadcastNestedLoop join over TWO row-scale inputs — " +
+        "band/bucket the join or bound one side:\n" +
+        offenders.map(_.nodeName).mkString("\n"))
+  }
+
+  /** Assert no shuffle funnels a row-scale input into ONE partition (the
+    * single-task sort/collect bottleneck — a global window or
+    * repartition(1) over a fact table). Bounded inputs (censuses,
+    * post-top-k rows) may funnel: that is the order-pinned-cumulative
+    * device working as designed. Does not execute the query.
+    */
+  def assertNoSinglePartitionFunnel(df: DataFrame, label: String): Unit = {
+    val offenders = collectNodes(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.filterNot(e => boundedOrConst(e.child))
+    assert(offenders.isEmpty,
+      s"$label: single-partition exchange over row-scale input — " +
+        "the downstream operator runs as ONE task:\n" +
+        offenders.map(_.child.nodeName).mkString("\n"))
   }
 }
