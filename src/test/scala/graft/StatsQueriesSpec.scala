@@ -103,6 +103,63 @@ class StatsQueriesSpec extends AnyFunSuite {
     dir
   }
 
+  /** (epochDay, totalprice) → an `orders` fixture dir with DAILY
+    * resolution (q447's drawdown needs consecutive days, not months).
+    */
+  private def ordersDaily(rows: Seq[(Long, Double)]): String = {
+    val dir = Files.createTempDirectory("stats_fix_").toString
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    val data = rows.zipWithIndex.map { case ((d, v), i) =>
+      Row(i.toLong, i.toLong, "O", v, new Timestamp(d * 86400000L), "1-URGENT")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  /** nation + customer + orders triple for the dim-join estimators:
+    * (nationkey → name), (custkey → nationkey), buyer custkeys.
+    */
+  private def conversionFixture(nations: Seq[(Int, String)],
+      custs: Seq[(Long, Int)], buyers: Seq[Long]): String = {
+    val dir = Files.createTempDirectory("stats_fix_").toString
+    val nSchema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(nations.map { case (k, n) => Row(k, n, 0) }, 1),
+      nSchema).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val cSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        custs.map { case (c, n) => Row(c, s"c$c", n, 0.0, "BUILDING") }, 1),
+      cSchema).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val oSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(buyers.zipWithIndex.map { case (c, i) =>
+        Row(i.toLong, c, "O", 1.0, new Timestamp(9000L * 86400000L), "1-URGENT")
+      }, 1), oSchema).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
   /** The house md5 experiment coin, recomputed independently (JDK
     * MessageDigest, not Spark) so arm-dependent fixtures can choose
     * users landing on known arms.
@@ -340,6 +397,59 @@ class StatsQueriesSpec extends AnyFunSuite {
     val icept9 = (swy - shape * swx) / sw
     assert(out.getAs[Double]("weibull_shape") === round6(shape))
     assert(out.getAs[Double]("ln_scale_days") === round6((0.0 - icept9 / 1e9) / shape))
+  }
+
+  test("q447 drawdown + Sharpe matches the 3-day hand trace") {
+    // Daily revenue cents [300, 100, 200] (x = [3, 1, 2] dollars):
+    // detrended index dev = n*cum - (t+1)*total = [300, 0, 0],
+    // running max 300 -> drawdowns [0, 300, 300]; trough = earliest max
+    // (day 10001), peak = earliest dev == runmax <= trough (day 10000),
+    // max_drawdown = 300/n = 100 cents. Sharpe: mean = 2, sample
+    // variance = (3*14 - 36)/6 = 1 -> 2.0 exactly.
+    val dir = ordersDaily(Seq((10000L, 3.0), (10001L, 1.0), (10002L, 2.0)))
+    val out = graft.queries.StatsQueries.q447DrawdownSharpe(spark, dir).collect()(0)
+    assert(out.getAs[Long]("n_days") === 3L)
+    assert(out.getAs[Long]("max_drawdown_cents") === 100L)
+    assert(out.getAs[Long]("peak_day") === 10000L)
+    assert(out.getAs[Long]("trough_day") === 10001L)
+    assert(out.getAs[Double]("mean_daily_dollars") === 2.0)
+    assert(out.getAs[Double]("sharpe_daily") === 2.0)
+  }
+
+  test("q456 Wilson intervals match the published-z closed form per nation") {
+    // ALPHA: 4 customers, 1 buyer (p = 1/4); BETA: 2 customers, 2 buyers
+    // (p = 1 — the extreme-p case Wilson exists for); global g = 1/2.
+    val dir = conversionFixture(
+      nations = Seq(1 -> "ALPHA", 2 -> "BETA"),
+      custs = Seq(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 2, 6L -> 2),
+      buyers = Seq(1L, 5L, 6L))
+    val out = graft.queries.StatsQueries2.q456WilsonIntervals(spark, dir).collect()
+    val z = 1.959963984540054
+    def wilson(k: Long, n: Long): (Double, Double) = { // unrounded bounds
+      val p = k.toDouble / n
+      val denom = 1.0 + z * z / n
+      val center = (p + z * z / (2.0 * n)) / denom
+      val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)) / denom
+      (center - half, center + half)
+    }
+    val byN = out.map(r => r.getAs[String]("nation") -> r).toMap
+    val (aLo, aHi) = wilson(1, 4)
+    val (bLo, bHi) = wilson(2, 2)
+    assert(byN("ALPHA").getAs[Double]("p_hat") === 0.25)
+    assert((byN("ALPHA").getAs[Double]("wilson_lo"),
+      byN("ALPHA").getAs[Double]("wilson_hi")) === ((round6(aLo), round6(aHi))))
+    assert(byN("BETA").getAs[Double]("p_hat") === 1.0)
+    assert((byN("BETA").getAs[Double]("wilson_lo"),
+      byN("BETA").getAs[Double]("wilson_hi")) === ((round6(bLo), round6(bHi))))
+    // the outside flag, re-derived from the same unrounded bounds on
+    // the 1e-6 grid (not from intuition — Wilson at p = 1, n = 2 still
+    // reaches below g = 1/2)
+    val g = 0.5
+    for ((nat, lo, hi) <- Seq(("ALPHA", aLo, aHi), ("BETA", bLo, bHi))) {
+      val expect = if (math.floor(g * 1e6 + 0.5) < math.floor(lo * 1e6 + 0.5) ||
+        math.floor(g * 1e6 + 0.5) > math.floor(hi * 1e6 + 0.5)) 1L else 0L
+      assert(byN(nat).getAs[Long]("global_outside") === expect, nat)
+    }
   }
 
   test("q466 Cramer's V matches the 2x2 integer-margin table") {
