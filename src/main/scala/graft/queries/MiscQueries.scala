@@ -5088,11 +5088,13 @@ object MiscQueries extends QueryModule {
     * Determinism: the day census is integer dollars; the trend is
     * sum7 div 7 over full 7-day windows (positive — trunc == floor);
     * detrended values are exact signed BIGINTs; the effect and both
-    * variances come off BIGINT moments via the group-mean identity
-    * Σ(det−e)² = Σdet² − Σ n_d·e_d², one double chain at the end.
-    * Scale: one shuffle to the day census; MA window and weekday agg
-    * run on ~2 500 census rows; dollars (not cents) keep Σdet² inside
-    * BIGINT at 1000× the gate scale.
+    * variances come off exact moments via the group-mean identity
+    * Σ(det−e)² = Σdet² − Σ sd_d²/n_d, with Σdet² on DECIMAL(38,0) and
+    * the 7-term between-group sum ORDER-PINNED (cumulative over the
+    * dow-sorted census — identical add order in both engines; the
+    * round-17 sf1 probe caught the earlier sd²·100 BIGINT lattice
+    * overflowing at 10×). Scale: one shuffle to the day census; MA
+    * window and weekday agg run on ~2 500 census rows.
     */
   def q389SeasonalDecomp(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -5107,23 +5109,27 @@ object MiscQueries extends QueryModule {
       .filter(col("c7") === 7)
       .select((dayofweek(col("d")) - 1).cast("long").as("dow"),
         (col("rev") - expr("s7 div 7")).as("det"))
+    // Σdet² rides DECIMAL(38,0) and the between-group sum of squares is
+    // an ORDER-PINNED double cumulative over the dow-sorted 7-row census
+    // (the q457 device) — the previous centi-dollar² integer lattice
+    // (sd²·100) overflowed BIGINT at the sf1 probe, loudly under ANSI
     val byDow = det.groupBy("dow")
       .agg(count(lit(1)).as("n_days"), sum("det").as("sd"),
-        sum(col("det") * col("det")).as("sdd"))
-    // between-group sum of squares on the exact centi-dollar² grid
-    // (sd²·100 div n_d per group, then an integer sum) — a float sum
-    // over the 7 group terms would be order-dependent across engines
+        sum((col("det") * col("det")).cast("decimal(38,0)")).as("sdd"))
+      .withColumn("vb", expr("CAST(sd AS DOUBLE) * sd / n_days"))
+      .withColumn("vb_cum", sum("vb").over(Window.orderBy("dow")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
     val tot = byDow.agg(sum("n_days").as("n"), sum("sd").as("st"),
-      sum("sdd").as("stt"),
-      sum(expr("(sd * sd * 100) div n_days")).as("ssb_c"))
+      sum("sdd").as("stt"), max("vb_cum").as("ssb"))
     byDow.crossJoin(broadcast(tot))
       .selectExpr("dow", "n_days",
         "round(CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS effect_dollar",
-        "CAST(stt * 100 - (st * st * 100) div n AS DOUBLE) AS ssd_c",
-        "CAST(stt * 100 - ssb_c AS DOUBLE) AS ssr_c", "CAST(n AS DOUBLE) AS nd")
+        "CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n AS ssd_d",
+        "CAST(stt AS DOUBLE) - ssb AS ssr_d", "CAST(n AS DOUBLE) AS nd")
       .selectExpr("dow", "n_days", "effect_dollar",
-        "round(greatest(0.0, 1.0 - ssr_c / ssd_c), 6) AS seasonal_strength",
-        "round(sqrt(ssr_c / (100.0 * nd)), 6) AS resid_sd")
+        "round(greatest(0.0, 1.0 - ssr_d / ssd_d), 6) AS seasonal_strength",
+        "round(sqrt(greatest(0.0, ssr_d) / nd), 6) AS resid_sd")
       .orderBy("dow")
   }
 
@@ -6136,9 +6142,12 @@ object MiscQueries extends QueryModule {
       .groupBy("cls")
       .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_c"),
         max("tn").as("tn"), max("trev").as("trev"))
+      // rev_c·10⁶ exceeds BIGINT once class revenue passes ~9·10¹² cents
+      // (the sf1 probe's loud ANSI overflow) — the ppm product rides
+      // DECIMAL(38,0), div back to an exact ≤10⁶ BIGINT
       .selectExpr("cls", "n_parts",
         "n_parts * 1000000L div tn AS item_share_ppm",
-        "rev_c * 1000000L div trev AS rev_share_ppm",
+        "CAST(rev_c AS DECIMAL(38,0)) * 1000000 div trev AS rev_share_ppm",
         "round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue_dollar")
       .orderBy("cls")
   }
@@ -6243,8 +6252,10 @@ object MiscQueries extends QueryModule {
         expr("floor(o_totalprice * 100.0 + 0.5) div 100").as("rev"))
       .groupBy("d").agg(sum("rev").as("y"))
     val w = Window.orderBy("d")
+    // Σy² is dollars²-scale — BIGINT overflows at sf1 (probe-measured);
+    // DECIMAL(38,0), one double conversion in the objective chain
     val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("s"),
-      sum(col("y") * col("y")).as("ss"))
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("ss"))
     val scans = daily
       .withColumn("i", row_number().over(w).cast("long"))
       .withColumn("cl", sum("y").over(w))
@@ -6596,9 +6607,11 @@ object MiscQueries extends QueryModule {
       .groupBy("abc", "xyz")
       .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_cell"),
         max("tn").as("tn"), max("trev").as("trev"))
+      // the q421 device: the ppm product rides DECIMAL(38,0) (rev_cell·10⁶
+      // overflows BIGINT at sf1 — the probe's loud ANSI failure)
       .selectExpr("abc", "xyz", "n_parts",
         "n_parts * 1000000L div tn AS item_share_ppm",
-        "rev_cell * 1000000L div trev AS rev_share_ppm")
+        "CAST(rev_cell AS DECIMAL(38,0)) * 1000000 div trev AS rev_share_ppm")
       .orderBy("abc", "xyz")
   }
 
@@ -7869,7 +7882,7 @@ object MiscQueries extends QueryModule {
         |           AS y
         |  FROM orders GROUP BY 1),
         |tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
-        |               sum(y * y)::BIGINT AS ss FROM daily),
+        |               sum(y::HUGEINT * y) AS ss FROM daily),
         |scans AS (
         |  SELECT d, row_number() OVER (ORDER BY d)::BIGINT AS i,
         |         sum(y) OVER (ORDER BY d)::BIGINT AS cl
@@ -8668,23 +8681,27 @@ object MiscQueries extends QueryModule {
         |  FROM ma WHERE c7 = 7),
         |bd AS (
         |  SELECT dow, count(*)::BIGINT AS n_days, sum(det)::BIGINT AS sd,
-        |         sum(det * det)::BIGINT AS sdd
+        |         sum(det::HUGEINT * det) AS sdd
         |  FROM det GROUP BY 1),
+        |bd2 AS (
+        |  SELECT dow, n_days, sd, sdd,
+        |         sum(sd::DOUBLE * sd / n_days) OVER (ORDER BY dow
+        |           ROWS UNBOUNDED PRECEDING) AS vb_cum
+        |  FROM bd),
         |tot AS (
         |  SELECT sum(n_days)::BIGINT AS n, sum(sd)::BIGINT AS st,
-        |         sum(sdd)::BIGINT AS stt,
-        |         sum((sd * sd * 100) // n_days)::BIGINT AS ssb_c
-        |  FROM bd),
+        |         sum(sdd) AS stt, max(vb_cum) AS ssb
+        |  FROM bd2),
         |j AS (
         |  SELECT dow, n_days, sd,
-        |         (stt * 100 - (st * st * 100) // n)::DOUBLE AS ssd_c,
-        |         (stt * 100 - ssb_c)::DOUBLE AS ssr_c, n::DOUBLE AS nd
-        |  FROM bd, tot)
+        |         stt::DOUBLE - st::DOUBLE * st / n AS ssd_d,
+        |         stt::DOUBLE - ssb AS ssr_d, n::DOUBLE AS nd
+        |  FROM bd2, tot)
         |SELECT dow, n_days,
         |       round(sd::DOUBLE / n_days::DOUBLE, 6) + 0.0 AS effect_dollar,
-        |       round(greatest(0.0, 1.0 - ssr_c / ssd_c), 6) + 0.0
+        |       round(greatest(0.0, 1.0 - ssr_d / ssd_d), 6) + 0.0
         |         AS seasonal_strength,
-        |       round(sqrt(ssr_c / (100.0 * nd)), 6) + 0.0 AS resid_sd
+        |       round(sqrt(greatest(0.0, ssr_d) / nd), 6) + 0.0 AS resid_sd
         |FROM j ORDER BY dow""".stripMargin,
     // same (ts, event_id) total order, same contiguous trigrams,
     // same (support desc, occurrences desc, pattern) heap

@@ -234,7 +234,9 @@ object StatsQueries extends QueryModule {
     * Determinism: the index, running max, and drawdown are exact BIGINTs
     * (drawdown is reported div n, back in cents); peak/trough days break
     * ties by earliest day; Sharpe is an IEEE chain over exact integer
-    * moments (daily dollars, so Σx² ≲ 6·10¹⁷ fits BIGINT at sf10) with
+    * moments — Σx² rides DECIMAL(38,0) ↔ HUGEINT (the round-17 sf1 probe
+    * caught the BIGINT sum overflowing at 10×; both engines' wide-int →
+    * double conversions round identically) with
     * correctly-rounded sqrt. Scale: everything past the per-day
     * aggregate runs over the ~2 400-row calendar census
     * (PlanGuards-bounded; a 100 TB fact table still has ≤ the calendar's
@@ -246,8 +248,10 @@ object StatsQueries extends QueryModule {
         floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
       .groupBy("day").agg(sum("cents").as("cents"))
       .withColumn("x", expr("cents div 100"))
+    // Σx² is dollars²-scale — BIGINT overflows at sf1 (probe-measured);
+    // DECIMAL(38,0) ↔ HUGEINT, converted once in the Sharpe chain
     val tot = daily.agg(count(lit(1)).as("n"), sum("cents").as("s"),
-      sum("x").as("sx"), sum(expr("x * x")).as("sx2"))
+      sum("x").as("sx"), sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sx2"))
     val wAsc = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = daily
@@ -623,7 +627,7 @@ object StatsQueries extends QueryModule {
         |d2 AS (SELECT day, cents, cents // 100 AS x FROM daily),
         |tot AS (
         |  SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
-        |         sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sx2
+        |         sum(x)::BIGINT AS sx, sum(x::HUGEINT * x) AS sx2
         |  FROM d2),
         |scored AS (
         |  SELECT d2.day, t.n, t.s, t.sx, t.sx2,
