@@ -57,7 +57,8 @@ class AllQueriesSpec extends AnyFunSuite {
       // round-17 guards: no O(n·m) pair product, no single-task funnel
       // of row-scale data (census/limit-bounded inputs are exempt —
       // PlanGuards doc)
-      PlanGuards.assertNoRowScalePairProduct(df, name)
+      if (!PlanGuards.pairProductExceptions(name))
+        PlanGuards.assertNoRowScalePairProduct(df, name)
       if (!PlanGuards.globalWindowExceptions(name))
         PlanGuards.assertNoSinglePartitionFunnel(df, name)
       val n = df.count()
