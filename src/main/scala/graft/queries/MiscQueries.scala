@@ -4163,7 +4163,11 @@ object MiscQueries extends QueryModule {
       .withColumn("cp", sum("np").over(wDesc))
       .withColumn("cc", sum("nc").over(wDesc))
     val tot = census.agg(sum("np").as("p"))
-    val ap = cum.agg(sum(expr("np * cp * 1000000L div cc")).as("ap_u"))
+    // the per-term product rides DECIMAL(38,0) — np·cp·10⁶ is a
+    // positives²-scale integer that wraps BIGINT around sf100 (the
+    // q421/q447 class the round-17 sf1 sweep caught; each term after
+    // the div is ≤ np·10⁶, so the SUM stays comfortably BIGINT)
+    val ap = cum.agg(sum(expr("CAST(np AS DECIMAL(38,0)) * cp * 1000000 div cc")).as("ap_u"))
       .crossJoin(broadcast(tot))
       .select((col("ap_u").cast("double") /
         (col("p").cast("double") * 1000000.0)).as("avg_precision"))
@@ -9411,7 +9415,7 @@ object MiscQueries extends QueryModule {
         |  FROM census),
         |tot AS (SELECT sum(np)::BIGINT AS p FROM census),
         |ap AS (
-        |  SELECT sum(np * cp * 1000000 // cc)::DOUBLE /
+        |  SELECT sum(np::HUGEINT * cp * 1000000 // cc)::DOUBLE /
         |         ((SELECT p FROM tot)::DOUBLE * 1000000.0) AS avg_precision
         |  FROM cum)
         |SELECT sc // 500 AS band, (sc // 500)::DOUBLE * 5.0 AS thr_usd,
