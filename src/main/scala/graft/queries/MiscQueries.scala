@@ -7056,9 +7056,11 @@ object MiscQueries extends QueryModule {
         sum(when(col("exposed") === 0 && col("ret") === 1, 1L).otherwise(0L)).as("c"),
         sum(when(col("exposed") === 0 && col("ret") === 0, 1L).otherwise(0L)).as("d"))
       .localCheckpoint()
+    // a·d·10⁶ is stratum-count²-scale (wraps BIGINT around sf100) —
+    // the q421 class; per-term DECIMAL(38,0), the summed quotients stay BIGINT
     val pooled = cells.agg(
-      sum(expr("a * d * 1000000L div (a + b + c + d)")).as("cmh_num_u"),
-      sum(expr("b * c * 1000000L div (a + b + c + d)")).as("cmh_den_u"),
+      sum(expr("CAST(a AS DECIMAL(38,0)) * d * 1000000 div (a + b + c + d)")).as("cmh_num_u"),
+      sum(expr("CAST(b AS DECIMAL(38,0)) * c * 1000000 div (a + b + c + d)")).as("cmh_den_u"),
       sum("a").as("ta"), sum("b").as("tb"), sum("c").as("tc"), sum("d").as("td"))
     cells.crossJoin(broadcast(pooled))
       .selectExpr("stratum", "a", "b", "c", "d",
@@ -7683,8 +7685,8 @@ object MiscQueries extends QueryModule {
         |  JOIN region r ON n.n_regionkey = r.r_regionkey
         |  GROUP BY 1),
         |pooled AS (
-        |  SELECT sum(a * d * 1000000 // (a + b + c + d))::BIGINT AS cmh_num_u,
-        |         sum(b * c * 1000000 // (a + b + c + d))::BIGINT AS cmh_den_u,
+        |  SELECT sum(a::HUGEINT * d * 1000000 // (a + b + c + d))::BIGINT AS cmh_num_u,
+        |         sum(b::HUGEINT * c * 1000000 // (a + b + c + d))::BIGINT AS cmh_den_u,
         |         sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb,
         |         sum(c)::BIGINT AS tc, sum(d)::BIGINT AS td
         |  FROM cells)

@@ -1365,14 +1365,16 @@ object PipelineQueries extends QueryModule {
       .groupBy("node").agg(count(lit(1)).as("tri"))
     val perNode = deg.join(triPerNode, Seq("node"), "left")
       .na.fill(0L, Seq("tri"))
+      // tri ≤ C(deg,2) is deg²-scale — a 3·10⁶-degree hub would wrap
+      // tri·2·10⁶ in BIGINT; the product rides DECIMAL(38,0) (q421 class)
       .withColumn("coeff_ppm", when(col("deg") >= 2,
-        expr("tri * 2 * 1000000L div (deg * (deg - 1))")).otherwise(lit(0L)))
+        expr("CAST(tri AS DECIMAL(38,0)) * 2 * 1000000 div (deg * (deg - 1))")).otherwise(lit(0L)))
     val glob = perNode.agg(
         sum("tri").as("tri3"),
         sum(expr("deg * (deg - 1) div 2")).as("wedges"),
         sum(when(col("deg") >= 2, col("coeff_ppm"))).as("sum_cc"),
         sum(when(col("deg") >= 2, 1L).otherwise(0L)).as("n2"))
-      .select(expr("tri3 * 1000000L div wedges").as("transitivity_ppm"),
+      .select(expr("CAST(tri3 AS DECIMAL(38,0)) * 1000000 div wedges").as("transitivity_ppm"),
         expr("sum_cc div n2").as("avg_cc_ppm"))
     perNode.filter(col("deg") >= 3)
       .crossJoin(broadcast(glob))
@@ -1570,7 +1572,7 @@ object PipelineQueries extends QueryModule {
         |pn AS (
         |  SELECT dg.node, dg.deg, coalesce(tn.tri, 0)::BIGINT AS tri,
         |         (CASE WHEN dg.deg >= 2
-        |               THEN coalesce(tn.tri, 0) * 2 * 1000000
+        |               THEN coalesce(tn.tri, 0)::HUGEINT * 2 * 1000000
         |                      // (dg.deg * (dg.deg - 1))
         |               ELSE 0 END)::BIGINT AS coeff_ppm
         |  FROM dg LEFT JOIN tn USING (node)),
@@ -1581,7 +1583,7 @@ object PipelineQueries extends QueryModule {
         |         sum(CASE WHEN deg >= 2 THEN 1 ELSE 0 END)::BIGINT AS n2
         |  FROM pn)
         |SELECT node, deg, tri, coeff_ppm,
-        |       (tri3 * 1000000 // wedges)::BIGINT AS transitivity_ppm,
+        |       (tri3::HUGEINT * 1000000 // wedges)::BIGINT AS transitivity_ppm,
         |       (sum_cc // n2)::BIGINT AS avg_cc_ppm
         |FROM pn CROSS JOIN g
         |WHERE deg >= 3

@@ -480,10 +480,12 @@ object StatsQueries2 extends QueryModule {
         sum(when(col("rn") <= 4, col("rev")).otherwise(0L)).as("top4"),
         sum(when(col("rn") <= 8, col("rev")).otherwise(0L)).as("top8"),
         sum(when(col("rn") === 1, col("rev")).otherwise(0L)).as("top1"))
+      // cents·10⁶ products ride DECIMAL(38,0) — the q421 class, one SF
+      // further out (top-k revenue wraps BIGINT·10⁶ around sf100+)
       .select(col("n_suppliers"), col("total_cents"),
-        expr("top1 * 1000000L div total_cents").as("cr1_ppm"),
-        expr("top4 * 1000000L div total_cents").as("cr4_ppm"),
-        expr("top8 * 1000000L div total_cents").as("cr8_ppm"))
+        expr("CAST(top1 AS DECIMAL(38,0)) * 1000000 div total_cents").as("cr1_ppm"),
+        expr("CAST(top4 AS DECIMAL(38,0)) * 1000000 div total_cents").as("cr4_ppm"),
+        expr("CAST(top8 AS DECIMAL(38,0)) * 1000000 div total_cents").as("cr8_ppm"))
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
