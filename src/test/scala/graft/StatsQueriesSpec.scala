@@ -124,10 +124,10 @@ class StatsQueriesSpec extends AnyFunSuite {
   }
 
   /** nation + customer + orders triple for the dim-join estimators:
-    * (nationkey → name), (custkey → nationkey), buyer custkeys.
+    * (nationkey → name), (custkey → nationkey), (buyer custkey, price).
     */
   private def conversionFixture(nations: Seq[(Int, String)],
-      custs: Seq[(Long, Int)], buyers: Seq[Long]): String = {
+      custs: Seq[(Long, Int)], buyers: Seq[(Long, Double)]): String = {
     val dir = Files.createTempDirectory("stats_fix_").toString
     val nSchema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
@@ -154,8 +154,8 @@ class StatsQueriesSpec extends AnyFunSuite {
       StructField("o_orderdate", TimestampType),
       StructField("o_orderpriority", StringType)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(buyers.zipWithIndex.map { case (c, i) =>
-        Row(i.toLong, c, "O", 1.0, new Timestamp(9000L * 86400000L), "1-URGENT")
+      spark.sparkContext.parallelize(buyers.zipWithIndex.map { case ((c, v), i) =>
+        Row(i.toLong, c, "O", v, new Timestamp(9000L * 86400000L), "1-URGENT")
       }, 1), oSchema).write.mode("overwrite").parquet(s"$dir/orders.parquet")
     dir
   }
@@ -422,7 +422,7 @@ class StatsQueriesSpec extends AnyFunSuite {
     val dir = conversionFixture(
       nations = Seq(1 -> "ALPHA", 2 -> "BETA"),
       custs = Seq(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 2, 6L -> 2),
-      buyers = Seq(1L, 5L, 6L))
+      buyers = Seq(1L -> 1.0, 5L -> 1.0, 6L -> 1.0))
     val out = graft.queries.StatsQueries2.q456WilsonIntervals(spark, dir).collect()
     val z = 1.959963984540054
     def wilson(k: Long, n: Long): (Double, Double) = { // unrounded bounds
@@ -450,6 +450,30 @@ class StatsQueriesSpec extends AnyFunSuite {
         math.floor(g * 1e6 + 0.5) > math.floor(hi * 1e6 + 0.5)) 1L else 0L
       assert(byN(nat).getAs[Long]("global_outside") === expect, nat)
     }
+  }
+
+  test("q457 James-Stein shrinkage matches the four-nation closed form") {
+    // Four nations, one customer each, two orders per customer at
+    // cents m -/+ 100 with means m = 1000/2000/3000/4000: every
+    // nation's sample variance is exactly 2*100^2/(2-1) = 20000, so
+    // vm = var/n = 10000 and vm_sum = 40000 (order-pinned over the
+    // name-sorted census); grand mean 2500; ssk = 4*3e7 - 1e8 = 2e7;
+    // c = 1 - (k-3)*vm_sum/ssk = 1 - 0.002.
+    val dir = conversionFixture(
+      nations = Seq(1 -> "ALPHA", 2 -> "BRAVO", 3 -> "CHARLIE", 4 -> "DELTA"),
+      custs = Seq(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4),
+      buyers = Seq(1L -> 9.0, 1L -> 11.0, 2L -> 19.0, 2L -> 21.0,
+        3L -> 29.0, 3L -> 31.0, 4L -> 39.0, 4L -> 41.0))
+    val out = graft.queries.StatsQueries2.q457JamesStein(spark, dir).collect()
+    val c = 1.0 - 1.0 * 40000.0 / 2.0e7
+    def js(m: Long): Double = round6(2500.0 + c * (m - 2500.0))
+    assert(out.map(r => (r.getAs[String]("nation"), r.getAs[Long]("n_orders"),
+      r.getAs[Long]("raw_mean_cents"), r.getAs[Double]("js_mean_cents"),
+      r.getAs[Double]("shrink_c"))).toSeq === Seq(
+      ("ALPHA", 2L, 1000L, js(1000), round6(c)),
+      ("BRAVO", 2L, 2000L, js(2000), round6(c)),
+      ("CHARLIE", 2L, 3000L, js(3000), round6(c)),
+      ("DELTA", 2L, 4000L, js(4000), round6(c))))
   }
 
   test("q466 Cramer's V matches the 2x2 integer-margin table") {
