@@ -98,8 +98,16 @@ object Bench {
         val m = """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
         val inQueries = txt.indexOf("\"queries\":")
         if (inQueries < 0) Map.empty
-        else m.findAllMatchIn(txt.substring(inQueries))
-          .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+        else {
+          // bound the scan to the queries object (flat, no nested
+          // braces) so trailing numeric fields like "n_failed":0 can
+          // never collide with a future query name
+          val end = txt.indexOf('}', inQueries)
+          val span = if (end < 0) txt.substring(inQueries)
+                     else txt.substring(inQueries, end + 1)
+          m.findAllMatchIn(span)
+            .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+        }
       } catch { case _: Throwable => Map.empty[String, Double] }
     val stabilizeExtraReps = 2
 
@@ -126,7 +134,11 @@ object Bench {
       prior.get(name).filter(p => p > 0 && sec >= 0).foreach { p =>
         var extra = 0
         while (sec > 2 * p && sec > 0.5 && extra < stabilizeExtraReps) {
-          val t = try rep() catch { case _: Throwable => -1.0 }
+          // a crashed stabilize rep must still drop sweep state (rep()
+          // only drops it after a successful runOnce) or its leftover
+          // blocks contaminate every later query's timings
+          val t = try rep()
+            catch { case _: Throwable => dropSweepState(); -1.0 }
           extra += 1
           if (t >= 0) { nReps += 1; if (t < sec) sec = t }
           else extra = stabilizeExtraReps // rep crashed mid-stabilize: keep the valid min

@@ -25,6 +25,38 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
+  /** Memoized corpus row count per (session, dir) — one count job per
+    * session feeds every adaptive-geometry decision below.
+    */
+  private val corpusCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+
+  def corpusCount(spark: SparkSession, dir: String): Long =
+    corpusCountMemo.computeIfAbsent(
+      (System.identityHashCode(spark), dir),
+      _ => java.lang.Long.valueOf(
+        graft.Tables.embeddings(spark, dir).count())).longValue()
+
+  /** List count derived from the corpus size: the largest power of two
+    * ≤ √N, floored at `floor`. Fixed lists do not survive growth — at
+    * nLists=16 a 100× corpus puts 100× more vectors in every list and
+    * the probe cost inside one list grows linearly with the corpus (the
+    * round-17 sf1 triage measured exactly this on q105/q215); nLists ~
+    * √N keeps candidate volume per probe ~ √N and the assignment
+    * broadcast at O(√N) rows, the standard IVF sizing (FAISS'
+    * guidance is 4√N–16√N; the power-of-two floor keeps the value
+    * STABLE across small corpus jitter so fixtures pin it). On the
+    * 500-vector test corpus this derives exactly the historical 16, so
+    * every literal-16 oracle mirror is unchanged; at the sf0.1 bench
+    * corpus (2 000) it derives 32, at the sf1 probe (20 000) 128.
+    */
+  def adaptiveNLists(spark: SparkSession, dir: String, floor: Int = 16): Int = {
+    val n = corpusCount(spark, dir)
+    var p = floor
+    while (4L * p * p <= n) p *= 2
+    p
+  }
+
   /** Assign every vector to its nearest of `nLists` centroids.
     * Returns (index, centroids): index = (vec_id, label, embedding,
     * list_id); centroids = (list_id, centroid). If the input carries a

@@ -498,7 +498,8 @@ object DedupQueries extends QueryModule {
     // (IvfAnn.buildShared): the assignment + norm passes run once per
     // session; locally a checkpointed frame, at 100 TB the
     // partitionBy(list_id) layout every consumer scans
-    val (index, centroids) = graft.operators.IvfAnn.buildShared(spark, dir, nLists = 16)
+    val (index, centroids) = graft.operators.IvfAnn.buildShared(spark, dir,
+      nLists = graft.operators.IvfAnn.adaptiveNLists(spark, dir))
     val edges = graft.operators.IvfAnn.nearDupPairs(index, centroids, minCos = 0.4)
       .select(col("i").as("src"), col("j").as("dst"))
     graft.operators.ConnectedComponents.run(edges)

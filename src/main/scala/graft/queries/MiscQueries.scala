@@ -4886,15 +4886,26 @@ object MiscQueries extends QueryModule {
     * co ≤ n, so the product ≤ 10¹² sits in BIGINT at ANY corpus scale
     * (co²·10⁹ would overflow once co > 3·10⁶); ties break (score
     * desc, a, b). Scale: q221's bounded device — distinct incidence,
-    * per-customer pair join (basket size bounded), part-popularity
-    * census joined twice, TakeOrderedAndProject heap for the top-k.
+    * per-customer pair join with an ENFORCED basket cap (row_number
+    * over (c) keeps the lowest-200 partkeys per customer, so one key
+    * emits at most C(200,2) ≈ 2·10⁴ pairs no matter how skewed the
+    * feed — without it a 10⁵-part reseller account emits 5·10⁹ pairs
+    * on a single shuffle key; a no-op on TPC-H baskets of ~40), then
+    * part-popularity census joined twice and a TakeOrderedAndProject
+    * heap for the top-k. Popularity is computed on the SAME capped
+    * incidence so co ≤ min(na, nb) stays an invariant of the model.
     */
   def q384ItemItemCf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cp = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("c").orderBy("p")))
+      .filter(col("rnk") <= 200)
+      .drop("rnk")
     val pop = cp.groupBy("p").agg(count(lit(1)).as("n"))
     val pairs = cp.select(col("c"), col("p").as("pa"))
       .join(cp.select(col("c"), col("p").as("pb")), Seq("c"))
@@ -5119,7 +5130,9 @@ object MiscQueries extends QueryModule {
     // (sd²·100) overflowed BIGINT at the sf1 probe, loudly under ANSI
     val byDow = det.groupBy("dow")
       .agg(count(lit(1)).as("n_days"), sum("det").as("sd"),
-        sum((col("det") * col("det")).cast("decimal(38,0)")).as("sdd"))
+        // widen before the product (oracle: det::HUGEINT * det) — a
+        // post-product cast still squares in BIGINT under ANSI
+        sum(col("det").cast("decimal(38,0)") * col("det")).as("sdd"))
       .withColumn("vb", expr("CAST(sd AS DOUBLE) * sd / n_days"))
       .withColumn("vb_cum", sum("vb").over(Window.orderBy("dow")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -5500,9 +5513,13 @@ object MiscQueries extends QueryModule {
     * between iterations, each denominator TERM snaps to the 10⁻¹²
     * grid BEFORE the per-i sum (order-invariant), and each γ update
     * is ONE double divide; the oracle unrolls both iterations.
-    * Scale: one shuffle to the (user, day, type) census, bounded
-    * k²-pair join per group, then 5-row frames — the Pregel-on-a-
-    * census shape; n_ij grids re-scale per deployment.
+    * Scale: one shuffle to the (user, day, type) census, then a
+    * k²-pair join per group where k is bounded by the event-type ENUM
+    * cardinality (the census keys on (user, day, event_type), so a
+    * group holds at most one row per type — the bound is schema-
+    * enforced, unlike q384/q422's data-dependent keys which need
+    * explicit caps), then 5-row frames — the Pregel-on-a-census
+    * shape; n_ij grids re-scale per deployment.
     */
   def q403BradleyTerry(spark: SparkSession, dir: String): DataFrame = {
     val vol = Tables.events(spark, dir)
@@ -6167,9 +6184,16 @@ object MiscQueries extends QueryModule {
     * Determinism: blocks are exact integer keys; the date predicate
     * is integer days; top-10 ties (exposure desc, keys). Scale: one
     * shuffle on the block key, C(block,2) pair loops only inside
-    * blocks (the composite key keeps them tiny), TakeOrdered heap.
+    * blocks — and the block size is ENFORCED, not assumed: a
+    * row_number over the (cust, part, qty) block keeps the earliest
+    * 100 rows (by (d, ok, ln, cents), so ties are only between fully
+    * identical rows and the keep-set is swap-invariant), capping one
+    * key at C(100,2) ≈ 5·10³ pairs even if a recurring-charge feed
+    * bills the same (cust, part, qty) daily for years. A no-op on
+    * TPC-H blocks of 1–2 rows.
     */
   def q422DuplicatePayments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val li = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
@@ -6177,6 +6201,11 @@ object MiscQueries extends QueryModule {
         floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"),
         col("o_orderdate").cast("date").as("d"),
         col("o_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("cust", "part", "q")
+          .orderBy("d", "ok", "ln", "cents")))
+      .filter(col("rnk") <= 100)
+      .drop("rnk")
     li.as("a").join(li.as("b"),
         col("a.cust") === col("b.cust") && col("a.part") === col("b.part") &&
           col("a.q") === col("b.q") &&
@@ -6259,7 +6288,9 @@ object MiscQueries extends QueryModule {
     // Σy² is dollars²-scale — BIGINT overflows at sf1 (probe-measured);
     // DECIMAL(38,0), one double conversion in the objective chain
     val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("s"),
-      sum((col("y") * col("y")).cast("decimal(38,0)")).as("ss"))
+      // widen before the product (oracle: y::HUGEINT * y) — a
+      // post-product cast still squares in BIGINT under ANSI
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("ss"))
     val scans = daily
       .withColumn("i", row_number().over(w).cast("long"))
       .withColumn("cl", sum("y").over(w))
@@ -7935,16 +7966,20 @@ object MiscQueries extends QueryModule {
         |       (sum(rev) * 1000000 // max(trev))::BIGINT AS rev_share_ppm,
         |       round(sum(rev)::DOUBLE / 100.0, 2) + 0.0 AS revenue_dollar
         |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
-    // same (cust, part, qty) blocks, same 7-day predicate, same
-    // exposure heap
+    // same (cust, part, qty) blocks with the same earliest-100 block
+    // cap, same 7-day predicate, same exposure heap
     "q422_duplicate_payments" ->
-      """WITH li AS (
+      """WITH li0 AS (
         |  SELECT o.o_custkey AS cust, l.l_partkey AS part,
         |         floor(l.l_quantity + 0.5)::BIGINT AS q,
         |         floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT AS cents,
         |         o.o_orderdate::DATE AS d, o.o_orderkey AS ok,
         |         l.l_linenumber AS ln
-        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |li AS (
+        |  SELECT * FROM li0
+        |  QUALIFY row_number() OVER (PARTITION BY cust, part, q
+        |                             ORDER BY d, ok, ln, cents) <= 100)
         |SELECT a.cust, a.part, a.q AS quantity,
         |       a.ok AS ok_a, a.ln AS ln_a, b.ok AS ok_b, b.ln AS ln_b,
         |       round((a.cents + b.cents)::DOUBLE / 100.0, 2) + 0.0
@@ -8892,12 +8927,16 @@ object MiscQueries extends QueryModule {
         |             (nd * (nd - 1.0 + 20.0)) / 100.0, 6) + 0.0
         |         AS mean_enc_dollar
         |FROM j ORDER BY seg""".stripMargin,
-    // same distinct incidence, same bounded pair join, same
-    // snapped-factor cos² grid and (score desc, a, b) heap
+    // same distinct incidence with the same lowest-200-partkeys
+    // basket cap, same bounded pair join, same snapped-factor cos²
+    // grid and (score desc, a, b) heap
     "q384_item_item_cf" ->
-      """WITH cp AS (
+      """WITH inc AS (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |cp AS (
+        |  SELECT c, p FROM inc
+        |  QUALIFY row_number() OVER (PARTITION BY c ORDER BY p) <= 200),
         |pop AS (SELECT p, count(*)::BIGINT AS n FROM cp GROUP BY 1),
         |pairs AS (
         |  SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS co

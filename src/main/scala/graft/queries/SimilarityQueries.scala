@@ -133,7 +133,8 @@ object SimilarityQueries extends QueryModule {
     // the 16-list index is built once per session and shared with
     // q78/q63 (IvfAnn.buildShared) — locally a checkpointed frame, at
     // 100 TB the partitionBy(list_id) layout every consumer scans
-    val (index, centroids) = IvfAnn.buildShared(spark, dir, nLists = 16)
+    val nL = IvfAnn.adaptiveNLists(spark, dir)
+    val (index, centroids) = IvfAnn.buildShared(spark, dir, nLists = nL)
     IvfAnn.allNnExact(index, centroids, nprobe = 2)
   }
 
@@ -228,10 +229,11 @@ object SimilarityQueries extends QueryModule {
     // so its centroid seeds differ from a query-excluded build — at
     // FULL probe every list is scanned, so the answer is exact under
     // any centroid geometry) and drops the query vector post-build
-    val (index, centroids) = IvfAnn.buildShared(spark, dir, nLists = 16)
+    val nL = IvfAnn.adaptiveNLists(spark, dir)
+    val (index, centroids) = IvfAnn.buildShared(spark, dir, nLists = nL)
     IvfAnn.search(index.filter(col("vec_id") =!= 0), centroids,
       Tables.embeddings(spark, dir).filter(col("vec_id") === 0),
-      k = 10, nprobe = 16)
+      k = 10, nprobe = nL)
   }
 
   /** q68: int8 embedding quantization + quantized-cosine top-k — the
@@ -497,7 +499,8 @@ object SimilarityQueries extends QueryModule {
     * scan + four 8-row broadcast joins + TakeOrderedAndProject.
     */
   def q147IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
-    val asg = gridIvfAssign(spark, dir, nLists = 16)
+    val asg = gridIvfAssign(spark, dir,
+      nLists = graft.operators.IvfAnn.adaptiveNLists(spark, dir))
     val qList = asg.filter(col("vec_id") === 0).select(col("list_id"))
     val cand = asg.join(broadcast(qList), "list_id")
       .filter(col("vec_id") =!= 0).select("vec_id")
@@ -846,7 +849,7 @@ object SimilarityQueries extends QueryModule {
   }
 
   def q105KnnLabel(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = gridIvfAssign(spark, dir, nLists = 16)
+    val assigned = gridIvfAssign(spark, dir, nLists = graft.operators.IvfAnn.adaptiveNLists(spark, dir))
     val isQ = conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
       .cast("int") < 64
     val q = assigned.filter(isQ)
@@ -987,7 +990,7 @@ object SimilarityQueries extends QueryModule {
     * approx side restricts to the anchor's list.
     */
   def q215IvfRecall(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = gridIvfAssign(spark, dir, 16)
+    val assigned = gridIvfAssign(spark, dir, graft.operators.IvfAnn.adaptiveNLists(spark, dir))
     val anchors = assigned.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("a_id"), col("list_id").as("a_list"),
         col("qe").as("a_qe"), col("qn").as("a_qn"))
@@ -1035,7 +1038,7 @@ object SimilarityQueries extends QueryModule {
     * candidate scan + bounded heaps, per-anchor census thereafter.
     */
   def q255RetrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = gridIvfAssign(spark, dir, 16)
+    val assigned = gridIvfAssign(spark, dir, graft.operators.IvfAnn.adaptiveNLists(spark, dir))
     val anchors = assigned.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("a_id"), col("list_id").as("a_list"),
         col("qe").as("a_qe"), col("qn").as("a_qn"))
@@ -1111,7 +1114,7 @@ object SimilarityQueries extends QueryModule {
     * census-sized arithmetic only.
     */
   def q317RetrievalMrr(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = gridIvfAssign(spark, dir, 16)
+    val assigned = gridIvfAssign(spark, dir, graft.operators.IvfAnn.adaptiveNLists(spark, dir))
     val anchors = assigned.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("a_id"), col("list_id").as("a_list"),
         col("qe").as("a_qe"), col("qn").as("a_qn"))
@@ -1197,14 +1200,15 @@ object SimilarityQueries extends QueryModule {
     * as each anchor searches its top-nprobe nearest lists while cost
     * grows ∝ nprobe/nLists). Same grid-exact scoring and heaps as
     * q215; the anchor→list ranking reuses the assignment's own
-    * centroid scores (anchors × 16 centroid rows — bounded).
+    * centroid scores (anchors × nLists centroid rows — bounded).
     */
   def q229IvfNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = gridIvfAssign(spark, dir, 16)
+    val nL = graft.operators.IvfAnn.adaptiveNLists(spark, dir)
+    val assigned = gridIvfAssign(spark, dir, nL)
     val anchors = assigned.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("a_id"), col("qe").as("a_qe"), col("qn").as("a_qn"))
       .localCheckpoint()
-    val cents = assigned.orderBy("vec_id").limit(16)
+    val cents = assigned.orderBy("vec_id").limit(nL)
       .select(row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
           .cast("int").as("list_id"),

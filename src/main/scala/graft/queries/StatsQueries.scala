@@ -249,9 +249,12 @@ object StatsQueries extends QueryModule {
       .groupBy("day").agg(sum("cents").as("cents"))
       .withColumn("x", expr("cents div 100"))
     // Σx² is dollars²-scale — BIGINT overflows at sf1 (probe-measured);
-    // DECIMAL(38,0) ↔ HUGEINT, converted once in the Sharpe chain
+    // DECIMAL(38,0) ↔ HUGEINT, converted once in the Sharpe chain.
+    // Widen BEFORE the product (matching the oracle's x::HUGEINT * x):
+    // a post-product cast still computes x*x in BIGINT and throws under
+    // ANSI once one per-term product exceeds 2⁶³
     val tot = daily.agg(count(lit(1)).as("n"), sum("cents").as("s"),
-      sum("x").as("sx"), sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sx2"))
+      sum("x").as("sx"), sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"))
     val wAsc = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = daily

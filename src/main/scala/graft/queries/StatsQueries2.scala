@@ -119,15 +119,18 @@ object StatsQueries2 extends QueryModule {
       sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n0"),
       sum(when(col("g") === 0L, col("x")).otherwise(0L)).as("sx0"),
       sum(when(col("g") === 0L, col("y")).otherwise(0L)).as("sy0"),
-      sum(expr("CAST(CASE WHEN g = 0 THEN x * x ELSE 0L END AS DECIMAL(38,0))")).as("sxx0"),
-      sum(expr("CAST(CASE WHEN g = 0 THEN y * y ELSE 0L END AS DECIMAL(38,0))")).as("syy0"),
-      sum(expr("CAST(CASE WHEN g = 0 THEN x * y ELSE 0L END AS DECIMAL(38,0))")).as("sxy0"),
+      // widen BEFORE the product (oracle mirrors with ::HUGEINT * x):
+      // a post-product cast still multiplies in BIGINT and throws under
+      // ANSI once a single per-user x² exceeds 2⁶³
+      sum(expr("CASE WHEN g = 0 THEN CAST(x AS DECIMAL(38,0)) * x ELSE CAST(0 AS DECIMAL(38,0)) END")).as("sxx0"),
+      sum(expr("CASE WHEN g = 0 THEN CAST(y AS DECIMAL(38,0)) * y ELSE CAST(0 AS DECIMAL(38,0)) END")).as("syy0"),
+      sum(expr("CASE WHEN g = 0 THEN CAST(x AS DECIMAL(38,0)) * y ELSE CAST(0 AS DECIMAL(38,0)) END")).as("sxy0"),
       sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n1"),
       sum(when(col("g") === 1L, col("x")).otherwise(0L)).as("sx1"),
       sum(when(col("g") === 1L, col("y")).otherwise(0L)).as("sy1"),
-      sum(expr("CAST(CASE WHEN g = 1 THEN x * x ELSE 0L END AS DECIMAL(38,0))")).as("sxx1"),
-      sum(expr("CAST(CASE WHEN g = 1 THEN y * y ELSE 0L END AS DECIMAL(38,0))")).as("syy1"),
-      sum(expr("CAST(CASE WHEN g = 1 THEN x * y ELSE 0L END AS DECIMAL(38,0))")).as("sxy1"))
+      sum(expr("CASE WHEN g = 1 THEN CAST(x AS DECIMAL(38,0)) * x ELSE CAST(0 AS DECIMAL(38,0)) END")).as("sxx1"),
+      sum(expr("CASE WHEN g = 1 THEN CAST(y AS DECIMAL(38,0)) * y ELSE CAST(0 AS DECIMAL(38,0)) END")).as("syy1"),
+      sum(expr("CASE WHEN g = 1 THEN CAST(x AS DECIMAL(38,0)) * y ELSE CAST(0 AS DECIMAL(38,0)) END")).as("sxy1"))
     def rCol(i: Int): String = s"CAST(sx$i AS DOUBLE) / sy$i AS r$i"
     def vCol(i: Int): String =
       (s"((CAST(n$i AS DOUBLE) * sxx$i - CAST(sx$i AS DOUBLE) * sx$i) / (CAST(n$i AS DOUBLE) * (n$i - 1)) " +

@@ -25,6 +25,22 @@ class IvfAnnSpec extends AnyFunSuite {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k).collect().map(_.getLong(0)).toSeq
 
+  test("adaptiveNLists: largest power of two <= sqrt(N), floored at 16") {
+    // the fixture corpus (500 vectors) derives EXACTLY the historical
+    // 16, so every literal-16 oracle mirror stays byte-valid; the scale
+    // trajectory is pinned alongside it (sf0.1's 2000 -> 32, the sf1
+    // probe's 20000 -> 128, a 100 TB-ish 10^9 -> 16384)
+    assert(IvfAnn.adaptiveNLists(spark, SparkTestSession.sf0001) == 16)
+    def formula(n: Long, floor: Int = 16): Int = {
+      var p = floor; while (4L * p * p <= n) p *= 2; p
+    }
+    assert(formula(500) == 16)
+    assert(formula(2000) == 32)
+    assert(formula(20000) == 128)
+    assert(formula(1000000000L) == 16384)
+    assert(formula(10) == 16, "floor holds on tiny corpora")
+  }
+
   test("index is a complete partition of the vectors") {
     val (index, centroids) = built
     assert(centroids.count() == nLists)

@@ -91,28 +91,40 @@ object PlanGuards {
   }
 
   /** A filter with an ATTRIBUTE-equality-to-literal (or IN-literal-set)
-    * conjunct is a POINT LOOKUP — the `vec_id = 0` query-vector side of
-    * the brute-force cosine family: O(1)/O(|set|) rows by key
-    * selectivity. The left side must be a bare column (modulo cast):
-    * a computed equality like `vec_id % 37 = 0` keeps a CONSTANT
-    * FRACTION of the table — data-scale, not a point — and must not
-    * bound a pair product (it slipped through the first cut of this
-    * guard). Range predicates deliberately do NOT count either.
+    * conjunct on a KEY-LIKE column is a POINT LOOKUP — the `vec_id = 0`
+    * query-vector side of the brute-force cosine family: O(1)/O(|set|)
+    * rows by key selectivity. Two conditions, both required:
+    *  - the left side must be a bare column (modulo cast): a computed
+    *    equality like `vec_id % 37 = 0` keeps a CONSTANT FRACTION of
+    *    the table — data-scale, not a point (it slipped through the
+    *    first cut of this guard);
+    *  - the column must be key-like by name (`…key`, `…_id`, `…hash`):
+    *    an equality on a low-cardinality column (`l_returnflag = 'R'`)
+    *    also keeps a constant fraction — exactly the false negative the
+    *    round-17 advice named. Name-based because the physical plan
+    *    carries no NDV statistics on the local test data; every id/key
+    *    column in the TESTDATA.md schema matches, no enum column does.
+    * Range predicates deliberately do NOT count either way.
     */
   private def pointFilter(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, In, InSet, Literal}
-    def isAttr(e: Expression): Boolean = e match {
-      case _: Attribute => true
-      case c: Cast      => isAttr(c.child)
-      case _            => false
+    def attrName(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case c: Cast      => attrName(c.child)
+      case _            => None
+    }
+    def keyAttr(e: Expression): Boolean = attrName(e).exists { n =>
+      val lo = n.toLowerCase
+      lo.endsWith("key") || lo.endsWith("_id") || lo == "id" ||
+        lo.endsWith("hash")
     }
     def conjuncts(e: Expression): Seq[Expression] =
       e match { case And(l, r) => conjuncts(l) ++ conjuncts(r); case o => Seq(o) }
     conjuncts(cond).exists {
-      case EqualTo(a, _: Literal) if isAttr(a) => true
-      case EqualTo(_: Literal, a) if isAttr(a) => true
-      case In(a, vs) if isAttr(a) && vs.forall(_.isInstanceOf[Literal]) => true
-      case i: InSet if isAttr(i.child) => true
+      case EqualTo(a, _: Literal) if keyAttr(a) => true
+      case EqualTo(_: Literal, a) if keyAttr(a) => true
+      case In(a, vs) if keyAttr(a) && vs.forall(_.isInstanceOf[Literal]) => true
+      case i: InSet if keyAttr(i.child) => true
       case _ => false
     }
   }
