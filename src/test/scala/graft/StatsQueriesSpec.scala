@@ -20,8 +20,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * Mantel–Haenszel formula), Tukey HSD (two 3-obs groups, exact MSW),
   * Bass diffusion (3-point exact quadratic interpolation), Erlang-B/C
   * (offered load 1 — the closed 1/2, 1/5, 1/16 chain), Weibull
-  * median-rank fit (two duration levels, Bernard ranks re-derived), and
-  * Cramér's V (2×2 table with integer-exact margins).
+  * median-rank fit (two duration levels, Bernard ranks re-derived),
+  * Cramér's V (2×2 table with integer-exact margins), Goodman–Kruskal γ
+  * (5-order decile contingency hand count), Bradley–Terry (two MM
+  * iterations unrolled on the 3-type duel triangle), Katz centrality
+  * (4-node bipartite walk counts traced by hand), Oaxaca–Blinder
+  * (two exact two-point OLS fits), and Burrows' delta (3-source
+  * 2-word dyadic z-table).
   */
 class StatsQueriesSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -474,6 +479,183 @@ class StatsQueriesSpec extends AnyFunSuite {
       ("BRAVO", 2L, 2000L, js(2000), round6(c)),
       ("CHARLIE", 2L, 3000L, js(3000), round6(c)),
       ("DELTA", 2L, 4000L, js(4000), round6(c))))
+  }
+
+  /** (custkey, mktsegment, acctbal) customers + (custkey, totalprice)
+    * orders — the two-segment fixture for the gap decompositions.
+    */
+  private def segmentFixture(custs: Seq[(Long, String, Double)],
+      orders: Seq[(Long, Double)]): String = {
+    val dir = Files.createTempDirectory("stats_fix_").toString
+    val cSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        custs.map { case (c, seg, bal) => Row(c, s"c$c", 0, bal, seg) }, 1),
+      cSchema).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val oSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(orders.zipWithIndex.map { case ((c, v), i) =>
+        Row(i.toLong, c, "O", v, new Timestamp(9000L * 86400000L), "1-URGENT")
+      }, 1), oSchema).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  /** (orderkey, custkey) orders + (orderkey, suppkey) lineitem — the
+    * bipartite co-purchase graph fixture for the graph estimators.
+    */
+  private def graphFixture(orders: Seq[(Long, Long)],
+      lines: Seq[(Long, Long)]): String = {
+    val dir = Files.createTempDirectory("stats_fix_").toString
+    val oSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(orders.map { case (ok, c) =>
+        Row(ok, c, "O", 1.0, new Timestamp(9000L * 86400000L), "1-URGENT")
+      }, 1), oSchema).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val lSchema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(lines.zipWithIndex.map { case ((ok, s), i) =>
+        Row(ok, 1L, s, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          new Timestamp(9000L * 86400000L))
+      }, 1), lSchema).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  /** (doc_id, source, text) → a `documents` fixture dir. */
+  private def documentsFixture(docs: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("stats_fix_").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (id, src, txt) =>
+        Row(id, txt, "en", src, txt.length.toLong)
+      }, 1), schema).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q472 Goodman-Kruskal gamma matches the 5-order hand count") {
+    // priorities g=1 at cents {100, 200, 500}, g=2 at {300, 400};
+    // n = 5 distinct values -> type-1 decile thresholds
+    // t1..t9 = (100,100,200,200,300,300,400,400,500), so dec(v) =
+    // 1/3/5/7/9 for the five ascending cents. Cells: g1 -> {1,3,9},
+    // g2 -> {5,7}. Cross pairs (g2 > g1): (1,5)C (1,7)C (3,5)C (3,7)C
+    // (9,5)D (9,7)D -> conc 4, disc 2, gamma = 2/6.
+    val dir = ordersFixture(Seq(
+      (1L, "1-URGENT", 1.00, 2024, 1), (1L, "1-URGENT", 2.00, 2024, 1),
+      (1L, "1-URGENT", 5.00, 2024, 1), (2L, "2-HIGH", 3.00, 2024, 1),
+      (2L, "2-HIGH", 4.00, 2024, 1)))
+    val out = graft.queries.StatsQueries4
+      .q472GoodmanKruskalGamma(spark, dir).collect()(0)
+    assert(out.getAs[Long]("n_orders") === 5L)
+    assert(out.getAs[Long]("concordant") === 4L)
+    assert(out.getAs[Long]("discordant") === 2L)
+    assert(out.getAs[Double]("gamma") === round6(2.0 / 6.0))
+  }
+
+  test("q403 Bradley-Terry matches the two hand-unrolled MM iterations") {
+    // One user, three days: a beats b (day 1), a beats c (day 2),
+    // b beats c (day 3) -> n_ij = 1 for all pairs, W = (2, 1, 0).
+    // MM iter 1 from gamma = 1e9: every term_u = 5e11, so
+    // gamma = (2e9, 1e9, 0). Iter 2: a's terms 333333333333 + 5e11
+    // -> ts 833333333333, gu_a = floor(2e12/ts * 1e9 + .5) = 2.4e9;
+    // b's terms 333333333333 + 1e12 -> gu_b = 7.5e8; c stays 0.
+    // sg = 3.15e9, k = 3: strengths 2.4*3/3.15, 0.75*3/3.15, 0.
+    val rows = Seq(
+      (1, 0, 1L, "a", 3.0), (1, 1, 1L, "b", 1.0),
+      (2, 0, 1L, "a", 3.0), (2, 1, 1L, "c", 1.0),
+      (3, 0, 1L, "b", 2.0), (3, 1, 1L, "c", 1.0))
+    val out = graft.queries.MiscQueries
+      .q403BradleyTerry(spark, fixture(rows)).collect()
+    assert(out.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("wins"),
+      r.getAs[Long]("losses"), r.getAs[Double]("strength"),
+      r.getAs[Long]("rnk"))).toSeq === Seq(
+      ("a", 2L, 0L, round6(2.4 * 3 / 3.15), 1L),
+      ("b", 1L, 1L, round6(0.75 * 3 / 3.15), 2L),
+      ("c", 0L, 2L, 0.0, 3L)))
+  }
+
+  test("q477 Katz centrality matches the 4-node hand-traced walk counts") {
+    // Bipartite graph c1-s1, c1-s2, c2-s1 (node ids 2,4 customers /
+    // 3,5 suppliers): degrees (2,2,1,1); walk counts per length
+    // p1..p5 traced by hand: node 2/3 -> (2,3,5,8,13), node 4/5 ->
+    // (1,2,3,5,8); katz_q1024 = 256p1+64p2+16p3+4p4+p5 = 829 and 460.
+    val dir = graphFixture(
+      orders = Seq((1L, 1L), (2L, 2L)),
+      lines = Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    val out = graft.queries.StatsQueries5
+      .q477KatzCentrality(spark, dir).collect()
+    assert(out.map(r => (r.getAs[Long]("node"), r.getAs[Long]("degree"),
+      r.getAs[Long]("katz_q1024"), r.getAs[Double]("katz"))).toSeq === Seq(
+      (2L, 2L, 829L, round6(829.0 / 1024)),
+      (3L, 2L, 829L, round6(829.0 / 1024)),
+      (4L, 1L, 460L, round6(460.0 / 1024)),
+      (5L, 1L, 460L, round6(460.0 / 1024))))
+  }
+
+  test("q475 Oaxaca-Blinder matches the exact two-point OLS decomposition") {
+    // BUILDING: (bal 1.00, price 10.00), (3.00, 20.00) -> slope 5,
+    // mean 1500c; MACHINERY: (1.00, 5.00), (2.00, 9.00) -> slope 4,
+    // mean 700c. gap = 800; explained at the MACHINERY coefficients =
+    // (200 - 150) * 4 = 200; unexplained 600. All moments exact.
+    val dir = segmentFixture(
+      custs = Seq((1L, "BUILDING", 1.0), (2L, "BUILDING", 3.0),
+        (3L, "MACHINERY", 1.0), (4L, "MACHINERY", 2.0)),
+      orders = Seq((1L, 10.0), (2L, 20.0), (3L, 5.0), (4L, 9.0)))
+    val out = graft.queries.StatsQueries4
+      .q475OaxacaBlinder(spark, dir).collect()(0)
+    assert(out.getAs[Long]("n_building") === 2L)
+    assert(out.getAs[Long]("n_machinery") === 2L)
+    assert(out.getAs[Double]("beta_building") === 5.0)
+    assert(out.getAs[Double]("beta_machinery") === 4.0)
+    assert(out.getAs[Double]("mean_gap_cents") === 800.0)
+    assert(out.getAs[Double]("explained_cents") === 200.0)
+    assert(out.getAs[Double]("unexplained_cents") === 600.0)
+  }
+
+  test("q469 Burrows' delta matches the exact 3-source 2-word z-table") {
+    // Sources A "x x x y", B "x y y y", C "x y": rel freqs of x are
+    // (0.75, 0.25, 0.5) -> mean 0.5, sd exactly 0.25 (all dyadic), so
+    // z_x = (1, -1, 0) and z_y = (-1, 1, 0). Deltas: mean |dz| over
+    // the 2 words = 2.0 (A,B), 1.0 (A,C), 1.0 (B,C).
+    val dir = documentsFixture(Seq(
+      (1L, "A", "x x x y"), (2L, "B", "x y y y"), (3L, "C", "x y")))
+    val out = graft.queries.StatsQueries3
+      .q469BurrowsDelta(spark, dir).collect()
+    assert(out.map(r => (r.getAs[String]("source_a"),
+      r.getAs[String]("source_b"), r.getAs[Long]("n_words"),
+      r.getAs[Double]("delta"))).toSeq === Seq(
+      ("A", "B", 2L, 2.0), ("A", "C", 2L, 1.0), ("B", "C", 2L, 1.0)))
   }
 
   test("q466 Cramer's V matches the 2x2 integer-margin table") {

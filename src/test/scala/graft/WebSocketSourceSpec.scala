@@ -169,6 +169,65 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("chaos soak: repeated drops, a mute window, a restart, and a slow consumer lose nothing outside documented windows") {
+    // The multi-minute torture run the short protocol tests can't give:
+    // a deterministic chaos schedule cycles through abrupt connection
+    // drops (no close handshake), one half-open mute window (watchdog
+    // territory), and one full query restart from the checkpoint, while
+    // a slow consumer (400 ms trigger) forces frames to buffer between
+    // micro-batches. The invariant under ALL of it: every frame sent on
+    // a live connection and confirmed drained before the next fault
+    // arrives EXACTLY ONCE — zero loss, zero duplication. (Frames sent
+    // while no client is connected are lossy by the reference's §1.5
+    // delta semantics; the schedule never sends into a dead window, so
+    // the accounting is exact.)
+    val server = new TestWsServer
+    val chk = Files.createTempDirectory("ws_chk_soak").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def start() = wsStream(server, "idleTimeoutMs" -> "800").writeStream
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.ProcessingTime(400L))
+      .foreachBatch { (df: Dataset[Row], _: Long) =>
+        df.select("value").collect().foreach(r => emitted.add(r.getString(0)))
+        ()
+      }.start()
+    val sent = scala.collection.mutable.ArrayBuffer.empty[String]
+    var q = start()
+    try {
+      var seq = 0
+      def sendBatch(n: Int): Unit = (1 to n).foreach { _ =>
+        seq += 1; val m = s"f$seq"; sent += m; server.send(m); Thread.sleep(3)
+      }
+      val cycles = 10
+      for (c <- 1 to cycles) {
+        assert(eventually(30000)(server.totalConnects >= c),
+          s"cycle $c: no connection (got ${server.totalConnects})")
+        sendBatch(250)
+        assert(eventually(30000)(emitted.size == sent.size),
+          s"cycle $c: steady-window frames missing " +
+            s"(sent ${sent.size}, emitted ${emitted.size})")
+        c match {
+          case 4 => // half-open: pongs stop, only the watchdog can notice
+            server.muted = true
+            assert(eventually(30000)(server.totalConnects >= c + 1),
+              "watchdog never reconnected the muted connection")
+            server.muted = false
+          case 7 => // full query restart from the checkpoint mid-soak
+            q.stop(); q = start()
+          case _ if c < cycles => server.dropConnection()
+          case _ => ()
+        }
+      }
+      val arr = emitted.toArray(Array.empty[String])
+      assert(arr.length == sent.size,
+        s"soak end: ${sent.size} sent vs ${arr.length} emitted")
+      assert(arr.toSet == sent.toSet, "soak end: emitted set differs from sent set")
+      assert(arr.distinct.length == arr.length, "soak end: duplicated frames")
+      assert(server.totalConnects >= cycles,
+        s"expected >= $cycles connections, got ${server.totalConnects}")
+    } finally { q.stop(); server.close() }
+  }
+
   test("uncommitted-batch replay plans empty and its commit drops no fresh frames (protocol-level)") {
     // Spark's restart sequence for a batch that was logged but never
     // committed: runBatch deserializes the committed START first, then
