@@ -6734,25 +6734,32 @@ object MiscQueries extends QueryModule {
     val idx = daily.crossJoin(broadcast(d0))
       .select((col("day") - col("day0")).as("i"), col("y"))
       .localCheckpoint()
-    val sizes = Seq(5, 10, 15, 30)
-    val blocks = sizes.map { m =>
-      val wRun = Window.partitionBy("blk").orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy("blk")
-      idx.withColumn("blk", expr(s"i div $m"))
-        .withColumn("t", expr(s"(i % $m) + 1L"))
-        .withColumn("cum", sum("y").over(wRun))
-        .withColumn("sball", sum("y").over(wAll))
-        .withColumn("u", expr(s"$m * cum - t * sball"))
-        .groupBy("blk")
-        .agg(count(lit(1)).as("n"), max("sball").as("sb"),
-          sum(expr("y * y")).as("ssb"),
-          max("u").as("umax"), min("u").as("umin"))
-        .filter(col("n") === m)
-        .select(lit(m.toLong).as("m"), col("blk"),
-          expr(s"CAST(floor(ln(CAST(umax - umin AS DOUBLE) / " +
-            s"sqrt(CAST($m * ssb - sb * sb AS DOUBLE))) * 1.0e6 + 0.5) AS BIGINT)").as("lnrs_u"))
-    }.reduce(_ unionByName _)
+    // ONE pass for all four block sizes: explode the size grid so the
+    // cascade is a single (m, blk)-keyed shuffle with one window pair,
+    // not four unioned branches (4 shuffles + 8 WindowExecs). The
+    // per-(m, blk) arithmetic is unchanged, so the result is
+    // bit-identical; the plan loses ~0.5 s of pure stage-launch
+    // overhead, which was ~all of this query's cost (the round-17
+    // stabilizer flag root-caused in BASELINE.md: fixed overhead on a
+    // ≤30-row frame, not data work).
+    val wRun = Window.partitionBy("m", "blk").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("m", "blk")
+    val blocks = idx
+      .withColumn("m", explode(expr("array(5L, 10L, 15L, 30L)")))
+      .withColumn("blk", expr("i div m"))
+      .withColumn("t", expr("(i % m) + 1L"))
+      .withColumn("cum", sum("y").over(wRun))
+      .withColumn("sball", sum("y").over(wAll))
+      .withColumn("u", expr("m * cum - t * sball"))
+      .groupBy("m", "blk")
+      .agg(count(lit(1)).as("n"), max("sball").as("sb"),
+        sum(expr("y * y")).as("ssb"),
+        max("u").as("umax"), min("u").as("umin"))
+      .filter(col("n") === col("m"))
+      .select(col("m"), col("blk"),
+        expr("CAST(floor(ln(CAST(umax - umin AS DOUBLE) / " +
+          "sqrt(CAST(m * ssb - sb * sb AS DOUBLE))) * 1.0e6 + 0.5) AS BIGINT)").as("lnrs_u"))
     val perSize = blocks.groupBy("m")
       .agg(count(lit(1)).as("n_blocks"), sum("lnrs_u").as("su"))
       .withColumn("ybar_u", expr("CAST(floor(CAST(su AS DOUBLE) / n_blocks + 0.5) AS BIGINT)"))
