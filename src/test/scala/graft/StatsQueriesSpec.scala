@@ -25,8 +25,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * (5-order decile contingency hand count), Bradley–Terry (two MM
   * iterations unrolled on the 3-type duel triangle), Katz centrality
   * (4-node bipartite walk counts traced by hand), Oaxaca–Blinder
-  * (two exact two-point OLS fits), and Burrows' delta (3-source
-  * 2-word dyadic z-table).
+  * (two exact two-point OLS fits), Burrows' delta (3-source
+  * 2-word dyadic z-table), the q160 triangle census (hand-counted
+  * diamond graph, exactly-once-per-triangle pinned), and q140 PageRank
+  * (scalar replay of the 6-dp snapped trajectory — exact because the
+  * fixture's in-degree ≤ 2 keeps every IEEE sum order-invariant).
   */
 class StatsQueriesSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -656,6 +659,74 @@ class StatsQueriesSpec extends AnyFunSuite {
       r.getAs[String]("source_b"), r.getAs[Long]("n_words"),
       r.getAs[Double]("delta"))).toSeq === Seq(
       ("A", "B", 2L, 2.0), ("A", "C", 2L, 1.0), ("B", "C", 2L, 1.0)))
+  }
+
+  /** (orderkey, partkey, quantity) lineitem rows — the part co-purchase
+    * fixture for the triangle census.
+    */
+  private def copurchaseFixture(lines: Seq[(Long, Long, Double)]): String = {
+    val dir = Files.createTempDirectory("stats_fix_").toString
+    val lSchema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(lines.zipWithIndex.map { case ((ok, pk, q), i) =>
+        Row(ok, pk, 1L, i + 1, q, 1.0, 0.0, 0.0, "N", "O",
+          new Timestamp(9000L * 86400000L))
+      }, 1), lSchema).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q160 triangle census matches the hand-counted diamond graph") {
+    // Edges (one order per pair, qty 40): 1-2, 1-3, 2-3, 2-4, 3-4, 4-5
+    // -> triangles {1,2,3} and {2,3,4}; per-node census 1:1, 2:2, 3:2,
+    // 4:1, node 5 in none. A qty-10 noise line on part 9 must be
+    // thinned out by the >= 40 filter. The min-degree orientation must
+    // count each triangle exactly once, which is what this pins.
+    val dir = copurchaseFixture(Seq(
+      (1L, 1L, 40.0), (1L, 2L, 40.0), (2L, 1L, 40.0), (2L, 3L, 40.0),
+      (3L, 2L, 40.0), (3L, 3L, 40.0), (4L, 2L, 40.0), (4L, 4L, 40.0),
+      (5L, 3L, 40.0), (5L, 4L, 40.0), (6L, 4L, 40.0), (6L, 5L, 40.0),
+      (1L, 9L, 10.0)))
+    val out = graft.queries.PipelineQueries
+      .q160TriangleCount(spark, dir).collect()
+    assert(out.map(r => (r.getAs[Long]("node"),
+      r.getAs[Long]("n_triangles"))).toSeq ===
+      Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("q140 PageRank matches a scalar replay of the snapped trajectory") {
+    // The 4-node bipartite graph (q477's fixture): in-degree <= 2
+    // everywhere, so every contribution sum has at most two IEEE terms
+    // and is order-invariant — the scalar single-threaded replay below
+    // is an EXACT reference for the distributed join/agg assembly, no
+    // tolerance. Hand anchors: iteration 1 gives (1.425, 1.425, 0.575,
+    // 0.575) exactly; symmetry forces r(2)=r(3) and r(4)=r(5) forever.
+    val dir = graphFixture(
+      orders = Seq((1L, 1L), (2L, 2L)),
+      lines = Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    val out = graft.queries.PipelineQueries.q140Pagerank(spark, dir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    // adjacency: in-neighbors of each node, and out-degrees
+    val inN = Map(2L -> Seq(3L, 5L), 3L -> Seq(2L, 4L), 4L -> Seq(3L), 5L -> Seq(2L))
+    val deg = Map(2L -> 2.0, 3L -> 2.0, 4L -> 1.0, 5L -> 1.0)
+    var r = Map(2L -> 1.0, 3L -> 1.0, 4L -> 1.0, 5L -> 1.0)
+    (1 to 5).foreach { _ =>
+      r = inN.map { case (v, us) =>
+        v -> round6(0.15 + 0.85 * us.map(u => r(u) / deg(u)).sum)
+      }
+    }
+    assert(out === r)
+    assert(r(2L) === r(3L) && r(4L) === r(5L), "graph symmetry broken")
   }
 
   test("q466 Cramer's V matches the 2x2 integer-margin table") {
