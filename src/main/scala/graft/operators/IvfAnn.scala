@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * exact baseline). Standard inverted-file design:
   *
   *  - build: a coarse quantizer of `nLists` centroids (deterministic
-  *    sample init — the first `nLists` vectors by id, the plain-Spark
-  *    analog of IVF's random-sample seeding); every vector is assigned
+  *    HASH-STRATIFIED sample init — the first `nLists` vectors in
+  *    md5(vec_id) order, the plain-Spark analog of IVF's random-sample
+  *    seeding, immune to ingestion-order correlation); every vector is assigned
   *    to its nearest centroid with ONE broadcast pass (no shuffle of
   *    the embedding table beyond the final write);
   *  - search: rank centroids against the query (nLists rows — driver-
@@ -25,15 +26,29 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
+  /** Stable per-session memo key. `System.identityHashCode` (the old
+    * key) can be REUSED after a session is GC'd, silently serving a
+    * stale entry in a long-lived JVM, and entries for dead sessions
+    * leak. A random UUID held under a WEAK session key is never
+    * reused (fresh session → fresh UUID) and dies with the session,
+    * so downstream memo entries keyed by it can never be served to a
+    * stranger. (`SparkSession.sessionUUID` is `private[sql]`, hence
+    * this local registry.)
+    */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private[graft] def sessionKey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
   /** Memoized corpus row count per (session, dir) — one count job per
     * session feeds every adaptive-geometry decision below.
     */
   private val corpusCountMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
   def corpusCount(spark: SparkSession, dir: String): Long =
     corpusCountMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir),
+      (sessionKey(spark), dir),
       _ => java.lang.Long.valueOf(
         graft.Tables.embeddings(spark, dir).count())).longValue()
 
@@ -57,6 +72,25 @@ object IvfAnn {
     p
   }
 
+  /** Probe count PAIRED with the adaptive list count: nprobe =
+    * base · nLists/16, so the scanned corpus fraction per query stays
+    * pinned at ~base/16 as `adaptiveNLists` grows ∝ √N. The round-18
+    * geometry change scaled nLists 16 → 128 at the sf1 probe while
+    * every probing entry kept nprobe = 1 — the scanned fraction
+    * silently fell 8× and the recall operating point moved unmeasured
+    * (the round-18 audit's one defect). This derivation restores the
+    * historical operating point at every corpus size: on the
+    * 500-vector oracle corpus nLists = 16 derives base·1, so all
+    * literal-nprobe oracle mirrors are unchanged; at sf0.1 (32 lists)
+    * it derives 2·base, at the sf1 probe (128 lists) 8·base. The
+    * recall-vs-nprobe curve AT each geometry is measured by the q229
+    * audit device (`RecallProbe` sweeps it on the larger corpora;
+    * numbers in BASELINE.md) — the fraction-pinned posture is the
+    * measured-safe default, and per-query overrides ride `base`.
+    */
+  def adaptiveNProbe(spark: SparkSession, dir: String, base: Int = 1): Int =
+    math.max(base, base * (adaptiveNLists(spark, dir) / 16))
+
   /** Assign every vector to its nearest of `nLists` centroids.
     * Returns (index, centroids): index = (vec_id, label, embedding,
     * list_id); centroids = (list_id, centroid). If the input carries a
@@ -65,9 +99,19 @@ object IvfAnn {
     * pass.
     */
   def build(spark: SparkSession, emb: DataFrame, nLists: Int): (DataFrame, DataFrame) = {
+    // hash-stratified sample seeding: the first nLists vectors in
+    // md5(vec_id) order — a deterministic uniform draw over the WHOLE
+    // corpus. First-N-by-vec_id (the old rule) inherits ingestion
+    // order: on a real corpus the earliest ids can all come from one
+    // source/region, seeding every centroid in one corner of embedding
+    // space and skewing list occupancy (breaking both recall and the
+    // √N probe-cost bound). The md5 rank is independent of arrival
+    // order, costs one TakeOrdered over (32-char hash, id), and is
+    // replayable verbatim in the oracle (`ORDER BY md5(vec_id::VARCHAR)`).
+    val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
     val centroids = emb
-      .orderBy("vec_id").limit(nLists)
-      .select(row_number().over(Window.orderBy("vec_id")).cast("int").as("list_id"),
+      .orderBy(seedOrd: _*).limit(nLists)
+      .select(row_number().over(Window.orderBy(seedOrd: _*)).cast("int").as("list_id"),
         col("embedding").as("centroid"))
     val hasNrm = emb.columns.contains("nrm")
     // spread a one-file scan before the broadcast kernel cross-join; an
@@ -108,7 +152,7 @@ object IvfAnn {
     * skip their own norm+checkpoint stage.
     */
   private val shared =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), (DataFrame, DataFrame)]()
 
   /** Scan + per-row norm + materialization, shared across GEOMETRIES:
     * q46's 8-list and q46b/q78/q63's 16-list indexes differ only in
@@ -119,7 +163,7 @@ object IvfAnn {
     * geometry's assignment pass a scan over it).
     */
   private val prepped =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   /** RDD ids backing live memo entries. A sweep-level cleanup (Bench's
     * `dropSweepState`) blanket-unpersists checkpoint blocks between
@@ -131,13 +175,15 @@ object IvfAnn {
     * stranger is benign (it is merely retained).
     */
   private val memoRdds =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
   /** Protected ids are SCOPED to the given session's SparkContext: RDD
     * ids restart per context, so after a session stop/restart in one
     * JVM a stale id from the dead context must not shield an unrelated
-    * freshly-persisted RDD in the new one. */
+    * freshly-persisted RDD in the new one. `applicationId` (a
+    * per-context-instance string) is the scope key — unlike an
+    * identity hash it is never reused after the context is GC'd. */
   def protectedRddIds(spark: org.apache.spark.sql.SparkSession): Set[Int] = {
-    val ctx = System.identityHashCode(spark.sparkContext)
+    val ctx = spark.sparkContext.applicationId
     import scala.jdk.CollectionConverters._
     memoRdds.asScala.collect { case (c, id) if c == ctx => id }.toSet
   }
@@ -145,7 +191,7 @@ object IvfAnn {
     * (SimilarityQueries' PQ fit / grid-IVF assignment) registers its
     * blocks through the same guard. */
   def protecting[T](spark: SparkSession)(body: => T): T = {
-    val ctx = System.identityHashCode(spark.sparkContext)
+    val ctx = spark.sparkContext.applicationId
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = body
     spark.sparkContext.getPersistentRDDs.keySet.diff(before)
@@ -154,7 +200,7 @@ object IvfAnn {
   }
 
   private def preppedEmb(spark: SparkSession, dir: String): DataFrame =
-    prepped.computeIfAbsent((System.identityHashCode(spark), dir), _ =>
+    prepped.computeIfAbsent((sessionKey(spark), dir), _ =>
       protecting(spark) {
         graft.Tables.spread(
           graft.Tables.embeddings(spark, dir)
@@ -164,7 +210,7 @@ object IvfAnn {
       })
 
   def buildShared(spark: SparkSession, dir: String, nLists: Int): (DataFrame, DataFrame) =
-    shared.computeIfAbsent((System.identityHashCode(spark), dir, nLists), _ =>
+    shared.computeIfAbsent((sessionKey(spark), dir, nLists), _ =>
       protecting(spark) {
         val (index, centroids) = build(spark, preppedEmb(spark, dir), nLists)
         (index.localCheckpoint(true), centroids.localCheckpoint(true))

@@ -483,12 +483,14 @@ object SimilarityQueries extends QueryModule {
 
   /** q147: the FULL production ANN index — IVF coarse pruning composed
     * with PQ-ADC ranking (IVF-PQ, Jégou et al. PAMI 2011 §V; what FAISS
-    * deploys as `IndexIVFPQ`). The query routes through the 16-list
-    * integer-grid coarse quantizer (q105's exact-argmax device) to its
-    * ONE nearest list (nprobe = 1); only that list's members are ranked,
-    * and the ranking is q143's ADC — 4 code lookups per candidate, no
-    * embedding bytes touched. Output: top-10 of the probed list by
-    * (adist, vec_id), plus the codes.
+    * deploys as `IndexIVFPQ`). The query routes through the
+    * integer-grid coarse quantizer (q105's exact-argmax device,
+    * `adaptiveNLists` lists) to its `adaptiveNProbe` nearest lists —
+    * nprobe tracks nLists, so the scanned fraction is pinned at every
+    * corpus size (nprobe = 1 on the oracle corpus); only those lists'
+    * members are ranked, and the ranking is q143's ADC — 4 code
+    * lookups per candidate, no embedding bytes touched. Output: top-10
+    * of the probed lists by (adist, vec_id), plus the codes.
     *
     * Scale shape: the two index structures compose their savings — the
     * coarse quantizer prunes the SCAN to nprobe/nLists of the
@@ -499,10 +501,12 @@ object SimilarityQueries extends QueryModule {
     * scan + four 8-row broadcast joins + TakeOrderedAndProject.
     */
   def q147IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
-    val asg = gridIvfAssign(spark, dir,
-      nLists = graft.operators.IvfAnn.adaptiveNLists(spark, dir))
-    val qList = asg.filter(col("vec_id") === 0).select(col("list_id"))
-    val cand = asg.join(broadcast(qList), "list_id")
+    val gi = gridIvfProd(spark, dir)
+    // the query's adaptiveNProbe nearest lists (its probe set); each
+    // candidate lives in exactly one list, so the probed union is
+    // duplicate-free
+    val qList = gi.probes.filter(col("vec_id") === 0).select(col("list_id"))
+    val cand = gi.assigned.join(broadcast(qList), "list_id")
       .filter(col("vec_id") =!= 0).select("vec_id")
     pqAdcRows(spark, dir)
       .join(cand, "vec_id")
@@ -727,8 +731,10 @@ object SimilarityQueries extends QueryModule {
   /** q105: kNN label transfer through IVF cells — the weak-supervision
     * op an auto-labeling pipeline runs: a 25%% md5-split "unlabeled" set
     * takes the majority label of its 3 nearest labeled neighbors WITHIN
-    * its IVF cell (nprobe = 1, the production ANN approximation — a
-    * query never pairs outside its own list). This is the repo's first
+    * its probed IVF cells (nprobe = `IvfAnn.adaptiveNProbe`, the
+    * production ANN approximation — nprobe/nLists move together so the
+    * scanned corpus fraction per query is pinned at every scale; on the
+    * oracle corpus this derives nprobe = 1). This is the repo's first
     * GATED approximate operator: rather than an exact op whose index is
     * an invisible accelerant (q46/q78), here the approximation itself is
     * part of the declared semantics, so the oracle replays the index
@@ -758,45 +764,82 @@ object SimilarityQueries extends QueryModule {
     * `partitionBy(list_id)` layout written once).
     */
   private val gridIvfMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int), DataFrame]()
+    (String, String, Int, Int), GridIvf]()
 
-  /** Integer-grid IVF coarse assignment (vec_id, label, qe, qn,
-    * list_id): ⌊x·2²⁰+0.5⌋ per dim makes the dot products exact BIGINTs,
-    * so the nearest-list argmax is bit-identical across engines (the
-    * q105 device). Memoized per (session, dir, nLists) — q105's kNN and
-    * q147's IVF-PQ probe consume the same assignment, the local stand-in
-    * for a `partitionBy(list_id)` index written once. The spread is
-    * split-count-gated ([[Tables.spread]]): a scan already carrying the
-    * parallelism pays no exchange before the broadcast kernel.
+  /** The integer-grid IVF coarse index artifacts shared by the whole
+    * gated-approximate family: `assigned` = (vec_id, label, qe, qn,
+    * list_id) nearest-list assignment; `cents` = the seed centroid
+    * table (list_id, ce, cn); `probes` = (vec_id, list_id), each
+    * vector's `np` nearest lists — the production probe set.
     */
-  private def gridIvfAssign(spark: SparkSession, dir: String, nLists: Int): DataFrame =
-    gridIvfMemo.computeIfAbsent((System.identityHashCode(spark), dir, nLists), _ =>
+  private[graft] final case class GridIvf(
+      assigned: DataFrame, cents: DataFrame, probes: DataFrame)
+
+  /** Integer-grid IVF coarse index (⌊x·2²⁰+0.5⌋ per dim makes the dot
+    * products exact BIGINTs, so the nearest-list argmax is
+    * bit-identical across engines — the q105 device), memoized per
+    * (session, dir, nLists, np): q105's kNN, q147's IVF-PQ probe and
+    * the q215/q229/q255/q317 audits consume the same artifacts, the
+    * local stand-in for a `partitionBy(list_id)` index written once.
+    *
+    * Seeding is HASH-STRATIFIED (first nLists vectors in md5(vec_id)
+    * order — a deterministic uniform draw, immune to the
+    * ingestion-order correlation that first-N-by-id seeding inherits
+    * on real corpora); np is `IvfAnn.adaptiveNProbe`, pairing the
+    * probe count with the √N list count so the scanned fraction stays
+    * geometry-stable. Assignment and probe set come out of ONE kernel
+    * pass: the broadcast cross-join partial-aggregates map-side into a
+    * struct-max (nearest list) AND a bounded top-np heap (probe set),
+    * so one row per vector shuffles, never the n·nLists assignment
+    * stream. The spread is split-count-gated ([[Tables.spread]]): a
+    * scan already carrying the parallelism pays no exchange before the
+    * broadcast kernel.
+    */
+  private def gridIvf(spark: SparkSession, dir: String, nLists: Int, np: Int): GridIvf =
+    gridIvfMemo.computeIfAbsent(
+      (graft.operators.IvfAnn.sessionKey(spark), dir, nLists, np), _ =>
       graft.operators.IvfAnn.protecting(spark) {
       val grid = "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0 + 0.5) as bigint))"
       val en = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"), expr(grid).as("qe"))
         .withColumn("qn", expr("aggregate(qe, cast(0 as bigint), (s, x) -> s + x * x)"))
-      val cents = en.orderBy("vec_id").limit(nLists)
-        .select(row_number().over(Window.orderBy("vec_id")).cast("int").as("list_id"),
+      val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+      val cents = en.orderBy(seedOrd: _*).limit(nLists)
+        .select(row_number().over(Window.orderBy(seedOrd: _*)).cast("int").as("list_id"),
           col("qe").as("ce"), col("qn").as("cn"))
-      Tables.spread(en)
+        .localCheckpoint(true)
+      val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(np))
+      val both = Tables.spread(en)
         .crossJoin(broadcast(cents))
         .withColumn("qdot",
           expr("aggregate(zip_with(qe, ce, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
         .withColumn("score", col("qdot").cast("double") / sqrt(col("cn").cast("double")))
         .groupBy("vec_id")
         .agg(max(struct(col("score"), (-col("list_id")).as("neg"),
-          col("label"), col("qe"), col("qn"))).as("b"))
-        .select(col("vec_id"), col("b.label").as("label"), col("b.qe").as("qe"),
-          col("b.qn").as("qn"), (-col("b.neg")).as("list_id"))
+          col("label"), col("qe"), col("qn"))).as("b"),
+          topk(col("score"), col("list_id").cast("long")).as("pl"))
         .localCheckpoint(true)
+      GridIvf(
+        assigned = both.select(col("vec_id"), col("b.label").as("label"),
+          col("b.qe").as("qe"), col("b.qn").as("qn"), (-col("b.neg")).as("list_id")),
+        cents = cents,
+        probes = both.select(col("vec_id"), explode(col("pl")).as("kv"))
+          .select(col("vec_id"), col("kv.id").cast("int").as("list_id")))
       })
+
+  /** Convenience: the grid index at the production geometry —
+    * `adaptiveNLists` lists probed at `adaptiveNProbe` lists/query. */
+  private def gridIvfProd(spark: SparkSession, dir: String): GridIvf =
+    gridIvf(spark, dir,
+      graft.operators.IvfAnn.adaptiveNLists(spark, dir),
+      graft.operators.IvfAnn.adaptiveNProbe(spark, dir))
 
   /** q235: INCREMENTAL IVF INDEX MAINTENANCE — the arrival-batch
     * operation a live ANN index runs between rebuilds: a ~25% md5-slice
     * of vectors plays the NEW batch, the remainder is the indexed BASE;
     * centroids seed from the base alone (the index's frozen quantizer —
-    * first 16 base vectors by id, `IvfAnn.build`'s seeding), the new
+    * first 16 base vectors in md5(vec_id) order, `IvfAnn.build`'s
+    * hash-sample seeding), the new
     * batch is assigned to the EXISTING lists, and the maintenance
     * report prices the drift: per list, base/new occupancy, new share,
     * the membership-pinning id-sum of arrivals, and a NEEDS_SPLIT flag
@@ -820,8 +863,11 @@ object SimilarityQueries extends QueryModule {
     val en = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(grid).as("qe"))
       .withColumn("is_new", isNew)
-    val cents = en.filter(!col("is_new")).orderBy("vec_id").limit(nLists)
-      .select(row_number().over(Window.orderBy("vec_id")).cast("int").as("list_id"),
+    // the frozen quantizer's hash-sample seeding (first 16 BASE vectors
+    // in md5(vec_id) order — IvfAnn.build's rule restricted to the base)
+    val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+    val cents = en.filter(!col("is_new")).orderBy(seedOrd: _*).limit(nLists)
+      .select(row_number().over(Window.orderBy(seedOrd: _*)).cast("int").as("list_id"),
         col("qe").as("ce"))
       .withColumn("cn", expr("aggregate(ce, cast(0 as bigint), (s, x) -> s + x * x)"))
     val asg = Tables.spread(en)
@@ -849,13 +895,19 @@ object SimilarityQueries extends QueryModule {
   }
 
   def q105KnnLabel(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = gridIvfAssign(spark, dir, nLists = graft.operators.IvfAnn.adaptiveNLists(spark, dir))
+    val gi = gridIvfProd(spark, dir)
     val isQ = conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
       .cast("int") < 64
-    val q = assigned.filter(isQ)
+    // each query searches its adaptiveNProbe nearest lists (the probe
+    // set), not just its own assignment — nprobe tracks nLists so the
+    // scanned fraction per query is the same at every corpus size
+    val q = gi.assigned.filter(isQ)
+      .select(col("vec_id"), col("label").as("q_label"),
+        col("qe").as("q_qe"), col("qn").as("q_qn"))
+      .join(gi.probes, "vec_id")
       .select(col("list_id"), col("vec_id").as("q_id"),
-        col("label").as("q_label"), col("qe").as("q_qe"), col("qn").as("q_qn"))
-    val b = assigned.filter(!isQ)
+        col("q_label"), col("q_qe"), col("q_qn"))
+    val b = gi.assigned.filter(!isQ)
       .select(col("list_id"), (col("vec_id") * 16 + col("label")).as("b_key"),
         col("qe").as("b_qe"), col("qn").as("b_qn"))
     val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(3))
@@ -974,9 +1026,11 @@ object SimilarityQueries extends QueryModule {
   }
 
   /** q215: IVF RECALL@k AUDIT — the measurement every approximate index
-    * ships with: for a 1/37 anchor sample, compare the nprobe=1 IVF
-    * top-5 (q105's probe geometry) against the brute-force top-5 ground
-    * truth and report the overlap census + mean recall@5. This is the
+    * ships with: for a 1/37 anchor sample, compare the IVF top-5 at
+    * the PRODUCTION operating point (q105's probe geometry —
+    * `adaptiveNLists` lists, `adaptiveNProbe` probed; nprobe = 1 on
+    * the oracle corpus) against the brute-force top-5 ground truth and
+    * report the overlap census + mean recall@5. This is the
     * number that justifies (or vetoes) the q63/q105 approximate paths
     * at 100 TB — measured, not guessed, and cheap enough to re-run per
     * index build because the anchor set is a bounded sample.
@@ -990,12 +1044,16 @@ object SimilarityQueries extends QueryModule {
     * approx side restricts to the anchor's list.
     */
   def q215IvfRecall(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = gridIvfAssign(spark, dir, graft.operators.IvfAnn.adaptiveNLists(spark, dir))
-    val anchors = assigned.filter(col("vec_id") % 37 === 0)
-      .select(col("vec_id").as("a_id"), col("list_id").as("a_list"),
+    val gi = gridIvfProd(spark, dir)
+    val anchors = gi.assigned.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("a_id"),
         col("qe").as("a_qe"), col("qn").as("a_qn"))
-    val cands = assigned.select(col("vec_id").as("c_id"),
+    val cands = gi.assigned.select(col("vec_id").as("c_id"),
       col("list_id").as("c_list"), col("qe").as("c_qe"), col("qn").as("c_qn"))
+    // the audited operating point IS the production one: each anchor's
+    // adaptiveNProbe probed lists (nprobe = 1 on the oracle corpus)
+    val aprobes = gi.probes.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("a_id"), col("list_id").as("c_list"))
     val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(5))
     def top5(pairs: DataFrame): DataFrame = pairs
       .withColumn("qdot", expr(
@@ -1006,8 +1064,10 @@ object SimilarityQueries extends QueryModule {
       .select(col("a_id"), explode(col("top")).as("kv"))
       .select(col("a_id"), col("kv.id").as("c_id"))
     val exact = top5(cands.join(broadcast(anchors), col("c_id") =!= col("a_id")))
-    val approx = top5(cands.join(broadcast(anchors),
-      col("c_id") =!= col("a_id") && col("c_list") === col("a_list")))
+    val approx = top5(cands
+      .join(broadcast(aprobes), Seq("c_list"))
+      .join(broadcast(anchors), Seq("a_id"))
+      .filter(col("c_id") =!= col("a_id")))
     val perAnchor = anchors.select(col("a_id"))
       .join(exact.join(approx, Seq("a_id", "c_id"))
         .groupBy("a_id").agg(count(lit(1)).as("nc")), Seq("a_id"), "left")
@@ -1023,8 +1083,9 @@ object SimilarityQueries extends QueryModule {
   /** q255: RETRIEVAL nDCG@5 — the rank-aware retrieval metric that
     * completes the eval family (q215 recall@5 counts overlap, q229
     * sweeps it over nprobe; nDCG grades WHERE the hits land, Järvelin &
-    * Kekäläinen '02): per q215 anchor, the IVF nprobe=1 ranking is
-    * scored against the brute-force ground truth with graded relevance
+    * Kekäläinen '02): per q215 anchor, the IVF ranking at the
+    * production probe point (`adaptiveNProbe` lists; 1 on the oracle
+    * corpus) is scored against the brute-force ground truth with graded relevance
     * rel = 6 − true_rank (0 if outside the true top-5), DCG summed with
     * the standard 1/log₂(i+1) discount.
     *
@@ -1038,12 +1099,14 @@ object SimilarityQueries extends QueryModule {
     * candidate scan + bounded heaps, per-anchor census thereafter.
     */
   def q255RetrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = gridIvfAssign(spark, dir, graft.operators.IvfAnn.adaptiveNLists(spark, dir))
-    val anchors = assigned.filter(col("vec_id") % 37 === 0)
-      .select(col("vec_id").as("a_id"), col("list_id").as("a_list"),
+    val gi = gridIvfProd(spark, dir)
+    val anchors = gi.assigned.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("a_id"),
         col("qe").as("a_qe"), col("qn").as("a_qn"))
-    val cands = assigned.select(col("vec_id").as("c_id"),
+    val cands = gi.assigned.select(col("vec_id").as("c_id"),
       col("list_id").as("c_list"), col("qe").as("c_qe"), col("qn").as("c_qn"))
+    val aprobes = gi.probes.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("a_id"), col("list_id").as("c_list"))
     val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(5))
     def top5Ranked(pairs: DataFrame, rankName: String): DataFrame = pairs
       .withColumn("qdot", expr(
@@ -1056,8 +1119,10 @@ object SimilarityQueries extends QueryModule {
         (col("pos") + 1).cast("long").as(rankName))
     val exact = top5Ranked(
       cands.join(broadcast(anchors), col("c_id") =!= col("a_id")), "r_ex")
-    val approx = top5Ranked(cands.join(broadcast(anchors),
-      col("c_id") =!= col("a_id") && col("c_list") === col("a_list")), "r_ap")
+    val approx = top5Ranked(cands
+      .join(broadcast(aprobes), Seq("c_list"))
+      .join(broadcast(anchors), Seq("a_id"))
+      .filter(col("c_id") =!= col("a_id")), "r_ap")
     val graded = approx.join(exact, Seq("a_id", "c_id"), "left")
       .withColumn("rel", coalesce(lit(6L) - col("r_ex"), lit(0L)))
     val gAgg = graded.groupBy("a_id").agg(
@@ -1101,8 +1166,9 @@ object SimilarityQueries extends QueryModule {
     * completes the retrieval-eval family (q215 recall@5 counts overlap,
     * q255 nDCG grades positions; MRR answers "how deep does the user
     * scroll to the first good result?" — the metric QA/search teams
-    * actually report): per q215 anchor, the IVF nprobe=1 ranking is
-    * scored against the brute-force top-5 ground truth; reciprocal rank
+    * actually report): per q215 anchor, the IVF ranking at the
+    * production probe point (`adaptiveNProbe` lists; 1 on the oracle
+    * corpus) is scored against the brute-force top-5 ground truth; reciprocal rank
     * of the first true hit on the 10⁻⁶ integer grid (1000000 div rank —
     * exact, order-invariant mean), plus precision@1/3/5 as integer hit
     * censuses.
@@ -1114,12 +1180,14 @@ object SimilarityQueries extends QueryModule {
     * census-sized arithmetic only.
     */
   def q317RetrievalMrr(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = gridIvfAssign(spark, dir, graft.operators.IvfAnn.adaptiveNLists(spark, dir))
-    val anchors = assigned.filter(col("vec_id") % 37 === 0)
-      .select(col("vec_id").as("a_id"), col("list_id").as("a_list"),
+    val gi = gridIvfProd(spark, dir)
+    val anchors = gi.assigned.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("a_id"),
         col("qe").as("a_qe"), col("qn").as("a_qn"))
-    val cands = assigned.select(col("vec_id").as("c_id"),
+    val cands = gi.assigned.select(col("vec_id").as("c_id"),
       col("list_id").as("c_list"), col("qe").as("c_qe"), col("qn").as("c_qn"))
+    val aprobes = gi.probes.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("a_id"), col("list_id").as("c_list"))
     val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(5))
     def top5Ranked(pairs: DataFrame, rankName: String): DataFrame = pairs
       .withColumn("qdot", expr(
@@ -1132,8 +1200,10 @@ object SimilarityQueries extends QueryModule {
         (col("pos") + 1).cast("long").as(rankName))
     val exact = top5Ranked(
       cands.join(broadcast(anchors), col("c_id") =!= col("a_id")), "r_ex")
-    val approx = top5Ranked(cands.join(broadcast(anchors),
-      col("c_id") =!= col("a_id") && col("c_list") === col("a_list")), "r_ap")
+    val approx = top5Ranked(cands
+      .join(broadcast(aprobes), Seq("c_list"))
+      .join(broadcast(anchors), Seq("a_id"))
+      .filter(col("c_id") =!= col("a_id")), "r_ap")
     val perA = anchors.select(col("a_id"))
       .join(approx.join(exact, Seq("a_id", "c_id"), "left")
         .groupBy("a_id").agg(
@@ -1195,24 +1265,36 @@ object SimilarityQueries extends QueryModule {
   }
 
   /** q229: ANN RECALL-vs-NPROBE curve — q215's audit swept over
-    * nprobe ∈ {1, 2, 4}: the accuracy-vs-cost table that picks the
-    * probe count (the q225 idea applied to the IVF index; recall climbs
-    * as each anchor searches its top-nprobe nearest lists while cost
-    * grows ∝ nprobe/nLists). Same grid-exact scoring and heaps as
-    * q215; the anchor→list ranking reuses the assignment's own
-    * centroid scores (anchors × nLists centroid rows — bounded).
+    * nprobe ∈ {1, 2, 4} × `adaptiveNProbe`: the accuracy-vs-cost table
+    * that picks the probe count, bracketing the production operating
+    * point at every geometry (the q225 idea applied to the IVF index;
+    * recall climbs as each anchor searches its top-nprobe nearest
+    * lists while cost grows ∝ nprobe/nLists). Same grid-exact scoring
+    * and heaps as q215; the anchor→list ranking reuses the
+    * assignment's own centroid scores (anchors × nLists centroid
+    * rows — bounded).
     */
   def q229IvfNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
-    val nL = graft.operators.IvfAnn.adaptiveNLists(spark, dir)
-    val assigned = gridIvfAssign(spark, dir, nL)
+    // the sweep brackets the production operating point: {1, 2, 4} ×
+    // adaptiveNProbe (= {1, 2, 4} on the oracle corpus, where the
+    // factor derives 1)
+    val npf = graft.operators.IvfAnn.adaptiveNProbe(spark, dir)
+    nprobeCurve(spark, dir, Seq(1, 2, 4).map(_ * npf))
+  }
+
+  /** The q229 audit device over an ARBITRARY nprobe grid — `RecallProbe`
+    * runs it on the larger corpora (sf0.1's 32 lists, the sf1 probe's
+    * 128) so recall AT each adaptive geometry is measured, not
+    * extrapolated (numbers in BASELINE.md).
+    */
+  private[graft] def nprobeCurve(spark: SparkSession, dir: String,
+      grid: Seq[Int]): DataFrame = {
+    val gi = gridIvfProd(spark, dir)
+    val assigned = gi.assigned
     val anchors = assigned.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("a_id"), col("qe").as("a_qe"), col("qn").as("a_qn"))
       .localCheckpoint()
-    val cents = assigned.orderBy("vec_id").limit(nL)
-      .select(row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
-          .cast("int").as("list_id"),
-        col("qe").as("ce"), col("qn").as("cn"))
+    val cents = gi.cents
     // per-anchor ranking of ALL lists by the assignment's own score
     val listRank = anchors.crossJoin(broadcast(cents))
       .withColumn("qdot", expr(
@@ -1237,7 +1319,7 @@ object SimilarityQueries extends QueryModule {
       .select(col("a_id"), col("kv.id").as("c_id"))
     val exact = top5(cands.join(broadcast(anchors), col("c_id") =!= col("a_id")))
       .localCheckpoint()
-    Seq(1, 2, 4).map { np =>
+    grid.map { np =>
       val probed = listRank.filter(col("lrn") <= np)
         .select(col("a_id"), col("list_id").as("c_list"))
       val approx = top5(cands
@@ -1590,29 +1672,48 @@ object SimilarityQueries extends QueryModule {
   private val oracleCos =
     "list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[])"
 
-  /** The integer-grid IVF coarse assignment replayed in DuckDB (shared
-    * by q105/q147): ⌊x·2²⁰+0.5⌋ grid, exact BIGINT dots, nearest-list
-    * argmax by (score DESC, list_id ASC). Ends at `asg` (vec_id, label,
-    * qe, qn, list_id).
+  /** The integer-grid IVF coarse index replayed in DuckDB (shared by
+    * q105/q147 and the q215/q229/q255/q317 audits): ⌊x·2²⁰+0.5⌋ grid,
+    * exact BIGINT dots, nearest-list argmax by (score DESC, list_id
+    * ASC). The GEOMETRY is derived, not hardcoded: `nlv` replays
+    * `IvfAnn.adaptiveNLists` (largest power of two p with p² ≤ N,
+    * floored at 16 — integer comparisons, so the two derivations agree
+    * exactly at any corpus size) and `npv` replays
+    * `IvfAnn.adaptiveNProbe` (nl/16, floored at 1) — a literal 16/1
+    * here would silently diverge from the Spark entries on any corpus
+    * ≥ 1024 vectors. Seeds are the first nl vectors in md5(vec_id)
+    * order (`IvfAnn.build`'s hash-stratified sampling). Ends at `asg`
+    * (vec_id, label, qe, qn, list_id — the nearest list) and `prb`
+    * (vec_id, list_id — each vector's np probed lists).
     */
   private val oracleGridAsg: String =
-    """en AS (
+    """nlv AS (
+      |  SELECT coalesce((SELECT max(power(2, g.g)::BIGINT) FROM range(4, 21) g(g)
+      |                   WHERE power(2, g.g)::BIGINT * power(2, g.g)::BIGINT
+      |                         <= (SELECT count(*) FROM embeddings)), 16) AS nl),
+      |npv AS (SELECT greatest(1, nl // 16)::BIGINT AS np FROM nlv),
+      |en AS (
       |  SELECT vec_id, label,
       |         [floor(x::DOUBLE * 1048576 + 0.5)::BIGINT FOR x IN embedding] AS qe
       |  FROM embeddings),
       |en2 AS (SELECT vec_id, label, qe,
       |               list_sum([x * x FOR x IN qe])::BIGINT AS qn FROM en),
-      |c AS (SELECT row_number() OVER (ORDER BY vec_id)::INT AS list_id, qe AS ce, qn AS cn
-      |      FROM (SELECT * FROM en2 ORDER BY vec_id LIMIT 16) s),
+      |c AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)::INT
+      |               AS list_id,
+      |             qe AS ce, qn AS cn
+      |      FROM en2 QUALIFY list_id <= (SELECT nl FROM nlv)),
       |a AS (
       |  SELECT e.vec_id, e.label, e.qe, e.qn, c.list_id,
       |         list_sum([e.qe[i] * c.ce[i] FOR i IN range(1, 65)])::BIGINT AS qdot, c.cn
       |  FROM en2 e CROSS JOIN c),
+      |rnka AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY qdot::DOUBLE / sqrt(cn::DOUBLE) DESC, list_id ASC) AS lrn
+      |  FROM a),
       |asg AS (
-      |  SELECT vec_id, label, qe, qn, list_id
-      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-      |          ORDER BY qdot::DOUBLE / sqrt(cn::DOUBLE) DESC, list_id ASC) AS rn FROM a)
-      |  WHERE rn = 1)""".stripMargin
+      |  SELECT vec_id, label, qe, qn, list_id FROM rnka WHERE lrn = 1),
+      |prb AS (
+      |  SELECT vec_id, list_id FROM rnka WHERE lrn <= (SELECT np FROM npv))""".stripMargin
 
   /** The per-subspace DuckDB CTE chain shared by q142/q143: subspace s's
     * 16-dim slice through the q77 trajectory (seeds → a1 → snapped c1 →
@@ -1857,7 +1958,7 @@ object SimilarityQueries extends QueryModule {
         |    SELECT a_id, c_id, row_number() OVER (PARTITION BY a_id
         |             ORDER BY cos DESC, c_id ASC) AS rn FROM sc)
         |  WHERE rn <= 5),
-        |nps AS (SELECT unnest([1, 2, 4]) AS np),
+        |nps AS (SELECT unnest([1, 2, 4]) * (SELECT np FROM npv) AS np),
         |ap AS (
         |  SELECT nps.np, s.a_id, s.c_id
         |  FROM nps, (SELECT sc.a_id, sc.c_id, sc.cos, l.lrn
@@ -1918,7 +2019,7 @@ object SimilarityQueries extends QueryModule {
         |  SELECT a_id, c_id, rn AS r_ap FROM (
         |    SELECT a_id, c_id, row_number() OVER (PARTITION BY a_id
         |             ORDER BY cos DESC, c_id ASC) AS rn
-        |    FROM sc WHERE c_list = a_list)
+        |    FROM sc JOIN prb ON prb.vec_id = sc.a_id AND prb.list_id = sc.c_list)
         |  WHERE rn <= 5),
         |g AS (
         |  SELECT ap.a_id, ap.r_ap, coalesce(6 - ex.r_ex, 0)::BIGINT AS rel
@@ -1986,7 +2087,7 @@ object SimilarityQueries extends QueryModule {
         |  SELECT a_id, c_id, rn AS r_ap FROM (
         |    SELECT a_id, c_id, row_number() OVER (PARTITION BY a_id
         |             ORDER BY cos DESC, c_id ASC) AS rn
-        |    FROM sc WHERE c_list = a_list)
+        |    FROM sc JOIN prb ON prb.vec_id = sc.a_id AND prb.list_id = sc.c_list)
         |  WHERE rn <= 5),
         |pa AS (
         |  SELECT an.a_id,
@@ -2035,7 +2136,7 @@ object SimilarityQueries extends QueryModule {
         |  SELECT a_id, c_id FROM (
         |    SELECT a_id, c_id, row_number() OVER (PARTITION BY a_id
         |             ORDER BY cos DESC, c_id ASC) AS rn
-        |    FROM sc WHERE c_list = a_list)
+        |    FROM sc JOIN prb ON prb.vec_id = sc.a_id AND prb.list_id = sc.c_list)
         |  WHERE rn <= 5),
         |ov AS (
         |  SELECT an.a_id, coalesce(o.cnt, 0)::BIGINT AS n_common
@@ -2115,7 +2216,8 @@ object SimilarityQueries extends QueryModule {
     // the WHOLE approximate pipeline replayed: integer-grid snap, exact
     // BIGINT dots/norms, the single-chain double scores (bit-identical
     // by IEEE exact rounding on identical operands — no accumulation
-    // order anywhere), seeding by smallest ids, assignment / kNN / vote
+    // order anywhere), hash-sample seeding (md5(vec_id) order),
+    // DERIVED nLists/nprobe, assignment / probe / kNN / vote
     // tie-breaks mirrored term for term
     // base-seeded centroids, grid-exact assignment of base AND arrivals,
     // same integer cross-multiplied split trigger
@@ -2125,9 +2227,12 @@ object SimilarityQueries extends QueryModule {
         |         [floor(x::DOUBLE * 1048576 + 0.5)::BIGINT FOR x IN embedding] AS qe,
         |         (CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 1)) AS INT) >= 12) AS is_new
         |  FROM embeddings),
-        |c AS (SELECT row_number() OVER (ORDER BY vec_id)::INT AS list_id, qe AS ce,
+        |c AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)::INT
+        |               AS list_id,
+        |             qe AS ce,
         |             list_sum([x * x FOR x IN qe])::BIGINT AS cn
-        |      FROM (SELECT * FROM en WHERE NOT is_new ORDER BY vec_id LIMIT 16) s),
+        |      FROM (SELECT * FROM en WHERE NOT is_new
+        |            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16) s),
         |a AS (SELECT e.vec_id, e.is_new, c.list_id,
         |             list_sum([e.qe[i] * c.ce[i] FOR i IN range(1, 65)])::BIGINT AS qdot, c.cn
         |      FROM en e CROSS JOIN c),
@@ -2153,7 +2258,9 @@ object SimilarityQueries extends QueryModule {
         |  SELECT q.vec_id AS q_id, q.label AS q_label, b.vec_id * 16 + b.label AS b_key,
         |         list_sum([q.qe[i] * b.qe[i] FOR i IN range(1, 65)])::BIGINT AS qdot,
         |         q.qn AS q_qn, b.qn AS b_qn
-        |  FROM asg q JOIN asg b ON q.list_id = b.list_id
+        |  FROM asg q
+        |  JOIN prb pr ON pr.vec_id = q.vec_id
+        |  JOIN asg b ON b.list_id = pr.list_id
         |  WHERE (CAST(('0x' || substr(md5(q.vec_id::VARCHAR), 1, 2)) AS INT)) < 64
         |    AND (CAST(('0x' || substr(md5(b.vec_id::VARCHAR), 1, 2)) AS INT)) >= 64),
         |s AS (SELECT q_id, q_label, b_key,
@@ -2332,7 +2439,7 @@ object SimilarityQueries extends QueryModule {
       s"""WITH $oracleGridAsg,
          |${(0 until 4).map(pqOracleSub).mkString(",\n")},
          |${(0 until 4).map(dt).mkString(",\n")},
-         |ql AS (SELECT list_id FROM asg WHERE vec_id = 0),
+         |ql AS (SELECT list_id FROM prb WHERE vec_id = 0),
          |cand AS (SELECT asg.vec_id FROM asg JOIN ql USING (list_id) WHERE asg.vec_id <> 0)
          |SELECT a0.vec_id, a0.cid AS c0, a1.cid AS c1, a2x.cid AS c2, a3.cid AS c3,
          |       round(d0.d + d1.d + d2.d + d3.d, 6) + 0.0 AS adist

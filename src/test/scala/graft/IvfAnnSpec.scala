@@ -7,11 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
 /** IVF-flat ANN vs the brute-force exact scan: the index partitions the
   * data completely, probing fewer lists scans fewer candidates, and
   * recall@10 at nprobe=8/16 meets a pinned floor (everything is
-  * deterministic — sample-init centroids, no RNG — so the floor is a
-  * regression pin, not a statistical hope).
+  * deterministic — hash-stratified sample-init centroids in md5(vec_id)
+  * order, no RNG — so the floor is a regression pin, not a statistical
+  * hope).
   */
 class IvfAnnSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
+
+  /** The engine's hash-stratified seeding order replicated
+    * INDEPENDENTLY (java MessageDigest, not Spark's md5): ids 0..n-1
+    * sorted by (md5 hex of the decimal string, id). Element r is the
+    * id seeded as list r+1.
+    */
+  private def md5Rank(n: Int): Array[Int] =
+    (0 until n).sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString, i))
+      .toArray
 
   private val nLists = 16
   private lazy val emb = Tables.embeddings(spark, SparkTestSession.sf0001)
@@ -39,6 +50,43 @@ class IvfAnnSpec extends AnyFunSuite {
     assert(formula(20000) == 128)
     assert(formula(1000000000L) == 16384)
     assert(formula(10) == 16, "floor holds on tiny corpora")
+  }
+
+  test("adaptiveNProbe pairs with adaptiveNLists: scanned fraction pinned at base/16") {
+    // nprobe = base·nLists/16 keeps nprobe/nLists = base/16 at every
+    // geometry — the round-18 defect was nLists growing 16 -> 128 with
+    // nprobe frozen at 1 (scanned fraction silently down 8x). On the
+    // oracle corpus (500 -> 16 lists) the factor derives 1, so every
+    // literal-nprobe oracle mirror is unchanged.
+    assert(IvfAnn.adaptiveNProbe(spark, SparkTestSession.sf0001) == 1)
+    def traj(n: Long): (Int, Int) = {
+      var p = 16; while (4L * p * p <= n) p *= 2; (p, math.max(1, p / 16))
+    }
+    assert(traj(500) == ((16, 1)))
+    assert(traj(2000) == ((32, 2)))
+    assert(traj(20000) == ((128, 8)))
+    assert(traj(1000000000L) == ((16384, 1024)))
+  }
+
+  test("hash-stratified seeding ignores ingestion order (the first-N-by-id failure mode)") {
+    // A corpus whose ids arrive grouped by source (ids 0..24 from
+    // source 0, 25..49 from source 1, ...): first-N-by-id seeding —
+    // the pre-round-19 rule — would put ALL centroids in source 0's
+    // region, skewing occupancy and recall. The md5-rank draw must
+    // (a) match the independent MessageDigest replication exactly and
+    // (b) span several sources on this source-sorted corpus.
+    import spark.implicits._
+    val n = 200
+    val df = (0 until n).map { i =>
+      (i.toLong, i / 25, Array.tabulate(4)(d => if (d == 0) i.toFloat else 1f))
+    }.toDF("vec_id", "label", "embedding")
+    val (_, centroids) = IvfAnn.build(spark, df, nLists = 8)
+    val got = centroids.orderBy("list_id").collect()
+      .map(r => r.getSeq[Float](1).head.toInt).toSeq
+    val want = md5Rank(n).take(8).toSeq
+    assert(got == want, s"seed selection diverged from the md5-rank rule: $got vs $want")
+    assert(got.map(_ / 25).distinct.size >= 4,
+      s"seeds do not span the id-sorted sources (old-rule artifact): $got")
   }
 
   test("index is a complete partition of the vectors") {
@@ -88,19 +136,23 @@ class IvfAnnSpec extends AnyFunSuite {
   test("allNnExact stays exact on CLUSTERED data, where the bound actually prunes") {
     // The oracle gate (q46b) runs on the RANDOM fixture, where every
     // (vector, list) pair escapes — so it never exercises the pruned
-    // regime. This fixture is 8 tight, well-separated clusters
-    // (interleaved ids, so build's first-nLists centroid seeding lands
-    // one centroid per cluster): the angular bound must eliminate
-    // almost every foreign list, and the answer must STILL be exact —
-    // an over-aggressive bound would drop true neighbors here and
-    // nothing else would catch it.
+    // regime. This fixture is 8 tight, well-separated clusters with
+    // ids assigned to clusters in md5-RANK-interleaved order, so
+    // build's hash-sample seeding (first nLists ids by md5 rank) lands
+    // exactly one centroid per cluster: the angular bound must
+    // eliminate almost every foreign list, and the answer must STILL
+    // be exact — an over-aggressive bound would drop true neighbors
+    // here and nothing else would catch it.
     import spark.implicits._
     val rnd = new scala.util.Random(1)
     val dim = 16; val nClusters = 8; val perCluster = 25
+    val rank = md5Rank(nClusters * perCluster)
+    val clusterOf = rank.zipWithIndex
+      .map { case (id, r) => id -> r % nClusters }.toMap
     val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
     val vecs: Seq[(Long, Int, Array[Float])] =
       (0 until nClusters * perCluster).map { i =>
-        val c = i % nClusters
+        val c = clusterOf(i)
         val v = centers(c).map(x => (x + 0.02 * rnd.nextGaussian()).toFloat)
         (i.toLong, c, v)
       }
@@ -131,20 +183,21 @@ class IvfAnnSpec extends AnyFunSuite {
     assert(got == want, "bucketed all-NN diverged from brute force on clustered data")
 
     // prove the pruned regime was actually active: replicate the bound
-    // with the same geometry and count survivors among foreign lists
-    // build seeds centroids with the first nLists vectors: centroid j
-    // IS vecs(j)
+    // with the same geometry and count survivors among foreign lists.
+    // build seeds centroids with the first nLists vectors in md5 rank
+    // order: centroid j (0-based) IS the vector with md5 rank j
+    val cvec = (0 until nClusters).map(j => vecs(rank(j))._3)
     val assign = vecs.map { case (id, _, v) =>
-      id -> (0 until nClusters).minBy(j => -cos(v, vecs(j)._3))
+      id -> (0 until nClusters).minBy(j => -cos(v, cvec(j)))
     }.toMap
     val rad = (0 until nClusters).map { j =>
       val members = vecs.filter(v => assign(v._1) == j)
-      j -> members.map(v => math.acos(math.max(-1, math.min(1, cos(v._3, vecs(j)._3))))).max
+      j -> members.map(v => math.acos(math.max(-1, math.min(1, cos(v._3, cvec(j)))))).max
     }.toMap
     var escapes = 0; var foreign = 0
     vecs.foreach { case (id, _, v) =>
       val th = (0 until nClusters).map(j =>
-        j -> math.acos(math.max(-1, math.min(1, cos(v, vecs(j)._3))))).toMap
+        j -> math.acos(math.max(-1, math.min(1, cos(v, cvec(j)))))).toMap
       val probes = th.toSeq.sortBy { case (j, t) => (t, j) }.take(2).map(_._1).toSet
       val bestProbed = vecs
         .filter(w => w._1 != id && probes(assign(w._1)))
@@ -177,9 +230,12 @@ class IvfAnnSpec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(1)
     val dim = 16; val nClusters = 8; val perCluster = 25
+    val rank = md5Rank(nClusters * perCluster)
+    val clusterOf = rank.zipWithIndex
+      .map { case (id, r) => id -> r % nClusters }.toMap
     val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
     val clustered = (0 until nClusters * perCluster).map { i =>
-      val c = i % nClusters
+      val c = clusterOf(i)
       (i.toLong, c, centers(c).map(x => (x + 0.02 * rnd.nextGaussian()).toFloat))
     }.toDF("vec_id", "label", "embedding")
     val tight = fraction(clustered, nClusters)
@@ -228,17 +284,22 @@ class IvfAnnSpec extends AnyFunSuite {
   }
 
   test("nearDupPairs stays exact on CLUSTERED data where pairs straddle lists") {
-    // 8 tight clusters but 12 lists: build's first-nLists seeding gives
-    // clusters 0-3 TWO lists each, so true near-dup pairs straddle list
-    // boundaries and only the escape path can recover them; the angular
-    // bound must prune most foreign lists AND lose no pair.
+    // 8 tight clusters but 12 lists: with clusters assigned in md5-rank
+    // order, build's hash-sample seeding (first 12 ids by md5 rank)
+    // gives clusters 0-3 TWO lists each, so true near-dup pairs
+    // straddle list boundaries and only the escape path can recover
+    // them; the angular bound must prune most foreign lists AND lose
+    // no pair.
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     val dim = 16; val nClusters = 8; val perCluster = 25
+    val rank = md5Rank(nClusters * perCluster)
+    val clusterOf = rank.zipWithIndex
+      .map { case (id, r) => id -> r % nClusters }.toMap
     val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
     val vecs: Seq[(Long, Int, Array[Float])] =
       (0 until nClusters * perCluster).map { i =>
-        val c = i % nClusters
+        val c = clusterOf(i)
         (i.toLong, c, centers(c).map(x => (x + 0.02 * rnd.nextGaussian()).toFloat))
       }
     val df = vecs.toDF("vec_id", "label", "embedding")
