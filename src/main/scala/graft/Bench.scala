@@ -147,13 +147,21 @@ object Bench {
           f"[bench] $name: $sec%.2f s holds at >2x committed prior ($p%.2f s) after $extra extra rep(s) — likely real")
       }
       System.err.println(f"[bench] $name%-28s $sec%8.2f s ($nReps reps)")
-      name -> sec
+      // wall-clock stamp (epoch seconds) at the END of this query's
+      // measurement: a contiguous block of inflated rows in a sweep is
+      // diagnosable as a transient host-load WINDOW from the artifact
+      // alone (the round-18 q55–q65 driver-sweep anomaly needed the
+      // committed artifact + run-order reasoning to call; with stamps
+      // the affected wall-clock interval is right in the file)
+      (name, sec, System.currentTimeMillis() / 1000L)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val ts = results.map { case (k, _, e) => "\"" + k + s"\":$e" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":${failed.size}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"t_end":$ts,"sf":"$sfDir","n_failed":${failed.size}}"""
     println(line)
     Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()

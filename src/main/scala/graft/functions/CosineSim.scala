@@ -142,6 +142,72 @@ case class DotF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native EXACT integer dot product over two `ArrayType(LongType)`
+  * columns — the per-pair kernel of the ⌊x·2²⁰+0.5⌋ grid family
+  * (q105/q215/q229/q255/q317's candidate scoring and the coarse
+  * assignment itself). The interpreted `aggregate(zip_with(...))`
+  * chain it replaces costs microseconds per pair (higher-order
+  * functions never enter whole-stage codegen); at probe volumes
+  * (n·nprobe/nLists of the pair space) that loop IS the query. The
+  * value is an exact BIGINT sum — order-invariant, so the swap is
+  * bit-identical by construction and the DuckDB mirrors (`list_sum`
+  * over exact integers) are untouched. Grid magnitudes bound the sum
+  * far under 2⁶³ (|component| ≤ 2²¹ ⇒ 64-dim dot ≤ 2⁴⁸).
+  */
+case class DotL(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "dot_l"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"dot_l requires two ARRAY<BIGINT> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_l: dimension mismatch $n vs ${y.numElements()}")
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, dot) =
+        (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("dot"))
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_l: dimension mismatch " + $n + " vs " + $b.numElements());
+         |}
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotL =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Engine extensions — registers native functions into every session
   * built with `spark.sql.extensions=graft.functions.GraftExtensions`
   * (GraftSession sets this), making `cosine_sim(a, b)` available to SQL
@@ -162,6 +228,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "dot_f takes exactly 2 arguments")
         DotF(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_l"),
+      new ExpressionInfo(classOf[DotL].getName, "dot_l"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_l takes exactly 2 arguments")
+        DotL(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),

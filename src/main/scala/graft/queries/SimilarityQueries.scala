@@ -802,7 +802,7 @@ object SimilarityQueries extends QueryModule {
       val grid = "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0 + 0.5) as bigint))"
       val en = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"), expr(grid).as("qe"))
-        .withColumn("qn", expr("aggregate(qe, cast(0 as bigint), (s, x) -> s + x * x)"))
+        .withColumn("qn", expr("dot_l(qe, qe)"))
       val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
       val cents = en.orderBy(seedOrd: _*).limit(nLists)
         .select(row_number().over(Window.orderBy(seedOrd: _*)).cast("int").as("list_id"),
@@ -812,7 +812,7 @@ object SimilarityQueries extends QueryModule {
       val both = Tables.spread(en)
         .crossJoin(broadcast(cents))
         .withColumn("qdot",
-          expr("aggregate(zip_with(qe, ce, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+          expr("dot_l(qe, ce)"))
         .withColumn("score", col("qdot").cast("double") / sqrt(col("cn").cast("double")))
         .groupBy("vec_id")
         .agg(max(struct(col("score"), (-col("list_id")).as("neg"),
@@ -869,11 +869,11 @@ object SimilarityQueries extends QueryModule {
     val cents = en.filter(!col("is_new")).orderBy(seedOrd: _*).limit(nLists)
       .select(row_number().over(Window.orderBy(seedOrd: _*)).cast("int").as("list_id"),
         col("qe").as("ce"))
-      .withColumn("cn", expr("aggregate(ce, cast(0 as bigint), (s, x) -> s + x * x)"))
+      .withColumn("cn", expr("dot_l(ce, ce)"))
     val asg = Tables.spread(en)
       .crossJoin(broadcast(cents))
       .withColumn("qdot",
-        expr("aggregate(zip_with(qe, ce, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+        expr("dot_l(qe, ce)"))
       .withColumn("score", col("qdot").cast("double") / sqrt(col("cn").cast("double")))
       .groupBy("vec_id", "is_new")
       .agg(max(struct(col("score"), (-col("list_id")).as("neg"))).as("b"))
@@ -913,7 +913,7 @@ object SimilarityQueries extends QueryModule {
     val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(3))
     q.join(b, "list_id")
       .withColumn("qdot",
-        expr("aggregate(zip_with(q_qe, b_qe, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+        expr("dot_l(q_qe, b_qe)"))
       .withColumn("cos", col("qdot").cast("double") /
         (sqrt(col("q_qn").cast("double")) * sqrt(col("b_qn").cast("double"))))
       .groupBy("q_id", "q_label")
@@ -1056,8 +1056,7 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id").as("a_id"), col("list_id").as("c_list"))
     val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(5))
     def top5(pairs: DataFrame): DataFrame = pairs
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(a_qe, c_qe, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("qdot", expr("dot_l(a_qe, c_qe)"))
       .withColumn("cos", col("qdot").cast("double") /
         (sqrt(col("a_qn").cast("double")) * sqrt(col("c_qn").cast("double"))))
       .groupBy("a_id").agg(topk(col("cos"), col("c_id")).as("top"))
@@ -1109,8 +1108,7 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id").as("a_id"), col("list_id").as("c_list"))
     val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(5))
     def top5Ranked(pairs: DataFrame, rankName: String): DataFrame = pairs
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(a_qe, c_qe, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("qdot", expr("dot_l(a_qe, c_qe)"))
       .withColumn("cos", col("qdot").cast("double") /
         (sqrt(col("a_qn").cast("double")) * sqrt(col("c_qn").cast("double"))))
       .groupBy("a_id").agg(topk(col("cos"), col("c_id")).as("top"))
@@ -1190,8 +1188,7 @@ object SimilarityQueries extends QueryModule {
       .select(col("vec_id").as("a_id"), col("list_id").as("c_list"))
     val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(5))
     def top5Ranked(pairs: DataFrame, rankName: String): DataFrame = pairs
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(a_qe, c_qe, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("qdot", expr("dot_l(a_qe, c_qe)"))
       .withColumn("cos", col("qdot").cast("double") /
         (sqrt(col("a_qn").cast("double")) * sqrt(col("c_qn").cast("double"))))
       .groupBy("a_id").agg(topk(col("cos"), col("c_id")).as("top"))
@@ -1297,8 +1294,7 @@ object SimilarityQueries extends QueryModule {
     val cents = gi.cents
     // per-anchor ranking of ALL lists by the assignment's own score
     val listRank = anchors.crossJoin(broadcast(cents))
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(a_qe, ce, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("qdot", expr("dot_l(a_qe, ce)"))
       .withColumn("score",
         col("qdot").cast("double") / sqrt(col("cn").cast("double")))
       .withColumn("lrn", row_number().over(
@@ -1310,8 +1306,7 @@ object SimilarityQueries extends QueryModule {
       col("list_id").as("c_list"), col("qe").as("c_qe"), col("qn").as("c_qn"))
     val topk = udaf(new graft.functions.SketchAggregators.TopKAggregator(5))
     def top5(pairs: DataFrame): DataFrame = pairs
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(a_qe, c_qe, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x)"))
+      .withColumn("qdot", expr("dot_l(a_qe, c_qe)"))
       .withColumn("cos", col("qdot").cast("double") /
         (sqrt(col("a_qn").cast("double")) * sqrt(col("c_qn").cast("double"))))
       .groupBy("a_id").agg(topk(col("cos"), col("c_id")).as("top"))

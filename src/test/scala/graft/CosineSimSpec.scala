@@ -86,6 +86,30 @@ class CosineSimSpec extends AnyFunSuite {
     }
   }
 
+  test("dot_l equals the aggregate(zip_with(...)) BIGINT chain exactly (the grid pair-kernel identity)") {
+    // the native integer-dot kernel that replaced the interpreted HOF
+    // chain in the q105/q215/q229/q255/q317 grid family: an exact
+    // BIGINT sum is order-invariant, so the two formulations must agree
+    // to the last bit on every pair — including the self-dot (the norm)
+    val grid = "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0 + 0.5) as bigint))"
+    val qd = emb.select($"vec_id", expr(grid).as("qe"))
+    val q = qd.filter($"vec_id" === 0).select($"qe".as("b_qe"))
+    val rows = qd.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .selectExpr("vec_id",
+        "dot_l(qe, b_qe) AS native",
+        "aggregate(zip_with(qe, b_qe, (a, b) -> a * b), cast(0 as bigint), (s, x) -> s + x) AS hof",
+        "dot_l(qe, qe) AS nnative",
+        "aggregate(qe, cast(0 as bigint), (s, x) -> s + x * x) AS nhof")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"vec ${r.getLong(0)}: dot_l ${r.getLong(1)} != HOF ${r.getLong(2)}")
+      assert(r.getLong(3) == r.getLong(4),
+        s"vec ${r.getLong(0)}: self dot_l ${r.getLong(3)} != HOF norm ${r.getLong(4)}")
+    }
+  }
+
   test("q158 norm augmentation: every augmented vector has norm M, and aug-cosine ranking equals inner-product ranking") {
     // the two invariants the MIPS reduction rests on (Bachrach '14):
     // 1) ‖[x; sqrt(M²−‖x‖²)]‖ ≡ M for every corpus vector, so cosine

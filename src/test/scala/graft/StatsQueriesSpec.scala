@@ -27,9 +27,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * (4-node bipartite walk counts traced by hand), Oaxaca–Blinder
   * (two exact two-point OLS fits), Burrows' delta (3-source
   * 2-word dyadic z-table), the q160 triangle census (hand-counted
-  * diamond graph, exactly-once-per-triangle pinned), and q140 PageRank
+  * diamond graph, exactly-once-per-triangle pinned), q140 PageRank
   * (scalar replay of the 6-dp snapped trajectory — exact because the
-  * fixture's in-degree ≤ 2 keeps every IEEE sum order-invariant).
+  * fixture's in-degree ≤ 2 keeps every IEEE sum order-invariant),
+  * q410 IPF raking (two full cycles hand-traced on the 2×2
+  * non-separable table, every intermediate grid weight written down),
+  * q328 Markov removal-effect attribution (3-state chain, Jacobi
+  * absorption probabilities on the 10⁻⁹ floor grid), q476 gains table
+  * (10 distinct-score users, type-1 decile cuts and top-down gains),
+  * and q322 Shapley attribution (2-channel superadditive lattice with
+  * the null-player and efficiency axioms checked by hand).
   */
 class StatsQueriesSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -727,6 +734,157 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
     assert(out === r)
     assert(r(2L) === r(3L) && r(4L) === r(5L), "graph symmetry broken")
+  }
+
+  /** (custkey, mktsegment, nationkey) customers + (nationkey, regionkey)
+    * nations + one order per active custkey → a fixture dir for the
+    * survey-weighting family.
+    */
+  private def rakingFixture(custs: Seq[(Long, String, Long)],
+      nations: Seq[(Long, Long)], active: Seq[Long]): String = {
+    val dir = Files.createTempDirectory("stats_fix_").toString
+    val cSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_nationkey", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      custs.map { case (k, s, n) => Row(k, s, n) }, 2), cSchema)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val nSchema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_regionkey", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      nations.map { case (n, r) => Row(n, r) }, 1), nSchema)
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val oSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      active.zipWithIndex.map { case (c, i) => Row(i.toLong, c) }, 2), oSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("q410 IPF raking matches the hand-traced two-cycle trajectory") {
+    // 2 segments × 2 regions; sample ns = [[1,2],[3,4]] (AUTOMOBILE
+    // r0/r1, BUILDING r0/r1), base nb = [[2,3],[4,5]] → seg targets
+    // (5, 9), region targets (6, 8). The grid recurrence (weights on
+    // the 1e-9 BIGINT lattice, cell mass floor(ns·w/1e9·1e6+0.5),
+    // update floor(w·target·1e6/mass+0.5)) traced by hand, every
+    // intermediate written down:
+    //   w1: seg masses (A 3000000, B 7000000) →
+    //       A cells 1666666667, B cells 1285714286
+    //   w2: reg masses (r0 5523810, r1 8476190) →
+    //       (A,0) 1810344672, (A,1) 1573033797,
+    //       (B,0) 1396551604, (B,1) 1213483215
+    //   w3: seg masses (A 4956413, B 9043588) →
+    //       (A,0) 1826264954, (A,1) 1586867153,
+    //       (B,0) 1389820549, (B,1) 1207634507
+    //   w4: reg masses (r0 5995727, r1 8004272) →
+    //       (A,0) 1827566486, (A,1) 1586020218,
+    //       (B,0) 1390811038, (B,1) 1206989974
+    //   achieved seg masses: A 4999606 (ratio 0.999921), B 9000393
+    //   (ratio 1.000044).
+    // Both cycles do real work (w2≠w1, w3≠w2, w4≠w3), so a skipped or
+    // reordered sweep anywhere flips the pin.
+    val custs =
+      (1 to 2).map(i => (i.toLong, "AUTOMOBILE", 0L)) ++
+        (3 to 5).map(i => (i.toLong, "AUTOMOBILE", 1L)) ++
+        (6 to 9).map(i => (i.toLong, "BUILDING", 0L)) ++
+        (10 to 14).map(i => (i.toLong, "BUILDING", 1L))
+    val active = Seq(1L, 3L, 4L, 6L, 7L, 8L, 10L, 11L, 12L, 13L)
+    val dir = rakingFixture(custs, Seq((0L, 0L), (1L, 1L)), active)
+    val out = graft.queries.MiscQueries.q410IpfRaking(spark, dir).collect()
+      .map(r => (r.getAs[String]("seg"), r.getAs[Long]("reg"),
+        r.getAs[Long]("n_sample"), r.getAs[Long]("n_base"),
+        r.getAs[Double]("weight"), r.getAs[Double]("seg_margin_ratio"))).toSeq
+    assert(out === Seq(
+      ("AUTOMOBILE", 0L, 1L, 2L, 1.827566, 0.999921),
+      ("AUTOMOBILE", 1L, 2L, 3L, 1.58602, 0.999921),
+      ("BUILDING", 0L, 3L, 4L, 1.390811, 1.000044),
+      ("BUILDING", 1L, 4L, 5L, 1.20699, 1.000044)))
+  }
+
+  test("q328 Markov removal effects match the hand-iterated 3-state chain") {
+    // Journeys: u1 click→purchase, u2 view→purchase, u3 click→view
+    // (no conversion). Transition census: START→{click:2, view:1};
+    // click→{CONV:1, view:1}; view→{CONV:1, NULL:1}. Absorption on the
+    // 1e-9 floor grid (Jacobi iteration, stable by round 3 of 20):
+    //   full:   p(view) = 1e9 div 2 = 500000000
+    //           p(click) = (1e9 + 500000000) div 2 = 750000000
+    //           p(START) = (2·750000000 + 500000000) div 3 = 666666666
+    //   -click: p(click) clamped 0 → p(START) = 500000000 div 3
+    //           = 166666666
+    //   -view:  p(view) clamped 0 → p(click) = 1e9 div 2 = 500000000,
+    //           p(START) = 2·500000000 div 3 = 333333333
+    //   -error / -signup: no such transitions → identical to full.
+    // dt = 500000000 + 333333333 = 833333333;
+    // shares: 5e14 div 833333333 = 600000, 333333333e6 div 833333333
+    // = 399999 ppm; removal effects 0.75 and 0.5 exactly.
+    val dir = fixture(Seq(
+      (1, 0, 1L, "click", 0.0), (1, 1, 1L, "purchase", 5.0),
+      (1, 0, 2L, "view", 0.0), (1, 1, 2L, "purchase", 3.0),
+      (1, 0, 3L, "click", 0.0), (1, 1, 3L, "view", 0.0)))
+    val out = graft.queries.MiscQueries.q328MarkovAttribution(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("p_removed_u"),
+        r.getAs[Long]("p_full_u"), r.getAs[Double]("removal_effect"),
+        r.getAs[Long]("share_ppm"))).toSeq
+    assert(out === Seq(
+      ("click", 166666666L, 666666666L, 0.75, 600000L),
+      ("error", 666666666L, 666666666L, 0.0, 0L),
+      ("signup", 666666666L, 666666666L, 0.0, 0L),
+      ("view", 333333333L, 666666666L, 0.5, 399999L)))
+  }
+
+  test("q476 gains table matches the 10-user hand decile layout") {
+    // Users 1..10 each purchase once on day 1 (score = 100·u cents,
+    // all distinct); users 8..10 purchase again on day 20 (rel 19 ≥ 15
+    // → buyers). n = 10 distinct scores → the type-1 decile cuts
+    // t_k = the k-th smallest score ((k·10+9) div 10 = k), so user u
+    // lands alone in decile u. nb = 3, nu = 10: lift in a buyer decile
+    // = (1/1)/(3/10) = 3.333333; top-down cumulative gains
+    // 333333 / 666666 / 1000000 ppm from decile 10 down.
+    val rows = (1 to 10).map(u => (1, u % 5, u.toLong, "purchase", u.toDouble)) ++
+      (8 to 10).map(u => (20, u % 5, u.toLong, "purchase", 1.0))
+    val dir = fixture(rows)
+    val out = graft.queries.StatsQueries4.q476GainsTable(spark, dir).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_buyers"), r.getAs[Long]("rate_ppm"),
+        r.getAs[Long]("cum_gain_ppm"), r.getAs[Double]("lift"))).toSeq
+    val expect = (1 to 7).map(d => (d.toLong, 1L, 0L, 0L, 1000000L, 0.0)) ++ Seq(
+      (8L, 1L, 1L, 1000000L, 1000000L, 3.333333),
+      (9L, 1L, 1L, 1000000L, 666666L, 3.333333),
+      (10L, 1L, 1L, 1000000L, 333333L, 3.333333))
+    assert(out === expect)
+  }
+
+  test("q322 Shapley attribution matches the hand-summed 2-channel lattice") {
+    // Converted users: {click}, {view}, {click,view}; one non-converted
+    // {click}. v(S) = converted users whose touch set ⊆ S:
+    // v(∅)=0, v({c})=1, v({v})=1, v({c,v})=3; error/signup never touch,
+    // so v(S) = v(S ∩ {c,v}). φ(click)·24 over the 8 subsets of
+    // C∖click with weights |S|!(3−|S|)! = 6/2/2/6:
+    //   ∅:6·1  {e}:2·1  {s}:2·1  {v}:2·2  {e,s}:2·1  {e,v}:2·2
+    //   {s,v}:2·2  {e,s,v}:6·2  → 36; symmetry gives view 36,
+    // error/signup 0 (null players). Σφ·24 = 72 = 24·(v_full − v_empty)
+    // — the efficiency axiom checks itself. Shares 500000 ppm each.
+    val dir = fixture(Seq(
+      (1, 0, 1L, "click", 0.0), (1, 1, 1L, "purchase", 1.0),
+      (1, 0, 2L, "view", 0.0), (1, 1, 2L, "purchase", 1.0),
+      (1, 0, 3L, "click", 0.0), (1, 1, 3L, "view", 0.0),
+      (1, 2, 3L, "purchase", 1.0),
+      (1, 0, 4L, "click", 0.0)))
+    val out = graft.queries.MiscQueries.q322ShapleyAttribution(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("phi_x24"),
+        r.getAs[Double]("phi"), r.getAs[Long]("share_ppm"),
+        r.getAs[Long]("v_full"), r.getAs[Long]("v_empty"))).toSeq
+    assert(out === Seq(
+      ("click", 36L, 1.5, 500000L, 3L, 0L),
+      ("error", 0L, 0.0, 0L, 3L, 0L),
+      ("signup", 0L, 0.0, 0L, 3L, 0L),
+      ("view", 36L, 1.5, 500000L, 3L, 0L)))
   }
 
   test("q466 Cramer's V matches the 2x2 integer-margin table") {
