@@ -104,19 +104,39 @@ object PlanGuards {
     *    round-17 advice named. Name-based because the physical plan
     *    carries no NDV statistics on the local test data; every id/key
     *    column in the TESTDATA.md schema matches, no enum column does.
+    *    Aliased columns resolve back through the Project chain under
+    *    the filter to the END of the alias chain, and only the BASE
+    *    name is tested (round-18 advice, both directions:
+    *    `.as("anchor")` on a key column is still a point, and a
+    *    key-NAMED alias of an enum column still is not).
     * Range predicates deliberately do NOT count either way.
     */
-  private def pointFilter(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+  private def pointFilter(cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      aliases: Map[Long, org.apache.spark.sql.catalyst.expressions.Attribute]): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, In, InSet, Literal}
-    def attrName(e: Expression): Option[String] = e match {
-      case a: Attribute => Some(a.name)
-      case c: Cast      => attrName(c.child)
+    def baseAttr(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case c: Cast      => baseAttr(c.child)
       case _            => None
     }
-    def keyAttr(e: Expression): Boolean = attrName(e).exists { n =>
+    def keyName(n: String): Boolean = {
       val lo = n.toLowerCase
       lo.endsWith("key") || lo.endsWith("_id") || lo == "id" ||
         lo.endsWith("hash")
+    }
+    // resolve an aliased column back to its base-table name: a genuine
+    // key equality on `.as("anchor")` (or a one-letter alias) is still
+    // a point lookup — follow the Project alias chain under the filter
+    // by exprId until the name tests key-like or the chain ends
+    // (bounded hops; alias cycles are impossible in a physical plan)
+    def keyAttr(e: Expression): Boolean = {
+      var cur = baseAttr(e)
+      var hops = 0
+      while (cur.isDefined && hops < 16 && aliases.contains(cur.get.exprId.id)) {
+        cur = aliases.get(cur.get.exprId.id)
+        hops += 1
+      }
+      cur.exists(a => keyName(a.name))
     }
     def conjuncts(e: Expression): Seq[Expression] =
       e match { case And(l, r) => conjuncts(l) ++ conjuncts(r); case o => Seq(o) }
@@ -129,8 +149,27 @@ object PlanGuards {
     }
   }
 
+  /** exprId → the attribute each Project alias renames (Cast unwrapped),
+    * collected from the whole subtree under a filter so `pointFilter`
+    * can resolve aliased columns back to their base-table names.
+    */
+  private def aliasEdges(p: SparkPlan): Map[Long, org.apache.spark.sql.catalyst.expressions.Attribute] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast}
+    def strip(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Attribute] =
+      e match {
+        case a: Attribute => Some(a)
+        case c: Cast      => strip(c.child)
+        case _            => None
+      }
+    collectNodes(p) { case pr: org.apache.spark.sql.execution.ProjectExec => pr }
+      .flatMap(_.projectList.collect { case al: Alias => strip(al.child).map(al.exprId.id -> _) }
+        .flatten)
+      .toMap
+  }
+
   private def boundedOrConst(p: SparkPlan): Boolean = p match {
-    case f: org.apache.spark.sql.execution.FilterExec if pointFilter(f.condition) => true
+    case f: org.apache.spark.sql.execution.FilterExec
+        if pointFilter(f.condition, aliasEdges(f.child)) => true
     case _ =>
       isBounding(p) || boundedLeaf(p) ||
         { val c = kids(p); c.nonEmpty && c.forall(boundedOrConst) }

@@ -169,7 +169,8 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
-  test("chaos soak: repeated drops, a mute window, a restart, and a slow consumer lose nothing outside documented windows") {
+  test("chaos soak: repeated drops, a mute window, a restart, and a slow consumer lose nothing outside documented windows",
+      WebSocketSourceSpec.Soak) {
     // The multi-minute torture run the short protocol tests can't give:
     // a deterministic chaos schedule cycles through abrupt connection
     // drops (no close handshake), one half-open mute window (watchdog
@@ -206,6 +207,19 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(eventually(30000)(emitted.size == sent.size),
           s"cycle $c: steady-window frames missing " +
             s"(sent ${sent.size}, emitted ${emitted.size})")
+        // multiset equality per cycle, not just size (round-18 advice):
+        // a simultaneous duplicate+loss satisfies the size check
+        // transiently and would surface only in the end-of-soak set
+        // checks with run-wide diagnostics — comparing the emitted
+        // multiset against the exact sent prefix HERE pins the failing
+        // cycle and the first diverging frame. Nothing is in flight at
+        // this point (the drain above completed), so the snapshot is
+        // stable.
+        val cycleSnap = emitted.toArray(Array.empty[String]).sorted.toSeq
+        val sentSorted = sent.sorted.toSeq
+        assert(cycleSnap == sentSorted,
+          s"cycle $c: emitted multiset diverges from sent prefix; first diff: " +
+            s"${cycleSnap.zip(sentSorted).find(p => p._1 != p._2)}")
         c match {
           case 4 => // half-open: pongs stop, only the watchdog can notice
             server.muted = true
@@ -685,4 +699,13 @@ class WebSocketSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](KafkaShapedSink.validate(noTopic, None))
     KafkaShapedSink.validate(noTopic, Some("t")) // ok with fixed topic
   }
+}
+
+object WebSocketSourceSpec {
+  /** Tag for the multi-minute soak entries (pinned fault schedules with
+    * real wall-clock waits) — excludable on loaded/CI boxes with
+    * `testOnly * -- -l graft.Soak` without touching the fast protocol
+    * tests.
+    */
+  val Soak = org.scalatest.Tag("graft.Soak")
 }
