@@ -75,8 +75,20 @@ object ScaleProbe {
     def reps(df: DataFrame): DataFrame =
       df.withColumn("r", explode(expr(s"sequence(0L, ${factor - 1}L)")))
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    /** Inflated tables are REPARTITIONED before writing. The sf0.1 base
+      * tables are single small files, and `reps` preserves the input's
+      * partitioning — so every probe table used to land as ONE fat file
+      * whose 128 MB parquet row groups bound scan parallelism (a 76 MB
+      * single-row-group documents file = a 1-of-32-cores scan; the
+      * sf10-equivalent round-19 sweep measured exactly that as
+      * apparent super-linearity). Real data at the probed volume lives
+      * in many files; 32 files per inflated table restores the layout
+      * a cluster would actually read. Round-robin repartition changes
+      * file assignment only, never table content.
+      */
+    def write(name: String, df: DataFrame, inflated: Boolean = true): Unit = {
+      val out_df = if (inflated) df.repartition(32) else df
+      out_df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleprobe] $name x$factor written")
     }
 
@@ -140,9 +152,10 @@ object ScaleProbe {
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate")))
 
-    // pass-through dims + events (unchanged broadcast-ability)
+    // pass-through dims + events (unchanged broadcast-ability AND
+    // unchanged layout — a dim stays the single small file it is)
     Seq("region", "nation", "customer", "supplier", "part", "events")
-      .foreach(t => write(t, Tables.load(spark, base, t)))
+      .foreach(t => write(t, Tables.load(spark, base, t), inflated = false))
     spark.stop()
   }
 }
