@@ -983,9 +983,16 @@ object PipelineQueries extends QueryModule {
     * the flag reports whether the peel reached its fixpoint rather than
     * pretending it always does (the q77 unrolled-trajectory device).
     * Scale: each round = two semi-joins + one degree agg, all keyed on
-    * the node — O(E) per round with map-side partials, `localCheckpoint`
-    * lineage cuts; the six 1-row censuses union into a 6-row table and
-    * the lag window runs over THAT (agg-bounded — PlanGuards).
+    * the node — O(E) per round with map-side partials; the six 1-row
+    * censuses union into a 6-row table and the lag window runs over
+    * THAT (agg-bounded — PlanGuards). The per-round lineage cut
+    * checkpoints the NODE-scale degree census, never the edge-scale
+    * arc frame: `n_arcs` is just Σdeg of that census, and `alive` (the
+    * twice-read input of the next round's semi-joins) is a cheap
+    * filter over the checkpointed census — the round-19 100× probe
+    * caught the old arc-frame checkpoint writing and rereading edge-
+    * sized block-store state six times (measured numbers in
+    * BASELINE.md's sf10 table).
     */
   def q249KCore(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -998,14 +1005,14 @@ object PipelineQueries extends QueryModule {
       .localCheckpoint()
     var alive = edges.select(col("src").as("node")).distinct().localCheckpoint()
     val censuses = (1 to 6).map { r =>
-      val arcs = edges
+      val degs = edges
         .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
         .localCheckpoint()
-      val next = arcs.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 3).select(col("src").as("node")).localCheckpoint()
+      val next = degs.filter(col("deg") >= 3).select(col("src").as("node"))
       val cen = next.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(arcs.agg(count(lit(1)).as("n_arcs")))
+        .crossJoin(degs.agg(coalesce(sum("deg"), lit(0L)).as("n_arcs")))
         .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_arcs"))
       alive = next
       cen

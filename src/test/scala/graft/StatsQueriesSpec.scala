@@ -35,8 +35,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * q328 Markov removal-effect attribution (3-state chain, Jacobi
   * absorption probabilities on the 10⁻⁹ floor grid), q476 gains table
   * (10 distinct-score users, type-1 decile cuts and top-down gains),
-  * and q322 Shapley attribution (2-channel superadditive lattice with
-  * the null-player and efficiency axioms checked by hand).
+  * q322 Shapley attribution (2-channel superadditive lattice with
+  * the null-player and efficiency axioms checked by hand),
+  * q471 Jonckheere–Terpstra (3-ordered-group tie-free pair table,
+  * U-counts and both moments hand-derived), q474 two-way fixed
+  * effects (2×3 panel within-demeaned by hand — every xt/yt exact in
+  * IEEE, β = 80 exactly), q465 price indices (two-part basket,
+  * Laspeyres/Paasche revaluations exact), and q481 Lin's CCC (4-day
+  * integer census, CCC = 2/3 and r = 2/√5 by hand).
   */
 class StatsQueriesSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -902,5 +908,140 @@ class StatsQueriesSpec extends AnyFunSuite {
     val chi2 = 793650793L / 1e9
     assert(out.forall(_.getAs[Double]("chi2") === round6(chi2)))
     assert(out.forall(_.getAs[Double]("cramers_v") === round6(math.sqrt(chi2 / 100))))
+  }
+
+  /** (partkey, shipYear, quantity, extendedprice) → a `lineitem`
+    * fixture dir for the price-index estimators (q465 needs per-part
+    * rows in BOTH 1995 and 1996 with distinct unit prices).
+    */
+  private def lineitemPriceFixture(rows: Seq[(Long, Int, Double, Double)]): String = {
+    val dir = Files.createTempDirectory("stats_fix_").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType)))
+    val data = rows.zipWithIndex.map { case ((pk, y, q, e), i) =>
+      val epochDay = java.time.LocalDate.of(y, 6, 15).toEpochDay
+      Row(i.toLong, pk, 1L, 1, q, e, 0.0, 0.0, "N", "O",
+        new Timestamp(epochDay * 86400000L))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q471 Jonckheere-Terpstra matches the hand-counted pair table") {
+    // Three ordered groups, two cents values each, NO ties anywhere:
+    // g1 = {1, 3}, g2 = {2, 5}, g3 = {4, 6}. Pairwise ascending counts
+    // U_12 = #{(1,2),(1,5),(3,5)} = 3, U_13 = 4 (all four pairs
+    // ascend), U_23 = #{(2,4),(2,6),(5,6)} = 3 -> J = 10, jt2 = 2J =
+    // 20. Moments: n = 6, n_g = 2 each -> e4 = n^2 - sum n_g^2 =
+    // 36 - 12 = 24; var72 = n^2(2n+3) - sum n_g^2(2n_g+3) =
+    // 540 - 84 = 456. z = (2*20 - 24) / (4*sqrt(456/72)) =
+    // 4/sqrt(19/3) = 1.5894388... -> below the 1.959964 two-sided 5%
+    // line, so trend = 0.
+    val dir = ordersFixture(Seq(
+      (1L, "1-URGENT", 0.01, 2024, 1), (1L, "1-URGENT", 0.03, 2024, 1),
+      (2L, "2-HIGH", 0.02, 2024, 1), (2L, "2-HIGH", 0.05, 2024, 1),
+      (3L, "3-MEDIUM", 0.04, 2024, 1), (3L, "3-MEDIUM", 0.06, 2024, 1)))
+    val out = graft.queries.StatsQueries4
+      .q471JonckheereTerpstra(spark, dir).collect()(0)
+    assert(out.getAs[Long]("n_orders") === 6L)
+    assert(out.getAs[Long]("jt2") === 20L)
+    assert(out.getAs[Long]("e4") === 24L)
+    assert(out.getAs[Double]("z") ===
+      round6((2.0 * 20 - 24) / (4.0 * math.sqrt(456.0 / 72.0))))
+    assert(out.getAs[Long]("trend") === 0L)
+  }
+
+  test("q474 two-way fixed effects matches the hand-demeaned 2x3 panel") {
+    // Panel (user x day), cells (x views, y purchase cents):
+    //   u1: d0 (1,100)  d1 (2,280)  d2 (0, 70)   row mean x 1, y 150
+    //   u2: d0 (0, 60)  d1 (1,200)  d2 (2,250)   row mean x 1, y 170
+    // col means x (0.5, 1.5, 1), y (80, 240, 160); grand x 1, y 160.
+    // Within transform xt = x - xbar_u - xbar_d + xbar_g:
+    //   xt = (0.5, 0.5, -1 | -0.5, -0.5, 1)
+    //   yt = (30, 50, -80 | -30, -50, 80)       (every value exact in
+    // IEEE: the x means are binary fractions, the y means integers).
+    // Per-cell products xt*yt = (15, 25, 80, 15, 25, 80) -> sxy_e3 =
+    // 240000; xt^2 -> sxx_e3 = 4*250 + 2*1000 = 3000; yt^2 -> syy_e3 =
+    // 2*(900 + 2500 + 6400)*1000 = 19600000. beta = 240000/3000 = 80
+    // cents per view exactly; within R^2 = 80*240000/19600000 = 48/49.
+    val dir = fixture(Seq(
+      (0, 0, 1L, "view", 0.0), (0, 1, 1L, "purchase", 1.00),
+      (1, 0, 1L, "view", 0.0), (1, 1, 1L, "view", 0.0),
+      (1, 2, 1L, "purchase", 2.80),
+      (2, 0, 1L, "purchase", 0.70),
+      (0, 2, 2L, "purchase", 0.60),
+      (1, 3, 2L, "view", 0.0), (1, 4, 2L, "purchase", 2.00),
+      (2, 1, 2L, "view", 0.0), (2, 2, 2L, "view", 0.0),
+      (2, 3, 2L, "purchase", 2.50)))
+    val out = graft.queries.StatsQueries4
+      .q474TwoWayFixedEffects(spark, dir).collect()(0)
+    assert(out.getAs[Long]("n_cells") === 6L)
+    assert(out.getAs[Long]("n_users") === 2L)
+    assert(out.getAs[Long]("n_days") === 3L)
+    assert(out.getAs[Double]("beta_cents_per_view") === 80.0)
+    assert(out.getAs[Double]("within_r2") === round6(48.0 / 49.0))
+  }
+
+  test("q465 price indices match the two-part hand basket") {
+    // part 1: 1995 q0=10 e0=10000 (p 10.00) -> 1996 q1=8 e1=9600
+    // (p 12.00); part 2: 1995 q0=5 e0=2500 (p 5.00) -> 1996 q1=10
+    // e1=4000 (p 4.00). Revalued baskets (floor(+0.5) per part, exact
+    // here): p1q0 = 9600*10/8 + 4000*5/10 = 12000 + 2000 = 14000;
+    // p0q1 = 10000*8/10 + 2500*10/5 = 8000 + 5000 = 13000.
+    // Laspeyres = 14000/12500 = 1.12, Paasche = 13600/13000,
+    // Fisher = sqrt of their product.
+    val dir = lineitemPriceFixture(Seq(
+      (1L, 1995, 10.0, 100.00), (1L, 1996, 8.0, 96.00),
+      (2L, 1995, 5.0, 25.00), (2L, 1996, 10.0, 40.00)))
+    val out = graft.queries.StatsQueries3
+      .q465PriceIndices(spark, dir).collect()(0)
+    assert(out.getAs[Long]("n_common_parts") === 2L)
+    assert(out.getAs[Long]("sum_p0q0") === 12500L)
+    assert(out.getAs[Long]("sum_p1q1") === 13600L)
+    assert(out.getAs[Long]("sum_p1q0") === 14000L)
+    assert(out.getAs[Long]("sum_p0q1") === 13000L)
+    assert(out.getAs[Double]("laspeyres") === round6(14000.0 / 12500.0))
+    assert(out.getAs[Double]("paasche") === round6(13600.0 / 13000.0))
+    assert(out.getAs[Double]("fisher") ===
+      round6(math.sqrt((14000.0 / 12500.0) * (13600.0 / 13000.0))))
+  }
+
+  test("q481 Lin's CCC matches the hand-summed 4-day table") {
+    // Daily (views x, clicks y): (1,2), (2,3), (3,3), (4,6) ->
+    // n = 4, sx = 10, sy = 14, sxy = 41, sxx = 30, syy = 58.
+    // ccc_num = 2(4*41 - 140) = 48; ccc_den = (120-100) + (232-196) +
+    // (10-14)^2 = 20 + 36 + 16 = 72 -> CCC = 2/3. Pearson r =
+    // 24/sqrt(20*36) = 2/sqrt(5).
+    val dir = fixture(Seq(
+      (0, 0, 1L, "view", 0.0), (0, 1, 1L, "click", 0.0),
+      (0, 2, 1L, "click", 0.0),
+      (1, 0, 1L, "view", 0.0), (1, 1, 1L, "view", 0.0),
+      (1, 2, 1L, "click", 0.0), (1, 3, 1L, "click", 0.0),
+      (1, 4, 1L, "click", 0.0),
+      (2, 0, 1L, "view", 0.0), (2, 1, 1L, "view", 0.0),
+      (2, 2, 1L, "view", 0.0), (2, 3, 1L, "click", 0.0),
+      (2, 4, 1L, "click", 0.0), (2, 5, 1L, "click", 0.0),
+      (3, 0, 1L, "view", 0.0), (3, 1, 1L, "view", 0.0),
+      (3, 2, 1L, "view", 0.0), (3, 3, 1L, "view", 0.0),
+      (3, 4, 1L, "click", 0.0), (3, 5, 1L, "click", 0.0),
+      (3, 6, 1L, "click", 0.0), (3, 7, 1L, "click", 0.0),
+      (3, 8, 1L, "click", 0.0), (3, 9, 1L, "click", 0.0)))
+    val out = graft.queries.StatsQueries6.q481LinsCcc(spark, dir).collect()(0)
+    assert(out.getAs[Long]("n_days") === 4L)
+    assert(out.getAs[Long]("ccc_num") === 48L)
+    assert(out.getAs[Long]("ccc_den") === 72L)
+    assert(out.getAs[Double]("ccc") === round6(48.0 / 72.0))
+    assert(out.getAs[Double]("pearson_r") === round6(24.0 / math.sqrt(720.0)))
   }
 }
