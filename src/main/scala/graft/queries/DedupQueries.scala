@@ -293,10 +293,13 @@ object DedupQueries extends QueryModule {
     */
   def q42cJaccardPrefixExact(spark: SparkSession, dir: String): DataFrame = {
     val t5 = 4 // threshold = t5/5
+    // three consumers (postings + both verify sides) — eager cut runs
+    // the trigram kernel once, same as q266
     val grams = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"),
         expr("sort_array(trigram_hashes(text))").as("g"))
       .withColumn("sz", size(col("g")))
+      .localCheckpoint(true)
     val postings = grams.select(col("doc_id"), col("source"), col("sz"),
       explode(col("g")).as("gram"))
     val df = postings.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -1145,10 +1148,14 @@ object DedupQueries extends QueryModule {
     */
   def q266Containment(spark: SparkSession, dir: String): DataFrame = {
     val t5 = 3 // either-direction containment threshold = t5/5
+    // three consumers read this frame (the postings explode and both
+    // sides of the verify join); an eager cut runs the per-doc
+    // trigram_hashes + sort kernel once instead of once per consumer
     val grams = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"),
         expr("sort_array(trigram_hashes(text))").as("g"))
       .withColumn("sz", size(col("g")).cast("long"))
+      .localCheckpoint(true)
     val postings = grams.select(col("doc_id"), col("source"), col("sz"),
       explode(col("g")).as("gram"))
     val dfreq = postings.groupBy("gram").agg(count(lit(1)).as("df"))

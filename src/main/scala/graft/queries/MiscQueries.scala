@@ -3208,29 +3208,47 @@ object MiscQueries extends QueryModule {
       .localCheckpoint()
     val ns = tr.groupBy("f").agg(sum("n").as("ntot"))
     val chans = Seq("click", "error", "signup", "view")
-    val frame = spark.createDataFrame(
-      for (sc <- "full" +: chans; s <- "START" +: chans) yield (sc, s))
-      .toDF("scen", "s")
-    var p = frame.withColumn("p", lit(0L)).localCheckpoint()
-    for (_ <- 1 to 20) {
-      val acc = frame
-        .join(ns.withColumnRenamed("f", "fns"), col("s") === col("fns"), "left")
-        .join(tr, col("s") === col("f"), "left")
-        .join(p.select(col("scen").as("pscen"), col("s").as("ps"),
-          col("p").as("pp")),
-          col("pscen") === col("scen") && col("ps") === col("t"), "left")
-        .groupBy("scen", "s", "ntot")
-        .agg(sum(when(col("t") === "CONV", col("n") * 1000000000L)
-          .when(col("t") === "NULL", lit(0L))
-          .otherwise(col("n") * coalesce(col("pp"), lit(0L)))).as("acc"))
-      p = acc.select(col("scen"), col("s"),
-        when(col("s") === col("scen") || col("ntot").isNull, lit(0L))
-          .otherwise(expr("acc div ntot")).as("p"))
-        .localCheckpoint()
-    }
-    val pf = p.filter(col("scen") === "full" && col("s") === "START")
+    // The 20-round absorption iteration runs over ≤ 5 scenarios × 5
+    // states with a ≤ 30-row transition table — the old plan paid per
+    // round THREE joins + an aggregation + an eager checkpoint on that
+    // confetti (60 joins / 20 checkpoint jobs of sub-25-row work: pure
+    // stage-launch fat, the q438 lesson). Instead: broadcast the
+    // transition entries and out-masses ONCE as array/map columns onto
+    // a 5-row (one per scenario) frame and unroll the rounds as 20
+    // chained PROJECTIONS over a per-scenario state→value map — no
+    // join, no shuffle, no action anywhere in the loop. The recurrence
+    // is the identical integer chain (BIGINT products, same `div`), so
+    // every p value is bit-equal to the joined formulation's.
+    val sts = "array('START'," + chans.map(c => s"'$c'").mkString(",") + ")"
+    val trA = tr.groupBy().agg(
+      collect_list(struct(col("f"), col("t"), col("n"))).as("tre"))
+    val nsM = ns.groupBy().agg(
+      map_from_entries(collect_list(struct(col("f"), col("ntot")))).as("nsm"))
+    val scenF = spark.createDataFrame(("full" +: chans).map(Tuple1(_)))
+      .toDF("scen")
+    var cur = scenF.crossJoin(broadcast(trA)).crossJoin(broadcast(nsM))
+      .withColumn("pm", expr(s"map_from_arrays($sts, transform($sts, s -> 0L))"))
+    val iterSql =
+      s"""map_from_arrays($sts, transform($sts, s ->
+         |  IF(s = scen OR element_at(nsm, s) IS NULL, 0L,
+         |     (aggregate(filter(tre, e -> e.f = s), 0L,
+         |        (a, e) -> a + CASE WHEN e.t = 'CONV' THEN e.n * 1000000000L
+         |                           WHEN e.t = 'NULL' THEN 0L
+         |                           ELSE e.n * coalesce(element_at(pm, e.t), 0L)
+         |                      END))
+         |     div element_at(nsm, s))))""".stripMargin
+    // eager cut EVERY round: nesting the lambda expression sends
+    // Catalyst's optimizer super-linear (a 20-deep chain took minutes
+    // to plan, depth 4 still beat the joins it replaced), so each round
+    // stays a depth-1 projection materialized by a one-stage job on 5
+    // rows — still no join or shuffle anywhere in the loop
+    for (_ <- 1 to 20)
+      cur = cur.withColumn("pm", expr(iterSql)).localCheckpoint(true)
+    val pFin = cur.select(col("scen"),
+      coalesce(expr("element_at(pm, 'START')"), lit(0L)).as("p"))
+    val pf = pFin.filter(col("scen") === "full")
       .select(col("p").as("p_full_u"))
-    val pr = p.filter(col("scen") =!= "full" && col("s") === "START")
+    val pr = pFin.filter(col("scen") =!= "full")
       .select(col("scen").as("channel"), col("p").as("p_removed_u"))
     val tot = pr.crossJoin(broadcast(pf))
       .agg(sum(col("p_full_u") - col("p_removed_u")).as("dt"))
@@ -4897,6 +4915,14 @@ object MiscQueries extends QueryModule {
     */
   def q384ItemItemCf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The capped incidence feeds THREE consumers (both self-join sides
+    // and the popularity census); without a cut each consumer re-runs
+    // the orders⨝lineitem join + distinct + cap window (the round-19
+    // before-plan shows the subtree planned twice with no exchange
+    // reuse). One eager materialization runs it once, and since the cap
+    // window's exchange leaves the frame hash(c)-partitioned — which a
+    // checkpoint preserves — the per-customer self-join below needs no
+    // exchange on either side (guide §2.4).
     val cp = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
@@ -4906,6 +4932,7 @@ object MiscQueries extends QueryModule {
         Window.partitionBy("c").orderBy("p")))
       .filter(col("rnk") <= 200)
       .drop("rnk")
+      .localCheckpoint(true)
     val pop = cp.groupBy("p").agg(count(lit(1)).as("n"))
     val pairs = cp.select(col("c"), col("p").as("pa"))
       .join(cp.select(col("c"), col("p").as("pb")), Seq("c"))
@@ -5839,44 +5866,53 @@ object MiscQueries extends QueryModule {
     * 100 TB is always census-sized.
     */
   def q410IpfRaking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cust = Tables.customer(spark, dir)
       .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_mktsegment").as("seg"),
         col("n_regionkey").as("reg"))
-    val active = cust.join(
-      Tables.orders(spark, dir).select(col("o_custkey")).distinct(),
-      col("c_custkey") === col("o_custkey"))
-    val sample = active.groupBy("seg", "reg").agg(count(lit(1)).as("ns"))
-    val base = cust.groupBy("seg", "reg").agg(count(lit(1)).as("nb"))
-    val cellsRaw = sample.join(base, Seq("seg", "reg"))
+    // ONE customer pass builds both margins: the old plan aggregated
+    // `cust` twice (active-only and base) and inner-joined the censuses;
+    // a left join + conditional count produces the identical (ns, nb)
+    // cells from a single scan (guide §2.3 — don't compute things
+    // twice). The `ns > 0` filter reproduces the old inner join's
+    // drop of cells with no active customers.
+    val cellsRaw = cust.join(
+        Tables.orders(spark, dir).select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("seg", "reg")
+      .agg(sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("ns"),
+        count(lit(1)).as("nb"))
+      .filter(col("ns") > 0)
       .withColumn("w0", lit(1000000000L))
-    val segT = cellsRaw.groupBy("seg").agg(sum("nb").as("seg_target"))
-    val regT = cellsRaw.groupBy("reg").agg(sum("nb").as("reg_target"))
-    def sweepSeg(c: DataFrame, wIn: String, wOut: String): DataFrame = {
-      val m = c.withColumn("wc_u",
-          expr(s"CAST(floor(CAST(ns AS DOUBLE) * CAST($wIn AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) AS BIGINT)"))
-        .groupBy("seg").agg(sum("wc_u").as("seg_mass_u"))
-      c.join(m, "seg").join(segT, "seg")
+    // The IPF sweeps run on the ≤ |seg|·|reg| cell frame. The old plan
+    // paid per sweep one aggregation plus TWO joins back to the cells
+    // (≈ 15 shuffle stages of ~25-row work — pure stage-launch fat,
+    // the q438 lesson); per-margin window sums over the same frame
+    // compute the identical masses with one tiny exchange per
+    // partitioning switch and no joins at all. The margin targets are
+    // constant across sweeps, so they ride along as window columns
+    // computed once.
+    val segW = Window.partitionBy("seg")
+    val regW = Window.partitionBy("reg")
+    val cells = cellsRaw
+      .withColumn("seg_target", sum("nb").over(segW))
+      .withColumn("reg_target", sum("nb").over(regW))
+    def wcU(wIn: String) = expr(
+      s"CAST(floor(CAST(ns AS DOUBLE) * CAST($wIn AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) AS BIGINT)")
+    def sweep(c: DataFrame, dim: String, w: org.apache.spark.sql.expressions.WindowSpec,
+        wIn: String, wOut: String): DataFrame =
+      c.withColumn("wc_u", wcU(wIn))
+        .withColumn("mass_u", sum("wc_u").over(w))
         .withColumn(wOut, expr(
-          s"CAST(floor(CAST($wIn AS DOUBLE) * CAST(seg_target AS DOUBLE) * 1.0e6 / CAST(seg_mass_u AS DOUBLE) + 0.5) AS BIGINT)"))
-        .drop("seg_mass_u", "seg_target")
-    }
-    def sweepReg(c: DataFrame, wIn: String, wOut: String): DataFrame = {
-      val m = c.withColumn("wc_u",
-          expr(s"CAST(floor(CAST(ns AS DOUBLE) * CAST($wIn AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) AS BIGINT)"))
-        .groupBy("reg").agg(sum("wc_u").as("reg_mass_u"))
-      c.join(m, "reg").join(regT, "reg")
-        .withColumn(wOut, expr(
-          s"CAST(floor(CAST($wIn AS DOUBLE) * CAST(reg_target AS DOUBLE) * 1.0e6 / CAST(reg_mass_u AS DOUBLE) + 0.5) AS BIGINT)"))
-        .drop("reg_mass_u", "reg_target")
-    }
-    val fitted = sweepReg(sweepSeg(sweepReg(sweepSeg(
-      cellsRaw, "w0", "w1"), "w1", "w2"), "w2", "w3"), "w3", "w4")
-    val segAchieved = fitted
-      .withColumn("wc_u",
-        expr("CAST(floor(CAST(ns AS DOUBLE) * CAST(w4 AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) AS BIGINT)"))
-      .groupBy("seg").agg(sum("wc_u").as("seg_mass2_u"))
-    fitted.join(segAchieved, "seg").join(segT, "seg")
+          s"CAST(floor(CAST($wIn AS DOUBLE) * CAST(${dim}_target AS DOUBLE) * 1.0e6 / CAST(mass_u AS DOUBLE) + 0.5) AS BIGINT)"))
+        .drop("wc_u", "mass_u")
+    val fitted = sweep(sweep(sweep(sweep(
+      cells, "seg", segW, "w0", "w1"), "reg", regW, "w1", "w2"),
+      "seg", segW, "w2", "w3"), "reg", regW, "w3", "w4")
+    fitted
+      .withColumn("wc_u", wcU("w4"))
+      .withColumn("seg_mass2_u", sum("wc_u").over(segW))
       .selectExpr("seg", "reg", "ns AS n_sample", "nb AS n_base",
         "round(CAST(w4 AS DOUBLE) / 1.0e9, 6) AS weight",
         "round(CAST(seg_mass2_u AS DOUBLE) / 1.0e6 / CAST(seg_target AS DOUBLE), 6) AS seg_margin_ratio")

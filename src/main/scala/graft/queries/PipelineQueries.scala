@@ -722,8 +722,19 @@ object PipelineQueries extends QueryModule {
         .selectExpr(s"'$name' AS phase", "n_nodes", "n_edges", "n_components",
           "largest * 1000000L div n_nodes AS largest_share_ppm")
     }
-    phase("full", edges).unionByName(phase("dehubbed", dehubbed))
-      .orderBy("phase")
+    // The two CC runs are action-driven (per-round convergence counts +
+    // eager checkpoints) and independent once `edges` is checkpointed:
+    // run them from two driver threads so the second phase's rounds
+    // back-fill cores idled by the first's convergence tail (guide
+    // §2.6 — overlap independent jobs). Identical results: both phases
+    // are deterministic functions of the shared checkpointed edge set.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val phases = Seq(Future(phase("full", edges)),
+        Future(phase("dehubbed", dehubbed)))
+      .map(Await.result(_, Duration.Inf))
+    phases.reduce(_ unionByName _).orderBy("phase")
   }
 
   def q160TriangleCount(spark: SparkSession, dir: String): DataFrame = {

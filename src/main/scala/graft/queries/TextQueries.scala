@@ -1070,10 +1070,13 @@ object TextQueries extends QueryModule {
         .as("gram"))
     val b = grams.withColumn("bkt",
       pmod(conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long"), lit(256L)))
-    val rawCnt = b.groupBy("bkt").agg(count(lit(1)).as("rc"))
-    val tgtCnt = b.filter(col("lang") === "en").groupBy("bkt").agg(count(lit(1)).as("tc"))
-    val stats = rawCnt.join(tgtCnt, Seq("bkt"), "left")
-      .select(col("bkt"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    // one census pass instead of two: the raw and target ("en") bucket
+    // counts come off the SAME gram stream, so a conditional sum in one
+    // aggregation halves the hashed-gram evaluations and removes the
+    // census-side join outright (guide §2.3 — aggregate before you
+    // shuffle; a missing bucket on the filtered side is exactly tc=0)
+    val stats = b.groupBy("bkt").agg(count(lit(1)).as("rc"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
     val totals = stats.agg(sum("rc").as("rt"), sum("tc").as("tt"))
     b.join(broadcast(stats), "bkt")
       .crossJoin(broadcast(totals))
@@ -1776,7 +1779,16 @@ object TextQueries extends QueryModule {
         element_at(split(col("phrase"), " "), 2).as("w2"))
     val p1 = postings.join(broadcast(probes), col("term") === col("w1"))
       .select(col("phrase"), col("doc_id").as("d1"), col("pos").as("pos1"))
-    val p2 = postings.select(col("doc_id").as("d2"), col("pos").as("pos2"),
+    // semi-filter the continuation side to the probes' SECOND words
+    // before the positional join (guide §3.2 — reduce the big side
+    // before shuffling it): only postings of a w2 term can survive the
+    // t2 === w2 filter below, so this drops the corpus-scale postings
+    // stream to three terms' rows with a broadcast semi-join and the
+    // (doc, pos) equi-join shuffles thousands of rows instead of the
+    // whole inverted index
+    val p2 = postings.join(broadcast(probes.select(col("w2"))),
+        col("term") === col("w2"), "left_semi")
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"),
       col("term").as("t2"))
     val hits = p1.join(p2,
         col("d1") === col("d2") && col("pos2") === col("pos1") + 1L)
