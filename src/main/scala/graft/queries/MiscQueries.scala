@@ -5643,8 +5643,12 @@ object MiscQueries extends QueryModule {
       .withColumn("v",
         conv(substring(md5(concat_ws("-", lit("neg"), col("k"), col("c"),
           col("p"))), 1, 8), 16, 10).cast("long") % col("tot"))
+    // the sampled-negatives join feeds TWO consumers (the 1-row summary
+    // and the top-5 census); an eager cut runs the md5 draw + binned
+    // range join once instead of once per consumer
     val neg = graft.operators.BinnedRangeJoin.inner(
       samples, pop, "v", "lo", "hi", binWidth = 1024)
+      .localCheckpoint(true)
     val summary = neg.agg(count(lit(1)).as("n_neg"),
       sum(when(col("np") === col("p"), 1L).otherwise(0L)).as("self_collisions"),
       countDistinct("np").as("distinct_neg_parts"),

@@ -502,6 +502,12 @@ object PipelineQueries extends QueryModule {
           |  cast(conv(substring(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15), 16, 10) as bigint))"""
           .stripMargin))
       .select(col("doc_id"), explode(col("gs")).as("g"))
+      // both consumers (df census + probe) re-ran the split+md5+explode
+      // gram kernel over the reused text exchange; an eager cut of the
+      // 16-byte (doc_id, g) stream runs it once — the positional gram
+      // stream is the lightweight proxy here (guide §8: shuffle/store
+      // keys, not text), ~1/5 the bytes of the text it derives from
+      .localCheckpoint(true)
     val bp = pos.groupBy("g")
       .agg(count_distinct(col("doc_id")).as("dfd"))
       .filter(col("dfd") >= minDf)
