@@ -265,6 +265,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TrigramHashes(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("sad_bytes"),
+      new ExpressionInfo(classOf[SadBytes].getName, "sad_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sad_bytes takes exactly 2 arguments")
+        SadBytes(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[Expression]) => {

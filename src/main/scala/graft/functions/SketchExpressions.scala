@@ -209,6 +209,24 @@ object SketchKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Sum of absolute byte differences (SAD — the classic scene-cut
+    * metric) over two byte frames, bytes compared UNSIGNED (0..255).
+    * Bit-identical to the hex formulation it replaces
+    * (Σ |conv(substr(hex(a),2i+1,2),16,10) − conv(...b...)| over equal
+    * 32-byte frames) with zero string materialization and no
+    * interpreted higher-order lambda per frame pair.
+    */
+  def sadBytes(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.abs((a(i) & 0xff) - (b(i) & 0xff))
+      i += 1
+    }
+    s
+  }
+
   /** Intersection cardinality of two SORTED long arrays — two-pointer
     * merge, zero allocation. With |A∪B| = |A|+|B|−|A∩B| this gives
     * Jaccard without materializing the union array (the built-in
@@ -432,6 +450,33 @@ case class TrigramHashes(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): TrigramHashes =
     copy(child = newChild)
+}
+
+/** `sad_bytes(a, b)` — two BinaryType frames → LongType SAD. */
+case class SadBytes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "sad_bytes"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sad_bytes requires two BINARY arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.sadBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SketchKernels.sadBytes($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SadBytes =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `sorted_intersect_count(a, b)` — two sorted ArrayType(LongType) → LongType. */

@@ -478,20 +478,17 @@ object PipelineQueries extends QueryModule {
     * for semantics. */
   private[graft] def boilerplateMask(
       docsIn: DataFrame, srcDocs: DataFrame, minDf: Int): DataFrame = {
-    // the gram stream deliberately does NOT carry `source`: with both
-    // consumers (df pass and probe pass) reading the identical
-    // (doc_id, text) scan, the spread's round-robin exchange of the
-    // full text canonicalizes equal in both subtrees and ReuseExchange
-    // ships it ONCE — the df pass replays the shuffle files. (The
-    // round-13 +24% regression was this exchange running twice because
-    // `source` riding the probe branch gave the two scans divergent
-    // pruned schemas.) The explicit doc_id IS NOT NULL below keeps the
-    // two branches canonical-equal too: the probe branch's census join
-    // would otherwise INFER that filter into only its own scan.
-    // `source` re-attaches AFTER the per-doc census via a text-free
-    // (doc_id, source) projection of the unspread frame — a slim join
-    // on the doc-count-sized censuses, not the gram stream, and not
-    // through the text exchange.
+    // the gram stream deliberately does NOT carry `source`: the eager
+    // checkpoint below is what dedupes the gram kernel across the two
+    // consumers (df census + probe) — both read the materialized
+    // (doc_id, g) blocks, so the split+md5+explode pass runs exactly
+    // once regardless of branch shape. (Before round 19 this relied on
+    // ReuseExchange over canonical-equal subtrees, which is why the
+    // kernel input stays a slim (doc_id, text) projection; that
+    // mechanism is superseded by the checkpoint.) `source` re-attaches
+    // AFTER the per-doc census via a text-free (doc_id, source)
+    // projection of the unspread frame — a slim join on the
+    // doc-count-sized censuses, not the gram stream.
     val pos = docsIn
       .select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull)
@@ -734,11 +731,16 @@ object PipelineQueries extends QueryModule {
     // back-fill cores idled by the first's convergence tail (guide
     // §2.6 — overlap independent jobs). Identical results: both phases
     // are deterministic functions of the shared checkpointed edge set.
-    import scala.concurrent.{Await, Future}
+    // blocking{} marks the Spark actions for the global ForkJoinPool so
+    // it compensates with extra threads instead of starving (advisor
+    // note: a latent hazard if this pattern is copied at higher fan-out;
+    // at fan-out 2 the sibling's bounded work simply completes if one
+    // phase fails — Await rethrows the first failure either way)
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val phases = Seq(Future(phase("full", edges)),
-        Future(phase("dehubbed", dehubbed)))
+    val phases = Seq(Future(blocking(phase("full", edges))),
+        Future(blocking(phase("dehubbed", dehubbed))))
       .map(Await.result(_, Duration.Inf))
     phases.reduce(_ unionByName _).orderBy("phase")
   }

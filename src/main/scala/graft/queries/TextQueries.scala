@@ -891,15 +891,23 @@ object TextQueries extends QueryModule {
     val ds = graft.operators.MediaPipeline.fromDocuments(spark, videoDocs)
     val frames = graft.operators.MediaPipeline.sampleFrames(ds, frameBytes = 32, stride = 1)
       .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
-        hex(col("frame")).as("h"))
+        col("frame"))
     val wDoc = Window.partitionBy("doc_id").orderBy("frame_no")
+    // SAD over the raw 32-byte frames via the native codegen kernel —
+    // bit-identical to the hex/conv higher-order lambda it replaces
+    // (frames are always exactly 32 bytes: sampleFrames drops the
+    // ragged tail), delta stays NULL on the first frame because lag
+    // yields NULL and sad_bytes is null-intolerant (round-20, guide §4:
+    // the interpreted 64-substring HOF ran twice per frame pair)
+    // MEASURED NEGATIVE (round 20, bracketed): eager-checkpointing the
+    // (doc_id, frame_no, delta) stream to dedupe the two consumers
+    // (stats census + cut pass) benched 1.21–1.34 s vs the 0.90–1.03 s
+    // recompute band — with the SAD kernel native, replaying the
+    // flatMap+lag pass is cheaper at sf0.1 than materializing ~200k
+    // rows. Revisit only if the decode stub gains real codec cost.
     val withDelta = frames
-      .withColumn("ph", lag("h", 1).over(wDoc))
-      .withColumn("delta", when(col("ph").isNull, lit(null)).otherwise(expr(
-        """aggregate(transform(sequence(0, 31), i ->
-          |  abs(CAST(conv(substring(h, i * 2 + 1, 2), 16, 10) AS BIGINT) -
-          |      CAST(conv(substring(ph, i * 2 + 1, 2), 16, 10) AS BIGINT))),
-          |0L, (a, x) -> a + x)""".stripMargin)))
+      .withColumn("pf", lag("frame", 1).over(wDoc))
+      .withColumn("delta", expr("sad_bytes(frame, pf)"))
     val stats = withDelta.filter(col("delta").isNotNull)
       .groupBy("doc_id")
       .agg(sum("delta").as("tot"), count(lit(1)).as("nd"))
@@ -1601,6 +1609,14 @@ object TextQueries extends QueryModule {
     * presence counts (map-side distinct partials); everything after
     * runs on 128×5 census rows, and the rank window partitions by
     * lang over those census rows — never a global sort of data.
+    *
+    * The token-scale distinct (explode + md5 per token) is the only
+    * corpus-scale pass; it is materialized ONCE (eager localCheckpoint,
+    * the q384/q121 multi-consumer device) so nBoth and nBucket both
+    * read the doc×bucket presence frame instead of each replaying the
+    * kernel from parquet (round-19 plan: two full scan→Generate→
+    * distinct subtrees; round-20 probe: each replay costs the whole
+    * token pass again).
     */
   def q250ChiSquareFeatures(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1612,10 +1628,16 @@ object TextQueries extends QueryModule {
       .withColumn("bucket", conv(substring(md5(concat(lit("chi|"), col("w"))), 1, 8), 16, 10)
         .cast("long") % 128)
       .select("doc_id", "lang", "bucket").distinct()
+      .localCheckpoint()
     val nBoth = pres.groupBy("lang", "bucket").agg(count(lit(1)).as("n_both"))
     val nBucket = pres.groupBy("bucket").agg(countDistinct("doc_id").as("n_bucket"))
-    val nLang = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-    val nAll = docs.agg(count(lit(1)).as("n_all"))
+    // row counts don't benefit from the fan-out spread (the round-robin
+    // exchange would ship rows just to count them) — census the bare
+    // scan once; n_all = Σ n_lang over ALL lang groups (incl. null) is
+    // exactly the document count, saving the 4th scan of the table
+    val nLang = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_lang")).localCheckpoint()
+    val nAll = nLang.agg(sum("n_lang").as("n_all"))
     val scored = nBoth
       .join(broadcast(nBucket), "bucket").join(broadcast(nLang), "lang")
       .crossJoin(broadcast(nAll))
@@ -1829,6 +1851,13 @@ object TextQueries extends QueryModule {
       .select(col("doc_id").as("pid"), col("source"), col("w").as("cw"))
       .join(toks.select((col("doc_id") - 1).as("pid"), col("w").as("rw")), "pid")
       .localCheckpoint()
+    // MEASURED NEGATIVE (round 20, bracketed A/B): fusing the four
+    // n-sizes into one nested flatten/transform/filter HOF emitting
+    // (n, g) structs read the checkpoint once per side instead of 4×,
+    // but benched 2.48–2.52 s vs the 1.81–2.13 s control band — the
+    // interpreted nested-lambda + struct allocation per gram costs
+    // more than the three extra checkpoint scans it saves. The
+    // 4-branch union stays.
     def gramRows(wcol: String): DataFrame =
       (1 to 4).map { n =>
         pairs.select(col("pid"),
