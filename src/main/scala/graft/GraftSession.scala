@@ -41,6 +41,17 @@ object GraftSession {
           shufflePartitions.toString))
       // dims (region..part) are tiny at every SF; let Catalyst broadcast
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Prefer shuffled-hash over sort-merge when the planner's size
+      // conditions are met, and let AQE rewrite SMJ→SHJ at runtime when
+      // every post-shuffle partition is under 64 MB (guide §3.1/§9).
+      // Size-based, so the decision scales with the DATA, not the box:
+      // a partition that outgrows the threshold falls back to SMJ's
+      // graceful spill. Whole-board paired sweep evidence in
+      // OPTIMIZATION_r20.md; env-parameterised for deployments.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); read as long (Tables.events
       // converts to micros, matching DuckDB's own ns→µs truncation)
