@@ -24,6 +24,14 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // respect the advisory partition SIZE when coalescing instead of
+      // stopping at defaultParallelism (Spark's own docs recommend
+      // false): a census-scale shuffle coalesces to the few partitions
+      // its bytes justify rather than staying at 32 confetti tasks,
+      // while a 100 TB shuffle keeps its thousands of partitions —
+      // size-driven, so the same setting is right at every scale
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // The INITIAL shuffle partition count is the ceiling AQE can only
       // shrink — at 10× the bench fixture each of the 32 partitions
